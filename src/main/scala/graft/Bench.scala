@@ -1,24 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (driver contract). The sink is the `noop` format:
+  * full pipeline execution, no driver collect, no filesystem write skew.
+  */
 object Bench {
+  // Headliners: one per performance-critical shape — scan+filter, hash agg,
+  // pivot+join, multi-join, window, keep-first dedup, minhash, brute ANN,
+  // text quality.
+  val Headline: Seq[(String, String)] = Seq(
+    "q1_pricing" -> "q_agg_pricing",
+    "q2_pivot" -> "q_pivot_ratings",
+    "q3_multijoin" -> "q_join_multi",
+    "q4_window" -> "q_window_running",
+    "q5_dedup_first" -> "q_dedup_keep_first",
+    "q6_minhash" -> "q_minhash_sig",
+    "q7_ann" -> "q_ann_cosine",
+    "q8_quality" -> "q_text_quality",
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the JVM/codegen path once so t[0] isn't JIT-bound
+    SparkEntry.queries("q_scan_project")(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    val results = Headline.map { case (label, name) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $label: $e") }
+      label -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,714 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Driver contract — one named query per implemented operator family from
+  * SURVEY.md §2, each with a DuckDB oracle over the same parquet fixtures.
+  * Every query ends in an explicit deterministic ORDER BY (unique
+  * tie-breakers) and avoids raw TimestampType in outputs (cast to DATE /
+  * formatted string) so the cross-engine compare is exact. Sums over
+  * doubles go through DECIMAL so shuffle order can't flip low bits.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * reference's rating-counts chain (challenge2.py:273-281): groupby →
+    * pivot(explicit values) → prefix-rename → left-join base → fill 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_pivot_ratings")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5 — parquet scan + projection
+    "q_scan_project" -> ((s, d) =>
+      Filters.project(Tables.region(s, d), Seq("r_regionkey", "r_name"))
+        .orderBy("r_regionkey")),
+
+    // B1/B6 — existence predicate + inequality
+    "q_filter_exists" -> ((s, d) =>
+      Filters.existence(Tables.documents(s, d), Seq("text", "lang"))
+        .filter(col("source") =!= "src0")
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+
+    // B2/B8/B9 — projection + rename
+    "q_project_rename" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").alias("order_id"),
+          col("l_linenumber").alias("line_no"),
+          col("l_quantity").alias("qty"))
+        .orderBy("order_id", "line_no")),
+
+    // B3 — membership predicate
+    "q_filter_in" -> ((s, d) =>
+      Filters.membership(Tables.customer(s, d), "c_mktsegment",
+        Seq("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")),
+
+    // B4 — compound range predicate (timestamp + numeric)
+    "q_filter_range" -> ((s, d) =>
+      Filters.range(Tables.orders(s, d),
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")) &&
+          col("o_totalprice") > 1000)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").alias("o_date"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // B5 — negated regex masks
+    "q_filter_not_rlike" -> ((s, d) =>
+      Filters.matchesNeither(Tables.part(s, d), "p_name", Seq("widget", "^blue"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    // C1/D3 — regex key extraction, str.extract null semantics (J5)
+    "q_regex_extract" -> ((s, d) =>
+      Dedup.extractKey(Tables.events(s, d), "props", "k", "\"k\": (\\d+)")
+        .select("event_id", "k").orderBy("event_id")),
+
+    // C2/J1 — keep-FIRST dedup via window. The order columns form a unique
+    // key ((l_orderkey, l_linenumber) alone is NOT unique in the fixture),
+    // so "first" is well-defined (J1).
+    "q_dedup_keep_first" -> ((s, d) =>
+      Dedup.keepFirst(Tables.lineitem(s, d), Seq("l_orderkey"),
+        Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+        .select("l_orderkey", "l_linenumber", "l_partkey").orderBy("l_orderkey")),
+
+    // C3 — single-pass per-column null profile
+    "q_null_profile" -> ((s, d) =>
+      Dedup.nullProfile(Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // C5 — exact distinct-count profile
+    "q_distinct_profile" -> ((s, d) =>
+      Dedup.distinctProfile(Tables.orders(s, d),
+        Seq("o_orderstatus", "o_orderpriority"))),
+
+    // D1 — case-insensitive regex contains
+    "q_regex_contains_count" -> ((s, d) =>
+      Tables.part(s, d).filter(TextParse.containsI(col("p_name"), "^b"))
+        .agg(count(lit(1)).alias("n_match"))),
+
+    // D2 — regex replace
+    "q_regex_replace" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(substring(col("text"), 1, 60), "[aeiou]", "*").alias("redacted"))
+        .orderBy("doc_id")),
+
+    // D6 — parse_dollars over synthesized money strings
+    "q_parse_dollars" -> ((s, d) => {
+      val sz = col("p_size")
+      val raw = when(sz % 3 === 0, concat(lit("$"), sz.cast("string"), lit(" million")))
+        .when(sz % 3 === 1, concat(lit("$"), sz.cast("string"), lit(".5 billion")))
+        .otherwise(concat(lit("$"), (sz * 1000).cast("string")))
+      Tables.part(s, d).select(col("p_partkey"), raw.alias("raw"))
+        .withColumn("amount", TextParse.parseDollars(col("raw")))
+        .orderBy("p_partkey")
+    }),
+
+    // E1 — multi-format date parse via to_date coalesce
+    "q_date_multiformat" -> ((s, d) => {
+      val k = col("o_orderkey") % 4
+      val raw = when(k === 0, date_format(col("o_orderdate"), "MMMM d, yyyy"))
+        .when(k === 1, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(k === 2, date_format(col("o_orderdate"), "MMMM yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy"))
+      Tables.orders(s, d).select(col("o_orderkey"), raw.alias("raw"))
+        .withColumn("parsed", DatesNums.parseDateMulti(col("raw")))
+        .orderBy("o_orderkey")
+    }),
+
+    // E3 — epoch seconds → timestamp (output formatted, tz-free)
+    "q_epoch_seconds" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          date_format(DatesNums.epochToTimestamp(col("event_id") * 1000),
+            "yyyy-MM-dd HH:mm:ss").alias("t"))
+        .orderBy("event_id")),
+
+    // E4/E9 — null-on-error numeric coercion + fill
+    "q_coerce_fill" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          DatesNums.coerceDoubleFill(
+            TextParse.extract(col("props"), "(\\d+)")).alias("k_filled"))
+        .orderBy("event_id")),
+
+    // E6/E8 — conditional arithmetic / zero-aware fill
+    "q_conditional_fill" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          DatesNums.conditional(col("l_discount") === 0,
+            col("l_extendedprice"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).alias("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F2 — synonym coalesce shape
+    "q_synonym_coalesce" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("view")), lit("viewed")).alias("etype"))
+        .orderBy("event_id")),
+
+    // G1 — inner equi-join
+    "q_join_inner" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice").orderBy("o_orderkey")
+    }),
+
+    // G2/E9 — left join of an aggregate + fill
+    "q_join_left_agg" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cnt = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(count(lit(1)).alias("n_items"))
+      o.join(cnt, o("o_orderkey") === cnt("l_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("n_items"), lit(0L)).alias("n_items"))
+        .orderBy("o_orderkey")
+    }),
+
+    // semi join — EXISTS
+    "q_join_semi" -> ((s, d) => {
+      val recent = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey").alias("c_custkey"))
+      Joins.semi(Tables.customer(s, d), recent, Seq("c_custkey"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // anti join — NOT EXISTS
+    "q_join_anti" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey").alias("c_custkey"))
+      Joins.anti(Tables.customer(s, d), o, Seq("c_custkey"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // range join anchored on equi-key
+    "q_join_range" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      Joins.rangeJoin(l, o, l("l_orderkey") === o("o_orderkey"),
+        l("l_shipdate") > o("o_orderdate"))
+        .agg(count(lit(1)).alias("n_late"))
+    }),
+
+    // broadcast-hinted dimension join
+    "q_join_broadcast" -> ((s, d) => {
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      Joins.broadcastJoin(n, r, n("n_regionkey") === r("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+    }),
+
+    // multi-join + aggregate (TPC-H Q5 shape; headline)
+    "q_join_multi" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // H1 — group-by count
+    "q_group_count" -> ((s, d) =>
+      Aggregates.groupCount(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // H1+ — pricing summary (TPC-H Q1 shape; headline)
+    "q_agg_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Aggregates.exactSum(col("l_quantity")).alias("sum_qty"),
+          Aggregates.exactSum(col("l_extendedprice")).alias("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").alias("sum_disc"),
+          count(lit(1)).alias("n"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("n"), 6))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // H2/D7/E9/G2 — the flagship pivot chain (challenge2.py:273-281)
+    "q_pivot_ratings" -> ((s, d) => {
+      val piv = Aggregates.pivotCounts(Tables.lineitem(s, d),
+        "l_orderkey", "l_returnflag", Seq("A", "N", "R"), "cnt_")
+      val o = Tables.orders(s, d)
+      o.join(piv, o("o_orderkey") === piv("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          coalesce(col("cnt_a"), lit(0L)).alias("cnt_a"),
+          coalesce(col("cnt_n"), lit(0L)).alias("cnt_n"),
+          coalesce(col("cnt_r"), lit(0L)).alias("cnt_r"))
+        .orderBy("o_orderkey")
+    }),
+
+    // H5 — frequency table
+    "q_freq_table" -> ((s, d) =>
+      Aggregates.freqTable(Tables.customer(s, d), "c_mktsegment")),
+
+    // H6 — describe() from exact decimal sums
+    "q_summary_stats" -> ((s, d) =>
+      Aggregates.summaryStats(Tables.lineitem(s, d), "l_quantity")),
+
+    // H7 — fixed-width histogram
+    "q_histogram" -> ((s, d) =>
+      Aggregates.histogram(Tables.events(s, d), "value", 10.0)),
+
+    // rollup subtotals
+    "q_rollup" -> ((s, d) =>
+      Aggregates.rollupCount(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // I1 — top-k (TakeOrderedAndProject)
+    "q_topk" -> ((s, d) =>
+      Inspect.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        10, Seq(desc("o_totalprice"), asc("o_orderkey")))),
+
+    // I2 — deterministic systematic sample
+    "q_sample_systematic" -> ((s, d) =>
+      Inspect.systematicSample(Tables.lineitem(s, d), "l_orderkey", 97)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // distinct
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_returnflag").alias("flag"))
+        .distinct().orderBy("flag")),
+
+    // set op — INTERSECT
+    "q_set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").alias("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").alias("nk")))
+        .orderBy("nk")),
+
+    // window — row_number top-n per group
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // window — running sum
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 6).alias("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- training-data extras ------------------------------------------
+
+    // text: token count
+    "q_text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"))
+        .orderBy("doc_id")),
+
+    // text: quality features
+    "q_text_quality" -> ((s, d) => {
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          f.getField("n_chars").cast("long").alias("n_chars"),
+          f.getField("n_tokens").cast("long").alias("n_tokens"),
+          f.getField("mean_tok_len").alias("mean_tok_len"),
+          f.getField("stopword_ratio").alias("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // text: language-ID heuristic
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).alias("lang_guess"))
+        .orderBy("doc_id")),
+
+    // text: content fingerprint
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).alias("fp"),
+          TextAnalysis.fingerprint32(col("text")).alias("fp32"))
+        .orderBy("doc_id")),
+
+    // dedup: exact groups by content hash
+    "q_dedup_exact" -> ((s, d) =>
+      ScaleDedup.exactDedupGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // dedup: minhash signatures
+    "q_minhash_sig" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id") +:
+          ScaleDedup.minhashSignature(ScaleDedup.tokenSet(col("text")), 4): _*)
+        .orderBy("doc_id")),
+
+    // dedup: minhash-LSH candidate pairs
+    "q_minhash_pairs" -> ((s, d) =>
+      ScaleDedup.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 4, bands = 2)
+        .orderBy("id1", "id2")),
+
+    // dedup: simhash
+    "q_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          ScaleDedup.simhash(ScaleDedup.tokenSet(col("text")), 16).alias("sh"))
+        .orderBy("doc_id")),
+
+    // dedup: n-gram Jaccard similarity over candidate pairs
+    "q_jaccard_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          ScaleDedup.tokenSet(col("text")).alias("toks"))
+      val probes = base.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").alias("id1"), col("lang"), col("source"),
+          col("toks").alias("t1"))
+      val cands = base
+        .select(col("doc_id").alias("id2"), col("lang"), col("source"),
+          col("toks").alias("t2"))
+      probes.join(cands, Seq("lang", "source")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          ScaleDedup.jaccard(col("t1"), col("t2")).alias("jac"))
+        .orderBy("id1", "id2")
+    }),
+
+    // similarity: brute-force cosine top-k
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+    }),
+
+    // similarity: LSH-bucketed ANN
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, dim = 64, k = 20, nPlanes = 8)
+    }),
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB-generated mirror of ScaleDedup.simhash (16 bits, seed "#0"). */
+  private def simhashOracle: String = {
+    val votes = (0 until 16).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), " +
+      "x -> (('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT)) AS hs FROM documents) " +
+      s"SELECT doc_id, CAST($votes AS BIGINT) AS sh FROM t ORDER BY doc_id"
+  }
+
+  private def mhExpr(seed: Int): String =
+    s"list_min(list_transform(toks, x -> (('0x' || substr(md5(x || '#$seed'), 1, 8))::BIGINT)))"
+
+  /** DuckDB mirror of Similarity.lshBucket's plane literals. */
+  private def planeLiteral(p: Int, dim: Int): String =
+    (0 until dim).map(dd => Similarity.planeSign(p, dd))
+      .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private def lshOracle: String = {
+    val bucketOf = (v: String) => (0 until 8).map { p =>
+      s"(CASE WHEN list_dot_product($v, ${planeLiteral(p, 64)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
+      s"cb AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e), " +
+      s"qb AS (SELECT qv, ${bucketOf("qv")} AS qbucket FROM q) " +
+      "SELECT cb.vec_id, round(list_dot_product(cb.v, qb.qv) / " +
+      "(sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS cos " +
+      "FROM cb, qb WHERE cb.bucket = qb.qbucket ORDER BY cos DESC, vec_id LIMIT 20"
+  }
+
+  private val EnStop = "('the','of','and','a','to','in','is')"
+  private val DeStop = "('der','die','das','und','ist','nicht')"
+  private val FrStop = "('le','la','les','et','est','dans')"
+  private val EsStop = "('el','los','las','es','en','una')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_filter_exists" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL AND source <> 'src0' ORDER BY doc_id"),
+
+    "q_project_rename" ->
+      ("SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty " +
+        "FROM lineitem ORDER BY order_id, line_no"),
+
+    "q_filter_in" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY c_custkey"),
+
+    "q_filter_range" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "AND o_totalprice > 1000 ORDER BY o_orderkey"),
+
+    "q_filter_not_rlike" ->
+      ("SELECT p_partkey, p_name FROM part " +
+        "WHERE NOT regexp_matches(p_name, 'widget') AND NOT regexp_matches(p_name, '^blue') " +
+        "ORDER BY p_partkey"),
+
+    "q_regex_extract" ->
+      ("SELECT event_id, nullif(regexp_extract(props, '\"k\": (\\d+)', 1), '') AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "q_dedup_keep_first" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey FROM " +
+        "(SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem) " +
+        "WHERE rn = 1 ORDER BY l_orderkey"),
+
+    "q_null_profile" ->
+      ("SELECT count(CASE WHEN doc_id IS NULL THEN 1 END) AS null_doc_id, " +
+        "count(CASE WHEN text IS NULL THEN 1 END) AS null_text, " +
+        "count(CASE WHEN lang IS NULL THEN 1 END) AS null_lang, " +
+        "count(CASE WHEN source IS NULL THEN 1 END) AS null_source, " +
+        "count(CASE WHEN n_chars IS NULL THEN 1 END) AS null_n_chars FROM documents"),
+
+    "q_distinct_profile" ->
+      ("SELECT count(DISTINCT o_orderstatus) AS d_o_orderstatus, " +
+        "count(DISTINCT o_orderpriority) AS d_o_orderpriority FROM orders"),
+
+    "q_regex_contains_count" ->
+      "SELECT count(*) AS n_match FROM part WHERE regexp_matches(p_name, '(?i)^b')",
+
+    "q_regex_replace" ->
+      ("SELECT doc_id, regexp_replace(substr(text, 1, 60), '[aeiou]', '*', 'g') AS redacted " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_parse_dollars" ->
+      ("WITH t AS (SELECT p_partkey, CASE CAST(p_size % 3 AS INT) " +
+        "WHEN 0 THEN '$' || p_size || ' million' " +
+        "WHEN 1 THEN '$' || p_size || '.5 billion' " +
+        "ELSE '$' || (p_size * 1000) END AS raw FROM part) " +
+        "SELECT p_partkey, raw, CASE " +
+        "WHEN regexp_matches(raw, '(?i)\\$\\s*\\d+(\\.\\d+)?\\s*milli?on') " +
+        "THEN CAST(regexp_extract(raw, '(?i)\\$\\s*(\\d+(?:\\.\\d+)?)\\s*milli?on', 1) AS DOUBLE) * 1e6 " +
+        "WHEN regexp_matches(raw, '(?i)\\$\\s*\\d+(\\.\\d+)?\\s*billion') " +
+        "THEN CAST(regexp_extract(raw, '(?i)\\$\\s*(\\d+(?:\\.\\d+)?)\\s*billion', 1) AS DOUBLE) * 1e9 " +
+        "WHEN regexp_matches(raw, '\\$\\s*\\d{1,3}([,.]\\d{3})+') " +
+        "THEN CAST(regexp_replace(regexp_extract(raw, '\\$\\s*(\\d{1,3}(?:[,.]\\d{3})+)', 1), '[,.]', '', 'g') AS DOUBLE) " +
+        "WHEN regexp_matches(raw, '\\$\\s*\\d+(\\.\\d+)?') " +
+        "THEN CAST(regexp_extract(raw, '\\$\\s*(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) " +
+        "ELSE NULL END AS amount FROM t ORDER BY p_partkey"),
+
+    "q_date_multiformat" ->
+      ("WITH t AS (SELECT o_orderkey, CASE CAST(o_orderkey % 4 AS INT) " +
+        "WHEN 0 THEN strftime(o_orderdate, '%B %-d, %Y') " +
+        "WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d') " +
+        "WHEN 2 THEN strftime(o_orderdate, '%B %Y') " +
+        "ELSE strftime(o_orderdate, '%Y') END AS raw FROM orders) " +
+        "SELECT o_orderkey, raw, COALESCE(" +
+        "CAST(try_strptime(raw, '%B %-d, %Y') AS DATE), " +
+        "CAST(try_strptime(raw, '%Y-%m-%d') AS DATE), " +
+        "CAST(try_strptime(raw, '%B %Y') AS DATE), " +
+        "CAST(try_strptime(raw, '%Y') AS DATE)) AS parsed FROM t ORDER BY o_orderkey"),
+
+    "q_epoch_seconds" ->
+      ("SELECT event_id, strftime(TIMESTAMP '1970-01-01' + to_seconds(event_id * 1000), " +
+        "'%Y-%m-%d %H:%M:%S') AS t FROM events ORDER BY event_id"),
+
+    "q_coerce_fill" ->
+      ("SELECT event_id, COALESCE(CAST(nullif(regexp_extract(props, '(\\d+)', 1), '') AS DOUBLE), 0.0) " +
+        "AS k_filled FROM events ORDER BY event_id"),
+
+    "q_conditional_fill" ->
+      ("SELECT l_orderkey, l_linenumber, CASE WHEN l_discount = 0 THEN l_extendedprice " +
+        "ELSE l_extendedprice * (1 - l_discount) END AS net_price " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+
+    "q_synonym_coalesce" ->
+      ("SELECT event_id, COALESCE(nullif(event_type, 'view'), 'viewed') AS etype " +
+        "FROM events ORDER BY event_id"),
+
+    "q_join_inner" ->
+      ("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+
+    "q_join_left_agg" ->
+      ("SELECT o_orderkey, COALESCE(n_items, 0) AS n_items FROM orders " +
+        "LEFT JOIN (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1) li " +
+        "ON o_orderkey = li.l_orderkey ORDER BY o_orderkey"),
+
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997) " +
+        "ORDER BY c_custkey"),
+
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+
+    "q_join_range" ->
+      ("SELECT count(*) AS n_late FROM lineitem JOIN orders " +
+        "ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate"),
+
+    "q_join_broadcast" ->
+      ("SELECT n_nationkey, n_name, r_name FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey"),
+
+    "q_join_multi" ->
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS revenue FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+
+    "q_group_count" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS \"count\" FROM lineitem " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_agg_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc, " +
+        "count(*) AS n, " +
+        "round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_pivot_ratings" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS cnt_a, " +
+        "count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS cnt_n, " +
+        "count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS cnt_r " +
+        "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey"),
+
+    "q_freq_table" ->
+      ("SELECT c_mktsegment, count(*) AS \"count\" FROM customer GROUP BY 1 " +
+        "ORDER BY \"count\" DESC, c_mktsegment"),
+
+    "q_summary_stats" ->
+      ("WITH a AS (SELECT count(l_quantity) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS ss, " +
+        "min(l_quantity) AS min_v, max(l_quantity) AS max_v FROM lineitem) " +
+        "SELECT n, round(s / n, 6) AS mean_v, " +
+        "round(sqrt((ss - s * s / n) / (n - 1)), 6) AS std_v, min_v, max_v FROM a"),
+
+    "q_histogram" ->
+      ("SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS \"count\" " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS \"count\" FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q_sample_systematic" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_orderkey % 97 = 0 ORDER BY l_orderkey, l_linenumber"),
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag AS flag FROM lineitem ORDER BY flag",
+
+    "q_set_intersect" ->
+      ("SELECT c_nationkey AS nk FROM customer INTERSECT " +
+        "SELECT s_nationkey AS nk FROM supplier ORDER BY nk"),
+
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn"),
+
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, round(SUM(o_totalprice) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
+
+    "q_text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_text_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_tok_len, " +
+        s"round(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')), 6) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_lang_id" ->
+      ("WITH s AS (SELECT doc_id, lang, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS BIGINT) AS n_en, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $DeStop)) AS BIGINT) AS n_de, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $FrStop)) AS BIGINT) AS n_fr, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EsStop)) AS BIGINT) AS n_es " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN n_en > 0 AND n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en' " +
+        "WHEN n_de > 0 AND n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de' " +
+        "WHEN n_fr > 0 AND n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr' " +
+        "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
+        "ELSE 'und' END AS lang_guess FROM s ORDER BY doc_id"),
+
+    "q_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents) " +
+        "SELECT doc_id, fp, ('0x' || substr(fp, 1, 8))::BIGINT AS fp32 FROM t ORDER BY doc_id"),
+
+    "q_dedup_exact" ->
+      ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY keep_id"),
+
+    "q_minhash_sig" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
+        s"SELECT doc_id, ${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1, " +
+        s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t ORDER BY doc_id"),
+
+    "q_minhash_pairs" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+        s"sig AS (SELECT doc_id, ${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1, " +
+        s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t), " +
+        "b AS (SELECT doc_id, 0 AS band, mh_0 || '_' || mh_1 AS bkey FROM sig " +
+        "UNION ALL SELECT doc_id, 1 AS band, mh_2 || '_' || mh_3 AS bkey FROM sig) " +
+        "SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM b x JOIN b y " +
+        "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id ORDER BY id1, id2"),
+
+    "q_simhash" -> simhashOracle,
+
+    "q_jaccard_pairs" ->
+      ("WITH dd AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks " +
+        "FROM documents) " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac " +
+        "FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE a.doc_id % 50 = 0 ORDER BY id1, id2"),
+
+    "q_ann_cosine" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1) " +
+        "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
+        "FROM e, q ORDER BY cos DESC, vec_id LIMIT 20"),
+
+    "q_ann_lsh" -> lshOracle,
+  )
 }

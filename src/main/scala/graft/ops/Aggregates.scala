@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregations / reshaping — SURVEY.md §2 H1–H8.
+  *
+  * Reference: the 26M-row ratings groupby-count-pivot
+  * (challenge2.py:273-277), value_counts frequency tables, describe().
+  *
+  * Scale notes: groupBy gets map-side partial aggregation for free;
+  * pivot REQUIRES an explicit value list (SURVEY.md §2 J6) both for
+  * determinism and to avoid a planning-time distinct job over 100 TB.
+  * Sums over doubles are computed through DECIMAL so results are
+  * order-independent (shuffle-order-proof) and oracle-exact.
+  */
+object Aggregates {
+
+  /** H1 — group-by count over composite keys (challenge2.py:273). */
+  def groupCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).count()
+
+  /** H2+D7+E9 — pivot long→wide with an EXPLICIT value list, prefixed
+    * column names, and 0-fill (challenge2.py:273-281: groupby → pivot →
+    * 'rating_'+col rename → fillna(0)). */
+  def pivotCounts(df: DataFrame, key: String, pivotCol: String,
+                  values: Seq[String], prefix: String): DataFrame = {
+    val wide = df.groupBy(col(key)).pivot(pivotCol, values).count()
+    wide.select(col(key) +: values.map(v =>
+      coalesce(col(s"`$v`"), lit(0L)).alias(prefix + sanitize(v))): _*)
+  }
+
+  /** Pivot-derived column names: lowercase, non-alphanumerics collapsed to
+    * `_` so downstream name-based APIs (na.fill, col) never trip over dots
+    * ("0.5" → "0_5"). */
+  def sanitize(v: String): String =
+    v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+
+  /** Order-independent exact sum of a double column: cast each value to
+    * DECIMAL(18,scale) before summing so shuffle order cannot flip low
+    * bits, then surface as double. */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** H5 — frequency table (value_counts,
+    * exploratory_data_analysis.ipynb:3924). */
+  def freqTable(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).count().orderBy(desc("count"), col(c))
+
+  /** H6 — descriptive stats (describe(),
+    * exploratory_data_analysis.ipynb:4278) computed from exact decimal
+    * sums so the result is deterministic under any partitioning:
+    * n / mean / stddev (sample) / min / max. */
+  def summaryStats(df: DataFrame, c: String, scale: Int = 2): DataFrame = {
+    val v = col(c)
+    val agg = df.agg(
+      count(v).alias("n"),
+      sum(v.cast(s"decimal(18,$scale)")).cast("double").alias("__s"),
+      sum((v * v).cast(s"decimal(28,${2 * scale})")).cast("double").alias("__ss"),
+      min(v).alias("min_v"),
+      max(v).alias("max_v"))
+    agg.select(
+      col("n"),
+      round(col("__s") / col("n"), 6).alias("mean_v"),
+      round(sqrt((col("__ss") - col("__s") * col("__s") / col("n")) / (col("n") - 1)), 6).alias("std_v"),
+      col("min_v"), col("max_v"))
+  }
+
+  /** H7 — histogram: fixed-width binned counts (the rating hist,
+    * exploratory_data_analysis.ipynb:4277). Rendering is out of scope; the
+    * binned aggregate is the engine op. */
+  def histogram(df: DataFrame, c: String, binWidth: Double): DataFrame =
+    df.groupBy(floor(col(c) / binWidth).cast("long").alias("bin"))
+      .count().orderBy("bin")
+
+  /** Rollup subtotals (engine breadth; GROUP BY ROLLUP). */
+  def rollupCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.rollup(keys.map(col): _*).count()
+}

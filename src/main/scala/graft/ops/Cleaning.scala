@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record-level schema normalization — SURVEY.md §2 F1–F2 (the reference's
+  * `clean_movie`, challenge2.py:28-67). Row-wise Python dict manipulation
+  * becomes declarative map/coalesce column expressions.
+  */
+object Cleaning {
+
+  /** F1 — key consolidation: fold `sources` columns into ONE MapType column
+    * keyed by original column name, keeping only non-null entries
+    * (the alt_titles dict, challenge2.py:28-41). Implemented as
+    * map_filter over map_from_arrays — no UDF, no shuffle. */
+  def consolidateToMap(df: DataFrame, sources: Seq[String], dst: String): DataFrame = {
+    val existing = sources.filter(df.columns.contains)
+    if (existing.isEmpty) df.withColumn(dst, map_from_arrays(array(), array()))
+    else {
+      val m = map_from_arrays(
+        array(existing.map(lit): _*),
+        array(existing.map(c => qcol(c).cast("string")): _*))
+      df.withColumn(dst, map_filter(m, (_, v) => v.isNotNull)).drop(existing: _*)
+    }
+  }
+
+  /** F2 — synonym-column merge: collapse variant columns into a canonical
+    * one via coalesce (the 19 renames, challenge2.py:44-65; coalesce rather
+    * than rename is the faithful set semantics when both variants carry
+    * data — SURVEY.md §2 F2). */
+  def mergeSynonyms(df: DataFrame, canonicalToVariants: Map[String, Seq[String]]): DataFrame =
+    canonicalToVariants.foldLeft(df) { case (d, (canon, variants)) =>
+      val present = (canon +: variants).filter(d.columns.contains).distinct
+      if (present.isEmpty) d
+      else d.withColumn(canon, coalesce(present.map(qcol): _*))
+        .drop(present.filterNot(_ == canon): _*)
+    }
+}

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inspection / sampling / ordering — SURVEY.md §2 I1–I3.
+  *
+  * Reference: head/tail/sample/dtypes EDA loop
+  * (exploratory_data_analysis.ipynb, §3.3).
+  */
+object Inspect {
+
+  /** I1 — deterministic top-k: orderBy + limit compiles to
+    * TakeOrderedAndProject (per-partition top-k, then k-merge on the
+    * driver — no global sort even at 100 TB). Tiebreak columns make the
+    * result unique. */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** I2 — systematic deterministic sample: every row whose key ≡ 0 mod m.
+    * Unlike `df.sample`, reproducible across engines (oracle-friendly) and
+    * a pure pushed-down filter. */
+  def systematicSample(df: DataFrame, keyCol: String, every: Long): DataFrame =
+    df.filter(col(keyCol) % every === 0)
+
+  /** I2 — random sample of EXACTLY n rows, seeded (pandas sample(n=5),
+    * exploratory_data_analysis.ipynb:1498). rand(seed) is deterministic for
+    * a fixed partitioning. */
+  def exactRandomSample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  /** I1 — offset+limit "slice" via row_number over an explicit order
+    * (pandas `raw[3600:3605]`; positional slicing needs an order column in
+    * a distributed engine). */
+  def slice(df: DataFrame, order: Seq[Column], start: Long, end: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > start && col("__rn") <= end)
+      .drop("__rn")
+  }
+}

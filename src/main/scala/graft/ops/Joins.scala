@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Joins — SURVEY.md §2 G1–G3 plus the extra kinds the engine ships for
+  * breadth (semi / anti / range / broadcast; SURVEY.md §2 G note).
+  *
+  * Reference: inner merge on imdb_id with suffix disambiguation
+  * (challenge2.py:216), ratings left-join (challenge2.py:279), anomaly
+  * purge (challenge2.py:229-231).
+  *
+  * Scale notes: small dimension sides must be broadcast (no shuffle of the
+  * fact side); equi-joins on big×big shuffle both sides on the key — AQE
+  * handles skew. A range-only join degenerates to broadcast-nested-loop,
+  * so range predicates are attached to an equi-key whenever one exists.
+  */
+object Joins {
+
+  /** G1 — inner equi-join with pandas-merge suffix disambiguation:
+    * colliding non-key columns get `_left`/`_right`-style suffixes
+    * (pandas suffixes=['_wiki','_kaggle'], challenge2.py:216). */
+  def innerWithSuffixes(left: DataFrame, right: DataFrame, on: Seq[String],
+                        leftSuffix: String = "_left", rightSuffix: String = "_right"): DataFrame = {
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) -- on.toSet
+    val l = collisions.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + leftSuffix))
+    val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + rightSuffix))
+    l.join(r, on, "inner")
+  }
+
+  /** G2 — left equi-join of an aggregate back onto the base table
+    * (ratings-counts join, challenge2.py:279). */
+  def leftJoin(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right, on, "left")
+
+  /** G3 — join-anomaly purge: delete rows matching a predicate
+    * (the index-drop of challenge2.py:229-231 re-expressed as predicate
+    * negation; SURVEY.md §2 J3). */
+  def purge(df: DataFrame, anomaly: Column): DataFrame = df.filter(!coalesce(anomaly, lit(false)))
+
+  /** Semi join — EXISTS. */
+  def semi(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right, on, "left_semi")
+
+  /** Anti join — NOT EXISTS. */
+  def anti(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right, on, "left_anti")
+
+  /** Broadcast-hinted equi-join for small dimensions: replicates `small` to
+    * every task, removing the shuffle of `big` entirely. */
+  def broadcastJoin(big: DataFrame, small: DataFrame, cond: Column,
+                    joinType: String = "inner"): DataFrame =
+    big.join(broadcast(small), cond, joinType)
+
+  /** Range join anchored on an equi-key: the equi part drives the shuffle
+    * strategy; the range predicate filters within matched groups. */
+  def rangeJoin(left: DataFrame, right: DataFrame, equi: Column, range: Column): DataFrame =
+    left.join(right, equi && range, "inner")
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication at training-data scale: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard.
+  *
+  * Design for 100 TB: every per-document signature is a pure Column
+  * expression over the token array (no explode, no shuffle until the
+  * candidate-pair join), hash functions are md5-derived (deterministic,
+  * partitioning-independent, reproducible in any engine), and the LSH
+  * band join is an equi-join on band keys — Spark shuffles each side once
+  * on the band hash, never materializing the O(n²) pair space.
+  */
+object ScaleDedup {
+
+  /** Deterministic 32-bit hash of a string, seeded: md5 prefix → long.
+    * Engine-portable (md5 is standardized), unlike murmur3 `hash()`. */
+  def hash32(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit("#" + seed)).cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Distinct whitespace tokens of a document. */
+  def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Word k-shingles (k consecutive tokens, space-joined), distinct.
+    * Array-expression only — no explode. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    array_distinct(
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** One MinHash value: min over the token set of hash32(token, seed). */
+  def minhash(tokens: Column, seed: Int): Column =
+    array_min(transform(tokens, t => hash32(t, seed)))
+
+  /** MinHash signature as `numHashes` columns named `mh_0..mh_{n-1}`. */
+  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => minhash(tokens, i).alias(s"mh_$i"))
+
+  /** LSH band key: concat of the band's minhashes — docs sharing a band
+    * key are near-duplicate candidates. */
+  def bandKey(bandIdx: Int, rowsPerBand: Int): Column =
+    concat_ws("_",
+      (bandIdx * rowsPerBand until (bandIdx + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*)
+
+  /** Full MinHash-LSH candidate-pair pipeline: signature → bands →
+    * self-join per band → distinct pairs (id1 < id2). `df` must expose
+    * `idCol` and `textCol`. Scale: the only shuffles are the band-key
+    * equi-joins; grossly oversized buckets (degenerate shingles) should be
+    * filtered upstream by a quality gate. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol) +: minhashSignature(tokenSet(col(textCol)), numHashes): _*)
+    val banded = (0 until bands).map { b =>
+      sig.select(col(idCol), lit(b).alias("band"), bandKey(b, rows).alias("bkey"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col(idCol).alias("id1"), col("band"), col("bkey"))
+    val r = banded.select(col(idCol).alias("id2"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** SimHash from a precomputed array of token hashes, `bits` wide (≤ 32):
+    * per bit, sum +1/-1 votes across token hashes; bit set iff the vote is
+    * positive. Pure array expressions — one fold per bit, hashes computed
+    * once. */
+  def simhashFromHashes(hs: Column, bits: Int): Column = {
+    val votes = (0 until bits).map { j =>
+      aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }
+    votes.zipWithIndex.map { case (v, j) =>
+      when(v > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash over a token array (hashes each token with hash32 seed 0). */
+  def simhash(tokens: Column, bits: Int = 16): Column =
+    simhashFromHashes(transform(tokens, t => hash32(t, 0)), bits)
+
+  /** Hamming distance between two simhashes (≤ 64 bits). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** n-gram Jaccard similarity of two documents' shingle sets. */
+  def jaccard(aTokens: Column, bTokens: Column): Column =
+    round(size(array_intersect(aTokens, bTokens)).cast("double") /
+      size(array_union(aTokens, bTokens)), 6)
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id.
+    * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
+    * plan (hash, not raw text, crosses the wire ... group keys are
+    * md5 strings). */
+  def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).alias("fp"))
+      .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("n_copies"))
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector +
+  * one scan + TakeOrderedAndProject; linear in corpus size, embarrassingly
+  * parallel, the right 100 TB baseline when k is small.
+  *
+  * Scale path: LSH bucketing via random-hyperplane signatures (signs of
+  * dot products with deterministic pseudo-random planes) — candidates
+  * share a bucket key, so the search becomes an equi-join on the bucket
+  * instead of a full scan per query. An IVF variant would replace the
+  * hyperplanes with k-means centroids; same join shape.
+  */
+object Similarity {
+
+  /** Cast a float array to double (all math in double for determinism). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product via a sequential left fold — order-deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 6 dp (kills last-ulp divergence across
+    * engines). */
+  def cosine(a: Column, b: Column): Column = round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force top-k by cosine against ONE query vector (a single-row
+    * DataFrame with column `qv`). The query side is broadcast; the plan is
+    * scan → project → TakeOrderedAndProject (no shuffle of the corpus). */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, k: Int): DataFrame =
+    corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component: unit-free ±1 grid
+    * derived from md5 — reproducible everywhere, no RNG state. */
+  private[graft] def planeSign(planeIdx: Int, dim: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${planeIdx}_$dim".getBytes("UTF-8"))
+    if ((h(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane LSH bucket key over `nPlanes` planes: bit i = sign
+    * of dot(v, plane_i). Vectors in the same bucket are ANN candidates. */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int = 8): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val plane = (0 until dim).map(d => planeSign(p, d)).toArray
+      val proj = aggregate(zip_with(v, typedlit(plane), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: only compare vectors sharing the query's bucket.
+    * Returns top-k within the bucket (a recall/latency tradeoff — the
+    * standard multi-probe extension would also probe neighboring buckets). */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+    val q = query.withColumn("qbucket", lshBucket(col("qv"), dim, nPlanes))
+    c.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+}

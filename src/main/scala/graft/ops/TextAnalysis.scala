@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, language ID,
+  * quality scoring, fingerprinting. All pure Column expressions
+  * (codegen'd, shuffle-free, scale linearly with the scan).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenization: words, numbers, or single punctuation
+    * marks as separate tokens (GPT-2-style pre-tokenizer shape). */
+  def regexTokens(text: Column): Column = {
+    val cleaned = regexp_replace(text, """([^\sA-Za-z0-9]+)""", " $1 ")
+    filter(split(trim(cleaned), """\s+"""), t => length(t) > 0)
+  }
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  // A per-language tiny stopword table for the n-gram/stopword heuristic
+  // language identifier. Public-knowledge stopword lists.
+  val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "en", "una"),
+  )
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Language-ID heuristic: score each language by stopword hits, pick the
+    * argmax; 'und' (undetermined) when nothing matches. Deterministic
+    * tie-break by language code order en < de < fr < es. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = Seq("en", "de", "fr", "es").map(l => l -> hits(toks, StopwordsByLang(l)))
+    val maxScore = greatest(scored.map(_._2): _*)
+    scored.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s > 0 && s === maxScore, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring features: length, token count, mean token length,
+    * punctuation ratio, stopword ratio — the standard pre-training corpus
+    * filters (C4/Gopher-style heuristics, public literature). Returns a
+    * struct so one projection computes all features. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val nPunct = length(regexp_replace(text, """[^.,;:!?]""", ""))
+    val stop = hits(tokens(lower(text)), StopwordsByLang("en"))
+    struct(
+      nChars.alias("n_chars"),
+      nTok.alias("n_tokens"),
+      round(nChars.cast("double") / nTok, 6).alias("mean_tok_len"),
+      round(nPunct.cast("double") / nChars, 6).alias("punct_ratio"),
+      round(stop.cast("double") / nTok, 6).alias("stopword_ratio"))
+  }
+
+  /** Gopher-style keep/drop quality gate over the features. */
+  def qualityKeep(text: Column, minTokens: Int = 5, maxTokens: Int = 100000,
+                  minStopRatio: Double = 0.01): Column = {
+    val f = qualityFeatures(text)
+    f.getField("n_tokens").between(minTokens, maxTokens) &&
+      f.getField("stopword_ratio") >= minStopRatio
+  }
+
+  /** Document fingerprint: 128-bit content hash (md5 of the normalized
+    * text) plus a 32-bit numeric prefix for cheap bucketing. Normalization:
+    * lowercase + whitespace collapse, the standard exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), """\s+""", " ").cast("binary"))
+
+  /** 32-bit numeric form of the fingerprint (hex prefix → long). */
+  def fingerprint32(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long")
+}

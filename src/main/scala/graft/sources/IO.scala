@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Scans / sources / sinks — SURVEY.md §2 A1–A7.
+  *
+  * Reference: json.load of the Wikipedia scrape (challenge2.py:13-14),
+  * read_csv with whole-file inference (challenge2.py:16-17), chunked
+  * re-read (challenge2.py:295), SQLAlchemy to_sql (challenge2.py:285-301).
+  */
+object IO {
+
+  /** A1 — semi-structured JSON array scan: one multiline JSON document per
+    * file, ragged keys become nullable columns (the 193-key union,
+    * exploratory_data_analysis.ipynb:1851-2043). Explicit schema wins at
+    * scale; inference stays an ingest capability. */
+  def readJsonArray(spark: SparkSession, path: String,
+                    schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", true)
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** A2 — CSV scan with whole-file type inference (low_memory=False,
+    * challenge2.py:16). `inferSchema` makes Spark do one full extra pass —
+    * exactly the tradeoff the reference chose. */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).option("inferSchema", true).csv(path)
+
+  /** A2/A3 — CSV scan with a pinned schema: zero inference passes, the
+    * production path for the 26M-row ratings file (challenge2.py:17). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+
+  /** A4 — "chunked" scan: in Spark, partitioned execution is the default;
+    * the knob that bounds per-task memory is the input split size. The 1M-
+    * row chunk loop (challenge2.py:295-298) becomes a partition-size hint. */
+  def readCsvChunked(spark: SparkSession, path: String, schema: StructType,
+                     maxPartitionBytes: Long = 128L << 20): DataFrame = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
+    readCsv(spark, path, schema)
+  }
+
+  /** A5 — parquet scan (our fixture path; TESTDATA.md). */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** A6 — JDBC sink, full replace (to_sql name='movies',
+    * exploratory_data_analysis.ipynb:6437). No database ships in this
+    * sandbox, so this is exercised only through its API surface; verify
+    * outputs go to parquet. */
+  def writeJdbcReplace(df: DataFrame, url: String, table: String,
+                       props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
+  /** A7 — JDBC sink, chunked append with bounded batch size: Spark's
+    * equivalent of the 1M-row chunk loop with progress logging
+    * (challenge2.py:295-301) is `numPartitions` × `batchsize` on the
+    * writer; per-partition progress comes from the Spark UI / listeners. */
+  def writeJdbcAppend(df: DataFrame, url: String, table: String,
+                      numPartitions: Int = 8, batchSize: Int = 10000,
+                      props: java.util.Properties = new java.util.Properties): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.repartition(numPartitions).write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** Parquet sink (the verify path). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

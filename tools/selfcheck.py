@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query output
+written by graft.Verify, run the matching oracle SQL in DuckDB over the
+same fixture tables and compare (rows, schema-ish, values).
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json, math, os, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        got_path = os.path.join(out_dir, name)
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{got_path}/*.parquet'").fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
+        if ecols != gcols:
+            print(f"FAIL {name}: columns differ: oracle={ecols} spark={gcols}")
+            n_fail += 1
+            continue
+        if exp.num_rows != got.num_rows:
+            print(f"FAIL {name}: rows differ: oracle={exp.num_rows} spark={got.num_rows}")
+            n_fail += 1
+            continue
+        # sort columns by name, rows by everything → order-insensitive value compare
+        erows = sorted(
+            tuple(norm(v) for v in row)
+            for row in zip(*[exp.column(c).to_pylist() for c in ecols]))
+        grows = sorted(
+            tuple(norm(v) for v in row)
+            for row in zip(*[got.column(c).to_pylist() for c in gcols]))
+        if erows != grows:
+            bad = next((i, a, b) for i, (a, b) in enumerate(zip(erows, grows)) if a != b)
+            print(f"FAIL {name}: values differ at sorted-row {bad[0]}:")
+            print(f"  oracle: {bad[1]}")
+            print(f"  spark : {bad[2]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({got.num_rows} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
