@@ -399,6 +399,132 @@ object SparkEntry {
         .select(Similarity.asDouble(col("embedding")).alias("qv"))
       Similarity.lshTopK(emb, "vec_id", "embedding", q, dim = 64, k = 20, nPlanes = 8)
     }),
+
+    // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join)
+    "q_neardup_embedding" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).alias("v"))
+        .withColumn("bucket", Similarity.lshBucket(col("v"), 64, 4))
+      val a = base.select(col("vec_id").alias("id1"), col("v").alias("v1"), col("bucket"))
+      val b = base.select(col("vec_id").alias("id2"), col("v").alias("v2"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          Similarity.cosine(col("v1"), col("v2")).alias("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("id1", "id2")
+    }),
+
+    // D4/E6 — multi-group regex runtime parse ("N hours M" / "N minutes")
+    "q_runtime_minutes" -> ((s, d) => {
+      val k = col("p_partkey") % 3
+      val sz = col("p_size")
+      val raw = when(k === 0, concat(sz.cast("string"), lit(" hours "),
+          (sz % 60).cast("string")))
+        .when(k === 1, concat((sz * 10).cast("string"), lit(" minutes")))
+        .otherwise(concat(sz.cast("string"), lit(" h")))
+      Tables.part(s, d).select(col("p_partkey"), raw.alias("raw"))
+        .withColumn("minutes", TextParse.parseRuntimeMinutes(col("raw")))
+        .orderBy("p_partkey")
+    }),
+
+    // D5 — list→string join (concat_ws over a token array)
+    "q_join_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextParse.joinTokens(slice(split(col("text"), " "), 1, 5)).alias("head5"))
+        .orderBy("doc_id")),
+
+    // E2 — lenient single-format date parse
+    "q_date_lenient" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").alias("raw"))
+        .withColumn("parsed", to_date(col("raw")))
+        .orderBy("o_orderkey")),
+
+    // E5 — strict numeric coercion as a validation pass (corrupt-row finder)
+    "q_strict_cast" -> ((s, d) => {
+      val raw = when(col("event_id") % 7 === 0,
+          concat(lit("x"), col("user_id").cast("string")))
+        .otherwise(col("user_id").cast("string"))
+      Tables.events(s, d).select(col("event_id"), raw.alias("raw"))
+        .withColumn("parsed", col("raw").cast("long"))
+        .withColumn("corrupt", col("parsed").isNull)
+        .orderBy("event_id")
+    }),
+
+    // E7 — boolean derivation from a string column
+    "q_bool_derive" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          DatesNums.boolFromString(col("event_type"), "purchase").alias("is_purchase"))
+        .orderBy("event_id")),
+
+    // F1 — key consolidation into one MapType column (alt_titles shape)
+    "q_consolidate_map" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("alt_a", when(col("doc_id") % 3 === 0, col("lang")))
+        .withColumn("alt_b", when(col("doc_id") % 5 === 0, upper(col("source"))))
+      Cleaning.consolidateToMap(base, Seq("alt_a", "alt_b"), "alts")
+        .select(col("doc_id"), to_json(col("alts")).alias("alts_json"))
+        .orderBy("doc_id")
+    }),
+
+    // H3 — count rows
+    "q_count_rows" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).alias("n"))),
+
+    // H8 — group by an array-typed key
+    "q_group_by_array" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(slice(split(col("text"), " "), 1, 2).alias("k"))
+        .agg(count(lit(1)).alias("cnt"))
+        .select(concat_ws(" ", col("k")).alias("key2"), col("cnt"))
+        .orderBy("key2")),
+
+    // I1 — offset+limit slice over an explicit total order
+    "q_slice" -> ((s, d) =>
+      Inspect.slice(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
+        Seq(asc("l_orderkey"), asc("l_linenumber"), asc("l_partkey"), asc("l_suppkey")),
+        100, 110)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // C4 — data-dependent null-ratio column pruning (survivor list)
+    "q_prune_columns" -> ((s, d) => {
+      val df = Tables.documents(s, d)
+        .withColumn("mostly_null", when(col("doc_id") % 100 === 0, lit("x")))
+      val pruned = Dedup.pruneMostlyNullColumns(df, 0.9)
+      import s.implicits._
+      pruned.columns.sorted.toSeq.toDF("col_name")
+    }),
+
+    // §1.2 — from_json over a stringified-JSON blob column
+    "q_from_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").alias("k"))
+        .orderBy("event_id")),
+
+    // text: BPE-ish regex tokenization
+    "q_regex_tokens" -> ((s, d) => {
+      val toks = TextAnalysis.regexTokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").alias("n_rtokens"),
+          concat_ws("|", slice(toks, 1, 8)).alias("head_toks"))
+        .orderBy("doc_id")
+    }),
+
+    // set op — EXCEPT
+    "q_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").alias("nk"))
+        .except(Tables.supplier(s, d).filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_nationkey").alias("nk")))
+        .orderBy("nk")),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -432,6 +558,21 @@ object SparkEntry {
       "SELECT cb.vec_id, round(list_dot_product(cb.v, qb.qv) / " +
       "(sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS cos " +
       "FROM cb, qb WHERE cb.bucket = qb.qbucket ORDER BY cos DESC, vec_id LIMIT 20"
+  }
+
+  /** DuckDB mirror of q_neardup_embedding: 4-plane LSH bucket self-join,
+    * cosine ≥ 0.3 on the 6-dp-rounded value. */
+  private def neardupOracle: String = {
+    val bucketOf = (v: String) => (0 until 4).map { p =>
+      s"(CASE WHEN list_dot_product($v, ${planeLiteral(p, 64)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"cb AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e) " +
+      "SELECT * FROM (SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+      "round(list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos " +
+      "FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "WHERE cos >= 0.3 ORDER BY id1, id2"
   }
 
   private val EnStop = "('the','of','and','a','to','in','is')"
@@ -710,5 +851,87 @@ object SparkEntry {
         "FROM e, q ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_ann_lsh" -> lshOracle,
+
+    "q_neardup_embedding" -> neardupOracle,
+
+    "q_runtime_minutes" -> {
+      val pat = """(\d+)\s*ho?u?r?s?\s*(\d*)|(\d+)\s*m"""
+      "WITH t AS (SELECT p_partkey, CASE CAST(p_partkey % 3 AS INT) " +
+        "WHEN 0 THEN p_size || ' hours ' || (p_size % 60) " +
+        "WHEN 1 THEN (p_size * 10) || ' minutes' " +
+        "ELSE p_size || ' h' END AS raw FROM part), " +
+        s"g AS (SELECT p_partkey, raw, " +
+        s"COALESCE(TRY_CAST(regexp_extract(raw, '$pat', 1) AS DOUBLE), 0.0) AS h, " +
+        s"COALESCE(TRY_CAST(regexp_extract(raw, '$pat', 2) AS DOUBLE), 0.0) AS m, " +
+        s"COALESCE(TRY_CAST(regexp_extract(raw, '$pat', 3) AS DOUBLE), 0.0) AS mm FROM t) " +
+        "SELECT p_partkey, raw, CASE WHEN mm = 0.0 THEN h * 60 + m ELSE mm END AS minutes " +
+        "FROM g ORDER BY p_partkey"
+    },
+
+    "q_join_tokens" ->
+      ("SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS head5 " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_date_lenient" ->
+      ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS raw, " +
+        "CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS parsed " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q_strict_cast" ->
+      ("WITH t AS (SELECT event_id, CASE WHEN event_id % 7 = 0 " +
+        "THEN 'x' || user_id ELSE CAST(user_id AS VARCHAR) END AS raw FROM events) " +
+        "SELECT event_id, raw, TRY_CAST(raw AS BIGINT) AS parsed, " +
+        "TRY_CAST(raw AS BIGINT) IS NULL AS corrupt FROM t ORDER BY event_id"),
+
+    "q_bool_derive" ->
+      ("SELECT event_id, event_type = 'purchase' AS is_purchase " +
+        "FROM events ORDER BY event_id"),
+
+    "q_consolidate_map" ->
+      ("SELECT doc_id, '{' || concat_ws(',', " +
+        "CASE WHEN doc_id % 3 = 0 AND lang IS NOT NULL " +
+        "THEN '\"alt_a\":\"' || lang || '\"' END, " +
+        "CASE WHEN doc_id % 5 = 0 AND source IS NOT NULL " +
+        "THEN '\"alt_b\":\"' || upper(source) || '\"' END) || '}' AS alts_json " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q_count_rows" ->
+      "SELECT count(*) AS n FROM lineitem",
+
+    "q_group_by_array" ->
+      ("SELECT array_to_string(k, ' ') AS key2, cnt FROM " +
+        "(SELECT string_split(text, ' ')[1:2] AS k, count(*) AS cnt " +
+        "FROM documents GROUP BY 1) ORDER BY key2"),
+
+    "q_slice" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM " +
+        "(SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn " +
+        "FROM lineitem) WHERE rn > 100 AND rn <= 110 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"),
+
+    "q_prune_columns" ->
+      ("WITH r AS (" +
+        "SELECT 'doc_id' AS col_name, avg(CASE WHEN doc_id IS NULL THEN 1.0 ELSE 0.0 END) AS nr FROM documents " +
+        "UNION ALL SELECT 'text', avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) FROM documents " +
+        "UNION ALL SELECT 'lang', avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END) FROM documents " +
+        "UNION ALL SELECT 'source', avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END) FROM documents " +
+        "UNION ALL SELECT 'n_chars', avg(CASE WHEN n_chars IS NULL THEN 1.0 ELSE 0.0 END) FROM documents " +
+        "UNION ALL SELECT 'mostly_null', avg(CASE WHEN doc_id % 100 = 0 THEN 0.0 ELSE 1.0 END) FROM documents" +
+        ") SELECT col_name FROM r WHERE nr < 0.9 ORDER BY col_name"),
+
+    "q_from_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "q_regex_tokens" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "regexp_replace(text, '([^\\s A-Za-z0-9]+)', ' \\1 ', 'g'), '\\s+'), " +
+        "x -> x <> '') AS toks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_rtokens, " +
+        "array_to_string(toks[1:8], '|') AS head_toks FROM t ORDER BY doc_id"),
+
+    "q_set_except" ->
+      ("SELECT c_nationkey AS nk FROM customer EXCEPT " +
+        "SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey % 2 = 0 ORDER BY nk"),
   )
 }
