@@ -110,6 +110,19 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // D6 as a native Catalyst Expression (codegen'd) — same oracle as the
+    // when-chain version; one regex pass per pattern instead of
+    // rlike+regexp_extract double evaluation.
+    "q_parse_dollars_native" -> ((s, d) => {
+      val sz = col("p_size")
+      val raw = when(sz % 3 === 0, concat(lit("$"), sz.cast("string"), lit(" million")))
+        .when(sz % 3 === 1, concat(lit("$"), sz.cast("string"), lit(".5 billion")))
+        .otherwise(concat(lit("$"), (sz * 1000).cast("string")))
+      Tables.part(s, d).select(col("p_partkey"), raw.alias("raw"))
+        .withColumn("amount", graft.functions.GraftFunctions.parse_dollars(col("raw")))
+        .orderBy("p_partkey")
+    }),
+
     // E1 — multi-format date parse via to_date coalesce
     "q_date_multiformat" -> ((s, d) => {
       val k = col("o_orderkey") % 4
@@ -575,6 +588,25 @@ object SparkEntry {
       "WHERE cos >= 0.3 ORDER BY id1, id2"
   }
 
+  /** Shared oracle for q_parse_dollars and q_parse_dollars_native (the
+    * when-chain and native-Expression implementations must agree with the
+    * same SQL). */
+  private val parseDollarsOracle: String =
+    "WITH t AS (SELECT p_partkey, CASE CAST(p_size % 3 AS INT) " +
+      "WHEN 0 THEN '$' || p_size || ' million' " +
+      "WHEN 1 THEN '$' || p_size || '.5 billion' " +
+      "ELSE '$' || (p_size * 1000) END AS raw FROM part) " +
+      "SELECT p_partkey, raw, CASE " +
+      "WHEN regexp_matches(raw, '(?i)\\$\\s*\\d+(\\.\\d+)?\\s*milli?on') " +
+      "THEN CAST(regexp_extract(raw, '(?i)\\$\\s*(\\d+(?:\\.\\d+)?)\\s*milli?on', 1) AS DOUBLE) * 1e6 " +
+      "WHEN regexp_matches(raw, '(?i)\\$\\s*\\d+(\\.\\d+)?\\s*billion') " +
+      "THEN CAST(regexp_extract(raw, '(?i)\\$\\s*(\\d+(?:\\.\\d+)?)\\s*billion', 1) AS DOUBLE) * 1e9 " +
+      "WHEN regexp_matches(raw, '\\$\\s*\\d{1,3}([,.]\\d{3})+') " +
+      "THEN CAST(regexp_replace(regexp_extract(raw, '\\$\\s*(\\d{1,3}(?:[,.]\\d{3})+)', 1), '[,.]', '', 'g') AS DOUBLE) " +
+      "WHEN regexp_matches(raw, '\\$\\s*\\d+(\\.\\d+)?') " +
+      "THEN CAST(regexp_extract(raw, '\\$\\s*(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) " +
+      "ELSE NULL END AS amount FROM t ORDER BY p_partkey"
+
   private val EnStop = "('the','of','and','a','to','in','is')"
   private val DeStop = "('der','die','das','und','ist','nicht')"
   private val FrStop = "('le','la','les','et','est','dans')"
@@ -634,21 +666,9 @@ object SparkEntry {
       ("SELECT doc_id, regexp_replace(substr(text, 1, 60), '[aeiou]', '*', 'g') AS redacted " +
         "FROM documents ORDER BY doc_id"),
 
-    "q_parse_dollars" ->
-      ("WITH t AS (SELECT p_partkey, CASE CAST(p_size % 3 AS INT) " +
-        "WHEN 0 THEN '$' || p_size || ' million' " +
-        "WHEN 1 THEN '$' || p_size || '.5 billion' " +
-        "ELSE '$' || (p_size * 1000) END AS raw FROM part) " +
-        "SELECT p_partkey, raw, CASE " +
-        "WHEN regexp_matches(raw, '(?i)\\$\\s*\\d+(\\.\\d+)?\\s*milli?on') " +
-        "THEN CAST(regexp_extract(raw, '(?i)\\$\\s*(\\d+(?:\\.\\d+)?)\\s*milli?on', 1) AS DOUBLE) * 1e6 " +
-        "WHEN regexp_matches(raw, '(?i)\\$\\s*\\d+(\\.\\d+)?\\s*billion') " +
-        "THEN CAST(regexp_extract(raw, '(?i)\\$\\s*(\\d+(?:\\.\\d+)?)\\s*billion', 1) AS DOUBLE) * 1e9 " +
-        "WHEN regexp_matches(raw, '\\$\\s*\\d{1,3}([,.]\\d{3})+') " +
-        "THEN CAST(regexp_replace(regexp_extract(raw, '\\$\\s*(\\d{1,3}(?:[,.]\\d{3})+)', 1), '[,.]', '', 'g') AS DOUBLE) " +
-        "WHEN regexp_matches(raw, '\\$\\s*\\d+(\\.\\d+)?') " +
-        "THEN CAST(regexp_extract(raw, '\\$\\s*(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) " +
-        "ELSE NULL END AS amount FROM t ORDER BY p_partkey"),
+    "q_parse_dollars" -> parseDollarsOracle,
+
+    "q_parse_dollars_native" -> parseDollarsOracle,
 
     "q_date_multiformat" ->
       ("WITH t AS (SELECT o_orderkey, CASE CAST(o_orderkey % 4 AS INT) " +
