@@ -538,6 +538,34 @@ object SparkEntry {
         .except(Tables.supplier(s, d).filter(col("s_suppkey") % 2 === 0)
           .select(col("s_nationkey").alias("nk")))
         .orderBy("nk")),
+
+    // set op — UNION (distinct)
+    "q_set_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").alias("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").alias("nk")))
+        .distinct().orderBy("nk")),
+
+    // as-of join — latest prior view value per purchase (union+window plan)
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").alias("vval"))
+      Joins.asOf(purchases, views, Seq("user_id"), "ts", "ts", Seq("vval"))
+        .select(col("event_id"), col("user_id"), round(col("vval"), 6).alias("vval"))
+        .orderBy("event_id")
+    }),
+
+    // tumbling-window batch aggregate over event time
+    "q_window_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").alias("w"))
+        .agg(count(lit(1)).alias("n"),
+          Aggregates.exactSum(col("value"), 6).alias("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+          col("n"), col("sum_value"))
+        .orderBy("bucket")),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -953,5 +981,22 @@ object SparkEntry {
     "q_set_except" ->
       ("SELECT c_nationkey AS nk FROM customer EXCEPT " +
         "SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey % 2 = 0 ORDER BY nk"),
+
+    "q_set_union" ->
+      ("SELECT c_nationkey AS nk FROM customer UNION " +
+        "SELECT s_nationkey AS nk FROM supplier ORDER BY nk"),
+
+    "q_asof_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+        "v AS (SELECT user_id, ts, max(value) AS vval FROM events WHERE event_type = 'view' GROUP BY 1, 2) " +
+        "SELECT p.event_id, p.user_id, round(v.vval, 6) AS vval " +
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts " +
+        "ORDER BY event_id"),
+
+    "q_window_tumbling" ->
+      ("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+        "count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
   )
 }
