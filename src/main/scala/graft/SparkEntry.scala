@@ -557,6 +557,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // salted equi-join (skew spread) — result identical to the plain join
+    "q_join_salted" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").alias("l_orderkey"), col("o_orderstatus"))
+      Skew.saltedJoin(l, o, Seq("l_orderkey"), salts = 8,
+        bigSaltFrom = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).alias("n"),
+          Aggregates.exactSum(col("l_quantity")).alias("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // two-phase exact distinct count per group
+    "q_distinct_two_phase" -> ((s, d) =>
+      Skew.twoPhaseDistinctCount(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_partkey")
+        .orderBy("l_returnflag")),
+
     // tumbling-window batch aggregate over event time
     "q_window_tumbling" -> ((s, d) =>
       Tables.events(s, d)
@@ -992,6 +1011,16 @@ object SparkEntry {
         "SELECT p.event_id, p.user_id, round(v.vval, 6) AS vval " +
         "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts " +
         "ORDER BY event_id"),
+
+    "q_join_salted" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q_distinct_two_phase" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct_l_partkey " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
 
     "q_window_tumbling" ->
       ("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +

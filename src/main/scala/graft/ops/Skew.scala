@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling / shuffle-shaping operators.
+  *
+  * The reference never needs these (one box, 26M rows), but at 100 TB a
+  * single hot key (the power-law user, the empty-string document) turns one
+  * shuffle partition into the whole job's critical path. AQE's skew-join
+  * splitting handles sort-merge joins; these operators cover the cases AQE
+  * does not: hot-key aggregation fan-in and broadcast-infeasible hot-key
+  * joins, plus the two-phase exact-distinct shape.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts): hash of the given columns. Using
+    * row content (not rand()) keeps retries/speculative tasks consistent. */
+  def saltCol(salts: Int, from: Column*): Column =
+    pmod(hash(from: _*), lit(salts))
+
+  /** Salted equi-join for a skewed big side: the big side gets a
+    * content-hash salt, the small side is replicated `salts`× via an
+    * exploded sequence, and the join key becomes (key, salt) — hot keys
+    * spread over `salts` reducers. Result is identical to
+    * `big.join(small, keys)`. Use when `small` is too big to broadcast but
+    * small enough to replicate `salts` times. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, bigSaltFrom: Seq[String]): DataFrame = {
+    val b = big.withColumn("__salt", saltCol(salts, bigSaltFrom.map(col): _*))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Exact distinct-count per group without shipping raw values twice:
+    * phase 1 dedups (keys, valueCol) with map-side partial aggregation,
+    * phase 2 counts per keys. Same two-exchange shape Spark plans for
+    * count(DISTINCT) but expressed explicitly so phase 1 can be reused
+    * (e.g. for several downstream aggregates) and salted variants drop in. */
+  def twoPhaseDistinctCount(df: DataFrame, keys: Seq[String],
+                            valueCol: String): DataFrame =
+    df.select((keys :+ valueCol).map(qcol): _*).distinct()
+      .groupBy(keys.map(qcol): _*)
+      .agg(count(lit(1)).alias(s"n_distinct_$valueCol"))
+
+  /** Range-partition + in-partition sort: the write-side layout op for
+    * sorted parquet (min/max zone-map pruning on the sort key at read
+    * time). */
+  def sortedLayout(df: DataFrame, n: Int, by: Seq[String]): DataFrame =
+    df.repartitionByRange(n, by.map(qcol): _*)
+      .sortWithinPartitions(by.map(qcol): _*)
+}

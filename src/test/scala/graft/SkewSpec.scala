@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+/** Salted join must be result-identical to the plain join; two-phase
+  * distinct must equal count(DISTINCT). */
+class SkewSpec extends AnyFunSuite with SparkSpec {
+
+  test("saltedJoin ≡ plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of big rows hit key 1 (the hot key)
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) i % 7 else 1, i.toLong))
+      .toDF("k", "v")
+    val small = (0 to 6).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).groupBy("name")
+      .agg(count(lit(1)).alias("n"), sum("v").alias("s"))
+      .orderBy("name").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 4,
+        bigSaltFrom = Seq("k", "v"))
+      .groupBy("name")
+      .agg(count(lit(1)).alias("n"), sum("v").alias("s"))
+      .orderBy("name").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("twoPhaseDistinctCount ≡ countDistinct") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i % 3, i % 41)).toDF("g", "v")
+    val expect = df.groupBy("g").agg(countDistinct("v").alias("n_distinct_v"))
+      .orderBy("g").collect().toSeq
+    val got = Skew.twoPhaseDistinctCount(df, Seq("g"), "v")
+      .orderBy("g").collect().toSeq
+    assert(got === expect)
+  }
+}
