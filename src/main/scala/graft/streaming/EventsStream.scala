@@ -1,9 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Typed rows for the stateful sessionization path. */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+case class SessionAcc(startMs: Long, lastMs: Long, n: Long, sum: Double)
+case class UserSession(user_id: Long, session_start: Timestamp,
+                       session_end: Timestamp, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface — the streaming re-expression of the
   * reference's chunked CSV → append-sink loop (challenge2.py:295-298,
@@ -47,6 +55,55 @@ object EventsStream {
       .agg(count(lit(1)).alias("n"), sum(col("value")).alias("total_value"))
       .select(col("window.start").alias("w_start"), col("window.end").alias("w_end"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization with CUSTOM STATE via flatMapGroupsWithState:
+    * a session is a per-user run of events whose inter-event gap stays
+    * under `gap`; a session closes when a later event exceeds the gap or
+    * the event-time watermark passes lastTs+gap (EventTimeTimeout). State
+    * per user is one small accumulator — bounded regardless of stream
+    * length; the watermark bounds how long it lives. Output is append-mode
+    * (each closed session exactly once). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 lateness: String = "30 minutes"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", lateness)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionAcc]) =>
+          def toSession(a: SessionAcc) = UserSession(
+            uid, new Timestamp(a.startMs), new Timestamp(a.lastMs), a.n, a.sum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var acc = state.getOption.orNull
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (acc == null) acc = SessionAcc(t, t, 1, e.value)
+              else if (t - acc.lastMs > gapMs) {
+                closed += toSession(acc)
+                acc = SessionAcc(t, t, 1, e.value)
+              } else acc = SessionAcc(acc.startMs, math.max(acc.lastMs, t),
+                acc.n + 1, acc.sum + e.value)
+            }
+            if (acc != null) {
+              state.update(acc)
+              // timeout must sit strictly above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(acc.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Sessionization-lite: per-user running event count via
     * flatMapGroupsWithState would be the stateful path; the declarative

@@ -33,4 +33,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
     assert(spark.table("ev_user").count() > 0)
   }
+
+  test("stateful sessionization: gap split, merge within gap, timeout close") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionEvent
+    import spark.implicits._
+
+    // +1000 min base: ts=0 equals the initial watermark and would be
+    // dropped as late data
+    def ev(uid: Long, minute: Long, v: Double) =
+      SessionEvent(uid, new Timestamp((1000 + minute) * 60000L), v)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventsStream.sessionize(input.toDF(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+
+    // u1: two events 10 min apart (one session), then one 60 min later
+    // (closes session 1, opens session 2). u2: one lone event.
+    input.addData(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(1, 70, 4.0), ev(2, 5, 9.0))
+    q.processAllAvailable()
+    // Far-future event pushes the watermark past every open timeout,
+    // flushing u1's second session and u2's via EventTimeTimeout.
+    input.addData(ev(3, 10000, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess")
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((1L, 2L, 3.0)), s"u1 first session: $rows")  // gap split
+    assert(rows.contains((1L, 1L, 4.0)), s"u1 timed-out session: $rows")
+    assert(rows.contains((2L, 1L, 9.0)), s"u2 timed-out session: $rows")
+  }
 }
