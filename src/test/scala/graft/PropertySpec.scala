@@ -1,0 +1,109 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DatesNums, Dedup, TextParse}
+
+/** SURVEY.md §5.3 property tests: format→parse round-trips, dedup
+  * idempotence, and the zero-aware fill lattice. Generated inputs via
+  * scalacheck with a fixed seed (deterministic CI). */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(7L))
+
+  test("property: multi-format date round-trip (format → parse → same date)") {
+    import spark.implicits._
+    val dateGen = for {
+      epochDay <- Gen.chooseNum(0L, 20000L) // 1970..2024
+      form <- Gen.chooseNum(0, 3)
+    } yield (LocalDate.ofEpochDay(epochDay), form)
+    val rows = samples(dateGen, 400).map { case (dt, form) =>
+      val raw = form match {
+        case 0 => s"${dt.getMonth.getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.US)} ${dt.getDayOfMonth}, ${dt.getYear}"
+        case 1 => dt.toString                       // yyyy-MM-dd
+        case 2 => s"${dt.getMonth.getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.US)} ${dt.getYear}"
+        case _ => dt.getYear.toString
+      }
+      // forms 2/3 lose day/month: expected truncates accordingly
+      val expect = form match {
+        case 0 | 1 => dt
+        case 2 => dt.withDayOfMonth(1)
+        case _ => dt.withDayOfYear(1)
+      }
+      (raw, expect.toString)
+    }
+    val out = rows.toDF("raw", "expect")
+      .withColumn("parsed", DatesNums.parseDateMulti(col("raw")).cast("string"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(2) === r.getString(1), s"raw='${r.getString(0)}'")
+    }
+  }
+
+  test("property: keep-first dedup is idempotent and keeps the min order key") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0, 30)
+      ord <- Gen.chooseNum(0, 1000)
+      payload <- Gen.alphaStr.map(_.take(5))
+    } yield (k, ord, payload)
+    val df = samples(rowGen, 500).toDF("k", "ord", "p")
+      .dropDuplicates("k", "ord") // make (k, ord) a unique order key
+    val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord").asc))
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("ord").asc))
+    assert(once.orderBy("k").collect().toSeq === twice.orderBy("k").collect().toSeq)
+    // keep-first under ascending ord == min(ord) per key
+    val expectMin = df.groupBy("k").agg(min("ord").alias("ord"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val gotMin = once.select("k", "ord").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(gotMin === expectMin)
+  }
+
+  test("property: zero-aware fill lattice (J2 semantics)") {
+    import spark.implicits._
+    val vGen = Gen.oneOf[java.lang.Double](null.asInstanceOf[java.lang.Double],
+      java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(1.5),
+      java.lang.Double.valueOf(-3.0))
+    val pairs = samples(Gen.zip(vGen, vGen), 200)
+    val df = pairs.toDF("kaggle", "wiki")
+    // zeroOnly=true: ONLY kaggle==0 pulls wiki (nulls survive — J2)
+    val strict = df.select(col("kaggle"), col("wiki"),
+      DatesNums.fillZeroFrom(col("kaggle"), col("wiki"), zeroOnly = true).alias("f"))
+      .collect()
+    strict.foreach { r =>
+      val k = if (r.isNullAt(0)) null else r.getDouble(0).asInstanceOf[Any]
+      val w = if (r.isNullAt(1)) null else r.getDouble(1).asInstanceOf[Any]
+      val f = if (r.isNullAt(2)) null else r.getDouble(2).asInstanceOf[Any]
+      if (k == 0.0) assert(f === w, s"k=0 must pull wiki: $r")
+      else assert(f === k, s"k≠0 must keep kaggle (incl. null): $r")
+    }
+    // zeroOnly=false: null OR 0 pulls wiki
+    val lenient = df.select(col("kaggle"), col("wiki"),
+      DatesNums.fillZeroFrom(col("kaggle"), col("wiki"), zeroOnly = false).alias("f"))
+      .collect()
+    lenient.foreach { r =>
+      val k = if (r.isNullAt(0)) null else r.getDouble(0).asInstanceOf[Any]
+      val w = if (r.isNullAt(1)) null else r.getDouble(1).asInstanceOf[Any]
+      val f = if (r.isNullAt(2)) null else r.getDouble(2).asInstanceOf[Any]
+      if (k == null || k == 0.0) assert(f === w, s"null/0 must pull wiki: $r")
+      else assert(f === k, s"non-zero kaggle survives: $r")
+    }
+  }
+
+  test("property: parse_dollars plain-number round-trip") {
+    import spark.implicits._
+    val amounts = samples(Gen.chooseNum(1, 9999999), 200).map(_.toDouble)
+    val df = amounts.map(a => (a, s"$$$a")).toDF("amount", "raw")
+      .withColumn("parsed", TextParse.parseDollars(col("raw")))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(0)) < 1e-6, r.toString)
+    }
+  }
+}
