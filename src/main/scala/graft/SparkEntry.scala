@@ -69,12 +69,16 @@ object SparkEntry {
       Dedup.extractKey(Tables.events(s, d), "props", "k", "\"k\": (\\d+)")
         .select("event_id", "k").orderBy("event_id")),
 
-    // C2/J1 — keep-FIRST dedup via window. The order columns form a unique
-    // key ((l_orderkey, l_linenumber) alone is NOT unique in the fixture),
-    // so "first" is well-defined (J1).
+    // C2/J1 — keep-FIRST dedup. The order columns form a unique key
+    // ((l_orderkey, l_linenumber) alone is NOT unique in the fixture), so
+    // "first" is well-defined (J1). Aggregation form: map-side partial
+    // combine ships ≤1 row per key per task instead of window-sorting
+    // every row.
     "q_dedup_keep_first" -> ((s, d) =>
-      Dedup.keepFirst(Tables.lineitem(s, d), Seq("l_orderkey"),
-        Seq(col("l_linenumber").asc, col("l_partkey").asc, col("l_suppkey").asc))
+      Dedup.keepFirstAgg(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_orderkey"), Seq("l_linenumber", "l_partkey", "l_suppkey"))
         .select("l_orderkey", "l_linenumber", "l_partkey").orderBy("l_orderkey")),
 
     // C3 — single-pass per-column null profile
@@ -599,8 +603,13 @@ object SparkEntry {
       s"SELECT doc_id, CAST($votes AS BIGINT) AS sh FROM t ORDER BY doc_id"
   }
 
-  private def mhExpr(seed: Int): String =
-    s"list_min(list_transform(toks, x -> (('0x' || substr(md5(x || '#$seed'), 1, 8))::BIGINT)))"
+  /** DuckDB mirror of ScaleDedup.minhashSignature's md5-slice scheme: hash
+    * i = 32-bit slice i%4 of md5(token salted with "#"+i/4; no salt for the
+    * first group). */
+  private def mhExpr(i: Int): String = {
+    val salted = if (i / 4 == 0) "x" else s"(x || '#${i / 4}')"
+    s"list_min(list_transform(toks, x -> (('0x' || substr(md5($salted), ${(i % 4) * 8 + 1}, 8))::BIGINT)))"
+  }
 
   /** DuckDB mirror of Similarity.lshBucket's plane literals. */
   private def planeLiteral(p: Int, dim: Int): String =

@@ -27,6 +27,23 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** C2/J1 at scale — keep-first as ONE aggregation: min of a struct whose
+    * leading fields are the (ascending, non-null) order columns. Unlike the
+    * window form this gets map-side partial aggregation — each task ships
+    * at most one candidate row per key into the shuffle instead of every
+    * row — and skips the per-partition sort entirely. Requires ascending
+    * order on non-null columns; ties resolve by the remaining struct
+    * fields, so pass a unique order key for determinism. */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val rest = df.columns.toSeq.filterNot(c => keys.contains(c) || orderCols.contains(c))
+    val packed = struct((orderCols ++ rest).map(qcol): _*)
+    df.groupBy(keys.map(qcol): _*)
+      .agg(min(packed).alias("__first"))
+      .select(df.columns.toSeq.map { c =>
+        if (keys.contains(c)) qcol(c) else col(s"__first.`$c`").alias(c)
+      }: _*)
+  }
+
   /** C2 (relaxed) — arbitrary-row dedup where determinism is not needed;
     * cheaper at scale (partial aggregation before shuffle). */
   def dropDups(df: DataFrame, keys: Seq[String]): DataFrame =

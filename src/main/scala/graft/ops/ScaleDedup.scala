@@ -37,9 +37,26 @@ object ScaleDedup {
   def minhash(tokens: Column, seed: Int): Column =
     array_min(transform(tokens, t => hash32(t, seed)))
 
-  /** MinHash signature as `numHashes` columns named `mh_0..mh_{n-1}`. */
-  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i => minhash(tokens, i).alias(s"mh_$i"))
+  /** MinHash signature as `numHashes` columns named `mh_0..mh_{n-1}`.
+    *
+    * One md5 digest per token per GROUP of four hashes: a 128-bit digest
+    * yields four independent 32-bit slices, so four hash functions need
+    * one distinct digest (group g re-salts with "#g") instead of four
+    * salted digests — a 4× cut in distinct hash computations whenever the
+    * projection shares the digest subtree (the digest arrays are single
+    * shared Column instances across the output columns). */
+  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] = {
+    val digests = (0 to (numHashes - 1) / 4).map { g =>
+      val salted = if (g == 0) tokens
+        else transform(tokens, t => concat(t, lit("#" + g)))
+      transform(salted, t => md5(t.cast("binary")))
+    }
+    (0 until numHashes).map { i =>
+      val slice = (i % 4) * 8 + 1
+      array_min(transform(digests(i / 4),
+        m => conv(substring(m, slice, 8), 16, 10).cast("long"))).alias(s"mh_$i")
+    }
+  }
 
   /** LSH band key: concat of the band's minhashes — docs sharing a band
     * key are near-duplicate candidates. */

@@ -64,6 +64,10 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val gotMin = once.select("k", "ord").orderBy("k").collect()
       .map(r => (r.getInt(0), r.getInt(1))).toSeq
     assert(gotMin === expectMin)
+    // the aggregation form is row-identical to the window form
+    val aggForm = Dedup.keepFirstAgg(df, Seq("k"), Seq("ord"))
+      .orderBy("k").collect().toSeq
+    assert(aggForm === once.orderBy("k").collect().toSeq)
   }
 
   test("property: zero-aware fill lattice (J2 semantics)") {
