@@ -115,6 +115,15 @@ object EventsStream {
       .agg(count(lit(1)).alias("n_events"))
       .select(col("window.start").alias("w_start"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: drop repeated ids with state bounded by the
+    * watermark (ids older than the lateness horizon are forgotten — the
+    * only dedup that runs forever). The streaming face of the batch dedup
+    * suite (SURVEY.md §2 C2 / ScaleDedup). */
+  def dedupStream(events: DataFrame, idCol: String,
+                  lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Append-mode memory sink, drained synchronously — the local smoke path
     * (batch parquet drives the stream; processAllAvailable = "run the whole
     * backlog"). Returns the started query; caller stops it. */

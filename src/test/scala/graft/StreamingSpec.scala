@@ -34,6 +34,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("ev_user").count() > 0)
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionEvent
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val deduped = EventsStream.dedupStream(input.toDF(), "user_id", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_s").start()
+    def ev(uid: Long, minute: Long) =
+      SessionEvent(uid, new Timestamp((1000 + minute) * 60000L), 1.0)
+    input.addData(ev(1, 0), ev(1, 1), ev(2, 0), ev(1, 2), ev(2, 3))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_s").select("user_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted === Seq(1L, 2L), s"got $ids")
+  }
+
   test("stateful sessionization: gap split, merge within gap, timeout close") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
