@@ -417,6 +417,14 @@ object SparkEntry {
       Similarity.lshTopK(emb, "vec_id", "embedding", q, dim = 64, k = 20, nPlanes = 8)
     }),
 
+    // similarity: IVF ANN (deterministic centroids → cell equi-join)
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20, nCells = 8)
+    }),
+
     // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join)
     "q_neardup_embedding" -> ((s, d) => {
       val base = Tables.embeddings(s, d)
@@ -927,6 +935,19 @@ object SparkEntry {
         "FROM e, q ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_ann_lsh" -> lshOracle,
+
+    "q_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, e.v, c.cid, " +
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv) AS dist " +
+        "FROM e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, v, cid AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
+        "q AS (SELECT cell, v AS qv FROM a ORDER BY vec_id LIMIT 1) " +
+        "SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
+        "FROM a JOIN q ON a.cell = q.cell ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_neardup_embedding" -> neardupOracle,
 

@@ -61,6 +61,48 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Squared L2 distance (no sqrt — monotone, cheaper, rank-identical). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** IVF cell assignment: id of the nearest of `centroids` (ties broken by
+    * centroid id — deterministic). `centroids` must be a small DataFrame
+    * (cid, cv) — it is broadcast; assignment is one narrow pass over the
+    * corpus plus a per-row argmin window. */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__d").asc, col("cid").asc)
+    vectors.select(col(idCol), col(vecCol).alias("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d", sqDist(col("v"), col("cv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("v"), col("cid").alias("cell"))
+  }
+
+  /** IVF ANN: k-means-style inverted file, with DETERMINISTIC "training" —
+    * the first `nCells` vectors by id serve as centroids (real deployments
+    * run Lloyd iterations offline; the index/query dataflow is identical).
+    * Corpus vectors are assigned to their nearest centroid's cell; a query
+    * probes only its own cell — the search becomes an equi-join on `cell`
+    * instead of a full scan, the same join shape as LSH but with
+    * data-dependent (centroid) partitioning. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    val centroids = base.orderBy(idCol).limit(nCells)
+      .select(col(idCol).alias("cid"), col("v").alias("cv"))
+    val assigned = ivfAssign(base.select(col(idCol), col("v")), idCol, "v", centroids)
+    val q = ivfAssign(
+      query.select(lit(-1L).alias("__qid"), col("qv")), "__qid", "qv", centroids)
+      .select(col("v").alias("qv"), col("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: only compare vectors sharing the query's bucket.
     * Returns top-k within the bucket (a recall/latency tradeoff — the
     * standard multi-probe extension would also probe neighboring buckets). */
