@@ -551,6 +551,23 @@ object SparkEntry {
           .select(col("s_nationkey").alias("nk")))
         .orderBy("nk")),
 
+    // explode + aggregate — corpus token frequency, top-20
+    "q_token_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).alias("token"))
+        .groupBy("token").agg(count(lit(1)).alias("n"))
+        .orderBy(desc("n"), asc("token")).limit(20)),
+
+    // grouped collect_set (sorted for determinism)
+    "q_group_collect" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(array_sort(collect_set(col("lang"))).alias("langs"),
+          count(lit(1)).alias("n_docs"))
+        .select(col("source"), concat_ws(",", col("langs")).alias("langs"),
+          col("n_docs"))
+        .orderBy("source")),
+
     // set op — UNION (distinct)
     "q_set_union" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").alias("nk"))
@@ -1034,6 +1051,15 @@ object SparkEntry {
     "q_set_union" ->
       ("SELECT c_nationkey AS nk FROM customer UNION " +
         "SELECT s_nationkey AS nk FROM supplier ORDER BY nk"),
+
+    "q_token_freq" ->
+      ("SELECT token, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n DESC, token LIMIT 20"),
+
+    "q_group_collect" ->
+      ("SELECT source, array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs, " +
+        "count(*) AS n_docs FROM documents GROUP BY source ORDER BY source"),
 
     "q_asof_join" ->
       ("WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
