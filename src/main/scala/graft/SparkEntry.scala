@@ -551,6 +551,29 @@ object SparkEntry {
           .select(col("s_nationkey").alias("nk")))
         .orderBy("nk")),
 
+    // exact interpolated median + correlation aggregates
+    "q_median_corr" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).alias("corr_qty_price"))),
+
+    // PII scrub — redact emails/URLs before training
+    "q_scrub_pii" -> ((s, d) => {
+      val dirty = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" user@example.com see https://example.com/x")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(substring(dirty, 1, 80)).alias("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // cross join (small × small)
+    "q_cross_join" -> ((s, d) =>
+      Tables.region(s, d).select(col("r_name"))
+        .crossJoin(Tables.nation(s, d).select(col("n_name")))
+        .orderBy("r_name", "n_name")),
+
     // explode + aggregate — corpus token frequency, top-20
     "q_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1051,6 +1074,22 @@ object SparkEntry {
     "q_set_union" ->
       ("SELECT c_nationkey AS nk FROM customer UNION " +
         "SELECT s_nationkey AS nk FROM supplier ORDER BY nk"),
+
+    "q_median_corr" ->
+      ("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem"),
+
+    "q_scrub_pii" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+        "THEN text || ' user@example.com see https://example.com/x' ELSE text END AS dirty " +
+        "FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(substr(dirty, 1, 80), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'https?://[^\\s]+', '<URL>', 'g') AS clean FROM t ORDER BY doc_id"),
+
+    "q_cross_join" ->
+      ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
+        "ORDER BY r_name, n_name"),
 
     "q_token_freq" ->
       ("SELECT token, count(*) AS n FROM " +

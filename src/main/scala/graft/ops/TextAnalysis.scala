@@ -22,6 +22,15 @@ object TextAnalysis {
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** PII scrub for training corpora: redact emails then URLs with typed
+    * placeholder tokens. RE2-safe patterns (no lookarounds) so the same
+    * regexes run in any engine. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+      """https?://[^\s]+""", "<URL>")
+
   // A per-language tiny stopword table for the n-gram/stopword heuristic
   // language identifier. Public-knowledge stopword lists.
   val StopwordsByLang: Map[String, Seq[String]] = Map(
