@@ -377,6 +377,15 @@ object SparkEntry {
         numHashes = 4, bands = 2)
         .orderBy("id1", "id2")),
 
+    // dedup: word-3-shingle minhash (n-gram signatures)
+    "q_shingle_minhash" -> ((s, d) => {
+      val sh = ScaleDedup.shingles(col("text"), 3)
+      Tables.documents(s, d)
+        .select(col("doc_id") +: size(sh).cast("long").alias("n_shingles") +:
+          ScaleDedup.minhashSignature(sh, 2): _*)
+        .orderBy("doc_id")
+    }),
+
     // dedup: simhash
     "q_simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -955,6 +964,14 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 1 AS band, mh_2 || '_' || mh_3 AS bkey FROM sig) " +
         "SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM b x JOIN b y " +
         "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id ORDER BY id1, id2"),
+
+    "q_shingle_minhash" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(list_transform(" +
+        "range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS toks " +
+        "FROM documents) " +
+        s"SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_shingles, " +
+        s"${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1 FROM t ORDER BY doc_id"),
 
     "q_simhash" -> simhashOracle,
 
