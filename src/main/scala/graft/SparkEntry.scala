@@ -344,6 +344,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // text: Gopher-style quality keep/drop gate
+    "q_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 8,
+          maxTokens = 100000, minStopRatio = 0.01))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // text: language-ID heuristic
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
@@ -926,6 +933,13 @@ object SparkEntry {
         s"round(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS DOUBLE) " +
         "/ len(string_split(text, ' ')), 6) AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_quality_filter" ->
+      ("WITH f AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok, " +
+        s"round(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')), 6) AS stop_ratio FROM documents) " +
+        "SELECT doc_id, lang FROM f " +
+        "WHERE n_tok BETWEEN 8 AND 100000 AND stop_ratio >= 0.01 ORDER BY doc_id"),
 
     "q_lang_id" ->
       ("WITH s AS (SELECT doc_id, lang, " +
