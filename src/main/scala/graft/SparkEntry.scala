@@ -384,6 +384,18 @@ object SparkEntry {
         numHashes = 4, bands = 2)
         .orderBy("id1", "id2")),
 
+    // dedup: bottom-k (KMV) sketch per group via a custom
+    // TypedImperativeAggregate — fixed-size state per group
+    "q_bottomk_sketch" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          ScaleDedup.hash32(col("l_partkey").cast("string"), 0).alias("h"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.BottomKSketch.bottom_k_sketch(col("h"), 8).alias("sk"))
+        .select(col("l_returnflag"),
+          concat_ws(",", transform(col("sk"), x => x.cast("string"))).alias("sketch"))
+        .orderBy("l_returnflag")),
+
     // dedup: word-3-shingle minhash (n-gram signatures)
     "q_shingle_minhash" -> ((s, d) => {
       val sh = ScaleDedup.shingles(col("text"), 3)
@@ -978,6 +990,12 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 1 AS band, mh_2 || '_' || mh_3 AS bkey FROM sig) " +
         "SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM b x JOIN b y " +
         "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id ORDER BY id1, id2"),
+
+    "q_bottomk_sketch" ->
+      ("WITH h AS (SELECT l_returnflag, " +
+        "('0x' || substr(md5(l_partkey::VARCHAR || '#0'), 1, 8))::BIGINT AS h FROM lineitem) " +
+        "SELECT l_returnflag, array_to_string(list_sort(list_distinct(list(h)))[1:8], ',') AS sketch " +
+        "FROM h GROUP BY 1 ORDER BY 1"),
 
     "q_shingle_minhash" ->
       ("WITH t AS (SELECT doc_id, list_distinct(list_transform(" +
