@@ -405,6 +405,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup: minhash-LSH pairs → connected components (duplicate clusters)
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      ScaleDedup.connectedComponents(
+        docs.select(col("doc_id").alias("id")), pairs)
+        .select(col("id").alias("doc_id"), col("label").alias("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // dedup: simhash
     "q_simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -739,6 +750,21 @@ object SparkEntry {
       "THEN CAST(regexp_extract(raw, '\\$\\s*(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) " +
       "ELSE NULL END AS amount FROM t ORDER BY p_partkey"
 
+  /** DuckDB mirror of q_dedup_clusters: the q_minhash_pairs band join as
+    * the edge set, then recursive min-label propagation. */
+  private def dedupClustersOracle: String =
+    "WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+      s"sig AS (SELECT doc_id, ${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1, " +
+      s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t), " +
+      "b AS (SELECT doc_id, 0 AS band, mh_0 || '_' || mh_1 AS bkey FROM sig " +
+      "UNION ALL SELECT doc_id, 1 AS band, mh_2 || '_' || mh_3 AS bkey FROM sig), " +
+      "pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM b x JOIN b y " +
+      "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs), " +
+      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
+      "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src) " +
+      "SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id ORDER BY doc_id"
+
   private val EnStop = "('the','of','and','a','to','in','is')"
   private val DeStop = "('der','die','das','und','ist','nicht')"
   private val FrStop = "('le','la','les','et','est','dans')"
@@ -1004,6 +1030,8 @@ object SparkEntry {
         "FROM documents) " +
         s"SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_shingles, " +
         s"${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1 FROM t ORDER BY doc_id"),
+
+    "q_dedup_clusters" -> dedupClustersOracle,
 
     "q_simhash" -> simhashOracle,
 

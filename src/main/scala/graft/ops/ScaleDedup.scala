@@ -109,6 +109,39 @@ object ScaleDedup {
     round(size(array_intersect(aTokens, bTokens)).cast("double") /
       size(array_union(aTokens, bTokens)), 6)
 
+  /** Connected components by iterative min-label propagation: every vertex
+    * converges to the smallest id reachable through `edges` — turning
+    * near-duplicate PAIRS into duplicate CLUSTERS (pick min id per cluster
+    * as the canonical survivor).
+    *
+    * Each iteration is one shuffle (join + min-aggregate); iterations are
+    * bounded by the component diameter, and the loop exits early at the
+    * fixpoint. `localCheckpoint` truncates lineage so plans stay flat.
+    * (At extreme graph sizes the two-phase large-star/small-star variant
+    * halves rounds; min-label is the simple associative core of both.) */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col("id1").alias("src"), col("id2").alias("dst"))
+      .union(edges.select(col("id2").alias("src"), col("id1").alias("dst")))
+      .localCheckpoint(true)
+    var labels = vertices.select(col("id"), col("id").alias("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").alias("id"), col("label"))
+      val next = labels.unionByName(nbr)
+        .groupBy("id").agg(min("label").alias("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") =!= col("__old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
     * plan (hash, not raw text, crosses the wire ... group keys are

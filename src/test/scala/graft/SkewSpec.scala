@@ -26,6 +26,17 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(salted === plain)
   }
 
+  test("connectedComponents finds min-label clusters incl. singletons and chains") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {7,8}, singleton {9}
+    val verts = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id1", "id2")
+    val got = graft.ops.ScaleDedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("twoPhaseDistinctCount ≡ countDistinct") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i % 3, i % 41)).toDF("g", "v")
