@@ -613,6 +613,31 @@ object SparkEntry {
         .crossJoin(Tables.nation(s, d).select(col("n_name")))
         .orderBy("r_name", "n_name")),
 
+    // exact per-group median
+    "q_group_median" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"))
+        .orderBy("l_returnflag")),
+
+    // TF-IDF top-3 terms per sampled document
+    "q_tfidf_top" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).alias("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).alias("df"))
+      val n = docs.agg(count(lit(1)).alias("N"))
+      val scored = tf.filter(col("doc_id") % 50 === 0)
+        .join(dfreq, "token").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("N").cast("double") / col("df")), 6))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    }),
+
     // explode + aggregate — corpus token frequency, top-20
     "q_token_freq" -> ((s, d) =>
       Tables.documents(s, d)
@@ -666,6 +691,14 @@ object SparkEntry {
       Skew.twoPhaseDistinctCount(Tables.lineitem(s, d),
         Seq("l_returnflag"), "l_partkey")
         .orderBy("l_returnflag")),
+
+    // batch gap-based sessionization (lag + running sum of boundaries)
+    "q_sessionize_batch" -> ((s, d) =>
+      Sessionize.sessions(Tables.events(s, d), "user_id", "ts", "event_id", 30)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").alias("s_end"))
+        .orderBy("user_id", "session_seq")),
 
     // tumbling-window batch aggregate over event time
     "q_window_tumbling" -> ((s, d) =>
@@ -1168,6 +1201,22 @@ object SparkEntry {
       ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
         "ORDER BY r_name, n_name"),
 
+    "q_group_median" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS median_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q_tfidf_top" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS N FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.token, " +
+        "round(tf.tf * ln(CAST(n.N AS DOUBLE) / dfreq.df), 6) AS tfidf " +
+        "FROM tf JOIN dfreq USING (token) CROSS JOIN n WHERE tf.doc_id % 50 = 0) " +
+        "SELECT doc_id, token, tfidf, CAST(rn AS BIGINT) AS rn FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM sc) " +
+        "WHERE rn <= 3 ORDER BY doc_id, rn"),
+
     "q_token_freq" ->
       ("SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
@@ -1193,6 +1242,19 @@ object SparkEntry {
     "q_distinct_two_phase" ->
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct_l_partkey " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q_sessionize_batch" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "y AS (SELECT user_id, ts, CAST(sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq " +
+        "FROM x) " +
+        "SELECT user_id, session_seq, count(*) AS n_events, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end " +
+        "FROM y GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_window_tumbling" ->
       ("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
