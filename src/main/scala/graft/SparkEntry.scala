@@ -263,6 +263,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // H2 generalized — pivot with SUM measure (single-shuffle)
+    "q_pivot_sum" -> ((s, d) =>
+      Aggregates.pivotAgg(Tables.lineitem(s, d), "l_orderkey", "l_returnflag",
+        Seq("A", "N", "R"), "qty_", col("l_quantity").cast("decimal(18,2)"),
+        c => coalesce(sum(c), lit(0).cast("decimal(18,2)")).cast("double"))
+        .orderBy("l_orderkey")),
+
+    // wide→long unpivot (melt)
+    "q_unpivot" -> ((s, d) =>
+      Aggregates.unpivot(
+        Tables.part(s, d).select("p_partkey", "p_size", "p_retailprice"),
+        Seq("p_partkey"), Seq("p_size", "p_retailprice"))
+        .select(col("p_partkey"), col("key"), col("value").cast("double").alias("value"))
+        .orderBy("p_partkey", "key")),
+
     // H5 — frequency table
     "q_freq_table" -> ((s, d) =>
       Aggregates.freqTable(Tables.customer(s, d), "c_mktsegment")),
@@ -945,6 +960,19 @@ object SparkEntry {
         "count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS cnt_r " +
         "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey " +
         "GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey"),
+
+    "q_pivot_sum" ->
+      ("SELECT l_orderkey, " +
+        "CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_a, " +
+        "CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_n, " +
+        "CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q_unpivot" ->
+      ("SELECT p_partkey, 'p_size' AS key, CAST(p_size AS DOUBLE) AS value FROM part " +
+        "UNION ALL " +
+        "SELECT p_partkey, 'p_retailprice' AS key, p_retailprice AS value FROM part " +
+        "ORDER BY p_partkey, key"),
 
     "q_freq_table" ->
       ("SELECT c_mktsegment, count(*) AS \"count\" FROM customer GROUP BY 1 " +

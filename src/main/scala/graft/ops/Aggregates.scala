@@ -42,6 +42,23 @@ object Aggregates {
   def sanitize(v: String): String =
     v.toLowerCase.replaceAll("[^a-z0-9]+", "_")
 
+  /** H2 generalized — pivot with an arbitrary aggregate per known value:
+    * same single-shuffle conditional-aggregation shape as pivotCounts. */
+  def pivotAgg(df: DataFrame, key: String, pivotCol: String,
+               values: Seq[String], prefix: String,
+               measure: Column, agg: Column => Column): DataFrame = {
+    val aggs = values.map(v =>
+      agg(when(col(pivotCol) === v, measure)).alias(prefix + sanitize(v)))
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Wide→long unpivot (pandas melt): each (column, value) pair becomes a
+    * row. Pure stack expression — no shuffle at all. */
+  def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+              keyName: String = "key", valueName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(qcol).toArray, valueCols.map(qcol).toArray,
+      keyName, valueName)
+
   /** Order-independent exact sum of a double column: cast each value to
     * DECIMAL(18,scale) before summing so shuffle order cannot flip low
     * bits, then surface as double. */
