@@ -420,9 +420,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // dedup: minhash-LSH pairs → connected components (duplicate clusters)
+    // dedup: minhash-LSH pairs → connected components (duplicate clusters).
+    // Clustered over a 1-in-20 sample: the synthetic corpus draws from a
+    // tiny vocabulary, so unsampled LSH buckets cover most of the table and
+    // the cluster graph degenerates to one giant component (and the
+    // oracle's recursive CTE to O(n²) tuples).
     "q_dedup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
       val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
         numHashes = 4, bands = 2)
       ScaleDedup.connectedComponents(
@@ -801,7 +805,8 @@ object SparkEntry {
   /** DuckDB mirror of q_dedup_clusters: the q_minhash_pairs band join as
     * the edge set, then recursive min-label propagation. */
   private def dedupClustersOracle: String =
-    "WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+    "WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
+      "FROM documents WHERE doc_id % 20 = 0), " +
       s"sig AS (SELECT doc_id, ${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1, " +
       s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t), " +
       "b AS (SELECT doc_id, 0 AS band, mh_0 || '_' || mh_1 AS bkey FROM sig " +
@@ -809,7 +814,7 @@ object SparkEntry {
       "pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM b x JOIN b y " +
       "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
       "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs), " +
-      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
+      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents WHERE doc_id % 20 = 0 " +
       "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src) " +
       "SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id ORDER BY doc_id"
 
