@@ -286,6 +286,10 @@ object SparkEntry {
     "q_summary_stats" -> ((s, d) =>
       Aggregates.summaryStats(Tables.lineitem(s, d), "l_quantity")),
 
+    // H6 — exact interpolated quartiles (pandas describe 25%/50%/75%)
+    "q_summary_quartiles" -> ((s, d) =>
+      Aggregates.quartiles(Tables.lineitem(s, d), "l_extendedprice")),
+
     // H7 — fixed-width histogram
     "q_histogram" -> ((s, d) =>
       Aggregates.histogram(Tables.events(s, d), "value", 10.0)),
@@ -420,13 +424,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // dedup: minhash-LSH pairs → connected components (duplicate clusters).
-    // Clustered over a 1-in-20 sample: the synthetic corpus draws from a
-    // tiny vocabulary, so unsampled LSH buckets cover most of the table and
-    // the cluster graph degenerates to one giant component (and the
-    // oracle's recursive CTE to O(n²) tuples).
+    // dedup: minhash-LSH pairs → connected components (duplicate clusters)
+    // over the FULL corpus. The oversized-bucket guard inside
+    // minhashCandidatePairs keeps the pair graph non-degenerate (the
+    // synthetic corpus's tiny vocabulary otherwise makes LSH buckets cover
+    // most of the table), so clustering needs no sampling.
     "q_dedup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+      val docs = Tables.documents(s, d)
       val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
         numHashes = 4, bands = 2)
       ScaleDedup.connectedComponents(
@@ -442,18 +446,19 @@ object SparkEntry {
           ScaleDedup.simhash(ScaleDedup.tokenSet(col("text")), 16).alias("sh"))
         .orderBy("doc_id")),
 
-    // dedup: n-gram Jaccard similarity over candidate pairs
+    // dedup: n-gram Jaccard VERIFICATION of the LSH candidate pairs — the
+    // full minhash→LSH→exact-verify pipeline. The candidate set comes from
+    // the banded equi-join (bounded by the bucket guard), never from a
+    // low-cardinality-key cartesian.
     "q_jaccard_pairs" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          ScaleDedup.tokenSet(col("text")).alias("toks"))
-      val probes = base.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").alias("id1"), col("lang"), col("source"),
-          col("toks").alias("t1"))
-      val cands = base
-        .select(col("doc_id").alias("id2"), col("lang"), col("source"),
-          col("toks").alias("t2"))
-      probes.join(cands, Seq("lang", "source")).filter(col("id1") < col("id2"))
+      val docs = Tables.documents(s, d)
+      val cands = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val toks = docs.select(col("doc_id"),
+        ScaleDedup.tokenSet(col("text")).alias("toks"))
+      cands
+        .join(toks.select(col("doc_id").alias("id1"), col("toks").alias("t1")), "id1")
+        .join(toks.select(col("doc_id").alias("id2"), col("toks").alias("t2")), "id2")
         .select(col("id1"), col("id2"),
           ScaleDedup.jaccard(col("t1"), col("t2")).alias("jac"))
         .orderBy("id1", "id2")
@@ -802,19 +807,26 @@ object SparkEntry {
       "THEN CAST(regexp_extract(raw, '\\$\\s*(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE) " +
       "ELSE NULL END AS amount FROM t ORDER BY p_partkey"
 
-  /** DuckDB mirror of q_dedup_clusters: the q_minhash_pairs band join as
-    * the edge set, then recursive min-label propagation. */
-  private def dedupClustersOracle: String =
-    "WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks " +
-      "FROM documents WHERE doc_id % 20 = 0), " +
+  /** Shared DuckDB CTE chain mirroring ScaleDedup.minhashCandidatePairs
+    * (4 hashes, 2 bands, oversized buckets > 64 dropped before the band
+    * self-join): yields `t` (doc_id, toks) and `pairs` (id1, id2). */
+  private def mhPairsCtes: String =
+    "t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
       s"sig AS (SELECT doc_id, ${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1, " +
       s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t), " +
       "b AS (SELECT doc_id, 0 AS band, mh_0 || '_' || mh_1 AS bkey FROM sig " +
       "UNION ALL SELECT doc_id, 1 AS band, mh_2 || '_' || mh_3 AS bkey FROM sig), " +
-      "pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM b x JOIN b y " +
-      "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      "bg AS (SELECT doc_id, band, bkey FROM b " +
+      "QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64), " +
+      "pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM bg x JOIN bg y " +
+      "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
+
+  /** DuckDB mirror of q_dedup_clusters: the capped band join as the edge
+    * set over the FULL corpus, then recursive min-label propagation. */
+  private def dedupClustersOracle: String =
+    s"WITH RECURSIVE $mhPairsCtes, " +
       "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs), " +
-      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents WHERE doc_id % 20 = 0 " +
+      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
       "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src) " +
       "SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id ORDER BY doc_id"
 
@@ -991,6 +1003,11 @@ object SparkEntry {
         "SELECT n, round(s / n, 6) AS mean_v, " +
         "round(sqrt((ss - s * s / n) / (n - 1)), 6) AS std_v, min_v, max_v FROM a"),
 
+    "q_summary_quartiles" ->
+      ("SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS q25, " +
+        "round(quantile_cont(l_extendedprice, 0.5), 6) AS q50, " +
+        "round(quantile_cont(l_extendedprice, 0.75), 6) AS q75 FROM lineitem"),
+
     "q_histogram" ->
       ("SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS \"count\" " +
         "FROM events GROUP BY 1 ORDER BY 1"),
@@ -1075,13 +1092,7 @@ object SparkEntry {
         s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t ORDER BY doc_id"),
 
     "q_minhash_pairs" ->
-      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
-        s"sig AS (SELECT doc_id, ${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1, " +
-        s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t), " +
-        "b AS (SELECT doc_id, 0 AS band, mh_0 || '_' || mh_1 AS bkey FROM sig " +
-        "UNION ALL SELECT doc_id, 1 AS band, mh_2 || '_' || mh_3 AS bkey FROM sig) " +
-        "SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM b x JOIN b y " +
-        "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id ORDER BY id1, id2"),
+      s"WITH $mhPairsCtes SELECT id1, id2 FROM pairs ORDER BY id1, id2",
 
     "q_bottomk_sketch" ->
       ("WITH h AS (SELECT l_returnflag, " +
@@ -1102,13 +1113,12 @@ object SparkEntry {
     "q_simhash" -> simhashOracle,
 
     "q_jaccard_pairs" ->
-      ("WITH dd AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks " +
-        "FROM documents) " +
-        "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      (s"WITH $mhPairsCtes " +
+        "SELECT p.id1, p.id2, " +
         "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac " +
-        "FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-        "WHERE a.doc_id % 50 = 0 ORDER BY id1, id2"),
+        "FROM pairs p JOIN t a ON a.doc_id = p.id1 JOIN t b ON b.doc_id = p.id2 " +
+        "ORDER BY id1, id2"),
 
     "q_ann_cosine" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +

@@ -89,6 +89,17 @@ object Aggregates {
       col("min_v"), col("max_v"))
   }
 
+  /** H6 — exact quartiles, linearly interpolated (pandas describe() prints
+    * 25%/50%/75%, exploratory_data_analysis.ipynb:4257-4264). Spark's
+    * `percentile` is exact with linear interpolation — the same definition
+    * as pandas quantile / DuckDB quantile_cont. One aggregate over a
+    * single shared sort buffer for all three points. */
+  def quartiles(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      round(expr(s"percentile($c, 0.25)"), 6).alias("q25"),
+      round(expr(s"percentile($c, 0.5)"), 6).alias("q50"),
+      round(expr(s"percentile($c, 0.75)"), 6).alias("q75"))
+
   /** H7 — histogram: fixed-width binned counts (the rating hist,
     * exploratory_data_analysis.ipynb:4277). Rendering is out of scope; the
     * binned aggregate is the engine op. */

@@ -29,13 +29,18 @@ object Inspect {
   def exactRandomSample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)
 
-  /** I1 — offset+limit "slice" via row_number over an explicit order
-    * (pandas `raw[3600:3605]`; positional slicing needs an order column in
-    * a distributed engine). */
-  def slice(df: DataFrame, order: Seq[Column], start: Long, end: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > start && col("__rn") <= end)
-      .drop("__rn")
-  }
+  /** I1 — offset+limit "slice" over an explicit order (pandas
+    * `raw[3600:3605]`; positional slicing needs an order column in a
+    * distributed engine).
+    *
+    * Planned as sort + OFFSET + LIMIT, which Spark compiles to
+    * TakeOrderedAndProject(offset, limit): each partition keeps only its
+    * top `end` rows, the driver k-merges and skips `start` — NO
+    * single-partition exchange of the table (the previous global
+    * row_number window's scale killer). Memory bound is O(end) rows, so
+    * this is the right plan for head-region slices (the reference's use);
+    * a deep slice (start ~ table size) is inherently a global-sort
+    * problem in any engine. */
+  def slice(df: DataFrame, order: Seq[Column], start: Long, end: Long): DataFrame =
+    df.orderBy(order: _*).offset(start.toInt).limit((end - start).toInt)
 }

@@ -67,31 +67,37 @@ object Joins {
     * of events. At equal timestamps the right row is eligible (≤, matching
     * SQL ASOF semantics).
     *
-    * Caveats: payload values should be non-null on the right (a genuinely
-    * null payload is skipped by ignoreNulls and an older match surfaces);
-    * duplicate right rows per (keys, rightTs) should be pre-aggregated for
-    * a deterministic result. */
+    * All payload columns ride in ONE struct with a non-null marker field,
+    * and `last(ignoreNulls)` carries that single struct forward: a right
+    * row whose payload value is genuinely NULL still matches (the struct
+    * itself is non-null), and multi-column payloads are guaranteed
+    * row-consistent — one window expression total. Duplicate right rows
+    * per (keys, rightTs) should be pre-aggregated for a deterministic
+    * result. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val payloadType = StructType(
+      StructField("__m", BooleanType, nullable = false) +:
+        payload.map(p => right.schema(p)))
     val carry = left.columns.toSeq.filterNot(keys.contains)
     val lSel = keys.map(col) ++
       Seq(col(leftTs).alias("__ts"), lit(0).alias("__side")) ++
-      carry.map(col) ++
-      payload.map(p => lit(null).cast(right.schema(p).dataType).alias(s"__p_$p"))
+      carry.map(col) :+
+      lit(null).cast(payloadType).alias("__p")
     val rSel = keys.map(col) ++
       Seq(col(rightTs).alias("__ts"), lit(1).alias("__side")) ++
-      carry.map(c => lit(null).cast(left.schema(c).dataType).alias(c)) ++
-      payload.map(p => col(p).alias(s"__p_$p"))
+      carry.map(c => lit(null).cast(left.schema(c).dataType).alias(c)) :+
+      struct(lit(true).alias("__m") +: payload.map(col): _*).alias("__p")
     val u = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val filled = payload.foldLeft(u)((d, p) =>
-      d.withColumn(s"__p_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 0)
+    u.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
       .select(keys.map(col) ++ carry.map(col) ++
-        payload.map(p => col(s"__p_$p").alias(p)): _*)
+        payload.map(p => col("__p").getField(p).alias(p)): _*)
   }
 }

@@ -65,19 +65,31 @@ object ScaleDedup {
       (bandIdx * rowsPerBand until (bandIdx + 1) * rowsPerBand).map(i => col(s"mh_$i")): _*)
 
   /** Full MinHash-LSH candidate-pair pipeline: signature → bands →
-    * self-join per band → distinct pairs (id1 < id2). `df` must expose
-    * `idCol` and `textCol`. Scale: the only shuffles are the band-key
-    * equi-joins; grossly oversized buckets (degenerate shingles) should be
-    * filtered upstream by a quality gate. */
+    * oversized-bucket guard → self-join per band → distinct pairs
+    * (id1 < id2). `df` must expose `idCol` and `textCol`.
+    *
+    * Scale: the only shuffles are on the band key. The guard is the part
+    * that makes the self-join survive 100 TB: ONE degenerate band key
+    * (empty docs, boilerplate) otherwise goes O(n²) in a single reducer.
+    * Buckets larger than `maxBucket` are dropped BEFORE the join (standard
+    * LSH practice — a bucket that big is noise, not near-duplicates; its
+    * members still pair up through their other, more selective bands).
+    * The bucket count is a window over the same (band, bkey) key the join
+    * shuffles on, so the guard adds no extra exchange on the probe side
+    * (the exchange is reused across the window and both join inputs). */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int = 8, bands: Int = 4): DataFrame = {
+                            numHashes: Int = 8, bands: Int = 4,
+                            maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
     val sig = df.select(col(idCol) +: minhashSignature(tokenSet(col(textCol)), numHashes): _*)
     val banded = (0 until bands).map { b =>
       sig.select(col(idCol), lit(b).alias("band"), bandKey(b, rows).alias("bkey"))
     }.reduce(_ unionAll _)
-    val l = banded.select(col(idCol).alias("id1"), col("band"), col("bkey"))
-    val r = banded.select(col(idCol).alias("id2"), col("band"), col("bkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val guarded = banded.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+    val l = guarded.select(col(idCol).alias("id1"), col("band"), col("bkey"))
+    val r = guarded.select(col(idCol).alias("id2"), col("band"), col("bkey"))
     l.join(r, Seq("band", "bkey")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
@@ -109,36 +121,58 @@ object ScaleDedup {
     round(size(array_intersect(aTokens, bTokens)).cast("double") /
       size(array_union(aTokens, bTokens)), 6)
 
-  /** Connected components by iterative min-label propagation: every vertex
-    * converges to the smallest id reachable through `edges` — turning
-    * near-duplicate PAIRS into duplicate CLUSTERS (pick min id per cluster
-    * as the canonical survivor).
+  /** Connected components by min-label propagation WITH pointer jumping:
+    * every vertex converges to the smallest id reachable through `edges` —
+    * turning near-duplicate PAIRS into duplicate CLUSTERS (pick min id per
+    * cluster as the canonical survivor).
     *
-    * Each iteration is one shuffle (join + min-aggregate); iterations are
-    * bounded by the component diameter, and the loop exits early at the
-    * fixpoint. `localCheckpoint` truncates lineage so plans stay flat.
-    * (At extreme graph sizes the two-phase large-star/small-star variant
-    * halves rounds; min-label is the simple associative core of both.) */
+    * Per iteration: one neighbor-propagation shuffle (join + min-agg) plus
+    * one label→label(label) "shortcut" join (path halving), so rounds
+    * scale with log(diameter) rather than diameter — a chain of 1M docs
+    * converges in ~20 rounds, not 1M. The previous label rides through the
+    * aggregate as `__old`, so change detection is a cheap filter-count on
+    * the already-checkpointed result instead of an extra full join per
+    * iteration. Reliable `checkpoint` (not localCheckpoint) truncates
+    * lineage AND survives executor loss — on a long iterative job at
+    * 100 TB, losing one executor must not recompute the whole prefix.
+    * Throws if the fixpoint is not reached within `maxIter` (a silently
+    * partial clustering is worse than a loud failure). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 15): DataFrame = {
+                          maxIter: Int = 20): DataFrame = {
+    val sc = vertices.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(System.getProperty("java.io.tmpdir") + "/graft-ckpt")
+    val idType = vertices.schema("id").dataType
     val sym = edges.select(col("id1").alias("src"), col("id2").alias("dst"))
       .union(edges.select(col("id2").alias("src"), col("id1").alias("dst")))
-      .localCheckpoint(true)
+      .checkpoint()
     var labels = vertices.select(col("id"), col("id").alias("label"))
-      .localCheckpoint(true)
+      .checkpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbr = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").alias("id"), col("label"))
-      val next = labels.unionByName(nbr)
-        .groupBy("id").agg(min("label").alias("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
-        .filter(col("label") =!= col("__old")).count()
-      labels = next
+        .select(col("dst").alias("id"), lit(null).cast(idType).alias("__old"),
+          col("label"))
+      val next = labels.select(col("id"), col("label").alias("__old"), col("label"))
+        .unionByName(nbr)
+        .groupBy("id").agg(min("label").alias("label"), max("__old").alias("__old"))
+      // pointer jump: label := label(label). Every label is itself a vertex
+      // id, and label(x) ≤ x, so following one hop strictly accelerates
+      // convergence (path halving).
+      val hop = next.select(col("id").alias("label"), col("label").alias("__l2"))
+      val jumped = next.join(hop, Seq("label"), "left")
+        .select(col("id"), coalesce(col("__l2"), col("label")).alias("label"),
+          col("__old"))
+        .checkpoint()
+      changed = jumped.filter(col("label") =!= col("__old")).count()
+      labels = jumped.select("id", "label")
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 

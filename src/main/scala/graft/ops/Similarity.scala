@@ -67,18 +67,21 @@ object Similarity {
 
   /** IVF cell assignment: id of the nearest of `centroids` (ties broken by
     * centroid id — deterministic). `centroids` must be a small DataFrame
-    * (cid, cv) — it is broadcast; assignment is one narrow pass over the
-    * corpus plus a per-row argmin window. */
+    * (cid, cv); it is packed into ONE array row and broadcast, and the
+    * argmin is a pure array expression — `array_min` over (dist, cid)
+    * structs, whose lexicographic ordering IS "smallest distance, then
+    * smallest cid". Zero exchanges over the corpus: no replication, no
+    * window on the unique id — one narrow codegen'd pass. */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__d").asc, col("cid").asc)
+    val packed = centroids.agg(
+      collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
     vectors.select(col(idCol), col(vecCol).alias("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__d", sqDist(col("v"), col("cv")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("v"), col("cid").alias("cell"))
+      .crossJoin(broadcast(packed))
+      .withColumn("__best", array_min(transform(col("__cents"),
+        c => struct(sqDist(col("v"), c.getField("cv")).alias("d"),
+          c.getField("cid").alias("cid")))))
+      .select(col(idCol), col("v"), col("__best").getField("cid").alias("cell"))
   }
 
   /** IVF ANN: k-means-style inverted file, with DETERMINISTIC "training" —

@@ -24,9 +24,18 @@ object Skew {
     * exploded sequence, and the join key becomes (key, salt) — hot keys
     * spread over `salts` reducers. Result is identical to
     * `big.join(small, keys)`. Use when `small` is too big to broadcast but
-    * small enough to replicate `salts` times. */
+    * small enough to replicate `salts` times.
+    *
+    * COST: the small side's shuffle volume is multiplied by `salts` —
+    * size `salts` for the BIG side's skew, not larger; `salts` beyond the
+    * hot key's partition spread only inflates the replicated side. Inputs
+    * must not already carry a `__salt` column (a pre-existing one would
+    * silently join on the wrong key). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, bigSaltFrom: Seq[String]): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin inputs must not already have a __salt column")
     val b = big.withColumn("__salt", saltCol(salts, bigSaltFrom.map(col): _*))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

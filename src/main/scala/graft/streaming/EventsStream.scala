@@ -82,17 +82,24 @@ object EventsStream {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
-            var acc = state.getOption.orNull
+            // Interval merge over (stored session ∪ batch events) in start
+            // order: an out-of-order event arriving in a later micro-batch
+            // (still within the watermark) correctly EXTENDS the open
+            // session backwards (startMs is min'd) when within `gap` of
+            // either boundary, and splits only when it is more than `gap`
+            // away from the nearest session edge — not just from lastMs.
+            val items = (state.getOption.toSeq ++
+              batch.map(e => SessionAcc(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(a => (a.startMs, a.lastMs))
+            var acc: SessionAcc = null
             val closed = Seq.newBuilder[UserSession]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (acc == null) acc = SessionAcc(t, t, 1, e.value)
-              else if (t - acc.lastMs > gapMs) {
+            items.foreach { it =>
+              if (acc == null) acc = it
+              else if (it.startMs - acc.lastMs > gapMs) {
                 closed += toSession(acc)
-                acc = SessionAcc(t, t, 1, e.value)
-              } else acc = SessionAcc(acc.startMs, math.max(acc.lastMs, t),
-                acc.n + 1, acc.sum + e.value)
+                acc = it
+              } else acc = SessionAcc(math.min(acc.startMs, it.startMs),
+                math.max(acc.lastMs, it.lastMs), acc.n + it.n, acc.sum + it.sum)
             }
             if (acc != null) {
               state.update(acc)
