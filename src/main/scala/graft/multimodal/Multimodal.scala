@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns + typed metadata, with decode / feature-extract /
   * resize / frame-sample as per-partition transforms.
   *
-  * The Spark-side plumbing here is real — schema, partition-sized
-  * batching, transform signatures, output shapes. The actual codec calls
-  * are STUBBED with deterministic fakes (this container ships no
-  * image/audio libraries): `decodeImageStub` fabricates dimensions from a
-  * content hash instead of parsing the bytes. Swap the stub body for a
-  * real codec (e.g. javax.imageio / ffmpeg bindings) in production — the
-  * dataflow around it does not change.
+  * Image decode is REAL: `decodeImage` parses the payload with
+  * `javax.imageio` (ships in the JDK — no external codec dependency) and
+  * extracts true dimensions plus a coarse luminance-grid embedding.
+  * Payloads ImageIO cannot parse (audio/video stand-ins, corrupt bytes)
+  * fall back to `decodeImageStub`, a deterministic md5-derived fake, so
+  * the pipeline is total — exactly how a production decode stage handles
+  * undecodable records (tag-and-keep rather than throw). Audio/video
+  * codecs are not in this container, so frame sampling stays a
+  * byte-slicing stand-in around real distributed plumbing.
   */
 object Multimodal {
 
@@ -37,7 +39,7 @@ object Multimodal {
     StructField("source_doc", LongType)))
 
   /** Fabricate a media table from the documents fixture: text bytes stand
-    * in for an image payload. Deterministic, schema-faithful. */
+    * in for an opaque (non-image) payload. Deterministic, schema-faithful. */
   def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     documents.select(
@@ -48,13 +50,75 @@ object Multimodal {
       col("doc_id").alias("source_doc")).as[MediaRecord]
   }
 
-  // ---- STUB: deterministic fake decode -------------------------------
-  // Real implementation would parse image headers / run a codec. The fake
-  // derives stable pseudo-dimensions and a tiny pseudo-embedding from md5
-  // so tests are reproducible and the distributed plumbing is exercised
-  // end-to-end.
+  /** Fabricate a media table of REAL PNG payloads: per document, a tiny
+    * deterministic image (dimensions and pixels derived from doc_id/
+    * n_chars) encoded with javax.imageio. Exercises the actual binary
+    * codec path end-to-end — encode on the executors, decode on the
+    * executors, nothing driver-side. */
+  def syntheticPngMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = 4 + (id % 13).toInt
+        val h = 3 + (nChars % 11).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // deterministic pixel pattern keyed on the record
+            img.setRGB(x, y, (id * 2654435761L + x * 31 + y * 7).toInt & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image", bos.toByteArray, "image/png", id)
+      }
+  }
+
   private def md5Bytes(b: Array[Byte]): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5").digest(b)
+
+  /** REAL image decode via javax.imageio: true width/height plus a coarse
+    * 2×4 mean-luminance grid as the embedding (a stand-in for a model
+    * embedding with the same dataflow shape). Returns None when the bytes
+    * are not a decodable image. */
+  private[multimodal] def decodeImage(r: MediaRecord): Option[ImageFeatures] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val (gx, gy) = (4, 2)
+      val emb = new Array[Float](gx * gy)
+      val cnt = new Array[Int](gx * gy)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 0.299 + ((rgb >> 8) & 0xff) * 0.587 +
+            (rgb & 0xff) * 0.114) / 255.0
+          val cell = math.min(gy - 1, y * gy / h) * gx + math.min(gx - 1, x * gx / w)
+          emb(cell) += lum.toFloat
+          cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < emb.length) { if (cnt(i) > 0) emb(i) /= cnt(i); i += 1 }
+      val hex = md5Bytes(r.bytes).map("%02x".format(_)).mkString
+      ImageFeatures(r.media_id, w, h, r.bytes.length.toLong, hex, emb)
+    }
+  }
+
+  // ---- STUB: deterministic fake decode (fallback) ---------------------
+  // Used when ImageIO cannot parse the payload (non-image stand-ins,
+  // corrupt bytes): stable pseudo-dimensions and a tiny pseudo-embedding
+  // derived from md5, so the pipeline is total and reproducible.
 
   private[multimodal] def decodeImageStub(r: MediaRecord): ImageFeatures = {
     val h = md5Bytes(r.bytes)
@@ -67,12 +131,15 @@ object Multimodal {
 
   /** Decode + feature-extract over partitions: one codec context per
     * partition (the expensive init happens once per task, not per row) —
-    * the same batching shape a Pandas-UDF/mapInPandas pipeline uses. */
+    * the same batching shape a Pandas-UDF/mapInPandas pipeline uses.
+    * Real ImageIO decode first; undecodable payloads degrade to the
+    * deterministic stub instead of failing the task. */
   def extractImageFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init would go here (codec handles, model weights)
-      it.map(decodeImageStub)
+      // ImageIO's disk-backed cache is pure overhead for in-memory blobs
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(r => decodeImage(r).getOrElse(decodeImageStub(r)))
     }
   }
 
