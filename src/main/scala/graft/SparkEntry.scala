@@ -480,6 +480,16 @@ object SparkEntry {
       Similarity.lshTopK(emb, "vec_id", "embedding", q, dim = 64, k = 20, nPlanes = 8)
     }),
 
+    // similarity: multi-probe LSH ANN (query bucket + Hamming-1 neighbors —
+    // recall superset of q_ann_lsh, same single corpus scan + equi-join)
+    "q_ann_lsh_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", q,
+        dim = 64, k = 20, nPlanes = 8)
+    }),
+
     // similarity: IVF ANN (deterministic centroids → cell equi-join)
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -771,6 +781,24 @@ object SparkEntry {
       "SELECT cb.vec_id, round(list_dot_product(cb.v, qb.qv) / " +
       "(sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS cos " +
       "FROM cb, qb WHERE cb.bucket = qb.qbucket ORDER BY cos DESC, vec_id LIMIT 20"
+  }
+
+  /** DuckDB mirror of q_ann_lsh_multiprobe: probe list = query bucket plus
+    * each single-bit flip (xor with 1<<p). */
+  private def lshMultiProbeOracle: String = {
+    val bucketOf = (v: String) => (0 until 8).map { p =>
+      s"(CASE WHEN list_dot_product($v, ${planeLiteral(p, 64)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
+      s"cb AS (SELECT vec_id, v, ${bucketOf("v")} AS bucket FROM e), " +
+      s"qb AS (SELECT qv, ${bucketOf("qv")} AS qbucket FROM q), " +
+      "pr AS (SELECT qv, qbucket AS probe FROM qb " +
+      (0 until 8).map(p => s"UNION ALL SELECT qv, xor(qbucket, ${1L << p}) FROM qb")
+        .mkString(" ") + ") " +
+      "SELECT cb.vec_id, round(list_dot_product(cb.v, pr.qv) / " +
+      "(sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(pr.qv, pr.qv))), 6) AS cos " +
+      "FROM cb JOIN pr ON cb.bucket = pr.probe ORDER BY cos DESC, vec_id LIMIT 20"
   }
 
   /** DuckDB mirror of q_neardup_embedding: 4-plane LSH bucket self-join,
@@ -1128,6 +1156,7 @@ object SparkEntry {
         "FROM e, q ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_ann_lsh" -> lshOracle,
+    "q_ann_lsh_multiprobe" -> lshMultiProbeOracle,
 
     "q_ann_ivf" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +

@@ -86,9 +86,14 @@ object Multimodal {
   /** REAL image decode via javax.imageio: true width/height plus a coarse
     * 2×4 mean-luminance grid as the embedding (a stand-in for a model
     * embedding with the same dataflow shape). Returns None when the bytes
-    * are not a decodable image. */
+    * are not a decodable image — including payloads ImageIO RECOGNIZES but
+    * cannot decode (truncated PNG, CMYK JPEG throw IIOException rather than
+    * returning null); the Try keeps the pipeline total as documented
+    * (tag-and-keep, never fail the task on one corrupt record). */
   private[multimodal] def decodeImage(r: MediaRecord): Option[ImageFeatures] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    val img = scala.util.Try(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+    ).getOrElse(null)
     Option(img).map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val (gx, gy) = (4, 2)
@@ -143,26 +148,70 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: records the target size; a real impl would transcode
-    * bytes. Shows the metadata-update-without-reshuffle pattern. */
+  /** Resize stub: records the target size; a real impl transcodes bytes —
+    * see `resizeImages`. Kept for the metadata-update-without-reshuffle
+    * pattern (e.g. when a downstream service does the transcode). */
   def resizeTo(features: Dataset[ImageFeatures], w: Int, h: Int)
               (implicit spark: SparkSession): DataFrame =
     features.toDF()
       .withColumn("width", lit(w)).withColumn("height", lit(h))
       .withColumn("resized", lit(true))
 
-  /** Frame-sample stub for video-shaped payloads: take every `stride`-th
-    * chunk of the payload as a "frame" — the partition-local slicing shape
-    * of a real frame sampler. */
+  /** REAL image resize: ImageIO decode → `Graphics2D.drawImage` scaled to
+    * (w, h) with bilinear interpolation → PNG re-encode. JDK-only (no new
+    * codec dependency), per-partition codec init, bytes transformed on the
+    * executors. Undecodable payloads pass through UNCHANGED with
+    * `resized = false` (tag-and-keep — same totality contract as decode),
+    * so the pipeline never fails a 100 TB task on one corrupt record. */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRecord],
+                   w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val decoded = scala.util.Try(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        ).toOption.flatMap(Option(_))
+        decoded match {
+          case Some(im) =>
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            (r.media_id, bos.toByteArray, "image/png", w, h, true)
+          case None =>
+            (r.media_id, r.bytes, r.mime, -1, -1, false)
+        }
+      }
+    }.toDF("media_id", "bytes", "mime", "width", "height", "resized")
+  }
+
+  /** Frame-sample STAND-IN for video payloads: take every `stride`-th chunk
+    * of the payload as a "frame" — the partition-local slicing shape of a
+    * real frame sampler. This container ships no video codecs, so this is
+    * explicitly NOT decode: mimes without a `video/` prefix are REFUSED (loud
+    * IllegalArgumentException, not silent garbage) and the output column is
+    * named `synthetic_frame_bytes` so a consumer cannot mistake the chunks
+    * for decoded frames. */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
                    frameBytes: Int = 16, stride: Int = 4): DataFrame = {
     import spark.implicits._
     media.flatMap { r =>
+      require(r.mime != null && r.mime.startsWith("video/"),
+        s"sampleFrames: refusing non-video payload (media_id=${r.media_id}, " +
+          s"mime=${r.mime}) — no codecs in this build; byte-slice stand-in " +
+          "is only meaningful on video streams")
       val nFrames = r.bytes.length / (frameBytes * stride)
       (0 until nFrames).map { i =>
         val off = i * frameBytes * stride
         (r.media_id, i, r.bytes.slice(off, off + frameBytes))
       }
-    }.toDF("media_id", "frame_idx", "frame_bytes")
+    }.toDF("media_id", "frame_idx", "synthetic_frame_bytes")
   }
 }

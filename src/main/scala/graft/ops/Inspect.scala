@@ -41,6 +41,12 @@ object Inspect {
     * this is the right plan for head-region slices (the reference's use);
     * a deep slice (start ~ table size) is inherently a global-sort
     * problem in any engine. */
-  def slice(df: DataFrame, order: Seq[Column], start: Long, end: Long): DataFrame =
+  def slice(df: DataFrame, order: Seq[Column], start: Long, end: Long): DataFrame = {
+    // Spark's OFFSET/LIMIT take Int; a silent Long→Int narrowing would wrap
+    // a >2^31 slice to a wrong/negative offset. Fail loudly instead — a
+    // deeper slice is a global-sort problem the caller must opt into.
+    require(start >= 0 && end >= start && end <= Int.MaxValue,
+      s"slice bounds must satisfy 0 <= start <= end <= Int.MaxValue, got [$start, $end)")
     df.orderBy(order: _*).offset(start.toInt).limit((end - start).toInt)
+  }
 }

@@ -136,18 +136,38 @@ object ScaleDedup {
     * lineage AND survives executor loss — on a long iterative job at
     * 100 TB, losing one executor must not recompute the whole prefix.
     * Throws if the fixpoint is not reached within `maxIter` (a silently
-    * partial clustering is worse than a loud failure). */
+    * partial clustering is worse than a loud failure).
+    *
+    * Checkpointing: reliable `checkpoint` requires a CLUSTER-VISIBLE dir.
+    * If none is configured, local mode defaults to `java.io.tmpdir` (driver
+    * fs == executor fs there); on a real cluster an unset dir falls back to
+    * `localCheckpoint` — lineage truncation without executor-loss
+    * resilience — rather than silently writing checkpoint files to
+    * per-node /tmp that can never be read back. Deployments wanting
+    * resilience set `sc.setCheckpointDir` to shared storage (and
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap files).
+    *
+    * Driver round-trips: the filter-count fixpoint check runs every
+    * `checkEvery` rounds (and on the last permitted round) instead of every
+    * round — at most checkEvery-1 surplus iterations on already-converged
+    * labels (cheap joins over the checkpointed result) in exchange for
+    * ~checkEvery× fewer count actions on a deep graph. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, checkEvery: Int = 2): DataFrame = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val sc = vertices.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(System.getProperty("java.io.tmpdir") + "/graft-ckpt")
+    val reliable = sc.getCheckpointDir.nonEmpty || {
+      if (sc.isLocal) {
+        sc.setCheckpointDir(System.getProperty("java.io.tmpdir") + "/graft-ckpt")
+        true
+      } else false
+    }
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val idType = vertices.schema("id").dataType
-    val sym = edges.select(col("id1").alias("src"), col("id2").alias("dst"))
-      .union(edges.select(col("id2").alias("src"), col("id1").alias("dst")))
-      .checkpoint()
-    var labels = vertices.select(col("id"), col("id").alias("label"))
-      .checkpoint()
+    val sym = ckpt(edges.select(col("id1").alias("src"), col("id2").alias("dst"))
+      .union(edges.select(col("id2").alias("src"), col("id1").alias("dst"))))
+    var labels = ckpt(vertices.select(col("id"), col("id").alias("label")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -161,18 +181,21 @@ object ScaleDedup {
       // id, and label(x) ≤ x, so following one hop strictly accelerates
       // convergence (path halving).
       val hop = next.select(col("id").alias("label"), col("label").alias("__l2"))
-      val jumped = next.join(hop, Seq("label"), "left")
+      val jumped = ckpt(next.join(hop, Seq("label"), "left")
         .select(col("id"), coalesce(col("__l2"), col("label")).alias("label"),
-          col("__old"))
-        .checkpoint()
-      changed = jumped.filter(col("label") =!= col("__old")).count()
-      labels = jumped.select("id", "label")
+          col("__old")))
       i += 1
+      if (i % checkEvery == 0 || i == maxIter)
+        changed = jumped.filter(col("label") =!= col("__old")).count()
+      labels = jumped.select("id", "label")
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter iterations " +
           s"($changed labels still changing) — raise maxIter")
+    System.err.println(
+      s"[graft] connectedComponents: fixpoint within $i rounds " +
+        s"(check every $checkEvery, reliable checkpoint = $reliable)")
     labels
   }
 

@@ -81,7 +81,15 @@ object Similarity {
       .withColumn("__best", array_min(transform(col("__cents"),
         c => struct(sqDist(col("v"), c.getField("cv")).alias("d"),
           c.getField("cid").alias("cid")))))
-      .select(col(idCol), col("v"), col("__best").getField("cid").alias("cell"))
+      // Empty `centroids` → collect_list yields one empty-array row and
+      // array_min returns null; a NULL cell would silently drop/misroute
+      // every vector in downstream grouping. Keep the degenerate case loud
+      // without a driver-side isEmpty job: raise_error fires lazily, on the
+      // executors, only if a null cell is actually produced.
+      .select(col(idCol), col("v"),
+        when(col("__best").isNull, raise_error(lit(
+          "ivfAssign: nearest-centroid cell is null — empty centroids input?")))
+          .otherwise(col("__best").getField("cid")).alias("cell"))
   }
 
   /** IVF ANN: k-means-style inverted file, with DETERMINISTIC "training" —
@@ -107,14 +115,39 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: only compare vectors sharing the query's bucket.
-    * Returns top-k within the bucket (a recall/latency tradeoff — the
-    * standard multi-probe extension would also probe neighboring buckets). */
+    * Returns top-k within the bucket (a recall/latency tradeoff — see
+    * `lshTopKMultiProbe` for the standard recall extension). */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, dim: Int, k: Int, nPlanes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
     val q = query.withColumn("qbucket", lshBucket(col("qv"), dim, nPlanes))
     c.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-probe LSH ANN: probe the query's bucket PLUS each Hamming-1
+    * neighbor (one plane bit flipped) — the standard recall extension for
+    * hyperplane LSH, since near neighbors most often differ on exactly one
+    * marginal plane. The probe list is exploded on the QUERY side (tiny,
+    * broadcast), so the corpus still sees a single equi-join on `bucket`
+    * with fan-out bounded at nPlanes+1 probe keys; the corpus is scanned
+    * and bucketed exactly once, same as `lshTopK`. Probe keys are pairwise
+    * distinct and each corpus vector has exactly one bucket, so no
+    * candidate dedup is needed. The result is a recall superset of
+    * `lshTopK` at the same k whenever the exact-bucket hits are < k. */
+  def lshTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
+                        query: DataFrame, dim: Int, k: Int,
+                        nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim, nPlanes))
+    val probes = col("qbucket") +:
+      (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))
+    val q = query.withColumn("qbucket", lshBucket(col("qv"), dim, nPlanes))
+      .withColumn("probe", explode(array(probes: _*)))
+    c.join(broadcast(q), col("bucket") === col("probe"))
       .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)

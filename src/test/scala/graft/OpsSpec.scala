@@ -108,6 +108,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("multi-probe LSH is a strict recall superset of single-bucket LSH") {
+    val emb = Tables.embeddings(spark, sf0)
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(Similarity.asDouble(col("embedding")).alias("qv"))
+    // k larger than any bucket population: compare full candidate recall,
+    // not top-k truncation
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding", q,
+      dim = 64, k = 100000, nPlanes = 8).select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", q,
+      dim = 64, k = 100000, nPlanes = 8).select("vec_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi), "multi-probe lost exact-bucket candidates")
+    assert(multi.size > single.size,
+      s"expected Hamming-1 probes to add candidates (single=${single.size}, multi=${multi.size})")
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
