@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   // Headliners: one per performance-critical shape — scan+filter, hash agg,
   // pivot+join, multi-join, window, keep-first dedup, minhash, brute ANN,
-  // text quality.
+  // text quality. q9/q10 (appended after the original 8 — BASELINE.md's
+  // first table stays comparable) cover the LSH dedup pipeline: the capped
+  // band self-join and the full iterative clustering on top of it — the
+  // bulk-throughput story whose cost was previously untracked.
   val Headline: Seq[(String, String)] = Seq(
     "q1_pricing" -> "q_agg_pricing",
     "q2_pivot" -> "q_pivot_ratings",
@@ -19,6 +22,8 @@ object Bench {
     "q6_minhash" -> "q_minhash_sig",
     "q7_ann" -> "q_ann_cosine",
     "q8_quality" -> "q_text_quality",
+    "q9_lsh_pairs" -> "q_minhash_pairs",
+    "q10_clusters" -> "q_dedup_clusters",
   )
 
   def main(args: Array[String]): Unit = {
