@@ -498,6 +498,16 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20, nCells = 8)
     }),
 
+    // similarity: IVF multi-probe ANN (query probes its 2 nearest cells —
+    // recall superset of q_ann_ivf, same single corpus assignment pass)
+    "q_ann_ivf_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.ivfTopKMultiProbe(emb, "vec_id", "embedding", q,
+        k = 20, nCells = 8, nProbe = 2)
+    }),
+
     // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join)
     "q_neardup_embedding" -> ((s, d) => {
       val base = Tables.embeddings(s, d)
@@ -1170,6 +1180,23 @@ object SparkEntry {
         "SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / " +
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
         "FROM a JOIN q ON a.cell = q.cell ORDER BY cos DESC, vec_id LIMIT 20"),
+
+    // Multi-probe IVF: same assignment CTEs as q_ann_ivf, but the query
+    // keeps its 2 nearest centroids (ORDER BY dist, cid LIMIT 2) as probes.
+    "q_ann_ivf_multiprobe" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, e.v, c.cid, " +
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv) AS dist " +
+        "FROM e CROSS JOIN c), " +
+        "a AS (SELECT vec_id, v, cid AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
+        "q AS (SELECT vec_id, v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
+        "qp AS (SELECT d.cid AS cell, q.qv FROM q JOIN d ON d.vec_id = q.vec_id " +
+        "ORDER BY d.dist, d.cid LIMIT 2) " +
+        "SELECT a.vec_id, round(list_dot_product(a.v, qp.qv) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
+        "FROM a JOIN qp ON a.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"),
 
     "q_neardup_embedding" -> neardupOracle,
 

@@ -164,6 +164,19 @@ object ScaleDedup {
     val reliable = sc.getCheckpointDir.nonEmpty || {
       if (sc.isLocal) {
         sc.setCheckpointDir(System.getProperty("java.io.tmpdir") + "/graft-ckpt")
+        // We own this default dir: reap this app's checkpoint subdir at JVM
+        // exit so repeated local runs don't accumulate unbounded in /tmp.
+        // (User-configured dirs are their owner's to manage.)
+        sc.getCheckpointDir.foreach { d =>
+          val p = java.nio.file.Paths.get(new java.net.URI(d).getPath)
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            scala.util.Try {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }))
+        }
         true
       } else false
     }

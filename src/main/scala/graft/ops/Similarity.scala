@@ -114,6 +114,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF multi-probe ANN: the query probes its `nProbe` NEAREST cells
+    * instead of only the argmin cell — the standard IVF recall lever
+    * (recall lost at cell boundaries is recovered by probing the runner-up
+    * centroids). The probe list is computed on the (single-row, broadcast)
+    * query side: sort the (dist, cid) struct array, slice the first
+    * `nProbe`, explode — the corpus is still assigned and scanned exactly
+    * once, and the search stays an equi-join on `cell` with query-side
+    * fan-out bounded at nProbe. Cells are distinct, so no candidate dedup
+    * is needed. Recall superset of `ivfTopK` whenever its cell has < k
+    * hits. */
+  def ivfTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
+                        query: DataFrame, k: Int, nCells: Int = 8,
+                        nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, $nCells], got $nProbe")
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    val centroids = base.orderBy(idCol).limit(nCells)
+      .select(col(idCol).alias("cid"), col("v").alias("cv"))
+    val assigned = ivfAssign(base, idCol, "v", centroids)
+    val packed = centroids.agg(
+      collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
+    val q = query.crossJoin(broadcast(packed))
+      .withColumn("__ranked", array_sort(transform(col("__cents"),
+        c => struct(sqDist(col("qv"), c.getField("cv")).alias("d"),
+          c.getField("cid").alias("cid")))))
+      .withColumn("cell", explode(transform(
+        slice(col("__ranked"), 1, nProbe), s => s.getField("cid"))))
+      .select(col("qv"), col("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: only compare vectors sharing the query's bucket.
     * Returns top-k within the bucket (a recall/latency tradeoff — see
     * `lshTopKMultiProbe` for the standard recall extension). */

@@ -123,6 +123,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"expected Hamming-1 probes to add candidates (single=${single.size}, multi=${multi.size})")
   }
 
+  test("multi-probe IVF is a strict recall superset of single-cell IVF") {
+    val emb = Tables.embeddings(spark, sf0)
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(Similarity.asDouble(col("embedding")).alias("qv"))
+    val single = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+      k = 100000, nCells = 8).select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.ivfTopKMultiProbe(emb, "vec_id", "embedding", q,
+      k = 100000, nCells = 8, nProbe = 2).select("vec_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi), "multi-probe lost nearest-cell candidates")
+    assert(multi.size > single.size,
+      s"expected the runner-up cell to add candidates (single=${single.size}, multi=${multi.size})")
+  }
+
   test("minhash LSH finds planted near-duplicates") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
