@@ -657,6 +657,21 @@ object SparkEntry {
         .crossJoin(Tables.nation(s, d).select(col("n_name")))
         .orderBy("r_name", "n_name")),
 
+    // G-extra — upsert/merge by key (the MERGE INTO dataflow): every 10th
+    // customer's balance zeroed (row replace), every 100th key re-inserted
+    // under a new id (append) — one full-outer join, no driver loop
+    "q_upsert" -> ((s, d) => {
+      val t = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+      val upd = t.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"), lit(0.0).alias("c_acctbal"))
+      val novel = t.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 10000000L).alias("c_custkey"),
+          concat(lit("new_"), col("c_custkey").cast("string")).alias("c_name"),
+          lit(1.0).alias("c_acctbal"))
+      Joins.upsert(t, upd.unionByName(novel), Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     // exact per-group median
     "q_group_median" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag")
@@ -1299,6 +1314,19 @@ object SparkEntry {
     "q_cross_join" ->
       ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
         "ORDER BY r_name, n_name"),
+
+    // Row-wise replace semantics (matched ⇒ ENTIRE update row wins), so the
+    // mirror uses CASE on the update key's presence, not per-column COALESCE.
+    "q_upsert" ->
+      ("WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
+        "u AS (SELECT c_custkey, c_name, CAST(0.0 AS DOUBLE) AS c_acctbal FROM t " +
+        "WHERE c_custkey % 10 = 0 " +
+        "UNION ALL SELECT c_custkey + 10000000, 'new_' || c_custkey, " +
+        "CAST(1.0 AS DOUBLE) FROM t WHERE c_custkey % 100 = 0) " +
+        "SELECT CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE t.c_custkey END AS c_custkey, " +
+        "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name, " +
+        "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal " +
+        "FROM t FULL JOIN u ON t.c_custkey = u.c_custkey ORDER BY c_custkey"),
 
     "q_group_median" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS median_qty " +

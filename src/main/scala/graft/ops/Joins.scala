@@ -57,6 +57,28 @@ object Joins {
   def rangeJoin(left: DataFrame, right: DataFrame, equi: Column, range: Column): DataFrame =
     left.join(right, equi && range, "inner")
 
+  /** Upsert / merge-by-key (the MERGE INTO dataflow, minus a table format's
+    * transaction log): matched keys take the ENTIRE update row (row-wise
+    * replace — an update column that is genuinely NULL still wins),
+    * unmatched target rows pass through, update rows with brand-new keys
+    * are appended. One full-outer equi-join: each side shuffles once on the
+    * key, AQE handles skew, and nothing collects to the driver — the shape
+    * that holds for a 100 TB target with a 1% daily delta (broadcast the
+    * update side upstream if it is dimension-sized). Output schema =
+    * target schema; `updates` must contain all target columns. */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.alias("__t")
+    val u = updates.alias("__u")
+    val cond = keys.map(k => col(s"__t.$k") === col(s"__u.$k")).reduce(_ && _)
+    // matched ⇔ the update side's key is present (keys are non-null by
+    // definition of a merge key)
+    val matched = keys.map(k => col(s"__u.$k").isNotNull).reduce(_ && _)
+    val cols = target.columns.toSeq.map { c =>
+      when(matched, col(s"__u.$c")).otherwise(col(s"__t.$c")).alias(c)
+    }
+    t.join(u, cond, "full_outer").select(cols: _*)
+  }
+
   /** As-of join (left): for each left row, attach the `payload` columns of
     * the LATEST right row with the same `keys` and `rightTs` ≤ `leftTs`.
     *

@@ -67,4 +67,15 @@ object IO {
   /** Parquet sink (the verify path). */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style partitioned parquet sink: one directory per distinct value
+    * of `partitionCols` (`path/col=value/...`). At 100 TB this is the
+    * coarse pruning layer: a query filtering on a partition column reads
+    * ONLY the matching directories — the scan's PartitionFilters, applied
+    * at planning time, before any file is opened. Choose low-cardinality
+    * columns (date, lang, source); high-cardinality partitioning produces
+    * the small-files problem instead. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 }

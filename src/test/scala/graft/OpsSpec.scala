@@ -108,6 +108,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("upsert: matched keys take the WHOLE update row, including genuine nulls") {
+    val t = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+    val u = Seq((2L, null.asInstanceOf[String], 99.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val got = Joins.upsert(t, u, Seq("k")).orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+    // key 2's name becomes NULL — row-wise replace, NOT per-column coalesce
+    assert(got == Seq((1L, Some("a"), 10.0), (2L, None, 99.0), (3L, Some("c"), 30.0)))
+  }
+
   test("multi-probe LSH is a strict recall superset of single-bucket LSH") {
     val emb = Tables.embeddings(spark, sf0)
     val q = emb.orderBy("vec_id").limit(1)

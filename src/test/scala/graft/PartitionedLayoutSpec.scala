@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IO
+
+/** Hive-style partitioned layout must (a) lay files out one directory per
+  * partition value, (b) prune non-matching partitions at PLANNING time — a
+  * filter on the partition column becomes a PartitionFilter on the scan and
+  * only the matching directories' files are listed — and (c) round-trip
+  * values identically. This is the coarse pruning layer a 100 TB table
+  * relies on before any row-group statistics apply. */
+class PartitionedLayoutSpec extends AnyFunSuite with SparkSpec
+    with AdaptiveSparkPlanHelper {
+
+  test("partitionBy lays out directories and prunes at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    try {
+      val docs = Tables.documents(spark, sf0)
+        .select("doc_id", "text", "lang", "source")
+      IO.writePartitioned(docs, dir, Seq("lang"))
+
+      // (a) physical layout: one subdirectory per language value
+      val subdirs = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      val langs = docs.select("lang").na.drop().distinct()
+        .collect().map(r => "lang=" + r.getString(0)).toSet
+      assert(langs.subsetOf(subdirs), s"missing partition dirs: ${langs -- subdirs}")
+
+      // (b) planning-time pruning: the lang filter must land in the scan's
+      // partition filters, and the scan must read only that partition's files
+      val q = spark.read.parquet(dir).filter(col("lang") === "en")
+      q.write.format("noop").mode("overwrite").save()
+      val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+        s"lang filter not pushed to partitionFilters: ${scan.partitionFilters}")
+      val readFiles = scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files).map(_.getPath.toString)
+      assert(readFiles.nonEmpty && readFiles.forall(_.contains("lang=en")),
+        s"scan lists files outside lang=en: ${readFiles.filterNot(_.contains("lang=en"))}")
+
+      // (c) value round-trip (partition column is reconstructed from the path)
+      val expect = docs.filter(col("lang") === "en")
+        .select("doc_id", "text", "source").orderBy("doc_id").collect().toSeq
+      val got = q.select("doc_id", "text", "source").orderBy("doc_id").collect().toSeq
+      assert(got === expect)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
