@@ -122,6 +122,31 @@ object EventsStream {
       .agg(count(lit(1)).alias("n_events"))
       .select(col("window.start").alias("w_start"), col("user_id"), col("n_events"))
 
+  /** Watermarked stream-stream INNER join: pair each left event with the
+    * right events of the same user falling in [left.ts, left.ts + within].
+    * Both sides carry watermarks AND the join predicate bounds event time
+    * relative to the other side, which is exactly what lets Spark compute a
+    * state-eviction horizon for BOTH buffers — without the time bound a
+    * stream-stream join must buffer each side forever. This is the
+    * attribution-join shape (view → click within N minutes) that at 100 TB
+    * must never hold unbounded state. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       lateness: String = "30 minutes",
+                       withinMinutes: Int = 10): DataFrame = {
+    val l = left.select(col("event_id").alias("l_id"), col("user_id"),
+      col("ts").alias("l_ts"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col("event_id").alias("r_id"),
+      col("user_id").alias("r_user"), col("ts").alias("r_ts"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "inner")
+      .select(col("l_id"), col("r_id"), col("user_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup: drop repeated ids with state bounded by the
     * watermark (ids older than the lateness horizon are forgotten — the
     * only dedup that runs forever). The streaming face of the batch dedup

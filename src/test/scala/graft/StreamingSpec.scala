@@ -53,6 +53,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids.sorted === Seq(1L, 2L), s"got $ids")
   }
 
+  test("stream-stream interval join pairs events within the time bound only") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Long) = new Timestamp((1000 + minute) * 60000L)
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventsStream.streamStreamJoin(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      lateness = "10 minutes", withinMinutes = 10)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    views.addData((10L, 1L, ts(0)), (11L, 2L, ts(0)))
+    // user 1: one click inside the 10-min bound, one outside; user 2: inside
+    clicks.addData((20L, 1L, ts(5)), (21L, 1L, ts(20)), (22L, 2L, ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ss_join").select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L), (11L, 22L)), s"got $pairs")
+  }
+
   test("stateful sessionization: gap split, merge within gap, timeout close") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
