@@ -299,6 +299,50 @@ object SparkEntry {
       Aggregates.rollupCount(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // cube: all grouping-set subtotal combinations, one shuffle. Subtotal
+    // NULL keys are labeled '(all)' so every output column is non-null
+    // (the driver's row-sort compare needs an orderable first column).
+    "q_cube" -> ((s, d) =>
+      Aggregates.cubeCount(Tables.orders(s, d), Seq("o_orderstatus", "o_orderpriority"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).alias("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).alias("o_orderpriority"),
+          col("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // window navigation: lag/lead within each customer's order history —
+    // partitioned window (shuffles once on the customer key, no global
+    // sort). Boundary NULLs are sentinel-filled so no nullable column can
+    // lead the driver's sorted-row compare.
+    "q_window_lead_lag" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          coalesce(lag("o_totalprice", 1).over(w), lit(-1.0)).alias("prev_price"),
+          coalesce(lead("o_totalprice", 1).over(w), lit(-1.0)).alias("next_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ntile quartiles WITHIN each status partition (a global ntile would be
+    // a single-partition sort — at scale, bucket by a partition key or use
+    // percentile boundaries instead)
+    "q_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d).select(col("o_orderkey"),
+        ntile(4).over(w).alias("quartile")).orderBy("o_orderkey")
+    }),
+
+    // array higher-order functions: filter → transform → aggregate entirely
+    // inside the row (no explode, no shuffle)
+    "q_array_hof" -> ((s, d) => {
+      val longToks = filter(split(col("text"), " "), t => length(t) > 3)
+      Tables.documents(s, d).select(col("doc_id"),
+        size(longToks).cast("long").alias("n_long_tokens"),
+        aggregate(longToks, lit(0L), (acc, t) => acc + length(t))
+          .alias("chars_long_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // I1 — top-k (TakeOrderedAndProject)
     "q_topk" -> ((s, d) =>
       Inspect.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
@@ -1069,6 +1113,33 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, count(*) AS \"count\" FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "q_cube" ->
+      ("SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus, " +
+        "coalesce(o_orderpriority, '(all)') AS o_orderpriority, count(*) AS n " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+
+    "q_window_lead_lag" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "coalesce(lag(o_totalprice) OVER w, -1.0) AS prev_price, " +
+        "coalesce(lead(o_totalprice) OVER w, -1.0) AS next_price FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_orderkey"),
+
+    "q_ntile" ->
+      ("SELECT o_orderkey, CAST(ntile(4) OVER " +
+        "(PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    // list_sum of an empty list is NULL in DuckDB while Spark's aggregate
+    // folds to the 0 seed — coalesce keeps the mirrors identical
+    "q_array_hof" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 3)) AS BIGINT) AS n_long_tokens, " +
+        "CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), " +
+        "t -> length(t) > 3), t -> length(t))), 0) AS BIGINT) AS chars_long_tokens " +
+        "FROM documents ORDER BY doc_id"),
 
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",

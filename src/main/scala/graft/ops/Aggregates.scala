@@ -110,4 +110,10 @@ object Aggregates {
   /** Rollup subtotals (engine breadth; GROUP BY ROLLUP). */
   def rollupCount(df: DataFrame, keys: Seq[String]): DataFrame =
     df.rollup(keys.map(col): _*).count()
+
+  /** Cube: every grouping-set combination in one pass (GROUP BY CUBE).
+    * Spark expands the 2^k grouping sets map-side and aggregates them in
+    * ONE shuffle — the same exchange count as a plain groupBy. */
+  def cubeCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.cube(keys.map(col): _*).agg(count(lit(1)).alias("n"))
 }

@@ -50,13 +50,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows differ: oracle={exp.num_rows} spark={got.num_rows}")
             n_fail += 1
             continue
-        # sort columns by name, rows by everything → order-insensitive value compare
+        # sort columns by name, rows by everything → order-insensitive value
+        # compare. The sort key must be None-safe (Python can't order None
+        # vs float); any deterministic total order pairs equal multisets.
+        def rowkey(row):
+            return [(v is None, str(type(v)), repr(v)) for v in row]
         erows = sorted(
-            tuple(norm(v) for v in row)
-            for row in zip(*[exp.column(c).to_pylist() for c in ecols]))
+            (tuple(norm(v) for v in row)
+             for row in zip(*[exp.column(c).to_pylist() for c in ecols])),
+            key=rowkey)
         grows = sorted(
-            tuple(norm(v) for v in row)
-            for row in zip(*[got.column(c).to_pylist() for c in gcols]))
+            (tuple(norm(v) for v in row)
+             for row in zip(*[got.column(c).to_pylist() for c in gcols])),
+            key=rowkey)
         if erows != grows:
             bad = next((i, a, b) for i, (a, b) in enumerate(zip(erows, grows)) if a != b)
             print(f"FAIL {name}: values differ at sorted-row {bad[0]}:")
