@@ -37,7 +37,21 @@ object ScaleDedup {
   def minhash(tokens: Column, seed: Int): Column =
     array_min(transform(tokens, t => hash32(t, seed)))
 
-  /** MinHash signature as `numHashes` columns named `mh_0..mh_{n-1}`.
+  /** MinHash signature as `numHashes` columns named `mh_0..mh_{n-1}`,
+    * computed by the native codegen kernel (`functions/MinHashSigExpr`) —
+    * one md5 per token per 4-hash group, direct byte slicing, no hex
+    * string or base-16 parse. Value-identical to `minhashSignatureCols`
+    * (cross-validated in OpsSpec); measured ~2× faster on the signature
+    * projection at sf0.1. The single array expression is deterministic, so
+    * whole-stage codegen's subexpression elimination evaluates it once per
+    * row even though every output column slices it. */
+  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] = {
+    val sig = graft.functions.MinHashSig.minhash_sig(tokens, numHashes)
+    (0 until numHashes).map(i => sig.getItem(i).alias(s"mh_$i"))
+  }
+
+  /** The pure Column-expression form of `minhashSignature` (same values,
+    * built from md5/conv/substring built-ins).
     *
     * One md5 digest per token per GROUP of four hashes: a 128-bit digest
     * yields four independent 32-bit slices, so four hash functions need
@@ -45,7 +59,7 @@ object ScaleDedup {
     * salted digests — a 4× cut in distinct hash computations whenever the
     * projection shares the digest subtree (the digest arrays are single
     * shared Column instances across the output columns). */
-  def minhashSignature(tokens: Column, numHashes: Int): Seq[Column] = {
+  def minhashSignatureCols(tokens: Column, numHashes: Int): Seq[Column] = {
     val digests = (0 to (numHashes - 1) / 4).map { g =>
       val salted = if (g == 0) tokens
         else transform(tokens, t => concat(t, lit("#" + g)))

@@ -108,6 +108,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("native minhash kernel matches the Column-expression form exactly") {
+    val docs = Tables.documents(spark, sf0).limit(200)
+    // 6 hashes: exercises the salted second digest group AND a partial slice
+    val toks = ScaleDedup.tokenSet(col("text"))
+    val native = docs.select(col("doc_id") +: ScaleDedup.minhashSignature(toks, 6): _*)
+      .orderBy("doc_id").collect().toSeq
+    val colExpr = docs.select(col("doc_id") +: ScaleDedup.minhashSignatureCols(toks, 6): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(native == colExpr)
+  }
+
   test("upsert: matched keys take the WHOLE update row, including genuine nulls") {
     val t = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
     val u = Seq((2L, null.asInstanceOf[String], 99.0), (3L, "c", 30.0)).toDF("k", "name", "v")
