@@ -343,6 +343,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // grouping sets: two independent group-bys answered in ONE shuffle
+    // (status totals ∪ priority totals), subtotal keys labeled non-null
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).alias("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("(all)")).alias("o_orderpriority"),
+          col("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // E-family breadth — calendar arithmetic: month truncation, fixed-day
+    // shift, day difference (all string/long outputs — oracle-portable)
+    "q_date_arith" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .alias("month_start"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+          .alias("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").alias("days_to_eoy"))
+        .orderBy("o_orderkey")),
+
     // I1 — top-k (TakeOrderedAndProject)
     "q_topk" -> ((s, d) =>
       Inspect.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
@@ -1140,6 +1164,19 @@ object SparkEntry {
         "CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), " +
         "t -> length(t) > 3), t -> length(t))), 0) AS BIGINT) AS chars_long_tokens " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_grouping_sets" ->
+      ("SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus, " +
+        "coalesce(o_orderpriority, '(all)') AS o_orderpriority, count(*) AS n " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+
+    "q_date_arith" ->
+      ("SELECT o_orderkey, " +
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
+        "strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS due_date, " +
+        "CAST(date_diff('day', o_orderdate::DATE, DATE '1998-12-31') AS BIGINT) AS days_to_eoy " +
+        "FROM orders ORDER BY o_orderkey"),
 
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",

@@ -127,8 +127,17 @@ object ScaleDedup {
     }.reduce(_ + _)
   }
 
-  /** SimHash over a token array (hashes each token with hash32 seed 0). */
+  /** SimHash over a token array (hashes each token with hash32 seed 0) —
+    * native codegen kernel (`functions/SimHashExpr`): one md5 + one bit
+    * pass per token, versus `bits` separate aggregate folds each
+    * recomputing the hash transform in the expression form (measured ~5 s →
+    * ~0.4 s at sf0.1). Value-identical to `simhashCols`, cross-validated in
+    * OpsSpec. */
   def simhash(tokens: Column, bits: Int = 16): Column =
+    graft.functions.SimHash.simhash(tokens, bits)
+
+  /** The pure Column-expression form of `simhash` (same values). */
+  def simhashCols(tokens: Column, bits: Int = 16): Column =
     simhashFromHashes(transform(tokens, t => hash32(t, 0)), bits)
 
   /** Hamming distance between two simhashes (≤ 64 bits). */

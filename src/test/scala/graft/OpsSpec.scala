@@ -119,6 +119,16 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(native == colExpr)
   }
 
+  test("native simhash kernel matches the Column-expression form exactly") {
+    val docs = Tables.documents(spark, sf0).limit(200)
+    val toks = ScaleDedup.tokenSet(col("text"))
+    val native = docs.select(col("doc_id"), ScaleDedup.simhash(toks, 16).alias("sh"))
+      .orderBy("doc_id").collect().toSeq
+    val colExpr = docs.select(col("doc_id"), ScaleDedup.simhashCols(toks, 16).alias("sh"))
+      .orderBy("doc_id").collect().toSeq
+    assert(native == colExpr)
+  }
+
   test("upsert: matched keys take the WHOLE update row, including genuine nulls") {
     val t = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
     val u = Seq((2L, null.asInstanceOf[String], 99.0), (3L, "c", 30.0)).toDF("k", "name", "v")
@@ -154,6 +164,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(single.subsetOf(multi), "multi-probe lost nearest-cell candidates")
     assert(multi.size > single.size,
       s"expected the runner-up cell to add candidates (single=${single.size}, multi=${multi.size})")
+  }
+
+  test("connected components: 1024-node path converges in ≤20 pointer-jumped rounds") {
+    // A path graph is the worst case for label propagation: diameter 1023,
+    // so plain min-label flooding needs ~1023 rounds. Converging within the
+    // default 20-round budget is direct evidence the pointer jumping
+    // (path halving) delivers its log-diameter bound.
+    val n = 1024L
+    val vertices = spark.range(n).select(col("id"))
+    val edges = spark.range(n - 1)
+      .select(col("id").alias("id1"), (col("id") + 1).alias("id2"))
+    val labels = ScaleDedup.connectedComponents(vertices, edges, maxIter = 20)
+    val roots = labels.select("label").distinct().collect().map(_.getLong(0)).toSeq
+    assert(roots == Seq(0L), s"expected one component rooted at 0, got $roots")
+    assert(labels.count() == n)
   }
 
   test("minhash LSH finds planted near-duplicates") {
