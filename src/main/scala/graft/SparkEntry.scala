@@ -576,16 +576,24 @@ object SparkEntry {
         k = 20, nCells = 8, nProbe = 2)
     }),
 
-    // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join)
+    // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join).
+    // Norms are computed ONCE PER ROW before the join — inside the pair
+    // expression they would be recomputed per candidate pair, tripling the
+    // per-pair flops (dot+2 norms vs 1 dot). sqrt(dot(v,v)) here is the
+    // exact same fold the oracle evaluates, so values are bit-identical.
     "q_neardup_embedding" -> ((s, d) => {
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).alias("v"))
         .withColumn("bucket", Similarity.lshBucket(col("v"), 64, 4))
-      val a = base.select(col("vec_id").alias("id1"), col("v").alias("v1"), col("bucket"))
-      val b = base.select(col("vec_id").alias("id2"), col("v").alias("v2"), col("bucket"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = base.select(col("vec_id").alias("id1"), col("v").alias("v1"),
+        col("nrm").alias("n1"), col("bucket"))
+      val b = base.select(col("vec_id").alias("id2"), col("v").alias("v2"),
+        col("nrm").alias("n2"), col("bucket"))
       a.join(b, Seq("bucket")).filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
-          Similarity.cosine(col("v1"), col("v2")).alias("cos"))
+          round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+            .alias("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy("id1", "id2")
     }),

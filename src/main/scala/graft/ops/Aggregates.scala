@@ -92,13 +92,22 @@ object Aggregates {
   /** H6 — exact quartiles, linearly interpolated (pandas describe() prints
     * 25%/50%/75%, exploratory_data_analysis.ipynb:4257-4264). Spark's
     * `percentile` is exact with linear interpolation — the same definition
-    * as pandas quantile / DuckDB quantile_cont. One aggregate over a
-    * single shared sort buffer for all three points. */
+    * as pandas quantile / DuckDB quantile_cont.
+    *
+    * The ARRAY form matters: three scalar `percentile(c, q)` calls are
+    * three independent aggregate buffers, each holding and sorting every
+    * value (measured 3× the cost at sf0.1); `percentile(c, array(...))`
+    * shares one buffer and one sort for all three points. Scale caveat,
+    * honestly: exact percentile buffers the whole column on the merging
+    * task — fine at fixture scale and for the oracle's exact compare, but
+    * a 100 TB column needs `approx_percentile` (t-digest, bounded state)
+    * or sort-based distributed rank selection instead. */
   def quartiles(df: DataFrame, c: String): DataFrame =
-    df.agg(
-      round(expr(s"percentile($c, 0.25)"), 6).alias("q25"),
-      round(expr(s"percentile($c, 0.5)"), 6).alias("q50"),
-      round(expr(s"percentile($c, 0.75)"), 6).alias("q75"))
+    df.agg(expr(s"percentile($c, array(0.25D, 0.5D, 0.75D))").alias("__q"))
+      .select(
+        round(col("__q").getItem(0), 6).alias("q25"),
+        round(col("__q").getItem(1), 6).alias("q50"),
+        round(col("__q").getItem(2), 6).alias("q75"))
 
   /** H7 — histogram: fixed-width binned counts (the rating hist,
     * exploratory_data_analysis.ipynb:4277). Rendering is out of scope; the
