@@ -483,14 +483,12 @@ object SparkEntry {
           concat_ws(",", transform(col("sk"), x => x.cast("string"))).alias("sketch"))
         .orderBy("l_returnflag")),
 
-    // dedup: word-3-shingle minhash (n-gram signatures)
-    "q_shingle_minhash" -> ((s, d) => {
-      val sh = ScaleDedup.shingles(col("text"), 3)
+    // dedup: word-3-shingle minhash (n-gram signatures) — native one-pass
+    // kernel (shingles built in a StringBuilder, distinct-only hashing)
+    "q_shingle_minhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id") +: size(sh).cast("long").alias("n_shingles") +:
-          ScaleDedup.minhashSignature(sh, 2): _*)
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id") +: ScaleDedup.shingleSignature(col("text"), 3, 2): _*)
+        .orderBy("doc_id")),
 
     // dedup: minhash-LSH pairs → connected components (duplicate clusters)
     // over the FULL corpus. The oversized-bucket guard inside

@@ -22,6 +22,78 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * parse per token per hash; this kernel does neither.
   */
 object MinHashKernel {
+
+  /** Update `mins` with one value's hash slices — the shared inner step of
+    * both signature kernels (md5 per 4-hash group, salted "#g" for g>0,
+    * big-endian 4-byte unsigned slices). */
+  private def updateMins(md: MessageDigest, s: String, mins: Array[Long],
+                         numHashes: Int): Unit = {
+    var g = 0
+    while (g * 4 < numHashes) {
+      md.reset()
+      val bytes =
+        if (g == 0) s.getBytes(StandardCharsets.UTF_8)
+        else (s + "#" + g).getBytes(StandardCharsets.UTF_8)
+      val h = md.digest(bytes)
+      val lim = math.min(4, numHashes - g * 4)
+      var j = 0
+      while (j < lim) {
+        val v = ((h(4 * j) & 0xffL) << 24) | ((h(4 * j + 1) & 0xffL) << 16) |
+          ((h(4 * j + 2) & 0xffL) << 8) | (h(4 * j + 3) & 0xffL)
+        if (v < mins(g * 4 + j)) mins(g * 4 + j) = v
+        j += 1
+      }
+      g += 1
+    }
+  }
+
+  /** Word k-shingle MinHash in one pass: emits
+    * [n_distinct_shingles, mh_0, ..., mh_{numHashes-1}].
+    *
+    * Value-identical to `size(shingles(text,k))` + `minhashSignature` over
+    * the shingle array: shingle i (for i in 0..max(n-k, 0)) is tokens
+    * i..min(i+k,n)-1 joined with " " skipping nulls (concat_ws semantics;
+    * the tail shingle of a short document keeps < k tokens, the empty
+    * token array yields one "" shingle). Only DISTINCT shingles are hashed
+    * — duplicates can't change a min — and the distinct count IS the
+    * `n_shingles` output. Versus the expression form this skips the
+    * sequence/slice/concat_ws array materialization AND array_distinct. */
+  def shingleSig(tokens: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val n = tokens.numElements()
+    val last = math.max(n - k, 0)
+    var i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder()
+      var wrote = false
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (!tokens.isNullAt(j)) {
+          if (wrote) sb.append(' ')
+          sb.append(tokens.getUTF8String(j).toString)
+          wrote = true
+        }
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) updateMins(md, sh, mins, numHashes)
+      i += 1
+    }
+    val out = new Array[Any](numHashes + 1)
+    out(0) = seen.size.toLong
+    var m = 0
+    while (m < numHashes) {
+      out(m + 1) = if (mins(m) == Long.MaxValue) null
+        else java.lang.Long.valueOf(mins(m))
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def sig(tokens: ArrayData, numHashes: Int): ArrayData = {
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[Long](numHashes)
@@ -32,24 +104,7 @@ object MinHashKernel {
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         seen = true
-        val t = tokens.getUTF8String(i)
-        var g = 0
-        while (g * 4 < numHashes) {
-          md.reset()
-          val bytes =
-            if (g == 0) t.getBytes
-            else (t.toString + "#" + g).getBytes(StandardCharsets.UTF_8)
-          val h = md.digest(bytes)
-          val lim = math.min(4, numHashes - g * 4)
-          var j = 0
-          while (j < lim) {
-            val v = ((h(4 * j) & 0xffL) << 24) | ((h(4 * j + 1) & 0xffL) << 16) |
-              ((h(4 * j + 2) & 0xffL) << 8) | (h(4 * j + 3) & 0xffL)
-            if (v < mins(g * 4 + j)) mins(g * 4 + j) = v
-            j += 1
-          }
-          g += 1
-        }
+        updateMins(md, tokens.getUTF8String(i).toString, mins, numHashes)
       }
       i += 1
     }
@@ -89,10 +144,39 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native word-k-shingle MinHash: [n_distinct_shingles, mh_0..] in one
+  * codegen'd pass over the token array (see `MinHashKernel.shingleSig`). */
+case class ShingleMinHashExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k > 0, s"shingle width must be positive, got $k")
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleSig(input.asInstanceOf[ArrayData], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.shingleSig($c, $k, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHashExpr =
+    copy(child = newChild)
+}
+
 object MinHashSig {
   /** Column API: the full signature as ONE array column. */
   def minhash_sig(tokens: Column, numHashes: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       MinHashSigExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(tokens), numHashes))
+
+  /** Column API: [n_distinct_shingles, mh_0..] over word k-shingles. */
+  def shingle_minhash_sig(tokens: Column, k: Int, numHashes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleMinHashExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokens), k, numHashes))
 }

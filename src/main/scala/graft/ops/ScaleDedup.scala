@@ -37,6 +37,18 @@ object ScaleDedup {
   def minhash(tokens: Column, seed: Int): Column =
     array_min(transform(tokens, t => hash32(t, seed)))
 
+  /** Word-k-shingle signature as (n_shingles, mh_0..mh_{n-1}) columns —
+    * native kernel (`functions/ShingleMinHashExpr`): shingles built with a
+    * StringBuilder, only DISTINCT shingles hashed (duplicates can't move a
+    * min), no intermediate shingle-array materialization. Value-identical
+    * to `size(shingles(text,k))` + `minhashSignatureCols(shingles(...))`,
+    * cross-validated in OpsSpec. */
+  def shingleSignature(text: Column, k: Int, numHashes: Int): Seq[Column] = {
+    val sig = graft.functions.MinHashSig.shingle_minhash_sig(split(text, " "), k, numHashes)
+    sig.getItem(0).alias("n_shingles") +:
+      (0 until numHashes).map(i => sig.getItem(i + 1).alias(s"mh_$i"))
+  }
+
   /** MinHash signature as `numHashes` columns named `mh_0..mh_{n-1}`,
     * computed by the native codegen kernel (`functions/MinHashSigExpr`) —
     * one md5 per token per 4-hash group, direct byte slicing, no hex

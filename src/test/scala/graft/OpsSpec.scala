@@ -119,6 +119,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(native == colExpr)
   }
 
+  test("native shingle-minhash kernel matches the Column-expression form exactly") {
+    val docs = Tables.documents(spark, sf0).limit(200)
+    val native = docs
+      .select(col("doc_id") +: ScaleDedup.shingleSignature(col("text"), 3, 2): _*)
+      .orderBy("doc_id").collect().toSeq
+    val sh = ScaleDedup.shingles(col("text"), 3)
+    val colExpr = docs
+      .select(col("doc_id") +: size(sh).cast("long").alias("n_shingles") +:
+        ScaleDedup.minhashSignatureCols(sh, 2): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(native == colExpr)
+  }
+
   test("native simhash kernel matches the Column-expression form exactly") {
     val docs = Tables.documents(spark, sf0).limit(200)
     val toks = ScaleDedup.tokenSet(col("text"))
