@@ -68,6 +68,25 @@ object IO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Compacting parquet sink: bound the OUTPUT FILE COUNT so downstream
+    * scans see few large files instead of many small ones — the
+    * small-files problem is the classic failure mode of incremental
+    * pipelines at scale (every file costs a listing call, a footer read,
+    * and a task). `repartition(n)` (round-robin) rebalances evenly at the
+    * cost of one shuffle; `coalesce(n)` would avoid the shuffle but can
+    * leave skewed files since it only unions existing partitions. */
+  def writeCompacted(df: DataFrame, path: String, numFiles: Int): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Schema-evolution read: union the schemas of all parquet files under
+    * `path` (columns added by newer writers come back null for old files).
+    * Off by default in Spark because footer-merging costs one extra pass —
+    * turn it on only at evolution boundaries. */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(path)
+
   /** Hive-style partitioned parquet sink: one directory per distinct value
     * of `partitionCols` (`path/col=value/...`). At 100 TB this is the
     * coarse pruning layer: a query filtering on a partition column reads

@@ -16,6 +16,40 @@ import graft.sources.IO
 class PartitionedLayoutSpec extends AnyFunSuite with SparkSpec
     with AdaptiveSparkPlanHelper {
 
+  test("compacted write bounds the output file count; values survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      val docs = Tables.documents(spark, sf0).select("doc_id", "text")
+      IO.writeCompacted(docs, dir, numFiles = 2)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 2, s"expected 2 files, got ${files.map(_.getName).toSeq}")
+      assert(spark.read.parquet(dir).count() == docs.count())
+    } finally rmTree(dir)
+  }
+
+  test("mergeSchema read unions schemas across parquet batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    try {
+      // batch 1: (id, a); batch 2 adds column b — the evolution boundary
+      Seq((1L, "x")).toDF("id", "a").write.parquet(dir + "/b1")
+      Seq((2L, "y", 9.5)).toDF("id", "a", "b").write.parquet(dir + "/b2")
+      val merged = IO.readParquetMergedSchema(spark, dir + "/*")
+      assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+      val rows = merged.orderBy("id").collect()
+      assert(rows.length == 2)
+      assert(rows(0).isNullAt(rows(0).fieldIndex("b")), "old file's new column must be null")
+      assert(rows(1).getDouble(rows(1).fieldIndex("b")) == 9.5)
+    } finally rmTree(dir)
+  }
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("partitionBy lays out directories and prunes at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     try {
@@ -52,10 +86,6 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkSpec
         .select("doc_id", "text", "source").orderBy("doc_id").collect().toSeq
       val got = q.select("doc_id", "text", "source").orderBy("doc_id").collect().toSeq
       assert(got === expect)
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-        .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally rmTree(dir)
   }
 }
