@@ -7,7 +7,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{DatesNums, Dedup, TextParse}
+import graft.ops.{DatesNums, Dedup, ScaleDedup, TextParse}
 
 /** SURVEY.md §5.3 property tests: format→parse round-trips, dedup
   * idempotence, and the zero-aware fill lattice. Generated inputs via
@@ -99,6 +99,36 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       if (k == null || k == 0.0) assert(f === w, s"null/0 must pull wiki: $r")
       else assert(f === k, s"non-zero kaggle survives: $r")
     }
+  }
+
+  test("property: native hash kernels == Column-expression forms on arbitrary unicode") {
+    import spark.implicits._
+    // Unicode-heavy token strings: multi-byte UTF-8 is where a byte-level
+    // kernel could diverge from the built-ins' string path
+    val tokGen = Gen.listOfN(6,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(4)), Gen.const("héllo"),
+        Gen.const("日本語"), Gen.const("mañana"), Gen.const(""), Gen.const("#1")))
+      .map(_.mkString(" "))
+    val df = samples(tokGen, 300).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val toks = ScaleDedup.tokenSet(col("text"))
+    val mh = df.select(col("id") +: ScaleDedup.minhashSignature(toks, 6): _*)
+      .orderBy("id").collect().toSeq
+    val mhRef = df.select(col("id") +: ScaleDedup.minhashSignatureCols(toks, 6): _*)
+      .orderBy("id").collect().toSeq
+    assert(mh == mhRef)
+    val sh = df.select(col("id"), ScaleDedup.simhash(toks, 16).alias("s"))
+      .orderBy("id").collect().toSeq
+    val shRef = df.select(col("id"), ScaleDedup.simhashCols(toks, 16).alias("s"))
+      .orderBy("id").collect().toSeq
+    assert(sh == shRef)
+    val sg = df.select(col("id") +: ScaleDedup.shingleSignature(col("text"), 3, 2): _*)
+      .orderBy("id").collect().toSeq
+    val sgExpr = ScaleDedup.shingles(col("text"), 3)
+    val sgRef = df.select(col("id") +: size(sgExpr).cast("long").alias("n_shingles") +:
+      ScaleDedup.minhashSignatureCols(sgExpr, 2): _*)
+      .orderBy("id").collect().toSeq
+    assert(sg == sgRef)
   }
 
   test("property: parse_dollars plain-number round-trip") {
