@@ -458,6 +458,28 @@ object SparkEntry {
       ScaleDedup.exactDedupGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("keep_id")),
 
+    // FLAGSHIP composite — the LLM training-data prep pipeline end-to-end:
+    // Gopher-style quality gate → language filter (keep English) → exact
+    // dedup (content fingerprint, min-id canonical) → token counts for the
+    // surviving corpus. Each stage is an independently oracle-proven
+    // operator; the composition is the workload this engine exists for.
+    // Plan shape: one scan feeds the narrow filters (no shuffle until the
+    // dedup groupBy), dedup shuffles the 128-bit fingerprint only, and the
+    // canonical-id semi-join shuffles ids — text never crosses the wire
+    // after the scan.
+    "q_llm_prep" -> ((s, d) => {
+      val kept = Tables.documents(s, d)
+        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 8,
+          maxTokens = 100000, minStopRatio = 0.01))
+        .filter(TextAnalysis.langId(col("text")) === "en")
+      val canon = ScaleDedup.exactDedupGroups(kept, "doc_id", "text")
+        .select(col("keep_id").alias("doc_id"))
+      kept.join(canon, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // dedup: minhash signatures
     "q_minhash_sig" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1252,6 +1274,29 @@ object SparkEntry {
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
         "min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY keep_id"),
+
+    // Composite mirror: quality gate ∘ lang-id='en' ∘ exact-dedup-canonical
+    // ∘ token count — each CTE reuses the SQL of its single-operator oracle
+    // (the 'en' condition is exactly q_lang_id's first CASE branch, which
+    // wins ties by English priority).
+    "q_llm_prep" ->
+      ("WITH q AS (SELECT doc_id, text FROM (" +
+        "SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok, " +
+        s"round(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')), 6) AS stop_ratio FROM documents) " +
+        "WHERE n_tok BETWEEN 8 AND 100000 AND stop_ratio >= 0.01), " +
+        "l AS (SELECT doc_id, text FROM (" +
+        "SELECT doc_id, text, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS n_en, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $DeStop)) AS n_de, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $FrStop)) AS n_fr, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EsStop)) AS n_es " +
+        "FROM q) WHERE n_en > 0 AND n_en = greatest(n_en, n_de, n_fr, n_es)), " +
+        "c AS (SELECT min(doc_id) AS doc_id FROM (" +
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM l) GROUP BY fp) " +
+        "SELECT l.doc_id, CAST(len(string_split(l.text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM l JOIN c ON l.doc_id = c.doc_id ORDER BY l.doc_id"),
 
     "q_minhash_sig" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
