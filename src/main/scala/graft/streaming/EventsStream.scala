@@ -165,6 +165,38 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming UPSERT sink via foreachBatch: merge each micro-batch into a
+    * parquet target by key (`Joins.upsert` — matched keys replaced,
+    * new keys appended), the sink shape that makes a streaming pipeline
+    * idempotent under replays: re-delivering a batch converges to the same
+    * target instead of duplicating rows. Each batch must carry unique keys
+    * (dropDuplicates upstream if needed).
+    *
+    * The merged result is cached and materialized BEFORE the overwrite —
+    * Spark cannot lazily read and overwrite the same path in one job. A
+    * plain parquet dir makes the swap non-transactional (a crash mid-write
+    * loses the target); production deployments put an ACID table format
+    * under this exact merge dataflow. */
+  def startUpsertSink(df: DataFrame, targetDir: String, checkpoint: String,
+                      keys: Seq[String]): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val existing = scala.util.Try(sp.read.parquet(targetDir)).toOption
+        val merged = existing match {
+          case Some(t) => graft.ops.Joins.upsert(t, batch.toDF(), keys)
+          case None => batch.toDF()
+        }
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(targetDir)
+        merged.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** A7 streaming analog — append each micro-batch to a parquet dir. */
   def startParquetAppend(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
     df.writeStream.outputMode(OutputMode.Append)

@@ -77,6 +77,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((10L, 20L), (11L, 22L)), s"got $pairs")
   }
 
+  test("streaming upsert sink merges batches by key into the parquet target") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsink-ckpt").toString
+    try {
+      def ts(m: Long) = new Timestamp((1000 + m) * 60000L)
+      val input = MemoryStream[(Long, String, Timestamp)]
+      // batch 1: keys 1, 2
+      input.addData((1L, "a", ts(0)), (2L, "b", ts(1)))
+      val q1 = EventsStream.startUpsertSink(
+        input.toDF().toDF("k", "v", "ts"), dir + "/t", ckpt, Seq("k"))
+      q1.processAllAvailable(); q1.stop()
+      // batch 2: key 2 replaced, key 3 new
+      input.addData((2L, "B2", ts(5)), (3L, "c", ts(6)))
+      val q2 = EventsStream.startUpsertSink(
+        input.toDF().toDF("k", "v", "ts"), dir + "/t", ckpt, Seq("k"))
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(dir + "/t").select("k", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")), s"got $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("stateful sessionization: gap split, merge within gap, timeout close") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
