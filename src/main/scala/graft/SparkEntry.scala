@@ -343,6 +343,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D-family breadth — string-function battery (all codegen'd built-ins
+    // with engine-portable semantics: pad, reverse, translate, edit
+    // distance, 1-based field split)
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        lpad(col("p_name"), 30, "*").alias("padded"),
+        reverse(col("p_name")).alias("rev"),
+        translate(col("p_name"), "aeiou", "12345").alias("xlat"),
+        levenshtein(col("p_name"), lit("widget")).cast("long").alias("edit_dist"),
+        expr("split_part(p_name, ' ', 1)").alias("first_word"))
+        .orderBy("p_partkey")),
+
+    // D-family breadth — extract ALL regex matches as an array (joined to a
+    // string for the oracle compare)
+    "q_regex_extract_all" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        concat_ws(",", expr("regexp_extract_all(props, '(\\\\d+)', 1)"))
+          .alias("all_nums"))
+        .orderBy("event_id")),
+
     // grouping sets: two independent group-bys answered in ONE shuffle
     // (status totals ∪ priority totals), subtotal keys labeled non-null
     "q_grouping_sets" -> ((s, d) =>
@@ -1192,6 +1212,17 @@ object SparkEntry {
         "CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), " +
         "t -> length(t) > 3), t -> length(t))), 0) AS BIGINT) AS chars_long_tokens " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_string_funcs" ->
+      ("SELECT p_partkey, lpad(p_name, 30, '*') AS padded, reverse(p_name) AS rev, " +
+        "translate(p_name, 'aeiou', '12345') AS xlat, " +
+        "CAST(levenshtein(p_name, 'widget') AS BIGINT) AS edit_dist, " +
+        "split_part(p_name, ' ', 1) AS first_word " +
+        "FROM part ORDER BY p_partkey"),
+
+    "q_regex_extract_all" ->
+      ("SELECT event_id, array_to_string(regexp_extract_all(props, '(\\d+)', 1), ',') AS all_nums " +
+        "FROM events ORDER BY event_id"),
 
     "q_grouping_sets" ->
       ("SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus, " +
