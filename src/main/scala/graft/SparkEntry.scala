@@ -420,6 +420,19 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // window — the full ranking family over one window definition:
+    // dense_rank (no gaps), percent_rank and cume_dist (distribution
+    // positions, rounded for engine portability)
+    "q_window_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d).select(col("o_orderkey"),
+          dense_rank().over(w).cast("long").alias("drank"),
+          round(percent_rank().over(w), 6).alias("prank"),
+          round(cume_dist().over(w), 6).alias("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
     // window — running sum
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1256,6 +1269,14 @@ object SparkEntry {
         "(SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
         "FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn"),
+
+    "q_window_rank_family" ->
+      ("SELECT o_orderkey, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS drank, " +
+        "round(percent_rank() OVER w, 6) AS prank, " +
+        "round(cume_dist() OVER w, 6) AS cdist FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) " +
+        "ORDER BY o_orderkey"),
 
     "q_window_running" ->
       ("SELECT o_custkey, o_orderkey, round(SUM(o_totalprice) OVER " +
