@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 object MinHashKernel {
 
+  /** Per-thread MD5 instance shared by the kernel entry points: the JCA
+    * provider lookup in `MessageDigest.getInstance` is measurable per-row
+    * overhead on exactly the hot path these kernels exist to optimize.
+    * MessageDigest is not thread-safe, so the hoist is a ThreadLocal (one
+    * instance per executor task thread, reset between uses by `digest`). */
+  private[functions] val Md5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Update `mins` with one value's hash slices — the shared inner step of
     * both signature kernels (md5 per 4-hash group, salted "#g" for g>0,
     * big-endian 4-byte unsigned slices). */
@@ -59,7 +67,7 @@ object MinHashKernel {
     * `n_shingles` output. Versus the expression form this skips the
     * sequence/slice/concat_ws array materialization AND array_distinct. */
   def shingleSig(tokens: ArrayData, k: Int, numHashes: Int): ArrayData = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val seen = new java.util.HashSet[String]()
@@ -95,7 +103,7 @@ object MinHashKernel {
   }
 
   def sig(tokens: ArrayData, numHashes: Int): ArrayData = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var seen = false

@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -24,7 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 object SimHashKernel {
   def simhash(tokens: ArrayData, bits: Int): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    // Per-thread digest (see MinHashKernel.Md5): skips the JCA provider
+    // lookup that getInstance pays on every row.
+    val md = MinHashKernel.Md5.get()
     val votes = new Array[Int](bits)
     val n = tokens.numElements()
     var i = 0

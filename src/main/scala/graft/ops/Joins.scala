@@ -65,7 +65,13 @@ object Joins {
     * key, AQE handles skew, and nothing collects to the driver — the shape
     * that holds for a 100 TB target with a 1% daily delta (broadcast the
     * update side upstream if it is dimension-sized). Output schema =
-    * target schema; `updates` must contain all target columns. */
+    * target schema; `updates` must contain all target columns.
+    *
+    * PRECONDITION: `updates` must carry at most ONE row per key — a
+    * duplicate update key fans out the full-outer join and multiplies the
+    * matched target row. Pre-aggregate (`dropDuplicates(keys)` or a
+    * keep-latest window) upstream; this function does not dedup for you,
+    * because silently picking a survivor would hide a data bug. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val t = target.alias("__t")
     val u = updates.alias("__u")

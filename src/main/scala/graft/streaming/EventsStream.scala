@@ -172,26 +172,48 @@ object EventsStream {
     * target instead of duplicating rows. Each batch must carry unique keys
     * (dropDuplicates upstream if needed).
     *
-    * The merged result is cached and materialized BEFORE the overwrite —
-    * Spark cannot lazily read and overwrite the same path in one job. A
-    * plain parquet dir makes the swap non-transactional (a crash mid-write
-    * loses the target); production deployments put an ACID table format
-    * under this exact merge dataflow. */
+    * Target existence is decided by a filesystem check, NOT by whether the
+    * read succeeds: a transient read error (corrupt footer, FS hiccup) must
+    * FAIL the batch and be retried from the checkpoint — treating it as
+    * "no target yet" would overwrite the target with only the current
+    * batch, silently dropping every previously merged row.
+    *
+    * The merged result is written to a sibling temp dir and swapped in via
+    * two metadata renames (target → __old, __tmp → target) instead of an
+    * in-place overwrite: the full rewrite window, during which a crash
+    * previously lost the target, shrinks to the rename pair, and a crash
+    * inside that pair is repaired on the next batch (a missing target with
+    * a __old sibling restores __old first). Renames also mean the merge
+    * job reads the old target while writing elsewhere — no cache-and-
+    * count materialization hack, no recompute-from-deleted-input failure
+    * mode. A plain parquet dir is still not transactional; production
+    * deployments put an ACID table format under this exact dataflow. */
   def startUpsertSink(df: DataFrame, targetDir: String, checkpoint: String,
                       keys: Seq[String]): StreamingQuery =
     df.writeStream.outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sp = batch.sparkSession
-        val existing = scala.util.Try(sp.read.parquet(targetDir)).toOption
-        val merged = existing match {
-          case Some(t) => graft.ops.Joins.upsert(t, batch.toDF(), keys)
-          case None => batch.toDF()
-        }
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(targetDir)
-        merged.unpersist()
+        val target = new org.apache.hadoop.fs.Path(targetDir)
+        val tmp = new org.apache.hadoop.fs.Path(targetDir + "__tmp")
+        val old = new org.apache.hadoop.fs.Path(targetDir + "__old")
+        val fs = target.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // crash repair: a rename pair that died between the two renames
+        // left the merged result in __old (or an orphan __tmp) — restore
+        // before deciding existence
+        if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val merged =
+          if (fs.exists(target))
+            graft.ops.Joins.upsert(sp.read.parquet(targetDir), batch.toDF(), keys)
+          else batch.toDF()
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(target) && !fs.rename(target, old))
+          throw new java.io.IOException(s"upsert sink: rename $target -> $old failed")
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"upsert sink: rename $tmp -> $target failed")
+        fs.delete(old, true)
         ()
       }
       .trigger(Trigger.AvailableNow())
