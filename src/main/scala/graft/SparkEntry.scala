@@ -513,6 +513,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup: benchmark decontamination — every 37th document plays the
+    // "eval set"; corpus docs sharing any 13-gram with it are dropped
+    // (including the eval docs themselves, which trivially self-collide).
+    // Zero corpus shuffle: eval shingle hashes broadcast as one array row,
+    // contamination is a narrow arrays_overlap per document.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      ScaleDedup.decontaminate(docs, "doc_id", "text", evalSet, "text", n = 13)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // dedup: minhash signatures
     "q_minhash_sig" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1349,6 +1361,17 @@ object SparkEntry {
         "FROM l) GROUP BY fp) " +
         "SELECT l.doc_id, CAST(len(string_split(l.text, ' ')) AS BIGINT) AS n_tokens " +
         "FROM l JOIN c ON l.doc_id = c.doc_id ORDER BY l.doc_id"),
+
+    "q_decontaminate" ->
+      ("WITH sh AS (SELECT doc_id, list_transform(list_distinct(list_transform(" +
+        "range(0, greatest(len(string_split(text, ' ')) - 13, 0) + 1), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+13], ' '))), " +
+        "s -> ('0x' || substr(md5(s || '#0'), 1, 8))::BIGINT) AS hs FROM documents), " +
+        "ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 37 = 0), " +
+        "bad AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(hs) AS h FROM sh) x " +
+        "WHERE h IN (SELECT h FROM ev)) " +
+        "SELECT d.doc_id, d.source FROM documents d " +
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
 
     "q_minhash_sig" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +

@@ -252,6 +252,38 @@ object ScaleDedup {
     labels
   }
 
+  /** Benchmark decontamination — drop corpus documents that share any
+    * word n-gram with an evaluation set (the standard pretraining hygiene
+    * stage: eval questions leaked into the training corpus inflate every
+    * downstream benchmark; 13 consecutive tokens is the usual collision
+    * width, wide enough that chance collisions are negligible).
+    *
+    * Scale shape: the EVAL side is the small one (benchmarks are KBs–MBs,
+    * the corpus is the 100 TB side), so its distinct shingle hashes are
+    * collected into ONE array row and broadcast; contamination is then a
+    * narrow per-row `arrays_overlap` over each document's shingle hashes —
+    * the corpus is scanned once and NEVER shuffled, no explode, no join.
+    * (With a huge eval set, flip to exploding corpus shingles into a
+    * broadcast-hash semi-join; same hashes, one shuffle of doc ids.)
+    *
+    * An empty eval set broadcasts an empty array: `arrays_overlap(hs, [])`
+    * is false, so everything survives — the correct degenerate case.
+    * Documents shorter than n tokens hash their whole text as one shingle
+    * (`shingles` tail semantics), so verbatim short leaks still collide. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    evalSet: DataFrame, evalTextCol: String,
+                    n: Int = 13): DataFrame = {
+    def shingleHashes(text: Column) =
+      transform(shingles(text, n), sh => hash32(sh, 0))
+    val evalHashes = evalSet
+      .select(explode(shingleHashes(col(evalTextCol))).alias("__h"))
+      .distinct()
+      .agg(collect_list(col("__h")).alias("__eval_hashes"))
+    corpus.crossJoin(broadcast(evalHashes))
+      .filter(!arrays_overlap(shingleHashes(col(textCol)), col("__eval_hashes")))
+      .drop("__eval_hashes")
+  }
+
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
     * plan (hash, not raw text, crosses the wire ... group keys are

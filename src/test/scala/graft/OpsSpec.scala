@@ -206,4 +206,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((3L, 4L)))
   }
+
+  test("decontamination drops a 13-gram leak but keeps a 12-gram near-miss") {
+    // 20-token eval doc; w1..w20
+    val evalText = (1 to 20).map("w" + _).mkString(" ")
+    val leak13 = "pre " + (1 to 13).map("w" + _).mkString(" ") + " post"
+    // 12 shared consecutive tokens, then diverges — no 13-gram collision
+    val miss12 = "pre " + (1 to 12).map("w" + _).mkString(" ") + " zz post filler"
+    val clean = (1 to 20).map("c" + _).mkString(" ")
+    val corpus = Seq((1L, leak13), (2L, miss12), (3L, clean))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(Tuple1(evalText)).toDF("etext")
+    val kept = ScaleDedup.decontaminate(corpus, "doc_id", "text",
+        evalSet, "etext", n = 13)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // empty eval set keeps everything
+    val keptAll = ScaleDedup.decontaminate(corpus, "doc_id", "text",
+        evalSet.limit(0), "etext", n = 13)
+      .count()
+    assert(keptAll == 3L)
+  }
 }
