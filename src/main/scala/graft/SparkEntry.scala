@@ -464,12 +464,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // text: Gopher-style quality keep/drop gate
-    "q_quality_filter" -> ((s, d) =>
+    // text: Gopher repetition signals — duplicate-line fraction and
+    // top-2-gram character fraction, over text with planted boilerplate
+    // (every third doc gets its first 40 chars appended twice as repeat
+    // "lines", the nav-bar/cookie-banner shape these filters exist for)
+    "q_quality_repetition" -> ((s, d) => {
+      val line1 = substring(col("text"), 1, 40)
+      val dirty = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), line1, lit("\n"), line1))
+        .otherwise(col("text"))
       Tables.documents(s, d)
-        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 8,
-          maxTokens = 100000, minStopRatio = 0.01))
-        .select("doc_id", "lang").orderBy("doc_id")),
+        .select(col("doc_id"),
+          TextAnalysis.dupLineFraction(dirty).alias("dup_line_ratio"),
+          TextAnalysis.topNgramCharFraction(dirty, 2).alias("top2_char_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // text: Gopher-style quality keep/drop gate, repetition filters ACTIVE
+    // (dup-line ≤ 0.2 kills the planted boilerplate docs at 1/3 dup lines;
+    // top-2-gram ≤ 0.2 kills keyword stuffing)
+    "q_quality_filter" -> ((s, d) => {
+      val line1 = substring(col("text"), 1, 40)
+      val dirty = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), line1, lit("\n"), line1))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .filter(TextAnalysis.qualityKeep(dirty, minTokens = 8,
+          maxTokens = 100000, minStopRatio = 0.01,
+          maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
 
     // text: language-ID heuristic
     "q_lang_id" -> ((s, d) =>
@@ -1024,6 +1048,13 @@ object SparkEntry {
       "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src) " +
       "SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id ORDER BY doc_id"
 
+  /** Planted-boilerplate text shared by the repetition-quality mirrors:
+    * every third doc gets its first 40 chars appended twice as duplicate
+    * "lines" (must match the Spark-side `dirty` construction exactly). */
+  private val DirtyText: String =
+    "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || substr(text, 1, 40) " +
+      "|| chr(10) || substr(text, 1, 40) ELSE text END"
+
   private val EnStop = "('the','of','and','a','to','in','is')"
   private val DeStop = "('der','die','das','und','ist','nicht')"
   private val FrStop = "('le','la','les','et','est','dans')"
@@ -1308,12 +1339,36 @@ object SparkEntry {
         "/ len(string_split(text, ' ')), 6) AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
 
+    "q_quality_repetition" ->
+      (s"WITH t AS (SELECT doc_id, $DirtyText AS tx FROM documents), " +
+        "a AS (SELECT doc_id, tx, string_split(tx, chr(10)) AS lines, " +
+        "string_split(tx, ' ') AS toks FROM t), " +
+        "g AS (SELECT doc_id, tx, lines, " +
+        "list_transform(range(0, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> array_to_string(toks[i+1:i+2], ' ')) AS grams FROM a) " +
+        "SELECT doc_id, " +
+        "round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_line_ratio, " +
+        "round(CAST(list_max(list_transform(list_distinct(grams), " +
+        "gg -> length(gg) * len(list_filter(grams, x -> x = gg)))) AS DOUBLE) / length(tx), 6) AS top2_char_ratio " +
+        "FROM g ORDER BY doc_id"),
+
     "q_quality_filter" ->
-      ("WITH f AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok, " +
-        s"round(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS DOUBLE) " +
-        "/ len(string_split(text, ' ')), 6) AS stop_ratio FROM documents) " +
+      (s"WITH t AS (SELECT doc_id, lang, $DirtyText AS tx FROM documents), " +
+        "a AS (SELECT doc_id, lang, tx, string_split(tx, chr(10)) AS lines, " +
+        "string_split(tx, ' ') AS toks FROM t), " +
+        "g AS (SELECT doc_id, lang, tx, lines, toks, " +
+        "list_transform(range(0, greatest(len(toks) - 2, 0) + 1), " +
+        "i -> array_to_string(toks[i+1:i+2], ' ')) AS grams FROM a), " +
+        "f AS (SELECT doc_id, lang, len(toks) AS n_tok, " +
+        s"round(CAST(len(list_filter(string_split(lower(tx), ' '), x -> x IN $EnStop)) AS DOUBLE) " +
+        "/ len(toks), 6) AS stop_ratio, " +
+        "round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_ratio, " +
+        "round(CAST(list_max(list_transform(list_distinct(grams), " +
+        "gg -> length(gg) * len(list_filter(grams, x -> x = gg)))) AS DOUBLE) / length(tx), 6) AS top2_ratio " +
+        "FROM g) " +
         "SELECT doc_id, lang FROM f " +
-        "WHERE n_tok BETWEEN 8 AND 100000 AND stop_ratio >= 0.01 ORDER BY doc_id"),
+        "WHERE n_tok BETWEEN 8 AND 100000 AND stop_ratio >= 0.01 " +
+        "AND dup_ratio <= 0.2 AND top2_ratio <= 0.2 ORDER BY doc_id"),
 
     "q_lang_id" ->
       ("WITH s AS (SELECT doc_id, lang, " +

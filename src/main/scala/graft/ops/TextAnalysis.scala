@@ -55,10 +55,39 @@ object TextAnalysis {
     }
   }
 
+  /** Duplicate-line fraction — the Gopher repetition signal that catches
+    * boilerplate (nav bars, cookie banners, SEO spam repeat lines):
+    * (n_lines − n_distinct_lines) / n_lines. Pure array expression. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    round((size(lines) - size(array_distinct(lines))).cast("double") /
+      size(lines), 6)
+  }
+
+  /** Top word-n-gram character fraction (Gopher): characters covered by
+    * the single most frequent word n-gram (count × n-gram length, spaces
+    * included) over total characters. Catches keyword-stuffing pages a
+    * stopword ratio misses. Note the counting pass is O(distinct-grams ×
+    * grams) per ROW — fine for web-document lengths, and purely row-local
+    * compute (no shuffle); a book-length corpus would swap in a one-pass
+    * hash-count kernel like MinHashKernel. Can exceed 1.0 on degenerate
+    * repeats ("a a a a"): count×len double-counts overlapping coverage,
+    * faithful to the published heuristic. */
+  def topNgramCharFraction(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    val grams = transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val best = array_max(transform(array_distinct(grams),
+      g => length(g) * size(filter(grams, x => x === g))))
+    round(best.cast("double") / length(text), 6)
+  }
+
   /** Quality-scoring features: length, token count, mean token length,
-    * punctuation ratio, stopword ratio — the standard pre-training corpus
-    * filters (C4/Gopher-style heuristics, public literature). Returns a
-    * struct so one projection computes all features. */
+    * punctuation ratio, stopword ratio, plus the Gopher repetition family
+    * (duplicate-line fraction, top-2-gram character fraction) — the
+    * standard pre-training corpus filters (C4/Gopher-style heuristics,
+    * public literature). Returns a struct so one projection computes all
+    * features. */
   def qualityFeatures(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks)
@@ -70,15 +99,27 @@ object TextAnalysis {
       nTok.alias("n_tokens"),
       round(nChars.cast("double") / nTok, 6).alias("mean_tok_len"),
       round(nPunct.cast("double") / nChars, 6).alias("punct_ratio"),
-      round(stop.cast("double") / nTok, 6).alias("stopword_ratio"))
+      round(stop.cast("double") / nTok, 6).alias("stopword_ratio"),
+      dupLineFraction(text).alias("dup_line_ratio"),
+      topNgramCharFraction(text, 2).alias("top2_char_ratio"))
   }
 
-  /** Gopher-style keep/drop quality gate over the features. */
+  /** Gopher-style keep/drop quality gate over the features. The repetition
+    * bounds default to +∞ (inactive) so existing composites keep their
+    * semantics; pass e.g. maxDupLineRatio = 0.3, maxTopNgramCharRatio = 0.2
+    * to enable the boilerplate/spam filters. */
   def qualityKeep(text: Column, minTokens: Int = 5, maxTokens: Int = 100000,
-                  minStopRatio: Double = 0.01): Column = {
+                  minStopRatio: Double = 0.01,
+                  maxDupLineRatio: Double = Double.PositiveInfinity,
+                  maxTopNgramCharRatio: Double = Double.PositiveInfinity): Column = {
     val f = qualityFeatures(text)
-    f.getField("n_tokens").between(minTokens, maxTokens) &&
+    val base = f.getField("n_tokens").between(minTokens, maxTokens) &&
       f.getField("stopword_ratio") >= minStopRatio
+    val withDup =
+      if (maxDupLineRatio.isInfinity) base
+      else base && f.getField("dup_line_ratio") <= maxDupLineRatio
+    if (maxTopNgramCharRatio.isInfinity) withDup
+    else withDup && f.getField("top2_char_ratio") <= maxTopNgramCharRatio
   }
 
   /** Document fingerprint: 128-bit content hash (md5 of the normalized
