@@ -665,6 +665,19 @@ object SparkEntry {
         k = 20, nCells = 8, nProbe = 2)
     }),
 
+    // similarity: IVF ANN with Lloyd-trained centroids — 3 deterministic
+    // k-means rounds (decimal-exact means, 9-dp rounding) then the same
+    // cell equi-join as q_ann_ivf. The index-quality upgrade over first-n
+    // centroids; dataflow cost = one corpus scan + one (cell, sums)
+    // shuffle per training round.
+    "q_ann_ivf_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", q,
+        k = 20, nCells = 8, iters = 3, dim = 64)
+    }),
+
     // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join).
     // Norms are computed ONCE PER ROW before the join — inside the pair
     // expression they would be recomputed per candidate pair, tripling the
@@ -989,6 +1002,37 @@ object SparkEntry {
       "SELECT cb.vec_id, round(list_dot_product(cb.v, pr.qv) / " +
       "(sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(pr.qv, pr.qv))), 6) AS cos " +
       "FROM cb JOIN pr ON cb.bucket = pr.probe ORDER BY cos DESC, vec_id LIMIT 20"
+  }
+
+  /** DuckDB mirror of q_ann_ivf_kmeans: 3 unrolled Lloyd rounds. The
+    * distance is the SAME algebraic form as Similarity.sqDist's sequential
+    * (x−y)² fold (not the dot-product expansion) so float values track the
+    * Spark side bit-for-bit through the iteration chain; means mirror the
+    * DECIMAL(28,14) exact sums + 9-dp rounding of kmeansCentroids. */
+  private def kmeansIvfOracle: String = {
+    def dist(v: String, cv: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    sb ++= "c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), "
+    for (t <- 1 to 3) {
+      sb ++= s"d$t AS (SELECT e.vec_id, e.v, c.cid, ${dist("e.v", "c.cv")} AS dist " +
+        s"FROM e CROSS JOIN c${t - 1} c), "
+      sb ++= s"a$t AS (SELECT vec_id, v, cid AS cell FROM (SELECT *, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$t) WHERE rn = 1), "
+      sb ++= s"m$t AS (SELECT cell, i, round(CAST(sum(CAST(v[i] AS DECIMAL(28,14))) AS DOUBLE) " +
+        s"/ count(*), 9) AS mv FROM a$t, range(1, 65) AS r(i) GROUP BY cell, i), "
+      sb ++= s"c$t AS (SELECT cell AS cid, list(mv ORDER BY i) AS cv FROM m$t GROUP BY cell), "
+    }
+    sb ++= s"df AS (SELECT e.vec_id, e.v, c.cid, ${dist("e.v", "c.cv")} AS dist " +
+      "FROM e CROSS JOIN c3 c), "
+    sb ++= "af AS (SELECT vec_id, v, cid AS cell FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) WHERE rn = 1), "
+    sb ++= "q AS (SELECT cell, v AS qv FROM af ORDER BY vec_id LIMIT 1) "
+    sb ++= "SELECT af.vec_id, round(list_dot_product(af.v, q.qv) / " +
+      "(sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
+      "FROM af JOIN q ON af.cell = q.cell ORDER BY cos DESC, vec_id LIMIT 20"
+    sb.toString
   }
 
   /** DuckDB mirror of q_neardup_embedding: 4-plane LSH bucket self-join,
@@ -1501,6 +1545,8 @@ object SparkEntry {
         "SELECT a.vec_id, round(list_dot_product(a.v, qp.qv) / " +
         "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
         "FROM a JOIN qp ON a.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"),
+
+    "q_ann_ivf_kmeans" -> kmeansIvfOracle,
 
     "q_neardup_embedding" -> neardupOracle,
 

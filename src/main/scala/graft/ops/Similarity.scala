@@ -92,19 +92,49 @@ object Similarity {
           .otherwise(col("__best").getField("cid")).alias("cell"))
   }
 
-  /** IVF ANN: k-means-style inverted file, with DETERMINISTIC "training" —
-    * the first `nCells` vectors by id serve as centroids (real deployments
-    * run Lloyd iterations offline; the index/query dataflow is identical).
-    * Corpus vectors are assigned to their nearest centroid's cell; a query
-    * probes only its own cell — the search becomes an equi-join on `cell`
-    * instead of a full scan, the same join shape as LSH but with
-    * data-dependent (centroid) partitioning. */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              query: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
+  /** Distributed Lloyd k-means for IVF training, fully deterministic:
+    * init = first `nCells` vectors by id, then `iters` rounds of
+    * assign-to-nearest (the zero-exchange broadcast argmin of `ivfAssign`)
+    * followed by a per-cell mean. Each round costs ONE scan of the corpus
+    * plus ONE shuffle of (cell, 64 partial sums) — map-side partial
+    * aggregation means executors ship one row of decimal sums per cell per
+    * task, never vectors. Means go through DECIMAL(28,14) sums (exact, so
+    * shuffle order can't flip low bits) and are rounded to 9 dp — both
+    * properties are what make the training REPRODUCIBLE across engines
+    * and cluster sizes, which a float-sum k-means is not.
+    *
+    * A cell that captures no vectors disappears (its centroid had no
+    * mean) — standard Lloyd behavior; the cell count can only shrink,
+    * and `ivfAssign`'s empty-centroid guard still fires if ALL vanish.
+    * `vectors` must expose `idCol` and a double-array `vecCol`. */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int, dim: Int): DataFrame = {
+    val base = vectors.select(col(idCol).alias("__id"), col(vecCol).alias("v"))
+    var centroids = base.orderBy("__id").limit(nCells)
+      .select(col("__id").alias("cid"), col("v").alias("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(base, "__id", "v", centroids)
+      val sums = (0 until dim).map(i =>
+        sum(col("v").getItem(i).cast("decimal(28,14)")).alias(s"__s_$i"))
+      val agged = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).alias("__n"), sums: _*)
+      centroids = agged.select(col("cell").alias("cid"),
+        array((0 until dim).map(i =>
+          round(col(s"__s_$i").cast("double") / col("__n"), 9)): _*).alias("cv"))
+    }
+    centroids
+  }
+
+  /** IVF ANN against a caller-supplied centroid table (cid, cv): corpus
+    * vectors are assigned to their nearest centroid's cell; a query probes
+    * only its own cell — the search becomes an equi-join on `cell` instead
+    * of a full scan, the same join shape as LSH but with data-dependent
+    * (centroid) partitioning. */
+  def ivfTopKWithCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                           query: DataFrame, k: Int,
+                           centroids: DataFrame): DataFrame = {
     val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
-    val centroids = base.orderBy(idCol).limit(nCells)
-      .select(col(idCol).alias("cid"), col("v").alias("cv"))
-    val assigned = ivfAssign(base.select(col(idCol), col("v")), idCol, "v", centroids)
+    val assigned = ivfAssign(base, idCol, "v", centroids)
     val q = ivfAssign(
       query.select(lit(-1L).alias("__qid"), col("qv")), "__qid", "qv", centroids)
       .select(col("v").alias("qv"), col("cell"))
@@ -112,6 +142,30 @@ object Similarity {
       .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
+  }
+
+  /** IVF ANN with DETERMINISTIC first-n "training" — the first `nCells`
+    * vectors by id serve as centroids (see `ivfTopKKMeans` for the
+    * Lloyd-trained index; the query dataflow is identical). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    val centroids = base.orderBy(idCol).limit(nCells)
+      .select(col(idCol).alias("cid"), col("v").alias("cv"))
+    ivfTopKWithCentroids(corpus, idCol, vecCol, query, k, centroids)
+  }
+
+  /** IVF ANN with Lloyd-trained centroids: `iters` k-means rounds over the
+    * corpus (see `kmeansCentroids`), then the standard cell equi-join.
+    * Same query shape as `ivfTopK`; the index quality is what improves —
+    * centroids move to the data's actual density modes instead of being
+    * whatever the first `nCells` rows happened to hold. */
+  def ivfTopKKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                    query: DataFrame, k: Int, nCells: Int, iters: Int,
+                    dim: Int): DataFrame = {
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    val centroids = kmeansCentroids(base, idCol, "v", nCells, iters, dim)
+    ivfTopKWithCentroids(corpus, idCol, vecCol, query, k, centroids)
   }
 
   /** IVF multi-probe ANN: the query probes its `nProbe` NEAREST cells

@@ -207,6 +207,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("Lloyd k-means centroids migrate to cluster means despite one-sided init") {
+    // both seed centroids start inside cluster A; Lloyd must move one of
+    // them to capture cluster B around (10, 10)
+    val vecs = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.2, 0.0)), (3L, Array(0.0, 0.2)),
+      (10L, Array(10.0, 10.0)), (11L, Array(10.2, 10.0)), (12L, Array(10.0, 10.2)))
+      .toDF("id", "v")
+    val cents = Similarity.kmeansCentroids(vecs, "id", "v",
+        nCells = 2, iters = 3, dim = 2)
+      .orderBy("cid").select("cv").as[Seq[Double]].collect()
+    assert(cents.length == 2)
+    val Seq(a, b) = cents.sortBy(_.head).toSeq
+    val meanA = Seq(0.2 / 3, 0.2 / 3)
+    val meanB = Seq(10.0 + 0.2 / 3, 10.0 + 0.2 / 3)
+    a.zip(meanA).foreach { case (x, m) => assert(math.abs(x - m) < 1e-6) }
+    b.zip(meanB).foreach { case (x, m) => assert(math.abs(x - m) < 1e-6) }
+  }
+
   test("decontamination drops a 13-gram leak but keeps a 12-gram near-miss") {
     // 20-token eval doc; w1..w20
     val evalText = (1 to 20).map("w" + _).mkString(" ")
