@@ -678,6 +678,24 @@ object SparkEntry {
         k = 20, nCells = 8, iters = 3, dim = 64)
     }),
 
+    // similarity: measured recall@20 of every ANN variant against the
+    // brute-force ground truth — turns the "recall superset" design claims
+    // into numbers. Each variant's top-20 semi-joins the exact top-20 ids;
+    // recall = hit count / 20. (The variant plans each scan the corpus
+    // once; the union is of 5 × ≤20-row results, so the combine is free.)
+    "q_ann_recall" -> ((s, d) => {
+      val gt = queries("q_ann_cosine")(s, d).select("vec_id")
+      Seq("q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_ivf_multiprobe",
+        "q_ann_lsh", "q_ann_lsh_multiprobe")
+        .map(v => queries(v)(s, d)
+          .select(lit(v.stripPrefix("q_")).alias("variant"), col("vec_id")))
+        .reduce(_ unionAll _)
+        .join(gt, Seq("vec_id"), "left_semi")
+        .groupBy("variant")
+        .agg(round(count(lit(1)).cast("double") / 20.0, 6).alias("recall"))
+        .orderBy("variant")
+    }),
+
     // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join).
     // Norms are computed ONCE PER ROW before the join — inside the pair
     // expression they would be recomputed per candidate pair, tripling the
@@ -1002,6 +1020,59 @@ object SparkEntry {
       "SELECT cb.vec_id, round(list_dot_product(cb.v, pr.qv) / " +
       "(sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(pr.qv, pr.qv))), 6) AS cos " +
       "FROM cb JOIN pr ON cb.bucket = pr.probe ORDER BY cos DESC, vec_id LIMIT 20"
+  }
+
+  private val annCosineOracle: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1) " +
+      "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / " +
+      "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
+      "FROM e, q ORDER BY cos DESC, vec_id LIMIT 20"
+
+  private val ivfOracle: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+      "d AS (SELECT e.vec_id, e.v, c.cid, " +
+      "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv) AS dist " +
+      "FROM e CROSS JOIN c), " +
+      "a AS (SELECT vec_id, v, cid AS cell FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
+      "q AS (SELECT cell, v AS qv FROM a ORDER BY vec_id LIMIT 1) " +
+      "SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
+      "FROM a JOIN q ON a.cell = q.cell ORDER BY cos DESC, vec_id LIMIT 20"
+
+  /** Multi-probe IVF: same assignment CTEs as q_ann_ivf, but the query
+    * keeps its 2 nearest centroids (ORDER BY dist, cid LIMIT 2) as probes. */
+  private val ivfMultiProbeOracle: String =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+      "d AS (SELECT e.vec_id, e.v, c.cid, " +
+      "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv) AS dist " +
+      "FROM e CROSS JOIN c), " +
+      "a AS (SELECT vec_id, v, cid AS cell FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
+      "q AS (SELECT vec_id, v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
+      "qp AS (SELECT d.cid AS cell, q.qv FROM q JOIN d ON d.vec_id = q.vec_id " +
+      "ORDER BY d.dist, d.cid LIMIT 2) " +
+      "SELECT a.vec_id, round(list_dot_product(a.v, qp.qv) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
+      "FROM a JOIN qp ON a.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"
+
+  /** DuckDB mirror of q_ann_recall: each variant's oracle SELECT nests as
+    * a subquery; recall = |variant top-20 ∩ brute-force top-20| / 20. */
+  private def annRecallOracle: String = {
+    val variants = Seq(
+      "ann_ivf" -> ivfOracle,
+      "ann_ivf_kmeans" -> kmeansIvfOracle,
+      "ann_ivf_multiprobe" -> ivfMultiProbeOracle,
+      "ann_lsh" -> lshOracle,
+      "ann_lsh_multiprobe" -> lshMultiProbeOracle)
+    val rows = variants.map { case (name, sql) =>
+      s"SELECT '$name' AS variant, (SELECT round(CAST(count(*) AS DOUBLE) / 20.0, 6) " +
+        s"FROM ($sql) vv WHERE vv.vec_id IN (SELECT vec_id FROM ($annCosineOracle) gg)) AS recall"
+    }.mkString(" UNION ALL ")
+    s"SELECT variant, recall FROM ($rows) ORDER BY variant"
   }
 
   /** DuckDB mirror of q_ann_ivf_kmeans: 3 unrolled Lloyd rounds. The
@@ -1506,45 +1577,16 @@ object SparkEntry {
         "FROM pairs p JOIN t a ON a.doc_id = p.id1 JOIN t b ON b.doc_id = p.id2 " +
         "ORDER BY id1, id2"),
 
-    "q_ann_cosine" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1) " +
-        "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / " +
-        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
-        "FROM e, q ORDER BY cos DESC, vec_id LIMIT 20"),
+    "q_ann_cosine" -> annCosineOracle,
 
     "q_ann_lsh" -> lshOracle,
     "q_ann_lsh_multiprobe" -> lshMultiProbeOracle,
 
-    "q_ann_ivf" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
-        "d AS (SELECT e.vec_id, e.v, c.cid, " +
-        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv) AS dist " +
-        "FROM e CROSS JOIN c), " +
-        "a AS (SELECT vec_id, v, cid AS cell FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
-        "q AS (SELECT cell, v AS qv FROM a ORDER BY vec_id LIMIT 1) " +
-        "SELECT a.vec_id, round(list_dot_product(a.v, q.qv) / " +
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
-        "FROM a JOIN q ON a.cell = q.cell ORDER BY cos DESC, vec_id LIMIT 20"),
+    "q_ann_ivf" -> ivfOracle,
 
-    // Multi-probe IVF: same assignment CTEs as q_ann_ivf, but the query
-    // keeps its 2 nearest centroids (ORDER BY dist, cid LIMIT 2) as probes.
-    "q_ann_ivf_multiprobe" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-        "c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
-        "d AS (SELECT e.vec_id, e.v, c.cid, " +
-        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv) AS dist " +
-        "FROM e CROSS JOIN c), " +
-        "a AS (SELECT vec_id, v, cid AS cell FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1), " +
-        "q AS (SELECT vec_id, v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
-        "qp AS (SELECT d.cid AS cell, q.qv FROM q JOIN d ON d.vec_id = q.vec_id " +
-        "ORDER BY d.dist, d.cid LIMIT 2) " +
-        "SELECT a.vec_id, round(list_dot_product(a.v, qp.qv) / " +
-        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
-        "FROM a JOIN qp ON a.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"),
+    "q_ann_ivf_multiprobe" -> ivfMultiProbeOracle,
+
+    "q_ann_recall" -> annRecallOracle,
 
     "q_ann_ivf_kmeans" -> kmeansIvfOracle,
 
