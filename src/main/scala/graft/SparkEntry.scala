@@ -813,6 +813,21 @@ object SparkEntry {
             .getField("k").alias("k"))
         .orderBy("event_id")),
 
+    // text: REAL BPE tokenization against a fixed merges table — the
+    // native kernel applies SentencePiece-style leftmost-lowest-rank
+    // merging per word (a zero-shuffle projection; the merges table is
+    // the broadcast model artifact). Token counts are now subword counts,
+    // not word counts.
+    "q_bpe_tokens" -> ((s, d) => {
+      val toks = graft.functions.Bpe.bpe_tokens(col("text"),
+        TextAnalysis.DefaultBpeMerges)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").alias("n_bpe"),
+          concat_ws("|", slice(toks, 1, 10)).alias("head_toks"))
+        .orderBy("doc_id")
+    }),
+
     // text: BPE-ish regex tokenization
     "q_regex_tokens" -> ((s, d) => {
       val toks = TextAnalysis.regexTokens(col("text"))
@@ -1169,6 +1184,35 @@ object SparkEntry {
   private val DirtyText: String =
     "CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || substr(text, 1, 40) " +
       "|| chr(10) || substr(text, 1, 40) ELSE text END"
+
+  /** DuckDB mirror of q_bpe_tokens: the merges table as a VALUES CTE and
+    * the kernel's merge loop as a RECURSIVE CTE — each step finds the
+    * lowest-rank pair present in a word's " a b c " symbol string and
+    * replaces its first (leftmost) occurrence; a word's chain terminates
+    * when no listed pair remains. Exactly the kernel's semantics (one
+    * merge per step, full rescan), which is why that formulation was
+    * chosen over GPT-2's merge-all-per-round. */
+  private def bpeOracle: String = {
+    val mergeVals = graft.ops.TextAnalysis.DefaultBpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
+    s"WITH RECURSIVE merges(rank, a, b) AS (VALUES $mergeVals), " +
+      "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      "w0 AS (SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks) + 1)) AS wi FROM t), " +
+      "w AS (SELECT doc_id, wi, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s " +
+      "FROM w0 WHERE w <> ''), " +
+      "bpe AS (SELECT doc_id, wi, s FROM w " +
+      "UNION ALL " +
+      "SELECT doc_id, wi, regexp_replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') " +
+      "FROM (SELECT doc_id, wi, s, a, b, " +
+      "row_number() OVER (PARTITION BY doc_id, wi ORDER BY rank) AS rn " +
+      "FROM bpe JOIN merges ON contains(s, ' ' || a || ' ' || b || ' ')) WHERE rn = 1), " +
+      "fin AS (SELECT doc_id, wi, trim(s) AS s FROM bpe b WHERE NOT EXISTS " +
+      "(SELECT 1 FROM merges m WHERE contains(b.s, ' ' || m.a || ' ' || m.b || ' '))), " +
+      "agg AS (SELECT doc_id, string_split(string_agg(s, ' ' ORDER BY wi), ' ') AS toks " +
+      "FROM fin GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe, " +
+      "array_to_string(toks[1:10], '|') AS head_toks FROM agg ORDER BY doc_id"
+  }
 
   private val EnStop = "('the','of','and','a','to','in','is')"
   private val DeStop = "('der','die','das','und','ist','nicht')"
@@ -1660,6 +1704,8 @@ object SparkEntry {
     "q_from_json" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events ORDER BY event_id"),
+
+    "q_bpe_tokens" -> bpeOracle,
 
     "q_regex_tokens" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(" +

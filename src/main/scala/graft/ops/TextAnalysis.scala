@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: tokenization, language ID,
@@ -120,6 +120,58 @@ object TextAnalysis {
       else base && f.getField("dup_line_ratio") <= maxDupLineRatio
     if (maxTopNgramCharRatio.isInfinity) withDup
     else withDup && f.getField("top2_char_ratio") <= maxTopNgramCharRatio
+  }
+
+  /** A small fixed merges table for `Bpe.bpe_tokens` — the model artifact
+    * a production pipeline trains offline (see `bpeTrainMerges`) and
+    * broadcasts; pinned here so token counts are deterministic and the
+    * DuckDB oracle can replay the identical table. Common English pairs,
+    * rank = position (lower merges first); includes chained merges
+    * (t+h → th, th+e → the) to exercise multi-level merging. */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("in", "g"), ("o", "f"))
+
+  /** Train a BPE merges table from a corpus — the public GPT-2 recipe:
+    * `numMerges` rounds of "count adjacent symbol pairs under the current
+    * merges, adopt the most frequent" (ties broken lexicographically for
+    * determinism). Each round is ONE distributed pair-count aggregation
+    * (explode words → kernel-tokenize under current merges → in-row
+    * adjacent pairs → groupBy count → top-1 to the driver), so the driver
+    * round-trips `numMerges` times with one small row each — the standard
+    * offline-training shape; the APPLY path (`Bpe.bpe_tokens`) stays a
+    * zero-shuffle projection. */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+                     numMerges: Int): Seq[(String, String)] = {
+    val words = df
+      .select(explode(split(col(textCol), " ")).alias("w"))
+      .filter(col("w") =!= "")
+    var merges = Vector.empty[(String, String)]
+    var rounds = 0
+    while (rounds < numMerges) {
+      val syms =
+        if (merges.isEmpty)
+          // char split; drop the trailing empty piece the regex leaves
+          filter(split(regexp_replace(col("w"), "(.)", "$1 "), " "),
+            t => length(t) > 0)
+        else graft.functions.Bpe.bpe_tokens(col("w"), merges)
+      val top = words.select(syms.alias("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(col("syms").getItem(i).alias("a"),
+            col("syms").getItem(i + 1).alias("b")))).alias("p"))
+        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+        .agg(count(lit(1)).alias("n"))
+        .orderBy(desc("n"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) rounds = numMerges
+      else {
+        merges :+= ((top(0).getString(0), top(0).getString(1)))
+        rounds += 1
+      }
+    }
+    merges
   }
 
   /** Document fingerprint: 128-bit content hash (md5 of the normalized

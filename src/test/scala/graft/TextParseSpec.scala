@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{DatesNums, TextParse}
+import graft.ops.{DatesNums, TextAnalysis, TextParse}
 
 /** Unit specs for the scalar parsing suite (SURVEY.md §2 D/E), pinning the
   * reference's semantics gotchas J4/J5 (challenge2.py:114-198). */
@@ -66,5 +66,35 @@ class TextParseSpec extends AnyFunSuite with SparkSpec {
     val lenient = df.select(DatesNums.fillZeroFrom(col("k"), col("w")).alias("v"))
       .collect().toSeq.map(_.getDouble(0))
     assert(lenient == Seq(7.0, 7.0, 3.0))
+  }
+
+  test("BPE kernel: chained merges, leftmost-lowest-rank order") {
+    val merges = TextAnalysis.DefaultBpeMerges
+    val got = Seq("the", "and", "thinking", "x", "")
+      .toDF("text")
+      .select(graft.functions.Bpe.bpe_tokens(col("text"), merges).alias("t"))
+      .as[Seq[String]].collect().toSeq
+    // "the": t+h -> th (rank 1), th+e -> the (rank 2)
+    assert(got(0) == Seq("the"))
+    // "and": a+n (rank 4), an+d (rank 5)
+    assert(got(1) == Seq("and"))
+    // "thinking": t+h, then i+n twice (leftmost first), then in+g
+    assert(got(2) == Seq("th", "in", "k", "ing"))
+    assert(got(3) == Seq("x"))
+    assert(got(4) == Seq.empty)
+    // multi-word doc concatenates word tokenizations in order
+    val doc = Seq("the and").toDF("text")
+      .select(graft.functions.Bpe.bpe_tokens(col("text"), merges).alias("t"))
+      .as[Seq[String]].collect().head
+    assert(doc == Seq("the", "and"))
+  }
+
+  test("BPE training learns the most frequent pair first, ties lexicographic") {
+    val corpus = Seq("the the the the cat", "the hat").toDF("text")
+    val merges = TextAnalysis.bpeTrainMerges(corpus, "text", 2)
+    // (t,h) and (h,e) both occur 5x ("the" x5); tie broken by a asc
+    assert(merges.head == ("h", "e"))
+    // after h+e -> he, (t,he) occurs 5x, beating (a,t)'s 2
+    assert(merges(1) == ("t", "he"))
   }
 }
