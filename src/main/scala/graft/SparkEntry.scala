@@ -537,6 +537,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // mix: deterministic stratified domain sampling — keep 50% of src0,
+    // 25% of src1, all of everything else, via an md5-threshold predicate
+    // (reproducible row-for-row across cluster sizes, unlike sample()).
+    "q_domain_mix" -> ((s, d) =>
+      Mix.stratifiedSample(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.25))
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // dedup: benchmark decontamination — every 37th document plays the
     // "eval set"; corpus docs sharing any 13-gram with it are dropped
     // (including the eval docs themselves, which trivially self-collide).
@@ -1575,6 +1583,12 @@ object SparkEntry {
         "FROM l) GROUP BY fp) " +
         "SELECT l.doc_id, CAST(len(string_split(l.text, ' ')) AS BIGINT) AS n_tokens " +
         "FROM l JOIN c ON l.doc_id = c.doc_id ORDER BY l.doc_id"),
+
+    "q_domain_mix" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
+        "< (CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src0' THEN 0.5 ELSE 1.0 END) * 4294967296.0 " +
+        "ORDER BY doc_id"),
 
     "q_decontaminate" ->
       ("WITH sh AS (SELECT doc_id, list_transform(list_distinct(list_transform(" +

@@ -207,6 +207,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("stratified sampling is deterministic and monotone in rate") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    def ids(rates: Map[String, Double]) =
+      Mix.stratifiedSample(df, "src", "id", rates)
+        .select("id").as[Long].collect().toSet
+    val half = ids(Map("a" -> 0.5, "b" -> 0.0))
+    val quarter = ids(Map("a" -> 0.25, "b" -> 0.0))
+    // deterministic: same call, same set
+    assert(half == ids(Map("a" -> 0.5, "b" -> 0.0)))
+    // monotone: lower rate selects a subset of the higher rate's rows
+    assert(quarter.subsetOf(half))
+    // roughly the right fraction of the 200 'a' rows, and zero 'b' rows
+    assert(half.size > 70 && half.size < 130)
+    assert(half.forall(_ % 2 == 0))
+    // rate 1.0 default keeps everything
+    assert(Mix.stratifiedSample(df, "src", "id", Map.empty).count() == 400L)
+  }
+
   test("Lloyd k-means centroids migrate to cluster means despite one-sided init") {
     // both seed centroids start inside cluster A; Lloyd must move one of
     // them to capture cluster B around (10, 10)
