@@ -192,6 +192,91 @@ object Multimodal {
     }.toDF("media_id", "bytes", "mime", "width", "height", "resized")
   }
 
+  /** A perceptual image hash row. `decoded = false` marks payloads that
+    * fell back to the md5-derived stand-in hash (effectively unique, so
+    * undecodable records never spuriously collide as near-dups). */
+  case class ImageHash(media_id: Long, dhash: Long, decoded: Boolean)
+
+  /** REAL perceptual hash (dHash, public algorithm): decode → bilinear
+    * resize to 9×8 → per-pixel luminance → 64 bits, bit (x,y) set iff
+    * lum(x+1,y) > lum(x,y). Robust to re-encoding, scaling, and mild
+    * noise — the standard image near-dup key; JDK-only decode path shared
+    * with `resizeImages`. Undecodable payloads get a deterministic
+    * md5-derived hash and `decoded = false` (tag-and-keep totality, same
+    * contract as decode/resize). */
+  def dHashes(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val decoded = scala.util.Try(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        ).toOption.flatMap(Option(_))
+        decoded match {
+          case Some(im) =>
+            val out = new java.awt.image.BufferedImage(
+              9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, 9, 8, null)
+            g.dispose()
+            def lum(x: Int, y: Int): Double = {
+              val rgb = out.getRGB(x, y)
+              ((rgb >> 16) & 0xff) * 0.299 + ((rgb >> 8) & 0xff) * 0.587 +
+                (rgb & 0xff) * 0.114
+            }
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (lum(x + 1, y) > lum(x, y)) hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            ImageHash(r.media_id, hash, decoded = true)
+          case None =>
+            val h = md5Bytes(r.bytes)
+            var hash = 0L
+            var i = 0
+            while (i < 8) { hash = (hash << 8) | java.lang.Byte.toUnsignedInt(h(i)); i += 1 }
+            ImageHash(r.media_id, hash, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Hamming near-dup pairs over dHashes, banded so the self-join never
+    * goes all-pairs: split the 64 bits into `maxDist + 1` bands — by
+    * pigeonhole, two hashes within Hamming distance `maxDist` agree
+    * EXACTLY on at least one band — equi-join on (band, bits), then
+    * verify the true distance on the candidates. Same LSH-banding shape
+    * as `ScaleDedup.minhashCandidatePairs`: the only shuffles are on the
+    * band key, and the final filter reuses `hammingDistance`. */
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val nBands = maxDist + 1
+    val banded = (0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val width = (b + 1) * 64 / nBands - lo
+      val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+      hashes.select(col("media_id"), lit(b).alias("band"),
+        shiftrightunsigned(col("dhash"), lo).bitwiseAND(mask).alias("bkey"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("media_id").alias("id1"), col("band"), col("bkey"))
+    val r = banded.select(col("media_id").alias("id2"), col("band"), col("bkey"))
+    val h1 = hashes.select(col("media_id").alias("id1"), col("dhash").alias("__h1"))
+    val h2 = hashes.select(col("media_id").alias("id2"), col("dhash").alias("__h2"))
+    l.join(r, Seq("band", "bkey")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+      .join(h1, "id1").join(h2, "id2")
+      .select(col("id1"), col("id2"),
+        graft.ops.ScaleDedup.hammingDistance(col("__h1"), col("__h2")).alias("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Frame-sample STAND-IN for video payloads: take every `stride`-th chunk
     * of the payload as a "frame" — the partition-local slicing shape of a
     * real frame sampler. This container ships no video codecs, so this is

@@ -84,4 +84,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       c.getMessage.contains("refusing non-video")),
       s"expected IllegalArgumentException(refusing non-video), got $ex")
   }
+
+  test("dHash: identical images collide, perturbed stay near, distinct far") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) im.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val baseF = (x: Int, y: Int) => gray((x * 3 + y) & 0xff)
+    // +10 luminance on a 4x4 corner — a mild re-encode/watermark-style edit
+    val perturbedF = (x: Int, y: Int) => {
+      val v = (x * 3 + y) & 0xff
+      gray(if (x < 4 && y < 4) math.min(255, v + 10) else v)
+    }
+    val differentF = (x: Int, y: Int) =>
+      gray(((255 - x * 2 - y * 5) & 0xff) ^ (x * y & 0xff))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png(baseF), "image/png", 1L),
+      Multimodal.MediaRecord(2L, "image", png(baseF), "image/png", 2L),
+      Multimodal.MediaRecord(3L, "image", png(perturbedF), "image/png", 3L),
+      Multimodal.MediaRecord(4L, "image", png(differentF), "image/png", 4L)).toDS()
+    val hashes = Multimodal.dHashes(spark, media)
+    val hs = hashes.collect().sortBy(_.media_id)
+    assert(hs.forall(_.decoded))
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(0).dhash == hs(1).dhash)
+    assert(hd(hs(0).dhash, hs(2).dhash) <= 8,
+      s"perturbed drifted ${hd(hs(0).dhash, hs(2).dhash)} bits")
+    assert(hd(hs(0).dhash, hs(3).dhash) > 8,
+      s"distinct image unexpectedly near: ${hd(hs(0).dhash, hs(3).dhash)} bits")
+    // banded candidate join + verify finds exactly the near pairs
+    val pairs = Multimodal.dhashNearDupPairs(hashes.toDF(), maxDist = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
