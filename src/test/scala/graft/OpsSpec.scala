@@ -244,6 +244,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     b.zip(meanB).foreach { case (x, m) => assert(math.abs(x - m) < 1e-6) }
   }
 
+  test("connected components: 65536-node path converges within 2·log2(n) rounds") {
+    // worst-case diameter for n vertices; a plain label-propagation would
+    // need 65535 rounds — finishing inside maxIter = 32 = 2·log2(65536)
+    // is the pointer-jumping log-diameter evidence at 64× the 1024-path
+    // spec's scale (the op throws loudly if the budget is exceeded)
+    val n = 65536L
+    val verts = spark.range(n).toDF("id")
+    val edges = spark.range(n - 1)
+      .select(col("id").alias("id1"), (col("id") + 1).alias("id2"))
+    val t0 = System.nanoTime()
+    val labels = ScaleDedup.connectedComponents(verts, edges,
+      maxIter = 32, checkEvery = 4)
+    val roots = labels.select("label").distinct().as[Long].collect().toSeq
+    assert(roots == Seq(0L))
+    assert(labels.count() == n)
+    info(f"65536-path clustering wall time ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   test("decontamination drops a 13-gram leak but keeps a 12-gram near-miss") {
     // 20-token eval doc; w1..w20
     val evalText = (1 to 20).map("w" + _).mkString(" ")
