@@ -47,8 +47,10 @@ object Bench {
         .format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[warm] $label: $e") }
     }
-    // Two timed passes, min per query: GC pauses and compaction noise on a
-    // shared box inflate single samples; min-of-2 is the steady-state cost.
+    // Three timed passes, min per query: GC pauses and compaction noise on
+    // a shared box inflate single samples — the round-3 driver run showed
+    // 0.1–0.4 s/query drift on UNCHANGED plans with min-of-2, so one more
+    // pass buys the noise floor down (min-of-3 = steady-state cost).
     def timedPass(): Seq[(String, Double)] = Headline.map { case (label, name) =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write
@@ -56,8 +58,10 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $label: $e") }
       label -> (System.nanoTime() - t0) / 1e9
     }
-    val p1 = timedPass(); val p2 = timedPass()
-    val results = p1.zip(p2).map { case ((l, a), (_, b)) => l -> math.min(a, b) }
+    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val results = Headline.indices.map { i =>
+      passes.head(i)._1 -> passes.map(_(i)._2).min
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * Image decode is REAL: `decodeImage` parses the payload with
   * `javax.imageio` (ships in the JDK — no external codec dependency) and
   * extracts true dimensions plus a coarse luminance-grid embedding.
-  * Payloads ImageIO cannot parse (audio/video stand-ins, corrupt bytes)
+  * Payloads ImageIO cannot parse (corrupt bytes, non-image stand-ins)
   * fall back to `decodeImageStub`, a deterministic md5-derived fake, so
   * the pipeline is total — exactly how a production decode stage handles
-  * undecodable records (tag-and-keep rather than throw). Audio/video
-  * codecs are not in this container, so frame sampling stays a
-  * byte-slicing stand-in around real distributed plumbing.
+  * undecodable records (tag-and-keep rather than throw). Audio decode is
+  * REAL for WAV/PCM via `javax.sound.sampled` (also JDK-resident). Only
+  * VIDEO remains a stand-in (no codecs in this container), so frame
+  * sampling stays a byte-slicing shape around real distributed plumbing.
   */
 object Multimodal {
 
@@ -190,6 +191,88 @@ object Multimodal {
         }
       }
     }.toDF("media_id", "bytes", "mime", "width", "height", "resized")
+  }
+
+  /** Decoded-audio features: true format parameters plus the standard
+    * cheap signal features (RMS energy, zero-crossing rate) a corpus
+    * pipeline filters on (silence/clipping detection, speech-vs-noise
+    * heuristics). */
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           n_samples: Long, duration_sec: Double,
+                           rms: Double, zero_cross_rate: Double,
+                           decoded: Boolean)
+
+  /** Fabricate WAV payloads: per document, a deterministic 16-bit PCM mono
+    * sine burst (frequency and length keyed on doc_id) encoded with
+    * javax.sound.sampled — a REAL audio container round-trip, executor-side. */
+  def syntheticWavMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].map { id =>
+      val rate = 8000
+      val n = 800 + (id % 5).toInt * 400 // 0.1–0.3 s
+      val freq = 220.0 * (1 + (id % 4))
+      val samples = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+        samples(2 * i) = (v & 0xff).toByte
+        samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRecord(id, "audio", bos.toByteArray, "audio/wav", id)
+    }
+  }
+
+  /** REAL audio decode via javax.sound.sampled (ships in the JDK — WAV/PCM
+    * needs no external codec): true sample rate / channel count / length,
+    * plus RMS energy and zero-crossing rate over the PCM samples. Payloads
+    * the sound stack cannot parse (mp3/ogg, corrupt bytes) degrade to a
+    * zeroed row with `decoded = false` — the same tag-and-keep totality
+    * contract as the image path. Per-partition decode, nothing driver-side. */
+  def extractAudioFeatures(spark: SparkSession,
+                           media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        scala.util.Try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16, "feature pass expects 16-bit PCM")
+          val raw = ais.readAllBytes()
+          val bigEndian = fmt.isBigEndian
+          val n = raw.length / 2
+          var sumSq = 0.0
+          var crossings = 0L
+          var prevSign = 0
+          var i = 0
+          while (i < n) {
+            val lo = raw(2 * i).toInt
+            val hi = raw(2 * i + 1).toInt
+            val v = if (bigEndian) (lo << 8) | (hi & 0xff)
+              else (hi << 8) | (lo & 0xff)
+            val x = v / 32768.0
+            sumSq += x * x
+            val sign = java.lang.Integer.signum(v)
+            if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+            if (sign != 0) prevSign = sign
+            i += 1
+          }
+          val frames = n / fmt.getChannels
+          AudioFeatures(r.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            n.toLong, frames.toDouble / fmt.getSampleRate,
+            math.sqrt(sumSq / math.max(n, 1)),
+            crossings.toDouble / math.max(n - 1, 1), decoded = true)
+        }.getOrElse(
+          AudioFeatures(r.media_id, 0, 0, 0L, 0.0, 0.0, 0.0, decoded = false))
+      }
+    }
   }
 
   /** A perceptual image hash row. `decoded = false` marks payloads that

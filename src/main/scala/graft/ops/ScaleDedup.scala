@@ -260,16 +260,21 @@ object ScaleDedup {
     *
     * Scale shape: the EVAL side is the small one (benchmarks are KBs–MBs,
     * the corpus is the 100 TB side), so its distinct shingle hashes are
-    * collected into ONE array row and broadcast; contamination is then a
-    * narrow per-row `arrays_overlap` over each document's shingle hashes —
-    * the corpus is scanned once and NEVER shuffled, no explode, no join.
-    * (With a huge eval set, flip to exploding corpus shingles into a
-    * broadcast-hash semi-join; same hashes, one shuffle of doc ids.)
+    * BROADCAST; corpus shingle hashes explode and probe them in a
+    * broadcast LEFT-SEMI hash join (O(1) per probe — an `arrays_overlap`
+    * against the packed eval array was measured 5× slower at sf0.1, its
+    * per-doc cost being O(|eval|)). Only the matching doc ids — the
+    * contaminated ones, a tiny set by construction — reach the distinct
+    * shuffle, and the final anti-join carries them back against the
+    * corpus (unhinted: AQE broadcasts when the set is small, which it
+    * almost always is — but one leaked boilerplate doc can contaminate
+    * unboundedly many corpus copies, so forcing a broadcast would be a
+    * 100 TB OOM risk): document text is scanned once and never shuffled.
     *
-    * An empty eval set broadcasts an empty array: `arrays_overlap(hs, [])`
-    * is false, so everything survives — the correct degenerate case.
-    * Documents shorter than n tokens hash their whole text as one shingle
-    * (`shingles` tail semantics), so verbatim short leaks still collide. */
+    * An empty eval set broadcasts an empty build side: no probe matches,
+    * everything survives — the correct degenerate case. Documents shorter
+    * than n tokens hash their whole text as one shingle (`shingles` tail
+    * semantics), so verbatim short leaks still collide. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     evalSet: DataFrame, evalTextCol: String,
                     n: Int = 13): DataFrame = {
@@ -278,10 +283,11 @@ object ScaleDedup {
     val evalHashes = evalSet
       .select(explode(shingleHashes(col(evalTextCol))).alias("__h"))
       .distinct()
-      .agg(collect_list(col("__h")).alias("__eval_hashes"))
-    corpus.crossJoin(broadcast(evalHashes))
-      .filter(!arrays_overlap(shingleHashes(col(textCol)), col("__eval_hashes")))
-      .drop("__eval_hashes")
+    val contaminated = corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol))).alias("__h"))
+      .join(broadcast(evalHashes), Seq("__h"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.

@@ -77,8 +77,15 @@ object TextAnalysis {
     val toks = tokens(text)
     val grams = transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    val best = array_max(transform(array_distinct(grams),
-      g => length(g) * size(filter(grams, x => x === g))))
+    // Bind `grams` to a lambda variable via a 1-element transform (the
+    // expression-level "let"): referencing the gram-construction tree
+    // directly inside the counting lambdas re-evaluates it per distinct
+    // gram per element — O(n³) string building, measured 235 s/query at
+    // sf0.1. Bound as a variable it is built once per row; the count is
+    // then O(n²) comparisons over materialized strings (sub-second).
+    val best = get(transform(array(grams), gs =>
+      array_max(transform(array_distinct(gs),
+        g => length(g) * size(filter(gs, x => x === g))))), lit(0))
     round(best.cast("double") / length(text), 6)
   }
 

@@ -85,6 +85,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       s"expected IllegalArgumentException(refusing non-video), got $ex")
   }
 
+  test("audio: REAL WAV decode recovers format, energy, and pitch-rate features") {
+    import spark.implicits._
+    val wav = Multimodal.syntheticWavMedia(spark, Tables.documents(spark, sf0).limit(20))
+    val feats = Multimodal.extractAudioFeatures(spark, wav).collect().sortBy(_.media_id)
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      assert(f.decoded, s"media ${f.media_id} failed to decode")
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      // synthetic burst length is 800 + (id%5)*400 samples
+      assert(f.n_samples == 800 + (f.media_id % 5) * 400)
+      assert(math.abs(f.duration_sec - f.n_samples / 8000.0) < 1e-9)
+      // sine RMS = amplitude/sqrt(2) = (12000/32768)/1.414 ~ 0.259
+      assert(math.abs(f.rms - 0.259) < 0.01, s"rms ${f.rms}")
+      // zero-crossing rate of a sine ~ 2*freq/rate
+      val freq = 220.0 * (1 + f.media_id % 4)
+      assert(math.abs(f.zero_cross_rate - 2 * freq / 8000) < 0.01,
+        s"media ${f.media_id}: zcr ${f.zero_cross_rate} for $freq Hz")
+    }
+    // non-audio payloads degrade to tagged zero rows, never throw
+    val bad = Multimodal.extractAudioFeatures(spark, media).collect()
+    assert(bad.forall(!_.decoded))
+  }
+
   test("dHash: identical images collide, perturbed stay near, distinct far") {
     import spark.implicits._
     def png(f: (Int, Int) => Int): Array[Byte] = {
