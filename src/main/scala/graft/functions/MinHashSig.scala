@@ -102,6 +102,47 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
+  /** Distinct word-k-shingle hashes in first-occurrence order — the
+    * decontamination key (`ScaleDedup.decontaminate`). Value-identical to
+    * `transform(shingles(text, k), s -> hash32(s, 0))`: shingle building
+    * matches `shingleSig` (space-joined token windows, tail keeps < k
+    * tokens), and each DISTINCT shingle hashes as the first 4 bytes of
+    * md5(shingle + "#0") read as an unsigned 32-bit value (the hash32
+    * seed-0 salt), skipping the hex-string materialization and base-16
+    * parse of the expression form. Cross-validated in OpsSpec. */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val md = Md5.get()
+    val seen = new java.util.HashSet[String]()
+    val out = new java.util.ArrayList[Any]()
+    val n = tokens.numElements()
+    val last = math.max(n - k, 0)
+    var i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder()
+      var wrote = false
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        if (!tokens.isNullAt(j)) {
+          if (wrote) sb.append(' ')
+          sb.append(tokens.getUTF8String(j).toString)
+          wrote = true
+        }
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        md.reset()
+        val h = md.digest((sh + "#0").getBytes(StandardCharsets.UTF_8))
+        out.add(java.lang.Long.valueOf(
+          ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def sig(tokens: ArrayData, numHashes: Int): ArrayData = {
     val md = Md5.get()
     val mins = new Array[Long](numHashes)
@@ -175,6 +216,27 @@ case class ShingleMinHashExpr(child: Expression, k: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native distinct word-k-shingle hash32 array (see
+  * `MinHashKernel.shingleHashes`). */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k > 0, s"shingle width must be positive, got $k")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.shingleHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 object MinHashSig {
   /** Column API: the full signature as ONE array column. */
   def minhash_sig(tokens: Column, numHashes: Int): Column =
@@ -187,4 +249,10 @@ object MinHashSig {
     org.apache.spark.sql.GraftColumnBridge.column(
       ShingleMinHashExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(tokens), k, numHashes))
+
+  /** Column API: distinct word-k-shingle hash32 values (seed 0). */
+  def shingle_hashes(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleHashesExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokens), k))
 }

@@ -278,8 +278,11 @@ object ScaleDedup {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     evalSet: DataFrame, evalTextCol: String,
                     n: Int = 13): DataFrame = {
+    // native kernel (ShingleHashesExpr): one StringBuilder pass, distinct
+    // shingles hashed without hex-string round-trips; value-identical to
+    // `shingleHashesCols` (cross-validated in OpsSpec)
     def shingleHashes(text: Column) =
-      transform(shingles(text, n), sh => hash32(sh, 0))
+      graft.functions.MinHashSig.shingle_hashes(split(text, " "), n)
     val evalHashes = evalSet
       .select(explode(shingleHashes(col(evalTextCol))).alias("__h"))
       .distinct()
@@ -289,6 +292,11 @@ object ScaleDedup {
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Expression twin of the decontamination shingle-hash key (same values
+    * as the `ShingleHashesExpr` kernel; cross-validated in OpsSpec). */
+  private[graft] def shingleHashesCols(text: Column, n: Int): Column =
+    transform(shingles(text, n), sh => hash32(sh, 0))
 
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup

@@ -73,16 +73,23 @@ object TextAnalysis {
     * hash-count kernel like MinHashKernel. Can exceed 1.0 on degenerate
     * repeats ("a a a a"): count×len double-counts overlapping coverage,
     * faithful to the published heuristic. */
-  def topNgramCharFraction(text: Column, n: Int = 2): Column = {
+  def topNgramCharFraction(text: Column, n: Int = 2): Column =
+    round(graft.functions.TextStats.top_ngram_best(text, n).cast("double") /
+      length(text), 6)
+
+  /** The pure Column-expression form of `topNgramCharFraction` (same
+    * values, cross-validated in OpsSpec). Two performance cliffs the
+    * kernel avoids, kept here as documentation: (1) the gram array MUST
+    * be bound to a lambda variable via the 1-element-transform "let" —
+    * referencing the construction tree inside the counting lambdas
+    * re-evaluates it per distinct gram per element, O(n³) string
+    * building, measured 235 s/query at sf0.1; (2) even bound, counting
+    * is O(distinct × total) comparisons per row vs the kernel's one
+    * HashMap pass. */
+  def topNgramCharFractionCols(text: Column, n: Int = 2): Column = {
     val toks = tokens(text)
     val grams = transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    // Bind `grams` to a lambda variable via a 1-element transform (the
-    // expression-level "let"): referencing the gram-construction tree
-    // directly inside the counting lambdas re-evaluates it per distinct
-    // gram per element — O(n³) string building, measured 235 s/query at
-    // sf0.1. Bound as a variable it is built once per row; the count is
-    // then O(n²) comparisons over materialized strings (sub-second).
     val best = get(transform(array(grams), gs =>
       array_max(transform(array_distinct(gs),
         g => length(g) * size(filter(gs, x => x === g))))), lit(0))

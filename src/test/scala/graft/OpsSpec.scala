@@ -132,6 +132,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(native == colExpr)
   }
 
+  test("native top-ngram kernel matches the Column-expression form exactly") {
+    val docs = Tables.documents(spark, sf0).limit(200)
+    // planted boilerplate exercises repeated grams; n=2 and n=3 widths
+    val line1 = substring(col("text"), 1, 40)
+    val dirty = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit("\n"), line1, lit("\n"), line1)).otherwise(col("text"))
+    Seq(2, 3).foreach { n =>
+      val native = docs.select(col("doc_id"),
+          TextAnalysis.topNgramCharFraction(dirty, n).alias("f"))
+        .orderBy("doc_id").collect().toSeq
+      val colExpr = docs.select(col("doc_id"),
+          TextAnalysis.topNgramCharFractionCols(dirty, n).alias("f"))
+        .orderBy("doc_id").collect().toSeq
+      assert(native == colExpr, s"n=$n")
+    }
+  }
+
+  test("native shingle-hashes kernel matches the Column-expression form exactly") {
+    val docs = Tables.documents(spark, sf0).limit(200)
+    // k=13 (the decontamination width, longer than short docs) and k=3
+    Seq(3, 13).foreach { k =>
+      val native = docs.select(col("doc_id"),
+          graft.functions.MinHashSig.shingle_hashes(split(col("text"), " "), k).alias("hs"))
+        .orderBy("doc_id").collect().toSeq
+      val colExpr = docs.select(col("doc_id"),
+          ScaleDedup.shingleHashesCols(col("text"), k).alias("hs"))
+        .orderBy("doc_id").collect().toSeq
+      assert(native == colExpr, s"k=$k")
+    }
+  }
+
   test("native simhash kernel matches the Column-expression form exactly") {
     val docs = Tables.documents(spark, sf0).limit(200)
     val toks = ScaleDedup.tokenSet(col("text"))
