@@ -557,6 +557,36 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // FLAGSHIP v2 — the complete modern pretraining-prep stack in one
+    // composition: Gopher quality gate WITH repetition bounds → language
+    // filter → benchmark decontamination (13-gram vs the %37 eval set) →
+    // exact dedup canonical → deterministic domain mix → real BPE token
+    // count. Every stage is an independently oracle-proven operator; plan
+    // shape: narrow filters off one scan, the only corpus-wide shuffles
+    // are the dedup fingerprint groupBy and the contaminated/canonical id
+    // joins — text itself never crosses the wire after the scan, and the
+    // BPE kernel runs only on surviving rows.
+    "q_llm_prep_full" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      val kept = docs
+        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 8,
+          maxTokens = 100000, minStopRatio = 0.01,
+          maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))
+        .filter(TextAnalysis.langId(col("text")) === "en")
+      val clean = ScaleDedup.decontaminate(kept, "doc_id", "text",
+        evalSet, "text", n = 13)
+      val canon = ScaleDedup.exactDedupGroups(clean, "doc_id", "text")
+        .select(col("keep_id").alias("doc_id"))
+      val mixed = Mix.stratifiedSample(
+        clean.join(canon, Seq("doc_id"), "left_semi"),
+        "source", "doc_id", Map("src0" -> 0.5, "src1" -> 0.25))
+      mixed.select(col("doc_id"),
+        size(graft.functions.Bpe.bpe_tokens(col("text"),
+          TextAnalysis.DefaultBpeMerges)).cast("long").alias("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // dedup: minhash signatures
     "q_minhash_sig" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1222,6 +1252,63 @@ object SparkEntry {
       "array_to_string(toks[1:10], '|') AS head_toks FROM agg ORDER BY doc_id"
   }
 
+  /** DuckDB mirror of q_llm_prep_full: each stage's CTE reuses the SQL of
+    * its single-operator oracle (quality+repetition = q_quality_filter's
+    * CTEs on raw text, lang = q_lang_id's en branch, decontamination =
+    * q_decontaminate's shingle CTEs with the corpus restricted to the
+    * language survivors, dedup = q_dedup_exact's fingerprint, mix =
+    * q_domain_mix's threshold, BPE = q_bpe_tokens' recursive CTE over the
+    * final survivors). */
+  private def llmPrepFullOracle: String = {
+    val mergeVals = graft.ops.TextAnalysis.DefaultBpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
+    s"WITH RECURSIVE merges(rank, a, b) AS (VALUES $mergeVals), " +
+      "f0 AS (SELECT doc_id, text, source, string_split(text, ' ') AS toks, " +
+      "string_split(text, chr(10)) AS lines FROM documents), " +
+      "f1 AS (SELECT doc_id, text, source, toks, lines, " +
+      "list_transform(range(0, greatest(len(toks) - 2, 0) + 1), " +
+      "i -> array_to_string(toks[i+1:i+2], ' ')) AS grams FROM f0), " +
+      "f AS (SELECT doc_id, text, source, len(toks) AS n_tok, " +
+      s"round(CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS DOUBLE) / len(toks), 6) AS stop_ratio, " +
+      "round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) AS dup_ratio, " +
+      "round(CAST(list_max(list_transform(list_distinct(grams), " +
+      "gg -> length(gg) * len(list_filter(grams, x -> x = gg)))) AS DOUBLE) / length(text), 6) AS top2_ratio " +
+      "FROM f1), " +
+      "q AS (SELECT doc_id, text, source FROM f WHERE n_tok BETWEEN 8 AND 100000 " +
+      "AND stop_ratio >= 0.01 AND dup_ratio <= 0.2 AND top2_ratio <= 0.2), " +
+      "lx AS (SELECT doc_id, text, source, " +
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS n_en, " +
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN $DeStop)) AS n_de, " +
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN $FrStop)) AS n_fr, " +
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EsStop)) AS n_es FROM q), " +
+      "l AS (SELECT doc_id, text, source FROM lx WHERE n_en > 0 AND n_en = greatest(n_en, n_de, n_fr, n_es)), " +
+      "sh AS (SELECT doc_id, list_transform(list_distinct(list_transform(" +
+      "range(0, greatest(len(string_split(text, ' ')) - 13, 0) + 1), " +
+      "i -> array_to_string(string_split(text, ' ')[i+1:i+13], ' '))), " +
+      "s -> ('0x' || substr(md5(s || '#0'), 1, 8))::BIGINT) AS hs FROM documents), " +
+      "ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 37 = 0), " +
+      "bad AS (SELECT DISTINCT doc_id FROM (SELECT s.doc_id, unnest(s.hs) AS h FROM sh s " +
+      "JOIN l ON s.doc_id = l.doc_id) x WHERE h IN (SELECT h FROM ev)), " +
+      "dc AS (SELECT * FROM l WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
+      "c AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
+      "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM dc) GROUP BY fp), " +
+      "k AS (SELECT dc.* FROM dc JOIN c USING (doc_id)), " +
+      "m AS (SELECT * FROM k WHERE ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
+      "< (CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src0' THEN 0.5 ELSE 1.0 END) * 4294967296.0), " +
+      "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM m), " +
+      "w0 AS (SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks) + 1)) AS wi FROM t), " +
+      "w AS (SELECT doc_id, wi, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM w0 WHERE w <> ''), " +
+      "bpe AS (SELECT doc_id, wi, s FROM w " +
+      "UNION ALL " +
+      "SELECT doc_id, wi, regexp_replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') " +
+      "FROM (SELECT doc_id, wi, s, a, b, row_number() OVER (PARTITION BY doc_id, wi ORDER BY rank) AS rn " +
+      "FROM bpe JOIN merges ON contains(s, ' ' || a || ' ' || b || ' ')) WHERE rn = 1), " +
+      "fin AS (SELECT doc_id, wi, trim(s) AS s FROM bpe b WHERE NOT EXISTS " +
+      "(SELECT 1 FROM merges mm WHERE contains(b.s, ' ' || mm.a || ' ' || mm.b || ' '))), " +
+      "agg AS (SELECT doc_id, string_split(string_agg(s, ' ' ORDER BY wi), ' ') AS toks FROM fin GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe FROM agg ORDER BY doc_id"
+  }
+
   private val EnStop = "('the','of','and','a','to','in','is')"
   private val DeStop = "('der','die','das','und','ist','nicht')"
   private val FrStop = "('le','la','les','et','est','dans')"
@@ -1600,6 +1687,8 @@ object SparkEntry {
         "WHERE h IN (SELECT h FROM ev)) " +
         "SELECT d.doc_id, d.source FROM documents d " +
         "WHERE d.doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+
+    "q_llm_prep_full" -> llmPrepFullOracle,
 
     "q_minhash_sig" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
