@@ -685,6 +685,17 @@ object SparkEntry {
         dim = 64, k = 20, nPlanes = 8)
     }),
 
+    // similarity: multi-TABLE LSH ANN — 4 independent 4-plane tables,
+    // candidates unioned (the recall fix for the starved single-table
+    // variant; corpus scanned once, bounded ×4 fan-out)
+    "q_ann_lsh_multitable" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.lshTopKMultiTable(emb, "vec_id", "embedding", q,
+        dim = 64, k = 20, nPlanes = 4, nTables = 4)
+    }),
+
     // similarity: IVF ANN (deterministic centroids → cell equi-join)
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -724,7 +735,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s, d) => {
       val gt = queries("q_ann_cosine")(s, d).select("vec_id")
       Seq("q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_ivf_multiprobe",
-        "q_ann_lsh", "q_ann_lsh_multiprobe")
+        "q_ann_lsh", "q_ann_lsh_multiprobe", "q_ann_lsh_multitable")
         .map(v => queries(v)(s, d)
           .select(lit(v.stripPrefix("q_")).alias("variant"), col("vec_id")))
         .reduce(_ unionAll _)
@@ -1112,6 +1123,27 @@ object SparkEntry {
       "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
       "FROM a JOIN qp ON a.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"
 
+  /** DuckDB mirror of q_ann_lsh_multitable: 4 tables × 4 planes (table t
+    * uses plane family offset 4t), candidate union deduplicated before
+    * the top-k. */
+  private def lshMultiTableOracle: String = {
+    val bucketOf = (v: String, t: Int) => (0 until 4).map { i =>
+      s"(CASE WHEN list_dot_product($v, ${planeLiteral(t * 4 + i, 64)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val cbs = (0 until 4).map(t =>
+      s"SELECT vec_id, v, $t AS tbl, ${bucketOf("v", t)} AS bkt FROM e").mkString(" UNION ALL ")
+    val qbs = (0 until 4).map(t =>
+      s"SELECT qv, $t AS tbl, ${bucketOf("qv", t)} AS bkt FROM q").mkString(" UNION ALL ")
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
+      s"cb AS ($cbs), qb AS ($qbs) " +
+      "SELECT vec_id, cos FROM (SELECT DISTINCT cb.vec_id, " +
+      "round(list_dot_product(cb.v, qb.qv) / " +
+      "(sqrt(list_dot_product(cb.v, cb.v)) * sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS cos " +
+      "FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt) " +
+      "ORDER BY cos DESC, vec_id LIMIT 20"
+  }
+
   /** DuckDB mirror of q_ann_recall: each variant's oracle SELECT nests as
     * a subquery; recall = |variant top-20 ∩ brute-force top-20| / 20. */
   private def annRecallOracle: String = {
@@ -1120,7 +1152,8 @@ object SparkEntry {
       "ann_ivf_kmeans" -> kmeansIvfOracle,
       "ann_ivf_multiprobe" -> ivfMultiProbeOracle,
       "ann_lsh" -> lshOracle,
-      "ann_lsh_multiprobe" -> lshMultiProbeOracle)
+      "ann_lsh_multiprobe" -> lshMultiProbeOracle,
+      "ann_lsh_multitable" -> lshMultiTableOracle)
     val rows = variants.map { case (name, sql) =>
       s"SELECT '$name' AS variant, (SELECT round(CAST(count(*) AS DOUBLE) / 20.0, 6) " +
         s"FROM ($sql) vv WHERE vv.vec_id IN (SELECT vec_id FROM ($annCosineOracle) gg)) AS recall"
@@ -1728,6 +1761,7 @@ object SparkEntry {
 
     "q_ann_lsh" -> lshOracle,
     "q_ann_lsh_multiprobe" -> lshMultiProbeOracle,
+    "q_ann_lsh_multitable" -> lshMultiTableOracle,
 
     "q_ann_ivf" -> ivfOracle,
 

@@ -50,13 +50,16 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket key over `nPlanes` planes: bit i = sign
-    * of dot(v, plane_i). Vectors in the same bucket are ANN candidates. */
-  def lshBucket(v: Column, dim: Int, nPlanes: Int = 8): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val plane = (0 until dim).map(d => planeSign(p, d)).toArray
+    * of dot(v, plane_i). Vectors in the same bucket are ANN candidates.
+    * `planeOffset` selects an independent plane family — table t of a
+    * multi-table index uses offset t·nPlanes (see `lshTopKMultiTable`). */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int = 8,
+                planeOffset: Int = 0): Column = {
+    val bits = (0 until nPlanes).map { i =>
+      val plane = (0 until dim).map(d => planeSign(planeOffset + i, d)).toArray
       val proj = aggregate(zip_with(v, typedlit(plane), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -212,6 +215,37 @@ object Similarity {
     val q = query.withColumn("qbucket", lshBucket(col("qv"), dim, nPlanes))
     c.join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-TABLE LSH ANN — the standard recall lever when single-table
+    * hyperplane LSH starves (measured 0.05–0.10 recall@20 on the fixture:
+    * 8 planes over 500 vectors leaves near-singleton buckets): L
+    * independent tables of FEWER planes each (coarser buckets), candidates
+    * unioned across tables. Recall ≈ 1 − (1 − p^planes)^tables rises
+    * steeply with L while per-table selectivity keeps candidate counts
+    * bounded. The corpus is scanned ONCE; each vector fans out to exactly
+    * `nTables` (table, bucket) rows — bounded ×L, no all-pairs anywhere —
+    * and the join stays a broadcast equi-join on (table, bucket). A
+    * candidate matching in several tables is deduplicated by id before
+    * top-k (same cosine either way). */
+  def lshTopKMultiTable(corpus: DataFrame, idCol: String, vecCol: String,
+                        query: DataFrame, dim: Int, k: Int,
+                        nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    def tableKeys(v: Column) = explode(array((0 until nTables).map(t =>
+      struct(lit(t).alias("tbl"),
+        lshBucket(v, dim, nPlanes, t * nPlanes).alias("bkt"))): _*))
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+      .withColumn("__tb", tableKeys(col("v")))
+      .select(col(idCol), col("v"),
+        col("__tb.tbl").alias("tbl"), col("__tb.bkt").alias("bkt"))
+    val q = query.withColumn("__tb", tableKeys(col("qv")))
+      .select(col("qv"), col("__tb.tbl").alias("tbl"), col("__tb.bkt").alias("bkt"))
+    c.join(broadcast(q), Seq("tbl", "bkt"))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .distinct()
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
