@@ -734,8 +734,9 @@ object SparkEntry {
     // once; the union is of 5 × ≤20-row results, so the combine is free.)
     "q_ann_recall" -> ((s, d) => {
       val gt = queries("q_ann_cosine")(s, d).select("vec_id")
-      Seq("q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_ivf_multiprobe",
-        "q_ann_lsh", "q_ann_lsh_multiprobe", "q_ann_lsh_multitable")
+      Seq("q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_ivf_kmeans_multiprobe",
+        "q_ann_ivf_multiprobe", "q_ann_lsh", "q_ann_lsh_multiprobe",
+        "q_ann_lsh_multitable")
         .map(v => queries(v)(s, d)
           .select(lit(v.stripPrefix("q_")).alias("variant"), col("vec_id")))
         .reduce(_ unionAll _)
@@ -743,6 +744,21 @@ object SparkEntry {
         .groupBy("variant")
         .agg(round(count(lit(1)).cast("double") / 20.0, 6).alias("recall"))
         .orderBy("variant")
+    }),
+
+    // similarity: the trained-index + recall-lever pairing — k-means
+    // centroids AND 2-cell multi-probe (the two levers compose; measured
+    // the best recall of all ANN variants on the fixture)
+    "q_ann_ivf_kmeans_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      val base = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).alias("v"))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "v",
+        nCells = 8, iters = 3, dim = 64)
+      Similarity.ivfTopKMultiProbeWithCentroids(emb, "vec_id", "embedding",
+        q, k = 20, cents, nProbe = 2)
     }),
 
     // similarity: embedding-cosine near-dup pairs (LSH-pruned self-join).
@@ -1150,6 +1166,7 @@ object SparkEntry {
     val variants = Seq(
       "ann_ivf" -> ivfOracle,
       "ann_ivf_kmeans" -> kmeansIvfOracle,
+      "ann_ivf_kmeans_multiprobe" -> kmeansIvfMultiProbeOracle,
       "ann_ivf_multiprobe" -> ivfMultiProbeOracle,
       "ann_lsh" -> lshOracle,
       "ann_lsh_multiprobe" -> lshMultiProbeOracle,
@@ -1166,7 +1183,10 @@ object SparkEntry {
     * (x−y)² fold (not the dot-product expansion) so float values track the
     * Spark side bit-for-bit through the iteration chain; means mirror the
     * DECIMAL(28,14) exact sums + 9-dp rounding of kmeansCentroids. */
-  private def kmeansIvfOracle: String = {
+  /** Shared CTE chain for the k-means oracles: 3 unrolled Lloyd rounds
+    * ending in `df` (distances to the final centroids) and `af` (final
+    * assignments). */
+  private def kmeansCtes: String = {
     def dist(v: String, cv: String) =
       s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
     val sb = new StringBuilder
@@ -1184,13 +1204,26 @@ object SparkEntry {
     sb ++= s"df AS (SELECT e.vec_id, e.v, c.cid, ${dist("e.v", "c.cv")} AS dist " +
       "FROM e CROSS JOIN c3 c), "
     sb ++= "af AS (SELECT vec_id, v, cid AS cell FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) WHERE rn = 1), "
-    sb ++= "q AS (SELECT cell, v AS qv FROM af ORDER BY vec_id LIMIT 1) "
-    sb ++= "SELECT af.vec_id, round(list_dot_product(af.v, q.qv) / " +
-      "(sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
-      "FROM af JOIN q ON af.cell = q.cell ORDER BY cos DESC, vec_id LIMIT 20"
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) WHERE rn = 1)"
     sb.toString
   }
+
+  private def kmeansIvfOracle: String =
+    kmeansCtes + ", q AS (SELECT cell, v AS qv FROM af ORDER BY vec_id LIMIT 1) " +
+      "SELECT af.vec_id, round(list_dot_product(af.v, q.qv) / " +
+      "(sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
+      "FROM af JOIN q ON af.cell = q.cell ORDER BY cos DESC, vec_id LIMIT 20"
+
+  /** k-means + multi-probe: the query probes its 2 nearest FINAL centroids
+    * (ORDER BY dist, cid LIMIT 2 over `df`, mirroring the Spark side's
+    * sorted (d, cid) struct slice). */
+  private def kmeansIvfMultiProbeOracle: String =
+    kmeansCtes + ", q AS (SELECT vec_id, v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
+      "qp AS (SELECT df.cid AS cell, q.qv FROM q JOIN df ON df.vec_id = q.vec_id " +
+      "ORDER BY df.dist, df.cid LIMIT 2) " +
+      "SELECT af.vec_id, round(list_dot_product(af.v, qp.qv) / " +
+      "(sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
+      "FROM af JOIN qp ON af.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"
 
   /** DuckDB mirror of q_neardup_embedding: 4-plane LSH bucket self-join,
     * cosine ≥ 0.3 on the 6-dp-rounded value. */
@@ -1770,6 +1803,8 @@ object SparkEntry {
     "q_ann_recall" -> annRecallOracle,
 
     "q_ann_ivf_kmeans" -> kmeansIvfOracle,
+
+    "q_ann_ivf_kmeans_multiprobe" -> kmeansIvfMultiProbeOracle,
 
     "q_neardup_embedding" -> neardupOracle,
 

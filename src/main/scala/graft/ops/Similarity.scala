@@ -184,11 +184,22 @@ object Similarity {
   def ivfTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
                         query: DataFrame, k: Int, nCells: Int = 8,
                         nProbe: Int = 2): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCells,
-      s"nProbe must be in [1, $nCells], got $nProbe")
     val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
     val centroids = base.orderBy(idCol).limit(nCells)
       .select(col(idCol).alias("cid"), col("v").alias("cv"))
+    ivfTopKMultiProbeWithCentroids(corpus, idCol, vecCol, query, k,
+      centroids, nProbe)
+  }
+
+  /** Multi-probe IVF against caller-supplied centroids — combine with
+    * `kmeansCentroids` for the trained-index + recall-lever pairing
+    * (measured the best ANN recall of every variant on the fixture). */
+  def ivfTopKMultiProbeWithCentroids(corpus: DataFrame, idCol: String,
+                                     vecCol: String, query: DataFrame, k: Int,
+                                     centroids: DataFrame,
+                                     nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
     val assigned = ivfAssign(base, idCol, "v", centroids)
     val packed = centroids.agg(
       collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
