@@ -537,6 +537,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // pack: concat-and-cut sequence packing — per source shard, documents
+    // in doc_id order fill 512-token training sequences; each doc reports
+    // the sequence and offset where it starts (one window per shard key,
+    // shards pack independently — the 100 TB-parallel shape)
+    "q_pack_sequences" -> ((s, d) =>
+      Pack.packGreedy(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens")),
+        "source", "doc_id", "n_tokens", budget = 512)
+        .select("doc_id", "source", "seq_id", "seq_offset")
+        .orderBy("doc_id")),
+
+    // pack: deterministic hash train/val split — labels depend only on
+    // the row's own key, so they are stable under corpus growth
+    "q_train_val_split" -> ((s, d) =>
+      Pack.trainValSplit(Tables.documents(s, d), "doc_id", valFraction = 0.1)
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // mix: deterministic stratified domain sampling — keep 50% of src0,
     // 25% of src1, all of everything else, via an md5-threshold predicate
     // (reproducible row-for-row across cluster sizes, unlike sample()).
@@ -1736,6 +1755,23 @@ object SparkEntry {
         "FROM l) GROUP BY fp) " +
         "SELECT l.doc_id, CAST(len(string_split(l.text, ' ')) AS BIGINT) AS n_tokens " +
         "FROM l JOIN c ON l.doc_id = c.doc_id ORDER BY l.doc_id"),
+
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, " +
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev FROM t) " +
+        "SELECT doc_id, source, " +
+        "CAST(floor(prev / 512) AS BIGINT) AS seq_id, " +
+        "CAST(prev - floor(prev / 512) * 512 AS BIGINT) AS seq_offset " +
+        "FROM c ORDER BY doc_id"),
+
+    "q_train_val_split" ->
+      ("SELECT doc_id, CASE WHEN " +
+        "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
+        "< 0.1 * 4294967296.0 THEN 'val' ELSE 'train' END AS split " +
+        "FROM documents ORDER BY doc_id"),
 
     "q_domain_mix" ->
       ("SELECT doc_id, source FROM documents " +

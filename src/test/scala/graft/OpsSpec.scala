@@ -238,6 +238,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("sequence packing cuts at the token budget, shards independent") {
+    val df = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L),
+      ("b", 1L, 100L))
+      .toDF("src", "id", "n")
+    val got = Pack.packGreedy(df, "src", "id", "n", budget = 512)
+      .orderBy("src", "id")
+      .select("src", "id", "seq_id", "seq_offset")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // shard a: doc1 starts at 0 (seq 0), doc2 at 300 (seq 0, straddles the
+    // cut), doc3 at 600 (seq 1 offset 88); shard b restarts at 0
+    assert(got == Seq(("a", 1L, 0L, 0L), ("a", 2L, 0L, 300L),
+      ("a", 3L, 1L, 88L), ("b", 1L, 0L, 0L)))
+  }
+
+  test("train/val split is stable under corpus growth") {
+    val small = (1L to 100L).toDF("id")
+    val large = (1L to 1000L).toDF("id")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      Pack.trainValSplit(df, "id", 0.1)
+        .select("id", "split").as[(Long, String)].collect().toMap
+    val s = labels(small); val l = labels(large)
+    // every id present in both keeps its label when the corpus grows
+    assert(s.forall { case (id, lab) => l(id) == lab })
+    // and the val fraction is roughly right on the larger draw
+    val nVal = l.values.count(_ == "val")
+    assert(nVal > 50 && nVal < 150, s"val count $nVal")
+  }
+
   test("stratified sampling is deterministic and monotone in rate") {
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "src")
