@@ -502,6 +502,12 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).alias("lang_guess"))
         .orderBy("doc_id")),
 
+    // text: unigram LM log-probability (perplexity-style quality score) —
+    // each doc scored under the corpus's own unigram distribution
+    "q_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // text: content fingerprint
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1722,6 +1728,13 @@ object SparkEntry {
         "WHEN n_fr > 0 AND n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr' " +
         "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
         "ELSE 'und' END AS lang_guess FROM s ORDER BY doc_id"),
+
+    "q_unigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1), " +
+        "n AS (SELECT count(*) AS nn FROM tok) " +
+        "SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
+        "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id ORDER BY tok.doc_id"),
 
     "q_fingerprint" ->
       ("WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +

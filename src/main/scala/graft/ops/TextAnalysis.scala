@@ -188,6 +188,28 @@ object TextAnalysis {
     merges
   }
 
+  /** Unigram language-model log-probability score — the shape of
+    * perplexity-based quality filtering (KenLM/fastText-style: score each
+    * document under a reference LM, drop the tails). The "model" here is
+    * the corpus's own unigram distribution; production swaps in reference
+    * counts from a trusted corpus — the dataflow (freq table joined to
+    * exploded tokens, one avg per doc) is identical.
+    *
+    * Scale: token explode → equi-join on token → per-doc avg. The join
+    * shuffles (token, count) pairs, not text; the frequency table is
+    * vocabulary-sized so AQE broadcasts it in practice. Returns
+    * (idCol, logprob) with logprob = mean over tokens of
+    * ln(count(token) / N), rounded 6 dp. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).alias("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).alias("__tf"))
+    val n = toks.agg(count(lit(1)).alias("__n"))
+    toks.join(freq, "__tok").crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("__tf").cast("double") / col("__n"))), 6)
+        .alias("logprob"))
+  }
+
   /** Document fingerprint: 128-bit content hash (md5 of the normalized
     * text) plus a 32-bit numeric prefix for cheap bucketing. Normalization:
     * lowercase + whitespace collapse, the standard exact-dedup key. */

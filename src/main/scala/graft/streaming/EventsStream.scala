@@ -147,6 +147,28 @@ object EventsStream {
       .select(col("l_id"), col("r_id"), col("user_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming face of the LLM text-prep stack: quality gate (with the
+    * repetition bounds) → language filter → EXACT dedup by content
+    * fingerprint within the watermark horizon → token count. All the
+    * filters are stateless row predicates (the same Column expressions as
+    * the batch operators, kernels included — streaming reuses them
+    * unchanged); the only state is the dedup's fingerprint set, bounded
+    * by the watermark — the only dedup that runs forever. Input must
+    * carry (`idCol`, `ts`, `textCol`). */
+  def textPrepStream(docs: DataFrame, idCol: String, textCol: String,
+                     lateness: String = "30 minutes"): DataFrame =
+    docs
+      .filter(graft.ops.TextAnalysis.qualityKeep(col(textCol), minTokens = 8,
+        maxTokens = 100000, minStopRatio = 0.01,
+        maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))
+      .filter(graft.ops.TextAnalysis.langId(col(textCol)) === "en")
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .select(col(idCol), col("ts"),
+        graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long")
+          .alias("n_tokens"))
+
   /** Streaming exact dedup: drop repeated ids with state bounded by the
     * watermark (ids older than the lateness horizon are forgotten — the
     * only dedup that runs forever). The streaming face of the batch dedup

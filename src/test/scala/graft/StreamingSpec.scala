@@ -53,6 +53,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids.sorted === Seq(1L, 2L), s"got $ids")
   }
 
+  test("textPrepStream: quality gate + lang filter + fingerprint dedup on a stream") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = EventsStream.textPrepStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("prep_s").start()
+    // longest 2-gram ("red hats" = 8 chars) over 48 chars = 0.167, safely
+    // under the 0.2 top-2-gram gate
+    val good = "the cat and the dog sat in a box of red hats now"
+    def t(m: Long) = new Timestamp((1000 + m) * 60000L)
+    input.addData(
+      (1L, t(0), good),                     // keeps
+      (2L, t(1), good),                     // exact dup of 1 -> dropped
+      (3L, t(2), "der hund und die katze ist nicht hier gewesen heute morgen"), // German -> dropped
+      (4L, t(3), "too short"),              // fails min tokens -> dropped
+      (5L, t(4), good + " extra tail here")) // different fingerprint -> keeps
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("prep_s").select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 5L), s"got $kept")
+    val nTok = spark.table("prep_s")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1)
+      .select("n_tokens").as[Long].head()
+    assert(nTok == 13L)
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
