@@ -238,6 +238,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("decontamination: short eval docs collide via their whole-text shingle") {
+    // eval doc shorter than n=13 tokens hashes its whole text as one
+    // shingle; a verbatim corpus copy must still be caught
+    val corpus = Seq((1L, "tiny leaked quiz answer"), (2L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(Tuple1("tiny leaked quiz answer")).toDF("etext")
+    val kept = ScaleDedup.decontaminate(corpus, "doc_id", "text",
+        evalSet, "etext", n = 13)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("BPE kernel is code-point safe on non-ASCII text") {
+    import spark.implicits._
+    // é is one code point (2 UTF-8 bytes); 𝄞 (U+1D11E) is a surrogate pair
+    val got = Seq("café", "a𝄞b").toDF("text")
+      .select(graft.functions.Bpe.bpe_tokens(col("text"),
+        graft.ops.TextAnalysis.DefaultBpeMerges).alias("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("c", "a", "f", "é"))
+    assert(got(1) == Seq("a", "𝄞", "b"))
+  }
+
+  test("sequence packing: a document longer than the budget spans sequences") {
+    val df = Seq(("a", 1L, 1200L), ("a", 2L, 100L)).toDF("src", "id", "n")
+    val got = Pack.packGreedy(df, "src", "id", "n", budget = 512)
+      .orderBy("id").select("id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 starts at 0; doc 2 starts at 1200 = 2*512 + 176
+    assert(got == Seq((1L, 0L, 0L), (2L, 2L, 176L)))
+    intercept[IllegalArgumentException] {
+      Pack.packGreedy(df, "src", "id", "n", budget = 0)
+    }
+  }
+
   test("sequence packing cuts at the token budget, shards independent") {
     val df = Seq(
       ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L),
