@@ -502,6 +502,22 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).alias("lang_guess"))
         .orderBy("doc_id")),
 
+    // text: corpus-wide boilerplate-line removal (C4-style) — two banner
+    // lines planted across many docs are detected (appear in >= 10 docs)
+    // and stripped from every doc; original text lines are untouched
+    "q_strip_boilerplate" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\ncookie consent required to continue")).otherwise(lit("")))
+      val dirtyDocs = Tables.documents(s, d)
+        .select(col("doc_id"), dirty.alias("text"))
+      TextAnalysis.stripBoilerplateLines(dirtyDocs, "doc_id", "text", minDocs = 10)
+        .select(col("doc_id"), col("text").alias("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // text: unigram LM log-probability (perplexity-style quality score) —
     // each doc scored under the corpus's own unigram distribution
     "q_unigram_logprob" -> ((s, d) =>
@@ -1728,6 +1744,20 @@ object SparkEntry {
         "WHEN n_fr > 0 AND n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr' " +
         "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
         "ELSE 'und' END AS lang_guess FROM s ORDER BY doc_id"),
+
+    "q_strip_boilerplate" ->
+      ("WITH t AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'cookie consent required to continue' ELSE '' END AS tx " +
+        "FROM documents), " +
+        "bl AS (SELECT line FROM (SELECT doc_id, unnest(list_distinct(string_split(tx, chr(10)))) AS line " +
+        "FROM t) GROUP BY line HAVING count(*) >= 10), " +
+        "u AS (SELECT doc_id, unnest(string_split(tx, chr(10))) AS l, " +
+        "unnest(range(1, len(string_split(tx, chr(10))) + 1)) AS i FROM t), " +
+        "k AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS cleaned FROM u " +
+        "WHERE l NOT IN (SELECT line FROM bl) GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(k.cleaned, '') AS cleaned " +
+        "FROM t LEFT JOIN k ON t.doc_id = k.doc_id ORDER BY t.doc_id"),
 
     "q_unigram_logprob" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +

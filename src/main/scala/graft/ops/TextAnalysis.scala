@@ -188,6 +188,33 @@ object TextAnalysis {
     merges
   }
 
+  /** Corpus-wide boilerplate-line removal (the C4-family pass that strips
+    * "subscribe to our newsletter"-style lines): a line counts as
+    * boilerplate when it appears in at least `minDocs` DISTINCT documents
+    * (per-doc distinct, so a line repeated inside one page doesn't
+    * qualify); boilerplate lines are removed from every document.
+    *
+    * Scale: the boilerplate set is small BY DEFINITION (a line must recur
+    * across ≥ minDocs docs), so it is collected into one broadcast array
+    * row and the rewrite is a narrow per-row line filter — the corpus
+    * never shuffles. The detection pass shuffles distinct (line, count)
+    * pairs once; production would hash lines before that shuffle (text
+    * kept here so the oracle mirror stays line-exact). */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                            minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val boiler = df
+      .select(explode(array_distinct(split(col(textCol), "\n"))).alias("__line"))
+      .groupBy("__line").agg(count(lit(1)).alias("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .agg(collect_list(col("__line")).alias("__bl"))
+    df.crossJoin(broadcast(boiler))
+      .withColumn(textCol,
+        concat_ws("\n", filter(split(col(textCol), "\n"),
+          l => !array_contains(col("__bl"), l))))
+      .drop("__bl")
+  }
+
   /** Unigram language-model log-probability score — the shape of
     * perplexity-based quality filtering (KenLM/fastText-style: score each
     * document under a reference LM, drop the tails). The "model" here is
