@@ -682,6 +682,17 @@ object SparkEntry {
           ScaleDedup.simhash(ScaleDedup.tokenSet(col("text")), 16).alias("sh"))
         .orderBy("doc_id")),
 
+    // dedup: SimHash near-dup PAIRS — 16-bit signatures paired via the
+    // generic banded Hamming join (pigeonhole on maxDist+1 bands, never
+    // all-pairs), the text-side twin of the image dHash pairing
+    "q_simhash_pairs" -> ((s, d) => {
+      val sigs = Tables.documents(s, d).select(col("doc_id"),
+        ScaleDedup.simhash(ScaleDedup.tokenSet(col("text")), 32).alias("sh"))
+      ScaleDedup.hammingNearDupPairs(sigs, "doc_id", "sh",
+        bits = 32, maxDist = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // dedup: n-gram Jaccard VERIFICATION of the LSH candidate pairs — the
     // full minhash→LSH→exact-verify pipeline. The candidate set comes from
     // the banded equi-join (bounded by the bucket guard), never from a
@@ -1105,6 +1116,23 @@ object SparkEntry {
   private def mhExpr(i: Int): String = {
     val salted = if (i / 4 == 0) "x" else s"(x || '#${i / 4}')"
     s"list_min(list_transform(toks, x -> (('0x' || substr(md5($salted), ${(i % 4) * 8 + 1}, 8))::BIGINT)))"
+  }
+
+  /** DuckDB mirror of q_simhash_pairs: same 16-bit signature CTE as
+    * simhashOracle, then an all-pairs distance filter — the ORACLE may go
+    * all-pairs (it exists to define the answer, not to scale); the Spark
+    * side's banded join must produce the identical pair set. */
+  private def simhashPairsOracle: String = {
+    val votes = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH t AS (SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')), " +
+      "x -> (('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT)) AS hs FROM documents), " +
+      s"s AS (SELECT doc_id, CAST($votes AS BIGINT) AS sh FROM t) " +
+      "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS dist " +
+      "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY id1, id2"
   }
 
   /** DuckDB mirror of Similarity.lshBucket's plane literals. */
@@ -1860,6 +1888,8 @@ object SparkEntry {
     "q_dedup_clusters" -> dedupClustersOracle,
 
     "q_simhash" -> simhashOracle,
+
+    "q_simhash_pairs" -> simhashPairsOracle,
 
     "q_jaccard_pairs" ->
       (s"WITH $mhPairsCtes " +

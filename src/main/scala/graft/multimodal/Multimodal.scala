@@ -331,34 +331,12 @@ object Multimodal {
     }
   }
 
-  /** Hamming near-dup pairs over dHashes, banded so the self-join never
-    * goes all-pairs: split the 64 bits into `maxDist + 1` bands — by
-    * pigeonhole, two hashes within Hamming distance `maxDist` agree
-    * EXACTLY on at least one band — equi-join on (band, bits), then
-    * verify the true distance on the candidates. Same LSH-banding shape
-    * as `ScaleDedup.minhashCandidatePairs`: the only shuffles are on the
-    * band key, and the final filter reuses `hammingDistance`. */
-  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
-    val nBands = maxDist + 1
-    val banded = (0 until nBands).map { b =>
-      val lo = b * 64 / nBands
-      val width = (b + 1) * 64 / nBands - lo
-      val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
-      hashes.select(col("media_id"), lit(b).alias("band"),
-        shiftrightunsigned(col("dhash"), lo).bitwiseAND(mask).alias("bkey"))
-    }.reduce(_ unionAll _)
-    val l = banded.select(col("media_id").alias("id1"), col("band"), col("bkey"))
-    val r = banded.select(col("media_id").alias("id2"), col("band"), col("bkey"))
-    val h1 = hashes.select(col("media_id").alias("id1"), col("dhash").alias("__h1"))
-    val h2 = hashes.select(col("media_id").alias("id2"), col("dhash").alias("__h2"))
-    l.join(r, Seq("band", "bkey")).filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-      .join(h1, "id1").join(h2, "id2")
-      .select(col("id1"), col("id2"),
-        graft.ops.ScaleDedup.hammingDistance(col("__h1"), col("__h2")).alias("dist"))
-      .filter(col("dist") <= maxDist)
-  }
+  /** Hamming near-dup pairs over dHashes — delegates to the generic
+    * banded pigeonhole join (`ScaleDedup.hammingNearDupPairs`, 64-bit):
+    * the only shuffles are on the band key, never all-pairs. */
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame =
+    graft.ops.ScaleDedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+      bits = 64, maxDist = maxDist)
 
   /** Frame-sample STAND-IN for video payloads: take every `stride`-th chunk
     * of the payload as a "frame" — the partition-local slicing shape of a

@@ -156,6 +156,38 @@ object ScaleDedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
+  /** Hamming near-dup pairs over any `bits`-wide hash column, banded so
+    * the self-join never goes all-pairs: split the bits into `maxDist+1`
+    * bands — by pigeonhole, two hashes within Hamming distance `maxDist`
+    * agree EXACTLY on at least one band — equi-join on (band, bits), then
+    * verify the true distance on the candidates. The shared engine under
+    * text SimHash pairing (`q_simhash_pairs`) and image dHash pairing
+    * (`Multimodal.dhashNearDupPairs`); only shuffles on the band key. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          bits: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be in [0, $bits), got $maxDist")
+    val nBands = maxDist + 1
+    val banded = (0 until nBands).map { b =>
+      val lo = b * bits / nBands
+      val width = (b + 1) * bits / nBands - lo
+      val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+      hashes.select(col(idCol), lit(b).alias("band"),
+        shiftrightunsigned(col(hashCol), lo).bitwiseAND(mask).alias("bkey"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col(idCol).alias("id1"), col("band"), col("bkey"))
+    val r = banded.select(col(idCol).alias("id2"), col("band"), col("bkey"))
+    val h1 = hashes.select(col(idCol).alias("id1"), col(hashCol).alias("__h1"))
+    val h2 = hashes.select(col(idCol).alias("id2"), col(hashCol).alias("__h2"))
+    l.join(r, Seq("band", "bkey")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+      .join(h1, "id1").join(h2, "id2")
+      .select(col("id1"), col("id2"),
+        hammingDistance(col("__h1"), col("__h2")).alias("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** n-gram Jaccard similarity of two documents' shingle sets. */
   def jaccard(aTokens: Column, bTokens: Column): Column =
     round(size(array_intersect(aTokens, bTokens)).cast("double") /
