@@ -159,33 +159,51 @@ object ScaleDedup {
   /** Hamming near-dup pairs over any `bits`-wide hash column, banded so
     * the self-join never goes all-pairs: split the bits into `maxDist+1`
     * bands — by pigeonhole, two hashes within Hamming distance `maxDist`
-    * agree EXACTLY on at least one band — equi-join on (band, bits), then
-    * verify the true distance on the candidates. The shared engine under
-    * text SimHash pairing (`q_simhash_pairs`) and image dHash pairing
-    * (`Multimodal.dhashNearDupPairs`); only shuffles on the band key. */
+    * agree EXACTLY on at least one band. The shared engine under text
+    * SimHash pairing (`q_simhash_pairs`) and image dHash pairing
+    * (`Multimodal.dhashNearDupPairs`).
+    *
+    * The banding runs over DISTINCT hash VALUES, not rows: perceptual
+    * hashes concentrate (every member of a duplicate cluster shares one
+    * value), so row-level banding would push the same quadratic
+    * candidate block through every band — the degenerate-bucket trap.
+    * Value-level banding keeps band buckets bounded by distinct-value
+    * counts; ids expand back afterwards: same-value pairs directly
+    * (distance 0, within a hash-value group), cross-value pairs through
+    * the verified value pairs. Output: (id1 < id2, dist ≤ maxDist) —
+    * complete by pigeonhole, identical to an all-pairs evaluation. */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           bits: Int, maxDist: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist must be in [0, $bits), got $maxDist")
     val nBands = maxDist + 1
+    val hv = hashes.select(col(hashCol).alias("__h")).distinct()
     val banded = (0 until nBands).map { b =>
       val lo = b * bits / nBands
       val width = (b + 1) * bits / nBands - lo
       val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
-      hashes.select(col(idCol), lit(b).alias("band"),
-        shiftrightunsigned(col(hashCol), lo).bitwiseAND(mask).alias("bkey"))
+      hv.select(col("__h"), lit(b).alias("band"),
+        shiftrightunsigned(col("__h"), lo).bitwiseAND(mask).alias("bkey"))
     }.reduce(_ unionAll _)
-    val l = banded.select(col(idCol).alias("id1"), col("band"), col("bkey"))
-    val r = banded.select(col(idCol).alias("id2"), col("band"), col("bkey"))
-    val h1 = hashes.select(col(idCol).alias("id1"), col(hashCol).alias("__h1"))
-    val h2 = hashes.select(col(idCol).alias("id2"), col(hashCol).alias("__h2"))
-    l.join(r, Seq("band", "bkey")).filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-      .join(h1, "id1").join(h2, "id2")
-      .select(col("id1"), col("id2"),
-        hammingDistance(col("__h1"), col("__h2")).alias("dist"))
+    val l = banded.select(col("__h").alias("__h1"), col("band"), col("bkey"))
+    val r = banded.select(col("__h").alias("__h2"), col("band"), col("bkey"))
+    val valuePairs = l.join(r, Seq("band", "bkey"))
+      .filter(col("__h1") < col("__h2"))
+      .select("__h1", "__h2").distinct()
+      .withColumn("dist", hammingDistance(col("__h1"), col("__h2")))
       .filter(col("dist") <= maxDist)
+    val ids = hashes.select(col(idCol), col(hashCol).alias("__h"))
+    val a = ids.select(col(idCol).alias("__ida"), col("__h").alias("__h1"))
+    val b = ids.select(col(idCol).alias("__idb"), col("__h").alias("__h2"))
+    val cross = valuePairs.join(a, "__h1").join(b, "__h2")
+      .select(least(col("__ida"), col("__idb")).alias("id1"),
+        greatest(col("__ida"), col("__idb")).alias("id2"), col("dist"))
+    val same = ids.select(col(idCol).alias("id1"), col("__h"))
+      .join(ids.select(col(idCol).alias("id2"), col("__h")), Seq("__h"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0L).alias("dist"))
+    same.unionAll(cross)
   }
 
   /** n-gram Jaccard similarity of two documents' shingle sets. */
@@ -301,7 +319,10 @@ object ScaleDedup {
     * corpus (unhinted: AQE broadcasts when the set is small, which it
     * almost always is — but one leaked boilerplate doc can contaminate
     * unboundedly many corpus copies, so forcing a broadcast would be a
-    * 100 TB OOM risk): document text is scanned once and never shuffled.
+    * 100 TB OOM risk). Document text never shuffles: the hash side's
+    * column-pruned scan reads (id, text) and ships only 32-bit hashes
+    * into the probe, the output side's scan passes rows through the
+    * id-keyed anti-join.
     *
     * An empty eval set broadcasts an empty build side: no probe matches,
     * everything survives — the correct degenerate case. Documents shorter

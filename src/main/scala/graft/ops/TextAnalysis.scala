@@ -201,13 +201,21 @@ object TextAnalysis {
     * pairs once; production would hash lines before that shuffle (text
     * kept here so the oracle mirror stays line-exact). */
   def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-                            minDocs: Int): DataFrame = {
+                            minDocs: Int, maxBoilerplate: Int = 100000): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val boiler = df
       .select(explode(array_distinct(split(col(textCol), "\n"))).alias("__line"))
       .groupBy("__line").agg(count(lit(1)).alias("__nd"))
       .filter(col("__nd") >= minDocs)
       .agg(collect_list(col("__line")).alias("__bl"))
+      // The broadcast assumes the boilerplate set is small; if minDocs is
+      // set low enough that it isn't, fail LOUDLY (on the executors,
+      // before the array is packed into a driver-sized row) rather than
+      // OOM the driver or silently degrade the rewrite.
+      .select(when(size(col("__bl")) > maxBoilerplate,
+        raise_error(lit(s"stripBoilerplateLines: boilerplate set exceeds " +
+          s"$maxBoilerplate lines — raise minDocs or maxBoilerplate")))
+        .otherwise(col("__bl")).alias("__bl"))
     df.crossJoin(broadcast(boiler))
       .withColumn(textCol,
         concat_ws("\n", filter(split(col(textCol), "\n"),
