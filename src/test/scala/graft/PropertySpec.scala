@@ -140,4 +140,46 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(r.getDouble(2) - r.getDouble(0)) < 1e-6, r.toString)
     }
   }
+
+  test("property: BPE tokenization partitions each word (concat reconstructs)") {
+    import spark.implicits._
+    // merging only ever concatenates adjacent symbols, so the tokens of a
+    // word must concatenate back to the word, for ANY merges table
+    val wordGen = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val docs = samples(Gen.listOfN(6, wordGen), 150).map(_.mkString(" "))
+    val out = docs.toDF("text")
+      .select(col("text"),
+        concat_ws(" ", graft.functions.Bpe.bpe_tokens(col("text"),
+          graft.ops.TextAnalysis.DefaultBpeMerges)).alias("rejoined"))
+      .collect()
+    out.foreach { r =>
+      // token boundaries never cross words and never drop characters:
+      // space-joining the tokens re-inserts exactly the word boundaries
+      assert(r.getString(1).replace(" ", "") == r.getString(0).replace(" ", ""),
+        s"text='${r.getString(0)}'")
+    }
+  }
+
+  test("property: banded Hamming pairing equals brute force on random hashes") {
+    import spark.implicits._
+    val hashes = samples(Gen.chooseNum(0L, 65535L), 60).distinct
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    // duplicate a few hash values under new ids to exercise the
+    // same-value fast path
+    val withDups = hashes ++ hashes.take(5)
+      .map { case (i, h) => (1000L + i, h) }
+    val df = withDups.toDF("id", "h")
+    for (maxDist <- Seq(0, 2, 4)) {
+      val banded = ScaleDedup.hammingNearDupPairs(df, "id", "h", 16, maxDist)
+        .select("id1", "id2", "dist")
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = (for {
+        (i1, h1) <- withDups; (i2, h2) <- withDups
+        if i1 < i2
+        d = java.lang.Long.bitCount(h1 ^ h2).toLong
+        if d <= maxDist
+      } yield (i1, i2, d)).toSet
+      assert(banded == brute, s"maxDist=$maxDist")
+    }
+  }
 }
