@@ -502,6 +502,18 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).alias("lang_guess"))
         .orderBy("doc_id")),
 
+    // text: one-row corpus report (the "dataset card" numbers a corpus
+    // release ships with) — all counts in ONE aggregation pass
+    "q_corpus_report" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).alias("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).alias("total_tokens"),
+        round(avg(length(col("text"))), 6).alias("mean_chars"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).alias("n_unique_texts"),
+        countDistinct(col("source")).alias("n_sources"),
+        sum(when(TextAnalysis.langId(col("text")) === "en", 1L).otherwise(0L))
+          .alias("n_en"))),
+
     // text: corpus-wide boilerplate-line removal (C4-style) — two banner
     // lines planted across many docs are detected (appear in >= 10 docs)
     // and stripped from every doc; original text lines are untouched
@@ -1772,6 +1784,21 @@ object SparkEntry {
         "WHEN n_fr > 0 AND n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr' " +
         "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
         "ELSE 'und' END AS lang_guess FROM s ORDER BY doc_id"),
+
+    "q_corpus_report" ->
+      ("WITH lx AS (SELECT doc_id, text, source, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS n_en, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $DeStop)) AS n_de, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $FrStop)) AS n_fr, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EsStop)) AS n_es " +
+        "FROM documents) " +
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "round(avg(length(text)), 6) AS mean_chars, " +
+        "count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique_texts, " +
+        "count(DISTINCT source) AS n_sources, " +
+        "CAST(sum(CASE WHEN n_en > 0 AND n_en = greatest(n_en, n_de, n_fr, n_es) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_en FROM lx"),
 
     "q_strip_boilerplate" ->
       ("WITH t AS (SELECT doc_id, text || " +
