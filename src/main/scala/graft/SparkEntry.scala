@@ -514,6 +514,28 @@ object SparkEntry {
         sum(when(TextAnalysis.langId(col("text")) === "en", 1L).otherwise(0L))
           .alias("n_en"))),
 
+    // text: per-source corpus report — the by-source breakdown a dataset
+    // card actually publishes (docs, tokens, duplicate rate, English
+    // share per source). One aggregation pass, grouped on the source key.
+    // First output column 'domain' is the unique group key (driver-compare
+    // invariant: the alphabetically-first column sorts the rows).
+    "q_corpus_report_by_source" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source").alias("domain"))
+        .agg(
+          count(lit(1)).alias("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .alias("total_tokens"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).alias("__uniq"),
+          sum(when(TextAnalysis.langId(col("text")) === "en", 1L).otherwise(0L))
+            .alias("__en"))
+        .select(col("domain"), col("n_docs"), col("total_tokens"),
+          round(lit(1.0) - col("__uniq").cast("double") / col("n_docs"), 6)
+            .alias("dup_rate"),
+          round(col("__en").cast("double") / col("n_docs"), 6)
+            .alias("share_en"))
+        .orderBy("domain")),
+
     // text: corpus-wide boilerplate-line removal (C4-style) — two banner
     // lines planted across many docs are detected (appear in >= 10 docs)
     // and stripped from every doc; original text lines are untouched
@@ -535,6 +557,26 @@ object SparkEntry {
     "q_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // text: frozen-vocab unigram scoring — the production shape for
+    // scoring NEW data under a pretrained LM: vocab = the corpus's top-20
+    // tokens with exact ln(tf/N) log-probs (one small aggregation),
+    // broadcast as a single map row; every doc is then scored by a
+    // narrow per-row fold with an OOV floor — the token stream never
+    // shuffles (unlike q_unigram_logprob's corpus-self join).
+    "q_unigram_score_frozen" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).alias("token"))
+      val n = toks.agg(count(lit(1)).alias("__n"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).alias("__tf"))
+        .crossJoin(broadcast(n))
+        .orderBy(desc("__tf"), asc("token")).limit(20)
+        .select(col("token"),
+          log(col("__tf").cast("double") / col("__n")).alias("logp"))
+      TextAnalysis.unigramScoreFrozen(docs, "doc_id", "text", vocab,
+        oovLogProb = -15.0)
+        .orderBy("doc_id")
+    }),
 
     // text: content fingerprint
     "q_fingerprint" -> ((s, d) =>
@@ -583,6 +625,23 @@ object SparkEntry {
         "source", "doc_id", "n_tokens", budget = 512)
         .select("doc_id", "source", "seq_id", "seq_offset")
         .orderBy("doc_id")),
+
+    // pack: materialized packed sequences — the actual training rows a
+    // consumer reads: per (source, seq_id), the 512-token window of the
+    // shard's concatenated token stream, reassembled in position order
+    // (every sequence except a shard's last has exactly 512 tokens —
+    // spec-pinned). Shuffle key is (shard, seq): bounded groups, shards
+    // pack in parallel.
+    "q_pack_emit" -> ((s, d) =>
+      Pack.packEmit(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokens(col("text")).alias("toks")),
+        "source", "doc_id", "toks", budget = 512)
+        .select(concat(col("source"), lit("_"), col("seq_id").cast("string"))
+          .alias("key"),
+          col("n_toks"), concat_ws(" ", col("toks")).alias("seq_text"))
+        .orderBy("key")),
 
     // pack: deterministic hash train/val split — labels depend only on
     // the row's own key, so they are stable under corpus growth
@@ -1800,6 +1859,21 @@ object SparkEntry {
         "CAST(sum(CASE WHEN n_en > 0 AND n_en = greatest(n_en, n_de, n_fr, n_es) " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_en FROM lx"),
 
+    "q_corpus_report_by_source" ->
+      ("WITH lx AS (SELECT doc_id, text, source, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS n_en, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $DeStop)) AS n_de, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $FrStop)) AS n_fr, " +
+        s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EsStop)) AS n_es " +
+        "FROM documents) " +
+        "SELECT source AS domain, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "round(1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE) " +
+        "/ count(*), 6) AS dup_rate, " +
+        "round(CAST(sum(CASE WHEN n_en > 0 AND n_en = greatest(n_en, n_de, n_fr, n_es) " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_en " +
+        "FROM lx GROUP BY source ORDER BY domain"),
+
     "q_strip_boilerplate" ->
       ("WITH t AS (SELECT doc_id, text || " +
         "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END || " +
@@ -1820,6 +1894,14 @@ object SparkEntry {
         "n AS (SELECT count(*) AS nn FROM tok) " +
         "SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
         "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id ORDER BY tok.doc_id"),
+
+    "q_unigram_score_frozen" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "n AS (SELECT count(*) AS nn FROM tok), " +
+        "v AS (SELECT t, ln(CAST(count(*) AS DOUBLE) / (SELECT nn FROM n)) AS logp " +
+        "FROM tok GROUP BY t ORDER BY count(*) DESC, t LIMIT 20) " +
+        "SELECT tok.doc_id, round(sum(coalesce(v.logp, -15.0)) / count(*), 6) AS score " +
+        "FROM tok LEFT JOIN v ON tok.t = v.t GROUP BY tok.doc_id ORDER BY tok.doc_id"),
 
     "q_fingerprint" ->
       ("WITH t AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
@@ -1864,6 +1946,20 @@ object SparkEntry {
         "CAST(floor(prev / 512) AS BIGINT) AS seq_id, " +
         "CAST(prev - floor(prev / 512) * 512 AS BIGINT) AS seq_offset " +
         "FROM c ORDER BY doc_id"),
+
+    "q_pack_emit" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, source, toks, " +
+        "sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks) AS prev FROM t), " +
+        "u AS (SELECT source, prev, unnest(toks) AS tok, " +
+        "unnest(range(0, len(toks))) AS p FROM c), " +
+        "g AS (SELECT source, CAST(floor((prev + p) / 512) AS BIGINT) AS seq_id, " +
+        "prev + p AS gpos, tok FROM u) " +
+        "SELECT source || '_' || CAST(seq_id AS VARCHAR) AS key, " +
+        "CAST(count(*) AS BIGINT) AS n_toks, " +
+        "string_agg(tok, ' ' ORDER BY gpos) AS seq_text " +
+        "FROM g GROUP BY source, seq_id ORDER BY key"),
 
     "q_train_val_split" ->
       ("SELECT doc_id, CASE WHEN " +

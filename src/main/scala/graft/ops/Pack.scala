@@ -35,6 +35,42 @@ object Pack {
       .drop("__prev")
   }
 
+  /** Materialize the packed training sequences `packGreedy` assigns: each
+    * output row IS one training sequence — (shardCol, seq_id, n_toks,
+    * toks), with toks the budget-window slice of the shard's concatenated
+    * token stream. A document straddling a cut contributes its head to one
+    * sequence and its tail to the next, exactly the concat-and-cut
+    * semantics consumers expect.
+    *
+    * Dataflow: the same single window as `packGreedy` computes each doc's
+    * global start offset; tokens then posexplode WITH their global
+    * position, group by (shard, floor(pos / budget)), and reassemble in
+    * position order. The shuffle key is (shard, seq) — sequences build
+    * independently and in parallel; only tokens of one `budget`-sized
+    * sequence ever meet in a reducer, so memory per group is bounded by
+    * the budget regardless of corpus size. Every sequence except a
+    * shard's last has exactly `budget` tokens (spec-pinned invariant). */
+  def packEmit(df: DataFrame, shardCol: String, orderCol: String,
+               tokensCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = size(col(tokensCol)).cast("long")
+    val positioned = df
+      .withColumn("__prev", sum(n).over(w) - n)
+      .select(col(shardCol), col("__prev"), posexplode(col(tokensCol)))
+      .select(col(shardCol), (col("__prev") + col("pos")).alias("__gpos"),
+        col("col").alias("__tok"))
+    positioned
+      .groupBy(col(shardCol),
+        floor(col("__gpos") / budget).cast("long").alias("seq_id"))
+      .agg(count(lit(1)).alias("n_toks"),
+        array_sort(collect_list(struct(col("__gpos"), col("__tok"))))
+          .alias("__ordered"))
+      .select(col(shardCol), col("seq_id"), col("n_toks"),
+        transform(col("__ordered"), e => e.getField("__tok")).alias("toks"))
+  }
+
   /** Deterministic train/validation split: the same md5-threshold draw as
     * `Mix.stratifiedSample` (reproducible row-for-row, independent of
     * partitioning), labeling instead of filtering. `valFraction` of rows

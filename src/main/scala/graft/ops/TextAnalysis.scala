@@ -245,6 +245,37 @@ object TextAnalysis {
         .alias("logprob"))
   }
 
+  /** Frozen-vocabulary unigram scorer — the scale shape of
+    * `unigramLogProb` for scoring NEW data: the model is a precomputed
+    * (token, logp) table (trained offline, e.g. top-K tokens of a trusted
+    * corpus), packed into ONE map row and broadcast; every document is
+    * scored by a narrow per-row fold (map lookup per token, `oovLogProb`
+    * floor for out-of-vocabulary tokens). The token stream never explodes
+    * and never shuffles — at 100 TB the whole scoring pass is a
+    * projection off the scan, unlike the corpus-self variant whose join
+    * must shuffle the exploded tokens.
+    *
+    * `vocab` must expose (token, logp) and be vocabulary-sized (it is
+    * collected into a single broadcast row — raise_error guards the cap).
+    * Returns (idCol, score) with score = mean over the document's tokens
+    * of logp(token) (floor for OOV), rounded 6 dp. */
+  def unigramScoreFrozen(df: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame, oovLogProb: Double,
+                         maxVocab: Int = 1000000): DataFrame = {
+    val packed = vocab
+      .agg(map_from_entries(collect_list(struct(col("token"), col("logp"))))
+        .alias("__v"))
+      .select(when(size(map_keys(col("__v"))) > maxVocab,
+        raise_error(lit(s"unigramScoreFrozen: vocab exceeds $maxVocab " +
+          "entries — trim the table or raise maxVocab")))
+        .otherwise(col("__v")).alias("__v"))
+    val toks = tokens(col(textCol))
+    val total = aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(col("__v"), t), lit(oovLogProb)))
+    df.crossJoin(broadcast(packed))
+      .select(col(idCol), round(total / size(toks), 6).alias("score"))
+  }
+
   /** Document fingerprint: 128-bit content hash (md5 of the normalized
     * text) plus a 32-bit numeric prefix for cheap bucketing. Normalization:
     * lowercase + whitespace collapse, the standard exact-dedup key. */

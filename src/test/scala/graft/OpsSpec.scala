@@ -288,6 +288,46 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       ("a", 3L, 1L, 88L), ("b", 1L, 0L, 0L)))
   }
 
+  test("packEmit: every sequence except a shard's last has exactly budget tokens") {
+    // shard a: 23 tokens over 3 docs, budget 8 -> seqs of 8, 8, 7;
+    // shard b: 5 tokens -> one (short, last) seq
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i")
+    val df = Seq(
+      ("a", 1L, toks("x", 10)), ("a", 2L, toks("y", 6)), ("a", 3L, toks("z", 7)),
+      ("b", 1L, toks("w", 5)))
+      .toDF("src", "id", "toks")
+    val got = Pack.packEmit(df, "src", "id", "toks", budget = 8)
+      .orderBy("src", "seq_id")
+      .select("src", "seq_id", "n_toks", "toks")
+      .as[(String, Long, Long, Seq[String])].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("a", 0L, 8L), ("a", 1L, 8L), ("a", 2L, 7L), ("b", 0L, 5L)))
+    // a doc straddling the cut contributes head to one seq, tail to next:
+    // doc x has 10 tokens, so seq 0 = x1..x8 and seq 1 starts x9 x10 y1...
+    assert(got(0)._4 == toks("x", 8))
+    assert(got(1)._4 == Seq("x9", "x10") ++ toks("y", 6))
+    // every sequence except its shard's last is exactly `budget` tokens
+    val lastSeq = got.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    got.foreach { case (src, seq, n, _) =>
+      if (seq != lastSeq(src)) assert(n == 8L, s"seq ($src,$seq) has $n") }
+  }
+
+  test("frozen-vocab unigram scorer gives OOV tokens the floor") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa zz")).toDF("id", "text")
+    val vocab = Seq(("aa", -1.0), ("bb", -2.0)).toDF("token", "logp")
+    val got = TextAnalysis.unigramScoreFrozen(docs, "id", "text", vocab,
+      oovLogProb = -10.0)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    // doc 1: (-1 + -2)/2 = -1.5; doc 2: zz is OOV -> (-1 + -10)/2 = -5.5
+    assert(got == Seq((1L, -1.5), (2L, -5.5)))
+    // vocab-cap guard fires loudly instead of packing an oversized map
+    val err = intercept[Exception] {
+      TextAnalysis.unigramScoreFrozen(docs, "id", "text", vocab,
+        oovLogProb = -10.0, maxVocab = 1).collect()
+    }
+    assert(err.getMessage.contains("vocab exceeds"))
+  }
+
   test("train/val split is stable under corpus growth") {
     val small = (1L to 100L).toDF("id")
     val large = (1L to 1000L).toDF("id")
