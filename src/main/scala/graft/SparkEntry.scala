@@ -699,6 +699,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FLAGSHIP v3 — the v2 stack with FUZZY dedup composed in: quality +
+    // repetition gate → language filter → 13-gram decontamination → exact
+    // dedup (collapses identical mega-clusters cheaply, and keeps the LSH
+    // input free of degenerate same-text buckets) → MinHash-LSH candidate
+    // pairs → connected components → keep each near-dup cluster's min-id
+    // canonical — THE production pretraining dedup, end-to-end. Text
+    // never shuffles: fingerprints, band keys, and id edges are all that
+    // cross the wire; the one iterative job (clustering) checkpoints
+    // reliably and fails loudly on non-convergence.
+    "q_llm_prep_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      val kept = docs
+        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 8,
+          maxTokens = 100000, minStopRatio = 0.01,
+          maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))
+        .filter(TextAnalysis.langId(col("text")) === "en")
+      val clean = ScaleDedup.decontaminate(kept, "doc_id", "text",
+        evalSet, "text", n = 13)
+      val exact = ScaleDedup.exactDedupGroups(clean, "doc_id", "text")
+        .select(col("keep_id").alias("doc_id"))
+      val uniq = clean.join(exact, Seq("doc_id"), "left_semi")
+      val pairs = ScaleDedup.minhashCandidatePairs(uniq, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val labels = ScaleDedup.connectedComponents(
+        uniq.select(col("doc_id").alias("id")), pairs)
+      val canon = labels.filter(col("label") === col("id"))
+        .select(col("id").alias("doc_id"))
+      uniq.join(canon, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // dedup: minhash signatures
     "q_minhash_sig" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1401,9 +1435,11 @@ object SparkEntry {
 
   /** Shared DuckDB CTE chain mirroring ScaleDedup.minhashCandidatePairs
     * (4 hashes, 2 bands, oversized buckets > 64 dropped before the band
-    * self-join): yields `t` (doc_id, toks) and `pairs` (id1, id2). */
-  private def mhPairsCtes: String =
-    "t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+    * self-join): yields `t` (doc_id, toks) and `pairs` (id1, id2).
+    * Parameterized by the source relation so composites can run the pair
+    * pipeline over an upstream CTE instead of the raw table. */
+  private def mhPairsCtesOver(tbl: String): String =
+    s"t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM $tbl), " +
       s"sig AS (SELECT doc_id, ${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1, " +
       s"${mhExpr(2)} AS mh_2, ${mhExpr(3)} AS mh_3 FROM t), " +
       "b AS (SELECT doc_id, 0 AS band, mh_0 || '_' || mh_1 AS bkey FROM sig " +
@@ -1412,6 +1448,8 @@ object SparkEntry {
       "QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 64), " +
       "pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2 FROM bg x JOIN bg y " +
       "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
+
+  private def mhPairsCtes: String = mhPairsCtesOver("documents")
 
   /** DuckDB mirror of q_dedup_clusters: the capped band join as the edge
     * set over the FULL corpus, then recursive min-label propagation. */
@@ -1465,11 +1503,12 @@ object SparkEntry {
     * language survivors, dedup = q_dedup_exact's fingerprint, mix =
     * q_domain_mix's threshold, BPE = q_bpe_tokens' recursive CTE over the
     * final survivors). */
-  private def llmPrepFullOracle: String = {
-    val mergeVals = graft.ops.TextAnalysis.DefaultBpeMerges.zipWithIndex
-      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
-    s"WITH RECURSIVE merges(rank, a, b) AS (VALUES $mergeVals), " +
-      "f0 AS (SELECT doc_id, text, source, string_split(text, ' ') AS toks, " +
+  /** Shared CTE chain of the flagship composites — quality+repetition
+    * gate → language filter → 13-gram decontamination → exact-dedup
+    * canonical — ending in `k` (doc_id, text, source), the corpus the
+    * final stages (mix/BPE in v2, fuzzy dedup in v3) consume. */
+  private def llmPrepKeptCtes: String =
+    "f0 AS (SELECT doc_id, text, source, string_split(text, ' ') AS toks, " +
       "string_split(text, chr(10)) AS lines FROM documents), " +
       "f1 AS (SELECT doc_id, text, source, toks, lines, " +
       "list_transform(range(0, greatest(len(toks) - 2, 0) + 1), " +
@@ -1498,7 +1537,13 @@ object SparkEntry {
       "dc AS (SELECT * FROM l WHERE doc_id NOT IN (SELECT doc_id FROM bad)), " +
       "c AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, " +
       "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM dc) GROUP BY fp), " +
-      "k AS (SELECT dc.* FROM dc JOIN c USING (doc_id)), " +
+      "k AS (SELECT dc.* FROM dc JOIN c USING (doc_id))"
+
+  private def llmPrepFullOracle: String = {
+    val mergeVals = graft.ops.TextAnalysis.DefaultBpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
+    s"WITH RECURSIVE merges(rank, a, b) AS (VALUES $mergeVals), " +
+      llmPrepKeptCtes + ", " +
       "m AS (SELECT * FROM k WHERE ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
       "< (CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src0' THEN 0.5 ELSE 1.0 END) * 4294967296.0), " +
       "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM m), " +
@@ -1514,6 +1559,22 @@ object SparkEntry {
       "agg AS (SELECT doc_id, string_split(string_agg(s, ' ' ORDER BY wi), ' ') AS toks FROM fin GROUP BY doc_id) " +
       "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe FROM agg ORDER BY doc_id"
   }
+
+  /** DuckDB mirror of q_llm_prep_fuzzy (flagship v3): the shared kept
+    * chain through exact-dedup canonical `k`, then the MinHash-LSH pair
+    * CTEs run OVER k, recursive min-label propagation into duplicate
+    * clusters, and only each cluster's min id (label == id) survives —
+    * the production near-dup dedup composed end-to-end. */
+  private def llmPrepFuzzyOracle: String =
+    s"WITH RECURSIVE $llmPrepKeptCtes, " +
+      mhPairsCtesOver("k") + ", " +
+      "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs), " +
+      "cc AS (SELECT doc_id AS id, doc_id AS label FROM k " +
+      "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src), " +
+      "lab AS (SELECT id, min(label) AS label FROM cc GROUP BY id), " +
+      "canon AS (SELECT id FROM lab WHERE label = id) " +
+      "SELECT k.doc_id, CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM k JOIN canon ON k.doc_id = canon.id ORDER BY k.doc_id"
 
   private val EnStop = "('the','of','and','a','to','in','is')"
   private val DeStop = "('der','die','das','und','ist','nicht')"
@@ -1985,6 +2046,8 @@ object SparkEntry {
         "WHERE d.doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
 
     "q_llm_prep_full" -> llmPrepFullOracle,
+
+    "q_llm_prep_fuzzy" -> llmPrepFuzzyOracle,
 
     "q_minhash_sig" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +

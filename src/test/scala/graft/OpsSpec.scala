@@ -288,6 +288,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       ("a", 3L, 1L, 88L), ("b", 1L, 0L, 0L)))
   }
 
+  test("fuzzy dedup collapses a planted near-dup family exact dedup keeps") {
+    // three near-identical docs (one token added / one substituted) plus an
+    // unrelated doc: distinct fingerprints, so exact dedup keeps all four;
+    // the LSH pair -> connected-components -> min-id path must collapse the
+    // family to its min id (the q_llm_prep_fuzzy composition, in miniature)
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, base.replace("tok7 ", "tok7x ")),
+      (100L, (1 to 50).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = ScaleDedup.exactDedupGroups(docs, "doc_id", "text")
+    assert(exact.count() == 4)  // exact-only: every family member survives
+    val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+      numHashes = 4, bands = 2)
+    val labels = ScaleDedup.connectedComponents(
+      docs.select(col("doc_id").alias("id")), pairs)
+    val canon = labels.filter(col("label") === col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(canon == Set(1L, 100L), s"fuzzy survivors were $canon")
+  }
+
   test("packEmit: every sequence except a shard's last has exactly budget tokens") {
     // shard a: 23 tokens over 3 docs, budget 8 -> seqs of 8, 8, 7;
     // shard b: 5 tokens -> one (short, last) seq
