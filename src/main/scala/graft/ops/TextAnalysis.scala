@@ -158,27 +158,11 @@ object TextAnalysis {
     * zero-shuffle projection. */
   def bpeTrainMerges(df: DataFrame, textCol: String,
                      numMerges: Int): Seq[(String, String)] = {
-    val words = df
-      .select(explode(split(col(textCol), " ")).alias("w"))
-      .filter(col("w") =!= "")
+    val words = bpeWords(df, textCol)
     var merges = Vector.empty[(String, String)]
     var rounds = 0
     while (rounds < numMerges) {
-      val syms =
-        if (merges.isEmpty)
-          // char split; drop the trailing empty piece the regex leaves
-          filter(split(regexp_replace(col("w"), "(.)", "$1 "), " "),
-            t => length(t) > 0)
-        else graft.functions.Bpe.bpe_tokens(col("w"), merges)
-      val top = words.select(syms.alias("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
-          i => struct(col("syms").getItem(i).alias("a"),
-            col("syms").getItem(i + 1).alias("b")))).alias("p"))
-        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
-        .agg(count(lit(1)).alias("n"))
-        .orderBy(desc("n"), asc("a"), asc("b"))
-        .limit(1).collect()
+      val top = bpePairCounts(words, merges).limit(1).collect()
       if (top.isEmpty) rounds = numMerges
       else {
         merges :+= ((top(0).getString(0), top(0).getString(1)))
@@ -186,6 +170,80 @@ object TextAnalysis {
       }
     }
     merges
+  }
+
+  private def bpeWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).alias("w"))
+      .filter(col("w") =!= "")
+
+  /** One round's (a, b, n) adjacent-pair counts under the current merge
+    * table, ordered by the adoption rank (count desc, lex asc). */
+  private def bpePairCounts(words: DataFrame,
+                            merges: Seq[(String, String)]): DataFrame = {
+    val syms =
+      if (merges.isEmpty)
+        // char split; drop the trailing empty piece the regex leaves
+        filter(split(regexp_replace(col("w"), "(.)", "$1 "), " "),
+          t => length(t) > 0)
+      else graft.functions.Bpe.bpe_tokens(col("w"), merges)
+    words.select(syms.alias("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+        i => struct(col("syms").getItem(i).alias("a"),
+          col("syms").getItem(i + 1).alias("b")))).alias("p"))
+      .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(desc("n"), asc("a"), asc("b"))
+  }
+
+  /** BATCHED BPE training — the trainer that reaches production vocab
+    * sizes: per round, ONE distributed pair-count aggregation, then up to
+    * `batchSize` pairs adopted greedily in adoption rank (count desc, lex
+    * asc) subject to pairwise SYMBOL-DISJOINTNESS — a pick must not share
+    * a symbol with any earlier pick of the same round. Disjointness is
+    * what makes the batch a faithful approximation of the sequential
+    * trainer: merges over unrelated symbols commute, and no adopted
+    * pair's count could have been changed by the other merges of its
+    * round (a pair whose count WOULD change shares a symbol and is
+    * deferred to the next round). The first pick of every round is
+    * exactly the pair the one-job-per-merge trainer adopts, so the
+    * batched list agrees with the sequential one on each round's head —
+    * and with batchSize = 1 the two trainers are identical.
+    *
+    * A 32k-entry vocab thus costs ~vocabSize/batchSize Spark jobs
+    * instead of vocabSize sequential jobs (measured: 256+ merges in <=
+    * 10 rounds on a name-shaped corpus; spec-pinned). `maxCandidates`
+    * bounds the driver-side candidate list per round — candidate rows
+    * are (symbol, symbol, count) triples, KBs even at 4096.
+    * Returns (merges, rounds actually run). */
+  def bpeTrainMergesBatched(df: DataFrame, textCol: String, numMerges: Int,
+                            batchSize: Int = 64,
+                            maxCandidates: Int = 4096): (Seq[(String, String)], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val words = bpeWords(df, textCol)
+    var merges = Vector.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (!exhausted && merges.size < numMerges) {
+      val cands = bpePairCounts(words, merges).limit(maxCandidates).collect()
+      rounds += 1
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        var adopted = 0
+        cands.iterator
+          .takeWhile(_ => adopted < batchSize && merges.size < numMerges)
+          .foreach { r =>
+            val (a, b) = (r.getString(0), r.getString(1))
+            if (!used(a) && !used(b)) {
+              merges :+= ((a, b))
+              used += a; used += b
+              adopted += 1
+            }
+          }
+      }
+    }
+    (merges, rounds)
   }
 
   /** Corpus-wide boilerplate-line removal (the C4-family pass that strips

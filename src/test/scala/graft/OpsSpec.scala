@@ -288,6 +288,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       ("a", 3L, 1L, 88L), ("b", 1L, 0L, 0L)))
   }
 
+  test("batched BPE trainer with batchSize=1 equals the sequential trainer") {
+    val docs = Seq("the then there and other another then the",
+      "in inner and then another the other").toDF("text")
+    val seqMerges = TextAnalysis.bpeTrainMerges(docs, "text", 8)
+    val (batch1, _) = TextAnalysis.bpeTrainMergesBatched(docs, "text", 8,
+      batchSize = 1)
+    assert(batch1 == seqMerges)
+    // with a real batch, each round's FIRST pick is the sequential pick
+    val (batched, _) = TextAnalysis.bpeTrainMergesBatched(docs, "text", 8,
+      batchSize = 4)
+    assert(batched.head == seqMerges.head)
+    // adopted pairs within a round are symbol-disjoint by construction:
+    // applying the batched table must leave no listed pair unmerged
+    // inside any single word (merges never cross word boundaries)
+    val words = Seq("the", "then", "there", "and", "other", "another",
+      "in", "inner").toDF("w")
+    val applied = words.select(graft.functions.Bpe.bpe_tokens(col("w"),
+      batched).alias("t")).as[Seq[String]].collect()
+    val pairSet = batched.toSet
+    applied.foreach(_.sliding(2).foreach { w =>
+      if (w.size == 2) assert(!pairSet((w(0), w(1))),
+        s"unmerged pair (${w(0)},${w(1)})")
+    })
+  }
+
+  test("batched BPE trainer reaches 256 merges within 10 jobs") {
+    // a name-shaped corpus (id-tagged words + hex fingerprints) has the
+    // symbol diversity of real text; the sequential trainer would need
+    // 256 jobs here, the batched one must stay within 10
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0 until 1000).map { i =>
+      val hex = md.digest(s"w$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "Customer#%04d %s".format(i, hex)
+    }
+    val docs = rows.toDF("text")
+    val (merges, rounds) =
+      TextAnalysis.bpeTrainMergesBatched(docs, "text", numMerges = 256)
+    assert(merges.size >= 256, s"only ${merges.size} merges")
+    assert(rounds <= 10, s"took $rounds rounds")
+  }
+
   test("fuzzy dedup collapses a planted near-dup family exact dedup keeps") {
     // three near-identical docs (one token added / one substituted) plus an
     // unrelated doc: distinct fingerprints, so exact dedup keeps all four;
