@@ -171,12 +171,28 @@ object ScaleDedup {
     * counts; ids expand back afterwards: same-value pairs directly
     * (distance 0, within a hash-value group), cross-value pairs through
     * the verified value pairs. Output: (id1 < id2, dist ≤ maxDist) —
-    * complete by pigeonhole, identical to an all-pairs evaluation. */
+    * complete by pigeonhole, identical to an all-pairs evaluation.
+    *
+    * `maxGroup` guards the one remaining quadratic edge: a hash-value
+    * group of n identical hashes contributes n(n−1)/2 same-value pairs —
+    * at 100 TB one boilerplate mega-cluster (n in the millions) must not
+    * expand. Groups LARGER than `maxGroup` are routed to clustering
+    * instead of expanded: they emit a hub STAR (the group's min id paired
+    * with each other member, n−1 rows, dist 0) and are represented by the
+    * hub alone in cross-value expansion — connected-components over the
+    * output yields EXACTLY the same clusters as the full expansion
+    * (property-tested), with output linear in group size. Groups at or
+    * under the cap expand completely; the default cap is far above any
+    * organic group in the fixtures, so capped and uncapped outputs are
+    * identical there. Callers consuming raw pair lists (not clusters)
+    * should treat a hub-star as "this group is one duplicate class". */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                          bits: Int, maxDist: Int): DataFrame = {
+                          bits: Int, maxDist: Int,
+                          maxGroup: Int = 4096): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist must be in [0, $bits), got $maxDist")
+    require(maxGroup >= 1, s"maxGroup must be >= 1, got $maxGroup")
     val nBands = maxDist + 1
     val hv = hashes.select(col(hashCol).alias("__h")).distinct()
     val banded = (0 until nBands).map { b =>
@@ -193,17 +209,29 @@ object ScaleDedup {
       .select("__h1", "__h2").distinct()
       .withColumn("dist", hammingDistance(col("__h1"), col("__h2")))
       .filter(col("dist") <= maxDist)
+    // Group size and hub come from ONE window over the same __h key the
+    // same-value self-join shuffles on (exchange reused, no extra pass).
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy("__h")
     val ids = hashes.select(col(idCol), col(hashCol).alias("__h"))
-    val a = ids.select(col(idCol).alias("__ida"), col("__h").alias("__h1"))
-    val b = ids.select(col(idCol).alias("__idb"), col("__h").alias("__h2"))
+      .withColumn("__n", count(lit(1)).over(gw))
+      .withColumn("__hub", min(col(idCol)).over(gw))
+    val small = ids.filter(col("__n") <= maxGroup)
+    val same = small.select(col(idCol).alias("id1"), col("__h"))
+      .join(small.select(col(idCol).alias("id2"), col("__h")), Seq("__h"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0L).alias("dist"))
+    // oversized groups: hub star instead of the quadratic block
+    val star = ids.filter(col("__n") > maxGroup && col(idCol) =!= col("__hub"))
+      .select(col("__hub").alias("id1"), col(idCol).alias("id2"),
+        lit(0L).alias("dist"))
+    // cross-value expansion: an oversized group is represented by its hub
+    val reps = ids.filter(col("__n") <= maxGroup || col(idCol) === col("__hub"))
+    val a = reps.select(col(idCol).alias("__ida"), col("__h").alias("__h1"))
+    val b = reps.select(col(idCol).alias("__idb"), col("__h").alias("__h2"))
     val cross = valuePairs.join(a, "__h1").join(b, "__h2")
       .select(least(col("__ida"), col("__idb")).alias("id1"),
         greatest(col("__ida"), col("__idb")).alias("id2"), col("dist"))
-    val same = ids.select(col(idCol).alias("id1"), col("__h"))
-      .join(ids.select(col(idCol).alias("id2"), col("__h")), Seq("__h"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), lit(0L).alias("dist"))
-    same.unionAll(cross)
+    same.unionAll(star).unionAll(cross)
   }
 
   /** n-gram Jaccard similarity of two documents' shingle sets. */

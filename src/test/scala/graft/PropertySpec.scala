@@ -182,4 +182,38 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(banded == brute, s"maxDist=$maxDist")
     }
   }
+
+  test("property: maxGroup caps same-value expansion without changing clusters") {
+    import spark.implicits._
+    // a mega-group of 8 identical hashes, a small group of 3, a cross-value
+    // neighbor at distance 1 of the mega value, and an isolated hash
+    val mega = (1L to 8L).map(i => (i, 0xF0F0L))
+    val smallG = (21L to 23L).map(i => (i, 0x1234L))
+    val neighbor = Seq((31L, 0xF0F1L))
+    val lone = Seq((41L, 0x0A0AL))
+    val df = (mega ++ smallG ++ neighbor ++ lone).toDF("id", "h")
+    def pairs(cap: Int) =
+      ScaleDedup.hammingNearDupPairs(df, "id", "h", 16, maxDist = 1,
+        maxGroup = cap)
+        .select("id1", "id2", "dist").as[(Long, Long, Long)].collect().toSet
+    val full = pairs(4096)
+    val capped = pairs(4)
+    // below the cap nothing changes: the small group's pairs are identical
+    assert(capped.filter(p => p._1 >= 21 && p._1 <= 23) ==
+      full.filter(p => p._1 >= 21 && p._1 <= 23))
+    // the mega group collapses from 28 quadratic pairs to a 7-row hub star
+    assert(full.count(p => p._1 <= 8 && p._2 <= 8) == 28)
+    assert(capped.filter(p => p._2 <= 8) ==
+      (2L to 8L).map(i => (1L, i, 0L)).toSet)
+    // cross-value pairs attach to the hub only
+    assert(capped.filter(p => p._2 == 31L) == Set((1L, 31L, 1L)))
+    // and connected components over capped pairs == over full pairs
+    def clusters(ps: Set[(Long, Long, Long)]) = {
+      val labels = ScaleDedup.connectedComponents(
+        df.select(col("id")),
+        ps.toSeq.toDF("id1", "id2", "dist").select("id1", "id2"))
+      labels.select("id", "label").as[(Long, Long)].collect().toMap
+    }
+    assert(clusters(capped) == clusters(full))
+  }
 }
