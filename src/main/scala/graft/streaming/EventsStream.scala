@@ -148,26 +148,52 @@ object EventsStream {
   }
 
   /** Streaming face of the LLM text-prep stack: quality gate (with the
-    * repetition bounds) → language filter → EXACT dedup by content
-    * fingerprint within the watermark horizon → token count. All the
-    * filters are stateless row predicates (the same Column expressions as
-    * the batch operators, kernels included — streaming reuses them
-    * unchanged); the only state is the dedup's fingerprint set, bounded
-    * by the watermark — the only dedup that runs forever. Input must
-    * carry (`idCol`, `ts`, `textCol`). */
+    * repetition bounds) → language filter → benchmark DECONTAMINATION
+    * against a static eval set → EXACT dedup by content fingerprint
+    * within the watermark horizon → token count. All the filters are
+    * stateless row predicates (the same Column expressions as the batch
+    * operators, kernels included — streaming reuses them unchanged); the
+    * only state is the dedup's fingerprint set, bounded by the watermark
+    * — the only dedup that runs forever. Input must carry (`idCol`,
+    * `ts`, `textCol`).
+    *
+    * Decontamination is a stream-STATIC broadcast: the eval set's
+    * distinct 13-gram hashes are packed into one static row, broadcast,
+    * and each streaming document drops iff any of its shingle hashes
+    * overlaps — stateless, so it adds no watermark pressure. The
+    * arrays_overlap probe is O(|eval|)-ish per doc (vs the batch
+    * operator's exploded semi-join); that is the right streaming trade —
+    * a per-batch explode+join would rebuild the probe side every
+    * micro-batch, and eval sets are small by definition. */
   def textPrepStream(docs: DataFrame, idCol: String, textCol: String,
-                     lateness: String = "30 minutes"): DataFrame =
-    docs
+                     lateness: String = "30 minutes",
+                     evalSet: Option[DataFrame] = None,
+                     evalTextCol: String = "text",
+                     shingleN: Int = 13): DataFrame = {
+    val gated = docs
       .filter(graft.ops.TextAnalysis.qualityKeep(col(textCol), minTokens = 8,
         maxTokens = 100000, minStopRatio = 0.01,
         maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))
       .filter(graft.ops.TextAnalysis.langId(col(textCol)) === "en")
+    val decontaminated = evalSet.fold(gated) { ev =>
+      val evalHashes = ev
+        .select(explode(graft.functions.MinHashSig.shingle_hashes(
+          split(col(evalTextCol), " "), shingleN)).alias("__h"))
+        .agg(collect_set(col("__h")).alias("__eval"))
+      gated.crossJoin(broadcast(evalHashes))
+        .filter(!arrays_overlap(
+          graft.functions.MinHashSig.shingle_hashes(
+            split(col(textCol), " "), shingleN), col("__eval")))
+        .drop("__eval")
+    }
+    decontaminated
       .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("__fp")
       .select(col(idCol), col("ts"),
         graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long")
           .alias("n_tokens"))
+  }
 
   /** Streaming exact dedup: drop repeated ids with state bounded by the
     * watermark (ids older than the lateness horizon are forgotten — the

@@ -83,6 +83,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(nTok == 13L)
   }
 
+  test("textPrepStream decontaminates against a static eval set") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val leaked = "the cat and the dog sat in a box of red hats now"
+    // one token differs -> no shared 13-gram -> must SURVIVE
+    val nearMiss = "the cat and the dog sat in a box of red hats today"
+    val evalSet = Seq(leaked).toDF("text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = EventsStream.textPrepStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      evalSet = Some(evalSet))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("prep_decon").start()
+    def t(m: Long) = new Timestamp((1000 + m) * 60000L)
+    input.addData(
+      (1L, t(0), leaked),   // verbatim eval leak -> dropped
+      (2L, t(1), nearMiss)) // near-miss -> survives
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("prep_decon").select("doc_id").as[Long]
+      .collect().toSeq.sorted
+    assert(kept == Seq(2L), s"got $kept")
+  }
+
   test("stream-stream interval join pairs events within the time bound only") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
