@@ -861,6 +861,26 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20, nCells = 8)
     }),
 
+    // similarity: PERSISTED IVF index — the corpus assignment is written
+    // once as a cell-bucketed parquet table (the index layout a vector
+    // store keeps across queries), then probed shuffle-free: the probe
+    // broadcasts and the index scan flows straight into the join. Same
+    // deterministic first-8 centroids as q_ann_ivf, so results (and the
+    // recall row) must match it exactly.
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).alias("v"))
+      val centroids = base.orderBy("vec_id").limit(8)
+        .select(col("vec_id").alias("cid"), col("v").alias("cv"))
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids,
+        "graft_ivf_index")
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.ivfTopKIndexed(s, "graft_ivf_index", "vec_id", q, k = 20,
+        centroids)
+    }),
+
     // similarity: IVF multi-probe ANN (query probes its 2 nearest cells —
     // recall superset of q_ann_ivf, same single corpus assignment pass)
     "q_ann_ivf_multiprobe" -> ((s, d) => {
@@ -891,9 +911,9 @@ object SparkEntry {
     // once; the union is of 5 × ≤20-row results, so the combine is free.)
     "q_ann_recall" -> ((s, d) => {
       val gt = queries("q_ann_cosine")(s, d).select("vec_id")
-      Seq("q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_ivf_kmeans_multiprobe",
-        "q_ann_ivf_multiprobe", "q_ann_lsh", "q_ann_lsh_multiprobe",
-        "q_ann_lsh_multitable")
+      Seq("q_ann_ivf", "q_ann_ivf_indexed", "q_ann_ivf_kmeans",
+        "q_ann_ivf_kmeans_multiprobe", "q_ann_ivf_multiprobe", "q_ann_lsh",
+        "q_ann_lsh_multiprobe", "q_ann_lsh_multitable")
         .map(v => queries(v)(s, d)
           .select(lit(v.stripPrefix("q_")).alias("variant"), col("vec_id")))
         .reduce(_ unionAll _)
@@ -1339,6 +1359,7 @@ object SparkEntry {
   private def annRecallOracle: String = {
     val variants = Seq(
       "ann_ivf" -> ivfOracle,
+      "ann_ivf_indexed" -> ivfOracle, // persisted index, same assignment
       "ann_ivf_kmeans" -> kmeansIvfOracle,
       "ann_ivf_kmeans_multiprobe" -> kmeansIvfMultiProbeOracle,
       "ann_ivf_multiprobe" -> ivfMultiProbeOracle,
@@ -2092,6 +2113,8 @@ object SparkEntry {
     "q_ann_lsh_multitable" -> lshMultiTableOracle,
 
     "q_ann_ivf" -> ivfOracle,
+
+    "q_ann_ivf_indexed" -> ivfOracle,
 
     "q_ann_ivf_multiprobe" -> ivfMultiProbeOracle,
 

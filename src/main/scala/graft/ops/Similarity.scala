@@ -171,6 +171,40 @@ object Similarity {
     ivfTopKWithCentroids(corpus, idCol, vecCol, query, k, centroids)
   }
 
+  /** Persist an IVF index: assign every corpus vector to its centroid
+    * cell ONCE and write (id, v, cell) as a parquet table bucketed (and
+    * sorted) by cell — the index-survives-queries layout a real vector
+    * store needs. At 100 TB the assignment argmin over the whole corpus
+    * is the expensive pass; persisting it means each subsequent query
+    * pays only its own broadcast probe, and the bucketed layout keeps
+    * any future cell-keyed join/aggregation over the index shuffle-free
+    * (the write pays the one exchange). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, table: String,
+                    buckets: Int = 8): Unit = {
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    graft.sources.Bucketing.writeBucketed(
+      ivfAssign(base, idCol, "v", centroids), table, "cell", buckets)
+  }
+
+  /** Probe a persisted IVF index (see `writeIvfIndex`): the corpus side
+    * is READ pre-assigned — no argmin recompute, no shuffle (the probe
+    * side broadcasts, so the index scan flows straight into the join;
+    * spec asserts the plan carries zero shuffle exchanges). Must be
+    * probed with the SAME centroid table the index was built with. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     idCol: String, query: DataFrame, k: Int,
+                     centroids: DataFrame): DataFrame = {
+    val assigned = spark.table(table)
+    val q = ivfAssign(
+      query.select(lit(-1L).alias("__qid"), col("qv")), "__qid", "qv", centroids)
+      .select(col("v").alias("qv"), col("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF multi-probe ANN: the query probes its `nProbe` NEAREST cells
     * instead of only the argmin cell — the standard IVF recall lever
     * (recall lost at cell boundaries is recovered by probing the runner-up

@@ -38,4 +38,32 @@ class BucketingSpec extends AnyFunSuite with SparkSpec with AdaptiveSparkPlanHel
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("persisted IVF index probes shuffle-free and matches the unindexed plan") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf0)
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).alias("v"))
+    val centroids = base.orderBy("vec_id").limit(8)
+      .select(col("vec_id").alias("cid"), col("v").alias("cv"))
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids,
+      "b_ivf_index")
+    val q = emb.orderBy("vec_id").limit(1)
+      .select(Similarity.asDouble(col("embedding")).alias("qv"))
+    val probe = Similarity.ivfTopKIndexed(spark, "b_ivf_index", "vec_id",
+      q, k = 20, centroids)
+    val got = probe.collect().toSeq
+    // corpus side reads the pre-assigned index and flows straight into the
+    // broadcast join: zero shuffle exchanges anywhere in the probe plan
+    val shuffles = collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"expected shuffle-free probe, got:\n${probe.queryExecution.executedPlan}")
+    // result identity vs the assignment-recomputing variant
+    val expect = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+      k = 20, nCells = 8).collect().toSeq
+    assert(got === expect)
+    spark.sql("DROP TABLE IF EXISTS b_ivf_index")
+  }
 }
