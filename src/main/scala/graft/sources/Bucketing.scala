@@ -15,9 +15,20 @@ object Bucketing {
 
   /** Write `df` as a bucketed (+ optionally sorted) managed table. Parquet
     * format; `buckets` should be sized so one bucket ≈ one task's worth of
-    * data at target scale. */
+    * data at target scale.
+    *
+    * Pre-cleans both the catalog entry AND the table's warehouse location:
+    * a location orphaned by a previous session (the in-memory catalog dies
+    * with the JVM, the directory does not) otherwise fails every later
+    * overwrite with LOCATION_ALREADY_EXISTS. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, bucketCol)
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
