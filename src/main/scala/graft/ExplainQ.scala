@@ -2,23 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Print the formatted physical plan of named queries.
-  * Usage: runMain graft.ExplainQ <sfDir> <name...> */
+/** Plan-audit tool: print the formatted physical plan of named queries
+  * (all of `SparkEntry.queries` if none named). Usage:
+  * runMain graft.ExplainQ <sfDir> [queryName...] */
 object ExplainQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).foreach { name =>
-      println(s"===== $name =====")
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"==== $name ====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()

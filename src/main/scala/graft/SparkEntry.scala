@@ -657,6 +657,35 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.25))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // text: document token-length histogram — the sequence-length
+    // distribution a dataset card publishes (and the input to choosing a
+    // packing budget). Width-20 buckets, one narrow pass + one tiny agg.
+    "q_doclen_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select((floor(TextAnalysis.tokenCount(col("text")) / 20) * 20)
+          .cast("long").alias("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).alias("n_docs"))
+        .orderBy("bucket")),
+
+    // dedup: decontamination REPORT — for each contaminated corpus doc,
+    // how many distinct 13-gram hashes it shares with the eval set (the
+    // audit table a decontamination run ships: verbatim leaks score high,
+    // boilerplate collisions score 1–2). Same broadcast shape as
+    // q_decontaminate; only matching (doc, hash) rows reach the count.
+    "q_decon_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalHashes = docs.filter(col("doc_id") % 37 === 0)
+        .select(explode(graft.functions.MinHashSig.shingle_hashes(
+          split(col("text"), " "), 13)).alias("__h"))
+        .distinct()
+      docs.select(col("doc_id"),
+        explode(graft.functions.MinHashSig.shingle_hashes(
+          split(col("text"), " "), 13)).alias("__h"))
+        .join(broadcast(evalHashes), Seq("__h"))
+        .groupBy("doc_id").agg(count(lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    }),
+
     // dedup: benchmark decontamination — every 37th document plays the
     // "eval set"; corpus docs sharing any 13-gram with it are dropped
     // (including the eval docs themselves, which trivially self-collide).
@@ -931,6 +960,33 @@ object SparkEntry {
         .groupBy("variant")
         .agg(round(count(lit(1)).cast("double") / 20.0, 6).alias("recall"))
         .orderBy("variant")
+    }),
+
+    // similarity: BATCH ANN — the realistic retrieval shape (many queries
+    // at once): 5 query vectors broadcast as one probe set, the corpus is
+    // scanned ONCE and every (query, candidate) cosine scored in a single
+    // narrow pass; per-query top-5 via row_number, which Spark plans with
+    // WindowGroupLimit — each map task keeps only its local top-5 per
+    // query BEFORE the shuffle, so the exchange carries O(tasks × Q × k)
+    // rows, not the full scored cross product.
+    "q_ann_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").alias("qid"),
+          Similarity.asDouble(col("embedding")).alias("qv"))
+      val scored = emb
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).alias("v"))
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosine(col("v"), col("qv")).alias("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("sim"), col("vec_id"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .select(concat(col("qid").cast("string"), lit("_"),
+          col("vec_id").cast("string")).alias("key"),
+          col("qid"), col("vec_id"), col("sim"))
+        .orderBy("key")
     }),
 
     // similarity: the trained-index + recall-lever pairing — k-means
@@ -2065,6 +2121,20 @@ object SparkEntry {
         "< (CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src0' THEN 0.5 ELSE 1.0 END) * 4294967296.0 " +
         "ORDER BY doc_id"),
 
+    "q_doclen_histogram" ->
+      ("SELECT CAST(floor(len(string_split(text, ' ')) / 20) * 20 AS BIGINT) AS bucket, " +
+        "count(*) AS n_docs FROM documents GROUP BY 1 ORDER BY bucket"),
+
+    "q_decon_report" ->
+      ("WITH sh AS (SELECT doc_id, list_transform(list_distinct(list_transform(" +
+        "range(0, greatest(len(string_split(text, ' ')) - 13, 0) + 1), " +
+        "i -> array_to_string(string_split(text, ' ')[i+1:i+13], ' '))), " +
+        "s -> ('0x' || substr(md5(s || '#0'), 1, 8))::BIGINT) AS hs FROM documents), " +
+        "ev AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 37 = 0), " +
+        "u AS (SELECT doc_id, unnest(hs) AS h FROM sh) " +
+        "SELECT u.doc_id, count(*) AS n_shared FROM u WHERE h IN (SELECT h FROM ev) " +
+        "GROUP BY u.doc_id ORDER BY doc_id"),
+
     "q_decontaminate" ->
       ("WITH sh AS (SELECT doc_id, list_transform(list_distinct(list_transform(" +
         "range(0, greatest(len(string_split(text, ' ')) - 13, 0) + 1), " +
@@ -2117,6 +2187,17 @@ object SparkEntry {
         "ORDER BY id1, id2"),
 
     "q_ann_cosine" -> annCosineOracle,
+
+    "q_ann_batch" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 5), " +
+        "sc AS (SELECT q.qid, e.vec_id, round(list_dot_product(e.v, q.qv) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim " +
+        "FROM e CROSS JOIN q), " +
+        "r AS (SELECT qid, vec_id, sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM sc) " +
+        "SELECT CAST(qid AS VARCHAR) || '_' || CAST(vec_id AS VARCHAR) AS key, " +
+        "qid, vec_id, sim FROM r WHERE rn <= 5 ORDER BY key"),
 
     "q_ann_lsh" -> lshOracle,
     "q_ann_lsh_multiprobe" -> lshMultiProbeOracle,
