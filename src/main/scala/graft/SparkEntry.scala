@@ -591,6 +591,34 @@ object SparkEntry {
       ScaleDedup.exactDedupGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("keep_id")),
 
+    // dedup: incremental (append-only) — the src0 batch arrives against
+    // the already-ingested rest of the corpus: within-batch min-id
+    // canonical, then an anti-join against the existing fingerprint set.
+    // Batch cost is independent of corpus size once the fingerprint set
+    // is maintained as a table.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ScaleDedup.dedupAgainst(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // text: perplexity-style TAIL DROP — score every doc under the corpus
+    // unigram LM, then keep docs at or above the 10th percentile (the
+    // standard "drop the weird tail" quality pass). The threshold is ONE
+    // broadcast row; both sides work on 6-dp-rounded scores so the
+    // boundary comparison is engine-exact.
+    "q_quality_tail_drop" -> ((s, d) => {
+      val scored = TextAnalysis.unigramLogProb(Tables.documents(s, d),
+        "doc_id", "text")
+      val thr = scored.agg(
+        round(expr("percentile(logprob, 0.1D)"), 6).alias("__thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("logprob") >= col("__thr"))
+        .select("doc_id", "logprob").orderBy("doc_id")
+    }),
+
     // FLAGSHIP composite — the LLM training-data prep pipeline end-to-end:
     // Gopher-style quality gate → language filter (keep English) → exact
     // dedup (content fingerprint, min-id canonical) → token counts for the
@@ -2060,6 +2088,24 @@ object SparkEntry {
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
         "min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY keep_id"),
+
+    "q_dedup_incremental" ->
+      ("WITH b AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents WHERE source = 'src0'), " +
+        "k AS (SELECT min(doc_id) AS doc_id, fp FROM b GROUP BY fp), " +
+        "e AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents WHERE source <> 'src0') " +
+        "SELECT doc_id, fp FROM k WHERE fp NOT IN (SELECT fp FROM e) ORDER BY doc_id"),
+
+    "q_quality_tail_drop" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1), " +
+        "n AS (SELECT count(*) AS nn FROM tok), " +
+        "sc AS (SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
+        "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id), " +
+        "thr AS (SELECT round(quantile_cont(logprob, 0.1), 6) AS th FROM sc) " +
+        "SELECT sc.doc_id, sc.logprob FROM sc, thr WHERE sc.logprob >= thr.th " +
+        "ORDER BY sc.doc_id"),
 
     // Composite mirror: quality gate ∘ lang-id='en' ∘ exact-dedup-canonical
     // ∘ token count — each CTE reuses the SQL of its single-operator oracle

@@ -379,6 +379,27 @@ object ScaleDedup {
   private[graft] def shingleHashesCols(text: Column, n: Int): Column =
     transform(shingles(text, n), sh => hash32(sh, 0))
 
+  /** Incremental (append-only) dedup — the production shape once a corpus
+    * is already deduplicated and a NEW batch arrives: dedup the batch
+    * within itself (min-id canonical per fingerprint), then drop anything
+    * whose fingerprint already exists in the corpus. Only fingerprints
+    * cross the wire — the existing corpus reduces to its distinct
+    * fingerprint set before the anti-join (at scale that set is what a
+    * deployment maintains as a bucketed fingerprint table, making the
+    * anti-join shuffle-free on the corpus side and the whole batch cost
+    * independent of corpus size). Returns (idCol, fp) of the batch's
+    * surviving canonical rows. */
+  def dedupAgainst(batch: DataFrame, existing: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val canon = batch
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).alias("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).alias(idCol))
+    val exFp = existing
+      .select(TextAnalysis.fingerprint(col(textCol)).alias("__fp")).distinct()
+    canon.join(exFp, Seq("__fp"), "left_anti")
+      .select(col(idCol), col("__fp").alias("fp"))
+  }
+
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
     * plan (hash, not raw text, crosses the wire ... group keys are
