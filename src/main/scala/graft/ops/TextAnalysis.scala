@@ -246,6 +246,27 @@ object TextAnalysis {
     (merges, rounds)
   }
 
+  /** Persist a trained BPE merges table as the model artifact a pipeline
+    * ships: (rank, a, b) parquet, rank = adoption order. The artifact is
+    * what production broadcasts to every apply site — train once, apply
+    * from storage everywhere (the trainers above; `Bpe.bpe_tokens` for
+    * the apply side). */
+  def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "a", "b")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merges artifact, restoring adoption order. The
+    * table is vocabulary-sized — the one intentional driver collect. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Corpus-wide boilerplate-line removal (the C4-family pass that strips
     * "subscribe to our newsletter"-style lines): a line counts as
     * boilerplate when it appears in at least `minDocs` DISTINCT documents

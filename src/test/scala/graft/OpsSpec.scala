@@ -313,6 +313,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("BPE merges artifact round-trips through parquet in adoption order") {
+    val docs = Seq("the then there and other another then the").toDF("text")
+    val merges = TextAnalysis.bpeTrainMerges(docs, "text", 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact")
+      .resolve("merges").toString
+    TextAnalysis.saveBpeMerges(spark, merges, dir)
+    val loaded = TextAnalysis.loadBpeMerges(spark, dir)
+    assert(loaded == merges)
+    // the loaded artifact applies identically to the in-memory table
+    val a = docs.select(graft.functions.Bpe.bpe_tokens(col("text"), merges))
+      .as[Seq[String]].head()
+    val b = docs.select(graft.functions.Bpe.bpe_tokens(col("text"), loaded))
+      .as[Seq[String]].head()
+    assert(a == b)
+  }
+
   test("batched BPE trainer reaches 256 merges within 10 jobs") {
     // a name-shaped corpus (id-tagged words + hex fingerprints) has the
     // symbol diversity of real text; the sequential trainer would need
