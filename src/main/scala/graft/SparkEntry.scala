@@ -677,6 +677,21 @@ object SparkEntry {
       Pack.trainValSplit(Tables.documents(s, d), "doc_id", valFraction = 0.1)
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // mix: deterministic per-group sample — 3 docs per source, chosen by
+    // md5 draw order (stable under corpus growth AND partitioning, unlike
+    // any rand()-based pick; the inspection-sample shape for eyeballing
+    // each domain). row_number ≤ k plans WindowGroupLimit: each map task
+    // forwards only its local top-3 per source into the exchange.
+    "q_group_sample" -> ((s, d) => {
+      val draw = ScaleDedup.hash32(
+        concat_ws("|", lit("gs"), col("doc_id").cast("string")), 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(draw, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // mix: deterministic stratified domain sampling — keep 50% of src0,
     // 25% of src1, all of everything else, via an md5-threshold predicate
     // (reproducible row-for-row across cluster sizes, unlike sample()).
@@ -760,11 +775,14 @@ object SparkEntry {
     // repetition gate → language filter → 13-gram decontamination → exact
     // dedup (collapses identical mega-clusters cheaply, and keeps the LSH
     // input free of degenerate same-text buckets) → MinHash-LSH candidate
-    // pairs → connected components → keep each near-dup cluster's min-id
-    // canonical — THE production pretraining dedup, end-to-end. Text
-    // never shuffles: fingerprints, band keys, and id edges are all that
-    // cross the wire; the one iterative job (clustering) checkpoints
-    // reliably and fails loudly on non-convergence.
+    // pairs → EXACT Jaccard verification (≥ 0.5 on the token sets — LSH
+    // candidates are probabilistic; production always verifies before
+    // merging clusters) → connected components → keep each near-dup
+    // cluster's min-id canonical — THE production pretraining dedup,
+    // end-to-end. Text never shuffles: fingerprints, band keys, token
+    // SETS of candidate rows only, and id edges are all that cross the
+    // wire; the one iterative job (clustering) checkpoints reliably and
+    // fails loudly on non-convergence.
     "q_llm_prep_fuzzy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val evalSet = docs.filter(col("doc_id") % 37 === 0)
@@ -790,8 +808,15 @@ object SparkEntry {
       val uniq = docs.join(uniqIds, Seq("doc_id"), "left_semi")
       val pairs = ScaleDedup.minhashCandidatePairs(uniq, "doc_id", "text",
         numHashes = 4, bands = 2)
+      val toks = uniq.select(col("doc_id"),
+        ScaleDedup.tokenSet(col("text")).alias("toks"))
+      val verified = pairs
+        .join(toks.select(col("doc_id").alias("id1"), col("toks").alias("t1")), "id1")
+        .join(toks.select(col("doc_id").alias("id2"), col("toks").alias("t2")), "id2")
+        .filter(ScaleDedup.jaccard(col("t1"), col("t2")) >= 0.5)
+        .select("id1", "id2")
       val labels = ScaleDedup.connectedComponents(
-        uniqIds.select(col("doc_id").alias("id")), pairs)
+        uniqIds.select(col("doc_id").alias("id")), verified)
       val canon = labels.filter(col("label") === col("id"))
         .select(col("id").alias("doc_id"))
       uniq.join(canon, Seq("doc_id"), "left_semi")
@@ -1683,7 +1708,11 @@ object SparkEntry {
   private def llmPrepFuzzyOracle: String =
     s"WITH RECURSIVE $llmPrepKeptCtes, " +
       mhPairsCtesOver("k") + ", " +
-      "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs), " +
+      "jp AS (SELECT p.id1, p.id2 FROM pairs p " +
+      "JOIN t a ON a.doc_id = p.id1 JOIN t b ON b.doc_id = p.id2 " +
+      "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5), " +
+      "edges AS (SELECT id1 AS src, id2 AS dst FROM jp UNION ALL SELECT id2, id1 FROM jp), " +
       "cc AS (SELECT doc_id AS id, doc_id AS label FROM k " +
       "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src), " +
       "lab AS (SELECT id, min(label) AS label FROM cc GROUP BY id), " +
@@ -2160,6 +2189,12 @@ object SparkEntry {
         "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
         "< 0.1 * 4294967296.0 THEN 'val' ELSE 'train' END AS split " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_group_sample" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY " +
+        "('0x' || substr(md5('gs|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 3 ORDER BY doc_id"),
 
     "q_domain_mix" ->
       ("SELECT doc_id, source FROM documents " +
