@@ -1003,10 +1003,29 @@ object SparkEntry {
     // once; the union is of 5 × ≤20-row results, so the combine is free.)
     "q_ann_recall" -> ((s, d) => {
       val gt = queries("q_ann_cosine")(s, d).select("vec_id")
+      // The two k-means variants share ONE Lloyd training: centroids are
+      // 8 tiny rows, so materializing them once (localCheckpoint) drops
+      // the second training from the ladder (measured 8.2 -> 7.8 s at
+      // sf0.1 — the ladder's cost is dominated by the 8 per-variant
+      // corpus scans, incl. the indexed variant's table rebuild, which
+      // is the measurement's point); every variant still assigns the
+      // corpus itself.
+      val emb = Tables.embeddings(s, d)
+      val q1 = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      val base = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).alias("v"))
+      val kmCents = Similarity.kmeansCentroids(base, "vec_id", "v",
+        nCells = 8, iters = 3, dim = 64).localCheckpoint()
+      val shared = Map(
+        "q_ann_ivf_kmeans" -> Similarity.ivfTopKWithCentroids(
+          emb, "vec_id", "embedding", q1, 20, kmCents),
+        "q_ann_ivf_kmeans_multiprobe" -> Similarity.ivfTopKMultiProbeWithCentroids(
+          emb, "vec_id", "embedding", q1, 20, kmCents, nProbe = 2))
       Seq("q_ann_ivf", "q_ann_ivf_indexed", "q_ann_ivf_kmeans",
         "q_ann_ivf_kmeans_multiprobe", "q_ann_ivf_multiprobe", "q_ann_lsh",
         "q_ann_lsh_multiprobe", "q_ann_lsh_multitable")
-        .map(v => queries(v)(s, d)
+        .map(v => shared.getOrElse(v, queries(v)(s, d))
           .select(lit(v.stripPrefix("q_")).alias("variant"), col("vec_id")))
         .reduce(_ unionAll _)
         .join(gt, Seq("vec_id"), "left_semi")
