@@ -671,6 +671,23 @@ object SparkEntry {
           col("n_toks"), concat_ws(" ", col("toks")).alias("seq_text"))
         .orderBy("key")),
 
+    // pack: TOKENIZE-AND-PACK — the final assembly a training job reads:
+    // real BPE tokens (broadcast merges kernel, zero shuffle) packed into
+    // 128-token sequences per source shard. Composes the two
+    // oracle-proven stages end-to-end; the only shuffles are the pack
+    // window on the shard key and the bounded (shard, seq) regroup.
+    "q_tokenize_pack" -> ((s, d) =>
+      Pack.packEmit(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.functions.Bpe.bpe_tokens(col("text"),
+              TextAnalysis.DefaultBpeMerges).alias("toks")),
+        "source", "doc_id", "toks", budget = 128)
+        .select(concat(col("source"), lit("_"), col("seq_id").cast("string"))
+          .alias("key"),
+          col("n_toks"), concat_ws(" ", col("toks")).alias("seq_text"))
+        .orderBy("key")),
+
     // pack: deterministic hash train/val split — labels depend only on
     // the row's own key, so they are stable under corpus growth
     "q_train_val_split" -> ((s, d) =>
@@ -1633,10 +1650,13 @@ object SparkEntry {
     * when no listed pair remains. Exactly the kernel's semantics (one
     * merge per step, full rescan), which is why that formulation was
     * chosen over GPT-2's merge-all-per-round. */
-  private def bpeOracle: String = {
+  /** The merges-table + per-word recursive-merge CTE chain shared by the
+    * BPE oracles, ending in `agg` (doc_id, toks = the document's BPE
+    * token list). */
+  private def bpeTokCtes: String = {
     val mergeVals = graft.ops.TextAnalysis.DefaultBpeMerges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
-    s"WITH RECURSIVE merges(rank, a, b) AS (VALUES $mergeVals), " +
+    s"merges(rank, a, b) AS (VALUES $mergeVals), " +
       "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
       "w0 AS (SELECT doc_id, unnest(toks) AS w, unnest(range(1, len(toks) + 1)) AS wi FROM t), " +
       "w AS (SELECT doc_id, wi, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s " +
@@ -1650,10 +1670,32 @@ object SparkEntry {
       "fin AS (SELECT doc_id, wi, trim(s) AS s FROM bpe b WHERE NOT EXISTS " +
       "(SELECT 1 FROM merges m WHERE contains(b.s, ' ' || m.a || ' ' || m.b || ' '))), " +
       "agg AS (SELECT doc_id, string_split(string_agg(s, ' ' ORDER BY wi), ' ') AS toks " +
-      "FROM fin GROUP BY doc_id) " +
+      "FROM fin GROUP BY doc_id)"
+  }
+
+  private def bpeOracle: String =
+    s"WITH RECURSIVE $bpeTokCtes " +
       "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe, " +
       "array_to_string(toks[1:10], '|') AS head_toks FROM agg ORDER BY doc_id"
-  }
+
+  /** DuckDB mirror of q_tokenize_pack: the shared BPE chain produces each
+    * doc's token list, then the q_pack_emit window/regroup runs over it
+    * at budget 128. */
+  private def tokenizePackOracle: String =
+    s"WITH RECURSIVE $bpeTokCtes, " +
+      "t2 AS (SELECT a.doc_id, d.source, a.toks FROM agg a " +
+      "JOIN documents d USING (doc_id)), " +
+      "c2 AS (SELECT doc_id, source, toks, " +
+      "sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks) AS prev FROM t2), " +
+      "u2 AS (SELECT source, prev, unnest(toks) AS tok, " +
+      "unnest(range(0, len(toks))) AS p FROM c2), " +
+      "g2 AS (SELECT source, CAST(floor((prev + p) / 128) AS BIGINT) AS seq_id, " +
+      "prev + p AS gpos, tok FROM u2) " +
+      "SELECT source || '_' || CAST(seq_id AS VARCHAR) AS key, " +
+      "CAST(count(*) AS BIGINT) AS n_toks, " +
+      "string_agg(tok, ' ' ORDER BY gpos) AS seq_text " +
+      "FROM g2 GROUP BY source, seq_id ORDER BY key"
 
   /** DuckDB mirror of q_llm_prep_full: each stage's CTE reuses the SQL of
     * its single-operator oracle (quality+repetition = q_quality_filter's
@@ -2188,6 +2230,8 @@ object SparkEntry {
         "CAST(floor(prev / 512) AS BIGINT) AS seq_id, " +
         "CAST(prev - floor(prev / 512) * 512 AS BIGINT) AS seq_offset " +
         "FROM c ORDER BY doc_id"),
+
+    "q_tokenize_pack" -> tokenizePackOracle,
 
     "q_pack_emit" ->
       ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +

@@ -409,6 +409,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("vocab exceeds"))
   }
 
+  test("degenerate inputs: empty batch, empty shard, empty frozen vocab") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    // empty new batch against a corpus -> nothing survives, no errors
+    assert(ScaleDedup.dedupAgainst(empty, docs, "doc_id", "text").count() == 0)
+    // empty existing corpus -> the whole batch survives
+    assert(ScaleDedup.dedupAgainst(docs, empty, "doc_id", "text").count() == 1)
+    // packEmit on an empty frame emits no sequences
+    val emptyToks = Seq.empty[(String, Long, Seq[String])]
+      .toDF("src", "id", "toks")
+    assert(Pack.packEmit(emptyToks, "src", "id", "toks", 8).count() == 0)
+    // empty frozen vocab -> every token scores the OOV floor
+    val noVocab = Seq.empty[(String, Double)].toDF("token", "logp")
+    val got = TextAnalysis.unigramScoreFrozen(docs, "doc_id", "text",
+      noVocab, oovLogProb = -3.0).as[(Long, Double)].head()
+    assert(got == ((1L, -3.0)))
+  }
+
   test("train/val split is stable under corpus growth") {
     val small = (1L to 100L).toDF("id")
     val large = (1L to 1000L).toDF("id")
