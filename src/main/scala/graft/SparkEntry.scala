@@ -558,6 +558,19 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // text: overlapping 64-token chunks with 16-token overlap — the
+    // document chunker of pretraining/retrieval pipelines. Pure array
+    // expressions; the fan-out rides the scan, zero shuffle.
+    "q_chunk_overlap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkOverlap(col("text"), 64, 16)))
+        .select(concat(col("doc_id").cast("string"), lit("_"),
+          col("pos").cast("string")).alias("key"),
+          col("doc_id"), col("pos").cast("long").alias("chunk_id"),
+          col("col").alias("chunk_text"))
+        .orderBy("key")),
+
     // text: frozen-vocab unigram scoring — the production shape for
     // scoring NEW data under a pretrained LM: vocab = the corpus's top-20
     // tokens with exact ln(tf/N) log-probs (one small aggregation),
@@ -2160,6 +2173,16 @@ object SparkEntry {
         "n AS (SELECT count(*) AS nn FROM tok) " +
         "SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
         "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id ORDER BY tok.doc_id"),
+
+    "q_chunk_overlap" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, " +
+        "CAST(floor((greatest(len(toks) - 16, 1) + 47) / 48) AS BIGINT) AS nc FROM t), " +
+        "u AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM c) " +
+        "SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(ci AS VARCHAR) AS key, " +
+        "doc_id, ci AS chunk_id, " +
+        "array_to_string(toks[ci*48+1 : ci*48+64], ' ') AS chunk_text " +
+        "FROM u ORDER BY key"),
 
     "q_unigram_score_frozen" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +

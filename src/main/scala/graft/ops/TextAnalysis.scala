@@ -246,6 +246,24 @@ object TextAnalysis {
     (merges, rounds)
   }
 
+  /** Overlapping token-window chunks — the document chunker every
+    * pretraining/retrieval pipeline carries: windows of `size` tokens
+    * advancing by `size - overlap`, the last window clipped at the
+    * document end. Pure array expressions (sequence → slice → join):
+    * zero shuffle, the chunk fan-out rides the scan. Returns an array of
+    * chunk strings; pair with posexplode for (chunk_id, chunk_text)
+    * rows. */
+  def chunkOverlap(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = tokens(text)
+    val nChunks = floor((greatest(org.apache.spark.sql.functions.size(toks)
+      - overlap, lit(1)) + (stride - 1)) / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(size))))
+  }
+
   /** Persist a trained BPE merges table as the model artifact a pipeline
     * ships: (rank, a, b) parquet, rank = adoption order. The artifact is
     * what production broadcasts to every apply site — train once, apply

@@ -409,6 +409,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("vocab exceeds"))
   }
 
+  test("overlapping chunker: stride, shared overlap, clipped tail") {
+    // 10 tokens, size 4, overlap 2 -> stride 2 -> ceil(8/2) = 4 chunks
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = Seq(text).toDF("text")
+      .select(TextAnalysis.chunkOverlap(col("text"), 4, 2))
+      .as[Seq[String]].head()
+    assert(got == Seq("t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8",
+      "t7 t8 t9 t10"))
+    // adjacent chunks share exactly `overlap` tokens
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.split(" ").takeRight(2).toSeq == b.split(" ").take(2).toSeq)
+    case _ => }
+    // a doc shorter than one window is one clipped chunk
+    val short = Seq("a b").toDF("text")
+      .select(TextAnalysis.chunkOverlap(col("text"), 4, 2))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkOverlap(col("text"), 4, 4)
+    }
+  }
+
   test("degenerate inputs: empty batch, empty shard, empty frozen vocab") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val docs = Seq((1L, "aa bb")).toDF("doc_id", "text")
