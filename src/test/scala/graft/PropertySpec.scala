@@ -183,6 +183,25 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: chunker reconstructs the document (drop overlap, concat)") {
+    import spark.implicits._
+    // for any token count, chunk 0 plus each later chunk minus its
+    // leading `overlap` tokens concatenates back to the original —
+    // i.e. coverage is exact: no token lost, none double-emitted
+    val texts = samples(Gen.chooseNum(1, 40), 30)
+      .map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    val got = texts.toDF("text")
+      .select(col("text"),
+        graft.ops.TextAnalysis.chunkOverlap(col("text"), 7, 3).alias("ch"))
+      .as[(String, Seq[String])].collect()
+    got.foreach { case (text, chunks) =>
+      val toks = text.split(" ").toSeq
+      val rebuilt = chunks.head.split(" ").toSeq ++
+        chunks.tail.flatMap(_.split(" ").toSeq.drop(3))
+      assert(rebuilt == toks, s"n=${toks.size}")
+    }
+  }
+
   test("property: maxGroup caps same-value expansion without changing clusters") {
     import spark.implicits._
     // a mega-group of 8 identical hashes, a small group of 3, a cross-value
