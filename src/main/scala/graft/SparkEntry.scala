@@ -571,6 +571,25 @@ object SparkEntry {
           col("col").alias("chunk_text"))
         .orderBy("key")),
 
+    // text: CHUNK-level exact dedup — dedup at the granularity a
+    // retrieval store actually indexes: chunk the corpus, fingerprint
+    // each chunk, keep the first (doc, chunk) per fingerprint with its
+    // copy count. One narrow chunk fan-out + one fingerprint shuffle.
+    "q_chunk_dedup" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunkOverlap(col("text"), 64, 16)))
+        .select(col("doc_id"), col("pos").cast("long").alias("chunk_id"),
+          col("col").alias("chunk_text"))
+      chunks
+        .groupBy(TextAnalysis.fingerprint(col("chunk_text")).alias("fp"))
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).alias("__k"),
+          count(lit(1)).alias("n_copies"))
+        .select(col("fp"), col("__k.doc_id").alias("doc_id"),
+          col("__k.chunk_id").alias("chunk_id"), col("n_copies"))
+        .orderBy("fp")
+    }),
+
     // text: frozen-vocab unigram scoring — the production shape for
     // scoring NEW data under a pretrained LM: vocab = the corpus's top-20
     // tokens with exact ln(tf/N) log-probs (one small aggregation),
@@ -2183,6 +2202,20 @@ object SparkEntry {
         "doc_id, ci AS chunk_id, " +
         "array_to_string(toks[ci*48+1 : ci*48+64], ' ') AS chunk_text " +
         "FROM u ORDER BY key"),
+
+    "q_chunk_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, " +
+        "CAST(floor((greatest(len(toks) - 16, 1) + 47) / 48) AS BIGINT) AS nc FROM t), " +
+        "u AS (SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM c), " +
+        "ch AS (SELECT doc_id, ci AS chunk_id, " +
+        "md5(regexp_replace(lower(trim(array_to_string(toks[ci*48+1 : ci*48+64], ' '))), '\\s+', ' ', 'g')) AS fp " +
+        "FROM u) " +
+        "SELECT fp, doc_id, chunk_id, n_copies FROM (" +
+        "SELECT fp, doc_id, chunk_id, " +
+        "count(*) OVER (PARTITION BY fp) AS n_copies, " +
+        "row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rn FROM ch) " +
+        "WHERE rn = 1 ORDER BY fp"),
 
     "q_unigram_score_frozen" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
