@@ -1408,6 +1408,12 @@ object SparkEntry {
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
           col("n"), col("sum_value"))
         .orderBy("bucket")),
+
+    // per-group linear trend fit (closed-form moments, one shuffle)
+    "q_regr_trend" -> ((s, d) =>
+      Aggregates.linearFit(Tables.lineitem(s, d), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2592,5 +2598,22 @@ object SparkEntry {
         "count(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // Mirrors Aggregates.linearFit: identical moment identities over exact
+    // DECIMAL sums, so the doubles entering the formulas match Spark's
+    // bit-for-bit and round(…, 6) is engine-exact.
+    "q_regr_trend" ->
+      ("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, n, " +
+        "round((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0), 6) AS slope, " +
+        "round((sy - ((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0)) * sx) / n, 6) AS intercept, " +
+        "round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0), 6) AS r2 " +
+        "FROM m ORDER BY 1"),
   )
 }

@@ -125,4 +125,39 @@ object Aggregates {
     * ONE shuffle — the same exchange count as a plain groupBy. */
   def cubeCount(df: DataFrame, keys: Seq[String]): DataFrame =
     df.cube(keys.map(col): _*).agg(count(lit(1)).alias("n"))
+
+  /** Per-group simple linear regression (trend fit): slope / intercept /
+    * r² of y on x via the closed-form moment identities
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * One shuffle with full map-side partial aggregation — each task ships
+    * six numbers per group, never rows, so the fit costs the same
+    * exchange as a group-count at any scale. All moment sums go through
+    * DECIMAL (inputs bounded to 12 integer digits at 6-dp scale) so
+    * shuffle order cannot flip low bits: the doubles entering the final
+    * formulas are exact and engine-portable. Groups with constant x (or
+    * n = 1) have a zero denominator → the op surfaces slope/r² = NULL
+    * rather than a division error. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,6)")
+    val y = col(yCol).cast("decimal(18,6)")
+    val agged = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).alias("n"),
+      sum(x).cast("double").alias("__sx"),
+      sum(y).cast("double").alias("__sy"),
+      sum((x * y).cast("decimal(38,12)")).cast("double").alias("__sxy"),
+      sum((x * x).cast("decimal(38,12)")).cast("double").alias("__sxx"),
+      sum((y * y).cast("decimal(38,12)")).cast("double").alias("__syy"))
+    val n = col("n").cast("double")
+    val covn = n * col("__sxy") - col("__sx") * col("__sy")
+    val varxn = n * col("__sxx") - col("__sx") * col("__sx")
+    val varyn = n * col("__syy") - col("__sy") * col("__sy")
+    val slope = covn / nullif(varxn, lit(0.0))
+    agged.select(col(groupCol), col("n"),
+      round(slope, 6).alias("slope"),
+      round((col("__sy") - slope * col("__sx")) / n, 6).alias("intercept"),
+      round((covn * covn) / nullif(varxn * varyn, lit(0.0)), 6).alias("r2"))
+  }
 }

@@ -538,4 +538,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .count()
     assert(keptAll == 3L)
   }
+
+  test("linearFit recovers an exact line and guards degenerate groups") {
+    val df = Seq(
+      // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
+      ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0), ("g1", 4.0, 9.0),
+      // g2: constant x → zero x-variance → slope/intercept/r² NULL
+      ("g2", 5.0, 1.0), ("g2", 5.0, 2.0))
+      .toDF("g", "x", "y")
+    val got = Aggregates.linearFit(df, "g", "x", "y").orderBy("g").collect()
+    val g1 = got(0)
+    assert(g1.getLong(1) == 4L)
+    assert(g1.getDouble(2) == 2.0 && g1.getDouble(3) == 1.0 && g1.getDouble(4) == 1.0)
+    val g2 = got(1)
+    assert(g2.isNullAt(2) && g2.isNullAt(3) && g2.isNullAt(4))
+  }
 }
