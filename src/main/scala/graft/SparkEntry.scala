@@ -1414,6 +1414,23 @@ object SparkEntry {
       Aggregates.linearFit(Tables.lineitem(s, d), "l_returnflag",
           "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag")),
+
+    // text: in-document duplicate-line removal (same planted boilerplate
+    // as q_quality_repetition — this is the remediation, that's the signal)
+    "q_dedup_lines" -> ((s, d) => {
+      val line1 = substring(col("text"), 1, 40)
+      val dirty = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), line1, lit("\n"), line1))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.alias("raw"))
+        .select(col("doc_id"), col("raw"),
+          TextAnalysis.dedupLinesInDoc(col("raw")).alias("text_clean"))
+        .select(col("doc_id"), col("text_clean"),
+          (length(col("raw")) - length(col("text_clean"))).cast("long")
+            .alias("removed_chars"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -2615,5 +2632,17 @@ object SparkEntry {
         "round((sy - ((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0)) * sx) / n, 6) AS intercept, " +
         "round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0), 6) AS r2 " +
         "FROM m ORDER BY 1"),
+
+    // DuckDB lambda indexes are 1-based (Spark's are 0-based, hence i+1
+    // on the Spark side); list_position = first-occurrence index in both.
+    "q_dedup_lines" ->
+      (s"WITH t AS (SELECT doc_id, $DirtyText AS raw FROM documents), " +
+        "c AS (SELECT doc_id, raw, array_to_string(list_filter(" +
+        "string_split(raw, chr(10)), " +
+        "(x, i) -> list_position(string_split(raw, chr(10)), x) = i), " +
+        "chr(10)) AS text_clean FROM t) " +
+        "SELECT doc_id, text_clean, " +
+        "CAST(length(raw) - length(text_clean) AS BIGINT) AS removed_chars " +
+        "FROM c ORDER BY doc_id"),
   )
 }

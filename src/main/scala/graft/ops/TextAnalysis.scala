@@ -64,6 +64,20 @@ object TextAnalysis {
       size(lines), 6)
   }
 
+  /** Remediation counterpart of `dupLineFraction`: rewrite the document
+    * keeping only the FIRST occurrence of each line, preserving order —
+    * the within-document repetition removal production pipelines apply
+    * where Gopher-style gates would throw the whole document away. Pure
+    * array expression (indexed filter + first-occurrence position):
+    * row-local, zero shuffle, the rewrite rides the scan. O(lines²) per
+    * row — boilerplate runs are short; a book-length pathology would want
+    * a one-pass kernel, same trade recorded on topNgramCharFraction. */
+  def dedupLinesInDoc(text: Column): Column = {
+    val lines = split(text, "\n")
+    concat_ws("\n",
+      filter(lines, (x, i) => array_position(lines, x) === i + 1))
+  }
+
   /** Top word-n-gram character fraction (Gopher): characters covered by
     * the single most frequent word n-gram (count × n-gram length, spaces
     * included) over total characters. Catches keyword-stuffing pages a

@@ -539,6 +539,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(keptAll == 3L)
   }
 
+  test("dedupLinesInDoc keeps first occurrences in order, idempotent") {
+    val df = Seq(
+      "a\nb\na\nc\nb\na",  // dups scattered
+      "solo",              // no newline at all
+      "x\nx\nx")           // all same
+      .toDF("t")
+    val got = df.select(TextAnalysis.dedupLinesInDoc(col("t")).alias("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a\nb\nc", "solo", "x"))
+    // idempotent: a clean doc passes through unchanged
+    val twice = df.select(TextAnalysis.dedupLinesInDoc(
+      TextAnalysis.dedupLinesInDoc(col("t"))).alias("c"))
+      .as[String].collect().toSeq
+    assert(twice == got)
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
