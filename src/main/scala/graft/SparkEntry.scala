@@ -1431,7 +1431,19 @@ object SparkEntry {
             .alias("removed_chars"))
         .orderBy("doc_id")
     }),
+
+    // retrieval: BM25 top-5 per keyword query (lexical-search baseline)
+    "q_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          Bm25Queries, k = 5)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")),
   )
+
+  /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
+    * the fixture vocabulary). */
+  private val Bm25Queries = Seq(
+    ("qa", "hash join"), ("qb", "fast scan table"), ("qc", "window agg query"))
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -2644,5 +2656,35 @@ object SparkEntry {
         "SELECT doc_id, text_clean, " +
         "CAST(length(raw) - length(text_clean) AS BIGINT) AS removed_chars " +
         "FROM c ORDER BY doc_id"),
+
+    "q_bm25_topk" -> bm25Oracle,
   )
+
+  /** Mirror of TextAnalysis.bm25TopK (k1=1.2, b=0.75, k=5): identical
+    * arithmetic shape — idf·(tf·(k1+1))/(tf + k1·(1−b + b·dl/avgdl)) with
+    * DECIMAL(28,14) contribution sums — so the 6-dp score matches Spark
+    * bit-for-bit and the rank window ties break on doc_id identically. */
+  private def bm25Oracle: String = {
+    val values = Bm25Queries
+      .map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
+    val k1p1 = (1.2 + 1.0).toString   // same double the Spark side uses
+    s"WITH q(query_id, qtext) AS (VALUES $values), " +
+      "qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS token FROM q), " +
+      "qv AS (SELECT DISTINCT token FROM qt), " +
+      "dlen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok JOIN qv USING (token) GROUP BY 1, 2), " +
+      "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents), " +
+      "sc AS (SELECT qt.query_id, tf.doc_id, round(CAST(sum(CAST(" +
+      "ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+      s"(tf.tf * $k1p1) / " +
+      "(tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)) " +
+      "AS DECIMAL(28,14))) AS DOUBLE), 6) AS score " +
+      "FROM tf JOIN qt USING (token) JOIN dfreq USING (token) " +
+      "JOIN dlen ON dlen.doc_id = tf.doc_id CROSS JOIN stats GROUP BY 1, 2) " +
+      "SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM sc) " +
+      "WHERE rn <= 5 ORDER BY query_id, rank"
+  }
 }

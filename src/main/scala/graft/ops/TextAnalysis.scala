@@ -278,6 +278,61 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i * stride + 1, lit(size))))
   }
 
+  /** BM25 top-k retrieval: score every document against a small batch of
+    * keyword queries and keep the k best per query — the lexical-search
+    * baseline a corpus store ships next to its ANN index.
+    *
+    * Scale shape: the query vocabulary (a handful of terms) is broadcast
+    * and FILTERS the exploded token stream map-side before anything
+    * shuffles, so the only exchange is a groupBy on (doc, term) hits —
+    * proportional to matching postings, not corpus size. Document
+    * frequencies are computed on that filtered stream (df of a term =
+    * count of docs containing it), never over the full vocabulary. The
+    * per-query top-k window plans map-side WindowGroupLimit, so the final
+    * exchange carries k rows per query per task.
+    *
+    * Scoring is Lucene-shape BM25: idf = ln(1 + (N − df + 0.5)/(df + 0.5))
+    * (always positive), tf saturation k1, length normalization b. Per-doc
+    * term contributions are summed through DECIMAL(28,14) so shuffle
+    * order cannot flip low bits, and the score is rounded to 6 dp before
+    * the rank window — ranking ties break on doc id, engine-exactly. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).alias("doc_id"),
+        split(col(textCol), " ").alias("__toks"))
+      .select(col("doc_id"), size(col("__toks")).alias("dl"),
+        explode(col("__toks")).alias("token"))
+    val qtok = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).alias("token"))
+      .distinct()
+    val qvocab = qtok.select("token").distinct()
+    val hits = toks.join(broadcast(qvocab), "token")
+    val tf = hits.groupBy("doc_id", "token")
+      .agg(count(lit(1)).alias("tf"), max("dl").alias("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).alias("df"))
+    val stats = docs.agg(count(lit(1)).alias("n_docs"),
+      avg(size(split(col(textCol), " "))).alias("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / denom
+    val scored = tf.join(broadcast(qtok), "token")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(contrib.cast("decimal(28,14)")).cast("double"), 6)
+        .alias("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Persist a trained BPE merges table as the model artifact a pipeline
     * ships: (rank, a, b) parquet, rank = adoption order. The artifact is
     * what production broadcasts to every apply site — train once, apply

@@ -555,6 +555,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(twice == got)
   }
 
+  test("bm25TopK ranks term-dense docs first and rewards rare terms") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),     // dense in 'spark'
+      (2L, "spark engine engine engine"),   // one 'spark' hit
+      (3L, "engine engine engine engine"),  // no 'spark'
+      (4L, "rareword filler filler filler"),// only doc with 'rareword'
+      (5L, "spark filler filler filler"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq(("q1", "spark"), ("q2", "rareword spark")), k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val q1 = got.filter(_._1 == "q1").map(_._2).toSeq
+    // only docs containing 'spark' score; tf saturation still puts doc 1 first
+    assert(q1.head == 1L && q1.toSet == Set(1L, 2L, 5L))
+    val q2 = got.filter(_._1 == "q2").map(_._2).toSeq
+    // 'rareword' (df=1) outweighs 'spark' (df=3): doc 4 wins for q2
+    assert(q2.head == 4L)
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
