@@ -1438,6 +1438,17 @@ object SparkEntry {
           Bm25Queries, k = 5)
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
+
+    // model-based quality gate: Naive-Bayes bag-of-words classifier
+    // trained on lang=='en' and applied back over the corpus
+    "q_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.naiveBayesScore(docs, "doc_id", "text",
+          col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select("doc_id", "score", "pred", "lang")
+        .orderBy("doc_id")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -2658,6 +2669,25 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors TextAnalysis.naiveBayesScore: same Laplace llr shape and
+    // DECIMAL(28,14) per-doc sums; pred is the 6-dp score's sign.
+    "q_nb_classify" ->
+      ("WITH lab AS (SELECT doc_id, text, (lang = 'en') AS y FROM documents), " +
+        "tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS token FROM lab), " +
+        "pt AS (SELECT token, sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1, " +
+        "sum(CASE WHEN y THEN 0 ELSE 1 END) AS c0 FROM tok GROUP BY 1), " +
+        "tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM pt), " +
+        "pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1, " +
+        "sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM lab), " +
+        "model AS (SELECT token, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS llr " +
+        "FROM pt CROSS JOIN tot), " +
+        "sc AS (SELECT doc_id, sum(CAST(llr AS DECIMAL(28,14))) AS sllr " +
+        "FROM tok JOIN model USING (token) GROUP BY 1), " +
+        "fin AS (SELECT doc_id, round(ln(CAST(n1 AS DOUBLE) / n0) + CAST(sllr AS DOUBLE), 6) AS score " +
+        "FROM sc CROSS JOIN pri) " +
+        "SELECT f.doc_id, f.score, f.score > 0 AS pred, d.lang " +
+        "FROM fin f JOIN documents d USING (doc_id) ORDER BY f.doc_id"),
   )
 
   /** Mirror of TextAnalysis.bm25TopK (k1=1.2, b=0.75, k=5): identical

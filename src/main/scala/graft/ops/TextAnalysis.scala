@@ -333,6 +333,52 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Multinomial Naive-Bayes bag-of-words classifier, trained and applied
+    * in one pass — the shape of the fastText/CCNet-style quality
+    * classifiers production pipelines gate on (a linear model over token
+    * counts; NB is the closed-form member of that family, so training is
+    * two aggregations instead of gradient descent).
+    *
+    * Train: per-token class counts (one token-keyed shuffle with map-side
+    * combine) + Laplace smoothing give each token a log-likelihood ratio
+    *   llr(t) = ln((c₁(t)+1)/(T₁+V)) − ln((c₀(t)+1)/(T₀+V));
+    * class totals and the doc-count prior are single broadcast rows.
+    * Score: tokens join the model and sum llr per doc through
+    * DECIMAL(28,14) (shuffle-order-proof), plus the prior ln(N₁/N₀);
+    * pred = score > 0. The model table is token-keyed like a term
+    * dictionary; for scoring NEW corpora stream-side, pack top-K tokens
+    * into a broadcast map as `unigramScoreFrozen` does.
+    *
+    * Returns (doc_id, score 6-dp, pred). `label` must be a boolean Column
+    * over `docs`; docs with no tokens in the vocabulary are dropped (the
+    * self-scoring case keeps every doc — its tokens ARE the vocabulary). */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+                      label: Column): DataFrame = {
+    val lab = docs.select(col(idCol).alias("doc_id"),
+      col(textCol).alias("__text"), label.alias("y"))
+    val tok = lab.select(col("doc_id"), col("y"),
+      explode(tokens(col("__text"))).alias("token"))
+    val perTok = tok.groupBy("token").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).alias("c1"),
+      sum(when(col("y"), 0L).otherwise(1L)).alias("c0"))
+    val tot = perTok.agg(sum("c1").alias("t1"), sum("c0").alias("t0"),
+      count(lit(1)).alias("v"))
+    val pri = lab.agg(
+      sum(when(col("y"), 1L).otherwise(0L)).alias("n1"),
+      sum(when(col("y"), 0L).otherwise(1L)).alias("n0"))
+    val model = perTok.crossJoin(broadcast(tot)).select(col("token"),
+      (log((col("c1") + lit(1.0)) / (col("t1") + col("v"))) -
+        log((col("c0") + lit(1.0)) / (col("t0") + col("v")))).alias("llr"))
+    tok.join(model, "token")
+      .groupBy("doc_id")
+      .agg(sum(col("llr").cast("decimal(28,14)")).alias("__s"))
+      .crossJoin(broadcast(pri))
+      .select(col("doc_id"),
+        round(log(col("n1").cast("double") / col("n0")) +
+          col("__s").cast("double"), 6).alias("score"))
+      .withColumn("pred", col("score") > 0)
+  }
+
   /** Persist a trained BPE merges table as the model artifact a pipeline
     * ships: (rank, a, b) parquet, rank = adoption order. The artifact is
     * what production broadcasts to every apply site — train once, apply

@@ -575,6 +575,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("naiveBayesScore separates planted class vocabularies") {
+    val docs = Seq(
+      (1L, "good great fine good", true),
+      (2L, "great good good fine", true),
+      (3L, "bad awful poor bad", false),
+      (4L, "awful bad poor poor", false),
+      // held-out-ish mixtures: majority vocabulary should win
+      (5L, "good great bad", true),
+      (6L, "bad awful good", false))
+      .toDF("doc_id", "text", "y")
+    val got = TextAnalysis.naiveBayesScore(docs, "doc_id", "text", col("y"))
+      .orderBy("doc_id").collect()
+    assert(got.length == 6)
+    val preds = got.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(preds(1L) && preds(2L) && !preds(3L) && !preds(4L))
+    assert(preds(5L) && !preds(6L))
+    // scores are finite and signed consistently with pred
+    got.foreach { r =>
+      assert(!r.getDouble(1).isNaN && (r.getDouble(1) > 0) == r.getBoolean(2)) }
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
