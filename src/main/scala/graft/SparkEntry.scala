@@ -1439,6 +1439,17 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // similarity: SemDeDup — k-means cells, within-cell cosine pairs,
+    // drop every vector with a lower-id neighbor at cos >= 0.3
+    "q_semdedup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).alias("v"))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "v",
+        nCells = 8, iters = 3, dim = 64).localCheckpoint()
+      Similarity.semDedup(base, "vec_id", "v", cents, tau = 0.3)
+        .orderBy("vec_id")
+    }),
+
     // model-based quality gate: Naive-Bayes bag-of-words classifier
     // trained on lang=='en' and applied back over the corpus
     "q_nb_classify" -> ((s, d) => {
@@ -2669,6 +2680,17 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors Similarity.semDedup over the shared 3-round Lloyd chain:
+    // within-cell pairs at 6-dp cosine >= 0.3, anti-join the id2 set.
+    "q_semdedup" ->
+      (kmeansCtes + ", pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2 " +
+        "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+        "WHERE round(list_dot_product(a.v, b.v) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3), " +
+        "dr AS (SELECT DISTINCT id2 FROM pr) " +
+        "SELECT af.vec_id, af.cell FROM af LEFT JOIN dr ON af.vec_id = dr.id2 " +
+        "WHERE dr.id2 IS NULL ORDER BY af.vec_id"),
 
     // Mirrors TextAnalysis.naiveBayesScore: same Laplace llr shape and
     // DECIMAL(28,14) per-doc sums; pred is the 6-dp score's sign.

@@ -319,4 +319,48 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
+
+  /** SemDeDup — semantic near-duplicate pruning over an embedding column
+    * (the embedding-space analog of MinHash dedup, after the published
+    * SemDeDup recipe): assign every vector to its nearest centroid (the
+    * zero-exchange broadcast argmin of `ivfAssign`), generate candidate
+    * pairs only WITHIN a cell, and drop every vector that has a lower-id
+    * neighbor at cosine ≥ tau. Keep-lowest-id is deterministic and
+    * pairwise (a chain a~b~c with cos(a,c) < tau keeps a and c — the
+    * per-cluster greedy sweep, not connected components; LSH→CC dedup
+    * lives in ScaleDedup for the transitive variant).
+    *
+    * Scale: the pair step is an equi-join on `cell`, never all-pairs —
+    * cost Σ|cell|², controlled by nCells (the reference recipe runs
+    * k ≈ √N clusters). A cell above `maxCell` fails LOUDLY (raise_error
+    * on the executors, no driver job) instead of silently absorbing a
+    * quadratic blow-up: raise nCells and retrain. Norms are hoisted and
+    * computed once per row, not per pair; cosines compare 6-dp-rounded
+    * so the tau boundary is engine-exact.
+    *
+    * Returns the survivor set (idCol, cell). `centroids` = (cid, cv),
+    * typically `kmeansCentroids` output. */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, tau: Double,
+               maxCell: Int = 4096): DataFrame = {
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids)
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).alias("__cn"))
+    val guarded = assigned.join(broadcast(counts), "cell")
+      .select(col("cell"), col(idCol), col("v"),
+        when(col("__cn") > maxCell, raise_error(concat(
+          lit("semDedup: cell "), col("cell").cast("string"),
+          lit(s" exceeds maxCell=$maxCell vectors - raise nCells"))))
+          .otherwise(norm(col("v"))).alias("__n"))
+    val a = guarded.select(col("cell"), col(idCol).alias("__id1"),
+      col("v").alias("__v1"), col("__n").alias("__n1"))
+    val b = guarded.select(col("cell"), col(idCol).alias("__id2"),
+      col("v").alias("__v2"), col("__n").alias("__n2"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(round(dot(col("__v1"), col("__v2")) /
+        (col("__n1") * col("__n2")), 6) >= tau)
+      .select(col("__id2").alias(idCol)).distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
 }

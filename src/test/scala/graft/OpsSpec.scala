@@ -575,6 +575,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("semDedup collapses planted near-identical embeddings, keeps distinct ones") {
+    // cell A around e1: ids 1,2 identical, 3 scaled copy (cos=1); cell B
+    // around e2: ids 10, 11 orthogonal-ish within the cell
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.9f, 0.0f, 0.9f)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).alias("v"))
+    val cents = df.orderBy("vec_id").limit(1).select(col("vec_id").alias("cid"), col("v").alias("cv"))
+      .union(df.filter(col("vec_id") === 10L).select(col("vec_id").alias("cid"), col("v").alias("cv")))
+    val kept = Similarity.semDedup(df, "vec_id", "v", cents, tau = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // 2 and 3 are cos-1 duplicates of 1 → dropped; 11 vs 10: cos ≈ 0.707 < 0.95 → kept
+    assert(kept == Seq(1L, 10L, 11L))
+    // maxCell guard fails loudly on an oversized cell
+    val boom = intercept[Exception] {
+      Similarity.semDedup(df, "vec_id", "v", cents, tau = 0.95, maxCell = 2).count()
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("naiveBayesScore separates planted class vocabularies") {
     val docs = Seq(
       (1L, "good great fine good", true),
