@@ -1439,6 +1439,20 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // graph: weighted PageRank over the bipartite user↔event-type graph
+    // (3 decimal-deterministic power iterations)
+    "q_pagerank" -> ((s, d) => {
+      val ue = Tables.events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).alias("w"))
+      val edges = ue.select(concat(lit("u:"), col("user_id")).alias("src"),
+          concat(lit("t:"), col("event_type")).alias("dst"), col("w"))
+        .unionAll(ue.select(concat(lit("t:"), col("event_type")).alias("src"),
+          concat(lit("u:"), col("user_id")).alias("dst"), col("w")))
+      Graph.pagerank(edges, iters = 3)
+        .select(col("node"), round(col("rank"), 6).alias("rank"))
+        .orderBy("node")
+    }),
+
     // similarity: SemDeDup — k-means cells, within-cell cosine pairs,
     // drop every vector with a lower-id neighbor at cos >= 0.3
     "q_semdedup" -> ((s, d) => {
@@ -2681,6 +2695,8 @@ object SparkEntry {
 
     "q_bm25_topk" -> bm25Oracle,
 
+    "q_pagerank" -> pagerankOracle,
+
     // Mirrors Similarity.semDedup over the shared 3-round Lloyd chain:
     // within-cell pairs at 6-dp cosine >= 0.3, anti-join the id2 set.
     "q_semdedup" ->
@@ -2712,6 +2728,36 @@ object SparkEntry {
         "FROM fin f JOIN documents d USING (doc_id) ORDER BY f.doc_id"),
   )
 
+  /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite
+    * user↔event-type graph: 3 unrolled power-iteration rounds with the
+    * same DECIMAL(28,14) contribution sums and 9-dp per-round rank
+    * rounding. Double constants are interpolated from the SAME Scala
+    * doubles the Spark side uses (shortest-roundtrip repr → identical
+    * IEEE values; `1 - 0.85` evaluated as SQL DECIMAL would differ from
+    * Scala's `1.0 - 0.85` by an ulp). */
+  private def pagerankOracle: String = {
+    val oneMinusD = (1.0 - 0.85).toString
+    val sb = new StringBuilder
+    sb ++= "WITH ue AS (SELECT user_id, event_type, count(*) AS w FROM events GROUP BY 1, 2), "
+    sb ++= "ed AS (SELECT 'u:' || user_id AS src, 't:' || event_type AS dst, w FROM ue " +
+      "UNION ALL SELECT 't:' || event_type AS src, 'u:' || user_id AS dst, w FROM ue), "
+    sb ++= "nd AS (SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed), "
+    sb ++= "nn AS (SELECT count(*) AS n FROM nd), "
+    sb ++= "ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY 1), "
+    sb ++= "r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nd CROSS JOIN nn), "
+    for (t <- 1 to 3) {
+      sb ++= s"c$t AS (SELECT ed.dst AS node, CAST(r.rank * ed.w / ow.outw AS DECIMAL(28,14)) AS c " +
+        s"FROM ed JOIN ow ON ed.src = ow.src JOIN r${t - 1} r ON r.node = ed.src), "
+      sb ++= s"s$t AS (SELECT node, sum(c) AS cs FROM c$t GROUP BY 1), "
+      sb ++= s"r$t AS (SELECT nd.node, round($oneMinusD / CAST(nn.n AS DOUBLE) + " +
+        s"0.85 * coalesce(CAST(s$t.cs AS DOUBLE), 0), 9) AS rank " +
+        s"FROM nd CROSS JOIN nn LEFT JOIN s$t ON nd.node = s$t.node), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
+    sb.toString
+  }
+
   /** Mirror of TextAnalysis.bm25TopK (k1=1.2, b=0.75, k=5): identical
     * arithmetic shape — idf·(tf·(k1+1))/(tf + k1·(1−b + b·dl/avgdl)) with
     * DECIMAL(28,14) contribution sums — so the 6-dp score matches Spark
@@ -2730,7 +2776,10 @@ object SparkEntry {
       "stats AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents), " +
       "sc AS (SELECT qt.query_id, tf.doc_id, round(CAST(sum(CAST(" +
       "ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
-      s"(tf.tf * $k1p1) / " +
+      // CAST keeps the multiply in double domain: BIGINT×DECIMAL would be
+      // exact decimal then one conversion — off Spark's double×double by
+      // an ulp on some tf values
+      s"(tf.tf * CAST($k1p1 AS DOUBLE)) / " +
       "(tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)) " +
       "AS DECIMAL(28,14))) AS DOUBLE), 6) AS score " +
       "FROM tf JOIN qt USING (token) JOIN dfreq USING (token) " +

@@ -575,6 +575,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("pagerank: uniform on a ring, concentrates on a star hub") {
+    // 3-ring: every node keeps rank 1/3 at every iteration
+    val ring = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pagerank(ring, iters = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.toSet.size == 1)
+    assert(math.abs(r("a") - 1.0 / 3) < 1e-6)
+    // star: spokes point at hub c, hub redistributes — hub outranks spokes
+    val star = Seq(("a", "c", 1L), ("b", "c", 1L), ("d", "c", 1L),
+      ("c", "a", 1L), ("c", "b", 1L), ("c", "d", 1L))
+      .toDF("src", "dst", "w")
+    val s = Graph.pagerank(star, iters = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(s("c") > s("a") && s("a") == s("b") && s("b") == s("d"))
+    // no dangling nodes → mass conserved (up to 9-dp round noise)
+    assert(math.abs(s.values.sum - 1.0) < 1e-6)
+  }
+
   test("semDedup collapses planted near-identical embeddings, keeps distinct ones") {
     // cell A around e1: ids 1,2 identical, 3 scaled copy (cos=1); cell B
     // around e2: ids 10, 11 orthogonal-ish within the cell
