@@ -1439,6 +1439,21 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // text: Unicode NFC + control/zero-width strip + whitespace collapse
+    // (planted combining accents, ZWSP, a control char, double spaces)
+    "q_normalize_text" -> ((s, d) => {
+      val dirty = when(col("doc_id") % 2 === 0,
+        // "e"+U+0301 COMBINING ACUTE (composes under NFC), U+200B ZWSP,
+        // double space, U+0007 BEL, trailing space - one probe per rule
+        concat(col("text"), lit(" cafe\u0301\u200B  tail\u0007 ")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(dirty).alias("text_norm"))
+        .withColumn("n_norm", length(col("text_norm")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // graph: weighted PageRank over the bipartite user↔event-type graph
     // (3 decimal-deterministic power iterations)
     "q_pagerank" -> ((s, d) => {
@@ -2694,6 +2709,22 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors TextAnalysis.normalizeText: utf8proc nfc_normalize and
+    // java.text.Normalizer both implement Unicode TR15 NFC; the strip /
+    // collapse regexes are spelled RE2-and-Java-compatible so the exact
+    // same patterns run on both engines. chr() codepoints rebuild the
+    // planted dirt (769=U+0301, 8203=U+200B, 7=BEL).
+    "q_normalize_text" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
+        "text || ' cafe' || chr(769) || chr(8203) || '  tail' || chr(7) || ' ' " +
+        "ELSE text END AS raw FROM documents), " +
+        "n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "nfc_normalize(raw), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'), " +
+        "'[ \\t]+', ' ', 'g')) AS text_norm FROM t) " +
+        "SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_norm " +
+        "FROM n ORDER BY doc_id"),
 
     "q_pagerank" -> pagerankOracle,
 

@@ -278,6 +278,23 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i * stride + 1, lit(size))))
   }
 
+  /** Canonical text normalization — the ingest step that makes every
+    * downstream fingerprint/dedup/token op see one representation:
+    * 1. Unicode NFC composition (native kernel `NormalizeNfcExpr`;
+    *    quick-check fast path, zero alloc for already-normal text),
+    * 2. strip control characters (except \n, \t) and zero-width
+    *    characters (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup poison),
+    * 3. collapse space/tab runs to one space and trim.
+    * Pure narrow expressions, zero shuffle. The character classes are
+    * spelled in RE2-compatible syntax (no Java `&&` intersections) so the
+    * DuckDB oracle runs the very same patterns. */
+  def normalizeText(text: Column): Column = {
+    val nfc = graft.functions.NormalizeNfc.normalize_nfc(text)
+    val stripped = regexp_replace(nfc,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    trim(regexp_replace(stripped, "[ \\t]+", " "))
+  }
+
   /** BM25 top-k retrieval: score every document against a small batch of
     * keyword queries and keep the k best per query — the lexical-search
     * baseline a corpus store ships next to its ANN index.

@@ -575,6 +575,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("normalizeText: NFC composes, invisibles stripped, whitespace collapsed, idempotent") {
+    val rows = Seq(
+      "cafe\u0301",                  // decomposed accent -> composed e-acute
+      "caf\u00e9",                   // already composed -> unchanged
+      "a\u200Bb\u200Cc\u200Dd\uFEFFe",  // zero-width family stripped
+      "x\u0001y\u0007z",            // control chars stripped
+      "keep\nnewline\tand tab",     // \n and \t survive stripping...
+      "  lots   of \t spaces  ")    // ...but space/tab runs collapse
+    val df = rows.toDF("t")
+    val got = df.select(TextAnalysis.normalizeText(col("t")).alias("n"))
+      .as[String].collect().toSeq
+    assert(got(0) == "caf\u00e9" && got(1) == "caf\u00e9")
+    assert(got(2) == "abcde")
+    assert(got(3) == "xyz")
+    assert(got(4) == "keep\nnewline and tab")
+    assert(got(5) == "lots of spaces")
+    val twice = df.select(TextAnalysis.normalizeText(
+      TextAnalysis.normalizeText(col("t"))).alias("n")).as[String].collect().toSeq
+    assert(twice == got)
+  }
+
   test("pagerank: uniform on a ring, concentrates on a star hub") {
     // 3-ring: every node keeps rank 1/3 at every iteration
     val ring = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
