@@ -1439,6 +1439,12 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // mix: weighted reproducible sample — 25 docs, odds ∝ n_chars
+    "q_weighted_sample" -> ((s, d) =>
+      Mix.weightedSample(Tables.documents(s, d), "doc_id", "n_chars", 25)
+        .select("doc_id", "n_chars", "draw_key")
+        .orderBy(desc("draw_key"), col("doc_id"))),
+
     // text: Unicode NFC + control/zero-width strip + whitespace collapse
     // (planted combining accents, ZWSP, a control char, double spaces)
     "q_normalize_text" -> ((s, d) => {
@@ -2709,6 +2715,15 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors Mix.weightedSample ('ws' salt, 9-dp keys, id tiebreak):
+    // the md5 prefix → BIGINT is the same hash32 mirror q_domain_mix uses.
+    "q_weighted_sample" ->
+      ("WITH t AS (SELECT doc_id, n_chars, round(ln(" +
+        "(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT + 0.5) " +
+        "/ 4294967296.0) / n_chars, 9) AS draw_key FROM documents) " +
+        "SELECT doc_id, n_chars, draw_key FROM t " +
+        "ORDER BY draw_key DESC, doc_id LIMIT 25"),
 
     // Mirrors TextAnalysis.normalizeText: utf8proc nfc_normalize and
     // java.text.Normalizer both implement Unicode TR15 NFC; the strip /

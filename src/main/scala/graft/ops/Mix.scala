@@ -40,4 +40,26 @@ object Mix {
     * strata draw independently). */
   private[graft] def keepHash(key: Column, id: Column): Column =
     ScaleDedup.hash32(concat_ws("|", key, id.cast("string")), 0)
+
+  /** Weighted sample without replacement, k rows with inclusion odds
+    * proportional to `weightCol` — the Efraimidis–Spirakis order-sample:
+    * each row draws u = (hash(id)+0.5)/2³² ∈ (0,1) and the k LARGEST
+    * ln(u)/weight keys win (the log form of u^(1/w); heavier rows pull
+    * keys toward 0). The mix use-case: length- or score-weighted corpus
+    * subsets that stay reproducible row-for-row — same md5 determinism
+    * story as stratifiedSample, no RNG state, no partition-layout
+    * dependence. Keys are 9-dp rounded and tie-broken on id, so the
+    * selection boundary is engine-exact.
+    *
+    * Plan shape: the key is a narrow expression on the scan and
+    * orderBy+limit compiles to TakeOrderedAndProject — every task keeps a
+    * k-row heap and the driver merges task tops; no global sort at any
+    * corpus size (same note as Inspect.exactRandomSample). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (keepHash(lit("ws"), col(idCol)) + lit(0.5)) / lit(4294967296.0)
+    df.withColumn("draw_key", round(log(u) / col(weightCol), 9))
+      .orderBy(desc("draw_key"), col(idCol))
+      .limit(k)
+  }
 }

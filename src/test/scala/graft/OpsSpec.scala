@@ -575,6 +575,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("weightedSample: odds follow weights, selection reproducible") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 100) 1000.0 else 1.0))
+      .toDF("doc_id", "w")
+    val pick = Mix.weightedSample(df, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSet
+    // heavy ids are 10% of rows but 99%+ of mass → dominate the sample
+    assert(pick.count(_ <= 100L) >= 40)
+    // deterministic: the same call selects the same set
+    val again = Mix.weightedSample(df, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == pick)
+    // uniform weights → plain deterministic k-subset, all rows eligible
+    val uni = Mix.weightedSample(df.withColumn("w", lit(1.0)), "doc_id", "w", 10)
+    assert(uni.count() == 10L)
+  }
+
   test("normalizeText: NFC composes, invisibles stripped, whitespace collapsed, idempotent") {
     val rows = Seq(
       "cafe\u0301",                  // decomposed accent -> composed e-acute
