@@ -1439,6 +1439,11 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // text: bigram-LM quality score (perplexity-filter ladder, rung 2)
+    "q_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // mix: weighted reproducible sample — 25 docs, odds ∝ n_chars
     "q_weighted_sample" -> ((s, d) =>
       Mix.weightedSample(Tables.documents(s, d), "doc_id", "n_chars", 25)
@@ -2715,6 +2720,23 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors TextAnalysis.bigramLogProb: row-local bigram lists (DuckDB
+    // range() is a plain list inside lambdas), identical smoothing
+    // arithmetic, DECIMAL(28,14) per-doc sums.
+    "q_bigram_logprob" ->
+      ("WITH a AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS big FROM a WHERE len(toks) >= 2), " +
+        "bp AS (SELECT doc_id, string_split(big, ' ')[1] AS prev, big FROM bg), " +
+        "cb AS (SELECT big, count(*) AS cb FROM bp GROUP BY 1), " +
+        "cu AS (SELECT t, count(*) AS cu FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1), " +
+        "vv AS (SELECT count(*) AS v FROM cu) " +
+        "SELECT bp.doc_id, round(CAST(sum(CAST(ln((cb.cb + 1.0) / (cu.cu + vv.v)) " +
+        "AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS logprob " +
+        "FROM bp JOIN cb USING (big) JOIN cu ON cu.t = bp.prev CROSS JOIN vv " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // Mirrors Mix.weightedSample ('ws' salt, 9-dp keys, id tiebreak):
     // the md5 prefix → BIGINT is the same hash32 mirror q_domain_mix uses.

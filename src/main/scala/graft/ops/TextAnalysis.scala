@@ -474,6 +474,40 @@ object TextAnalysis {
         .alias("logprob"))
   }
 
+  /** Bigram LM quality score — the next rung of the perplexity-filter
+    * ladder above `unigramLogProb`: per document, the mean add-1-smoothed
+    * conditional log-probability ln((c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V)) under the
+    * corpus's own bigram counts. Repetitive/templated text scores high,
+    * token salad scores low — and unlike the unigram score it penalizes
+    * improbable TRANSITIONS, not just rare words.
+    *
+    * Shape: bigrams are built row-locally as array expressions (no
+    * window, no self-join), then counted with one bigram-keyed shuffle —
+    * same exchange class as a token frequency table, just a wider key.
+    * Scoring joins each bigram instance to its count and its prefix's
+    * unigram count; per-doc sums go through DECIMAL(28,14) and divide by
+    * the doc's bigram count, rounded 6 dp. Documents with fewer than two
+    * tokens have no bigrams and are dropped. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).alias("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bp = base.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1)))).alias("big"))
+      .withColumn("prev", element_at(split(col("big"), " "), 1))
+    val cb = bp.groupBy("big").agg(count(lit(1)).alias("cb"))
+    val cu = df.select(explode(tokens(col(textCol))).alias("t"))
+      .groupBy("t").agg(count(lit(1)).alias("cu"))
+    val vv = cu.agg(count(lit(1)).alias("v"))
+    val contrib = log((col("cb") + lit(1.0)) / (col("cu") + col("v")))
+    bp.join(cb, "big").join(cu, col("prev") === col("t"))
+      .crossJoin(broadcast(vv))
+      .groupBy(col(idCol))
+      .agg(round(sum(contrib.cast("decimal(28,14)")).cast("double") /
+        count(lit(1)), 6).alias("logprob"))
+  }
+
   /** Frozen-vocabulary unigram scorer — the scale shape of
     * `unigramLogProb` for scoring NEW data: the model is a precomputed
     * (token, logp) table (trained offline, e.g. top-K tokens of a trusted

@@ -575,6 +575,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("bigramLogProb favors repeated transitions over token salad") {
+    val df = Seq(
+      (1L, "a b a b a b a b"),   // one dominant transition each way
+      (2L, "a b c d e f g h"),   // every transition unique
+      (3L, "x"))                 // single token → no bigrams → dropped
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got(0).getDouble(1) > got(1).getDouble(1))
+  }
+
   test("weightedSample: odds follow weights, selection reproducible") {
     val df = (1L to 1000L).map(i => (i, if (i <= 100) 1000.0 else 1.0))
       .toDF("doc_id", "w")
