@@ -1439,6 +1439,26 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // retrieval: reciprocal-rank fusion of two ANN retrievers (IVF +
+    // multi-table LSH) — the standard way hybrid search combines ranked
+    // lists without comparable scores: rrf = Σ 1/(60 + rank), missing
+    // list membership contributes 0. Rank windows run over ≤20-row
+    // retriever outputs, so the fusion itself is driver-trivial at any
+    // corpus size — the cost lives in the retrievers.
+    "q_rrf_fusion" -> ((s, d) => {
+      def ranked(df: DataFrame, rn: String) = df.select(col("vec_id"),
+        row_number().over(Window.orderBy(desc("cos"), col("vec_id")))
+          .alias(rn))
+      val a = ranked(queries("q_ann_ivf")(s, d), "ra")
+      val b = ranked(queries("q_ann_lsh_multitable")(s, d), "rb")
+      a.join(b, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 9)
+            .alias("rrf"))
+        .orderBy(desc("rrf"), col("vec_id")).limit(10)
+    }),
+
     // text: bigram-LM quality score (perplexity-filter ladder, rung 2)
     "q_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
@@ -2720,6 +2740,16 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors q_rrf_fusion: same retriever mirrors as subqueries (DuckDB
+    // accepts WITH inside a derived table), same 1/(60+rank) arithmetic.
+    "q_rrf_fusion" ->
+      (s"WITH a AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS ra " +
+        s"FROM ($ivfOracle)), " +
+        s"b AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rb " +
+        s"FROM ($lshMultiTableOracle)) " +
+        "SELECT vec_id, round(coalesce(1.0 / (60 + ra), 0) + coalesce(1.0 / (60 + rb), 0), 9) AS rrf " +
+        "FROM a FULL JOIN b USING (vec_id) ORDER BY rrf DESC, vec_id LIMIT 10"),
 
     // Mirrors TextAnalysis.bigramLogProb: row-local bigram lists (DuckDB
     // range() is a plain list inside lambdas), identical smoothing

@@ -89,17 +89,22 @@ object GraftFunctions {
   private val parseDollarsInfo = new ExpressionInfo(
     classOf[ParseDollarsExpr].getName, "parse_dollars")
 
-  /** SQL registration: `SELECT parse_dollars(col)` in spark.sql. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("parse_dollars"),
-      parseDollarsInfo,
-      (children: Seq[Expression]) => ParseDollarsExpr(children.head))
+  private val normalizeNfcInfo = new ExpressionInfo(
+    classOf[NormalizeNfcExpr].getName, "normalize_nfc")
 
-  private[functions] def injection
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+  /** SQL registration: `SELECT parse_dollars(col)` / `normalize_nfc(col)`
+    * in spark.sql. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  private[functions] def injections
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("parse_dollars"), parseDollarsInfo,
-      (children: Seq[Expression]) => ParseDollarsExpr(children.head))
+      (children: Seq[Expression]) => ParseDollarsExpr(children.head)),
+    (FunctionIdentifier("normalize_nfc"), normalizeNfcInfo,
+      (children: Seq[Expression]) => NormalizeNfcExpr(children.head)))
 }
 
 /** SparkSessionExtensions entry point: pass
@@ -107,5 +112,5 @@ object GraftFunctions {
   * gets graft's native functions without code changes. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.injection)
+    GraftFunctions.injections.foreach(ext.injectFunction)
 }

@@ -93,5 +93,9 @@ class ParseDollarsExprSpec extends AnyFunSuite with SparkSpec with Tolerance {
     GraftFunctions.register(spark)
     Seq("$2 billion").toDF("raw").createOrReplaceTempView("pd_t")
     assert(spark.sql("SELECT parse_dollars(raw) AS v FROM pd_t").head().getDouble(0) === 2e9)
+    // normalize_nfc registers through the same injection list
+    Seq("café").toDF("raw").createOrReplaceTempView("nfc_t")
+    assert(spark.sql("SELECT normalize_nfc(raw) AS v FROM nfc_t")
+      .head().getString(0) == "caf\u00e9")
   }
 }
