@@ -1439,6 +1439,33 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // vocabulary typo mining — entity-resolution shape: bucket the
+    // DISTINCT vocabulary by length (tokens of length L emit keys
+    // {L, L+1}, so |len(a)−len(b)| ≤ 1 pairs meet), equi-join buckets,
+    // keep edit-distance-1 pairs. All-pairs work happens on the VOCAB
+    // (Heaps-law small), never the corpus; the token stream only feeds
+    // one count shuffle. Planted single-edit typos (scan→scam,
+    // join→joim in a deterministic doc slice) give the miner targets.
+    "q_token_typos" -> ((s, d) => {
+      val dirty = when(col("doc_id") % 37 === 0,
+          regexp_replace(col("text"), "\\bscan\\b", "scam"))
+        .when(col("doc_id") % 41 === 0,
+          regexp_replace(col("text"), "\\bjoin\\b", "joim"))
+        .otherwise(col("text"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(dirty, " ")).alias("token"))
+        .groupBy("token").agg(count(lit(1)).alias("n"))
+      val k = vocab.select(col("token"), col("n"),
+        explode(array(length(col("token")), length(col("token")) + 1))
+          .alias("b"))
+      val a = k.select(col("b"), col("token").alias("t1"), col("n").alias("n1"))
+      val b = k.select(col("b"), col("token").alias("t2"), col("n").alias("n2"))
+      a.join(b, Seq("b")).filter(col("t1") < col("t2"))
+        .filter(levenshtein(col("t1"), col("t2")) === 1)
+        .select("t1", "t2", "n1", "n2").distinct()
+        .orderBy("t1", "t2")
+    }),
+
     // retrieval: reciprocal-rank fusion of two ANN retrievers (IVF +
     // multi-table LSH) — the standard way hybrid search combines ranked
     // lists without comparable scores: rrf = Σ 1/(60 + rank), missing
@@ -2740,6 +2767,20 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors q_token_typos (same planting, same length banding; both
+    // engines' levenshtein is classic unit-cost edit distance).
+    "q_token_typos" ->
+      ("WITH t AS (SELECT CASE WHEN doc_id % 37 = 0 THEN " +
+        "regexp_replace(text, '\\bscan\\b', 'scam', 'g') " +
+        "WHEN doc_id % 41 = 0 THEN regexp_replace(text, '\\bjoin\\b', 'joim', 'g') " +
+        "ELSE text END AS text FROM documents), " +
+        "v AS (SELECT token, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM t) GROUP BY 1), " +
+        "k AS (SELECT token, n, unnest([length(token), length(token) + 1]) AS b FROM v) " +
+        "SELECT DISTINCT a.token AS t1, b.token AS t2, a.n AS n1, b.n AS n2 " +
+        "FROM k a JOIN k b ON a.b = b.b AND a.token < b.token " +
+        "WHERE levenshtein(a.token, b.token) = 1 ORDER BY t1, t2"),
 
     // Mirrors q_rrf_fusion: same retriever mirrors as subqueries (DuckDB
     // accepts WITH inside a derived table), same 1/(60+rank) arithmetic.

@@ -575,6 +575,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("typo mining: length banding catches every edit-distance-1 pair kind") {
+    // substitution (same length), deletion (len-1), insertion (len+1)
+    // must all meet in a shared bucket; transposition (distance 2) must not
+    val docs = Seq((1L, "table tabke tale tables tabel")).toDF("doc_id", "text")
+    val vocab = docs.select(explode(split(col("text"), " ")).alias("token"))
+      .groupBy("token").agg(count(lit(1)).alias("n"))
+    val k = vocab.select(col("token"), col("n"),
+      explode(array(length(col("token")), length(col("token")) + 1)).alias("b"))
+    val a = k.select(col("b"), col("token").alias("t1"))
+    val b = k.select(col("b"), col("token").alias("t2"))
+    val pairs = a.join(b, Seq("b")).filter(col("t1") < col("t2"))
+      .filter(levenshtein(col("t1"), col("t2")) === 1)
+      .select("t1", "t2").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("tabke", "table")))   // substitution
+    assert(pairs.contains(("table", "tables")))  // insertion
+    assert(pairs.contains(("table", "tale")) || pairs.contains(("tale", "table")))
+    assert(!pairs.exists(p => p._1 == "tabel" && p._2 == "table") &&
+      !pairs.exists(p => p._1 == "table" && p._2 == "tabel")) // transposition = 2
+  }
+
   test("bigramLogProb favors repeated transitions over token salad") {
     val df = Seq(
       (1L, "a b a b a b a b"),   // one dominant transition each way
