@@ -1439,6 +1439,34 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // composite: clean-ingest — the ingest-side prep chain the round-6
+    // ops form: NFC normalize + invisible strip (planted dirt) →
+    // in-document line dedup (planted boilerplate) → exact dedup on the
+    // CLEANED fingerprint (cleaning is what makes near-identical raw
+    // bytes collapse) → per-source dataset-card row. Text never
+    // shuffles: the rewrite rides the scan, dedup ships md5 fingerprints,
+    // the report is one grouped aggregation.
+    "q_clean_ingest" -> ((s, d) => {
+      val line1 = substring(col("text"), 1, 40)
+      val dirt1 = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), line1, lit("\n"), line1))
+        .otherwise(col("text"))
+      val dirty = when(col("doc_id") % 2 === 0,
+        concat(dirt1, lit(" cafe\u0301\u200B  tail\u0007 ")))
+        .otherwise(dirt1)
+      val cleaned = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.dedupLinesInDoc(
+            TextAnalysis.normalizeText(dirty)).alias("clean"))
+      val w = Window.partitionBy(md5(col("clean"))).orderBy("doc_id")
+      cleaned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(size(split(col("clean"), " "))).alias("n_tokens"))
+        .orderBy("source")
+    }),
+
     // vocabulary typo mining — entity-resolution shape: bucket the
     // DISTINCT vocabulary by length (tokens of length L emit keys
     // {L, L+1}, so |len(a)−len(b)| ≤ 1 pairs meet), equi-join buckets,
@@ -2767,6 +2795,31 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors q_clean_ingest: the same stage chain as the q_dedup_lines /
+    // q_normalize_text mirrors, then QUALIFY keep-first per md5(clean)
+    // and the per-source rollup (sum(BIGINT) is HUGEINT in DuckDB —
+    // cast back).
+    "q_clean_ingest" ->
+      ("WITH t AS (SELECT doc_id, source, CASE WHEN doc_id % 3 = 0 THEN " +
+        "text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) " +
+        "ELSE text END AS d1 FROM documents), " +
+        "t2 AS (SELECT doc_id, source, CASE WHEN doc_id % 2 = 0 THEN " +
+        "d1 || ' cafe' || chr(769) || chr(8203) || '  tail' || chr(7) || ' ' " +
+        "ELSE d1 END AS raw FROM t), " +
+        "n AS (SELECT doc_id, source, trim(regexp_replace(regexp_replace(" +
+        "nfc_normalize(raw), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'), " +
+        "'[ \\t]+', ' ', 'g')) AS tx FROM t2), " +
+        "l AS (SELECT doc_id, source, array_to_string(list_filter(" +
+        "string_split(tx, chr(10)), " +
+        "(x, i) -> list_position(string_split(tx, chr(10)), x) = i), " +
+        "chr(10)) AS clean FROM n), " +
+        "k AS (SELECT doc_id, source, clean FROM l " +
+        "QUALIFY row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) = 1) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(clean, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM k GROUP BY source ORDER BY source"),
 
     // Mirrors q_token_typos (same planting, same length banding; both
     // engines' levenshtein is classic unit-cost edit distance).

@@ -575,6 +575,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("clean-ingest chain collapses byte-distinct near-copies into one survivor") {
+    // same logical doc three ways: pristine; trailing invisibles + double
+    // spaces; duplicated boilerplate line. Cleaning must converge all
+    // three to ONE fingerprint; the distinct doc must survive separately.
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox \u200B  "),
+      (3L, "the quick brown fox\nthe quick brown fox"),
+      (4L, "a genuinely different document"))
+      .toDF("doc_id", "text")
+    val cleaned = docs.select(col("doc_id"),
+      TextAnalysis.dedupLinesInDoc(
+        TextAnalysis.normalizeText(col("text"))).alias("clean"))
+    val fps = cleaned.select(md5(col("clean")).alias("fp"))
+      .distinct().count()
+    assert(fps == 2L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("clean"))).orderBy("doc_id")
+    val kept = cleaned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
   test("typo mining: length banding catches every edit-distance-1 pair kind") {
     // substitution (same length), deletion (len-1), insertion (len+1)
     // must all meet in a shared bucket; transposition (distance 2) must not
