@@ -170,7 +170,14 @@ object EventsStream {
                      evalSet: Option[DataFrame] = None,
                      evalTextCol: String = "text",
                      shingleN: Int = 13): DataFrame = {
-    val gated = docs
+    // Canonicalize FIRST (NFC + invisible strip + whitespace collapse —
+    // the same narrow exprs as batch): every downstream gate and the
+    // dedup fingerprint then see one representation, so a ZWSP-poisoned
+    // duplicate cannot slip past the fingerprint state. Identity on
+    // already-clean text; stateless.
+    val canon = docs.withColumn(textCol,
+      graft.ops.TextAnalysis.normalizeText(col(textCol)))
+    val gated = canon
       .filter(graft.ops.TextAnalysis.qualityKeep(col(textCol), minTokens = 8,
         maxTokens = 100000, minStopRatio = 0.01,
         maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))

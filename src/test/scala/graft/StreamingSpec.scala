@@ -72,7 +72,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       (2L, t(1), good),                     // exact dup of 1 -> dropped
       (3L, t(2), "der hund und die katze ist nicht hier gewesen heute morgen"), // German -> dropped
       (4L, t(3), "too short"),              // fails min tokens -> dropped
-      (5L, t(4), good + " extra tail here")) // different fingerprint -> keeps
+      (5L, t(4), good + " extra tail here"), // different fingerprint -> keeps
+      // ZWSP-poisoned, double-spaced copy of 1: only the normalize stage
+      // lets the fingerprint state catch it -> dropped
+      (6L, t(5), good.replace(" ", "  ") + "\u200B "))
     q.processAllAvailable()
     q.stop()
     val kept = spark.table("prep_s").select("doc_id").as[Long].collect().toSeq.sorted
