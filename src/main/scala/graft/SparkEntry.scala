@@ -1439,6 +1439,10 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // ops tooling: key-skew pre-flight report on a prospective join key
+    "q_skew_report" -> ((s, d) =>
+      Skew.skewReport(Tables.lineitem(s, d), Seq("l_suppkey"))),
+
     // composite: clean-ingest — the ingest-side prep chain the round-6
     // ops form: NFC normalize + invisible strip (planted dirt) →
     // in-document line dedup (planted boilerplate) → exact dedup on the
@@ -1458,12 +1462,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           TextAnalysis.dedupLinesInDoc(
             TextAnalysis.normalizeText(dirty)).alias("clean"))
-      val w = Window.partitionBy(md5(col("clean"))).orderBy("doc_id")
-      cleaned.withColumn("__rn", row_number().over(w))
+      // everything the dedup + report need is derived BEFORE the
+      // exchange: the window shuffles 4 narrow columns, never text
+      val slim = cleaned.select(col("doc_id"), col("source"),
+        md5(col("clean")).alias("__fp"),
+        size(split(col("clean"), " ")).alias("__nt"))
+      val w = Window.partitionBy("__fp").orderBy("doc_id")
+      slim.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .groupBy("source")
         .agg(count(lit(1)).alias("n_docs"),
-          sum(size(split(col("clean"), " "))).alias("n_tokens"))
+          sum(col("__nt")).alias("n_tokens"))
         .orderBy("source")
     }),
 
@@ -2795,6 +2804,18 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors Skew.skewReport on l_suppkey (exact interpolated
+    // percentiles == quantile_cont; DuckDB sum(BIGINT) cast back).
+    "q_skew_report" ->
+      ("WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1) " +
+        "SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+        "max(cnt) AS max_cnt, " +
+        "round(CAST(sum(cnt) AS BIGINT) * 1.0 / count(*), 6) AS mean_cnt, " +
+        "round(quantile_cont(cnt, 0.5), 6) AS p50_cnt, " +
+        "round(quantile_cont(cnt, 0.99), 6) AS p99_cnt, " +
+        "round(max(cnt) / (CAST(sum(cnt) AS BIGINT) * 1.0 / count(*)), 6) AS skew " +
+        "FROM c"),
 
     // Mirrors q_clean_ingest: the same stage chain as the q_dedup_lines /
     // q_normalize_text mirrors, then QUALIFY keep-first per md5(clean)

@@ -56,6 +56,31 @@ object Skew {
   /** Range-partition + in-partition sort: the write-side layout op for
     * sorted parquet (min/max zone-map pruning on the sort key at read
     * time). */
+  /** Key-skew diagnostic — the measurement you run BEFORE choosing a
+    * remedy (salting, broadcast, AQE hints): one row with the per-key
+    * count distribution of a prospective shuffle key. `skew` = max key
+    * count over mean key count; ~1 means uniform, large means one hot
+    * key owns the reduce stage. Costs one map-side-combined count
+    * shuffle plus a tiny aggregate over the (key, count) table — cheap
+    * enough to run as a pre-flight on real join inputs. The exact
+    * interpolated percentiles buffer only the per-KEY counts (bounded by
+    * key cardinality, not rows); a billion-key table would swap in
+    * approx_percentile, same note as Aggregates.quartiles. */
+  def skewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).alias("cnt"))
+    counts.agg(
+        count(lit(1)).alias("n_keys"),
+        sum(col("cnt")).alias("n_rows"),
+        max(col("cnt")).alias("max_cnt"),
+        expr("percentile(cnt, array(0.5D, 0.99D))").alias("__q"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        round(col("n_rows").cast("double") / col("n_keys"), 6).alias("mean_cnt"),
+        round(col("__q").getItem(0), 6).alias("p50_cnt"),
+        round(col("__q").getItem(1), 6).alias("p99_cnt"),
+        round(col("max_cnt") / (col("n_rows").cast("double") / col("n_keys")), 6)
+          .alias("skew"))
+  }
+
   def sortedLayout(df: DataFrame, n: Int, by: Seq[String]): DataFrame =
     df.repartitionByRange(n, by.map(qcol): _*)
       .sortWithinPartitions(by.map(qcol): _*)

@@ -46,4 +46,16 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
       .orderBy("g").collect().toSeq
     assert(got === expect)
   }
+
+  test("skewReport quantifies a planted hot key") {
+    import spark.implicits._
+    // 9 uniform keys × 10 rows + one hot key × 910 rows
+    val rows = (1 to 9).flatMap(k => Seq.fill(10)(k)) ++ Seq.fill(910)(0)
+    val r = Skew.skewReport(rows.toDF("k"), Seq("k")).head()
+    assert(r.getAs[Long]("n_keys") == 10L && r.getAs[Long]("n_rows") == 1000L)
+    assert(r.getAs[Long]("max_cnt") == 910L)
+    assert(r.getAs[Double]("mean_cnt") == 100.0)
+    assert(r.getAs[Double]("skew") == 9.1)
+    assert(r.getAs[Double]("p50_cnt") == 10.0)
+  }
 }
