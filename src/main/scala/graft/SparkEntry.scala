@@ -1439,6 +1439,15 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // time series: hourly resample + forward fill per user
+    "q_gap_fill" -> ((s, d) =>
+      Sessionize.gapFill(Tables.events(s, d), "user_id", "ts", "value",
+          tieCol = "event_id")
+        .select(col("user_id"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+          col("value"))
+        .orderBy("user_id", "bucket")),
+
     // ops tooling: key-skew pre-flight report on a prospective join key
     "q_skew_report" -> ((s, d) =>
       Skew.skewReport(Tables.lineitem(s, d), Seq("l_suppkey"))),
@@ -2804,6 +2813,21 @@ object SparkEntry {
         "FROM c ORDER BY doc_id"),
 
     "q_bm25_topk" -> bm25Oracle,
+
+    // Mirrors Sessionize.gapFill: scalar generate_series lists per key,
+    // last_value IGNORE NULLS over the same (ts, flag, tie) total order
+    // (grid rows tie = BIGINT max, observations their event_id).
+    "q_gap_fill" ->
+      ("WITH spans AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, " +
+        "date_trunc('hour', max(ts)) AS t1 FROM events GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts, " +
+        "CAST(NULL AS DOUBLE) AS v, 1 AS flag, 9223372036854775807 AS tie FROM spans), " +
+        "u AS (SELECT user_id, ts AS gts, value AS v, 0 AS flag, event_id AS tie FROM events " +
+        "UNION ALL SELECT * FROM grid), " +
+        "f AS (SELECT user_id, gts, flag, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY gts, flag, tie ROWS UNBOUNDED PRECEDING) AS fill FROM u) " +
+        "SELECT user_id, strftime(gts, '%Y-%m-%d %H:%M:%S') AS bucket, fill AS value " +
+        "FROM f WHERE flag = 1 AND fill IS NOT NULL ORDER BY user_id, bucket"),
 
     // Mirrors Skew.skewReport on l_suppkey (exact interpolated
     // percentiles == quantile_cont; DuckDB sum(BIGINT) cast back).

@@ -575,6 +575,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("gapFill: hourly grid forward-fills, drops pre-first points, breaks ts ties") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 00:10:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 02:30:00"), 2.0),
+      // user 2: two observations at the SAME instant — higher id wins
+      (2L, 20L, ts("2024-01-01 05:00:00"), 5.0),
+      (2L, 21L, ts("2024-01-01 05:00:00"), 6.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Sessionize.gapFill(df, "user_id", "ts", "value", "event_id")
+      .orderBy("user_id", "bucket_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      // 00:00 grid point precedes the first observation → dropped
+      (1L, "2024-01-01 01:00:00.0", 1.0),
+      (1L, "2024-01-01 02:00:00.0", 1.0),
+      // 05:00 grid point coincides with both observations; event rows sort
+      // before grid rows, id 21 last → its value carries
+      (2L, "2024-01-01 05:00:00.0", 6.0)))
+  }
+
   test("clean-ingest chain collapses byte-distinct near-copies into one survivor") {
     // same logical doc three ways: pristine; trailing invisibles + double
     // spaces; duplicated boilerplate line. Cleaning must converge all
