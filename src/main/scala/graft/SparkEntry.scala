@@ -636,6 +636,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup: SPAN level — duplicated 8-token spans removed corpus-wide,
+    // first occurrence kept (the substring-granularity pass that catches
+    // boilerplate paragraphs document-level dedup can't). Only gram
+    // hashes + int positions shuffle; the rebuild is a narrow per-row
+    // array filter.
+    "q_span_dedup" -> ((s, d) =>
+      ScaleDedup.removeRepeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 8)
+        .orderBy("doc_id")),
+
     // text: perplexity-style TAIL DROP — score every doc under the corpus
     // unigram LM, then keep docs at or above the 10th percentile (the
     // standard "drop the weird tail" quality pass). The threshold is ONE
@@ -2432,6 +2442,27 @@ object SparkEntry {
         "e AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
         "FROM documents WHERE source <> 'src0') " +
         "SELECT doc_id, fp FROM k WHERE fp NOT IN (SELECT fp FROM e) ORDER BY doc_id"),
+
+    // Span dedup mirror: same gram hash (md5 of the space-joined k-gram),
+    // same first-occurrence order ((doc_id, pos) lexicographic), same
+    // covered-position union; the rebuild string_aggs surviving tokens in
+    // position order.
+    "q_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 8 + 1)) AS pos FROM t), " +
+        "h AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gh FROM g), " +
+        "m AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM h), " +
+        "cov AS (SELECT DISTINCT doc_id, p FROM (" +
+        "SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM m WHERE rn > 1)), " +
+        "u AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS p FROM t), " +
+        "kept AS (SELECT u.doc_id, string_agg(u.tok, ' ' ORDER BY u.p) AS text_clean " +
+        "FROM u LEFT JOIN cov ON u.doc_id = cov.doc_id AND u.p = cov.p " +
+        "WHERE cov.p IS NULL GROUP BY u.doc_id), " +
+        "nr AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id) " +
+        "SELECT t.doc_id, coalesce(kept.text_clean, '') AS text_clean, " +
+        "CAST(coalesce(nr.n_removed, 0) AS BIGINT) AS n_removed " +
+        "FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id " +
+        "LEFT JOIN nr ON t.doc_id = nr.doc_id ORDER BY t.doc_id"),
 
     "q_quality_tail_drop" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +

@@ -407,4 +407,66 @@ object ScaleDedup {
   def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).alias("fp"))
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("n_copies"))
+
+  /** SPAN-level (substring) dedup — remove duplicated k-token spans
+    * corpus-wide, keeping each span's first occurrence (smallest
+    * (id, position)). This is the within/across-document granularity of
+    * "exact substring" dedup: document-level dedup misses a boilerplate
+    * paragraph pasted into thousands of otherwise-distinct pages; this
+    * pass cuts every repeat of the paragraph while leaving the rest of
+    * each page intact.
+    *
+    * Shape, per the 100 TB target:
+    *   1. each doc fans out to its k-gram occurrences `(id, pos, md5)` —
+    *      the fan-out rides the scan (one narrow projection + explode);
+    *      only the 128-bit gram hash and an int position shuffle, never
+    *      the gram text. A corpus-tokens-sized shuffle is the inherent
+    *      cost of substring-granularity dedup (suffix-array builds move
+    *      the same volume); there is no smaller exact formulation.
+    *   2. one hash-partitioned window over the gram hash marks every
+    *      occurrence after the first (`row_number > 1`) — per-gram state
+    *      is one counter, no group materialization.
+    *   3. marked occurrences expand to covered token positions, dedup,
+    *      and collect per doc (shuffle keyed by doc id; the collected set
+    *      is bounded by the doc's own token count).
+    *   4. the rebuild is a narrow per-row array filter over the original
+    *      token array — text never shuffles.
+    *
+    * Overlapping duplicated spans union their covered positions, so a
+    * doc that is a verbatim copy of an earlier one loses everything but
+    * (k-1)-sized tail fragments shorter than any duplicated gram.
+    * Returns (idCol, text_clean, n_removed) for every input row.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    require(k >= 1, s"span length k must be >= 1, got $k")
+    val emptyInts = array().cast("array<integer>")
+    val toks = split(col(textCol), " ")
+    val gramStarts = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+      .otherwise(emptyInts)
+    val occ = df
+      .select(col(idCol), toks.alias("__toks"),
+        explode(gramStarts).alias("__pos"))
+      .select(col(idCol), col("__pos"),
+        md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)), " "))
+          .alias("__gh"))
+    val firstPerGram = org.apache.spark.sql.expressions.Window
+      .partitionBy("__gh").orderBy(col(idCol), col("__pos"))
+    val covered = occ
+      .withColumn("__rn", row_number().over(firstPerGram))
+      .filter(col("__rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).alias("__p"))
+      .groupBy(idCol).agg(collect_set(col("__p")).alias("__cov"))
+    val cov = coalesce(col("__cov"), emptyInts)
+    df.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(
+            transform(split(col(textCol), " "),
+              (t, i) => when(array_contains(cov, i), lit(null)).otherwise(t)),
+            t => t.isNotNull),
+          " ").alias("text_clean"),
+        size(cov).cast("long").alias("n_removed"))
+  }
 }

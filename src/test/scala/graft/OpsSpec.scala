@@ -754,6 +754,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       assert(!r.getDouble(1).isNaN && (r.getDouble(1) > 0) == r.getBoolean(2)) }
   }
 
+  test("span dedup cuts a pasted paragraph, keeps its first occurrence") {
+    // doc 1 owns the paragraph; docs 2 and 3 paste it into otherwise
+    // distinct text. Span dedup (k=4) must leave doc 1 untouched, cut
+    // exactly the pasted span from docs 2 and 3, and keep their own prose.
+    val para = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      (1L, para),
+      (2L, s"alpha beta gamma delta $para"),
+      (3L, s"$para epsilon zeta eta theta"),
+      (4L, "unrelated text with no repeats at all"))
+      .toDF("doc_id", "text")
+    val got = ScaleDedup.removeRepeatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .select("text_clean", "n_removed").collect()
+    assert(got(0).getString(0) == para && got(0).getLong(1) == 0L)
+    assert(got(1).getString(0) == "alpha beta gamma delta" && got(1).getLong(1) == 10L)
+    assert(got(2).getString(0) == "epsilon zeta eta theta" && got(2).getLong(1) == 10L)
+    assert(got(3).getLong(1) == 0L)
+    // a verbatim copy of doc 1 loses every token (full span coverage)
+    val copies = Seq((1L, para), (2L, para)).toDF("doc_id", "text")
+    val c = ScaleDedup.removeRepeatedSpans(copies, "doc_id", "text", k = 4)
+      .orderBy("doc_id").select("text_clean", "n_removed").collect()
+    assert(c(0).getString(0) == para && c(1).getString(0) == "" &&
+      c(1).getLong(1) == 10L)
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
