@@ -502,6 +502,19 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).alias("lang_guess"))
         .orderBy("doc_id")),
 
+    // text: tokenizer-compression report — chars per whitespace token by
+    // source (the bytes/token dataset-card figure that says how far a
+    // token budget stretches on each domain); one grouped pass
+    "q_token_compression" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(length(col("text")).cast("long")).alias("n_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).alias("n_tokens"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_tokens"), 6))
+        .orderBy("source")),
+
     // text: one-row corpus report (the "dataset card" numbers a corpus
     // release ships with) — all counts in ONE aggregation pass
     "q_corpus_report" -> ((s, d) =>
@@ -736,6 +749,13 @@ object SparkEntry {
       Pack.trainValSplit(Tables.documents(s, d), "doc_id", valFraction = 0.1)
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // pack: deterministic shard manifest — md5-bucket shard + independent
+    // md5 in-shard order (the "global shuffle then shard" a training run
+    // reads; no RNG state, no global sort, one shard-keyed window)
+    "q_shard_manifest" -> ((s, d) =>
+      Pack.shardManifest(Tables.documents(s, d), "doc_id", numShards = 8)
+        .orderBy("doc_id")),
+
     // mix: deterministic per-group sample — 3 docs per source, chosen by
     // md5 draw order (stable under corpus growth AND partitioning, unlike
     // any rand()-based pick; the inspection-sample shape for eyeballing
@@ -929,6 +949,24 @@ object SparkEntry {
         docs.select(col("doc_id").alias("id")), pairs)
         .select(col("id").alias("doc_id"), col("label").alias("cluster"))
         .orderBy("doc_id")
+    }),
+
+    // dedup AUDIT: near-dup cluster size distribution — the dataset-card
+    // figure a dedup run publishes (how much of the corpus sits in
+    // duplicate families, and how big the worst family is). Reuses the
+    // clustering pipeline; the histogram is two tiny aggregations on its
+    // id-sized output.
+    "q_dup_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      ScaleDedup.connectedComponents(
+          docs.select(col("doc_id").alias("id")), pairs)
+        .groupBy(col("label")).agg(count(lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", (col("cluster_size") * col("n_clusters")).cast("long"))
+        .orderBy("cluster_size")
     }),
 
     // dedup: simhash
@@ -1593,6 +1631,25 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // similarity: cluster-mix report — docs per k-means cell and each
+    // cell's corpus share (the topic-balance dataset-card table; the
+    // embedding-space analog of q_domain_mix's source shares). Training
+    // reuses the Lloyd trainer; the report is one tiny aggregation on
+    // cell ids.
+    "q_cluster_mix" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).alias("v"))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "v",
+        nCells = 8, iters = 3, dim = 64).localCheckpoint()
+      val cells = Similarity.ivfAssign(base, "vec_id", "v", cents)
+        .groupBy("cell").agg(count(lit(1)).alias("n_vecs"))
+      val total = cells.agg(sum(col("n_vecs")).alias("__total"))
+      cells.crossJoin(broadcast(total))
+        .select(col("cell"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("__total"), 6).alias("share"))
+        .orderBy("cell")
+    }),
+
     // model-based quality gate: Naive-Bayes bag-of-words classifier
     // trained on lang=='en' and applied back over the corpus
     "q_nb_classify" -> ((s, d) => {
@@ -1867,6 +1924,18 @@ object SparkEntry {
       "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
       "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src) " +
       "SELECT id AS doc_id, min(label) AS cluster FROM cc GROUP BY id ORDER BY doc_id"
+
+  /** Cluster-size histogram over the same clustering as dedupClustersOracle. */
+  private def dupClusterSizesOracle: String =
+    s"WITH RECURSIVE $mhPairsCtes, " +
+      "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION ALL SELECT id2, id1 FROM pairs), " +
+      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
+      "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src), " +
+      "lab AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id), " +
+      "s AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster) " +
+      "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+      "CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
+      "FROM s GROUP BY cluster_size ORDER BY cluster_size"
 
   /** Planted-boilerplate text shared by the repetition-quality mirrors:
     * every third doc gets its first 40 chars appended twice as duplicate
@@ -2342,6 +2411,13 @@ object SparkEntry {
         "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
         "ELSE 'und' END AS lang_guess FROM s ORDER BY doc_id"),
 
+    "q_token_compression" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, " +
+        "round(CAST(sum(length(text)) AS DOUBLE) / sum(len(string_split(text, ' '))), 6) " +
+        "AS chars_per_token FROM documents GROUP BY source ORDER BY source"),
+
     "q_corpus_report" ->
       ("WITH lx AS (SELECT doc_id, text, source, " +
         s"len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS n_en, " +
@@ -2530,6 +2606,15 @@ object SparkEntry {
         "< 0.1 * 4294967296.0 THEN 'val' ELSE 'train' END AS split " +
         "FROM documents ORDER BY doc_id"),
 
+    "q_shard_manifest" ->
+      ("WITH a AS (SELECT doc_id, " +
+        "('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT % 8 AS shard, " +
+        "('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR) || '#1'), 1, 8))::BIGINT AS ord " +
+        "FROM documents) " +
+        "SELECT doc_id, shard, " +
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos " +
+        "FROM a ORDER BY doc_id"),
+
     "q_group_sample" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         "row_number() OVER (PARTITION BY source ORDER BY " +
@@ -2594,6 +2679,7 @@ object SparkEntry {
         s"${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1 FROM t ORDER BY doc_id"),
 
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_dup_cluster_sizes" -> dupClusterSizesOracle,
 
     "q_simhash" -> simhashOracle,
 
@@ -2633,6 +2719,10 @@ object SparkEntry {
     "q_ann_recall" -> annRecallOracle,
 
     "q_ann_ivf_kmeans" -> kmeansIvfOracle,
+    "q_cluster_mix" -> (kmeansCtes +
+      " SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM af), 6) AS share " +
+      "FROM af GROUP BY cell ORDER BY cell"),
 
     "q_ann_ivf_kmeans_multiprobe" -> kmeansIvfMultiProbeOracle,
 

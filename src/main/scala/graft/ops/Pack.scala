@@ -87,4 +87,24 @@ object Pack {
       when(draw < lit(valFraction * 4294967296.0), lit("val"))
         .otherwise(lit("train")))
   }
+
+  /** Deterministic training-shard manifest: every row gets a shard (md5
+    * bucket of its key — balanced in expectation, stable under corpus
+    * growth) and a position within the shard drawn from an INDEPENDENT
+    * md5 order (the "global shuffle" a training run needs, with no RNG
+    * state and no global sort — each shard orders itself, so the one
+    * window shuffle is keyed by shard and 100 TB parallelizes across
+    * shards). Returns (idCol, shard, pos) with pos 1-based in shard
+    * order; a writer partitions by `shard` and sorts by `pos` to
+    * materialize the shards. */
+  def shardManifest(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val key = concat_ws("|", lit("shard"), col(idCol).cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("__ord"), col(idCol))
+    df.select(col(idCol),
+        pmod(ScaleDedup.hash32(key, 0), lit(numShards.toLong)).alias("shard"),
+        ScaleDedup.hash32(key, 1).alias("__ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__ord")
+  }
 }

@@ -780,6 +780,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       c(1).getLong(1) == 10L)
   }
 
+  test("shard manifest: contiguous positions, assignments stable under growth") {
+    val docs = (1L to 64L).toDF("doc_id")
+    val m = Pack.shardManifest(docs, "doc_id", numShards = 4).collect()
+    assert(m.map(_.getLong(0)).toSet == (1L to 64L).toSet)
+    // every shard's positions are exactly 1..n_shard
+    m.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a row's shard depends only on its own key: growing the corpus
+    // never reshuffles existing rows across shards
+    val bigger = Pack.shardManifest((1L to 128L).toDF("doc_id"), "doc_id", 4)
+      .filter(col("doc_id") <= 64).collect()
+    val shardOf = m.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bigger.foreach(r => assert(shardOf(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
