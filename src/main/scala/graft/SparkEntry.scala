@@ -659,6 +659,15 @@ object SparkEntry {
         k = 8)
         .orderBy("doc_id")),
 
+    // text: per-document NOVELTY — fraction of a doc's 8-gram occurrences
+    // making their corpus-wide first appearance in this doc (1.0 = all
+    // new, 0.0 = verbatim copy of earlier text). Same gram fan-out and
+    // single windowed shuffle as q_span_dedup, aggregated instead of
+    // rewritten.
+    "q_doc_novelty" -> ((s, d) =>
+      ScaleDedup.docNovelty(Tables.documents(s, d), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
     // text: perplexity-style TAIL DROP — score every doc under the corpus
     // unigram LM, then keep docs at or above the 10th percentile (the
     // standard "drop the weird tail" quality pass). The threshold is ONE
@@ -672,6 +681,32 @@ object SparkEntry {
       scored.crossJoin(broadcast(thr))
         .filter(col("logprob") >= col("__thr"))
         .select("doc_id", "logprob").orderBy("doc_id")
+    }),
+
+    // text: quality-decile CURRICULUM table — docs bucketed into exact
+    // deciles of the unigram LM score, with per-decile count, score range,
+    // and mean length (the table behind "train on the top-N deciles
+    // first"). The global ntile window sorts only (id, score, n_tok)
+    // triples — narrow; exact deciles inherently total-order the corpus
+    // (approximate quantile cutpoints are the 100 TB path, same report
+    // shape).
+    "q_quality_deciles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      val withTok = scored.join(
+        docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tok")),
+        "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("logprob"), col("doc_id"))
+      withTok.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).alias("n_docs"),
+          round(min(col("logprob")), 6).alias("min_lp"),
+          round(max(col("logprob")), 6).alias("max_lp"),
+          round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+            .alias("avg_tokens"))
+        .orderBy("decile")
     }),
 
     // FLAGSHIP composite — the LLM training-data prep pipeline end-to-end:
@@ -748,6 +783,26 @@ object SparkEntry {
     "q_train_val_split" -> ((s, d) =>
       Pack.trainValSplit(Tables.documents(s, d), "doc_id", valFraction = 0.1)
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // split AUDIT: near-duplicate pairs straddling the train/val split —
+    // the leakage report a split ships with (a val doc whose near-dup
+    // lives in train inflates eval). Reuses the LSH candidate pairs; the
+    // split labels join on ids only.
+    "q_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val split = Pack.trainValSplit(docs.select("doc_id"), "doc_id",
+        valFraction = 0.1).select(col("doc_id"), col("split"))
+      pairs
+        .join(split.select(col("doc_id").alias("id1"),
+          col("split").alias("split1")), Seq("id1"))
+        .join(split.select(col("doc_id").alias("id2"),
+          col("split").alias("split2")), Seq("id2"))
+        .filter(col("split1") =!= col("split2"))
+        .select("id1", "id2", "split1", "split2")
+        .orderBy("id1", "id2")
+    }),
 
     // pack: deterministic shard manifest — md5-bucket shard + independent
     // md5 in-shard order (the "global shuffle then shard" a training run
@@ -1446,6 +1501,30 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").alias("s_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").alias("s_end"))
         .orderBy("user_id", "session_seq")),
+
+    // trailing event-time RANGE window — per user, count and exact-decimal
+    // average of `value` over the preceding hour (rangeBetween on epoch
+    // millis; the rolling-feature shape a monitoring/feature pipeline
+    // computes). One shuffle on the user key.
+    "q_window_rolling_range" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).alias("ts_ms"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_ms"))
+        .rangeBetween(-3600000L, 0L)
+      ev.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).alias("n_1h"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / count(lit(1)).over(w), 6).alias("avg_1h"))
+        .orderBy("event_id")
+    }),
+
+    // robust numeric cleaning: MAD outlier gate on the event value feed
+    // (median/MAD resist the outliers a mean/stddev filter would absorb)
+    "q_outlier_mad" -> ((s, d) =>
+      Aggregates.madOutlierKeep(
+          Tables.events(s, d).select(col("event_id"), col("value")), "value")
+        .orderBy("event_id")),
 
     // tumbling-window batch aggregate over event time
     "q_window_tumbling" -> ((s, d) =>
@@ -2540,6 +2619,36 @@ object SparkEntry {
         "FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id " +
         "LEFT JOIN nr ON t.doc_id = nr.doc_id ORDER BY t.doc_id"),
 
+    // Novelty mirror: same gram hash / first-occurrence order as the span
+    // dedup mirror, aggregated per doc.
+    "q_doc_novelty" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 8 + 1)) AS pos FROM t), " +
+        "h AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gh FROM g), " +
+        "m AS (SELECT doc_id, row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM h), " +
+        "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+        "FROM m GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, " +
+        "coalesce(a.n_novel, 0) AS n_novel, " +
+        "round(CAST(a.n_novel AS DOUBLE) / a.n_grams, 6) AS novelty " +
+        "FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY d.doc_id"),
+
+    "q_quality_deciles" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+        "freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1), " +
+        "n AS (SELECT count(*) AS nn FROM tok), " +
+        "sc AS (SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
+        "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id), " +
+        "tt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "j AS (SELECT sc.doc_id, sc.logprob, tt.n_tok, " +
+        "ntile(10) OVER (ORDER BY sc.logprob, sc.doc_id) AS decile " +
+        "FROM sc JOIN tt USING (doc_id)) " +
+        "SELECT decile, count(*) AS n_docs, " +
+        "round(min(logprob), 6) AS min_lp, round(max(logprob), 6) AS max_lp, " +
+        "round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens " +
+        "FROM j GROUP BY decile ORDER BY decile"),
+
     "q_quality_tail_drop" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
         "freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1), " +
@@ -2605,6 +2714,15 @@ object SparkEntry {
         "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
         "< 0.1 * 4294967296.0 THEN 'val' ELSE 'train' END AS split " +
         "FROM documents ORDER BY doc_id"),
+
+    "q_split_leakage" ->
+      (s"WITH $mhPairsCtes, " +
+        "sp AS (SELECT doc_id, CASE WHEN " +
+        "('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
+        "< 0.1 * 4294967296.0 THEN 'val' ELSE 'train' END AS split FROM documents) " +
+        "SELECT p.id1, p.id2, s1.split AS split1, s2.split AS split2 " +
+        "FROM pairs p JOIN sp s1 ON p.id1 = s1.doc_id JOIN sp s2 ON p.id2 = s2.doc_id " +
+        "WHERE s1.split <> s2.split ORDER BY p.id1, p.id2"),
 
     "q_shard_manifest" ->
       ("WITH a AS (SELECT doc_id, " +
@@ -2897,6 +3015,20 @@ object SparkEntry {
         "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end " +
         "FROM y GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_window_rolling_range" ->
+      ("SELECT event_id, user_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(*) OVER w), 6) AS avg_1h " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
+        "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+
+    "q_outlier_mad" ->
+      ("WITH v AS (SELECT event_id, value FROM events), " +
+        "med AS (SELECT quantile_cont(value, 0.5) AS m FROM v), " +
+        "dev AS (SELECT event_id, value, abs(value - med.m) AS dv FROM v, med), " +
+        "thr AS (SELECT round(quantile_cont(dv, 0.5) * 3 * 1.4826, 6) AS t FROM dev) " +
+        "SELECT event_id, value FROM dev, thr WHERE round(dv, 6) <= thr.t " +
+        "ORDER BY event_id"),
 
     "q_window_tumbling" ->
       ("SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +

@@ -160,4 +160,26 @@ object Aggregates {
       round((col("__sy") - slope * col("__sx")) / n, 6).alias("intercept"),
       round((covn * covn) / nullif(varxn * varyn, lit(0.0)), 6).alias("r2"))
   }
+
+  /** Robust outlier filter: keep rows whose |value − median| stays within
+    * `nSigmas` MAD-estimated standard deviations (MAD × 1.4826 ≈ σ for
+    * normal data). Median/MAD resist the very outliers a mean/stddev
+    * filter would absorb — the standard robust gate for messy numeric
+    * feeds. Two exact-percentile aggregations, each reduced to ONE
+    * broadcast row; the filter itself is a narrow pass (no shuffle of the
+    * data). Both sides of the comparison are 6-dp rounded so the boundary
+    * is engine-exact. At 100 TB swap the exact percentile for an
+    * approximate sketch — the broadcast-threshold shape is unchanged. */
+  def madOutlierKeep(df: DataFrame, valueCol: String,
+                     nSigmas: Double = 3.0): DataFrame = {
+    val med = df.agg(expr(s"percentile($valueCol, 0.5D)").alias("__med"))
+    val dev = df.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val thr = dev.agg(
+      round(expr("percentile(__dev, 0.5D)") * lit(nSigmas) * lit(1.4826), 6)
+        .alias("__thr"))
+    dev.crossJoin(broadcast(thr))
+      .filter(round(col("__dev"), 6) <= col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -408,6 +408,56 @@ object ScaleDedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).alias("fp"))
       .agg(min(col(idCol)).alias("keep_id"), count(lit(1)).alias("n_copies"))
 
+  /** k-gram occurrences of every document: one row per (id, __pos, __gh)
+    * with `__gh` the md5 of the space-joined k consecutive tokens starting
+    * at 0-based token position `__pos`. The shared fan-out of span-level
+    * dedup and the novelty score: it rides the scan (narrow projection +
+    * explode), and only the 128-bit hash plus an int position ever reach
+    * a shuffle — never the gram text. Docs shorter than k tokens emit no
+    * rows. */
+  def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val gramStarts = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+      .otherwise(array().cast("array<integer>"))
+    df.select(col(idCol), toks.alias("__toks"), explode(gramStarts).alias("__pos"))
+      .select(col(idCol), col("__pos"),
+        md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)), " "))
+          .alias("__gh"))
+  }
+
+  /** Corpus-wide first-occurrence order for gram occurrences: one
+    * hash-partitioned window per gram value, earliest (id, position)
+    * first. */
+  private def firstOccurrence(idCol: String) =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy("__gh").orderBy(col(idCol), col("__pos"))
+
+  /** Per-document NOVELTY score: the fraction of a doc's k-gram
+    * occurrences whose gram value makes its corpus-wide first appearance
+    * in this doc (by (id, position) order). 1.0 = all-new text; a
+    * verbatim copy of an earlier doc scores 0.0. The curation signal for
+    * "how much does this slice actually add" — the complement of the
+    * span-dedup removal set, computed from the same gram fan-out and the
+    * same single windowed shuffle, aggregated per doc instead of
+    * rewritten. Docs shorter than k tokens report 0 grams and a NULL
+    * novelty. */
+  def docNovelty(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8): DataFrame = {
+    val agg = gramOccurrences(df, idCol, textCol, k)
+      .withColumn("__rn", row_number().over(firstOccurrence(idCol)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).alias("n_grams"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).alias("n_novel"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).alias("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).alias("n_novel"),
+        when(col("n_grams") > 0,
+          round(col("n_novel").cast("double") / col("n_grams"), 6))
+          .alias("novelty"))
+  }
+
   /** SPAN-level (substring) dedup — remove duplicated k-token spans
     * corpus-wide, keeping each span's first occurrence (smallest
     * (id, position)). This is the within/across-document granularity of
@@ -441,19 +491,8 @@ object ScaleDedup {
                           k: Int = 8): DataFrame = {
     require(k >= 1, s"span length k must be >= 1, got $k")
     val emptyInts = array().cast("array<integer>")
-    val toks = split(col(textCol), " ")
-    val gramStarts = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
-      .otherwise(emptyInts)
-    val occ = df
-      .select(col(idCol), toks.alias("__toks"),
-        explode(gramStarts).alias("__pos"))
-      .select(col(idCol), col("__pos"),
-        md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(k)), " "))
-          .alias("__gh"))
-    val firstPerGram = org.apache.spark.sql.expressions.Window
-      .partitionBy("__gh").orderBy(col(idCol), col("__pos"))
-    val covered = occ
-      .withColumn("__rn", row_number().over(firstPerGram))
+    val covered = gramOccurrences(df, idCol, textCol, k)
+      .withColumn("__rn", row_number().over(firstOccurrence(idCol)))
       .filter(col("__rn") > 1)
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (k - 1))).alias("__p"))

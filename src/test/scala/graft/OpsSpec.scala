@@ -796,6 +796,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     bigger.foreach(r => assert(shardOf(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("doc novelty: copies score 0, fresh text scores 1, short docs NULL") {
+    val para = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, para),                                        // first owner: all novel
+      (2L, para),                                        // verbatim copy: nothing novel
+      (3L, (1 to 10).map(i => s"x$i").mkString(" ")),    // fresh: all novel
+      (4L, "too short"))                                 // < k tokens: no grams
+      .toDF("doc_id", "text")
+    val got = ScaleDedup.docNovelty(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    assert(got(0).getDouble(3) == 1.0 && got(1).getDouble(3) == 0.0)
+    assert(got(2).getDouble(3) == 1.0)
+    assert(got(3).getLong(1) == 0L && got(3).isNullAt(3))
+  }
+
+  test("MAD outlier gate keeps a tight cluster, drops a far outlier") {
+    val df = (Seq.tabulate(20)(i => 10.0 + (i % 5) * 0.1) :+ 1e6)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val kept = Aggregates.madOutlierKeep(df, "v").select("id").as[Long].collect()
+    assert(kept.length == 20 && !kept.contains(20L))
+    // constant data: MAD = 0 → only exact-median rows survive (all of them)
+    val const = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("id", "v")
+    assert(Aggregates.madOutlierKeep(const, "v").count() == 3)
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
