@@ -502,6 +502,14 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).alias("lang_guess"))
         .orderBy("doc_id")),
 
+    // eval: language-ID confusion matrix — labeled lang vs classifier
+    // guess with counts (the classifier-eval table); one grouped pass
+    "q_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), TextAnalysis.langId(col("text")).alias("lang_guess"))
+        .agg(count(lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")),
+
     // text: tokenizer-compression report — chars per whitespace token by
     // source (the bytes/token dataset-card figure that says how far a
     // token budget stretches on each domain); one grouped pass
@@ -647,6 +655,39 @@ object SparkEntry {
         docs.filter(col("source") === "src0"),
         docs.filter(col("source") =!= "src0"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // versioning AUDIT: snapshot diff between two corpus versions —
+    // added / removed / changed / same per id, fingerprints only across
+    // the wire. (The fixture derives "old" and "new" from the table:
+    // old drops doc_id % 7 == 0, new drops % 5 == 0 and edits % 11 == 0.)
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldV = docs.filter(col("doc_id") % 7 =!= 0)
+      val newV = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+      Inspect.snapshotDiff(oldV, newV, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // near-dup: asymmetric CONTAINMENT over the LSH candidate pairs —
+    // catches a short doc quoted inside a longer one (Jaccard dilutes
+    // these toward 0); kept when either direction's containment ≥ 0.8
+    "q_containment_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val toks = docs.select(col("doc_id"),
+        ScaleDedup.tokenSet(col("text")).alias("toks"))
+      cands
+        .join(toks.select(col("doc_id").alias("id1"), col("toks").alias("t1")), "id1")
+        .join(toks.select(col("doc_id").alias("id2"), col("toks").alias("t2")), "id2")
+        .select(col("id1"), col("id2"),
+          ScaleDedup.containment(col("t1"), col("t2")).alias("cont1"),
+          ScaleDedup.containment(col("t2"), col("t1")).alias("cont2"))
+        .filter(col("cont1") >= 0.8 || col("cont2") >= 0.8)
+        .orderBy("id1", "id2")
     }),
 
     // dedup: SPAN level — duplicated 8-token spans removed corpus-wide,
@@ -1501,6 +1542,25 @@ object SparkEntry {
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").alias("s_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").alias("s_end"))
         .orderBy("user_id", "session_seq")),
+
+    // event cleaning: debounce — drop an event within 60 s of the same
+    // user's previous event (duplicate-beacon suppression, one window)
+    "q_debounce" -> ((s, d) =>
+      Sessionize.debounce(Tables.events(s, d), "user_id", "ts", "event_id",
+        minGapMs = 60000L)
+        .select("event_id", "user_id").orderBy("event_id")),
+
+    // ops report: per-event-type latency percentile bands (p50/p90/p99),
+    // exact interpolated percentiles, one grouped pass
+    "q_event_percentiles" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).alias("n"),
+          expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("__q"))
+        .select(col("event_type"), col("n"),
+          round(col("__q").getItem(0), 6).alias("p50"),
+          round(col("__q").getItem(1), 6).alias("p90"),
+          round(col("__q").getItem(2), 6).alias("p99"))
+        .orderBy("event_type")),
 
     // trailing event-time RANGE window — per user, count and exact-decimal
     // average of `value` over the preceding hour (rangeBetween on epoch
@@ -2490,6 +2550,21 @@ object SparkEntry {
         "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
         "ELSE 'und' END AS lang_guess FROM s ORDER BY doc_id"),
 
+    "q_lang_confusion" ->
+      ("WITH s AS (SELECT doc_id, lang, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EnStop)) AS BIGINT) AS n_en, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $DeStop)) AS BIGINT) AS n_de, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $FrStop)) AS BIGINT) AS n_fr, " +
+        s"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN $EsStop)) AS BIGINT) AS n_es " +
+        "FROM documents) " +
+        "SELECT lang, CASE " +
+        "WHEN n_en > 0 AND n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en' " +
+        "WHEN n_de > 0 AND n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de' " +
+        "WHEN n_fr > 0 AND n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr' " +
+        "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
+        "ELSE 'und' END AS lang_guess, count(*) AS n FROM s " +
+        "GROUP BY 1, 2 ORDER BY lang, lang_guess"),
+
     "q_token_compression" ->
       ("SELECT source, count(*) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS n_chars, " +
@@ -2597,6 +2672,25 @@ object SparkEntry {
         "e AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
         "FROM documents WHERE source <> 'src0') " +
         "SELECT doc_id, fp FROM k WHERE fp NOT IN (SELECT fp FROM e) ORDER BY doc_id"),
+
+    "q_corpus_diff" ->
+      ("WITH o AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents WHERE doc_id % 7 <> 0), " +
+        "nw AS (SELECT doc_id, md5(regexp_replace(lower(trim(" +
+        "CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents WHERE doc_id % 5 <> 0) " +
+        "SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN nw.doc_id IS NULL THEN 'removed' " +
+        "WHEN o.fp = nw.fp THEN 'same' ELSE 'changed' END AS status " +
+        "FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id ORDER BY doc_id"),
+
+    "q_containment_pairs" ->
+      (s"WITH $mhPairsCtes " +
+        "SELECT id1, id2, cont1, cont2 FROM (SELECT p.id1, p.id2, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks), 6) AS cont1, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(b.toks), 6) AS cont2 " +
+        "FROM pairs p JOIN t a ON a.doc_id = p.id1 JOIN t b ON b.doc_id = p.id2) " +
+        "WHERE cont1 >= 0.8 OR cont2 >= 0.8 ORDER BY id1, id2"),
 
     // Span dedup mirror: same gram hash (md5 of the space-joined k-gram),
     // same first-occurrence order ((doc_id, pos) lexicographic), same
@@ -3015,6 +3109,18 @@ object SparkEntry {
         "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end " +
         "FROM y GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_debounce" ->
+      ("SELECT event_id, user_id FROM (SELECT event_id, user_id, " +
+        "epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap " +
+        "FROM events) WHERE gap IS NULL OR gap > 60000 ORDER BY event_id"),
+
+    "q_event_percentiles" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90, " +
+        "round(quantile_cont(value, 0.99), 6) AS p99 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "q_window_rolling_range" ->
       ("SELECT event_id, user_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, " +

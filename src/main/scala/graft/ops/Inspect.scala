@@ -49,4 +49,25 @@ object Inspect {
       s"slice bounds must satisfy 0 <= start <= end <= Int.MaxValue, got [$start, $end)")
     df.orderBy(order: _*).offset(start.toInt).limit((end - start).toInt)
   }
+
+  /** Snapshot diff — the dataset-versioning audit between two corpus
+    * versions: per id, 'added' (new only), 'removed' (old only), 'same'
+    * (both, identical content fingerprint) or 'changed' (both,
+    * different). Both sides reduce to (id, fingerprint) before the
+    * full-outer join, so only 128-bit hashes shuffle — text never crosses
+    * the wire, and the join is one id-keyed exchange per side at any
+    * scale. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).alias("__ofp"))
+    val n = newDf.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).alias("__nfp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") === col("__nfp"), lit("same"))
+          .otherwise(lit("changed")).alias("status"))
+  }
 }

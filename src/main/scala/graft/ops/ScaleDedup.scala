@@ -235,6 +235,13 @@ object ScaleDedup {
   }
 
   /** n-gram Jaccard similarity of two documents' shingle sets. */
+  /** Asymmetric CONTAINMENT |A∩B| / |A| — near 1.0 when A is quoted
+    * inside a (possibly much larger) B, which Jaccard dilutes toward 0.
+    * The quote/subset-detection measure, 6-dp rounded. */
+  def containment(aTokens: Column, bTokens: Column): Column =
+    round(size(array_intersect(aTokens, bTokens)).cast("double")
+      / size(aTokens), 6)
+
   def jaccard(aTokens: Column, bTokens: Column): Column =
     round(size(array_intersect(aTokens, bTokens)).cast("double") /
       size(array_union(aTokens, bTokens)), 6)

@@ -71,4 +71,20 @@ object Sessionize {
       .select(col(keyCol), col("__gts").alias("bucket_ts"),
         col("__fill").alias(valCol))
   }
+
+  /** Debounce — drop an event that follows the previous event of the same
+    * key within `minGapMs` (double-click / duplicate-beacon suppression).
+    * Gap semantics: each event is judged against its RAW predecessor, not
+    * the last survivor — the one-window (single key-shuffle) formulation.
+    * (Last-survivor chaining would need a sequential scan per key; if a
+    * steady sub-gap drumbeat must collapse to one event, sessionize with
+    * `byGap` and keep each session's first row instead.) */
+  def debounce(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               minGapMs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    df.withColumn("__gap", unix_millis(col(tsCol)) - unix_millis(prev))
+      .filter(col("__gap").isNull || col("__gap") > minGapMs)
+      .drop("__gap")
+  }
 }

@@ -821,6 +821,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(Aggregates.madOutlierKeep(const, "v").count() == 3)
   }
 
+  test("snapshot diff labels added/removed/changed/same") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = Inspect.snapshotDiff(oldV, newV, "id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "removed"), (2L, "same"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("debounce judges each event against its raw predecessor") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // u1: 0s, 30s, 120s, 150s → keep 0s (first), drop 30s, keep 120s
+    // (90s after raw predecessor 30s), drop 150s
+    val ev = Seq((1L, 1L, ts(0)), (2L, 1L, ts(30)), (3L, 1L, ts(120)),
+      (4L, 1L, ts(150)), (5L, 2L, ts(10)))
+      .toDF("event_id", "user_id", "ts")
+    val kept = Sessionize.debounce(ev, "user_id", "ts", "event_id", 60000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("containment flags a quote that jaccard dilutes") {
+    val short = (1 to 10).map(i => s"q$i")
+    val long = short ++ (1 to 90).map(i => s"pad$i")
+    val a = array(short.map(lit): _*)
+    val b = array(long.map(lit): _*)
+    val row = spark.range(1).select(
+      ScaleDedup.containment(a, b).alias("cont"),
+      ScaleDedup.jaccard(a, b).alias("jac")).head()
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.1)
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
