@@ -1759,6 +1759,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // graph AUDIT: per-node triangle participation in the near-dup graph
+    // (node-iterator: two equi-joins over the id-oriented edge list;
+    // triangle density separates template families from chance collisions)
+    "q_triangle_counts" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.triangleCounts(edges).orderBy("node")
+    }),
+
+    // graph AUDIT: degree histogram of the near-dup graph (mass at degree
+    // 1 = pairwise accidents; a fat tail = template families)
+    "q_degree_histogram" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.degreeHistogram(edges).orderBy("degree")
+    }),
+
     // similarity: SemDeDup — k-means cells, within-cell cosine pairs,
     // drop every vector with a lower-id neighbor at cos >= 0.3
     "q_semdedup" -> ((s, d) => {
@@ -2892,6 +2911,20 @@ object SparkEntry {
 
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dup_cluster_sizes" -> dupClusterSizesOracle,
+
+    "q_triangle_counts" ->
+      (s"WITH $mhPairsCtes, " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM pairs), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "u AS (SELECT unnest([x, y, z]) AS node FROM tri) " +
+        "SELECT node, count(*) AS n_triangles FROM u GROUP BY node ORDER BY node"),
+
+    "q_degree_histogram" ->
+      (s"WITH $mhPairsCtes, " +
+        "d AS (SELECT node, count(*) AS degree FROM " +
+        "(SELECT id1 AS node FROM pairs UNION ALL SELECT id2 FROM pairs) GROUP BY node) " +
+        "SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree ORDER BY degree"),
 
     "q_simhash" -> simhashOracle,
 

@@ -30,6 +30,52 @@ object Graph {
     * counts already order nodes stably. Lineage grows linearly with
     * `iters` — for dozens of rounds pass pre-checkpointed edges and see
     * ScaleDedup.connectedComponents for the checkpoint pattern. */
+  /** Per-node triangle participation over an undirected simple graph
+    * (edges as (src, dst); direction, duplicates and self-loops are
+    * normalized away). The node-iterator formulation as two equi-joins:
+    * orient every edge low-id → high-id, build wedges a→b→c by joining
+    * the oriented list to itself on the middle node, close each wedge
+    * against the oriented list — every triangle materializes exactly once
+    * as its sorted triple (a<b<c), then fans out to its three corners for
+    * the per-node count. No all-pairs step anywhere; the joins shuffle
+    * the edge list on its endpoints. On hub-skewed graphs the id
+    * orientation should become degree orientation (direct each edge
+    * toward the higher-degree endpoint — one extra degree join) to bound
+    * wedge fan-out by arboricity; the join shape is unchanged.
+    * Curation use: triangle density separates tight template families
+    * from chains of coincidental LSH collisions in the near-dup graph.
+    * Returns (node, n_triangles) for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val tri = norm.alias("e1")
+      .join(norm.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(norm.alias("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").alias("x"), col("e1.b").alias("y"),
+        col("e2.b").alias("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).alias("node"))
+      .groupBy("node").agg(count(lit(1)).alias("n_triangles"))
+  }
+
+  /** Degree histogram of an undirected simple graph: (degree, n_nodes).
+    * The one-line audit of a near-dup graph's shape — a fat high-degree
+    * tail means template families / LSH mega-buckets, a mass at degree 1
+    * means pairwise accidental collisions. Two tiny aggregations over the
+    * edge list; nodes with no edges don't appear. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    norm.select(col("a").alias("node"))
+      .union(norm.select(col("b").alias("node")))
+      .groupBy("node").agg(count(lit(1)).alias("degree"))
+      .groupBy("degree").agg(count(lit(1)).alias("n_nodes"))
+  }
+
   def pagerank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"pagerank: need iters >= 1, got $iters")

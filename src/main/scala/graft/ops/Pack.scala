@@ -107,4 +107,25 @@ object Pack {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__ord")
   }
+
+  /** Materialize training shards: every input row joined to its
+    * `shardManifest` slot, written hive-partitioned by shard with rows in
+    * `pos` order inside each shard file. `repartition(shard)` puts each
+    * shard in exactly one task and `sortWithinPartitions(pos)` makes file
+    * order the training order, so a reader streams shard=K/ and gets the
+    * deterministic global-shuffle order with zero further work. One
+    * id-keyed join shuffle + one shard-keyed exchange — at 100 TB use
+    * more shards, not bigger ones (a shard is one task's write). */
+  def writeShards(df: DataFrame, idCol: String, numShards: Int,
+                  path: String): Unit = {
+    val manifest = shardManifest(df.select(col(idCol)), idCol, numShards)
+    df.join(manifest, Seq(idCol))
+      .repartition(numShards, col("shard"))
+      // sort key must LEAD with the partition column: the dynamic-
+      // partition writer requires rows ordered by partition cols and
+      // inserts its own (pos-oblivious) sort if they aren't already
+      .sortWithinPartitions("shard", "pos")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+  }
 }

@@ -853,6 +853,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.1)
   }
 
+  test("triangle counts and degree histogram normalize direction and dups") {
+    // triangle 1-2-3 plus pendant 3-4; one reversed duplicate edge (2,1)
+    // and a self-loop that must both normalize away
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L), (5L, 5L))
+      .toDF("src", "dst")
+    val tri = Graph.triangleCounts(edges).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(tri == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    val deg = Graph.degreeHistogram(edges).orderBy("degree")
+      .as[(Long, Long)].collect().toSeq
+    assert(deg == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1

@@ -28,6 +28,34 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkSpec
     } finally rmTree(dir)
   }
 
+  test("writeShards: one file per shard dir, file order is pos order") {
+    import graft.ops.Pack
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      val docs = Tables.documents(spark, sf0).select("doc_id", "text")
+      Pack.writeShards(docs, "doc_id", numShards = 4, dir)
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.length == 4, s"got ${shardDirs.map(_.getName).toSeq}")
+      shardDirs.foreach { sd =>
+        val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+        // single-file parquet read preserves write order → pos must ascend
+        val pos = spark.read.parquet(files.head.getPath)
+          .select("pos").collect().map(_.getLong(0)).toSeq
+        assert(pos == (1L to pos.length).toSeq, s"${sd.getName} not in pos order")
+      }
+      // round-trip: every doc lands in the shard its manifest assigned
+      val manifest = Pack.shardManifest(docs, "doc_id", 4)
+        .select(col("doc_id"), col("shard")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val back = spark.read.parquet(dir)
+        .select(col("doc_id"), col("shard").cast("long")).collect()
+      assert(back.length == manifest.size)
+      back.foreach(r => assert(manifest(r.getLong(0)) == r.getLong(1)))
+    } finally rmTree(dir)
+  }
+
   test("mergeSchema read unions schemas across parquet batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
