@@ -1759,6 +1759,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // similarity: kNN label prediction — the first 10 vectors take the
+    // majority label of their 5 nearest neighbors (self excluded); the
+    // embedding-space weak-labeling/eval loop over one corpus scan
+    "q_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.orderBy("vec_id").limit(10)
+        .select(col("vec_id").alias("qid"), col("label").alias("qlabel"),
+          Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.knnPredict(emb, "vec_id", "embedding", "label", probes, k = 5)
+        .orderBy("qid")
+    }),
+
     // graph AUDIT: per-node triangle participation in the near-dup graph
     // (node-iterator: two equi-joins over the id-oriented edge list;
     // triangle density separates template families from chance collisions)
@@ -2911,6 +2923,21 @@ object SparkEntry {
 
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dup_cluster_sizes" -> dupClusterSizesOracle,
+
+    "q_knn_classify" ->
+      ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e ORDER BY vec_id LIMIT 10), " +
+        "sc AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, " +
+        "round(list_dot_product(e.v, q.qv) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+        "top AS (SELECT qid, qlabel, label FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM sc) " +
+        "WHERE rn <= 5), " +
+        "votes AS (SELECT qid, qlabel, label, count(*) AS n_votes FROM top GROUP BY 1, 2, 3) " +
+        "SELECT qid, qlabel AS true_label, label AS pred_label, n_votes FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS r " +
+        "FROM votes) WHERE r = 1 ORDER BY qid"),
 
     "q_triangle_counts" ->
       (s"WITH $mhPairsCtes, " +

@@ -41,6 +41,39 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
 
+  /** kNN label prediction — the embedding-space weak-labeler: each probe
+    * takes the majority label of its k nearest corpus vectors by cosine
+    * (self-matches excluded; ties broken votes-desc then label-asc, so
+    * the answer is total-order deterministic). `probes` must be a small
+    * (qid, qlabel, qv) DataFrame: it is broadcast, the corpus is scanned
+    * ONCE for all probes, and the per-probe top-k plans map-side
+    * WindowGroupLimit — the exchange carries each task's local top-k,
+    * never the scored cross product. The vote aggregation then runs on
+    * probes×k rows (tiny). At 100 TB swap the scan for the IVF index
+    * probe (`ivfTopKIndexed`) — the voting tail is unchanged. */
+  def knnPredict(corpus: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, probes: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("__sim"), col(idCol))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("n_votes"), col("pred_label"))
+    corpus
+      .select(col(idCol), col(labelCol).alias("pred_label"),
+        asDouble(col(vecCol)).alias("v"))
+      .crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col(idCol), col("pred_label"),
+        cosine(col("v"), col("qv")).alias("__sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("qid"), col("qlabel"), col("pred_label"))
+      .agg(count(lit(1)).alias("n_votes"))
+      .withColumn("__r", row_number().over(wVote))
+      .filter(col("__r") === 1)
+      .select(col("qid"), col("qlabel").alias("true_label"),
+        col("pred_label"), col("n_votes"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: unit-free ±1 grid
     * derived from md5 — reproducible everywhere, no RNG state. */
   private[graft] def planeSign(planeIdx: Int, dim: Int): Double = {

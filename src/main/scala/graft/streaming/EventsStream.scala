@@ -12,6 +12,7 @@ case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 case class SessionAcc(startMs: Long, lastMs: Long, n: Long, sum: Double)
 case class UserSession(user_id: Long, session_start: Timestamp,
                        session_end: Timestamp, n_events: Long, total_value: Double)
+case class DebEvent(event_id: Long, user_id: Long, ts: Timestamp)
 
 /** Structured Streaming surface — the streaming re-expression of the
   * reference's chunked CSV → append-sink loop (challenge2.py:295-298,
@@ -200,6 +201,44 @@ object EventsStream {
       .select(col(idCol), col("ts"),
         graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long")
           .alias("n_tokens"))
+  }
+
+  /** Streaming DEBOUNCE — the streaming face of `ops/Sessionize.debounce`
+    * (same raw-predecessor gap semantics): an event is dropped when it
+    * falls within `minGapMs` of the same key's previous event. State per
+    * key is ONE timestamp (the last raw event time), expired by the
+    * event-time watermark once no in-horizon event can precede it.
+    * Within a micro-batch events are judged in (ts, event_id) order, so
+    * replaying a backlog through arbitrary batch boundaries yields the
+    * batch operator's answer for in-order input. */
+  def debounceStream(events: DataFrame, minGapMs: Long,
+                     lateness: String = "30 minutes"): Dataset[DebEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", lateness)
+      .as[DebEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, DebEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, batch: Iterator[DebEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[DebEvent]
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (last == Long.MinValue || t - last > minGapMs) out += e
+              last = t // raw-predecessor semantics: every event advances
+            }
+            state.update(last)
+            state.setTimeoutTimestamp(
+              math.max(last, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
   }
 
   /** Streaming exact dedup: drop repeated ids with state bounded by the

@@ -53,6 +53,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids.sorted === Seq(1L, 2L), s"got $ids")
   }
 
+  test("streaming debounce matches the batch operator's raw-gap semantics") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DebEvent
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DebEvent]
+    val out = EventsStream.debounceStream(input.toDF(), minGapMs = 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("deb_s").start()
+    def ev(id: Long, uid: Long, sec: Long) =
+      DebEvent(id, uid, new Timestamp(1000000000L + sec * 1000L))
+    // u1: 0s, 30s, 120s, 150s → keep 1 and 3 (raw-predecessor gaps
+    // 30/90/30); second batch continues against stored state: 260s is
+    // 110s after the raw last (150s) → kept; 300s is 40s after → dropped
+    input.addData(ev(1, 1, 0), ev(2, 1, 30), ev(3, 1, 120), ev(4, 1, 150),
+      ev(5, 2, 10))
+    input.addData(ev(6, 1, 260), ev(7, 1, 300))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("deb_s").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L), s"got $kept")
+    // cross-check the batch twin on the same replayed input
+    val batchKept = graft.ops.Sessionize.debounce(
+      Seq(ev(1, 1, 0), ev(2, 1, 30), ev(3, 1, 120), ev(4, 1, 150),
+        ev(5, 2, 10), ev(6, 1, 260), ev(7, 1, 300)).toDF(),
+      "user_id", "ts", "event_id", 60000L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept, s"batch $batchKept != stream $kept")
+  }
+
   test("textPrepStream: quality gate + lang filter + fingerprint dedup on a stream") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
