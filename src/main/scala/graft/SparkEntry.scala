@@ -1586,6 +1586,21 @@ object SparkEntry {
           Tables.events(s, d).select(col("event_id"), col("value")), "value")
         .orderBy("event_id")),
 
+    // feature engineering: per-group z-score (exact DECIMAL moments, one
+    // grouped pass broadcast back; zero-variance groups yield NULL)
+    "q_zscore_by_group" -> ((s, d) =>
+      Aggregates.zscoreByGroup(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            col("value")), "event_type", "value")
+        .orderBy("event_id")),
+
+    // numeric cleaning: winsorize — clamp value to its exact [p1, p99];
+    // keeps every row, bounds tail influence (companion of the MAD gate)
+    "q_winsorize" -> ((s, d) =>
+      Aggregates.winsorize(
+          Tables.events(s, d).select(col("event_id"), col("value")), "value")
+        .orderBy("event_id")),
+
     // tumbling-window batch aggregate over event time
     "q_window_tumbling" -> ((s, d) =>
       Tables.events(s, d)
@@ -3187,6 +3202,23 @@ object SparkEntry {
         "round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / (count(*) OVER w), 6) AS avg_1h " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
         "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+
+    "q_zscore_by_group" ->
+      ("WITH m AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2 " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "round((e.value - m.s / m.n) / " +
+        "sqrt(nullif(m.s2 / m.n - (m.s / m.n) * (m.s / m.n), 0)), 6) AS zscore " +
+        "FROM events e JOIN m USING (event_type) ORDER BY event_id"),
+
+    "q_winsorize" ->
+      ("WITH c AS (SELECT round(quantile_cont(value, 0.01), 6) AS lo, " +
+        "round(quantile_cont(value, 0.99), 6) AS hi FROM events) " +
+        "SELECT event_id, value, " +
+        "round(greatest(c.lo, least(c.hi, round(value, 6))), 6) AS value_w " +
+        "FROM events, c ORDER BY event_id"),
 
     "q_outlier_mad" ->
       ("WITH v AS (SELECT event_id, value FROM events), " +

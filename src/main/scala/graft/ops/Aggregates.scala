@@ -161,6 +161,47 @@ object Aggregates {
       round((covn * covn) / nullif(varxn * varyn, lit(0.0)), 6).alias("r2"))
   }
 
+  /** Per-group z-score normalization — the feature-engineering staple:
+    * (x − μ_g) / σ_g with population σ. Moments come from exact DECIMAL
+    * sums (shuffle-order-proof, one grouped pass) broadcast back onto the
+    * rows via the group key; the normalize step is a narrow projection.
+    * Zero-variance groups yield NULL (nullif guard), mirroring
+    * `linearFit`'s degenerate-group convention. Output adds `zscore`,
+    * 6-dp rounded. */
+  def zscoreByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                    scale: Int = 6): DataFrame = {
+    val moments = df.groupBy(groupCol).agg(
+      count(lit(1)).alias("__n"),
+      sum(col(valueCol).cast(s"decimal(18,$scale)")).alias("__s"),
+      sum((col(valueCol) * col(valueCol)).cast(s"decimal(18,$scale)"))
+        .alias("__s2"))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance = col("__s2").cast("double") / n - mean * mean
+    df.join(broadcast(moments), Seq(groupCol))
+      .withColumn("zscore",
+        round((col(valueCol) - mean) / sqrt(nullif(variance, lit(0.0))), 6))
+      .drop("__n", "__s", "__s2")
+  }
+
+  /** Winsorize: clamp a column to its [pLo, pHi] exact percentiles — the
+    * tail-taming companion of `madOutlierKeep` that keeps every row but
+    * bounds influence. The two cutpoints reduce to ONE broadcast row;
+    * clamping is a narrow projection. Cutpoints and output are 6-dp
+    * rounded so the clamp boundary is engine-exact. */
+  def winsorize(df: DataFrame, valueCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val cuts = df.agg(
+      round(expr(s"percentile($valueCol, ${pLo}D)"), 6).alias("__lo"),
+      round(expr(s"percentile($valueCol, ${pHi}D)"), 6).alias("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(valueCol + "_w",
+        round(greatest(col("__lo"), least(col("__hi"), round(col(valueCol), 6))), 6))
+      .drop("__lo", "__hi")
+  }
+
   /** Robust outlier filter: keep rows whose |value − median| stays within
     * `nSigmas` MAD-estimated standard deviations (MAD × 1.4826 ≈ σ for
     * normal data). Median/MAD resist the very outliers a mean/stddev

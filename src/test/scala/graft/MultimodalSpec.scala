@@ -147,5 +147,15 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // end-to-end image dedup: pairs feed the SAME clustering engine as
+    // text near-dups — the {1,2,3} family collapses to canonical 1, the
+    // distinct image stays its own cluster
+    import org.apache.spark.sql.functions.col
+    val labels = graft.ops.ScaleDedup.connectedComponents(
+      hashes.toDF().select(col("media_id").alias("id")),
+      pairs.toSeq.toDF("id1", "id2"))
+    val canon = labels.filter(col("label") === col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(canon == Set(1L, 4L), s"image dedup survivors were $canon")
   }
 }

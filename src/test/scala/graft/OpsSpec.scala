@@ -866,6 +866,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(deg == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("zscore by group normalizes per group, NULL on zero variance") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val got = Aggregates.zscoreByGroup(df, "g", "v")
+      .orderBy("g", "v").collect()
+    // group a: mean 2, population sd sqrt(2/3) → z(1) ≈ -1.224745
+    assert(got(0).getDouble(2) == -1.224745 && got(1).getDouble(2) == 0.0 &&
+      got(2).getDouble(2) == 1.224745)
+    assert(got(3).isNullAt(2) && got(4).isNullAt(2))
+  }
+
+  test("winsorize clamps both tails, keeps every row") {
+    val df = (Seq(-1000.0) ++ (1 to 98).map(_.toDouble) :+ 1000.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Aggregates.winsorize(df, "v", pLo = 0.01, pHi = 0.99)
+    assert(got.count() == 100)
+    val w = got.orderBy("v").select("v_w").as[Double].collect()
+    assert(w.min == w(0) && w.head > -1000.0 && w.last < 1000.0)
+    // interior values untouched
+    val mid = got.filter(col("v") === 50.0).select("v_w").as[Double].head()
+    assert(mid == 50.0)
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
