@@ -1543,6 +1543,60 @@ object SparkEntry {
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").alias("s_end"))
         .orderBy("user_id", "session_seq")),
 
+    // product analytics: 3-step funnel (view → later click → later
+    // purchase per user, first-qualifying-time chaining). Comparisons run
+    // on epoch MICROS on both engines — the fixture carries sub-µs nanos
+    // DuckDB keeps and Spark truncates, so raw-ts inequalities would be
+    // engine-dependent for same-µs event pairs.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).alias("tus"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").alias("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("tus") > col("t1"))
+        .groupBy("user_id").agg(min("tus").alias("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("tus") > col("t2"))
+        .groupBy("user_id").agg(min("tus").alias("t3"))
+      v.agg(count(lit(1)).alias("n_view"))
+        .crossJoin(c.agg(count(lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).alias("n_view_click_purchase")))
+    }),
+
+    // product analytics: cohort retention — users by first-seen day ×
+    // active-day offset (the classic retention triangle), one distinct
+    // pass + one grouped pass
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").alias("day"))
+      val first = ev.groupBy("user_id").agg(min("day").alias("cohort_day"))
+      ev.distinct().join(first, "user_id")
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").alias("day_offset"))
+        .groupBy("cohort_day", "day_offset").agg(count(lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // product analytics: next-event transition matrix — per-user lead
+    // pairs, counts and row-normalized probabilities (the Markov view of
+    // the event stream); one user-keyed window + one tiny grouped pass
+    "q_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).alias("tus"))
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").alias("src"), col("dst"))
+        .agg(count(lit(1)).alias("n"))
+        .withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(wSrc), 6))
+        .orderBy("src", "dst")
+    }),
+
     // event cleaning: debounce — drop an event within 60 s of the same
     // user's previous event (duplicate-beacon suppression, one window)
     "q_debounce" -> ((s, d) =>
@@ -3184,6 +3238,33 @@ object SparkEntry {
         "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end " +
         "FROM y GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +
+        "v AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN v USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.tus > v.t1 GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN c USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.tus > c.t2 GROUP BY 1) " +
+        "SELECT (SELECT count(*) FROM v) AS n_view, " +
+        "(SELECT count(*) FROM c) AS n_view_click, " +
+        "(SELECT count(*) FROM p) AS n_view_click_purchase"),
+
+    "q_cohort_retention" ->
+      ("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) " +
+        "SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS day_offset, " +
+        "count(*) AS n_users FROM a JOIN f USING (user_id) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q_event_transitions" ->
+      ("WITH s AS (SELECT user_id, event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst FROM events), " +
+        "c AS (SELECT event_type AS src, dst, count(*) AS n FROM s " +
+        "WHERE dst IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT src, dst, n, " +
+        "round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p " +
+        "FROM c ORDER BY src, dst"),
 
     "q_debounce" ->
       ("SELECT event_id, user_id FROM (SELECT event_id, user_id, " +
