@@ -946,6 +946,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FLAGSHIP v4 (span variant) — the v2 kept chain with SPAN-level
+    // dedup composed in: quality + repetition gate → language filter →
+    // 13-gram decontamination → exact dedup canonical → remove duplicated
+    // 8-token spans corpus-wide (first occurrence kept) → per-doc clean
+    // token count + removed count. Document-level dedup passes a page
+    // that pastes a boilerplate paragraph into fresh prose; this stage
+    // cuts exactly the paragraph. Text still never shuffles: the kept
+    // chain ships fingerprints/shingle hashes, the span stage ships gram
+    // md5s + int positions, the rebuild is a narrow array filter.
+    "q_llm_prep_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      val kept = docs
+        .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 8,
+          maxTokens = 100000, minStopRatio = 0.01,
+          maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))
+        .filter(TextAnalysis.langId(col("text")) === "en")
+      val clean = ScaleDedup.decontaminate(kept, "doc_id", "text",
+        evalSet, "text", n = 13)
+      val canon = ScaleDedup.exactDedupGroups(clean, "doc_id", "text")
+        .select(col("keep_id").alias("doc_id"))
+      val uniq = clean.join(canon, Seq("doc_id"), "left_semi")
+      ScaleDedup.removeRepeatedSpans(uniq, "doc_id", "text", k = 8)
+        .select(col("doc_id"),
+          when(col("text_clean") === "", lit(0L))
+            .otherwise(size(split(col("text_clean"), " ")).cast("long"))
+            .alias("n_tokens_clean"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // FLAGSHIP v3 — the v2 stack with FUZZY dedup composed in: quality +
     // repetition gate → language filter → 13-gram decontamination → exact
     // dedup (collapses identical mega-clusters cheaply, and keeps the LSH
@@ -2321,6 +2352,28 @@ object SparkEntry {
       "SELECT k.doc_id, CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens " +
       "FROM k JOIN canon ON k.doc_id = canon.id ORDER BY k.doc_id"
 
+  /** DuckDB mirror of q_llm_prep_spans (flagship v4): the shared kept
+    * chain through exact-dedup canonical `k`, then the span-dedup chain
+    * (same gram hash / first-occurrence order as the q_span_dedup mirror)
+    * run OVER k, counting surviving vs removed tokens per doc. */
+  private def llmPrepSpansOracle: String =
+    s"WITH $llmPrepKeptCtes, " +
+      "st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM k), " +
+      "sg AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 8 + 1)) AS pos FROM st), " +
+      "shh AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1 : pos+8], ' ')) AS gh FROM sg), " +
+      "sm AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM shh), " +
+      "scov AS (SELECT DISTINCT doc_id, p FROM (" +
+      "SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM sm WHERE rn > 1)), " +
+      "su AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS p FROM st), " +
+      "skept AS (SELECT su.doc_id, count(*) AS n_clean FROM su " +
+      "LEFT JOIN scov ON su.doc_id = scov.doc_id AND su.p = scov.p " +
+      "WHERE scov.p IS NULL GROUP BY su.doc_id), " +
+      "snr AS (SELECT doc_id, count(*) AS n_removed FROM scov GROUP BY doc_id) " +
+      "SELECT st.doc_id, CAST(coalesce(skept.n_clean, 0) AS BIGINT) AS n_tokens_clean, " +
+      "CAST(coalesce(snr.n_removed, 0) AS BIGINT) AS n_removed " +
+      "FROM st LEFT JOIN skept ON st.doc_id = skept.doc_id " +
+      "LEFT JOIN snr ON st.doc_id = snr.doc_id ORDER BY st.doc_id"
+
   private val EnStop = "('the','of','and','a','to','in','is')"
   private val DeStop = "('der','die','das','und','ist','nicht')"
   private val FrStop = "('le','la','les','et','est','dans')"
@@ -2967,6 +3020,7 @@ object SparkEntry {
     "q_llm_prep_full" -> llmPrepFullOracle,
 
     "q_llm_prep_fuzzy" -> llmPrepFuzzyOracle,
+    "q_llm_prep_spans" -> llmPrepSpansOracle,
 
     "q_minhash_sig" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
