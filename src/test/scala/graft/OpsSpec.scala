@@ -889,6 +889,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(mid == 50.0)
   }
 
+  test("knnPredict plans map-side WindowGroupLimit and a broadcast probe side") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val emb = Tables.embeddings(spark, sf0)
+    val probes = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").alias("qid"), col("label").alias("qlabel"),
+        graft.ops.Similarity.asDouble(col("embedding")).alias("qv"))
+    val out = graft.ops.Similarity.knnPredict(
+      emb, "vec_id", "embedding", "label", probes, k = 3)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan
+    val wgl = helper.collectWithSubqueries(plan) {
+      case w: WindowGroupLimitExec => w }
+    val bcast = helper.collectWithSubqueries(plan) {
+      case b: BroadcastExchangeExec => b }
+    assert(wgl.nonEmpty, s"expected WindowGroupLimit (map-side top-k), got:\n$plan")
+    assert(bcast.nonEmpty, s"expected broadcast probe side, got:\n$plan")
+    // each probe predicts some label with 1..k votes
+    val rows = out.collect()
+    assert(rows.length == 3 && rows.forall(r =>
+      r.getLong(3) >= 1 && r.getLong(3) <= 3))
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1

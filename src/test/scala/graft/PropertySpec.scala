@@ -235,4 +235,34 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
     assert(clusters(capped) == clusters(full))
   }
+
+  test("property: span dedup == sequential first-occurrence reference") {
+    import spark.implicits._
+    // tiny vocab forces heavy cross-doc gram sharing; k=3 spans
+    val k = 3
+    val docGen = Gen.chooseNum(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // reference: walk docs in id order, positions left-to-right; a gram
+    // occurrence is removed iff its gram string was seen before (in any
+    // doc, or earlier in this one); removed spans union their positions
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val cov = scala.collection.mutable.Set[Int]()
+      for (p <- 0 to toks.length - k) {
+        val gram = toks.slice(p, p + k).mkString(" ")
+        if (seen.contains(gram)) cov ++= (p until p + k)
+        else seen += gram
+      }
+      val clean = toks.zipWithIndex.collect {
+        case (t, i) if !cov.contains(i) => t }.mkString(" ")
+      (id, clean, cov.size.toLong)
+    }
+    val got = ScaleDedup.removeRepeatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }
