@@ -510,6 +510,25 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"))
         .orderBy("lang", "lang_guess")),
 
+    // mix planning: per-source repeat factors toward a uniform token
+    // budget (target_share / actual_share — the DoReMi-style rebalancing
+    // table a mix designer starts from); two tiny aggregations
+    "q_mix_rebalance" -> ((s, d) => {
+      val per = Tables.documents(s, d).groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).alias("n_tokens"))
+      val tot = per.agg(sum("n_tokens").alias("__tot"),
+        count(lit(1)).alias("__k"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("__tot"), 6)
+            .alias("actual_share"),
+          round(lit(1.0) / col("__k"), 6).alias("target_share"),
+          round((lit(1.0) / col("__k"))
+            / (col("n_tokens").cast("double") / col("__tot")), 6)
+            .alias("repeat_factor"))
+        .orderBy("source")
+    }),
+
     // text: tokenizer-compression report — chars per whitespace token by
     // source (the bytes/token dataset-card figure that says how far a
     // token budget stretches on each domain); one grouped pass
@@ -2717,6 +2736,16 @@ object SparkEntry {
         "WHEN n_es > 0 AND n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es' " +
         "ELSE 'und' END AS lang_guess, count(*) AS n FROM s " +
         "GROUP BY 1, 2 ORDER BY lang, lang_guess"),
+
+    "q_mix_rebalance" ->
+      ("WITH per AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS k FROM per) " +
+        "SELECT source, n_tokens, " +
+        "round(CAST(n_tokens AS DOUBLE) / tot, 6) AS actual_share, " +
+        "round(1.0 / k, 6) AS target_share, " +
+        "round((1.0 / k) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS repeat_factor " +
+        "FROM per, t ORDER BY source"),
 
     "q_token_compression" ->
       ("SELECT source, count(*) AS n_docs, " +

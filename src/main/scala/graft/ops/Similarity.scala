@@ -220,6 +220,19 @@ object Similarity {
       ivfAssign(base, idCol, "v", centroids), table, "cell", buckets)
   }
 
+  /** Incrementally grow a persisted IVF index: assign ONLY the new batch
+    * against the trained centroids (broadcast argmin, no existing-corpus
+    * touch) and append it through the table's declared bucket layout —
+    * the index absorbs arriving vectors at batch-sized cost, existing
+    * rows never move, and `ivfTopKIndexed` probes stay shuffle-free.
+    * Re-train centroids only when drift warrants a full rebuild. */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, table: String): Unit = {
+    val base = batch.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    graft.sources.Bucketing.appendBucketed(
+      ivfAssign(base, idCol, "v", centroids), table)
+  }
+
   /** Probe a persisted IVF index (see `writeIvfIndex`): the corpus side
     * is READ pre-assigned — no argmin recompute, no shuffle (the probe
     * side broadcasts, so the index scan flows straight into the join;

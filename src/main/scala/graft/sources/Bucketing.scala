@@ -34,6 +34,16 @@ object Bucketing {
     (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
   }
 
+  /** Append a batch to an existing bucketed table, preserving the bucket
+    * layout (insertInto routes rows through the table's declared
+    * bucketing, so post-append reads keep their shuffle-free plans). The
+    * maintenance half of a bucketed ingest: write once with
+    * `writeBucketed`, then absorb arriving batches without rewriting the
+    * table. Batch cost is one bucket-hash exchange of the BATCH only —
+    * independent of table size. */
+  def appendBucketed(batch: DataFrame, table: String): Unit =
+    batch.write.mode(SaveMode.Append).format("parquet").insertInto(table)
+
   /** Shuffle-free equi-join of two tables bucketed on the join key with the
     * SAME bucket count. The caller asserts the layout; Spark's planner
     * recognizes the matching HashPartitioning and plans SMJ without

@@ -66,4 +66,35 @@ class BucketingSpec extends AnyFunSuite with SparkSpec with AdaptiveSparkPlanHel
     assert(got === expect)
     spark.sql("DROP TABLE IF EXISTS b_ivf_index")
   }
+
+  test("incremental IVF append: probe over old∪new matches a full rebuild, stays shuffle-free") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf0)
+    val centroids = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").alias("cid"),
+        Similarity.asDouble(col("embedding")).alias("cv"))
+    // build from the first 80% of ids, append the rest as a late batch
+    val cut = emb.selectExpr("percentile(vec_id, 0.8D) p").head().getDouble(0)
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") <= cut),
+      "vec_id", "embedding", centroids, "b_ivf_inc")
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") > cut),
+      "vec_id", "embedding", centroids, "b_ivf_inc")
+    val q = emb.orderBy(desc("vec_id")).limit(1)
+      .select(Similarity.asDouble(col("embedding")).alias("qv"))
+    val probe = Similarity.ivfTopKIndexed(spark, "b_ivf_inc", "vec_id",
+      q, k = 20, centroids)
+    val got = probe.collect().toSeq
+    val shuffles = collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty,
+      s"expected shuffle-free probe after append, got:\n${probe.queryExecution.executedPlan}")
+    // identity vs a from-scratch index over the full corpus
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, "b_ivf_full")
+    val expect = Similarity.ivfTopKIndexed(spark, "b_ivf_full", "vec_id",
+      q, k = 20, centroids).collect().toSeq
+    assert(got === expect)
+    spark.sql("DROP TABLE IF EXISTS b_ivf_inc")
+    spark.sql("DROP TABLE IF EXISTS b_ivf_full")
+  }
 }
