@@ -1097,6 +1097,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup MEASUREMENT: precision/recall of the LSH candidate generator
+    // against exact-Jaccard (≥ 0.5) ground truth on a 1-in-10 id sample —
+    // "measured, not claimed", the dedup twin of q_ann_recall. The
+    // all-pairs ground truth is confined to the sample (a measurement
+    // query runs on a slice; the operator itself never does all-pairs).
+    "q_dedup_recall" -> ((s, d) => {
+      val samp = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val cands = ScaleDedup.minhashCandidatePairs(samp, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val toks = samp.select(col("doc_id"),
+        ScaleDedup.tokenSet(col("text")).alias("toks"))
+      val withJ = cands
+        .join(toks.select(col("doc_id").alias("id1"), col("toks").alias("t1")), "id1")
+        .join(toks.select(col("doc_id").alias("id2"), col("toks").alias("t2")), "id2")
+        .select(ScaleDedup.jaccard(col("t1"), col("t2")).alias("jac"))
+      val truth = toks.select(col("doc_id").alias("id1"), col("toks").alias("t1"))
+        .crossJoin(toks.select(col("doc_id").alias("id2"), col("toks").alias("t2")))
+        .filter(col("id1") < col("id2"))
+        .filter(ScaleDedup.jaccard(col("t1"), col("t2")) >= 0.5)
+      val cAgg = withJ.agg(count(lit(1)).alias("n_cand"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).alias("n_hit"))
+      cAgg.crossJoin(truth.agg(count(lit(1)).alias("n_truth")))
+        .select(col("n_cand"), col("n_truth"),
+          round(col("n_hit").cast("double") / col("n_cand"), 6).alias("prec"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).alias("rec"))
+    }),
+
     // dedup AUDIT: near-dup cluster size distribution — the dataset-card
     // figure a dedup run publishes (how much of the corpus sits in
     // duplicate families, and how big the worst family is). Reuses the
@@ -3075,6 +3102,22 @@ object SparkEntry {
 
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_dup_cluster_sizes" -> dupClusterSizesOracle,
+
+    "q_dedup_recall" ->
+      ("WITH samp AS (SELECT * FROM documents WHERE doc_id % 10 = 0), " +
+        mhPairsCtesOver("samp") + ", " +
+        "wj AS (SELECT round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac " +
+        "FROM pairs p JOIN t a ON a.doc_id = p.id1 JOIN t b ON b.doc_id = p.id2), " +
+        "tr AS (SELECT 1 FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.5), " +
+        "agg AS (SELECT (SELECT count(*) FROM wj) AS n_cand, " +
+        "(SELECT count(*) FROM wj WHERE jac >= 0.5) AS n_hit, " +
+        "(SELECT count(*) FROM tr) AS n_truth) " +
+        "SELECT n_cand, n_truth, " +
+        "round(CAST(n_hit AS DOUBLE) / n_cand, 6) AS prec, " +
+        "round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS rec FROM agg"),
 
     "q_knn_classify" ->
       ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +

@@ -220,6 +220,19 @@ object Similarity {
       ivfAssign(base, idCol, "v", centroids), table, "cell", buckets)
   }
 
+  /** Persist trained centroids as a (cid, cv) parquet model artifact —
+    * the train-once / probe-everywhere loop (the `saveBpeMerges` analog
+    * for the vector side; an IVF index is only usable with the exact
+    * centroids it was built with, so they must travel together). */
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.select(col("cid"), col("cv"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted centroid artifact (see `saveCentroids`). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path).select(col("cid"), col("cv"))
+
   /** Incrementally grow a persisted IVF index: assign ONLY the new batch
     * against the trained centroids (broadcast argmin, no existing-corpus
     * touch) and append it through the table's declared bucket layout —

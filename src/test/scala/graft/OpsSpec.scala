@@ -914,6 +914,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       r.getLong(3) >= 1 && r.getLong(3) <= 3))
   }
 
+  test("centroid artifact round-trips and reproduces assignments") {
+    val emb = Tables.embeddings(spark, sf0)
+    val base = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).alias("v"))
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "v",
+      nCells = 4, iters = 2, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cents").toString
+    try {
+      Similarity.saveCentroids(cents, dir)
+      val loaded = Similarity.loadCentroids(spark, dir)
+      val before = Similarity.ivfAssign(base, "vec_id", "v", cents)
+        .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+      val after = Similarity.ivfAssign(base, "vec_id", "v", loaded)
+        .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+      assert(before == after)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("linearFit recovers an exact line and guards degenerate groups") {
     val df = Seq(
       // g1: y = 2x + 1 exactly → slope 2, intercept 1, r² 1
