@@ -1693,6 +1693,47 @@ object SparkEntry {
           round(col("__q").getItem(2), 6).alias("p99"))
         .orderBy("event_type")),
 
+    // sketch: APPROXIMATE quantiles from a deterministic KMV sample — the
+    // 256 rows with the smallest md5 draw (TakeOrderedAndProject: local
+    // top-k per task + driver k-merge, no global sort) estimate p50/p90.
+    // The 100 TB quantile path with none of rand()'s irreproducibility:
+    // the sketch is a pure function of the ids, so the DuckDB mirror
+    // replays it exactly — approximate vs the full data, deterministic
+    // vs the oracle.
+    "q_approx_quantile_kmv" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"), col("value"))
+        .orderBy(ScaleDedup.hash32(col("event_id").cast("string"), 0),
+          col("event_id"))
+        .limit(256)
+        .agg(count(lit(1)).alias("k"),
+          round(expr("percentile(value, 0.5D)"), 6).alias("p50_est"),
+          round(expr("percentile(value, 0.9D)"), 6).alias("p90_est"))),
+
+    // monitoring: rolling anomaly flags — trailing-7-day per-user
+    // mean/std from exact DECIMAL window sums; emit events with |z| > 3
+    // over a ≥ 5-event baseline (rolling-window + z-score composed; the
+    // fixture's users emit ~20 events/month, so an hour-scale baseline
+    // would never reach 5 events)
+    "q_rolling_anomaly" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_ms"))
+        .rangeBetween(-604800000L, 0L)
+      val n = count(lit(1)).over(w)
+      val sm = sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+      val s2 = sum((col("value") * col("value")).cast("decimal(18,6)"))
+        .over(w).cast("double")
+      val mean = sm / n
+      val variance = s2 / n - mean * mean
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).alias("ts_ms"), col("value"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          n.cast("long").alias("n_base"),
+          round((col("value") - mean) / sqrt(nullif(greatest(variance, lit(0.0)), lit(0.0))), 6)
+            .alias("zscore"))
+        .filter(col("n_base") >= 5 && abs(col("zscore")) > 3)
+        .orderBy("event_id")
+    }),
+
     // trailing event-time RANGE window — per user, count and exact-decimal
     // average of `value` over the preceding hour (rangeBetween on epoch
     // millis; the rolling-feature shape a monitoring/feature pipeline
@@ -3403,6 +3444,25 @@ object SparkEntry {
         "round(quantile_cont(value, 0.9), 6) AS p90, " +
         "round(quantile_cont(value, 0.99), 6) AS p99 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_approx_quantile_kmv" ->
+      ("WITH s AS (SELECT event_id, value FROM events " +
+        "ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#0'), 1, 8))::BIGINT, event_id " +
+        "LIMIT 256) " +
+        "SELECT count(*) AS k, round(quantile_cont(value, 0.5), 6) AS p50_est, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90_est FROM s"),
+
+    "q_rolling_anomaly" ->
+      ("WITH x AS (SELECT event_id, user_id, value, count(*) OVER w AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sm, " +
+        "CAST(sum(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
+        "RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)), " +
+        "y AS (SELECT event_id, user_id, value, CAST(n AS BIGINT) AS n_base, " +
+        "round((value - sm / n) / " +
+        "sqrt(nullif(greatest(s2 / n - (sm / n) * (sm / n), 0), 0)), 6) AS zscore FROM x) " +
+        "SELECT event_id, user_id, value, n_base, zscore FROM y " +
+        "WHERE n_base >= 5 AND abs(zscore) > 3 ORDER BY event_id"),
 
     "q_window_rolling_range" ->
       ("SELECT event_id, user_id, CAST(count(*) OVER w AS BIGINT) AS n_1h, " +
