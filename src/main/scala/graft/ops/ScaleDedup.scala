@@ -407,6 +407,40 @@ object ScaleDedup {
       .select(col(idCol), col("__fp").alias("fp"))
   }
 
+  /** Materialize the corpus's distinct fingerprint set as a bucketed
+    * table — the maintained state that makes `dedupAgainst` batch-cost
+    * independent of corpus size. Bucketing by fp means the batch
+    * anti-join reads the table pre-partitioned: only the (small) batch
+    * side shuffles, ever. Absorb a deduped batch's new fingerprints with
+    * `appendFingerprints` — appends route through the declared bucket
+    * layout and never rewrite existing state. */
+  def writeFingerprintTable(corpus: DataFrame, textCol: String,
+                            table: String, buckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      corpus.select(TextAnalysis.fingerprint(col(textCol)).alias("fp")).distinct(),
+      table, "fp", buckets)
+
+  /** Append newly-admitted fingerprints to the maintained table (see
+    * `writeFingerprintTable`). */
+  def appendFingerprints(batch: DataFrame, table: String): Unit =
+    graft.sources.Bucketing.appendBucketed(batch.select("fp"), table)
+
+  /** `dedupAgainst` with the existing side read from the maintained
+    * bucketed fingerprint table: within-batch min-id canonical, then an
+    * anti-join whose table side carries NO exchange (the bucketed layout
+    * IS the join partitioning) — the true incremental-ingest shape where
+    * per-batch cost never grows with the corpus. */
+  def dedupAgainstTable(spark: org.apache.spark.sql.SparkSession,
+                        batch: DataFrame, idCol: String, textCol: String,
+                        table: String): DataFrame = {
+    val canon = batch
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).alias("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).alias(idCol))
+    canon.join(spark.table(table).select(col("fp").alias("__fp")),
+        Seq("__fp"), "left_anti")
+      .select(col(idCol), col("__fp").alias("fp"))
+  }
+
   /** Exact dedup: group by content fingerprint, keep the smallest id.
     * One shuffle on the 128-bit hash — the canonical 100 TB exact-dedup
     * plan (hash, not raw text, crosses the wire ... group keys are

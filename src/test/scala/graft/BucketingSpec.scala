@@ -67,6 +67,47 @@ class BucketingSpec extends AnyFunSuite with SparkSpec with AdaptiveSparkPlanHel
     spark.sql("DROP TABLE IF EXISTS b_ivf_index")
   }
 
+  test("maintained fingerprint table: no exchange on the table side, results match dedupAgainst") {
+    import graft.ops.ScaleDedup
+    val docs = Tables.documents(spark, sf0)
+    val existing = docs.filter(col("source") =!= "src0")
+    val batch = docs.filter(col("source") === "src0")
+    ScaleDedup.writeFingerprintTable(existing, "text", "b_fp_state")
+    // disable broadcast so the anti-join exercises the bucketed SMJ path
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = ScaleDedup.dedupAgainstTable(spark, batch, "doc_id", "text",
+        "b_fp_state")
+      out.write.format("noop").mode("overwrite").save()
+      val plan = out.queryExecution.executedPlan
+      val shuffles = collectWithSubqueries(plan) {
+        case s: ShuffleExchangeExec => s }
+      // the batch side shuffles for its groupBy/join; the table side must
+      // NOT — its scan feeds the join through the declared bucketing, so
+      // no shuffle reads the fingerprint-table scan
+      assert(shuffles.nonEmpty, "expected the batch side to shuffle")
+      val tableScanShuffled = shuffles.exists(_.find {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == "b_fp_state")
+        case _ => false
+      }.isDefined)
+      assert(!tableScanShuffled,
+        s"fingerprint-table scan must not sit under an exchange:\n$plan")
+      // result identity vs the DataFrame-to-DataFrame variant
+      val expect = ScaleDedup.dedupAgainst(batch, existing, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(out.orderBy("doc_id").collect().toSeq === expect)
+      // absorb the batch's new fingerprints; re-running admits nothing
+      ScaleDedup.appendFingerprints(out, "b_fp_state")
+      assert(ScaleDedup.dedupAgainstTable(spark, batch, "doc_id", "text",
+        "b_fp_state").count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE IF EXISTS b_fp_state")
+    }
+  }
+
   test("incremental IVF append: probe over old∪new matches a full rebuild, stays shuffle-free") {
     import graft.ops.Similarity
     val emb = Tables.embeddings(spark, sf0)
