@@ -99,12 +99,43 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 
+  /** Extract a literal-int function argument (the kernel params — hash
+    * counts, shingle widths, bit counts — are plan-time constants, not
+    * per-row data). */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal, got $other")
+  }
+
+  private def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)
+
   private[functions] def injections
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("parse_dollars"), parseDollarsInfo,
       (children: Seq[Expression]) => ParseDollarsExpr(children.head)),
     (FunctionIdentifier("normalize_nfc"), normalizeNfcInfo,
-      (children: Seq[Expression]) => NormalizeNfcExpr(children.head)))
+      (children: Seq[Expression]) => NormalizeNfcExpr(children.head)),
+    // kernels with plan-time int params: SELECT minhash_sig(tokens, 8) etc.
+    (FunctionIdentifier("minhash_sig"), info(classOf[MinHashSigExpr], "minhash_sig"),
+      (c: Seq[Expression]) =>
+        MinHashSigExpr(c.head, intLit(c(1), "minhash_sig", "numHashes"))),
+    (FunctionIdentifier("shingle_minhash_sig"),
+      info(classOf[ShingleMinHashExpr], "shingle_minhash_sig"),
+      (c: Seq[Expression]) => ShingleMinHashExpr(c.head,
+        intLit(c(1), "shingle_minhash_sig", "k"),
+        intLit(c(2), "shingle_minhash_sig", "numHashes"))),
+    (FunctionIdentifier("shingle_hashes"),
+      info(classOf[ShingleHashesExpr], "shingle_hashes"),
+      (c: Seq[Expression]) =>
+        ShingleHashesExpr(c.head, intLit(c(1), "shingle_hashes", "n"))),
+    (FunctionIdentifier("simhash"), info(classOf[SimHashExpr], "simhash"),
+      (c: Seq[Expression]) =>
+        SimHashExpr(c.head, intLit(c(1), "simhash", "bits"))),
+    (FunctionIdentifier("top_ngram_best"),
+      info(classOf[TopNgramBestExpr], "top_ngram_best"),
+      (c: Seq[Expression]) =>
+        TopNgramBestExpr(c.head, intLit(c(1), "top_ngram_best", "n"))))
 }
 
 /** SparkSessionExtensions entry point: pass

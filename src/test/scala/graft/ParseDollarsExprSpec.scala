@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.scalactic.Tolerance
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{GraftFunctions, ParseDollarsKernel}
+import graft.functions.{GraftFunctions, MinHashSig, ParseDollarsKernel, SimHash, TextStats}
 import graft.ops.TextParse
 
 /** The native Catalyst ParseDollarsExpr must be value-equivalent to the
@@ -97,5 +97,33 @@ class ParseDollarsExprSpec extends AnyFunSuite with SparkSpec with Tolerance {
     Seq("café").toDF("raw").createOrReplaceTempView("nfc_t")
     assert(spark.sql("SELECT normalize_nfc(raw) AS v FROM nfc_t")
       .head().getString(0) == "caf\u00e9")
+  }
+
+  test("kernel SQL surface: every registered function equals its Column twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").createOrReplaceTempView("kfn_t")
+    val sql = spark.sql(
+      "SELECT minhash_sig(split(text, ' '), 4) AS mh, " +
+        "shingle_minhash_sig(split(text, ' '), 3, 4) AS smh, " +
+        "shingle_hashes(split(text, ' '), 3) AS sh, " +
+        "simhash(split(text, ' '), 16) AS s16, " +
+        "top_ngram_best(text, 2) AS tg FROM kfn_t").head()
+    val api = spark.table("kfn_t").select(
+      MinHashSig.minhash_sig(split(col("text"), " "), 4).alias("mh"),
+      MinHashSig.shingle_minhash_sig(split(col("text"), " "), 3, 4).alias("smh"),
+      MinHashSig.shingle_hashes(split(col("text"), " "), 3).alias("sh"),
+      SimHash.simhash(split(col("text"), " "), 16).alias("s16"),
+      TextStats.top_ngram_best(col("text"), 2).alias("tg"))
+      .head()
+    assert(sql.toSeq == api.toSeq)
+    // a non-literal kernel param must fail loudly, not misbehave
+    val err = intercept[Exception](
+      spark.sql("SELECT simhash(split(text, ' '), length(text)) FROM kfn_t").collect())
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("INT literal")) || mentions(t.getCause))
+    assert(mentions(err), s"unexpected error: $err")
   }
 }
