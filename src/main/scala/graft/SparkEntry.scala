@@ -1681,6 +1681,56 @@ object SparkEntry {
         minGapMs = 60000L)
         .select("event_id", "user_id").orderBy("event_id")),
 
+    // aggregate family: argmax/argmin — each user's highest- and
+    // lowest-valued event id via max_by/min_by (one grouped pass, no
+    // window, no self-join; ties broken by the max/min of the tied ids
+    // so the answer is deterministic on both engines)
+    "q_argmax" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+      // make the ordering key unique per user so arg ties cannot occur:
+      // (value, event_id) pairs are distinct because event_id is unique
+      ev.groupBy("user_id")
+        .agg(
+          max(struct(col("value"), col("event_id"))).getField("event_id")
+            .alias("best_event"),
+          min(struct(col("value"), col("event_id"))).getField("event_id")
+            .alias("worst_event"),
+          round(max(col("value")), 6).alias("best_value"))
+        .orderBy("user_id")
+    }),
+
+    // join family: NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM) —
+    // null keys match each other instead of silently dropping (the
+    // semantics corner plain equi-joins get wrong on nullable keys)
+    "q_join_nullsafe" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // 1-in-100 slices keep the null-key group's cross product bounded
+      // (the query exists for its join semantics, not its volume)
+      val l = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").alias("l_id"),
+          nullif(col("event_type"), lit("error")).alias("k"))
+      val r = ev.filter(col("event_id") % 100 === 1)
+        .select(col("event_id").alias("r_id"),
+          nullif(col("event_type"), lit("error")).alias("k"))
+      l.join(r, l("k") <=> r("k"))
+        .groupBy(l("k").alias("k"))
+        .agg(count(lit(1)).alias("n_pairs"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // schema evolution: UNION BY NAME with missing columns null-filled —
+    // how two batches with drifted schemas append safely
+    "q_union_by_name" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val b = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("event_id")
+    }),
+
     // ops report: per-event-type latency percentile bands (p50/p90/p99),
     // exact interpolated percentiles, one grouped pass
     "q_event_percentiles" -> ((s, d) =>
@@ -3437,6 +3487,30 @@ object SparkEntry {
       ("SELECT event_id, user_id FROM (SELECT event_id, user_id, " +
         "epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap " +
         "FROM events) WHERE gap IS NULL OR gap > 60000 ORDER BY event_id"),
+
+    "q_argmax" ->
+      ("WITH r AS (SELECT user_id, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rb, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rw " +
+        "FROM events) " +
+        "SELECT user_id, max(CASE WHEN rb = 1 THEN event_id END) AS best_event, " +
+        "max(CASE WHEN rw = 1 THEN event_id END) AS worst_event, " +
+        "round(max(value), 6) AS best_value " +
+        "FROM r GROUP BY user_id ORDER BY user_id"),
+
+    "q_join_nullsafe" ->
+      ("WITH l AS (SELECT event_id AS l_id, nullif(event_type, 'error') AS k " +
+        "FROM events WHERE event_id % 100 = 0), " +
+        "r AS (SELECT event_id AS r_id, nullif(event_type, 'error') AS k " +
+        "FROM events WHERE event_id % 100 = 1) " +
+        "SELECT l.k, count(*) AS n_pairs FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k " +
+        "GROUP BY l.k ORDER BY l.k NULLS FIRST"),
+
+    "q_union_by_name" ->
+      ("SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0 " +
+        "UNION ALL BY NAME " +
+        "SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1 " +
+        "ORDER BY event_id"),
 
     "q_event_percentiles" ->
       ("SELECT event_type, count(*) AS n, " +
