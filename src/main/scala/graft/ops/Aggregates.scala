@@ -165,6 +165,9 @@ object Aggregates {
     * (x − μ_g) / σ_g with population σ. Moments come from exact DECIMAL
     * sums (shuffle-order-proof, one grouped pass) broadcast back onto the
     * rows via the group key; the normalize step is a narrow projection.
+    * The broadcast assumes the GROUP COUNT is small (a stats table, one
+    * row per group); for a high-cardinality group key drop the broadcast
+    * hint and let the join shuffle both sides.
     * Zero-variance groups yield NULL (nullif guard), mirroring
     * `linearFit`'s degenerate-group convention. Output adds `zscore`,
     * 6-dp rounded. */
