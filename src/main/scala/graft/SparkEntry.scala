@@ -23,7 +23,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ graft.ops.Tpch.queries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A5 — parquet scan + projection
     "q_scan_project" -> ((s, d) =>
       Filters.project(Tables.region(s, d), Seq("r_regionkey", "r_name"))
@@ -2516,7 +2519,10 @@ object SparkEntry {
   private val FrStop = "('le','la','les','et','est','dans')"
   private val EsStop = "('el','los','las','es','en','una')"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ graft.ops.Tpch.oracleSql
+
+  private val baseOracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
