@@ -2070,6 +2070,21 @@ object SparkEntry {
         .select("doc_id", "score", "pred", "lang")
         .orderBy("doc_id")
     }),
+
+    // Bloom-filter join pruning: fact scan pre-filtered by a compact
+    // dim-key membership sketch before the join shuffle (ops/BloomPrune).
+    // Value-identical to the plain join — the oracle IS the plain join.
+    "q_bloom_prune_join" -> ((s, d) => {
+      val dim = Tables.supplier(s, d).filter(col("s_nationkey") === 3)
+        .select("s_suppkey", "s_name")
+      graft.ops.BloomPrune.prunedInnerJoin(
+          Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice", "l_discount"),
+          "l_suppkey", dim, "s_suppkey", 1000L, 0.01)
+        .groupBy("s_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").alias("revenue"))
+        .orderBy("s_name")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -3761,6 +3776,12 @@ object SparkEntry {
         "FROM sc CROSS JOIN pri) " +
         "SELECT f.doc_id, f.score, f.score > 0 AS pred, d.lang " +
         "FROM fin f JOIN documents d USING (doc_id) ORDER BY f.doc_id"),
+
+    "q_bloom_prune_join" ->
+      ("SELECT s_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) " +
+        "AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_nationkey = 3 GROUP BY 1 ORDER BY 1"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite
