@@ -2085,6 +2085,19 @@ object SparkEntry {
           .cast("decimal(18,6)")).cast("double").alias("revenue"))
         .orderBy("s_name")
     }),
+
+    // SCD Type-2 history build (ops/Scd): order-status change log per
+    // customer → versioned rows with effective ranges. No-op observations
+    // compress away; o_orderkey is the same-instant tie break.
+    "q_scd2_build" -> ((s, d) =>
+      graft.ops.Scd.scd2Build(
+          Tables.orders(s, d).select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+          "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("effective_from").cast("date").alias("effective_from"),
+          col("effective_to").cast("date").alias("effective_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "effective_from", "o_orderstatus")),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -3782,6 +3795,18 @@ object SparkEntry {
         "AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "WHERE s_nationkey = 3 GROUP BY 1 ORDER BY 1"),
+
+    "q_scd2_build" ->
+      ("WITH dd AS (SELECT o_custkey, o_orderstatus, o_orderdate, " +
+        "lag(o_orderstatus) OVER w AS prev, row_number() OVER w AS rn " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), " +
+        "ch AS (SELECT o_custkey, o_orderstatus, o_orderdate, rn FROM dd " +
+        "WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev), " +
+        "v AS (SELECT o_custkey, o_orderstatus, o_orderdate AS ef, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, rn) AS et FROM ch) " +
+        "SELECT o_custkey, o_orderstatus, CAST(ef AS DATE) AS effective_from, " +
+        "CAST(et AS DATE) AS effective_to, et IS NULL AS is_current " +
+        "FROM v ORDER BY o_custkey, effective_from, o_orderstatus"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite
