@@ -2098,6 +2098,15 @@ object SparkEntry {
           col("effective_to").cast("date").alias("effective_to"),
           col("is_current"))
         .orderBy("o_custkey", "effective_from", "o_orderstatus")),
+
+    // Z-order (Morton) clustering key (ops/ZOrder): the multi-dimensional
+    // layout key — pure shift/mask Column expression, zero UDF.
+    "q_zorder_key" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.ops.ZOrder.zorderKey(col("l_partkey"), col("l_suppkey")).alias("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -3807,6 +3816,11 @@ object SparkEntry {
         "SELECT o_custkey, o_orderstatus, CAST(ef AS DATE) AS effective_from, " +
         "CAST(et AS DATE) AS effective_to, et IS NULL AS is_current " +
         "FROM v ORDER BY o_custkey, effective_from, o_orderstatus"),
+
+    "q_zorder_key" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
+        graft.ops.ZOrder.zorderSql("l_partkey", "l_suppkey") + " AS zkey " +
+        "FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite
