@@ -2107,6 +2107,20 @@ object SparkEntry {
           col("l_partkey"), col("l_suppkey"),
           graft.ops.ZOrder.zorderKey(col("l_partkey"), col("l_suppkey")).alias("zkey"))
         .orderBy("zkey", "l_orderkey", "l_linenumber")),
+
+    // Declarative data-quality gate (ops/Constraints): row-local checks
+    // fold into ONE aggregation pass; uniqueness and referential
+    // integrity get their minimal dedicated plans. The FK check is
+    // deliberately violated (orders without lineitems exist).
+    "q_dq_report" -> ((s, d) => {
+      import graft.ops.Constraints._
+      report(Tables.orders(s, d), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 1000000.0),
+        Satisfies("status_valid", col("o_orderstatus").isin("F", "O", "P")),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_orderkey", Tables.lineitem(s, d), "l_orderkey")))
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -3821,6 +3835,25 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
         graft.ops.ZOrder.zorderSql("l_partkey", "l_suppkey") + " AS zkey " +
         "FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber"),
+
+    "q_dq_report" ->
+      ("WITH r AS (" +
+        "SELECT 'not_null(o_custkey)' AS c, CAST(SUM(CASE WHEN o_custkey IS NULL " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS v FROM orders " +
+        "UNION ALL SELECT 'in_range(o_totalprice,0.0,1000000.0)', " +
+        "CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'satisfies(status_valid)', " +
+        "CAST(SUM(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), false) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'unique(o_orderkey)', " +
+        "CAST(coalesce(SUM(n - 1), 0) AS BIGINT) FROM " +
+        "(SELECT count(*) AS n FROM orders GROUP BY o_orderkey) " +
+        "UNION ALL SELECT 'ref_integrity(o_orderkey)', " +
+        "CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT l_orderkey FROM lineitem)) " +
+        "SELECT c AS \"constraint\", v AS violations, v = 0 AS pass " +
+        "FROM r ORDER BY 1"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite

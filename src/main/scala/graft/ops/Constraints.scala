@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints evaluated into one report table —
+  * the contract-checking stage a production pipeline runs between ingest
+  * and publish (same capability class as Deequ's checks, re-expressed as
+  * plain aggregates).
+  *
+  * Scale shape: all ROW-LOCAL constraints (not-null, range, predicate)
+  * fold into a SINGLE aggregation pass over the table — adding a check
+  * adds a counter, not a scan. Uniqueness is its own key-shuffle
+  * (count-minus-distinct needs per-key state), and referential integrity
+  * is a broadcast/shuffled anti-join against the dimension — each the
+  * minimal plan for its semantics. The report is rows of
+  * (constraint, violations, pass), so gating a publish is
+  * `report.filter(!pass).isEmpty` and auditing is a table scan.
+  */
+object Constraints {
+
+  sealed trait Check { def name: String }
+  /** violations = rows where `c` is null. */
+  final case class NotNull(c: String) extends Check { def name = s"not_null($c)" }
+  /** violations = rows beyond [lo, hi] (nulls don't violate range —
+    * compose with NotNull to forbid them). */
+  final case class InRange(c: String, lo: Double, hi: Double) extends Check {
+    def name = s"in_range($c,$lo,$hi)"
+  }
+  /** violations = rows failing an arbitrary row-local predicate. */
+  final case class Satisfies(label: String, pred: Column) extends Check {
+    def name = s"satisfies($label)"
+  }
+  /** violations = rows in excess of one per key tuple. */
+  final case class Unique(cols: Seq[String]) extends Check {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** violations = rows whose `c` has no partner in `dim.dimKey`
+    * (null FKs violate — forbid or filter upstream if optional). */
+  final case class RefIntegrity(c: String, dim: DataFrame, dimKey: String) extends Check {
+    def name = s"ref_integrity($c)"
+  }
+
+  /** Evaluate all checks over `df` into (constraint, violations, pass),
+    * one row per check, ordered by constraint name. */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowLocal = checks.collect {
+      case c: NotNull =>
+        (c.name, sum(when(col(c.c).isNull, 1L).otherwise(0L)))
+      case c: InRange =>
+        (c.name, sum(when(col(c.c) < c.lo || col(c.c) > c.hi, 1L).otherwise(0L)))
+      case c: Satisfies =>
+        (c.name, sum(when(!coalesce(c.pred, lit(false)), 1L).otherwise(0L)))
+    }
+    val localReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else Some {
+        val agg = df.agg(rowLocal.head._2.alias("v0"),
+          rowLocal.tail.zipWithIndex.map { case ((_, e), i) => e.alias(s"v${i + 1}") }: _*)
+        val pairs = rowLocal.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(n).alias("constraint"),
+            coalesce(col(s"v$i"), lit(0L)).alias("violations"))
+        }
+        agg.select(explode(array(pairs: _*)).alias("r"))
+          .select(col("r.constraint"), col("r.violations"))
+      }
+    val uniques = checks.collect { case c: Unique =>
+      df.groupBy(c.cols.map(col): _*).agg(count(lit(1)).alias("__n"))
+        .agg(coalesce(sum(col("__n") - 1), lit(0L)).alias("violations"))
+        .select(lit(c.name).alias("constraint"), col("violations"))
+    }
+    val fks = checks.collect { case c: RefIntegrity =>
+      df.select(col(c.c))
+        .join(c.dim.select(col(c.dimKey).alias(c.c)).distinct(), Seq(c.c), "left_anti")
+        .agg(count(lit(1)).alias("violations"))
+        .select(lit(c.name).alias("constraint"), col("violations"))
+    }
+    (localReport.toSeq ++ uniques ++ fks)
+      .reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("constraint")
+  }
+}
