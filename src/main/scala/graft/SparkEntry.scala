@@ -2121,6 +2121,23 @@ object SparkEntry {
         Unique(Seq("o_orderkey")),
         RefIntegrity("o_orderkey", Tables.lineitem(s, d), "l_orderkey")))
     }),
+
+    // Incremental aggregate maintenance (ops/IncrementalAgg): fold three
+    // date-sliced delta batches of orders into the additive state, never
+    // rescanning earlier slices; result == the full recompute (the
+    // oracle IS the full group-by).
+    "q_incr_agg" -> ((s, d) => {
+      import graft.ops.IncrementalAgg._
+      val o = Tables.orders(s, d)
+      val cut1 = to_timestamp(lit("1997-01-01"))
+      val cut2 = to_timestamp(lit("1999-01-01"))
+      val batches = Seq(
+        o.filter(col("o_orderdate") < cut1),
+        o.filter(col("o_orderdate") >= cut1 && col("o_orderdate") < cut2),
+        o.filter(col("o_orderdate") >= cut2))
+        .map(b => aggregate(b, "o_custkey", "o_totalprice"))
+      finish(merge(batches)).orderBy("o_custkey")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -3854,6 +3871,12 @@ object SparkEntry {
         "(SELECT l_orderkey FROM lineitem)) " +
         "SELECT c AS \"constraint\", v AS violations, v = 0 AS pass " +
         "FROM r ORDER BY 1"),
+
+    "q_incr_agg" ->
+      ("SELECT o_custkey, count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+        "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite
