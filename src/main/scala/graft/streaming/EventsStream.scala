@@ -133,7 +133,8 @@ object EventsStream {
     * must never hold unbounded state. */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
                        lateness: String = "30 minutes",
-                       withinMinutes: Int = 10): DataFrame = {
+                       withinMinutes: Int = 10,
+                       joinType: String = "inner"): DataFrame = {
     val l = left.select(col("event_id").alias("l_id"), col("user_id"),
       col("ts").alias("l_ts"))
       .withWatermark("l_ts", lateness)
@@ -144,9 +145,21 @@ object EventsStream {
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("l_id"), col("r_id"), col("user_id"), col("l_ts"), col("r_ts"))
   }
+
+  /** Left-outer variant of the attribution join: unmatched left events
+    * (a view with NO click inside the bound) still emit — with null
+    * right columns — once the watermark proves no match can arrive.
+    * Same bounded state as the inner join; the only extra cost is that
+    * left rows are held until the horizon passes even when matched.
+    * This is the shape for conversion-rate pipelines, where the
+    * non-converting majority is the signal. */
+  def streamStreamJoinOuter(left: DataFrame, right: DataFrame,
+                            lateness: String = "30 minutes",
+                            withinMinutes: Int = 10): DataFrame =
+    streamStreamJoin(left, right, lateness, withinMinutes, "leftOuter")
 
   /** Streaming face of the LLM text-prep stack: quality gate (with the
     * repetition bounds) → language filter → benchmark DECONTAMINATION

@@ -168,6 +168,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(pairs == Set((10L, 20L), (11L, 22L)), s"got $pairs")
   }
 
+  test("left-outer stream-stream join emits unmatched views after the horizon") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(minute: Long) = new Timestamp((5000 + minute) * 60000L)
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventsStream.streamStreamJoinOuter(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      lateness = "10 minutes", withinMinutes = 10)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_outer").start()
+    views.addData((10L, 1L, ts(0)), (11L, 2L, ts(0)))
+    clicks.addData((20L, 1L, ts(5)))            // user 1 converts; user 2 never
+    q.processAllAvailable()
+    // push both watermarks far past view 11's [t0, t0+10] horizon so the
+    // unmatched row must be emitted with null click columns
+    views.addData((90L, 9L, ts(120)))
+    clicks.addData((91L, 9L, ts(120)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join_outer")
+      .filter(org.apache.spark.sql.functions.col("l_id").isin(10L, 11L))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((10L, 20L), (11L, -1L)), s"got $rows")
+  }
+
   test("streaming upsert sink merges batches by key into the parquet target") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
