@@ -2138,6 +2138,68 @@ object SparkEntry {
         .map(b => aggregate(b, "o_custkey", "o_totalprice"))
       finish(merge(batches)).orderBy("o_custkey")
     }),
+
+    // CDC apply (ops/Cdc): fold a deterministic I/U/D change batch
+    // (derived from orders itself: every 7th order changes; op by key
+    // mod 3) into the snapshot — the MERGE INTO shape.
+    "q_cdc_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val src = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("__m", col("o_orderkey") % 3)
+      val changes = src.select(
+        when(col("__m") === 2, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).alias("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        when(col("__m") === 1, round(col("o_totalprice") * 2, 2))
+          .otherwise(col("o_totalprice")).alias("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        when(col("__m") === 0, "D").when(col("__m") === 1, "U")
+          .otherwise("I").alias("op"))
+      graft.ops.Cdc.applyCdc(o, changes, "o_orderkey", "op", "o_orderdate", "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).alias("price"),
+          col("o_orderdate").cast("date").alias("odate"))
+        .orderBy("o_orderkey")
+    }),
+
+    // KMV set-overlap estimation (join-planning statistics): bottom-64
+    // md5-draw sketches per side, (k-1)/r_k distinct estimates,
+    // inclusion-exclusion overlap — deterministic, so the oracle replays
+    // it exactly; the exact overlap rides along for honesty.
+    "q_join_overlap_kmv" -> ((s, d) => {
+      val k = 64
+      val cut = to_timestamp(lit("1998-01-01"))
+      val li = Tables.lineitem(s, d)
+      def hashes(pred: Column) = li.filter(pred)
+        .select(graft.ops.ScaleDedup.hash32(col("l_suppkey").cast("string"), 0).alias("h"))
+      val a = hashes(col("l_shipdate") < cut)
+      val b = hashes(col("l_shipdate") >= cut)
+      def sketch(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(graft.functions.BottomKSketch.bottom_k_sketch(col("h"), k).alias(name))
+      def est(sk: Column): Column =
+        when(size(sk) < k, size(sk).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            (element_at(sk, k).cast("double") / lit(4294967296.0)), 6))
+      val exact = a.distinct().join(b.distinct(), "h")
+        .agg(count(lit(1)).alias("exact_intersect"))
+      sketch(a, "ska").crossJoin(sketch(b, "skb"))
+        .crossJoin(sketch(a.unionAll(b), "sku"))
+        .crossJoin(exact)
+        .select(
+          est(col("ska")).alias("est_a"), est(col("skb")).alias("est_b"),
+          est(col("sku")).alias("est_union"),
+          round(est(col("ska")) + est(col("skb")) - est(col("sku")), 6)
+            .alias("est_intersect"),
+          col("exact_intersect"))
+    }),
+
+    // Dictionary (categorical) encoding (ops/Cleaning.dictEncode):
+    // value → dense id, dictionary broadcast back onto the data.
+    "q_dict_encode" -> ((s, d) => {
+      val (enc, _) = graft.ops.Cleaning.dictEncode(
+        Tables.customer(s, d), "c_mktsegment", "seg_id")
+      enc.select("c_custkey", "c_mktsegment", "seg_id").orderBy("c_custkey")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -3877,6 +3939,49 @@ object SparkEntry {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
         "round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean " +
         "FROM orders GROUP BY 1 ORDER BY 1"),
+
+    "q_cdc_apply" ->
+      ("WITH src AS (SELECT *, o_orderkey % 3 AS m FROM orders WHERE o_orderkey % 7 = 0), " +
+        "ch AS (SELECT CASE WHEN m = 2 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k, " +
+        "o_custkey, o_orderstatus, " +
+        "CASE WHEN m = 1 THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS price0, " +
+        "o_orderdate, o_orderpriority, " +
+        "CASE m WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op FROM src), " +
+        "untouched AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate " +
+        "FROM orders WHERE o_orderkey NOT IN (SELECT k FROM ch)), " +
+        "ups AS (SELECT k AS o_orderkey, o_custkey, o_orderstatus, price0 AS o_totalprice, " +
+        "o_orderdate FROM ch WHERE op <> 'D') " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS price, " +
+        "CAST(o_orderdate AS DATE) AS odate " +
+        "FROM (SELECT * FROM untouched UNION ALL SELECT * FROM ups) ORDER BY o_orderkey"),
+
+    "q_join_overlap_kmv" ->
+      ("WITH a AS (SELECT DISTINCT ('0x' || substr(md5(l_suppkey::VARCHAR || '#0'), 1, 8))::BIGINT AS h " +
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'), " +
+        "b AS (SELECT DISTINCT ('0x' || substr(md5(l_suppkey::VARCHAR || '#0'), 1, 8))::BIGINT AS h " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'), " +
+        "u AS (SELECT h FROM a UNION SELECT h FROM b), " +
+        "ska AS (SELECT list_sort(list(h))[1:64] AS sk FROM a), " +
+        "skb AS (SELECT list_sort(list(h))[1:64] AS sk FROM b), " +
+        "sku AS (SELECT list_sort(list(h))[1:64] AS sk FROM u), " +
+        "ex AS (SELECT count(*) AS exact_intersect FROM a JOIN b USING (h)), " +
+        "est AS (SELECT " +
+        "CASE WHEN len(ska.sk) < 64 THEN CAST(len(ska.sk) AS DOUBLE) " +
+        "ELSE round(63.0 / (CAST(ska.sk[64] AS DOUBLE) / 4294967296.0), 6) END AS est_a, " +
+        "CASE WHEN len(skb.sk) < 64 THEN CAST(len(skb.sk) AS DOUBLE) " +
+        "ELSE round(63.0 / (CAST(skb.sk[64] AS DOUBLE) / 4294967296.0), 6) END AS est_b, " +
+        "CASE WHEN len(sku.sk) < 64 THEN CAST(len(sku.sk) AS DOUBLE) " +
+        "ELSE round(63.0 / (CAST(sku.sk[64] AS DOUBLE) / 4294967296.0), 6) END AS est_union " +
+        "FROM ska, skb, sku) " +
+        "SELECT est_a, est_b, est_union, round(est_a + est_b - est_union, 6) AS est_intersect, " +
+        "exact_intersect FROM est, ex"),
+
+    "q_dict_encode" ->
+      ("WITH dict AS (SELECT c_mktsegment AS v, " +
+        "row_number() OVER (ORDER BY c_mktsegment) AS seg_id " +
+        "FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)) " +
+        "SELECT c_custkey, c_mktsegment, seg_id FROM customer " +
+        "LEFT JOIN dict ON c_mktsegment = v ORDER BY c_custkey"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite

@@ -35,4 +35,23 @@ object Cleaning {
       else d.withColumn(canon, coalesce(present.map(qcol): _*))
         .drop(present.filterNot(_ == canon): _*)
     }
+
+  /** Dictionary (categorical) encoding: build the (value → dense id)
+    * dictionary from the column's distinct values in lexicographic order
+    * and return (encoded df, dictionary). The feature-store shape: ship
+    * the dictionary with the dataset so ids are stable and reversible.
+    *
+    * Scale notes: the dictionary is DISTINCT values — vocabulary-sized,
+    * not data-sized — so the single-partition rank window over it is a
+    * deliberate, bounded cost (same stance as the broadcast vocab maps
+    * elsewhere); the re-join onto the data broadcasts the dictionary.
+    * Null encodes to null (left join), not to an id. */
+  def dictEncode(df: DataFrame, c: String,
+                 idCol: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+    val dict = df.select(col(c)).filter(col(c).isNotNull).distinct()
+      .withColumn(idCol, row_number().over(w).cast("long"))
+    val encoded = df.join(broadcast(dict), Seq(c), "left")
+    (encoded, dict)
+  }
 }
