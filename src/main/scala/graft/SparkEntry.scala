@@ -2169,22 +2169,26 @@ object SparkEntry {
     "q_join_overlap_kmv" -> ((s, d) => {
       val k = 64
       val cut = to_timestamp(lit("1998-01-01"))
-      val li = Tables.lineitem(s, d)
-      def hashes(pred: Column) = li.filter(pred)
-        .select(graft.ops.ScaleDedup.hash32(col("l_suppkey").cast("string"), 0).alias("h"))
-      val a = hashes(col("l_shipdate") < cut)
-      val b = hashes(col("l_shipdate") >= cut)
-      def sketch(df: org.apache.spark.sql.DataFrame, name: String) =
-        df.agg(graft.functions.BottomKSketch.bottom_k_sketch(col("h"), k).alias(name))
+      // one scan → per-hash side flags (one shuffle on the small distinct
+      // hash set) → one tiny aggregation carrying all three sketches AND
+      // the exact overlap; the sketch inputs are the same sets a
+      // four-scan formulation would see, so values are identical
+      val perHash = Tables.lineitem(s, d)
+        .select(graft.ops.ScaleDedup.hash32(col("l_suppkey").cast("string"), 0).alias("h"),
+          (col("l_shipdate") < cut).alias("ina"))
+        .groupBy("h")
+        .agg(max(when(col("ina"), 1L).otherwise(0L)).alias("a"),
+          max(when(!col("ina"), 1L).otherwise(0L)).alias("b"))
+      import graft.functions.BottomKSketch.bottom_k_sketch
       def est(sk: Column): Column =
         when(size(sk) < k, size(sk).cast("double"))
           .otherwise(round(lit((k - 1).toDouble) /
             (element_at(sk, k).cast("double") / lit(4294967296.0)), 6))
-      val exact = a.distinct().join(b.distinct(), "h")
-        .agg(count(lit(1)).alias("exact_intersect"))
-      sketch(a, "ska").crossJoin(sketch(b, "skb"))
-        .crossJoin(sketch(a.unionAll(b), "sku"))
-        .crossJoin(exact)
+      perHash.agg(
+          bottom_k_sketch(when(col("a") === 1L, col("h")), k).alias("ska"),
+          bottom_k_sketch(when(col("b") === 1L, col("h")), k).alias("skb"),
+          bottom_k_sketch(col("h"), k).alias("sku"),
+          sum(col("a") * col("b")).alias("exact_intersect"))
         .select(
           est(col("ska")).alias("est_a"), est(col("skb")).alias("est_b"),
           est(col("sku")).alias("est_union"),
