@@ -2204,6 +2204,23 @@ object SparkEntry {
         Tables.customer(s, d), "c_mktsegment", "seg_id")
       enc.select("c_custkey", "c_mktsegment", "seg_id").orderBy("c_custkey")
     }),
+
+    // SCD2 point-in-time lookup (ops/Scd.pointInTime): each order keyed
+    // to the status version effective at its own date — the fact-load
+    // lookup against a versioned dimension. Ranges are disjoint per key,
+    // so exactly one version matches.
+    "q_scd2_lookup" -> ((s, d) => {
+      val dim = graft.ops.Scd.scd2Build(
+          Tables.orders(s, d).select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+          "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus").alias("status_version"),
+          col("effective_from"), col("effective_to"))
+      val fact = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      graft.ops.Scd.pointInTime(fact, "o_custkey", "o_orderdate", dim, "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("status_version"),
+          col("effective_from").cast("date").alias("vfrom"))
+        .orderBy("o_orderkey", "status_version", "vfrom")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -3986,6 +4003,20 @@ object SparkEntry {
         "FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)) " +
         "SELECT c_custkey, c_mktsegment, seg_id FROM customer " +
         "LEFT JOIN dict ON c_mktsegment = v ORDER BY c_custkey"),
+
+    "q_scd2_lookup" ->
+      ("WITH dd AS (SELECT o_custkey, o_orderstatus, o_orderdate, " +
+        "lag(o_orderstatus) OVER w AS prev, row_number() OVER w AS rn " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), " +
+        "ch AS (SELECT o_custkey, o_orderstatus, o_orderdate, rn FROM dd " +
+        "WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev), " +
+        "v AS (SELECT o_custkey, o_orderstatus, o_orderdate AS ef, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, rn) AS et FROM ch) " +
+        "SELECT f.o_orderkey, f.o_custkey, v.o_orderstatus AS status_version, " +
+        "CAST(v.ef AS DATE) AS vfrom " +
+        "FROM orders f JOIN v ON f.o_custkey = v.o_custkey " +
+        "AND f.o_orderdate >= v.ef AND (v.et IS NULL OR f.o_orderdate < v.et) " +
+        "ORDER BY 1, 3, 4"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite

@@ -101,4 +101,21 @@ object Scd {
     closed.unionByName(unchanged)
       .unionByName(closedNow).unionByName(opened).unionByName(born)
   }
+
+  /** Point-in-time (as-of) dimension lookup: for each fact row, attach
+    * the SCD2 version whose [effective_from, effective_to) range covers
+    * the fact's timestamp. Equi-join on the key carries the range
+    * predicate — versions-per-key is small (that is what SCD2 change
+    * compression guarantees), so the fan-in stays bounded; facts before
+    * a key's first version simply drop (inner semantics). This is the
+    * lookup every fact-table load does against a versioned dimension. */
+  def pointInTime(fact: DataFrame, factKey: String, factTs: String,
+                  dim: DataFrame, dimKey: String): DataFrame = {
+    val d = dim.withColumnRenamed(dimKey, "__dk")
+    fact.join(d,
+      col(factKey) === col("__dk") &&
+        col(factTs) >= col("effective_from") &&
+        (col("effective_to").isNull || col(factTs) < col("effective_to")))
+      .drop("__dk")
+  }
 }

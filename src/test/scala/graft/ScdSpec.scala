@@ -51,6 +51,21 @@ class ScdSpec extends AnyFunSuite with SparkSpec {
       ("C", "q", 9L, -1L, true)))
   }
 
+  test("pointInTime attaches the version covering each fact timestamp") {
+    import spark.implicits._
+    val dim = Scd.scd2Build(log, "k", "v", "ts", "tb")
+      .select(col("k"), col("v").alias("ver"), col("effective_from"), col("effective_to"))
+    // A: x on [1,3), y on [3,∞); B: p on [1,∞)
+    val fact = Seq((100L, "A", 0L), (101L, "A", 2L), (102L, "A", 3L),
+      (103L, "A", 9L), (104L, "B", 5L)).toDF("fid", "fk", "fts")
+    val got = Scd.pointInTime(fact, "fk", "fts", dim, "k")
+      .select("fid", "ver").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    // fid 100 precedes A's history → dropped; 102 lands exactly on the
+    // boundary → new version
+    assert(got.toSeq === Seq((101L, "x"), (102L, "y"), (103L, "y"), (104L, "p")))
+  }
+
   test("scd2Apply rejects duplicate update keys loudly") {
     val dim = Scd.scd2Build(log, "k", "v", "ts", "tb").drop("tb")
     import spark.implicits._
