@@ -2205,6 +2205,48 @@ object SparkEntry {
       enc.select("c_custkey", "c_mktsegment", "seg_id").orderBy("c_custkey")
     }),
 
+    // Warehouse flagship composite: DQ gate → CDC apply → SCD2 history
+    // build → point-in-time enrichment → versioned revenue report. The
+    // warehouse twin of q_llm_prep_full: every stage is an
+    // already-oracle-proven operator, composed end-to-end; one window
+    // chain per key, one range-predicate join, one final aggregation.
+    "q_warehouse_flagship" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      // 1. DQ gate (row-local; Constraints semantics inlined as the
+      // keep-predicate the report stage would enforce)
+      val gated = o.filter(col("o_custkey").isNotNull &&
+        col("o_totalprice") >= 0.0 && col("o_totalprice") <= 1000000.0)
+      // 2. CDC apply (same deterministic %7 change feed as q_cdc_apply)
+      val src = gated.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("__m", col("o_orderkey") % 3)
+      val changes = src.select(
+        when(col("__m") === 2, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).alias("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        when(col("__m") === 1, round(col("o_totalprice") * 2, 2))
+          .otherwise(col("o_totalprice")).alias("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        when(col("__m") === 0, "D").when(col("__m") === 1, "U")
+          .otherwise("I").alias("op"))
+      val applied = graft.ops.Cdc.applyCdc(
+        gated, changes, "o_orderkey", "op", "o_orderdate", "o_custkey")
+      // 3. SCD2 status history per customer over the applied snapshot
+      val dim = graft.ops.Scd.scd2Build(
+          applied.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+          "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderstatus").alias("status_version"),
+          col("effective_from"), col("effective_to"))
+      // 4. point-in-time enrich each applied order with its version
+      val enriched = graft.ops.Scd.pointInTime(
+        applied.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        "o_custkey", "o_orderdate", dim, "o_custkey")
+      // 5. versioned revenue report
+      enriched.groupBy("status_version")
+        .agg(count(lit(1)).alias("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+        .orderBy("status_version")
+    }),
+
     // SCD2 point-in-time lookup (ops/Scd.pointInTime): each order keyed
     // to the status version effective at its own date — the fact-load
     // lookup against a versioned dimension. Ranges are disjoint per key,
@@ -4003,6 +4045,31 @@ object SparkEntry {
         "FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)) " +
         "SELECT c_custkey, c_mktsegment, seg_id FROM customer " +
         "LEFT JOIN dict ON c_mktsegment = v ORDER BY c_custkey"),
+
+    "q_warehouse_flagship" ->
+      ("WITH gated AS (SELECT * FROM orders WHERE o_custkey IS NOT NULL " +
+        "AND o_totalprice >= 0.0 AND o_totalprice <= 1000000.0), " +
+        "src AS (SELECT *, o_orderkey % 3 AS m FROM gated WHERE o_orderkey % 7 = 0), " +
+        "ch AS (SELECT CASE WHEN m = 2 THEN o_orderkey + 10000000 ELSE o_orderkey END AS k, " +
+        "o_custkey, o_orderstatus, " +
+        "CASE WHEN m = 1 THEN round(o_totalprice * 2, 2) ELSE o_totalprice END AS price0, " +
+        "o_orderdate, CASE m WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op FROM src), " +
+        "applied AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate " +
+        "FROM gated WHERE o_orderkey NOT IN (SELECT k FROM ch) " +
+        "UNION ALL SELECT k, o_custkey, o_orderstatus, price0, o_orderdate " +
+        "FROM ch WHERE op <> 'D'), " +
+        "sdd AS (SELECT o_custkey, o_orderstatus, o_orderdate, " +
+        "lag(o_orderstatus) OVER w AS prev, row_number() OVER w AS rn " +
+        "FROM applied WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), " +
+        "sch AS (SELECT o_custkey, o_orderstatus, o_orderdate, rn FROM sdd " +
+        "WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev), " +
+        "v AS (SELECT o_custkey, o_orderstatus, o_orderdate AS ef, " +
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, rn) AS et FROM sch) " +
+        "SELECT v.o_orderstatus AS status_version, count(*) AS n_orders, " +
+        "CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM applied f JOIN v ON f.o_custkey = v.o_custkey " +
+        "AND f.o_orderdate >= v.ef AND (v.et IS NULL OR f.o_orderdate < v.et) " +
+        "GROUP BY 1 ORDER BY 1"),
 
     "q_scd2_lookup" ->
       ("WITH dd AS (SELECT o_custkey, o_orderstatus, o_orderdate, " +
