@@ -2205,6 +2205,32 @@ object SparkEntry {
       enc.select("c_custkey", "c_mktsegment", "seg_id").orderBy("c_custkey")
     }),
 
+    // Generic per-group top-k (ops/Inspect.topKPerGroup): WindowGroupLimit
+    // keeps the exchange at O(groups × k).
+    "q_topk_per_group" -> ((s, d) =>
+      graft.ops.Inspect.topKPerGroup(
+          Tables.lineitem(s, d)
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_returnflag"), 3,
+          Seq(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_returnflag"), desc("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))),
+
+    // One-pass table profile (ops/Inspect.tableProfile): the relational
+    // dataset-card row per column.
+    "q_table_profile" -> ((s, d) =>
+      graft.ops.Inspect.tableProfile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+
+    // Chi-square independence (ops/Aggregates.chiSquare): market segment
+    // vs order priority over the joined star.
+    "q_chi_square" -> ((s, d) => {
+      val j = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Aggregates.chiSquare(j, "c_mktsegment", "o_orderpriority")
+    }),
+
     // Warehouse flagship composite: DQ gate → CDC apply → SCD2 history
     // build → point-in-time enrichment → versioned revenue report. The
     // warehouse twin of q_llm_prep_full: every stage is an
@@ -4045,6 +4071,45 @@ object SparkEntry {
         "FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)) " +
         "SELECT c_custkey, c_mktsegment, seg_id FROM customer " +
         "LEFT JOIN dict ON c_mktsegment = v ORDER BY c_custkey"),
+
+    "q_topk_per_group" ->
+      ("SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) " +
+        "WHERE rn <= 3 ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber"),
+
+    "q_table_profile" ->
+      ("SELECT * FROM (" +
+        "SELECT 'o_custkey' AS \"column\", count(*) AS n_rows, " +
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+        "count(DISTINCT o_custkey) AS n_distinct, " +
+        "CAST(min(o_custkey) AS DOUBLE) AS min_v, CAST(max(o_custkey) AS DOUBLE) AS max_v " +
+        "FROM orders " +
+        "UNION ALL SELECT 'o_orderkey', count(*), " +
+        "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+        "count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS DOUBLE), " +
+        "CAST(max(o_orderkey) AS DOUBLE) FROM orders " +
+        "UNION ALL SELECT 'o_orderstatus', count(*), " +
+        "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+        "count(DISTINCT o_orderstatus), NULL, NULL FROM orders " +
+        "UNION ALL SELECT 'o_totalprice', count(*), " +
+        "CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+        "count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS DOUBLE), " +
+        "CAST(max(o_totalprice) AS DOUBLE) FROM orders) ORDER BY \"column\""),
+
+    "q_chi_square" ->
+      ("WITH j AS (SELECT c_mktsegment AS a, o_orderpriority AS b " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "obs AS (SELECT a, b, count(*) AS o FROM j GROUP BY 1, 2), " +
+        "rt AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1), " +
+        "ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1), " +
+        "n AS (SELECT sum(o) AS n FROM obs), " +
+        "cells AS (SELECT obs.o, CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) " +
+        "/ CAST(n.n AS DOUBLE) AS e, obs.a, obs.b " +
+        "FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n) " +
+        "SELECT round(CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e " +
+        "AS DECIMAL(28,10))) AS DOUBLE), 6) AS chi2, " +
+        "(count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof FROM cells"),
 
     "q_warehouse_flagship" ->
       ("WITH gated AS (SELECT * FROM orders WHERE o_custkey IS NOT NULL " +

@@ -226,4 +226,27 @@ object Aggregates {
       .filter(round(col("__dev"), 6) <= col("__thr"))
       .select(df.columns.map(col): _*)
   }
+
+  /** Chi-square independence test between two categoricals: Σ (o−e)²/e
+    * over the contingency table, e = rowTotal·colTotal/N, plus the
+    * degrees of freedom (r−1)(c−1). One count shuffle builds the table;
+    * marginals are broadcast re-aggregations of the (tiny) table itself,
+    * never of the data. Per-cell terms go through a DECIMAL sum so the
+    * statistic is partitioning-proof; identical arithmetic order in the
+    * oracle keeps it bit-exact. */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).alias("__o"))
+    val rowT = obs.groupBy(col(a)).agg(sum("__o").alias("__rt"))
+    val colT = obs.groupBy(col(b)).agg(sum("__o").alias("__ct"))
+    val n = obs.agg(sum("__o").alias("__n"))
+    obs.join(broadcast(rowT), Seq(a)).join(broadcast(colT), Seq(b))
+      .crossJoin(broadcast(n))
+      .withColumn("__e", col("__rt").cast("double") * col("__ct").cast("double")
+        / col("__n").cast("double"))
+      .withColumn("__term", (col("__o").cast("double") - col("__e"))
+        * (col("__o").cast("double") - col("__e")) / col("__e"))
+      .agg(
+        round(sum(col("__term").cast("decimal(28,10)")).cast("double"), 6).alias("chi2"),
+        ((countDistinct(col(a)) - 1) * (countDistinct(col(b)) - 1)).alias("dof"))
+  }
 }

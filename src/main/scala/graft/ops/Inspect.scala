@@ -17,6 +17,50 @@ object Inspect {
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Top-k WITHIN each group: row_number over (groups, order) filtered to
+    * ≤ k. Catalyst rewrites the rank-filter into WindowGroupLimit, so
+    * each map task forwards only its local top-k per group — the
+    * exchange carries O(groups × k), never the full table (plan-asserted
+    * in OpsSpec). `order` must total-order rows within a group or the
+    * selection is nondeterministic. */
+  def topKPerGroup(df: DataFrame, groups: Seq[String], k: Int,
+                   order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** One-pass table profile: per column — rows, nulls, exact distinct
+    * count, numeric min/max (null for non-numerics). The dataset-card
+    * shape for relational tables; multiple exact COUNT(DISTINCT)s in one
+    * aggregate compile to a single Expand-based pass, so adding a column
+    * widens the plan rather than adding a scan. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val numeric = cols.filter(c => df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }).toSet
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).alias(s"__nulls_$c"),
+        countDistinct(col(c)).alias(s"__ndv_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").alias(s"__min_$c"),
+            max(col(c)).cast("double").alias(s"__max_$c"))
+        else Nil)
+    } :+ count(lit(1)).alias("__n")
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).alias("column"), col("__n").alias("n_rows"),
+        col(s"__nulls_$c").alias("n_null"), col(s"__ndv_$c").alias("n_distinct"),
+        (if (numeric(c)) col(s"__min_$c") else lit(null).cast("double")).alias("min_v"),
+        (if (numeric(c)) col(s"__max_$c") else lit(null).cast("double")).alias("max_v"))
+    }
+    agg.select(explode(array(rows: _*)).alias("r")).select(col("r.*"))
+      .orderBy("column")
+  }
+
   /** I2 — systematic deterministic sample: every row whose key ≡ 0 mod m.
     * Unlike `df.sample`, reproducible across engines (oracle-friendly) and
     * a pure pushed-down filter. */

@@ -950,4 +950,45 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val g2 = got(1)
     assert(g2.isNullAt(2) && g2.isNullAt(3) && g2.isNullAt(4))
   }
+
+  test("topKPerGroup returns exactly k per group and plans WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val q = Inspect.topKPerGroup(
+      Tables.lineitem(spark, sf0)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      Seq("l_returnflag"), 3,
+      Seq(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+    q.write.format("noop").mode("overwrite").save()
+    val helper = new AdaptiveSparkPlanHelper {}
+    val limits = helper.collectWithSubqueries(q.queryExecution.executedPlan) {
+      case w: WindowGroupLimitExec => w
+    }
+    assert(limits.nonEmpty, s"expected WindowGroupLimit in:\n${q.queryExecution.executedPlan}")
+    val counts = q.groupBy("l_returnflag").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 3L))
+  }
+
+  test("tableProfile reports nulls, distincts, and numeric ranges") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some("a")), (Some(2L), None), (None, Some("a")))
+      .toDF("num", "str")
+    val got = Inspect.tableProfile(df, Seq("num", "str")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(got === Seq(
+      ("num", 3L, 1L, 2L, Some(1.0), Some(2.0)),
+      ("str", 3L, 1L, 1L, None, None)))
+  }
+
+  test("chiSquare is zero for perfectly independent margins") {
+    import spark.implicits._
+    // 2x2 with identical distribution across groups → chi2 == 0, dof 1
+    val df = Seq(("g1", "x"), ("g1", "y"), ("g2", "x"), ("g2", "y"))
+      .toDF("a", "b")
+    val got = Aggregates.chiSquare(df, "a", "b").collect().head
+    assert(got.getDouble(0) === 0.0)
+    assert(got.getLong(1) === 1L)
+  }
 }
