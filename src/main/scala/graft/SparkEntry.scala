@@ -2205,6 +2205,76 @@ object SparkEntry {
       enc.select("c_custkey", "c_mktsegment", "seg_id").orderBy("c_custkey")
     }),
 
+    // ABC (Pareto) classification: parts ranked by revenue, cumulative
+    // share cut at 50%/80%. The running sum is over the DIMENSION-sized
+    // per-part aggregate, not the fact table.
+    "q_abc_analysis" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).alias("__rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__rev").desc, col("l_partkey"))
+      val total = rev.agg(sum(col("__rev")).alias("__total"))
+      rev.crossJoin(broadcast(total))
+        .withColumn("cum_share",
+          round((sum(col("__rev")).over(w) / col("__total")).cast("double"), 6))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.5, "A")
+            .when(col("cum_share") <= 0.8, "B").otherwise("C"))
+        .select(col("l_partkey"), col("__rev").cast("double").alias("revenue"),
+          col("cum_share"), col("abc_class"))
+        .orderBy(desc("revenue"), col("l_partkey"))
+    }),
+
+    // Market-basket pair affinity: parts co-occurring in an order, with
+    // lift vs independence. The self-join is on the order key, so the
+    // pair fan-out is bounded by basket size squared — never corpus².
+    "q_basket_pairs" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_orderkey")).alias("__n"))
+      val perPart = items.groupBy(col("l_partkey").alias("__pk"))
+        .agg(count(lit(1)).alias("__pn"))
+      val i2 = items.select(col("l_orderkey").alias("__ok2"),
+        col("l_partkey").alias("p2"))
+      val pairs = items
+        .join(i2, col("l_orderkey") === col("__ok2") && col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").alias("p1"), col("p2"))
+        .agg(count(lit(1)).alias("pair_n"))
+      pairs
+        .join(broadcast(perPart), col("p1") === col("__pk"))
+        .withColumnRenamed("__pn", "n1").drop("__pk")
+        .join(broadcast(perPart), col("p2") === col("__pk"))
+        .withColumnRenamed("__pn", "n2").drop("__pk")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift", round(col("pair_n").cast("double") * col("__n")
+          / (col("n1") * col("n2")), 6))
+        .select("p1", "p2", "pair_n", "lift")
+        .orderBy(desc("pair_n"), col("p1"), col("p2"))
+        .limit(20)
+    }),
+
+    // Per-group KMV distinct estimate beside the exact count — the
+    // cardinality-statistics table with its own error audit.
+    "q_approx_distinct_kmv" -> ((s, d) => {
+      val k = 64
+      val h = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          graft.ops.ScaleDedup.hash32(col("l_partkey").cast("string"), 0).alias("h"))
+      h.groupBy("l_returnflag")
+        .agg(graft.functions.BottomKSketch.bottom_k_sketch(col("h"), k).alias("sk"),
+          countDistinct(col("h")).alias("exact_nd"))
+        .select(col("l_returnflag"),
+          when(size(col("sk")) < k, size(col("sk")).cast("double"))
+            .otherwise(round(lit((k - 1).toDouble) /
+              (element_at(col("sk"), k).cast("double") / lit(4294967296.0)), 6))
+            .alias("est_nd"),
+          col("exact_nd"))
+        .orderBy("l_returnflag")
+    }),
+
     // Generic per-group top-k (ops/Inspect.topKPerGroup): WindowGroupLimit
     // keeps the exchange at O(groups × k).
     "q_topk_per_group" -> ((s, d) =>
@@ -4071,6 +4141,43 @@ object SparkEntry {
         "FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)) " +
         "SELECT c_custkey, c_mktsegment, seg_id FROM customer " +
         "LEFT JOIN dict ON c_mktsegment = v ORDER BY c_custkey"),
+
+    "q_abc_analysis" ->
+      ("WITH rev AS (SELECT l_partkey, " +
+        "SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r " +
+        "FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT SUM(r) AS total FROM rev), " +
+        "c AS (SELECT l_partkey, r, " +
+        "round(CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey) / t.total AS DOUBLE), 6) " +
+        "AS cum_share FROM rev CROSS JOIN t) " +
+        "SELECT l_partkey, CAST(r AS DOUBLE) AS revenue, cum_share, " +
+        "CASE WHEN cum_share <= 0.5 THEN 'A' WHEN cum_share <= 0.8 THEN 'B' " +
+        "ELSE 'C' END AS abc_class " +
+        "FROM c ORDER BY revenue DESC, l_partkey"),
+
+    "q_basket_pairs" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "n AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem), " +
+        "pp AS (SELECT l_partkey, count(*) AS pn FROM items GROUP BY 1), " +
+        "pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS pair_n " +
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2) " +
+        "SELECT p1, p2, pair_n, " +
+        "round(CAST(pair_n AS DOUBLE) * n.n / (p1t.pn * p2t.pn), 6) AS lift " +
+        "FROM pr JOIN pp p1t ON p1 = p1t.l_partkey " +
+        "JOIN pp p2t ON p2 = p2t.l_partkey CROSS JOIN n " +
+        "ORDER BY pair_n DESC, p1, p2 LIMIT 20"),
+
+    "q_approx_distinct_kmv" ->
+      ("WITH h AS (SELECT DISTINCT l_returnflag, " +
+        "('0x' || substr(md5(l_partkey::VARCHAR || '#0'), 1, 8))::BIGINT AS h " +
+        "FROM lineitem), " +
+        "g AS (SELECT l_returnflag, list_sort(list(h))[1:64] AS sk, " +
+        "count(*) AS exact_nd FROM h GROUP BY 1) " +
+        "SELECT l_returnflag, " +
+        "CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS DOUBLE) " +
+        "ELSE round(63.0 / (CAST(sk[64] AS DOUBLE) / 4294967296.0), 6) END AS est_nd, " +
+        "exact_nd FROM g ORDER BY 1"),
 
     "q_topk_per_group" ->
       ("SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (" +
