@@ -2359,6 +2359,18 @@ object SparkEntry {
           col("effective_from").cast("date").alias("vfrom"))
         .orderBy("o_orderkey", "status_version", "vfrom")
     }),
+
+    // Exact heavy hitters over the token stream (Aggregates.exactHeavyHitters):
+    // Misra-Gries candidates (one scan, O(sketchK) state) → exact rescore of
+    // the ≤ sketchK candidates (one scan, literal membership filter) →
+    // integer threshold cnt·100 > n. The oracle runs the full-vocabulary
+    // GROUP BY ... HAVING this plan avoids shuffling at 100 TB.
+    "q_heavy_tokens" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).alias("token"))
+      graft.ops.Aggregates.exactHeavyHitters(tok, "token", k = 100, sketchK = 400)
+        .withColumnRenamed("item", "token")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4256,6 +4268,13 @@ object SparkEntry {
         "FROM orders f JOIN v ON f.o_custkey = v.o_custkey " +
         "AND f.o_orderdate >= v.ef AND (v.et IS NULL OR f.o_orderdate < v.et) " +
         "ORDER BY 1, 3, 4"),
+
+    "q_heavy_tokens" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM tok), " +
+        "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1) " +
+        "SELECT token, cnt FROM c CROSS JOIN n WHERE cnt * 100 > n.n " +
+        "ORDER BY cnt DESC, token"),
   )
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite

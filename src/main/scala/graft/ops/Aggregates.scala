@@ -249,4 +249,43 @@ object Aggregates {
         round(sum(col("__term").cast("decimal(28,10)")).cast("double"), 6).alias("chi2"),
         ((countDistinct(col(a)) - 1) * (countDistinct(col(b)) - 1)).alias("dof"))
   }
+
+  /** Exact heavy hitters at scale — the canonical two-pass plan:
+    *
+    * pass 1: one scan through the Misra–Gries summary
+    *   (`functions.MisraGries`, O(sketchK) state, map-side partials) yields
+    *   ≤ sketchK candidates guaranteed to INCLUDE every item with true
+    *   frequency > n/(sketchK+1);
+    * pass 2: one more scan counts ONLY those candidates exactly (the
+    *   candidate list is a driver-bounded literal membership filter, so no
+    *   full-vocabulary shuffle ever happens) and keeps items with
+    *   exact_count · k > n — an INTEGER comparison, so the result is
+    *   deterministic and independent of everything probabilistic about
+    *   pass 1, as long as sketchK ≥ k (superset property).
+    *
+    * Returns (item, cnt) for items with count > n/k, ordered by count desc.
+    * The full-vocabulary GROUP BY ... HAVING the oracle runs is exactly
+    * what this plan avoids materializing at 100 TB.
+    */
+  def exactHeavyHitters(df: DataFrame, itemCol: String, k: Int,
+                        sketchK: Int): DataFrame = {
+    require(sketchK >= k, s"sketchK ($sketchK) must be >= k ($k) for the " +
+      "Misra-Gries superset guarantee to cover the n/k threshold")
+    val cands: Seq[String] = df
+      .agg(graft.functions.MisraGries.misra_gries(col(itemCol), sketchK).alias("c"))
+      .head().getSeq[String](0)
+    if (cands.isEmpty) return df.sparkSession.emptyDataFrame
+      .select(lit("").alias("item"), lit(0L).alias("cnt"))
+    // one scan: per-candidate exact counts; everything else folds into one
+    // null group that only contributes to the total
+    val grouped = df
+      .groupBy(when(col(itemCol).isin(cands: _*), col(itemCol)).alias("item"))
+      .agg(count(lit(1)).alias("cnt"))
+    val total = grouped.agg(sum("cnt").alias("__n"))
+    grouped.filter(col("item").isNotNull)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k.toLong) > col("__n"))
+      .select(col("item"), col("cnt"))
+      .orderBy(desc("cnt"), col("item"))
+  }
 }

@@ -991,4 +991,34 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.getDouble(0) === 0.0)
     assert(got.getLong(1) === 1L)
   }
+
+  test("exactHeavyHitters equals the full GROUP BY HAVING, across partitionings") {
+    import spark.implicits._
+    // Zipf-ish stream: item i appears 600/i times, i = 1..40, plus a tail
+    // of 400 singletons. n = 600*H(40) + 400; threshold n/20.
+    val stream = (1 to 40).flatMap(i => Seq.fill(600 / i)(s"item$i")) ++
+      (1 to 400).map(i => s"tail$i")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val expected = exact.filter { case (_, c) => c * 20 > n }.toSeq
+      .sortBy { case (item, c) => (-c, item) }
+    for (parts <- Seq(1, 4, 13)) {
+      val df = spark.sparkContext.parallelize(stream, parts).toDF("item")
+      val got = Aggregates.exactHeavyHitters(df, "item", k = 20, sketchK = 80)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === expected, s"partitions=$parts")
+    }
+  }
+
+  test("MisraGries candidates are a superset of true heavy items under merge") {
+    import spark.implicits._
+    val stream = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")
+    val df = spark.sparkContext.parallelize(stream, 7).toDF("item")
+    // k=9 → undercount ≤ n/10 = 95; "hot" (500 > 95) must survive
+    val cands = df
+      .agg(graft.functions.MisraGries.misra_gries(org.apache.spark.sql.functions.col("item"), 9))
+      .head().getSeq[String](0)
+    assert(cands.size <= 9)
+    assert(cands.contains("hot"))
+  }
 }
