@@ -2371,6 +2371,53 @@ object SparkEntry {
       graft.ops.Aggregates.exactHeavyHitters(tok, "token", k = 100, sketchK = 400)
         .withColumnRenamed("item", "token")
     }),
+
+    // 2D skyline (Inspect.skyline2D): parts on the Pareto frontier of
+    // (cheapest price, largest size). Bucket-local elimination prunes in
+    // parallel; only skyline-sized survivors reach the exact global pass.
+    // The oracle runs the quadratic NOT EXISTS dominance self-join that
+    // defines the answer.
+    "q_skyline" -> ((s, d) =>
+      graft.ops.Inspect.skyline2D(Tables.part(s, d),
+          round(col("p_retailprice") * 100), col("p_size"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")),
+
+    // BFS 3-hop distances (Graph.bfsDistances) over the bipartite
+    // user↔event-type graph (same edge construction as q_pagerank), from
+    // the lexicographically-first event-type node. Hop 1 = its users,
+    // hop 2 = everything those users also did, hop 3 = that cohort.
+    "q_graph_bfs" -> ((s, d) => {
+      val ue = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val ed = ue.select(concat(lit("u:"), col("user_id")).alias("src"),
+          concat(lit("t:"), col("event_type")).alias("dst"))
+        .unionByName(ue.select(concat(lit("t:"), col("event_type")).alias("src"),
+          concat(lit("u:"), col("user_id")).alias("dst")))
+      val src = Tables.events(s, d)
+        .agg(concat(lit("t:"), min(col("event_type"))).alias("node"))
+      graft.ops.Graph.bfsDistances(ed, src, hops = 3).orderBy("node")
+    }),
+
+    // Trailing-20 EWMA per user (Sessionize.ewmaTrailing): bounded ROWS
+    // frame, literal decay-weight ladder shared with the oracle so both
+    // engines evaluate the identical IEEE expression.
+    "q_ewma" -> ((s, d) =>
+      Sessionize.ewmaTrailing(Tables.events(s, d), "user_id", "ts", "value",
+          tieCol = "event_id")
+        .select("user_id", "event_id", "ewma")
+        .orderBy("user_id", "event_id")),
+
+    // Linear-interpolation gap fill (Sessionize.interpolateLinear): the
+    // hourly grid of q_gap_fill with interior points blended
+    // time-proportionally between surrounding observations.
+    "q_interpolate" -> ((s, d) =>
+      Sessionize.interpolateLinear(Tables.events(s, d), "user_id", "ts", "value",
+          tieCol = "event_id")
+        .select(col("user_id"),
+          date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+          col("value"))
+        .orderBy("user_id", "bucket")),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4275,7 +4322,79 @@ object SparkEntry {
         "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1) " +
         "SELECT token, cnt FROM c CROSS JOIN n WHERE cnt * 100 > n.n " +
         "ORDER BY cnt DESC, token"),
+
+    "q_skyline" ->
+      ("SELECT p_partkey, p_retailprice, p_size FROM part a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM part b " +
+        "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size " +
+        "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)) " +
+        "ORDER BY p_retailprice, p_partkey"),
+
+    "q_graph_bfs" -> bfsOracle,
+
+    "q_ewma" -> ewmaOracle,
+
+    "q_interpolate" ->
+      ("WITH spans AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, " +
+        "date_trunc('hour', max(ts)) AS t1 FROM events GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts, " +
+        "CAST(NULL AS DOUBLE) AS v, 1 AS flag, 9223372036854775807 AS tie FROM spans), " +
+        "u AS (SELECT user_id, ts AS gts, value AS v, 0 AS flag, event_id AS tie FROM events " +
+        "UNION ALL SELECT * FROM grid), " +
+        "f AS (SELECT user_id, gts, flag, " +
+        "last_value(v IGNORE NULLS) OVER wp AS pv, " +
+        "last_value(CASE WHEN flag = 0 THEN epoch_us(gts) END IGNORE NULLS) OVER wp AS pt, " +
+        "first_value(v IGNORE NULLS) OVER wn AS nv, " +
+        "first_value(CASE WHEN flag = 0 THEN epoch_us(gts) END IGNORE NULLS) OVER wn AS nt, " +
+        "epoch_us(gts) AS g FROM u " +
+        "WINDOW wp AS (PARTITION BY user_id ORDER BY gts, flag, tie ROWS UNBOUNDED PRECEDING), " +
+        "wn AS (PARTITION BY user_id ORDER BY gts, flag, tie " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, strftime(gts, '%Y-%m-%d %H:%M:%S') AS bucket, " +
+        "round(CASE WHEN nt IS NULL OR nt = pt THEN pv " +
+        "ELSE pv + (nv - pv) * ((g - pt) / (nt - pt)) END, 6) AS value " +
+        "FROM f WHERE flag = 1 AND pv IS NOT NULL ORDER BY user_id, bucket"),
   )
+
+  /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the
+    * same newest-first frame list and the same left-associated weighted
+    * sums, with the weight ladder injected as the IDENTICAL IEEE double
+    * literals the Spark side uses (Sessionize.ewmaWeights). */
+  private def ewmaOracle: String = {
+    val weights = Sessionize.ewmaWeights(0.9, 20)
+    val num = weights.zipWithIndex.map { case (wj, j) =>
+      s"(CASE WHEN len(r) > $j THEN r[${j + 1}] * $wj ELSE 0.0 END)"
+    }.mkString(" + ")
+    val den = weights.zipWithIndex.map { case (wj, j) =>
+      s"(CASE WHEN len(r) > $j THEN $wj ELSE 0.0 END)"
+    }.mkString(" + ")
+    "WITH f AS (SELECT user_id, event_id, list_reverse(list(value) OVER (" +
+      "PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS r " +
+      "FROM events WHERE value IS NOT NULL) " +
+      s"SELECT user_id, event_id, round(($num) / ($den), 6) AS ewma " +
+      "FROM f ORDER BY user_id, event_id"
+  }
+
+  /** Mirror of q_graph_bfs: 3 unrolled min-distance relaxation rounds
+    * over the same bipartite user↔event-type edge list, from the
+    * lexicographically-first event-type node. */
+  private def bfsOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH ue AS (SELECT DISTINCT user_id, event_type FROM events), "
+    sb ++= "ed AS (SELECT 'u:' || user_id AS src, 't:' || event_type AS dst FROM ue " +
+      "UNION ALL SELECT 't:' || event_type AS src, 'u:' || user_id AS dst FROM ue), "
+    sb ++= "d0 AS (SELECT 't:' || min(event_type) AS node, CAST(0 AS BIGINT) AS dist FROM events), "
+    for (t <- 1 to 3) {
+      sb ++= s"d$t AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (" +
+        s"SELECT node, dist FROM d${t - 1} " +
+        s"UNION ALL SELECT ed.dst AS node, p.dist + 1 AS dist " +
+        s"FROM d${t - 1} p JOIN ed ON p.node = ed.src) GROUP BY 1), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " SELECT node, dist FROM d3 ORDER BY node"
+    sb.toString
+  }
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite
     * user↔event-type graph: 3 unrolled power-iteration rounds with the

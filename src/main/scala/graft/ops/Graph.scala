@@ -101,4 +101,32 @@ object Graph {
     }
     ranks
   }
+
+  /** Unweighted BFS distances from a source node set, `hops` relaxation
+    * rounds unrolled: dist'(v) = min(dist(v), min over edges (u,v) of
+    * dist(u)+1). Returns (node, dist) for every node reached within
+    * `hops` — k-hop neighborhoods over the near-dup graph, blast-radius
+    * queries over lineage edges, reachability tiers over link graphs.
+    *
+    * Per round, only the REACHED set joins the edge list and re-minimizes
+    * — one edge-keyed join plus one node-keyed aggregation, both with
+    * map-side partials; the frontier's dist values are exact after round
+    * t for every node at distance ≤ t (standard BFS invariant), so a
+    * fixed hop count is a complete answer for the k-hop question, not an
+    * approximation. Directed as given — pass both orientations for an
+    * undirected graph. Lineage grows linearly with `hops` (same stance
+    * as pagerank; see ScaleDedup.connectedComponents for the checkpoint
+    * pattern when dozens of rounds are needed). */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
+    require(hops >= 0 && hops <= 64, s"bfsDistances: need 0 <= hops <= 64, got $hops")
+    var dist = sources.select(col("node"), lit(0L).alias("dist"))
+    for (_ <- 1 to hops) {
+      val next = dist.alias("d")
+        .join(edges.alias("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").alias("node"), (col("d.dist") + 1).alias("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min("dist").alias("dist"))
+    }
+    dist
+  }
 }

@@ -114,4 +114,51 @@ object Inspect {
           .when(col("__ofp") === col("__nfp"), lit("same"))
           .otherwise(lit("changed")).alias("status"))
   }
+
+  /** One skyline elimination pass within each `parts` partition: a row
+    * survives unless some row in the same partition has strictly smaller
+    * `__sk_min` and ≥ `__sk_max` (range frame ending 1 below the current
+    * key), or the same `__sk_min` and strictly larger `__sk_max`. */
+  private def skylineKeep(df: DataFrame, parts: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val wCheap = w.partitionBy(parts: _*).orderBy(col("__sk_min"))
+      .rangeBetween(Long.MinValue, -1)
+    val wEq = w.partitionBy(parts :+ col("__sk_min"): _*)
+    df.withColumn("__sk_cheap", max(col("__sk_max")).over(wCheap))
+      .withColumn("__sk_eq", max(col("__sk_max")).over(wEq))
+      .filter((col("__sk_cheap").isNull || col("__sk_cheap") < col("__sk_max")) &&
+        col("__sk_eq") <= col("__sk_max"))
+      .drop("__sk_cheap", "__sk_eq")
+  }
+
+  /** 2D skyline (Pareto frontier): rows not dominated on (minimize
+    * `minKey`, maximize `maxVal`) — dominated means another row is ≤ on
+    * the min axis and ≥ on the max axis with at least one strict.
+    *
+    * The naive formulation is a quadratic dominance self-join (the
+    * oracle runs exactly that, NOT EXISTS — it defines the answer, it
+    * doesn't scale). Here each elimination pass is ONE window over a
+    * sort by the min axis: the running max of `maxVal` over strictly
+    * cheaper rows decides dominance in O(n log n). Because the skyline
+    * operator is distributive over unions — skyline(A ∪ B) ⊆
+    * skyline(A) ∪ skyline(B) — a first pass partitioned by a hash bucket
+    * prunes everything bucket-locally dominated in parallel, and only
+    * the per-bucket survivors (skyline-sized, typically ≪ n) reach the
+    * single-partition exact pass. Duplicated points (equal on both axes)
+    * dominate nothing and all survive, matching SQL dominance semantics.
+    *
+    * `minKey` must be an exact integer-valued expression (cast to long —
+    * e.g. price in cents): the strict-< window is a range frame ending 1
+    * below the current key. */
+  def skyline2D(df: DataFrame, minKey: Column, maxVal: Column,
+                buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val tagged = df.withColumn("__sk_min", minKey.cast("long"))
+      .withColumn("__sk_max", maxVal)
+    val local = skylineKeep(
+      tagged.withColumn("__sk_b",
+        pmod(hash(col("__sk_min"), col("__sk_max")), lit(buckets))),
+      Seq(col("__sk_b"))).drop("__sk_b")
+    skylineKeep(local, Nil).drop("__sk_min", "__sk_max")
+  }
 }

@@ -87,4 +87,86 @@ object Sessionize {
       .filter(col("__gap").isNull || col("__gap") > minGapMs)
       .drop("__gap")
   }
+
+  /** The decay-weight ladder (1, decay, decay², …) shared by
+    * `ewmaTrailing` and its oracle mirror: both sides must inject the
+    * SAME IEEE doubles as literals — computing powers independently
+    * (repeated multiply vs libm pow) can differ in the last ulp and flip
+    * a 6-dp rounding boundary. */
+  def ewmaWeights(decay: Double, lookback: Int): Array[Double] =
+    Array.iterate(1.0, lookback)(_ * decay)
+
+  /** Trailing exponentially-weighted moving average per key: over the
+    * last `lookback` observations (newest weighted 1, each step back
+    * multiplied by `decay`), normalized by the weight sum actually
+    * present — the smoothing column every metrics/anomaly stack derives
+    * first. One key-partitioned window (single exchange); the bounded
+    * ROWS frame keeps per-row state at `lookback` values, and the
+    * weighted sum unrolls into a fixed literal expression tree inside
+    * codegen — no UDF, no unbounded a^(-i) rescaling trick (which
+    * overflows on long series), no per-key sequential scan. */
+  def ewmaTrailing(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieCol: String, decay: Double = 0.9,
+                   lookback: Int = 20): DataFrame = {
+    require(lookback >= 1 && lookback <= 64,
+      s"ewmaTrailing: need 1 <= lookback <= 64, got $lookback")
+    require(decay > 0 && decay <= 1, s"ewmaTrailing: need 0 < decay <= 1, got $decay")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    // newest-first frame values; collect_list preserves frame order
+    val r = reverse(collect_list(col(valCol).cast("double")).over(w))
+    val weights = ewmaWeights(decay, lookback)
+    val num = weights.zipWithIndex.map { case (wj, j) =>
+      when(size(r) > j, element_at(r, j + 1) * lit(wj)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = weights.zipWithIndex.map { case (wj, j) =>
+      when(size(r) > j, lit(wj)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    df.filter(col(valCol).isNotNull)
+      .withColumn("ewma", round(num / den, 6))
+  }
+
+  /** Linear-interpolation gap fill: same per-key hourly grid as
+    * `gapFill`, but interior grid points take the time-proportional
+    * blend of the surrounding observations — pv + (nv−pv)·(t−pt)/(nt−pt)
+    * — instead of carrying the last value flat; grid points at/after the
+    * last observation fall back to carry-forward. Same single exchange:
+    * one union of (observations, grid), one sort, TWO frames over it
+    * (running last for the previous observation, running first for the
+    * next) — Spark reuses the exchange and sort for both. Fractions are
+    * epoch-micros doubles, 6-dp rounded so the boundary is engine-exact. */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, tieCol: String,
+                        stepHours: Int = 1): DataFrame = {
+    val span = df.groupBy(col(keyCol)).agg(
+      date_trunc("hour", min(col(tsCol))).alias("__t0"),
+      date_trunc("hour", max(col(tsCol))).alias("__t1"))
+    val grid = span.select(col(keyCol),
+      explode(expr(s"sequence(__t0, __t1, interval $stepHours hour)"))
+        .alias("__gts"))
+      .select(col(keyCol), col("__gts"),
+        lit(null).cast("double").alias("__v"), lit(1).alias("__flag"),
+        lit(Long.MaxValue).alias("__tie"))
+    val actual = df.select(col(keyCol), col(tsCol).alias("__gts"),
+      col(valCol).cast("double").alias("__v"), lit(0).alias("__flag"),
+      col(tieCol).cast("long").alias("__tie"))
+    val order = Seq(col("__gts").asc, col("__flag").asc, col("__tie").asc)
+    val wPrev = Window.partitionBy(keyCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsMicros = when(col("__flag") === 0, unix_micros(col("__gts")))
+    actual.unionAll(grid)
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pt", last(obsMicros, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nt", first(obsMicros, ignoreNulls = true).over(wNext))
+      .filter(col("__flag") === 1 && col("__pv").isNotNull)
+      .select(col(keyCol), col("__gts").alias("bucket_ts"),
+        round(when(col("__nt").isNull || col("__nt") === col("__pt"), col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((unix_micros(col("__gts")) - col("__pt")) / (col("__nt") - col("__pt")))),
+          6).alias(valCol))
+  }
 }

@@ -1010,6 +1010,63 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("skyline2D matches brute-force dominance, keeps duplicate points, any buckets") {
+    import spark.implicits._
+    val pts = Seq((1L, 0L, 1), (2L, 1L, 5), (3L, 1L, 5), (4L, 2L, 7),
+      (5L, 2L, 6), (6L, 3L, 7), (7L, 10L, 2))
+    // brute force: p dominated iff some q is <= on cost, >= on size, one strict
+    val expected = pts.filterNot { case (_, c, v) =>
+      pts.exists { case (_, c2, v2) =>
+        c2 <= c && v2 >= v && (c2 < c || v2 > v) }
+    }.map(_._1).sorted
+    for (buckets <- Seq(1, 4, 16)) {
+      val df = spark.sparkContext.parallelize(pts, 3).toDF("id", "cost", "size")
+      val got = Inspect.skyline2D(df, col("cost"), col("size"), buckets)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected, s"buckets=$buckets")
+    }
+  }
+
+  test("bfsDistances: exact hop tiers, unreached nodes absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 and a disconnected island 9-10, both orientations
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 5), (9, 10))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val src = Seq(1).toDF("node")
+    val got = Graph.bfsDistances(e, src, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got === Map(1 -> 0L, 2 -> 1L, 3 -> 2L, 4 -> 3L))
+  }
+
+  test("ewmaTrailing weights newest-first and normalizes over present rows") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 00:00:00", 10.0, 1L),
+      (1L, "2024-01-01 00:01:00", 20.0, 2L),
+      (1L, "2024-01-01 00:02:00", 30.0, 3L))
+      .toDF("k", "ts", "v", "id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Sessionize.ewmaTrailing(df, "k", "ts", "v", "id", decay = 0.5, lookback = 4)
+      .orderBy("id").collect().map(_.getAs[Double]("ewma")).toSeq
+    // row1: 10; row2: (20 + 0.5*10)/1.5; row3: (30 + 0.5*20 + 0.25*10)/1.75
+    assert(got === Seq(10.0,
+      math.rint((20.0 + 0.5 * 10.0) / 1.5 * 1e6) / 1e6,
+      math.rint((30.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75 * 1e6) / 1e6))
+  }
+
+  test("interpolateLinear blends interior grid points, carries the tail flat") {
+    import spark.implicits._
+    // observations at 00:30 (v=0) and 02:30 (v=4): hourly grid 00:00-02:00
+    // → 00:00 dropped (before first obs), 01:00 = 1.0, 02:00 = 3.0
+    val df = Seq((1L, "2024-01-01 00:30:00", 0.0, 1L),
+      (1L, "2024-01-01 02:30:00", 4.0, 2L))
+      .toDF("k", "ts", "v", "id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Sessionize.interpolateLinear(df, "k", "ts", "v", "id")
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2))).toSeq
+    assert(got === Seq(("2024-01-01 01:00:00.0", 1.0), ("2024-01-01 02:00:00.0", 3.0)))
+  }
+
   test("MisraGries candidates are a superset of true heavy items under merge") {
     import spark.implicits._
     val stream = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")
