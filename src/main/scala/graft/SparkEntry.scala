@@ -2418,6 +2418,14 @@ object SparkEntry {
           date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
           col("value"))
         .orderBy("user_id", "bucket")),
+
+    // Two-pass exact percentile (Aggregates.percentileTwoPass): histogram
+    // pass pins the order statistics to buckets, a narrow final pass ranks
+    // only those buckets — exact quantile_cont without buffering the
+    // column (the shape Spark's exact percentile can't take at 100 TB).
+    "q_percentile_two_pass" -> ((s, d) =>
+      graft.ops.Aggregates.percentileTwoPass(
+        Tables.lineitem(s, d), "l_extendedprice", 0.9)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4354,6 +4362,10 @@ object SparkEntry {
         "round(CASE WHEN nt IS NULL OR nt = pt THEN pv " +
         "ELSE pv + (nv - pv) * ((g - pt) / (nt - pt)) END, 6) AS value " +
         "FROM f WHERE flag = 1 AND pv IS NOT NULL ORDER BY user_id, bucket"),
+
+    "q_percentile_two_pass" ->
+      ("SELECT CAST(0.9 AS DOUBLE) AS p, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS value FROM lineitem"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

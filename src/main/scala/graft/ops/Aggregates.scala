@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations / reshaping — SURVEY.md §2 H1–H8.
@@ -248,6 +249,80 @@ object Aggregates {
       .agg(
         round(sum(col("__term").cast("decimal(28,10)")).cast("double"), 6).alias("chi2"),
         ((countDistinct(col(a)) - 1) * (countDistinct(col(b)) - 1)).alias("dof"))
+  }
+
+  /** Exact percentile WITHOUT buffering the column: the histogram-refine
+    * two-pass plan. Spark's exact `percentile` (and the winsorize/MAD ops
+    * built on it) collects every value into the merging aggregation
+    * buffer — correct, but memory ∝ column size, which is the one shape
+    * that cannot survive a 100 TB column. This computes the SAME
+    * interpolated value (quantile_cont semantics, 6-dp rounded) in three
+    * bounded steps:
+    *
+    *   1. one aggregation → (n, min, max);
+    *   2. one scan → counts over `bins` equal-width buckets (the shuffle
+    *      carries ≤ `bins` rows; the driver sees only the histogram);
+    *   3. the cumulative histogram pins the two order statistics
+    *      h = p·(n−1) needs to their buckets, and one final narrow scan
+    *      ranks JUST those buckets (expected n/bins rows each) with a
+    *      per-bucket window.
+    *
+    * Interpolation runs on the driver over the ≤ 2 picked rows with the
+    * same lower + (upper−lower)·frac arithmetic the single-pass exact
+    * form uses. Heavily skewed columns can still concentrate one bucket —
+    * the general fix is recursing step 2-3 on the fat bucket; one level
+    * is implemented because fixture-scale data never needs the second.
+    * All driver materializations are bounded by `bins`, never by n. */
+  def percentileTwoPass(df: DataFrame, valueCol: String, p: Double,
+                        bins: Int = 4096): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"percentileTwoPass: need 0 <= p <= 1, got $p")
+    require(bins >= 1, s"percentileTwoPass: need bins >= 1, got $bins")
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("double").alias("__v"))
+      .filter(col("__v").isNotNull)
+    val stats = vals.agg(count(lit(1)).alias("n"),
+      min("__v").alias("mn"), max("__v").alias("mx")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "percentileTwoPass: no non-null values")
+    val (mn, mx) = (stats.getDouble(1), stats.getDouble(2))
+    def result(v: Double): DataFrame = {
+      val rounded = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      spark.range(1).select(lit(p).alias("p"), lit(rounded).alias("value"))
+    }
+    if (mn == mx) return result(mn)
+    val width = (mx - mn) / bins
+    val binOf = least(floor((col("__v") - lit(mn)) / lit(width)).cast("int"),
+      lit(bins - 1))
+    val hist = vals.groupBy(binOf.alias("__b")).agg(count(lit(1)).alias("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val h = p * (n - 1)                      // 0-based fractional rank
+    val rLo = math.floor(h).toLong
+    val rHi = math.ceil(h).toLong
+    def locate(r0: Long): (Int, Long) = {    // bucket + rows before it
+      var cum = 0L
+      hist.foreach { case (b, c) =>
+        if (r0 < cum + c) return (b, cum)
+        cum += c
+      }
+      throw new IllegalStateException(s"rank $r0 beyond histogram total $cum")
+    }
+    val (bLo, beforeLo) = locate(rLo)
+    val (bHi, beforeHi) = locate(rHi)
+    val w = Window.partitionBy(col("__b")).orderBy(col("__v").asc)
+    val picked = vals.withColumn("__b", binOf)
+      .filter(col("__b").isin(Seq(bLo, bHi).distinct: _*))
+      .withColumn("__rk", row_number().over(w))
+      .filter((col("__b") === bLo && col("__rk") === rLo - beforeLo + 1) ||
+        (col("__b") === bHi && col("__rk") === rHi - beforeHi + 1))
+      .select("__b", "__rk", "__v").collect()
+    def at(b: Int, rk: Long): Double = picked
+      .find(r => r.getInt(0) == b && r.getInt(1).toLong == rk)
+      .getOrElse(throw new IllegalStateException(s"order statistic ($b, $rk) not found"))
+      .getDouble(2)
+    val vLo = at(bLo, rLo - beforeLo + 1)
+    val vHi = at(bHi, rHi - beforeHi + 1)
+    result(vLo + (vHi - vLo) * (h - rLo))
   }
 
   /** Exact heavy hitters at scale — the canonical two-pass plan:
