@@ -300,28 +300,62 @@ object EventsStream {
     df.writeStream.outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sp = batch.sparkSession
-        val target = new org.apache.hadoop.fs.Path(targetDir)
-        val tmp = new org.apache.hadoop.fs.Path(targetDir + "__tmp")
-        val old = new org.apache.hadoop.fs.Path(targetDir + "__old")
-        val fs = target.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        // crash repair: a rename pair that died between the two renames
-        // left the merged result in __old (or an orphan __tmp) — restore
-        // before deciding existence
-        if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        val merged =
-          if (fs.exists(target))
-            graft.ops.Joins.upsert(sp.read.parquet(targetDir), batch.toDF(), keys)
-          else batch.toDF()
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(target) && !fs.rename(target, old))
-          throw new java.io.IOException(s"upsert sink: rename $target -> $old failed")
-        if (!fs.rename(tmp, target))
-          throw new java.io.IOException(s"upsert sink: rename $tmp -> $target failed")
-        fs.delete(old, true)
-        ()
+        mergeReplace(batch.sparkSession, targetDir) {
+          case Some(existing) => graft.ops.Joins.upsert(existing, batch.toDF(), keys)
+          case None => batch.toDF()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Crash-safe maintained-table replace shared by the merging sinks:
+    * compute `merge(existing)` (None ⇔ the target genuinely does not
+    * exist — read errors on an existing target FAIL the batch rather
+    * than silently restarting the table), write it to a temp path, then
+    * swap via the rename pair. A crash between the two renames leaves
+    * the previous state in __old (or an orphan __tmp); the repair step
+    * restores it before deciding existence, so the batch replay sees the
+    * pre-crash table. */
+  private def mergeReplace(sp: SparkSession, targetDir: String)
+                          (merge: Option[DataFrame] => DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val tmp = new org.apache.hadoop.fs.Path(targetDir + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(targetDir + "__old")
+    val fs = target.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val merged =
+      if (fs.exists(target)) merge(Some(sp.read.parquet(targetDir)))
+      else merge(None)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"merge sink: rename $target -> $old failed")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"merge sink: rename $tmp -> $target failed")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Streaming materialized-view maintenance: fold each micro-batch
+    * through `ops.IncrementalAgg` into a maintained per-key state table
+    * (count + exact DECIMAL sum) — the streaming twin of the batch
+    * delta-maintenance query. Each batch costs one batch-sized
+    * aggregation plus a state-sized merge through the same crash-safe
+    * swap as the upsert sink; because the state moments are associative
+    * and commutative, a replayed batch boundary re-derives the identical
+    * table the batch recompute would produce (spec-checked). */
+  def startIncrementalAggSink(df: DataFrame, targetDir: String,
+                              checkpoint: String, key: String,
+                              valueCol: String): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = graft.ops.IncrementalAgg.aggregate(batch.toDF(), key, valueCol)
+        mergeReplace(batch.sparkSession, targetDir) {
+          case Some(existing) => graft.ops.IncrementalAgg.merge(Seq(existing, delta))
+          case None => delta
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()

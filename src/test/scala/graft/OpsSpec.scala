@@ -1067,6 +1067,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(("2024-01-01 01:00:00.0", 1.0), ("2024-01-01 02:00:00.0", 3.0)))
   }
 
+  test("percentileTwoPass equals the single-pass exact percentile") {
+    import spark.implicits._
+    // values with duplicates, negatives, and a skew spike in one bucket
+    val vals = Seq.tabulate(500)(i => (i % 37) * 1.5 - 10.0) ++
+      Seq.fill(100)(3.25) ++ Seq(1e6, -1e6)
+    val df = spark.sparkContext.parallelize(vals, 7).toDF("v")
+    for (p <- Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val expect = df.agg(round(expr(s"percentile(v, ${p}D)"), 6)).head().getDouble(0)
+      val got = Aggregates.percentileTwoPass(df, "v", p, bins = 16)
+        .head().getDouble(1)
+      assert(got === expect, s"p=$p")
+    }
+    // degenerate: constant column
+    val const = Seq.fill(10)(42.0).toDF("v")
+    assert(Aggregates.percentileTwoPass(const, "v", 0.5).head().getDouble(1) === 42.0)
+  }
+
   test("MisraGries candidates are a superset of true heavy items under merge") {
     import spark.implicits._
     val stream = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")

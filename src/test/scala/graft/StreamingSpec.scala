@@ -230,6 +230,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming incremental aggregate equals the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-incagg").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-incagg-ckpt").toString
+    try {
+      val b1 = Seq(("a", 1.25), ("a", 2.50), ("b", 10.00))
+      val b2 = Seq(("b", 0.75), ("c", 3.00), ("a", 4.00))
+      val input = MemoryStream[(String, Double)]
+      input.addData(b1: _*)
+      val q1 = EventsStream.startIncrementalAggSink(
+        input.toDF().toDF("k", "v"), dir + "/t", ckpt, "k", "v")
+      q1.processAllAvailable(); q1.stop()
+      input.addData(b2: _*)
+      val q2 = EventsStream.startIncrementalAggSink(
+        input.toDF().toDF("k", "v"), dir + "/t", ckpt, "k", "v")
+      q2.processAllAvailable(); q2.stop()
+      val streamed = ops.IncrementalAgg.finish(spark.read.parquet(dir + "/t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val recomputed = ops.IncrementalAgg.finish(ops.IncrementalAgg.aggregate(
+          (b1 ++ b2).toDF("k", "v"), "k", "v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === recomputed)
+      assert(streamed === Set(("a", 3L, 7.75), ("b", 2L, 10.75), ("c", 1L, 3.0)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("stateful sessionization: gap split, merge within gap, timeout close") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
