@@ -2426,6 +2426,40 @@ object SparkEntry {
     "q_percentile_two_pass" -> ((s, d) =>
       graft.ops.Aggregates.percentileTwoPass(
         Tables.lineitem(s, d), "l_extendedprice", 0.9)),
+
+    // Per-source exact heavy hitters (Aggregates.exactHeavyHittersByGroup):
+    // grouped Misra-Gries candidates broadcast into one tagging join — the
+    // count shuffle carries candidate keys only, never the vocabulary.
+    "q_heavy_tokens_by_source" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).alias("token"))
+      graft.ops.Aggregates.exactHeavyHittersByGroup(
+          tok, "source", "token", k = 50, sketchK = 200)
+        .withColumnRenamed("item", "token")
+    }),
+
+    // EXACT similarity self-join (ScaleDedup.jaccardJoinExact): prefix
+    // filtering gives every pair with Jaccard >= 0.5, no misses — the
+    // deterministic complement to the LSH candidate path. Deterministic
+    // 1-in-5 doc slice keeps the oracle's all-pairs verify bounded.
+    "q_ssjoin_exact" -> ((s, d) =>
+      graft.ops.ScaleDedup.jaccardJoinExact(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    // PSI drift monitor (Aggregates.psiDrift): document-length
+    // distribution shift between two deterministic corpus halves over a
+    // fixed 10-bin grid — the per-release drift number a dataset card
+    // tracks.
+    "q_psi_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Aggregates.psiDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        size(split(col("text"), " ")).cast("double"),
+        binWidth = 20.0, nBins = 10)
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4366,6 +4400,41 @@ object SparkEntry {
     "q_percentile_two_pass" ->
       ("SELECT CAST(0.9 AS DOUBLE) AS p, " +
         "round(quantile_cont(l_extendedprice, 0.9), 6) AS value FROM lineitem"),
+
+    "q_heavy_tokens_by_source" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "n AS (SELECT source, count(*) AS n FROM tok GROUP BY 1), " +
+        "c AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2) " +
+        "SELECT c.source, c.token, c.cnt FROM c JOIN n USING (source) " +
+        "WHERE c.cnt * 50 > n.n ORDER BY c.source, c.cnt DESC, c.token"),
+
+    "q_ssjoin_exact" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "len(list_intersect(a.ts, b.ts)) AS i, " +
+        "len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS u " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id) " +
+        "SELECT id1, id2, round(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), 6) AS jaccard " +
+        "FROM p WHERE CAST(i AS DOUBLE) >= 0.5 * CAST(u AS DOUBLE) " +
+        "ORDER BY id1, id2"),
+
+    "q_psi_drift" ->
+      ("WITH ob AS (SELECT least(greatest(CAST(floor(len(string_split(text, ' ')) / 20.0) " +
+        "AS INT), 0), 9) AS bin FROM documents WHERE doc_id % 2 = 0), " +
+        "nb AS (SELECT least(greatest(CAST(floor(len(string_split(text, ' ')) / 20.0) " +
+        "AS INT), 0), 9) AS bin FROM documents WHERE doc_id % 2 = 1), " +
+        "g AS (SELECT unnest(generate_series(0, 9)) AS bin), " +
+        "co AS (SELECT bin, count(*) AS no FROM ob GROUP BY 1), " +
+        "cn AS (SELECT bin, count(*) AS nn FROM nb GROUP BY 1), " +
+        "j AS (SELECT g.bin, coalesce(co.no, 0) AS no, coalesce(cn.nn, 0) AS nn " +
+        "FROM g LEFT JOIN co USING (bin) LEFT JOIN cn USING (bin)), " +
+        "t AS (SELECT CAST(sum(no) AS BIGINT) AS t_o, CAST(sum(nn) AS BIGINT) AS t_n FROM j), " +
+        "s AS (SELECT (no + 1.0) / (t.t_o + 10) AS po, (nn + 1.0) / (t.t_n + 10) AS pn " +
+        "FROM j CROSS JOIN t) " +
+        "SELECT round(CAST(sum(CAST((pn - po) * ln(pn / po) AS DECIMAL(28,14))) " +
+        "AS DOUBLE), 6) AS psi, count(*) AS n_bins FROM s"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

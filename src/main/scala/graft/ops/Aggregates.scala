@@ -325,6 +325,72 @@ object Aggregates {
     result(vLo + (vHi - vLo) * (h - rLo))
   }
 
+  /** Population stability index between a reference and a current slice
+    * of a numeric column — the standard "did the distribution move"
+    * monitor a corpus/feature pipeline runs per release:
+    * PSI = Σ_bins (p_new − p_old) · ln(p_new / p_old) over a FIXED bin
+    * grid (data-independent bins keep releases comparable; Laplace
+    * smoothing (+1 per bin) keeps empty bins finite instead of clipping).
+    * Rule-of-thumb thresholds: < 0.1 stable, > 0.25 investigate.
+    *
+    * Each side reduces to one bin-count aggregation (≤ nBins rows
+    * shuffle); the grid join and totals are broadcast-sized; per-bin
+    * terms go through a DECIMAL sum so the statistic is
+    * partitioning-proof. Returns one row (psi, n_bins). */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: Column,
+               binWidth: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"psiDrift: need nBins >= 2, got $nBins")
+    require(binWidth > 0, s"psiDrift: need binWidth > 0, got $binWidth")
+    def binned(df: DataFrame, side: String): DataFrame = df
+      .select(least(greatest(floor(valueCol / lit(binWidth)), lit(0)),
+        lit(nBins - 1)).cast("int").alias("bin"))
+      .groupBy("bin").agg(count(lit(1)).alias(side))
+    val grid = oldDf.sparkSession.range(nBins)
+      .select(col("id").cast("int").alias("bin"))
+    val j = grid
+      .join(binned(oldDf, "__no"), Seq("bin"), "left")
+      .join(binned(newDf, "__nn"), Seq("bin"), "left")
+      .na.fill(0L, Seq("__no", "__nn"))
+    val totals = j.agg(sum("__no").alias("__to"), sum("__nn").alias("__tn"))
+    j.crossJoin(broadcast(totals))
+      .withColumn("__po", (col("__no") + lit(1.0)) / (col("__to") + lit(nBins)))
+      .withColumn("__pn", (col("__nn") + lit(1.0)) / (col("__tn") + lit(nBins)))
+      .withColumn("__term", (col("__pn") - col("__po")) * log(col("__pn") / col("__po")))
+      .agg(round(sum(col("__term").cast("decimal(28,14)")).cast("double"), 6)
+        .alias("psi"), count(lit(1)).alias("n_bins"))
+  }
+
+  /** Per-group exact heavy hitters — the grouped form of
+    * `exactHeavyHitters`, with NO driver collect anywhere: pass 1 runs
+    * the Misra–Gries aggregate per group and explodes the candidate
+    * arrays into a (group, item) table that stays distributed and is
+    * broadcast into pass 2 (groups × sketchK rows — groups must be
+    * dimension-sized, which is what "per source" / "per language" means);
+    * pass 2 tags each row against its group's candidates with one
+    * broadcast join, so the count shuffle carries at most
+    * groups × (sketchK + 1) keys after map-side partials — never the
+    * per-group vocabulary. The per-group integer threshold
+    * cnt · k > n_group makes the output exact and deterministic. */
+  def exactHeavyHittersByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                               k: Int, sketchK: Int): DataFrame = {
+    require(sketchK >= k, s"sketchK ($sketchK) must be >= k ($k) for the " +
+      "Misra-Gries superset guarantee to cover the n/k threshold")
+    val cands = df.groupBy(col(groupCol))
+      .agg(graft.functions.MisraGries.misra_gries(col(itemCol), sketchK).alias("__c"))
+      .select(col(groupCol).alias("__g"), explode(col("__c")).alias("__item"))
+    val grouped = df.select(col(groupCol), col(itemCol))
+      .join(broadcast(cands),
+        col(groupCol) === col("__g") && col(itemCol) === col("__item"), "left")
+      .groupBy(col(groupCol), col("__item").alias("item"))
+      .agg(count(lit(1)).alias("cnt"))
+    val totals = grouped.groupBy(col(groupCol)).agg(sum("cnt").alias("__n"))
+    grouped.filter(col("item").isNotNull)
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("cnt") * lit(k.toLong) > col("__n"))
+      .select(col(groupCol), col("item"), col("cnt"))
+      .orderBy(col(groupCol), desc("cnt"), col("item"))
+  }
+
   /** Exact heavy hitters at scale — the canonical two-pass plan:
     *
     * pass 1: one scan through the Misra–Gries summary

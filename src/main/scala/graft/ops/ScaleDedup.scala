@@ -549,4 +549,63 @@ object ScaleDedup {
           " ").alias("text_clean"),
         size(cov).cast("long").alias("n_removed"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs): all
+    * pairs with token-set Jaccard ≥ `threshold`, with a NO-MISS guarantee
+    * — the deterministic complement to the MinHash-LSH candidate path
+    * (which trades recall for speed; see q_dedup_recall for the measured
+    * gap). The pruning fact: order every document's tokens by one GLOBAL
+    * rank (rarest first) — if two sets reach Jaccard t, they must share a
+    * token within their first |x| − ⌈t·|x|⌉ + 1 tokens. So only those
+    * prefix tokens are emitted to the candidate equi-join, and because
+    * prefixes are rare-first, the heaviest join keys are the LEAST
+    * frequent tokens — the fan-out inversion that makes the exact join
+    * feasible where a plain token join explodes on stopwords.
+    *
+    * Shapes: the token-rank table is vocabulary-sized (Heaps-law small —
+    * its rank window is deliberately single-partition, same stance as
+    * dictEncode) and broadcasts onto the exploded prefix stream;
+    * candidates are verified with exact integer intersection sizes over
+    * the pair's token arrays. Verification cost is |candidates| — the
+    * prefix bound keeps that near the true pair count, never n². */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardJoinExact: need 0 < threshold <= 1, got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).alias("__id"),
+        array_distinct(split(col(textCol), " ")).alias("__ts"))
+      .withColumn("__len", size(col("__ts")))
+    val ranked = toks.select(explode(col("__ts")).alias("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).alias("__df"))
+      .withColumn("__rk",
+        row_number().over(w.orderBy(col("__df").asc, col("__tok").asc)))
+      .select("__tok", "__rk")
+    val wDoc = w.partitionBy(col("__id")).orderBy(col("__rk").asc)
+    val prefix = toks
+      .select(col("__id"), col("__len"), explode(col("__ts")).alias("__tok"))
+      .join(broadcast(ranked), "__tok")
+      .withColumn("__pos", row_number().over(wDoc))
+      .filter(col("__pos") <=
+        col("__len") - ceil(lit(threshold) * col("__len")) + 1)
+      .select(col("__id"), col("__tok"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").alias("id1"), col("b.__id").alias("id2"))
+      .distinct()
+    cand
+      .join(toks.select(col("__id").alias("id1"), col("__ts").alias("__ts1"),
+        col("__len").alias("__l1")), "id1")
+      .join(toks.select(col("__id").alias("id2"), col("__ts").alias("__ts2"),
+        col("__len").alias("__l2")), "id2")
+      .withColumn("__i", size(array_intersect(col("__ts1"), col("__ts2"))))
+      .withColumn("__u", col("__l1") + col("__l2") - col("__i"))
+      // float boundary shared verbatim with the oracle: i >= t·u on the
+      // same IEEE doubles either side
+      .filter(col("__i").cast("double") >= lit(threshold) * col("__u").cast("double"))
+      .select(col("id1"), col("id2"),
+        round(col("__i").cast("double") / col("__u").cast("double"), 6)
+          .alias("jaccard"))
+  }
 }

@@ -1084,6 +1084,50 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(Aggregates.percentileTwoPass(const, "v", 0.5).head().getDouble(1) === 42.0)
   }
 
+  test("jaccardJoinExact matches brute force and keeps the exact-threshold pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "a b c d e"),
+      (4L, "x y"), (5L, "x y"), (6L, "q r s t u v"))
+    def jac(x: String, y: String): Double = {
+      val (a, b) = (x.split(" ").toSet, y.split(" ").toSet)
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val expected = (for {
+      (i, ti) <- docs; (j, tj) <- docs
+      if i < j && jac(ti, tj) >= 0.5
+    } yield (i, j)).toSet
+    // (1,2) sits exactly AT 0.5 (2/4) and must be kept
+    assert(expected.contains((1L, 2L)))
+    for (parts <- Seq(1, 5)) {
+      val df = spark.sparkContext.parallelize(docs, parts).toDF("doc_id", "text")
+      val got = ScaleDedup.jaccardJoinExact(df, "doc_id", "text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("exactHeavyHittersByGroup applies each group's own threshold") {
+    import spark.implicits._
+    // group g1: 10 rows, "a"x6 qualifies at k=2 (cnt*2 > 10); g2: "a" is
+    // light (4 of 12) but "z"x7 qualifies — thresholds are per group
+    val rows = Seq.fill(6)(("g1", "a")) ++ (1 to 4).map(i => ("g1", s"x$i")) ++
+      Seq.fill(4)(("g2", "a")) ++ Seq.fill(7)(("g2", "z")) ++ Seq(("g2", "y"))
+    val df = spark.sparkContext.parallelize(rows, 5).toDF("g", "item")
+    val got = Aggregates.exactHeavyHittersByGroup(df, "g", "item", k = 2, sketchK = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("g1", "a", 6L), ("g2", "z", 7L)))
+  }
+
+  test("psiDrift is zero on identical slices, positive under a shift") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => (i % 100).toDouble).toDF("v")
+    val same = Aggregates.psiDrift(a, a, col("v"), 10.0, 10).head()
+    assert(same.getDouble(0) === 0.0)
+    assert(same.getLong(1) === 10L)
+    val shifted = (1 to 200).map(i => (i % 100).toDouble + 40.0).toDF("v")
+    assert(Aggregates.psiDrift(a, shifted, col("v"), 10.0, 10).head().getDouble(0) > 0.1)
+  }
+
   test("MisraGries candidates are a superset of true heavy items under merge") {
     import spark.implicits._
     val stream = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")
