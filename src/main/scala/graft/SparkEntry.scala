@@ -2460,6 +2460,37 @@ object SparkEntry {
         size(split(col("text"), " ")).cast("double"),
         binWidth = 20.0, nBins = 10)
     }),
+
+    // Sorted-neighborhood entity resolution (ScaleDedup.sortedNeighborPairs):
+    // candidates from a window-3 pass over the name sort order, verified
+    // with levenshtein <= 3 — n·window candidates, never n².
+    "q_sorted_neighbors" -> ((s, d) => {
+      val p = Tables.part(s, d).select("p_partkey", "p_name")
+      val pairs = graft.ops.ScaleDedup.sortedNeighborPairs(
+        p, "p_partkey", lower(col("p_name")), window = 3)
+      pairs
+        .join(p.select(col("p_partkey").alias("id1"), col("p_name").alias("n1")), "id1")
+        .join(p.select(col("p_partkey").alias("id2"), col("p_name").alias("n2")), "id2")
+        .withColumn("dist", levenshtein(col("n1"), col("n2")))
+        .filter(col("dist") <= 3)
+        .select("id1", "id2", "dist")
+        .orderBy("id1", "id2")
+    }),
+
+    // CDC extraction (Cdc.extractCdc): diff two deterministic snapshot
+    // versions of orders into the minimal I/U/D feed — the inverse of
+    // q_cdc_apply; unchanged keys never reach the output.
+    "q_cdc_extract" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldSnap = base.filter(col("o_orderkey") % 3 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") * 2, 2))
+            .otherwise(col("o_totalprice")))
+      graft.ops.Cdc.extractCdc(oldSnap, newSnap, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4435,6 +4466,33 @@ object SparkEntry {
         "FROM j CROSS JOIN t) " +
         "SELECT round(CAST(sum(CAST((pn - po) * ln(pn / po) AS DECIMAL(28,14))) " +
         "AS DOUBLE), 6) AS psi, count(*) AS n_bins FROM s"),
+
+    "q_sorted_neighbors" ->
+      ("WITH r AS (SELECT p_partkey, p_name, " +
+        "row_number() OVER (ORDER BY lower(p_name), p_partkey) AS rk FROM part) " +
+        "SELECT a.p_partkey AS id1, b.p_partkey AS id2, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist " +
+        "FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3 " +
+        "WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY id1, id2"),
+
+    "q_cdc_extract" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE o_orderkey % 3 <> 0), " +
+        "n AS (SELECT o_orderkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 2, 2) " +
+        "ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 5 <> 0) " +
+        "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END " +
+        "AS o_orderstatus, " +
+        "CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END " +
+        "AS o_totalprice, " +
+        "CASE WHEN o.o_orderkey IS NULL THEN 'I' WHEN n.o_orderkey IS NULL THEN 'D' " +
+        "ELSE 'U' END AS op " +
+        "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey " +
+        "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL " +
+        "OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus " +
+        "OR o.o_totalprice IS DISTINCT FROM n.o_totalprice " +
+        "ORDER BY o_orderkey"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

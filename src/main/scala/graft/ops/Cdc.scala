@@ -42,4 +42,37 @@ object Cdc {
       .select(snapshot.columns.map(col): _*)
     untouched.unionByName(upserts)
   }
+
+  /** The inverse of `applyCdc`: diff two snapshots into the minimal
+    * I/U/D change feed that transforms the old into the new —
+    * `applyCdc(old, extractCdc(old, new) …) == new` is the round-trip
+    * law (spec-checked). This is how a feed is DERIVED when the upstream
+    * only ships full snapshots: inserts carry the new payload, updates
+    * the new payload (any column differing under null-safe equality),
+    * deletes the old payload for auditability; unchanged keys are
+    * filtered out so downstream cost scales with the delta, not the
+    * table. One full-outer key join; both sides ship their payloads once.
+    * Schemas must match; `key` must be unique per side (snapshot
+    * semantics). */
+  def extractCdc(oldSnap: DataFrame, newSnap: DataFrame, key: String): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"extractCdc: schemas differ: ${oldSnap.columns.mkString(",")} vs " +
+        newSnap.columns.mkString(","))
+    val payload = oldSnap.columns.filterNot(_ == key)
+    val o = oldSnap.select(col(key) +: lit(1).alias("__in_o") +:
+      payload.map(c => col(c).alias("__o_" + c)): _*)
+    val n = newSnap.select(col(key) +: lit(1).alias("__in_n") +:
+      payload.map(c => col(c).alias("__n_" + c)): _*)
+    val changed = payload.map(c => !(col("__o_" + c) <=> col("__n_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("__in_o").isNull, "I")
+          .when(col("__in_n").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(col(key) +: payload.map(c =>
+        when(col("op") === "D", col("__o_" + c))
+          .otherwise(col("__n_" + c)).alias(c)) :+ col("op"): _*)
+  }
 }

@@ -550,6 +550,39 @@ object ScaleDedup {
         size(cov).cast("long").alias("n_removed"))
   }
 
+  /** Sorted-neighborhood blocking (the classic entity-resolution
+    * windowing): totally order rows by a normalized sort key, pair each
+    * row with its next `window` neighbors in that order, and let the
+    * caller verify candidates with the real match predicate (levenshtein,
+    * field-wise rules, a model). Near-identical records sort adjacently
+    * under a well-chosen key, so candidate volume is n·window instead of
+    * n² — the blocking alternative to q_token_typos' length-banding when
+    * records are long and a lexicographic key is discriminative.
+    *
+    * The pairing is ONE equi-join: each row explodes its `window`
+    * successor ranks and joins them against the rank column — no range
+    * self-join, no per-row loop. The global rank window is
+    * single-partition (same stance as dictEncode's vocabulary rank) —
+    * fine for dimension-sized inputs; at fact scale, range-partition by
+    * the sort key and overlap partition boundaries by `window` rows.
+    * Returns (id1, id2, rank distance) with id-order normalized within
+    * the sort-adjacency. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, sortKey: Column,
+                          window: Int): DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"sortedNeighborPairs: need 1 <= window <= 64, got $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__k").asc, col("__id").asc)
+    val ranked = df.select(col(idCol).alias("__id"), sortKey.alias("__k"))
+      .withColumn("__rk", row_number().over(w))
+    val probes = ranked
+      .select(col("__id").alias("id1"),
+        explode(sequence(col("__rk") + 1, col("__rk") + window)).alias("__tgt"))
+    probes.join(ranked.select(col("__id").alias("id2"), col("__rk")),
+        col("__tgt") === col("__rk"))
+      .select(col("id1"), col("id2"))
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (AllPairs): all
     * pairs with token-set Jaccard ≥ `threshold`, with a NO-MISS guarantee
     * — the deterministic complement to the MinHash-LSH candidate path

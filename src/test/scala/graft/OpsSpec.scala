@@ -1128,6 +1128,15 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(Aggregates.psiDrift(a, shifted, col("v"), 10.0, 10).head().getDouble(0) > 0.1)
   }
 
+  test("sortedNeighborPairs pairs each row with exactly its next-w sort neighbors") {
+    import spark.implicits._
+    val df = Seq((10L, "b"), (20L, "a"), (30L, "c"), (40L, "d")).toDF("id", "name")
+    val got = ScaleDedup.sortedNeighborPairs(df, "id", col("name"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sort order a(20) b(10) c(30) d(40); pairs within rank distance 2
+    assert(got === Set((20L, 10L), (20L, 30L), (10L, 30L), (10L, 40L), (30L, 40L)))
+  }
+
   test("MisraGries candidates are a superset of true heavy items under merge") {
     import spark.implicits._
     val stream = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")
