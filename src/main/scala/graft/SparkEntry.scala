@@ -2491,6 +2491,24 @@ object SparkEntry {
       graft.ops.Cdc.extractCdc(oldSnap, newSnap, "o_orderkey")
         .orderBy("o_orderkey")
     }),
+
+    // Keyless band join (Joins.bandJoin): clicks paired with purchases
+    // within 30 s across ALL users — the proximity join that would plan
+    // as a nested loop without the bucket rewrite (plan-asserted in
+    // OpsSpec). The oracle runs the plain theta join.
+    "q_band_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").alias("click_id"),
+          unix_micros(col("ts")).alias("__cm"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").alias("purchase_id"),
+          unix_micros(col("ts")).alias("__pm"))
+      graft.ops.Joins.bandJoin(clicks, buys, "__cm", "__pm", 30000000L)
+        .select(col("click_id"), col("purchase_id"),
+          (col("__pm") - col("__cm")).alias("delta_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4493,6 +4511,14 @@ object SparkEntry {
         "OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus " +
         "OR o.o_totalprice IS DISTINCT FROM n.o_totalprice " +
         "ORDER BY o_orderkey"),
+
+    "q_band_join" ->
+      ("WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS cm FROM events " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS pm FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT click_id, purchase_id, pm - cm AS delta_us FROM c JOIN p " +
+        "ON abs(cm - pm) <= 30000000 ORDER BY click_id, purchase_id"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

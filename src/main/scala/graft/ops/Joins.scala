@@ -57,6 +57,33 @@ object Joins {
   def rangeJoin(left: DataFrame, right: DataFrame, equi: Column, range: Column): DataFrame =
     left.join(right, equi && range, "inner")
 
+  /** Band join with NO equi key: all (l, r) with |l.on − r.on| ≤ band.
+    * The predicate alone gives Catalyst nothing to hash or sort on, so a
+    * plain `join(abs(l − r) <= band)` plans as BroadcastNestedLoopJoin —
+    * O(|L|·|R|) comparisons, the classic silent scale killer in
+    * proximity/tolerance joins. The binned rewrite makes it an EQUI join:
+    * bucket width = band, the left side keeps its own bucket, the right
+    * side fans out to its three neighboring buckets (any pair within
+    * `band` differs by at most one bucket, so candidates are complete and
+    * each pair meets on exactly one key — the left row's bucket), then
+    * the exact predicate filters the candidates. Cost: 3× the right side
+    * through one hash shuffle, candidates proportional to true matches
+    * when values spread beyond a few buckets (time-series pairing,
+    * value-tolerance reconciliation). Plan-asserted nested-loop-free.
+    * `leftOn`/`rightOn` must be integral (epoch micros, cents); column
+    * names must be disjoint — alias upstream. */
+  def bandJoin(left: DataFrame, right: DataFrame, leftOn: String,
+               rightOn: String, band: Long): DataFrame = {
+    require(band > 0, s"bandJoin: need band > 0, got $band")
+    val lb = left.withColumn("__band", floor(col(leftOn) / band))
+    val rBucket = floor(col(rightOn) / band)
+    val rb = right.withColumn("__band",
+      explode(array(rBucket - 1, rBucket, rBucket + 1)))
+    lb.join(rb, "__band")
+      .filter(abs(col(leftOn) - col(rightOn)) <= band)
+      .drop("__band")
+  }
+
   /** Upsert / merge-by-key (the MERGE INTO dataflow, minus a table format's
     * transaction log): matched keys take the ENTIRE update row (row-wise
     * replace — an update column that is genuinely NULL still wins),

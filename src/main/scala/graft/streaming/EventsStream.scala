@@ -360,6 +360,32 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming SCD2 dimension maintenance: each micro-batch of (key,
+    * attr, ts) observations is collapsed to its latest row per key (the
+    * micro-batch is the versioning granularity — intra-batch flapping
+    * does not fork history) and folded into the maintained dimension via
+    * `ops.Scd.scd2Apply` through the crash-safe swap. Only the CURRENT
+    * slice is compared per batch; closed history streams through
+    * untouched, so per-batch cost is batch + current-slice, not the
+    * dimension's full history. */
+  def startScd2Sink(df: DataFrame, targetDir: String, checkpoint: String,
+                    key: String, attr: String, ts: String): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(ts).desc)
+        val latest = batch.toDF()
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        mergeReplace(batch.sparkSession, targetDir) {
+          case Some(dim) => graft.ops.Scd.scd2Apply(dim, latest, key, attr, ts)
+          case None => graft.ops.Scd.scd2Build(latest, key, attr, ts, ts)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** A7 streaming analog — append each micro-batch to a parquet dir. */
   def startParquetAppend(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
     df.writeStream.outputMode(OutputMode.Append)

@@ -1137,6 +1137,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set((20L, 10L), (20L, 30L), (10L, 30L), (10L, 40L), (30L, 40L)))
   }
 
+  test("bandJoin equals the theta join, includes the boundary, no nested loop") {
+    import spark.implicits._
+    val lrows = Seq((1L, 100L), (2L, 250L), (3L, 999L))
+    val rrows = Seq((10L, 149L), (11L, 151L), (12L, 1000L), (13L, 50L))
+    val expected = (for {
+      (lid, lv) <- lrows; (rid, rv) <- rrows
+      if math.abs(lv - rv) <= 50L
+    } yield (lid, rid)).toSet
+    assert(expected.contains((1L, 13L)))   // |100-50| = 50: boundary kept
+    val got = Joins.bandJoin(lrows.toDF("lid", "lv"), rrows.toDF("rid", "rv"),
+      "lv", "rv", 50L)
+    assert(got.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join must stay an equi join:\n$plan")
+  }
+
   test("MisraGries candidates are a superset of true heavy items under merge") {
     import spark.implicits._
     val stream = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")

@@ -264,6 +264,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming SCD2 sink versions attribute changes across micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2sink-ckpt").toString
+    try {
+      def ts(m: Long) = new Timestamp(m * 60000L)
+      val input = MemoryStream[(Long, String, Timestamp)]
+      // batch 1: k1=a (with earlier intra-batch flap to x that must NOT
+      // fork history), k2=b
+      input.addData((1L, "x", ts(1)), (1L, "a", ts(2)), (2L, "b", ts(2)))
+      val q1 = EventsStream.startScd2Sink(
+        input.toDF().toDF("k", "attr", "ts"), dir + "/dim", ckpt, "k", "attr", "ts")
+      q1.processAllAvailable(); q1.stop()
+      // batch 2: k1 changes to a2, k2 unchanged
+      input.addData((1L, "a2", ts(10)), (2L, "b", ts(10)))
+      val q2 = EventsStream.startScd2Sink(
+        input.toDF().toDF("k", "attr", "ts"), dir + "/dim", ckpt, "k", "attr", "ts")
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(dir + "/dim")
+        .select("k", "attr", "is_current").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(got === Set((1L, "a", false), (1L, "a2", true), (2L, "b", true)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("stateful sessionization: gap split, merge within gap, timeout close") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
