@@ -2441,10 +2441,11 @@ object SparkEntry {
     // EXACT similarity self-join (ScaleDedup.jaccardJoinExact): prefix
     // filtering gives every pair with Jaccard >= 0.5, no misses — the
     // deterministic complement to the LSH candidate path. Deterministic
-    // 1-in-5 doc slice keeps the oracle's all-pairs verify bounded.
+    // 1-in-10 doc slice bounds the (inherently dense: the fixture corpus
+    // is heavily near-duplicate) answer and the oracle's all-pairs verify.
     "q_ssjoin_exact" -> ((s, d) =>
       graft.ops.ScaleDedup.jaccardJoinExact(
-          Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
           "doc_id", "text", threshold = 0.5)
         .orderBy("id1", "id2")),
 
@@ -2508,6 +2509,28 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"),
           (col("__pm") - col("__cm")).alias("delta_us"))
         .orderBy("click_id", "purchase_id")
+    }),
+
+    // Incremental clustering (ScaleDedup.ccIncremental): cluster the first
+    // 60% of the corpus, then fold the rest in via star edges + the new
+    // batch's candidate pairs — the oracle is the FULL recompute, so the
+    // driver compare verifies incremental == from-scratch row-for-row.
+    "q_dedup_clusters_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cut = lit(0.6) * Tables.documents(s, d).agg(max("doc_id")).head().getLong(0)
+      val oldDocs = docs.filter(col("doc_id") <= cut)
+      val newDocs = docs.filter(col("doc_id") > cut)
+      val allPairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val prev = ScaleDedup.connectedComponents(
+        oldDocs.select(col("doc_id").alias("id")),
+        ScaleDedup.minhashCandidatePairs(oldDocs, "doc_id", "text",
+          numHashes = 4, bands = 2))
+      val touchingNew = allPairs.filter(col("id1") > cut || col("id2") > cut)
+      ScaleDedup.ccIncremental(prev,
+          newDocs.select(col("doc_id").alias("id")), touchingNew)
+        .select(col("id").alias("doc_id"), col("label").alias("cluster"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -3637,6 +3660,9 @@ object SparkEntry {
         s"${mhExpr(0)} AS mh_0, ${mhExpr(1)} AS mh_1 FROM t ORDER BY doc_id"),
 
     "q_dedup_clusters" -> dedupClustersOracle,
+    // incremental == full recompute is the law under test, so the oracle
+    // IS the from-scratch clustering
+    "q_dedup_clusters_incr" -> dedupClustersOracle,
     "q_dup_cluster_sizes" -> dupClusterSizesOracle,
 
     "q_dedup_recall" ->
@@ -4460,7 +4486,7 @@ object SparkEntry {
 
     "q_ssjoin_exact" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts " +
-        "FROM documents WHERE doc_id % 5 = 0), " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
         "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
         "len(list_intersect(a.ts, b.ts)) AS i, " +
         "len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS u " +

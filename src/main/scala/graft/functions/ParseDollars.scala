@@ -135,7 +135,18 @@ object GraftFunctions {
     (FunctionIdentifier("top_ngram_best"),
       info(classOf[TopNgramBestExpr], "top_ngram_best"),
       (c: Seq[Expression]) =>
-        TopNgramBestExpr(c.head, intLit(c(1), "top_ngram_best", "n"))))
+        TopNgramBestExpr(c.head, intLit(c(1), "top_ngram_best", "n"))),
+    // custom aggregates: the analyzer wraps a raw AggregateFunction from a
+    // registry builder into its AggregateExpression, so these compose with
+    // GROUP BY / FILTER like any built-in aggregate
+    (FunctionIdentifier("bottom_k_sketch"),
+      info(classOf[BottomKSketch], "bottom_k_sketch"),
+      (c: Seq[Expression]) =>
+        BottomKSketch(c.head, intLit(c(1), "bottom_k_sketch", "k"))),
+    (FunctionIdentifier("misra_gries"),
+      info(classOf[MisraGries], "misra_gries"),
+      (c: Seq[Expression]) =>
+        MisraGries(c.head, intLit(c(1), "misra_gries", "k"))))
 }
 
 /** SparkSessionExtensions entry point: pass

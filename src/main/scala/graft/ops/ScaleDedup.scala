@@ -550,6 +550,31 @@ object ScaleDedup {
         size(cov).cast("long").alias("n_removed"))
   }
 
+  /** Incremental connected components — extend an existing clustering
+    * with a new batch WITHOUT replaying the old edge set. The prior
+    * labeling IS the old graph, condensed: each labeled node contributes
+    * one (id — label) star edge, which reproduces exactly the same
+    * equivalence classes (labels are min-ids over components), so
+    * CC(star(prev) ∪ newEdges) == CC(oldEdges ∪ newEdges) on the full
+    * vertex set — incremental ≡ full recompute, oracle-checked. The win
+    * at 100 TB: star edges give old components diameter ≤ 2, so the
+    * iteration count is driven by the NEW structure only, and the daily
+    * batch costs rounds ∝ log(batch), not log(corpus history).
+    * `newEdges` must contain every candidate pair touching the new batch
+    * (new–new and new–old — exactly what an LSH probe of the new batch
+    * against the maintained signature table emits). */
+  def ccIncremental(prevLabels: DataFrame, newVertices: DataFrame,
+                    newEdges: DataFrame, maxIter: Int = 20,
+                    checkEvery: Int = 2): DataFrame = {
+    val verts = prevLabels.select(col("id"))
+      .unionByName(newVertices.select(col("id"))).distinct()
+    val starEdges = prevLabels.filter(col("id") =!= col("label"))
+      .select(col("id").alias("id1"), col("label").alias("id2"))
+    connectedComponents(verts,
+      starEdges.unionByName(newEdges.select(col("id1"), col("id2"))),
+      maxIter, checkEvery)
+  }
+
   /** Sorted-neighborhood blocking (the classic entity-resolution
     * windowing): totally order rows by a normalized sort key, pair each
     * row with its next `window` neighbors in that order, and let the

@@ -114,9 +114,11 @@ object Sessionize {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col(tieCol).asc)
       .rowsBetween(-(lookback - 1), Window.currentRow)
-    // newest-first frame values; collect_list preserves frame order
-    val r = reverse(collect_list(col(valCol).cast("double")).over(w))
     val weights = ewmaWeights(decay, lookback)
+    // newest-first frame values, hoisted into ONE materialized column so
+    // the weighted terms below reference the window result instead of
+    // re-deriving it per term
+    val r = col("__ewma_r")
     val num = weights.zipWithIndex.map { case (wj, j) =>
       when(size(r) > j, element_at(r, j + 1) * lit(wj)).otherwise(lit(0.0))
     }.reduce(_ + _)
@@ -124,7 +126,9 @@ object Sessionize {
       when(size(r) > j, lit(wj)).otherwise(lit(0.0))
     }.reduce(_ + _)
     df.filter(col(valCol).isNotNull)
+      .withColumn("__ewma_r", reverse(collect_list(col(valCol).cast("double")).over(w)))
       .withColumn("ewma", round(num / den, 6))
+      .drop("__ewma_r")
   }
 
   /** Linear-interpolation gap fill: same per-key hourly grid as

@@ -1155,6 +1155,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"band join must stay an equi join:\n$plan")
   }
 
+  test("ccIncremental bridges new edges into prior components == full recompute") {
+    import spark.implicits._
+    // old graph: {1,2} and {5,6}; new batch: node 3 bridges 2, node 4 island,
+    // and a new edge 6-1 merges the two OLD components transitively
+    val oldV = Seq(1L, 2L, 5L, 6L).toDF("id")
+    val oldE = Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val prev = ScaleDedup.connectedComponents(oldV, oldE)
+    val newV = Seq(3L, 4L).toDF("id")
+    val newE = Seq((2L, 3L), (6L, 1L)).toDF("id1", "id2")
+    val got = ScaleDedup.ccIncremental(prev, newV, newE)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = ScaleDedup.connectedComponents(
+        Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id"),
+        Seq((1L, 2L), (5L, 6L), (2L, 3L), (6L, 1L)).toDF("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === full)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 4L -> 4L))
+  }
+
   test("MisraGries candidates are a superset of true heavy items under merge") {
     import spark.implicits._
     val stream = Seq.fill(500)("hot") ++ (1 to 450).map(i => s"cold$i")

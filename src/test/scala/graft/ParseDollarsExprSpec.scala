@@ -126,4 +126,28 @@ class ParseDollarsExprSpec extends AnyFunSuite with SparkSpec with Tolerance {
       (Option(t.getMessage).exists(_.contains("INT literal")) || mentions(t.getCause))
     assert(mentions(err), s"unexpected error: $err")
   }
+
+  test("custom aggregates register as SQL functions and match the Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val rows = Seq.fill(30)("hot") ++ (1 to 10).map(i => s"c$i")
+    rows.toDF("item").createOrReplaceTempView("agg_t")
+    val sqlRow = spark.sql(
+      "SELECT misra_gries(item, 4) AS mg, " +
+        "bottom_k_sketch(xxhash64(item), 5) AS bk FROM agg_t").head()
+    val apiRow = spark.table("agg_t").agg(
+      graft.functions.MisraGries.misra_gries(col("item"), 4).alias("mg"),
+      graft.functions.BottomKSketch.bottom_k_sketch(
+        org.apache.spark.sql.functions.xxhash64(col("item")), 5).alias("bk"))
+      .head()
+    assert(sqlRow.getSeq[String](0) === apiRow.getSeq[String](0))
+    assert(sqlRow.getSeq[Long](1) === apiRow.getSeq[Long](1))
+    assert(sqlRow.getSeq[String](0).contains("hot"))
+    // aggregates compose with GROUP BY through the analyzer wrapping
+    val grouped = spark.sql(
+      "SELECT item = 'hot' AS is_hot, misra_gries(item, 2) AS mg " +
+        "FROM agg_t GROUP BY 1 ORDER BY 1").collect()
+    assert(grouped.length === 2)
+  }
 }
