@@ -2532,6 +2532,82 @@ object SparkEntry {
         .select(col("id").alias("doc_id"), col("label").alias("cluster"))
         .orderBy("doc_id")
     }),
+
+    // Interval-overlap join (Joins.intervalOverlapJoin): click intervals
+    // × view intervals of VARIABLE deterministic length (60–359 s from
+    // event_id) — the theta join a fixed band can't express, rewritten to
+    // one equi-shuffle with exactly-once pair emission (plan-asserted
+    // nested-loop-free in OpsSpec). The oracle runs the plain theta join.
+    "q_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      def iv(t: String, id: String, st: String, en: String) =
+        e.filter(col("event_type") === t)
+          .select(col("event_id").alias(id),
+            unix_micros(col("ts")).alias(st),
+            (unix_micros(col("ts")) +
+              (col("event_id") % 300 + 60) * 1000000L).alias(en))
+      graft.ops.Joins.intervalOverlapJoin(
+          iv("click", "click_id", "cs", "ce"),
+          iv("view", "view_id", "vs", "ve"),
+          "cs", "ce", "vs", "ve", 300000000L)
+        .select(col("click_id"), col("view_id"),
+          (least(col("ce"), col("ve")) - greatest(col("cs"), col("vs")))
+            .alias("overlap_us"))
+        .orderBy("click_id", "view_id")
+    }),
+
+    // Order-independent table checksum (Inspect.tableChecksum): per
+    // returnflag, (n_rows, commutative md5-sum digest) over
+    // engine-stable canonical columns — the replication-validation
+    // primitive; the oracle recomputes the digest independently.
+    "q_table_checksum" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_linestatus"),
+          col("l_shipdate").cast("date").cast("string").alias("ship_d"))
+      graft.ops.Inspect.tableChecksum(li,
+          Seq("l_orderkey", "l_linenumber", "l_linestatus", "ship_d"),
+          Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("checksum").cast("string").alias("checksum"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Skew diagnosis report (Inspect.skewReport): the 20 heaviest order
+    // keys in lineitem with share and ratio-to-mean-key-load — the audit
+    // that decides whether a join key needs salting.
+    "q_skew_report" -> ((s, d) =>
+      graft.ops.Inspect.skewReport(Tables.lineitem(s, d), "l_orderkey", 20)),
+
+    // KMV sketch cube (Aggregates.kmvRollup): daily bottom-64 sketches of
+    // order custkeys re-merged to MONTH grain without rescanning the base
+    // table (bottom-k of union-of-bottom-ks = bottom-k of union); exact
+    // distinct rides along as the error audit. The oracle computes each
+    // month's bottom-64 directly — equality IS the merge property.
+    "q_sketch_cube" -> ((s, d) => {
+      val k = 64
+      val o = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").alias("day"),
+          date_format(col("o_orderdate"), "yyyy-MM").alias("month"),
+          graft.ops.ScaleDedup.hash32(col("o_custkey").cast("string"), 0).alias("h"))
+      val daily = o.groupBy("day", "month")
+        .agg(graft.functions.BottomKSketch.bottom_k_sketch(col("h"), k).alias("sk"))
+      val monthly = graft.ops.Aggregates.kmvRollup(daily, Seq("month"), "sk", k)
+      val exact = o.groupBy("month").agg(countDistinct(col("h")).alias("exact_nd"))
+      monthly
+        .select(col("month"),
+          graft.ops.Aggregates.kmvEstimate(col("sk"), k).alias("est_nd"))
+        .join(exact, "month")
+        .orderBy("month")
+    }),
+
+    // PMI collocations (TextAnalysis.collocations): top-50 adjacent token
+    // pairs by pointwise mutual information (min pair count 5) over the
+    // documents corpus — multi-word-expression mining for vocabulary
+    // curation.
+    "q_collocations" -> ((s, d) =>
+      graft.ops.TextAnalysis.collocations(Tables.documents(s, d), "text",
+        minCount = 5L, topN = 50)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4545,6 +4621,68 @@ object SparkEntry {
         "WHERE event_type = 'purchase') " +
         "SELECT click_id, purchase_id, pm - cm AS delta_us FROM c JOIN p " +
         "ON abs(cm - pm) <= 30000000 ORDER BY click_id, purchase_id"),
+
+    "q_interval_join" ->
+      ("WITH c AS (SELECT event_id AS click_id, epoch_us(ts) AS cs, " +
+        "epoch_us(ts) + (event_id % 300 + 60) * 1000000 AS ce FROM events " +
+        "WHERE event_type = 'click'), " +
+        "v AS (SELECT event_id AS view_id, epoch_us(ts) AS vs, " +
+        "epoch_us(ts) + (event_id % 300 + 60) * 1000000 AS ve FROM events " +
+        "WHERE event_type = 'view') " +
+        "SELECT click_id, view_id, " +
+        "least(ce, ve) - greatest(cs, vs) AS overlap_us " +
+        "FROM c JOIN v ON cs <= ve AND vs <= ce " +
+        "ORDER BY click_id, view_id"),
+
+    "q_table_checksum" ->
+      ("WITH r AS (SELECT l_returnflag, " +
+        "('0x' || substr(md5(concat_ws(chr(1), " +
+        "coalesce(l_orderkey::VARCHAR, chr(2)), " +
+        "coalesce(l_linenumber::VARCHAR, chr(2)), " +
+        "coalesce(l_linestatus, chr(2)), " +
+        "coalesce(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(2)))), " +
+        "1, 15))::BIGINT AS d FROM lineitem) " +
+        "SELECT l_returnflag, count(*) AS n_rows, " +
+        "CAST(sum(d) AS VARCHAR) AS checksum " +
+        "FROM r GROUP BY 1 ORDER BY 1"),
+
+    "q_skew_report" ->
+      ("WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c) " +
+        "SELECT l_orderkey, cnt, " +
+        "round(cnt / CAST(total AS DOUBLE), 6) AS share, " +
+        "round(CAST(cnt AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(nkeys AS DOUBLE)), 6) " +
+        "AS ratio_to_avg " +
+        "FROM c CROSS JOIN t ORDER BY cnt DESC, l_orderkey LIMIT 20"),
+
+    "q_sketch_cube" ->
+      ("WITH h AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month, " +
+        "('0x' || substr(md5(o_custkey::VARCHAR || '#0'), 1, 8))::BIGINT AS h " +
+        "FROM orders), " +
+        "g AS (SELECT month, list_sort(list(h))[1:64] AS sk, " +
+        "count(*) AS exact_nd FROM h GROUP BY 1) " +
+        "SELECT month, " +
+        "CASE WHEN len(sk) < 64 THEN CAST(len(sk) AS DOUBLE) " +
+        "ELSE round(63.0 / (CAST(sk[64] AS DOUBLE) / 4294967296.0), 6) END AS est_nd, " +
+        "exact_nd FROM g ORDER BY month"),
+
+    "q_collocations" ->
+      ("WITH base AS (SELECT string_split(text, ' ') AS toks FROM documents), " +
+        "bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 " +
+        "FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i) " +
+        "WHERE len(toks) >= 2), " +
+        "cb AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2), " +
+        "cu AS (SELECT unnest(toks) AS t FROM base), " +
+        "cuc AS (SELECT t, count(*) AS cu FROM cu GROUP BY 1), " +
+        "tot AS (SELECT CAST((SELECT sum(cu) FROM cuc) AS BIGINT) AS n, " +
+        "CAST((SELECT sum(pair_count) FROM cb) AS BIGINT) AS m) " +
+        "SELECT cb.w1, cb.w2, cb.pair_count, " +
+        "round(ln((CAST(cb.pair_count AS DOUBLE) / CAST(tot.m AS DOUBLE)) / " +
+        "((CAST(a.cu AS DOUBLE) / CAST(tot.n AS DOUBLE)) * " +
+        "(CAST(b.cu AS DOUBLE) / CAST(tot.n AS DOUBLE)))), 6) AS pmi " +
+        "FROM cb JOIN cuc a ON cb.w1 = a.t JOIN cuc b ON cb.w2 = b.t " +
+        "CROSS JOIN tot WHERE cb.pair_count >= 5 " +
+        "ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

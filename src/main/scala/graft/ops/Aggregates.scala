@@ -429,4 +429,34 @@ object Aggregates {
       .select(col("item"), col("cnt"))
       .orderBy(desc("cnt"), col("item"))
   }
+
+  /** KMV distinct estimate off a bottom-k sketch column (ArrayType[Long]
+    * of 32-bit md5 draws, as produced by `bottom_k_sketch`): exact size
+    * when the sketch is unsaturated, else the (k−1)/r_k estimator on the
+    * k-th smallest normalized draw. Deterministic (md5 draws), so an
+    * oracle replays it bit-for-bit; 6-dp-rounded double. */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) /
+        (element_at(sk, k).cast("double") / lit(4294967296.0)), 6))
+
+  /** KMV sketch ROLLUP — the mergeable-summaries cube pattern: sketches
+    * pre-aggregated at a fine grain (per day, per source) re-merge to any
+    * coarser grain WITHOUT rescanning the base table, because
+    * bottom-k(∪ᵢ bottom-k(Sᵢ)) = bottom-k(∪ᵢ Sᵢ) — every global bottom-k
+    * draw is in its own group's bottom-k. That is what makes a daily
+    * sketch table answer "distinct users over any date range" at 100 TB
+    * with a k-row-per-day scan instead of a base-table pass per question.
+    *
+    * Input: a sketch table with `skCol` (ArrayType[Long] bottom-k draws);
+    * output: one merged sketch per `groups` key. Cost: explode of
+    * k×fine-groups rows (tiny) + one hash shuffle keyed by the coarse
+    * group. */
+  def kmvRollup(sketches: DataFrame, groups: Seq[String], skCol: String,
+                k: Int): DataFrame =
+    sketches
+      .select(groups.map(col) :+ explode(col(skCol)).alias("__h"): _*)
+      .groupBy(groups.map(col): _*)
+      .agg(graft.functions.BottomKSketch.bottom_k_sketch(col("__h"), k)
+        .alias(skCol))
 }

@@ -115,6 +115,59 @@ object Inspect {
           .otherwise(lit("changed")).alias("status"))
   }
 
+  /** Order-independent table checksum — the replication/migration
+    * validation primitive: per `groupBy` group (empty = whole table),
+    * `n_rows` and a commutative digest of the listed columns. Two copies
+    * of a table agree iff every group's (n_rows, checksum) agrees,
+    * regardless of row order, partitioning, or engine — so a 100 TB
+    * copy validates with one aggregation pass per side and a tiny diff
+    * join, instead of a sort-merge of the full tables.
+    *
+    * Row digest: md5 over the canonical strings joined on \\u0001 (nulls →
+    * a \\u0002 sentinel — distinct from the separator, so ("a", null) ≠
+    * ("a") and shifted splits like ("ab","c") vs ("a","bc") cannot
+    * collide); the first 15 hex digits (60 bits) parse to a long, and
+    * SUM as DECIMAL(38,0) is exact — overflow-free for any realistic row
+    * count and commutative/associative, so partial aggregation
+    * distributes freely. Callers must pass columns whose canonical
+    * STRING form is engine-stable (strings, integers, decimals — cast
+    * doubles to DECIMAL upstream; float formatting differs across
+    * engines). */
+  def tableChecksum(df: DataFrame, cols: Seq[String],
+                    groupBy: Seq[String] = Nil): DataFrame = {
+    val canon = cols.map(c => coalesce(col(c).cast("string"), lit("\u0002")))
+    val digest = conv(substring(md5(concat_ws("\u0001", canon: _*)
+      .cast("binary")), 1, 15), 16, 10).cast("decimal(38,0)")
+    val aggs = Seq(count(lit(1)).alias("n_rows"),
+      sum(digest).alias("checksum"))
+    if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Skew diagnosis report — the pre-join/pre-agg audit that decides
+    * whether a key needs salting or AQE skew handling: the `topN`
+    * heaviest keys with count, share of all rows, and ratio to the mean
+    * key load (ratio ≈ 1 everywhere → uniform; one key at ratio ≥
+    * #partitions → that key alone fills a partition and salting is
+    * warranted). One count shuffle (key-cardinality-sized output), the
+    * global totals re-aggregate the tiny keyed table and broadcast back;
+    * the top-N is TakeOrderedAndProject — no global sort. Shares are
+    * 6-dp-rounded doubles (engine-exact at that precision). */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).alias("cnt"))
+    val totals = counts.agg(sum(col("cnt")).alias("__total"),
+      count(lit(1)).alias("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt") / col("__total").cast("double"), 6).alias("share"),
+        round(col("cnt").cast("double") /
+          (col("__total").cast("double") / col("__nkeys").cast("double")), 6)
+          .alias("ratio_to_avg"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topN)
+  }
+
   /** One skyline elimination pass within each `parts` partition: a row
     * survives unless some row in the same partition has strictly smaller
     * `__sk_min` and ≥ `__sk_max` (range frame ending 1 below the current

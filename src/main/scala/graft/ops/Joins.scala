@@ -84,6 +84,36 @@ object Joins {
       .drop("__band")
   }
 
+  /** Interval-overlap join: all (l, r) pairs whose [start, end] intervals
+    * intersect (closed ends, integral units — epoch micros, cents). The
+    * generalization of [[bandJoin]] to VARIABLE-length intervals, which a
+    * fixed band cannot express: a bare `ls <= re AND rs <= le` theta join
+    * plans as BroadcastNestedLoopJoin, O(|L|·|R|).
+    *
+    * Binned rewrite: both sides fan out to every width-`bucketWidth`
+    * bucket their interval touches (`sequence(floor(s/w), floor(e/w))` —
+    * fan-out = span/width + 1, so pick width near the typical span), meet
+    * on an EQUI key, and each overlapping pair is emitted EXACTLY once
+    * without any dedup shuffle: overlap means both sides cover the bucket
+    * containing `greatest(ls, rs)`, so the pair is kept only in that
+    * bucket. One hash shuffle per side, candidates localized to
+    * co-bucketed intervals. Column names must be disjoint — alias
+    * upstream. Intervals must satisfy start ≤ end (filter upstream). */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"intervalOverlapJoin: need bucketWidth > 0, got $bucketWidth")
+    val w = lit(bucketWidth)
+    def buckets(s: Column, e: Column): Column = sequence(floor(s / w), floor(e / w))
+    val lb = left.withColumn("__ib", explode(buckets(col(lStart), col(lEnd))))
+    val rb = right.withColumn("__ib", explode(buckets(col(rStart), col(rEnd))))
+    lb.join(rb, "__ib")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__ib") === floor(greatest(col(lStart), col(rStart)) / w))
+      .drop("__ib")
+  }
+
   /** Upsert / merge-by-key (the MERGE INTO dataflow, minus a table format's
     * transaction log): matched keys take the ENTIRE update row (row-wise
     * replace — an update column that is genuinely NULL still wins),

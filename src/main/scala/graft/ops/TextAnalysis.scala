@@ -508,6 +508,48 @@ object TextAnalysis {
         count(lit(1)), 6).alias("logprob"))
   }
 
+  /** PMI collocation mining — multi-word-expression extraction for
+    * tokenizer/vocabulary curation: adjacent token pairs ranked by
+    * pointwise mutual information ln(p(ab) / (p(a)·p(b))), the classic
+    * collocation statistic (high PMI = the pair co-occurs far above
+    * chance — "los angeles", not "of the"). `minCount` suppresses the
+    * low-frequency noise PMI is notorious for (a pair seen once between
+    * two rare words maxes the statistic).
+    *
+    * Shape: bigrams are row-local array expressions (no window, no
+    * self-join) counted with one bigram-keyed shuffle; unigram counts are
+    * one token-keyed shuffle. Both count tables are vocabulary-sized, so
+    * the two count joins and the broadcast totals never touch corpus-scale
+    * rows again; the final top-N is TakeOrderedAndProject. PMI is
+    * computed in a fixed double parenthesization ((cb/m) / ((ca/n)·(cb2/n)))
+    * and 6-dp-rounded so the statistic is engine-exact. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   topN: Int = 50): DataFrame = {
+    val base = df.select(tokens(col(textCol)).alias("__toks"))
+    val bigrams = base.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).alias("w1"),
+          element_at(col("__toks"), i + 1).alias("w2")))).alias("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).alias("cb"))
+    val cu = base.select(explode(col("__toks")).alias("t"))
+      .groupBy("t").agg(count(lit(1)).alias("cu"))
+    val totals = cu.agg(sum(col("cu")).alias("__n")).crossJoin(
+      cb.agg(sum(col("cb")).alias("__m")))
+    val c1 = cu.select(col("t").alias("w1"), col("cu").alias("c1"))
+    val c2 = cu.select(col("t").alias("w2"), col("cu").alias("c2"))
+    val pmi = log((col("cb").cast("double") / col("__m").cast("double")) /
+      ((col("c1").cast("double") / col("__n").cast("double")) *
+        (col("c2").cast("double") / col("__n").cast("double"))))
+    cb.filter(col("cb") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("cb").alias("pair_count"),
+        round(pmi, 6).alias("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Frozen-vocabulary unigram scorer — the scale shape of
     * `unigramLogProb` for scoring NEW data: the model is a precomputed
     * (token, logp) table (trained offline, e.g. top-K tokens of a trusted

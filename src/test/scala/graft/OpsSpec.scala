@@ -1185,4 +1185,90 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(cands.size <= 9)
     assert(cands.contains("hot"))
   }
+
+  test("intervalOverlapJoin == theta join, exactly-once pairs, no nested loop") {
+    import spark.implicits._
+    // variable-length intervals crossing bucket boundaries (width 100):
+    // (1,[0,250]) spans 3 buckets and overlaps (10,[240,260]) in bucket 2
+    // only — exactly-once emission would fail if pairs were kept in every
+    // shared bucket; (3,[999,999]) is a point interval
+    val lrows = Seq((1L, 0L, 250L), (2L, 300L, 310L), (3L, 999L, 999L))
+    val rrows = Seq((10L, 240L, 260L), (11L, 250L, 305L), (12L, 990L, 1100L),
+      (13L, 311L, 400L))
+    val expected = (for {
+      (lid, ls, le) <- lrows; (rid, rs, re) <- rrows
+      if ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    assert(expected === Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 12L)))
+    val got = Joins.intervalOverlapJoin(
+      lrows.toDF("lid", "ls", "le"), rrows.toDF("rid", "rs", "re"),
+      "ls", "le", "rs", "re", 100L)
+    val pairs = got.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === pairs.toSet.size, "each pair must emit exactly once")
+    assert(pairs.toSet === expected)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi join:\n$plan")
+  }
+
+  test("tableChecksum is order/partitioning-invariant and change-sensitive") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", "x"), (2L, "b", null), (3L, "c", "z"))
+    val df = rows.toDF("id", "s", "t")
+    val base = Inspect.tableChecksum(df, Seq("id", "s", "t")).head()
+    // same rows, different order and partitioning → identical digest
+    val shuffled = spark.sparkContext
+      .parallelize(rows.reverse, 5).toDF("id", "s", "t")
+    assert(Inspect.tableChecksum(shuffled, Seq("id", "s", "t")).head() === base)
+    // one changed value → different digest, same row count
+    val changed = Seq((1L, "a", "x"), (2L, "b", null), (3L, "c", "Z"))
+      .toDF("id", "s", "t")
+    val ch = Inspect.tableChecksum(changed, Seq("id", "s", "t")).head()
+    assert(ch.getLong(0) === base.getLong(0))
+    assert(ch.getDecimal(1) !== base.getDecimal(1))
+    // null and empty string must digest differently
+    val withEmpty = Seq((1L, "a", "x"), (2L, "b", ""), (3L, "c", "z"))
+      .toDF("id", "s", "t")
+    assert(Inspect.tableChecksum(withEmpty, Seq("id", "s", "t")).head()
+      .getDecimal(1) !== base.getDecimal(1))
+  }
+
+  test("kmvRollup merged sketch == direct sketch of the union") {
+    import spark.implicits._
+    import graft.functions.BottomKSketch.bottom_k_sketch
+    val k = 8
+    val df = (1 to 200).map(i => (s"g${i % 5}", (i * 2654435761L) % 100000))
+      .toDF("g", "h")
+    val fine = df.groupBy("g").agg(bottom_k_sketch(col("h"), k).alias("sk"))
+    val merged = Aggregates.kmvRollup(
+        fine.withColumn("all", lit(1)), Seq("all"), "sk", k)
+      .head().getSeq[Long](1)
+    val direct = df.agg(bottom_k_sketch(col("h"), k)).head().getSeq[Long](0)
+    assert(merged === direct)
+  }
+
+  test("collocations ranks a true collocation above a chance pair") {
+    import spark.implicits._
+    // "los angeles" always adjacent; "the cat"/"the dog" dilute "the"
+    val docs = (Seq.fill(6)("visit los angeles today") ++
+      Seq.fill(6)("the cat sat") ++ Seq.fill(6)("the dog ran")).toDF("text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val byPair = got.map(t => ((t._1, t._2), t._3)).toMap
+    assert(byPair.contains(("los", "angeles")))
+    // "the cat" occurs 6 times but "the" appears 12 times → lower PMI
+    assert(byPair(("los", "angeles")) > byPair(("the", "cat")))
+  }
+
+  test("skewReport shares and ratios are exact on a known distribution") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val got = Inspect.skewReport(df, "k", 2).collect()
+    assert(got.length === 2)
+    val top = got.head
+    assert(top.getString(0) === "hot" && top.getLong(1) === 6L)
+    assert(top.getDouble(2) === 0.666667)       // 6/9 rounded 6dp
+    assert(top.getDouble(3) === 2.666667)       // 6 / (9/4 keys)
+  }
 }
