@@ -113,6 +113,31 @@ object EventsStream {
       }
   }
 
+  /** DECLARATIVE gap sessionization via `session_window` — the built-in
+    * twin of the custom-state `sessionize` above. Spark merges windows
+    * whose gap stays under `gap` inside its own session-aggregation state
+    * store; no user state code, and the optimizer owns the plan (partial
+    * merge before the shuffle, watermark-driven eviction after it).
+    *
+    * Semantics difference vs `sessionize`, by construction:
+    * `session_window.end` = last event ts + gap (the close horizon),
+    * whereas the custom operator reports the LAST EVENT time. Counts,
+    * sums, and session boundaries (start, membership) are identical —
+    * spec-checked against `sessionize` on the same stream. Prefer this
+    * path when per-session output columns are aggregations; drop to
+    * `sessionize` only when the per-session logic needs arbitrary code
+    * (e.g. emitting mid-session milestones). */
+  def sessionizeDeclarative(events: DataFrame, gap: String = "30 minutes",
+                            lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").alias("session_start"),
+        col("session_window.end").alias("session_close"),
+        col("n_events"), col("total_value"))
+
   /** Sessionization-lite: per-user running event count via
     * flatMapGroupsWithState would be the stateful path; the declarative
     * variant (per-user windowed counts) covers the fixture semantics. */

@@ -116,4 +116,56 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkSpec
       assert(got === expect)
     } finally rmTree(dir)
   }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    try {
+      val docs = Tables.documents(spark, sf0)
+        .select("doc_id", "text", "lang", "source")
+      IO.writePartitioned(docs, dir, Seq("lang"))
+      val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+
+      // The dim's selective predicate is on a NON-partition column, so the
+      // fact-side partition filter cannot be derived statically: only at
+      // runtime, from the dim join keys, can Spark know which lang
+      // directories matter. That runtime-injected filter IS dynamic
+      // partition pruning — at 100 TB it is the difference between
+      // scanning one date/lang directory and scanning the whole table
+      // whenever the restriction arrives through a join instead of a
+      // literal. Two preconditions the rule checks, encoded here:
+      // the dim must be a FILE relation (a local Seq gets constant-folded
+      // into a LocalRelation, erasing the Filter node the rule looks
+      // for), and the predicate must be a comparison — a bare boolean
+      // column does not register as "likely selective".
+      Seq(("en", "keep"), ("de", "drop"), ("fr", "drop"))
+        .toDF("lang_key", "category")
+        .write.mode("overwrite").parquet(dir + "_dim")
+      val dim = spark.read.parquet(dir + "_dim")
+      val fact = spark.read.parquet(dir)
+      val joined = fact.join(dim.filter(col("category") === "keep"),
+        fact("lang") === dim("lang_key"))
+
+      val expected = docs.filter(col("lang") === "en").count()
+      assert(joined.collect().length == expected)
+
+      val scans = collectWithSubqueries(joined.queryExecution.executedPlan) {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("graft-dpp")) => s
+      }
+      assert(scans.nonEmpty, "expected a scan over the partitioned fact")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+        s"no DynamicPruningExpression in partitionFilters: ${scan.partitionFilters}")
+      // and the pruning is real: the executed scan read only lang=en's files
+      val numFiles = scan.metrics("numFiles").value
+      val enFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.toString.contains("lang=en") && p.toString.endsWith(".parquet"))
+        .count()
+      assert(numFiles == enFiles && numFiles < allFiles,
+        s"scan read $numFiles files; lang=en has $enFiles of $allFiles total")
+    } finally { rmTree(dir); rmTree(dir + "_dim") }
+  }
 }

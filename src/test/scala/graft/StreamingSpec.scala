@@ -331,4 +331,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.contains((1L, 1L, 4.0)), s"u1 timed-out session: $rows")
     assert(rows.contains((2L, 1L, 9.0)), s"u2 timed-out session: $rows")
   }
+
+  test("declarative session_window matches the custom-state sessionizer") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionEvent
+    import spark.implicits._
+
+    def ev(uid: Long, minute: Long, v: Double) =
+      SessionEvent(uid, new Timestamp((1000 + minute) * 60000L), v)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventsStream.sessionizeDeclarative(input.toDF(), "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_d").start()
+
+    // Same pattern as the custom-state test: u1 splits at the 60-min gap,
+    // u2 has a lone session; the far-future event flushes everything.
+    input.addData(ev(1, 0, 1.0), ev(1, 10, 2.0), ev(1, 70, 4.0), ev(2, 5, 9.0))
+    q.processAllAvailable()
+    input.addData(ev(3, 10000, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_d")
+    val rows = out
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Identical session memberships to the flatMapGroupsWithState path.
+    assert(rows.contains((1L, 2L, 3.0)), s"u1 first session: $rows")
+    assert(rows.contains((1L, 1L, 4.0)), s"u1 second session: $rows")
+    assert(rows.contains((2L, 1L, 9.0)), s"u2 session: $rows")
+    // session_close = last event + gap: u1's first session spans
+    // [t0, t10 + 30min) = 40 minutes end to start.
+    val span = out.filter($"user_id" === 1 && $"n_events" === 2)
+      .select(($"session_close".cast("long") - $"session_start".cast("long")))
+      .head().getLong(0)
+    assert(span == 40 * 60, s"expected 40-min span (10 min + 30 gap), got ${span}s")
+  }
 }
