@@ -2021,6 +2021,16 @@ object SparkEntry {
       Graph.triangleCounts(edges).orderBy("node")
     }),
 
+    // the hub-skew-proof variant: identical answer through the
+    // degree-oriented joins (out-degree bounded by arboricity, so a
+    // template-family mega-hub cannot anchor a quadratic wedge set)
+    "q_triangle_counts_degree" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.triangleCountsDegreeOriented(edges).orderBy("node")
+    }),
+
     // graph AUDIT: degree histogram of the near-dup graph (mass at degree
     // 1 = pairwise accidents; a fat tail = template families)
     "q_degree_histogram" -> ((s, d) => {
@@ -3773,6 +3783,16 @@ object SparkEntry {
         "FROM votes) WHERE r = 1 ORDER BY qid"),
 
     "q_triangle_counts" ->
+      (s"WITH $mhPairsCtes, " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM pairs), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "u AS (SELECT unnest([x, y, z]) AS node FROM tri) " +
+        "SELECT node, count(*) AS n_triangles FROM u GROUP BY node ORDER BY node"),
+
+    // same oracle as q_triangle_counts — the orientation is an execution
+    // strategy, not a semantic change
+    "q_triangle_counts_degree" ->
       (s"WITH $mhPairsCtes, " +
         "e AS (SELECT id1 AS a, id2 AS b FROM pairs), " +
         "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +

@@ -10,26 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Weighted PageRank, deterministic across engines and cluster sizes.
-    *
-    * Each round is the standard power-iteration step
-    *   rank'(v) = (1−d)/N + d · Σ_{(u,v,w)∈E} rank(u) · w / outw(u)
-    * expressed as two equi-joins (edges⋈out-weights⋈ranks on src) and one
-    * aggregation on dst — per round the rank table shuffles, never
-    * anything bigger, and the groupBy gets map-side partial aggregation.
-    * Determinism mirrors `Similarity.kmeansCentroids`: per-edge
-    * contributions are cast to DECIMAL(28,14) before the sum (shuffle
-    * order cannot flip low bits) and each round's rank is rounded to
-    * 9 dp, so the iteration chain is reproducible bit-for-bit anywhere.
-    *
-    * `edges` must expose (src, dst, w≥0). Nodes without out-edges leak
-    * their mass (the standard dangling simplification — totals then sum
-    * to < 1); nodes without in-edges settle at (1−d)/N. The fixed,
-    * caller-chosen `iters` keeps the op a finite declarative plan; rank
-    * movement per round shrinks geometrically (d^t), so small iteration
-    * counts already order nodes stably. Lineage grows linearly with
-    * `iters` — for dozens of rounds pass pre-checkpointed edges and see
-    * ScaleDedup.connectedComponents for the checkpoint pattern. */
   /** Per-node triangle participation over an undirected simple graph
     * (edges as (src, dst); direction, duplicates and self-loops are
     * normalized away). The node-iterator formulation as two equi-joins:
@@ -60,6 +40,52 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).alias("n_triangles"))
   }
 
+  /** Triangle participation with DEGREE orientation — the hub-skew-proof
+    * variant of `triangleCounts` (identical output, spec-checked). Each
+    * undirected edge is directed toward its HIGHER-degree endpoint
+    * (ties by id), so a node's wedge fan-out is bounded by its
+    * out-degree ≤ O(√m) on any graph (arboricity bound) — a degree-10⁶
+    * hub in the id-oriented version could anchor ~10¹² wedges from one
+    * key; here it anchors only wedges toward even-higher-degree nodes.
+    * Cost: one extra degree aggregation and a 2-key join versus the id
+    * orientation; same two triangle joins. The wedge join keys on the
+    * middle node and the close join checks the (low, high) canonical
+    * pair, so each triangle still materializes exactly once regardless
+    * of which corner anchors it. */
+  def triangleCountsDegreeOriented(edges: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = norm.select(col("a").alias("node"))
+      .union(norm.select(col("b").alias("node")))
+      .groupBy("node").agg(count(lit(1)).alias("__deg"))
+    // orient u→v iff (deg(u), u) < (deg(v), v): a strict total order, so
+    // exactly one direction survives per edge
+    val oriented = norm
+      .join(deg.select(col("node").alias("a"), col("__deg").alias("__da")), "a")
+      .join(deg.select(col("node").alias("b"), col("__deg").alias("__db")), "b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).alias("u"),
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).alias("v"))
+    // wedge u→v, u→w anchored at the LOWEST-ordered corner u (v ≠ w kept
+    // one way via <); close by checking v—w as its canonical sorted pair.
+    val tri = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(norm.alias("e3"),
+        least(col("e1.v"), col("e2.v")) === col("e3.a") &&
+          greatest(col("e1.v"), col("e2.v")) === col("e3.b"))
+      .select(col("e1.u").alias("x"), col("e1.v").alias("y"),
+        col("e2.v").alias("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).alias("node"))
+      .groupBy("node").agg(count(lit(1)).alias("n_triangles"))
+  }
+
   /** Degree histogram of an undirected simple graph: (degree, n_nodes).
     * The one-line audit of a near-dup graph's shape — a fat high-degree
     * tail means template families / LSH mega-buckets, a mass at degree 1
@@ -76,6 +102,26 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).alias("n_nodes"))
   }
 
+  /** Weighted PageRank, deterministic across engines and cluster sizes.
+    *
+    * Each round is the standard power-iteration step
+    *   rank'(v) = (1−d)/N + d · Σ_{(u,v,w)∈E} rank(u) · w / outw(u)
+    * expressed as two equi-joins (edges⋈out-weights⋈ranks on src) and one
+    * aggregation on dst — per round the rank table shuffles, never
+    * anything bigger, and the groupBy gets map-side partial aggregation.
+    * Determinism mirrors `Similarity.kmeansCentroids`: per-edge
+    * contributions are cast to DECIMAL(28,14) before the sum (shuffle
+    * order cannot flip low bits) and each round's rank is rounded to
+    * 9 dp, so the iteration chain is reproducible bit-for-bit anywhere.
+    *
+    * `edges` must expose (src, dst, w≥0). Nodes without out-edges leak
+    * their mass (the standard dangling simplification — totals then sum
+    * to < 1); nodes without in-edges settle at (1−d)/N. The fixed,
+    * caller-chosen `iters` keeps the op a finite declarative plan; rank
+    * movement per round shrinks geometrically (d^t), so small iteration
+    * counts already order nodes stably. Lineage grows linearly with
+    * `iters` — for dozens of rounds pass pre-checkpointed edges and see
+    * ScaleDedup.connectedComponents for the checkpoint pattern. */
   def pagerank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"pagerank: need iters >= 1, got $iters")

@@ -866,6 +866,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(deg == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("degree-oriented triangles == id-oriented on a hub-skewed graph") {
+    // hub 0 connects to everyone; spokes 1..8 form a cycle among
+    // themselves — many triangles through the hub, plus the hub's own
+    // wedge fan-out is exactly the case degree orientation bounds.
+    val spokes = (1L to 8L)
+    val hubEdges = spokes.map(i => (0L, i))
+    val ring = spokes.map(i => (i, if (i == 8L) 1L else i + 1))
+    val edges = (hubEdges ++ ring ++ Seq((3L, 2L), (7L, 7L))) // dup + loop
+      .toDF("src", "dst")
+    val a = Graph.triangleCounts(edges).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    val b = Graph.triangleCountsDegreeOriented(edges).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b, s"id-oriented $a != degree-oriented $b")
+    // hub sits on one triangle per ring edge: (0, i, i+1) ×8
+    assert(a.head == (0L, 8L))
+  }
+
   test("zscore by group normalizes per group, NULL on zero variance") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 7.0))
       .toDF("g", "v")
