@@ -430,6 +430,30 @@ object Aggregates {
       .orderBy(desc("cnt"), col("item"))
   }
 
+  /** Merge two Misra-Gries summaries held as (item, cnt) TABLES into one
+    * with at most `k` counters — the mergeable-summaries operation
+    * (Agarwal et al.) at the DataFrame level, for summaries that OUTLIVE
+    * one job: a maintained heavy-hitters table folds in each new batch's
+    * counts without ever rescanning history. Sum counters by item, then
+    * subtract the (k+1)-th largest merged count from every counter and
+    * drop the non-positive — each merge adds at most that decrement to
+    * any item's undercount, and the global bound stays n/(k+1) over the
+    * TOTAL stream, so `item with true freq > n/(k+1) is always present`
+    * survives arbitrary batch splits (spec-checked across a streamed
+    * replay). Cost per merge: one item shuffle over summary∪batch-vocab
+    * plus a top-(k+1) (TakeOrderedAndProject, never a global sort). */
+  def mgMergeTables(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"mgMergeTables: need k >= 1, got $k")
+    val summed = a.select(col("item"), col("cnt"))
+      .unionByName(b.select(col("item"), col("cnt")))
+      .groupBy("item").agg(sum("cnt").alias("cnt"))
+    val kth = summed.orderBy(desc("cnt")).limit(k + 1)
+      .agg(when(count(lit(1)) > k, min("cnt")).otherwise(lit(0L)).alias("__d"))
+    summed.crossJoin(broadcast(kth))
+      .select(col("item"), (col("cnt") - col("__d")).alias("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
   /** KMV distinct estimate off a bottom-k sketch column (ArrayType[Long]
     * of 32-bit md5 draws, as produced by `bottom_k_sketch`): exact size
     * when the sketch is unsaturated, else the (k−1)/r_k estimator on the

@@ -385,6 +385,35 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming heavy-hitters maintenance: fold each micro-batch's exact
+    * item counts into a maintained Misra-Gries summary table of at most
+    * `k` rows via `Aggregates.mgMergeTables` and the crash-safe swap.
+    * State on disk is k rows FOREVER — unlike a maintained exact count
+    * table, the vocabulary of an unbounded stream never accumulates —
+    * and the summary keeps the MG guarantee over the whole stream: any
+    * item with true frequency > n/(k+1) is present, counters undercount
+    * by at most n/(k+1). The per-batch exact count is batch-vocab-sized
+    * (bounded by the micro-batch), so no step holds stream-lifetime
+    * state outside the k-row table. Pair with a periodic exact rescore
+    * over candidates (see `Aggregates.exactHeavyHitters`) when exact
+    * final counts matter. */
+  def startHeavyHittersSink(df: DataFrame, targetDir: String,
+                            checkpoint: String, itemCol: String,
+                            k: Int): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch.toDF().filter(col(itemCol).isNotNull)
+          .groupBy(col(itemCol).alias("item"))
+          .agg(count(lit(1)).alias("cnt"))
+        mergeReplace(batch.sparkSession, targetDir) {
+          case Some(summary) => graft.ops.Aggregates.mgMergeTables(summary, delta, k)
+          case None => graft.ops.Aggregates.mgMergeTables(delta.limit(0), delta, k)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming SCD2 dimension maintenance: each micro-batch of (key,
     * attr, ts) observations is collapsed to its latest row per key (the
     * micro-batch is the versioning granularity — intra-batch flapping

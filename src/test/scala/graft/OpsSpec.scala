@@ -866,6 +866,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(deg == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("mgMergeTables: exact when distinct fits in k, bounded undercount above") {
+    val a = Seq(("x", 5L), ("y", 2L)).toDF("item", "cnt")
+    val b = Seq(("x", 3L), ("z", 1L)).toDF("item", "cnt")
+    // 3 distinct ≤ k=4: no decrement, the merge is the exact sum
+    val exact = Aggregates.mgMergeTables(a, b, 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("x" -> 8L, "y" -> 2L, "z" -> 1L))
+    // k=2 forces a decrement by the 3rd-largest (1): z drops, others shrink
+    val squeezed = Aggregates.mgMergeTables(a, b, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(squeezed == Map("x" -> 7L, "y" -> 1L), s"got $squeezed")
+  }
+
   test("degree-oriented triangles == id-oriented on a hub-skewed graph") {
     // hub 0 connects to everyone; spokes 1..8 form a cycle among
     // themselves — many triangles through the hub, plus the hub's own

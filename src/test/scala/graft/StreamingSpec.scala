@@ -369,4 +369,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0)
     assert(span == 40 * 60, s"expected 40-min span (10 min + 30 gap), got ${span}s")
   }
+
+  test("streaming heavy-hitters sink: k-row state, MG guarantee over the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hhsink-ckpt").toString
+    try {
+      // 60 "hot" + a long tail of singletons, split across two batches so
+      // the guarantee must survive a merge boundary. n = 120, k = 9 ⇒
+      // threshold n/(k+1) = 12; "hot" (60) must survive, undercount ≤ 12.
+      val b1 = (1 to 30).map(_ => "hot") ++ (1 to 30).map(i => s"t$i")
+      val b2 = (1 to 30).map(_ => "hot") ++ (31 to 60).map(i => s"t$i")
+      val k = 9
+      val input = MemoryStream[String]
+      input.addData(b1: _*)
+      val q1 = EventsStream.startHeavyHittersSink(
+        input.toDF().toDF("item"), dir + "/hh", ckpt, "item", k)
+      q1.processAllAvailable(); q1.stop()
+      input.addData(b2: _*)
+      val q2 = EventsStream.startHeavyHittersSink(
+        input.toDF().toDF("item"), dir + "/hh", ckpt, "item", k)
+      q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(dir + "/hh").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= k, s"state exceeded k rows: $got")
+      val n = (b1 ++ b2).size
+      val hotCnt = got.getOrElse("hot",
+        fail(s"heavy item above n/(k+1) missing from summary: $got"))
+      assert(hotCnt <= 60 && hotCnt >= 60 - n / (k + 1),
+        s"hot counter $hotCnt outside [${60 - n / (k + 1)}, 60]")
+      // every surviving counter is an undercount of the true frequency
+      got.foreach { case (item, cnt) =>
+        val truth = (b1 ++ b2).count(_ == item)
+        assert(cnt <= truth, s"$item counter $cnt exceeds true $truth")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }
