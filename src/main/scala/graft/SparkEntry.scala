@@ -1504,6 +1504,13 @@ object SparkEntry {
         round(expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).alias("corr_qty_price"))),
 
+    // tie-corrected Spearman ρ through DISTRIBUTED fractional ranks — no
+    // single-task global window anywhere (the rank tables are built via
+    // range-repartition + partition-offset cumsum)
+    "q_spearman" -> ((s, d) =>
+      Aggregates.spearmanCorr(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice")),
+
     // PII scrub — redact emails/URLs before training
     "q_scrub_pii" -> ((s, d) => {
       val dirty = when(col("doc_id") % 5 === 0,
@@ -3942,6 +3949,17 @@ object SparkEntry {
     "q_median_corr" ->
       ("SELECT round(quantile_cont(l_quantity, 0.5), 6) AS median_qty, " +
         "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem"),
+
+    // fractional rank = min-rank + (ties−1)/2 — the average-of-positions
+    // convention spearmanCorr's distributed ranks implement
+    "q_spearman" ->
+      ("WITH t AS (SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+        "r AS (SELECT rank() OVER (ORDER BY a) + " +
+        "(count(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra, " +
+        "rank() OVER (ORDER BY b) + " +
+        "(count(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb FROM t) " +
+        "SELECT round(corr(ra, rb), 6) AS spearman_rho FROM r"),
 
     "q_scrub_pii" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +

@@ -430,6 +430,66 @@ object Aggregates {
       .orderBy(desc("cnt"), col("item"))
   }
 
+  /** Exact fractional (average) ranks for every DISTINCT value of
+    * `valueCol`, computed WITHOUT a single-task global window — the
+    * unpartitioned `rank() OVER (ORDER BY v)` that textbook rank SQL
+    * plans collapses the whole table into one task, which is exactly the
+    * thing that cannot run at 100 TB. Shape here:
+    *   1. distinct-value counts (one hash shuffle, map-side partials);
+    *   2. range-repartition the value-count table — a DISTRIBUTED sort;
+    *   3. per-partition running counts (windows partitioned by physical
+    *      partition id run in parallel);
+    *   4. per-partition totals cumsum'd into global offsets — a window
+    *      over #partitions rows, metadata-sized by construction;
+    *   5. avg_rank(v) = offset(pid) + local_running(v) + (cnt+1)/2.
+    * Every stage is declarative and partition-parallel except the
+    * offsets table, whose size is the partition count, not the data.
+    * Ranks use the average-of-positions convention for ties (what
+    * Spearman needs). Returns (value, cnt, avg_rank).
+    *
+    * Determinism: ranks are a pure function of the value multiset —
+    * range boundaries move with cluster size, but offset+local always
+    * reconstructs the same global rank (each distinct value lives in
+    * exactly one partition, so no tie straddles a boundary). */
+  def fractionalRanks(df: DataFrame, valueCol: String,
+                      numParts: Int = 32): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).alias("value"))
+      .agg(count(lit(1)).alias("cnt"))
+      .repartitionByRange(numParts, col("value"))
+    val pidW = Window.partitionBy("__pid").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = counts
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__before", coalesce(sum("cnt").over(pidW), lit(0L)))
+    val offsets = local.groupBy("__pid").agg(sum("cnt").alias("__ptot"))
+      .withColumn("__off", coalesce(sum("__ptot").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .select(col("value"), col("cnt"),
+        (col("__off") + col("__before") +
+          (col("cnt") + 1) / lit(2.0)).alias("avg_rank"))
+  }
+
+  /** Spearman rank correlation of two numeric columns: Pearson over each
+    * row's fractional ranks. Ranks come from `fractionalRanks` (the
+    * distributed shape — no global window anywhere), mapped back onto
+    * the rows by two value-keyed joins; the rank tables are
+    * distinct-value-sized, the joins shuffle on the value keys. Ties get
+    * average ranks, so this is the tie-corrected Spearman ρ. 6-dp
+    * rounded double, matching the corr conventions elsewhere. */
+  def spearmanCorr(df: DataFrame, c1: String, c2: String): DataFrame = {
+    val r1 = fractionalRanks(df, c1)
+      .select(col("value").alias(c1), col("avg_rank").alias("__r1"))
+    val r2 = fractionalRanks(df, c2)
+      .select(col("value").alias(c2), col("avg_rank").alias("__r2"))
+    df.select(c1, c2).filter(col(c1).isNotNull && col(c2).isNotNull)
+      .join(r1, c1).join(r2, c2)
+      .agg(round(corr(col("__r1"), col("__r2")), 6).alias("spearman_rho"))
+  }
+
   /** Merge two Misra-Gries summaries held as (item, cnt) TABLES into one
     * with at most `k` counters — the mergeable-summaries operation
     * (Agarwal et al.) at the DataFrame level, for summaries that OUTLIVE

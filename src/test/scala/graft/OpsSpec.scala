@@ -866,6 +866,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(deg == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("fractionalRanks: average-of-positions ties, partition-count invariant") {
+    val df = Seq(10.0, 20.0, 20.0, 30.0, 30.0, 30.0, 40.0).toDF("v")
+    // positions: 10→1; 20,20→(2+3)/2=2.5; 30×3→(4+5+6)/2=5; 40→7
+    val expect = Map(10.0 -> 1.0, 20.0 -> 2.5, 30.0 -> 5.0, 40.0 -> 7.0)
+    Seq(1, 3, 32).foreach { parts =>
+      val got = Aggregates.fractionalRanks(df, "v", numParts = parts)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+      assert(got == expect, s"numParts=$parts: $got")
+    }
+  }
+
+  test("spearmanCorr: 1 on a monotone transform, -1 on a reversal") {
+    val xs = (1 to 50).map(_.toDouble)
+    val mono = xs.map(x => (x, x * x * 3 + 7)).toDF("a", "b") // nonlinear, monotone
+    assert(Aggregates.spearmanCorr(mono, "a", "b").head().getDouble(0) == 1.0)
+    val anti = xs.map(x => (x, -x * x * x)).toDF("a", "b")
+    assert(Aggregates.spearmanCorr(anti, "a", "b").head().getDouble(0) == -1.0)
+  }
+
   test("mgMergeTables: exact when distinct fits in k, bounded undercount above") {
     val a = Seq(("x", 5L), ("y", 2L)).toDF("item", "cnt")
     val b = Seq(("x", 3L), ("z", 1L)).toDF("item", "cnt")
