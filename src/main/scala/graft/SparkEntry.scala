@@ -2416,6 +2416,50 @@ object SparkEntry {
       graft.ops.Graph.bfsDistances(ed, src, hops = 3).orderBy("node")
     }),
 
+    // Weighted shortest distances (Graph.shortestPaths): Bellman-Ford
+    // 3-round relaxation over the weighted bipartite user↔event-type
+    // graph (edge cost = interaction count), from the
+    // lexicographically-first event-type node. LONG min/plus end-to-end.
+    "q_graph_sssp" -> ((s, d) => {
+      val ue = Tables.events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).alias("w"))
+      val ed = ue.select(concat(lit("u:"), col("user_id")).alias("src"),
+          concat(lit("t:"), col("event_type")).alias("dst"), col("w"))
+        .unionByName(ue.select(
+          concat(lit("t:"), col("event_type")).alias("src"),
+          concat(lit("u:"), col("user_id")).alias("dst"), col("w")))
+      val src = Tables.events(s, d)
+        .agg(concat(lit("t:"), min(col("event_type"))).alias("node"))
+      graft.ops.Graph.shortestPaths(ed, src, rounds = 3).orderBy("node")
+    }),
+
+    // OHLC bars (Sessionize.resampleOhlc): per user, 15-minute
+    // open/high/low/close/count/volume — ONE grouped aggregation,
+    // open/close as min/max over a (ts, tie, value) struct instead of a
+    // per-bucket sort.
+    "q_resample_ohlc" -> ((s, d) =>
+      Sessionize.resampleOhlc(Tables.events(s, d), "user_id", "ts",
+          tieCol = "event_id", valCol = "value", bucketMs = 900000L)
+        .orderBy("user_id", "bucket_ms")),
+
+    // CUSUM changepoints (Sessionize.cusumChangepoints) on a planted
+    // per-user second-half mean shift: the sequential max(0, ·) recursion
+    // rewritten as running-sum − running-min — two stacked frames over
+    // one key sort, DECIMAL end-to-end so the flag boundary is exact.
+    "q_cusum_change" -> ((s, d) => {
+      val ow = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val planted = Tables.events(s, d)
+        .withColumn("__rn", row_number().over(ow))
+        .withColumn("__cnt", count(lit(1)).over(cw))
+        .withColumn("value_drift", col("value") +
+          when(col("__rn") * 2 > col("__cnt"), lit(150.0)).otherwise(lit(0.0)))
+      Sessionize.cusumChangepoints(planted, "user_id", "ts",
+          tieCol = "event_id", valCol = "value_drift", kappa = 0.5, h = 4.0)
+        .orderBy("user_id", "event_id")
+    }),
+
     // Trailing-20 EWMA per user (Sessionize.ewmaTrailing): bounded ROWS
     // frame, literal decay-weight ladder shared with the oracle so both
     // engines evaluate the identical IEEE expression.
@@ -4563,6 +4607,53 @@ object SparkEntry {
 
     "q_graph_bfs" -> bfsOracle,
 
+    "q_graph_sssp" -> ssspOracle,
+
+    "q_resample_ohlc" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "b AS (SELECT user_id, ts_ms - ts_ms % 900000 AS bucket_ms, ts_ms, " +
+        "event_id, value FROM e), " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ms " +
+        "ORDER BY ts_ms, event_id) AS ra, " +
+        "row_number() OVER (PARTITION BY user_id, bucket_ms " +
+        "ORDER BY ts_ms DESC, event_id DESC) AS rd FROM b) " +
+        "SELECT user_id, bucket_ms, " +
+        "max(CASE WHEN ra = 1 THEN value END) AS open, " +
+        "max(value) AS high, min(value) AS low, " +
+        "max(CASE WHEN rd = 1 THEN value END) AS close, " +
+        "CAST(count(*) AS BIGINT) AS n_events, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS volume " +
+        "FROM w GROUP BY 1, 2 ORDER BY user_id, bucket_ms"),
+
+    "q_cusum_change" ->
+      ("WITH e AS (SELECT user_id, ts, event_id, value, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS cnt FROM events), " +
+        "v AS (SELECT user_id, ts, event_id, value + " +
+        "CASE WHEN rn * 2 > cnt THEN 150.0 ELSE 0.0 END AS value_drift " +
+        "FROM e WHERE value IS NOT NULL), " +
+        "m AS (SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CAST(value_drift AS DECIMAL(18,6))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(value_drift * value_drift AS DECIMAL(18,6))) AS DOUBLE) AS s2 " +
+        "FROM v GROUP BY 1), " +
+        "mm AS (SELECT user_id, round(s / n, 6) AS mu, " +
+        "round(sqrt(greatest(s2 / n - (s / n) * (s / n), 0)), 6) AS sd FROM m), " +
+        "c AS (SELECT v.user_id, v.ts, v.event_id, v.value_drift, " +
+        "CAST(v.value_drift AS DECIMAL(18,6)) - CAST(mm.mu AS DECIMAL(18,6)) - " +
+        "CAST(round(0.5 * mm.sd, 6) AS DECIMAL(18,6)) AS d, " +
+        "CAST(round(4.0 * mm.sd, 6) AS DECIMAL(18,6)) AS thr " +
+        "FROM v JOIN mm ON v.user_id = mm.user_id), " +
+        "p AS (SELECT user_id, ts, event_id, value_drift, thr, " +
+        "sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps FROM c), " +
+        "q AS (SELECT user_id, event_id, value_drift, thr, ps, " +
+        "least(0, min(ps) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mn FROM p) " +
+        "SELECT user_id, event_id, value_drift, " +
+        "round(CAST(ps - mn AS DOUBLE), 6) AS cusum FROM q " +
+        "WHERE ps - mn > thr ORDER BY user_id, event_id"),
+
     "q_ewma" -> ewmaOracle,
 
     "q_interpolate" ->
@@ -4756,6 +4847,26 @@ object SparkEntry {
       sb ++= s"d$t AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (" +
         s"SELECT node, dist FROM d${t - 1} " +
         s"UNION ALL SELECT ed.dst AS node, p.dist + 1 AS dist " +
+        s"FROM d${t - 1} p JOIN ed ON p.node = ed.src) GROUP BY 1), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " SELECT node, dist FROM d3 ORDER BY node"
+    sb.toString
+  }
+
+  /** Mirror of q_graph_sssp: 3 unrolled weighted min-distance relaxation
+    * rounds (Bellman-Ford) over the weighted bipartite user↔event-type
+    * edge list, from the lexicographically-first event-type node. */
+  private def ssspOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH ue AS (SELECT user_id, event_type, count(*) AS w FROM events GROUP BY 1, 2), "
+    sb ++= "ed AS (SELECT 'u:' || user_id AS src, 't:' || event_type AS dst, w FROM ue " +
+      "UNION ALL SELECT 't:' || event_type AS src, 'u:' || user_id AS dst, w FROM ue), "
+    sb ++= "d0 AS (SELECT 't:' || min(event_type) AS node, CAST(0 AS BIGINT) AS dist FROM events), "
+    for (t <- 1 to 3) {
+      sb ++= s"d$t AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (" +
+        s"SELECT node, dist FROM d${t - 1} " +
+        s"UNION ALL SELECT ed.dst AS node, p.dist + ed.w AS dist " +
         s"FROM d${t - 1} p JOIN ed ON p.node = ed.src) GROUP BY 1), "
     }
     sb.setLength(sb.length - 2)

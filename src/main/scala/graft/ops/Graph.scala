@@ -163,6 +163,33 @@ object Graph {
     * undirected graph. Lineage grows linearly with `hops` (same stance
     * as pagerank; see ScaleDedup.connectedComponents for the checkpoint
     * pattern when dozens of rounds are needed). */
+  /** Weighted single-source shortest distances — Bellman-Ford with
+    * `rounds` relaxation rounds unrolled:
+    *   dist'(v) = min(dist(v), min over edges (u,v,w) of dist(u)+w).
+    * The weighted generalization of `bfsDistances` (same join shape,
+    * same per-round cost): exact for every node whose shortest path uses
+    * ≤ `rounds` edges, an upper bound beyond that — with non-negative
+    * integer weights the relaxation is monotone, so extra rounds only
+    * tighten. Weights stay LONG end-to-end: integer min/plus is exact on
+    * any engine and partitioning, no decimal chain needed. Directed as
+    * given; pass both orientations for an undirected graph. Lineage
+    * grows linearly with `rounds` (checkpoint stance as pagerank). */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 64,
+      s"shortestPaths: need 0 <= rounds <= 64, got $rounds")
+    var dist = sources.select(col("node"), lit(0L).alias("dist"))
+    for (_ <- 1 to rounds) {
+      val next = dist.alias("d")
+        .join(edges.alias("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").alias("node"),
+          (col("d.dist") + col("e.w").cast("long")).alias("dist"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min("dist").alias("dist"))
+    }
+    dist
+  }
+
   def bfsDistances(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
     require(hops >= 0 && hops <= 64, s"bfsDistances: need 0 <= hops <= 64, got $hops")
     var dist = sources.select(col("node"), lit(0L).alias("dist"))

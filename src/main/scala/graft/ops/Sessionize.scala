@@ -131,6 +131,89 @@ object Sessionize {
       .drop("__ewma_r")
   }
 
+  /** OHLC downsampling — the bar/candle resample every metrics and
+    * market-data pipeline runs: per key and fixed time bucket, the
+    * first/max/min/last observation plus count and an exact-decimal
+    * volume sum. ONE grouped aggregation with map-side partials — no
+    * window, no sort: open/close ride as min/max over a (ts, tie, value)
+    * struct, so the "first observation" is an associative aggregate
+    * rather than a row_number over a per-bucket sort, and a bucket's
+    * rows never need to be co-sorted, only co-grouped. `tieCol` makes
+    * same-instant opens/closes deterministic on any partitioning.
+    * Buckets are epoch-aligned: bucket_ms = ts_ms − ts_ms mod bucketMs.
+    * Null observations are dropped (they could neither open nor close a
+    * bar). */
+  def resampleOhlc(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valCol: String,
+                   bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1, s"resampleOhlc: need bucketMs >= 1, got $bucketMs")
+    val tsMs = unix_millis(col(tsCol))
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol),
+        (tsMs - pmod(tsMs, lit(bucketMs))).alias("bucket_ms"),
+        struct(tsMs.alias("t"), col(tieCol).cast("long").alias("tie"),
+          col(valCol).cast("double").alias("v")).alias("__o"),
+        col(valCol).cast("double").alias("__v"))
+    base.groupBy(col(keyCol), col("bucket_ms"))
+      .agg(min(col("__o")).getField("v").alias("open"),
+        max(col("__v")).alias("high"),
+        min(col("__v")).alias("low"),
+        max(col("__o")).getField("v").alias("close"),
+        count(lit(1)).alias("n_events"),
+        round(sum(col("__v").cast("decimal(18,6)")).cast("double"), 6)
+          .alias("volume"))
+  }
+
+  /** One-sided CUSUM change detection per key: flag observations where
+    * the cumulative positive drift above the key's baseline exceeds
+    * `h`·σ. The textbook recursion c_i = max(0, c_{i−1} + (x_i − μ − κσ))
+    * is a sequential scan no engine can parallelize — instead use the
+    * prefix identity c_i = S_i − min_{j≤i} S_j (S = running sum of the
+    * drift terms), which turns CUSUM into TWO stacked frames over ONE
+    * key-partitioned sort: a running sum and a running min of that sum.
+    * Single exchange; both frames reuse it.
+    *
+    * Determinism: the baseline (μ, σ) comes from exact DECIMAL moments
+    * and is 6-dp-rounded BEFORE entering the drift term; drift terms,
+    * running sums, and the min are all DECIMAL(18,6)/…, so no engine or
+    * partitioning can flip a low bit mid-chain — the flag boundary is
+    * exact. Returns the flagged rows (key, tie, value, cusum). */
+  def cusumChangepoints(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, valCol: String,
+                        kappa: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val moments = df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).alias("__n"),
+        sum(col(valCol).cast("decimal(18,6)")).cast("double").alias("__s"),
+        sum((col(valCol) * col(valCol)).cast("decimal(18,6)")).cast("double")
+          .alias("__s2"))
+      .select(col(keyCol),
+        round(col("__s") / col("__n"), 6).alias("__mu"),
+        round(sqrt(greatest(
+          col("__s2") / col("__n") -
+            (col("__s") / col("__n")) * (col("__s") / col("__n")),
+          lit(0.0))), 6).alias("__sd"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(valCol).isNotNull)
+      .join(moments, keyCol)
+      .withColumn("__d",
+        col(valCol).cast("decimal(18,6)") -
+          col("__mu").cast("decimal(18,6)") -
+          round(lit(kappa) * col("__sd"), 6).cast("decimal(18,6)"))
+      .withColumn("__ps", sum(col("__d")).over(w))
+      // the recursion starts at c_0 = 0, so the reference minimum must
+      // include the empty prefix: min(0, min_{j<=i} S_j)
+      .withColumn("__cusum",
+        col("__ps") - least(lit(0).cast("decimal(18,6)"),
+          min(col("__ps")).over(w)))
+      .filter(col("__cusum") >
+        round(lit(h) * col("__sd"), 6).cast("decimal(18,6)"))
+      .select(col(keyCol), col(tieCol), col(valCol),
+        round(col("__cusum").cast("double"), 6).alias("cusum"))
+  }
+
   /** Linear-interpolation gap fill: same per-key hourly grid as
     * `gapFill`, but interior grid points take the time-proportional
     * blend of the surrounding observations — pv + (nv−pv)·(t−pt)/(nt−pt)

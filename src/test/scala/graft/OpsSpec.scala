@@ -866,6 +866,78 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(deg == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
 
+  test("shortestPaths: weighted route beats fewer-hop route; bound tightens") {
+    // s→a→b costs 1+1=2; direct s→b costs 10; b→c costs 1
+    val edges = Seq(("s", "a", 1L), ("a", "b", 1L), ("s", "b", 10L),
+      ("b", "c", 1L)).toDF("src", "dst", "w")
+    val src = Seq("s").toDF("node")
+    val d2 = Graph.shortestPaths(edges, src, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    // after 2 rounds the ≤2-edge optimum is exact: b settles at 2, c has
+    // only the 11-cost bound via the direct edge so far
+    assert(d2 == Map("s" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 11L))
+    val d3 = Graph.shortestPaths(edges, src, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(d3("c") == 3L) // third round relaxes c through the cheap route
+  }
+
+  test("resampleOhlc: struct-min open/close, tie-break, null drop") {
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    val df = Seq(
+      ("k", t(1000L), 1L, Some(5.0)),  // bucket 0: open (earliest)
+      ("k", t(2000L), 2L, Some(9.0)),  // high
+      ("k", t(2500L), 3L, None),       // null: dropped
+      ("k", t(3000L), 4L, Some(1.0)),  // low; same ts as tie 5
+      ("k", t(3000L), 5L, Some(4.0)),  // close: same ts, higher tie wins
+      ("k", t(60001L), 6L, Some(7.0))  // bucket 60000: singleton bar
+    ).toDF("key", "ts", "tie", "value")
+    val got = Sessionize.resampleOhlc(df, "key", "ts", "tie", "value",
+        bucketMs = 60000L).orderBy("bucket_ms")
+      .select("bucket_ms", "open", "high", "low", "close", "n_events", "volume")
+      .as[(Long, Double, Double, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 5.0, 9.0, 1.0, 4.0, 4L, 19.0),
+      (60000L, 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
+  }
+
+  test("cusumChangepoints: prefix-identity equals the textbook recursion") {
+    import java.sql.Timestamp
+    // key "k": flat baseline then a +10 step (drift accumulates late);
+    // key "r": drift POSITIVE from the very first row — catches an
+    // identity that forgets the empty prefix (c_0 = 0) in the min
+    val series = Map(
+      "k" -> Seq(5.0, 5.0, 5.0, 5.0, 5.0, 15.0, 15.0, 15.0, 15.0, 15.0),
+      "r" -> Seq(30.0, 30.0, 30.0, 0.0, 0.0, 0.0))
+    val df = series.toSeq.flatMap { case (key, vals) =>
+      vals.zipWithIndex.map { case (v, i) =>
+        (key, new Timestamp(1000L * i), i.toLong, v)
+      }
+    }.toDF("key", "ts", "tie", "value")
+    val got = Sessionize.cusumChangepoints(df, "key", "ts", "tie", "value",
+        kappa = 0.5, h = 1.0)
+      .select("key", "tie", "cusum").as[(String, Long, Double)]
+      .collect().map { case (k, t, c) => (k, t) -> c }.toMap
+    // replicate: mu/sd from exact moments rounded to 6dp, then the
+    // max(0, c + (x - mu - 0.5 sd)) recursion with a h·sd threshold
+    val expect = series.flatMap { case (key, vals) =>
+      val n = vals.length
+      val mu = BigDecimal(vals.sum / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sd = BigDecimal(
+          math.sqrt(vals.map(v => v * v).sum / n - math.pow(vals.sum / n, 2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var c = 0.0
+      vals.zipWithIndex.flatMap { case (v, i) =>
+        c = math.max(0.0, c + (v - mu - 0.5 * sd))
+        if (c > 1.0 * sd) Some((key, i.toLong) -> c) else None
+      }
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-6, s"$k") }
+  }
+
   test("fractionalRanks: average-of-positions ties, partition-count invariant") {
     val df = Seq(10.0, 20.0, 20.0, 30.0, 30.0, 30.0, 40.0).toDF("v")
     // positions: 10→1; 20,20→(2+3)/2=2.5; 30×3→(4+5+6)/2=5; 40→7
