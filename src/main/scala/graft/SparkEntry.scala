@@ -2433,6 +2433,23 @@ object SparkEntry {
       graft.ops.Graph.shortestPaths(ed, src, rounds = 3).orderBy("node")
     }),
 
+    // Hierarchy explosion (Graph.explodeHierarchy): BOM rollup over a
+    // binary part hierarchy (parent k → children 2k, 2k+1, qty = child
+    // mod 3 + 1) — per root, every descendant with its multiplied-out
+    // total quantity; the recursive-CTE shape as unrolled frontier joins.
+    "q_bom_rollup" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"))
+      val edges = p.select(col("p_partkey").alias("parent"),
+          explode(array(col("p_partkey") * 2, col("p_partkey") * 2 + 1))
+            .alias("child"))
+        .join(p.select(col("p_partkey").alias("child")), "child")
+        .select(col("parent"), col("child"),
+          (pmod(col("child"), lit(3)) + 1).alias("qty"))
+      val roots = s.range(2, 6).select(col("id").alias("node"))
+      graft.ops.Graph.explodeHierarchy(edges, roots, maxDepth = 16)
+        .orderBy("root", "node")
+    }),
+
     // OHLC bars (Sessionize.resampleOhlc): per user, 15-minute
     // open/high/low/close/count/volume — ONE grouped aggregation,
     // open/close as min/max over a (ts, tie, value) struct instead of a
@@ -4608,6 +4625,19 @@ object SparkEntry {
     "q_graph_bfs" -> bfsOracle,
 
     "q_graph_sssp" -> ssspOracle,
+
+    "q_bom_rollup" ->
+      ("WITH RECURSIVE e AS (SELECT p1.p_partkey AS parent, " +
+        "p2.p_partkey AS child, p2.p_partkey % 3 + 1 AS qty FROM part p1 " +
+        "JOIN part p2 ON p2.p_partkey = p1.p_partkey * 2 " +
+        "OR p2.p_partkey = p1.p_partkey * 2 + 1), " +
+        "bom AS (SELECT CAST(node AS BIGINT) AS root, CAST(node AS BIGINT) AS node, " +
+        "CAST(1 AS BIGINT) AS qty, 0 AS depth " +
+        "FROM (SELECT unnest([2, 3, 4, 5]) AS node) " +
+        "UNION ALL SELECT b.root, e.child, b.qty * e.qty, b.depth + 1 " +
+        "FROM bom b JOIN e ON b.node = e.parent WHERE b.depth < 16) " +
+        "SELECT root, node, CAST(sum(qty) AS BIGINT) AS total_qty " +
+        "FROM bom GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q_resample_ohlc" ->
       ("WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value " +

@@ -148,6 +148,40 @@ object Graph {
     ranks
   }
 
+  /** Multi-level hierarchy explosion — the BOM (bill-of-materials) /
+    * org-rollup recursion: for each root, every descendant reachable in
+    * ≤ `maxDepth` edges with its TOTAL multiplied-out quantity,
+    *   total(root, node) = Σ over paths root→node of Π edge qty
+    * (one widget needs 3 assemblies × 4 bolts each ⇒ 12 bolts). The
+    * recursive-CTE query warehouses run, expressed as `maxDepth` unrolled
+    * frontier joins: each round extends only the CURRENT frontier
+    * (paths of exactly t edges) through the edge list — one equi-join on
+    * the parent key per level — and the final aggregation sums path
+    * quantities per (root, node). DAGs are handled naturally (a node
+    * reached by several paths contributes each path's product); cycles
+    * are truncated by `maxDepth` — pass a depth ≥ the hierarchy's height,
+    * which the caller knows (and a real catalog bounds by design).
+    * Quantities stay LONG: integer Π/Σ is exact on any engine.
+    * `edges`: (parent, child, qty); `roots`: (node). Frontiers shrink as
+    * leaves drain, so late rounds join near-empty sides; lineage grows
+    * linearly with depth (checkpoint stance as pagerank). */
+  def explodeHierarchy(edges: DataFrame, roots: DataFrame,
+                       maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64,
+      s"explodeHierarchy: need 1 <= maxDepth <= 64, got $maxDepth")
+    var frontier = roots.select(col("node").alias("root"),
+      col("node"), lit(1L).alias("qty"))
+    var acc = frontier
+    for (_ <- 1 to maxDepth) {
+      frontier = frontier.alias("f")
+        .join(edges.alias("e"), col("f.node") === col("e.parent"))
+        .select(col("f.root").alias("root"), col("e.child").alias("node"),
+          (col("f.qty") * col("e.qty").cast("long")).alias("qty"))
+      acc = acc.unionByName(frontier)
+    }
+    acc.groupBy("root", "node").agg(sum("qty").alias("total_qty"))
+  }
+
   /** Unweighted BFS distances from a source node set, `hops` relaxation
     * rounds unrolled: dist'(v) = min(dist(v), min over edges (u,v) of
     * dist(u)+1). Returns (node, dist) for every node reached within

@@ -938,6 +938,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-6, s"$k") }
   }
 
+  test("explodeHierarchy: multi-path DAG sums path products; depth truncates") {
+    // diamond: a→b (×2), a→c (×3), b→d (×4), c→d (×5) ⇒ d under a needs
+    // 2·4 + 3·5 = 23; plus a leaf e under d (×10)
+    val edges = Seq(("a", "b", 2L), ("a", "c", 3L), ("b", "d", 4L),
+      ("c", "d", 5L), ("d", "e", 10L)).toDF("parent", "child", "qty")
+    val roots = Seq("a", "b").toDF("node")
+    val full = Graph.explodeHierarchy(edges, roots, maxDepth = 8)
+      .as[(String, String, Long)].collect()
+      .map { case (r, n, q) => (r, n) -> q }.toMap
+    assert(full == Map(
+      ("a", "a") -> 1L, ("a", "b") -> 2L, ("a", "c") -> 3L,
+      ("a", "d") -> 23L, ("a", "e") -> 230L,
+      ("b", "b") -> 1L, ("b", "d") -> 4L, ("b", "e") -> 40L))
+    // depth 1 keeps only direct children
+    val shallow = Graph.explodeHierarchy(edges, roots, maxDepth = 1)
+      .as[(String, String, Long)].collect()
+      .map { case (r, n, q) => (r, n) -> q }.toMap
+    assert(shallow == Map(
+      ("a", "a") -> 1L, ("a", "b") -> 2L, ("a", "c") -> 3L,
+      ("b", "b") -> 1L, ("b", "d") -> 4L))
+  }
+
   test("fractionalRanks: average-of-positions ties, partition-count invariant") {
     val df = Seq(10.0, 20.0, 20.0, 30.0, 30.0, 30.0, 40.0).toDF("v")
     // positions: 10→1; 20,20→(2+3)/2=2.5; 30×3→(4+5+6)/2=5; 40→7
