@@ -2433,6 +2433,29 @@ object SparkEntry {
       graft.ops.Graph.shortestPaths(ed, src, rounds = 3).orderBy("node")
     }),
 
+    // Inverted positional index (InvertedIndex.buildPostings): the
+    // token-keyed posting-list pivot of the corpus — audit slice: the
+    // 20 most selective tokens' postings with doc counts and positions.
+    "q_inverted_postings" -> ((s, d) => {
+      val post = graft.ops.InvertedIndex.buildPostings(
+        Tables.documents(s, d), "doc_id", "text")
+      post.groupBy("token")
+        .agg(count(lit(1)).alias("df"), sum("tf").alias("ctf"))
+        .orderBy(col("df").asc, col("token").asc).limit(20)
+    }),
+
+    // Exact phrase search via posting-list intersection
+    // (InvertedIndex.phraseSearch): every doc containing the contiguous
+    // phrase "big order scan", with its occurrence count — the query
+    // touches only the three tokens' postings, never the text column.
+    "q_phrase_search" -> ((s, d) => {
+      val post = graft.ops.InvertedIndex.buildPostings(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.ops.InvertedIndex.phraseSearch(
+          post, Seq("big", "order", "scan"))
+        .orderBy("doc_id")
+    }),
+
     // Hierarchy explosion (Graph.explodeHierarchy): BOM rollup over a
     // binary part hierarchy (parent k → children 2k, 2k+1, qty = child
     // mod 3 + 1) — per root, every descendant with its multiplied-out
@@ -4625,6 +4648,28 @@ object SparkEntry {
     "q_graph_bfs" -> bfsOracle,
 
     "q_graph_sssp" -> ssspOracle,
+
+    "q_inverted_postings" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "pos AS (SELECT doc_id, t[i] AS token " +
+        "FROM toks, unnest(generate_series(1, len(t))) AS u(i) WHERE t[i] <> ''), " +
+        "post AS (SELECT token, doc_id, count(*) AS tf FROM pos GROUP BY 1, 2) " +
+        "SELECT token, CAST(count(*) AS BIGINT) AS df, " +
+        "CAST(sum(tf) AS BIGINT) AS ctf FROM post GROUP BY token " +
+        "ORDER BY df ASC, token ASC LIMIT 20"),
+
+    "q_phrase_search" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS token " +
+        "FROM toks, unnest(generate_series(1, len(t))) AS u(i) WHERE t[i] <> ''), " +
+        "ph AS (SELECT * FROM (VALUES ('big', 0), ('order', 1), ('scan', 2)) " +
+        "AS v(token, slot)), " +
+        "st AS (SELECT p.doc_id, p.pos - ph.slot AS start, ph.slot " +
+        "FROM pos p JOIN ph ON p.token = ph.token WHERE p.pos - ph.slot >= 0), " +
+        "m AS (SELECT doc_id, start FROM st GROUP BY doc_id, start " +
+        "HAVING count(DISTINCT slot) = 3) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m " +
+        "GROUP BY doc_id ORDER BY doc_id"),
 
     "q_bom_rollup" ->
       ("WITH RECURSIVE e AS (SELECT p1.p_partkey AS parent, " +

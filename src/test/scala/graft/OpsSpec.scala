@@ -960,6 +960,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       ("b", "b") -> 1L, ("b", "d") -> 4L))
   }
 
+  test("phraseSearch: overlap, repeated tokens, and index-side pushdown") {
+    val docs = Seq(
+      (1L, "x x x y"),        // "x x" overlaps: starts 0 and 1
+      (2L, "a b a b a"),      // "a b a" overlaps: starts 0 and 2
+      (3L, "b a x"),          // no phrase
+      (4L, "x x")             // one "x x"
+    ).toDF("doc_id", "text")
+    val post = InvertedIndex.buildPostings(docs, "doc_id", "text")
+    def search(ph: String*) =
+      InvertedIndex.phraseSearch(post, ph).orderBy("doc_id")
+        .as[(Long, Long)].collect().toSeq
+    assert(search("x", "x") == Seq((1L, 2L), (4L, 1L)))
+    assert(search("a", "b", "a") == Seq((2L, 2L)))
+    assert(search("y", "x") == Seq.empty)
+    // single-token search equals tf
+    assert(search("a") == Seq((2L, 3L), (3L, 1L)))
+    // persisted index: the phrase's IN-filter reaches the parquet scan
+    // (AQE-finalized plan; assert on the scan's PushedFilters line)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inv").toString
+    post.write.mode("overwrite").parquet(dir)
+    val indexed = spark.read.parquet(dir)
+    val q = InvertedIndex.phraseSearch(indexed, Seq("x", "x"))
+    q.write.format("noop").mode("overwrite").save()
+    val planStr = q.queryExecution.executedPlan.toString
+    val pushedLine = planStr.linesIterator
+      .find(_.contains("PushedFilters: [")).getOrElse("")
+    assert(pushedLine.contains("token"), s"no token pushdown in: $planStr")
+  }
+
   test("fractionalRanks: average-of-positions ties, partition-count invariant") {
     val df = Seq(10.0, 20.0, 20.0, 30.0, 30.0, 30.0, 40.0).toDF("v")
     // positions: 10→1; 20,20→(2+3)/2=2.5; 30×3→(4+5+6)/2=5; 40→7
