@@ -338,6 +338,89 @@ object Multimodal {
     graft.ops.ScaleDedup.hammingNearDupPairs(hashes, "media_id", "dhash",
       bits = 64, maxDist = maxDist)
 
+  /** A DCT perceptual hash row (same tag-and-keep contract as dHash). */
+  case class ImagePHash(media_id: Long, phash: Long, decoded: Boolean)
+
+  /** 32-point DCT-II basis, precomputed once per executor: B(u,i) =
+    * α(u)·cos((2i+1)uπ/64). Plain doubles — the same IEEE values on any
+    * JVM, so hashes are reproducible across the cluster. */
+  private lazy val dctBasis32: Array[Array[Double]] = {
+    val n = 32
+    Array.tabulate(n, n) { (u, i) =>
+      val alpha = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      alpha * math.cos((2 * i + 1) * u * math.Pi / (2 * n))
+    }
+  }
+
+  /** REAL pHash (DCT perceptual hash, public algorithm): decode →
+    * bilinear resize to 32×32 → luminance → 2D DCT-II (separable, two
+    * 32-point passes over the precomputed basis) → keep the low-frequency
+    * 8×8 corner, drop the DC term, set bit (u,v) iff the coefficient
+    * exceeds the median of the remaining 63. Complements `dHashes`:
+    * gradient hashing keys on LOCAL edges, the DCT keys on GLOBAL
+    * structure — and because a uniform brightness/contrast scale
+    * multiplies every AC coefficient (and their median) by the same
+    * positive factor, pHash is exactly invariant to it, where dHash is
+    * only approximately so. Same JDK-only decode path, same md5 fallback
+    * with `decoded = false` for undecodable payloads. */
+  def pHashes(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[ImagePHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val basis = dctBasis32
+      it.map { r =>
+        val decoded = scala.util.Try(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        ).toOption.flatMap(Option(_))
+        decoded match {
+          case Some(im) =>
+            val out = new java.awt.image.BufferedImage(
+              32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, 32, 32, null)
+            g.dispose()
+            val lum = Array.tabulate(32, 32) { (y, x) =>
+              val rgb = out.getRGB(x, y)
+              ((rgb >> 16) & 0xff) * 0.299 + ((rgb >> 8) & 0xff) * 0.587 +
+                (rgb & 0xff) * 0.114
+            }
+            // rows then columns: C = B · L · Bᵀ, only the first 8 of each
+            val rowPass = Array.tabulate(8, 32) { (u, x) =>
+              var s = 0.0; var y = 0
+              while (y < 32) { s += basis(u)(y) * lum(y)(x); y += 1 }
+              s
+            }
+            val coeff = Array.tabulate(8, 8) { (u, v) =>
+              var s = 0.0; var x = 0
+              while (x < 32) { s += basis(v)(x) * rowPass(u)(x); x += 1 }
+              s
+            }
+            val ac = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+              yield coeff(u)(v)).toArray
+            val median = ac.sorted.apply(31)
+            var hash = 0L
+            for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+              if (coeff(u)(v) > median) hash |= 1L << (u * 8 + v)
+            ImagePHash(r.media_id, hash, decoded = true)
+          case None =>
+            val h = md5Bytes(r.bytes)
+            var hash = 0L
+            var i = 0
+            while (i < 8) { hash = (hash << 8) | java.lang.Byte.toUnsignedInt(h(i)); i += 1 }
+            ImagePHash(r.media_id, hash, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Hamming near-dup pairs over pHashes — same generic banded
+    * pigeonhole join as the dHash path. */
+  def phashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame =
+    graft.ops.ScaleDedup.hammingNearDupPairs(hashes, "media_id", "phash",
+      bits = 64, maxDist = maxDist)
+
   /** Frame-sample STAND-IN for video payloads: take every `stride`-th chunk
     * of the payload as a "frame" — the partition-local slicing shape of a
     * real frame sampler. This container ships no video codecs, so this is

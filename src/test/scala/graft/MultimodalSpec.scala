@@ -108,6 +108,50 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(bad.forall(!_.decoded))
   }
 
+  test("pHash: identical collide, brightness-scaled near, distinct far") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) im.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // smooth sinusoidal blob — a spread spectrum, so coefficients sit
+    // away from the median and quantization noise can't mass-flip bits
+    // (a wrap-around sawtooth parks ~50 coefficients AT the median and
+    // makes any hash unstable)
+    def blob(x: Int, y: Int): Double =
+      128.0 + 55.0 * math.sin(x / 5.0) * math.cos(y / 7.0) +
+        40.0 * math.sin((x + 2.0 * y) / 11.0)
+    val baseF = (x: Int, y: Int) => gray(blob(x, y).toInt)
+    // uniform 0.8× brightness: scales every DCT AC coefficient and their
+    // median together — only pixel quantization can move bits
+    val dimmedF = (x: Int, y: Int) => gray((blob(x, y) * 0.8).toInt)
+    val differentF = (x: Int, y: Int) =>
+      gray(((255 - x * 2 - y * 5) & 0xff) ^ (x * y & 0xff))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png(baseF), "image/png", 1L),
+      Multimodal.MediaRecord(2L, "image", png(baseF), "image/png", 2L),
+      Multimodal.MediaRecord(3L, "image", png(dimmedF), "image/png", 3L),
+      Multimodal.MediaRecord(4L, "image", png(differentF), "image/png", 4L)).toDS()
+    val hs = Multimodal.pHashes(spark, media).collect().sortBy(_.media_id)
+    assert(hs.forall(_.decoded))
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(0).phash == hs(1).phash)
+    assert(hd(hs(0).phash, hs(2).phash) <= 8,
+      s"brightness scale drifted ${hd(hs(0).phash, hs(2).phash)} bits")
+    assert(hd(hs(0).phash, hs(3).phash) > 8,
+      s"distinct image unexpectedly near: ${hd(hs(0).phash, hs(3).phash)} bits")
+    val pairs = Multimodal.phashNearDupPairs(
+        Multimodal.pHashes(spark, media).toDF(), maxDist = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("dHash: identical images collide, perturbed stay near, distinct far") {
     import spark.implicits._
     def png(f: (Int, Int) => Int): Array[Byte] = {
