@@ -2433,6 +2433,40 @@ object SparkEntry {
       graft.ops.Graph.shortestPaths(ed, src, rounds = 3).orderBy("node")
     }),
 
+    // Entity-resolution composite (catalog consolidation): plant typo
+    // twins of every 20th part name → sorted-neighborhood blocking →
+    // levenshtein ≤ 2 gate → connected components → one golden record
+    // per entity cluster (canonical = min id, its name, member count).
+    // The fixture catalog repeats names heavily, so identical rows chain
+    // through sorted adjacency and typo twins merge into their name's
+    // cluster — the catalog collapses to its distinct golden entities.
+    // Scale shape: blocking emits n·w candidates (never all-pairs), the
+    // gate is a narrow filter, clustering is the same pointer-jumping
+    // engine as text dedup.
+    "q_er_golden" -> ((s, d) => {
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").cast("long").alias("id"),
+          col("p_name").alias("name"))
+      val twins = base.filter(col("id") % 20 === 0)
+        .select((col("id") + 10000000L).alias("id"),
+          concat(expr("substring(name, 1, length(name) - 1)"), lit("x"))
+            .alias("name"))
+      val ent = base.unionByName(twins)
+      val pairs = ScaleDedup.sortedNeighborPairs(ent, "id",
+        lower(col("name")), window = 3)
+      val gated = pairs
+        .join(ent.select(col("id").alias("id1"), col("name").alias("n1")), "id1")
+        .join(ent.select(col("id").alias("id2"), col("name").alias("n2")), "id2")
+        .filter(levenshtein(col("n1"), col("n2")) <= 2)
+        .select("id1", "id2")
+      ScaleDedup.connectedComponents(ent.select("id"), gated)
+        .groupBy(col("label").alias("cluster"))
+        .agg(count(lit(1)).alias("n_members"))
+        .join(ent.select(col("id").alias("cluster"),
+          col("name").alias("canonical_name")), "cluster")
+        .orderBy("cluster")
+    }),
+
     // Inverted positional index (InvertedIndex.buildPostings): the
     // token-keyed posting-list pivot of the corpus — audit slice: the
     // 20 most selective tokens' postings with doc counts and positions.
@@ -4648,6 +4682,27 @@ object SparkEntry {
     "q_graph_bfs" -> bfsOracle,
 
     "q_graph_sssp" -> ssspOracle,
+
+    "q_er_golden" ->
+      ("WITH RECURSIVE ent AS (SELECT CAST(p_partkey AS BIGINT) AS id, " +
+        "p_name AS name FROM part " +
+        "UNION ALL SELECT p_partkey + 10000000 AS id, " +
+        "substr(p_name, 1, length(p_name) - 1) || 'x' AS name " +
+        "FROM part WHERE p_partkey % 20 = 0), " +
+        "r AS (SELECT id, name, row_number() OVER (ORDER BY lower(name), id) AS rk " +
+        "FROM ent), " +
+        "pairs AS (SELECT a.id AS id1, b.id AS id2 FROM r a " +
+        "JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3 " +
+        "WHERE levenshtein(a.name, b.name) <= 2), " +
+        "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs " +
+        "UNION ALL SELECT id2, id1 FROM pairs), " +
+        "cc AS (SELECT id, id AS label FROM ent " +
+        "UNION SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.id = e.src), " +
+        "lab AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id), " +
+        "g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members " +
+        "FROM lab GROUP BY 1) " +
+        "SELECT g.cluster, g.n_members, e.name AS canonical_name " +
+        "FROM g JOIN ent e ON e.id = g.cluster ORDER BY g.cluster"),
 
     "q_inverted_postings" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
