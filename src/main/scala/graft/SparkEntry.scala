@@ -2433,6 +2433,17 @@ object SparkEntry {
       graft.ops.Graph.shortestPaths(ed, src, rounds = 3).orderBy("node")
     }),
 
+    // Principal component of the embedding space
+    // (Similarity.pcaPowerIteration): one-pass DECIMAL covariance →
+    // 8 deterministic power-iteration rounds over the metadata-sized
+    // matrix table — the embedding-drift/structure audit (which
+    // direction dominates the corpus) without any vector leaving its
+    // partition twice.
+    "q_pca_top" -> ((s, d) =>
+      Similarity.pcaPowerIteration(Tables.embeddings(s, d), "embedding",
+          dim = 64, iters = 8)
+        .orderBy("dim_idx")),
+
     // Entity-resolution composite (catalog consolidation): plant typo
     // twins of every 20th part name → sorted-neighborhood blocking →
     // levenshtein ≤ 2 gate → connected components → one golden record
@@ -4683,6 +4694,8 @@ object SparkEntry {
 
     "q_graph_sssp" -> ssspOracle,
 
+    "q_pca_top" -> pcaOracle,
+
     "q_er_golden" ->
       ("WITH RECURSIVE ent AS (SELECT CAST(p_partkey AS BIGINT) AS id, " +
         "p_name AS name FROM part " +
@@ -4981,6 +4994,40 @@ object SparkEntry {
     }
     sb.setLength(sb.length - 2)
     sb ++= " SELECT node, dist FROM d3 ORDER BY node"
+    sb.toString
+  }
+
+  /** Mirror of q_pca_top (dim 64, 8 rounds): the same one-pass
+    * DECIMAL(28,14) covariance sums, the same uniform start (the literal
+    * is interpolated from the SAME Scala double the Spark side rounds
+    * to), and 8 unrolled matrix-vector rounds with per-round 9-dp
+    * normalization — the pagerank determinism pattern on a matrix. */
+  private def pcaOracle: String = {
+    val v0 = BigDecimal(1.0 / math.sqrt(64.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE len(embedding) = 64), "
+    sb ++= "nn AS (SELECT count(*) AS n FROM e), "
+    sb ++= "xx AS (SELECT i, j, " +
+      "sum(CAST(v[i + 1] * v[j + 1] AS DECIMAL(28,14))) AS sxx " +
+      "FROM e, unnest(generate_series(0, 63)) AS ui(i), " +
+      "unnest(generate_series(0, 63)) AS uj(j) GROUP BY 1, 2), "
+    sb ++= "mu AS (SELECT i, CAST(sum(CAST(v[i + 1] AS DECIMAL(28,14))) AS DOUBLE) AS si " +
+      "FROM e, unnest(generate_series(0, 63)) AS u(i) GROUP BY 1), "
+    sb ++= "cov AS (SELECT s.i, s.j, CAST(s.sxx AS DOUBLE) / nn.n - " +
+      "(a.si / nn.n) * (b.si / nn.n) AS c " +
+      "FROM xx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j CROSS JOIN nn), "
+    sb ++= s"v0 AS (SELECT i AS j, CAST($v0 AS DOUBLE) AS vj " +
+      "FROM (SELECT unnest(generate_series(0, 63)) AS i)), "
+    for (t <- 1 to 8) {
+      sb ++= s"w$t AS (SELECT cov.i, " +
+        s"CAST(sum(CAST(cov.c * v.vj AS DECIMAL(28,14))) AS DOUBLE) AS wi " +
+        s"FROM cov JOIN v${t - 1} v ON v.j = cov.j GROUP BY 1), "
+      sb ++= s"n$t AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,14))) AS DOUBLE)) AS nrm FROM w$t), "
+      sb ++= s"v$t AS (SELECT i AS j, round(wi / nrm, 9) AS vj FROM w$t CROSS JOIN n$t), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " SELECT j AS dim_idx, round(vj, 6) AS loading FROM v8 ORDER BY dim_idx"
     sb.toString
   }
 

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.SparkContext
+
+/** Lineage control for iterative plans.
+  *
+  * Every loop that feeds a DataFrame back into itself (label propagation,
+  * power iteration, Lloyd rounds) must truncate lineage each round, or the
+  * logical plan grows with the iteration count — and when a round
+  * references its predecessor TWICE (e.g. a normalize step that needs both
+  * the vector and its norm), growth is EXPONENTIAL: 20 rounds = 2^20
+  * copies of the upstream subplan, and the driver dies in the optimizer
+  * before a single task runs.
+  *
+  * Reliable `checkpoint` (not localCheckpoint) truncates lineage AND
+  * survives executor loss — on a long iterative job at 100 TB, losing one
+  * executor must not recompute (or, with localCheckpoint, permanently
+  * lose) the whole prefix. Reliable checkpoint needs a CLUSTER-VISIBLE
+  * dir: if none is configured, local mode defaults to `java.io.tmpdir`
+  * (driver fs == executor fs there) and reaps it at JVM exit; on a real
+  * cluster an unset dir falls back to `localCheckpoint` — lineage
+  * truncation without executor-loss resilience — rather than silently
+  * writing checkpoint files to per-node /tmp that can never be read back.
+  * Deployments wanting resilience set `sc.setCheckpointDir` to shared
+  * storage (and `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * to reap files). */
+object Iterate {
+
+  /** A lineage-truncating function for this SparkContext: reliable
+    * `checkpoint` when a checkpoint dir is available (configured, or
+    * defaultable in local mode), `localCheckpoint` otherwise. */
+  def checkpointer(sc: SparkContext): DataFrame => DataFrame = {
+    val reliable = sc.getCheckpointDir.nonEmpty || {
+      if (sc.isLocal) {
+        sc.setCheckpointDir(System.getProperty("java.io.tmpdir") + "/graft-ckpt")
+        // We own this default dir: reap this app's checkpoint subdir at JVM
+        // exit so repeated local runs don't accumulate unbounded in /tmp.
+        // (User-configured dirs are their owner's to manage.)
+        sc.getCheckpointDir.foreach { d =>
+          val p = java.nio.file.Paths.get(new java.net.URI(d).getPath)
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            scala.util.Try {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(p).iterator().asScala.toSeq
+                .sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_))
+            }))
+        }
+        true
+      } else false
+    }
+    df => if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
+
+  /** Whether `checkpointer(sc)` will produce reliable checkpoints (for
+    * callers that log or branch on the resilience mode). */
+  def isReliable(sc: SparkContext): Boolean =
+    sc.getCheckpointDir.nonEmpty || sc.isLocal
+}

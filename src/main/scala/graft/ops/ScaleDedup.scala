@@ -263,14 +263,8 @@ object ScaleDedup {
     * Throws if the fixpoint is not reached within `maxIter` (a silently
     * partial clustering is worse than a loud failure).
     *
-    * Checkpointing: reliable `checkpoint` requires a CLUSTER-VISIBLE dir.
-    * If none is configured, local mode defaults to `java.io.tmpdir` (driver
-    * fs == executor fs there); on a real cluster an unset dir falls back to
-    * `localCheckpoint` — lineage truncation without executor-loss
-    * resilience — rather than silently writing checkpoint files to
-    * per-node /tmp that can never be read back. Deployments wanting
-    * resilience set `sc.setCheckpointDir` to shared storage (and
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap files).
+    * Checkpointing mode (reliable vs local, dir defaulting): see
+    * [[Iterate.checkpointer]] — the shared policy for every iterative op.
     *
     * Driver round-trips: the filter-count fixpoint check runs every
     * `checkEvery` rounds (and on the last permitted round) instead of every
@@ -281,27 +275,8 @@ object ScaleDedup {
                           maxIter: Int = 20, checkEvery: Int = 2): DataFrame = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val sc = vertices.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.nonEmpty || {
-      if (sc.isLocal) {
-        sc.setCheckpointDir(System.getProperty("java.io.tmpdir") + "/graft-ckpt")
-        // We own this default dir: reap this app's checkpoint subdir at JVM
-        // exit so repeated local runs don't accumulate unbounded in /tmp.
-        // (User-configured dirs are their owner's to manage.)
-        sc.getCheckpointDir.foreach { d =>
-          val p = java.nio.file.Paths.get(new java.net.URI(d).getPath)
-          Runtime.getRuntime.addShutdownHook(new Thread(() =>
-            scala.util.Try {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(p).iterator().asScala.toSeq
-                .sortBy(-_.getNameCount)
-                .foreach(java.nio.file.Files.deleteIfExists(_))
-            }))
-        }
-        true
-      } else false
-    }
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val ckpt = Iterate.checkpointer(sc)
+    val reliable = Iterate.isReliable(sc)
     val idType = vertices.schema("id").dataType
     val sym = ckpt(edges.select(col("id1").alias("src"), col("id2").alias("dst"))
       .union(edges.select(col("id2").alias("src"), col("id1").alias("dst"))))

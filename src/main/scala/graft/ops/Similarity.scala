@@ -422,4 +422,80 @@ object Similarity {
     assigned.join(drops, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }
+
+  /** Empirical covariance of an embedding column as a (i, j, c) matrix
+    * table, computed in ONE corpus pass: C(i,j) = Σxᵢxⱼ/n − μᵢμⱼ, with
+    * both the cross-product and the mean sums accumulated as
+    * DECIMAL(28,14) (shuffle order cannot flip low bits — the
+    * `kmeansCentroids` determinism stance). Shape: each row expands to
+    * its dim² (i, j, xᵢxⱼ) terms, which partial-aggregate map-side down
+    * to dim² cells per task BEFORE the one shuffle — vectors never cross
+    * the wire, only the dim²-sized partial sums. The matrix table is
+    * metadata-sized (dim² rows) by construction. */
+  def covarianceMatrix(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 512, s"covarianceMatrix: bad dim $dim")
+    val base = emb.select(asDouble(col(vecCol)).alias("__v"))
+      .filter(size(col("__v")) === dim)
+    val n = base.count()
+    require(n > 0, "covarianceMatrix: empty corpus")
+    val sums = base
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(28,14)")).alias("__sxx"))
+    val mu = base
+      .select(posexplode(col("__v")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(col("xi").cast("decimal(28,14)")).cast("double").alias("__si"))
+    sums
+      .join(mu.select(col("i"), col("__si").alias("__sa")), "i")
+      .join(mu.select(col("i").alias("j"), col("__si").alias("__sb")), "j")
+      .select(col("i"), col("j"),
+        (col("__sxx").cast("double") / lit(n.toDouble) -
+          (col("__sa") / lit(n.toDouble)) * (col("__sb") / lit(n.toDouble)))
+          .alias("c"))
+  }
+
+  /** Principal component by power iteration over the covariance table:
+    * v ← round(Cv / ‖Cv‖, 9) for `iters` rounds from the uniform start
+    * 1/√dim (9-dp rounded so both engines share the literal). Every
+    * matrix-vector product is a join of the dim²-row matrix with the
+    * dim-row vector — metadata-sized work after the single covariance
+    * pass — with DECIMAL(28,14) contribution sums, so the whole
+    * iteration chain is reproducible bit-for-bit on any engine or
+    * partitioning (the `pagerank` determinism pattern). Fixed `iters`
+    * keeps the op a finite declarative plan; the sign of the result is
+    * itself deterministic because every engine runs the identical
+    * arithmetic from the identical start. Returns (dim_idx, loading),
+    * 6-dp. */
+  def pcaPowerIteration(emb: DataFrame, vecCol: String, dim: Int,
+                        iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"pcaPowerIteration: bad iters $iters")
+    val spark = emb.sparkSession
+    // Lineage control (Iterate.checkpointer): the covariance table is
+    // checkpointed ONCE — the corpus is scanned exactly once no matter how
+    // many rounds follow — and each round's matrix-vector product is
+    // checkpointed because the normalize step references it TWICE (the
+    // vector and its norm); without truncation the plan would double per
+    // round and kill the driver in the optimizer long before 8 rounds.
+    // Every checkpointed table is metadata-sized (dim² resp. dim rows).
+    val ckpt = Iterate.checkpointer(spark.sparkContext)
+    val cov = ckpt(covarianceMatrix(emb, vecCol, dim))
+    val v0 = BigDecimal(1.0 / math.sqrt(dim.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = spark.range(dim)
+      .select(col("id").cast("int").alias("j"), lit(v0).alias("vj"))
+    for (_ <- 1 to iters) {
+      val w = ckpt(cov.join(v, "j").groupBy("i")
+        .agg(sum((col("c") * col("vj")).cast("decimal(28,14)"))
+          .cast("double").alias("wi")))
+      val nrm = w.agg(
+        sqrt(sum((col("wi") * col("wi")).cast("decimal(28,14)"))
+          .cast("double")).alias("__nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").alias("j"),
+          round(col("wi") / col("__nrm"), 9).alias("vj"))
+    }
+    v.select(col("j").alias("dim_idx"), round(col("vj"), 6).alias("loading"))
+  }
 }

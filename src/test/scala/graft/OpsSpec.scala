@@ -989,6 +989,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(pushedLine.contains("token"), s"no token pushdown in: $planStr")
   }
 
+  test("pcaPowerIteration: recovers a planted dominant direction") {
+    // x = t·u + small orthogonal wiggle, u = normalize([1,2,3,4])
+    val u = {
+      val raw = Array(1.0, 2.0, 3.0, 4.0)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val ortho = {
+      // orthogonal to u: [2,-1,0,0]/√5
+      val raw = Array(2.0, -1.0, 0.0, 0.0)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val rows = (0 until 200).map { k =>
+      val t = (k % 21) - 10.0            // spread along u
+      val eps = ((k % 7) - 3.0) * 0.05   // tiny orthogonal noise
+      Tuple1(u.indices.map(i => (t * u(i) + eps * ortho(i)).toFloat).toArray)
+    }
+    val df = rows.toDF("embedding")
+    val v = Similarity.pcaPowerIteration(df, "embedding", dim = 4, iters = 12)
+      .orderBy("dim_idx").as[(Int, Double)].collect().map(_._2)
+    val align = math.abs(v.zip(u).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"principal direction off: ${v.toSeq} vs ${u.toSeq}")
+    // unit length (up to the 6-dp output rounding)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+  }
+
   test("fractionalRanks: average-of-positions ties, partition-count invariant") {
     val df = Seq(10.0, 20.0, 20.0, 30.0, 30.0, 30.0, 40.0).toDF("v")
     // positions: 10→1; 20,20→(2+3)/2=2.5; 30×3→(4+5+6)/2=5; 40→7
