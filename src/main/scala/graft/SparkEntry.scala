@@ -4507,8 +4507,8 @@ object SparkEntry {
         "CAST(coalesce(SUM(n - 1), 0) AS BIGINT) FROM " +
         "(SELECT count(*) AS n FROM orders GROUP BY o_orderkey) " +
         "UNION ALL SELECT 'ref_integrity(o_orderkey)', " +
-        "CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey NOT IN " +
-        "(SELECT l_orderkey FROM lineitem)) " +
+        "CAST(count(*) AS BIGINT) FROM orders o WHERE o_orderkey IS NOT NULL " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)) " +
         "SELECT c AS \"constraint\", v AS violations, v = 0 AS pass " +
         "FROM r ORDER BY 1"),
 

@@ -479,13 +479,19 @@ object Aggregates {
     * the rows by two value-keyed joins; the rank tables are
     * distinct-value-sized, the joins shuffle on the value keys. Ties get
     * average ranks, so this is the tie-corrected Spearman ρ. 6-dp
-    * rounded double, matching the corr conventions elsewhere. */
+    * rounded double, matching the corr conventions elsewhere.
+    * Ranks are computed over the PAIRWISE-COMPLETE rows (both columns
+    * non-null) — ranking each column over its own non-null multiset
+    * would diverge from the tie-corrected definition whenever one
+    * column is null where the other is not. */
   def spearmanCorr(df: DataFrame, c1: String, c2: String): DataFrame = {
-    val r1 = fractionalRanks(df, c1)
+    val complete = df.select(c1, c2)
+      .filter(col(c1).isNotNull && col(c2).isNotNull)
+    val r1 = fractionalRanks(complete, c1)
       .select(col("value").alias(c1), col("avg_rank").alias("__r1"))
-    val r2 = fractionalRanks(df, c2)
+    val r2 = fractionalRanks(complete, c2)
       .select(col("value").alias(c2), col("avg_rank").alias("__r2"))
-    df.select(c1, c2).filter(col(c1).isNotNull && col(c2).isNotNull)
+    complete
       .join(r1, c1).join(r2, c2)
       .agg(round(corr(col("__r1"), col("__r2")), 6).alias("spearman_rho"))
   }

@@ -45,12 +45,27 @@ object Cleaning {
     * not data-sized — so the single-partition rank window over it is a
     * deliberate, bounded cost (same stance as the broadcast vocab maps
     * elsewhere); the re-join onto the data broadcasts the dictionary.
+    * A high-cardinality column would funnel the whole distinct set
+    * through one window task and then OOM the broadcast, so the
+    * cardinality is checked first and the encode fails LOUDLY above
+    * `maxDict` (the stripBoilerplateLines / semDedup guard pattern)
+    * instead of degrading silently at scale.
     * Null encodes to null (left join), not to an id. */
-  def dictEncode(df: DataFrame, c: String,
-                 idCol: String): (DataFrame, DataFrame) = {
+  def dictEncode(df: DataFrame, c: String, idCol: String,
+                 maxDict: Int = 1000000): (DataFrame, DataFrame) = {
+    val distinctVals = df.select(col(c)).filter(col(c).isNotNull).distinct()
+    val guard = distinctVals.agg(count(lit(1)).alias("__dict_n"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
-    val dict = df.select(col(c)).filter(col(c).isNotNull).distinct()
-      .withColumn(idCol, row_number().over(w).cast("long"))
+    // The guard count is folded INTO the id expression (not a dropped
+    // side column) so column pruning cannot optimize the check away.
+    val dict = distinctVals.crossJoin(broadcast(guard))
+      .withColumn(idCol,
+        when(col("__dict_n") > maxDict,
+          raise_error(lit(s"dictEncode($c): distinct cardinality exceeds " +
+            s"maxDict=$maxDict — this column is not vocabulary-sized; " +
+            "use a hash/zorder key or raise maxDict deliberately")))
+          .otherwise(row_number().over(w)).cast("long"))
+      .drop("__dict_n")
     val encoded = df.join(broadcast(dict), Seq(c), "left")
     (encoded, dict)
   }

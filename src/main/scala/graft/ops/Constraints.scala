@@ -69,8 +69,13 @@ object Constraints {
         .agg(coalesce(sum(col("__n") - 1), lit(0L)).alias("violations"))
         .select(lit(c.name).alias("constraint"), col("violations"))
     }
+    // NULL foreign keys are NOT violations (ANSI referential-integrity
+    // semantics: a null FK references nothing). They're filtered out
+    // before the anti-join so Spark and any NOT-EXISTS oracle agree even
+    // when the dim key column contains nulls — a NOT IN formulation
+    // would silently collapse to zero violations in that case.
     val fks = checks.collect { case c: RefIntegrity =>
-      df.select(col(c.c))
+      df.select(col(c.c)).filter(col(c.c).isNotNull)
         .join(c.dim.select(col(c.dimKey).alias(c.c)).distinct(), Seq(c.c), "left_anti")
         .agg(count(lit(1)).alias("violations"))
         .select(lit(c.name).alias("constraint"), col("violations"))

@@ -75,8 +75,8 @@ object Joins {
   def bandJoin(left: DataFrame, right: DataFrame, leftOn: String,
                rightOn: String, band: Long): DataFrame = {
     require(band > 0, s"bandJoin: need band > 0, got $band")
-    val lb = left.withColumn("__band", floor(col(leftOn) / band))
-    val rBucket = floor(col(rightOn) / band)
+    val lb = left.withColumn("__band", floorDivExact(col(leftOn), band))
+    val rBucket = floorDivExact(col(rightOn), band)
     val rb = right.withColumn("__band",
       explode(array(rBucket - 1, rBucket, rBucket + 1)))
     lb.join(rb, "__band")
@@ -104,13 +104,13 @@ object Joins {
                           rStart: String, rEnd: String,
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"intervalOverlapJoin: need bucketWidth > 0, got $bucketWidth")
-    val w = lit(bucketWidth)
-    def buckets(s: Column, e: Column): Column = sequence(floor(s / w), floor(e / w))
+    def buckets(s: Column, e: Column): Column =
+      sequence(floorDivExact(s, bucketWidth), floorDivExact(e, bucketWidth))
     val lb = left.withColumn("__ib", explode(buckets(col(lStart), col(lEnd))))
     val rb = right.withColumn("__ib", explode(buckets(col(rStart), col(rEnd))))
     lb.join(rb, "__ib")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-        col("__ib") === floor(greatest(col(lStart), col(rStart)) / w))
+        col("__ib") === floorDivExact(greatest(col(lStart), col(rStart)), bucketWidth))
       .drop("__ib")
   }
 
@@ -185,4 +185,16 @@ object Joins {
       .select(keys.map(col) ++ carry.map(col) ++
         payload.map(p => col("__p").getField(p).alias(p)): _*)
   }
+
+  /** Exact floor-division for 64-bit bucket keys. Spark evaluates `/` on
+    * longs as DOUBLE division, so `floor(key / width)` can round to the
+    * wrong bucket once |key| passes 2^53 and silently drop true pairs.
+    * Subtracting the non-negative `pmod` first makes the dividend exactly
+    * divisible, and doing that subtraction and the division in
+    * DECIMAL(38,0) keeps every intermediate exact for the full long
+    * range (including Long.MinValue, where a long-typed subtraction
+    * would underflow). Still codegen'd arithmetic — no UDF. */
+  private def floorDivExact(a: Column, b: Long): Column =
+    ((a.cast("decimal(38,0)") - pmod(a, lit(b)).cast("decimal(38,0)")) /
+      lit(b).cast("decimal(19,0)")).cast("long")
 }

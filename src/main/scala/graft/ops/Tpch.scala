@@ -369,9 +369,12 @@ object Tpch {
       .join(Tables.part(s, d).filter(col("p_brand") === "Brand#3" && col("p_size") < 10)
         .select("p_partkey"), col("l_partkey") === col("p_partkey"))
       .select("p_partkey", "l_quantity", "l_extendedprice")
+    // avgQ is a PER-PART aggregate — it grows with scale factor, so the
+    // join strategy is left to Catalyst/AQE (module policy: only
+    // fixed-cardinality dims get explicit broadcast hints).
     val avgQ = li.groupBy(col("p_partkey").alias("__pk"))
       .agg((dsum(col("l_quantity")) / count(lit(1))).alias("__avg"))
-    li.join(broadcast(avgQ), col("p_partkey") === col("__pk"))
+    li.join(avgQ, col("p_partkey") === col("__pk"))
       .filter(col("l_quantity") < lit(0.2) * col("__avg"))
       .agg(round(dsum(col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
   }
@@ -614,8 +617,8 @@ object Tpch {
     "q_tpch12" ->
       ("SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY THEN 'LATE' ELSE 'ONTIME' END " +
         "AS ship_bucket, " +
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, " +
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
         "GROUP BY 1 ORDER BY 1"),

@@ -35,9 +35,22 @@ class ConstraintsSpec extends AnyFunSuite with SparkSpec
     assert(got === Seq(
       ("in_range(amount,0.0,100.0)", 2L, false),   // -5 and 999
       ("not_null(id)", 1L, false),
-      ("ref_integrity(id)", 2L, false),            // null id + id=2
+      // id=2 dangles; the NULL id is NOT an FK violation (ANSI
+      // semantics — it's NotNull's job) and must not be counted.
+      ("ref_integrity(id)", 1L, false),
       ("satisfies(status_ok)", 1L, false),
       ("unique(id)", 1L, false)))                  // one extra row of id=1
+  }
+
+  test("ref integrity ignores null FKs even when the dim key has nulls") {
+    import spark.implicits._
+    // A NULL in the dim key column made the previous NOT-IN-shaped
+    // semantics collapse to zero violations for every row; the anti-join
+    // with null FKs filtered must still count the dangling key.
+    val dim = Seq(Some(1L), None).toDF("k")
+    val got = report(dirty, Seq(RefIntegrity("id", dim, "k")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("ref_integrity(id)", 1L)))
   }
 
   test("clean data passes every check") {

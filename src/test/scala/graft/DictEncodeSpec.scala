@@ -26,4 +26,18 @@ class DictEncodeSpec extends AnyFunSuite with SparkSpec {
     val nullRows = enc.filter(col("v").isNull).select("vid").collect()
     assert(nullRows.length === 1 && nullRows.head.isNullAt(0))
   }
+
+  test("maxDict guard fails loudly on a high-cardinality column") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => s"v$i").toDF("v")
+    val (enc, _) = Cleaning.dictEncode(df, "v", "vid", maxDict = 10)
+    val err = intercept[Exception] { enc.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("dictEncode(v)")),
+      s"expected the maxDict raise_error, got: $err")
+    // At or under the cap the same data encodes fine.
+    val (ok, dict) = Cleaning.dictEncode(df, "v", "vid", maxDict = 100)
+    assert(ok.count() === 100 && dict.count() === 100)
+  }
 }

@@ -264,6 +264,89 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("merge sink recovers from a crash inside the rename-pair swap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-crashswap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crashswap-ckpt").toString
+    try {
+      val input = MemoryStream[(String, Double)]
+      input.addData(("a", 1.0), ("b", 2.0))
+      val q1 = EventsStream.startUpsertSink(
+        input.toDF().toDF("k", "v"), dir + "/t", ckpt, Seq("k"))
+      q1.processAllAvailable(); q1.stop()
+
+      // Simulate a crash BETWEEN the two swap renames: the target has
+      // been moved aside to __old but the new table never made it in,
+      // and an orphan __tmp from the dead batch is still on disk.
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(dir + "/t"),
+        new org.apache.hadoop.fs.Path(dir + "/t__old")))
+      Seq(("zz", -1.0)).toDF("k", "v").write.parquet(dir + "/t__tmp")
+
+      // Restart from the same checkpoint with a new batch: the repair
+      // step must restore __old as the live target BEFORE merging, so
+      // batch 2 folds into the pre-crash state, not an empty table.
+      input.addData(("b", 20.0), ("c", 3.0))
+      val q2 = EventsStream.startUpsertSink(
+        input.toDF().toDF("k", "v"), dir + "/t", ckpt, Seq("k"))
+      q2.processAllAvailable(); q2.stop()
+
+      val fin = spark.read.parquet(dir + "/t")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(fin === Set(("a", 1.0), ("b", 20.0), ("c", 3.0)))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/t__old")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/t__tmp")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("upsert sink replays an uncommitted batch without duplicating rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
+    try {
+      val input = MemoryStream[(String, Double)]
+      input.addData(("a", 1.0), ("b", 2.0))
+      val q1 = EventsStream.startUpsertSink(
+        input.toDF().toDF("k", "v"), dir + "/t", ckpt, Seq("k"))
+      q1.processAllAvailable(); q1.stop()
+
+      // Simulate a crash AFTER the merge landed but BEFORE the
+      // checkpoint persisted: lose the checkpoint wholesale, so the
+      // restarted query re-delivers the already-applied batch —
+      // exactly the at-least-once window foreachBatch exposes. The
+      // upsert merge must converge, not append duplicates.
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+
+      val q2 = EventsStream.startUpsertSink(
+        input.toDF().toDF("k", "v"), dir + "/t", ckpt, Seq("k"))
+      q2.processAllAvailable(); q2.stop()
+
+      val rows = spark.read.parquet(dir + "/t")
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(rows.length === 2, s"replayed batch duplicated rows: ${rows.toSeq}")
+      assert(rows.toSet === Set(("a", 1.0), ("b", 2.0)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("streaming SCD2 sink versions attribute changes across micro-batches") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
