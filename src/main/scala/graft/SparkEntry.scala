@@ -1047,9 +1047,14 @@ object SparkEntry {
         uniqIds.select(col("doc_id").alias("id")), verified)
       val canon = labels.filter(col("label") === col("id"))
         .select(col("id").alias("doc_id"))
-      uniq.join(canon, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
+      // Token counts are computed BEFORE the canonical semi-join so the
+      // join shuffles (doc_id, n_tokens) — 16 bytes/row — rather than
+      // the surviving text (canon grows with the corpus, so it can't be
+      // assumed broadcastable; PlanAuditSpec pins text out of every
+      // hash exchange here).
+      uniq.select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"))
+        .join(canon, Seq("doc_id"), "left_semi")
         .orderBy("doc_id")
     }),
 

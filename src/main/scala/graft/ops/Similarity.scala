@@ -428,21 +428,32 @@ object Similarity {
     * both the cross-product and the mean sums accumulated as
     * DECIMAL(28,14) (shuffle order cannot flip low bits — the
     * `kmeansCentroids` determinism stance). Shape: each row expands to
-    * its dim² (i, j, xᵢxⱼ) terms, which partial-aggregate map-side down
-    * to dim² cells per task BEFORE the one shuffle — vectors never cross
-    * the wire, only the dim²-sized partial sums. The matrix table is
-    * metadata-sized (dim² rows) by construction. */
+    * its dim·(dim+1)/2 UPPER-TRIANGLE (i ≤ j) terms — the matrix is
+    * symmetric, so the lower triangle is mirrored from the aggregated
+    * dim²-sized table instead of being generated per row (halves the
+    * fan-out, the dominant cost) — which partial-aggregate map-side down
+    * to triangle-count cells per task BEFORE the one shuffle — vectors
+    * never cross the wire, only the dim²-sized partial sums. The matrix
+    * table is metadata-sized (dim² rows) by construction. */
   def covarianceMatrix(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 512, s"covarianceMatrix: bad dim $dim")
     val base = emb.select(asDouble(col(vecCol)).alias("__v"))
       .filter(size(col("__v")) === dim)
     val n = base.count()
     require(n > 0, "covarianceMatrix: empty corpus")
-    val sums = base
+    val upper = base
       .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      // slice is 1-based: element i (0-based) starts the j >= i tail
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("__v"), col("i") + 1, lit(dim) - col("i")))
+          .as(Seq("j0", "xj")))
+      .select(col("i"), (col("i") + col("j0")).alias("j"),
+        col("xi"), col("xj"))
       .groupBy("i", "j")
       .agg(sum((col("xi") * col("xj")).cast("decimal(28,14)")).alias("__sxx"))
+    val sums = upper.unionByName(
+      upper.filter(col("i") < col("j"))
+        .select(col("j").alias("i"), col("i").alias("j"), col("__sxx")))
     val mu = base
       .select(posexplode(col("__v")).as(Seq("i", "xi")))
       .groupBy("i")

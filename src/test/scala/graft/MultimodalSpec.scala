@@ -202,4 +202,75 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(canon == Set(1L, 4L), s"image dedup survivors were $canon")
   }
+
+  test("measured image near-dup recall: dHash vs pHash over a perturbation ladder") {
+    import spark.implicits._
+    // The image twin of q_ann_recall / q_dedup_recall: 30 distinct base
+    // images, each with three perturbed variants (uniform 0.8×
+    // brightness; sparse pixel noise; a local 8×8 patch edit), scored
+    // against the SAME-BASE ground truth. Quantifies what each hash's
+    // banded pairing actually recovers instead of asserting single
+    // handpicked examples.
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) im.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Double) = {
+      val c = math.max(0, math.min(255, v.toInt)); (c << 16) | (c << 8) | c
+    }
+    val nBase = 30
+    // smooth per-base textures (spread-spectrum blobs, parameters keyed
+    // on the base id) — high-frequency noise textures would make every
+    // hash trivially fragile and the ladder meaningless
+    def blob(b: Int)(x: Int, y: Int): Double =
+      128.0 + 55.0 * math.sin((x + b * 3) / (4.0 + b % 5)) *
+        math.cos((y + b * 7) / (5.0 + b % 4)) +
+        35.0 * math.sin((x + 2.0 * y + b * 11) / (9.0 + b % 6))
+    val records = (0 until nBase).flatMap { b =>
+      val base = blob(b) _
+      Seq(
+        Multimodal.MediaRecord(b.toLong, "image",
+          png((x, y) => gray(base(x, y))), "image/png", b.toLong),
+        Multimodal.MediaRecord(b + 1000L, "image",
+          png((x, y) => gray(base(x, y) * 0.8)), "image/png", b + 1000L),
+        Multimodal.MediaRecord(b + 2000L, "image",
+          png((x, y) => gray(base(x, y) +
+            (if ((x * 31 + y * 7 + b) % 97 == 0) 25 else 0))),
+          "image/png", b + 2000L),
+        Multimodal.MediaRecord(b + 3000L, "image",
+          png((x, y) => gray(base(x, y) +
+            (if (x >= 8 && x < 16 && y >= 8 && y < 16) 20 else 0))),
+          "image/png", b + 3000L))
+    }
+    val media = records.toDS()
+    def score(pairs: Set[(Long, Long)]): (Double, Double) = {
+      val truePairs = (0 until nBase).flatMap { b =>
+        val ids = Seq(b.toLong, b + 1000L, b + 2000L, b + 3000L)
+        for (i <- ids; j <- ids if i < j) yield (i, j)
+      }.toSet
+      val hit = pairs.intersect(truePairs)
+      (hit.size.toDouble / truePairs.size,
+        if (pairs.isEmpty) 1.0 else hit.size.toDouble / pairs.size)
+    }
+    val dPairs = Multimodal.dhashNearDupPairs(
+        Multimodal.dHashes(spark, media).toDF(), maxDist = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val pPairs = Multimodal.phashNearDupPairs(
+        Multimodal.pHashes(spark, media).toDF(), maxDist = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val (dRec, dPrec) = score(dPairs)
+    val (pRec, pPrec) = score(pPairs)
+    info(f"dHash recall=$dRec%.2f precision=$dPrec%.2f (${dPairs.size} pairs)")
+    info(f"pHash recall=$pRec%.2f precision=$pPrec%.2f (${pPairs.size} pairs)")
+    // floors, not exact pins: the measurement is the artifact, the
+    // floors catch a hash or banding regression
+    assert(dRec >= 0.6, f"dHash recall collapsed: $dRec%.2f")
+    assert(pRec >= 0.6, f"pHash recall collapsed: $pRec%.2f")
+    assert(dPrec >= 0.9, f"dHash precision collapsed: $dPrec%.2f")
+    assert(pPrec >= 0.9, f"pHash precision collapsed: $pPrec%.2f")
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate for the most expensive non-TPC-H queries
+  * (TpchSpec covers the suite): the properties that make each one viable
+  * at 100 TB — no nested-loop/cartesian fallbacks, document text staying
+  * out of every shuffle, map-side WindowGroupLimit on top-k paths,
+  * broadcast dims — asserted against the EXECUTED (post-AQE) plan, so a
+  * change that keeps values right but wrecks the scale plan fails
+  * `sbt test` instead of waiting for a bench delta. */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec
+    with AdaptiveSparkPlanHelper {
+
+  private def executedPlan(df: DataFrame) = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+
+  private def run(name: String) =
+    executedPlan(SparkEntry.queries(name)(spark, sf0))
+
+  /** No BroadcastNestedLoopJoin with a non-trivial (non-single-row)
+    * stream side and no CartesianProduct: the silent O(n·m) fallbacks.
+    * Broadcast-scalar crossJoins (one-row thresholds/vocab artifacts)
+    * are the documented exception — they pass because the BUILD side is
+    * one row, which planwise is still a BroadcastNestedLoopJoin, so the
+    * assertion here is only on CartesianProduct plus nested loops whose
+    * build side is a multi-row plan. */
+  private def assertNoQuadraticJoin(name: String): Unit = {
+    val plan = run(name)
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"$name plans a CartesianProduct:\n$plan")
+  }
+
+  /** The document text column must never be a COMPUTATION shuffle
+    * payload: every near-dup/prep operator is designed so only
+    * fingerprints, band keys, token hashes, and ids cross the wire.
+    * The final range exchange that globally sorts the RESULT rows for
+    * the deterministic oracle compare legitimately carries the
+    * surviving text, so only hash-partitioned exchanges are audited. */
+  private def assertTextNeverShuffles(name: String): Unit = {
+    val plan = run(name)
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty, s"$name: expected at least one exchange")
+    val leaky = shuffles.filter(s =>
+      s.outputPartitioning.toString.contains("hashpartitioning") &&
+        s.output.exists(_.name == "text"))
+    assert(leaky.isEmpty,
+      s"$name shuffles the text column:\n${leaky.headOption.getOrElse("")}")
+  }
+
+  test("q_semdedup: within-cell pairing is an equi-join, never all-pairs") {
+    assertNoQuadraticJoin("q_semdedup")
+  }
+
+  test("q_llm_prep_fuzzy: full fuzzy-dedup flagship keeps text out of every shuffle") {
+    assertTextNeverShuffles("q_llm_prep_fuzzy")
+    assertNoQuadraticJoin("q_llm_prep_fuzzy")
+  }
+
+  test("q_span_dedup: span dedup shuffles gram hashes, not text") {
+    assertTextNeverShuffles("q_span_dedup")
+  }
+
+  test("q_bm25_topk: per-query top-k plans a map-side WindowGroupLimit") {
+    val plan = run("q_bm25_topk")
+    val wgl = collectWithSubqueries(plan) { case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, s"q_bm25_topk lost its WindowGroupLimit:\n$plan")
+    assertTextNeverShuffles("q_bm25_topk")
+  }
+
+  test("q_ann_batch: broadcast probe set + map-side WindowGroupLimit") {
+    val plan = run("q_ann_batch")
+    val wgl = collectWithSubqueries(plan) { case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, s"q_ann_batch lost its WindowGroupLimit:\n$plan")
+  }
+
+  test("q_dedup_clusters: pointer jumping joins stay hash/broadcast, no cartesian") {
+    assertNoQuadraticJoin("q_dedup_clusters")
+  }
+
+  test("headliner q_pivot_ratings: single-shuffle conditional agg + broadcast join-back") {
+    val plan = run("q_pivot_ratings")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"pivot join-back no longer broadcasts:\n$plan")
+  }
+
+  test("headliner q_dedup_keep_first: keep-first dedup is one hash exchange") {
+    val plan = run("q_dedup_keep_first")
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    val hash = shuffles.filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hash.size <= 1,
+      s"q_dedup_keep_first grew extra hash exchanges (${hash.size}):\n$plan")
+  }
+
+  test("headliner q_minhash_pairs: LSH banding never shuffles text") {
+    assertTextNeverShuffles("q_minhash_pairs")
+  }
+
+  test("headliner q_text_quality: quality scoring is scan-local (no text shuffle)") {
+    val plan = run("q_text_quality")
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    val leaky = shuffles.filter(_.output.exists(_.name == "text"))
+    assert(leaky.isEmpty, s"q_text_quality shuffles text:\n$plan")
+  }
+}
