@@ -2759,6 +2759,59 @@ object SparkEntry {
     "q_collocations" -> ((s, d) =>
       graft.ops.TextAnalysis.collocations(Tables.documents(s, d), "text",
         minCount = 5L, topN = 50)),
+
+    // Count-min sketch (ops/CountMin): depth-3 × width-64 counts table
+    // over the lineitem supplier stream, probed for the 20 heaviest
+    // items beside their exact counts — the bounded-memory point-
+    // frequency sketch (one-sided: est >= exact, visible in the
+    // overcount column because width < distinct items here). The oracle
+    // rebuilds the identical sketch from the shared md5 hash family.
+    "q_cms_freq" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_suppkey").cast("string").alias("item"))
+      val sketch = graft.ops.CountMin.cmsBuild(items, "item", depth = 3, width = 64)
+      val exact = items.groupBy("item").agg(count(lit(1)).alias("exact_cnt"))
+      val probes = exact.orderBy(col("exact_cnt").desc, col("item").asc).limit(20)
+      graft.ops.CountMin.cmsEstimate(sketch, probes.select("item"), "item",
+          depth = 3, width = 64)
+        .join(probes, "item")
+        .select(col("item"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).alias("overcount"))
+        .orderBy("item")
+    }),
+
+    // Corpus vocabulary drift (TextAnalysis.klDrift): smoothed
+    // KL(even-docs ‖ odd-docs) over unigram distributions — the text
+    // twin of q_psi_drift's numeric monitor.
+    "q_kl_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis.klDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
+    // First/last-touch attribution (Sessionize.attribution): every
+    // purchase attributed to the first and most recent strictly-
+    // preceding non-purchase event type in the user's history; one
+    // window, no self-join.
+    "q_attribution" -> ((s, d) =>
+      graft.ops.Sessionize.attribution(Tables.events(s, d), "user_id",
+          "ts", "event_id", "event_type", conversionType = "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("first_touch"), col("last_touch"))
+        .orderBy("user_id", "event_id")),
+
+    // Two-proportion z-test (Aggregates.twoProportionZ): did odd users
+    // (treatment) reach a purchase at a different rate than even users
+    // (control)? Per-user conversion flags from one groupBy, then the
+    // one-row pooled-variance readout.
+    "q_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .alias("conv"))
+      graft.ops.Aggregates.twoProportionZ(perUser,
+        col("user_id") % 2 === 1, col("conv") === 1)
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4960,6 +5013,76 @@ object SparkEntry {
         "FROM cb JOIN cuc a ON cb.w1 = a.t JOIN cuc b ON cb.w2 = b.t " +
         "CROSS JOIN tot WHERE cb.pair_count >= 5 " +
         "ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50"),
+
+    // Rebuilds the identical d=3 × w=64 count-min sketch from the shared
+    // md5 hash family, probes the same top-20 items.
+    "q_cms_freq" ->
+      ("WITH it AS (SELECT l_suppkey::VARCHAR AS item FROM lineitem), " +
+        "dd AS (SELECT * FROM (VALUES (0), (1), (2)) t(d)), " +
+        "hx AS (SELECT item, d, CAST(('0x' || substr(md5(item || '#' || " +
+        "d::VARCHAR), 1, 8))::BIGINT % 64 AS INT) AS b FROM it CROSS JOIN dd), " +
+        "sk AS (SELECT d, b, count(*) AS cnt FROM hx GROUP BY 1, 2), " +
+        "ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt FROM it GROUP BY 1), " +
+        "top AS (SELECT item, exact_cnt FROM ex " +
+        "ORDER BY exact_cnt DESC, item LIMIT 20), " +
+        "pb AS (SELECT t.item, t.exact_cnt, dd.d, " +
+        "CAST(('0x' || substr(md5(t.item || '#' || dd.d::VARCHAR), 1, 8))::BIGINT % 64 AS INT) AS b " +
+        "FROM top t CROSS JOIN dd) " +
+        "SELECT pb.item, pb.exact_cnt, " +
+        "CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_est, " +
+        "CAST(min(coalesce(sk.cnt, 0)) - pb.exact_cnt AS BIGINT) AS overcount " +
+        "FROM pb LEFT JOIN sk ON pb.d = sk.d AND pb.b = sk.b " +
+        "GROUP BY 1, 2 ORDER BY 1"),
+
+    // Same Laplace-smoothed unigram KL with the same DECIMAL term sums.
+    "q_kl_drift" ->
+      ("WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "tb AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "ca AS (SELECT token, count(*) AS ca FROM ta WHERE token <> '' GROUP BY 1), " +
+        "cb AS (SELECT token, count(*) AS cb FROM tb WHERE token <> '' GROUP BY 1), " +
+        "j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb " +
+        "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), " +
+        "t AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM j), " +
+        "p AS (SELECT (ca + 1.0) / (t.ta + t.v) AS pa, " +
+        "(cb + 1.0) / (t.tb + t.v) AS pb FROM j CROSS JOIN t) " +
+        "SELECT round(CAST(sum(CAST(pa * ln(pa / pb) AS DECIMAL(28,14))) " +
+        "AS DOUBLE), 6) AS kl_ab, CAST(count(*) AS BIGINT) AS vocab FROM p"),
+
+    // Same strictly-preceding frame with IGNORE NULLS on both engines.
+    "q_attribution" ->
+      ("WITH w AS (SELECT user_id, event_id, event_type, " +
+        "first_value(CASE WHEN event_type <> 'purchase' THEN event_type END " +
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END " +
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch " +
+        "FROM events) " +
+        "SELECT user_id, event_id, first_touch, last_touch FROM w " +
+        "WHERE event_type = 'purchase' ORDER BY user_id, event_id"),
+
+    // Same pooled-variance statistic, identical parenthesization.
+    "q_ab_test" ->
+      ("WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), " +
+        "c AS (SELECT " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_a, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_b " +
+        "FROM u) " +
+        "SELECT n_a, x_a, n_b, x_b, " +
+        "round(x_a::DOUBLE / n_a::DOUBLE, 6) AS rate_a, " +
+        "round(x_b::DOUBLE / n_b::DOUBLE, 6) AS rate_b, " +
+        "round(CASE WHEN sqrt(((x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)) * " +
+        "(1.0 - (x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)) * " +
+        "(1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) > 0 THEN " +
+        "(x_b::DOUBLE / n_b::DOUBLE - x_a::DOUBLE / n_a::DOUBLE) / " +
+        "sqrt(((x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)) * " +
+        "(1.0 - (x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)) * " +
+        "(1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) END, 6) AS z FROM c"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

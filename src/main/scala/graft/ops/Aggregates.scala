@@ -549,4 +549,28 @@ object Aggregates {
       .groupBy(groups.map(col): _*)
       .agg(graft.functions.BottomKSketch.bottom_k_sketch(col("__h"), k)
         .alias(skCol))
+
+  /** Two-proportion z-test — the A/B experiment readout (did the
+    * treatment slice convert at a different rate than control?). One
+    * aggregation pass carrying four conditional counters; the pooled-
+    * variance statistic is assembled with fixed parenthesization, all
+    * divisions on explicit doubles, and 6-dp rounding, so both engines
+    * evaluate the identical IEEE expression (the chiSquare stance).
+    * Degenerate inputs (an empty side, pooled rate 0 or 1) yield NULL z
+    * rather than ±Inf. */
+  def twoProportionZ(df: DataFrame, groupB: Column, success: Column): DataFrame = {
+    val counts = df.agg(
+      sum(when(!groupB, 1L).otherwise(0L)).alias("n_a"),
+      sum(when(!groupB && success, 1L).otherwise(0L)).alias("x_a"),
+      sum(when(groupB, 1L).otherwise(0L)).alias("n_b"),
+      sum(when(groupB && success, 1L).otherwise(0L)).alias("x_b"))
+    val na = col("n_a").cast("double"); val xa = col("x_a").cast("double")
+    val nb = col("n_b").cast("double"); val xb = col("x_b").cast("double")
+    val pooled = (xa + xb) / (na + nb)
+    val se = sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb))
+    counts.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(xa / na, 6).alias("rate_a"),
+      round(xb / nb, 6).alias("rate_b"),
+      round(when(se > 0, (xb / nb - xa / na) / se), 6).alias("z"))
+  }
 }

@@ -256,4 +256,29 @@ object Sessionize {
             ((unix_micros(col("__gts")) - col("__pt")) / (col("__nt") - col("__pt")))),
           6).alias(valCol))
   }
+
+  /** First/last-touch attribution: for every conversion event, the first
+    * and the most recent PRECEDING touch event type in the same key's
+    * history (the marketing-attribution join, also the "what led to this
+    * error" ops query). One window over one (key)-shuffled sort — the
+    * touch history is never self-joined; conversions with no preceding
+    * touch attribute to NULL (organic).
+    *
+    * Determinism: ordering ties broken by `tieCol`; touch events AT the
+    * conversion timestamp are excluded by frame construction (rows
+    * strictly before), matching the "touch must precede conversion"
+    * definition exactly on both engines. */
+  def attribution(df: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, typeCol: String,
+                  conversionType: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= conversionType, col(typeCol))
+    df.withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(col(keyCol), col(tieCol), col(tsCol),
+        col("__first").alias("first_touch"), col("__last").alias("last_touch"))
+  }
 }

@@ -590,4 +590,33 @@ object TextAnalysis {
   /** 32-bit numeric form of the fingerprint (hex prefix → long). */
   def fingerprint32(text: Column): Column =
     conv(substring(fingerprint(text), 1, 8), 16, 10).cast("long")
+
+  /** Smoothed KL divergence KL(A‖B) between two corpus slices' unigram
+    * token distributions — the text twin of [[Aggregates.psiDrift]]'s
+    * numeric drift monitor (did this week's crawl shift vocabulary
+    * against the reference corpus?). Add-1 (Laplace) smoothing over the
+    * UNION vocabulary keeps every term finite; KL is asymmetric by
+    * definition (A = candidate, B = reference).
+    *
+    * Scale shape: each side reduces to one token-count aggregation
+    * (vocab-sized, Heaps-law-small), one full-outer vocab join, and a
+    * broadcast totals row; the corpus text never shuffles. Terms are
+    * truncated to DECIMAL(28,14) before the final sum (the psiDrift
+    * determinism stance) so partitioning cannot flip low bits. */
+  def klDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias(side))
+    val j = counts(a, "__ca").join(counts(b, "__cb"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val totals = j.agg(sum("__ca").alias("__ta"), sum("__cb").alias("__tb"),
+      count(lit(1)).alias("__v"))
+    j.crossJoin(broadcast(totals))
+      .withColumn("__pa", (col("__ca") + lit(1.0)) / (col("__ta") + col("__v")))
+      .withColumn("__pb", (col("__cb") + lit(1.0)) / (col("__tb") + col("__v")))
+      .withColumn("__term", col("__pa") * log(col("__pa") / col("__pb")))
+      .agg(round(sum(col("__term").cast("decimal(28,14)")).cast("double"), 6)
+        .alias("kl_ab"), count(lit(1)).alias("vocab"))
+  }
 }
