@@ -2812,6 +2812,41 @@ object SparkEntry {
       graft.ops.Aggregates.twoProportionZ(perUser,
         col("user_id") % 2 === 1, col("conv") === 1)
     }),
+
+    // Sample autocorrelation of the daily order-count series, lags 1–7
+    // (weekly structure shows as a lag-7 spike). The table reduces to a
+    // calendar-bounded series before the one ordered window.
+    "q_acf" -> ((s, d) =>
+      graft.ops.Stats.autocorrelation(Tables.orders(s, d),
+        to_date(col("o_orderdate")), maxLag = 7)),
+
+    // Mann-Whitney rank-sum test (Stats.mannWhitneyU): do odd users'
+    // event values stochastically dominate even users'? Tie-corrected
+    // normal approximation, ranks from the distributed per-value
+    // cumulative — the nonparametric twin of q_ab_test.
+    "q_mannwhitney" -> ((s, d) =>
+      graft.ops.Stats.mannWhitneyU(Tables.events(s, d),
+        col("user_id") % 2 === 1, "value")),
+
+    // Benford first-digit audit of the extended-price column: observed
+    // vs log10(1+1/d) share with per-digit chi-square contributions.
+    "q_benford" -> ((s, d) =>
+      graft.ops.Stats.benfordDigits(Tables.lineitem(s, d), "l_extendedprice")),
+
+    // Gini coefficient of per-customer revenue concentration via the
+    // rank-sum identity over the fractional-ranks count table.
+    "q_gini" -> ((s, d) => {
+      val rev = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(graft.ops.Aggregates.exactSum(col("o_totalprice"), 2).alias("rev"))
+      graft.ops.Stats.giniCoefficient(rev, "rev")
+    }),
+
+    // Shannon-entropy column profile beside the null/distinct profiles:
+    // bits per column over four lineitem columns of very different
+    // cardinality (flag ≈ 1.5 bits, suppkey ≈ log2 n).
+    "q_entropy_profile" -> ((s, d) =>
+      graft.ops.Stats.entropyProfile(Tables.lineitem(s, d),
+        Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_quantity"))),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5083,6 +5118,99 @@ object SparkEntry {
         "sqrt(((x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)) * " +
         "(1.0 - (x_a::DOUBLE + x_b::DOUBLE) / (n_a::DOUBLE + n_b::DOUBLE)) * " +
         "(1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) END, 6) AS z FROM c"),
+
+    // Same calendar-grain series, same DECIMAL(28,8) moment sums.
+    "q_acf" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+        "m AS (SELECT sum(x) / count(*) AS m FROM s), " +
+        "c AS (SELECT x - m.m AS c0, " +
+        (1 to 7).map(l =>
+          s"lead(x, $l) OVER (ORDER BY d) - m.m AS c$l").mkString(", ") +
+        " FROM s CROSS JOIN m), " +
+        "a AS (SELECT sum(CAST(c0 * c0 AS DECIMAL(28,8))) AS den, " +
+        (1 to 7).map(l =>
+          s"sum(CAST(c0 * c$l AS DECIMAL(28,8))) AS n$l").mkString(", ") +
+        " FROM c) SELECT lag, acf FROM (" +
+        (1 to 7).map(l =>
+          s"SELECT $l AS lag, round(CAST(n$l AS DOUBLE) / CAST(den AS DOUBLE), 6) " +
+          s"AS acf FROM a").mkString(" UNION ALL ") +
+        ") ORDER BY lag"),
+
+    // Same per-value rank cumulative, same tie-corrected variance with
+    // fixed parenthesization.
+    "q_mannwhitney" ->
+      ("WITH v AS (SELECT value, CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END " +
+        "AS b FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT value, SUM(1 - b) AS ca, SUM(b) AS cb, " +
+        "SUM(1 - b) + SUM(b) AS t FROM v GROUP BY 1), " +
+        "r AS (SELECT ca, cb, t, COALESCE(SUM(t) OVER (ORDER BY value " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pv), " +
+        "c AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, " +
+        "CAST(SUM(cb) AS BIGINT) AS n_b, " +
+        "SUM(CAST((CAST(bef AS DOUBLE) + (t + 1) / 2.0) * ca AS DECIMAL(28,8))) AS ra, " +
+        "SUM(CAST(t * t * t - t AS DECIMAL(28,8))) AS ties FROM r) " +
+        "SELECT n_a, n_b, " +
+        "round(CAST(ra AS DOUBLE) - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0, 6) AS u_a, " +
+        "round(n_a::DOUBLE * n_b::DOUBLE - (CAST(ra AS DOUBLE) - " +
+        "n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0), 6) AS u_b, " +
+        "round(CASE WHEN sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0 * " +
+        "((n_a::DOUBLE + n_b::DOUBLE + 1.0) - CAST(ties AS DOUBLE) / " +
+        "((n_a::DOUBLE + n_b::DOUBLE) * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))) > 0 THEN " +
+        "(CAST(ra AS DOUBLE) - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0 - " +
+        "n_a::DOUBLE * n_b::DOUBLE / 2.0) / " +
+        "sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0 * " +
+        "((n_a::DOUBLE + n_b::DOUBLE + 1.0) - CAST(ties AS DOUBLE) / " +
+        "((n_a::DOUBLE + n_b::DOUBLE) * (n_a::DOUBLE + n_b::DOUBLE - 1.0)))) " +
+        "END, 6) AS z FROM c"),
+
+    // Same DECIMAL(18,2)-string leading digit, same chi-square expansion.
+    "q_benford" ->
+      ("WITH f AS (SELECT CAST(substr(CAST(CAST(abs(l_extendedprice) AS " +
+        "DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) >= 1), " +
+        "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS tot FROM c) " +
+        "SELECT digit, n, round(n::DOUBLE / tot::DOUBLE, 6) AS obs_share, " +
+        "round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS exp_share, " +
+        "round((n::DOUBLE / tot::DOUBLE - log10(1.0 + 1.0 / digit::DOUBLE)) * " +
+        "(n::DOUBLE / tot::DOUBLE - log10(1.0 + 1.0 / digit::DOUBLE)) / " +
+        "log10(1.0 + 1.0 / digit::DOUBLE) * tot::DOUBLE, 6) AS chi2_term " +
+        "FROM c CROSS JOIN t ORDER BY digit"),
+
+    // Same rank-sum identity over the per-value count table, same
+    // DECIMAL(38,8) term sums.
+    "q_gini" ->
+      ("WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS " +
+        "DECIMAL(18,2))) AS DOUBLE) AS rev FROM orders GROUP BY 1), " +
+        "pv AS (SELECT rev AS value, count(*) AS cnt FROM rev GROUP BY 1), " +
+        "r AS (SELECT value, cnt, COALESCE(SUM(cnt) OVER (ORDER BY value " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pv), " +
+        "a AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, " +
+        "SUM(CAST(value * cnt AS DECIMAL(38,8))) AS sx, " +
+        "SUM(CAST(value * (CAST(bef AS DOUBLE) + (cnt + 1) / 2.0) * cnt " +
+        "AS DECIMAL(38,8))) AS srx FROM r) " +
+        "SELECT n, round(CAST(sx AS DOUBLE), 2) AS total, " +
+        "round(2.0 * CAST(srx AS DOUBLE) / (n::DOUBLE * CAST(sx AS DOUBLE)) - " +
+        "(n::DOUBLE + 1.0) / n::DOUBLE, 6) AS gini FROM a"),
+
+    // Same per-column count reduction, same n·log2(n) DECIMAL sums.
+    "q_entropy_profile" ->
+      ("WITH " +
+        Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_quantity")
+          .zipWithIndex.map { case (c, i) =>
+            s"c$i AS (SELECT $c AS v, count(*) AS n FROM lineitem GROUP BY 1), " +
+            s"e$i AS (SELECT CAST(count(*) AS BIGINT) AS nd, sum(n) AS tot, " +
+            s"SUM(CAST(n * log2(n) AS DECIMAL(28,8))) AS nl FROM c$i)"
+          }.mkString(", ") +
+        " SELECT col_name, n_distinct, entropy FROM (" +
+        Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_quantity")
+          .zipWithIndex.map { case (c, i) =>
+            s"SELECT '$c' AS col_name, nd AS n_distinct, " +
+            s"round(log2(tot) - CAST(nl AS DOUBLE) / CAST(tot AS DOUBLE), 6) " +
+            s"AS entropy FROM e$i"
+          }.mkString(" UNION ALL ") +
+        ") ORDER BY col_name"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

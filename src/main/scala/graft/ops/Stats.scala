@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical statistics over DataFrames, each in the shape that survives
+  * 100 TB: every estimator here reduces the raw table to a bounded or
+  * vocabulary-sized summary FIRST (per-value counts, a calendar-grain
+  * series, a 9-row digit table) and runs the statistical readout over
+  * that summary — the row stream itself is touched exactly once, by one
+  * map-side-combining aggregation, and no global single-partition window
+  * ever sees more than a documented bounded input.
+  *
+  * Determinism stance (shared with [[Aggregates.exactSum]] /
+  * [[Aggregates.chiSquare]]): any sum whose addend order Spark does not
+  * pin is accumulated in DECIMAL, divisions happen on explicit doubles
+  * with fixed parenthesization, and final statistics are rounded to 6 dp
+  * so both engines evaluate the identical IEEE expression.
+  */
+object Stats {
+
+  /** Lag-1..maxLag autocorrelation of a date-grain series (is yesterday's
+    * volume predictive of today's? does the series have weekly structure
+    * — a spike at lag 7?). The raw table collapses to one row per
+    * calendar bucket before anything ordered happens, so the ordered
+    * window runs over a CALENDAR-BOUNDED series (a century of days is
+    * 36,525 rows) — bounded by time, not by data scale, the same stance
+    * as the two-pass percentile's bin table.
+    *
+    * acf(l) = Σ (x_t − x̄)(x_{t+l} − x̄) / Σ (x_t − x̄)² over the n−l
+    * overlapping positions, the standard biased-denominator sample ACF.
+    * Products of centered counts accumulate in DECIMAL(28,8). */
+  def autocorrelation(df: DataFrame, dateCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"autocorrelation: bad maxLag $maxLag")
+    val series = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"))
+    val mean = series.agg((sum("__x") / count(lit(1))).alias("__m"))
+    val w = Window.orderBy("__d") // calendar-bounded: one row per date
+    val centered = series.crossJoin(broadcast(mean))
+      .withColumn("__c", col("__x") - col("__m"))
+      .select(col("__c") +: (1 to maxLag).map(l =>
+        (lead(col("__x"), l).over(w) - col("__m")).alias(s"__cl$l")): _*)
+    val aggCols = sum((col("__c") * col("__c")).cast("decimal(28,8)")).alias("__den") +:
+      (1 to maxLag).map(l =>
+        sum((col("__c") * col(s"__cl$l")).cast("decimal(28,8)")).alias(s"__num$l"))
+    val agg = centered.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(explode(array((1 to maxLag).map(l =>
+        struct(lit(l).alias("lag"),
+          round((col(s"__num$l").cast("double") / col("__den").cast("double")), 6)
+            .alias("acf"))): _*)).alias("__r"))
+      .select(col("__r.lag").alias("lag"), col("__r.acf").alias("acf"))
+      .orderBy("lag")
+  }
+
+  /** Mann-Whitney U rank-sum test — the nonparametric twin of
+    * [[Aggregates.twoProportionZ]]'s experiment readout: did slice B's
+    * VALUES stochastically dominate slice A's, with no normality
+    * assumption? Runs entirely on the per-value count table
+    * ([[Aggregates.fractionalRanks]]' distributed shape — no global
+    * window, no row-level rank join): R_A = Σ avg_rank·cnt_a needs only
+    * (value, cnt_a, avg_rank), and the tie correction Σ(t³−t) needs only
+    * the per-value totals. Normal approximation with tie-corrected
+    * variance, no continuity correction (documented; both engines agree
+    * by construction). NULL z on degenerate inputs (an empty side, or
+    * all values tied). */
+  def mannWhitneyU(df: DataFrame, groupB: Column, valueCol: String): DataFrame = {
+    val tagged = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).alias("value"),
+        when(groupB, 1L).otherwise(0L).alias("__b"))
+    val perValue = tagged.groupBy("value")
+      .agg(sum(lit(1L) - col("__b")).alias("__ca"), sum("__b").alias("__cb"))
+    // fractionalRanks' distributed cumulative shape, inlined over the
+    // combined per-value counts (rank both slices in one pass).
+    val t = perValue.withColumn("__t", col("__ca") + col("__cb"))
+    val parts = t.repartitionByRange(32, col("value"))
+      .withColumn("__pid", spark_partition_id())
+    val pidW = Window.partitionBy("__pid").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("__before", coalesce(sum("__t").over(pidW), lit(0L)))
+    val offsets = local.groupBy("__pid").agg(sum("__t").alias("__ptot"))
+      .withColumn("__off", coalesce(sum("__ptot").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    val withRank = local.join(broadcast(offsets), "__pid")
+      .withColumn("__rank",
+        (col("__off") + col("__before")).cast("double") + (col("__t") + 1) / lit(2.0))
+    val c = withRank.agg(
+      sum("__ca").alias("n_a"), sum("__cb").alias("n_b"),
+      sum((col("__rank") * col("__ca")).cast("decimal(28,8)")).alias("__ra"),
+      sum((col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast("decimal(28,8)")).alias("__ties"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = na + nb
+    val uA = col("__ra").cast("double") - na * (na + lit(1.0)) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val sig = sqrt(na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__ties").cast("double") / (n * (n - lit(1.0)))))
+    c.select(col("n_a"), col("n_b"),
+      round(uA, 6).alias("u_a"),
+      round(na * nb - uA, 6).alias("u_b"),
+      round(when(sig > 0, (uA - mu) / sig), 6).alias("z"))
+  }
+
+  /** Benford first-digit audit: the observed leading-significant-digit
+    * distribution of a positive amount column against Benford's law
+    * p(d) = log10(1 + 1/d), with the χ² contribution per digit — the
+    * classic fabricated-numbers / broken-ETL detector. The table reduces
+    * to 9 rows in one aggregation. The leading digit is taken from the
+    * DECIMAL(18,2) string form (not floor(log10): float log near powers
+    * of ten rounds differently across engines). */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    // |x| >= 1 means the DECIMAL(18,2) string form has no leading zero:
+    // its first character IS the leading significant digit.
+    val digit = substring(abs(col(valueCol)).cast("decimal(18,2)").cast("string"), 1, 1)
+    val counts = df.filter(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
+      .select(digit.cast("int").alias("digit"))
+      .groupBy("digit").agg(count(lit(1)).alias("n"))
+    val tot = counts.agg(sum("n").alias("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__obs", col("n").cast("double") / col("__tot").cast("double"))
+      .withColumn("__exp", log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .select(col("digit"), col("n"),
+        round(col("__obs"), 6).alias("obs_share"),
+        round(col("__exp"), 6).alias("exp_share"),
+        round((col("__obs") - col("__exp")) * (col("__obs") - col("__exp")) /
+          col("__exp") * col("__tot").cast("double"), 6).alias("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** Gini coefficient of a value distribution (revenue concentration:
+    * 0 = perfectly even, →1 = one key holds everything) via the
+    * rank-sum identity G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n. Ranks are
+    * [[Aggregates.fractionalRanks]] average ranks over the per-value
+    * count table — Σ r·x is invariant under any assignment of distinct
+    * ranks within a tie group (equal x), so average ranks give the exact
+    * sorted-order sum without ever sorting rows. Everything past the
+    * first aggregation is distinct-value-sized. Terms accumulate in
+    * DECIMAL(38,8) (value·rank·cnt products). */
+  def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
+    val ranks = Aggregates.fractionalRanks(
+      df.filter(col(valueCol).isNotNull), valueCol)
+    val agg = ranks.agg(
+      sum("cnt").alias("n"),
+      sum((col("value") * col("cnt")).cast("decimal(38,8)")).alias("__sx"),
+      sum((col("value") * col("avg_rank") * col("cnt")).cast("decimal(38,8)"))
+        .alias("__srx"))
+    val n = col("n").cast("double")
+    agg.select(col("n"),
+      round(col("__sx").cast("double"), 2).alias("total"),
+      round(lit(2.0) * col("__srx").cast("double") /
+          (n * col("__sx").cast("double")) - (n + lit(1.0)) / n, 6)
+        .alias("gini"))
+  }
+
+  /** Shannon-entropy column profile: for each requested column, the
+    * distinct-value count and the entropy H = −Σ p·log₂p of its value
+    * distribution — the information-theoretic sibling of the null/
+    * distinct profiles (a near-constant column scores ≈0 bits; a key
+    * column scores ≈log₂n). One count aggregation per column, each
+    * reduced to one row before the union; entropy terms (≤0.531 bits
+    * each) accumulate in DECIMAL(28,14). NULL participates as its own
+    * category, matching the profile ops' stance. */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.groupBy(col(c).alias("__v"))
+        .agg(count(lit(1)).alias("__n"))
+        .agg(count(lit(1)).alias("n_distinct"), sum("__n").alias("__tot"),
+          sum((col("__n") * log2(col("__n"))).cast("decimal(28,8)")).alias("__nlogn"))
+        .select(lit(c).alias("col_name"), col("n_distinct"),
+          round(log2(col("__tot")) -
+            col("__nlogn").cast("double") / col("__tot").cast("double"), 6)
+            .alias("entropy"))
+    }.reduce(_ unionByName _).orderBy("col_name")
+}

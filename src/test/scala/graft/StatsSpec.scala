@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Stats
+
+/** Classical statistics against analytically-known answers. */
+class StatsSpec extends AnyFunSuite with SparkSpec {
+
+  test("autocorrelation of an alternating series is -(n-l)/n at odd lags") {
+    import spark.implicits._
+    // Counts per day alternate 1,2,1,2,... (mean 1.5, deviations ±0.5):
+    // acf(l) = Σ c_t c_{t+l} / Σ c_t² = ±(n−l)/n exactly.
+    val n = 40
+    val rows = (0 until n).flatMap { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      Seq.fill(if (i % 2 == 0) 1 else 2)(d)
+    }
+    val df = rows.toDF("d")
+    val acf = Stats.autocorrelation(df, col("d"), maxLag = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(acf(1) - (-(n - 1).toDouble / n)) < 1e-6)
+    assert(math.abs(acf(2) - ((n - 2).toDouble / n)) < 1e-6)
+    assert(math.abs(acf(3) - (-(n - 3).toDouble / n)) < 1e-6)
+  }
+
+  test("mannWhitneyU matches the hand-computed rank sums with ties") {
+    import spark.implicits._
+    // A = {1, 2, 4}, B = {3, 4, 5, 6}: combined ranks 1,2,3,4.5,4.5,6,7
+    // → R_A = 1 + 2 + 4.5 = 7.5, U_A = 7.5 − 3·4/2 = 1.5, U_B = 10.5.
+    val df = Seq((0, 1.0), (0, 2.0), (0, 4.0), (1, 3.0), (1, 4.0),
+      (1, 5.0), (1, 6.0)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, col("g") === 1, "v").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) - 1.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 10.5) < 1e-9)
+    // z = (U_A − 6) / sqrt(12/12 · (8 − 6/42)) = −4.5 / sqrt(7.857142…)
+    assert(math.abs(r.getDouble(4) - (-4.5 / math.sqrt(8.0 - 6.0 / 42.0))) < 1e-6)
+  }
+
+  test("benfordDigits reads the leading significant digit, not the sign") {
+    import spark.implicits._
+    val df = Seq(123.45, -987.0, 1.0, 10.0, 0.5, 9999.99).toDF("v")
+    val rows = Stats.benfordDigits(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 0.5 excluded (|x| < 1); digits: 1 (123.45), 9 (-987), 1 (1.0),
+    // 1 (10.0), 9 (9999.99).
+    assert(rows === Map(1 -> 3L, 9 -> 2L))
+  }
+
+  test("gini is 0 for equal shares and (n-1)/n-scaled for one-holder") {
+    import spark.implicits._
+    val equal = Seq.fill(10)(5.0).toDF("v")
+    val g0 = Stats.giniCoefficient(equal, "v").collect().head
+    assert(g0.getLong(0) === 10L && math.abs(g0.getDouble(2)) < 1e-9)
+
+    // One key holds everything: G = (n−1)/n with zero-valued others.
+    val onePct = (1.0 +: Seq.fill(9)(0.0)).toDF("v")
+    val g1 = Stats.giniCoefficient(onePct, "v").collect().head
+    assert(math.abs(g1.getDouble(2) - 0.9) < 1e-6)
+  }
+
+  test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
+    import spark.implicits._
+    val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
+    val rows = Stats.entropyProfile(df.toDF(), Seq("four", "const"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m("four")._2 === 4L && math.abs(m("four")._3 - 2.0) < 1e-9)
+    assert(m("const")._2 === 1L && math.abs(m("const")._3) < 1e-9)
+  }
+}
