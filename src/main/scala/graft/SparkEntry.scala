@@ -2847,6 +2847,34 @@ object SparkEntry {
     "q_entropy_profile" -> ((s, d) =>
       graft.ops.Stats.entropyProfile(Tables.lineitem(s, d),
         Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_quantity"))),
+
+    // Top-20 three-step behavior paths (Sessionize.pathTrigrams): the
+    // trigram extension of q_event_transitions' Markov matrix.
+    "q_path_trigrams" -> ((s, d) =>
+      graft.ops.Sessionize.pathTrigrams(Tables.events(s, d), "user_id",
+        "ts", "event_id", "event_type", topN = 20)),
+
+    // Kaplan-Meier time-to-purchase curve: per-user duration from first
+    // event to first purchase (censored at the last event when no
+    // purchase), survival over day-grain event times.
+    "q_survival_km" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy("user_id").agg(
+        min(col("ts")).alias("__first"),
+        min(when(col("event_type") === "purchase", col("ts"))).alias("__conv"),
+        max(col("ts")).alias("__last"))
+        .select(
+          datediff(to_date(coalesce(col("__conv"), col("__last"))),
+            to_date(col("__first"))).cast("long").alias("dur"),
+          col("__conv").isNotNull.alias("observed"))
+      graft.ops.Stats.kaplanMeier(subj, "dur", "observed")
+    }),
+
+    // Joint-distribution outliers (Stats.mahalanobisTopK): the 25 rows
+    // farthest off the quantity/price covariance ridge.
+    "q_mahalanobis" -> ((s, d) =>
+      graft.ops.Stats.mahalanobisTopK(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), k = 25)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5211,6 +5239,68 @@ object SparkEntry {
             s"AS entropy FROM e$i"
           }.mkString(" UNION ALL ") +
         ") ORDER BY col_name"),
+
+    // Same two-lead window, same deterministic top-20.
+    "q_path_trigrams" ->
+      ("WITH w AS (SELECT event_type AS step1, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3 " +
+        "FROM events) " +
+        "SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n FROM w " +
+        "WHERE step2 IS NOT NULL AND step3 IS NOT NULL GROUP BY 1, 2, 3 " +
+        "ORDER BY n DESC, step1, step2, step3 LIMIT 20"),
+
+    // Same censoring rule, same exp(Σ ln(1−d/n)) product.
+    "q_survival_km" ->
+      ("WITH s AS (SELECT user_id, min(ts) AS f, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS c, " +
+        "max(ts) AS l FROM events GROUP BY 1), " +
+        "subj AS (SELECT CAST(date_diff('day', CAST(f AS DATE), " +
+        "CAST(coalesce(c, l) AS DATE)) AS BIGINT) AS t, " +
+        "(c IS NOT NULL) AS obs FROM s), " +
+        "pt AS (SELECT t, CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "count(*) AS lv FROM subj GROUP BY 1), " +
+        "r AS (SELECT t, d, SUM(lv) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW " +
+        "AND UNBOUNDED FOLLOWING) AS n_risk FROM pt), " +
+        "k AS (SELECT t, d, n_risk, " +
+        "max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead, " +
+        "exp(SUM(CASE WHEN d > 0 AND d < n_risk THEN " +
+        "ln(1.0 - d::DOUBLE / n_risk::DOUBLE) ELSE 0.0 END) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv " +
+        "FROM r) SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, " +
+        "round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6) AS surv " +
+        "FROM k WHERE d > 0 ORDER BY t"),
+
+    // Same exact-DECIMAL moments, same closed-form 2x2 inverse with
+    // pinned parenthesization.
+    "q_mahalanobis" ->
+      ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(38,8))) AS sx, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS sy, " +
+        "SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS sxx, " +
+        "SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS syy, " +
+        "SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS sxy " +
+        "FROM lineitem), " +
+        "s AS (SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx, " +
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my, " +
+        "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vxx, " +
+        "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vyy, " +
+        "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vxy FROM m), " +
+        "s2 AS (SELECT mx, my, vxx, vyy, vxy, " +
+        "vxx * vyy - vxy * vxy AS det FROM s) " +
+        "SELECT l_orderkey, l_linenumber, " +
+        "round((vyy * (l_quantity - mx) * (l_quantity - mx) - " +
+        "2.0 * vxy * (l_quantity - mx) * (l_extendedprice - my) + " +
+        "vxx * (l_extendedprice - my) * (l_extendedprice - my)) / det, 6) AS d2 " +
+        "FROM lineitem CROSS JOIN s2 " +
+        "ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 25"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

@@ -268,6 +268,28 @@ object Sessionize {
     * conversion timestamp are excluded by frame construction (rows
     * strictly before), matching the "touch must precede conversion"
     * definition exactly on both engines. */
+  /** Frequent 3-step behavior paths: the top-N (step1, step2, step3)
+    * event-type sequences over consecutive per-key events — one window
+    * (two leads) over the per-key sort [[sessionize]] already pays for,
+    * then a vocabulary-sized count aggregation (|types|³ keys at most)
+    * and a TakeOrderedAndProject top-N, never a global sort. The
+    * length-3 extension of the Markov transition matrix: bigrams say
+    * "view→cart is common", trigrams say whether view→cart→purchase or
+    * view→cart→view dominates. */
+  def pathTrigrams(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= 10000, s"pathTrigrams: bad topN $topN")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select(col(typeCol).alias("step1"),
+        lead(col(typeCol), 1).over(w).alias("step2"),
+        lead(col(typeCol), 2).over(w).alias("step3"))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topN)
+  }
+
   def attribution(df: DataFrame, keyCol: String, tsCol: String,
                   tieCol: String, typeCol: String,
                   conversionType: String): DataFrame = {

@@ -162,6 +162,80 @@ object Stats {
     * reduced to one row before the union; entropy terms (≤0.531 bits
     * each) accumulate in DECIMAL(28,14). NULL participates as its own
     * category, matching the profile ops' stance. */
+  /** Kaplan-Meier survival curve from per-subject (duration, observed)
+    * rows: S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event times u, with
+    * censored subjects leaving the risk set without an event — the
+    * time-to-conversion / churn / failure readout that handles the
+    * still-alive tail correctly (a plain mean of observed durations is
+    * biased low). The subject table reduces to one row per DISTINCT
+    * duration first; the ordered cumulative then runs over a
+    * calendar-bounded table (durations are day-grain), the
+    * [[autocorrelation]] stance. The product is exp(Σ ln(1−d/n)),
+    * rounded to 6 dp (cross-engine libm noise is ~1 ulp/term).
+    * Output: one row per duration with ≥1 observed event. */
+  def kaplanMeier(subjects: DataFrame, durCol: String,
+                  observedCol: String): DataFrame = {
+    val perT = subjects.groupBy(col(durCol).alias("t"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).alias("d"),
+        count(lit(1)).alias("__leave"))
+    val w = Window.orderBy("t") // duration-grain: calendar-bounded
+    val atRisk = perT
+      .withColumn("n_risk",
+        sum("__leave").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atRisk
+      // d = n_risk (everyone remaining has the event) sends S to exactly
+      // 0 — handled as a flag, not ln(0).
+      .withColumn("__lnterm",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(cum))
+      .withColumn("surv",
+        round(when(col("__dead") === 1, lit(0.0))
+          .otherwise(exp(sum("__lnterm").over(cum))), 6))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("surv"))
+      .orderBy("t")
+  }
+
+  /** Mahalanobis-distance outliers over two numeric columns: covariance
+    * moments from ONE exact-DECIMAL aggregation (broadcast back as a
+    * single row), the closed-form 2×2 inverse applied per row inside
+    * codegen, top-k by distance via TakeOrderedAndProject — never a
+    * global sort. The correlation-aware twin of the z-score/MAD gates:
+    * a point can be 2σ in each margin yet wildly off the joint ridge.
+    * Ties on the 6-dp distance break on the caller's key columns. */
+  def mahalanobisTopK(df: DataFrame, c1: String, c2: String,
+                      keys: Seq[String], k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"mahalanobisTopK: bad k $k")
+    val x = col(c1).cast("double"); val y = col(c2).cast("double")
+    val m = df.agg(
+      count(lit(1)).alias("__n"),
+      sum(x.cast("decimal(38,8)")).alias("__sx"),
+      sum(y.cast("decimal(38,8)")).alias("__sy"),
+      sum((x * x).cast("decimal(38,8)")).alias("__sxx"),
+      sum((y * y).cast("decimal(38,8)")).alias("__syy"),
+      sum((x * y).cast("decimal(38,8)")).alias("__sxy"))
+    val n = col("__n").cast("double")
+    val mx = col("__sx").cast("double") / n
+    val my = col("__sy").cast("double") / n
+    val vxx = col("__sxx").cast("double") / n - mx * mx
+    val vyy = col("__syy").cast("double") / n - my * my
+    val vxy = col("__sxy").cast("double") / n - mx * my
+    val stats = m.select(mx.alias("__mx"), my.alias("__my"),
+      vxx.alias("__vxx"), vyy.alias("__vyy"), vxy.alias("__vxy"),
+      (vxx * vyy - vxy * vxy).alias("__det"))
+    val dx = x - col("__mx"); val dy = y - col("__my")
+    val d2 = (col("__vyy") * dx * dx - lit(2.0) * col("__vxy") * dx * dy +
+      col("__vxx") * dy * dy) / col("__det")
+    df.crossJoin(broadcast(stats))
+      .select(keys.map(col) :+ round(d2, 6).alias("d2"): _*)
+      .orderBy(col("d2").desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       df.groupBy(col(c).alias("__v"))

@@ -61,6 +61,42 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(g1.getDouble(2) - 0.9) < 1e-6)
   }
 
+  test("kaplanMeier matches the hand-computed product-limit curve") {
+    import spark.implicits._
+    // (dur, observed): events at t=1 (n=6), t=3 (n=4, d=2), t=5 (n=1);
+    // censored at t=2 and t=4. S = 5/6, then 5/6·1/2 = 5/12, then 0.
+    val subj = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true)).toDF("dur", "observed")
+    val rows = Stats.kaplanMeier(subj, "dur", "observed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 6L, 1L), (3L, 4L, 2L), (5L, 1L, 1L)))
+    assert(math.abs(rows(0)._4 - 5.0 / 6) < 1e-6)
+    assert(math.abs(rows(1)._4 - 5.0 / 12) < 1e-6)
+    assert(rows(2)._4 === 0.0)
+  }
+
+  test("mahalanobisTopK ranks the off-ridge point above larger on-ridge ones") {
+    import spark.implicits._
+    // Tight y≈x ridge plus one anti-correlated point: (2,-2) must beat
+    // the farther-out but on-ridge (3,3).
+    val df = Seq((1, 0.0, 0.0), (2, 1.0, 1.0), (3, -1.0, -1.0),
+      (4, 2.0, 2.0), (5, -2.0, -2.0), (6, 3.0, 3.0), (7, -3.0, -3.0),
+      (8, 2.0, -2.0)).toDF("id", "x", "y")
+    val top = Stats.mahalanobisTopK(df, "x", "y", Seq("id"), k = 2)
+      .collect().map(_.getInt(0))
+    assert(top.head === 8, s"expected the anti-correlated point first, got ${top.toSeq}")
+  }
+
+  test("pathTrigrams counts consecutive per-key type sequences") {
+    import spark.implicits._
+    val e = Seq((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "c"), (1, 4L, "a"),
+      (2, 1L, "a"), (2, 2L, "b"), (2, 3L, "c")).toDF("u", "t", "ty")
+    val rows = graft.ops.Sessionize.pathTrigrams(e, "u", "t", "t", "ty", topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(("a", "b", "c", 2L), ("b", "c", "a", 1L)))
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
