@@ -2875,6 +2875,33 @@ object SparkEntry {
       graft.ops.Stats.mahalanobisTopK(Tables.lineitem(s, d),
         "l_quantity", "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"), k = 25)),
+
+    // Cramér's V: the [0,1] effect-size readout over the q_chi_square
+    // contingency shape.
+    "q_cramers_v" -> ((s, d) =>
+      graft.ops.Stats.cramersV(Tables.lineitem(s, d),
+        "l_returnflag", "l_linestatus")),
+
+    // Symmetric bounded drift between the two corpus halves — the JSD
+    // twin of q_kl_drift on the same slices.
+    "q_js_divergence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis.jsDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
+    // Two-feature OLS (Stats.olsFit2): price ~ quantity + discount in
+    // one exact-DECIMAL moment pass, Cramer closed form, R² readout.
+    "q_ols2" -> ((s, d) =>
+      graft.ops.Stats.olsFit2(Tables.lineitem(s, d),
+        "l_extendedprice", "l_quantity", "l_discount")),
+
+    // A-priori frequent triples over order baskets: pair-frequency
+    // pruning before the third join (monotonicity keeps it exact).
+    "q_basket_triples" -> ((s, d) =>
+      graft.ops.Stats.frequentTriples(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L, topN = 50)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -4752,10 +4779,11 @@ object SparkEntry {
         "ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1), " +
         "n AS (SELECT sum(o) AS n FROM obs), " +
         "cells AS (SELECT obs.o, CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) " +
-        "/ CAST(n.n AS DOUBLE) AS e, obs.a, obs.b " +
+        "/ CAST(n.n AS DOUBLE) AS e, obs.a, obs.b, n.n AS nn " +
         "FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n) " +
         "SELECT round(CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e " +
-        "AS DECIMAL(28,10))) AS DOUBLE), 6) AS chi2, " +
+        "AS DECIMAL(28,10))) AS DOUBLE) + (CAST(max(nn) AS DOUBLE) - " +
+        "CAST(SUM(CAST(e AS DECIMAL(28,10))) AS DOUBLE)), 6) AS chi2, " +
         "(count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof FROM cells"),
 
     "q_warehouse_flagship" ->
@@ -5301,6 +5329,86 @@ object SparkEntry {
         "vxx * (l_extendedprice - my) * (l_extendedprice - my)) / det, 6) AS d2 " +
         "FROM lineitem CROSS JOIN s2 " +
         "ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 25"),
+
+    // Same contingency cells and DECIMAL chi-square sum as q_chi_square,
+    // plus the LEAST-normalized V.
+    "q_cramers_v" ->
+      ("WITH j AS (SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem), " +
+        "obs AS (SELECT a, b, count(*) AS o FROM j GROUP BY 1, 2), " +
+        "rt AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1), " +
+        "ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1), " +
+        "n AS (SELECT sum(o) AS n FROM obs), " +
+        "cells AS (SELECT obs.o, CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) " +
+        "/ CAST(n.n AS DOUBLE) AS e, obs.a, obs.b, n.n AS nn " +
+        "FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n), " +
+        "agg AS (SELECT CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * " +
+        "(CAST(o AS DOUBLE) - e) / e AS DECIMAL(28,10))) AS DOUBLE) + " +
+        "(CAST(max(nn) AS DOUBLE) - " +
+        "CAST(SUM(CAST(e AS DECIMAL(28,10))) AS DOUBLE)) AS chi2d, " +
+        "count(DISTINCT a) AS r, count(DISTINCT b) AS c, max(nn) AS n FROM cells) " +
+        "SELECT round(chi2d, 6) AS chi2, CAST(n AS BIGINT) AS n, " +
+        "round(sqrt(chi2d / CAST(n AS DOUBLE) / " +
+        "CAST(LEAST(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v FROM agg"),
+
+    // Same smoothed vocab join as q_kl_drift, JSD terms.
+    "q_js_divergence" ->
+      ("WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "tb AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "ca AS (SELECT token, count(*) AS ca FROM ta WHERE token <> '' GROUP BY 1), " +
+        "cb AS (SELECT token, count(*) AS cb FROM tb WHERE token <> '' GROUP BY 1), " +
+        "j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb " +
+        "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), " +
+        "t AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM j), " +
+        "p AS (SELECT (ca + 1.0) / (t.ta + t.v) AS pa, " +
+        "(cb + 1.0) / (t.tb + t.v) AS pb FROM j CROSS JOIN t) " +
+        "SELECT round(CAST(sum(CAST(pa * ln(pa / ((pa + pb) / 2.0)) / 2.0 + " +
+        "pb * ln(pb / ((pa + pb) / 2.0)) / 2.0 AS DECIMAL(28,14))) " +
+        "AS DOUBLE), 6) AS jsd, CAST(count(*) AS BIGINT) AS vocab FROM p"),
+
+    // Same nine DECIMAL moments, same Cramer determinants with pinned
+    // association.
+    "q_ols2" ->
+      ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s1, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s2, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s11, " +
+        "CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s22, " +
+        "CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s12, " +
+        "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s1y, " +
+        "CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s2y, " +
+        "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "AND l_quantity IS NOT NULL AND l_discount IS NOT NULL), " +
+        "d AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, sy, s11, s22, s12, " +
+        "s1y, s2y, syy, " +
+        "CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + " +
+        "s2 * (s1 * s12 - s11 * s2) AS det, " +
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + " +
+        "s2 * (s1y * s12 - s11 * s2y) AS d0, " +
+        "CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + " +
+        "s2 * (s1 * s2y - s1y * s2) AS d1, " +
+        "CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + " +
+        "sy * (s1 * s12 - s11 * s2) AS d2 FROM m), " +
+        "c AS (SELECT n, nd, sy, s1y, s2y, syy, " +
+        "d0 / det AS b0, d1 / det AS b1, d2 / det AS b2 FROM d) " +
+        "SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, " +
+        "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / " +
+        "(syy - sy * sy / nd), 6) AS r2 FROM c"),
+
+    // Plain three-way basket join — A-priori pruning is count-invariant
+    // by monotonicity, so the unpruned oracle is the exact answer.
+    "q_basket_triples" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it " +
+        "FROM lineitem), " +
+        "t AS (SELECT a.it AS item1, b.it AS item2, c.it AS item3, " +
+        "CAST(count(*) AS BIGINT) AS support " +
+        "FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it " +
+        "JOIN items c ON a.bk = c.bk AND b.it < c.it GROUP BY 1, 2, 3) " +
+        "SELECT item1, item2, item3, support FROM t WHERE support >= 2 " +
+        "ORDER BY support DESC, item1, item2, item3 LIMIT 50"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

@@ -247,7 +247,12 @@ object Aggregates {
       .withColumn("__term", (col("__o").cast("double") - col("__e"))
         * (col("__o").cast("double") - col("__e")) / col("__e"))
       .agg(
-        round(sum(col("__term").cast("decimal(28,10)")).cast("double"), 6).alias("chi2"),
+        // Zero cells never reach the observed-cell aggregation, but each
+        // contributes exactly its expected mass e to χ² ((0−e)²/e = e),
+        // and Σ_all e = n — so the missing-cell mass is n − Σ_observed e.
+        round(sum(col("__term").cast("decimal(28,10)")).cast("double") +
+          (max(col("__n")).cast("double") -
+            sum(col("__e").cast("decimal(28,10)")).cast("double")), 6).alias("chi2"),
         ((countDistinct(col(a)) - 1) * (countDistinct(col(b)) - 1)).alias("dof"))
   }
 

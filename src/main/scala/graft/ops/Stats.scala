@@ -236,6 +236,129 @@ object Stats {
       .limit(k)
   }
 
+  /** Cramér's V — the [0,1]-normalized strength readout for
+    * [[Aggregates.chiSquare]]'s categorical-association test (χ² says
+    * "dependent", V says "how much"): V = √( (χ²/n) / min(r−1, c−1) ).
+    * Same contingency shape: one (a,b) count aggregation, broadcast
+    * marginals, DECIMAL term sum. */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).alias("__o"))
+    val rowT = obs.groupBy(col(a)).agg(sum("__o").alias("__rt"))
+    val colT = obs.groupBy(col(b)).agg(sum("__o").alias("__ct"))
+    val n = obs.agg(sum("__o").alias("__n"))
+    val agg = obs.join(broadcast(rowT), Seq(a)).join(broadcast(colT), Seq(b))
+      .crossJoin(broadcast(n))
+      .withColumn("__e", col("__rt").cast("double") * col("__ct").cast("double")
+        / col("__n").cast("double"))
+      .withColumn("__term", (col("__o").cast("double") - col("__e"))
+        * (col("__o").cast("double") - col("__e")) / col("__e"))
+      .agg(
+        // Observed-cell terms + the zero-cell mass n − Σ_observed e
+        // (each absent cell contributes (0−e)²/e = e; Σ_all e = n).
+        (sum(col("__term").cast("decimal(28,10)")).cast("double") +
+          (max(col("__n")).cast("double") -
+            sum(col("__e").cast("decimal(28,10)")).cast("double"))).alias("__chi2"),
+        countDistinct(col(a)).alias("__r"), countDistinct(col(b)).alias("__c"),
+        max(col("__n")).alias("__nn"))
+    val minDim = least(col("__r") - 1, col("__c") - 1).cast("double")
+    agg.select(
+      round(col("__chi2"), 6).alias("chi2"),
+      col("__nn").alias("n"),
+      round(sqrt(col("__chi2") / col("__nn").cast("double") / minDim), 6)
+        .alias("cramers_v"))
+  }
+
+  /** Two-feature OLS fit y = b0 + b1·x1 + b2·x2 solved in closed form
+    * (Cramer over the 3×3 normal equations) from ONE exact-DECIMAL
+    * moment aggregation — "train a linear model in one pass over
+    * 100 TB": nine moments shuffle, nothing else moves. R² from the
+    * same moments. All determinant arithmetic on doubles with fixed
+    * parenthesization, 6-dp rounded (the engine-exact stance). */
+  def olsFit2(df: DataFrame, yCol: String, x1Col: String,
+              x2Col: String): DataFrame = {
+    val x1 = col(x1Col).cast("double"); val x2 = col(x2Col).cast("double")
+    val y = col(yCol).cast("double")
+    val m = df.filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .agg(count(lit(1)).alias("n"),
+        sum(x1.cast("decimal(38,12)")).alias("__s1"),
+        sum(x2.cast("decimal(38,12)")).alias("__s2"),
+        sum(y.cast("decimal(38,12)")).alias("__sy"),
+        sum((x1 * x1).cast("decimal(38,12)")).alias("__s11"),
+        sum((x2 * x2).cast("decimal(38,12)")).alias("__s22"),
+        sum((x1 * x2).cast("decimal(38,12)")).alias("__s12"),
+        sum((x1 * y).cast("decimal(38,12)")).alias("__s1y"),
+        sum((x2 * y).cast("decimal(38,12)")).alias("__s2y"),
+        sum((y * y).cast("decimal(38,12)")).alias("__syy"))
+    val n = col("n").cast("double")
+    val s1 = col("__s1").cast("double"); val s2 = col("__s2").cast("double")
+    val sy = col("__sy").cast("double")
+    val s11 = col("__s11").cast("double"); val s22 = col("__s22").cast("double")
+    val s12 = col("__s12").cast("double")
+    val s1y = col("__s1y").cast("double"); val s2y = col("__s2y").cast("double")
+    val syy = col("__syy").cast("double")
+    // det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] and Cramer columns.
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val b0 = d0 / det; val b1 = d1 / det; val b2 = d2 / det
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    m.select(col("n"),
+      round(b0, 6).alias("b0"), round(b1, 6).alias("b1"),
+      round(b2, 6).alias("b2"),
+      round(lit(1.0) - sse / sst, 6).alias("r2"))
+  }
+
+  /** A-priori frequent triples over (basket, item) rows: pair-frequency
+    * pruning BEFORE the third join — every sub-pair of a support-s
+    * triple has support ≥ s (monotonicity), so semi-joining each
+    * expansion step against the broadcast frequent-pair set loses no
+    * qualifying triple while keeping the intermediate bounded by the
+    * frequent-pair occurrence count, not baskets × width³. Basket width
+    * itself bounds the per-basket fan-out. Output: triples with
+    * support ≥ minSupport, top-N by support. */
+  def frequentTriples(items: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long, topN: Int): DataFrame = {
+    require(minSupport >= 2, s"frequentTriples: minSupport $minSupport < 2")
+    val base = items.select(col(basketCol).alias("__bk"), col(itemCol).alias("__it"))
+      .distinct()
+    val freqPairs = base.alias("a")
+      .join(base.alias("b"), col("a.__bk") === col("b.__bk") &&
+        col("a.__it") < col("b.__it"))
+      .groupBy(col("a.__it").alias("__p1"), col("b.__it").alias("__p2"))
+      .agg(count(lit(1)).alias("__pn"))
+      .filter(col("__pn") >= minSupport)
+      .select("__p1", "__p2")
+    val pairOcc = base.alias("a")
+      .join(base.alias("b"), col("a.__bk") === col("b.__bk") &&
+        col("a.__it") < col("b.__it"))
+      .select(col("a.__bk").alias("__bk"), col("a.__it").alias("__i1"),
+        col("b.__it").alias("__i2"))
+      .join(broadcast(freqPairs),
+        col("__i1") === col("__p1") && col("__i2") === col("__p2"), "left_semi")
+    val tripleOcc = pairOcc.alias("p")
+      .join(base.alias("c"), col("p.__bk") === col("c.__bk") &&
+        col("p.__i2") < col("c.__it"))
+      .select(col("p.__i1").alias("__i1"), col("p.__i2").alias("__i2"),
+        col("c.__it").alias("__i3"))
+      .join(broadcast(freqPairs),
+        col("__i2") === col("__p1") && col("__i3") === col("__p2"), "left_semi")
+      .join(broadcast(freqPairs),
+        col("__i1") === col("__p1") && col("__i3") === col("__p2"), "left_semi")
+    tripleOcc.groupBy(col("__i1").alias("item1"), col("__i2").alias("item2"),
+        col("__i3").alias("item3"))
+      .agg(count(lit(1)).alias("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("item1"), col("item2"), col("item3"))
+      .limit(topN)
+  }
+
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       df.groupBy(col(c).alias("__v"))

@@ -603,6 +603,33 @@ object TextAnalysis {
     * broadcast totals row; the corpus text never shuffles. Terms are
     * truncated to DECIMAL(28,14) before the final sum (the psiDrift
     * determinism stance) so partitioning cannot flip low bits. */
+  /** Jensen-Shannon divergence between two corpus slices' unigram
+    * distributions — [[klDrift]]'s SYMMETRIC, bounded twin (JSD ∈
+    * [0, ln 2]; KL blows up when the candidate has mass the reference
+    * lacks, JSD never does, which makes it the better dashboard number
+    * for two peers rather than candidate-vs-reference). Same smoothed
+    * vocab-join shape: JSD = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, both
+    * terms from the one joined count table; text never shuffles. */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias(side))
+    val j = counts(a, "__ca").join(counts(b, "__cb"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val totals = j.agg(sum("__ca").alias("__ta"), sum("__cb").alias("__tb"),
+      count(lit(1)).alias("__v"))
+    j.crossJoin(broadcast(totals))
+      .withColumn("__pa", (col("__ca") + lit(1.0)) / (col("__ta") + col("__v")))
+      .withColumn("__pb", (col("__cb") + lit(1.0)) / (col("__tb") + col("__v")))
+      .withColumn("__m", (col("__pa") + col("__pb")) / lit(2.0))
+      .withColumn("__term",
+        col("__pa") * log(col("__pa") / col("__m")) / lit(2.0) +
+        col("__pb") * log(col("__pb") / col("__m")) / lit(2.0))
+      .agg(round(sum(col("__term").cast("decimal(28,14)")).cast("double"), 6)
+        .alias("jsd"), count(lit(1)).alias("vocab"))
+  }
+
   def klDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def counts(df: DataFrame, side: String) = df
       .select(explode(split(col(textCol), " ")).alias("token"))

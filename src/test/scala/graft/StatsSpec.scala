@@ -97,6 +97,46 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq === Seq(("a", "b", "c", 2L), ("b", "c", "a", 1L)))
   }
 
+  test("cramersV is 1 for a deterministic mapping, ~0 for independence") {
+    import spark.implicits._
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"),
+      ("c", "z"), ("c", "z")).toDF("u", "v")
+    val v1 = Stats.cramersV(dep, "u", "v").collect().head
+    assert(math.abs(v1.getDouble(2) - 1.0) < 1e-9)
+
+    val indep = (for { a <- Seq("a", "b"); b <- Seq("x", "y") }
+      yield (a, b)).toDF("u", "v")
+    val v0 = Stats.cramersV(indep, "u", "v").collect().head
+    assert(math.abs(v0.getDouble(2)) < 1e-9)
+  }
+
+  test("olsFit2 recovers an exact plane with r2 = 1") {
+    import spark.implicits._
+    // y = 2 + 3·x1 − 4·x2, x grid chosen non-collinear.
+    val df = (for { x1 <- 0 to 4; x2 <- 0 to 3 }
+      yield (x1.toDouble, x2.toDouble, 2.0 + 3.0 * x1 - 4.0 * x2))
+      .toDF("x1", "x2", "y")
+    val r = Stats.olsFit2(df, "y", "x1", "x2").collect().head
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-6)
+    assert(math.abs(r.getDouble(3) - (-4.0)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-6)
+  }
+
+  test("frequentTriples: A-priori pruning returns the exact support counts") {
+    import spark.implicits._
+    // Baskets: {1,2,3} ×3, {1,2,4} ×2, {2,3,4} ×1 → triple (1,2,3)
+    // support 3, (1,2,4) support 2, (2,3,4) support 1 (dropped).
+    val rows =
+      (1 to 3).flatMap(b => Seq(1, 2, 3).map(i => (s"a$b", i))) ++
+      (1 to 2).flatMap(b => Seq(1, 2, 4).map(i => (s"b$b", i))) ++
+      Seq(2, 3, 4).map(i => ("c1", i))
+    val df = rows.toDF("bk", "it")
+    val t = Stats.frequentTriples(df, "bk", "it", minSupport = 2L, topN = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(t.toSeq === Seq((1, 2, 3, 3L), (1, 2, 4, 2L)))
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
