@@ -2902,6 +2902,18 @@ object SparkEntry {
     "q_basket_triples" -> ((s, d) =>
       graft.ops.Stats.frequentTriples(Tables.lineitem(s, d),
         "l_orderkey", "l_partkey", minSupport = 2L, topN = 50)),
+
+    // Cross-correlation of daily order count vs daily revenue at lags
+    // −3..3 — does volume echo into revenue days later?
+    "q_ccf" -> ((s, d) =>
+      graft.ops.Stats.crossCorrelation(Tables.orders(s, d),
+        to_date(col("o_orderdate")), col("o_totalprice"), maxLag = 3)),
+
+    // RFM customer-value segmentation: quintile bands per metric via
+    // the distributed cumulative, (r,f,m) segment census with spend.
+    "q_rfm" -> ((s, d) =>
+      graft.ops.Stats.rfmSegments(Tables.orders(s, d), "o_custkey",
+        to_date(col("o_orderdate")), "o_totalprice", tiles = 5)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5409,6 +5421,69 @@ object SparkEntry {
         "JOIN items c ON a.bk = c.bk AND b.it < c.it GROUP BY 1, 2, 3) " +
         "SELECT item1, item2, item3, support FROM t WHERE support >= 2 " +
         "ORDER BY support DESC, item1, item2, item3 LIMIT 50"),
+
+    // Same daily series, same DECIMAL cross-moment sums, both lag signs.
+    "q_ccf" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "m AS (SELECT sum(x) / count(*) AS mx, sum(y) / count(*) AS my FROM s), " +
+        "c AS (SELECT x - m.mx AS cx, y - m.my AS cy, " +
+        (1 to 3).map(l =>
+          s"lead(y, $l) OVER (ORDER BY d) - m.my AS cyl$l").mkString(", ") + ", " +
+        (1 to 3).map(l =>
+          s"lead(x, $l) OVER (ORDER BY d) - m.mx AS cxl$l").mkString(", ") +
+        " FROM s CROSS JOIN m), " +
+        "a AS (SELECT sum(CAST(cx * cx AS DECIMAL(28,8))) AS dx, " +
+        "sum(CAST(cy * cy AS DECIMAL(28,8))) AS dy, " +
+        "sum(CAST(cx * cy AS DECIMAL(28,8))) AS n0, " +
+        (1 to 3).map(l =>
+          s"sum(CAST(cx * cyl$l AS DECIMAL(28,8))) AS np$l").mkString(", ") + ", " +
+        (1 to 3).map(l =>
+          s"sum(CAST(cy * cxl$l AS DECIMAL(28,8))) AS nm$l").mkString(", ") +
+        " FROM c) SELECT lag, ccf FROM (" +
+        ((3 to 1 by -1).map(l =>
+          s"SELECT -$l AS lag, round(CAST(nm$l AS DOUBLE) / " +
+          s"sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS ccf FROM a") ++
+         Seq("SELECT 0 AS lag, round(CAST(n0 AS DOUBLE) / " +
+          "sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS ccf FROM a") ++
+         (1 to 3).map(l =>
+          s"SELECT $l AS lag, round(CAST(np$l AS DOUBLE) / " +
+          s"sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS ccf FROM a"))
+          .mkString(" UNION ALL ") +
+        ") ORDER BY lag"),
+
+    // Same first-position quantile bands over per-value cumulatives.
+    "q_rfm" ->
+      ("WITH pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS lastd, " +
+        "CAST(count(*) AS BIGINT) AS freq, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mon " +
+        "FROM orders GROUP BY 1), " +
+        "ao AS (SELECT max(lastd) AS asof FROM pc), " +
+        "b AS (SELECT o_custkey, CAST(date_diff('day', lastd, ao.asof) AS BIGINT) " +
+        "AS rec, freq, mon FROM pc CROSS JOIN ao), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b), " +
+        "rcv AS (SELECT rec AS v, count(*) AS c FROM b GROUP BY 1), " +
+        "rct AS (SELECT v, CAST(floor(CAST(COALESCE(SUM(c) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5 AS DOUBLE) / " +
+        "CAST(n.n AS DOUBLE)) AS INT) + 1 AS tile FROM rcv CROSS JOIN n), " +
+        "fcv AS (SELECT freq AS v, count(*) AS c FROM b GROUP BY 1), " +
+        "fct AS (SELECT v, CAST(floor(CAST(COALESCE(SUM(c) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5 AS DOUBLE) / " +
+        "CAST(n.n AS DOUBLE)) AS INT) + 1 AS tile FROM fcv CROSS JOIN n), " +
+        "mcv AS (SELECT mon AS v, count(*) AS c FROM b GROUP BY 1), " +
+        "mct AS (SELECT v, CAST(floor(CAST(COALESCE(SUM(c) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5 AS DOUBLE) / " +
+        "CAST(n.n AS DOUBLE)) AS INT) + 1 AS tile FROM mcv CROSS JOIN n), " +
+        "sc AS (SELECT 6 - rct.tile AS r_score, fct.tile AS f_score, " +
+        "mct.tile AS m_score, b.mon FROM b " +
+        "JOIN rct ON b.rec = rct.v JOIN fct ON b.freq = fct.v " +
+        "JOIN mct ON b.mon = mct.v) " +
+        "SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, " +
+        "round(CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_monetary " +
+        "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

@@ -20,6 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Distributed cumulative "rows strictly before this value": range-
+    * repartition the per-value table on `valueCol`, cumsum `cntCol`
+    * within each range partition, add broadcast partition offsets —
+    * [[Aggregates.fractionalRanks]]' shape, factored for every op that
+    * needs ordered positions without a single-task global window. Input
+    * must be one row per distinct value; extra columns pass through. */
+  private[ops] def withCumBefore(perValue: DataFrame, valueCol: String,
+                                 cntCol: String, numParts: Int = 32): DataFrame = {
+    val parts = perValue.repartitionByRange(numParts, col(valueCol))
+      .withColumn("__pid", spark_partition_id())
+    val pidW = Window.partitionBy("__pid").orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("__before",
+      coalesce(sum(cntCol).over(pidW), lit(0L)))
+    val offsets = local.groupBy("__pid").agg(sum(cntCol).alias("__ptot"))
+      .withColumn("__off", coalesce(sum("__ptot").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("__before", col("__off") + col("__before"))
+      .drop("__pid", "__off")
+  }
+
   /** Lag-1..maxLag autocorrelation of a date-grain series (is yesterday's
     * volume predictive of today's? does the series have weekly structure
     * — a spike at lag 7?). The raw table collapses to one row per
@@ -53,6 +77,100 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Cross-correlation function between two date-grain series derived
+    * from the same table (does metric y echo metric x a few days
+    * later?): ccf(l) = Σ(x_t−x̄)(y_{t+l}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²) for
+    * l ∈ −maxLag..maxLag (negative lags pair y_t with LATER x). Same
+    * calendar-bounded reduction as [[autocorrelation]]; x is the daily
+    * row count, y the daily exact-DECIMAL sum of `valCol`. */
+  def crossCorrelation(df: DataFrame, dateCol: Column, valCol: Column,
+                       maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"crossCorrelation: bad maxLag $maxLag")
+    val series = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"),
+        sum(valCol.cast("decimal(18,2)")).cast("double").alias("__y"))
+    val means = series.agg((sum("__x") / count(lit(1))).alias("__mx"),
+      (sum("__y") / count(lit(1))).alias("__my"))
+    val w = Window.orderBy("__d") // calendar-bounded: one row per date
+    val centered = series.crossJoin(broadcast(means))
+      .withColumn("__cx", col("__x") - col("__mx"))
+      .withColumn("__cy", col("__y") - col("__my"))
+      .select(col("__cx") +: col("__cy") +: ((1 to maxLag).map(l =>
+        (lead(col("__y"), l).over(w) - col("__my")).alias(s"__cyl$l")) ++
+        (1 to maxLag).map(l =>
+          (lead(col("__x"), l).over(w) - col("__mx")).alias(s"__cxl$l"))): _*)
+    val aggCols =
+      sum((col("__cx") * col("__cx")).cast("decimal(28,8)")).alias("__dx") +:
+      sum((col("__cy") * col("__cy")).cast("decimal(28,8)")).alias("__dy") +:
+      sum((col("__cx") * col("__cy")).cast("decimal(28,8)")).alias("__n0") +:
+      ((1 to maxLag).map(l =>
+        sum((col("__cx") * col(s"__cyl$l")).cast("decimal(28,8)")).alias(s"__np$l")) ++
+       (1 to maxLag).map(l =>
+        sum((col("__cy") * col(s"__cxl$l")).cast("decimal(28,8)")).alias(s"__nm$l")))
+    val agg = centered.agg(aggCols.head, aggCols.tail: _*)
+    val den = sqrt(col("__dx").cast("double") * col("__dy").cast("double"))
+    val entries =
+      (1 to maxLag).reverse.map(l =>
+        struct(lit(-l).alias("lag"),
+          round(col(s"__nm$l").cast("double") / den, 6).alias("ccf"))) ++
+      Seq(struct(lit(0).alias("lag"),
+        round(col("__n0").cast("double") / den, 6).alias("ccf"))) ++
+      (1 to maxLag).map(l =>
+        struct(lit(l).alias("lag"),
+          round(col(s"__np$l").cast("double") / den, 6).alias("ccf")))
+    agg.select(explode(array(entries: _*)).alias("__r"))
+      .select(col("__r.lag").alias("lag"), col("__r.ccf").alias("ccf"))
+      .orderBy("lag")
+  }
+
+  /** RFM segmentation — the classic customer-value cube: per key,
+    * recency (days before the dataset's as-of date), frequency (rows),
+    * monetary (exact-DECIMAL spend) each scored into `tiles` quantile
+    * bands, then the (r,f,m) segment census. Band assignment runs on
+    * per-VALUE count tables through [[withCumBefore]] (no global
+    * window); every row of a tie shares the band of its first position
+    * — tile(v) = ⌊before·t/N⌋+1 — so the result is partitioning-proof.
+    * Recency is inverted (most recent = highest score). Output:
+    * ≤ tiles³ segment rows with customer counts and average spend. */
+  def rfmSegments(df: DataFrame, keyCol: String, dateCol: Column,
+                  amountCol: String, tiles: Int = 5): DataFrame = {
+    require(tiles >= 2 && tiles <= 10, s"rfmSegments: bad tiles $tiles")
+    val perKey = df.groupBy(col(keyCol)).agg(
+      max(dateCol).alias("__lastd"),
+      count(lit(1)).alias("__freq"),
+      sum(col(amountCol).cast("decimal(18,2)")).cast("double").alias("__mon"))
+    val asOf = perKey.agg(max("__lastd").alias("__asof"))
+    val base = perKey.crossJoin(broadcast(asOf))
+      .withColumn("__rec", datediff(col("__asof"), col("__lastd")).cast("long"))
+      .select(col(keyCol), col("__rec"), col("__freq"), col("__mon"))
+    val n = base.agg(count(lit(1)).alias("__n"))
+    def tileTable(vCol: String): DataFrame = {
+      val counts = base.groupBy(col(vCol).alias("__v"))
+        .agg(count(lit(1)).alias("__c"))
+      withCumBefore(counts, "__v", "__c")
+        .crossJoin(broadcast(n))
+        .select(col("__v"),
+          (floor((col("__before") * tiles).cast("double") / col("__n").cast("double"))
+            .cast("int") + 1).alias("__tile"))
+    }
+    val scored = base
+      .join(tileTable("__rec").withColumnRenamed("__v", "__rec")
+        .withColumnRenamed("__tile", "__rt"), Seq("__rec"))
+      .join(tileTable("__freq").withColumnRenamed("__v", "__freq")
+        .withColumnRenamed("__tile", "__ft"), Seq("__freq"))
+      .join(tileTable("__mon").withColumnRenamed("__v", "__mon")
+        .withColumnRenamed("__tile", "__mt"), Seq("__mon"))
+    scored
+      .select((lit(tiles + 1) - col("__rt")).alias("r_score"),
+        col("__ft").alias("f_score"), col("__mt").alias("m_score"),
+        col("__mon"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).alias("n_customers"),
+        round(sum(col("__mon").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double"), 6).alias("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Mann-Whitney U rank-sum test — the nonparametric twin of
     * [[Aggregates.twoProportionZ]]'s experiment readout: did slice B's
     * VALUES stochastically dominate slice A's, with no normality
@@ -70,22 +188,12 @@ object Stats {
         when(groupB, 1L).otherwise(0L).alias("__b"))
     val perValue = tagged.groupBy("value")
       .agg(sum(lit(1L) - col("__b")).alias("__ca"), sum("__b").alias("__cb"))
-    // fractionalRanks' distributed cumulative shape, inlined over the
-    // combined per-value counts (rank both slices in one pass).
+    // fractionalRanks' distributed cumulative shape over the combined
+    // per-value counts (rank both slices in one pass).
     val t = perValue.withColumn("__t", col("__ca") + col("__cb"))
-    val parts = t.repartitionByRange(32, col("value"))
-      .withColumn("__pid", spark_partition_id())
-    val pidW = Window.partitionBy("__pid").orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parts.withColumn("__before", coalesce(sum("__t").over(pidW), lit(0L)))
-    val offsets = local.groupBy("__pid").agg(sum("__t").alias("__ptot"))
-      .withColumn("__off", coalesce(sum("__ptot").over(
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("__pid", "__off")
-    val withRank = local.join(broadcast(offsets), "__pid")
+    val withRank = withCumBefore(t, "value", "__t")
       .withColumn("__rank",
-        (col("__off") + col("__before")).cast("double") + (col("__t") + 1) / lit(2.0))
+        col("__before").cast("double") + (col("__t") + 1) / lit(2.0))
     val c = withRank.agg(
       sum("__ca").alias("n_a"), sum("__cb").alias("n_b"),
       sum((col("__rank") * col("__ca")).cast("decimal(28,8)")).alias("__ra"),

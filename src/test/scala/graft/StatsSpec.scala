@@ -137,6 +137,42 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(t.toSeq === Seq((1, 2, 3, 3L), (1, 2, 4, 2L)))
   }
 
+  test("crossCorrelation: y echoing x one day later peaks at lag +1") {
+    import spark.implicits._
+    // Daily count x alternates 1,2; value sum y echoes the PREVIOUS
+    // day's count, so corr(x_t, y_{t+1}) = +1 and corr(x_t, y_t) = −1.
+    val rows = (0 until 30).flatMap { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i))
+      val cnt = if (i % 2 == 0) 1 else 2
+      val yv = if ((i - 1 + 2) % 2 == 0) 10.0 else 20.0 // yesterday's pattern
+      (0 until cnt).map(k => (d, if (k == 0) yv else 0.0))
+    }
+    val df = rows.toDF("d", "v")
+    val ccf = Stats.crossCorrelation(df, col("d"), col("v"), maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ccf(1) > 0.9, s"expected strong positive at +1, got $ccf")
+    assert(ccf(0) < -0.9, s"expected strong negative at 0, got $ccf")
+  }
+
+  test("rfmSegments bands a uniform spread into equal quintiles") {
+    import spark.implicits._
+    // 10 customers, one order each on distinct days with distinct spend:
+    // every metric bands 2 customers per quintile; frequency ties all
+    // share band 1 (first-position rule).
+    val df = (1 to 10).map { c =>
+      (c.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, c)),
+        c * 100.0)
+    }.toDF("cust", "d", "amt")
+    val seg = Stats.rfmSegments(df, "cust", col("d"), "amt", tiles = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(seg.map(_._4).sum === 10L)
+    assert(seg.forall(_._2 === 1), s"tied frequency must share band 1: ${seg.toSeq}")
+    // Later order date (higher cust) = more recent = higher r_score,
+    // and spend rises with cust, so r and m scores move together.
+    val rToM = seg.map(s => (s._1, s._3))
+    assert(rToM.sorted === rToM.sortBy(_._2), s"r/m scores misaligned: ${seg.toSeq}")
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
