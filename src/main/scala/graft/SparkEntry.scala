@@ -2914,6 +2914,36 @@ object SparkEntry {
     "q_rfm" -> ((s, d) =>
       graft.ops.Stats.rfmSegments(Tables.orders(s, d), "o_custkey",
         to_date(col("o_orderdate")), "o_totalprice", tiles = 5)),
+
+    // Near-identical vocabulary pairs scored by the native Jaro-Winkler
+    // kernel over the q_token_typos length-banded blocking (all-pairs
+    // work on the Heaps-law vocab, never the corpus; the metric runs
+    // inside codegen on each blocked candidate).
+    "q_jaro_winkler" -> ((s, d) => {
+      // Planted single-edit typos (the q_token_typos protocol) give the
+      // miner targets above the 0.93 gate: JW(customer,customes)=0.95,
+      // JW(column,colunn)=0.9333.
+      val dirty = when(col("doc_id") % 37 === 0,
+          regexp_replace(col("text"), "\\bcustomer\\b", "customes"))
+        .when(col("doc_id") % 41 === 0,
+          regexp_replace(col("text"), "\\bcolumn\\b", "colunn"))
+        .otherwise(col("text"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(dirty, " ")).alias("token"))
+        .filter(length(col("token")) >= 4)
+        .groupBy("token").agg(count(lit(1)).alias("n"))
+      val k = vocab.select(col("token"),
+        explode(array(length(col("token")), length(col("token")) + 1))
+          .alias("b"))
+      val a = k.select(col("b"), col("token").alias("t1"))
+      val bb = k.select(col("b"), col("token").alias("t2"))
+      val jw = graft.functions.JaroWinkler.jaro_winkler(col("t1"), col("t2"))
+      a.join(bb, Seq("b")).filter(col("t1") < col("t2"))
+        .filter(jw >= 0.93)
+        .select(col("t1"), col("t2"), round(jw, 6).alias("jw")).distinct()
+        .orderBy(col("jw").desc, col("t1"), col("t2"))
+        .limit(50)
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5484,6 +5514,25 @@ object SparkEntry {
         "round(CAST(SUM(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE), 6) AS avg_monetary " +
         "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    // DuckDB's jaro_winkler_similarity implements the same textbook
+    // definition the kernel pins (0.7 boost threshold) — exact compare.
+    "q_jaro_winkler" ->
+      ("WITH dd AS (SELECT CASE WHEN doc_id % 37 = 0 THEN " +
+        "regexp_replace(text, '\\bcustomer\\b', 'customes', 'g') " +
+        "WHEN doc_id % 41 = 0 THEN " +
+        "regexp_replace(text, '\\bcolumn\\b', 'colunn', 'g') " +
+        "ELSE text END AS text FROM documents), " +
+        "v AS (SELECT token FROM (SELECT unnest(string_split(text, ' ')) " +
+        "AS token FROM dd) WHERE length(token) >= 4 GROUP BY 1), " +
+        "k AS (SELECT token, b FROM v, " +
+        "UNNEST([length(token), length(token) + 1]) AS u(b)), " +
+        "p AS (SELECT a.token AS t1, bb.token AS t2 FROM k a JOIN k bb " +
+        "ON a.b = bb.b AND a.token < bb.token) " +
+        "SELECT DISTINCT t1, t2, " +
+        "round(jaro_winkler_similarity(t1, t2), 6) AS jw FROM p " +
+        "WHERE jaro_winkler_similarity(t1, t2) >= 0.93 " +
+        "ORDER BY jw DESC, t1, t2 LIMIT 50"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the
