@@ -109,4 +109,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     val leaky = shuffles.filter(_.output.exists(_.name == "text"))
     assert(leaky.isEmpty, s"q_text_quality shuffles text:\n$plan")
   }
+
+  /** No Window over an unpartitioned SinglePartition child whose input
+    * is row-scale: the ranked stats run their cumulatives inside range
+    * partitions (withCumBefore); the only global-window inputs allowed
+    * are the documented bounded tables (per-PARTITION offset rows,
+    * calendar-grain series). Heuristic: every single-partition window's
+    * input plan must sit behind an aggregation or be the 32-row offset
+    * table — here asserted as "the window's child partitioning is not
+    * the raw scan", by requiring at least one HashAggregate below it. */
+  private def assertWindowsBehindAggregation(name: String): Unit = {
+    val plan = run(name)
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"$name has a window running over unaggregated rows:\n$w")
+    }
+  }
+
+  test("q_mannwhitney: ranks run on the per-value table, windows behind aggregation") {
+    assertWindowsBehindAggregation("q_mannwhitney")
+    assertNoQuadraticJoin("q_mannwhitney")
+  }
+
+  test("q_gini: rank-sum identity never windows raw rows") {
+    assertWindowsBehindAggregation("q_gini")
+  }
+
+  test("q_rfm: band tables window per-value counts only; scored join keeps hash shape") {
+    assertWindowsBehindAggregation("q_rfm")
+    assertNoQuadraticJoin("q_rfm")
+  }
+
+  test("q_mahalanobis: broadcast moments + top-k via TakeOrderedAndProject") {
+    val plan = run("q_mahalanobis")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"q_mahalanobis lost its TakeOrderedAndProject:\n$plan")
+    assertNoQuadraticJoin("q_mahalanobis")
+  }
+
+  test("q_basket_triples: A-priori pruning keeps pair/triple joins hash or broadcast") {
+    assertNoQuadraticJoin("q_basket_triples")
+  }
+
+  test("q_jaro_winkler: banded blocking joins on equi keys, never all-pairs") {
+    assertNoQuadraticJoin("q_jaro_winkler")
+  }
 }
