@@ -2944,6 +2944,14 @@ object SparkEntry {
         .orderBy(col("jw").desc, col("t1"), col("t2"))
         .limit(50)
     }),
+
+    // Time-constrained funnel (Sessionize.windowFunnel): view → click →
+    // purchase with every step inside 7 days of the first view — the
+    // q_funnel chain with the ClickHouse window semantics.
+    "q_window_funnel" -> ((s, d) =>
+      graft.ops.Sessionize.windowFunnel(Tables.events(s, d), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase"),
+        windowMicros = 604800000000L)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5533,6 +5541,23 @@ object SparkEntry {
         "round(jaro_winkler_similarity(t1, t2), 6) AS jw FROM p " +
         "WHERE jaro_winkler_similarity(t1, t2) >= 0.93 " +
         "ORDER BY jw DESC, t1, t2 LIMIT 50"),
+
+    // Same greedy-earliest chain with the 7-day window from first view.
+    "q_window_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +
+        "s1 AS (SELECT user_id, min(tus) AS t1 FROM e " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, s1.t1, min(tus) AS t2 FROM e " +
+        "JOIN s1 ON e.user_id = s1.user_id WHERE event_type = 'click' " +
+        "AND tus > s1.t1 AND tus <= s1.t1 + 604800000000 GROUP BY 1, 2), " +
+        "s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e " +
+        "JOIN s2 ON e.user_id = s2.user_id WHERE event_type = 'purchase' " +
+        "AND tus > s2.t2 AND tus <= s2.t1 + 604800000000 GROUP BY 1) " +
+        "SELECT depth, step, n_keys FROM (" +
+        "SELECT 1 AS depth, 'view' AS step, CAST(count(*) AS BIGINT) AS n_keys FROM s1 " +
+        "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3) " +
+        "ORDER BY depth"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

@@ -268,6 +268,40 @@ object Sessionize {
     * conversion timestamp are excluded by frame construction (rows
     * strictly before), matching the "touch must precede conversion"
     * definition exactly on both engines. */
+  /** Time-constrained funnel (the ClickHouse windowFunnel semantics):
+    * per key, the deepest step of an ordered sequence reached where
+    * every step is strictly after the previous one AND within
+    * `windowMicros` of the FIRST step's time; each step binds greedily
+    * to its earliest qualifying event, so the answer is deterministic.
+    * Per step one hash aggregation on the key plus one key-equi join to
+    * the previous frontier — the frontier only shrinks; no windows, no
+    * per-key event buffering. Output: one row per step with the count
+    * of keys reaching at least that depth. */
+  def windowFunnel(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, s"windowFunnel: need >= 2 steps")
+    require(windowMicros > 0, s"windowFunnel: bad window $windowMicros")
+    val ev = df.select(col(keyCol).alias("__k"), col(typeCol).alias("__ty"),
+      unix_micros(col(tsCol)).alias("__tus"))
+    val first = ev.filter(col("__ty") === steps.head)
+      .groupBy("__k").agg(min("__tus").alias("__t1"))
+      .withColumn("__tprev", col("__t1"))
+    val frontiers = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("__ty") === step)
+        .join(prev.select("__k", "__t1", "__tprev"), Seq("__k"))
+        .filter(col("__tus") > col("__tprev") &&
+          col("__tus") <= col("__t1") + lit(windowMicros))
+        .groupBy(col("__k"), col("__t1"))
+        .agg(min("__tus").alias("__tprev"))
+    }
+    frontiers.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).alias("n_keys"))
+        .select(lit(i + 1).alias("depth"), lit(steps(i)).alias("step"),
+          col("n_keys"))
+    }.reduce(_ unionByName _).orderBy("depth")
+  }
+
   /** Frequent 3-step behavior paths: the top-N (step1, step2, step3)
     * event-type sequences over consecutive per-key events — one window
     * (two leads) over the per-key sort [[sessionize]] already pays for,

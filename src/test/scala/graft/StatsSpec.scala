@@ -173,6 +173,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(rToM.sorted === rToM.sortBy(_._2), s"r/m scores misaligned: ${seg.toSeq}")
   }
 
+  test("windowFunnel: steps must be ordered and inside the window from step 1") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val e = Seq(
+      (1, ts(0), "view"), (1, ts(5), "click"), (1, ts(9), "purchase"), // full
+      (2, ts(0), "view"), (2, ts(5), "click"), (2, ts(30), "purchase"), // p late
+      (3, ts(5), "view"), (3, ts(0), "click"), // click BEFORE view
+      (4, ts(0), "view")) // view only
+      .toDF("u", "t", "ty")
+    val got = graft.ops.Sessionize.windowFunnel(e, "u", "t", "ty",
+        Seq("view", "click", "purchase"), windowMicros = 10L * 60 * 1000000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
