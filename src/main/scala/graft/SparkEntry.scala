@@ -2952,6 +2952,18 @@ object SparkEntry {
       graft.ops.Sessionize.windowFunnel(Tables.events(s, d), "user_id",
         "ts", "event_type", Seq("view", "click", "purchase"),
         windowMicros = 604800000000L)),
+
+    // Theil-Sen robust daily-volume trend: median pairwise slope over
+    // the calendar-bounded series, through the two-pass percentile.
+    "q_theil_sen" -> ((s, d) =>
+      graft.ops.Stats.theilSenTrend(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
+    // Partial correlation: quantity↔price with the discount channel
+    // removed, all three correlations from one moment pass.
+    "q_partial_corr" -> ((s, d) =>
+      graft.ops.Stats.partialCorr(Tables.lineitem(s, d),
+        "l_quantity", "l_extendedprice", "l_discount")),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5558,6 +5570,46 @@ object SparkEntry {
         "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2 " +
         "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3) " +
         "ORDER BY depth"),
+
+    // Same bounded pairwise-slope set, same quantile_cont median.
+    "q_theil_sen" ->
+      ("WITH sd AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "s AS (SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS DOUBLE) " +
+        "AS x, y FROM sd), " +
+        "p AS (SELECT (b.y - a.y) / (b.x - a.x) AS slope FROM s a " +
+        "JOIN s b ON a.x < b.x) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(quantile_cont(slope, 0.5), 6) AS slope FROM p"),
+
+    // Same ten DECIMAL moments, same pinned correlation arithmetic.
+    "q_partial_corr" ->
+      ("WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sz, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS szz, " +
+        "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sxz, " +
+        "CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS syz " +
+        "FROM lineitem WHERE l_quantity IS NOT NULL " +
+        "AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL), " +
+        "r AS (SELECT n, " +
+        "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+        "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+        "(CAST(n AS DOUBLE) * syy - sy * sy)) AS rxy, " +
+        "(CAST(n AS DOUBLE) * sxz - sx * sz) / " +
+        "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+        "(CAST(n AS DOUBLE) * szz - sz * sz)) AS rxz, " +
+        "(CAST(n AS DOUBLE) * syz - sy * sz) / " +
+        "sqrt((CAST(n AS DOUBLE) * syy - sy * sy) * " +
+        "(CAST(n AS DOUBLE) * szz - sz * sz)) AS ryz FROM m) " +
+        "SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz, " +
+        "round(ryz, 6) AS r_yz, " +
+        "round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * " +
+        "(1.0 - ryz * ryz)), 6) AS r_xy_given_z FROM r"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

@@ -467,6 +467,65 @@ object Stats {
       .limit(topN)
   }
 
+  /** Theil-Sen robust trend of the daily-count series: the MEDIAN of all
+    * pairwise slopes — a single wild outlier day moves OLS arbitrarily
+    * but moves this estimator not at all (29% breakdown point). The
+    * pairwise set is CALENDAR-BOUNDED² (a decade of days is ~6.7M pairs
+    * — bounded by time, not data scale), and the median runs through the
+    * bounded two-pass percentile, so nothing here grows with row count.
+    * Output: pair count and slope in rows/day, 6-dp. */
+  def theilSenTrend(df: DataFrame, dateCol: Column): DataFrame = {
+    val series = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__y"))
+      .select(unix_date(col("__d")).cast("double").alias("__x"), col("__y"))
+    val s2 = series.select(col("__x").alias("__x2"), col("__y").alias("__y2"))
+    // Bounded cross: both sides are the calendar-grain series.
+    val slopes = series.join(s2, col("__x") < col("__x2"))
+      .select(((col("__y2") - col("__y")) / (col("__x2") - col("__x")))
+        .alias("slope"))
+    val n = slopes.agg(count(lit(1)).alias("n_pairs"))
+    val med = Aggregates.percentileTwoPass(slopes, "slope", 0.5)
+      .select(col("value").alias("slope"))
+    n.crossJoin(med)
+  }
+
+  /** First-order partial correlation r_xy·z — the association between x
+    * and y with the z channel removed: r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). All three Pearson correlations come from ONE
+    * exact-DECIMAL moment aggregation (the [[olsFit2]] stance); the
+    * confounder check costs one pass regardless of scale. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+                  zCol: String): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .agg(count(lit(1)).alias("n"),
+        sum(x.cast("decimal(38,12)")).alias("__sx"),
+        sum(y.cast("decimal(38,12)")).alias("__sy"),
+        sum(z.cast("decimal(38,12)")).alias("__sz"),
+        sum((x * x).cast("decimal(38,12)")).alias("__sxx"),
+        sum((y * y).cast("decimal(38,12)")).alias("__syy"),
+        sum((z * z).cast("decimal(38,12)")).alias("__szz"),
+        sum((x * y).cast("decimal(38,12)")).alias("__sxy"),
+        sum((x * z).cast("decimal(38,12)")).alias("__sxz"),
+        sum((y * z).cast("decimal(38,12)")).alias("__syz"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (n * d(sab) - d(sa) * d(sb)) /
+        sqrt((n * d(saa) - d(sa) * d(sa)) * (n * d(sbb) - d(sb) * d(sb)))
+    val rxy = r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    val rxz = r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    val ryz = r("__syz", "__sy", "__sz", "__syy", "__szz")
+    m.select(col("n"),
+      round(rxy, 6).alias("r_xy"), round(rxz, 6).alias("r_xz"),
+      round(ryz, 6).alias("r_yz"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+        .alias("r_xy_given_z"))
+  }
+
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       df.groupBy(col(c).alias("__v"))

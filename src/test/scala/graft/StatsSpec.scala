@@ -188,6 +188,34 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
   }
 
+  test("theilSenTrend ignores a wild outlier day that would wreck OLS") {
+    import spark.implicits._
+    // Counts rise 1/day except one day with a 1000-row spike: the
+    // median pairwise slope stays 1.0.
+    val rows = (0 until 20).flatMap { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 5, 1).plusDays(i))
+      val cnt = if (i == 10) 1000 else i + 1
+      Seq.fill(cnt)(d)
+    }
+    val r = Stats.theilSenTrend(rows.toDF("d"), col("d")).collect().head
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-6, s"slope ${r.getDouble(1)}")
+  }
+
+  test("partialCorr removes a pure confounder") {
+    import spark.implicits._
+    // x and y are independent noise plus a strong shared z component:
+    // raw r_xy is large, r_xy·z collapses toward 0.
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map { _ =>
+      val z = rnd.nextDouble() * 10
+      (z + rnd.nextDouble(), z + rnd.nextDouble(), z)
+    }.toDF("x", "y", "z")
+    val r = Stats.partialCorr(df, "x", "y", "z").collect().head
+    assert(r.getDouble(1) > 0.9, s"raw r_xy should be strong: ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(4)) < 0.1,
+      s"partial r should collapse: ${r.getDouble(4)}")
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
