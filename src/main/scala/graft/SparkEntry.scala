@@ -2964,6 +2964,17 @@ object SparkEntry {
     "q_partial_corr" -> ((s, d) =>
       graft.ops.Stats.partialCorr(Tables.lineitem(s, d),
         "l_quantity", "l_extendedprice", "l_discount")),
+
+    // Grid-bucketed geospatial neighbor join (Joins.geoNeighborPairs):
+    // customer pairs within 200 km over deterministic synthetic
+    // coordinates — one cell equi-join with 3×3 fan-out, never n².
+    "q_geo_neighbors" -> ((s, d) => {
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        (((col("c_custkey") * 37) % 12000) / lit(100.0) - lit(60.0)).alias("lat"),
+        (((col("c_custkey") * 91) % 36000) / lit(100.0) - lit(180.0)).alias("lon"))
+      graft.ops.Joins.geoNeighborPairs(pts, "c_custkey", "lat", "lon",
+        radiusKm = 200.0)
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5610,6 +5621,24 @@ object SparkEntry {
         "round(ryz, 6) AS r_yz, " +
         "round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * " +
         "(1.0 - ryz * ryz)), 6) AS r_xy_given_z FROM r"),
+
+    // Brute-force haversine over the same synthetic points — the grid
+    // join must find exactly the all-pairs answer; association pinned
+    // to the engine's (x * (pi/180)) ordering.
+    "q_geo_neighbors" ->
+      ("WITH p AS (SELECT c_custkey AS k, " +
+        "((c_custkey * 37) % 12000) / 100.0 - 60.0 AS lat, " +
+        "((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon FROM customer), " +
+        "f AS (SELECT * FROM p WHERE abs(lat) <= 60.0), " +
+        "pr AS (SELECT a.k AS k1, b.k AS k2, 2.0 * 6371.0 * asin(sqrt(" +
+        "sin((b.lat - a.lat) * (pi() / 180.0) / 2.0) * " +
+        "sin((b.lat - a.lat) * (pi() / 180.0) / 2.0) + " +
+        "cos(a.lat * (pi() / 180.0)) * cos(b.lat * (pi() / 180.0)) * " +
+        "sin((b.lon - a.lon) * (pi() / 180.0) / 2.0) * " +
+        "sin((b.lon - a.lon) * (pi() / 180.0) / 2.0))) AS d " +
+        "FROM f a JOIN f b ON a.k < b.k) " +
+        "SELECT k1, k2, round(d, 6) AS dist_km FROM pr WHERE d <= 200.0 " +
+        "ORDER BY k1, k2"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

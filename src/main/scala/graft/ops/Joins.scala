@@ -197,4 +197,54 @@ object Joins {
   private def floorDivExact(a: Column, b: Long): Column =
     ((a.cast("decimal(38,0)") - pmod(a, lit(b)).cast("decimal(38,0)")) /
       lit(b).cast("decimal(19,0)")).cast("long")
+
+  /** Geospatial neighbor self-join — every unordered point pair within
+    * `radiusKm` (haversine) — as ONE hash equi-join on grid cells: the
+    * 2-D sibling of [[bandJoin]]. The left side keeps its own cell; the
+    * right side fans out to its 3×3 cell neighborhood, so each candidate
+    * pair meets exactly once in the left point's cell and `k1 < k2`
+    * keeps one orientation. Cell edge = 2·radius/111° so the 3×3 block
+    * covers the radius in longitude up to |lat| ≤ 60° (points beyond are
+    * filtered out and documented — pole-adjacent longitude shrink would
+    * need latitude-banded cells). Candidates ∝ local density × true
+    * matches, never n²; the exact haversine filter runs codegen'd on
+    * equi-join survivors only. */
+  def geoNeighborPairs(df: DataFrame, keyCol: String, latCol: String,
+                       lonCol: String, radiusKm: Double): DataFrame = {
+    require(radiusKm > 0 && radiusKm <= 1000, s"geoNeighborPairs: bad radius $radiusKm")
+    val cellDeg = 2.0 * radiusKm / 111.0
+    // Longitude cells are MODULAR so pairs straddling the ±180° seam
+    // still meet (the brute-force oracle finds them; a flat grid
+    // wouldn't). Latitude cells don't wrap.
+    val nLonCells = math.ceil(360.0 / cellDeg).toLong
+    val pts = df.select(col(keyCol).alias("__k"),
+        col(latCol).cast("double").alias("__lat"),
+        col(lonCol).cast("double").alias("__lon"))
+      .filter(abs(col("__lat")) <= 60.0)
+    def cellLat(c: Column) = floor(c / cellDeg).cast("long")
+    def cellLon(c: Column) = floor((c + lit(180.0)) / cellDeg).cast("long")
+    val left = pts.select(col("__k").alias("__k1"),
+      col("__lat").alias("__lat1"), col("__lon").alias("__lon1"),
+      cellLat(col("__lat")).alias("__cy"), cellLon(col("__lon")).alias("__cx"))
+    val right = pts.select(col("__k").alias("__k2"),
+        col("__lat").alias("__lat2"), col("__lon").alias("__lon2"),
+        explode(array((-1 to 1).map(d => cellLat(col("__lat")) + d): _*))
+          .alias("__cy"))
+      .select(col("__k2"), col("__lat2"), col("__lon2"), col("__cy"),
+        explode(array((-1 to 1).map(d =>
+          pmod(cellLon(col("__lon2")) + d, lit(nLonCells))): _*))
+          .alias("__cx"))
+    val rad = lit(math.Pi) / lit(180.0)
+    val dLat = (col("__lat2") - col("__lat1")) * rad / lit(2.0)
+    val dLon = (col("__lon2") - col("__lon1")) * rad / lit(2.0)
+    val h = sin(dLat) * sin(dLat) +
+      cos(col("__lat1") * rad) * cos(col("__lat2") * rad) * sin(dLon) * sin(dLon)
+    val distKm = lit(2.0) * lit(6371.0) * asin(sqrt(h))
+    left.join(right, Seq("__cy", "__cx"))
+      .filter(col("__k1") < col("__k2"))
+      .filter(distKm <= radiusKm)
+      .select(col("__k1").alias("k1"), col("__k2").alias("k2"),
+        round(distKm, 6).alias("dist_km"))
+      .orderBy("k1", "k2")
+  }
 }

@@ -216,6 +216,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       s"partial r should collapse: ${r.getDouble(4)}")
   }
 
+  test("geoNeighborPairs finds seam pairs exactly once and respects the radius") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.0, 179.9), (2L, 0.0, -179.9),   // 22 km apart across ±180
+      (3L, 10.0, 10.0), (4L, 10.1, 10.0),    // ~11 km apart
+      (5L, 50.0, 50.0), (6L, 55.0, 50.0),    // ~556 km apart
+      (7L, 70.0, 0.0))                       // beyond the |lat|<=60 domain
+      .toDF("k", "lat", "lon")
+    val got = graft.ops.Joins.geoNeighborPairs(df, "k", "lat", "lon", 200.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L), (3L, 4L)),
+      s"got ${got.toSeq}")
+    assert(got(0)._3 > 20 && got(0)._3 < 25, s"seam distance ${got(0)._3}")
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
