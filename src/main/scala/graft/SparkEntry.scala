@@ -2975,6 +2975,23 @@ object SparkEntry {
       graft.ops.Joins.geoNeighborPairs(pts, "c_custkey", "lat", "lon",
         radiusKm = 200.0)
     }),
+
+    // Zipf rank-frequency fit over the corpus vocabulary: weighted
+    // log-log OLS on the count-of-counts table, slope ≈ −1 audit.
+    "q_zipf_fit" -> ((s, d) =>
+      graft.ops.Stats.zipfFit(Tables.documents(s, d), "text")),
+
+    // XYZ demand-variability bands per part over the full month grid
+    // (zero months count), beside q_abc_analysis' value bands.
+    "q_xyz_analysis" -> ((s, d) =>
+      graft.ops.Stats.xyzAnalysis(Tables.lineitem(s, d), "l_partkey",
+        to_date(col("l_shipdate")), "l_quantity")),
+
+    // Naive / seasonal-naive forecast error floor over daily volume —
+    // the MASE denominator every forecast model must beat.
+    "q_forecast_baseline" -> ((s, d) =>
+      graft.ops.Stats.forecastBaseline(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5639,6 +5656,69 @@ object SparkEntry {
         "FROM f a JOIN f b ON a.k < b.k) " +
         "SELECT k1, k2, round(d, 6) AS dist_km FROM pr WHERE d <= 200.0 " +
         "ORDER BY k1, k2"),
+
+    // Same count-of-counts reduction, same min-rank convention, same
+    // weighted DECIMAL moments.
+    "q_zipf_fit" ->
+      ("WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS cnt FROM t WHERE token <> '' GROUP BY 1), " +
+        "pc AS (SELECT cnt, count(*) AS m FROM c GROUP BY 1), " +
+        "r AS (SELECT cnt, m, COALESCE(SUM(m) OVER (ORDER BY cnt DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pc), " +
+        "p AS (SELECT m, ln(CAST(bef AS DOUBLE) + 1.0) AS x, " +
+        "ln(CAST(cnt AS DOUBLE)) AS y FROM r), " +
+        "mm AS (SELECT CAST(SUM(m) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(m * x AS DECIMAL(28,10))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(m * y AS DECIMAL(28,10))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(m * x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(m * y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy, " +
+        "CAST(SUM(CAST(m * x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy FROM p), " +
+        "c2 AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, " +
+        "CAST(n AS DOUBLE) * sxy - sx * sy AS covn, " +
+        "CAST(n AS DOUBLE) * sxx - sx * sx AS varxn, " +
+        "CAST(n AS DOUBLE) * syy - sy * sy AS varyn FROM mm) " +
+        "SELECT n AS n_tokens_distinct, round(covn / varxn, 6) AS slope, " +
+        "round((sy - covn / varxn * sx) / nd, 6) AS intercept, " +
+        "round(covn * covn / (varxn * varyn), 6) AS r2 FROM c2"),
+
+    // Same full-month-grid fill, same guarded population cv, same bands.
+    "q_xyz_analysis" ->
+      ("WITH mo AS (SELECT l_partkey AS k, " +
+        "date_trunc('month', CAST(l_shipdate AS DATE)) AS m, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "ms AS (SELECT DISTINCT m FROM mo), ks AS (SELECT DISTINCT k FROM mo), " +
+        "g AS (SELECT k, m FROM ks CROSS JOIN ms), " +
+        "f AS (SELECT g.k, COALESCE(mo.q, 0.0) AS q FROM g " +
+        "LEFT JOIN mo ON g.k = mo.k AND g.m = mo.m), " +
+        "st AS (SELECT k, CAST(count(*) AS BIGINT) AS n, " +
+        "SUM(CAST(q AS DECIMAL(28,8))) AS s, " +
+        "SUM(CAST(q * q AS DECIMAL(28,8))) AS ss FROM f GROUP BY 1), " +
+        "cv AS (SELECT k, sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) / " +
+        "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS cv FROM st WHERE s > 0), " +
+        "b AS (SELECT CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y' " +
+        "ELSE 'Z' END AS band, cv FROM cv) " +
+        "SELECT band, CAST(count(*) AS BIGINT) AS n_keys, " +
+        "round(CAST(SUM(CAST(cv AS DECIMAL(28,10))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_cv FROM b GROUP BY 1 ORDER BY 1"),
+
+    // Same lag-1/lag-7 error sums over the daily series.
+    "q_forecast_baseline" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "l AS (SELECT y, lag(y, 1) OVER (ORDER BY d) AS l1, " +
+        "lag(y, 7) OVER (ORDER BY d) AS l7 FROM s), " +
+        "k AS (SELECT " +
+        "CAST(SUM(CAST(abs(y - l1) AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(l1) AS DOUBLE) AS a1, " +
+        "CAST(SUM(CAST(abs(y - l1) / y AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(l1) AS DOUBLE) AS p1, " +
+        "CAST(SUM(CAST(abs(y - l7) AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(l7) AS DOUBLE) AS a7 FROM l) " +
+        "SELECT round(a1, 6) AS mae_naive, round(p1, 6) AS mape_naive, " +
+        "round(a7, 6) AS mae_snaive, round(a7 / a1, 6) AS snaive_vs_naive FROM k"),
   )
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the

@@ -526,6 +526,107 @@ object Stats {
         .alias("r_xy_given_z"))
   }
 
+  /** Zipf rank-frequency fit: weighted log-log OLS over the (rank,
+    * count) curve — slope ≈ −1 for natural language, and a corpus whose
+    * slope drifts far from it is machine-generated, deduplicated into
+    * distortion, or template spam. Runs ENTIRELY on the count-of-counts
+    * table (hundreds of rows for any corpus): tokens shuffle once into
+    * counts, counts reduce to (cnt, m) multiplicities, ranks come from
+    * [[withCumBefore]] descending (ties share their first position —
+    * the min-rank Zipf convention), and the weighted OLS moments sum in
+    * DECIMAL(28,10). */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias("__cnt"))
+    val perCnt = counts.groupBy(col("__cnt")).agg(count(lit(1)).alias("__m"))
+      .withColumn("__neg", -col("__cnt"))
+    val ranked = withCumBefore(perCnt, "__neg", "__m")
+      .withColumn("__x", log(col("__before").cast("double") + lit(1.0)))
+      .withColumn("__y", log(col("__cnt").cast("double")))
+    val m = ranked.agg(
+      sum("__m").alias("n_tokens_distinct"),
+      sum((col("__m") * col("__x")).cast("decimal(28,10)")).alias("__sx"),
+      sum((col("__m") * col("__y")).cast("decimal(28,10)")).alias("__sy"),
+      sum((col("__m") * col("__x") * col("__x")).cast("decimal(28,10)")).alias("__sxx"),
+      sum((col("__m") * col("__y") * col("__y")).cast("decimal(28,10)")).alias("__syy"),
+      sum((col("__m") * col("__x") * col("__y")).cast("decimal(28,10)")).alias("__sxy"))
+    val n = col("n_tokens_distinct").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covn = n * d("__sxy") - d("__sx") * d("__sy")
+    val varxn = n * d("__sxx") - d("__sx") * d("__sx")
+    val varyn = n * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n_tokens_distinct"),
+      round(covn / varxn, 6).alias("slope"),
+      round((d("__sy") - covn / varxn * d("__sx")) / n, 6).alias("intercept"),
+      round(covn * covn / (varxn * varyn), 6).alias("r2"))
+  }
+
+  /** XYZ demand-variability bands beside the ABC value bands: per part,
+    * the coefficient of variation of MONTHLY demand over the FULL month
+    * grid (zero months count — skipping them is the classic way to
+    * understate variability), banded X < 0.5 ≤ Y < 1.0 ≤ Z. The month
+    * grid is calendar-bounded and broadcast; per-part moments come from
+    * one exact-DECIMAL aggregation over the filled grid. Output: band
+    * census with average cv. */
+  def xyzAnalysis(df: DataFrame, keyCol: String, dateCol: Column,
+                  qtyCol: String): DataFrame = {
+    val monthly = df.groupBy(col(keyCol).alias("__k"),
+        trunc(dateCol, "month").alias("__mo"))
+      .agg(sum(col(qtyCol).cast("decimal(18,2)")).cast("double").alias("__q"))
+    val months = monthly.select(col("__mo")).distinct()
+    val keys = monthly.select(col("__k")).distinct()
+    val grid = keys.crossJoin(broadcast(months))
+    val filled = grid.join(monthly, Seq("__k", "__mo"), "left")
+      .na.fill(0.0, Seq("__q"))
+    val stats = filled.groupBy("__k").agg(
+      count(lit(1)).alias("__n"),
+      sum(col("__q").cast("decimal(28,8)")).alias("__s"),
+      sum((col("__q") * col("__q")).cast("decimal(28,8)")).alias("__ss"))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    // greatest(·,0) guards the tiny-negative float variance of a
+    // near-constant series (sqrt(NaN) would band as Z on one engine
+    // and fail the DECIMAL cast on the other).
+    val variance = greatest(col("__ss").cast("double") / n - mean * mean, lit(0.0))
+    val cv = sqrt(variance) / mean
+    stats.filter(col("__s") > 0)
+      .withColumn("__cv", cv)
+      .withColumn("band",
+        when(col("__cv") < 0.5, "X").when(col("__cv") < 1.0, "Y").otherwise("Z"))
+      .groupBy("band")
+      .agg(count(lit(1)).alias("n_keys"),
+        round(sum(col("__cv").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double"), 6).alias("avg_cv"))
+      .orderBy("band")
+  }
+
+  /** Forecast-baseline error report over the daily-count series: MAE and
+    * MAPE of the naive (yesterday) and seasonal-naive (last week)
+    * forecasts, plus their ratio — the denominator every real forecast
+    * model must beat (a model that loses to lag-7 is worse than no
+    * model). Calendar-bounded ordered window; absolute errors sum in
+    * DECIMAL(28,8). */
+  def forecastBaseline(df: DataFrame, dateCol: Column): DataFrame = {
+    val series = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__y"))
+    val w = Window.orderBy("__d") // calendar-bounded
+    val lagged = series
+      .withColumn("__l1", lag("__y", 1).over(w))
+      .withColumn("__l7", lag("__y", 7).over(w))
+    lagged.agg(
+      round(sum(abs(col("__y") - col("__l1")).cast("decimal(28,8)")).cast("double") /
+        count(col("__l1")).cast("double"), 6).alias("mae_naive"),
+      round(sum((abs(col("__y") - col("__l1")) / col("__y")).cast("decimal(28,8)"))
+        .cast("double") / count(col("__l1")).cast("double"), 6).alias("mape_naive"),
+      round(sum(abs(col("__y") - col("__l7")).cast("decimal(28,8)")).cast("double") /
+        count(col("__l7")).cast("double"), 6).alias("mae_snaive"),
+      round((sum(abs(col("__y") - col("__l7")).cast("decimal(28,8)")).cast("double") /
+        count(col("__l7")).cast("double")) /
+        (sum(abs(col("__y") - col("__l1")).cast("decimal(28,8)")).cast("double") /
+          count(col("__l1")).cast("double")), 6).alias("snaive_vs_naive"))
+  }
+
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       df.groupBy(col(c).alias("__v"))

@@ -231,6 +231,41 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0)._3 > 20 && got(0)._3 < 25, s"seam distance ${got(0)._3}")
   }
 
+  test("zipfFit recovers slope -1 on an exact power-law vocabulary") {
+    import spark.implicits._
+    // Token k (rank k) appears floor(1200/k) times: counts 1200, 600,
+    // 400, ... — an exact 1/k curve, so the log-log slope ≈ −1.
+    val docs = (1 to 40).flatMap(k => Seq.fill(1200 / k)(s"w$k"))
+    val df = Seq(docs.mkString(" ")).toDF("text")
+    val r = Stats.zipfFit(df, "text").collect().head
+    assert(r.getLong(0) === 40L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.05, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) > 0.99, s"r2 ${r.getDouble(3)}")
+  }
+
+  test("xyzAnalysis bands steady vs spiky demand correctly") {
+    import spark.implicits._
+    def d(m: Int) = java.sql.Date.valueOf(f"2024-$m%02d-15")
+    // Part 1: 10 units every month (cv 0 → X). Part 2: one spike month
+    // (cv = sqrt(11) ≈ 3.3 over 12 months → Z).
+    val rows = (1 to 12).map(m => (1L, d(m), 10.0)) ++ Seq((2L, d(6), 120.0))
+    val got = Stats.xyzAnalysis(rows.toDF("k", "dt", "q"), "k", col("dt"), "q")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("X" -> 1L, "Z" -> 1L), s"got $got")
+  }
+
+  test("forecastBaseline computes exact lag-error means") {
+    import spark.implicits._
+    // Daily counts 1,2,1,2,...: |y−l1| = 1 always, |y−l7| = 1 (odd lag).
+    val rows = (0 until 15).flatMap { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 6, 1).plusDays(i))
+      Seq.fill(if (i % 2 == 0) 1 else 2)(d)
+    }
+    val r = Stats.forecastBaseline(rows.toDF("d"), col("d")).collect().head
+    assert(r.getDouble(0) === 1.0 && r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 1.0)
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
