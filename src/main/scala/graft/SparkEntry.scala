@@ -2869,6 +2869,20 @@ object SparkEntry {
       graft.ops.Stats.kaplanMeier(subj, "dur", "observed")
     }),
 
+    // Nelson-Aalen cumulative hazard over the same time-to-purchase
+    // construction as q_survival_km — the when-does-risk-spike view.
+    "q_hazard_na" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy("user_id").agg(
+        min(col("ts")).alias("__first"),
+        min(when(col("event_type") === "purchase", col("ts"))).alias("__conv"),
+        max(col("ts")).alias("__last"))
+        .select(
+          datediff(to_date(coalesce(col("__conv"), col("__last"))),
+            to_date(col("__first"))).cast("long").alias("dur"),
+          col("__conv").isNotNull.alias("observed"))
+      graft.ops.Stats.nelsonAalen(subj, "dur", "observed")
+    }),
+
     // Joint-distribution outliers (Stats.mahalanobisTopK): the 25 rows
     // farthest off the quantity/price covariance ridge.
     "q_mahalanobis" -> ((s, d) =>
@@ -2992,6 +3006,14 @@ object SparkEntry {
     "q_forecast_baseline" -> ((s, d) =>
       graft.ops.Stats.forecastBaseline(Tables.orders(s, d),
         to_date(col("o_orderdate")))),
+
+    // Markov removal-effect attribution (Attribution.markovAttribution):
+    // absorbing-chain channel credit — how much conversion probability
+    // disappears when journeys through each channel are severed.
+    "q_markov_attribution" -> ((s, d) =>
+      graft.ops.Attribution.markovAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+        Seq("click", "error", "signup", "view"), iters = 16)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5390,6 +5412,25 @@ object SparkEntry {
         "round(CASE WHEN dead = 1 THEN 0.0 ELSE surv END, 6) AS surv " +
         "FROM k WHERE d > 0 ORDER BY t"),
 
+    // Same risk sets as q_survival_km, DECIMAL hazard term sums.
+    "q_hazard_na" ->
+      ("WITH s AS (SELECT user_id, min(ts) AS f, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS c, " +
+        "max(ts) AS l FROM events GROUP BY 1), " +
+        "subj AS (SELECT CAST(date_diff('day', CAST(f AS DATE), " +
+        "CAST(coalesce(c, l) AS DATE)) AS BIGINT) AS t, " +
+        "(c IS NOT NULL) AS obs FROM s), " +
+        "pt AS (SELECT t, CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "count(*) AS lv FROM subj GROUP BY 1), " +
+        "r AS (SELECT t, d, SUM(lv) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW " +
+        "AND UNBOUNDED FOLLOWING) AS n_risk FROM pt), " +
+        "k AS (SELECT t, d, n_risk, " +
+        "SUM(CAST(d::DOUBLE / n_risk::DOUBLE AS DECIMAL(28,14))) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch " +
+        "FROM r) SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, " +
+        "round(CAST(ch AS DOUBLE), 6) AS cum_hazard " +
+        "FROM k WHERE d > 0 ORDER BY t"),
+
     // Same exact-DECIMAL moments, same closed-form 2x2 inverse with
     // pinned parenthesization.
     "q_mahalanobis" ->
@@ -5719,7 +5760,80 @@ object SparkEntry {
         "CAST(count(l7) AS DOUBLE) AS a7 FROM l) " +
         "SELECT round(a1, 6) AS mae_naive, round(p1, 6) AS mape_naive, " +
         "round(a7, 6) AS mae_snaive, round(a7 / a1, 6) AS snaive_vs_naive FROM k"),
+
+    // Same journey construction, same transition probabilities, same
+    // 16-sweep DECIMAL(28,14)-truncated value iteration per chain —
+    // generated programmatically (5 chains × 16 unrolled CTEs).
+    "q_markov_attribution" -> markovAttributionOracle,
   )
+
+  /** Unrolled-CTE mirror of [[graft.ops.Attribution.markovAttribution]]
+    * for the fixed events channel set: the fixed-K value iteration is an
+    * operator DEFINITION, so the oracle replicates the identical
+    * DECIMAL-truncated sweeps rather than solving the chain another way. */
+  private lazy val markovAttributionOracle: String = {
+    val chs = Seq("click", "error", "signup", "view")
+    val iters = 16
+    def pcol(s: String) = s"p${s.toLowerCase}"
+    def tcol(src: String, dst: String) = s"t_${src.toLowerCase}_${dst.toLowerCase}"
+    val tpCols = (for { src <- "S" +: chs; dst <- chs :+ "C" } yield
+      s"COALESCE(MAX(CASE WHEN src = '$src' AND dst = '$dst' THEN t END), 0.0) " +
+        s"AS ${tcol(src, dst)}").mkString(", ")
+    def chainTag(removed: Option[String]) = removed.map(_.take(1)).getOrElse("f")
+    def initCte(removed: Option[String]): String = {
+      val states = ("S" +: chs).filterNot(removed.contains)
+      s"i0${chainTag(removed)} AS (SELECT " +
+        states.map(s => s"0.0 AS ${pcol(s)}").mkString(", ") + ")"
+    }
+    def iterCte(n: Int, removed: Option[String]): String = {
+      val tag = chainTag(removed)
+      val states = ("S" +: chs).filterNot(removed.contains)
+      val body = states.map { src =>
+        val terms = chs.filterNot(removed.contains).map(dst =>
+          s"CAST(${tcol(src, dst)} * ${pcol(dst)} AS DECIMAL(28,14))") :+
+          s"CAST(${tcol(src, "C")} * 1.0 AS DECIMAL(28,14))"
+        s"CAST(${terms.mkString(" + ")} AS DOUBLE) AS ${pcol(src)}"
+      }.mkString(", ")
+      s"i$n$tag AS (SELECT $body FROM i${n - 1}$tag CROSS JOIN tp)"
+    }
+    val chains = None +: chs.map(Some(_))
+    val chainCtes = chains.flatMap(r =>
+      initCte(r) +: (1 to iters).map(i => iterCte(i, r))).mkString(", ")
+    val resCols = chs.map(c =>
+      s"greatest(1.0 - i$iters${c.take(1)}.ps / i${iters}f.ps, 0.0) AS re_$c")
+      .mkString(", ")
+    val resFrom = (s"i${iters}f" +: chs.map(c => s"i$iters${c.take(1)}"))
+      .mkString(" CROSS JOIN ")
+    val tot = chs.map(c => s"re_$c").mkString(" + ")
+    val finalRows = chs.map(c =>
+      s"SELECT '$c' AS channel, round(re_$c, 6) AS removal_effect, " +
+        s"CASE WHEN tot > 0 THEN round(re_$c / tot, 6) END AS share FROM r2")
+      .mkString(" UNION ALL ")
+    "WITH e AS (SELECT user_id AS k, event_type AS ty, epoch_us(ts) AS tus, " +
+      "event_id AS tie FROM events), " +
+      "fp AS (SELECT k, tus, tie FROM (SELECT k, tus, tie, row_number() OVER " +
+      "(PARTITION BY k ORDER BY tus, tie) AS rn FROM e WHERE ty = 'purchase') " +
+      "WHERE rn = 1), " +
+      "tc AS (SELECT e.k, e.ty, e.tus, e.tie, fp.k IS NOT NULL AS conv " +
+      "FROM e LEFT JOIN fp ON e.k = fp.k WHERE e.ty <> 'purchase' " +
+      "AND (fp.k IS NULL OR (e.tus, e.tie) < (fp.tus, fp.tie))), " +
+      "st AS (SELECT k, ty, conv, lead(ty) OVER (PARTITION BY k " +
+      "ORDER BY tus, tie) AS nxt, row_number() OVER (PARTITION BY k " +
+      "ORDER BY tus, tie) AS rn FROM tc), " +
+      "tr AS (SELECT ty AS src, COALESCE(nxt, CASE WHEN conv THEN 'C' " +
+      "ELSE 'N' END) AS dst FROM st " +
+      "UNION ALL SELECT 'S', ty FROM st WHERE rn = 1 " +
+      "UNION ALL SELECT 'S', 'C' FROM fp WHERE k NOT IN (SELECT k FROM tc)), " +
+      "ct AS (SELECT src, dst, count(*) AS cnt FROM tr GROUP BY 1, 2), " +
+      "tt AS (SELECT src, sum(cnt) AS tot FROM ct GROUP BY 1), " +
+      s"tp AS (SELECT $tpCols FROM (SELECT ct.src, ct.dst, " +
+      "CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS t FROM ct " +
+      "JOIN tt USING (src))), " +
+      chainCtes + ", " +
+      s"r1 AS (SELECT $resCols FROM $resFrom), " +
+      s"r2 AS (SELECT re_click, re_error, re_signup, re_view, $tot AS tot FROM r1) " +
+      s"SELECT channel, removal_effect, share FROM ($finalRows) ORDER BY channel"
+  }
 
   /** Mirror of Sessionize.ewmaTrailing (decay 0.9, lookback 20): the
     * same newest-first frame list and the same left-associated weighted

@@ -308,6 +308,31 @@ object Stats {
       .orderBy("t")
   }
 
+  /** Nelson-Aalen cumulative hazard H(t) = Σ_{u≤t} d_u/n_u beside
+    * [[kaplanMeier]]'s survival curve (same risk-set construction, same
+    * calendar-bounded ordered window): the hazard view localizes WHEN
+    * risk spikes, where S(t) only shows the cumulative toll. Terms sum
+    * in DECIMAL(28,14), so the cumulative is partitioning-proof. */
+  def nelsonAalen(subjects: DataFrame, durCol: String,
+                  observedCol: String): DataFrame = {
+    val perT = subjects.groupBy(col(durCol).alias("t"))
+      .agg(sum(when(col(observedCol), 1L).otherwise(0L)).alias("d"),
+        count(lit(1)).alias("__leave"))
+    val w = Window.orderBy("t") // duration-grain: calendar-bounded
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("n_risk",
+        sum("__leave").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__h",
+        (col("d").cast("double") / col("n_risk").cast("double"))
+          .cast("decimal(28,14)"))
+      .withColumn("cum_hazard",
+        round(sum("__h").over(cum).cast("double"), 6))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"), col("cum_hazard"))
+      .orderBy("t")
+  }
+
   /** Mahalanobis-distance outliers over two numeric columns: covariance
     * moments from ONE exact-DECIMAL aggregation (broadcast back as a
     * single row), the closed-form 2×2 inverse applied per row inside

@@ -266,6 +266,26 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(3) === 1.0)
   }
 
+  test("markovAttribution credits the gateway channel, not the bystander") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // Every conversion passes through 'gate'; 'noise' appears in
+    // journeys but never leads anywhere conversions need it.
+    val rows = Seq(
+      (1, t(0), 1L, "gate"), (1, t(1), 2L, "buy"),
+      (2, t(0), 3L, "gate"), (2, t(1), 4L, "buy"),
+      (3, t(0), 5L, "noise"), (3, t(1), 6L, "gate"), (3, t(2), 7L, "buy"),
+      (4, t(0), 8L, "noise"))
+      .toDF("u", "ts", "eid", "ty")
+    val got = graft.ops.Attribution.markovAttribution(rows, "u", "ts", "eid",
+        "ty", "buy", Seq("gate", "noise"), iters = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    assert(got("gate")._1 === 1.0, s"gate must carry all credit: $got")
+    assert(got("noise")._1 < 0.5, s"noise overcredited: $got")
+    assert(got("gate")._2 > 0.6)
+  }
+
   test("entropyProfile: uniform 4-way is 2 bits, constant is 0 bits") {
     import spark.implicits._
     val df = (0 until 64).map(i => (i % 4, "k")).toDF("four", "const")
