@@ -136,6 +136,9 @@ object GraftFunctions {
       info(classOf[TopNgramBestExpr], "top_ngram_best"),
       (c: Seq[Expression]) =>
         TopNgramBestExpr(c.head, intLit(c(1), "top_ngram_best", "n"))),
+    (FunctionIdentifier("jaro_winkler"),
+      info(classOf[JaroWinklerExpr], "jaro_winkler"),
+      (c: Seq[Expression]) => JaroWinklerExpr(c.head, c(1))),
     // custom aggregates: the analyzer wraps a raw AggregateFunction from a
     // registry builder into its AggregateExpression, so these compose with
     // GROUP BY / FILTER like any built-in aggregate

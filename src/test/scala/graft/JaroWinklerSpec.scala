@@ -24,6 +24,13 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSpec {
     assert(jw("a", "b") === 0.0)
   }
 
+  test("SQL surface: jaro_winkler(a, b) resolves through the registry") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT round(jaro_winkler('martha', 'marhta'), 6) AS jw").collect().head
+    assert(math.abs(got.getDouble(0) - 0.961111) < 1e-9)
+  }
+
   test("column API runs the kernel inside the plan and keeps nulls null") {
     import spark.implicits._
     val df = Seq(("martha", "marhta"), ("crate", "trace"), (null, "x"))
