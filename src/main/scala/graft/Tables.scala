@@ -5,8 +5,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Loaders for the driver parquet fixtures (TESTDATA.md). All queries read
   * through here so scan options stay in one place. */
 object Tables {
+  /** Fixture generations have shipped timestamp columns both as
+    * TIMESTAMP(isAdjustedToUTC=true) and as naive TIMESTAMP_NTZ. The whole
+    * engine (window/watermark ops, TIMESTAMP literals, unix_micros) works
+    * on TimestampType, and every session pins spark.sql.session.timeZone
+    * to UTC, so casting NTZ→TIMESTAMP here is epoch-preserving and keeps
+    * the oracle (DuckDB reads the same column as naive) in agreement. The
+    * cast is a metadata-only reinterpretation under UTC — it does not
+    * break column pruning or predicate pushdown on other columns. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, d.col(f.name).cast(TimestampType))
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -16,10 +31,12 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark has no
-    * native type for. Sessions set spark.sql.legacy.parquet.nanosAsLong,
-    * so the raw read yields a long; normalize to TimestampType (µs) here
-    * so the rest of the engine sees a real timestamp column. */
+  /** events.parquet has shipped `ts` both as TIMESTAMP(MICROS) (reads
+    * natively as TimestampType) and as TIMESTAMP(NANOS), which Spark has
+    * no native type for. Sessions set spark.sql.legacy.parquet.nanosAsLong,
+    * so a nanos fixture reads as long; normalize that to TimestampType
+    * (µs) here so the rest of the engine sees a real timestamp column
+    * either way. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -22,12 +22,14 @@ case class DebEvent(event_id: Long, user_id: Long, ts: Timestamp)
   */
 object EventsStream {
 
-  /** The events fixture schema with ts normalized to TimestampType.
-    * (The parquet stores TIMESTAMP(NANOS); under nanosAsLong it reads as
-    * LongType nanos.) */
-  val rawSchema: StructType = StructType(Seq(
+  /** The events fixture schema with `ts` as `tsType` — streaming file
+    * sources require a user-supplied schema, and fixture generations have
+    * shipped `ts` both as TIMESTAMP(MICROS) (reads natively) and as
+    * TIMESTAMP(NANOS) (no Spark type; under nanosAsLong it reads as
+    * LongType nanos), so the type is probed from the footer at start. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -36,14 +38,27 @@ object EventsStream {
   /** readStream over the events parquet, `maxFilesPerTrigger` bounding each
     * micro-batch — the streaming analog of the 1M-row chunk loop (A4).
     * Streaming file sources take a DIRECTORY; the fixture dir holds other
-    * tables too, so a glob filter selects just the events file(s). */
-  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+    * tables too, so a glob filter selects just the events file(s). A one-off
+    * batch read probes the footer's `ts` physical type (driver-side schema
+    * inference only — no data scan) so the stream schema matches whichever
+    * timestamp encoding this fixture generation carries. */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val probed = spark.read.option("pathGlobFilter", "events*.parquet")
+      .parquet(dir).schema("ts").dataType
+    val stream = spark.readStream
+      .schema(rawSchema(probed))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events*.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    probed match {
+      case LongType => // nanos fixture read as long under nanosAsLong
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // naive micros fixture; sessions pin UTC,
+        // so the cast is epoch-preserving (same convention as Tables)
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
+  }
 
   /** Tumbling-window count/sum per event_type with a watermark: late data
     * beyond `lateness` is dropped, state is bounded — the only design that
