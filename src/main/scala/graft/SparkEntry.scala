@@ -3014,6 +3014,82 @@ object SparkEntry {
       graft.ops.Attribution.markovAttribution(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type", "purchase",
         Seq("click", "error", "signup", "view"), iters = 16)),
+
+    // ROC AUC by the rank statistic (Stats.rocAuc): does `value`
+    // separate purchase events from the rest? Mann-Whitney normalized
+    // to P(score⁺ > score⁻), midranks for ties.
+    "q_auc" -> ((s, d) =>
+      graft.ops.Stats.rocAuc(Tables.events(s, d),
+        col("event_type") === "purchase", "value")),
+
+    // Two-sample Kolmogorov-Smirnov (Stats.ksTest): error-event values
+    // vs the rest — sup-norm ECDF drift, no binning choice, beside the
+    // binned KL/PSI/JS monitors.
+    "q_ks_test" -> ((s, d) =>
+      graft.ops.Stats.ksTest(Tables.events(s, d),
+        col("event_type") === "error", "value")),
+
+    // Calibration / reliability table (Stats.calibrationReport):
+    // min-max-normalized value vs purchase incidence, 10 bins, per-bin
+    // Brier contribution.
+    "q_calibration" -> ((s, d) =>
+      graft.ops.Stats.calibrationReport(Tables.events(s, d),
+        col("event_type") === "purchase", "value", bins = 10)),
+
+    // Information-gain feature ranking (Stats.infoGain): hour-of-day,
+    // ISO weekday, and value band against purchase incidence.
+    "q_info_gain" -> ((s, d) =>
+      graft.ops.Stats.infoGain(Tables.events(s, d),
+        col("event_type") === "purchase",
+        Seq(
+          ("hour", hour(col("ts"))),
+          ("dow", (weekday(col("ts")) + 1).cast("long")),
+          ("value_band",
+            least(floor(col("value") / 50.0), lit(9.0)).cast("long"))))),
+
+    // Day-of-week seasonal index (Stats.seasonalIndex) of daily order
+    // volume — the multiplicative weekly profile.
+    "q_seasonal_index" -> ((s, d) =>
+      graft.ops.Stats.seasonalIndex(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
+    // Market concentration (Stats.hhiConcentration): HHI + CR4 of
+    // customer revenue within each nation.
+    "q_hhi" -> ((s, d) => {
+      val j = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+      graft.ops.Stats.hhiConcentration(j, "c_nationkey", "o_custkey",
+        "o_totalprice")
+    }),
+
+    // Association rules (Stats.assocRules): directed part pairs over
+    // order baskets with support/confidence/lift/leverage.
+    "q_assoc_rules" -> ((s, d) =>
+      graft.ops.Stats.assocRules(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L, topN = 50)),
+
+    // Bounded-round k-core peeling (Graph.kCore) of the near-dup
+    // candidate graph: 8 sweeps at k=2 — chains and pairwise accidents
+    // peel away, template families survive as cores.
+    "q_kcore" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.kCore(edges, k = 2, rounds = 8).orderBy("node")
+    }),
+
+    // Flesch readability per source (TextAnalysis.readabilityReport):
+    // word/sentence/syllable regexp counts at the scan, one aggregation.
+    "q_readability" -> ((s, d) =>
+      graft.ops.TextAnalysis.readabilityReport(Tables.documents(s, d),
+        "text", "source")),
+
+    // Character-class / encoding-damage profile per source
+    // (TextAnalysis.charsetProfile): the mojibake detector.
+    "q_charset_profile" -> ((s, d) =>
+      graft.ops.TextAnalysis.charsetProfile(Tables.documents(s, d),
+        "text", "source")),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5765,7 +5841,207 @@ object SparkEntry {
     // 16-sweep DECIMAL(28,14)-truncated value iteration per chain —
     // generated programmatically (5 chains × 16 unrolled CTEs).
     "q_markov_attribution" -> markovAttributionOracle,
+
+    // Same per-value midrank construction as q_mannwhitney, normalized
+    // to the AUC probability scale.
+    "q_auc" ->
+      ("WITH v AS (SELECT value, CASE WHEN event_type = 'purchase' THEN 1 " +
+        "ELSE 0 END AS p FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT value, SUM(p) AS cp, SUM(1 - p) AS cn, " +
+        "SUM(p) + SUM(1 - p) AS t FROM v GROUP BY 1), " +
+        "r AS (SELECT cp, cn, t, COALESCE(SUM(t) OVER (ORDER BY value " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pv), " +
+        "c AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(cn) AS BIGINT) AS n_neg, " +
+        "SUM(CAST((CAST(bef AS DOUBLE) + (t + 1) / 2.0) * cp AS DECIMAL(28,8))) AS rp FROM r) " +
+        "SELECT n_pos, n_neg, " +
+        "round((CAST(rp AS DOUBLE) - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0) / " +
+        "(n_pos::DOUBLE * n_neg::DOUBLE), 6) AS auc, " +
+        "round(2.0 * ((CAST(rp AS DOUBLE) - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0) / 2.0) / " +
+        "(n_pos::DOUBLE * n_neg::DOUBLE)) - 1.0, 6) AS gini FROM c"),
+
+    // Inclusive ECDF cumulatives for both slices over the per-value
+    // table, sup-norm max, asymptotic two-sided p.
+    "q_ks_test" ->
+      ("WITH v AS (SELECT value, CASE WHEN event_type = 'error' THEN 1 " +
+        "ELSE 0 END AS b FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT value, SUM(1 - b) AS ca, SUM(b) AS cb FROM v GROUP BY 1), " +
+        "c AS (SELECT SUM(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cuma, SUM(cb) OVER (ORDER BY value " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb FROM pv), " +
+        "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pv), " +
+        "d AS (SELECT max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) - " +
+        "CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS dmax FROM c CROSS JOIN t) " +
+        "SELECT na AS n_a, nb AS n_b, round(dmax, 6) AS d_stat, " +
+        "round(least(1.0, 2.0 * exp(-2.0 * dmax * dmax * CAST(na AS DOUBLE) * " +
+        "CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))), 6) " +
+        "AS p_approx FROM d CROSS JOIN t"),
+
+    // Min-max scalar CTE, equal-width bins, per-bin reliability + Brier.
+    "q_calibration" ->
+      ("WITH b AS (SELECT CAST(value AS DOUBLE) AS s, CASE WHEN " +
+        "event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b), " +
+        "sc AS (SELECT (s - lo) / (hi - lo) AS p, y FROM b CROSS JOIN mm), " +
+        "bn AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y FROM sc) " +
+        "SELECT bin, count(*) AS n, " +
+        "round(CAST(SUM(CAST(p AS DECIMAL(28,10))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mean_pred, " +
+        "round(CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_pos, " +
+        "round(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,10))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS brier " +
+        "FROM bn GROUP BY 1 ORDER BY 1"),
+
+    "q_info_gain" -> infoGainOracle,
+
+    // isodow shares Spark's weekday()+1 numbering (1 = Monday).
+    "q_seasonal_index" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "dw AS (SELECT CAST(isodow(d) AS BIGINT) AS dow, count(*) AS n_days, " +
+        "SUM(CAST(y AS DECIMAL(28,8))) AS sy FROM s GROUP BY 1), " +
+        "o AS (SELECT CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS avg FROM s) " +
+        "SELECT dow, n_days, " +
+        "round(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS avg_count, " +
+        "round((CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)) / avg, 6) " +
+        "AS seasonal_index FROM dw CROSS JOIN o ORDER BY dow"),
+
+    // Shares from exact DECIMAL per-entity totals; CR4 via ranked top-4.
+    "q_hhi" ->
+      ("WITH j AS (SELECT c_nationkey AS grp, o_custkey AS e, o_totalprice AS v " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "per AS (SELECT grp, e, SUM(CAST(v AS DECIMAL(18,2))) AS v FROM j GROUP BY 1, 2), " +
+        "tot AS (SELECT grp, SUM(v) AS tot, count(*) AS n_entities FROM per GROUP BY 1), " +
+        "t4 AS (SELECT grp, SUM(v) AS top4 FROM (SELECT grp, v, " +
+        "row_number() OVER (PARTITION BY grp ORDER BY v DESC, e) AS rn FROM per) " +
+        "WHERE rn <= 4 GROUP BY 1), " +
+        "sh AS (SELECT p.grp, SUM(CAST((CAST(p.v AS DOUBLE) / CAST(t.tot AS DOUBLE)) * " +
+        "(CAST(p.v AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS DECIMAL(28,10))) AS hhi " +
+        "FROM per p JOIN tot t ON p.grp = t.grp GROUP BY 1) " +
+        "SELECT t.grp, t.n_entities, " +
+        "round(CAST(s.hhi AS DOUBLE) * 10000.0, 6) AS hhi, " +
+        "round(CAST(f.top4 AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS cr4 " +
+        "FROM tot t JOIN sh s ON t.grp = s.grp JOIN t4 f ON t.grp = f.grp " +
+        "ORDER BY t.grp"),
+
+    // Directed pair counts over distinct order baskets; rule metrics on
+    // the aggregated pair table.
+    "q_assoc_rules" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem), " +
+        "nb AS (SELECT count(DISTINCT bk) AS n FROM items), " +
+        "pi AS (SELECT it, count(*) AS cin FROM items GROUP BY 1), " +
+        "pr AS (SELECT a.it AS antecedent, b.it AS consequent, count(*) AS pair_n " +
+        "FROM items a JOIN items b ON a.bk = b.bk AND a.it <> b.it " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT antecedent, consequent, pair_n, " +
+        "round(CAST(pair_n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support, " +
+        "round(CAST(pair_n AS DOUBLE) / CAST(na.cin AS DOUBLE), 6) AS confidence, " +
+        "round((CAST(pair_n AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "((CAST(na.cin AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(nc.cin AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS lift, " +
+        "round(CAST(pair_n AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(na.cin AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(nc.cin AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS leverage " +
+        "FROM pr JOIN pi na ON antecedent = na.it " +
+        "JOIN pi nc ON consequent = nc.it CROSS JOIN nb " +
+        "ORDER BY confidence DESC, pair_n DESC, antecedent, consequent LIMIT 50"),
+
+    "q_kcore" -> kcoreOracle(2, 8),
+
+    // Word/sentence/vowel-group regexp counts per doc, per-source means
+    // of 6-dp-rounded per-doc scores.
+    "q_readability" ->
+      ("WITH d AS (SELECT source AS grp, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+')) AS w, " +
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s, " +
+        "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "f AS (SELECT grp, w, s, y, round(206.835 - " +
+        "1.015 * CAST(w AS DOUBLE) / CAST(s AS DOUBLE) - " +
+        "84.6 * CAST(y AS DOUBLE) / CAST(w AS DOUBLE), 6) AS fl FROM d WHERE w > 0) " +
+        "SELECT grp, count(*) AS n_docs, " +
+        "round(CAST(SUM(CAST(w AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_words, " +
+        "round(CAST(SUM(CAST(CAST(y AS DOUBLE) / CAST(w AS DOUBLE) " +
+        "AS DECIMAL(28,10))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS avg_syll_per_word, " +
+        "round(CAST(SUM(CAST(fl AS DECIMAL(28,10))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_flesch, " +
+        "CAST(SUM(CASE WHEN fl < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult " +
+        "FROM f GROUP BY 1 ORDER BY 1"),
+
+    // Character-class counts per doc at the scan, ratio-of-sums per source.
+    "q_charset_profile" ->
+      ("WITH d AS (SELECT source AS grp, length(text) AS nc, " +
+        "len(regexp_extract_all(text, '[A-Za-z]')) AS l, " +
+        "len(regexp_extract_all(text, '[0-9]')) AS dg, " +
+        "len(regexp_extract_all(text, '\\s')) AS w, " +
+        "len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS na, " +
+        "CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS repl, " +
+        "CASE WHEN len(regexp_extract_all(text, " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) > 0 THEN 1 ELSE 0 END AS ctrl " +
+        "FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
+        "SELECT grp, count(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars, " +
+        "round(CAST(SUM(CAST(l AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(nc AS DECIMAL(28,8))) AS DOUBLE), 6) AS letter_ratio, " +
+        "round(CAST(SUM(CAST(dg AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(nc AS DECIMAL(28,8))) AS DOUBLE), 6) AS digit_ratio, " +
+        "round(CAST(SUM(CAST(w AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(nc AS DECIMAL(28,8))) AS DOUBLE), 6) AS space_ratio, " +
+        "round(CAST(SUM(CAST(na AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(nc AS DECIMAL(28,8))) AS DOUBLE), 6) AS non_ascii_ratio, " +
+        "CAST(SUM(repl) AS BIGINT) AS n_replacement_docs, " +
+        "CAST(SUM(ctrl) AS BIGINT) AS n_control_docs " +
+        "FROM d GROUP BY 1 ORDER BY 1"),
   )
+
+  /** Per-feature entropy/conditional-entropy blocks UNION ALLed — one
+    * generated block per (name, SQL expr), mirroring Stats.infoGain's
+    * per-feature aggregations and its 0·log 0 = 0 convention. */
+  private def infoGainOracle: String = {
+    def h(p: String) =
+      s"-(CASE WHEN $p > 0 THEN $p * log2($p) ELSE 0.0 END + " +
+        s"CASE WHEN 1.0 - $p > 0 THEN (1.0 - $p) * log2(1.0 - $p) ELSE 0.0 END)"
+    val features = Seq(
+      ("hour", "hour(ts)"),
+      ("dow", "CAST(isodow(ts) AS BIGINT)"),
+      ("value_band", "CAST(least(floor(value / 50.0), 9.0) AS BIGINT)"))
+    val blocks = features.map { case (name, expr) =>
+      val hl = h("CAST(toty AS DOUBLE) / CAST(tot AS DOUBLE)")
+      s"SELECT '$name' AS feature, n_values, round($hl, 6) AS h_label, " +
+        "round(CAST(ch AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS h_cond, " +
+        s"round($hl - CAST(ch AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS info_gain " +
+        "FROM (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(ny) AS BIGINT) AS toty, " +
+        "count(*) AS n_values, SUM(CAST(n * hv AS DECIMAL(28,10))) AS ch " +
+        "FROM (SELECT n, ny, " +
+        h("CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)") + " AS hv " +
+        s"FROM (SELECT $expr AS v, count(*) AS n, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ny " +
+        "FROM events GROUP BY 1)))"
+    }
+    s"SELECT * FROM (${blocks.mkString(" UNION ALL ")}) ORDER BY feature"
+  }
+
+  /** Unrolled peel rounds over the minhash candidate edges — the fixed
+    * round count is the operator definition (Graph.kCore). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH $mhPairsCtes, e0 AS (SELECT id1 AS a, id2 AS b FROM pairs)")
+    for (i <- 1 to rounds) {
+      sb.append(s", d$i AS (SELECT node, count(*) AS deg FROM " +
+        s"(SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) " +
+        "GROUP BY 1)")
+      sb.append(s", k$i AS (SELECT node FROM d$i WHERE deg >= $k)")
+      sb.append(s", e$i AS (SELECT a, b FROM e${i - 1} " +
+        s"WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))")
+    }
+    sb.append(s" SELECT node, count(*) AS core_degree FROM " +
+      s"(SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) " +
+      "GROUP BY 1 ORDER BY node")
+    sb.toString
+  }
 
   /** Unrolled-CTE mirror of [[graft.ops.Attribution.markovAttribution]]
     * for the fixed events channel set: the fixed-K value iteration is an

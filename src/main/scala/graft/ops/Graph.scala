@@ -236,4 +236,38 @@ object Graph {
     }
     dist
   }
+
+  /** Bounded-round k-core peeling: repeatedly delete nodes of degree
+    * < k (and their edges) for exactly `rounds` sweeps, then report the
+    * surviving nodes with their final core degrees. The density audit
+    * of the near-dup graph — pairwise accidents and chains peel away,
+    * while template families (whose members corroborate each other)
+    * survive as cores. The FIXED round count is the operator definition
+    * (the finite declarative plan, [[pagerank]]'s stance): each sweep
+    * is one degree aggregation + one semi-join on both endpoints.
+    * Each round references the previous edge set THREE times (the
+    * degree union and both endpoint semi-joins), so lineage must be
+    * truncated per round ([[Iterate.checkpointer]]) or the plan grows
+    * 3^rounds. Edges are normalized to undirected distinct (a,b)
+    * pairs first. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16,
+      s"kCore: need k >= 1 and 1 <= rounds <= 16, got k=$k rounds=$rounds")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
+    var e = ckpt(edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").alias("node"))
+        .unionAll(e.select(col("b").alias("node")))
+        .groupBy("node").agg(count(lit(1)).alias("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      e = ckpt(e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+    }
+    e.select(col("a").alias("node"))
+      .unionAll(e.select(col("b").alias("node")))
+      .groupBy("node").agg(count(lit(1)).alias("core_degree"))
+  }
 }

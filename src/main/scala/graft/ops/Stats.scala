@@ -492,6 +492,48 @@ object Stats {
       .limit(topN)
   }
 
+  /** Association rules over baskets: for every DIRECTED item pair
+    * (a → b) co-occurring in ≥ `minSupport` baskets, support,
+    * confidence P(b|a), lift, and leverage (observed − expected
+    * support). The recommendation-rule readout on top of the
+    * [[frequentTriples]] basket shape: one self equi-join on basket id
+    * builds pair counts, per-item counts are a vocabulary-sized
+    * broadcast, and the basket total is a broadcast scalar — rule
+    * arithmetic happens on the aggregated pair table only. Determinism:
+    * ties in the confidence ordering break on (antecedent, consequent). */
+  def assocRules(items: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long, topN: Int): DataFrame = {
+    val base = items.select(col(basketCol).alias("__bk"), col(itemCol).alias("__it"))
+      .distinct()
+    val nBaskets = base.agg(countDistinct("__bk").alias("__n"))
+    val perItem = base.groupBy("__it").agg(count(lit(1)).alias("__in"))
+    val pairs = base.alias("a")
+      .join(base.alias("b"), col("a.__bk") === col("b.__bk") &&
+        col("a.__it") =!= col("b.__it"))
+      .groupBy(col("a.__it").alias("antecedent"), col("b.__it").alias("consequent"))
+      .agg(count(lit(1)).alias("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    val n = col("__n").cast("double")
+    val sa = col("__na").cast("double") / n
+    val sb = col("__nb").cast("double") / n
+    val sp = col("pair_n").cast("double") / n
+    pairs
+      .join(broadcast(perItem.select(col("__it").alias("antecedent"),
+        col("__in").alias("__na"))), "antecedent")
+      .join(broadcast(perItem.select(col("__it").alias("consequent"),
+        col("__in").alias("__nb"))), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("pair_n"),
+        round(sp, 6).alias("support"),
+        round(col("pair_n").cast("double") / col("__na").cast("double"), 6)
+          .alias("confidence"),
+        round(sp / (sa * sb), 6).alias("lift"),
+        round(sp - sa * sb, 6).alias("leverage"))
+      .orderBy(desc("confidence"), desc("pair_n"),
+        col("antecedent"), col("consequent"))
+      .limit(topN)
+  }
+
   /** Theil-Sen robust trend of the daily-count series: the MEDIAN of all
     * pairwise slopes — a single wild outlier day moves OLS arbitrarily
     * but moves this estimator not at all (29% breakdown point). The
@@ -590,24 +632,23 @@ object Stats {
   /** XYZ demand-variability bands beside the ABC value bands: per part,
     * the coefficient of variation of MONTHLY demand over the FULL month
     * grid (zero months count — skipping them is the classic way to
-    * understate variability), banded X < 0.5 ≤ Y < 1.0 ≤ Z. The month
-    * grid is calendar-bounded and broadcast; per-part moments come from
-    * one exact-DECIMAL aggregation over the filled grid. Output: band
-    * census with average cv. */
+    * understate variability), banded X < 0.5 ≤ Y < 1.0 ≤ Z. Zero-filled
+    * months contribute nothing to Σq or Σq², so the full-grid moments
+    * come straight from the OBSERVED months plus the global month count
+    * M (a broadcast scalar): mean = S/M, var = SS/M − mean² — no
+    * key×month grid is ever materialized and the only shuffles are the
+    * two hash aggregations. Output: band census with average cv. */
   def xyzAnalysis(df: DataFrame, keyCol: String, dateCol: Column,
                   qtyCol: String): DataFrame = {
     val monthly = df.groupBy(col(keyCol).alias("__k"),
         trunc(dateCol, "month").alias("__mo"))
       .agg(sum(col(qtyCol).cast("decimal(18,2)")).cast("double").alias("__q"))
     val months = monthly.select(col("__mo")).distinct()
-    val keys = monthly.select(col("__k")).distinct()
-    val grid = keys.crossJoin(broadcast(months))
-    val filled = grid.join(monthly, Seq("__k", "__mo"), "left")
-      .na.fill(0.0, Seq("__q"))
-    val stats = filled.groupBy("__k").agg(
-      count(lit(1)).alias("__n"),
+      .agg(count(lit(1)).alias("__n"))
+    val stats = monthly.groupBy("__k").agg(
       sum(col("__q").cast("decimal(28,8)")).alias("__s"),
       sum((col("__q") * col("__q")).cast("decimal(28,8)")).alias("__ss"))
+      .crossJoin(broadcast(months))
     val n = col("__n").cast("double")
     val mean = col("__s").cast("double") / n
     // greatest(·,0) guards the tiny-negative float variance of a
@@ -650,6 +691,208 @@ object Stats {
         count(col("__l7")).cast("double")) /
         (sum(abs(col("__y") - col("__l1")).cast("decimal(28,8)")).cast("double") /
           count(col("__l1")).cast("double")), 6).alias("snaive_vs_naive"))
+  }
+
+  /** ROC AUC by the rank statistic — AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻)
+    * with midranks for ties, i.e. the Mann-Whitney U normalized to a
+    * probability: P(score⁺ > score⁻) + ½P(=). The model-eval twin of
+    * [[mannWhitneyU]], sharing its scale shape: scores reduce to a
+    * per-value count table, ranks come from [[withCumBefore]] (no
+    * global window), and the rank-weighted sums accumulate in
+    * DECIMAL(28,8). Output: n_pos, n_neg, auc, gini (= 2·AUC − 1). */
+  def rocAuc(df: DataFrame, positive: Column, scoreCol: String): DataFrame = {
+    val tagged = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).alias("value"),
+        when(positive, 1L).otherwise(0L).alias("__p"))
+    val perValue = tagged.groupBy("value")
+      .agg(sum("__p").alias("__cp"), sum(lit(1L) - col("__p")).alias("__cn"))
+      .withColumn("__t", col("__cp") + col("__cn"))
+    val ranked = withCumBefore(perValue, "value", "__t")
+      .withColumn("__rank",
+        col("__before").cast("double") + (col("__t") + 1) / lit(2.0))
+    val c = ranked.agg(
+      sum("__cp").alias("n_pos"), sum("__cn").alias("n_neg"),
+      sum((col("__rank") * col("__cp")).cast("decimal(28,8)")).alias("__rp"))
+    val np = col("n_pos").cast("double"); val nn = col("n_neg").cast("double")
+    val auc = (col("__rp").cast("double") - np * (np + lit(1.0)) / lit(2.0)) /
+      (np * nn)
+    c.select(col("n_pos"), col("n_neg"),
+      round(auc, 6).alias("auc"),
+      round(lit(2.0) * auc - lit(1.0), 6).alias("gini"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov: D = max over observed values of
+    * |F̂_A(v) − F̂_B(v)|, with the asymptotic two-sided p-value
+    * 2·exp(−2·D²·n_A·n_B/(n_A+n_B)). Distribution drift as a SUP-norm
+    * statistic, complementing the binned KL/PSI/JS drift queries —
+    * KS needs no binning choice and no smoothing constant. Scale shape:
+    * per-value counts for both slices in one aggregation, inclusive
+    * cumulatives for both counts in ONE [[withCumBefore]]-style pass
+    * (range partitions + broadcast per-partition offsets, never a
+    * global window), then a max-reduce. */
+  def ksTest(df: DataFrame, groupB: Column, valueCol: String,
+             numParts: Int = 32): DataFrame = {
+    val tagged = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).alias("value"),
+        when(groupB, 1L).otherwise(0L).alias("__b"))
+    val perValue = tagged.groupBy("value")
+      .agg(sum(lit(1L) - col("__b")).alias("__ca"), sum("__b").alias("__cb"))
+    val parts = perValue.repartitionByRange(numParts, col("value"))
+      .withColumn("__pid", spark_partition_id())
+    val pidW = Window.partitionBy("__pid").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts
+      .withColumn("__cuma", sum("__ca").over(pidW))
+      .withColumn("__cumb", sum("__cb").over(pidW))
+    val offsets = local.groupBy("__pid")
+      .agg(sum("__ca").alias("__pa"), sum("__cb").alias("__pb"))
+      .withColumn("__offa", coalesce(sum("__pa").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__offb", coalesce(sum("__pb").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__offa", "__offb")
+    val totals = perValue.agg(sum("__ca").alias("__na"), sum("__cb").alias("__nb"))
+    val d = local.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .select(abs((col("__offa") + col("__cuma")).cast("double") /
+          col("__na").cast("double") -
+        (col("__offb") + col("__cumb")).cast("double") /
+          col("__nb").cast("double")).alias("__d"),
+        col("__na"), col("__nb"))
+      .groupBy("__na", "__nb").agg(max("__d").alias("__dmax"))
+    val na = col("__na").cast("double"); val nb = col("__nb").cast("double")
+    d.select(col("__na").alias("n_a"), col("__nb").alias("n_b"),
+      round(col("__dmax"), 6).alias("d_stat"),
+      round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("__dmax") *
+        col("__dmax") * na * nb / (na + nb))), 6).alias("p_approx"))
+  }
+
+  /** Calibration / reliability table: min-max-normalize the score to
+    * [0,1], bucket into `bins` equal-width bins, and report per bin the
+    * mean predicted probability against the empirical positive rate,
+    * with the per-bin Brier contribution. The readout that separates a
+    * sharp-but-overconfident scorer from a calibrated one. One scalar
+    * min/max aggregation (broadcast), one binned aggregation — two
+    * passes, no window. */
+  def calibrationReport(df: DataFrame, positive: Column, scoreCol: String,
+                        bins: Int): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").alias("__s"),
+        when(positive, 1L).otherwise(0L).alias("__y"))
+    val bounds = base.agg(min("__s").alias("__lo"), max("__s").alias("__hi"))
+    val scored = base.crossJoin(broadcast(bounds))
+      .withColumn("__p", (col("__s") - col("__lo")) /
+        (col("__hi") - col("__lo")))
+      .withColumn("bin",
+        least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
+    scored.groupBy("bin").agg(
+        count(lit(1)).alias("n"),
+        sum(col("__p").cast("decimal(28,10)")).alias("__sp"),
+        sum("__y").alias("__ny"),
+        sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .cast("decimal(28,10)")).alias("__brier"))
+      .select(col("bin"), col("n"),
+        round(col("__sp").cast("double") / col("n").cast("double"), 6)
+          .alias("mean_pred"),
+        round(col("__ny").cast("double") / col("n").cast("double"), 6)
+          .alias("frac_pos"),
+        round(col("__brier").cast("double") / col("n").cast("double"), 6)
+          .alias("brier"))
+      .orderBy("bin")
+  }
+
+  /** Information-gain feature ranking: per candidate feature column,
+    * IG = H(label) − Σ_v (n_v/n)·H(label|feature=v) for a boolean
+    * label. The feature-selection readout (and leakage detector — a
+    * feature with IG ≈ H(label) IS the label) over one bounded
+    * aggregation per feature: each collapses to its distinct-value
+    * count table; entropies come from exact counts with the 0·log 0 = 0
+    * convention, per-value terms DECIMAL-summed. */
+  def infoGain(df: DataFrame, label: Column, features: Seq[(String, Column)])
+      : DataFrame = {
+    val base = df.select(
+      when(label, 1L).otherwise(0L).alias("__y") +:
+        features.map { case (n, c) => c.alias(s"__f_$n") }: _*)
+    def h(p: Column): Column = {
+      val q = lit(1.0) - p
+      -(when(p > 0, p * log2(p)).otherwise(lit(0.0)) +
+        when(q > 0, q * log2(q)).otherwise(lit(0.0)))
+    }
+    features.map { case (name, _) =>
+      val perV = base.groupBy(col(s"__f_$name").alias("__v"))
+        .agg(count(lit(1)).alias("__n"), sum("__y").alias("__ny"))
+      val withH = perV.withColumn("__hv",
+        h(col("__ny").cast("double") / col("__n").cast("double")))
+      withH.agg(
+          sum("__n").alias("__tot"), sum("__ny").alias("__toty"),
+          count(lit(1)).alias("n_values"),
+          sum((col("__n") * col("__hv")).cast("decimal(28,10)")).alias("__ch"))
+        .select(lit(name).alias("feature"), col("n_values"),
+          round(h(col("__toty").cast("double") / col("__tot").cast("double")),
+            6).alias("h_label"),
+          round(col("__ch").cast("double") / col("__tot").cast("double"), 6)
+            .alias("h_cond"),
+          round(h(col("__toty").cast("double") / col("__tot").cast("double")) -
+            col("__ch").cast("double") / col("__tot").cast("double"), 6)
+            .alias("info_gain"))
+    }.reduce(_ unionByName _).orderBy("feature")
+  }
+
+  /** Market-concentration report per group: Herfindahl-Hirschman index
+    * (Σ share², on the 0–10,000 point scale), 4-entity concentration
+    * ratio, and entity count over a value column. Shares reduce each
+    * group to its per-entity totals (one hash aggregation); CR4 takes
+    * the top-4 per group through a rank window over those AGGREGATED
+    * rows (entities per group, never raw rows — WindowGroupLimit keeps
+    * the exchange payload at O(groups·k) map-side). */
+  def hhiConcentration(df: DataFrame, groupCol: String, entityCol: String,
+                       valueCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol).alias("grp"), col(entityCol).alias("__e"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).alias("__v"))
+    val tot = per.groupBy("grp")
+      .agg(sum("__v").alias("__tot"), count(lit(1)).alias("n_entities"))
+    val w = Window.partitionBy("grp").orderBy(desc("__v"), col("__e"))
+    val top4 = per.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 4)
+      .groupBy("grp").agg(sum("__v").alias("__top4"))
+    val shares = per.join(tot.select("grp", "__tot"), "grp")
+      .withColumn("__sh", col("__v").cast("double") / col("__tot").cast("double"))
+      .groupBy("grp")
+      .agg(sum((col("__sh") * col("__sh")).cast("decimal(28,10)")).alias("__hhi"))
+    tot.join(shares, "grp").join(top4, "grp")
+      .select(col("grp"), col("n_entities"),
+        round(col("__hhi").cast("double") * 10000.0, 6).alias("hhi"),
+        round(col("__top4").cast("double") / col("__tot").cast("double"), 6)
+          .alias("cr4"))
+      .orderBy("grp")
+  }
+
+  /** Day-of-week seasonal index of the daily event-count series: per
+    * weekday, avg daily count over the weekday's days divided by the
+    * overall daily average — the multiplicative seasonal profile (and
+    * the denominator for deseasonalized anomaly scoring). The raw
+    * stream reduces to the calendar-bounded daily series in one
+    * aggregation; everything after runs on ≤ (days, 7) rows. Weekdays
+    * are ISO-numbered (1 = Monday … 7 = Sunday — `weekday()+1`, the
+    * numbering DuckDB's `isodow` shares). */
+  def seasonalIndex(df: DataFrame, dateCol: Column): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).alias("__y"))
+    val dow = daily.groupBy((weekday(col("__d")) + 1).cast("long").alias("dow"))
+      .agg(count(lit(1)).alias("n_days"),
+        sum(col("__y").cast("decimal(28,8)")).alias("__s"))
+    val overall = daily.agg(
+      (sum(col("__y").cast("decimal(28,8)")).cast("double") /
+        count(lit(1)).cast("double")).alias("__avg"))
+    dow.crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"),
+        round(col("__s").cast("double") / col("n_days").cast("double"), 6)
+          .alias("avg_count"),
+        round((col("__s").cast("double") / col("n_days").cast("double")) /
+          col("__avg"), 6).alias("seasonal_index"))
+      .orderBy("dow")
   }
 
   def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -584,6 +584,70 @@ object TextAnalysis {
   /** Document fingerprint: 128-bit content hash (md5 of the normalized
     * text) plus a 32-bit numeric prefix for cheap bucketing. Normalization:
     * lowercase + whitespace collapse, the standard exact-dedup key. */
+  /** Per-source readability report: Flesch reading ease from word /
+    * sentence / syllable counts, each a `regexp_count` over the doc (one
+    * codegen'd scan, no tokenization shuffle — the raw text reduces to
+    * three ints per doc at the scan, then one per-source aggregation).
+    * Syllables use the standard vowel-group heuristic ([aeiouy]+ runs);
+    * sentence count clamps at 1 so punctuation-free docs stay finite.
+    * Per-doc scores are rounded to 6 dp BEFORE the per-source DECIMAL
+    * mean so both engines average identical values. */
+  def readabilityReport(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val words = regexp_count(col(textCol), lit("[A-Za-z]+"))
+    val sents = greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+    val syll = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+    val flesch = round(lit(206.835) -
+      lit(1.015) * words.cast("double") / sents.cast("double") -
+      lit(84.6) * syll.cast("double") / words.cast("double"), 6)
+    df.filter(col(textCol).isNotNull && words > 0)
+      .select(col(groupCol).alias("grp"), words.alias("__w"),
+        sents.alias("__s"), syll.alias("__y"), flesch.alias("__f"))
+      .groupBy("grp")
+      .agg(count(lit(1)).alias("n_docs"),
+        round(sum(col("__w").cast("decimal(28,8)")).cast("double") /
+          count(lit(1)).cast("double"), 6).alias("avg_words"),
+        round(sum((col("__y").cast("double") / col("__w").cast("double"))
+            .cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double"), 6).alias("avg_syll_per_word"),
+        round(sum(col("__f").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double"), 6).alias("avg_flesch"),
+        sum(when(col("__f") < 30, 1L).otherwise(0L)).alias("n_difficult"))
+      .orderBy("grp")
+  }
+
+  /** Per-source character-class / encoding-damage profile: ratios of
+    * letters, digits, whitespace, punctuation and non-ASCII characters,
+    * plus counts of docs carrying U+FFFD replacement chars or raw C0
+    * control bytes — the mojibake detector a crawl pipeline runs before
+    * any model sees the bytes. Each ratio is a `regexp_count` at the
+    * scan (per-doc ints, one aggregation; text never shuffles). */
+  def charsetProfile(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val nc = length(t)
+    def cnt(pat: String) = regexp_count(t, lit(pat))
+    def ratio(c: Column) = sum(c.cast("decimal(28,8)")).cast("double") /
+      sum(col("__nc").cast("decimal(28,8)")).cast("double")
+    df.filter(t.isNotNull && nc > 0)
+      .select(col(groupCol).alias("grp"), nc.alias("__nc"),
+        cnt("[A-Za-z]").alias("__l"), cnt("[0-9]").alias("__d"),
+        cnt("\\s").alias("__w"), cnt("[^\\x00-\\x7F]").alias("__na"),
+        when(t.contains("�"), 1L).otherwise(0L).alias("__repl"),
+        when(cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]") > 0, 1L).otherwise(0L)
+          .alias("__ctrl"))
+      .groupBy("grp")
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("__nc").cast("bigint")).alias("n_chars"),
+        round(ratio(col("__l")), 6).alias("letter_ratio"),
+        round(ratio(col("__d")), 6).alias("digit_ratio"),
+        round(ratio(col("__w")), 6).alias("space_ratio"),
+        round(ratio(col("__na")), 6).alias("non_ascii_ratio"),
+        sum("__repl").alias("n_replacement_docs"),
+        sum("__ctrl").alias("n_control_docs"))
+      .orderBy("grp")
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), """\s+""", " ").cast("binary"))
 

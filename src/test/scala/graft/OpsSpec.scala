@@ -1471,4 +1471,47 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(top.getDouble(2) === 0.666667)       // 6/9 rounded 6dp
     assert(top.getDouble(3) === 2.666667)       // 6 / (9/4 keys)
   }
+
+  test("kCore: pendant chain peels away, triangle core survives k=2") {
+    import spark.implicits._
+    // triangle 1-2-3 with a chain 3-4-5 hanging off; k=2 peels 5 (deg 1),
+    // then 4 (deg drops to 1) — the triangle remains at degree 2 each.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, rounds = 4).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k=3: nobody reaches degree 3 once anything peels; empty core.
+    assert(Graph.kCore(edges, k = 3, rounds = 4).count() === 0L)
+  }
+
+  test("readabilityReport: simpler text scores higher Flesch") {
+    import spark.implicits._
+    val df = Seq(
+      ("simple", "The cat sat. The dog ran. We go now."),
+      ("dense", "Incomprehensibility notwithstanding, heterogeneous " +
+        "organizational prioritization methodologies proliferate."))
+      .toDF("source", "text")
+    val rows = TextAnalysis.readabilityReport(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rows("simple") > 60.0, s"simple scored ${rows("simple")}")
+    assert(rows("dense") < 0.0, s"dense scored ${rows("dense")}")
+  }
+
+  test("charsetProfile counts classes and flags encoding damage") {
+    import spark.implicits._
+    val df = Seq(
+      ("clean", "abc 12"),                       // 3 letters, 2 digits, 1 space
+      ("dirty", "ab�cd" + 0x02.toChar)).toDF("source", "text")
+    val rows = TextAnalysis.charsetProfile(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val clean = rows("clean")
+    assert(clean.getLong(2) === 6L)              // n_chars
+    assert(clean.getDouble(3) === 0.5)           // letters 3/6
+    assert(clean.getDouble(4) === 0.333333)      // digits 2/6
+    assert(clean.getLong(7) === 0L && clean.getLong(8) === 0L)
+    val dirty = rows("dirty")
+    assert(dirty.getLong(7) === 1L, "replacement char not flagged")
+    assert(dirty.getLong(8) === 1L, "control char not flagged")
+  }
 }

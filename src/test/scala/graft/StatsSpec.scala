@@ -295,4 +295,106 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(m("four")._2 === 4L && math.abs(m("four")._3 - 2.0) < 1e-9)
     assert(m("const")._2 === 1L && math.abs(m("const")._3) < 1e-9)
   }
+
+  test("rocAuc: perfect separation is 1, swapped labels 0, ties midrank") {
+    import spark.implicits._
+    val perfect = Seq((1, 3.0), (1, 4.0), (0, 1.0), (0, 2.0)).toDF("y", "s")
+    val p = Stats.rocAuc(perfect, col("y") === 1, "s").collect().head
+    assert(p.getLong(0) === 2L && p.getLong(1) === 2L)
+    assert(math.abs(p.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(p.getDouble(3) - 1.0) < 1e-9) // gini = 2·1 − 1
+
+    val inverted = Stats.rocAuc(perfect, col("y") === 0, "s").collect().head
+    assert(math.abs(inverted.getDouble(2)) < 1e-9)
+
+    // One positive tied with one negative at 2.0: pairs = (2>1)=1 and
+    // (2=2)=½ → AUC = 1.5/2.
+    val tied = Seq((1, 2.0), (0, 1.0), (0, 2.0)).toDF("y", "s")
+    val t = Stats.rocAuc(tied, col("y") === 1, "s").collect().head
+    assert(math.abs(t.getDouble(2) - 0.75) < 1e-9)
+  }
+
+  test("ksTest: disjoint supports give D=1; identical samples D=0") {
+    import spark.implicits._
+    val disjoint = (Seq.fill(5)(0).zip(Seq(1.0, 2.0, 3.0, 4.0, 5.0)) ++
+      Seq.fill(5)(1).zip(Seq(11.0, 12.0, 13.0, 14.0, 15.0))).toDF("g", "v")
+    val d1 = Stats.ksTest(disjoint, col("g") === 1, "v").collect().head
+    assert(d1.getLong(0) === 5L && d1.getLong(1) === 5L)
+    assert(math.abs(d1.getDouble(2) - 1.0) < 1e-9)
+
+    val same = (Seq.fill(4)(0) ++ Seq.fill(4)(1)).zip(
+      Seq(1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0)).toDF("g", "v")
+    val d0 = Stats.ksTest(same, col("g") === 1, "v").collect().head
+    assert(math.abs(d0.getDouble(2)) < 1e-9)
+    assert(math.abs(d0.getDouble(3) - 1.0) < 1e-9) // p capped at 1
+  }
+
+  test("calibrationReport: a perfectly calibrated uniform scorer") {
+    import spark.implicits._
+    // Scores 0..99 normalized to [0,1]; y = 1 iff score >= 50 →
+    // bins 0-4 all-negative (frac 0), bins 5-9 all-positive (frac 1).
+    val df = (0 until 100).map(i => (i.toDouble, if (i >= 50) 1 else 0))
+      .toDF("s", "y")
+    val rows = Stats.calibrationReport(df, col("y") === 1, "s", bins = 10)
+      .collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val bin = r.getLong(0); val frac = r.getDouble(3)
+      assert(r.getLong(1) === 10L)
+      assert(frac === (if (bin < 5) 0.0 else 1.0), s"bin $bin frac $frac")
+    }
+  }
+
+  test("infoGain: the label itself carries H(label); noise carries 0") {
+    import spark.implicits._
+    val df = (0 until 64).map(i => (i % 2, i % 2, 7)).toDF("y", "copy", "const")
+    val rows = Stats.infoGain(df, col("y") === 1,
+        Seq(("copy", col("copy")), ("const", col("const"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(4))).toMap
+    assert(math.abs(rows("copy")._1 - 1.0) < 1e-9) // H(label) = 1 bit
+    assert(math.abs(rows("copy")._2 - 1.0) < 1e-9) // IG(copy) = H
+    assert(math.abs(rows("const")._2) < 1e-9)      // IG(const) = 0
+  }
+
+  test("hhiConcentration: monopoly scores 10000, equal split 10000/n") {
+    import spark.implicits._
+    val df = Seq(("mono", "a", 100.0), ("duo", "x", 50.0), ("duo", "y", 50.0),
+      ("quad", "p", 25.0), ("quad", "q", 25.0), ("quad", "r", 25.0),
+      ("quad", "t", 25.0)).toDF("g", "e", "v")
+    val m = Stats.hhiConcentration(df, "g", "e", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(m("mono") === ((1L, 10000.0, 1.0)))
+    assert(m("duo")._2 === 5000.0 && m("duo")._3 === 1.0)
+    assert(m("quad")._2 === 2500.0 && m("quad")._3 === 1.0)
+  }
+
+  test("assocRules: confidence is directional, lift symmetric") {
+    import spark.implicits._
+    // b appears in 4 baskets, a in 2, both-in-2: conf(a→b)=1,
+    // conf(b→a)=0.5, lift = (2/4)/((2/4)(4/4)) = 1 both ways.
+    val df = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b"), (4, "b"))
+      .toDF("bk", "it")
+    val rows = Stats.assocRules(df, "bk", "it", minSupport = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows(("a", "b")) === ((2L, 1.0, 1.0)))
+    assert(rows(("b", "a")) === ((2L, 0.5, 1.0)))
+  }
+
+  test("seasonalIndex: flat series indexes 1.0 on every weekday") {
+    import spark.implicits._
+    val days = (0 until 28).map(i =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)))
+    val df = days.flatMap(d => Seq.fill(3)(d)).toDF("d")
+    val rows = Stats.seasonalIndex(df, col("d")).collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 7L))
+    rows.foreach { r =>
+      assert(r.getLong(1) === 4L)
+      assert(math.abs(r.getDouble(2) - 3.0) < 1e-9)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    }
+  }
 }
