@@ -65,7 +65,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Label the launch protocol: BASELINE.md records 1.4-1.8x uniform
+    // swings between sbt-forked JVMs and raw java on identical code, so
+    // round-over-round deltas are only attributable within one protocol.
+    val protocol = if (sys.props.get("sun.java.command").exists(c =>
+        c.contains("sbt") || c.contains("xsbt")) ||
+        sys.props.keys.exists(_.startsWith("sbt."))) "sbt-jvm" else "raw-java"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"$protocol"}""")
     spark.stop()
   }
 }

@@ -3090,6 +3090,34 @@ object SparkEntry {
     "q_charset_profile" -> ((s, d) =>
       graft.ops.TextAnalysis.charsetProfile(Tables.documents(s, d),
         "text", "source")),
+
+    // Weighted k-core (Graph.kCoreWeighted) of the near-dup graph with
+    // exact-Jaccard edge weights: 8 sweeps peeling weighted degree < 1.0
+    // — similarity-weighted corroboration instead of neighbor counting.
+    "q_kcore_weighted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val toks = docs.select(col("doc_id"),
+        ScaleDedup.tokenSet(col("text")).alias("toks"))
+      val edges = cands
+        .join(toks.select(col("doc_id").alias("id1"), col("toks").alias("t1")), "id1")
+        .join(toks.select(col("doc_id").alias("id2"), col("toks").alias("t2")), "id2")
+        .select(col("id1").alias("src"), col("id2").alias("dst"),
+          ScaleDedup.jaccard(col("t1"), col("t2")).alias("w"))
+      Graph.kCoreWeighted(edges, minWeight = 1.0, rounds = 8).orderBy("node")
+    }),
+
+    // Label-propagation communities (Graph.labelPropagation) over the
+    // near-dup candidate graph: 4 deterministic synchronous sweeps —
+    // finer than connected components (weak bridges don't merge
+    // template families).
+    "q_communities" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.labelPropagation(edges, rounds = 4).orderBy("node")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -5883,7 +5911,8 @@ object SparkEntry {
         "event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events " +
         "WHERE value IS NOT NULL), " +
         "mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b), " +
-        "sc AS (SELECT (s - lo) / (hi - lo) AS p, y FROM b CROSS JOIN mm), " +
+        "sc AS (SELECT CASE WHEN hi = lo THEN 0.5 ELSE (s - lo) / (hi - lo) " +
+        "END AS p, y FROM b CROSS JOIN mm), " +
         "bn AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y FROM sc) " +
         "SELECT bin, count(*) AS n, " +
         "round(CAST(SUM(CAST(p AS DECIMAL(28,10))) AS DOUBLE) / " +
@@ -5977,7 +6006,7 @@ object SparkEntry {
       ("WITH d AS (SELECT source AS grp, length(text) AS nc, " +
         "len(regexp_extract_all(text, '[A-Za-z]')) AS l, " +
         "len(regexp_extract_all(text, '[0-9]')) AS dg, " +
-        "len(regexp_extract_all(text, '\\s')) AS w, " +
+        "len(regexp_extract_all(text, '[ \\t\\n\\x0B\\f\\r]')) AS w, " +
         "len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS na, " +
         "CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS repl, " +
         "CASE WHEN len(regexp_extract_all(text, " +
@@ -5995,6 +6024,10 @@ object SparkEntry {
         "CAST(SUM(repl) AS BIGINT) AS n_replacement_docs, " +
         "CAST(SUM(ctrl) AS BIGINT) AS n_control_docs " +
         "FROM d GROUP BY 1 ORDER BY 1"),
+
+    "q_kcore_weighted" -> kcoreWeightedOracle(1.0, 8),
+
+    "q_communities" -> labelPropagationOracle(4),
   )
 
   /** Per-feature entropy/conditional-entropy blocks UNION ALLed — one
@@ -6025,21 +6058,78 @@ object SparkEntry {
   }
 
   /** Unrolled peel rounds over the minhash candidate edges — the fixed
-    * round count is the operator definition (Graph.kCore). */
+    * round count is the operator definition (Graph.kCore). Every CTE is
+    * MATERIALIZED: each e(i) is referenced three times by round i+1, so
+    * DuckDB's default inlining would expand e0 ~3^rounds times and open
+    * that many parquet handles (the round-7 "Too many open files"). */
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val sb = new StringBuilder(
-      s"WITH $mhPairsCtes, e0 AS (SELECT id1 AS a, id2 AS b FROM pairs)")
+      s"WITH $mhPairsCtes, " +
+        "e0 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs)")
     for (i <- 1 to rounds) {
-      sb.append(s", d$i AS (SELECT node, count(*) AS deg FROM " +
+      sb.append(s", d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM " +
         s"(SELECT a AS node FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) " +
         "GROUP BY 1)")
-      sb.append(s", k$i AS (SELECT node FROM d$i WHERE deg >= $k)")
-      sb.append(s", e$i AS (SELECT a, b FROM e${i - 1} " +
+      sb.append(s", k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k)")
+      sb.append(s", e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1} " +
         s"WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))")
     }
     sb.append(s" SELECT node, count(*) AS core_degree FROM " +
       s"(SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) " +
       "GROUP BY 1 ORDER BY node")
+    sb.toString
+  }
+
+  /** Unrolled weighted peel rounds (Graph.kCoreWeighted): exact-Jaccard
+    * weights as DECIMAL(18,6), DECIMAL sums, threshold compared in
+    * DECIMAL — the engine's exact-weighted-degree stance. MATERIALIZED
+    * CTEs for the same 3^rounds-inlining reason as [[kcoreOracle]]. */
+  private def kcoreWeightedOracle(minW: Double, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH $mhPairsCtes, " +
+        "e0 AS MATERIALIZED (SELECT p.id1 AS a, p.id2 AS b, " +
+        "CAST(round(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(x.toks, y.toks))), 6) " +
+        "AS DECIMAL(18,6)) AS w " +
+        "FROM pairs p JOIN t x ON x.doc_id = p.id1 " +
+        "JOIN t y ON y.doc_id = p.id2)")
+    for (i <- 1 to rounds) {
+      sb.append(s", d$i AS MATERIALIZED (SELECT node, SUM(w) AS wdeg FROM " +
+        s"(SELECT a AS node, w FROM e${i - 1} " +
+        s"UNION ALL SELECT b, w FROM e${i - 1}) GROUP BY 1)")
+      sb.append(s", k$i AS MATERIALIZED (SELECT node FROM d$i " +
+        s"WHERE wdeg >= CAST($minW AS DECIMAL(18,6)))")
+      sb.append(s", e$i AS MATERIALIZED (SELECT a, b, w FROM e${i - 1} " +
+        s"WHERE a IN (SELECT node FROM k$i) AND b IN (SELECT node FROM k$i))")
+    }
+    sb.append(s" SELECT node, round(CAST(SUM(w) AS DOUBLE), 6) " +
+      "AS core_wdegree FROM " +
+      s"(SELECT a AS node, w FROM e$rounds " +
+      s"UNION ALL SELECT b, w FROM e$rounds) " +
+      "GROUP BY 1 ORDER BY node")
+    sb.toString
+  }
+
+  /** Unrolled synchronous label-propagation sweeps
+    * (Graph.labelPropagation): per sweep, neighbor-label counts then the
+    * (count DESC, label ASC) argmax via QUALIFY — the same strict total
+    * order as the engine's min-of-struct tie-break. MATERIALIZED per
+    * round (each labeling feeds the next sweep's join). */
+  private def labelPropagationOracle(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH $mhPairsCtes, " +
+        "n0 AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs " +
+        "UNION ALL SELECT id2, id1 FROM pairs), " +
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM n0)")
+    for (i <- 1 to rounds) {
+      sb.append(s", c$i AS MATERIALIZED (SELECT n.u AS u, l.label AS label, " +
+        s"count(*) AS c FROM n0 n JOIN l${i - 1} l ON n.v = l.node " +
+        "GROUP BY 1, 2)")
+      sb.append(s", l$i AS MATERIALIZED (SELECT u AS node, label FROM c$i " +
+        "QUALIFY row_number() OVER " +
+        "(PARTITION BY u ORDER BY c DESC, label ASC) = 1)")
+    }
+    sb.append(s" SELECT node, label AS community FROM l$rounds ORDER BY node")
     sb.toString
   }
 

@@ -270,4 +270,85 @@ object Graph {
       .unionAll(e.select(col("b").alias("node")))
       .groupBy("node").agg(count(lit(1)).alias("core_degree"))
   }
+
+  /** Weighted k-core peeling: delete nodes whose WEIGHTED degree (sum of
+    * incident edge weights) is < `minWeight` for exactly `rounds` sweeps,
+    * then report survivors with their final weighted core degree. The
+    * similarity-aware density audit: where [[kCore]] counts neighbors,
+    * this weighs them — three 0.9-Jaccard corroborators outrank nine
+    * 0.1-accidents. Same join shape and checkpoint stance as [[kCore]]
+    * (each round references the edge set three times → lineage truncated
+    * per round). Weights are truncated to DECIMAL(18,6) on ingest and
+    * summed as DECIMAL, so the peel threshold compares exact numbers on
+    * any partitioning — a double-sum tie at the threshold could otherwise
+    * flip membership between runs. Duplicate (a,b) rows (e.g. both
+    * orientations of an undirected edge) collapse to their MAX weight.
+    * Returns (node, core_wdegree DOUBLE, 6 dp). */
+  def kCoreWeighted(edges: DataFrame, minWeight: Double,
+                    rounds: Int): DataFrame = {
+    require(minWeight > 0 && rounds >= 1 && rounds <= 16,
+      s"kCoreWeighted: need minWeight > 0 and 1 <= rounds <= 16, " +
+        s"got minWeight=$minWeight rounds=$rounds")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
+    var e = ckpt(edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"),
+        col("w").cast("decimal(18,6)").alias("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(max("w").alias("w")))
+    val thr = lit(minWeight).cast("decimal(18,6)")
+    for (_ <- 1 to rounds) {
+      val wdeg = e.select(col("a").alias("node"), col("w"))
+        .unionAll(e.select(col("b").alias("node"), col("w")))
+        .groupBy("node").agg(sum("w").alias("__wd"))
+      val keep = wdeg.filter(col("__wd") >= thr).select("node")
+      e = ckpt(e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+    }
+    e.select(col("a").alias("node"), col("w"))
+      .unionAll(e.select(col("b").alias("node"), col("w")))
+      .groupBy("node")
+      .agg(round(sum("w").cast("double"), 6).alias("core_wdegree"))
+  }
+
+  /** Synchronous label-propagation communities, `rounds` fixed sweeps:
+    * every node starts labeled with its own id; each sweep every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken toward the SMALLEST label — a strict total order, so
+    * each sweep is a deterministic function of the previous labeling on
+    * any engine and partitioning (classic async LPA is run-order
+    * dependent; this is the reproducible variant). Communities are finer
+    * than connected components: a chain of weak LSH collisions bridging
+    * two template families stays two communities where CC merges them.
+    * Per sweep: one edge⋈labels equi-join, one (node, label) count
+    * aggregation (map-side partials), one min-of-struct argmax — the
+    * rank-free tie-break. The FIXED round count is the operator
+    * definition ([[pagerank]]'s stance); labels feed back each round, so
+    * lineage is truncated per round ([[Iterate.checkpointer]]). Isolated
+    * nodes never appear (the node set derives from the edge list).
+    * Returns (node, community). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"labelPropagation: need 1 <= rounds <= 16, got $rounds")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = ckpt(norm.select(col("a").alias("u"), col("b").alias("v"))
+      .unionAll(norm.select(col("b").alias("u"), col("a").alias("v"))))
+    var labels = und.select(col("u").alias("node")).distinct()
+      .select(col("node"), col("node").alias("label"))
+    for (_ <- 1 to rounds) {
+      val counts = und
+        .join(labels.select(col("node").alias("v"), col("label")), "v")
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).alias("__c"))
+      labels = ckpt(counts.groupBy("u")
+        .agg(min(struct((-col("__c")).alias("nc"), col("label").alias("l")))
+          .alias("__m"))
+        .select(col("u").alias("node"), col("__m.l").alias("label")))
+    }
+    labels.select(col("node"), col("label").alias("community"))
+  }
 }

@@ -541,10 +541,20 @@ object Stats {
     * — bounded by time, not data scale), and the median runs through the
     * bounded two-pass percentile, so nothing here grows with row count.
     * Output: pair count and slope in rows/day, 6-dp. */
-  def theilSenTrend(df: DataFrame, dateCol: Column): DataFrame = {
-    val series = df.groupBy(dateCol.alias("__d"))
+  def theilSenTrend(df: DataFrame, dateCol: Column,
+                    maxDays: Int = 20000): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
       .agg(count(lit(1)).cast("double").alias("__y"))
       .select(unix_date(col("__d")).cast("double").alias("__x"), col("__y"))
+    // maxCell/maxBucket stance: the cross is calendar-bounded, but pin the
+    // bound explicitly — maxDays days ⇒ ≤ maxDays²/2 slope rows (20k days
+    // ≈ 55 years ≈ 200M pairs). The guard sits BEFORE the pairwise join.
+    val nd = daily.agg(count(lit(1)).alias("__nd"))
+    val series = daily.crossJoin(broadcast(nd))
+      .select(when(col("__nd") > maxDays,
+        raise_error(lit(s"theilSenTrend: series exceeds $maxDays days — " +
+          "coarsen the date grain or raise maxDays")))
+        .otherwise(col("__x")).alias("__x"), col("__y"))
     val s2 = series.select(col("__x").alias("__x2"), col("__y").alias("__y2"))
     // Bounded cross: both sides are the calendar-grain series.
     val slopes = series.join(s2, col("__x") < col("__x2"))
@@ -716,9 +726,14 @@ object Stats {
     val np = col("n_pos").cast("double"); val nn = col("n_neg").cast("double")
     val auc = (col("__rp").cast("double") - np * (np + lit(1.0)) / lit(2.0)) /
       (np * nn)
+    // one-class degenerate: n_pos or n_neg = 0 makes AUC 0/0, where Spark
+    // and an oracle disagree (NULL vs NaN) — fail fast instead of diverging
+    def guarded(c: Column) = when(col("n_pos") === 0 || col("n_neg") === 0,
+      raise_error(lit("rocAuc: needs at least one positive and one " +
+        "negative example"))).otherwise(c)
     c.select(col("n_pos"), col("n_neg"),
-      round(auc, 6).alias("auc"),
-      round(lit(2.0) * auc - lit(1.0), 6).alias("gini"))
+      guarded(round(auc, 6)).alias("auc"),
+      guarded(round(lit(2.0) * auc - lit(1.0), 6)).alias("gini"))
   }
 
   /** Two-sample Kolmogorov-Smirnov: D = max over observed values of
@@ -763,10 +778,16 @@ object Stats {
         col("__na"), col("__nb"))
       .groupBy("__na", "__nb").agg(max("__d").alias("__dmax"))
     val na = col("__na").cast("double"); val nb = col("__nb").cast("double")
+    // empty-slice degenerate: a predicate matching no rows leaves one slice
+    // at n = 0 and F̂ undefined (Spark NULL vs oracle NaN) — fail fast.
+    // A fully-empty input still yields 0 rows (no group to aggregate).
+    def guarded(c: Column) = when(col("__na") === 0 || col("__nb") === 0,
+      raise_error(lit("ksTest: both slices must be non-empty")))
+      .otherwise(c)
     d.select(col("__na").alias("n_a"), col("__nb").alias("n_b"),
-      round(col("__dmax"), 6).alias("d_stat"),
-      round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("__dmax") *
-        col("__dmax") * na * nb / (na + nb))), 6).alias("p_approx"))
+      guarded(round(col("__dmax"), 6)).alias("d_stat"),
+      guarded(round(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * col("__dmax") *
+        col("__dmax") * na * nb / (na + nb))), 6)).alias("p_approx"))
   }
 
   /** Calibration / reliability table: min-max-normalize the score to
@@ -782,9 +803,11 @@ object Stats {
       .select(col(scoreCol).cast("double").alias("__s"),
         when(positive, 1L).otherwise(0L).alias("__y"))
     val bounds = base.agg(min("__s").alias("__lo"), max("__s").alias("__hi"))
+    // constant-score degenerate: hi == lo would divide by zero (Spark
+    // yields NULL, DuckDB inf/NaN — the engines diverge) → pin p = 0.5
     val scored = base.crossJoin(broadcast(bounds))
-      .withColumn("__p", (col("__s") - col("__lo")) /
-        (col("__hi") - col("__lo")))
+      .withColumn("__p", when(col("__hi") === col("__lo"), lit(0.5))
+        .otherwise((col("__s") - col("__lo")) / (col("__hi") - col("__lo"))))
       .withColumn("bin",
         least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
     scored.groupBy("bin").agg(

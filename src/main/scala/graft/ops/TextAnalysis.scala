@@ -581,9 +581,6 @@ object TextAnalysis {
       .select(col(idCol), round(total / size(toks), 6).alias("score"))
   }
 
-  /** Document fingerprint: 128-bit content hash (md5 of the normalized
-    * text) plus a 32-bit numeric prefix for cheap bucketing. Normalization:
-    * lowercase + whitespace collapse, the standard exact-dedup key. */
   /** Per-source readability report: Flesch reading ease from word /
     * sentence / syllable counts, each a `regexp_count` over the doc (one
     * codegen'd scan, no tokenization shuffle — the raw text reduces to
@@ -632,7 +629,10 @@ object TextAnalysis {
     df.filter(t.isNotNull && nc > 0)
       .select(col(groupCol).alias("grp"), nc.alias("__nc"),
         cnt("[A-Za-z]").alias("__l"), cnt("[0-9]").alias("__d"),
-        cnt("\\s").alias("__w"), cnt("[^\\x00-\\x7F]").alias("__na"),
+        // explicit class, not \s: Java \s is [ \t\n\x0B\f\r] while RE2's
+        // excludes \x0B — spell it out so engine and oracle agree on U+000B
+        cnt("[ \\t\\n\\x0B\\f\\r]").alias("__w"),
+        cnt("[^\\x00-\\x7F]").alias("__na"),
         when(t.contains("�"), 1L).otherwise(0L).alias("__repl"),
         when(cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]") > 0, 1L).otherwise(0L)
           .alias("__ctrl"))
@@ -648,6 +648,9 @@ object TextAnalysis {
       .orderBy("grp")
   }
 
+  /** Document fingerprint: 128-bit content hash (md5 of the normalized
+    * text) plus a 32-bit numeric prefix for cheap bucketing. Normalization:
+    * lowercase + whitespace collapse, the standard exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), """\s+""", " ").cast("binary"))
 

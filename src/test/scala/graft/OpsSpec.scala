@@ -1485,6 +1485,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(Graph.kCore(edges, k = 3, rounds = 4).count() === 0L)
   }
 
+  test("kCoreWeighted: strong triangle survives, weak pendant chain peels") {
+    import spark.implicits._
+    // triangle 1-2-3 at w=0.9 (wdeg 1.8 each) with a weak chain 3-4-5:
+    // node 5 (wdeg 0.4) peels, then 4 (0.5) — the triangle survives and
+    // node 3 drops back to exactly 1.8 once the chain edge is gone.
+    val edges = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (3L, 1L, 0.9),
+      (3L, 4L, 0.5), (4L, 5L, 0.4)).toDF("src", "dst", "w")
+    val core = Graph.kCoreWeighted(edges, minWeight = 1.0, rounds = 4)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(core == Seq((1L, 1.8), (2L, 1.8), (3L, 1.8)))
+    // a threshold above the strongest weighted degree empties the core
+    assert(Graph.kCoreWeighted(edges, minWeight = 2.0, rounds = 4)
+      .count() === 0L)
+  }
+
+  test("labelPropagation: bridged triangles stay two communities") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge 3-10: connected components
+    // would merge them; LPA keeps each triangle its own community.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
   test("readabilityReport: simpler text scores higher Flesch") {
     import spark.implicits._
     val df = Seq(

@@ -162,4 +162,45 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
   test("q_jaro_winkler: banded blocking joins on equi keys, never all-pairs") {
     assertNoQuadraticJoin("q_jaro_winkler")
   }
+
+  /** kCore references each round's edge set three times (degree union +
+    * both endpoint semi-joins): without per-round checkpoints the plan
+    * holds 3^rounds copies of the source scan. Assert the truncation so
+    * a refactor can't silently drop it — 8 rounds un-truncated would put
+    * thousands of leaves in the plan; checkpointed it's a handful. */
+  test("kCore truncates lineage per peel round (3^rounds guard)") {
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => (i, i % 20 + 1)).toDF("src", "dst")
+    val core = ops.Graph.kCore(edges, k = 2, rounds = 8)
+    val leaves = core.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size <= 8,
+      s"kCore lineage not truncated: ${leaves.size} plan leaves")
+  }
+
+  test("kCoreWeighted and labelPropagation truncate lineage per round") {
+    import spark.implicits._
+    val wedges = (1L to 40L).map(i => (i, i % 20 + 1, 0.5)).toDF("src", "dst", "w")
+    val wl = ops.Graph.kCoreWeighted(wedges, minWeight = 0.5, rounds = 8)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(wl.size <= 8, s"kCoreWeighted lineage: ${wl.size} leaves")
+    val edges = (1L to 40L).map(i => (i, i % 20 + 1)).toDF("src", "dst")
+    val ll = ops.Graph.labelPropagation(edges, rounds = 8)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(ll.size <= 8, s"labelPropagation lineage: ${ll.size} leaves")
+  }
+
+  /** The ranked/ordered statistics reduce to calendar- or
+    * aggregation-bounded tables BEFORE any ordered window runs — the
+    * documented reason their global windows are safe at 100 TB. Pin it. */
+  test("q_spearman: rank windows run on aggregated tables only") {
+    assertWindowsBehindAggregation("q_spearman")
+  }
+
+  test("q_acf: lag windows run on the calendar-aggregated series") {
+    assertWindowsBehindAggregation("q_acf")
+  }
+
+  test("q_survival_km: KM product window runs on the per-day event table") {
+    assertWindowsBehindAggregation("q_survival_km")
+  }
 }

@@ -5,8 +5,14 @@ same fixture tables and compare (rows, schema-ish, values).
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 """
-import json, math, os, sys
+import json, math, os, resource, sys
 import duckdb
+
+# DuckDB opens one handle per parquet scan; an inlined CTE chain can fan a
+# single oracle query into thousands of scans. Raise the soft fd limit to
+# the hard cap so a heavy oracle can't die on EMFILE mid-sweep.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+resource.setrlimit(resource.RLIMIT_NOFILE, (_hard, _hard))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
