@@ -3118,6 +3118,43 @@ object SparkEntry {
         .select(col("id1").alias("src"), col("id2").alias("dst"))
       Graph.labelPropagation(edges, rounds = 4).orderBy("node")
     }),
+
+    // Per-edge triangle support (Graph.edgeTriangleSupport) of the
+    // near-dup graph: support-0 edges are uncorroborated bridges — the
+    // edge-granular audit under q_triangle_counts.
+    "q_edge_support" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.edgeTriangleSupport(edges).orderBy("a", "b")
+    }),
+
+    // Bounded k-truss peeling (Graph.kTruss): 4 sweeps at k=3 — every
+    // surviving edge sits in a triangle of survivors; chains and stars
+    // peel even where k-core keeps them.
+    "q_ktruss" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.kTruss(edges, k = 3, rounds = 4).orderBy("a", "b")
+    }),
+
+    // Personalized PageRank (Graph.personalizedPagerank) on the
+    // user↔event-type graph seeded at the purchase node: proximity-to-
+    // purchase trust scores instead of global authority (TrustRank).
+    "q_ppr_trust" -> ((s, d) => {
+      import s.implicits._
+      val ue = Tables.events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).alias("w"))
+      val edges = ue.select(concat(lit("u:"), col("user_id")).alias("src"),
+          concat(lit("t:"), col("event_type")).alias("dst"), col("w"))
+        .unionAll(ue.select(concat(lit("t:"), col("event_type")).alias("src"),
+          concat(lit("u:"), col("user_id")).alias("dst"), col("w")))
+      val seeds = Seq("t:purchase").toDF("node")
+      Graph.personalizedPagerank(edges, seeds, iters = 3)
+        .select(col("node"), round(col("rank"), 6).alias("rank"))
+        .orderBy("node")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -6028,7 +6065,88 @@ object SparkEntry {
     "q_kcore_weighted" -> kcoreWeightedOracle(1.0, 8),
 
     "q_communities" -> labelPropagationOracle(4),
+
+    "q_edge_support" ->
+      (s"WITH $mhPairsCtes, $edgeSupportCtes " +
+        "SELECT e.a, e.b, CAST(coalesce(ts.s, 0) AS BIGINT) AS support " +
+        "FROM e LEFT JOIN ts ON e.a = ts.a AND e.b = ts.b ORDER BY 1, 2"),
+
+    "q_ktruss" -> ktrussOracle(3, 4),
+
+    "q_ppr_trust" -> pprOracle(Seq("t:purchase"), 3),
   )
+
+  /** Shared triangle-support CTE block over an edge relation `e` (a, b
+    * with a < b): `tri` (each triangle once as its sorted triple) and
+    * `ts` (per-edge triangle count). Callers define `e`; MATERIALIZED
+    * because `e` anchors three self-join arms and `tri` three unions. */
+  private def edgeSupportCtes: String =
+    "e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs), " +
+      "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z " +
+      "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
+      "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+      "ts AS (SELECT a, b, count(*) AS s FROM " +
+      "(SELECT x AS a, y AS b FROM tri UNION ALL SELECT x, z FROM tri " +
+      "UNION ALL SELECT y, z FROM tri) GROUP BY 1, 2)"
+
+  /** Unrolled k-truss sweeps (Graph.kTruss): per round, recompute each
+    * surviving edge's triangle support and keep support >= k-2; the
+    * final round's support is the reported value. MATERIALIZED per
+    * round (triple-referenced self-join arms, [[kcoreOracle]]'s reason). */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH $mhPairsCtes, " +
+        "e0 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs)")
+    def triSup(i: Int, src: String): Unit = {
+      sb.append(s", tri$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, " +
+        s"e2.b AS z FROM $src e1 JOIN $src e2 ON e1.b = e2.a " +
+        s"JOIN $src e3 ON e3.a = e1.a AND e3.b = e2.b)")
+      sb.append(s", ts$i AS MATERIALIZED (SELECT a, b, count(*) AS s FROM " +
+        s"(SELECT x AS a, y AS b FROM tri$i UNION ALL SELECT x, z FROM tri$i " +
+        s"UNION ALL SELECT y, z FROM tri$i) GROUP BY 1, 2)")
+    }
+    for (i <- 1 to rounds) {
+      triSup(i, s"e${i - 1}")
+      sb.append(s", e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e " +
+        s"JOIN ts$i t ON e.a = t.a AND e.b = t.b WHERE t.s >= ${k - 2})")
+    }
+    triSup(rounds + 1, s"e$rounds")
+    sb.append(s" SELECT e.a, e.b, CAST(coalesce(t.s, 0) AS BIGINT) " +
+      s"AS support FROM e$rounds e LEFT JOIN ts${rounds + 1} t " +
+      "ON e.a = t.a AND e.b = t.b ORDER BY 1, 2")
+    sb.toString
+  }
+
+  /** Unrolled personalized-PageRank iterations: [[pagerankOracle]]'s
+    * DECIMAL/round(9) arithmetic with the teleport term replaced by the
+    * seed indicator mass (1−d)·[v ∈ S]/|S|. */
+  private def pprOracle(seeds: Seq[String], iters: Int): String = {
+    val oneMinusD = (1.0 - 0.85).toString
+    val seedRows = seeds.map(s => s"('$s')").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= "WITH ue AS (SELECT user_id, event_type, count(*) AS w FROM events GROUP BY 1, 2), "
+    sb ++= "ed AS (SELECT 'u:' || user_id AS src, 't:' || event_type AS dst, w FROM ue " +
+      "UNION ALL SELECT 't:' || event_type AS src, 'u:' || user_id AS dst, w FROM ue), "
+    sb ++= "nd AS (SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed), "
+    sb ++= s"sd(node) AS (VALUES $seedRows), "
+    sb ++= "ns AS (SELECT count(DISTINCT node) AS n FROM sd), "
+    sb ++= "base AS (SELECT nd.node, CASE WHEN nd.node IN (SELECT node FROM sd) " +
+      "THEN CAST(1 AS DOUBLE) / ns.n ELSE CAST(0 AS DOUBLE) END AS b " +
+      "FROM nd CROSS JOIN ns), "
+    sb ++= "ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY 1), "
+    sb ++= "r0 AS (SELECT node, b AS rank FROM base), "
+    for (t <- 1 to iters) {
+      sb ++= s"c$t AS (SELECT ed.dst AS node, CAST(r.rank * ed.w / ow.outw AS DECIMAL(28,14)) AS c " +
+        s"FROM ed JOIN ow ON ed.src = ow.src JOIN r${t - 1} r ON r.node = ed.src), "
+      sb ++= s"s$t AS (SELECT node, sum(c) AS cs FROM c$t GROUP BY 1), "
+      sb ++= s"r$t AS (SELECT base.node, round($oneMinusD * base.b + " +
+        s"0.85 * coalesce(CAST(s$t.cs AS DOUBLE), 0), 9) AS rank " +
+        s"FROM base LEFT JOIN s$t ON base.node = s$t.node), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s" SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"
+    sb.toString
+  }
 
   /** Per-feature entropy/conditional-entropy blocks UNION ALLed — one
     * generated block per (name, SQL expr), mirroring Stats.infoGain's

@@ -311,6 +311,106 @@ object Graph {
       .agg(round(sum("w").cast("double"), 6).alias("core_wdegree"))
   }
 
+  /** Per-EDGE triangle support: for every normalized (a < b) edge, how
+    * many triangles contain it — the edge-level refinement of
+    * [[triangleCounts]] and the building block of k-truss. An edge with
+    * support 0 is a bridge no third document corroborates (the classic
+    * accidental-LSH-collision signature); high support means the edge
+    * sits inside a template family. Same two equi-joins as the node
+    * variant (each triangle materializes once as its sorted triple),
+    * then each triangle fans out to its three edges. Returns every
+    * normalized edge: (a, b, support), support 0 included. */
+  def edgeTriangleSupport(edges: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val tri = norm.alias("e1")
+      .join(norm.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(norm.alias("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").alias("x"), col("e1.b").alias("y"),
+        col("e2.b").alias("z"))
+    val te = tri.select(col("x").alias("a"), col("y").alias("b"))
+      .unionAll(tri.select(col("x").alias("a"), col("z").alias("b")))
+      .unionAll(tri.select(col("y").alias("a"), col("z").alias("b")))
+      .groupBy("a", "b").agg(count(lit(1)).alias("__s"))
+    norm.join(te, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("__s"), lit(0L)).alias("support"))
+  }
+
+  /** Bounded-round k-truss peeling: repeatedly delete EDGES whose
+    * triangle support is < k−2 for exactly `rounds` sweeps, then report
+    * the surviving edges with their final support. The edge-granular
+    * sibling of [[kCore]]: a node survives k-core by having enough
+    * neighbors, an edge survives k-truss only if enough COMMON neighbors
+    * corroborate it — so chains and stars peel even when their degrees
+    * are high, and what remains is mutually-witnessed template structure.
+    * Each sweep recomputes support (two equi-joins, [[edgeTriangleSupport]]'s
+    * shape) and semi-joins the survivors; the edge set feeds back each
+    * round, so lineage is checkpoint-truncated per round. The FIXED round
+    * count is the operator definition ([[kCore]]'s stance). */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1 && rounds <= 8,
+      s"kTruss: need k >= 3 and 1 <= rounds <= 8, got k=$k rounds=$rounds")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
+    var e = ckpt(edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    for (_ <- 1 to rounds) {
+      val sup = edgeTriangleSupport(e.select(col("a").alias("src"),
+        col("b").alias("dst")))
+      e = ckpt(sup.filter(col("support") >= k - 2).select("a", "b"))
+    }
+    edgeTriangleSupport(e.select(col("a").alias("src"), col("b").alias("dst")))
+  }
+
+  /** Personalized PageRank: power iteration whose teleport mass returns
+    * to a SEED set instead of spreading uniformly —
+    *   rank'(v) = (1−d)·[v ∈ S]/|S| + d · Σ_{(u,v,w)} rank(u) · w/outw(u)
+    * — so scores measure proximity to the seeds, not global authority.
+    * Curation use: seed a small set of known-good documents/domains and
+    * let trust flow through the link graph (the TrustRank shape); or
+    * seed one user and rank the graph by relevance to them. Same
+    * determinism contract as [[pagerank]]: DECIMAL(28,14) contribution
+    * sums, 9-dp per-round rounding, dangling mass leaks. Nodes appear iff
+    * they touch an edge; seeds not in the edge set contribute teleport
+    * mass but don't emit rows. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"personalizedPagerank: need 1 <= iters <= 16, got $iters")
+    val nodes = edges.select(col("src").alias("node"))
+      .union(edges.select(col("dst").alias("node")))
+      .distinct()
+    val seedSet = seeds.select("node").distinct()
+    val ns = seedSet.count()
+    require(ns > 0, "personalizedPagerank: empty seed set")
+    val base = nodes
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("__s"), lit(0)).cast("double") / lit(ns.toDouble))
+          .alias("__base"))
+    val outw = edges.groupBy("src").agg(sum("w").alias("__outw"))
+    var ranks = base.select(col("node"), col("__base").alias("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outw, "src")
+        .join(ranks.select(col("node").alias("src"), col("rank")), "src")
+        .select(col("dst").alias("node"),
+          (col("rank") * col("w") / col("__outw"))
+            .cast("decimal(28,14)").alias("__c"))
+      val sums = contrib.groupBy("node").agg(sum("__c").alias("__cs"))
+      ranks = base.join(sums, Seq("node"), "left").select(col("node"),
+        round(lit(1.0 - damping) * col("__base") +
+          lit(damping) * coalesce(col("__cs").cast("double"), lit(0.0)), 9)
+          .alias("rank"))
+    }
+    ranks
+  }
+
   /** Synchronous label-propagation communities, `rounds` fixed sweeps:
     * every node starts labeled with its own id; each sweep every node
     * simultaneously adopts the most frequent label among its neighbors,

@@ -1500,6 +1500,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .count() === 0L)
   }
 
+  test("edgeTriangleSupport: bridge edge reports 0, shared edge its count") {
+    import spark.implicits._
+    // diamond 1-2-3-4 (edge 2-3 shared by both triangles) plus pendant 4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val got = Graph.edgeTriangleSupport(edges).orderBy("a", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L), (4L, 5L, 0L)))
+  }
+
+  test("kTruss: pendant chain peels, triangle edges survive k=3") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kTruss(edges, k = 3, rounds = 2).orderBy("a", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // k=4 needs every edge in 2 triangles: one triangle can't supply it
+    assert(Graph.kTruss(edges, k = 4, rounds = 2).count() === 0L)
+  }
+
+  test("personalizedPagerank: teleport mass returns to the seed only") {
+    import spark.implicits._
+    // directed chain 1→2→3 seeded at 1: hand-computed two iterations
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPagerank(edges, seeds, iters = 2)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    // r1 = (0.15, 0.85, 0); r2 = (0.15, 0.85·0.15, 0.85·0.85)
+    assert(got == Seq((1L, 0.15), (2L, 0.1275), (3L, 0.7225)))
+  }
+
   test("labelPropagation: bridged triangles stay two communities") {
     import spark.implicits._
     // two triangles joined by one bridge edge 3-10: connected components

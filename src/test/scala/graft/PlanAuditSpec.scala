@@ -189,6 +189,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assert(ll.size <= 8, s"labelPropagation lineage: ${ll.size} leaves")
   }
 
+  test("kTruss truncates lineage per sweep (triple self-join rounds)") {
+    import spark.implicits._
+    val edges = (1L to 40L).map(i => (i, i % 20 + 1)).toDF("src", "dst")
+    val tl = ops.Graph.kTruss(edges, k = 3, rounds = 6)
+      .queryExecution.optimizedPlan.collectLeaves()
+    // final support recompute legitimately fans the last checkpoint a few
+    // times; un-truncated it would be 3^6-scale
+    assert(tl.size <= 16, s"kTruss lineage: ${tl.size} leaves")
+  }
+
   /** The ranked/ordered statistics reduce to calendar- or
     * aggregation-bounded tables BEFORE any ordered window runs — the
     * documented reason their global windows are safe at 100 TB. Pin it. */
