@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // lets Bench label its launch protocol: the forked JVM can't otherwise
+  // tell an sbt `runMain` from a bare `java -cp` (BASELINE.md records
+  // protocol-dependent timing swings, so BENCH lines carry the label)
+  "-Dgraft.launcher=sbt-fork",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -68,9 +68,9 @@ object Bench {
     // Label the launch protocol: BASELINE.md records 1.4-1.8x uniform
     // swings between sbt-forked JVMs and raw java on identical code, so
     // round-over-round deltas are only attributable within one protocol.
-    val protocol = if (sys.props.get("sun.java.command").exists(c =>
-        c.contains("sbt") || c.contains("xsbt")) ||
-        sys.props.keys.exists(_.startsWith("sbt."))) "sbt-jvm" else "raw-java"
+    // build.sbt stamps -Dgraft.launcher=sbt-fork on forked runs; a bare
+    // `java -cp` carries no stamp and reports raw-java.
+    val protocol = sys.props.getOrElse("graft.launcher", "raw-java")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"$protocol"}""")
     spark.stop()
   }
