@@ -189,6 +189,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assert(ll.size <= 8, s"labelPropagation lineage: ${ll.size} leaves")
   }
 
+  test("graph-family queries join on equi keys only, never all-pairs") {
+    assertNoQuadraticJoin("q_edge_support")
+    assertNoQuadraticJoin("q_communities")
+    assertNoQuadraticJoin("q_kcore_weighted")
+  }
+
   test("kTruss truncates lineage per sweep (triple self-join rounds)") {
     import spark.implicits._
     val edges = (1L to 40L).map(i => (i, i % 20 + 1)).toDF("src", "dst")
