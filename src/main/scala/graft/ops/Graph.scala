@@ -376,8 +376,9 @@ object Graph {
     * seed one user and rank the graph by relevance to them. Same
     * determinism contract as [[pagerank]]: DECIMAL(28,14) contribution
     * sums, 9-dp per-round rounding, dangling mass leaks. Nodes appear iff
-    * they touch an edge; seeds not in the edge set contribute teleport
-    * mass but don't emit rows. */
+    * they touch an edge; a seed absent from the edge set still counts in
+    * |S| but its teleport share simply vanishes (mass leaks, as with
+    * dangling nodes). */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 16,

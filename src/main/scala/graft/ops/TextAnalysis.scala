@@ -15,8 +15,11 @@ object TextAnalysis {
   /** BPE-ish regex tokenization: words, numbers, or single punctuation
     * marks as separate tokens (GPT-2-style pre-tokenizer shape). */
   def regexTokens(text: Column): Column = {
-    val cleaned = regexp_replace(text, """([^\sA-Za-z0-9]+)""", " $1 ")
-    filter(split(trim(cleaned), """\s+"""), t => length(t) > 0)
+    // explicit whitespace class (not \s): keeps Java and RE2 in agreement
+    // on U+000B so tokenization matches the oracle byte-for-byte
+    val cleaned =
+      regexp_replace(text, "([^ \t\n\f\rA-Za-z0-9]+)", " $1 ")
+    filter(split(trim(cleaned), "[ \t\n\f\r]+"), t => length(t) > 0)
   }
 
   /** Token count (whitespace). */
@@ -652,7 +655,10 @@ object TextAnalysis {
     * text) plus a 32-bit numeric prefix for cheap bucketing. Normalization:
     * lowercase + whitespace collapse, the standard exact-dedup key. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), """\s+""", " ").cast("binary"))
+    // explicit class, not \s: Java's includes U+000B, RE2's does not —
+    // spelled out so the dedup key is identical in engine and oracle
+    md5(regexp_replace(lower(trim(text)), "[ \t\n\f\r]+", " ")
+      .cast("binary"))
 
   /** 32-bit numeric form of the fingerprint (hex prefix → long). */
   def fingerprint32(text: Column): Column =
