@@ -2663,9 +2663,18 @@ object SparkEntry {
     }),
 
     // Incremental clustering (ScaleDedup.ccIncremental): cluster the first
-    // 60% of the corpus, then fold the rest in via star edges + the new
-    // batch's candidate pairs — the oracle is the FULL recompute, so the
+    // 60% of the corpus, then fold the rest in via star edges + the edges
+    // touching the new batch — the oracle is the FULL recompute, so the
     // driver compare verifies incremental == from-scratch row-for-row.
+    // The prior clustering MUST come from the same edge universe
+    // restricted to old vertices: capped-LSH candidate generation is
+    // non-monotonic under corpus growth (a bucket under the cap in the
+    // old subset can blow past it in the full corpus and be dropped), so
+    // re-banding the old subset in isolation yields edges the full
+    // recompute never sees — observed at sf0.1 as 902 subset-only pairs.
+    // A production incremental pipeline gets this premise for free: its
+    // maintained pair set (q_dedup_incremental's fingerprint table) IS
+    // the single evolving universe.
     "q_dedup_clusters_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val cut = lit(0.6) * Tables.documents(s, d).agg(max("doc_id")).head().getLong(0)
@@ -2675,8 +2684,7 @@ object SparkEntry {
         numHashes = 4, bands = 2)
       val prev = ScaleDedup.connectedComponents(
         oldDocs.select(col("doc_id").alias("id")),
-        ScaleDedup.minhashCandidatePairs(oldDocs, "doc_id", "text",
-          numHashes = 4, bands = 2))
+        allPairs.filter(col("id1") <= cut && col("id2") <= cut))
       val touchingNew = allPairs.filter(col("id1") > cut || col("id2") > cut)
       ScaleDedup.ccIncremental(prev,
           newDocs.select(col("doc_id").alias("id")), touchingNew)
@@ -3138,6 +3146,13 @@ object SparkEntry {
         .select(col("id1").alias("src"), col("id2").alias("dst"))
       Graph.kTruss(edges, k = 3, rounds = 4).orderBy("a", "b")
     }),
+
+    // Deterministic Poisson-bootstrap CI (Stats.bootstrapCI) for the
+    // mean order price: md5-derived resamples both engines replay
+    // exactly — the distributed bootstrap with zero RNG state.
+    "q_bootstrap_ci" -> ((s, d) =>
+      graft.ops.Stats.bootstrapCI(Tables.orders(s, d),
+        "o_orderkey", "o_totalprice", reps = 100, alpha = 0.05)),
 
     // Personalized PageRank (Graph.personalizedPagerank) on the
     // user↔event-type graph seeded at the purchase node: proximity-to-
@@ -6074,6 +6089,34 @@ object SparkEntry {
     "q_ktruss" -> ktrussOracle(3, 4),
 
     "q_ppr_trust" -> pprOracle(Seq("t:purchase"), 3),
+
+    // Poisson-bootstrap mirror: same md5 draw (id:rep#0), same CDF
+    // literals, same DECIMAL sums and rank picks (reps=100 → ranks 3/98).
+    "q_bootstrap_ci" ->
+      ("WITH b AS (SELECT CAST(o_orderkey AS VARCHAR) AS id, " +
+        "CAST(o_totalprice AS DOUBLE) AS x FROM orders " +
+        "WHERE o_totalprice IS NOT NULL), " +
+        "r AS (SELECT id, x, unnest(range(100)) AS rep FROM b), " +
+        "u AS (SELECT rep, x, ('0x' || substr(md5(id || ':' || " +
+        "CAST(rep AS VARCHAR) || '#0'), 1, 8))::BIGINT / 4294967296.0 " +
+        "AS uu FROM r), " +
+        "w AS (SELECT rep, x, CASE " +
+        "WHEN uu < 0.36787944117144233 THEN 0 " +
+        "WHEN uu < 0.7357588823428847 THEN 1 " +
+        "WHEN uu < 0.9196986029286058 THEN 2 " +
+        "WHEN uu < 0.9810118431238463 THEN 3 " +
+        "WHEN uu < 0.9963401531726563 THEN 4 " +
+        "WHEN uu < 0.9994058151824183 THEN 5 ELSE 6 END AS w FROM u), " +
+        "m AS (SELECT rep, round(CAST(SUM(CAST(w * x AS DECIMAL(38,10))) " +
+        "AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 9) AS m FROM w " +
+        "GROUP BY rep HAVING SUM(w) > 0), " +
+        "rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM m), " +
+        "ov AS (SELECT count(*) AS n, " +
+        "round(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mean FROM b) " +
+        "SELECT ov.n, ov.mean, " +
+        "(SELECT round(m, 6) FROM rk WHERE rk = 3) AS ci_lo, " +
+        "(SELECT round(m, 6) FROM rk WHERE rk = 98) AS ci_hi FROM ov"),
   )
 
   /** Shared triangle-support CTE block over an edge relation `e` (a, b

@@ -441,31 +441,38 @@ object Aggregates {
     * plans collapses the whole table into one task, which is exactly the
     * thing that cannot run at 100 TB. Shape here:
     *   1. distinct-value counts (one hash shuffle, map-side partials);
-    *   2. range-repartition the value-count table — a DISTRIBUTED sort;
-    *   3. per-partition running counts (windows partitioned by physical
-    *      partition id run in parallel);
-    *   4. per-partition totals cumsum'd into global offsets — a window
-    *      over #partitions rows, metadata-sized by construction;
-    *   5. avg_rank(v) = offset(pid) + local_running(v) + (cnt+1)/2.
-    * Every stage is declarative and partition-parallel except the
-    * offsets table, whose size is the partition count, not the data.
+    *   2. a deterministic order-preserving bucket id computed FROM the
+    *      value (equi-width over the global span — Stats.orderBucket);
+    *   3. per-bucket running counts (windows partitioned by bucket id
+    *      run in parallel);
+    *   4. per-bucket totals cumsum'd into global offsets — a window
+    *      over #buckets rows, metadata-sized by construction;
+    *   5. avg_rank(v) = offset(bucket) + local_running(v) + (cnt+1)/2.
+    * Every stage is declarative and bucket-parallel except the
+    * offsets table, whose size is the bucket count, not the data.
     * Ranks use the average-of-positions convention for ties (what
     * Spearman needs). Returns (value, cnt, avg_rank).
     *
     * Determinism: ranks are a pure function of the value multiset —
-    * range boundaries move with cluster size, but offset+local always
-    * reconstructs the same global rank (each distinct value lives in
-    * exactly one partition, so no tie straddles a boundary). */
+    * the bucket id is too, so offset+local reconstructs the same global
+    * rank on every evaluation (each distinct value lives in exactly one
+    * bucket, so no tie straddles a boundary). */
   def fractionalRanks(df: DataFrame, valueCol: String,
                       numParts: Int = 32): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).alias("value"))
       .agg(count(lit(1)).alias("cnt"))
-      .repartitionByRange(numParts, col("value"))
+    // deterministic value-derived bucket, NOT spark_partition_id after a
+    // range shuffle — the sampled bounds differ between the offsets
+    // branch's evaluation and the final join's (see Stats.orderBucket)
+    val fb = counts.agg(min(col("value")).cast("double").alias("__lo"),
+      max(col("value")).cast("double").alias("__hi"))
     val pidW = Window.partitionBy("__pid").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = counts
-      .withColumn("__pid", spark_partition_id())
+    val local = counts.crossJoin(broadcast(fb))
+      .withColumn("__pid",
+        Stats.orderBucket(col("value"), col("__lo"), col("__hi"), numParts))
+      .drop("__lo", "__hi")
       .withColumn("__before", coalesce(sum("cnt").over(pidW), lit(0L)))
     val offsets = local.groupBy("__pid").agg(sum("cnt").alias("__ptot"))
       .withColumn("__off", coalesce(sum("__ptot").over(

@@ -26,10 +26,37 @@ object Stats {
     * [[Aggregates.fractionalRanks]]' shape, factored for every op that
     * needs ordered positions without a single-task global window. Input
     * must be one row per distinct value; extra columns pass through. */
+  /** Deterministic order-preserving bucket id for the distributed-rank
+    * machinery: equi-width over the value's global [lo, hi] span.
+    *
+    * This MUST NOT be spark_partition_id()-after-repartitionByRange: the
+    * range partitioner SAMPLES its bounds with a per-evaluation seed, and
+    * a plan that references the ranked table twice (the offsets branch
+    * plus the final join) can evaluate the exchange twice with DIFFERENT
+    * bounds — the offsets then describe a layout the joined rows don't
+    * have. Observed at sf0.1 as run-to-run rank drift once the per-value
+    * table grew past the sampler's full-scan threshold. A bucket id
+    * computed FROM the value is a pure function of the data: every
+    * evaluation agrees, on any cluster size or partitioning. Equi-width
+    * buckets can skew on pathological distributions, but the input here
+    * is a distinct-VALUE table (bounded by distinct count) and windows
+    * stay bucket-parallel; ordering is preserved because the bucket
+    * index is monotone in the value. */
+  private[ops] def orderBucket(value: Column, lo: Column, hi: Column,
+                               numParts: Int): Column =
+    when(hi <= lo, lit(0)).otherwise(
+      least(greatest(floor((value.cast("double") - lo) /
+          ((hi - lo) / lit(numParts.toDouble))), lit(0.0)),
+        lit((numParts - 1).toDouble)).cast("int"))
+
   private[ops] def withCumBefore(perValue: DataFrame, valueCol: String,
                                  cntCol: String, numParts: Int = 32): DataFrame = {
-    val parts = perValue.repartitionByRange(numParts, col(valueCol))
-      .withColumn("__pid", spark_partition_id())
+    val b = perValue.agg(min(col(valueCol)).cast("double").alias("__lo"),
+      max(col(valueCol)).cast("double").alias("__hi"))
+    val parts = perValue.crossJoin(broadcast(b))
+      .withColumn("__pid",
+        orderBucket(col(valueCol), col("__lo"), col("__hi"), numParts))
+      .drop("__lo", "__hi")
     val pidW = Window.partitionBy("__pid").orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("__before",
@@ -566,6 +593,74 @@ object Stats {
     n.crossJoin(med)
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for the mean.
+    *
+    * Classic bootstrap resampling needs n draws per replicate from a
+    * shared RNG — sequential state no distributed engine can reproduce.
+    * The Poisson bootstrap replaces it: each row independently enters
+    * replicate r with multiplicity ~ Poisson(1), and here the draw is the
+    * inverse CDF of an md5-derived uniform on (id, replicate) — the
+    * [[Mix.weightedSample]] determinism story, so every engine, cluster
+    * size, and partitioning produces the SAME resamples and the DuckDB
+    * oracle can replay them exactly. CDF thresholds are fixed double
+    * literals shared with the oracle; multiplicity caps at 6
+    * (P ≈ 6e-5 per cell, and the cap is part of the operator definition).
+    *
+    * Scale shape: the replicate fan-out (explode of 0..reps-1) feeds
+    * straight into a map-side partial aggregation, so the shuffle carries
+    * reps × partitions DECIMAL partials, never reps × rows; CPU cost is
+    * reps passes over the scan — the price of reps resamples, bounded and
+    * explicit. The rank window runs over the reps-row replicate-mean
+    * table (windows-behind-aggregation stance). Replicates with zero
+    * total weight are dropped on both engines (P = e^−n, real only for
+    * toy inputs). Returns one row: (n, mean, ci_lo, ci_hi) with the
+    * percentile-method interval at ranks floor(α/2·(reps−1))+1 and
+    * ceil((1−α/2)·(reps−1))+1 of the sorted replicate means. */
+  def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
+                  reps: Int = 100, alpha: Double = 0.05): DataFrame = {
+    require(reps >= 20 && reps <= 1000,
+      s"bootstrapCI: need 20 <= reps <= 1000, got $reps")
+    require(alpha > 0 && alpha < 0.5,
+      s"bootstrapCI: need 0 < alpha < 0.5, got $alpha")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").alias("__id"),
+        col(valueCol).cast("double").alias("__x"))
+    val u = ScaleDedup.hash32(
+      concat_ws(":", col("__id"), col("__r").cast("string")), 0)
+      .cast("double") / lit(4294967296.0)
+    // Poisson(1) inverse CDF — identical literals in the oracle SQL
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val repMeans = base
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(reps - 1))).alias("__r"))
+      .select(col("__r"), col("__x"), w.alias("__w"))
+      .groupBy("__r")
+      .agg(sum((col("__w") * col("__x")).cast("decimal(38,10)"))
+          .alias("__swx"),
+        sum("__w").alias("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col("__r"),
+        round(col("__swx").cast("double") / col("__sw").cast("double"), 9)
+          .alias("__m"))
+    val loIdx = math.floor(alpha / 2 * (reps - 1)).toLong + 1
+    val hiIdx = math.ceil((1 - alpha / 2) * (reps - 1)).toLong + 1
+    val ranked = repMeans.withColumn("__rk",
+      row_number().over(Window.orderBy(col("__m"), col("__r"))))
+    val ci = ranked.agg(
+      round(min(when(col("__rk") === loIdx, col("__m"))), 6).alias("ci_lo"),
+      round(min(when(col("__rk") === hiIdx, col("__m"))), 6).alias("ci_hi"))
+    val overall = base.agg(count(lit(1)).alias("n"),
+      round(sum(col("__x").cast("decimal(38,10)")).cast("double") /
+        count(lit(1)).cast("double"), 6).alias("mean"))
+    overall.crossJoin(ci)
+  }
+
   /** First-order partial correlation r_xy·z — the association between x
     * and y with the z channel removed: r_xy·z = (r_xy − r_xz·r_yz) /
     * √((1−r_xz²)(1−r_yz²)). All three Pearson correlations come from ONE
@@ -752,8 +847,12 @@ object Stats {
         when(groupB, 1L).otherwise(0L).alias("__b"))
     val perValue = tagged.groupBy("value")
       .agg(sum(lit(1L) - col("__b")).alias("__ca"), sum("__b").alias("__cb"))
-    val parts = perValue.repartitionByRange(numParts, col("value"))
-      .withColumn("__pid", spark_partition_id())
+    val kb = perValue.agg(min(col("value")).cast("double").alias("__lo"),
+      max(col("value")).cast("double").alias("__hi"))
+    val parts = perValue.crossJoin(broadcast(kb))
+      .withColumn("__pid",
+        orderBucket(col("value"), col("__lo"), col("__hi"), numParts))
+      .drop("__lo", "__hi")
     val pidW = Window.partitionBy("__pid").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts

@@ -383,6 +383,32 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(("b", "a")) === ((2L, 0.5, 1.0)))
   }
 
+  test("bootstrapCI: brackets the true mean, reproducible run-to-run") {
+    import spark.implicits._
+    // 200 values uniform-ish over [0, 99] by construction: mean 49.5
+    val df = (0L until 200L).map(i => (i, (i % 100).toDouble))
+      .toDF("id", "v")
+    val a = Stats.bootstrapCI(df, "id", "v", reps = 100, alpha = 0.05)
+      .head()
+    assert(a.getLong(0) === 200L)
+    assert(a.getDouble(1) === 49.5)
+    val (lo, hi) = (a.getDouble(2), a.getDouble(3))
+    assert(lo < 49.5 && 49.5 < hi, s"CI [$lo, $hi] misses the mean")
+    // a ±2·SE sanity band: SE ≈ 28.9/√200 ≈ 2.04, so the 95% CI spans
+    // roughly 8 — insist it is neither degenerate nor absurdly wide
+    assert(hi - lo > 2.0 && hi - lo < 16.0, s"CI width ${hi - lo}")
+    // determinism: the md5 draws carry no state — rerun is identical
+    val b = Stats.bootstrapCI(df, "id", "v", reps = 100, alpha = 0.05)
+      .head()
+    assert(a.getDouble(2) === b.getDouble(2) &&
+      a.getDouble(3) === b.getDouble(3))
+    // different id partitioning (repartition) must not move the interval
+    val c = Stats.bootstrapCI(df.repartition(7), "id", "v",
+      reps = 100, alpha = 0.05).head()
+    assert(a.getDouble(2) === c.getDouble(2) &&
+      a.getDouble(3) === c.getDouble(3))
+  }
+
   test("seasonalIndex: flat series indexes 1.0 on every weekday") {
     import spark.implicits._
     val days = (0 until 28).map(i =>
