@@ -6297,7 +6297,11 @@ object SparkEntry {
   /** Unrolled-CTE mirror of [[graft.ops.Attribution.markovAttribution]]
     * for the fixed events channel set: the fixed-K value iteration is an
     * operator DEFINITION, so the oracle replicates the identical
-    * DECIMAL-truncated sweeps rather than solving the chain another way. */
+    * DECIMAL-truncated sweeps rather than solving the chain another way.
+    * The event-derived CTEs and `tp` are MATERIALIZED: `tp` is referenced
+    * by all 85 chain-iteration CTEs, so default inlining would expand the
+    * events scan tree once per reference and exhaust the harness's fd
+    * limit ([[kcoreOracle]]'s round-7 failure mode). */
   private lazy val markovAttributionOracle: String = {
     val chs = Seq("click", "error", "signup", "view")
     val iters = 16
@@ -6336,24 +6340,27 @@ object SparkEntry {
       s"SELECT '$c' AS channel, round(re_$c, 6) AS removal_effect, " +
         s"CASE WHEN tot > 0 THEN round(re_$c / tot, 6) END AS share FROM r2")
       .mkString(" UNION ALL ")
-    "WITH e AS (SELECT user_id AS k, event_type AS ty, epoch_us(ts) AS tus, " +
-      "event_id AS tie FROM events), " +
-      "fp AS (SELECT k, tus, tie FROM (SELECT k, tus, tie, row_number() OVER " +
+    "WITH e AS MATERIALIZED (SELECT user_id AS k, event_type AS ty, " +
+      "epoch_us(ts) AS tus, event_id AS tie FROM events), " +
+      "fp AS MATERIALIZED (SELECT k, tus, tie FROM (SELECT k, tus, tie, " +
+      "row_number() OVER " +
       "(PARTITION BY k ORDER BY tus, tie) AS rn FROM e WHERE ty = 'purchase') " +
       "WHERE rn = 1), " +
-      "tc AS (SELECT e.k, e.ty, e.tus, e.tie, fp.k IS NOT NULL AS conv " +
+      "tc AS MATERIALIZED (SELECT e.k, e.ty, e.tus, e.tie, " +
+      "fp.k IS NOT NULL AS conv " +
       "FROM e LEFT JOIN fp ON e.k = fp.k WHERE e.ty <> 'purchase' " +
       "AND (fp.k IS NULL OR (e.tus, e.tie) < (fp.tus, fp.tie))), " +
-      "st AS (SELECT k, ty, conv, lead(ty) OVER (PARTITION BY k " +
+      "st AS MATERIALIZED (SELECT k, ty, conv, lead(ty) OVER (PARTITION BY k " +
       "ORDER BY tus, tie) AS nxt, row_number() OVER (PARTITION BY k " +
       "ORDER BY tus, tie) AS rn FROM tc), " +
       "tr AS (SELECT ty AS src, COALESCE(nxt, CASE WHEN conv THEN 'C' " +
       "ELSE 'N' END) AS dst FROM st " +
       "UNION ALL SELECT 'S', ty FROM st WHERE rn = 1 " +
       "UNION ALL SELECT 'S', 'C' FROM fp WHERE k NOT IN (SELECT k FROM tc)), " +
-      "ct AS (SELECT src, dst, count(*) AS cnt FROM tr GROUP BY 1, 2), " +
+      "ct AS MATERIALIZED (SELECT src, dst, count(*) AS cnt FROM tr " +
+      "GROUP BY 1, 2), " +
       "tt AS (SELECT src, sum(cnt) AS tot FROM ct GROUP BY 1), " +
-      s"tp AS (SELECT $tpCols FROM (SELECT ct.src, ct.dst, " +
+      s"tp AS MATERIALIZED (SELECT $tpCols FROM (SELECT ct.src, ct.dst, " +
       "CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS t FROM ct " +
       "JOIN tt USING (src))), " +
       chainCtes + ", " +
@@ -6406,12 +6413,17 @@ object SparkEntry {
     * DECIMAL(28,14) covariance sums, the same uniform start (the literal
     * is interpolated from the SAME Scala double the Spark side rounds
     * to), and 8 unrolled matrix-vector rounds with per-round 9-dp
-    * normalization — the pagerank determinism pattern on a matrix. */
+    * normalization — the pagerank determinism pattern on a matrix.
+    * `e` and `cov` are MATERIALIZED: `cov` is referenced by all 8
+    * unrolled rounds, so default inlining would replicate the embeddings
+    * scan per round and exhaust the harness's fd limit ([[kcoreOracle]]'s
+    * round-7 failure mode). */
   private def pcaOracle: String = {
     val v0 = BigDecimal(1.0 / math.sqrt(64.0))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE len(embedding) = 64), "
+    sb ++= "WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v " +
+      "FROM embeddings WHERE len(embedding) = 64), "
     sb ++= "nn AS (SELECT count(*) AS n FROM e), "
     sb ++= "xx AS (SELECT i, j, " +
       "sum(CAST(v[i + 1] * v[j + 1] AS DECIMAL(28,14))) AS sxx " +
@@ -6419,7 +6431,7 @@ object SparkEntry {
       "unnest(generate_series(0, 63)) AS uj(j) GROUP BY 1, 2), "
     sb ++= "mu AS (SELECT i, CAST(sum(CAST(v[i + 1] AS DECIMAL(28,14))) AS DOUBLE) AS si " +
       "FROM e, unnest(generate_series(0, 63)) AS u(i) GROUP BY 1), "
-    sb ++= "cov AS (SELECT s.i, s.j, CAST(s.sxx AS DOUBLE) / nn.n - " +
+    sb ++= "cov AS MATERIALIZED (SELECT s.i, s.j, CAST(s.sxx AS DOUBLE) / nn.n - " +
       "(a.si / nn.n) * (b.si / nn.n) AS c " +
       "FROM xx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j CROSS JOIN nn), "
     sb ++= s"v0 AS (SELECT i AS j, CAST($v0 AS DOUBLE) AS vj " +
@@ -6429,7 +6441,8 @@ object SparkEntry {
         s"CAST(sum(CAST(cov.c * v.vj AS DECIMAL(28,14))) AS DOUBLE) AS wi " +
         s"FROM cov JOIN v${t - 1} v ON v.j = cov.j GROUP BY 1), "
       sb ++= s"n$t AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,14))) AS DOUBLE)) AS nrm FROM w$t), "
-      sb ++= s"v$t AS (SELECT i AS j, round(wi / nrm, 9) AS vj FROM w$t CROSS JOIN n$t), "
+      sb ++= s"v$t AS MATERIALIZED (SELECT i AS j, round(wi / nrm, 9) AS vj " +
+        s"FROM w$t CROSS JOIN n$t), "
     }
     sb.setLength(sb.length - 2)
     sb ++= " SELECT j AS dim_idx, round(vj, 6) AS loading FROM v8 ORDER BY dim_idx"
