@@ -1878,6 +1878,35 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // retrieval: Dirichlet query-likelihood top-5 — the LM ranker the
+    // stack A/Bs against BM25 over the same query batch
+    "q_qlm_topk" -> ((s, d) =>
+      TextAnalysis.qlmTopK(Tables.documents(s, d), "doc_id", "text",
+          Bm25Queries, k = 5)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")),
+
+    // retrieval eval: NDCG@5 / AP@5 / RR of the BM25 run against graded
+    // relevance (= distinct query terms present in the doc) — the offline
+    // report a ranker change ships with
+    "q_rank_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      import s.implicits._
+      val qtok = Bm25Queries.toDF("query_id", "qtext")
+        .select(col("query_id"),
+          explode(split(col("qtext"), " ")).alias("token"))
+        .distinct()
+      val rel = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).alias("token"))
+        .distinct()
+        .join(broadcast(qtok), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).alias("rel"))
+      val run = TextAnalysis.bm25TopK(docs, "doc_id", "text", Bm25Queries, 5)
+        .select("query_id", "doc_id", "rank")
+      TextAnalysis.rankingEval(run, rel, k = 5).orderBy("query_id")
+    }),
+
     // time series: hourly resample + forward fill per user
     "q_gap_fill" -> ((s, d) =>
       Sessionize.gapFill(Tables.events(s, d), "user_id", "ts", "value",
@@ -2819,6 +2848,30 @@ object SparkEntry {
           .alias("conv"))
       graft.ops.Aggregates.twoProportionZ(perUser,
         col("user_id") % 2 === 1, col("conv") === 1)
+    }),
+
+    // Multiple testing: per-hour purchase-share z sweep (24 hypotheses)
+    // → Benjamini-Hochberg step-up adjustment. The surrogate
+    // p = exp(−z²/2) is the Gaussian tail bound — monotone in |z|, so
+    // the BH ordering/adjustment under test is exercised faithfully
+    // while both engines evaluate the identical closed form (no erf).
+    "q_bh_fdr" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hyp = ev.groupBy(hour(col("ts")).cast("long").alias("hour"))
+        .agg(count(lit(1)).alias("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .alias("x"))
+      val pool = ev.agg(
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).alias("p0"))
+      val z = (col("x").cast("double") / col("n").cast("double") -
+        col("p0")) /
+        sqrt(col("p0") * (lit(1.0) - col("p0")) / col("n").cast("double"))
+      val h = hyp.crossJoin(broadcast(pool))
+        .select(col("hour"), col("n"), col("x"), round(z, 6).alias("z"))
+        .select(col("hour"), col("n"), col("x"), col("z"),
+          round(exp(lit(-0.5) * col("z") * col("z")), 6).alias("p"))
+      graft.ops.Stats.bhAdjust(h, "hour", "p").orderBy("rank")
     }),
 
     // Sample autocorrelation of the daily order-count series, lags 1–7
@@ -4736,6 +4789,15 @@ object SparkEntry {
 
     "q_bm25_topk" -> bm25Oracle,
 
+    // Same hit-postings decomposition, same μ literal, same tie order.
+    "q_qlm_topk" -> qlmOracle,
+
+    // Same BM25 run CTEs, same gains/discounts/0-not-NULL conventions.
+    "q_rank_eval" -> rankEvalOracle,
+
+    // Same z sweep, same exp(−z²/2) surrogate, same step-up reverse min.
+    "q_bh_fdr" -> bhFdrOracle,
+
     // Mirrors Sessionize.gapFill: scalar generate_series lists per key,
     // last_value IGNORE NULLS over the same (ts, flag, tie) total order
     // (grid rows tie = BIGINT max, observations their event_id).
@@ -6503,11 +6565,15 @@ object SparkEntry {
     * arithmetic shape — idf·(tf·(k1+1))/(tf + k1·(1−b + b·dl/avgdl)) with
     * DECIMAL(28,14) contribution sums — so the 6-dp score matches Spark
     * bit-for-bit and the rank window ties break on doc_id identically. */
-  private def bm25Oracle: String = {
+  /** Shared CTE chain for the BM25 retrieval queries (q_bm25_topk and
+    * the q_rank_eval run it evaluates): query batch → token postings →
+    * per-(query, doc) BM25 scores → `ranked` with the same
+    * (score DESC, doc_id) tie order the Spark window uses. */
+  private def bm25Ctes: String = {
     val values = Bm25Queries
       .map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
     val k1p1 = (1.2 + 1.0).toString   // same double the Spark side uses
-    s"WITH q(query_id, qtext) AS (VALUES $values), " +
+    s"q(query_id, qtext) AS (VALUES $values), " +
       "qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS token FROM q), " +
       "qv AS (SELECT DISTINCT token FROM qt), " +
       "dlen AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
@@ -6524,9 +6590,118 @@ object SparkEntry {
       "(tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)) " +
       "AS DECIMAL(28,14))) AS DOUBLE), 6) AS score " +
       "FROM tf JOIN qt USING (token) JOIN dfreq USING (token) " +
-      "JOIN dlen ON dlen.doc_id = tf.doc_id CROSS JOIN stats GROUP BY 1, 2) " +
+      "JOIN dlen ON dlen.doc_id = tf.doc_id CROSS JOIN stats GROUP BY 1, 2), " +
+      "ranked AS (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM sc)"
+  }
+
+  private def bm25Oracle: String =
+    s"WITH $bm25Ctes SELECT query_id, doc_id, score, " +
+      "CAST(rn AS BIGINT) AS rank FROM ranked " +
+      "WHERE rn <= 5 ORDER BY query_id, rank"
+
+  /** Mirror of TextAnalysis.qlmTopK (μ=2000, k=5): same hit-postings
+    * decomposition — Σ ln(1 + tf/(μ·cf/|C|)) over matching terms plus
+    * n_q·ln(μ/(dl+μ)) — with the same DECIMAL(28,14) contribution sums,
+    * 6-dp rounding before the rank window, and (score DESC, doc_id)
+    * tie order. */
+  private def qlmOracle: String = {
+    val values = Bm25Queries
+      .map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
+    val mu = 2000.0.toString   // same double literal the Spark side uses
+    s"WITH q(query_id, qtext) AS (VALUES $values), " +
+      "qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS token FROM q), " +
+      "qv AS (SELECT DISTINCT token FROM qt), " +
+      "tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, " +
+      "unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "hits AS (SELECT doc_id, dl, token FROM tok JOIN qv USING (token)), " +
+      "cf AS (SELECT token, count(*) AS cf FROM hits GROUP BY 1), " +
+      "ctot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c_len FROM documents), " +
+      "nq AS (SELECT query_id, count(*) AS nq FROM qt JOIN cf USING (token) GROUP BY 1), " +
+      "tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl " +
+      "FROM hits GROUP BY 1, 2), " +
+      "sq AS (SELECT qt.query_id, tf.doc_id, CAST(sum(CAST(" +
+      s"ln(1.0 + tf.tf::DOUBLE / ($mu * (cf.cf::DOUBLE / ctot.c_len::DOUBLE))) " +
+      "AS DECIMAL(28,14))) AS DOUBLE) AS s, max(tf.dl) AS dl " +
+      "FROM tf JOIN qt USING (token) JOIN cf USING (token) " +
+      "CROSS JOIN ctot GROUP BY 1, 2), " +
+      "scored AS (SELECT sq.query_id, doc_id, " +
+      s"round(s + nq.nq::DOUBLE * ln($mu / (dl::DOUBLE + $mu)), 6) AS score " +
+      "FROM sq JOIN nq USING (query_id)) " +
       "SELECT query_id, doc_id, score, CAST(rn AS BIGINT) AS rank FROM " +
-      "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM sc) " +
+      "(SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM scored) " +
       "WHERE rn <= 5 ORDER BY query_id, rank"
   }
+
+  /** Mirror of TextAnalysis.rankingEval over the BM25 run ([[bm25Ctes]]'
+    * `ranked`, k=5) with graded relevance = count of distinct query terms
+    * in the doc: same 2^rel−1 gains, log2 discounts, DECIMAL(28,14)
+    * sums, (rel DESC, doc_id) ideal order, and the 0-not-NULL convention
+    * for no-relevant-doc queries. */
+  private def rankEvalOracle: String =
+    s"WITH $bm25Ctes, " +
+      "run AS (SELECT query_id, doc_id, rn AS rank FROM ranked WHERE rn <= 5), " +
+      "relv AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS rel " +
+      "FROM (SELECT DISTINCT qt.query_id, t.doc_id, t.token " +
+      "FROM tok t JOIN qt USING (token)) GROUP BY 1, 2), " +
+      "topk AS (SELECT r.query_id, r.doc_id, r.rank, " +
+      "coalesce(v.rel, 0) AS rel FROM run r LEFT JOIN relv v " +
+      "ON v.query_id = r.query_id AND v.doc_id = r.doc_id), " +
+      "dcg AS (SELECT query_id, CAST(sum(CAST(" +
+      "(pow(2.0, rel::DOUBLE) - 1.0) / log2(rank::DOUBLE + 1.0) " +
+      "AS DECIMAL(28,14))) AS DOUBLE) AS dcg FROM topk GROUP BY 1), " +
+      "ideal AS (SELECT query_id, rel, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank " +
+      "FROM relv WHERE rel > 0), " +
+      "idcg AS (SELECT query_id, CAST(sum(CAST(" +
+      "(pow(2.0, rel::DOUBLE) - 1.0) / log2(irank::DOUBLE + 1.0) " +
+      "AS DECIMAL(28,14))) AS DOUBLE) AS idcg " +
+      "FROM ideal WHERE irank <= 5 GROUP BY 1), " +
+      "bin AS (SELECT query_id, rank, " +
+      "CASE WHEN rel > 0 THEN 1 ELSE 0 END AS hit, " +
+      "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY query_id ORDER BY rank " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumhits " +
+      "FROM topk), " +
+      "bs AS (SELECT query_id, CAST(sum(CASE WHEN hit = 1 THEN " +
+      "CAST(cumhits::DOUBLE / rank::DOUBLE AS DECIMAL(28,14)) END) " +
+      "AS DOUBLE) AS sumprec, " +
+      "min(CASE WHEN hit = 1 THEN rank END) AS firsthit " +
+      "FROM bin GROUP BY 1), " +
+      "rb AS (SELECT query_id, count(*) AS r FROM relv WHERE rel > 0 GROUP BY 1) " +
+      "SELECT d.query_id, round(d.dcg, 6) AS dcg, " +
+      "round(coalesce(i.idcg, 0.0), 6) AS idcg, " +
+      "round(CASE WHEN coalesce(i.idcg, 0.0) > 0 THEN d.dcg / i.idcg " +
+      "ELSE 0.0 END, 6) AS ndcg, " +
+      "round(CASE WHEN rb.r IS NOT NULL THEN " +
+      "coalesce(bs.sumprec, 0.0) / least(rb.r, 5)::DOUBLE " +
+      "ELSE 0.0 END, 6) AS ap, " +
+      "round(CASE WHEN bs.firsthit IS NOT NULL THEN " +
+      "1.0 / bs.firsthit::DOUBLE ELSE 0.0 END, 6) AS rr " +
+      "FROM dcg d LEFT JOIN idcg i USING (query_id) " +
+      "LEFT JOIN bs USING (query_id) LEFT JOIN rb USING (query_id) " +
+      "ORDER BY d.query_id"
+
+  /** Mirror of the q_bh_fdr hypothesis sweep + Stats.bhAdjust: the same
+    * per-hour pooled-share z (fixed parenthesization), the same
+    * Gaussian-tail surrogate p = exp(−z²/2) computed from the ROUNDED z,
+    * and the same step-up reverse running min with (p, hour) tie order. */
+  private def bhFdrOracle: String =
+    "WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS hour, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x " +
+      "FROM events GROUP BY 1), " +
+      "pool AS (SELECT SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE " +
+      "/ count(*)::DOUBLE AS p0 FROM events), " +
+      "hz AS (SELECT hour, n, x, round((x::DOUBLE / n::DOUBLE - p0) / " +
+      "sqrt(p0 * (1.0 - p0) / n::DOUBLE), 6) AS z FROM h CROSS JOIN pool), " +
+      "hp AS (SELECT *, round(exp(-0.5 * z * z), 6) AS p FROM hz), " +
+      "m AS (SELECT count(*) AS m FROM hp), " +
+      "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p ASC, hour ASC) AS BIGINT) AS rank FROM hp), " +
+      "ad AS (SELECT *, round(least(1.0, min(m.m::DOUBLE * p / rank::DOUBLE) " +
+      "OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS p_adj " +
+      "FROM rk CROSS JOIN m) " +
+      "SELECT hour, n, x, z, p, rank, p_adj, p_adj <= 0.05 AS signif " +
+      "FROM ad ORDER BY rank"
 }

@@ -1028,4 +1028,31 @@ object Stats {
             col("__nlogn").cast("double") / col("__tot").cast("double"), 6)
             .alias("entropy"))
     }.reduce(_ unionByName _).orderBy("col_name")
+
+  /** Benjamini-Hochberg step-up FDR adjustment over a hypothesis table —
+    * what turns a per-segment test sweep (one z/p per segment) into
+    * defensible discoveries: adj_p(i) = min over j ≥ i of m·p(j)/j,
+    * clamped to 1, over p ascending.
+    *
+    * Input contract: ONE ROW PER HYPOTHESIS — an already-aggregated
+    * table (per-segment tests), so its cardinality is the segment
+    * count, orders of magnitude below row count. That boundedness is
+    * what licenses the two global windows here (the ascending p-rank
+    * and the reverse running min); the raw data was reduced upstream by
+    * the tests themselves. Ties in p break on `idCol` so ranks — and
+    * therefore adjusted p's — are engine-deterministic. Extra columns
+    * pass through untouched. */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    val m = df.count()
+    val rankW = Window.orderBy(col(pCol).asc, col(idCol).asc)
+    val tailW = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn("rank", row_number().over(rankW).cast("long"))
+      .withColumn("__raw",
+        lit(m.toDouble) * col(pCol).cast("double") / col("rank").cast("double"))
+      .withColumn("p_adj", round(least(lit(1.0), min("__raw").over(tailW)), 6))
+      .withColumn("signif", col("p_adj") <= alpha)
+      .drop("__raw")
+  }
 }

@@ -719,4 +719,140 @@ object TextAnalysis {
       .agg(round(sum(col("__term").cast("decimal(28,14)")).cast("double"), 6)
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
+
+  /** Dirichlet-smoothed query-likelihood top-k retrieval — the language-
+    * model twin of [[bm25TopK]] (same posting shape, different scoring
+    * family; shipping both is how a retrieval stack A/Bs its ranker).
+    *
+    * Full QL scores every document, but the score decomposes into a
+    * postings part plus a doc-length-only part:
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf/(μ·cf_t/|C|)) + n_q·ln(μ/(dl+μ))
+    * Ranking over documents that match ≥1 query term (the retrieval
+    * contract) therefore needs only the hit postings, exactly like BM25.
+    *
+    * Scale shape mirrors [[bm25TopK]]: the query vocabulary is broadcast
+    * and filters the exploded token stream map-side, so the one exchange
+    * carries matching postings only; collection frequencies come from
+    * that filtered stream; the per-query top-k window plans map-side
+    * WindowGroupLimit. Query terms absent from the corpus (cf = 0) are
+    * dropped from n_q — the standard OOV convention (with them the
+    * smoothed probability is tf/(dl+μ), zero for every non-matching doc,
+    * and the whole query scores −∞). Contributions accumulate through
+    * DECIMAL(28,14) and the score is rounded to 6 dp before the rank
+    * window; ties break on doc id, engine-exactly. */
+  def qlmTopK(docs: DataFrame, idCol: String, textCol: String,
+              queries: Seq[(String, String)], k: Int,
+              mu: Double = 2000.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).alias("doc_id"),
+        split(col(textCol), " ").alias("__toks"))
+      .select(col("doc_id"), size(col("__toks")).alias("dl"),
+        explode(col("__toks")).alias("token"))
+    val qtok = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(col("qtext"), " ")).alias("token"))
+      .distinct()
+    val qvocab = qtok.select("token").distinct()
+    val hits = toks.join(broadcast(qvocab), "token")
+    // collection frequency of each query term + total corpus token count
+    val cf = hits.groupBy("token").agg(count(lit(1)).alias("cf"))
+    val ctot = docs.agg(
+      sum(size(split(col(textCol), " ")).cast("long")).alias("c_len"))
+    // per-query count of in-vocabulary terms (cf > 0 by construction:
+    // cf rows exist only for terms with at least one posting)
+    val nq = qtok.join(cf, "token")
+      .groupBy("query_id").agg(count(lit(1)).alias("nq"))
+    val tf = hits.groupBy("doc_id", "token")
+      .agg(count(lit(1)).alias("tf"), max("dl").alias("dl"))
+    val term = log(lit(1.0) + col("tf").cast("double") /
+      (lit(mu) * (col("cf").cast("double") / col("c_len").cast("double"))))
+    val scored = tf.join(broadcast(qtok), "token")
+      .join(broadcast(cf), "token")
+      .crossJoin(broadcast(ctot))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(term.cast("decimal(28,14)")).cast("double").alias("__s"),
+        max("dl").alias("__dl"))
+      .join(broadcast(nq), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        round(col("__s") + col("nq").cast("double") *
+          log(lit(mu) / (col("__dl").cast("double") + lit(mu))), 6)
+          .alias("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Ranked-retrieval evaluation report: per query, DCG@k / ideal-DCG@k
+    * / NDCG@k (graded, exponential gain), AP@k and reciprocal rank
+    * (binary, rel > 0) — the offline eval harness every ranker change
+    * runs before shipping.
+    *
+    * `run` is a ranking (query_id, doc_id, rank ascending from 1);
+    * `rel` carries graded relevance (query_id, doc_id, rel ≥ 0) and may
+    * cover docs the run missed (those feed the IDEAL ranking and the
+    * AP denominator — an unreturned relevant doc must cost recall).
+    *
+    * Scale shape: everything is keyed by query_id; the run side is ≤k
+    * rows per query by construction, and the ideal side reduces rel to
+    * its top-k per query through a (rel desc, doc_id) window that plans
+    * map-side WindowGroupLimit — no global window, no driver loop. Gains
+    * (2^rel − 1) are exact integers for integer grades; discount sums
+    * accumulate in DECIMAL(28,14); outputs round to 6 dp. Queries with
+    * no relevant docs report ndcg/ap/rr = 0 (not NULL) so the macro
+    * average over them is well-defined on both engines. */
+  def rankingEval(run: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def discount(rankC: Column) =
+      log2(rankC.cast("double") + lit(1.0))
+    def gain(relC: Column) =
+      (pow(lit(2.0), relC.cast("double")) - lit(1.0))
+    val topk = run.filter(col("rank") <= k)
+      .join(rel.select(col("query_id"), col("doc_id"), col("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .na.fill(0L, Seq("rel"))
+    val dcg = topk.groupBy("query_id")
+      .agg(sum((gain(col("rel")) / discount(col("rank")))
+        .cast("decimal(28,14)")).cast("double").alias("__dcg"))
+    val idealW = W.partitionBy("query_id").orderBy(desc("rel"), col("doc_id"))
+    val idcg = rel.filter(col("rel") > 0)
+      .withColumn("__irank", row_number().over(idealW))
+      .filter(col("__irank") <= k)
+      .groupBy("query_id")
+      .agg(sum((gain(col("rel")) / discount(col("__irank")))
+        .cast("decimal(28,14)")).cast("double").alias("__idcg"))
+    // binary metrics over the ≤k run rows: cumulative precision at each
+    // relevant hit (per-query window over ≤k rows), recall base R from
+    // the full rel table
+    val hitW = W.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val binary = topk
+      .withColumn("__hit", when(col("rel") > 0, 1L).otherwise(0L))
+      .withColumn("__cumhits", sum("__hit").over(hitW))
+      .groupBy("query_id")
+      .agg(sum(when(col("__hit") === 1L,
+          (col("__cumhits").cast("double") / col("rank").cast("double"))
+            .cast("decimal(28,14)")).otherwise(lit(null)))
+          .cast("double").alias("__sumprec"),
+        min(when(col("__hit") === 1L, col("rank"))).alias("__firsthit"))
+    val rbase = rel.filter(col("rel") > 0)
+      .groupBy("query_id").agg(count(lit(1)).alias("__r"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .join(binary, Seq("query_id"), "left")
+      .join(rbase, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(col("__dcg"), 6).alias("dcg"),
+        round(coalesce(col("__idcg"), lit(0.0)), 6).alias("idcg"),
+        round(when(coalesce(col("__idcg"), lit(0.0)) > 0,
+          col("__dcg") / col("__idcg")).otherwise(lit(0.0)), 6)
+          .alias("ndcg"),
+        round(when(col("__r").isNotNull,
+          coalesce(col("__sumprec"), lit(0.0)) /
+            least(col("__r"), lit(k.toLong)).cast("double"))
+          .otherwise(lit(0.0)), 6).alias("ap"),
+        round(when(col("__firsthit").isNotNull,
+          lit(1.0) / col("__firsthit").cast("double"))
+          .otherwise(lit(0.0)), 6).alias("rr"))
+  }
 }

@@ -575,6 +575,61 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("qlmTopK: tf wins, shorter docs win at equal tf, OOV terms drop") {
+    val docs = Seq(
+      (1L, "spark x x x"),       // tf=1, dl=4
+      (2L, "spark spark x x"),   // tf=2, dl=4
+      (3L, "spark y"))           // tf=1, dl=2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qlmTopK(docs, "doc_id", "text",
+        Seq(("q1", "spark"), ("q2", "spark zzz")), k = 5)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val q1 = got.filter(_._1 == "q1")
+    // more tf beats less (2 > 1); equal tf, shorter doc's length prior
+    // ln(μ/(dl+μ)) is less negative (3 > 1)
+    assert(q1.map(_._2).toSeq == Seq(2L, 3L, 1L))
+    // 'zzz' has no postings → dropped from n_q, so q2's scores are
+    // IDENTICAL to q1's (both effectively one in-vocabulary term)
+    val q2 = got.filter(_._1 == "q2")
+    assert(q2.map(r => (r._2, r._3)).toSeq == q1.map(r => (r._2, r._3)).toSeq)
+  }
+
+  test("rankingEval: hand-computed NDCG/AP/RR, perfect run, barren query") {
+    // run q1 returns a,b,c at ranks 1..3; relevance b=2, c=1, d=1
+    // (d relevant but unreturned — must depress AP's recall base).
+    val run = Seq(("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L),
+      ("q2", "a", 1L)).toDF("query_id", "doc_id", "rank")
+    val rel = Seq(("q1", "b", 2L), ("q1", "c", 1L), ("q1", "d", 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val rows = TextAnalysis.rankingEval(run, rel, k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val (dcg, idcg, ndcg, ap, rr) = rows("q1")
+    val expDcg = 3.0 / log2(3.0) + 1.0 / log2(4.0)
+    // ideal: b(2), then the c/d tie breaks on doc_id → c, d
+    val expIdcg = 3.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(dcg - expDcg) < 1e-5)
+    assert(math.abs(idcg - expIdcg) < 1e-5)
+    assert(math.abs(ndcg - expDcg / expIdcg) < 1e-5)
+    // hits at ranks 2, 3: (1/2 + 2/3) / min(R=3, k=3)
+    assert(math.abs(ap - (0.5 + 2.0 / 3.0) / 3.0) < 1e-6)
+    assert(math.abs(rr - 0.5) < 1e-9)
+    // q2 has no relevant docs anywhere → all-zero row, not NULL
+    assert(rows("q2") == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+
+    // a run in exactly the ideal order scores NDCG = 1
+    val perfect = Seq(("q1", "b", 1L), ("q1", "c", 2L), ("q1", "d", 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val p = TextAnalysis.rankingEval(perfect, rel, k = 3)
+      .collect().head
+    assert(math.abs(p.getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(p.getDouble(4) - 1.0) < 1e-9) // every rank is a hit
+    assert(math.abs(p.getDouble(5) - 1.0) < 1e-9)
+  }
+
   test("gapFill: hourly grid forward-fills, drops pre-first points, breaks ts ties") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -75,6 +75,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertTextNeverShuffles("q_bm25_topk")
   }
 
+  test("q_qlm_topk: QL ranker keeps BM25's posting shape — WindowGroupLimit, no text shuffle") {
+    val plan = run("q_qlm_topk")
+    val wgl = collectWithSubqueries(plan) { case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, s"q_qlm_topk lost its WindowGroupLimit:\n$plan")
+    assertTextNeverShuffles("q_qlm_topk")
+  }
+
+  test("q_rank_eval: eval joins stay on ≤k-per-query tables, text never shuffles") {
+    assertTextNeverShuffles("q_rank_eval")
+  }
+
   test("q_ann_batch: broadcast probe set + map-side WindowGroupLimit") {
     val plan = run("q_ann_batch")
     val wgl = collectWithSubqueries(plan) { case w: WindowGroupLimitExec => w }

@@ -314,6 +314,33 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(t.getDouble(2) - 0.75) < 1e-9)
   }
 
+  test("bhAdjust: step-up reverse min, clamping, and tie-broken ranks") {
+    import spark.implicits._
+    // m=5, sorted raws m·p/i = .005, .025, .033̄, .05, .5 — already
+    // monotone, so adj = raw; boundary .05 is significant at α=.05
+    val flat = Seq(("a", 0.001), ("b", 0.01), ("c", 0.02), ("d", 0.04),
+      ("e", 0.5)).toDF("id", "p")
+    val got = Stats.bhAdjust(flat, "id", "p")
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getBoolean(4)))
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(got.map(_._2).toSeq == Seq(0.005, 0.025, 0.033333, 0.05, 0.5))
+    assert(got.map(_._3).toSeq == Seq(true, true, true, true, false))
+
+    // non-monotone raws: m·p/i = .04, .05, .033̄, .9 — the step-up
+    // min-from-the-right pulls ranks 1-3 down to .033333
+    val bump = Seq(("a", 0.01), ("b", 0.02), ("c", 0.025), ("d", 0.9))
+      .toDF("id", "p")
+    val adj = Stats.bhAdjust(bump, "id", "p").orderBy("rank")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(adj == Seq(0.033333, 0.033333, 0.033333, 0.9))
+
+    // p=1 everywhere: raw m·p/i > 1 for every i < m → clamps to 1
+    val ones = Seq(("a", 1.0), ("b", 1.0)).toDF("id", "p")
+    assert(Stats.bhAdjust(ones, "id", "p").collect()
+      .map(_.getDouble(3)).toSeq == Seq(1.0, 1.0))
+  }
+
   test("ksTest: disjoint supports give D=1; identical samples D=0") {
     import spark.implicits._
     val disjoint = (Seq.fill(5)(0).zip(Seq(1.0, 2.0, 3.0, 4.0, 5.0)) ++
