@@ -1274,6 +1274,19 @@ object SparkEntry {
         k = 20, nCells = 8, iters = 3, dim = 64)
     }),
 
+    // similarity: product-quantization ANN — 8 subspace codebooks (Lloyd,
+    // 3 rounds), corpus encoded to 8-code words, ADC scoring over the
+    // codes table only, exact-cosine rerank of the top-50 candidates.
+    // The compressed-domain variant of the IVF family: the per-query scan
+    // touches ~64x less data than raw vectors.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 20,
+        m = 8, kPerSub = 8, iters = 3, dim = 64, rerank = 50)
+    }),
+
     // similarity: measured recall@20 of every ANN variant against the
     // brute-force ground truth — turns the "recall superset" design claims
     // into numbers. Each variant's top-20 semi-joins the exact top-20 ids;
@@ -3427,6 +3440,59 @@ object SparkEntry {
       "(sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
       "FROM af JOIN qp ON af.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"
 
+  /** Mirror of Similarity.pqTopK (m=8, kPerSub=8, 3 Lloyd rounds,
+    * rerank=50, k=20): per-subspace unrolled k-means with the same
+    * DECIMAL(28,14)/round-9 means and (dist, cid) tie order, codes from
+    * the final codebooks, ADC = per-(vec, subspace) LUT contributions
+    * summed through DECIMAL(28,14) (exact — fold order irrelevant, so
+    * Spark's expression fold and this relational sum agree), candidate
+    * cut (adc, vec_id) LIMIT 50, exact-cosine rerank. Scan-derived and
+    * multiply-referenced CTEs are MATERIALIZED ([[kcoreOracle]]'s
+    * fd-exhaustion lesson). */
+  private def pqOracle: String = {
+    def dist(v: String, cv: String) =
+      s"list_sum(list_transform(range(1, 9), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    sb ++= "sub AS MATERIALIZED (SELECT vec_id, j, " +
+      "list_transform(range(1, 9), i -> v[j * 8 + i]) AS sv " +
+      "FROM e, range(0, 8) AS r(j)), "
+    sb ++= "c0 AS MATERIALIZED (SELECT j, vec_id AS cid, sv AS cv FROM sub " +
+      "WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)), "
+    for (t <- 1 to 3) {
+      sb ++= s"d$t AS (SELECT s.vec_id, s.j, s.sv, c.cid, " +
+        s"${dist("s.sv", "c.cv")} AS dist FROM sub s JOIN c${t - 1} c ON c.j = s.j), "
+      sb ++= s"a$t AS MATERIALIZED (SELECT vec_id, j, sv, cid AS cell FROM " +
+        s"(SELECT *, row_number() OVER (PARTITION BY vec_id, j " +
+        s"ORDER BY dist, cid) AS rn FROM d$t) WHERE rn = 1), "
+      sb ++= s"m$t AS (SELECT j, cell, i, " +
+        s"round(CAST(sum(CAST(sv[i] AS DECIMAL(28,14))) AS DOUBLE) " +
+        s"/ count(*), 9) AS mv FROM a$t, range(1, 9) AS r(i) GROUP BY j, cell, i), "
+      sb ++= s"c$t AS MATERIALIZED (SELECT j, cell AS cid, " +
+        s"list(mv ORDER BY i) AS cv FROM m$t GROUP BY j, cell), "
+    }
+    sb ++= s"fd AS (SELECT s.vec_id, s.j, c.cid, ${dist("s.sv", "c.cv")} AS dist " +
+      "FROM sub s JOIN c3 c ON c.j = s.j), "
+    sb ++= "codes AS MATERIALIZED (SELECT vec_id, j, cid AS code FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id, j " +
+      "ORDER BY dist, cid) AS rn FROM fd) WHERE rn = 1), "
+    sb ++= "q AS MATERIALIZED (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1), "
+    sb ++= "qsub AS (SELECT j, list_transform(range(1, 9), i -> qv[j * 8 + i]) AS qs " +
+      "FROM q, range(0, 8) AS r(j)), "
+    sb ++= s"lut AS MATERIALIZED (SELECT c.j, c.cid, ${dist("qs.qs", "c.cv")} AS d " +
+      "FROM c3 c JOIN qsub qs ON qs.j = c.j), "
+    sb ++= "adc AS (SELECT codes.vec_id, " +
+      "CAST(sum(CAST(lut.d AS DECIMAL(28,14))) AS DOUBLE) AS adc " +
+      "FROM codes JOIN lut ON lut.j = codes.j AND lut.cid = codes.code " +
+      "GROUP BY 1), "
+    sb ++= "cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 50) "
+    sb ++= "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / " +
+      "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos " +
+      "FROM e JOIN cand USING (vec_id) CROSS JOIN q " +
+      "ORDER BY cos DESC, vec_id LIMIT 20"
+    sb.toString
+  }
+
   /** DuckDB mirror of q_neardup_embedding: 4-plane LSH bucket self-join,
     * cosine ≥ 0.3 on the 6-dp-rounded value. */
   private def neardupOracle: String = {
@@ -4449,6 +4515,9 @@ object SparkEntry {
     "q_ann_recall" -> annRecallOracle,
 
     "q_ann_ivf_kmeans" -> kmeansIvfOracle,
+
+    // Same unrolled per-subspace Lloyd, same ADC decimal sums, same cuts.
+    "q_ann_pq" -> pqOracle,
     "q_cluster_mix" -> (kmeansCtes +
       " SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
       "round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM af), 6) AS share " +

@@ -509,4 +509,123 @@ object Similarity {
     }
     v.select(col("j").alias("dim_idx"), round(col("vj"), 6).alias("loading"))
   }
+
+  /** Product-quantization codebooks: split `dim` into `m` contiguous
+    * subspaces of dim/m and run the [[kmeansCentroids]] Lloyd recipe in
+    * EACH subspace — but all `m` trainings share one dataflow (the corpus
+    * explodes to (id, j, subvector) once per round; assignments are the
+    * broadcast argmin of [[ivfAssign]] keyed by subspace; means are one
+    * grouped aggregation over (j, cell)). Same determinism contract:
+    * init = the `kPerSub` lowest ids' slices, ties break on centroid id,
+    * means go through DECIMAL(28,14) sums and round to 9 dp, so the
+    * trained codebooks are bit-reproducible across engines and cluster
+    * sizes. Returns (j, cid, cv). */
+  def pqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+                  m: Int, kPerSub: Int, iters: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val base = vectors.select(col(idCol).alias("__id"), col(vecCol).alias("v"))
+    val sub = base.select(col("__id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("v"), j * subDim + 1, subDim)): _*)).as(Seq("j", "sv")))
+    val seeds = base.orderBy("__id").limit(kPerSub).select(col("__id"))
+    var cents = sub.join(broadcast(seeds), "__id")
+      .select(col("j"), col("__id").alias("cid"), col("sv").alias("cv"))
+    for (_ <- 1 to iters) {
+      val packed = cents.groupBy("j")
+        .agg(collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
+      val assigned = sub.join(broadcast(packed), "j")
+        .withColumn("__best", array_min(transform(col("__cents"),
+          c => struct(sqDist(col("sv"), c.getField("cv")).alias("d"),
+            c.getField("cid").alias("cid")))))
+        .select(col("j"), col("sv"), col("__best").getField("cid").alias("cell"))
+      val sums = (0 until subDim).map(i =>
+        sum(col("sv").getItem(i).cast("decimal(28,14)")).alias(s"__s_$i"))
+      cents = assigned.groupBy("j", "cell")
+        .agg(count(lit(1)).alias("__n"), sums: _*)
+        .select(col("j"), col("cell").alias("cid"),
+          array((0 until subDim).map(i =>
+            round(col(s"__s_$i").cast("double") / col("__n"), 9)): _*)
+            .alias("cv"))
+    }
+    cents
+  }
+
+  /** PQ encoding: each vector → `m` centroid ids (its code word). The
+    * codebooks (m × kPerSub tiny rows) pack into ONE broadcast row and
+    * the per-subspace argmin is a pure array expression — encoding is a
+    * zero-exchange codegen'd scan, exactly [[ivfAssign]]'s shape run m
+    * times per row. At dim 64 float, the 8-code word is ~64× smaller
+    * than the raw vector: THIS is the table ANN scans at 100 TB. */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    val packed = codebooks.groupBy("j")
+      .agg(collect_list(struct(col("cid"), col("cv"))).alias("cs"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cs")))).alias("__cb"))
+    vectors.select(col(idCol), col(vecCol).alias("v"))
+      .crossJoin(broadcast(packed))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          array_min(transform(
+            element_at(col("__cb"), j + 1).getField("cs"),
+            c => struct(
+              sqDist(slice(col("v"), j * lit(subDim) + 1, lit(subDim)),
+                c.getField("cv")).alias("d"),
+              c.getField("cid").alias("cid")))).getField("cid"))
+          .alias("codes"))
+  }
+
+  /** PQ ANN with asymmetric-distance scoring and exact rerank — the
+    * compressed-domain search that makes billion-vector ANN affordable:
+    * train per-subspace codebooks, encode the corpus to m-byte codes,
+    * score candidates WITHOUT touching raw vectors (per-subspace
+    * query→centroid distance LUT, broadcast as one row; approximate
+    * distance = Σ_j lut[j][code_j], a pure expression over the codes
+    * column), then fetch raw vectors ONLY for the top-`rerank`
+    * candidates and rank those by exact cosine.
+    *
+    * Scale shape: training and encoding scan the corpus a bounded number
+    * of times with tiny shuffles (subspace-cell sums); the per-query
+    * work is one scan of the CODES table (64× smaller than the vectors)
+    * plus an exact pass over `rerank` rows. Nothing vector-sized ever
+    * shuffles. ADC contributions accumulate in DECIMAL(28,14) (exact, so
+    * fold order is irrelevant and any engine agrees); candidate and
+    * final ranks tie-break on id. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             query: DataFrame, k: Int, m: Int = 8, kPerSub: Int = 8,
+             iters: Int = 3, dim: Int = 64, rerank: Int = 50): DataFrame = {
+    val subDim = dim / m
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    val cb = pqCodebooks(base, idCol, "v", m, kPerSub, iters, dim)
+    val codes = pqEncode(base, idCol, "v", cb, m, dim)
+    val lut = cb.crossJoin(broadcast(query))
+      .select(col("j"), col("cid"),
+        sqDist(slice(col("qv"), col("j") * lit(subDim) + 1, lit(subDim)),
+          col("cv")).alias("d"))
+    val lutPacked = lut.groupBy("j")
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("d"))))
+        .alias("mm"))
+      // sort_array can't order maps — array_sort with an explicit j
+      // comparator packs the per-subspace LUTs in subspace order
+      .agg(array_sort(collect_list(struct(col("j"), col("mm"))),
+        (l, r) => when(l.getField("j") < r.getField("j"), -1)
+          .when(l.getField("j") > r.getField("j"), 1).otherwise(0))
+        .alias("__lut"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)),
+      lit(0).cast("decimal(28,14)"),
+      (acc, j) => (acc +
+        element_at(element_at(col("__lut"), j + 1).getField("mm"),
+          element_at(col("codes"), j + 1)).cast("decimal(28,14)"))
+        .cast("decimal(28,14)"))
+    val cand = codes.crossJoin(broadcast(lutPacked))
+      .select(col(idCol), adc.cast("double").alias("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(rerank)
+    base.join(broadcast(cand.select(idCol)), Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), cosine(col("v"), col("qv")).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
 }

@@ -500,6 +500,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     b.zip(meanB).foreach { case (x, m) => assert(math.abs(x - m) < 1e-6) }
   }
 
+  test("PQ: codebooks split subspaces, codes compress, ADC+rerank finds the true NN") {
+    // dim 4, m 2: subspace 0 separates clusters on coords 1-2, subspace 1
+    // on coords 3-4. Corpus = two clear clusters + one exact copy of the
+    // query vector planted in cluster A.
+    val a = Seq(Array(1.0, 1.0, 0.0, 0.0), Array(1.1, 0.9, 0.0, 0.1),
+      Array(0.9, 1.1, 0.1, 0.0), Array(1.0, 1.05, 0.05, 0.0))
+    val b = Seq(Array(0.0, 0.0, 1.0, 1.0), Array(0.1, 0.0, 1.1, 0.9),
+      Array(0.0, 0.1, 0.9, 1.1), Array(0.05, 0.0, 1.0, 1.05))
+    val corpus = (a ++ b).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cb = Similarity.pqCodebooks(corpus, "id", "v",
+      m = 2, kPerSub = 2, iters = 3, dim = 4)
+    // 2 subspaces × 2 centroids survive
+    assert(cb.groupBy("j").count().orderBy("j")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 2L), (1, 2L)))
+    val codes = Similarity.pqEncode(corpus, "id", "v", cb, m = 2, dim = 4)
+      .orderBy("id").collect().map(r => r.getSeq[Long](1).toSeq)
+    // every code word has m entries; cluster-mates share code words and
+    // the two clusters get DIFFERENT words in both subspaces
+    assert(codes.forall(_.length == 2))
+    assert(codes.take(4).distinct.length == 1)
+    assert(codes.drop(4).distinct.length == 1)
+    assert(codes.head(0) != codes(4)(0) && codes.head(1) != codes(4)(1))
+    // query = cluster A's first vector: its exact copy (id 0) must come
+    // back first with cosine 1
+    val q = corpus.filter(col("id") === 0L).select(col("v").alias("qv"))
+    val top = Similarity.pqTopK(corpus, "id", "v", q, k = 3,
+        m = 2, kPerSub = 2, iters = 3, dim = 4, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 == 0L && math.abs(top.head._2 - 1.0) < 1e-9)
+    // all reranked survivors are cluster-A members (ADC pruned cluster B)
+    assert(top.forall(_._1 < 4L))
+  }
+
   test("connected components: 65536-node path converges within 2·log2(n) rounds") {
     // worst-case diameter for n vertices; a plain label-propagation would
     // need 65535 rounds — finishing inside maxIter = 32 = 2·log2(65536)

@@ -86,6 +86,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertTextNeverShuffles("q_rank_eval")
   }
 
+  test("q_ann_pq: compressed-domain search keeps joins broadcast, no cartesian") {
+    assertNoQuadraticJoin("q_ann_pq")
+  }
+
   test("q_ann_batch: broadcast probe set + map-side WindowGroupLimit") {
     val plan = run("q_ann_batch")
     val wgl = collectWithSubqueries(plan) { case w: WindowGroupLimitExec => w }
