@@ -1315,7 +1315,7 @@ object SparkEntry {
           emb, "vec_id", "embedding", q1, 20, kmCents, nProbe = 2))
       Seq("q_ann_ivf", "q_ann_ivf_indexed", "q_ann_ivf_kmeans",
         "q_ann_ivf_kmeans_multiprobe", "q_ann_ivf_multiprobe", "q_ann_lsh",
-        "q_ann_lsh_multiprobe", "q_ann_lsh_multitable")
+        "q_ann_lsh_multiprobe", "q_ann_lsh_multitable", "q_ann_pq")
         .map(v => shared.getOrElse(v, queries(v)(s, d))
           .select(lit(v.stripPrefix("q_")).alias("variant"), col("vec_id")))
         .reduce(_ unionAll _)
@@ -3385,7 +3385,8 @@ object SparkEntry {
       "ann_ivf_multiprobe" -> ivfMultiProbeOracle,
       "ann_lsh" -> lshOracle,
       "ann_lsh_multiprobe" -> lshMultiProbeOracle,
-      "ann_lsh_multitable" -> lshMultiTableOracle)
+      "ann_lsh_multitable" -> lshMultiTableOracle,
+      "ann_pq" -> pqOracle)
     val rows = variants.map { case (name, sql) =>
       s"SELECT '$name' AS variant, (SELECT round(CAST(count(*) AS DOUBLE) / 20.0, 6) " +
         s"FROM ($sql) vv WHERE vv.vec_id IN (SELECT vec_id FROM ($annCosineOracle) gg)) AS recall"
