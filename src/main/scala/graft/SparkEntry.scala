@@ -1891,6 +1891,12 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // text: RAKE keyword extraction — top-20 content phrases by
+    // degree/frequency word scores (model-free corpus-card keywords)
+    "q_rake_keywords" -> ((s, d) =>
+      TextAnalysis.rakeKeywords(Tables.documents(s, d), "text",
+        topK = 20, maxWords = 3)),
+
     // retrieval: Dirichlet query-likelihood top-5 — the LM ranker the
     // stack A/Bs against BM25 over the same query batch
     "q_qlm_topk" -> ((s, d) =>
@@ -4859,6 +4865,9 @@ object SparkEntry {
 
     "q_bm25_topk" -> bm25Oracle,
 
+    // Same break-marker normalization, frozen stopword list, score sums.
+    "q_rake_keywords" -> rakeOracle,
+
     // Same hit-postings decomposition, same μ literal, same tie order.
     "q_qlm_topk" -> qlmOracle,
 
@@ -6669,6 +6678,40 @@ object SparkEntry {
     s"WITH $bm25Ctes SELECT query_id, doc_id, score, " +
       "CAST(rn AS BIGINT) AS rank FROM ranked " +
       "WHERE rn <= 5 ORDER BY query_id, rank"
+
+  /** Mirror of TextAnalysis.rakeKeywords (topK=20, maxWords=3): the same
+    * lowercase → break-marker → stopword-break normalization (RE2-safe,
+    * global regexp_replace), the same degree/frequency word scores with
+    * explicit DOUBLE division, DECIMAL(28,14) phrase-score sums, and the
+    * (score DESC, phrase) cut order. */
+  private def rakeOracle: String = {
+    val stops = graft.ops.TextAnalysis.RakeStopwords
+      .map(s => s"'$s'").mkString(", ")
+    "WITH ph0 AS MATERIALIZED (SELECT trim(p) AS phrase FROM (" +
+      "SELECT unnest(string_split_regex(array_to_string(list_transform(" +
+      "list_filter(string_split_regex(" +
+      // whitespace KEPT by the break-marker replace (it separates words
+      // within a phrase); explicit class matching the Spark side
+      "regexp_replace(lower(text), '[^a-z \\t\\n\\f\\r]+', ' 0 ', 'g'), " +
+      "'[ \\t\\n\\f\\r]+'), " +
+      "t -> len(t) > 0), " +
+      s"t -> CASE WHEN t = '0' OR t IN ($stops) THEN '|' ELSE t END), " +
+      "' '), '[ ]*\\|[ ]*')) AS p FROM documents) WHERE len(trim(p)) > 0), " +
+      "ph AS MATERIALIZED (SELECT phrase FROM ph0 " +
+      "WHERE len(string_split(phrase, ' ')) <= 3), " +
+      "ws AS (SELECT word, CAST(sum(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ws " +
+      "FROM (SELECT unnest(string_split(phrase, ' ')) AS word, " +
+      "len(string_split(phrase, ' ')) AS l FROM ph) GROUP BY 1), " +
+      "cnt AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences " +
+      "FROM ph GROUP BY 1), " +
+      "pw AS (SELECT cnt.phrase, cnt.n_occurrences, u.word " +
+      "FROM cnt, unnest(string_split(cnt.phrase, ' ')) AS u(word)), " +
+      "sc AS (SELECT p.phrase, p.n_occurrences, " +
+      "round(CAST(sum(CAST(w.ws AS DECIMAL(28,14))) AS DOUBLE), 6) AS score " +
+      "FROM pw p JOIN ws w ON w.word = p.word GROUP BY 1, 2) " +
+      "SELECT phrase, n_occurrences, score FROM sc " +
+      "ORDER BY score DESC, phrase LIMIT 20"
+  }
 
   /** Mirror of TextAnalysis.qlmTopK (μ=2000, k=5): same hit-postings
     * decomposition — Σ ln(1 + tf/(μ·cf/|C|)) over matching terms plus

@@ -720,6 +720,66 @@ object TextAnalysis {
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
 
+  /** RAKE stopword list — deliberately small and FROZEN: it is part of
+    * the operator definition (the oracle embeds the same list), not a
+    * tunable. */
+  private[graft] val RakeStopwords = Seq("the", "a", "an", "and", "of",
+    "to", "in", "is", "are", "was", "were", "for", "on", "with", "as",
+    "by", "at", "or", "be", "this", "that", "it", "from")
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal runs of content words between stopword/punctuation breaks;
+    * word score = degree/frequency (degree = summed length of phrases
+    * the word occurs in); phrase score = sum of its words' scores. The
+    * cheap, model-free keyword extractor a corpus card runs per source.
+    *
+    * Everything is RE2-safe regex + array expressions at the scan (no
+    * lookarounds, explicit whitespace classes): lowercase → non-letters
+    * become a break marker → stopwords become breaks → remaining token
+    * runs are the phrases. The only shuffles carry words and ≤`maxWords`-
+    * word phrases (never documents); word scores are a vocabulary-sized
+    * broadcast; per-phrase score sums run through DECIMAL(28,14) so
+    * addend order can't flip bits. Ties: (score DESC, phrase ASC). */
+  def rakeKeywords(df: DataFrame, textCol: String, topK: Int = 20,
+                   maxWords: Int = 3): DataFrame = {
+    val stops = RakeStopwords
+    // punctuation/digits → ' 0 ' break marker ('0' can't collide with a
+    // word: words are all-letter by construction). WHITESPACE IS KEPT —
+    // spaces separate words WITHIN a phrase; only punctuation and
+    // stopwords break phrases. Explicit whitespace class, not \s.
+    val cleaned = regexp_replace(lower(col(textCol)),
+      "[^a-z \t\n\f\r]+", " 0 ")
+    val toks = filter(split(cleaned, "[ \t\n\f\r]+"), t => length(t) > 0)
+    val marked = transform(toks,
+      t => when(t === "0" || t.isInCollection(stops), lit("|")).otherwise(t))
+    val phrases = filter(
+      transform(split(array_join(marked, " "), "[ ]*\\|[ ]*"),
+        p => trim(p)),
+      p => length(p) > 0)
+    val phrase = df.select(explode(phrases).alias("phrase"))
+      .filter(size(split(col("phrase"), " ")) <= maxWords)
+    // word degree/frequency over phrase INSTANCES (multiplicity counts)
+    val words = phrase.select(col("phrase"),
+        size(split(col("phrase"), " ")).alias("__len"))
+      .select(explode(split(col("phrase"), " ")).alias("word"), col("__len"))
+      .groupBy("word")
+      .agg(count(lit(1)).alias("__freq"), sum("__len").alias("__deg"))
+      .select(col("word"),
+        (col("__deg").cast("double") / col("__freq").cast("double"))
+          .alias("__ws"))
+    // score each DISTINCT phrase once; occurrence counts ride along
+    val counts = phrase.groupBy("phrase").agg(count(lit(1)).alias("n_occurrences"))
+    counts
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).alias("word"))
+      .join(broadcast(words), "word")
+      .groupBy("phrase", "n_occurrences")
+      .agg(round(sum(col("__ws").cast("decimal(28,14)")).cast("double"), 6)
+        .alias("score"))
+      .orderBy(desc("score"), col("phrase"))
+      .limit(topK)
+  }
+
   /** Dirichlet-smoothed query-likelihood top-k retrieval — the language-
     * model twin of [[bm25TopK]] (same posting shape, different scoring
     * family; shipping both is how a retrieval stack A/Bs its ranker).

@@ -610,6 +610,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(q2.head == 4L)
   }
 
+  test("rakeKeywords: punctuation+stopwords break phrases, deg/freq scores") {
+    val docs = Seq(
+      (1L, "Deep learning, the neural network of deep learning."),
+      (2L, "scan."))
+      .toDF("doc_id", "text")
+    // phrases: "deep learning" x2, "neural network", "scan"
+    // deep/learning: freq 2, deg 4 → 2.0 each; neural/network: 2.0;
+    // scan: 1.0 → scores 4.0 / 4.0 / 1.0
+    val got = TextAnalysis.rakeKeywords(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("deep learning", 2L, 4.0),
+      ("neural network", 1L, 4.0),
+      ("scan", 1L, 1.0)))
+    // maxWords drops over-long runs entirely (no truncation artifacts)
+    val longRun = Seq((1L, "alpha beta gamma delta, scan"))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.rakeKeywords(longRun, "text", topK = 10,
+      maxWords = 3).collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("scan"))
+  }
+
   test("qlmTopK: tf wins, shorter docs win at equal tf, OOV terms drop") {
     val docs = Seq(
       (1L, "spark x x x"),       // tf=1, dl=4
