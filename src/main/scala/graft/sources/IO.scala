@@ -97,4 +97,56 @@ object IO {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Targeted delete (right-to-be-forgotten) over a Hive-partitioned
+    * parquet table: remove every row whose `keyCol` appears in
+    * `tombstones`, REWRITING ONLY THE PARTITIONS THAT CONTAIN SUCH ROWS.
+    * This is the compliance primitive a 100 TB corpus needs: a delete
+    * request for a handful of users must not rewrite (or even read) the
+    * other 99.99 % of the table.
+    *
+    * Dataflow: (1) broadcast the distinct tombstone keys and semi-join to
+    * find the affected partition VALUES — the only full-table touch, and
+    * it is a scan+broadcast-probe that prunes columns to (key, partition);
+    * (2) read ONLY those partitions back (planning-time partition
+    * pruning), anti-join the broadcast keys, and stage the survivors to a
+    * temp sibling directory; (3) swap each affected partition directory
+    * (delete old, rename staged) — partitions whose rows were all
+    * tombstoned are removed outright, and untouched partitions' files are
+    * never read, rewritten, or re-listed. Staging-then-swap also avoids
+    * Spark's (correct) refusal to overwrite a path it is reading from.
+    *
+    * Returns (rowsDeleted, partitionsRewritten, partitionsRemoved).
+    * Partition values must round-trip through their directory names
+    * (true for the date/lang/source-style values partitioning should use;
+    * see [[writePartitioned]]'s cardinality guidance). */
+  def forgetKeys(spark: SparkSession, path: String, keyCol: String,
+                 tombstones: DataFrame, partitionCol: String)
+      : (Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val table = spark.read.parquet(path)
+    val keys = tombstones.select(col(keyCol)).distinct()
+    val affected = table.join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(partitionCol).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return (0L, 0L, 0L)
+    val slice = table.filter(col(partitionCol).isInCollection(affected))
+    val kept = slice.join(broadcast(keys), Seq(keyCol), "left_anti")
+    // two pruned-scan counts — bounded by the affected partitions' size
+    val deleted = slice.count() - kept.count()
+    val tmp = path.stripSuffix("/") + ".__forget_staging"
+    kept.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var rewritten = 0L; var removed = 0L
+    affected.foreach { v =>
+      val dst = new Path(s"$path/$partitionCol=$v")
+      val src = new Path(s"$tmp/$partitionCol=$v")
+      fs.delete(dst, true)
+      if (fs.exists(src)) { fs.rename(src, dst); rewritten += 1 }
+      else removed += 1
+    }
+    fs.delete(new Path(tmp), true)
+    (deleted, rewritten, removed)
+  }
 }

@@ -168,4 +168,54 @@ class PartitionedLayoutSpec extends AnyFunSuite with SparkSpec
         s"scan read $numFiles files; lang=en has $enFiles of $allFiles total")
     } finally { rmTree(dir); rmTree(dir + "_dim") }
   }
+
+  test("forgetKeys deletes tombstoned rows, touching only affected partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-forget").toString
+    try {
+      val docs = Tables.documents(spark, sf0)
+        .select("doc_id", "text", "lang", "source")
+      IO.writePartitioned(docs, dir, Seq("lang"))
+      val langs = docs.select("lang").distinct().as[String].collect().sorted
+      assert(langs.length >= 2, "fixture needs >=2 langs for this test")
+      val target = langs.head     // partition we delete FROM
+      val witness = langs.last    // partition that must stay untouched
+      def partFiles(lang: String) =
+        new java.io.File(s"$dir/lang=$lang").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSeq.sorted
+      val witnessBefore = partFiles(witness)
+      val total = docs.count()
+
+      // tombstone 3 doc_ids that live in the target partition only
+      val victims = docs.filter(col("lang") === target)
+        .select("doc_id").orderBy("doc_id").limit(3)
+      val victimIds = victims.as[Long].collect().toSeq
+      val (deleted, rewritten, removed) =
+        IO.forgetKeys(spark, dir, "doc_id", victims, "lang")
+      assert(deleted == 3L && rewritten == 1L && removed == 0L,
+        s"(deleted=$deleted rewritten=$rewritten removed=$removed)")
+      val after = spark.read.parquet(dir)
+      assert(after.count() == total - 3)
+      assert(after.filter(col("doc_id").isInCollection(victimIds)).count() == 0)
+      // the witness partition's files are bit-identical — never rewritten
+      assert(partFiles(witness) == witnessBefore,
+        "untouched partition was rewritten")
+      // no staging residue
+      assert(!new java.io.File(dir + ".__forget_staging").exists())
+
+      // wipe EVERY row of the witness partition → its directory is removed
+      val all = spark.read.parquet(dir).filter(col("lang") === witness)
+        .select("doc_id")
+      val n = all.count()
+      val (d2, r2, rm2) = IO.forgetKeys(spark, dir, "doc_id", all, "lang")
+      assert(d2 == n && rm2 == 1L, s"(d2=$d2 r2=$r2 rm2=$rm2)")
+      assert(!new java.io.File(s"$dir/lang=$witness").exists())
+      assert(spark.read.parquet(dir).filter(col("lang") === witness).count() == 0)
+
+      // no-op: tombstones matching nothing return zeros and write nothing
+      val ghost = Seq(-1L, -2L).toDF("doc_id")
+      assert(IO.forgetKeys(spark, dir, "doc_id", ghost, "lang") == ((0L, 0L, 0L)))
+    } finally rmTree(dir)
+  }
 }
