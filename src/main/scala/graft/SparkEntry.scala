@@ -1274,6 +1274,16 @@ object SparkEntry {
         k = 20, nCells = 8, iters = 3, dim = 64)
     }),
 
+    // similarity: dimension-truncation recall ladder — price the
+    // "score on the first d dims" bandwidth cut in measured recall@20
+    "q_ann_dim_tradeoff" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.dimTradeoffRecall(emb, "vec_id", "embedding", q,
+        k = 20, dims = Seq(8, 16, 32, 64), fullDim = 64)
+    }),
+
     // similarity: product-quantization ANN — 8 subspace codebooks (Lloyd,
     // 3 rounds), corpus encoded to 8-code words, ADC scoring over the
     // codes table only, exact-cosine rerank of the top-50 candidates.
@@ -3447,6 +3457,30 @@ object SparkEntry {
       "(sqrt(list_dot_product(af.v, af.v)) * sqrt(list_dot_product(qp.qv, qp.qv))), 6) AS cos " +
       "FROM af JOIN qp ON af.cell = qp.cell ORDER BY cos DESC, vec_id LIMIT 20"
 
+  /** Mirror of Similarity.dimTradeoffRecall (k=20, prefixes 8/16/32/64):
+    * per prefix length, the same truncated-cosine top-20 with (cos DESC,
+    * vec_id) cut order; recall = overlap with the full-64 cut / 20, with
+    * a zero-hit prefix still reporting 0.0. */
+  private def dimTradeoffOracle: String = {
+    def cosD(d: Int) = {
+      val sl = (v: String) => s"list_transform(range(1, ${d + 1}), i -> $v[i])"
+      s"round(list_dot_product(${sl("e.v")}, ${sl("q.qv")}) / " +
+        s"(sqrt(list_dot_product(${sl("e.v")}, ${sl("e.v")})) * " +
+        s"sqrt(list_dot_product(${sl("q.qv")}, ${sl("q.qv")}))), 6)"
+    }
+    def topk(d: Int) =
+      s"SELECT vec_id FROM (SELECT e.vec_id, ${cosD(d)} AS cos " +
+        "FROM e CROSS JOIN q ORDER BY cos DESC, e.vec_id LIMIT 20)"
+    val rows = Seq(8, 16, 32, 64).map { d =>
+      s"SELECT CAST($d AS BIGINT) AS dims, (SELECT round(CAST(count(*) AS DOUBLE) / 20.0, 6) " +
+        s"FROM (${topk(d)}) t WHERE t.vec_id IN (SELECT vec_id FROM gt)) AS recall"
+    }.mkString(" UNION ALL ")
+    "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS MATERIALIZED (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1), " +
+      s"gt AS MATERIALIZED (${topk(64)}) " +
+      s"SELECT dims, recall FROM ($rows) ORDER BY dims"
+  }
+
   /** Mirror of Similarity.pqTopK (m=8, kPerSub=8, 3 Lloyd rounds,
     * rerank=50, k=20): per-subspace unrolled k-means with the same
     * DECIMAL(28,14)/round-9 means and (dist, cid) tie order, codes from
@@ -4525,6 +4559,9 @@ object SparkEntry {
 
     // Same unrolled per-subspace Lloyd, same ADC decimal sums, same cuts.
     "q_ann_pq" -> pqOracle,
+
+    // Same truncated-cosine cuts per prefix, zero-hit prefixes report 0.
+    "q_ann_dim_tradeoff" -> dimTradeoffOracle,
     "q_cluster_mix" -> (kmeansCtes +
       " SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
       "round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM af), 6) AS share " +

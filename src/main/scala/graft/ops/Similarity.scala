@@ -510,6 +510,42 @@ object Similarity {
     v.select(col("j").alias("dim_idx"), round(col("vj"), 6).alias("loading"))
   }
 
+  /** Dimension-truncation recall study (the Matryoshka question): for
+    * each prefix length in `dims`, run brute-force cosine top-k on the
+    * TRUNCATED vectors and measure recall against the full-dimension
+    * ground truth. At 100 TB, scoring on the first 16 of 64 dims reads
+    * and multiplies 4× less — this query prices that cut in recall, per
+    * corpus, instead of guessing. One corpus scan per prefix length,
+    * each the same broadcast-query TakeOrderedAndProject shape as
+    * [[bruteForceTopK]]; the union is |dims| × k rows. */
+  def dimTradeoffRecall(corpus: DataFrame, idCol: String, vecCol: String,
+                        query: DataFrame, k: Int, dims: Seq[Int],
+                        fullDim: Int): DataFrame = {
+    val base = corpus.select(col(idCol), asDouble(col(vecCol)).alias("v"))
+    def topk(d: Int) = base
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        cosine(slice(col("v"), 1, d), slice(col("qv"), 1, d)).alias("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+    val gt = topk(fullDim).select(col(idCol))
+    val hits = dims.map { d =>
+      topk(d).select(lit(d).cast("long").alias("dims"), col(idCol))
+    }.reduce(_ unionAll _)
+      .join(gt, Seq(idCol), "left_semi")
+      .groupBy("dims")
+      .agg(count(lit(1)).alias("__hits"))
+    // a prefix with ZERO hits must still report recall 0.0, not vanish
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    dims.map(_.toLong).toDF("dims")
+      .join(hits, Seq("dims"), "left")
+      .select(col("dims"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / k.toDouble, 6)
+          .alias("recall"))
+      .orderBy("dims")
+  }
+
   /** Product-quantization codebooks: split `dim` into `m` contiguous
     * subspaces of dim/m and run the [[kmeansCentroids]] Lloyd recipe in
     * EACH subspace — but all `m` trainings share one dataflow (the corpus

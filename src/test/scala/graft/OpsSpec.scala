@@ -500,6 +500,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     b.zip(meanB).foreach { case (x, m) => assert(math.abs(x - m) < 1e-6) }
   }
 
+  test("dimTradeoffRecall: informative prefixes recover the full ranking") {
+    // all signal lives in dims 1-2; dims 3-4 are CONSTANT, so the 2-dim
+    // prefix must reproduce the full-4 top-k exactly (recall 1), while a
+    // 1-dim prefix that collapses two clusters cannot.
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 5.0, 5.0)), (2L, Array(0.9, 0.1, 5.0, 5.0)),
+      (3L, Array(0.0, 1.0, 5.0, 5.0)), (4L, Array(0.1, 0.9, 5.0, 5.0)),
+      (5L, Array(-1.0, 0.0, 5.0, 5.0)), (6L, Array(-0.9, -0.1, 5.0, 5.0)))
+      .toDF("id", "v")
+    val q = Seq(Tuple1(Array(1.0, 0.0, 5.0, 5.0))).toDF("qv")
+    val got = Similarity.dimTradeoffRecall(corpus, "id", "v", q,
+        k = 2, dims = Seq(1, 2, 4), fullDim = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(4L) == 1.0)
+    assert(got(2L) == 1.0)      // constant tail dims add no information
+    assert(got(1L) <= 1.0 && got.size == 3)  // every prefix reports a row
+  }
+
   test("PQ: codebooks split subspaces, codes compress, ADC+rerank finds the true NN") {
     // dim 4, m 2: subspace 0 separates clusters on coords 1-2, subspace 1
     // on coords 3-4. Corpus = two clear clusters + one exact copy of the
