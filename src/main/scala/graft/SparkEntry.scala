@@ -3252,6 +3252,99 @@ object SparkEntry {
         .select(col("node"), round(col("rank"), 6).alias("rank"))
         .orderBy("node")
     }),
+
+    // Exact per-group mode (Aggregates.groupMode): most frequent lang per
+    // source, smallest-value tie-break.
+    "q_group_mode" -> ((s, d) =>
+      Aggregates.groupMode(Tables.documents(s, d), "source", "lang")),
+
+    // Exact weighted median (Stats.weightedMedian): quantity-weighted
+    // median extended price per return flag — the "median unit shipped"
+    // rather than the median line.
+    "q_weighted_median" -> ((s, d) =>
+      graft.ops.Stats.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+        col("l_extendedprice"), col("l_quantity"))),
+
+    // Additive STL-style decomposition (Stats.stlDecompose) of daily
+    // order volume: ±3-day centered trend, centered day-of-week
+    // seasonal, remainder.
+    "q_stl_decompose" -> ((s, d) =>
+      graft.ops.Stats.stlDecompose(Tables.orders(s, d),
+        to_date(col("o_orderdate")), halfWindow = 3)),
+
+    // SAX symbolization (Stats.saxSymbols) of daily order volume:
+    // z-normalize, weekly PAA frames, 4-letter Gaussian-breakpoint
+    // alphabet.
+    "q_sax_symbols" -> ((s, d) =>
+      graft.ops.Stats.saxSymbols(Tables.orders(s, d),
+        to_date(col("o_orderdate")), frameLen = 7)),
+
+    // Eventually-follows pairs (Sessionize.followsPairs): which event
+    // type's first occurrence precedes which, per user, with support.
+    "q_follows_pairs" -> ((s, d) =>
+      Sessionize.followsPairs(Tables.events(s, d), "user_id", "ts",
+        "event_type")),
+
+    // Harmonic centrality (Graph.harmonicCentrality) on the bipartite
+    // user↔event-type graph from all five type nodes, 3 hops: which
+    // users sit closest to the whole behavioral alphabet.
+    "q_harmonic" -> ((s, d) => {
+      val ue = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val edges = ue.select(concat(lit("u:"), col("user_id")).alias("src"),
+          concat(lit("t:"), col("event_type")).alias("dst"))
+        .unionAll(ue.select(concat(lit("t:"), col("event_type")).alias("src"),
+          concat(lit("u:"), col("user_id")).alias("dst")))
+      val seeds = Tables.events(s, d)
+        .select(concat(lit("t:"), col("event_type")).alias("node")).distinct()
+      Graph.harmonicCentrality(edges, seeds, hops = 3)
+    }),
+
+    // Deterministic HyperLogLog (Aggregates.hllDistinct, p=8): distinct
+    // users per event type from 256 md5-draw registers — the mergeable
+    // sketch beside the exact count it approximates.
+    "q_hll_distinct" -> ((s, d) =>
+      Aggregates.hllDistinct(Tables.events(s, d), "event_type",
+        col("user_id"), p = 8)),
+
+    // HLL mergeability (Aggregates.hllRollup): per-(type, day) register
+    // tables max-merged to per-type and estimated — must equal the
+    // direct q_hll_distinct numbers (max is associative).
+    "q_hll_rollup" -> ((s, d) => {
+      val fine = Aggregates.hllRegisters(
+        Tables.events(s, d).withColumn("__day", to_date(col("ts"))),
+        Seq("event_type", "__day"), col("user_id"), p = 8)
+      Aggregates.hllEstimate(
+        Aggregates.hllRollup(fine, Seq("event_type")),
+        Seq("event_type"), p = 8).orderBy("event_type")
+    }),
+
+    // Exact trailing-7-day active users per day (Aggregates
+    // .rollingDistinct): the WAU curve via dedup-then-fan-out, not a
+    // range join.
+    "q_rolling_distinct" -> ((s, d) =>
+      Aggregates.rollingDistinct(Tables.events(s, d), col("ts"),
+        col("user_id"), windowDays = 7)),
+
+    // Peak concurrent sessions per day (Sessionize.peakConcurrency):
+    // 30-min-gap sessions swept as +1/−1 deltas.
+    "q_concurrency" -> ((s, d) =>
+      Sessionize.peakConcurrency(Tables.events(s, d), "user_id", "ts",
+        "event_id", gapMinutes = 30)),
+
+    // Jelinek-Mercer interpolated bigram LM
+    // (TextAnalysis.interpolatedLogProb, λ=0.7): conditional bigram
+    // probability mixed with the unigram back-off.
+    "q_interp_logprob" -> ((s, d) =>
+      TextAnalysis.interpolatedLogProb(Tables.documents(s, d), "doc_id",
+        "text", lambda = 0.7).orderBy("doc_id")),
+
+    // Nearest-centroid (Rocchio) classifier confusion matrix
+    // (Similarity.centroidClassify) over the labeled embeddings.
+    "q_centroid_classify" -> ((s, d) =>
+      Similarity.centroidClassify(
+        Tables.embeddings(s, d).filter(size(col("embedding")) === 64),
+        "vec_id", "embedding", "label")),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -6295,6 +6388,152 @@ object SparkEntry {
         "SELECT ov.n, ov.mean, " +
         "(SELECT round(m, 6) FROM rk WHERE rk = 3) AS ci_lo, " +
         "(SELECT round(m, 6) FROM rk WHERE rk = 98) AS ci_hi FROM ov"),
+
+    "q_group_mode" ->
+      ("WITH c AS (SELECT source, lang AS mode_value, count(*) AS mode_count " +
+        "FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source " +
+        "ORDER BY mode_count DESC, mode_value) AS rn FROM c) " +
+        "SELECT source, mode_value, mode_count FROM r WHERE rn = 1 " +
+        "ORDER BY source"),
+
+    "q_weighted_median" ->
+      ("WITH g AS (SELECT l_returnflag, l_extendedprice AS v, " +
+        "SUM(CAST(l_quantity AS DECIMAL(28,8))) AS w FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, v, SUM(w) OVER (PARTITION BY l_returnflag " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+        "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) " +
+        "SELECT l_returnflag, min(v) AS weighted_median FROM c " +
+        "WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1"),
+
+    // isodow shares Spark's weekday()+1 numbering; trend is 6-dp-pinned
+    // before detrending on both sides so the subtraction is identical.
+    "q_stl_decompose" ->
+      ("WITH s AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "t AS MATERIALIZED (SELECT d, y, count(*) OVER w AS n, " +
+        "round(CAST(SUM(CAST(y AS DECIMAL(28,8))) OVER w AS DOUBLE) / " +
+        "CAST(count(*) OVER w AS DOUBLE), 6) AS trend FROM s " +
+        "WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "f AS MATERIALIZED (SELECT d, y, trend, y - trend AS detr, " +
+        "CAST(isodow(d) AS BIGINT) AS dow FROM t WHERE n = 7), " +
+        "dm AS (SELECT dow, CAST(SUM(CAST(detr AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS sm FROM f GROUP BY 1), " +
+        "cc AS (SELECT CAST(SUM(CAST(sm AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS c FROM dm), " +
+        "se AS (SELECT dow, round(sm - c, 6) AS seasonal FROM dm CROSS JOIN cc) " +
+        "SELECT f.d, f.y, f.trend, se.seasonal, " +
+        "round(f.y - f.trend - se.seasonal, 6) AS remainder " +
+        "FROM f JOIN se USING (dow) ORDER BY f.d"),
+
+    "q_sax_symbols" ->
+      ("WITH s AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "SUM(CAST(y AS DECIMAL(28,8))) AS s1, " +
+        "SUM(CAST(y * y AS DECIMAL(28,8))) AS s2 FROM s), " +
+        "z AS (SELECT d, round((y - CAST(s1 AS DOUBLE) / n) / " +
+        "sqrt(CAST(s2 AS DOUBLE) / n - " +
+        "(CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS z, " +
+        "row_number() OVER (ORDER BY d) AS rn FROM s CROSS JOIN m) " +
+        "SELECT CAST(floor((rn - 1) / 7) AS BIGINT) AS frame, " +
+        "count(*) AS n_days, " +
+        "round(CAST(SUM(CAST(z AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS paa, " +
+        "CASE WHEN round(CAST(SUM(CAST(z AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) < -0.6745 THEN 'a' " +
+        "WHEN round(CAST(SUM(CAST(z AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) < 0.0 THEN 'b' " +
+        "WHEN round(CAST(SUM(CAST(z AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) < 0.6745 THEN 'c' ELSE 'd' END AS symbol " +
+        "FROM z GROUP BY 1 ORDER BY 1"),
+
+    "q_follows_pairs" ->
+      ("WITH f AS (SELECT user_id, event_type AS t, min(ts) AS ts " +
+        "FROM events GROUP BY 1, 2), " +
+        "n AS (SELECT count(DISTINCT user_id) AS n FROM events), " +
+        "p AS (SELECT fa.t AS a, fb.t AS b FROM f fa " +
+        "JOIN f fb ON fa.user_id = fb.user_id AND fa.ts < fb.ts) " +
+        "SELECT a, b, count(*) AS support, " +
+        "round(CAST(count(*) AS DOUBLE) / CAST(n.n AS DOUBLE), 6) " +
+        "AS support_ratio FROM p CROSS JOIN n GROUP BY a, b, n.n " +
+        "ORDER BY support DESC, a, b"),
+
+    "q_harmonic" -> harmonicOracle,
+
+    "q_hll_distinct" -> hllOracle,
+
+    "q_hll_rollup" -> hllRollupOracle,
+
+    "q_rolling_distinct" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "days AS (SELECT DISTINCT d AS window_end FROM du) " +
+        "SELECT e.window_end, count(DISTINCT du.u) AS active_7d " +
+        "FROM days e JOIN du ON du.d <= e.window_end " +
+        "AND du.d > e.window_end - 7 GROUP BY 1 ORDER BY 1"),
+
+    // Same sessionize CTE as q_sessionize_batch (30-min gap, event_id
+    // tie), then the +1/−1 sweep; the RANGE frame nets same-instant
+    // transitions on both engines.
+    "q_concurrency" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "y AS (SELECT user_id, ts, CAST(sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq " +
+        "FROM x), " +
+        "ss AS (SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e " +
+        "FROM y GROUP BY 1, 2), " +
+        "dl AS (SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM ss " +
+        "UNION ALL SELECT e AS t, CAST(-1 AS BIGINT) AS delta FROM ss), " +
+        "r AS (SELECT t, CAST(sum(delta) OVER (ORDER BY t " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run " +
+        "FROM dl) " +
+        "SELECT CAST(t AS DATE) AS d, max(run) AS peak_concurrent " +
+        "FROM r GROUP BY 1 ORDER BY 1"),
+
+    // q_bigram_logprob's CTEs with the JM mix; every arithmetic term is
+    // CAST to DOUBLE before the mix so neither engine does DECIMAL
+    // division.
+    "q_interp_logprob" ->
+      ("WITH a AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS big FROM a WHERE len(toks) >= 2), " +
+        "bp AS (SELECT doc_id, string_split(big, ' ')[1] AS prev, " +
+        "string_split(big, ' ')[2] AS w, big FROM bg), " +
+        "cb AS (SELECT big, count(*) AS cb FROM bp GROUP BY 1), " +
+        "cu AS (SELECT t, count(*) AS cu FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM cu) " +
+        "SELECT bp.doc_id, round(CAST(sum(CAST(ln(" +
+        "CAST(0.7 AS DOUBLE) * CAST(cb.cb AS DOUBLE) / CAST(cp.cu AS DOUBLE) + " +
+        "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(cw.cu AS DOUBLE) / " +
+        "CAST(nn.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) " +
+        "AS logprob FROM bp JOIN cb USING (big) " +
+        "JOIN cu cp ON cp.t = bp.prev JOIN cu cw ON cw.t = bp.w " +
+        "CROSS JOIN nn GROUP BY 1 ORDER BY 1"),
+
+    "q_centroid_classify" ->
+      ("WITH e AS MATERIALIZED (SELECT vec_id, label, " +
+        "embedding::DOUBLE[] AS v FROM embeddings WHERE len(embedding) = 64), " +
+        "cd AS (SELECT label, i AS pos, " +
+        "CAST(sum(CAST(v[i + 1] AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS cx " +
+        "FROM e, unnest(generate_series(0, 63)) AS u(i) GROUP BY 1, 2), " +
+        "cent AS MATERIALIZED (SELECT label AS clab, " +
+        "list(round(cx, 9) ORDER BY pos) AS c FROM cd GROUP BY 1), " +
+        "sc AS (SELECT e.vec_id, e.label, cent.clab, " +
+        "round(list_dot_product(e.v, cent.c) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c))), 6) " +
+        "AS cos FROM e CROSS JOIN cent), " +
+        "best AS (SELECT vec_id, label, clab, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clab) AS rn " +
+        "FROM sc) " +
+        "SELECT label, clab AS predicted, count(*) AS n FROM best " +
+        "WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 
   /** Shared triangle-support CTE block over an edge relation `e` (a, b
@@ -6646,6 +6885,93 @@ object SparkEntry {
     sb ++= " SELECT node, dist FROM d3 ORDER BY node"
     sb.toString
   }
+
+  /** Mirror of q_harmonic: [[bfsOracle]]'s unrolled rounds with a seed
+    * column carried through (multi-source labeled BFS), then Σ 1/d in
+    * DECIMAL. `ed` is MATERIALIZED — every unrolled round joins it. */
+  private def harmonicOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH ue AS (SELECT DISTINCT user_id, event_type FROM events), "
+    sb ++= "ed AS MATERIALIZED (SELECT 'u:' || user_id AS src, " +
+      "'t:' || event_type AS dst FROM ue " +
+      "UNION ALL SELECT 't:' || event_type AS src, 'u:' || user_id AS dst FROM ue), "
+    sb ++= "d0 AS (SELECT DISTINCT 't:' || event_type AS node, " +
+      "'t:' || event_type AS seed, CAST(0 AS BIGINT) AS dist FROM events), "
+    for (t <- 1 to 3) {
+      sb ++= s"d$t AS MATERIALIZED (SELECT node, seed, " +
+        s"CAST(min(dist) AS BIGINT) AS dist FROM (" +
+        s"SELECT node, seed, dist FROM d${t - 1} " +
+        s"UNION ALL SELECT ed.dst AS node, p.seed, p.dist + 1 AS dist " +
+        s"FROM d${t - 1} p JOIN ed ON p.node = ed.src) GROUP BY 1, 2), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " SELECT node, count(*) AS n_reached, " +
+      "round(CAST(SUM(CAST(1.0 / dist AS DECIMAL(28,10))) AS DOUBLE), 6) " +
+      "AS harmonic FROM d3 WHERE dist > 0 GROUP BY 1 ORDER BY 1"
+    sb.toString
+  }
+
+  /** Mirror of q_hll_rollup: [[hllOracle]] with a (type, day) register
+    * level max-merged to per-type before estimating — the associativity
+    * the rollup relies on, exercised rather than assumed. */
+  private def hllRollupOracle: String =
+    "WITH h AS MATERIALIZED (SELECT event_type, CAST(ts AS DATE) AS d, " +
+      "md5(CAST(user_id AS VARCHAR)) AS hex FROM events " +
+      "WHERE user_id IS NOT NULL), " +
+      "rr AS (SELECT event_type, d, ('0x' || substr(hex, 1, 2))::BIGINT AS j, " +
+      "substr(hex, 3, 10) AS rest, ltrim(substr(hex, 3, 10), '0') AS strip " +
+      "FROM h), " +
+      "rho AS (SELECT event_type, d, j, CASE WHEN strip = '' THEN 41 ELSE " +
+      "(length(rest) - length(strip)) * 4 + " +
+      "CASE WHEN substr(strip, 1, 1) = '1' THEN 3 " +
+      "WHEN substr(strip, 1, 1) IN ('2', '3') THEN 2 " +
+      "WHEN substr(strip, 1, 1) IN ('4', '5', '6', '7') THEN 1 " +
+      "ELSE 0 END + 1 END AS rho FROM rr), " +
+      "regs_fine AS (SELECT event_type, d, j, max(rho) AS mj " +
+      "FROM rho GROUP BY 1, 2, 3), " +
+      "regs AS (SELECT event_type, j, max(mj) AS mj FROM regs_fine " +
+      "GROUP BY 1, 2), " +
+      "pg AS (SELECT event_type, " +
+      "SUM(CAST(power(2, 41 - mj) AS BIGINT)) AS sp, count(*) AS np " +
+      "FROM regs GROUP BY 1), " +
+      "est AS (SELECT event_type, " +
+      "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 2199023255552.0 / " +
+      "CAST(sp + (256 - np) * 2199023255552 AS DOUBLE) AS raw, " +
+      "256 - np AS v FROM pg) " +
+      "SELECT event_type, round(CASE WHEN v > 0 AND raw <= 640.0 " +
+      "THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE raw END, 4) " +
+      "AS hll_distinct FROM est ORDER BY event_type"
+
+  /** Mirror of q_hll_distinct (p=8, m=256): the identical hex-string
+    * register/rho computation — bucket = first 2 md5 hex chars, rho from
+    * leading zeros of the remaining 10 (4·zero-chars + a CASE on the
+    * first non-zero digit) — the exact-integer Σ 2^(41−M_j) harmonic
+    * sum, and the same fixed-parenthesization α·m²·2^41/S division with
+    * linear-counting correction. 2199023255552 = 2^41. */
+  private def hllOracle: String =
+    "WITH h AS MATERIALIZED (SELECT event_type, " +
+      "md5(CAST(user_id AS VARCHAR)) AS hex FROM events " +
+      "WHERE user_id IS NOT NULL), " +
+      "rr AS (SELECT event_type, ('0x' || substr(hex, 1, 2))::BIGINT AS j, " +
+      "substr(hex, 3, 10) AS rest, ltrim(substr(hex, 3, 10), '0') AS strip " +
+      "FROM h), " +
+      "rho AS (SELECT event_type, j, CASE WHEN strip = '' THEN 41 ELSE " +
+      "(length(rest) - length(strip)) * 4 + " +
+      "CASE WHEN substr(strip, 1, 1) = '1' THEN 3 " +
+      "WHEN substr(strip, 1, 1) IN ('2', '3') THEN 2 " +
+      "WHEN substr(strip, 1, 1) IN ('4', '5', '6', '7') THEN 1 " +
+      "ELSE 0 END + 1 END AS rho FROM rr), " +
+      "regs AS (SELECT event_type, j, max(rho) AS mj FROM rho GROUP BY 1, 2), " +
+      "pg AS (SELECT event_type, " +
+      "SUM(CAST(power(2, 41 - mj) AS BIGINT)) AS sp, count(*) AS np " +
+      "FROM regs GROUP BY 1), " +
+      "est AS (SELECT event_type, " +
+      "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * 2199023255552.0 / " +
+      "CAST(sp + (256 - np) * 2199023255552 AS DOUBLE) AS raw, " +
+      "256 - np AS v FROM pg) " +
+      "SELECT event_type, round(CASE WHEN v > 0 AND raw <= 640.0 " +
+      "THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE)) ELSE raw END, 4) " +
+      "AS hll_distinct FROM est ORDER BY event_type"
 
   /** Mirror of Graph.pagerank (3 rounds, d=0.85) over the bipartite
     * user↔event-type graph: 3 unrolled power-iteration rounds with the

@@ -585,4 +585,139 @@ object Aggregates {
       round(xb / nb, 6).alias("rate_b"),
       round(when(se > 0, (xb / nb - xa / na) / se), 6).alias("z"))
   }
+
+  /** Exact per-group mode with a deterministic tie-break (the smallest
+    * value among the equally-most-frequent). Two levels: a value-count
+    * aggregation (map-side combined — the only pass over base rows),
+    * then a rank window over the tiny (group × distinct-value) count
+    * table. The window never sees base data, so the operator scales
+    * with the value domain, not the table. */
+  def groupMode(df: DataFrame, group: String, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(group), col(valueCol).alias("mode_value"))
+      .agg(count(lit(1)).alias("mode_count"))
+    val w = Window.partitionBy(group)
+      .orderBy(desc("mode_count"), col("mode_value"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .orderBy(group)
+  }
+
+  /** Deterministic HyperLogLog distinct count per group, built entirely
+    * from the engine-portable md5 draw family ([[ScaleDedup.hash32]]'s
+    * stance) so an oracle replays it bit-for-bit: no library sketch, no
+    * platform hash. Flajolet et al.'s estimator with m = 2^p registers:
+    *   - 48-bit draw = first 12 hex chars of md5(value);
+    *     register index = the high p bits (first p/4 hex chars),
+    *     rank input w = the remaining 48−p bits.
+    *   - rho(w) = leading-zero count + 1, computed on the HEX STRING
+    *     (4·leading-'0'-chars + a 16-way CASE on the first non-zero
+    *     digit) — exact integer arithmetic, no float log2 that could
+    *     round differently across engines at exact powers of two.
+    *   - Σ 2^−M_j is summed as the EXACT integer Σ 2^(maxRho−M_j)
+    *     (absent registers contribute 2^maxRho), so the harmonic mean
+    *     is shuffle-order-proof; only the final α·m²/S division is
+    *     floating point, with fixed parenthesization.
+    *   - Linear-counting small-range correction when empty registers
+    *     exist and the raw estimate ≤ 2.5m.
+    * The register table (group, register, M) is mergeable by max — the
+    * same pre-aggregated-cube property as [[kmvRollup]]: per-day HLL
+    * register tables answer any coarser distinct question without a
+    * base-table rescan. p must be a multiple of 4 (hex-aligned). */
+  def hllDistinct(df: DataFrame, group: String, valueCol: Column,
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, Seq(group), valueCol, p), Seq(group), p)
+      .orderBy(group)
+
+  /** The register table behind [[hllDistinct]]: one (groups…, register,
+    * M_j) row per non-empty register — the persistable, MERGEABLE sketch
+    * artifact. Register tables at a fine grain (per day, per source)
+    * re-merge to any coarser grain by max ([[hllRollup]]) without a
+    * base-table rescan. */
+  def hllRegisters(df: DataFrame, groups: Seq[String], valueCol: Column,
+                   p: Int): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0,
+      s"hllRegisters: need p in {4,8,12,16}, got $p")
+    val restLen = 12 - p / 4               // hex chars carrying rho bits
+    val maxRho = 4 * restLen + 1           // all-zero remainder sentinel
+    val hex = md5(valueCol.cast("string").cast("binary"))
+    val rest = substring(hex, p / 4 + 1, restLen)
+    // leading zero BITS of the first non-zero hex digit
+    val lzc = when(col("__c").isin("1"), 3)
+      .when(col("__c").isin("2", "3"), 2)
+      .when(col("__c").isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    df.filter(valueCol.isNotNull)
+      .select(groups.map(col) ++ Seq(
+        conv(substring(hex, 1, p / 4), 16, 10).cast("long").alias("__j"),
+        rest.alias("__rest"), ltrim(rest, "0").alias("__strip"),
+        substring(ltrim(rest, "0"), 1, 1).alias("__c")): _*)
+      .withColumn("__rho",
+        when(col("__strip") === "", lit(maxRho))
+          .otherwise((length(col("__rest")) - length(col("__strip"))) * 4 +
+            lzc + 1))
+      .groupBy(groups.map(col) :+ col("__j"): _*)
+      .agg(max("__rho").alias("__mj"))
+  }
+
+  /** Merge an HLL register table to a coarser grain: max per register —
+    * the [[kmvRollup]] operation for HLL. Exact: max is associative and
+    * idempotent, so rolled-up registers equal the registers a direct
+    * coarse-grain pass would have produced. */
+  def hllRollup(regs: DataFrame, groups: Seq[String]): DataFrame =
+    regs.groupBy(groups.map(col) :+ col("__j"): _*)
+      .agg(max("__mj").alias("__mj"))
+
+  /** Exact sliding-window distinct count per day (the DAU/WAU family):
+    * for each observed day, the distinct ids seen in the trailing
+    * `windowDays` window. Shape: collapse to the distinct (day, id)
+    * table once (the only base-row shuffle), then fan each pair out to
+    * the ≤`windowDays` window-ends it supports — an array-expression
+    * explode of an already-deduplicated, DAU-sized table, NOT a
+    * non-equi range join (which would plan a broadcast nested loop over
+    * base rows). Window-ends outside the observed calendar are dropped
+    * by a broadcast semi-join against the (tiny, calendar-bounded) day
+    * list. */
+  def rollingDistinct(df: DataFrame, tsCol: Column, idCol: Column,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"rollingDistinct: need 1 <= windowDays <= 370, got $windowDays")
+    val du = df.filter(idCol.isNotNull)
+      .select(to_date(tsCol).alias("__d"), idCol.alias("__u")).distinct()
+    val days = du.select(col("__d").alias("window_end")).distinct()
+    du.select(explode(sequence(col("__d"),
+        date_add(col("__d"), windowDays - 1))).alias("window_end"),
+        col("__u"))
+      .join(broadcast(days), Seq("window_end"), "left_semi")
+      .groupBy("window_end")
+      .agg(countDistinct(col("__u")).alias(s"active_${windowDays}d"))
+      .orderBy("window_end")
+  }
+
+  /** The HLL estimator over a register table ([[hllRegisters]]):
+    * Σ 2^−M_j as the EXACT integer Σ 2^(maxRho−M_j) (absent registers
+    * contribute 2^maxRho), α·m²/S in fixed-parenthesization doubles,
+    * linear counting when empty registers exist and raw ≤ 2.5m. */
+  def hllEstimate(regs: DataFrame, groups: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val restLen = 12 - p / 4
+    val maxRho = 4 * restLen + 1
+    val scale = math.pow(2.0, maxRho).toLong
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.groupBy(groups.map(col): _*)
+      .agg(
+        sum(pow(lit(2.0), lit(maxRho.toDouble) - col("__mj")).cast("long"))
+          .alias("__sp"),
+        count(lit(1)).alias("__npresent"))
+      .withColumn("__s",
+        col("__sp") + (lit(m.toLong) - col("__npresent")) * scale)
+      .withColumn("__raw",
+        alpha * lit(m.toDouble) * lit(m.toDouble) * lit(scale.toDouble) /
+          col("__s").cast("double"))
+      .withColumn("__v", lit(m.toLong) - col("__npresent"))
+      .select(groups.map(col) :+
+        round(when(col("__v") > 0 && col("__raw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v").cast("double")))
+          .otherwise(col("__raw")), 4).alias("hll_distinct"): _*)
+  }
 }

@@ -452,4 +452,38 @@ object Graph {
     }
     labels.select(col("node"), col("label").alias("community"))
   }
+
+  /** Harmonic centrality from a seed set, hop-bounded: per-seed BFS
+    * distances tracked as (node, seed, dist) state — [[bfsDistances]]
+    * generalized to carry the seed label — then
+    * centrality(v) = Σ_seeds 1/d(seed, v) over reachable seeds (d ≥ 1;
+    * seeds contribute nothing to themselves). The sampled-source
+    * estimator (Eppstein-Wang): |seeds| BFS frontiers in one job, state
+    * |nodes|·|seeds| at worst, never the all-pairs matrix. The 1/d terms
+    * sum in DECIMAL (d is a small integer, so each term rounds
+    * identically in both engines before the exact sum). State is
+    * referenced twice per round (union + join), so lineage is truncated
+    * per round ([[Iterate.checkpointer]]). */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+                         hops: Int): DataFrame = {
+    require(hops >= 1 && hops <= 16,
+      s"harmonicCentrality: need 1 <= hops <= 16, got $hops")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
+    var dist = seeds.select(col("node"), col("node").alias("seed"),
+      lit(0L).alias("dist"))
+    for (_ <- 1 to hops) {
+      val next = dist.alias("d")
+        .join(edges.alias("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").alias("node"), col("d.seed").alias("seed"),
+          (col("d.dist") + 1).alias("dist"))
+      dist = ckpt(dist.unionByName(next)
+        .groupBy("node", "seed").agg(min("dist").alias("dist")))
+    }
+    dist.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).alias("n_reached"),
+        round(sum((lit(1.0) / col("dist").cast("double"))
+          .cast("decimal(28,10)")).cast("double"), 6).alias("harmonic"))
+      .orderBy("node")
+  }
 }

@@ -324,6 +324,58 @@ object Sessionize {
       .limit(topN)
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning readout:
+    * sessionize ([[sessions]]), sweep the session intervals as +1/−1
+    * deltas ordered by time, take the running sum's daily max. The
+    * at-instant convention is "net": all transitions at the same
+    * timestamp apply together (the default RANGE frame includes peers),
+    * so a session ending exactly as another starts never double-counts
+    * and the running value is deterministic under ties on any engine.
+    * The single ordered window runs over 2×sessions rows — the
+    * session aggregation already reduced base events — and the daily
+    * max is an ordinary aggregation. */
+  def peakConcurrency(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, gapMinutes: Int): DataFrame = {
+    val ss = sessions(df, keyCol, tsCol, tieCol, gapMinutes)
+    val deltas = ss.select(col("session_start").alias("__t"),
+        lit(1L).alias("__delta"))
+      .unionByName(ss.select(col("session_end").alias("__t"),
+        lit(-1L).alias("__delta")))
+    val w = Window.orderBy("__t")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("__run", sum("__delta").over(w))
+      .groupBy(to_date(col("__t")).alias("d"))
+      .agg(max("__run").alias("peak_concurrent"))
+      .orderBy("d")
+  }
+
+  /** Eventually-follows pairs (process-mining's relation, any gap — the
+    * complement of [[pathTrigrams]]'s adjacent steps): per key, type `a`
+    * eventually-follows into `b` when a's FIRST occurrence strictly
+    * precedes b's first occurrence; simultaneous firsts are excluded
+    * (no deterministic direction exists). Support = keys exhibiting the
+    * pair, ratio against all keys. Base rows collapse to one
+    * (key, type, first-ts) row per pair member BEFORE the per-key
+    * self-join, so the join fan-out is bounded by the type-alphabet
+    * squared per key — never event-count squared. */
+  def followsPairs(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String): DataFrame = {
+    val firsts = df.groupBy(col(keyCol).alias("__k"), col(typeCol).alias("__t"))
+      .agg(min(col(tsCol)).alias("__ts"))
+    val nKeys = df.agg(countDistinct(col(keyCol)).alias("__n"))
+    val a = firsts.select(col("__k"), col("__t").alias("a"),
+      col("__ts").alias("__ta"))
+    val b = firsts.select(col("__k"), col("__t").alias("b"),
+      col("__ts").alias("__tb"))
+    a.join(b, Seq("__k")).filter(col("__ta") < col("__tb"))
+      .groupBy("a", "b").agg(count(lit(1)).alias("support"))
+      .crossJoin(broadcast(nKeys))
+      .select(col("a"), col("b"), col("support"),
+        round(col("support").cast("double") / col("__n").cast("double"), 6)
+          .alias("support_ratio"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+  }
+
   def attribution(df: DataFrame, keyCol: String, tsCol: String,
                   tieCol: String, typeCol: String,
                   conversionType: String): DataFrame = {

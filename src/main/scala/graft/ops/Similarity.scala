@@ -664,4 +664,39 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
+
+  /** Nearest-centroid (Rocchio) classifier over the embedding corpus,
+    * reported as a confusion matrix: per-label centroids (per-dimension
+    * DECIMAL means, 9-dp-pinned — the [[cosine]]/pca determinism
+    * stance), then every vector is assigned the centroid of maximum
+    * cosine. The centroid table is label-count-sized and broadcast, so
+    * scoring is a projection off the corpus scan (labels× fan-out, no
+    * corpus shuffle); the argmax is a min-of-struct aggregate keyed by
+    * vector — map-side combinable, no window over scored rows. Ties
+    * break toward the smallest label. The self-evaluation here is the
+    * resubstitution readout (how separable are the labels); scoring a
+    * held-out set is the same plan with a different scan. */
+  def centroidClassify(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val e = emb.select(col(idCol).alias("__id"),
+      col(labelCol).alias("__lab"), asDouble(col(vecCol)).alias("__v"))
+    val cents = e.select(col("__lab"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy("__lab", "__pos")
+      .agg((sum(col("__x").cast("decimal(28,14)")).cast("double") /
+        count(lit(1))).alias("__cx"))
+      .groupBy("__lab")
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__cx")))),
+        s => round(s.getField("__cx"), 9)).alias("__c"))
+      .select(col("__lab").alias("__clab"), col("__c"))
+    val best = e.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__lab"),
+        cosine(col("__v"), col("__c")).alias("__cos"), col("__clab"))
+      .groupBy("__id", "__lab")
+      .agg(min(struct((-col("__cos")).alias("nc"), col("__clab").alias("l")))
+        .alias("__m"))
+    best.groupBy(col("__lab").alias("label"),
+        col("__m.l").alias("predicted"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy("label", "predicted")
+  }
 }

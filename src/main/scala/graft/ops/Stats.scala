@@ -1055,4 +1055,102 @@ object Stats {
       .withColumn("signif", col("p_adj") <= alpha)
       .drop("__raw")
   }
+
+  /** Exact weighted median per group: the smallest value whose running
+    * weight reaches half the group total. Base rows collapse to a
+    * (group, value, Σweight) table FIRST — the cumulative window then
+    * runs over distinct values only, never base rows (the
+    * windows-behind-aggregation house rule). Weights sum in DECIMAL so
+    * the crossing point is shuffle-order-exact. */
+  def weightedMedian(df: DataFrame, group: String, valueCol: Column,
+                     weightCol: Column): DataFrame = {
+    val g = df.filter(valueCol.isNotNull && weightCol.isNotNull)
+      .groupBy(col(group), valueCol.alias("__v"))
+      .agg(sum(weightCol.cast("decimal(28,8)")).alias("__w"))
+    val cumW = Window.partitionBy(group).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(group)
+    g.withColumn("__cw", sum("__w").over(cumW))
+      .withColumn("__tw", sum("__w").over(totW))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(group).agg(min("__v").alias("weighted_median"))
+      .orderBy(group)
+  }
+
+  /** Additive STL-style decomposition of a daily count series:
+    * trend = centered (2·half+1)-day moving average (edge days without
+    * a full window are dropped — a partial-window average is a
+    * different statistic); seasonal = day-of-week mean of the detrended
+    * series, CENTERED to sum to zero over the seven indexes (the
+    * additive-model identity); remainder = y − trend − seasonal.
+    * Everything after the daily count aggregation operates on the
+    * calendar-bounded series, so the single ordered window is over
+    * thousands of rows regardless of base-table size. Means accumulate
+    * in DECIMAL; trend is 6-dp-pinned BEFORE detrending so both engines
+    * subtract the identical number. */
+  def stlDecompose(df: DataFrame, dateCol: Column,
+                   halfWindow: Int = 3): DataFrame = {
+    require(halfWindow >= 1 && halfWindow <= 30,
+      s"stlDecompose: need 1 <= halfWindow <= 30, got $halfWindow")
+    val full = 2 * halfWindow + 1
+    val daily = df.groupBy(dateCol.alias("d"))
+      .agg(count(lit(1)).cast("double").alias("y"))
+    val w = Window.orderBy("d").rowsBetween(-halfWindow, halfWindow)
+    val trended = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("trend",
+        round(sum(col("y").cast("decimal(28,8)")).over(w).cast("double") /
+          col("__n").cast("double"), 6))
+      .filter(col("__n") === full).drop("__n")
+      .withColumn("__detr", col("y") - col("trend"))
+      .withColumn("dow", (weekday(col("d")) + 1).cast("long"))
+    val dowMeans = trended.groupBy("dow")
+      .agg((sum(col("__detr").cast("decimal(28,8)")).cast("double") /
+        count(lit(1)).cast("double")).alias("__sm"))
+    val center = dowMeans.agg(
+      (sum(col("__sm").cast("decimal(28,8)")).cast("double") /
+        count(lit(1)).cast("double")).alias("__c"))
+    val seasonal = dowMeans.crossJoin(broadcast(center))
+      .select(col("dow"), round(col("__sm") - col("__c"), 6).alias("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("d"), col("y"), col("trend"), col("seasonal"),
+        round(col("y") - col("trend") - col("seasonal"), 6).alias("remainder"))
+      .orderBy("d")
+  }
+
+  /** SAX symbolization (Lin et al.) of an ordered series: z-normalize
+    * against the population mean/std, average into fixed-length PAA
+    * frames, then map each frame mean onto the 4-letter alphabet at the
+    * Gaussian quartile breakpoints ±0.6745 and 0. The discretization
+    * that turns a numeric series into a string, unlocking the text
+    * machinery (shingles, suffix matching, MinHash) for motif and
+    * anomaly discovery on telemetry. Moments and frame means accumulate
+    * in DECIMAL; z is 6-dp-pinned before the breakpoint CASE so the
+    * symbol boundaries are engine-identical. The ordered row_number runs
+    * on the aggregated daily series, not base rows. */
+  def saxSymbols(df: DataFrame, dateCol: Column, frameLen: Int): DataFrame = {
+    require(frameLen >= 1, s"saxSymbols: need frameLen >= 1, got $frameLen")
+    val daily = df.groupBy(dateCol.alias("d"))
+      .agg(count(lit(1)).cast("double").alias("y"))
+    val moments = daily.agg(
+      count(lit(1)).cast("double").alias("__n"),
+      sum(col("y").cast("decimal(28,8)")).alias("__s"),
+      sum((col("y") * col("y")).cast("decimal(28,8)")).alias("__s2"))
+    val iW = Window.orderBy("d")
+    val framed = daily.crossJoin(broadcast(moments))
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__sd",
+        sqrt(col("__s2").cast("double") / col("__n") - col("__mu") * col("__mu")))
+      .withColumn("__z", round((col("y") - col("__mu")) / col("__sd"), 6))
+      .withColumn("frame",
+        floor((row_number().over(iW) - 1) / frameLen).cast("long"))
+    framed.groupBy("frame")
+      .agg(count(lit(1)).alias("n_days"),
+        round(sum(col("__z").cast("decimal(28,8)")).cast("double") /
+          count(lit(1)).cast("double"), 6).alias("paa"))
+      .withColumn("symbol",
+        when(col("paa") < -0.6745, "a").when(col("paa") < 0.0, "b")
+          .when(col("paa") < 0.6745, "c").otherwise("d"))
+      .orderBy("frame")
+  }
 }

@@ -511,6 +511,50 @@ object TextAnalysis {
         count(lit(1)), 6).alias("logprob"))
   }
 
+  /** Jelinek-Mercer interpolated bigram scorer — [[bigramLogProb]] with
+    * the smoothing the LM literature actually ships: per bigram position,
+    * log(λ·P_ML(w|prev) + (1−λ)·P_ML(w)), mixing the sharp conditional
+    * with the unigram back-off so unseen continuations are graded by
+    * their word frequency instead of flattened to one add-one floor.
+    * Same scale shape as the add-one variant (row-local bigram arrays,
+    * vocabulary-sized count joins, DECIMAL contribution sum); (1−λ) is
+    * computed IN the expression (not pre-folded in Scala) so both
+    * engines evaluate the identical IEEE subtraction. Bigrams are joined
+    * to counts by string key; positions with an unseen bigram cannot
+    * occur when scoring the training corpus itself (every instance was
+    * counted), which is this operator's contract — scoring NEW text
+    * against a frozen table is [[unigramScoreFrozen]]'s shape. */
+  def interpolatedLogProb(df: DataFrame, idCol: String, textCol: String,
+                          lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1,
+      s"interpolatedLogProb: need 0 < lambda < 1, got $lambda")
+    val base = df.select(col(idCol), tokens(col(textCol)).alias("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bp = base.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1)))).alias("big"))
+      .withColumn("prev", element_at(split(col("big"), " "), 1))
+      .withColumn("w", element_at(split(col("big"), " "), 2))
+    val cb = bp.groupBy("big").agg(count(lit(1)).alias("cb"))
+    val cu = df.select(explode(tokens(col(textCol))).alias("t"))
+      .groupBy("t").agg(count(lit(1)).alias("cu"))
+    val nn = cu.agg(sum(col("cu")).alias("__n"))
+    val cup = cu.select(col("t").alias("__pt"), col("cu").alias("__cuprev"))
+    val cuw = cu.select(col("t").alias("__wt"), col("cu").alias("__cuw"))
+    val contrib = log(
+      lit(lambda) * col("cb").cast("double") / col("__cuprev").cast("double") +
+        (lit(1.0) - lit(lambda)) * col("__cuw").cast("double") /
+          col("__n").cast("double"))
+    bp.join(cb, "big")
+      .join(cup, col("prev") === col("__pt"))
+      .join(cuw, col("w") === col("__wt"))
+      .crossJoin(broadcast(nn))
+      .groupBy(col(idCol))
+      .agg(round(sum(contrib.cast("decimal(28,14)")).cast("double") /
+        count(lit(1)), 6).alias("logprob"))
+  }
+
   /** PMI collocation mining — multi-word-expression extraction for
     * tokenizer/vocabulary curation: adjacent token pairs ranked by
     * pointwise mutual information ln(p(ab) / (p(a)·p(b))), the classic

@@ -1704,4 +1704,137 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(dirty.getLong(7) === 1L, "replacement char not flagged")
     assert(dirty.getLong(8) === 1L, "control char not flagged")
   }
+
+  test("groupMode: deterministic smallest-value tie-break") {
+    import spark.implicits._
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"),
+      ("g2", "b"), ("g2", "a"), ("g2", "b"), ("g2", "a")) // tie a=b=2
+      .toDF("g", "v")
+    val rows = graft.ops.Aggregates.groupMode(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("g1", "x", 2L), ("g2", "a", 2L)))
+  }
+
+  test("followsPairs: first-occurrence order, ties excluded") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:00:0$s")
+    val df = Seq(
+      (1L, ts(1), "a"), (1L, ts(2), "b"), (1L, ts(3), "a"), // a→b only
+      (2L, ts(1), "b"), (2L, ts(2), "a"),                   // b→a
+      (3L, ts(1), "a"), (3L, ts(1), "c"))                   // tie: no pair
+      .toDF("u", "t", "e")
+    val got = Sessionize.followsPairs(df, "u", "t", "e")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got === Seq((("a", "b"), 1L, 0.333333), (("b", "a"), 1L, 0.333333)))
+  }
+
+  test("harmonicCentrality: path graph distances sum as 1/d") {
+    import spark.implicits._
+    // undirected path 1-2-3-4 (edges given both directions), seeds {1,4}
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val got = Graph.harmonicCentrality(edges, seeds, hops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // node 2: d(1)=1, d(4)=2 → 1.5; node 3 symmetric; the seeds see
+    // each other at d=3 → 1/3
+    assert(got(2L) === ((2L, 1.5)) && got(3L) === ((2L, 1.5)))
+    assert(got(1L) === ((1L, 0.333333)) && got(4L) === ((1L, 0.333333)))
+  }
+
+  test("hllDistinct: estimates land within the sketch's error band") {
+    import spark.implicits._
+    // 5000 distinct ids (well past m=256's linear-counting comfort) and
+    // a second group with 40 distinct — both must come back within the
+    // ~1.04/√m ≈ 6.5% standard error (allow 3σ), and repeated values
+    // must not move the registers (duplicates are free).
+    val big = (1 to 5000).map(i => ("big", i.toLong))
+    val small = (1 to 40).flatMap(i => Seq(("small", i.toLong),
+      ("small", i.toLong)))
+    val df = (big ++ small).toDF("g", "id")
+    val est = graft.ops.Aggregates.hllDistinct(df, "g", col("id"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(est("big") - 5000) / 5000 < 0.20, s"big=${est("big")}")
+    assert(math.abs(est("small") - 40) / 40 < 0.20, s"small=${est("small")}")
+    // determinism: identical input → identical estimate
+    val again = graft.ops.Aggregates.hllDistinct(df.repartition(7), "g",
+      col("id"), p = 8).collect().map(r => r.getDouble(1)).toSeq
+    assert(again === est.toSeq.sortBy(_._1).map(_._2))
+  }
+
+  test("hllRollup: day-grain registers merge to the direct estimate") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => ("g", i % 5, i.toLong)) // 5 "days"
+      .toDF("g", "day", "id")
+    val direct = graft.ops.Aggregates.hllDistinct(df, "g", col("id"), p = 8)
+      .head().getDouble(1)
+    val fine = graft.ops.Aggregates.hllRegisters(df, Seq("g", "day"),
+      col("id"), p = 8)
+    val rolled = graft.ops.Aggregates.hllEstimate(
+      graft.ops.Aggregates.hllRollup(fine, Seq("g")), Seq("g"), p = 8)
+      .head().getDouble(1)
+    assert(rolled === direct, s"rollup $rolled != direct $direct")
+  }
+
+  test("rollingDistinct: trailing window unions the right days") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // day 1: {1,2}; day 2: {2,3}; day 4: {9}
+    val df = Seq((ts(1), 1L), (ts(1), 2L), (ts(2), 2L), (ts(2), 3L),
+      (ts(4), 9L)).toDF("t", "u")
+    val got = graft.ops.Aggregates.rollingDistinct(df, col("t"), col("u"), 2)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // windows: [d-1, d] → day1 {1,2}=2; day2 {1,2,3}=3; day4 {9}=1
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-02" -> 3L,
+      "2024-01-04" -> 1L))
+  }
+
+  test("peakConcurrency: overlapping sessions count; touching ones net") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // u1: 10:00–10:10; u2: 10:05–10:12 (overlap → 2);
+    // u3 starts 10:12 exactly as u2 ends (nets → still 2)
+    val df = Seq((1L, ts("10:00:00"), 1L), (1L, ts("10:10:00"), 2L),
+      (2L, ts("10:05:00"), 3L), (2L, ts("10:12:00"), 4L),
+      (3L, ts("10:12:00"), 5L), (3L, ts("10:20:00"), 6L))
+      .toDF("u", "t", "eid")
+    val got = Sessionize.peakConcurrency(df, "u", "t", "eid", 30)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 2L)
+  }
+
+  test("interpolatedLogProb matches the hand-computed JM mix") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b a b a b", doc2 "q w e r t y u i"; N = 16.
+    // doc1: P(b|a) = .7·4/4 + .3·4/16 = .775 (×4 positions),
+    //       P(a|b) = .7·3/4 + .3·4/16 = .600 (×3)
+    //       → (4·ln .775 + 3·ln .6)/7 = −0.364578
+    // doc2: every continuation is deterministic: .7·1/1 + .3·1/16
+    //       = .71875 → ln = −0.330242 (unique continuations beat
+    //       repetition under an ML conditional — the JM mix rewards
+    //       predictability, not repetition)
+    val df = Seq((1L, "a b a b a b a b"), (2L, "q w e r t y u i"))
+      .toDF("id", "text")
+    val got = graft.ops.TextAnalysis.interpolatedLogProb(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === -0.364578)
+    assert(got(2L) === -0.330242)
+  }
+
+  test("centroidClassify: separable clusters produce a diagonal matrix") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes
+    val rows = (1 to 10).map { i =>
+      val eps = i * 0.01f
+      if (i % 2 == 0) (i.toLong, Array(1.0f, eps, 0f, 0f), 0)
+      else (i.toLong, Array(eps, 1.0f, 0f, 0f), 1)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidClassify(df, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0, 0, 5L), (1, 1, 5L)))
+  }
 }

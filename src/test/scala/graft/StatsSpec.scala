@@ -450,4 +450,63 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
     }
   }
+
+  test("weightedMedian: crossing value of the cumulative weight, per group") {
+    import spark.implicits._
+    // g=a: values 1(w3), 2(w1), 3(w2); total 6, half 3 → cumw at v=1 is
+    // 3 ≥ 3 → median 1. g=b: 10(w1), 20(w1), 30(w5): half 3.5 → v=30.
+    val df = Seq(("a", 1.0, 3.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0),
+      ("b", 10.0, 1.0), ("b", 20.0, 1.0), ("b", 30.0, 5.0))
+      .toDF("g", "v", "w")
+    val m = Stats.weightedMedian(df, "g", col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") === 1.0 && m("b") === 30.0)
+    // equal weights degrade to the lower-median of the values
+    val eq = Seq(("c", 1.0, 1.0), ("c", 2.0, 1.0), ("c", 3.0, 1.0),
+      ("c", 4.0, 1.0)).toDF("g", "v", "w")
+    assert(Stats.weightedMedian(eq, "g", col("v"), col("w"))
+      .head().getDouble(1) === 2.0)
+  }
+
+  test("stlDecompose: recomposition identity and full-window edge drop") {
+    import spark.implicits._
+    val days = (0 until 35).flatMap { i =>
+      val d = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      Seq.fill(3 + (i % 7))(d) // pure weekly pattern
+    }
+    val out = Stats.stlDecompose(days.toDF("d"), col("d"), halfWindow = 3)
+      .collect()
+    // 35 days minus 3 on each edge
+    assert(out.length === 29)
+    out.foreach { r =>
+      val y = r.getDouble(1); val t = r.getDouble(2)
+      val s = r.getDouble(3); val rem = r.getDouble(4)
+      assert(math.abs(y - t - s - rem) < 1e-6, s"identity broke at $r")
+    }
+    // a pure weekly pattern over a flat trend: remainder ≈ 0 everywhere
+    assert(out.forall(r => math.abs(r.getDouble(4)) < 1e-6))
+    // seasonal indexes sum to ~0 over one week
+    val week = out.take(7).map(_.getDouble(3)).sum
+    assert(math.abs(week) < 1e-5, s"seasonal not centered: $week")
+  }
+
+  test("saxSymbols: symbols follow the Gaussian quartile breakpoints") {
+    import spark.implicits._
+    // 4 frames of 5 days with counts 1,1,1,1 / 3,3,3,3 / 5,... / 7,...
+    // — frame means are strictly increasing through all four bands.
+    val days = (0 until 20).flatMap { i =>
+      val d = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      Seq.fill(1 + 2 * (i / 5))(d)
+    }
+    val out = Stats.saxSymbols(days.toDF("d"), col("d"), frameLen = 5)
+      .collect()
+    assert(out.length === 4)
+    assert(out.map(_.getString(3)).toSeq === Seq("a", "b", "c", "d"))
+    assert(out.forall(_.getLong(1) === 5L))
+    // PAA means of a z-normalized series average to ~0 overall
+    val mean = out.map(_.getDouble(2)).sum / 4
+    assert(math.abs(mean) < 1e-5)
+  }
 }
