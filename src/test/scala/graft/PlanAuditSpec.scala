@@ -234,4 +234,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
   test("q_survival_km: KM product window runs on the per-day event table") {
     assertWindowsBehindAggregation("q_survival_km")
   }
+
+  test("round-8 series/rank ops: windows run on aggregated tables only") {
+    // stl/sax window the calendar-bounded daily series; weighted median
+    // cumulates over the distinct-value table; concurrency sweeps the
+    // 2×sessions delta table; group mode ranks the value-count table
+    assertWindowsBehindAggregation("q_stl_decompose")
+    assertWindowsBehindAggregation("q_sax_symbols")
+    assertWindowsBehindAggregation("q_weighted_median")
+    assertWindowsBehindAggregation("q_group_mode")
+  }
+
+  test("q_concurrency: only the GLOBAL sweep window must sit behind the " +
+    "session aggregation (sessionize windows are user-partitioned)") {
+    val plan = run("q_concurrency")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, s"q_concurrency lost its sweep window:\n$plan")
+    global.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"q_concurrency sweeps unaggregated rows:\n$w")
+    }
+  }
+
+  test("harmonicCentrality truncates lineage per hop (union + join rounds)") {
+    import spark.implicits._
+    val und = (1L to 40L).map(i => (i, i % 20 + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val hl = ops.Graph.harmonicCentrality(edges, seeds, hops = 8)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(hl.size <= 8, s"harmonicCentrality lineage: ${hl.size} leaves")
+  }
+
+  test("round-8 fan-out ops join on equi keys only, never all-pairs") {
+    // followsPairs self-joins the per-key firsts table on the key;
+    // rollingDistinct fans out THEN semi-joins the day list (no range
+    // join); centroid classify broadcasts the label-sized centroid table
+    assertNoQuadraticJoin("q_follows_pairs")
+    assertNoQuadraticJoin("q_rolling_distinct")
+  }
 }
