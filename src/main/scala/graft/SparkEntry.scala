@@ -3345,6 +3345,34 @@ object SparkEntry {
       Similarity.centroidClassify(
         Tables.embeddings(s, d).filter(size(col("embedding")) === 64),
         "vec_id", "embedding", "label")),
+
+    // Precision-recall curve (Stats.prCurve) for "value predicts
+    // purchase", thresholds on the 1-dp score grid.
+    "q_pr_curve" -> ((s, d) =>
+      graft.ops.Stats.prCurve(Tables.events(s, d),
+        col("event_type") === "purchase", "value", decimals = 1)),
+
+    // Robust per-group outlier report (Stats.robustZscoreByGroup):
+    // modified z via median/MAD per event type at the 3.5 cutoff.
+    "q_robust_zscore" -> ((s, d) =>
+      graft.ops.Stats.robustZscoreByGroup(Tables.events(s, d),
+        "event_type", "value", cutoff = 3.5)),
+
+    // Seasonal anomaly days (Stats.stlAnomalies): order-volume days
+    // whose STL remainder exceeds 3σ.
+    "q_stl_anomaly" -> ((s, d) =>
+      graft.ops.Stats.stlAnomalies(Tables.orders(s, d),
+        to_date(col("o_orderdate")), halfWindow = 3)),
+
+    // Adamic-Adar link prediction (Graph.adamicAdar) over the near-dup
+    // candidate graph: which unlinked doc pairs share the most
+    // (rarest) neighbors.
+    "q_link_predict" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.adamicAdar(edges, topN = 50)
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -6517,6 +6545,43 @@ object SparkEntry {
         "JOIN cu cp ON cp.t = bp.prev JOIN cu cw ON cw.t = bp.w " +
         "CROSS JOIN nn GROUP BY 1 ORDER BY 1"),
 
+    "q_pr_curve" ->
+      ("WITH b AS (SELECT round(value, 1) AS thr, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pt AS (SELECT thr, CAST(SUM(y) AS BIGINT) AS np, count(*) AS n " +
+        "FROM b GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(np) AS BIGINT) AS p FROM pt), " +
+        "c AS (SELECT thr, CAST(SUM(np) OVER w AS BIGINT) AS tp, " +
+        "CAST(SUM(n) OVER w AS BIGINT) AS npred FROM pt " +
+        "WINDOW w AS (ORDER BY thr DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT thr, round(CAST(tp AS DOUBLE) / CAST(npred AS DOUBLE), 6) " +
+        "AS \"precision\", round(CASE WHEN p > 0 THEN " +
+        "CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) END, 6) AS recall " +
+        "FROM c CROSS JOIN tot ORDER BY thr DESC"),
+
+    "q_robust_zscore" ->
+      ("WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT event_type, quantile_cont(v, 0.5) AS med " +
+        "FROM b GROUP BY 1), " +
+        "d AS (SELECT b.event_type, b.v, m.med FROM b JOIN m USING (event_type)), " +
+        "md AS (SELECT event_type, quantile_cont(abs(v - med), 0.5) AS mad " +
+        "FROM d GROUP BY 1), " +
+        "j AS (SELECT d.event_type, d.v, d.med, md.mad FROM d " +
+        "JOIN md USING (event_type)) " +
+        "SELECT event_type, count(*) AS n, round(min(med), 6) AS median, " +
+        "round(min(mad), 6) AS mad, " +
+        "CAST(SUM(CASE WHEN mad > 0 AND " +
+        "abs(CAST(0.6745 AS DOUBLE) * (v - med) / mad) > 3.5 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
+
+    "q_stl_anomaly" -> stlAnomalyOracle,
+
+    "q_link_predict" -> adamicAdarOracle,
+
     "q_centroid_classify" ->
       ("WITH e AS MATERIALIZED (SELECT vec_id, label, " +
         "embedding::DOUBLE[] AS v FROM embeddings WHERE len(embedding) = 64), " +
@@ -6910,6 +6975,60 @@ object SparkEntry {
       "AS harmonic FROM d3 WHERE dist > 0 GROUP BY 1 ORDER BY 1"
     sb.toString
   }
+
+  /** Mirror of q_stl_anomaly: the q_stl_decompose CTE chain, a DECIMAL
+    * moment pass over the remainder, and the 3σ screen with the same
+    * fixed-parenthesization double arithmetic. */
+  private def stlAnomalyOracle: String =
+    "WITH s AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d, " +
+      "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+      "t AS MATERIALIZED (SELECT d, y, count(*) OVER w AS n, " +
+      "round(CAST(SUM(CAST(y AS DECIMAL(28,8))) OVER w AS DOUBLE) / " +
+      "CAST(count(*) OVER w AS DOUBLE), 6) AS trend FROM s " +
+      "WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+      "f AS MATERIALIZED (SELECT d, y, trend, y - trend AS detr, " +
+      "CAST(isodow(d) AS BIGINT) AS dow FROM t WHERE n = 7), " +
+      "dm AS (SELECT dow, CAST(SUM(CAST(detr AS DECIMAL(28,8))) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE) AS sm FROM f GROUP BY 1), " +
+      "cc AS (SELECT CAST(SUM(CAST(sm AS DECIMAL(28,8))) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE) AS c FROM dm), " +
+      "se AS (SELECT dow, round(sm - c, 6) AS seasonal FROM dm CROSS JOIN cc), " +
+      "o AS MATERIALIZED (SELECT f.d, f.y, f.trend, se.seasonal, " +
+      "round(f.y - f.trend - se.seasonal, 6) AS remainder " +
+      "FROM f JOIN se USING (dow)), " +
+      "mm AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      "SUM(CAST(remainder AS DECIMAL(28,8))) AS s1, " +
+      "SUM(CAST(remainder * remainder AS DECIMAL(28,8))) AS s2 FROM o) " +
+      "SELECT d, y, trend, seasonal, remainder, " +
+      "round((remainder - CAST(s1 AS DOUBLE) / n) / " +
+      "sqrt(CAST(s2 AS DOUBLE) / n - " +
+      "(CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS sigma " +
+      "FROM o CROSS JOIN mm " +
+      "WHERE abs(remainder - CAST(s1 AS DOUBLE) / n) > " +
+      "3.0 * sqrt(CAST(s2 AS DOUBLE) / n - " +
+      "(CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) ORDER BY d"
+
+  /** Mirror of q_link_predict: the shared minhash candidate-pair CTEs,
+    * wedge enumeration (x.u < y.v), NOT EXISTS edge exclusion, and the
+    * per-value-rounded DECIMAL Σ 1/ln(deg) — [[kcoreOracle]]'s edge
+    * normalization stance. */
+  private def adamicAdarOracle: String =
+    s"WITH $mhPairsCtes, " +
+      "e AS MATERIALIZED (SELECT DISTINCT least(id1, id2) AS a, " +
+      "greatest(id1, id2) AS b FROM pairs WHERE id1 <> id2), " +
+      "und AS MATERIALIZED (SELECT a AS u, b AS v FROM e " +
+      "UNION ALL SELECT b, a FROM e), " +
+      "deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1), " +
+      "wd AS (SELECT x.u AS a, y.v AS b, x.v AS c FROM und x " +
+      "JOIN und y ON x.v = y.u AND x.u < y.v), " +
+      "cand AS (SELECT wd.a, wd.b, wd.c FROM wd WHERE NOT EXISTS " +
+      "(SELECT 1 FROM e WHERE e.a = wd.a AND e.b = wd.b)), " +
+      "sc AS (SELECT a, b, count(*) AS common, " +
+      "round(CAST(SUM(CAST(1.0 / ln(CAST(deg.deg AS DOUBLE)) " +
+      "AS DECIMAL(28,14))) AS DOUBLE), 6) AS aa_score " +
+      "FROM cand JOIN deg ON deg.node = cand.c GROUP BY 1, 2) " +
+      "SELECT a, b, common, aa_score FROM sc " +
+      "ORDER BY aa_score DESC, a, b LIMIT 50"
 
   /** Mirror of q_hll_rollup: [[hllOracle]] with a (type, day) register
     * level max-merged to per-type before estimating — the associativity

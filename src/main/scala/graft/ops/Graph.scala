@@ -486,4 +486,40 @@ object Graph {
           .cast("decimal(28,10)")).cast("double"), 6).alias("harmonic"))
       .orderBy("node")
   }
+
+  /** Adamic-Adar link prediction: score NON-edges (a,b) that share
+    * neighbors by Σ_c 1/ln(deg(c)) over common neighbors c — rare
+    * shared neighbors say more than hubs. The "which near-dup pair did
+    * LSH miss" / "which docs will next be confirmed duplicates" ranking
+    * over the candidate graph. Shape: the 2-hop pair enumeration is the
+    * triangle-counting wedge join (two equi-joins on node keys, fan-out
+    * bounded by degree², never node-pairs²); existing edges drop via one
+    * anti-join; the 1/ln terms round to DECIMAL identically per value,
+    * so the sum is shuffle-order-exact. A common neighbor is connected
+    * to both endpoints, so deg(c) ≥ 2 and ln(deg) > 0 — no division
+    * guard needed, the structure provides it. */
+  def adamicAdar(edges: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= 100000, s"adamicAdar: bad topN $topN")
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = norm.select(col("a").alias("u"), col("b").alias("v"))
+      .unionAll(norm.select(col("b").alias("u"), col("a").alias("v")))
+    val deg = und.groupBy(col("u").alias("node"))
+      .agg(count(lit(1)).alias("deg"))
+    val wedges = und.alias("x")
+      .join(und.alias("y"),
+        col("x.v") === col("y.u") && col("x.u") < col("y.v"))
+      .select(col("x.u").alias("a"), col("y.v").alias("b"),
+        col("x.v").alias("c"))
+    wedges.join(norm, Seq("a", "b"), "left_anti")
+      .join(deg, col("c") === col("node"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).alias("common"),
+        round(sum((lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(28,14)")).cast("double"), 6).alias("aa_score"))
+      .orderBy(desc("aa_score"), col("a"), col("b"))
+      .limit(topN)
+  }
 }

@@ -1118,6 +1118,90 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Precision-recall curve at score thresholds — the classifier
+    * operating-curve readout beside [[rocAuc]]'s single number. Scores
+    * are pinned to `decimals` places FIRST (the threshold grid — and the
+    * guarantee the curve has at most 10^decimals·range points, not one
+    * per row), counts aggregate per threshold, and the descending
+    * cumulative windows run over that bounded threshold table only.
+    * precision = TP/(TP+FP) among rows scoring ≥ thr; recall = TP/P. */
+  def prCurve(df: DataFrame, positive: Column, scoreCol: String,
+              decimals: Int = 2): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(round(col(scoreCol).cast("double"), decimals).alias("thr"),
+        when(positive, 1L).otherwise(0L).alias("__y"))
+    val perThr = base.groupBy("thr")
+      .agg(sum("__y").alias("__np"), count(lit(1)).alias("__n"))
+    val w = Window.orderBy(desc("thr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perThr.agg(sum("__np").alias("__p"))
+    perThr
+      .withColumn("__tp", sum("__np").over(w))
+      .withColumn("__npred", sum("__n").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"),
+        round(col("__tp").cast("double") / col("__npred").cast("double"), 6)
+          .alias("precision"),
+        round(when(col("__p") > 0,
+          col("__tp").cast("double") / col("__p").cast("double")), 6)
+          .alias("recall"))
+      .orderBy(desc("thr"))
+  }
+
+  /** Robust per-group outlier report: modified z-score
+    * 0.6745·(x − median)/MAD (Iglewicz-Hoaglin), the outlier gate that
+    * survives the outliers it hunts (mean/std inflate under
+    * contamination; median/MAD don't). Two exact-percentile passes per
+    * group plus a broadcast join back; a zero-MAD group (over half the
+    * values identical) flags nothing — no robust scale exists to judge
+    * by, documented rather than divided by. */
+  def robustZscoreByGroup(df: DataFrame, group: String, valueCol: String,
+                          cutoff: Double = 3.5): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(group), col(valueCol).cast("double").alias("__v"))
+    val med = base.groupBy(group)
+      .agg(expr(s"percentile(__v, 0.5)").alias("__med"))
+    val withMed = base.join(broadcast(med), group)
+    val mad = withMed.groupBy(group)
+      .agg(expr("percentile(abs(__v - __med), 0.5)").alias("__mad"))
+    withMed.join(broadcast(mad), group)
+      .groupBy(group)
+      .agg(count(lit(1)).alias("n"),
+        round(min("__med"), 6).alias("median"),
+        round(min("__mad"), 6).alias("mad"),
+        sum(when(col("__mad") > 0 &&
+          abs(lit(0.6745) * (col("__v") - col("__med")) / col("__mad")) >
+            cutoff, 1L).otherwise(0L)).alias("n_outliers"))
+      .orderBy(group)
+  }
+
+  /** Seasonal anomaly days: [[stlDecompose]]'s remainder screened at
+    * 3× its population σ — "unusual AFTER accounting for trend and
+    * weekly shape", which a raw-level threshold can't say. σ comes from
+    * DECIMAL moment sums over the (calendar-bounded) decomposition
+    * table; the remainder is 6-dp-pinned upstream so the flag compares
+    * identical numbers on both engines. */
+  def stlAnomalies(df: DataFrame, dateCol: Column,
+                   halfWindow: Int = 3): DataFrame = {
+    val dec = stlDecompose(df, dateCol, halfWindow)
+    val mom = dec.agg(
+      count(lit(1)).cast("double").alias("__n"),
+      sum(col("remainder").cast("decimal(28,8)")).alias("__s"),
+      sum((col("remainder") * col("remainder")).cast("decimal(28,8)"))
+        .alias("__s2"))
+    dec.crossJoin(broadcast(mom))
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__sd",
+        sqrt(col("__s2").cast("double") / col("__n") -
+          col("__mu") * col("__mu")))
+      .filter(abs(col("remainder") - col("__mu")) > lit(3.0) * col("__sd"))
+      .select(col("d"), col("y"), col("trend"), col("seasonal"),
+        col("remainder"),
+        round((col("remainder") - col("__mu")) / col("__sd"), 6)
+          .alias("sigma"))
+      .orderBy("d")
+  }
+
   /** SAX symbolization (Lin et al.) of an ordered series: z-normalize
     * against the population mean/std, average into fixed-length PAA
     * frames, then map each frame mean onto the 4-letter alphabet at the

@@ -1824,6 +1824,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) === -0.330242)
   }
 
+  test("adamicAdar: square-with-diagonal scores the missing diagonal") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus chord 1-3: the only unlinked 2-hop pair is
+    // (2,4), via common neighbors 1 and 3, both deg 3:
+    // AA = 2/ln(3) = 1.820478
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graph.adamicAdar(edges, topN = 10).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 4L, 2L)))
+    assert(math.abs(r.getDouble(3) - 2.0 / math.log(3.0)) < 1e-5)
+  }
+
   test("centroidClassify: separable clusters produce a diagonal matrix") {
     import spark.implicits._
     // two tight clusters on orthogonal axes

@@ -491,6 +491,51 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(week) < 1e-5, s"seasonal not centered: $week")
   }
 
+  test("prCurve: hand-computed precision/recall at each threshold") {
+    import spark.implicits._
+    // scores 0.9+, 0.8−, 0.7+, 0.6− → thresholds desc:
+    // 0.9: tp=1 npred=1 → p=1, r=1/2; 0.8: 1/2, 1/2; 0.7: 2/3, 1;
+    // 0.6: 2/4, 1
+    val df = Seq((0.9, true), (0.8, false), (0.7, true), (0.6, false))
+      .toDF("s", "pos")
+    val got = Stats.prCurve(df, col("pos"), "s", decimals = 1)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0.9, 1.0, 0.5), (0.8, 0.5, 0.5),
+      (0.7, 0.666667, 1.0), (0.6, 0.5, 1.0)))
+  }
+
+  test("robustZscoreByGroup: planted outlier flagged; zero-MAD flags none") {
+    import spark.implicits._
+    // g=a: 20 values near 10 plus one at 1000 → modified z huge
+    // g=b: constant column → MAD 0 → no robust scale, zero flags
+    val a = (1 to 20).map(i => ("a", 10.0 + (i % 3))) :+ (("a", 1000.0))
+    val b = (1 to 10).map(_ => ("b", 5.0))
+    val got = Stats.robustZscoreByGroup((a ++ b).toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(4))).toMap
+    assert(got("a")._1 === 21L && got("a")._3 === 1L, s"a: ${got("a")}")
+    assert(got("b") === ((10L, 5.0, 0L)), s"b: ${got("b")}")
+  }
+
+  test("stlAnomalies: a planted spike day is the only flag") {
+    import spark.implicits._
+    val days = (0 until 35).flatMap { i =>
+      val d = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      val n = if (i == 17) 60 else 3 + (i % 7) // spike mid-series
+      Seq.fill(n)(d)
+    }
+    val out = Stats.stlAnomalies(days.toDF("d"), col("d"), halfWindow = 3)
+      .collect()
+    // the spike day must be flagged; the moving average smears it into
+    // neighbors' trend, so a few adjacent days may flag too — but the
+    // spike itself must be the LARGEST |sigma|
+    assert(out.nonEmpty)
+    val top = out.maxBy(r => math.abs(r.getDouble(5)))
+    assert(top.getDate(0).toString === "2024-01-18", s"top flag $top")
+    assert(top.getDouble(5) > 0)
+  }
+
   test("saxSymbols: symbols follow the Gaussian quartile breakpoints") {
     import spark.implicits._
     // 4 frames of 5 days with counts 1,1,1,1 / 3,3,3,3 / 5,... / 7,...
