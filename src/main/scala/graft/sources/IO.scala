@@ -80,6 +80,19 @@ object IO {
     df.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** ORC scan — the other columnar warehouse format Spark reads
+    * natively (Hive-lineage lakes ship it; a drop-in engine must too).
+    * Same vectorized reader + predicate-pushdown + column-pruning
+    * machinery as parquet: pushed filters and ReadSchema show up in the
+    * scan identically (OrcSourceSpec asserts both). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (overwrite). ZSTD compression to match the parquet
+    * defaults used elsewhere. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").orc(path)
+
   /** Schema-evolution read: union the schemas of all parquet files under
     * `path` (columns added by newer writers come back null for old files).
     * Off by default in Spark because footer-merging costs one extra pass —

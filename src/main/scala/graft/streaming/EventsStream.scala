@@ -429,6 +429,33 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming HLL distinct-count maintenance: each micro-batch's
+    * register deltas (`Aggregates.hllRegisters`) max-merge into a
+    * maintained per-group register table via the crash-safe swap. State
+    * on disk is ≤ groups×m rows FOREVER — the id universe of an
+    * unbounded stream never accumulates — and because max is
+    * associative, commutative, AND idempotent, the maintained table
+    * equals a batch recompute over the whole history regardless of
+    * micro-batch boundaries or replays (idempotence makes redelivered
+    * batches harmless — a guarantee the count-based MG summary can't
+    * make). Read the estimate off the table any time with
+    * `Aggregates.hllEstimate`. */
+  def startHllSink(df: DataFrame, targetDir: String, checkpoint: String,
+                   group: String, valueCol: String, p: Int): StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = graft.ops.Aggregates.hllRegisters(batch.toDF(),
+          Seq(group), col(valueCol), p)
+        mergeReplace(batch.sparkSession, targetDir) {
+          case Some(regs) =>
+            graft.ops.Aggregates.hllRollup(regs.unionByName(delta), Seq(group))
+          case None => delta
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming SCD2 dimension maintenance: each micro-batch of (key,
     * attr, ts) observations is collapsed to its latest row per key (the
     * micro-batch is the versioning granularity — intra-batch flapping

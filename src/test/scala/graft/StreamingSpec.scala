@@ -496,4 +496,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("streaming HLL sink: streamed registers equal the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hllsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hllsink-ckpt").toString
+    try {
+      // two batches with overlapping ids — idempotent max-merge must make
+      // the maintained registers equal a single batch pass over the union
+      val b1 = (1 to 800).map(i => ("a", i.toLong)) ++
+        (1 to 50).map(i => ("b", i.toLong))
+      val b2 = (400 to 1200).map(i => ("a", i.toLong)) ++
+        (25 to 90).map(i => ("b", i.toLong))
+      val input = MemoryStream[(String, Long)]
+      input.addData(b1: _*)
+      val q1 = EventsStream.startHllSink(
+        input.toDF().toDF("g", "id"), dir + "/hll", ckpt, "g", "id", 8)
+      q1.processAllAvailable(); q1.stop()
+      input.addData(b2: _*)
+      val q2 = EventsStream.startHllSink(
+        input.toDF().toDF("g", "id"), dir + "/hll", ckpt, "g", "id", 8)
+      q2.processAllAvailable(); q2.stop()
+      val maintained = spark.read.parquet(dir + "/hll")
+      // ≤ groups × m rows of state, ever
+      assert(maintained.count() <= 2 * 256,
+        s"register state exceeded groups×m: ${maintained.count()}")
+      val streamed = graft.ops.Aggregates
+        .hllEstimate(maintained, Seq("g"), p = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = graft.ops.Aggregates
+        .hllDistinct((b1 ++ b2).toDF("g", "id"), "g",
+          org.apache.spark.sql.functions.col("id"), p = 8)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch,
+        s"streamed $streamed != batch recompute $batch")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }
