@@ -3373,6 +3373,40 @@ object SparkEntry {
         .select(col("id1").alias("src"), col("id2").alias("dst"))
       Graph.adamicAdar(edges, topN = 50)
     }),
+
+    // Keep-BEST dedup (ScaleDedup.keepBestPerCluster): cluster near-dups
+    // then keep the longest member per cluster — the canonical-selection
+    // step after q_dedup_clusters.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val labels = ScaleDedup.connectedComponents(
+        docs.select(col("doc_id").alias("id")), pairs)
+      ScaleDedup.keepBestPerCluster(docs, "doc_id", labels, col("n_chars"))
+    }),
+
+    // Difference-in-differences (Stats.diffInDiff): even-user "rollout"
+    // crossed with the Jan-16 cutover on event value.
+    "q_did" -> ((s, d) =>
+      graft.ops.Stats.diffInDiff(Tables.events(s, d),
+        col("user_id") % 2 === 0,
+        col("ts") >= lit("2024-01-16").cast("timestamp"), "value")),
+
+    // CUPED variance reduction (Stats.cuped): pre-period per-user value
+    // baseline adjusting the post-period metric, same assignment/cutover.
+    "q_cuped" -> ((s, d) =>
+      graft.ops.Stats.cuped(Tables.events(s, d), "user_id",
+        col("user_id") % 2 === 0,
+        col("ts") >= lit("2024-01-16").cast("timestamp"), "value")),
+
+    // k-anonymity / l-diversity audit (Constraints.kAnonymityReport)
+    // over customer quasi-identifiers (nation, balance band) with the
+    // market segment as the sensitive attribute.
+    "q_k_anonymity" -> ((s, d) =>
+      Constraints.kAnonymityReport(Tables.customer(s, d),
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("nation", "bal_band"), col("c_mktsegment"), k = 5, l = 2)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -6582,6 +6616,41 @@ object SparkEntry {
 
     "q_link_predict" -> adamicAdarOracle,
 
+    "q_dedup_keep_best" -> keepBestOracle,
+
+    "q_did" ->
+      ("WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t, " +
+        "CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS p, " +
+        "CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL), " +
+        "a AS (SELECT " +
+        "SUM(CASE WHEN t = 1 AND p = 0 THEN CAST(v AS DECIMAL(28,8)) END) AS s_tpre, " +
+        "SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS n_tpre, " +
+        "SUM(CASE WHEN t = 1 AND p = 1 THEN CAST(v AS DECIMAL(28,8)) END) AS s_tpost, " +
+        "SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS n_tpost, " +
+        "SUM(CASE WHEN t = 0 AND p = 0 THEN CAST(v AS DECIMAL(28,8)) END) AS s_cpre, " +
+        "SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS n_cpre, " +
+        "SUM(CASE WHEN t = 0 AND p = 1 THEN CAST(v AS DECIMAL(28,8)) END) AS s_cpost, " +
+        "SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS n_cpost FROM b) " +
+        "SELECT " +
+        "round(CASE WHEN n_tpre > 0 THEN CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE) END, 6) AS treated_pre, " +
+        "round(CASE WHEN n_tpost > 0 THEN CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) END, 6) AS treated_post, " +
+        "round(CASE WHEN n_cpre > 0 THEN CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE) END, 6) AS control_pre, " +
+        "round(CASE WHEN n_cpost > 0 THEN CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) END, 6) AS control_post, " +
+        "round((CAST(s_tpost AS DOUBLE) / CAST(n_tpost AS DOUBLE) - " +
+        "CAST(s_tpre AS DOUBLE) / CAST(n_tpre AS DOUBLE)) - " +
+        "(CAST(s_cpost AS DOUBLE) / CAST(n_cpost AS DOUBLE) - " +
+        "CAST(s_cpre AS DOUBLE) / CAST(n_cpre AS DOUBLE)), 6) AS did FROM a"),
+
+    "q_cuped" -> cupedOracle,
+
+    "q_k_anonymity" ->
+      ("SELECT c_nationkey AS nation, " +
+        "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
+        "count(*) AS n, count(DISTINCT c_mktsegment) AS l_distinct, " +
+        "count(*) >= 5 AS k_anonymous, " +
+        "count(DISTINCT c_mktsegment) >= 2 AS l_diverse " +
+        "FROM customer GROUP BY 1, 2 ORDER BY 1, 2"),
+
     "q_centroid_classify" ->
       ("WITH e AS MATERIALIZED (SELECT vec_id, label, " +
         "embedding::DOUBLE[] AS v FROM embeddings WHERE len(embedding) = 64), " +
@@ -6975,6 +7044,69 @@ object SparkEntry {
       "AS harmonic FROM d3 WHERE dist > 0 GROUP BY 1 ORDER BY 1"
     sb.toString
   }
+
+  /** Mirror of q_dedup_keep_best: [[dedupClustersOracle]]'s clustering,
+    * then the per-cluster argmax (n_chars DESC, doc_id) as a rank-1
+    * window — min-of-struct's SQL spelling. */
+  private def keepBestOracle: String =
+    s"WITH RECURSIVE $mhPairsCtes, " +
+      "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs " +
+      "UNION ALL SELECT id2, id1 FROM pairs), " +
+      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
+      "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src), " +
+      "lab AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id), " +
+      "j AS (SELECT lab.cluster, d.doc_id, d.n_chars FROM lab " +
+      "JOIN documents d ON d.doc_id = lab.id), " +
+      "r AS (SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster " +
+      "ORDER BY n_chars DESC, doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY cluster) AS csize FROM j) " +
+      "SELECT cluster, doc_id AS kept_id, CAST(csize AS BIGINT) AS cluster_size, " +
+      "CAST(csize - 1 AS BIGINT) AS n_dropped FROM r WHERE rn = 1 ORDER BY cluster"
+
+  /** Mirror of q_cuped: per-user period means, DECIMAL moments, θ and
+    * the adjusted metric with the identical fixed-parenthesization
+    * double arithmetic (lateral alias references reuse the same
+    * computed values the Spark columns do). */
+  private def cupedOracle: String =
+    "WITH b AS (SELECT user_id, " +
+      "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t, " +
+      "CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS p, " +
+      "CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL), " +
+      "u AS (SELECT user_id AS uu, max(t) AS t, " +
+      "SUM(CASE WHEN p = 0 THEN CAST(v AS DECIMAL(28,8)) END) AS sx, " +
+      "SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS nx, " +
+      "SUM(CASE WHEN p = 1 THEN CAST(v AS DECIMAL(28,8)) END) AS sy, " +
+      "SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS ny FROM b GROUP BY 1), " +
+      "pu AS (SELECT uu, t, CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) AS x, " +
+      "CAST(sy AS DOUBLE) / CAST(ny AS DOUBLE) AS y FROM u " +
+      "WHERE nx > 0 AND ny > 0), " +
+      "m AS (SELECT count(*) AS n, " +
+      "SUM(CAST(x AS DECIMAL(28,10))) AS sx, " +
+      "SUM(CAST(y AS DECIMAL(28,10))) AS sy, " +
+      "SUM(CAST(x * y AS DECIMAL(28,10))) AS sxy, " +
+      "SUM(CAST(x * x AS DECIMAL(28,10))) AS sxx, " +
+      "SUM(CAST(y * y AS DECIMAL(28,10))) AS syy FROM pu), " +
+      "w AS (SELECT pu.uu, pu.t, pu.x, pu.y, " +
+      "CAST(m.sx AS DOUBLE) / m.n AS xbar, " +
+      "CAST(m.sy AS DOUBLE) / m.n AS ybar, " +
+      "(CAST(m.sxy AS DOUBLE) / m.n - xbar * ybar) / " +
+      "(CAST(m.sxx AS DOUBLE) / m.n - xbar * xbar) AS theta, " +
+      "m.n AS n, m.syy AS syy FROM pu CROSS JOIN m), " +
+      "w2 AS (SELECT w.*, y - theta * (x - xbar) AS yadj FROM w) " +
+      "SELECT count(*) AS n_units, round(min(theta), 6) AS theta, " +
+      "round(CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(28,10)) END) AS DOUBLE) / " +
+      "SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) - " +
+      "CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(28,10)) END) AS DOUBLE) / " +
+      "SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END), 6) AS diff_raw, " +
+      "round(CAST(SUM(CASE WHEN t = 1 THEN CAST(yadj AS DECIMAL(28,10)) END) AS DOUBLE) / " +
+      "SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) - " +
+      "CAST(SUM(CASE WHEN t = 0 THEN CAST(yadj AS DECIMAL(28,10)) END) AS DOUBLE) / " +
+      "SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END), 6) AS diff_cuped, " +
+      "round((CAST(SUM(CAST(yadj * yadj AS DECIMAL(28,10))) AS DOUBLE) / count(*) - " +
+      "(CAST(SUM(CAST(yadj AS DECIMAL(28,10))) AS DOUBLE) / count(*)) * " +
+      "(CAST(SUM(CAST(yadj AS DECIMAL(28,10))) AS DOUBLE) / count(*))) / " +
+      "(CAST(min(syy) AS DOUBLE) / CAST(min(n) AS DOUBLE) - " +
+      "min(ybar) * min(ybar)), 6) AS var_ratio FROM w2"
 
   /** Mirror of q_stl_anomaly: the q_stl_decompose CTE chain, a DECIMAL
     * moment pass over the remainder, and the 3σ screen with the same

@@ -85,4 +85,28 @@ object Constraints {
       .withColumn("pass", col("violations") === 0L)
       .orderBy("constraint")
   }
+
+  /** k-anonymity / l-diversity audit — the privacy companion to the PII
+    * scrubber: for each quasi-identifier combination, how many records
+    * share it (k-anonymity: every combo ≥ k means no one is singled out
+    * by the QI columns alone) and how many DISTINCT sensitive values it
+    * carries (l-diversity: a k-anonymous group whose sensitive value is
+    * unanimous still leaks it). One aggregation keyed by the QI tuple —
+    * count plus exact distinct-sensitive per group (two-phase under the
+    * hood); output is QI-domain-sized, never row-sized. Rows with a
+    * null QI component form their own combos (null IS a disclosure
+    * class). */
+  def kAnonymityReport(df: DataFrame, quasiIds: Seq[Column],
+                       names: Seq[String], sensitive: Column,
+                       k: Int, l: Int): DataFrame = {
+    require(quasiIds.nonEmpty && quasiIds.size == names.size,
+      "kAnonymityReport: quasiIds and names must align")
+    require(k >= 1 && l >= 1, s"kAnonymityReport: bad k=$k l=$l")
+    df.groupBy(quasiIds.zip(names).map { case (c, n) => c.alias(n) }: _*)
+      .agg(count(lit(1)).alias("n"),
+        countDistinct(sensitive).alias("l_distinct"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("l_distinct") >= l)
+      .orderBy(names.map(col): _*)
+  }
 }

@@ -641,4 +641,24 @@ object ScaleDedup {
         round(col("__i").cast("double") / col("__u").cast("double"), 6)
           .alias("jaccard"))
   }
+
+  /** Keep-BEST-per-cluster canonical selection — what a training-data
+    * pipeline actually does after clustering near-dups: keep the
+    * highest-quality member (not the arbitrary first), drop the rest.
+    * `labels` is a (id, label) clustering ([[connectedComponents]]);
+    * `quality` ranks members (higher wins; ties break to the smallest
+    * id). One join to tag cluster labels, one min-of-struct aggregate
+    * per cluster — map-side combinable, no window over the corpus. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, labels: DataFrame,
+                         quality: Column): DataFrame =
+    docs.join(labels.select(col("id").alias(idCol),
+        col("label").alias("cluster")), idCol)
+      .groupBy("cluster")
+      .agg(count(lit(1)).alias("cluster_size"),
+        min(struct((-quality).alias("q"), col(idCol).alias("id")))
+          .alias("__m"))
+      .select(col("cluster"), col("__m.id").alias("kept_id"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).alias("n_dropped"))
+      .orderBy("cluster")
 }

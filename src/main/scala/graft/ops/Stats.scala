@@ -1118,6 +1118,100 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Difference-in-differences — the quasi-experimental readout when
+    * assignment wasn't randomized: (treated post − treated pre) −
+    * (control post − control pre), the interaction that nets out both
+    * the group baseline and the common time shock. ONE aggregation pass
+    * carrying four conditional DECIMAL sums and counts; the four cell
+    * means and the estimate are fixed-parenthesization doubles, 6-dp
+    * rounded. An empty cell yields NULL did rather than a division
+    * artifact. */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def cell(p: Column, tag: String) = Seq(
+      sum(when(p, v).cast("decimal(28,8)")).alias(s"__s_$tag"),
+      sum(when(p, 1L).otherwise(0L)).alias(s"__n_$tag"))
+    val aggs = cell(treated && !post, "t_pre") ++ cell(treated && post, "t_post") ++
+      cell(!treated && !post, "c_pre") ++ cell(!treated && post, "c_post")
+    def mean(tag: String) =
+      when(col(s"__n_$tag") > 0,
+        col(s"__s_$tag").cast("double") / col(s"__n_$tag").cast("double"))
+    df.filter(v.isNotNull).agg(aggs.head, aggs.tail: _*)
+      .select(
+        round(mean("t_pre"), 6).alias("treated_pre"),
+        round(mean("t_post"), 6).alias("treated_post"),
+        round(mean("c_pre"), 6).alias("control_pre"),
+        round(mean("c_post"), 6).alias("control_post"),
+        round((mean("t_post") - mean("t_pre")) -
+          (mean("c_post") - mean("c_pre")), 6).alias("did"))
+  }
+
+  /** CUPED variance reduction (Deng et al.) — the experimentation-
+    * platform workhorse: adjust each unit's post-period metric by its
+    * OWN pre-period baseline, Y′ = Y − θ·(X − X̄) with
+    * θ = cov(X, Y)/var(X), shrinking metric variance without biasing
+    * the treatment contrast (X predates assignment). Units lacking
+    * either period drop (complete-case — no baseline, no adjustment).
+    * Shape: one per-unit aggregation (the only base-row shuffle), a
+    * broadcast moment row, a broadcast θ row; returns one row with the
+    * raw and adjusted treated−control diffs and the achieved pooled
+    * variance ratio. DECIMAL moment sums; θ and the means divide in
+    * doubles, 6-dp-pinned at the output only. */
+  def cuped(df: DataFrame, unitCol: String, treated: Column, post: Column,
+            valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perUnit = df.filter(v.isNotNull)
+      .groupBy(col(unitCol).alias("__u"))
+      .agg(max(when(treated, 1L).otherwise(0L)).alias("__t"),
+        sum(when(!post, v).cast("decimal(28,8)")).alias("__sx"),
+        sum(when(!post, 1L).otherwise(0L)).alias("__nx"),
+        sum(when(post, v).cast("decimal(28,8)")).alias("__sy"),
+        sum(when(post, 1L).otherwise(0L)).alias("__ny"))
+      .filter(col("__nx") > 0 && col("__ny") > 0)
+      .select(col("__u"), col("__t"),
+        (col("__sx").cast("double") / col("__nx").cast("double")).alias("__x"),
+        (col("__sy").cast("double") / col("__ny").cast("double")).alias("__y"))
+    val mom = perUnit.agg(
+      count(lit(1)).alias("__n"),
+      sum(col("__x").cast("decimal(28,10)")).alias("__sx"),
+      sum(col("__y").cast("decimal(28,10)")).alias("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(28,10)")).alias("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(28,10)")).alias("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(28,10)")).alias("__syy"))
+    val withTheta = perUnit.crossJoin(broadcast(mom))
+      .withColumn("__xbar", col("__sx").cast("double") / col("__n"))
+      .withColumn("__ybar", col("__sy").cast("double") / col("__n"))
+      .withColumn("__theta",
+        (col("__sxy").cast("double") / col("__n") -
+          col("__xbar") * col("__ybar")) /
+          (col("__sxx").cast("double") / col("__n") -
+            col("__xbar") * col("__xbar")))
+      .withColumn("__yadj",
+        col("__y") - col("__theta") * (col("__x") - col("__xbar")))
+    withTheta.agg(
+        count(lit(1)).alias("n_units"),
+        round(min("__theta"), 6).alias("theta"),
+        round(sum(when(col("__t") === 1, col("__y")).cast("decimal(28,10)"))
+            .cast("double") / sum(when(col("__t") === 1, 1L).otherwise(0L)) -
+          sum(when(col("__t") === 0, col("__y")).cast("decimal(28,10)"))
+            .cast("double") / sum(when(col("__t") === 0, 1L).otherwise(0L)), 6)
+          .alias("diff_raw"),
+        round(sum(when(col("__t") === 1, col("__yadj")).cast("decimal(28,10)"))
+            .cast("double") / sum(when(col("__t") === 1, 1L).otherwise(0L)) -
+          sum(when(col("__t") === 0, col("__yadj")).cast("decimal(28,10)"))
+            .cast("double") / sum(when(col("__t") === 0, 1L).otherwise(0L)), 6)
+          .alias("diff_cuped"),
+        round((sum((col("__yadj") * col("__yadj")).cast("decimal(28,10)"))
+            .cast("double") / count(lit(1)) -
+          (sum(col("__yadj").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))) *
+          (sum(col("__yadj").cast("decimal(28,10)")).cast("double") /
+            count(lit(1)))) /
+          (min("__syy").cast("double") / min("__n").cast("double") -
+            min("__ybar") * min("__ybar")), 6).alias("var_ratio"))
+  }
+
   /** Precision-recall curve at score thresholds — the classifier
     * operating-curve readout beside [[rocAuc]]'s single number. Scores
     * are pinned to `decimals` places FIRST (the threshold grid — and the

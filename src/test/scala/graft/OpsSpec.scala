@@ -1824,6 +1824,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) === -0.330242)
   }
 
+  test("keepBestPerCluster keeps the highest-quality member") {
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (4L, 50L))
+      .toDF("doc_id", "n_chars")
+    // cluster A = {1,2,3} (2 and 3 tie on quality → smaller id kept),
+    // cluster B = {4} (singleton keeps itself, drops nothing)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "label")
+    val got = graft.ops.ScaleDedup
+      .keepBestPerCluster(docs, "doc_id", labels, col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 3L, 2L), (4L, 4L, 1L, 0L)))
+  }
+
+  test("kAnonymityReport flags small combos and unanimous groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("us", 1, "A"), ("us", 1, "B"), ("us", 1, "A"),   // n=3, l=2
+      ("uk", 2, "A"), ("uk", 2, "A"), ("uk", 2, "A"),   // n=3, unanimous
+      ("fr", 3, "B"))                                   // n=1
+      .toDF("country", "band", "seg")
+    val got = Constraints.kAnonymityReport(df,
+        Seq(col("country"), col("band")), Seq("country", "band"),
+        col("seg"), k = 3, l = 2)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(got("us") === ((3L, 2L, true, true)))
+    assert(got("uk") === ((3L, 1L, true, false)), "unanimous group leaks")
+    assert(got("fr") === ((1L, 1L, false, false)))
+  }
+
   test("adamicAdar: square-with-diagonal scores the missing diagonal") {
     import spark.implicits._
     // square 1-2-3-4-1 plus chord 1-3: the only unlinked 2-hop pair is

@@ -491,6 +491,39 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(week) < 1e-5, s"seasonal not centered: $week")
   }
 
+  test("diffInDiff nets out group baseline and time shock") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // control: 10 → 12 (+2 common shock); treated: 20 → 25
+    // → did = (25−20) − (12−10) = 3
+    val df = Seq((1L, ts(1), 10.0), (1L, ts(20), 12.0),
+      (2L, ts(1), 20.0), (2L, ts(20), 25.0)).toDF("u", "t", "v")
+    val r = Stats.diffInDiff(df, col("u") === 2,
+      col("t") >= lit("2024-01-16").cast("timestamp"), "v").head()
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4)) === ((20.0, 25.0, 10.0, 12.0, 3.0)))
+  }
+
+  test("cuped matches the hand-computed adjustment and shrinks variance") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // users 1..4, treated = even; pre x = u, post y = x + 1[treated]
+    // + (x − x̄) noise-free trend: x=(1,2,3,4), y=(1,3,3,5)
+    // → θ = 1.2, diff_raw = 2, diff_cuped = 0.8, var ratio = 0.1
+    val rows = Seq(
+      (1L, ts(1), 1.0), (1L, ts(20), 1.0),
+      (2L, ts(1), 2.0), (2L, ts(20), 3.0),
+      (3L, ts(1), 3.0), (3L, ts(20), 3.0),
+      (4L, ts(1), 4.0), (4L, ts(20), 5.0)).toDF("u", "t", "v")
+    val r = Stats.cuped(rows, "u", col("u") % 2 === 0,
+      col("t") >= lit("2024-01-16").cast("timestamp"), "v").head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 1.2)          // theta
+    assert(r.getDouble(2) === 2.0)          // diff_raw
+    assert(r.getDouble(3) === 0.8)          // diff_cuped
+    assert(r.getDouble(4) === 0.1)          // var_ratio
+  }
+
   test("prCurve: hand-computed precision/recall at each threshold") {
     import spark.implicits._
     // scores 0.9+, 0.8−, 0.7+, 0.6− → thresholds desc:
