@@ -3407,6 +3407,30 @@ object SparkEntry {
       Constraints.kAnonymityReport(Tables.customer(s, d),
         Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000).cast("long")),
         Seq("nation", "bal_band"), col("c_mktsegment"), k = 5, l = 2)),
+
+    // Newman modularity (Graph.modularity) of the LPA communities over
+    // the near-dup graph — the quality gate on q_communities' output.
+    "q_modularity" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.modularity(edges, Graph.labelPropagation(edges, rounds = 4))
+    }),
+
+    // Degree assortativity (Graph.degreeAssortativity) of the near-dup
+    // graph: template families link hubs-to-hubs, collision stars don't.
+    "q_assortativity" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.degreeAssortativity(edges)
+    }),
+
+    // Item-item CF (Stats.itemItemCosine): cosine co-occurrence top-5
+    // recommendations per part over order baskets.
+    "q_item_cf" -> ((s, d) =>
+      graft.ops.Stats.itemItemCosine(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", minSupport = 2L, k = 5)),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -6643,6 +6667,29 @@ object SparkEntry {
 
     "q_cuped" -> cupedOracle,
 
+    "q_modularity" -> modularityOracle(4),
+
+    "q_assortativity" -> assortativityOracle,
+
+    "q_item_cf" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it " +
+        "FROM lineitem), " +
+        "pi AS (SELECT it, count(*) AS n FROM b GROUP BY 1), " +
+        "p AS (SELECT a.it AS i1, b2.it AS i2, count(*) AS cooc FROM b a " +
+        "JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2), " +
+        "dd AS (SELECT i1 AS item, i2 AS recommended, cooc FROM p " +
+        "UNION ALL SELECT i2, i1, cooc FROM p), " +
+        "sc AS (SELECT dd.item, dd.recommended, dd.cooc, " +
+        "round(CAST(dd.cooc AS DOUBLE) / " +
+        "sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS score " +
+        "FROM dd JOIN pi na ON na.it = dd.item " +
+        "JOIN pi nb ON nb.it = dd.recommended) " +
+        "SELECT item, recommended, cooc, score, CAST(rn AS BIGINT) AS rn " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY item " +
+        "ORDER BY score DESC, recommended) AS rn FROM sc) " +
+        "WHERE rn <= 5 ORDER BY item, rn"),
+
     "q_k_anonymity" ->
       ("SELECT c_nationkey AS nation, " +
         "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
@@ -6844,6 +6891,73 @@ object SparkEntry {
     sb.append(s" SELECT node, label AS community FROM l$rounds ORDER BY node")
     sb.toString
   }
+
+  /** Mirror of q_modularity: [[labelPropagationOracle]]'s unrolled LPA
+    * rounds, then the per-community m_c/m − (d_c/2m)² readout with the
+    * engine's fixed double parenthesization. */
+  private def modularityOracle(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH $mhPairsCtes, " +
+        "n0 AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs " +
+        "UNION ALL SELECT id2, id1 FROM pairs), " +
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM n0)")
+    for (i <- 1 to rounds) {
+      sb.append(s", c$i AS MATERIALIZED (SELECT n.u AS u, l.label AS label, " +
+        s"count(*) AS c FROM n0 n JOIN l${i - 1} l ON n.v = l.node " +
+        "GROUP BY 1, 2)")
+      sb.append(s", l$i AS MATERIALIZED (SELECT u AS node, label FROM c$i " +
+        "QUALIFY row_number() OVER " +
+        "(PARTITION BY u ORDER BY c DESC, label ASC) = 1)")
+    }
+    sb.append(s", lab AS MATERIALIZED (SELECT node, label AS community FROM l$rounds)")
+    sb.append(", e AS MATERIALIZED (SELECT DISTINCT least(id1, id2) AS a, " +
+      "greatest(id1, id2) AS b FROM pairs WHERE id1 <> id2)")
+    sb.append(", m AS (SELECT count(*) AS m FROM e)")
+    sb.append(", und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)")
+    sb.append(", dc AS (SELECT lab.community, count(*) AS dc FROM und " +
+      "JOIN lab ON lab.node = und.u GROUP BY 1)")
+    sb.append(", mc AS (SELECT la.community AS community, count(*) AS mc " +
+      "FROM e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b " +
+      "WHERE la.community = lb.community GROUP BY 1)")
+    sb.append(", nn AS (SELECT community, count(*) AS n_nodes FROM lab GROUP BY 1)")
+    sb.append(" SELECT nn.community, nn.n_nodes, " +
+      "CAST(COALESCE(mc.mc, 0) AS BIGINT) AS intra_edges, " +
+      "CAST(COALESCE(dc.dc, 0) AS BIGINT) AS degree_sum, " +
+      "round(CAST(COALESCE(mc.mc, 0) AS DOUBLE) / CAST(m.m AS DOUBLE) - " +
+      "(CAST(COALESCE(dc.dc, 0) AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) * " +
+      "(CAST(COALESCE(dc.dc, 0) AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 6) " +
+      "AS contribution FROM nn LEFT JOIN dc USING (community) " +
+      "LEFT JOIN mc USING (community) CROSS JOIN m ORDER BY nn.community")
+    sb.toString
+  }
+
+  /** Mirror of q_assortativity: normalized edges, both-direction ends
+    * joined to degrees, DECIMAL moments, the Pearson assembly in the
+    * identical double order. */
+  private def assortativityOracle: String =
+    s"WITH $mhPairsCtes, " +
+      "e AS MATERIALIZED (SELECT DISTINCT least(id1, id2) AS a, " +
+      "greatest(id1, id2) AS b FROM pairs WHERE id1 <> id2), " +
+      "und AS MATERIALIZED (SELECT a AS u, b AS v FROM e " +
+      "UNION ALL SELECT b, a FROM e), " +
+      "deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1), " +
+      "ends AS (SELECT CAST(dx.deg AS DOUBLE) AS x, " +
+      "CAST(dy.deg AS DOUBLE) AS y FROM und " +
+      "JOIN deg dx ON dx.node = und.u JOIN deg dy ON dy.node = und.v), " +
+      "mo AS (SELECT count(*) AS n, " +
+      "SUM(CAST(x AS DECIMAL(28,10))) AS sx, " +
+      "SUM(CAST(y AS DECIMAL(28,10))) AS sy, " +
+      "SUM(CAST(x * y AS DECIMAL(28,10))) AS sxy, " +
+      "SUM(CAST(x * x AS DECIMAL(28,10))) AS sxx, " +
+      "SUM(CAST(y * y AS DECIMAL(28,10))) AS syy FROM ends) " +
+      "SELECT n AS n_edge_ends, " +
+      "round((CAST(sxy AS DOUBLE) / n - " +
+      "(CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / " +
+      "(sqrt(CAST(sxx AS DOUBLE) / n - " +
+      "(CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) * " +
+      "sqrt(CAST(syy AS DOUBLE) / n - " +
+      "(CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 6) " +
+      "AS assortativity FROM mo"
 
   /** Unrolled-CTE mirror of [[graft.ops.Attribution.markovAttribution]]
     * for the fixed events channel set: the fixed-K value iteration is an

@@ -487,6 +487,94 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Newman modularity of a node partition: per community c,
+    * contribution = m_c/m − (d_c/2m)², summed over communities — the
+    * standard "is this clustering better than a random rewiring with
+    * the same degrees" score, the quality gate on [[labelPropagation]]'s
+    * output before trusting its dedup families. Returns the
+    * per-community table (nodes, intra-edges, degree mass,
+    * contribution); the total is one more tiny aggregation away. All
+    * inputs are exact integers; the two ratio terms are
+    * fixed-parenthesization doubles, 6-dp-pinned. Unlabeled endpoints
+    * fail loudly (inner join drops them — a partial labeling would
+    * silently understate m_c, so labels must cover every edge node;
+    * enforced by construction when labels come from the same edge
+    * set). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val la = labels.select(col("node").alias("a"), col("community").alias("__ca"))
+    val lb = labels.select(col("node").alias("b"), col("community").alias("__cb"))
+    val tagged = norm.join(la, "a").join(lb, "b")
+    val m = norm.agg(count(lit(1)).alias("__m"))
+    val und = norm.select(col("a").alias("u"), col("b").alias("v"))
+      .unionAll(norm.select(col("b").alias("u"), col("a").alias("v")))
+    val dc = und.join(labels.select(col("node").alias("u"),
+        col("community")), "u")
+      .groupBy("community").agg(count(lit(1)).alias("__dc"))
+    val mc = tagged.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").alias("community"))
+      .agg(count(lit(1)).alias("__mc"))
+    val nNodes = labels.groupBy("community")
+      .agg(count(lit(1)).alias("n_nodes"))
+    nNodes
+      .join(dc, Seq("community"), "left").na.fill(0L, Seq("__dc"))
+      .join(mc, Seq("community"), "left").na.fill(0L, Seq("__mc"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        col("__mc").alias("intra_edges"), col("__dc").alias("degree_sum"),
+        round(col("__mc").cast("double") / col("__m").cast("double") -
+          (col("__dc").cast("double") /
+            (lit(2.0) * col("__m").cast("double"))) *
+          (col("__dc").cast("double") /
+            (lit(2.0) * col("__m").cast("double"))), 6)
+          .alias("contribution"))
+      .orderBy("community")
+  }
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * the directed edge-end pairs (both directions of each undirected
+    * edge — Newman's convention). r > 0 = hubs link hubs; near-dup
+    * graphs from template families are strongly assortative, while
+    * accidental-collision stars are disassortative — a one-number
+    * structure fingerprint. One degree aggregation, two broadcast-sized
+    * joins back onto the edge list, DECIMAL moment sums. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val und = norm.select(col("a").alias("u"), col("b").alias("v"))
+      .unionAll(norm.select(col("b").alias("u"), col("a").alias("v")))
+    val deg = und.groupBy(col("u").alias("node"))
+      .agg(count(lit(1)).alias("deg"))
+    val ends = und
+      .join(deg.select(col("node").alias("u"), col("deg").alias("__dx")), "u")
+      .join(deg.select(col("node").alias("v"), col("deg").alias("__dy")), "v")
+      .select(col("__dx").cast("double").alias("__x"),
+        col("__dy").cast("double").alias("__y"))
+    val mom = ends.agg(
+      count(lit(1)).alias("__n"),
+      sum(col("__x").cast("decimal(28,10)")).alias("__sx"),
+      sum(col("__y").cast("decimal(28,10)")).alias("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(28,10)")).alias("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(28,10)")).alias("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(28,10)")).alias("__syy"))
+    mom.select(col("__n").alias("n_edge_ends"),
+      round((col("__sxy").cast("double") / col("__n") -
+        (col("__sx").cast("double") / col("__n")) *
+          (col("__sy").cast("double") / col("__n"))) /
+        (sqrt(col("__sxx").cast("double") / col("__n") -
+          (col("__sx").cast("double") / col("__n")) *
+            (col("__sx").cast("double") / col("__n"))) *
+          sqrt(col("__syy").cast("double") / col("__n") -
+            (col("__sy").cast("double") / col("__n")) *
+              (col("__sy").cast("double") / col("__n")))), 6)
+        .alias("assortativity"))
+  }
+
   /** Adamic-Adar link prediction: score NON-edges (a,b) that share
     * neighbors by Σ_c 1/ln(deg(c)) over common neighbors c — rare
     * shared neighbors say more than hubs. The "which near-dup pair did

@@ -1118,6 +1118,45 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Item-item collaborative filtering: cosine similarity over basket
+    * co-occurrence, cos(a,b) = n_ab/√(n_a·n_b), top-k recommendations
+    * per item — the classic item-CF recommender score ([[assocRules]]'s
+    * lift sibling; cosine damps the popularity bias lift keeps). The
+    * ordered self-join bounds fan-out by basket size², never catalog²;
+    * the per-item top-k window runs over the pair-count table. Ties
+    * break (score DESC, recommended ASC). */
+  def itemItemCosine(items: DataFrame, basketCol: String, itemCol: String,
+                     minSupport: Long, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"itemItemCosine: bad k $k")
+    val base = items.select(col(basketCol).alias("__bk"),
+      col(itemCol).alias("__it")).distinct()
+    val perItem = base.groupBy("__it").agg(count(lit(1)).alias("__n"))
+    val pairs = base.alias("a")
+      .join(base.alias("b"), col("a.__bk") === col("b.__bk") &&
+        col("a.__it") < col("b.__it"))
+      .groupBy(col("a.__it").alias("__i1"), col("b.__it").alias("__i2"))
+      .agg(count(lit(1)).alias("cooc"))
+      .filter(col("cooc") >= minSupport)
+    val directed = pairs.select(col("__i1").alias("item"),
+        col("__i2").alias("recommended"), col("cooc"))
+      .unionByName(pairs.select(col("__i2").alias("item"),
+        col("__i1").alias("recommended"), col("cooc")))
+    val scored = directed
+      .join(broadcast(perItem.select(col("__it").alias("item"),
+        col("__n").alias("__na"))), "item")
+      .join(broadcast(perItem.select(col("__it").alias("recommended"),
+        col("__n").alias("__nb"))), "recommended")
+      .withColumn("score", round(col("cooc").cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")), 6))
+    val w = Window.partitionBy("item")
+      .orderBy(desc("score"), col("recommended"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("item"), col("recommended"), col("cooc"), col("score"),
+        col("rn"))
+      .orderBy("item", "rn")
+  }
+
   /** Difference-in-differences — the quasi-experimental readout when
     * assignment wasn't randomized: (treated post − treated pre) −
     * (control post − control pre), the interaction that nets out both

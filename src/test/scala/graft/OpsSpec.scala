@@ -1871,6 +1871,43 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0 / math.log(3.0)) < 1e-5)
   }
 
+  test("modularity: two clean triangles contribute 0.25 each") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 2L), (11L, 2L), (12L, 2L)).toDF("node", "community")
+    val got = Graph.modularity(edges, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // m = 6; each triangle: m_c = 3, d_c = 6
+    // → 3/6 − (6/12)² = 0.25; total Q = 0.5 (a clean 2-community split)
+    assert(got(1L) === ((3L, 3L, 6L, 0.25)))
+    assert(got(2L) === ((3L, 3L, 6L, 0.25)))
+  }
+
+  test("degreeAssortativity: a path graph is disassortative at -0.5") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(edges).head()
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(1) === -0.5)
+  }
+
+  test("itemItemCosine: cosine damps popularity, support floor holds") {
+    import spark.implicits._
+    // baskets: {a,b}, {a,b}, {a,c} → (a,b) cooc 2 survives minSupport 2,
+    // (a,c) dies; cos(a,b) = 2/√(3·2) = 0.816497
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("bk", "it")
+    val got = graft.ops.Stats.itemItemCosine(df, "bk", "it",
+        minSupport = 2L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("a", "b", 2L, 0.816497, 1L),
+      ("b", "a", 2L, 0.816497, 1L)))
+  }
+
   test("centroidClassify: separable clusters produce a diagonal matrix") {
     import spark.implicits._
     // two tight clusters on orthogonal axes
