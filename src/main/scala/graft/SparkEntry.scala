@@ -3431,6 +3431,31 @@ object SparkEntry {
     "q_item_cf" -> ((s, d) =>
       graft.ops.Stats.itemItemCosine(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", minSupport = 2L, k = 5)),
+
+    // Vocabulary coverage curve (TextAnalysis.vocabCoverage) over word
+    // bigrams: the tokenizer-budget knee.
+    "q_vocab_coverage" -> ((s, d) => {
+      val t = split(col("text"), " ")
+      val bigrams = Tables.documents(s, d).filter(size(t) >= 2)
+        .select(explode(transform(sequence(lit(1), size(t) - 1),
+          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+          .alias("tok"))
+      TextAnalysis.vocabCoverage(bigrams, "tok",
+        Seq(50, 100, 250, 500, 750, 900))
+    }),
+
+    // Wilson lower-bound ranking (Stats.wilsonRank): parts by the
+    // pessimistic return-rate bound, volume floor 20.
+    "q_wilson_rank" -> ((s, d) =>
+      graft.ops.Stats.wilsonRank(Tables.lineitem(s, d), "l_partkey",
+        col("l_returnflag") === "R", z = 1.96, minTrials = 20L, topN = 20)),
+
+    // Event-time lateness profile (Sessionize.latenessProfile): how
+    // out-of-order events arrive per user, by ingest order — the
+    // measured watermark-delay recommendation.
+    "q_lateness_profile" -> ((s, d) =>
+      Sessionize.latenessProfile(Tables.events(s, d), "user_id", "ts",
+        "event_id")),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -6689,6 +6714,52 @@ object SparkEntry {
         "FROM (SELECT *, row_number() OVER (PARTITION BY item " +
         "ORDER BY score DESC, recommended) AS rn FROM sc) " +
         "WHERE rn <= 5 ORDER BY item, rn"),
+
+    "q_vocab_coverage" ->
+      ("WITH a AS (SELECT string_split(text, ' ') AS toks FROM documents), " +
+        "bg AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS tok FROM a WHERE len(toks) >= 2), " +
+        "c AS (SELECT tok, count(*) AS c FROM bg GROUP BY 1), " +
+        "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c), " +
+        "r AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rank, " +
+        "SUM(c) OVER (ORDER BY c DESC, tok " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c) " +
+        "SELECT CAST(rank AS BIGINT) AS vocab_size, " +
+        "CAST(cum AS BIGINT) AS occurrences_covered, " +
+        "round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS coverage " +
+        "FROM r CROSS JOIN tt WHERE rank IN (50, 100, 250, 500, 750, 900) " +
+        "ORDER BY 1"),
+
+    // z and its square CAST to DOUBLE before any arithmetic — DuckDB's
+    // DECIMAL literal product (3.8416 exact) is NOT the IEEE product
+    // the engine computes.
+    "q_wilson_rank" ->
+      ("WITH c AS (SELECT l_partkey, count(*) AS n, " +
+        "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS successes FROM lineitem GROUP BY 1 HAVING count(*) >= 20), " +
+        "s AS (SELECT l_partkey, n, successes, " +
+        "CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p, " +
+        "CAST(n AS DOUBLE) AS nd, " +
+        "CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2 FROM c) " +
+        "SELECT l_partkey, n, successes, round(p, 6) AS rate, " +
+        "round((p + z2 / (2.0 * nd) - CAST(1.96 AS DOUBLE) * " +
+        "sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))) / " +
+        "(1.0 + z2 / nd), 6) AS wilson_lb " +
+        "FROM s ORDER BY wilson_lb DESC, l_partkey LIMIT 20"),
+
+    "q_lateness_profile" ->
+      ("WITH l AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, " +
+        "max(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax " +
+        "FROM events), " +
+        "f AS (SELECT greatest(CAST(0 AS BIGINT), prevmax - ms) AS late " +
+        "FROM l WHERE prevmax IS NOT NULL) " +
+        "SELECT count(*) AS n_events, " +
+        "CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late, " +
+        "max(late) AS max_lateness_ms, " +
+        "round(quantile_cont(late, 0.5), 3) AS p50_lateness_ms, " +
+        "round(quantile_cont(late, 0.95), 3) AS p95_lateness_ms, " +
+        "round(quantile_cont(late, 0.99), 3) AS p99_lateness_ms FROM f"),
 
     "q_k_anonymity" ->
       ("SELECT c_nationkey AS nation, " +

@@ -324,6 +324,40 @@ object Sessionize {
       .limit(topN)
   }
 
+  /** Event-time lateness profile — the watermark-sizing readout: per
+    * key, how far behind the running event-time maximum does each
+    * arrival land (`arrivalCol` is the arrival-order proxy, e.g. an
+    * ingest sequence id)? The p95/p99/max answer "what watermark delay
+    * keeps keyed streaming state correct without holding it forever" —
+    * measured from the data, not guessed. The running-max window is
+    * key-partitioned over raw events (the sessionize stance); each
+    * key's FIRST arrival has no predecessor and is excluded. Exact
+    * interpolated percentiles over the lateness column (the
+    * q_event_percentiles buffering caveat applies — swap to
+    * approx_percentile at 100 TB). */
+  def latenessProfile(df: DataFrame, keyCol: String, tsCol: String,
+                      arrivalCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = df
+      .select(col(keyCol), unix_millis(col(tsCol)).alias("__ms"),
+        col(arrivalCol))
+      .withColumn("__prevmax", max("__ms").over(w))
+      .filter(col("__prevmax").isNotNull)
+      .withColumn("__late_ms",
+        greatest(lit(0L), col("__prevmax") - col("__ms")))
+    late.agg(
+      count(lit(1)).alias("n_events"),
+      sum(when(col("__late_ms") > 0, 1L).otherwise(0L)).alias("n_late"),
+      max("__late_ms").alias("max_lateness_ms"),
+      round(element_at(expr("percentile(__late_ms, array(0.5D, 0.95D, 0.99D))"), 1), 3)
+        .alias("p50_lateness_ms"),
+      round(element_at(expr("percentile(__late_ms, array(0.5D, 0.95D, 0.99D))"), 2), 3)
+        .alias("p95_lateness_ms"),
+      round(element_at(expr("percentile(__late_ms, array(0.5D, 0.95D, 0.99D))"), 3), 3)
+        .alias("p99_lateness_ms"))
+  }
+
   /** Peak concurrent sessions per day — the capacity-planning readout:
     * sessionize ([[sessions]]), sweep the session intervals as +1/−1
     * deltas ordered by time, take the running sum's daily max. The

@@ -1118,6 +1118,33 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Wilson-score lower-bound ranking — "sort by best-case-pessimist":
+    * rank items by the LOWER bound of the success-rate confidence
+    * interval, so a 2/2 item can't outrank a 95/100 one (the classic
+    * small-sample ranking fix; raw rate ranking is dominated by
+    * low-volume noise). LB = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) /
+    * (1 + z²/n). One conditional-count aggregation per item; the
+    * interval is closed-form fixed-parenthesization doubles. Items
+    * below `minTrials` are excluded (their interval is vacuous). */
+  def wilsonRank(df: DataFrame, itemCol: String, success: Column,
+                 z: Double, minTrials: Long, topN: Int): DataFrame = {
+    require(topN >= 1 && topN <= 100000, s"wilsonRank: bad topN $topN")
+    val counts = df.groupBy(col(itemCol))
+      .agg(count(lit(1)).alias("n"),
+        sum(when(success, 1L).otherwise(0L)).alias("successes"))
+      .filter(col("n") >= minTrials)
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2 = lit(z * z)
+    val lb = (p + z2 / (lit(2.0) * nD) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD))) / (lit(1.0) + z2 / nD)
+    counts.select(col(itemCol), col("n"), col("successes"),
+        round(p, 6).alias("rate"), round(lb, 6).alias("wilson_lb"))
+      .orderBy(desc("wilson_lb"), col(itemCol))
+      .limit(topN)
+  }
+
   /** Item-item collaborative filtering: cosine similarity over basket
     * co-occurrence, cos(a,b) = n_ab/√(n_a·n_b), top-k recommendations
     * per item — the classic item-CF recommender score ([[assocRules]]'s

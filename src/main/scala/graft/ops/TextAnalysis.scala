@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: tokenization, language ID,
@@ -553,6 +554,38 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(round(sum(contrib.cast("decimal(28,14)")).cast("double") /
         count(lit(1)), 6).alias("logprob"))
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-budget readout: what
+    * fraction of all token OCCURRENCES does a top-k vocabulary cover,
+    * for each checkpoint k. The curve that decides vocab size before
+    * training a tokenizer (the knee is the budget; the tail past it is
+    * what falls to UNK/byte-fallback). One token-count shuffle; the
+    * rank and cumulative-DECIMAL windows run over the vocabulary-sized
+    * count table only. Checkpoints beyond the vocabulary are not
+    * emitted (coverage is already 1 there). Ties rank (count DESC,
+    * token ASC) so the curve is engine-deterministic. */
+  def vocabCoverage(tokens: DataFrame, tokenCol: String,
+                    checkpoints: Seq[Int]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1),
+      "vocabCoverage: checkpoints must be positive")
+    val counts = tokens.filter(col(tokenCol).isNotNull)
+      .groupBy(col(tokenCol).alias("__t"))
+      .agg(count(lit(1)).alias("__c"))
+    val tot = counts.agg(sum("__c").alias("__tot"))
+    val w = Window.orderBy(desc("__c"), col("__t"))
+    val cumW = Window.orderBy(desc("__c"), col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum("__c").over(cumW))
+      .filter(col("__rank").isin(checkpoints.map(_.toLong): _*))
+      .crossJoin(broadcast(tot))
+      .select(col("__rank").alias("vocab_size"),
+        col("__cum").alias("occurrences_covered"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"), 6)
+          .alias("coverage"))
+      .orderBy("vocab_size")
   }
 
   /** PMI collocation mining — multi-word-expression extraction for

@@ -1871,6 +1871,40 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0 / math.log(3.0)) < 1e-5)
   }
 
+  test("vocabCoverage: cumulative occurrence shares at checkpoints") {
+    import spark.implicits._
+    val toks = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("tok")
+    val got = graft.ops.TextAnalysis.vocabCoverage(toks, "tok", Seq(1, 2, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 5L, 0.5), (2L, 8L, 0.8), (3L, 10L, 1.0)))
+  }
+
+  test("wilsonRank: 95/100 outranks 2/2 despite the lower raw rate") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => ("big", i <= 95)) ++
+      Seq(("tiny", true), ("tiny", true))
+    val got = graft.ops.Stats.wilsonRank(rows.toDF("item", "ok"),
+        "item", col("ok"), z = 1.96, minTrials = 1L, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // hand-computed: p=1, n=2 → LB = 1/(1 + z²/2) = 0.342372
+    assert(math.abs(got("tiny") - 1.0 / (1.0 + 1.96 * 1.96 / 2.0)) < 1e-6)
+    assert(got("big") > 0.88 && got("big") > got("tiny"),
+      s"volume must beat a perfect 2/2: $got")
+  }
+
+  test("latenessProfile: running-max lateness per key, firsts excluded") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val df = Seq((1L, ts("10:00:00"), 1L), (1L, ts("09:59:00"), 2L),
+      (1L, ts("10:01:00"), 3L)).toDF("u", "t", "eid")
+    val r = Sessionize.latenessProfile(df, "u", "t", "eid").head()
+    assert(r.getLong(0) === 2L)               // first arrival excluded
+    assert(r.getLong(1) === 1L)               // one late event
+    assert(r.getLong(2) === 60000L)           // 60 s behind the max
+    assert(r.getDouble(3) === 30000.0)        // p50 interpolates 0..60000
+  }
+
   test("modularity: two clean triangles contribute 0.25 each") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
