@@ -3456,6 +3456,37 @@ object SparkEntry {
     "q_lateness_profile" -> ((s, d) =>
       Sessionize.latenessProfile(Tables.events(s, d), "user_id", "ts",
         "event_id")),
+
+    // Interval union (Sessionize.intervalUnion): per-supplier 7-day
+    // shipping windows merged to de-overlapped coverage.
+    "q_interval_union" -> ((s, d) => {
+      val start = unix_millis(col("l_shipdate"))
+      Sessionize.intervalUnion(Tables.lineitem(s, d), "l_suppkey",
+        start, start + lit(604800000L))
+    }),
+
+    // Daily growth accounting (Aggregates.growthAccounting): DAU split
+    // into new / retained / resurrected, churn reported next-day.
+    "q_growth_accounting" -> ((s, d) =>
+      Aggregates.growthAccounting(Tables.events(s, d), col("ts"),
+        col("user_id"))),
+
+    // DAU/WAU stickiness: daily actives over the trailing-7-day actives
+    // (composition of the two distinct curves).
+    "q_stickiness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev.filter(col("user_id").isNotNull)
+        .select(to_date(col("ts")).alias("window_end"), col("user_id"))
+        .distinct()
+        .groupBy("window_end").agg(countDistinct("user_id").alias("dau"))
+      val wau = Aggregates.rollingDistinct(ev, col("ts"), col("user_id"), 7)
+      daily.join(wau, "window_end")
+        .select(col("window_end").alias("d"), col("dau"),
+          col("active_7d").alias("wau"),
+          round(col("dau").cast("double") / col("active_7d").cast("double"),
+            6).alias("stickiness"))
+        .orderBy("d")
+    }),
   )
 
   /** Query batch shared by q_bm25_topk and its oracle (terms drawn from
@@ -6760,6 +6791,53 @@ object SparkEntry {
         "round(quantile_cont(late, 0.5), 3) AS p50_lateness_ms, " +
         "round(quantile_cont(late, 0.95), 3) AS p95_lateness_ms, " +
         "round(quantile_cont(late, 0.99), 3) AS p99_lateness_ms FROM f"),
+
+    "q_interval_union" ->
+      ("WITH b AS (SELECT l_suppkey AS k, epoch_ms(l_shipdate) AS s, " +
+        "epoch_ms(l_shipdate) + 604800000 AS e FROM lineitem " +
+        "WHERE l_shipdate IS NOT NULL), " +
+        "g AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM b), " +
+        "f AS (SELECT k, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END " +
+        "AS nw FROM g), " +
+        "h AS (SELECT k, s, e, CAST(SUM(nw) OVER (PARTITION BY k " +
+        "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp FROM f), " +
+        "m AS (SELECT k, grp, min(s) AS gs, max(e) AS ge FROM h GROUP BY 1, 2) " +
+        "SELECT k AS l_suppkey, count(*) AS n_merged, " +
+        "CAST(SUM(ge - gs) AS BIGINT) AS covered_ms FROM m " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q_growth_accounting" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "fs AS (SELECT u, min(d) AS fd FROM du GROUP BY 1), " +
+        "p AS (SELECT d + 1 AS d, u, 1 AS was FROM du), " +
+        "t AS (SELECT du.d, count(*) AS dau, " +
+        "CAST(SUM(CASE WHEN fs.fd = du.d THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(SUM(CASE WHEN p.was = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(SUM(CASE WHEN fs.fd < du.d AND p.was IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_resurrected FROM du " +
+        "JOIN fs ON fs.u = du.u " +
+        "LEFT JOIN p ON p.d = du.d AND p.u = du.u GROUP BY 1), " +
+        "c AS (SELECT y.d + 1 AS d, count(*) AS n_churned FROM du y " +
+        "WHERE NOT EXISTS (SELECT 1 FROM du t2 WHERE t2.u = y.u " +
+        "AND t2.d = y.d + 1) GROUP BY 1) " +
+        "SELECT t.d, t.dau, t.n_new, t.n_retained, t.n_resurrected, " +
+        "COALESCE(c.n_churned, 0) AS n_churned FROM t " +
+        "LEFT JOIN c USING (d) ORDER BY t.d"),
+
+    "q_stickiness" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "daily AS (SELECT d, count(DISTINCT u) AS dau FROM du GROUP BY 1), " +
+        "days AS (SELECT DISTINCT d AS window_end FROM du), " +
+        "wau AS (SELECT e.window_end, count(DISTINCT du.u) AS wau " +
+        "FROM days e JOIN du ON du.d <= e.window_end " +
+        "AND du.d > e.window_end - 7 GROUP BY 1) " +
+        "SELECT daily.d, daily.dau, wau.wau, " +
+        "round(CAST(daily.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) " +
+        "AS stickiness FROM daily JOIN wau ON wau.window_end = daily.d " +
+        "ORDER BY daily.d"),
 
     "q_k_anonymity" ->
       ("SELECT c_nationkey AS nation, " +

@@ -694,6 +694,44 @@ object Aggregates {
       .orderBy("window_end")
   }
 
+  /** Daily growth accounting — the canonical active-user ledger: each
+    * day's actives decompose into NEW (first day ever), RETAINED
+    * (also active the previous day), and RESURRECTED (active before,
+    * but not yesterday); CHURNED counts yesterday's actives who didn't
+    * return today. new + retained + resurrected = DAU by construction,
+    * and dau_t − dau_{t−1} = new + resurrected − churned — the identity
+    * that makes the ledger audit itself. Shape: one distinct
+    * (day, user) pass, a per-user first-day aggregate, and equi-joins
+    * on the DAU-sized table (user, day−1) — no window, no range join. */
+  def growthAccounting(df: DataFrame, tsCol: Column,
+                       idCol: Column): DataFrame = {
+    val du = df.filter(idCol.isNotNull)
+      .select(to_date(tsCol).alias("__d"), idCol.alias("__u")).distinct()
+    val firsts = du.groupBy("__u").agg(min("__d").alias("__first"))
+    val prev = du.select(date_add(col("__d"), 1).alias("__d"),
+      col("__u"), lit(1L).alias("__wasActive"))
+    val today = du
+      .join(firsts, "__u")
+      .join(prev, Seq("__d", "__u"), "left")
+      .groupBy(col("__d").alias("d"))
+      .agg(count(lit(1)).alias("dau"),
+        sum(when(col("__first") === col("__d"), 1L).otherwise(0L))
+          .alias("n_new"),
+        sum(when(col("__wasActive") === 1L, 1L).otherwise(0L))
+          .alias("n_retained"),
+        sum(when(col("__first") < col("__d") && col("__wasActive").isNull,
+          1L).otherwise(0L)).alias("n_resurrected"))
+    val churned = du.alias("y")
+      .join(du.alias("t"),
+        col("y.__u") === col("t.__u") &&
+          date_add(col("y.__d"), 1) === col("t.__d"), "left_anti")
+      .groupBy(date_add(col("__d"), 1).alias("d"))
+      .agg(count(lit(1)).alias("n_churned"))
+    today.join(churned, Seq("d"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .orderBy("d")
+  }
+
   /** The HLL estimator over a register table ([[hllRegisters]]):
     * Σ 2^−M_j as the EXACT integer Σ 2^(maxRho−M_j) (absent registers
     * contribute 2^maxRho), α·m²/S in fixed-parenthesization doubles,

@@ -324,6 +324,43 @@ object Sessionize {
       .limit(topN)
   }
 
+  /** Interval union per key: merge overlapping/touching [start, end]
+    * intervals and report the merged count and total covered length —
+    * "how much wall-clock does this key's activity actually span" with
+    * double-counted overlap removed (the sweep every billing/SLA
+    * calculation needs). Classic one-pass sweep: order intervals by
+    * (start, end), flag starts that clear the running max end (strictly
+    * greater — touching intervals merge), group by the flag's running
+    * sum, aggregate each chain to its span. Both windows are
+    * key-partitioned over the INTERVAL table (aggregated or
+    * dimension-sized upstream), never raw events. Inputs are epoch
+    * millis; `start > end` rows are rejected loudly. */
+  def intervalUnion(df: DataFrame, keyCol: String, startMs: Column,
+                    endMs: Column): DataFrame = {
+    val base = df.select(col(keyCol).alias("__k"),
+        startMs.alias("__s"), endMs.alias("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull)
+      .select(col("__k"), col("__s"),
+        when(col("__s") > col("__e"),
+          raise_error(lit("intervalUnion: start > end")))
+          .otherwise(col("__e")).alias("__e"))
+    val ord = Window.partitionBy("__k").orderBy(col("__s"), col("__e"))
+    val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = base
+      .withColumn("__pm", max("__e").over(prevMax))
+      .withColumn("__new",
+        when(col("__pm").isNull || col("__s") > col("__pm"), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum("__new").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grouped.groupBy(col("__k"), col("__grp"))
+      .agg(min("__s").alias("__gs"), max("__e").alias("__ge"))
+      .groupBy(col("__k").alias(keyCol))
+      .agg(count(lit(1)).alias("n_merged"),
+        sum(col("__ge") - col("__gs")).alias("covered_ms"))
+      .orderBy(keyCol)
+  }
+
   /** Event-time lateness profile — the watermark-sizing readout: per
     * key, how far behind the running event-time maximum does each
     * arrival land (`arrivalCol` is the arrival-order proxy, e.g. an

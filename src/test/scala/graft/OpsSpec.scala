@@ -1871,6 +1871,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0 / math.log(3.0)) < 1e-5)
   }
 
+  test("intervalUnion merges overlapping AND touching chains") {
+    import spark.implicits._
+    // [0,10]+[5,20]+[20,25] chain to one [0,25]; [30,40] stands alone
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 25L),
+      ("a", 30L, 40L), ("b", 0L, 5L)).toDF("k", "s", "e")
+    val got = Sessionize.intervalUnion(df, "k", col("s"), col("e"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("a") === ((2L, 35L)))   // 25 + 10 covered
+    assert(got("b") === ((1L, 5L)))
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned ledger") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // d1 {A,B}; d2 {A,C}; d4 {B}
+    val df = Seq((ts(1), 10L), (ts(1), 20L), (ts(2), 10L), (ts(2), 30L),
+      (ts(4), 20L)).toDF("t", "u")
+    val got = graft.ops.Aggregates.growthAccounting(df, col("t"), col("u"))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got("2024-01-01") === ((2L, 2L, 0L, 0L, 0L)))
+    // d2: C is new, A retained; B churned (active d1, absent d2)
+    assert(got("2024-01-02") === ((2L, 1L, 1L, 0L, 1L)))
+    // d4: B resurrected (first d1 < d4, not active d3)
+    assert(got("2024-01-04") === ((1L, 0L, 0L, 1L, 0L)))
+    // ledger identity: new + retained + resurrected = dau, every day
+    got.values.foreach { case (dau, nw, re, rs, _) =>
+      assert(nw + re + rs === dau)
+    }
+  }
+
   test("vocabCoverage: cumulative occurrence shares at checkpoints") {
     import spark.implicits._
     val toks = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
