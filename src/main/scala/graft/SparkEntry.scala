@@ -3471,6 +3471,16 @@ object SparkEntry {
       Aggregates.growthAccounting(Tables.events(s, d), col("ts"),
         col("user_id"))),
 
+    // Anchored-literal regex filter: RegexAnchorSimplification rewrites
+    // the RLIKE into a pushed StringStartsWith (RegexRewriteSpec asserts
+    // the plan; this query asserts the answers survive the rewrite).
+    "q_filter_prefix_rlike" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.customer(s, d)
+        .filter(col("c_name").rlike("^Customer#00000001"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
     // DAU/WAU stickiness: daily actives over the trailing-7-day actives
     // (composition of the two distinct curves).
     "q_stickiness" -> ((s, d) => {
@@ -6825,6 +6835,11 @@ object SparkEntry {
         "SELECT t.d, t.dau, t.n_new, t.n_retained, t.n_resurrected, " +
         "COALESCE(c.n_churned, 0) AS n_churned FROM t " +
         "LEFT JOIN c USING (d) ORDER BY t.d"),
+
+    "q_filter_prefix_rlike" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE regexp_matches(c_name, '^Customer#00000001') " +
+        "ORDER BY c_custkey"),
 
     "q_stickiness" ->
       ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u " +

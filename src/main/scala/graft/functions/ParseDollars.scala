@@ -94,10 +94,16 @@ object GraftFunctions {
 
   /** SQL registration: `SELECT parse_dollars(col)` / `normalize_nfc(col)`
     * in spark.sql. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     injections.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // optimizer rules ride along (idempotent across repeated register calls)
+    val rule = graft.plans.RegexAnchorSimplification
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 
   /** Extract a literal-int function argument (the kernel params — hash
     * counts, shingle widths, bit counts — are plan-time constants, not
@@ -156,6 +162,8 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions` and every session
   * gets graft's native functions without code changes. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RegexAnchorSimplification)
+  }
 }
