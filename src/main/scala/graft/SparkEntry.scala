@@ -3471,6 +3471,26 @@ object SparkEntry {
       Aggregates.growthAccounting(Tables.events(s, d), col("ts"),
         col("user_id"))),
 
+    // Eventually-follows lags (Sessionize.followsLag): median/p90 delay
+    // between first occurrences per precedence pair.
+    "q_follows_lag" -> ((s, d) =>
+      Sessionize.followsLag(Tables.events(s, d), "user_id", "ts",
+        "event_type")),
+
+    // Inter-event gap bands (Sessionize.gapProfile): the histogram that
+    // justifies the 30-min sessionization threshold.
+    "q_gap_profile" -> ((s, d) =>
+      Sessionize.gapProfile(Tables.events(s, d), "user_id", "ts",
+        "event_id")),
+
+    // Laspeyres/Paasche price indexes (Stats.priceIndex): 1995→1996
+    // part-price movement, base- vs current-basket weighted.
+    "q_price_index" -> ((s, d) =>
+      graft.ops.Stats.priceIndex(Tables.lineitem(s, d), "l_partkey",
+        when(year(col("l_shipdate")) === 1995, 0)
+          .when(year(col("l_shipdate")) === 1996, 1),
+        col("l_quantity"), col("l_extendedprice"))),
+
     // Anchored-literal regex filter: RegexAnchorSimplification rewrites
     // the RLIKE into a pushed StringStartsWith (RegexRewriteSpec asserts
     // the plan; this query asserts the answers survive the rewrite).
@@ -6835,6 +6855,48 @@ object SparkEntry {
         "SELECT t.d, t.dau, t.n_new, t.n_retained, t.n_resurrected, " +
         "COALESCE(c.n_churned, 0) AS n_churned FROM t " +
         "LEFT JOIN c USING (d) ORDER BY t.d"),
+
+    "q_follows_lag" ->
+      ("WITH f AS (SELECT user_id, event_type AS t, min(ts) AS ts " +
+        "FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT fa.t AS a, fb.t AS b, " +
+        "epoch_ms(fb.ts) - epoch_ms(fa.ts) AS lag_ms FROM f fa " +
+        "JOIN f fb ON fa.user_id = fb.user_id AND fa.ts < fb.ts) " +
+        "SELECT a, b, count(*) AS support, " +
+        "round(quantile_cont(lag_ms, 0.5), 3) AS p50_lag_ms, " +
+        "round(quantile_cont(lag_ms, 0.9), 3) AS p90_lag_ms " +
+        "FROM p GROUP BY 1, 2 ORDER BY support DESC, a, b"),
+
+    "q_gap_profile" ->
+      ("WITH g AS (SELECT (epoch_ms(ts) - epoch_ms(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id))) / 1000 AS gap_s " +
+        "FROM events), " +
+        "b AS (SELECT CASE WHEN gap_s < 60 THEN 0 WHEN gap_s < 300 THEN 1 " +
+        "WHEN gap_s < 1800 THEN 2 WHEN gap_s < 7200 THEN 3 ELSE 4 END AS band " +
+        "FROM g WHERE gap_s IS NOT NULL), " +
+        "t AS (SELECT count(*) AS n FROM b) " +
+        "SELECT CAST(band AS BIGINT) AS band, " +
+        "['lt_1m', '1m_5m', '5m_30m', '30m_2h', 'ge_2h'][band + 1] AS band_label, " +
+        "count(*) AS n_gaps, " +
+        "round(CAST(count(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share " +
+        "FROM b CROSS JOIN t GROUP BY band, t.n ORDER BY band"),
+
+    "q_price_index" ->
+      ("WITH base AS (SELECT l_partkey AS i, " +
+        "CASE WHEN year(l_shipdate) = 1995 THEN 0 " +
+        "WHEN year(l_shipdate) = 1996 THEN 1 END AS p, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS qd, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS price " +
+        "FROM lineitem WHERE year(l_shipdate) IN (1995, 1996) GROUP BY 1, 2), " +
+        "p0 AS (SELECT i, qd AS q0, price AS pr0 FROM base WHERE p = 0), " +
+        "p1 AS (SELECT i, qd AS q1, price AS pr1 FROM base WHERE p = 1) " +
+        "SELECT count(*) AS n_items, " +
+        "round(CAST(SUM(CAST(pr1 * q0 AS DECIMAL(28,10))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(pr0 * q0 AS DECIMAL(28,10))) AS DOUBLE), 6) AS laspeyres, " +
+        "round(CAST(SUM(CAST(pr1 * q1 AS DECIMAL(28,10))) AS DOUBLE) / " +
+        "CAST(SUM(CAST(pr0 * q1 AS DECIMAL(28,10))) AS DOUBLE), 6) AS paasche " +
+        "FROM p0 JOIN p1 USING (i)"),
 
     "q_filter_prefix_rlike" ->
       ("SELECT c_custkey, c_name FROM customer " +

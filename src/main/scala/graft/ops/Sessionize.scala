@@ -447,6 +447,63 @@ object Sessionize {
       .orderBy(col("support").desc, col("a"), col("b"))
   }
 
+  /** [[followsPairs]] with the WHEN attached: per eventually-follows
+    * pair, the distribution of first-occurrence lags (median/p90 ms) —
+    * "signup leads purchase by a median 2 days" is an actionable
+    * statement; the bare precedence count isn't. Same bounded firsts
+    * self-join; exact interpolated percentiles over the pair's lag
+    * column (pair-support-sized groups). */
+  def followsLag(df: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String): DataFrame = {
+    val firsts = df.groupBy(col(keyCol).alias("__k"), col(typeCol).alias("__t"))
+      .agg(min(col(tsCol)).alias("__ts"))
+    val a = firsts.select(col("__k"), col("__t").alias("a"),
+      col("__ts").alias("__ta"))
+    val b = firsts.select(col("__k"), col("__t").alias("b"),
+      col("__ts").alias("__tb"))
+    a.join(b, Seq("__k")).filter(col("__ta") < col("__tb"))
+      .withColumn("__lag_ms",
+        unix_millis(col("__tb")) - unix_millis(col("__ta")))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).alias("support"),
+        round(element_at(expr("percentile(__lag_ms, array(0.5D, 0.9D))"), 1),
+          3).alias("p50_lag_ms"),
+        round(element_at(expr("percentile(__lag_ms, array(0.5D, 0.9D))"), 2),
+          3).alias("p90_lag_ms"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+  }
+
+  /** Inter-event gap distribution per key — the measurement that
+    * justifies (or indicts) a sessionization gap threshold: if 30 min
+    * is the cut, the gap histogram should show a valley there, not a
+    * mode. Gaps land in FIXED labeled bands (a CASE ladder — no float
+    * log bucketing to diverge across engines), reported with counts and
+    * shares. The lag window is key-partitioned over raw events (the
+    * sessionize stance). */
+  def gapProfile(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val gaps = df
+      .withColumn("__gap_s",
+        (unix_millis(col(tsCol)) - unix_millis(lag(col(tsCol), 1).over(w))) /
+          lit(1000L))
+      .filter(col("__gap_s").isNotNull)
+    val banded = gaps.select(
+      when(col("__gap_s") < 60, 0L).when(col("__gap_s") < 300, 1L)
+        .when(col("__gap_s") < 1800, 2L).when(col("__gap_s") < 7200, 3L)
+        .otherwise(4L).alias("band"))
+    val tot = banded.agg(count(lit(1)).alias("__n"))
+    banded.groupBy("band").agg(count(lit(1)).alias("n_gaps"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"),
+        element_at(typedLit(Seq("lt_1m", "1m_5m", "5m_30m", "30m_2h", "ge_2h")),
+          (col("band") + 1).cast("int")).alias("band_label"),
+        col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("__n").cast("double"), 6)
+          .alias("share"))
+      .orderBy("band")
+  }
+
   def attribution(df: DataFrame, keyCol: String, tsCol: String,
                   tieCol: String, typeCol: String,
                   conversionType: String): DataFrame = {

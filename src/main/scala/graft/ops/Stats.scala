@@ -1118,6 +1118,40 @@ object Stats {
       .orderBy("d")
   }
 
+  /** Laspeyres and Paasche price indexes between two periods — the
+    * canonical "did prices move or did the mix move" decomposition:
+    * L = Σp₁q₀/Σp₀q₀ prices the BASE basket at both periods' unit
+    * prices; P = Σp₁q₁/Σp₀q₁ prices the CURRENT basket. Unit price per
+    * item-period = Σvalue/Σqty (both DECIMAL); only items traded in
+    * BOTH periods enter (an index needs both prices). One aggregation
+    * per period (map-side combined), one item-keyed join, one DECIMAL
+    * reduction; the four basket sums divide in fixed-order doubles. */
+  def priceIndex(df: DataFrame, itemCol: String, period: Column,
+                 qtyCol: Column, valueCol: Column): DataFrame = {
+    val base = df.filter(period.isNotNull)
+      .groupBy(col(itemCol).alias("__i"), period.alias("__p"))
+      .agg(sum(qtyCol.cast("decimal(28,8)")).alias("__q"),
+        sum(valueCol.cast("decimal(28,8)")).alias("__v"))
+      .select(col("__i"), col("__p"),
+        col("__q").cast("double").alias("__qd"),
+        (col("__v").cast("double") / col("__q").cast("double"))
+          .alias("__price"))
+    val p0 = base.filter(col("__p") === 0)
+      .select(col("__i"), col("__qd").alias("__q0"), col("__price").alias("__p0"))
+    val p1 = base.filter(col("__p") === 1)
+      .select(col("__i"), col("__qd").alias("__q1"), col("__price").alias("__p1"))
+    p0.join(p1, "__i")
+      .agg(count(lit(1)).alias("n_items"),
+        round(sum((col("__p1") * col("__q0")).cast("decimal(28,10)"))
+            .cast("double") /
+          sum((col("__p0") * col("__q0")).cast("decimal(28,10)"))
+            .cast("double"), 6).alias("laspeyres"),
+        round(sum((col("__p1") * col("__q1")).cast("decimal(28,10)"))
+            .cast("double") /
+          sum((col("__p0") * col("__q1")).cast("decimal(28,10)"))
+            .cast("double"), 6).alias("paasche"))
+  }
+
   /** Wilson-score lower-bound ranking — "sort by best-case-pessimist":
     * rank items by the LOWER bound of the success-rate confidence
     * interval, so a 2/2 item can't outrank a 95/100 one (the classic

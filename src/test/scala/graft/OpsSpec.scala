@@ -1871,6 +1871,43 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0 / math.log(3.0)) < 1e-5)
   }
 
+  test("followsLag: hand-computed pair lags") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // u1: a@1 → b@3 (lag 2000 ms); u2: a@10 → b@14 (lag 4000 ms)
+    val df = Seq((1L, ts(1), "a"), (1L, ts(3), "b"),
+      (2L, ts(10), "a"), (2L, ts(14), "b")).toDF("u", "t", "e")
+    val r = Sessionize.followsLag(df, "u", "t", "e").head()
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("a", "b", 2L)))
+    assert(r.getDouble(3) === 3000.0)   // median of 2000, 4000
+    assert(r.getDouble(4) === 3800.0)   // p90 interpolates toward 4000
+  }
+
+  test("gapProfile: gaps land in the right fixed bands") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    // gaps for u1: 30 s (band 0), 10 min (band 2), 3 h (band 4)
+    val df = Seq((1L, ts("00:00:00"), 1L), (1L, ts("00:00:30"), 2L),
+      (1L, ts("00:10:30"), 3L), (1L, ts("03:10:30"), 4L))
+      .toDF("u", "t", "eid")
+    val got = Sessionize.gapProfile(df, "u", "t", "eid")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((0L, "lt_1m", 1L, 0.333333),
+      (2L, "5m_30m", 1L, 0.333333), (4L, "ge_2h", 1L, 0.333333)))
+  }
+
+  test("priceIndex: pure price doubling reads 2.0 on both indexes") {
+    import spark.implicits._
+    // two items, quantities shift, unit prices exactly double
+    val df = Seq(("x", 0, 10.0, 100.0), ("x", 1, 5.0, 100.0),
+      ("y", 0, 4.0, 20.0), ("y", 1, 8.0, 80.0)).toDF("i", "p", "q", "v")
+    val r = graft.ops.Stats.priceIndex(df, "i", col("p"), col("q"),
+      col("v")).head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getDouble(1) === 2.0 && r.getDouble(2) === 2.0)
+  }
+
   test("intervalUnion merges overlapping AND touching chains") {
     import spark.implicits._
     // [0,10]+[5,20]+[20,25] chain to one [0,25]; [30,40] stands alone
