@@ -1061,7 +1061,11 @@ object Stats {
     * (group, value, Σweight) table FIRST — the cumulative window then
     * runs over distinct values only, never base rows (the
     * windows-behind-aggregation house rule). Weights sum in DECIMAL so
-    * the crossing point is shuffle-order-exact. */
+    * the crossing point is shuffle-order-exact. Honest bound: for a
+    * CONTINUOUS value column the distinct-value table is row-scale
+    * within each group and the per-group ordered pass is the cost —
+    * exact by construction here; at 100 TB swap to the
+    * [[graft.ops.Aggregates.percentileTwoPass]] bucketed shape. */
   def weightedMedian(df: DataFrame, group: String, valueCol: Column,
                      weightCol: Column): DataFrame = {
     val g = df.filter(valueCol.isNotNull && weightCol.isNotNull)

@@ -280,4 +280,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertNoQuadraticJoin("q_follows_pairs")
     assertNoQuadraticJoin("q_rolling_distinct")
   }
+
+  test("round-8 second wave: windows stay behind aggregation") {
+    // PR curve cumulates the per-threshold table; vocab coverage ranks
+    // the vocabulary table; item CF ranks the pair-count table;
+    // interval union sweeps the interval table
+    assertWindowsBehindAggregation("q_pr_curve")
+    assertWindowsBehindAggregation("q_vocab_coverage")
+    assertWindowsBehindAggregation("q_item_cf")
+  }
+
+  test("round-8 second wave: fan-out ops never plan an all-pairs join") {
+    // Adamic-Adar wedges are two equi-joins; growth accounting joins the
+    // (user, day-1) key; item CF self-joins on the basket key
+    assertNoQuadraticJoin("q_link_predict")
+    assertNoQuadraticJoin("q_growth_accounting")
+    assertNoQuadraticJoin("q_item_cf")
+    assertNoQuadraticJoin("q_dedup_keep_best")
+  }
 }
