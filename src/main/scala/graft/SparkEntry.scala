@@ -3471,6 +3471,18 @@ object SparkEntry {
       Aggregates.growthAccounting(Tables.events(s, d), col("ts"),
         col("user_id"))),
 
+    // One-way ANOVA (Stats.anovaOneWay): does mean event value differ
+    // anywhere across the five event types, with eta-squared.
+    "q_anova" -> ((s, d) =>
+      graft.ops.Stats.anovaOneWay(Tables.events(s, d), "event_type",
+        "value")),
+
+    // Standardized effect size (Stats.effectSize): Cohen's d / Hedges' g
+    // for the even-user split on event value.
+    "q_effect_size" -> ((s, d) =>
+      graft.ops.Stats.effectSize(Tables.events(s, d),
+        col("user_id") % 2 === 0, "value")),
+
     // Eventually-follows lags (Sessionize.followsLag): median/p90 delay
     // between first occurrences per precedence pair.
     "q_follows_lag" -> ((s, d) =>
@@ -6855,6 +6867,60 @@ object SparkEntry {
         "SELECT t.d, t.dau, t.n_new, t.n_retained, t.n_resurrected, " +
         "COALESCE(c.n_churned, 0) AS n_churned FROM t " +
         "LEFT JOIN c USING (d) ORDER BY t.d"),
+
+    "q_anova" ->
+      ("WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pg AS (SELECT event_type, count(*) AS n, " +
+        "SUM(CAST(v AS DECIMAL(28,8))) AS s, " +
+        "SUM(CAST(v * v AS DECIMAL(28,8))) AS s2 FROM src GROUP BY 1), " +
+        "pm AS (SELECT n, s, s2, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m " +
+        "FROM pg), " +
+        "red AS (SELECT count(*) AS k, CAST(SUM(n) AS BIGINT) AS n, " +
+        "SUM(CAST(s AS DECIMAL(28,8))) AS gs, " +
+        "SUM(CAST(m * m * CAST(n AS DOUBLE) AS DECIMAL(28,10))) AS snm2, " +
+        "SUM(CAST(CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * m * m " +
+        "AS DECIMAL(28,10))) AS ssw FROM pm), " +
+        "fin AS (SELECT k, n, CAST(snm2 AS DOUBLE) - " +
+        "(CAST(gs AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(gs AS DOUBLE) AS ssb, " +
+        "CAST(ssw AS DOUBLE) AS sswd, k - 1 AS df1, n - k AS df2 FROM red) " +
+        "SELECT k, n, CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2, " +
+        "round(ssb, 6) AS ss_between, round(sswd, 6) AS ss_within, " +
+        "round((ssb / CAST(df1 AS DOUBLE)) / (sswd / CAST(df2 AS DOUBLE)), 6) " +
+        "AS f_stat, round(ssb / (ssb + sswd), 6) AS eta_squared FROM fin"),
+
+    "q_effect_size" ->
+      ("WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t, " +
+        "CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL), " +
+        "a AS (SELECT " +
+        "CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "SUM(CASE WHEN t = 0 THEN CAST(v AS DECIMAL(28,8)) END) AS s0, " +
+        "SUM(CASE WHEN t = 0 THEN CAST(v * v AS DECIMAL(28,8)) END) AS q0, " +
+        "CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "SUM(CASE WHEN t = 1 THEN CAST(v AS DECIMAL(28,8)) END) AS s1, " +
+        "SUM(CASE WHEN t = 1 THEN CAST(v * v AS DECIMAL(28,8)) END) AS q1 " +
+        "FROM b), " +
+        "w AS (SELECT n0, n1, " +
+        "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0, " +
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1, " +
+        "(CAST(q0 AS DOUBLE) - CAST(n0 AS DOUBLE) * " +
+        "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * " +
+        "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / " +
+        "(CAST(n0 AS DOUBLE) - 1.0) AS v0, " +
+        "(CAST(q1 AS DOUBLE) - CAST(n1 AS DOUBLE) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))) / " +
+        "(CAST(n1 AS DOUBLE) - 1.0) AS v1 FROM a), " +
+        "w2 AS (SELECT n0, n1, m0, m1, " +
+        "sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 + " +
+        "(CAST(n0 AS DOUBLE) - 1.0) * v0) / " +
+        "(CAST(n0 + n1 AS DOUBLE) - 2.0)) AS pooled FROM w) " +
+        "SELECT n0 AS n_control, n1 AS n_treated, " +
+        "round(m0, 6) AS mean_control, round(m1, 6) AS mean_treated, " +
+        "round(pooled, 6) AS pooled_sd, " +
+        "round((m1 - m0) / pooled, 6) AS cohens_d, " +
+        "round((m1 - m0) / pooled * (1.0 - 3.0 / " +
+        "(4.0 * CAST(n0 + n1 AS DOUBLE) - 9.0)), 6) AS hedges_g FROM w2"),
 
     "q_follows_lag" ->
       ("WITH f AS (SELECT user_id, event_type AS t, min(ts) AS ts " +

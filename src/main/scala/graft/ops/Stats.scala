@@ -1122,6 +1122,79 @@ object Stats {
       .orderBy("d")
   }
 
+  /** One-way ANOVA — does the group mean differ ANYWHERE across k
+    * slices (the k-group generalization of the two-sample tests):
+    * F = (SSB/(k−1)) / (SSW/(N−k)) from per-group DECIMAL moments, plus
+    * η² = SSB/(SSB+SSW), the variance-explained effect size the F-stat
+    * alone hides. Two tiny aggregations (per-group moments, then the
+    * k-row reduction); every division is fixed-order doubles off exact
+    * DECIMAL sums. */
+  def anovaOneWay(df: DataFrame, group: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perGroup = df.filter(v.isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).alias("__n"),
+        sum(v.cast("decimal(28,8)")).alias("__s"),
+        sum((v * v).cast("decimal(28,8)")).alias("__s2"))
+      .select(col("__n"), col("__s"), col("__s2"),
+        (col("__s").cast("double") / col("__n").cast("double")).alias("__m"))
+    val red = perGroup.agg(
+      count(lit(1)).alias("k"),
+      sum("__n").alias("n"),
+      sum(col("__s").cast("decimal(28,8)")).alias("__gs"),
+      sum((col("__m") * col("__m") * col("__n").cast("double"))
+        .cast("decimal(28,10)")).alias("__snm2"),
+      sum((col("__s2").cast("double") -
+        col("__n").cast("double") * col("__m") * col("__m"))
+        .cast("decimal(28,10)")).alias("__ssw"))
+    red.select(col("k"), col("n"),
+        ((col("__snm2").cast("double") -
+          (col("__gs").cast("double") / col("n").cast("double")) *
+            col("__gs").cast("double"))).alias("__ssb"),
+        col("__ssw").cast("double").alias("__sswd"),
+        (col("k") - 1).alias("df1"), (col("n") - col("k")).alias("df2"))
+      .select(col("k"), col("n"), col("df1"), col("df2"),
+        round(col("__ssb"), 6).alias("ss_between"),
+        round(col("__sswd"), 6).alias("ss_within"),
+        round((col("__ssb") / col("df1").cast("double")) /
+          (col("__sswd") / col("df2").cast("double")), 6).alias("f_stat"),
+        round(col("__ssb") / (col("__ssb") + col("__sswd")), 6)
+          .alias("eta_squared"))
+  }
+
+  /** Cohen's d and Hedges' g — the standardized mean difference an A/B
+    * readout should report beside its p-value (significance says "not
+    * noise"; d says "big enough to care"). Pooled SD from per-arm
+    * SAMPLE variances; g applies the small-sample correction
+    * 1 − 3/(4N−9). One conditional-moment aggregation pass. */
+  def effectSize(df: DataFrame, treated: Column, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def arm(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).alias(s"__n$tag"),
+      sum(when(p, v).cast("decimal(28,8)")).alias(s"__s$tag"),
+      sum(when(p, v * v).cast("decimal(28,8)")).alias(s"__q$tag"))
+    val agg = df.filter(v.isNotNull)
+      .agg((arm(!treated, "0") ++ arm(treated, "1")).head,
+        (arm(!treated, "0") ++ arm(treated, "1")).tail: _*)
+    def m(t: String) = col(s"__s$t").cast("double") / col(s"__n$t").cast("double")
+    def s2(t: String) =
+      (col(s"__q$t").cast("double") -
+        col(s"__n$t").cast("double") * m(t) * m(t)) /
+        (col(s"__n$t").cast("double") - lit(1.0))
+    val nTot = col("__n0") + col("__n1")
+    val pooled = sqrt(((col("__n1").cast("double") - lit(1.0)) * s2("1") +
+      (col("__n0").cast("double") - lit(1.0)) * s2("0")) /
+      (nTot.cast("double") - lit(2.0)))
+    val d = (m("1") - m("0")) / pooled
+    agg.select(col("__n0").alias("n_control"), col("__n1").alias("n_treated"),
+      round(m("0"), 6).alias("mean_control"),
+      round(m("1"), 6).alias("mean_treated"),
+      round(pooled, 6).alias("pooled_sd"),
+      round(d, 6).alias("cohens_d"),
+      round(d * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * nTot.cast("double") - lit(9.0))), 6).alias("hedges_g"))
+  }
+
   /** Laspeyres and Paasche price indexes between two periods — the
     * canonical "did prices move or did the mix move" decomposition:
     * L = Σp₁q₀/Σp₀q₀ prices the BASE basket at both periods' unit

@@ -80,6 +80,24 @@ object IO {
     df.repartition(numFiles).write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** JSON-lines scan (one object per line — the interchange format
+    * crawl/event feeds actually arrive in, vs [[readJsonArray]]'s
+    * single-document array). Line-splittable, so a 100 TB feed
+    * parallelizes by input split with no document-boundary coordination. */
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** JSON-lines sink (overwrite): the hand-off format for downstream
+    * tools that don't speak parquet. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** CSV sink (overwrite, header on): the export twin of the CSV scans.
+    * Quoting/escaping are the writer defaults — round-trip-safe against
+    * [[readCsv]] with the matching schema. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", true).csv(path)
+
   /** ORC scan — the other columnar warehouse format Spark reads
     * natively (Hive-lineage lakes ship it; a drop-in engine must too).
     * Same vectorized reader + predicate-pushdown + column-pruning

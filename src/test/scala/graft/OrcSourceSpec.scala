@@ -28,6 +28,33 @@ class OrcSourceSpec extends AnyFunSuite with SparkSpec
     assert(back.agg(sum("id")).head().getLong(0) === 500500L)
   }
 
+  test("JSON-lines and CSV sinks round-trip against their scans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val df = Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -2.25))
+      .toDF("id", "s", "v")
+    IO.writeJsonLines(df, s"$dir/j")
+    val j = IO.readJsonLines(spark, s"$dir/j")
+      .select("id", "s", "v").orderBy("id")
+    assert(j.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2))).toSeq ===
+      Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -2.25)))
+    IO.writeCsv(df, s"$dir/c")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val c = spark.read.option("header", true).schema(schema)
+      .csv(s"$dir/c").orderBy("id")
+    assert(c.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2))).toSeq ===
+      Seq((1L, "a,b \"quoted\"", 1.5), (2L, "plain", -2.25)),
+      "quote/escape round-trip broke")
+  }
+
   test("ORC scan takes predicate pushdown and column pruning") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-orc2").toString

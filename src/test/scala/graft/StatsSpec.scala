@@ -491,6 +491,32 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(week) < 1e-5, s"seasonal not centered: $week")
   }
 
+  test("anovaOneWay matches the textbook two-group case") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {4,5,6}: SSB = 13.5, SSW = 4,
+    // F = 13.5/(4/4) = 13.5, eta² = 13.5/17.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.anovaOneWay(df, "g", "v").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 13.5 && r.getDouble(5) === 4.0)
+    assert(r.getDouble(6) === 13.5)
+    assert(r.getDouble(7) === 0.771429)
+  }
+
+  test("effectSize: d = 3 and Hedges g shrinks it by 1 - 3/(4N-9)") {
+    import spark.implicits._
+    val df = Seq((0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 5.0),
+      (1, 6.0)).toDF("t", "v")
+    val r = Stats.effectSize(df, col("t") === 1, "v").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 5.0)
+    assert(r.getDouble(4) === 1.0)     // pooled SD
+    assert(r.getDouble(5) === 3.0)     // Cohen's d
+    assert(r.getDouble(6) === 2.4)     // g = 3·(1 − 3/15)
+  }
+
   test("diffInDiff nets out group baseline and time shock") {
     import spark.implicits._
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
