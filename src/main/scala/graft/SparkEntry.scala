@@ -3471,6 +3471,40 @@ object SparkEntry {
       Aggregates.growthAccounting(Tables.events(s, d), col("ts"),
         col("user_id"))),
 
+    // Order consistency (Sessionize.orderConsistency): how
+    // one-directional each eventually-follows pair really is.
+    "q_order_consistency" -> ((s, d) =>
+      Sessionize.orderConsistency(Tables.events(s, d), "user_id", "ts",
+        "event_type")),
+
+    // Goh-Barabási burstiness (Sessionize.burstiness) of within-day
+    // inter-arrival gaps per event type.
+    "q_burstiness" -> ((s, d) =>
+      Sessionize.burstiness(Tables.events(s, d), "event_type", "ts",
+        "event_id")),
+
+    // Per-user feature assembly (Sessionize.userFeatures): the
+    // churn/LTV feature-store readout.
+    "q_user_features" -> ((s, d) =>
+      Sessionize.userFeatures(Tables.events(s, d), "user_id", "ts",
+        "event_type", "value", purchaseType = "purchase")),
+
+    // Lexical richness (TextAnalysis.lexicalRichness): TTR + hapax
+    // share per source — the template detector.
+    "q_lexical_richness" -> ((s, d) =>
+      TextAnalysis.lexicalRichness(Tables.documents(s, d), "text",
+        "source")),
+
+    // Graph health summary (Graph.graphSummary) of the near-dup
+    // candidate graph: components, largest share, isolation.
+    "q_graph_summary" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+          numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.graphSummary(docs.select(col("doc_id").alias("id")), edges)
+    }),
+
     // One-way ANOVA (Stats.anovaOneWay): does mean event value differ
     // anywhere across the five event types, with eta-squared.
     "q_anova" -> ((s, d) =>
@@ -6868,6 +6902,69 @@ object SparkEntry {
         "COALESCE(c.n_churned, 0) AS n_churned FROM t " +
         "LEFT JOIN c USING (d) ORDER BY t.d"),
 
+    "q_order_consistency" ->
+      ("WITH f AS (SELECT user_id, event_type AS t, min(ts) AS ts " +
+        "FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT least(fa.t, fb.t) AS x, greatest(fa.t, fb.t) AS y, " +
+        "CASE WHEN fa.t < fb.t THEN 1 ELSE 0 END AS fwd FROM f fa " +
+        "JOIN f fb ON fa.user_id = fb.user_id AND fa.ts < fb.ts), " +
+        "g AS (SELECT x, y, CAST(SUM(fwd) AS BIGINT) AS n_xy, " +
+        "CAST(count(*) - SUM(fwd) AS BIGINT) AS n_yx FROM p GROUP BY 1, 2) " +
+        "SELECT x, y, n_xy, n_yx, " +
+        "round(CAST(greatest(n_xy, n_yx) AS DOUBLE) / " +
+        "CAST(n_xy + n_yx AS DOUBLE), 6) AS consistency FROM g " +
+        "ORDER BY n_xy + n_yx DESC, x, y"),
+
+    "q_burstiness" ->
+      ("WITH g AS (SELECT event_type, CAST(epoch_ms(ts) - " +
+        "epoch_ms(lag(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE) " +
+        "ORDER BY ts, event_id)) AS DOUBLE) AS gp FROM events), " +
+        "a AS (SELECT event_type, count(*) AS n_gaps, " +
+        "SUM(CAST(gp AS DECIMAL(28,8))) AS s, " +
+        "SUM(CAST(gp * gp AS DECIMAL(28,8))) AS s2 FROM g " +
+        "WHERE gp IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT event_type, n_gaps, " +
+        "CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu, " +
+        "sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) - " +
+        "(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * " +
+        "(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))) AS sd FROM a) " +
+        "SELECT event_type, n_gaps, round(mu, 3) AS mean_gap_ms, " +
+        "round(sd, 3) AS sd_gap_ms, " +
+        "round((sd - mu) / (sd + mu), 6) AS burstiness FROM m ORDER BY 1"),
+
+    "q_user_features" ->
+      ("WITH h AS (SELECT max(CAST(ts AS DATE)) AS hd FROM events), " +
+        "g AS (SELECT user_id, count(*) AS n_events, " +
+        "count(DISTINCT CAST(ts AS DATE)) AS n_active_days, " +
+        "min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld, " +
+        "SUM(CAST(value AS DECIMAL(28,8))) AS sv, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_purchases FROM events " +
+        "WHERE user_id IS NOT NULL GROUP BY 1) " +
+        "SELECT user_id, n_events, n_active_days, " +
+        "CAST(ld - fd AS BIGINT) AS tenure_days, " +
+        "CAST(h.hd - ld AS BIGINT) AS recency_days, " +
+        "round(CAST(sv AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS avg_value, " +
+        "n_purchases, " +
+        "round(CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE), 6) " +
+        "AS purchase_share FROM g CROSS JOIN h ORDER BY user_id"),
+
+    "q_lexical_richness" ->
+      ("WITH c AS (SELECT source, t, count(*) AS c FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) " +
+        "WHERE t <> '' GROUP BY 1, 2), " +
+        "g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "count(*) AS n_types, " +
+        "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax " +
+        "FROM c GROUP BY 1) " +
+        "SELECT source, n_tokens, n_types, " +
+        "round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS type_token_ratio, " +
+        "round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) " +
+        "AS hapax_share FROM g ORDER BY 1"),
+
+    "q_graph_summary" -> graphSummaryOracle,
+
     "q_anova" ->
       ("WITH src AS (SELECT event_type, CAST(value AS DOUBLE) AS v " +
         "FROM events WHERE value IS NOT NULL), " +
@@ -7183,6 +7280,30 @@ object SparkEntry {
     sb.append(s" SELECT node, label AS community FROM l$rounds ORDER BY node")
     sb.toString
   }
+
+  /** Mirror of q_graph_summary: [[dedupClustersOracle]]'s recursive CC
+    * over ALL documents (singletons included), then the one-row health
+    * readout. */
+  private def graphSummaryOracle: String =
+    s"WITH RECURSIVE $mhPairsCtes, " +
+      "e AS MATERIALIZED (SELECT DISTINCT least(id1, id2) AS id1, " +
+      "greatest(id1, id2) AS id2 FROM pairs WHERE id1 <> id2), " +
+      "edges AS (SELECT id1 AS src, id2 AS dst FROM e " +
+      "UNION ALL SELECT id2, id1 FROM e), " +
+      "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
+      "UNION SELECT ed.dst, cc.label FROM cc JOIN edges ed ON cc.id = ed.src), " +
+      "lab AS (SELECT id, min(label) AS label FROM cc GROUP BY 1), " +
+      "comp AS (SELECT count(*) AS n_components, " +
+      "CAST(max(sz) AS BIGINT) AS largest_component, " +
+      "CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated " +
+      "FROM (SELECT label, count(*) AS sz FROM lab GROUP BY 1)), " +
+      "nn AS (SELECT count(*) AS n_nodes FROM documents), " +
+      "ne AS (SELECT count(*) AS n_edges FROM e) " +
+      "SELECT nn.n_nodes, ne.n_edges, comp.n_components, " +
+      "comp.largest_component, comp.n_isolated, " +
+      "round(CAST(comp.largest_component AS DOUBLE) / " +
+      "CAST(nn.n_nodes AS DOUBLE), 6) AS largest_share " +
+      "FROM nn CROSS JOIN ne CROSS JOIN comp"
 
   /** Mirror of q_modularity: [[labelPropagationOracle]]'s unrolled LPA
     * rounds, then the per-community m_c/m − (d_c/2m)² readout with the

@@ -575,6 +575,33 @@ object Graph {
         .alias("assortativity"))
   }
 
+  /** One-row graph health summary: nodes, normalized edges, connected
+    * components ([[ScaleDedup.connectedComponents]] — the checkpointed
+    * fixpoint, not a toy BFS), largest-component share, and isolated
+    * nodes. The first thing to read on a near-dup graph: a largest
+    * share near 1.0 means the banding collapsed (one giant component =
+    * dedup would merge the corpus); healthy template families show many
+    * small components over mostly-isolated nodes. */
+  def graphSummary(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("id1"),
+        greatest(col("src"), col("dst")).alias("id2"))
+      .filter(col("id1") =!= col("id2")).distinct()
+    val labels = graft.ops.ScaleDedup.connectedComponents(
+      nodes.select(col("id")), norm)
+    val comp = labels.groupBy("label").agg(count(lit(1)).alias("__sz"))
+      .agg(count(lit(1)).alias("n_components"),
+        max("__sz").alias("largest_component"),
+        sum(when(col("__sz") === 1, 1L).otherwise(0L)).alias("n_isolated"))
+    val nn = nodes.agg(count(lit(1)).alias("n_nodes"))
+    val ne = norm.agg(count(lit(1)).alias("n_edges"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(comp))
+      .select(col("n_nodes"), col("n_edges"), col("n_components"),
+        col("largest_component"), col("n_isolated"),
+        round(col("largest_component").cast("double") /
+          col("n_nodes").cast("double"), 6).alias("largest_share"))
+  }
+
   /** Adamic-Adar link prediction: score NON-edges (a,b) that share
     * neighbors by Σ_c 1/ln(deg(c)) over common neighbors c — rare
     * shared neighbors say more than hubs. The "which near-dup pair did

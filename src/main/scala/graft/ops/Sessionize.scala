@@ -504,6 +504,99 @@ object Sessionize {
       .orderBy("band")
   }
 
+  /** Order consistency of eventually-follows pairs: for each UNORDERED
+    * type pair, how one-directional is the precedence? A pair seen
+    * a→b for some keys and b→a for others (consistency ≈ 0.5) is
+    * concurrent behavior; ≈ 1.0 is a real process edge — the filter
+    * that separates [[followsPairs]]' causal signal from co-occurrence
+    * noise. Built on the same bounded firsts self-join, collapsed to
+    * x < y pairs with both direction counts. */
+  def orderConsistency(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String): DataFrame = {
+    val firsts = df.groupBy(col(keyCol).alias("__k"), col(typeCol).alias("__t"))
+      .agg(min(col(tsCol)).alias("__ts"))
+    val a = firsts.select(col("__k"), col("__t").alias("__a"),
+      col("__ts").alias("__ta"))
+    val b = firsts.select(col("__k"), col("__t").alias("__b"),
+      col("__ts").alias("__tb"))
+    a.join(b, Seq("__k")).filter(col("__ta") < col("__tb"))
+      .select(least(col("__a"), col("__b")).alias("x"),
+        greatest(col("__a"), col("__b")).alias("y"),
+        when(col("__a") < col("__b"), 1L).otherwise(0L).alias("__fwd"))
+      .groupBy("x", "y")
+      .agg(sum("__fwd").alias("n_xy"),
+        (count(lit(1)) - sum("__fwd")).alias("n_yx"))
+      .withColumn("consistency",
+        round(greatest(col("n_xy"), col("n_yx")).cast("double") /
+          (col("n_xy") + col("n_yx")).cast("double"), 6))
+      .orderBy((col("n_xy") + col("n_yx")).desc, col("x"), col("y"))
+  }
+
+  /** Burstiness of each event type's WITHIN-DAY arrival stream:
+    * B = (σ−μ)/(σ+μ) over inter-arrival gaps (Goh-Barabási): −1 =
+    * metronome, 0 = Poisson, →1 = heavy-tailed bursts. Gaps are
+    * computed inside (type, date) window partitions — day-boundary
+    * gaps are EXCLUDED by construction, which is what bounds each
+    * ordered partition at 100 TB (a per-type global sort would not
+    * be); μ/σ accumulate in DECIMAL. */
+  def burstiness(df: DataFrame, typeCol: String, tsCol: String,
+                 tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(typeCol), to_date(col(tsCol)))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val gaps = df
+      .withColumn("__gap_ms",
+        unix_millis(col(tsCol)) - unix_millis(lag(col(tsCol), 1).over(w)))
+      .filter(col("__gap_ms").isNotNull)
+      .select(col(typeCol), col("__gap_ms").cast("double").alias("__g"))
+    gaps.groupBy(typeCol)
+      .agg(count(lit(1)).alias("n_gaps"),
+        sum(col("__g").cast("decimal(28,8)")).alias("__s"),
+        sum((col("__g") * col("__g")).cast("decimal(28,8)")).alias("__s2"))
+      .withColumn("__mu", col("__s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("__sd",
+        sqrt(col("__s2").cast("double") / col("n_gaps").cast("double") -
+          col("__mu") * col("__mu")))
+      .select(col(typeCol), col("n_gaps"),
+        round(col("__mu"), 3).alias("mean_gap_ms"),
+        round(col("__sd"), 3).alias("sd_gap_ms"),
+        round((col("__sd") - col("__mu")) / (col("__sd") + col("__mu")), 6)
+          .alias("burstiness"))
+      .orderBy(typeCol)
+  }
+
+  /** Per-user behavioral feature assembly — the feature-store readout a
+    * churn/LTV model trains on: activity volume and spread, tenure,
+    * recency against the corpus horizon, value moments, and the
+    * purchase share, one row per user. One groupBy pass over events
+    * plus a broadcast one-row horizon; mean gap derives from span/count
+    * (no per-user ordered pass). */
+  def userFeatures(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, valueCol: String,
+                   purchaseType: String): DataFrame = {
+    val horizon = df.agg(max(to_date(col(tsCol))).alias("__h"))
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).alias("n_events"),
+        countDistinct(to_date(col(tsCol))).alias("n_active_days"),
+        min(to_date(col(tsCol))).alias("__first"),
+        max(to_date(col(tsCol))).alias("__last"),
+        sum(col(valueCol).cast("decimal(28,8)")).alias("__sv"),
+        sum(when(col(typeCol) === purchaseType, 1L).otherwise(0L))
+          .alias("n_purchases"))
+      .crossJoin(broadcast(horizon))
+      .select(col(keyCol), col("n_events"), col("n_active_days"),
+        datediff(col("__last"), col("__first")).cast("long")
+          .alias("tenure_days"),
+        datediff(col("__h"), col("__last")).cast("long")
+          .alias("recency_days"),
+        round(col("__sv").cast("double") / col("n_events").cast("double"), 6)
+          .alias("avg_value"),
+        col("n_purchases"),
+        round(col("n_purchases").cast("double") /
+          col("n_events").cast("double"), 6).alias("purchase_share"))
+      .orderBy(keyCol)
+  }
+
   def attribution(df: DataFrame, keyCol: String, tsCol: String,
                   tieCol: String, typeCol: String,
                   conversionType: String): DataFrame = {

@@ -588,6 +588,30 @@ object TextAnalysis {
       .orderBy("vocab_size")
   }
 
+  /** Lexical richness per group: token count, type count, type-token
+    * ratio, and the hapax share (types seen exactly once / types) — the
+    * fast template-detector: machine-generated or boilerplate-heavy
+    * slices show collapsed TTR and hapax rates long before a human
+    * reads one document. Two vocabulary-keyed aggregations. */
+  def lexicalRichness(df: DataFrame, textCol: String,
+                      groupCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(tokens(col(textCol))).alias("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).alias("__c"))
+    counts.groupBy(groupCol)
+      .agg(sum("__c").alias("n_tokens"),
+        count(lit(1)).alias("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).alias("n_hapax"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"),
+          6).alias("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"),
+          6).alias("hapax_share"))
+      .orderBy(groupCol)
+  }
+
   /** PMI collocation mining — multi-word-expression extraction for
     * tokenizer/vocabulary curation: adjacent token pairs ranked by
     * pointwise mutual information ln(p(ab) / (p(a)·p(b))), the classic

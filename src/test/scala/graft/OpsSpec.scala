@@ -1871,6 +1871,67 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 2.0 / math.log(3.0)) < 1e-5)
   }
 
+  test("orderConsistency folds both directions onto the unordered pair") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$s")
+    // users 1,2: a before b; user 3: b before a
+    val df = Seq((1L, ts(1), "a"), (1L, ts(2), "b"),
+      (2L, ts(1), "a"), (2L, ts(2), "b"),
+      (3L, ts(1), "b"), (3L, ts(2), "a")).toDF("u", "t", "e")
+    val r = Sessionize.orderConsistency(df, "u", "t", "e").head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)) ===
+      (("a", "b", 2L, 1L)))
+    assert(r.getDouble(4) === 0.666667)
+  }
+
+  test("burstiness: a metronome scores exactly -1") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => ("tick",
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i%01d:00"), i.toLong))
+      .toDF("e", "t", "eid")
+    val r = Sessionize.burstiness(df, "e", "t", "eid").head()
+    assert(r.getLong(1) === 9L)
+    assert(r.getDouble(2) === 60000.0)  // exact 60 s gaps
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === -1.0)
+  }
+
+  test("userFeatures: hand-checked single-user row") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val df = Seq((1L, ts(1), "view", 10.0), (1L, ts(3), "purchase", 30.0),
+      (2L, ts(5), "view", 5.0)).toDF("u", "t", "e", "v")
+    val got = Sessionize.userFeatures(df, "u", "t", "e", "v", "purchase")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = got(1L)
+    assert(u1.getLong(1) === 2L && u1.getLong(2) === 2L) // events, days
+    assert(u1.getLong(3) === 2L)  // tenure: Jan 1 → Jan 3
+    assert(u1.getLong(4) === 2L)  // recency vs horizon Jan 5
+    assert(u1.getDouble(5) === 20.0 && u1.getLong(6) === 1L)
+    assert(u1.getDouble(7) === 0.5)
+  }
+
+  test("lexicalRichness: TTR and hapax share, hand-computed") {
+    import spark.implicits._
+    val df = Seq(("s1", "a a b")).toDF("source", "text")
+    val r = graft.ops.TextAnalysis.lexicalRichness(df, "text", "source")
+      .head()
+    assert(r.getLong(1) === 3L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 0.666667)
+    assert(r.getDouble(4) === 0.5)   // only "b" is hapax
+  }
+
+  test("graphSummary: triangle plus isolated nodes") {
+    import spark.implicits._
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.graphSummary(nodes, edges).head()
+    assert(r.getLong(0) === 5L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 3L)   // triangle + two singletons
+    assert(r.getLong(3) === 3L && r.getLong(4) === 2L)
+    assert(r.getDouble(5) === 0.6)
+  }
+
   test("followsLag: hand-computed pair lags") {
     import spark.implicits._
     def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
