@@ -1194,6 +1194,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
     }),
 
+    // embedding corpus diagnostics (Similarity.embeddingProfile): per
+    // label — count, mean L2 norm, centroid norm, mean cosine to the
+    // centroid. The anisotropy/drift dashboard row for each source.
+    "q_embedding_profile" -> ((s, d) =>
+      Similarity.embeddingProfile(Tables.embeddings(s, d), "embedding",
+        "label")),
+
     // similarity: LSH-bucketed ANN
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2069,6 +2076,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // HITS over the DIRECTED user→event_type bipartite graph (no reverse
+    // edges — hub/authority is what splits the two sides): users score as
+    // hubs, event types as authorities. 3 mutual-reinforcement rounds.
+    "q_hits" -> ((s, d) => {
+      val edges = Tables.events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).alias("w"))
+        .select(concat(lit("u:"), col("user_id")).alias("src"),
+          concat(lit("t:"), col("event_type")).alias("dst"), col("w"))
+      Graph.hits(edges, iters = 3).orderBy("node")
+    }),
+
     // similarity: kNN label prediction — the first 10 vectors take the
     // majority label of their 5 nearest neighbors (self excluded); the
     // embedding-space weak-labeling/eval loop over one corpus scan
@@ -2825,6 +2843,13 @@ object SparkEntry {
     "q_collocations" -> ((s, d) =>
       graft.ops.TextAnalysis.collocations(Tables.documents(s, d), "text",
         minCount = 5L, topN = 50)),
+
+    // TextRank keywords (TextAnalysis.textrankKeywords): PageRank over
+    // the adjacent-token co-occurrence graph, top 30 tokens — the
+    // graph-centrality complement to q_tfidf_top's frequency ranking.
+    "q_textrank_keywords" -> ((s, d) =>
+      graft.ops.TextAnalysis.textrankKeywords(Tables.documents(s, d),
+        "text", iters = 3, topN = 30)),
 
     // Count-min sketch (ops/CountMin): depth-3 × width-64 counts table
     // over the lineitem supplier stream, probed for the 20 heaviest
@@ -4843,6 +4868,33 @@ object SparkEntry {
 
     "q_ann_cosine" -> annCosineOracle,
 
+    // Mirrors embeddingProfile's determinism recipe: centroid dims are
+    // 9-dp-rounded exact-DECIMAL means; per-row norm (9 dp) and cosine
+    // (6 dp) pre-round before their DECIMAL means; list_dot_product
+    // folds in element order exactly like the Spark aggregate().
+    "q_embedding_profile" ->
+      ("WITH v AS MATERIALIZED (SELECT label AS grp, " +
+        "embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pe AS (SELECT grp, i AS p, v[i] AS x FROM v, " +
+        "unnest(generate_series(1, len(v))) AS u(i)), " +
+        "cent AS (SELECT grp, p, " +
+        "round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS c " +
+        "FROM pe GROUP BY 1, 2), " +
+        "carr AS MATERIALIZED (SELECT grp, list(c ORDER BY p) AS cv FROM cent GROUP BY 1), " +
+        "rw AS (SELECT v.grp, " +
+        "round(sqrt(list_dot_product(v.v, v.v)), 9) AS nrm, " +
+        "CASE WHEN list_dot_product(v.v, v.v) = 0 " +
+        "OR list_dot_product(carr.cv, carr.cv) = 0 THEN CAST(0 AS DOUBLE) " +
+        "ELSE round(list_dot_product(v.v, carr.cv) / " +
+        "(sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(carr.cv, carr.cv))), 6) END AS cosc, " +
+        "round(sqrt(list_dot_product(carr.cv, carr.cv)), 6) AS cnrm " +
+        "FROM v JOIN carr ON v.grp = carr.grp) " +
+        "SELECT grp, count(*) AS n_vecs, " +
+        "round(CAST(sum(CAST(nrm AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_norm, " +
+        "min(cnrm) AS centroid_norm, " +
+        "round(CAST(sum(CAST(cosc AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_cos_centroid " +
+        "FROM rw GROUP BY grp ORDER BY grp"),
+
     "q_ann_batch" ->
       ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 5), " +
@@ -5344,6 +5396,8 @@ object SparkEntry {
         "FROM n ORDER BY doc_id"),
 
     "q_pagerank" -> pagerankOracle,
+
+    "q_hits" -> hitsOracle,
 
     // Mirrors Similarity.semDedup over the shared 3-round Lloyd chain:
     // within-cell pairs at 6-dp cosine >= 0.3, anti-join the id2 set.
@@ -5861,6 +5915,8 @@ object SparkEntry {
         "FROM cb JOIN cuc a ON cb.w1 = a.t JOIN cuc b ON cb.w2 = b.t " +
         "CROSS JOIN tot WHERE cb.pair_count >= 5 " +
         "ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50"),
+
+    "q_textrank_keywords" -> textrankOracle,
 
     // Rebuilds the identical d=3 × w=64 count-min sketch from the shared
     // md5 hash family, probes the same top-20 items.
@@ -7758,6 +7814,80 @@ object SparkEntry {
     * doubles the Spark side uses (shortest-roundtrip repr → identical
     * IEEE values; `1 - 0.85` evaluated as SQL DECIMAL would differ from
     * Scala's `1.0 - 0.85` by an ulp). */
+  /** Unrolled HITS: mirrors [[graft.ops.Graph.hits]]'s determinism recipe
+    * exactly — per-edge contributions cast to DECIMAL(28,14) before the
+    * grouped sum, per-node raw scores rounded to 9 dp, the L1 total
+    * re-summed in DECIMAL(18,9) over the rounded values. Base CTEs are
+    * MATERIALIZED so the 3×2 unrolled half-steps scan events once, not
+    * 6^depth times ([[kcoreOracle]]'s fd lesson). */
+  private def hitsOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH ed AS MATERIALIZED (SELECT 'u:' || user_id AS src, " +
+      "'t:' || event_type AS dst, count(*) AS w FROM events GROUP BY 1, 2), "
+    sb ++= "nd AS MATERIALIZED (SELECT src AS node FROM ed " +
+      "UNION SELECT dst AS node FROM ed), "
+    sb ++= "h0r AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nd), "
+    def l1(from: String, out: String): Unit = {
+      sb ++= s"${out}t AS (SELECT CAST(sum(CAST(s AS DECIMAL(18,9))) " +
+        s"AS DOUBLE) AS tt FROM $from), "
+      sb ++= s"$out AS (SELECT node, round(CASE WHEN tt > 0 THEN s / tt " +
+        s"ELSE CAST(0 AS DOUBLE) END, 9) AS s FROM $from CROSS JOIN ${out}t), "
+    }
+    l1("h0r", "h0")
+    for (t <- 1 to 3) {
+      sb ++= s"a${t}r AS (SELECT nd.node, coalesce(x.r, CAST(0 AS DOUBLE)) AS s " +
+        s"FROM nd LEFT JOIN (SELECT ed.dst AS node, " +
+        s"round(CAST(sum(CAST(ed.w * h.s AS DECIMAL(28,14))) AS DOUBLE), 9) AS r " +
+        s"FROM ed JOIN h${t - 1} h ON h.node = ed.src GROUP BY 1) x " +
+        s"ON nd.node = x.node), "
+      l1(s"a${t}r", s"a$t")
+      sb ++= s"h${t}r AS (SELECT nd.node, coalesce(x.r, CAST(0 AS DOUBLE)) AS s " +
+        s"FROM nd LEFT JOIN (SELECT ed.src AS node, " +
+        s"round(CAST(sum(CAST(ed.w * a.s AS DECIMAL(28,14))) AS DOUBLE), 9) AS r " +
+        s"FROM ed JOIN a$t a ON a.node = ed.dst GROUP BY 1) x " +
+        s"ON nd.node = x.node), "
+      l1(s"h${t}r", s"h$t")
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " SELECT nd.node, round(h3.s, 6) AS hub, round(a3.s, 6) AS authority " +
+      "FROM nd JOIN h3 ON nd.node = h3.node JOIN a3 ON nd.node = a3.node " +
+      "ORDER BY nd.node"
+    sb.toString
+  }
+
+  /** Unrolled TextRank: [[collocations]]-style bigram edges (both
+    * directions) fed through the identical unrolled-PageRank rounds as
+    * [[pagerankOracle]]. Base CTEs MATERIALIZED so the three rounds scan
+    * documents once ([[kcoreOracle]]'s fd lesson). */
+  private def textrankOracle: String = {
+    val oneMinusD = (1.0 - 0.85).toString
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT string_split(text, ' ') AS toks " +
+      "FROM documents), "
+    sb ++= "bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM base, " +
+      "unnest(generate_series(1, len(toks) - 1)) AS u(i) " +
+      "WHERE len(toks) >= 2 AND toks[i] <> toks[i + 1]), "
+    sb ++= "cb AS MATERIALIZED (SELECT w1, w2, count(*) AS w FROM bg GROUP BY 1, 2), "
+    sb ++= "ed AS MATERIALIZED (SELECT w1 AS src, w2 AS dst, w FROM cb " +
+      "UNION ALL SELECT w2 AS src, w1 AS dst, w FROM cb), "
+    sb ++= "nd AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed), "
+    sb ++= "nn AS (SELECT count(*) AS n FROM nd), "
+    sb ++= "ow AS (SELECT src, sum(w) AS outw FROM ed GROUP BY 1), "
+    sb ++= "r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nd CROSS JOIN nn), "
+    for (t <- 1 to 3) {
+      sb ++= s"c$t AS (SELECT ed.dst AS node, CAST(r.rank * ed.w / ow.outw AS DECIMAL(28,14)) AS c " +
+        s"FROM ed JOIN ow ON ed.src = ow.src JOIN r${t - 1} r ON r.node = ed.src), "
+      sb ++= s"s$t AS (SELECT node, sum(c) AS cs FROM c$t GROUP BY 1), "
+      sb ++= s"r$t AS (SELECT nd.node, round($oneMinusD / CAST(nn.n AS DOUBLE) + " +
+        s"0.85 * coalesce(CAST(s$t.cs AS DOUBLE), 0), 9) AS rank " +
+        s"FROM nd CROSS JOIN nn LEFT JOIN s$t ON nd.node = s$t.node), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " SELECT node AS token, round(rank, 6) AS rank FROM r3 " +
+      "ORDER BY rank DESC, token LIMIT 30"
+    sb.toString
+  }
+
   private def pagerankOracle: String = {
     val oneMinusD = (1.0 - 0.85).toString
     val sb = new StringBuilder

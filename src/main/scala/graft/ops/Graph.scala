@@ -637,4 +637,66 @@ object Graph {
       .orderBy(desc("aa_score"), col("a"), col("b"))
       .limit(topN)
   }
+
+  /** HITS hubs-and-authorities (Kleinberg) over a directed weighted
+    * graph — [[pagerank]]'s mutual-reinforcement sibling: per round,
+    *   auth(v) = Σ_{u→v} w · hub(u),  then L1-normalize;
+    *   hub(u)  = Σ_{u→v} w · auth(v), then L1-normalize.
+    * On the user→event bipartite graph this ranks users by how broadly
+    * they touch authoritative event types and event types by the hub
+    * mass pointing at them — the classic endorsement split PageRank's
+    * single score conflates. Each half-step is one equi-join of the edge
+    * list against a |nodes|-sized score table plus a grouped sum (map-
+    * side combine); nothing wider than the edge list ever shuffles.
+    * Determinism follows the [[pagerank]] recipe: per-edge contributions
+    * cast to DECIMAL(28,14) before the sum, per-node scores rounded to
+    * 9 dp, and the L1 total re-summed in DECIMAL(18,9) over the rounded
+    * values so shuffle order cannot flip a bit on any engine. Nodes with
+    * no out-edges keep hub 0; no in-edges, authority 0 (scores live on
+    * the full node set, so both engines emit identical row sets).
+    * Lineage grows linearly with `iters` — same checkpoint stance as
+    * [[pagerank]]. Returns (node, hub, authority) rounded to 6 dp. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"hits: need 1 <= iters <= 16, got $iters")
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").alias("node"))
+      .union(edges.select(col("dst").alias("node")))
+      .distinct()
+    // L1-normalize a (node, __s) score table: DECIMAL re-sum of the
+    // already-rounded per-node values makes the total order-independent.
+    def l1(scores: DataFrame): DataFrame = {
+      val tot = scores.agg(
+        sum(col("__s").cast("decimal(18,9)")).cast("double").alias("__t"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(when(col("__t") > 0, col("__s") / col("__t"))
+            .otherwise(lit(0.0)), 9).alias("__s"))
+    }
+    var hub = nodes.select(col("node"), lit(1.0).alias("__s"))
+    var auth = nodes.select(col("node"), lit(0.0).alias("__s"))
+    hub = l1(hub)
+    for (_ <- 1 to iters) {
+      auth = l1(nodes.join(
+        edges.join(hub.select(col("node").alias("src"), col("__s")), "src")
+          .select(col("dst").alias("node"),
+            (col("w") * col("__s")).cast("decimal(28,14)").alias("__c"))
+          .groupBy("node")
+          .agg(round(sum("__c").cast("double"), 9).alias("__r")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__r"), lit(0.0)).alias("__s")))
+      hub = l1(nodes.join(
+        edges.join(auth.select(col("node").alias("dst"), col("__s")), "dst")
+          .select(col("src").alias("node"),
+            (col("w") * col("__s")).cast("decimal(28,14)").alias("__c"))
+          .groupBy("node")
+          .agg(round(sum("__c").cast("double"), 9).alias("__r")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__r"), lit(0.0)).alias("__s")))
+    }
+    hub.select(col("node"), col("__s").alias("hub"))
+      .join(auth.select(col("node"), col("__s").alias("authority")),
+        Seq("node"))
+      .select(col("node"), round(col("hub"), 6).alias("hub"),
+        round(col("authority"), 6).alias("authority"))
+  }
 }

@@ -423,6 +423,58 @@ object Similarity {
       .select(col(idCol), col("cell"))
   }
 
+  /** Per-group embedding corpus diagnostics — the drift/anisotropy
+    * profile a pretraining pipeline watches per source or per cluster:
+    * n_vecs, mean L2 norm, the group centroid's norm, and the mean
+    * cosine of each vector to its group centroid (high values = the
+    * group points one way — the anisotropy that sinks cosine retrieval).
+    * Two passes, both narrow: (1) a posexplode → (grp, dim) grouped
+    * DECIMAL sum builds the centroid table (groups × dim rows —
+    * metadata-sized, then broadcast); (2) one more scan computes
+    * row-local norms/cosines against the broadcast centroid and
+    * DECIMAL-sums them per group. Vectors never shuffle; only the
+    * exploded (grp, dim, x) triples do, with map-side partial
+    * aggregation collapsing them to groups × dim cells per task.
+    * Determinism: centroid dims round to 9 dp off an exact DECIMAL sum;
+    * per-row norm rounds to 9 dp and cosine to 6 dp before their own
+    * DECIMAL mean — shuffle order cannot flip a bit ([[kmeansCentroids]]
+    * stance). dot/cosine fold the array in element order on both
+    * engines. */
+  def embeddingProfile(emb: DataFrame, vecCol: String,
+                       groupCol: String): DataFrame = {
+    val v = emb.select(col(groupCol).alias("grp"),
+      asDouble(col(vecCol)).alias("__v"))
+    val cent = v
+      .select(col("grp"), posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy("grp", "__p")
+      .agg(round(sum(col("__x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)), 9).alias("__c"))
+    val carr = cent.groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c"))))
+        .alias("__s"))
+      .select(col("grp"),
+        transform(col("__s"), s => s.getField("__c")).alias("__cv"))
+    v.join(broadcast(carr), "grp")
+      .select(col("grp"),
+        round(norm(col("__v")), 9).alias("__nrm"),
+        // zero-norm guard: an all-zero vector or a perfectly-cancelling
+        // centroid makes the ratio 0/0 — Spark (non-ANSI) says NULL,
+        // DuckDB says NaN; pin the degenerate cosine to 0 on both sides
+        when(dot(col("__v"), col("__v")) === 0 ||
+            dot(col("__cv"), col("__cv")) === 0, lit(0.0))
+          .otherwise(round(dot(col("__v"), col("__cv")) /
+            (norm(col("__v")) * norm(col("__cv"))), 6)).alias("__cos"),
+        round(norm(col("__cv")), 6).alias("__cnrm"))
+      .groupBy("grp")
+      .agg(count(lit(1)).alias("n_vecs"),
+        round(sum(col("__nrm").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 6).alias("mean_norm"),
+        first(col("__cnrm")).alias("centroid_norm"),
+        round(sum(col("__cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).alias("mean_cos_centroid"))
+      .orderBy("grp")
+  }
+
   /** Empirical covariance of an embedding column as a (i, j, c) matrix
     * table, computed in ONE corpus pass: C(i,j) = Σxᵢxⱼ/n − μᵢμⱼ, with
     * both the cross-product and the mean sums accumulated as

@@ -654,6 +654,38 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** TextRank keyword extraction (Mihalcea-Tarau): PageRank over the
+    * adjacent-token co-occurrence graph. Bigrams are the same row-local
+    * array expressions as [[collocations]] (no window, no self-join);
+    * each direction of a pair becomes a weighted directed edge, so the
+    * graph is symmetric and [[Graph.pagerank]]'s decimal-pinned rounds
+    * apply unchanged. The edge table is vocabulary²-bounded (in practice
+    * observed-bigram-sized, far smaller), so the iteration never touches
+    * corpus-scale rows — at 100 TB the only corpus-wide work is the one
+    * bigram-keyed counting shuffle. Self-loops (repeated tokens) are
+    * dropped: they only feed a node's rank back to itself and differ
+    * across stemming choices. Returns the top-N (token, rank) by rank,
+    * rank rounded 6 dp, ties broken by token. */
+  def textrankKeywords(df: DataFrame, textCol: String, iters: Int = 3,
+                       topN: Int = 30): DataFrame = {
+    val base = df.select(tokens(col(textCol)).alias("__toks"))
+    val bigrams = base.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).alias("w1"),
+          element_at(col("__toks"), i + 1).alias("w2")))).alias("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .filter(col("w1") =!= col("w2"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).alias("w"))
+    val edges = cb.select(col("w1").alias("src"), col("w2").alias("dst"),
+        col("w"))
+      .unionAll(cb.select(col("w2").alias("src"), col("w1").alias("dst"),
+        col("w")))
+    Graph.pagerank(edges, iters)
+      .orderBy(desc("rank"), col("node"))
+      .limit(topN)
+      .select(col("node").alias("token"), round(col("rank"), 6).alias("rank"))
+  }
+
   /** Frozen-vocabulary unigram scorer — the scale shape of
     * `unigramLogProb` for scoring NEW data: the model is a precomputed
     * (token, logp) table (trained offline, e.g. top-K tokens of a trusted

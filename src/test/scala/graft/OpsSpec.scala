@@ -839,6 +839,55 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(s.values.sum - 1.0) < 1e-6)
   }
 
+  test("hits: directed star splits hub mass onto spokes, authority onto hub") {
+    // spokes a,b,d each point at c: c is the only authority (1.0 after
+    // L1), the spokes split hub mass evenly; c never hubs, spokes never
+    // authority
+    val star = Seq(("a", "c", 1L), ("b", "c", 1L), ("d", "c", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.hits(star, iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(got("c")._2 - 1.0) < 1e-6)
+    assert(got("c")._1 == 0.0)
+    Seq("a", "b", "d").foreach { n =>
+      assert(math.abs(got(n)._1 - 1.0 / 3) < 1e-6, s"hub($n)=${got(n)._1}")
+      assert(got(n)._2 == 0.0)
+    }
+    // weighted: heavier edge wins more hub mass
+    val w = Seq(("a", "c", 3L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val wg = Graph.hits(w, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wg("a") > wg("b"))
+  }
+
+  test("textrankKeywords ranks the co-occurrence hub token first") {
+    val docs = Seq("x y x y x y", "z y", "w w w").toDF("text")
+    val got = TextAnalysis.textrankKeywords(docs, "text", iters = 3,
+      topN = 10).collect()
+    // y touches x and z; w only repeats itself (self-loops dropped) so it
+    // never enters the graph
+    assert(got.head.getString(0) == "y")
+    val toks = got.map(_.getString(0)).toSet
+    assert(toks == Set("x", "y", "z"))
+    // rank mass conserved across the vocabulary graph
+    assert(math.abs(got.map(_.getDouble(1)).sum - 1.0) < 1e-5)
+  }
+
+  test("embeddingProfile: aligned group vs cancelling group") {
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 1), (2L, Seq(1.0f, 0.0f), 1),
+      (3L, Seq(0.0f, 2.0f), 2), (4L, Seq(0.0f, -2.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingProfile(rows, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // group 1: identical unit vectors — centroid is the vector itself
+    assert(got(1) == ((2L, 1.0, 1.0, 1.0)))
+    // group 2: perfect cancellation — zero centroid, guarded cosine 0
+    assert(got(2) == ((2L, 2.0, 0.0, 0.0)))
+  }
+
   test("semDedup collapses planted near-identical embeddings, keeps distinct ones") {
     // cell A around e1: ids 1,2 identical, 3 scaled copy (cos=1); cell B
     // around e2: ids 10, 11 orthogonal-ish within the cell
