@@ -1201,6 +1201,18 @@ object SparkEntry {
       Similarity.embeddingProfile(Tables.embeddings(s, d), "embedding",
         "label")),
 
+    // Hard-negative mining (Similarity.hardNegatives): per probe, the 5
+    // most-similar DIFFERENT-label vectors — contrastive-training pair
+    // generation on the knnPredict scan shape.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").alias("qid"), col("label").alias("qlabel"),
+          Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        probes, 5).orderBy("key")
+    }),
+
     // similarity: LSH-bucketed ANN
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3088,6 +3100,13 @@ object SparkEntry {
       graft.ops.Stats.theilSenTrend(Tables.orders(s, d),
         to_date(col("o_orderdate")))),
 
+    // Kendall tau-b concordance between daily order volume and daily
+    // exact revenue — the integer-pair-count rank correlation over the
+    // same calendar-bounded pair set as q_theil_sen.
+    "q_kendall_tau" -> ((s, d) =>
+      graft.ops.Stats.kendallTau(Tables.orders(s, d),
+        to_date(col("o_orderdate")), col("o_totalprice"))),
+
     // Partial correlation: quantity↔price with the discount channel
     // removed, all three correlations from one moment pass.
     "q_partial_corr" -> ((s, d) =>
@@ -3150,6 +3169,13 @@ object SparkEntry {
     "q_calibration" -> ((s, d) =>
       graft.ops.Stats.calibrationReport(Tables.events(s, d),
         col("event_type") === "purchase", "value", bins = 10)),
+
+    // Global classifier scorecard (Stats.classifierMetrics): Brier,
+    // clamped log loss, accuracy at the 0.5 cut — the one-row summary
+    // beside q_calibration's per-bin reliability table.
+    "q_classifier_metrics" -> ((s, d) =>
+      graft.ops.Stats.classifierMetrics(Tables.events(s, d),
+        col("event_type") === "purchase", "value")),
 
     // Information-gain feature ranking (Stats.infoGain): hour-of-day,
     // ISO weekday, and value band against purchase incidence.
@@ -4906,6 +4932,21 @@ object SparkEntry {
         "SELECT CAST(qid AS VARCHAR) || '_' || CAST(vec_id AS VARCHAR) AS key, " +
         "qid, vec_id, sim FROM r WHERE rn <= 5 ORDER BY key"),
 
+    // q_ann_batch's scan with the label-mismatch filter ahead of the
+    // per-probe rank window.
+    "q_hard_negatives" ->
+      ("WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e " +
+        "ORDER BY vec_id LIMIT 5), " +
+        "sc AS (SELECT q.qid, q.qlabel, e.vec_id, e.label AS neg_label, " +
+        "round(list_dot_product(e.v, q.qv) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim " +
+        "FROM e CROSS JOIN q WHERE e.vec_id <> q.qid AND e.label <> q.qlabel), " +
+        "r AS (SELECT qid, qlabel, vec_id, neg_label, sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn FROM sc) " +
+        "SELECT CAST(qid AS VARCHAR) || '_' || CAST(vec_id AS VARCHAR) AS key, " +
+        "qid, qlabel, vec_id, neg_label, sim FROM r WHERE rn <= 5 ORDER BY key"),
+
     "q_ann_lsh" -> lshOracle,
     "q_ann_lsh_multiprobe" -> lshMultiProbeOracle,
     "q_ann_lsh_multitable" -> lshMultiTableOracle,
@@ -6341,6 +6382,29 @@ object SparkEntry {
         "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3) " +
         "ORDER BY depth"),
 
+    // Same calendar-bounded pair set; all counts exact integers, tau_b
+    // in the same fixed double arithmetic with the all-tied guard.
+    "q_kendall_tau" ->
+      ("WITH sd AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS y " +
+        "FROM orders GROUP BY 1), " +
+        "p AS (SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS c, " +
+        "CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS dd, " +
+        "CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx, " +
+        "CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty " +
+        "FROM sd a JOIN sd b ON a.d < b.d) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(c) AS BIGINT) AS concordant, " +
+        "CAST(sum(dd) AS BIGINT) AS discordant, " +
+        "CAST(sum(tx) AS BIGINT) AS ties_x, " +
+        "CAST(sum(ty) AS BIGINT) AS ties_y, " +
+        "CASE WHEN (count(*) - sum(tx)) * (count(*) - sum(ty)) = 0 " +
+        "THEN CAST(0 AS DOUBLE) " +
+        "ELSE round(CAST(sum(c) - sum(dd) AS DOUBLE) / " +
+        "sqrt(CAST((count(*) - sum(tx)) * (count(*) - sum(ty)) AS DOUBLE)), 6) " +
+        "END AS tau_b FROM p"),
+
     // Same bounded pairwise-slope set, same quantile_cont median.
     "q_theil_sen" ->
       ("WITH sd AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
@@ -6518,6 +6582,26 @@ object SparkEntry {
         "round(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,10))) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE), 6) AS brier " +
         "FROM bn GROUP BY 1 ORDER BY 1"),
+
+    // Same min-max normalization and hi==lo pin as q_calibration; log
+    // loss clamps with the identical double literals and rounds each
+    // term through DECIMAL(28,12) before the sum.
+    "q_classifier_metrics" ->
+      ("WITH b AS (SELECT CAST(value AS DOUBLE) AS s, CASE WHEN " +
+        "event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b), " +
+        "sc AS (SELECT y, CASE WHEN hi = lo THEN 0.5 ELSE (s - lo) / (hi - lo) " +
+        "END AS p FROM b CROSS JOIN mm), " +
+        "pc AS (SELECT y, p, least(greatest(p, 1e-6), 1 - 1e-6) AS q FROM sc) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "round(CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS brier, " +
+        "round(CAST(sum(CAST(-(y * ln(q) + (1 - y) * ln(1 - q)) AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
+        "round(CAST(sum(CASE WHEN (p >= 0.5 AND y = 1) OR (p < 0.5 AND y = 0) " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc_at_half " +
+        "FROM pc"),
 
     "q_info_gain" -> infoGainOracle,
 

@@ -74,6 +74,37 @@ object Similarity {
         col("pred_label"), col("n_votes"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * probe, the k most cosine-similar corpus vectors whose label DIFFERS
+    * (the near-misses a contrastive or reranker loss learns most from).
+    * Same scale shape as [[knnPredict]]: `probes` (qid, qlabel, qv) is
+    * small and broadcast, the corpus is scanned ONCE for all probes, the
+    * label-mismatch filter runs before ranking, and the per-probe top-k
+    * is a rank window Catalyst plans as map-side WindowGroupLimit — the
+    * exchange carries each task's local top-k, never the scored corpus.
+    * At 100 TB swap the scan for the IVF index probe and keep the tail.
+    * Returns (key, qid, qlabel, vec_id, neg_label, sim) ranked per
+    * probe, ties broken by corpus id. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, probes: DataFrame,
+                    k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("__sim"), col(idCol))
+    corpus
+      .select(col(idCol), col(labelCol).alias("neg_label"),
+        asDouble(col(vecCol)).alias("v"))
+      .crossJoin(broadcast(probes))
+      .filter(col(idCol) =!= col("qid") && col("neg_label") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col(idCol), col("neg_label"),
+        cosine(col("v"), col("qv")).alias("__sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(concat(col("qid").cast("string"), lit("_"),
+          col(idCol).cast("string")).alias("key"),
+        col("qid"), col("qlabel"), col(idCol), col("neg_label"),
+        col("__sim").alias("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: unit-free ±1 grid
     * derived from md5 — reproducible everywhere, no RNG state. */
   private[graft] def planeSign(planeIdx: Int, dim: Int): Double = {

@@ -593,6 +593,92 @@ object Stats {
     n.crossJoin(med)
   }
 
+  /** Kendall tau-b rank correlation between two daily aggregates — the
+    * concordance twin of [[theilSenTrend]]: over all day pairs, count
+    * concordant / discordant / x-tied / y-tied pairs and report
+    *   tau_b = (C − D) / √((n₀−t_x)(n₀−t_y)).
+    * Rank-based like Spearman but built from exact integer pair counts,
+    * so the statistic is engine-exact with no rank-table machinery. The
+    * pairwise set is CALENDAR-BOUNDED² (the [[theilSenTrend]] stance,
+    * same `maxDays` raise_error guard before the join); y is an exact
+    * DECIMAL daily sum, so tie detection compares identical doubles on
+    * both engines. Degenerate all-tied inputs pin tau_b to 0 rather
+    * than dividing by zero. One row: (n_pairs, concordant, discordant,
+    * ties_x, ties_y, tau_b) with tau_b 6-dp. */
+  def kendallTau(df: DataFrame, dateCol: Column, valueCol: Column,
+                 maxDays: Int = 20000): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"),
+        sum(valueCol.cast("decimal(28,6)")).cast("double").alias("__y"))
+    val nd = daily.agg(count(lit(1)).alias("__nd"))
+    val a = daily.crossJoin(broadcast(nd))
+      .select(when(col("__nd") > maxDays,
+        raise_error(lit(s"kendallTau: series exceeds $maxDays days — " +
+          "coarsen the date grain or raise maxDays")))
+        .otherwise(col("__d")).alias("__d"), col("__x"), col("__y"))
+    val b = a.select(col("__d").alias("__d2"), col("__x").alias("__x2"),
+      col("__y").alias("__y2"))
+    val cls = a.join(b, col("__d") < col("__d2"))
+      .select(
+        when((col("__x") - col("__x2")) * (col("__y") - col("__y2")) > 0, 1L)
+          .otherwise(0L).alias("__c"),
+        when((col("__x") - col("__x2")) * (col("__y") - col("__y2")) < 0, 1L)
+          .otherwise(0L).alias("__dd"),
+        when(col("__x") === col("__x2"), 1L).otherwise(0L).alias("__tx"),
+        when(col("__y") === col("__y2"), 1L).otherwise(0L).alias("__ty"))
+    cls.agg(count(lit(1)).alias("n_pairs"), sum("__c").alias("concordant"),
+        sum("__dd").alias("discordant"), sum("__tx").alias("ties_x"),
+        sum("__ty").alias("ties_y"))
+      .select(col("n_pairs"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        when((col("n_pairs") - col("ties_x")) *
+            (col("n_pairs") - col("ties_y")) === 0, lit(0.0))
+          .otherwise(round(
+            (col("concordant") - col("discordant")).cast("double") /
+              sqrt(((col("n_pairs") - col("ties_x")) *
+                (col("n_pairs") - col("ties_y"))).cast("double")), 6))
+          .alias("tau_b"))
+  }
+
+  /** Global probabilistic-classifier scorecard — one row of the metrics
+    * [[calibrationReport]] bins: n, positives, Brier score, log loss,
+    * and accuracy at the 0.5 cut, for a min-max-normalized score (same
+    * hi==lo → p=0.5 degenerate pin as the calibration table). Log loss
+    * clamps p to [1e-6, 1−1e-6] with PINNED double literals so the ln
+    * of an exact 0/1 can't produce ±inf on either engine; per-row terms
+    * round through DECIMAL(28,12) before the sum ([[Graph.adamicAdar]]'s
+    * ln-determinism recipe). One scalar min/max pass + one aggregation —
+    * no window, nothing wider than the scan. */
+  def classifierMetrics(df: DataFrame, positive: Column,
+                        scoreCol: String): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").alias("__s"),
+        when(positive, 1L).otherwise(0L).alias("__y"))
+    val bounds = base.agg(min("__s").alias("__lo"), max("__s").alias("__hi"))
+    val scored = base.crossJoin(broadcast(bounds))
+      .withColumn("__p", when(col("__hi") === col("__lo"), lit(0.5))
+        .otherwise((col("__s") - col("__lo")) / (col("__hi") - col("__lo"))))
+      .withColumn("__pc",
+        least(greatest(col("__p"), lit(1e-6)), lit(1.0 - 1e-6)))
+    scored.agg(
+        count(lit(1)).alias("n"), sum("__y").alias("n_pos"),
+        sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .cast("decimal(28,12)")).alias("__b"),
+        sum((-(col("__y") * log(col("__pc")) +
+            (lit(1L) - col("__y")) * log(lit(1.0) - col("__pc"))))
+          .cast("decimal(28,12)")).alias("__ll"),
+        sum(when((col("__p") >= 0.5 && col("__y") === 1L) ||
+            (col("__p") < 0.5 && col("__y") === 0L), 1L).otherwise(0L))
+          .alias("__acc"))
+      .select(col("n"), col("n_pos"),
+        round(col("__b").cast("double") / col("n").cast("double"), 6)
+          .alias("brier"),
+        round(col("__ll").cast("double") / col("n").cast("double"), 6)
+          .alias("log_loss"),
+        round(col("__acc").cast("double") / col("n").cast("double"), 6)
+          .alias("acc_at_half"))
+  }
+
   /** Deterministic Poisson-bootstrap confidence interval for the mean.
     *
     * Classic bootstrap resampling needs n draws per replicate from a

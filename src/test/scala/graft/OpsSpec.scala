@@ -2122,6 +2122,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       ("b", "a", 2L, 0.816497, 1L)))
   }
 
+  test("hardNegatives keeps only different-label neighbors, ranked by cosine") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(1.0f, 0.0f), "A"),
+      (3L, Seq(0.9f, 0.1f), "B"), (4L, Seq(0.0f, 1.0f), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val probes = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").alias("qid"), col("label").alias("qlabel"),
+        graft.ops.Similarity.asDouble(col("embedding")).alias("qv"))
+    val got = graft.ops.Similarity.hardNegatives(
+      corpus, "vec_id", "embedding", "label", probes, k = 2).collect()
+    // same-label id 2 (cos 1.0) is excluded; id 3 (near-parallel B)
+    // outranks the orthogonal id 4
+    assert(got.map(_.getLong(3)).toSeq == Seq(3L, 4L))
+    assert(got.forall(_.getString(4) == "B"))
+    assert(got(0).getDouble(5) > got(1).getDouble(5))
+  }
+
   test("centroidClassify: separable clusters produce a diagonal matrix") {
     import spark.implicits._
     // two tight clusters on orthogonal axes

@@ -201,6 +201,45 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-6, s"slope ${r.getDouble(1)}")
   }
 
+  test("kendallTau matches the hand-counted concordance") {
+    import spark.implicits._
+    // daily x = (1,2,3) rows, y = (10, 2, 15): pair (d1,d2) discordant,
+    // (d1,d3) and (d2,d3) concordant → tau_b = (2−1)/3
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 5, 1).plusDays(i))
+    val rows = Seq((day(0), 10.0)) ++
+      Seq.fill(2)((day(1), 1.0)) ++ Seq.fill(3)((day(2), 5.0))
+    val r = Stats.kendallTau(rows.toDF("d", "v"), col("d"), col("v"))
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getLong(3) == 0 && r.getLong(4) == 0)
+    assert(math.abs(r.getDouble(5) - 1.0 / 3) < 1e-5)
+    // perfectly monotone days → tau_b = 1
+    val mono = (0 until 5).flatMap(i => Seq.fill(i + 1)((day(i), i + 0.0)))
+    val m = Stats.kendallTau(mono.toDF("d", "v"), col("d"), col("v"))
+      .collect().head
+    assert(m.getDouble(5) == 1.0)
+  }
+
+  test("classifierMetrics: hand-computed Brier/log-loss/accuracy") {
+    import spark.implicits._
+    // scores 0/1/0.5 normalize to themselves; brier = 0.25/3; the only
+    // non-clamp log-loss term is −ln(0.5)
+    val df = Seq((0.0, "n"), (1.0, "p"), (0.5, "p")).toDF("s", "lab")
+    val r = Stats.classifierMetrics(df, col("lab") === "p", "s")
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.083333)
+    assert(math.abs(r.getDouble(3) - 0.23105) < 1e-5)
+    assert(r.getDouble(4) == 1.0)
+    // constant score degenerates to p = 0.5 everywhere, acc counts all
+    // positives correct (p >= 0.5) and all negatives wrong
+    val c = Stats.classifierMetrics(
+      Seq((7.0, "p"), (7.0, "n")).toDF("s", "lab"), col("lab") === "p", "s")
+      .collect().head
+    assert(c.getDouble(2) == 0.25 && c.getDouble(4) == 0.5)
+  }
+
   test("partialCorr removes a pure confounder") {
     import spark.implicits._
     // x and y are independent noise plus a strong shared z component:
