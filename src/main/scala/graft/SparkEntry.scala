@@ -1201,6 +1201,18 @@ object SparkEntry {
       Similarity.embeddingProfile(Tables.embeddings(s, d), "embedding",
         "label")),
 
+    // MMR diversified retrieval (Similarity.mmrSelect): greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over the top-20 relevance pool,
+    // k=5, λ=0.75 (0.25 penalty weight is binary-exact, so both engines
+    // walk the identical selection path).
+    "q_mmr_select" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.orderBy("vec_id").limit(1)
+        .select(Similarity.asDouble(col("embedding")).alias("qv"))
+      Similarity.mmrSelect(emb, "vec_id", "embedding", q, k = 5,
+        poolSize = 20, lambda = 0.75).orderBy("rank")
+    }),
+
     // Hard-negative mining (Similarity.hardNegatives): per probe, the 5
     // most-similar DIFFERENT-label vectors — contrastive-training pair
     // generation on the knnPredict scan shape.
@@ -4932,6 +4944,11 @@ object SparkEntry {
         "SELECT CAST(qid AS VARCHAR) || '_' || CAST(vec_id AS VARCHAR) AS key, " +
         "qid, vec_id, sim FROM r WHERE rn <= 5 ORDER BY key"),
 
+    // Unrolled greedy MMR: the same top-20 pool and 6-dp pair cosines,
+    // then five argmax steps as CTE hops (score desc, id asc at every
+    // step); 0.75/0.25 stay binary-exact doubles in both engines.
+    "q_mmr_select" -> mmrOracle,
+
     // q_ann_batch's scan with the label-mismatch filter ahead of the
     // per-probe rank window.
     "q_hard_negatives" ->
@@ -7898,6 +7915,46 @@ object SparkEntry {
     * doubles the Spark side uses (shortest-roundtrip repr → identical
     * IEEE values; `1 - 0.85` evaluated as SQL DECIMAL would differ from
     * Scala's `1.0 - 0.85` by an ulp). */
+  /** Unrolled greedy MMR ([[graft.ops.Similarity.mmrSelect]]): top-20
+    * relevance pool and poolSize² 6-dp pair cosines MATERIALIZED once,
+    * then k=5 selection steps, each a (score desc, id asc) LIMIT 1 over
+    * the not-yet-selected pool with the max-sim penalty against the
+    * accumulated selection. */
+  private def mmrOracle: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id AS id, " +
+      "embedding::DOUBLE[] AS v FROM embeddings), "
+    sb ++= "q AS (SELECT v AS qv FROM e ORDER BY id LIMIT 1), "
+    sb ++= "sc AS (SELECT e.id, e.v, round(list_dot_product(e.v, q.qv) / " +
+      "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel " +
+      "FROM e CROSS JOIN q), "
+    sb ++= "pool AS MATERIALIZED (SELECT id, v, rel FROM sc " +
+      "ORDER BY rel DESC, id LIMIT 20), "
+    sb ++= "pairs AS MATERIALIZED (SELECT a.id AS id1, b.id AS id2, " +
+      "round(list_dot_product(a.v, b.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim " +
+      "FROM pool a JOIN pool b ON a.id <> b.id), "
+    sb ++= "w1 AS (SELECT id, rel, round(0.75 * rel, 6) AS score FROM pool " +
+      "ORDER BY score DESC, id LIMIT 1), "
+    sb ++= "sel1 AS (SELECT id FROM w1), "
+    for (t <- 2 to 5) {
+      sb ++= s"sc$t AS (SELECT p.id, p.rel, " +
+        s"round(0.75 * p.rel - 0.25 * mx.m, 6) AS score FROM pool p " +
+        s"JOIN (SELECT id1 AS id, max(sim) AS m FROM pairs " +
+        s"WHERE id2 IN (SELECT id FROM sel${t - 1}) GROUP BY 1) mx USING (id) " +
+        s"WHERE p.id NOT IN (SELECT id FROM sel${t - 1})), "
+      sb ++= s"w$t AS (SELECT id, rel, score FROM sc$t " +
+        s"ORDER BY score DESC, id LIMIT 1), "
+      sb ++= s"sel$t AS (SELECT id FROM sel${t - 1} UNION ALL SELECT id FROM w$t), "
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= " " + (1 to 5).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, id, rel, score AS mmr_score FROM w$t")
+      .mkString(" UNION ALL ")
+    sb ++= " ORDER BY rank"
+    sb.toString
+  }
+
   /** Unrolled HITS: mirrors [[graft.ops.Graph.hits]]'s determinism recipe
     * exactly — per-edge contributions cast to DECIMAL(28,14) before the
     * grouped sum, per-node raw scores rounded to 9 dp, the L1 total

@@ -105,6 +105,70 @@ object Similarity {
         col("__sim").alias("sim"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k — the redundancy-aware
+    * retrieval selector (and the diverse-exemplar sampler for training
+    * data): greedily pick k items maximizing
+    *   λ·rel(i) − (1−λ)·max_{s∈selected} sim(i, s),
+    * so near-duplicates of an already-chosen item are penalized out.
+    *
+    * Scale shape: ONE corpus scan ranks the `poolSize` most relevant
+    * candidates (map-side WindowGroupLimit top-k — the [[knnPredict]]
+    * stance); everything after runs on the pool (poolSize² pair sims,
+    * poolSize ≤ 1024 enforced), so the greedy loop's k argmax rounds are
+    * metadata-sized jobs — the driver collects ONE winner row per round
+    * (bounded, the BPE-trainer stance), never the pool. rel and pair
+    * sims are 6-dp cosines and each round's score re-rounds to 6 dp
+    * before the (score desc, id asc) argmax, so the selection path is a
+    * deterministic function both engines walk identically. Returns
+    * (rank, id, rel, mmr_score); rank 1's score is λ·rel (empty-set
+    * penalty 0). */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                query: DataFrame, k: Int, poolSize: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k && poolSize <= 1024,
+      s"mmrSelect: need 1 <= k <= poolSize <= 1024, got k=$k pool=$poolSize")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val pool = corpus
+      .select(col(idCol).alias("id"), asDouble(col(vecCol)).alias("v"))
+      .crossJoin(broadcast(query))
+      .select(col("id"), col("v"), cosine(col("v"), col("qv")).alias("rel"))
+      .orderBy(desc("rel"), col("id"))
+      .limit(poolSize)
+      .cache()
+    val pairs = pool.select(col("id").alias("id1"), col("v").alias("v1"))
+      .join(pool.select(col("id").alias("id2"), col("v").alias("v2")),
+        col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).alias("sim"))
+      .cache()
+    val rel = pool.select(col("id"), col("rel"))
+    var selected = Vector.empty[(Long, Double, Double)] // (id, rel, score)
+    for (rank <- 1 to k) {
+      val selIds = selected.map(_._1)
+      val scored =
+        if (selIds.isEmpty)
+          rel.select(col("id"), col("rel"),
+            round(lit(lambda) * col("rel"), 6).alias("score"))
+        else
+          rel.filter(!col("id").isInCollection(selIds))
+            .join(pairs.filter(col("id2").isInCollection(selIds))
+              .groupBy(col("id1").alias("id"))
+              .agg(max("sim").alias("__mx")), Seq("id"))
+            .select(col("id"), col("rel"),
+              round(lit(lambda) * col("rel") -
+                lit(1.0 - lambda) * col("__mx"), 6).alias("score"))
+      val w = scored.orderBy(desc("score"), col("id")).limit(1)
+        .collect().head
+      selected :+= ((w.getLong(0), w.getDouble(1), w.getDouble(2)))
+    }
+    pool.unpersist(); pairs.unpersist()
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, r, s), i) => (i + 1L, id, r, s) }
+      .toDF("rank", "id", "rel", "mmr_score")
+  }
+
   /** Deterministic pseudo-random hyperplane component: unit-free ±1 grid
     * derived from md5 — reproducible everywhere, no RNG state. */
   private[graft] def planeSign(planeIdx: Int, dim: Int): Double = {

@@ -2140,6 +2140,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0).getDouble(5) > got(1).getDouble(5))
   }
 
+  test("mmrSelect picks relevance first, then penalizes the near-duplicate") {
+    import spark.implicits._
+    // query [1,0,0]: c (id 3) is most relevant (0.8) and goes first; a
+    // (id 1) and its exact duplicate b (id 2) tie on the MMR score at
+    // λ=0.5 — a wins on the id tie-break, and the duplicate b is last
+    val corpus = Seq(
+      (1L, Seq(0.6f, 0.8f, 0.0f)), (2L, Seq(0.6f, 0.8f, 0.0f)),
+      (3L, Seq(0.8f, 0.0f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0, 0.0, 0.0))).toDF("qv")
+    val got = graft.ops.Similarity.mmrSelect(corpus, "vec_id", "embedding",
+      q, k = 3, poolSize = 3, lambda = 0.5).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 1L, 2L))
+    // rank 1 score is λ·rel exactly; the duplicate's penalty is its
+    // full cosine to a (sim 1.0): 0.5·0.6 − 0.5·1.0
+    assert(got(0).getDouble(3) == 0.4)
+    assert(got(2).getDouble(3) == -0.2)
+  }
+
   test("centroidClassify: separable clusters produce a diagonal matrix") {
     import spark.implicits._
     // two tight clusters on orthogonal axes
