@@ -2875,6 +2875,19 @@ object SparkEntry {
       graft.ops.TextAnalysis.textrankKeywords(Tables.documents(s, d),
         "text", iters = 3, topN = 30)),
 
+    // Pairwise source vocabulary Jaccard (TextAnalysis.sourceOverlap):
+    // the sources×sources shared-template radar.
+    "q_source_overlap" -> ((s, d) =>
+      graft.ops.TextAnalysis.sourceOverlap(Tables.documents(s, d),
+        "source", "text")),
+
+    // Temperature-scaled α-sampling audit (Mix.alphaSample): q_i ∝ n_i^0.5
+    // at half budget — big sources downsampled toward the flattened mix,
+    // md5-deterministic keep set, per-source (total, rate, kept) readout.
+    "q_alpha_sample" -> ((s, d) =>
+      graft.ops.Mix.alphaSample(Tables.documents(s, d), "source",
+        "doc_id", alpha = 0.5, budget = 0.5)),
+
     // Count-min sketch (ops/CountMin): depth-3 × width-64 counts table
     // over the lineitem supplier stream, probed for the 20 heaviest
     // items beside their exact counts — the bounded-memory point-
@@ -5975,6 +5988,36 @@ object SparkEntry {
         "ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50"),
 
     "q_textrank_keywords" -> textrankOracle,
+
+    "q_source_overlap" ->
+      ("WITH vt AS MATERIALIZED (SELECT DISTINCT source AS k, " +
+        "unnest(list_distinct(string_split(text, ' '))) AS t FROM documents), " +
+        "sz AS (SELECT k, count(*) AS n FROM vt GROUP BY 1), " +
+        "iv AS (SELECT a.k AS source1, b.k AS source2, count(*) AS n_common " +
+        "FROM vt a JOIN vt b ON a.t = b.t AND a.k < b.k GROUP BY 1, 2) " +
+        "SELECT source1, source2, CAST(s1.n AS BIGINT) AS n1, " +
+        "CAST(s2.n AS BIGINT) AS n2, CAST(n_common AS BIGINT) AS n_common, " +
+        "round(CAST(n_common AS DOUBLE) / CAST(s1.n + s2.n - n_common AS DOUBLE), 6) AS jaccard " +
+        "FROM iv JOIN sz s1 ON iv.source1 = s1.k JOIN sz s2 ON iv.source2 = s2.k " +
+        "ORDER BY source1, source2"),
+
+    // Same 9-dp-rounded n^α terms, DECIMAL normalizer sum, pinned rate
+    // arithmetic, and md5 keep draw as Mix.alphaSample.
+    "q_alpha_sample" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), " +
+        "p AS (SELECT source, n, round(pow(CAST(n AS DOUBLE), 0.5), 9) AS pw FROM c), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, " +
+        "CAST(sum(CAST(pw AS DECIMAL(28,9))) AS DOUBLE) AS s FROM p), " +
+        "r AS (SELECT source, n, round(least(CAST(1 AS DOUBLE), " +
+        "((0.5 * CAST(nt AS DOUBLE)) * pw) / (s * CAST(n AS DOUBLE))), 9) AS rate " +
+        "FROM p CROSS JOIN t), " +
+        "k AS (SELECT d.source, count(*) AS kept FROM documents d JOIN r " +
+        "ON d.source = r.source WHERE " +
+        "('0x' || substr(md5(d.source || '|' || CAST(d.doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
+        "< r.rate * 4294967296.0 GROUP BY 1) " +
+        "SELECT r.source, CAST(r.n AS BIGINT) AS n_total, r.rate, " +
+        "CAST(coalesce(k.kept, 0) AS BIGINT) AS n_kept " +
+        "FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source"),
 
     // Rebuilds the identical d=3 × w=64 count-min sketch from the shared
     // md5 hash family, probes the same top-20 items.

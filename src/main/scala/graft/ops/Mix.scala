@@ -62,4 +62,48 @@ object Mix {
       .orderBy(desc("draw_key"), col(idCol))
       .limit(k)
   }
+
+  /** Temperature-scaled (α-)sampling — the multilingual/domain
+    * rebalancing rule (XLM-R's q_i ∝ p_i^α): big domains are downsampled
+    * toward, small domains kept toward, a flattened mixture. Target
+    * share q_i = n_i^α / Σ n_j^α; each domain's keep-rate is
+    * min(1, budget·N·q_i / n_i), i.e. the sampled corpus approaches
+    * `budget`·N rows distributed by q (capped domains keep everything).
+    * α = 1 reproduces the natural mix scaled by `budget`; α = 0 is
+    * uniform-across-domains.
+    *
+    * Determinism: per-domain n_i^α rounds to 9 dp before the
+    * DECIMAL(28,9) normalizer sum, the rate is one fixed-parenthesization
+    * double expression rounded to 9 dp, and the keep decision is the
+    * [[stratifiedSample]] md5 draw — so the selected SET is identical on
+    * any engine/cluster/partitioning. Scale shape: two domain-sized
+    * aggregations (broadcast back), then a narrow codegen'd filter on
+    * the scan — the corpus never shuffles. Returns the per-domain audit
+    * (key, n_total, rate, n_kept); use the same rate table with
+    * [[stratifiedSample]]'s filter to emit the rows themselves. */
+  def alphaSample(df: DataFrame, keyCol: String, idCol: String,
+                  alpha: Double, budget: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alphaSample: bad alpha $alpha")
+    require(budget > 0.0 && budget <= 1.0, s"alphaSample: bad budget $budget")
+    val counts = df.groupBy(col(keyCol).alias("__k"))
+      .agg(count(lit(1)).alias("__n"))
+      .select(col("__k"), col("__n"),
+        round(pow(col("__n").cast("double"), lit(alpha)), 9).alias("__p"))
+    val tot = counts.agg(sum("__n").alias("__t"),
+      sum(col("__p").cast("decimal(28,9)")).cast("double").alias("__s"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("__k"), col("__n"),
+        round(least(lit(1.0),
+          ((lit(budget) * col("__t").cast("double")) * col("__p")) /
+            (col("__s") * col("__n").cast("double"))), 9).alias("rate"))
+    val kept = df
+      .join(broadcast(rates.select(col("__k"), col("rate"))),
+        col(keyCol) === col("__k"))
+      .filter(keepHash(col(keyCol), col(idCol)) < col("rate") * lit(4294967296.0))
+      .groupBy(col(keyCol).alias("__k")).agg(count(lit(1)).alias("__kept"))
+    rates.join(kept, Seq("__k"), "left")
+      .select(col("__k").alias(keyCol), col("__n").alias("n_total"),
+        col("rate"), coalesce(col("__kept"), lit(0L)).alias("n_kept"))
+      .orderBy(keyCol)
+  }
 }

@@ -654,6 +654,40 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Pairwise vocabulary overlap between sources — the sources×sources
+    * Jaccard matrix ([[klDrift]]'s set-granularity sibling, and the
+    * multi-way generalization of the two-corpus diff): for every source
+    * pair, |V₁∩V₂| / |V₁∪V₂| over distinct-token vocabularies. The
+    * duplicate-content / shared-template radar across a corpus's
+    * ingestion feeds. Scale shape: the corpus collapses to the distinct
+    * (source, token) table in one shuffle (map-side combined; bounded by
+    * sources × vocabulary, never rows); the pair join is token-keyed
+    * with fan-out ≤ sources² per token, and union sizes come from
+    * inclusion-exclusion on the vocab-size table — text never shuffles.
+    * Returns (source1, source2, n1, n2, n_common, jaccard) for
+    * source1 < source2, jaccard 6-dp. */
+  def sourceOverlap(df: DataFrame, keyCol: String,
+                    textCol: String): DataFrame = {
+    val vt = df.select(col(keyCol).alias("__k"),
+      explode(ScaleDedup.tokenSet(col(textCol))).alias("__t")).distinct()
+    val sizes = vt.groupBy("__k").agg(count(lit(1)).alias("__sz"))
+    vt.alias("a")
+      .join(vt.alias("b"),
+        col("a.__t") === col("b.__t") && col("a.__k") < col("b.__k"))
+      .groupBy(col("a.__k").alias("source1"), col("b.__k").alias("source2"))
+      .agg(count(lit(1)).alias("n_common"))
+      .join(broadcast(sizes.select(col("__k").alias("source1"),
+        col("__sz").alias("n1"))), "source1")
+      .join(broadcast(sizes.select(col("__k").alias("source2"),
+        col("__sz").alias("n2"))), "source2")
+      .select(col("source1"), col("source2"), col("n1"), col("n2"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double"), 6)
+          .alias("jaccard"))
+      .orderBy("source1", "source2")
+  }
+
   /** TextRank keyword extraction (Mihalcea-Tarau): PageRank over the
     * adjacent-token co-occurrence graph. Bigrams are the same row-local
     * array expressions as [[collocations]] (no window, no self-join);

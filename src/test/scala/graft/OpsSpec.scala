@@ -2140,6 +2140,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(0).getDouble(5) > got(1).getDouble(5))
   }
 
+  test("alphaSample flattens the mix at alpha<1 and degenerates at alpha=1") {
+    import spark.implicits._
+    val rows = ((1 to 100).map(i => ("A", i.toLong)) ++
+      (101 to 125).map(i => ("B", i.toLong))).toDF("source", "id")
+    // n = (100, 25), α = 0.5 → pw = (10, 5), N = 125, S = 15:
+    // rate_A = 625/1500, rate_B = 312.5/375
+    val got = graft.ops.Mix.alphaSample(rows, "source", "id", 0.5, 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got("A")._1 == 100 && got("B")._1 == 25)
+    assert(got("A")._2 == 0.416666667 && got("B")._2 == 0.833333333)
+    assert(got("B")._2 > got("A")._2) // small domain kept at a higher rate
+    assert(got("A")._3 <= 100 && got("B")._3 <= 25)
+    // α = 1 reproduces the natural mix: every domain keeps `budget`
+    val nat = graft.ops.Mix.alphaSample(rows, "source", "id", 1.0, 0.5)
+      .collect().map(_.getDouble(2))
+    assert(nat.forall(_ == 0.5))
+  }
+
+  test("sourceOverlap reports vocab Jaccard for intersecting pairs only") {
+    import spark.implicits._
+    val docs = Seq(("A", "x y"), ("B", "y z"), ("C", "p q"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceOverlap(docs, "source", "text")
+      .collect()
+    // A∩B = {y}; C is disjoint from both, so no C rows appear
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 2 && r.getLong(4) == 1)
+    assert(r.getDouble(5) == 0.333333)
+  }
+
   test("mmrSelect picks relevance first, then penalizes the near-duplicate") {
     import spark.implicits._
     // query [1,0,0]: c (id 3) is most relevant (0.8) and goes first; a
