@@ -1946,6 +1946,17 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")),
 
+    // Rank-biased overlap between the BM25 and QLM runs (p=0.9, k=5) —
+    // the top-weighted ranker-agreement diff, computed on the two
+    // runs-sized outputs (the corpus is scanned only by the runs).
+    "q_rbo" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = TextAnalysis.bm25TopK(docs, "doc_id", "text", Bm25Queries, k = 5)
+      val b = TextAnalysis.qlmTopK(docs, "doc_id", "text", Bm25Queries, k = 5)
+      TextAnalysis.rankBiasedOverlap(a, b, "query_id", "doc_id", "rank",
+        k = 5, p = 0.9)
+    }),
+
     // retrieval eval: NDCG@5 / AP@5 / RR of the BM25 run against graded
     // relevance (= distinct query terms present in the doc) — the offline
     // report a ranker change ships with
@@ -5342,6 +5353,8 @@ object SparkEntry {
     // Same hit-postings decomposition, same μ literal, same tie order.
     "q_qlm_topk" -> qlmOracle,
 
+    "q_rbo" -> rboOracle,
+
     // Same BM25 run CTEs, same gains/discounts/0-not-NULL conventions.
     "q_rank_eval" -> rankEvalOracle,
 
@@ -8200,6 +8213,52 @@ object SparkEntry {
       "(SELECT *, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM scored) " +
       "WHERE rn <= 5 ORDER BY query_id, rank"
+  }
+
+  /** Mirror of TextAnalysis.rankBiasedOverlap over the BM25 vs QLM runs:
+    * [[bm25Ctes]]' `ranked` beside an l_-prefixed replay of [[qlmOracle]]
+    * (shared q/qt/qv/tok/dlen CTEs), then prefix-overlap fan-out and the
+    * SAME precomputed IEEE weight literals ([[graft.ops.Sessionize]]'s
+    * ewmaWeights stance) with 12-dp term rounds into a DECIMAL sum. */
+  private def rboOracle: String = {
+    val weights = (1 to 5).map(d => (1 - 0.9) * math.pow(0.9, d - 1))
+    val wcase = weights.zipWithIndex
+      .map { case (w, i) => s"WHEN g.d = ${i + 1} THEN CAST('$w' AS DOUBLE)" }
+      .mkString(" ")
+    val mu = 2000.0.toString
+    s"WITH $bm25Ctes, " +
+      "l_hits AS (SELECT t.doc_id, d.dl, t.token FROM tok t " +
+      "JOIN qv USING (token) JOIN dlen d ON d.doc_id = t.doc_id), " +
+      "l_cf AS (SELECT token, count(*) AS cf FROM l_hits GROUP BY 1), " +
+      "l_ctot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c_len FROM documents), " +
+      "l_nq AS (SELECT query_id, count(*) AS nq FROM qt JOIN l_cf USING (token) GROUP BY 1), " +
+      "l_tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl " +
+      "FROM l_hits GROUP BY 1, 2), " +
+      "l_sq AS (SELECT qt.query_id, l_tf.doc_id, CAST(sum(CAST(" +
+      s"ln(1.0 + l_tf.tf::DOUBLE / ($mu * (l_cf.cf::DOUBLE / l_ctot.c_len::DOUBLE))) " +
+      "AS DECIMAL(28,14))) AS DOUBLE) AS s, max(l_tf.dl) AS dl " +
+      "FROM l_tf JOIN qt USING (token) JOIN l_cf USING (token) " +
+      "CROSS JOIN l_ctot GROUP BY 1, 2), " +
+      "l_scored AS (SELECT l_sq.query_id, doc_id, " +
+      s"round(s + l_nq.nq::DOUBLE * ln($mu / (dl::DOUBLE + $mu)), 6) AS score " +
+      "FROM l_sq JOIN l_nq USING (query_id)), " +
+      "l_ranked AS (SELECT *, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM l_scored), " +
+      "ra AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS r1 FROM ranked WHERE rn <= 5), " +
+      "rb AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS r2 FROM l_ranked WHERE rn <= 5), " +
+      "ov AS (SELECT ra.query_id, greatest(ra.r1, rb.r2) AS m " +
+      "FROM ra JOIN rb USING (query_id, doc_id)), " +
+      "xd AS (SELECT query_id, d, count(*) AS x FROM ov, " +
+      "unnest(generate_series(m, 5)) AS u(d) GROUP BY 1, 2), " +
+      "qs AS (SELECT query_id FROM ra UNION SELECT query_id FROM rb), " +
+      "gd AS (SELECT query_id, d FROM qs, unnest(generate_series(1, 5)) AS u(d)), " +
+      "tm AS (SELECT g.query_id, g.d, coalesce(x.x, 0) AS x, " +
+      s"CASE $wcase END AS w " +
+      "FROM gd g LEFT JOIN xd x ON g.query_id = x.query_id AND g.d = x.d) " +
+      "SELECT query_id, CAST(max(CASE WHEN d = 5 THEN x END) AS BIGINT) AS overlap_at_k, " +
+      "round(CAST(sum(CAST(round(w * (CAST(x AS DOUBLE) / CAST(d AS DOUBLE)), 12) " +
+      "AS DECIMAL(28,12))) AS DOUBLE), 6) AS rbo " +
+      "FROM tm GROUP BY 1 ORDER BY query_id"
   }
 
   /** Mirror of TextAnalysis.rankingEval over the BM25 run ([[bm25Ctes]]'

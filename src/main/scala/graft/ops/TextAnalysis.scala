@@ -654,6 +654,51 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Rank-biased overlap (Webber et al.) between two per-query rankings,
+    * truncated at depth k — the ranker-change diff metric: how much do
+    * two runs agree, weighted toward the top?
+    *   RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d.
+    * Prefix-overlap sizes come from one equi-join of the two runs on
+    * (query, doc): a shared doc counts toward every depth ≥ its worse
+    * rank, so X_d is a bounded explode + count over runs-sized tables —
+    * the corpus is never touched (feed this the OUTPUT of bm25TopK /
+    * qlmTopK / an ANN run). Depth weights are precomputed IEEE literals
+    * injected into both engines (the ewmaWeights stance — no cross-engine
+    * pow), each term rounds to 12 dp before its DECIMAL sum. Queries in
+    * either run with zero overlap still report (overlap 0, rbo 0).
+    * Returns (query, overlap_at_k, rbo) with rbo 6-dp. */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame, queryCol: String,
+                        docCol: String, rankCol: String, k: Int,
+                        p: Double): DataFrame = {
+    require(k >= 1 && k <= 1000, s"rankBiasedOverlap: bad k $k")
+    require(p > 0.0 && p < 1.0, s"rankBiasedOverlap: bad p $p")
+    val weights = (1 to k).map(d => (1 - p) * math.pow(p, d - 1))
+    val a = runA.select(col(queryCol).alias("__q"), col(docCol).alias("__doc"),
+      col(rankCol).cast("long").alias("__ra")).filter(col("__ra") <= k)
+    val b = runB.select(col(queryCol).alias("__q"), col(docCol).alias("__doc"),
+      col(rankCol).cast("long").alias("__rb")).filter(col("__rb") <= k)
+    val xd = a.join(b, Seq("__q", "__doc"))
+      .select(col("__q"),
+        explode(sequence(greatest(col("__ra"), col("__rb")), lit(k.toLong)))
+          .alias("d"))
+      .groupBy("__q", "d").agg(count(lit(1)).alias("__x"))
+    val grid = a.select("__q").union(b.select("__q")).distinct()
+      .select(col("__q"), explode(sequence(lit(1L), lit(k.toLong))).alias("d"))
+    val wcol = weights.zipWithIndex.foldLeft(lit(0.0)) {
+      case (acc, (w, i)) => when(col("d") === (i + 1), lit(w)).otherwise(acc)
+    }
+    grid.join(xd, Seq("__q", "d"), "left")
+      .select(col("__q"), col("d"),
+        coalesce(col("__x"), lit(0L)).alias("__x"), wcol.alias("__w"))
+      .groupBy("__q")
+      .agg(max(when(col("d") === k, col("__x"))).alias("overlap_at_k"),
+        round(sum(round(col("__w") *
+            (col("__x").cast("double") / col("d").cast("double")), 12)
+          .cast("decimal(28,12)")).cast("double"), 6).alias("rbo"))
+      .select(col("__q").alias(queryCol), col("overlap_at_k"), col("rbo"))
+      .orderBy(queryCol)
+  }
+
   /** Pairwise vocabulary overlap between sources — the sources×sources
     * Jaccard matrix ([[klDrift]]'s set-granularity sibling, and the
     * multi-way generalization of the two-corpus diff): for every source

@@ -2173,6 +2173,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(5) == 0.333333)
   }
 
+  test("rankBiasedOverlap matches the hand-computed prefix weights") {
+    import spark.implicits._
+    // p=0.5 → weights (0.5, 0.25, 0.125); overlaps per depth (1, 1, 2):
+    // rbo = 0.5 + 0.25/2 + 0.125·2/3
+    val a = Seq(("q1", 1L, 1L), ("q1", 2L, 2L), ("q1", 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q1", 1L, 1L), ("q1", 3L, 2L), ("q1", 4L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r = graft.ops.TextAnalysis.rankBiasedOverlap(a, b, "query_id",
+      "doc_id", "rank", k = 3, p = 0.5).collect().head
+    assert(r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.708333)
+    // identical runs → rbo = Σ weights = 1 − p^k
+    val s = graft.ops.TextAnalysis.rankBiasedOverlap(a, a, "query_id",
+      "doc_id", "rank", k = 3, p = 0.5).collect().head
+    assert(s.getLong(1) == 3 && s.getDouble(2) == 0.875)
+  }
+
   test("mmrSelect picks relevance first, then penalizes the near-duplicate") {
     import spark.implicits._
     // query [1,0,0]: c (id 3) is most relevant (0.8) and goes first; a
