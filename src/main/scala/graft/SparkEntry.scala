@@ -2940,6 +2940,22 @@ object SparkEntry {
           col("first_touch"), col("last_touch"))
         .orderBy("user_id", "event_id")),
 
+    // Position-based 40/20/40 attribution (Attribution
+    // .positionAttribution): per-conversion path credit split
+    // first/middles/last, paths segmented by the preceding-conversion
+    // count — each touch credits exactly one conversion.
+    "q_position_attribution" -> ((s, d) =>
+      graft.ops.Attribution.positionAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase")),
+
+    // Segmented trend-break regression (Stats.segmentedTrend): daily
+    // order volume with a hinge at 1998-01-01 — slope before, slope
+    // change at the break, and the recomposed after-slope.
+    "q_segmented_trend" -> ((s, d) =>
+      graft.ops.Stats.segmentedTrend(Tables.orders(s, d),
+        to_date(col("o_orderdate")), "1998-01-01")),
+
     // Two-proportion z-test (Aggregates.twoProportionZ): did odd users
     // (treatment) reach a purchase at a different rate than even users
     // (control)? Per-user conversion flags from one groupBy, then the
@@ -6081,6 +6097,26 @@ object SparkEntry {
         "SELECT user_id, event_id, first_touch, last_touch FROM w " +
         "WHERE event_type = 'purchase' ORDER BY user_id, event_id"),
 
+    // Same segment windows; middle credit rounds 0.2/(m−2) to 9 dp
+    // before the DECIMAL sum, exactly like the Spark side.
+    "q_position_attribution" ->
+      ("WITH s AS (SELECT user_id AS k, ts, event_id AS tie, event_type AS t, " +
+        "coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg FROM events), " +
+        "tt AS (SELECT k, seg, t, " +
+        "row_number() OVER (PARTITION BY k, seg ORDER BY ts, tie) AS i, " +
+        "count(*) OVER (PARTITION BY k, seg) AS m FROM s WHERE t <> 'purchase'), " +
+        "cv AS (SELECT DISTINCT k, seg FROM s WHERE t = 'purchase'), " +
+        "cr AS (SELECT tt.t AS channel, CASE WHEN m = 1 THEN CAST(1.0 AS DOUBLE) " +
+        "WHEN m = 2 THEN CAST(0.5 AS DOUBLE) " +
+        "WHEN i = 1 OR i = m THEN CAST(0.4 AS DOUBLE) " +
+        "ELSE round(CAST(0.2 AS DOUBLE) / CAST(m - 2 AS DOUBLE), 9) END AS c " +
+        "FROM tt JOIN cv USING (k, seg)) " +
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_touches, " +
+        "round(CAST(sum(CAST(c AS DECIMAL(18,9))) AS DOUBLE), 6) AS credit " +
+        "FROM cr GROUP BY 1 ORDER BY 1"),
+
     // Same pooled-variance statistic, identical parenthesization.
     "q_ab_test" ->
       ("WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' " +
@@ -6341,6 +6377,44 @@ object SparkEntry {
         "c AS (SELECT n, nd, sy, s1y, s2y, syy, " +
         "d0 / det AS b0, d1 / det AS b1, d2 / det AS b2 FROM d) " +
         "SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, " +
+        "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / " +
+        "(syy - sy * sy / nd), 6) AS r2 FROM c"),
+
+    // The ols2 nine-moment chain over the daily series with the hinge
+    // feature; slope_after recomposes the 6-dp coefficients.
+    "q_segmented_trend" ->
+      ("WITH sd AS (SELECT CAST(o_orderdate AS DATE) AS dte, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "f AS (SELECT y, CAST(date_diff('day', DATE '1970-01-01', dte) AS DOUBLE) AS x1, " +
+        "greatest(CAST(0 AS DOUBLE), " +
+        "CAST(date_diff('day', DATE '1970-01-01', dte) AS DOUBLE) - " +
+        "CAST(date_diff('day', DATE '1970-01-01', DATE '1998-01-01') AS DOUBLE)) AS x2 " +
+        "FROM sd), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s1, " +
+        "CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2, " +
+        "CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS s11, " +
+        "CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22, " +
+        "CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12, " +
+        "CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y, " +
+        "CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y, " +
+        "CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy FROM f), " +
+        "d AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, sy, s11, s22, s12, " +
+        "s1y, s2y, syy, " +
+        "CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + " +
+        "s2 * (s1 * s12 - s11 * s2) AS det, " +
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + " +
+        "s2 * (s1y * s12 - s11 * s2y) AS d0, " +
+        "CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + " +
+        "s2 * (s1 * s2y - s1y * s2) AS d1, " +
+        "CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + " +
+        "sy * (s1 * s12 - s11 * s2) AS d2 FROM m), " +
+        "c AS (SELECT n, nd, sy, s1y, s2y, syy, " +
+        "d0 / det AS b0, d1 / det AS b1, d2 / det AS b2 FROM d) " +
+        "SELECT n AS n_days, round(b0, 6) AS b0, round(b1, 6) AS slope_before, " +
+        "round(b2, 6) AS slope_change, " +
+        "round(round(b1, 6) + round(b2, 6), 6) AS slope_after, " +
         "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / " +
         "(syy - sy * sy / nd), 6) AS r2 FROM c"),
 

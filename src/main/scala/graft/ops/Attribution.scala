@@ -124,4 +124,49 @@ object Attribution {
 
   private def round6(v: Double): Double =
     new JBigDecimal(v).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  /** Position-based (U-shaped) attribution — the 40/20/40 rule between
+    * the data-driven Markov model above and Sessionize.attribution's
+    * first/last endpoints: each conversion's credit splits 0.4 to the
+    * first touch of its path, 0.4 to the last, 0.2 evenly over the
+    * middles (single-touch paths take 1.0; two-touch paths 0.5/0.5).
+    * Paths reset at each conversion: a running preceding-conversion
+    * count segments every key's history (one window over the per-key
+    * sort), so each touch credits exactly ONE conversion — no
+    * conversion×touch fan-out, the whole op is two windows and a
+    * channel-sized aggregation on the same per-key exchange. Middle
+    * credit 0.2/(m−2) rounds to 9 dp before the DECIMAL credit sum
+    * (engine-identical doubles); segments with no closing conversion
+    * (the still-open tail) earn nothing. Returns (channel, n_touches,
+    * credit) with credit 6-dp. */
+  def positionAttribution(df: DataFrame, keyCol: String, tsCol: String,
+                          tieCol: String, typeCol: String,
+                          conversionType: String): DataFrame = {
+    val wPrev = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = df.withColumn("__seg", coalesce(
+      sum(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+        .over(wPrev), lit(0L)))
+    val wSeg = Window.partitionBy(col(keyCol), col("__seg"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val touches = seg.filter(col(typeCol) =!= conversionType)
+      .withColumn("__i", row_number().over(wSeg))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(col(keyCol), col("__seg"))))
+    val closed = seg.filter(col(typeCol) === conversionType)
+      .select(col(keyCol), col("__seg")).distinct()
+    touches.join(closed, Seq(keyCol, "__seg"))
+      .select(col(typeCol).alias("channel"),
+        when(col("__m") === 1, lit(1.0))
+          .when(col("__m") === 2, lit(0.5))
+          .when(col("__i") === 1 || col("__i") === col("__m"), lit(0.4))
+          .otherwise(round(lit(0.2) / (col("__m") - 2).cast("double"), 9))
+          .alias("__c"))
+      .groupBy("channel")
+      .agg(count(lit(1)).alias("n_touches"),
+        round(sum(col("__c").cast("decimal(18,9)")).cast("double"), 6)
+          .alias("credit"))
+      .orderBy("channel")
+  }
 }

@@ -475,6 +475,29 @@ object Stats {
       round(lit(1.0) - sse / sst, 6).alias("r2"))
   }
 
+  /** Segmented (trend-break) regression of the daily-count series:
+    *   y_t = b0 + b1·t + b2·max(0, t − t_break)
+    * — [[olsFit2]] with a hinge feature at a caller-chosen break date,
+    * the piecewise-linear "did the slope change at the launch/incident"
+    * readout (b2 IS the slope change; its sign and size quantify the
+    * break). Everything reduces to the calendar-bounded daily series
+    * before the one nine-moment DECIMAL pass ([[olsFit2]]'s shape);
+    * slope_after re-adds the 6-dp coefficients so both engines emit the
+    * identical sum. Returns (n_days, b0, slope_before, slope_change,
+    * slope_after, r2). */
+  def segmentedTrend(df: DataFrame, dateCol: Column,
+                     breakDate: String): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__y"))
+      .select(col("__y"), unix_date(col("__d")).cast("double").alias("__t"),
+        greatest(lit(0.0), unix_date(col("__d")).cast("double") -
+          unix_date(to_date(lit(breakDate))).cast("double")).alias("__h"))
+    olsFit2(daily, "__y", "__t", "__h")
+      .select(col("n").alias("n_days"), col("b0"),
+        col("b1").alias("slope_before"), col("b2").alias("slope_change"),
+        round(col("b1") + col("b2"), 6).alias("slope_after"), col("r2"))
+  }
+
   /** A-priori frequent triples over (basket, item) rows: pair-frequency
     * pruning BEFORE the third join — every sub-pair of a support-s
     * triple has support ≥ s (monotonicity), so semi-joining each

@@ -240,6 +240,44 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(c.getDouble(2) == 0.25 && c.getDouble(4) == 0.5)
   }
 
+  test("segmentedTrend recovers an exact piecewise slope change") {
+    import spark.implicits._
+    // counts: 2+i for days 0..4, then 7+3(i−5) — slope 1 before the
+    // break at day 5, slope 3 after, continuous at the hinge
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i))
+    val rows = (0 until 10).flatMap { i =>
+      val cnt = if (i < 5) 2 + i else 7 + 3 * (i - 5)
+      Seq.fill(cnt)(day(i))
+    }
+    val r = Stats.segmentedTrend(rows.toDF("d"), col("d"), "2024-03-06")
+      .collect().head
+    assert(r.getLong(0) == 10)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6, s"before ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-6, s"change ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 3.0) < 1e-6)
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("positionAttribution splits 40/20/40 per closed path") {
+    import spark.implicits._
+    def t(i: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00")
+    val events = Seq(
+      (1L, t(1), 1L, "view"), (1L, t(2), 2L, "click"), (1L, t(3), 3L, "email"),
+      (1L, t(4), 4L, "purchase"), (1L, t(5), 5L, "view"),
+      (1L, t(6), 6L, "purchase"), (1L, t(7), 7L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.ops.Attribution.positionAttribution(events, "user_id",
+      "ts", "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // path 1: view/click/email → 0.4/0.2/0.4; path 2: lone view → 1.0;
+    // the trailing click never closes and earns nothing
+    assert(got("view") == ((2L, 1.4)))
+    assert(got("click") == ((1L, 0.2)))
+    assert(got("email") == ((1L, 0.4)))
+  }
+
   test("partialCorr removes a pure confounder") {
     import spark.implicits._
     // x and y are independent noise plus a strong shared z component:
