@@ -2956,6 +2956,21 @@ object SparkEntry {
       graft.ops.Stats.segmentedTrend(Tables.orders(s, d),
         to_date(col("o_orderdate")), "1998-01-01")),
 
+    // Split-conformal coverage (Stats.conformalCoverage): per-type mean
+    // model on the 60% train hash slice, 90%-residual-quantile band from
+    // the 20% calibration slice, achieved coverage on the 20% test slice.
+    "q_conformal" -> ((s, d) =>
+      graft.ops.Stats.conformalCoverage(Tables.events(s, d), "event_type",
+        "value", col("user_id") % 10 <= 5,
+        col("user_id") % 10 === 6 || col("user_id") % 10 === 7,
+        col("user_id") % 10 >= 8, alpha = 0.1)),
+
+    // Dickey-Fuller stationarity stat (Stats.adfStat): Δy on lagged y
+    // over the daily order-volume series.
+    "q_adf_stat" -> ((s, d) =>
+      graft.ops.Stats.adfStat(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
     // Two-proportion z-test (Aggregates.twoProportionZ): did odd users
     // (treatment) reach a purchase at a different rate than even users
     // (control)? Per-user conversion flags from one groupBy, then the
@@ -6379,6 +6394,48 @@ object SparkEntry {
         "SELECT n, round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2, " +
         "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / " +
         "(syy - sy * sy / nd), 6) AS r2 FROM c"),
+
+    // Same hash slices, 9-dp DECIMAL model means, quantile_cont band
+    // (the proven percentileTwoPass equivalence), identical coverage
+    // comparison.
+    "q_conformal" ->
+      ("WITH b AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v, " +
+        "user_id % 10 AS m FROM events WHERE value IS NOT NULL), " +
+        "mo AS (SELECT g, round(CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / " +
+        "count(*), 9) AS mu FROM b WHERE m <= 5 GROUP BY 1), " +
+        "r AS (SELECT b.m, abs(b.v - mo.mu) AS r FROM b JOIN mo USING (g)), " +
+        "q AS (SELECT round(quantile_cont(r, 0.9), 6) AS qhat, " +
+        "count(*) AS n_cal FROM r WHERE m IN (6, 7)), " +
+        "t AS (SELECT count(*) AS n_test, " +
+        "sum(CASE WHEN r.r <= q.qhat THEN 1 ELSE 0 END) AS inb FROM r, q " +
+        "WHERE m >= 8) " +
+        "SELECT CAST(q.n_cal AS BIGINT) AS n_cal, " +
+        "CAST(t.n_test AS BIGINT) AS n_test, q.qhat, " +
+        "round(CAST(t.inb AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) AS coverage " +
+        "FROM q, t"),
+
+    // Same lag pair construction and five-moment regression with the
+    // identical parenthesization chain.
+    "q_adf_stat" ->
+      ("WITH sd AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "l AS (SELECT y, lag(y) OVER (ORDER BY d) AS yl FROM sd), " +
+        "p AS (SELECT yl AS x, y - yl AS z FROM l WHERE yl IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(x * z AS DECIMAL(38,12))) AS DOUBLE) AS sxz, " +
+        "CAST(sum(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz FROM p), " +
+        "c AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sz, sxx, sxz, szz, " +
+        "sxx - sx * sx / CAST(n AS DOUBLE) AS sxxc FROM m), " +
+        "e AS (SELECT n, nd, sz, sxz, szz, sxxc, sx, " +
+        "(sxz - sx * sz / nd) / sxxc AS beta FROM c), " +
+        "f AS (SELECT n, nd, sxz, szz, sxxc, beta, " +
+        "sz / nd - beta * (sx / nd) AS a, sz FROM e) " +
+        "SELECT n, round(a, 6) AS alpha_hat, round(beta, 6) AS beta, " +
+        "round(beta / sqrt(((szz - a * sz - beta * sxz) / (nd - 2.0)) / sxxc), 6) AS t_stat " +
+        "FROM f"),
 
     // The ols2 nine-moment chain over the daily series with the hinge
     // feature; slope_after recomposes the 6-dp coefficients.

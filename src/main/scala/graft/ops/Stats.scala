@@ -475,6 +475,87 @@ object Stats {
       round(lit(1.0) - sse / sst, 6).alias("r2"))
   }
 
+  /** Split-conformal prediction-interval calibration — the
+    * distribution-free ML-ops readout: fit a simple per-group mean model
+    * on a TRAIN slice, take q̂ = the (1−α) quantile of absolute
+    * residuals on a disjoint CALIBRATION slice, and report the achieved
+    * coverage of the ±q̂ band on a held-out TEST slice (conformal
+    * guarantee: ≥ 1−α up to finite-sample slack, model-agnostic).
+    * Slices are deterministic id-hash buckets supplied by the caller as
+    * predicates, so the split replays on any engine. Scale shape: the
+    * model is a groups-sized broadcast mean table (exact-DECIMAL means,
+    * 9-dp); residual passes are narrow projections; the calibration
+    * quantile runs through the bounded two-pass percentile (nothing
+    * buffers the column). Returns one row (n_cal, n_test, qhat,
+    * coverage) with qhat/coverage 6-dp. */
+  def conformalCoverage(df: DataFrame, groupCol: String, valueCol: String,
+                        trainIf: Column, calIf: Column,
+                        testIf: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"conformalCoverage: bad alpha $alpha")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).alias("__g"),
+        col(valueCol).cast("double").alias("__v"),
+        trainIf.alias("__tr"), calIf.alias("__ca"), testIf.alias("__te"))
+    val model = base.filter(col("__tr"))
+      .groupBy("__g")
+      .agg(round(sum(col("__v").cast("decimal(28,9)")).cast("double") /
+        count(lit(1)), 9).alias("__mu"))
+    val resid = base.join(broadcast(model), "__g")
+      .select(col("__ca"), col("__te"),
+        abs(col("__v") - col("__mu")).alias("__r"))
+    val qhat = Aggregates.percentileTwoPass(
+        resid.filter(col("__ca")).select(col("__r")), "__r", 1.0 - alpha)
+      .select(round(col("value"), 6).alias("qhat"))
+    val cal = resid.filter(col("__ca")).agg(count(lit(1)).alias("n_cal"))
+    resid.filter(col("__te"))
+      .crossJoin(broadcast(qhat))
+      .agg(first(col("qhat")).alias("qhat"),
+        count(lit(1)).alias("n_test"),
+        sum(when(col("__r") <= col("qhat"), 1L).otherwise(0L)).alias("__in"))
+      .crossJoin(broadcast(cal))
+      .select(col("n_cal"), col("n_test"), col("qhat"),
+        round(col("__in").cast("double") / col("n_test").cast("double"), 6)
+          .alias("coverage"))
+  }
+
+  /** Dickey-Fuller stationarity readout of the daily-count series (no
+    * augmentation lags, no critical-value table — the raw regression
+    * Δy_t = a + b·y_{t−1}, reporting b and its t-statistic; strongly
+    * negative t ⇒ mean-reverting, near 0 ⇒ unit-root drift. The
+    * pretraining-telemetry "is this metric stationary or trending"
+    * check). The series reduces to calendar-bounded daily counts before
+    * the one lag window; the regression runs on five exact-DECIMAL
+    * moments with fixed double parenthesization. Returns
+    * (n, alpha_hat, beta, t_stat) 6-dp. */
+  def adfStat(df: DataFrame, dateCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__y"))
+    val w = Window.orderBy("__d")
+    val pairs = daily
+      .withColumn("__yl", lag("__y", 1).over(w))
+      .filter(col("__yl").isNotNull)
+      .select(col("__yl").alias("__x"), (col("__y") - col("__yl")).alias("__z"))
+    val m = pairs.agg(count(lit(1)).alias("n"),
+      sum(col("__x").cast("decimal(38,12)")).alias("__sx"),
+      sum(col("__z").cast("decimal(38,12)")).alias("__sz"),
+      sum((col("__x") * col("__x")).cast("decimal(38,12)")).alias("__sxx"),
+      sum((col("__x") * col("__z")).cast("decimal(38,12)")).alias("__sxz"),
+      sum((col("__z") * col("__z")).cast("decimal(38,12)")).alias("__szz"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sz = col("__sz").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxz = col("__sxz").cast("double")
+    val szz = col("__szz").cast("double")
+    val sxxc = sxx - sx * sx / n
+    val beta = (sxz - sx * sz / n) / sxxc
+    val a = sz / n - beta * (sx / n)
+    val sse = szz - a * sz - beta * sxz
+    val se = sqrt((sse / (n - lit(2.0))) / sxxc)
+    m.select(col("n"), round(a, 6).alias("alpha_hat"),
+      round(beta, 6).alias("beta"),
+      round(beta / se, 6).alias("t_stat"))
+  }
+
   /** Segmented (trend-break) regression of the daily-count series:
     *   y_t = b0 + b1·t + b2·max(0, t − t_break)
     * — [[olsFit2]] with a hinge feature at a caller-chosen break date,

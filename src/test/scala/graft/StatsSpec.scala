@@ -240,6 +240,39 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(c.getDouble(2) == 0.25 && c.getDouble(4) == 0.5)
   }
 
+  test("conformalCoverage: hand-computed band and coverage") {
+    import spark.implicits._
+    // train mean = 1; cal residuals sorted (0, 0.5, 0.5, 1.0) → q90
+    // interpolates 0.5 + 0.7·0.5 = 0.85; test residuals (0.8, 2.0) →
+    // coverage 0.5
+    val rows = Seq(
+      ("a", 0.0, 0L), ("a", 2.0, 1L),               // train (m <= 5)
+      ("a", 1.5, 16L), ("a", 0.5, 26L), ("a", 2.0, 36L), ("a", 1.0, 46L),
+      ("a", 1.8, 18L), ("a", 3.0, 28L))             // test (m >= 8)
+      .toDF("g", "v", "uid")
+    val r = Stats.conformalCoverage(rows, "g", "v",
+      col("uid") % 10 <= 5, col("uid") % 10 === 6, col("uid") % 10 >= 8,
+      alpha = 0.1).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.85)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("adfStat: mean-reverting alternation gives a negative beta") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 4, 1).plusDays(i))
+    // counts 1,3,1,3,1,3,1,3,2 → two-level x, group means pin the line:
+    // beta = (−1.75 − 2)/2 = −1.875
+    val counts = Seq(1, 3, 1, 3, 1, 3, 1, 3, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(day(i)) }
+    val r = Stats.adfStat(rows.toDF("d"), col("d")).collect().head
+    assert(r.getLong(0) == 8)
+    assert(math.abs(r.getDouble(2) + 1.875) < 1e-6, s"beta ${r.getDouble(2)}")
+    assert(r.getDouble(3) < -5.0, s"t ${r.getDouble(3)}")
+  }
+
   test("segmentedTrend recovers an exact piecewise slope change") {
     import spark.implicits._
     // counts: 2+i for days 0..4, then 7+3(i−5) — slope 1 before the
