@@ -2971,6 +2971,24 @@ object SparkEntry {
       graft.ops.Stats.adfStat(Tables.orders(s, d),
         to_date(col("o_orderdate")))),
 
+    // Wilcoxon signed-rank (Stats.wilcoxonSignedRank): 1996 vs 1997
+    // daily revenue paired by (month, day) — the paired nonparametric
+    // year-over-year shift test.
+    "q_wilcoxon" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .select(to_date(col("o_orderdate")).alias("dt"), col("o_totalprice"))
+        .groupBy(year(col("dt")).alias("y"), month(col("dt")).alias("m"),
+          dayofmonth(col("dt")).alias("dd"))
+        .agg(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+          .alias("rev"))
+      val a = daily.filter(col("y") === 1996)
+        .select(col("m"), col("dd"), col("rev").alias("rev_a"))
+      val b = daily.filter(col("y") === 1997)
+        .select(col("m"), col("dd"), col("rev").alias("rev_b"))
+      graft.ops.Stats.wilcoxonSignedRank(a.join(b, Seq("m", "dd")),
+        "rev_a", "rev_b")
+    }),
+
     // Two-proportion z-test (Aggregates.twoProportionZ): did odd users
     // (treatment) reach a purchase at a different rate than even users
     // (control)? Per-user conversion flags from one groupBy, then the
@@ -6413,6 +6431,33 @@ object SparkEntry {
         "CAST(t.n_test AS BIGINT) AS n_test, q.qhat, " +
         "round(CAST(t.inb AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6) AS coverage " +
         "FROM q, t"),
+
+    // Same per-|d| count-table ranks (q_mannwhitney's cumulative shape),
+    // DECIMAL rank sums, identical tie-corrected z parenthesization.
+    "q_wilcoxon" ->
+      ("WITH daily AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, " +
+        "day(o_orderdate) AS dd, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev " +
+        "FROM orders GROUP BY 1, 2, 3), " +
+        "pr AS (SELECT a.rev - b.rev AS d FROM daily a JOIN daily b " +
+        "ON a.m = b.m AND a.dd = b.dd AND a.y = 1996 AND b.y = 1997), " +
+        "nz AS (SELECT abs(d) AS v, CASE WHEN d > 0 THEN 1 ELSE 0 END AS p " +
+        "FROM pr WHERE d <> 0), " +
+        "pv AS (SELECT v, SUM(p) AS cp, SUM(1 - p) AS cn, " +
+        "SUM(p) + SUM(1 - p) AS t FROM nz GROUP BY 1), " +
+        "r AS (SELECT cp, cn, t, COALESCE(SUM(t) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pv), " +
+        "c AS (SELECT CAST(SUM(cp + cn) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST((CAST(bef AS DOUBLE) + (t + 1) / 2.0) * cp AS DECIMAL(28,8))) AS DOUBLE) AS wp, " +
+        "CAST(SUM(CAST((CAST(bef AS DOUBLE) + (t + 1) / 2.0) * cn AS DECIMAL(28,8))) AS DOUBLE) AS wm, " +
+        "CAST(SUM(CAST(t * t * t - t AS DECIMAL(28,8))) AS DOUBLE) AS ties FROM r) " +
+        "SELECT coalesce(n, 0) AS n, round(wp, 6) AS w_plus, " +
+        "round(wm, 6) AS w_minus, " +
+        "round(CASE WHEN sqrt(n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0) / 24.0 " +
+        "- ties / 48.0) > 0 THEN " +
+        "(wp - n::DOUBLE * (n::DOUBLE + 1.0) / 4.0) / " +
+        "sqrt(n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0) / 24.0 " +
+        "- ties / 48.0) END, 6) AS z FROM c"),
 
     // Same lag pair construction and five-moment regression with the
     // identical parenthesization chain.

@@ -238,6 +238,48 @@ object Stats {
       round(when(sig > 0, (uA - mu) / sig), 6).alias("z"))
   }
 
+  /** Wilcoxon signed-rank test — [[mannWhitneyU]]'s PAIRED sibling: for
+    * (a, b) pairs, rank the nonzero |a−b| differences (average ranks on
+    * ties, zero differences dropped per the classic definition), sum
+    * ranks of positive vs negative differences, and report the
+    * tie-corrected normal approximation
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    * The year-over-year "did the paired metric shift" test that makes no
+    * normality assumption. Runs ENTIRELY on the per-|d| count table
+    * through the same distributed cumulative ([[withCumBefore]]) as
+    * Mann-Whitney — no row-level rank join, no global window; DECIMAL
+    * rank sums. Degenerate all-zero-diff input reports n=0, NULL z. */
+  def wilcoxonSignedRank(pairs: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val d = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((col(aCol).cast("double") - col(bCol).cast("double"))
+        .alias("__d"))
+      .filter(col("__d") =!= 0.0)
+      .select(abs(col("__d")).alias("value"),
+        when(col("__d") > 0, 1L).otherwise(0L).alias("__p"))
+    val perValue = d.groupBy("value")
+      .agg(sum("__p").alias("__cp"), sum(lit(1L) - col("__p")).alias("__cn"))
+    val t = perValue.withColumn("__t", col("__cp") + col("__cn"))
+    val withRank = withCumBefore(t, "value", "__t")
+      .withColumn("__rank",
+        col("__before").cast("double") + (col("__t") + 1) / lit(2.0))
+    val c = withRank.agg(
+      sum(col("__cp") + col("__cn")).alias("n"),
+      sum((col("__rank") * col("__cp")).cast("decimal(28,8)")).alias("__wp"),
+      sum((col("__rank") * col("__cn")).cast("decimal(28,8)")).alias("__wm"),
+      sum((col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast("decimal(28,8)")).alias("__ties"))
+    val n = col("n").cast("double")
+    val wp = col("__wp").cast("double")
+    val mu = n * (n + lit(1.0)) / lit(4.0)
+    val sig = sqrt(n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
+      col("__ties").cast("double") / lit(48.0))
+    c.select(coalesce(col("n"), lit(0L)).alias("n"),
+      round(wp, 6).alias("w_plus"),
+      round(col("__wm").cast("double"), 6).alias("w_minus"),
+      round(when(sig > 0, (wp - mu) / sig), 6).alias("z"))
+  }
+
   /** Benford first-digit audit: the observed leading-significant-digit
     * distribution of a positive amount column against Benford's law
     * p(d) = log10(1 + 1/d), with the χ² contribution per digit — the

@@ -240,6 +240,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(c.getDouble(2) == 0.25 && c.getDouble(4) == 0.5)
   }
 
+  test("wilcoxonSignedRank matches the textbook rank sums") {
+    import spark.implicits._
+    // diffs (1, −2, 3, 4, 5, 0): the zero drops; |d| ranks 1..5 →
+    // W⁺ = 1+3+4+5 = 13, W⁻ = 2, z = 5.5/√13.75
+    val pairs = Seq((2.0, 1.0), (1.0, 3.0), (5.0, 2.0), (6.0, 2.0),
+      (8.0, 3.0), (4.0, 4.0)).toDF("a", "b")
+    val r = Stats.wilcoxonSignedRank(pairs, "a", "b").collect().head
+    assert(r.getLong(0) == 5)
+    assert(r.getDouble(1) == 13.0 && r.getDouble(2) == 2.0)
+    assert(math.abs(r.getDouble(3) - 5.5 / math.sqrt(13.75)) < 1e-5)
+    // tied |d| values share average ranks: diffs (1, −1, 2) →
+    // ranks (1.5, 1.5, 3): W⁺ = 4.5, W⁻ = 1.5
+    val tied = Seq((2.0, 1.0), (1.0, 2.0), (3.0, 1.0)).toDF("a", "b")
+    val t = Stats.wilcoxonSignedRank(tied, "a", "b").collect().head
+    assert(t.getDouble(1) == 4.5 && t.getDouble(2) == 1.5)
+  }
+
   test("conformalCoverage: hand-computed band and coverage") {
     import spark.implicits._
     // train mean = 1; cal residuals sorted (0, 0.5, 0.5, 1.0) → q90
