@@ -3032,6 +3032,18 @@ object SparkEntry {
       graft.ops.Stats.autocorrelation(Tables.orders(s, d),
         to_date(col("o_orderdate")), maxLag = 7)),
 
+    // Partial autocorrelation lags 1-3 (Stats.pacf): Durbin-Levinson on
+    // the pinned ACF values — the AR-order readout.
+    "q_pacf" -> ((s, d) =>
+      graft.ops.Stats.pacf(Tables.orders(s, d), to_date(col("o_orderdate")))),
+
+    // Daily session-quality report (Sessionize.sessionReport): sessions,
+    // bounce rate, events/session, mean duration over the same 30-min
+    // gap sessionization as q_sessionize_batch.
+    "q_session_report" -> ((s, d) =>
+      graft.ops.Sessionize.sessionReport(Tables.events(s, d), "user_id",
+        "ts", "event_id", 30)),
+
     // Mann-Whitney rank-sum test (Stats.mannWhitneyU): do odd users'
     // event values stochastically dominate even users'? Tie-corrected
     // normal approximation, ranks from the distributed per-value
@@ -5246,6 +5258,27 @@ object SparkEntry {
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end " +
         "FROM y GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // Same sessionization CTEs; durations sum as exact epoch-ms LONGs
+    // before the one pinned double division.
+    "q_session_report" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "y AS (SELECT user_id, ts, CAST(sum(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq " +
+        "FROM x), " +
+        "se AS (SELECT user_id, session_seq, count(*) AS n_events, " +
+        "min(ts) AS st, max(ts) AS en FROM y GROUP BY 1, 2), " +
+        "dd AS (SELECT CAST(st AS DATE) AS day, n_events, " +
+        "epoch_ms(en) - epoch_ms(st) AS dur FROM se) " +
+        "SELECT day, CAST(count(*) AS BIGINT) AS n_sessions, " +
+        "round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS bounce_rate, " +
+        "round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_events, " +
+        "round(CAST(sum(dur) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0, 6) AS avg_duration_sec " +
+        "FROM dd GROUP BY 1 ORDER BY 1"),
+
     "q_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +
         "v AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), " +
@@ -6187,6 +6220,36 @@ object SparkEntry {
         (1 to 7).map(l =>
           s"SELECT $l AS lag, round(CAST(n$l AS DOUBLE) / CAST(den AS DOUBLE), 6) " +
           s"AS acf FROM a").mkString(" UNION ALL ") +
+        ") ORDER BY lag"),
+
+    // The q_acf chain truncated to 3 lags, then the same unrolled
+    // Durbin-Levinson scalar arithmetic on the 6-dp ρ values.
+    "q_pacf" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+        "m AS (SELECT sum(x) / count(*) AS m FROM s), " +
+        "c AS (SELECT x - m.m AS c0, " +
+        (1 to 3).map(l =>
+          s"lead(x, $l) OVER (ORDER BY d) - m.m AS c$l").mkString(", ") +
+        " FROM s CROSS JOIN m), " +
+        "a AS (SELECT sum(CAST(c0 * c0 AS DECIMAL(28,8))) AS den, " +
+        (1 to 3).map(l =>
+          s"sum(CAST(c0 * c$l AS DECIMAL(28,8))) AS n$l").mkString(", ") +
+        " FROM a0), ".replace("a0", "c") +
+        "rr AS (SELECT " +
+        (1 to 3).map(l =>
+          s"round(CAST(n$l AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r$l")
+          .mkString(", ") +
+        " FROM a), " +
+        "p1 AS (SELECT r1, r2, r3, 1.0 - r1 * r1 AS d2 FROM rr), " +
+        "p2 AS (SELECT *, (r2 - r1 * r1) / d2 AS p22 FROM p1), " +
+        "p3 AS (SELECT *, r1 - p22 * r1 AS p21 FROM p2), " +
+        "p4 AS (SELECT *, 1.0 - (p21 * r1 + p22 * r2) AS d3 FROM p3), " +
+        "p5 AS (SELECT *, (r3 - (p21 * r2 + p22 * r1)) / d3 AS p33 FROM p4) " +
+        "SELECT lag, pacf FROM (" +
+        "SELECT 1 AS lag, round(r1, 6) AS pacf FROM p5 " +
+        "UNION ALL SELECT 2, round(CASE WHEN d2 <> 0 THEN p22 END, 6) FROM p5 " +
+        "UNION ALL SELECT 3, round(CASE WHEN d2 <> 0 AND d3 <> 0 THEN p33 END, 6) FROM p5" +
         ") ORDER BY lag"),
 
     // Same per-value rank cumulative, same tie-corrected variance with

@@ -34,6 +34,32 @@ object Sessionize {
         min(col(tsCol)).alias("session_start"),
         max(col(tsCol)).alias("session_end"))
 
+  /** Daily session-quality report — the engagement dashboard over
+    * [[sessions]]: per session_start day, session count, bounce rate
+    * (single-event sessions), mean events/session, mean duration in
+    * seconds. One more day-keyed aggregation over the sessions table
+    * (already user-key-exchanged once); durations sum as exact
+    * millisecond LONGs before the one pinned double division, so the
+    * report is engine-exact. */
+  def sessionReport(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, gapMinutes: Int): DataFrame =
+    sessions(df, keyCol, tsCol, tieCol, gapMinutes)
+      .select(to_date(col("session_start")).alias("day"), col("n_events"),
+        (unix_millis(col("session_end")) - unix_millis(col("session_start")))
+          .alias("__dur"))
+      .groupBy("day")
+      .agg(count(lit(1)).alias("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).alias("__b"),
+        sum("n_events").alias("__ev"), sum("__dur").alias("__d"))
+      .select(col("day"), col("n_sessions"),
+        round(col("__b").cast("double") / col("n_sessions").cast("double"), 6)
+          .alias("bounce_rate"),
+        round(col("__ev").cast("double") / col("n_sessions").cast("double"), 6)
+          .alias("avg_events"),
+        round(col("__d").cast("double") / col("n_sessions").cast("double") /
+          lit(1000.0), 6).alias("avg_duration_sec"))
+      .orderBy("day")
+
   /** Time-series resample with forward fill: per key, an hourly grid from
     * the key's first to last observation, each grid point carrying the
     * most recent observed value at or before it. The standard gap-fill a

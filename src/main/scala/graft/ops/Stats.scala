@@ -104,6 +104,36 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Partial autocorrelation (lags 1-3) via the unrolled Durbin-Levinson
+    * recursion on [[autocorrelation]]'s 6-dp-pinned ρ values — "how much
+    * does lag l explain AFTER the shorter lags", the AR-order readout
+    * beside the raw ACF:
+    *   φ₁₁ = ρ₁;  φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²);  φ₂₁ = ρ₁ − φ₂₂ρ₁;
+    *   φ₃₃ = (ρ₃ − (φ₂₁ρ₂ + φ₂₂ρ₁)) / (1 − (φ₂₁ρ₁ + φ₂₂ρ₂)).
+    * Everything downstream of the ACF is scalar double arithmetic with
+    * a fixed parenthesization both engines replay; |ρ₁| = 1 degenerates
+    * (zero denominator) pin to NULL on both sides. */
+  def pacf(df: DataFrame, dateCol: Column): DataFrame = {
+    val a = autocorrelation(df, dateCol, maxLag = 3)
+      .agg(max(when(col("lag") === 1, col("acf"))).alias("r1"),
+        max(when(col("lag") === 2, col("acf"))).alias("r2"),
+        max(when(col("lag") === 3, col("acf"))).alias("r3"))
+    val d2 = lit(1.0) - col("r1") * col("r1")
+    val p22 = (col("r2") - col("r1") * col("r1")) / d2
+    val p21 = col("r1") - p22 * col("r1")
+    val d3 = lit(1.0) - (p21 * col("r1") + p22 * col("r2"))
+    val p33 = (col("r3") - (p21 * col("r2") + p22 * col("r1"))) / d3
+    a.select(explode(array(
+        struct(lit(1).alias("lag"), round(col("r1"), 6).alias("pacf")),
+        struct(lit(2).alias("lag"),
+          round(when(d2 =!= 0, p22), 6).alias("pacf")),
+        struct(lit(3).alias("lag"),
+          round(when(d2 =!= 0 && d3 =!= 0, p33), 6).alias("pacf"))))
+        .alias("__r"))
+      .select(col("__r.lag").alias("lag"), col("__r.pacf").alias("pacf"))
+      .orderBy("lag")
+  }
+
   /** Cross-correlation function between two date-grain series derived
     * from the same table (does metric y echo metric x a few days
     * later?): ccf(l) = Σ(x_t−x̄)(y_{t+l}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²) for

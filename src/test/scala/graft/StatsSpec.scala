@@ -240,6 +240,43 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(c.getDouble(2) == 0.25 && c.getDouble(4) == 0.5)
   }
 
+  test("pacf applies Durbin-Levinson to the pinned ACF values") {
+    import spark.implicits._
+    val n = 40
+    val rows = (0 until n).flatMap { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      Seq.fill(if (i % 2 == 0) 1 else 2)(d)
+    }
+    val df = rows.toDF("d")
+    val got = Stats.pacf(df, col("d"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // recompute DL independently from the alternating-series ACF
+    def r6(v: Double) = new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val (r1, r2, r3) = (r6(-(n - 1).toDouble / n), r6((n - 2).toDouble / n),
+      r6(-(n - 3).toDouble / n))
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - (p21 * r2 + p22 * r1)) / (1.0 - (p21 * r1 + p22 * r2))
+    assert(got(1) == r1)
+    assert(math.abs(got(2) - p22) < 1e-6)
+    assert(math.abs(got(3) - p33) < 1e-6)
+  }
+
+  test("sessionReport: hand-computed bounce and duration") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-05 00:$m%02d:00")
+    val events = Seq((1L, t(0), 1L), (1L, t(10), 2L), (2L, t(5), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val r = graft.ops.Sessionize.sessionReport(events, "user_id", "ts",
+      "event_id", 30).collect().head
+    assert(r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.5)      // one of two sessions bounced
+    assert(r.getDouble(3) == 1.5)      // 3 events / 2 sessions
+    assert(r.getDouble(4) == 300.0)    // (600 + 0) / 2 seconds
+  }
+
   test("wilcoxonSignedRank matches the textbook rank sums") {
     import spark.implicits._
     // diffs (1, −2, 3, 4, 5, 0): the zero drops; |d| ranks 1..5 →
