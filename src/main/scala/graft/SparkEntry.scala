@@ -3044,6 +3044,42 @@ object SparkEntry {
       graft.ops.Sessionize.sessionReport(Tables.events(s, d), "user_id",
         "ts", "event_id", 30)),
 
+    // Wald-Wolfowitz runs test (Stats.runsTest): randomness of the daily
+    // order-count series from the sign pattern of day-over-day deltas.
+    "q_runs_test" -> ((s, d) =>
+      graft.ops.Stats.runsTest(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
+    // Brown-Forsythe homogeneity of variance (Stats.brownForsythe):
+    // Levene's W on |value - group median| across event types — the
+    // equal-spread gatekeeper in front of q_anova.
+    "q_brown_forsythe" -> ((s, d) =>
+      graft.ops.Stats.brownForsythe(Tables.events(s, d), "event_type",
+        "value")),
+
+    // McNemar paired-binary test (Stats.mcnemarTest): per user, clicked
+    // vs purchased — the discordant-cell readout marginal rates hide.
+    "q_mcnemar" -> ((s, d) =>
+      graft.ops.Stats.mcnemarTest(Tables.events(s, d), "user_id",
+        col("event_type") === "click", col("event_type") === "purchase")),
+
+    // Hellinger distance between the even/odd document slices' unigram
+    // distributions (TextAnalysis.hellingerDrift): the bounded symmetric
+    // metric twin of q_kl_drift, on the same slice split.
+    "q_hellinger" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis.hellingerDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
+    // Embedding dispersion per label (Similarity.dispersionReport): the
+    // exact mean pairwise cosine via the resultant-vector identity —
+    // O(n·d) where the naive readout is O(n²·d).
+    "q_embedding_dispersion" -> ((s, d) =>
+      graft.ops.Similarity.dispersionReport(Tables.embeddings(s, d),
+        "embedding", "label")),
+
     // Mann-Whitney rank-sum test (Stats.mannWhitneyU): do odd users'
     // event values stochastically dominate even users'? Tie-corrected
     // normal approximation, ranks from the distributed per-value
@@ -5278,6 +5314,106 @@ object SparkEntry {
         "round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_events, " +
         "round(CAST(sum(dur) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0, 6) AS avg_duration_sec " +
         "FROM dd GROUP BY 1 ORDER BY 1"),
+
+    // Same zero-delta drop, same integer run count, same fixed
+    // parenthesization of the mu/sigma normal approximation.
+    "q_runs_test" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+        "dx AS (SELECT d, x - lag(x) OVER (ORDER BY d) AS dx FROM s), " +
+        "sg AS (SELECT d, CASE WHEN dx > 0 THEN 1 ELSE -1 END AS sg " +
+        "FROM dx WHERE dx IS NOT NULL AND dx <> 0), " +
+        "r AS (SELECT sg, lag(sg) OVER (ORDER BY d) AS pr FROM sg), " +
+        "c AS (SELECT CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up, " +
+        "CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down, " +
+        "CAST(1 + sum(CASE WHEN pr IS NOT NULL AND sg <> pr THEN 1 ELSE 0 END) AS BIGINT) AS runs FROM r) " +
+        "SELECT n_up, n_down, runs, " +
+        "round(2.0 * n_up::DOUBLE * n_down::DOUBLE / (n_up::DOUBLE + n_down::DOUBLE) + 1.0, 6) AS expected_runs, " +
+        "round((runs::DOUBLE - (2.0 * n_up::DOUBLE * n_down::DOUBLE / (n_up::DOUBLE + n_down::DOUBLE) + 1.0)) / " +
+        "sqrt((2.0 * n_up::DOUBLE * n_down::DOUBLE * (2.0 * n_up::DOUBLE * n_down::DOUBLE - (n_up::DOUBLE + n_down::DOUBLE))) / " +
+        "((n_up::DOUBLE + n_down::DOUBLE) * (n_up::DOUBLE + n_down::DOUBLE) * ((n_up::DOUBLE + n_down::DOUBLE) - 1.0))), 6) AS z " +
+        "FROM c"),
+
+    // Same quantile_cont group medians, DECIMAL deviation sums, same
+    // two-pass SSB/SSW with fixed parenthesization.
+    "q_brown_forsythe" ->
+      ("WITH b AS (SELECT event_type AS g, value AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "m AS (SELECT g, quantile_cont(v, 0.5) AS med FROM b GROUP BY 1), " +
+        "z AS (SELECT b.g, abs(b.v - m.med) AS z FROM b JOIN m ON b.g = m.g), " +
+        "grp AS (SELECT g, count(*) AS n, " +
+        "sum(CAST(z AS DECIMAL(28,10))) AS sz FROM z GROUP BY 1), " +
+        "gm AS (SELECT g, n, sz, CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS mz FROM grp), " +
+        "ww AS (SELECT sum(CAST((z.z - gm.mz) * (z.z - gm.mz) AS DECIMAL(28,10))) AS ssw " +
+        "FROM z JOIN gm ON z.g = gm.g), " +
+        "tt AS (SELECT sum(n) AS nt, count(*) AS k, sum(sz) AS szt FROM gm), " +
+        "bb AS (SELECT max(tt.nt) AS nt, max(tt.k) AS k, " +
+        "sum(CAST(CAST(gm.n AS DOUBLE) * ((gm.mz - CAST(tt.szt AS DOUBLE) / CAST(tt.nt AS DOUBLE)) * " +
+        "(gm.mz - CAST(tt.szt AS DOUBLE) / CAST(tt.nt AS DOUBLE))) AS DECIMAL(28,10))) AS ssb " +
+        "FROM gm CROSS JOIN tt) " +
+        "SELECT CAST(k AS BIGINT) AS k_groups, CAST(nt AS BIGINT) AS n_total, " +
+        "round(((CAST(nt AS DOUBLE) - CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) * " +
+        "(CAST(ssb AS DOUBLE) / CAST(ssw AS DOUBLE)), 6) AS w_stat " +
+        "FROM bb CROSS JOIN ww"),
+
+    // Same per-entity max flags, same Edwards-corrected statistic with
+    // the NULL pin on zero discordance.
+    "q_mcnemar" ->
+      ("WITH per AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b " +
+        "FROM events GROUP BY 1), " +
+        "c AS (SELECT " +
+        "CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00, " +
+        "CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01, " +
+        "CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10, " +
+        "CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11 FROM per) " +
+        "SELECT n00, n01, n10, n11, " +
+        "CASE WHEN n01 + n10 = 0 THEN NULL ELSE " +
+        "round(greatest(CAST(abs(n01 - n10) AS DOUBLE) - 1.0, 0.0) * " +
+        "greatest(CAST(abs(n01 - n10) AS DOUBLE) - 1.0, 0.0) / " +
+        "CAST(n01 + n10 AS DOUBLE), 6) END AS chi2 FROM c"),
+
+    // Same unsmoothed p/q doubles, IEEE-exact sqrt terms, DECIMAL BC sum.
+    "q_hellinger" ->
+      ("WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "tb AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "ca AS (SELECT token, count(*) AS ca FROM ta WHERE token <> '' GROUP BY 1), " +
+        "cb AS (SELECT token, count(*) AS cb FROM tb WHERE token <> '' GROUP BY 1), " +
+        "j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb " +
+        "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), " +
+        "t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j), " +
+        "p AS (SELECT sqrt((CAST(ca AS DOUBLE) / CAST(t.ta AS DOUBLE)) * " +
+        "(CAST(cb AS DOUBLE) / CAST(t.tb AS DOUBLE))) AS term FROM j CROSS JOIN t) " +
+        "SELECT CAST(count(*) AS BIGINT) AS vocab, " +
+        "round(CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE), 6) AS bhattacharyya, " +
+        "round(sqrt(greatest(1.0 - CAST(sum(CAST(term AS DECIMAL(28,14))) AS DOUBLE), 0.0)), 6) AS hellinger " +
+        "FROM p"),
+
+    // Same element-order normalization fold, DECIMAL resultant sums,
+    // same (||S||^2 - n) / (n(n-1)) readout with the singleton NULL pin.
+    "q_embedding_dispersion" ->
+      ("WITH v AS MATERIALIZED (SELECT label AS grp, embedding::DOUBLE[] AS v " +
+        "FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0), " +
+        "vh AS MATERIALIZED (SELECT grp, round(sqrt(list_dot_product(v, v)), 9) AS nrm, " +
+        "list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vh FROM v), " +
+        "pe AS (SELECT grp, i AS p, vh[i] AS xh FROM vh, " +
+        "unnest(generate_series(1, len(vh))) AS u(i)), " +
+        "s AS (SELECT grp, p, CAST(sum(CAST(xh AS DECIMAL(28,14))) AS DOUBLE) AS s " +
+        "FROM pe GROUP BY 1, 2), " +
+        "sq AS (SELECT grp, CAST(sum(CAST(s * s AS DECIMAL(28,14))) AS DOUBLE) AS ssq " +
+        "FROM s GROUP BY 1), " +
+        "cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "round(CAST(sum(CAST(nrm AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mean_norm " +
+        "FROM vh GROUP BY 1) " +
+        "SELECT cnt.grp, n_vecs, mean_norm, " +
+        "CASE WHEN n_vecs < 2 THEN NULL ELSE " +
+        "round((ssq - CAST(n_vecs AS DOUBLE)) / " +
+        "(CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0)), 6) END AS mean_pairwise_cos, " +
+        "round(sqrt(ssq) / CAST(n_vecs AS DOUBLE), 6) AS mean_resultant_norm " +
+        "FROM cnt JOIN sq ON cnt.grp = sq.grp ORDER BY cnt.grp"),
 
     "q_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +

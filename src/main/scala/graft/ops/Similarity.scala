@@ -570,6 +570,55 @@ object Similarity {
       .orderBy("grp")
   }
 
+  /** Embedding-space dispersion per group: the EXACT mean of all
+    * n·(n−1) ordered pairwise cosines, computed WITHOUT the pairwise
+    * join via the resultant-vector identity
+    *   Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σᵢ v̂ᵢ‖² − n        (v̂ = v/‖v‖)
+    * so mean_pairwise_cos = (‖S‖² − n)/(n·(n−1)) — the embedding-
+    * collapse diagnostic (a healthy space sits near 0; a collapsed or
+    * anisotropy-dominated one drifts toward 1) that a naive
+    * implementation pays O(n²) for and this one pays one corpus pass.
+    * Also reports the mean resultant norm ‖S‖/n (directional
+    * concentration, the circular-statistics readout) and the mean raw
+    * norm. Scale shape: vectors never shuffle — only exploded
+    * (grp, dim, x̂) triples do, map-side-combined to groups × dim cells;
+    * everything after is group-count-sized. Determinism: the per-dim
+    * resultant sums and the ‖S‖² reduction accumulate in DECIMAL; the
+    * normalization fold is element-order identical on both engines
+    * ([[embeddingProfile]] stance). Zero-norm vectors are excluded (they
+    * have no direction); singleton groups pin the pairwise mean to NULL
+    * identically on both engines. */
+  def dispersionReport(emb: DataFrame, vecCol: String,
+                       groupCol: String): DataFrame = {
+    val v = emb.select(col(groupCol).alias("grp"),
+        asDouble(col(vecCol)).alias("__v"))
+      .filter(dot(col("__v"), col("__v")) > 0)
+      .select(col("grp"),
+        round(norm(col("__v")), 9).alias("__nrm"),
+        transform(col("__v"), x => x / sqrt(dot(col("__v"), col("__v"))))
+          .alias("__vh"))
+    val res = v
+      .select(col("grp"), col("__nrm"),
+        posexplode(col("__vh")).as(Seq("__p", "__xh")))
+      .groupBy("grp", "__p")
+      .agg(sum(col("__xh").cast("decimal(28,14)")).cast("double").alias("__s"))
+      .groupBy("grp")
+      .agg(sum((col("__s") * col("__s")).cast("decimal(28,14)"))
+        .cast("double").alias("__ssq"))
+    val cnt = v.groupBy("grp")
+      .agg(count(lit(1)).alias("n_vecs"),
+        round(sum(col("__nrm").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 6).alias("mean_norm"))
+    val n = col("n_vecs").cast("double")
+    cnt.join(res, "grp")
+      .select(col("grp"), col("n_vecs"), col("mean_norm"),
+        when(col("n_vecs") < 2, lit(null).cast("double"))
+          .otherwise(round((col("__ssq") - n) / (n * (n - lit(1.0))), 6))
+          .alias("mean_pairwise_cos"),
+        round(sqrt(col("__ssq")) / n, 6).alias("mean_resultant_norm"))
+      .orderBy("grp")
+  }
+
   /** Empirical covariance of an embedding column as a (i, j, c) matrix
     * table, computed in ONE corpus pass: C(i,j) = Σxᵢxⱼ/n − μᵢμⱼ, with
     * both the cross-product and the mean sums accumulated as

@@ -1770,4 +1770,121 @@ object Stats {
           .when(col("paa") < 0.6745, "c").otherwise("d"))
       .orderBy("frame")
   }
+
+  /** Wald–Wolfowitz runs test for randomness of the daily-count series:
+    * signs of day-over-day deltas (zero deltas dropped, the standard
+    * convention), R = number of sign runs, compared against the
+    * iid expectation μ = 2·n₊·n₋/n + 1 with
+    * σ² = 2·n₊·n₋·(2·n₊·n₋ − n) / (n²·(n − 1)). A trend- or
+    * oscillation-shaped series (too few / too many runs) fails long
+    * before a mean-level monitor notices. Scale shape: the raw stream
+    * reduces to the CALENDAR-BOUNDED daily table first; both lag windows
+    * run over that bounded series, and the readout is a one-row
+    * aggregate of exact integers — sqrt is IEEE-exact, so the z
+    * statistic is engine-identical with no DECIMAL machinery. Degenerate
+    * one-sided series (n₊ = 0 or n₋ = 0, σ = 0) fail fast rather than
+    * diverging between engines on 0/0. */
+  def runsTest(df: DataFrame, dateCol: Column): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"))
+    val w = Window.orderBy("__d")
+    val signs = daily
+      .withColumn("__dx", col("__x") - lag("__x", 1).over(w))
+      .filter(col("__dx").isNotNull && col("__dx") =!= 0)
+      .withColumn("__sg", when(col("__dx") > 0, 1).otherwise(-1))
+    val runs = signs
+      .withColumn("__pr", lag("__sg", 1).over(w))
+      .agg(
+        sum(when(col("__sg") === 1, 1L).otherwise(0L)).alias("n_up"),
+        sum(when(col("__sg") === -1, 1L).otherwise(0L)).alias("n_down"),
+        (lit(1L) + sum(when(col("__pr").isNotNull && col("__sg") =!= col("__pr"),
+          1L).otherwise(0L))).alias("runs"))
+    val n1 = col("n_up").cast("double"); val n2 = col("n_down").cast("double")
+    val n = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / n + lit(1.0)
+    val v = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n)) /
+      (n * n * (n - lit(1.0)))
+    def guarded(c: Column) = when(col("n_up") === 0 || col("n_down") === 0,
+      raise_error(lit("runsTest: series is one-sided — no runs statistic")))
+      .otherwise(c)
+    runs.select(col("n_up"), col("n_down"), col("runs"),
+      guarded(round(mu, 6)).alias("expected_runs"),
+      guarded(round((col("runs").cast("double") - mu) / sqrt(v), 6)).alias("z"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test: Levene's W computed on
+    * absolute deviations from the GROUP MEDIAN (the robust centering that
+    * keeps the test honest under skew),
+    *   W = ((N−k)/(k−1)) · Σ n_g·(z̄_g − z̄)² / Σ_g Σ_i (z_gi − z̄_g)².
+    * The gatekeeper in front of ANOVA ([[Stats]]' q_anova): equal means
+    * with wildly unequal spreads is a different finding than a level
+    * shift. Scale shape: group medians come from one exact-percentile
+    * aggregation (sort within group — the [[Aggregates]] exact-quartile
+    * stance); deviations re-aggregate per group; the cross terms join the
+    * k-row group table broadcast-side, so the row stream is touched
+    * twice and nothing wider than k rows shuffles after that. All
+    * variance sums accumulate in DECIMAL with double division at fixed
+    * parenthesization. Degenerate zero within-group spread fails fast. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).alias("__g"), col(valueCol).cast("double").alias("__v"))
+    val med = base.groupBy("__g")
+      .agg(expr("percentile(__v, 0.5)").alias("__med"))
+    val z = base.join(broadcast(med), "__g")
+      .select(col("__g"), abs(col("__v") - col("__med")).alias("__z"))
+    val grp = z.groupBy("__g")
+      .agg(count(lit(1)).alias("__n"),
+        sum(col("__z").cast("decimal(28,10)")).alias("__sz"))
+      .withColumn("__mz", col("__sz").cast("double") / col("__n").cast("double"))
+    val within = z.join(broadcast(grp.select("__g", "__mz")), "__g")
+      .agg(sum(((col("__z") - col("__mz")) * (col("__z") - col("__mz")))
+        .cast("decimal(28,10)")).alias("__ssw"))
+    val between = grp.crossJoin(broadcast(
+        grp.agg(sum("__n").alias("__nt"), count(lit(1)).alias("__k"),
+          sum("__sz").alias("__szt"))))
+      .withColumn("__zbar", col("__szt").cast("double") / col("__nt").cast("double"))
+      .agg(max("__nt").alias("n_total"), max("__k").alias("k_groups"),
+        sum((col("__n").cast("double") *
+          ((col("__mz") - col("__zbar")) * (col("__mz") - col("__zbar"))))
+          .cast("decimal(28,10)")).alias("__ssb"))
+    val nt = col("n_total").cast("double"); val k = col("k_groups").cast("double")
+    between.crossJoin(broadcast(within))
+      .select(col("k_groups"), col("n_total"),
+        when(col("__ssw").cast("double") === 0.0,
+          raise_error(lit("brownForsythe: zero within-group spread")))
+          .otherwise(round(((nt - k) / (k - lit(1.0))) *
+            (col("__ssb").cast("double") / col("__ssw").cast("double")), 6))
+          .alias("w_stat"))
+  }
+
+  /** McNemar's test for paired binary outcomes: per entity, did
+    * condition A fire and did condition B fire; the statistic reads ONLY
+    * the discordant cells, χ² = (|n₀₁ − n₁₀| − 1)² / (n₀₁ + n₁₀)
+    * (Edwards' continuity correction, clamped at 0). The paired
+    * before/after readout a holdout comparison needs when each entity is
+    * its own control — marginal rates can be identical while the
+    * discordant flow is wildly asymmetric. Scale shape: one entity-keyed
+    * aggregation collapses the stream to one row per entity, one count
+    * aggregation collapses that to a single 2×2 row; everything after is
+    * scalar integer arithmetic. The no-discordance degenerate pins the
+    * statistic to NULL identically on both engines (documented, not
+    * raised: a perfectly concordant table is a legitimate finding). */
+  def mcnemarTest(df: DataFrame, entityCol: String, condA: Column,
+                  condB: Column): DataFrame = {
+    val per = df.groupBy(col(entityCol))
+      .agg(max(when(condA, 1L).otherwise(0L)).alias("__a"),
+        max(when(condB, 1L).otherwise(0L)).alias("__b"))
+    val cells = per.agg(
+      sum(when(col("__a") === 0 && col("__b") === 0, 1L).otherwise(0L)).alias("n00"),
+      sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L)).alias("n01"),
+      sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L)).alias("n10"),
+      sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L)).alias("n11"))
+    val diff = greatest(abs(col("n01") - col("n10")).cast("double") - lit(1.0),
+      lit(0.0))
+    cells.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      when(col("n01") + col("n10") === 0, lit(null).cast("double"))
+        .otherwise(round(diff * diff /
+          (col("n01") + col("n10")).cast("double"), 6)).alias("chi2"))
+  }
 }

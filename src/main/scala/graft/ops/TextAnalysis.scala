@@ -932,6 +932,37 @@ object TextAnalysis {
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
 
+  /** Hellinger distance between two corpus slices' unigram token
+    * distributions: BC = Σ √(p_i·q_i) (the Bhattacharyya coefficient)
+    * and H = √(1 − BC) — the bounded, symmetric drift metric that
+    * complements [[klDrift]]'s asymmetric divergence (H is a true metric
+    * on distributions; a vocabulary a slice never uses simply
+    * contributes 0, so no smoothing constant enters the definition).
+    * Scale shape mirrors [[klDrift]]: each slice reduces to its
+    * vocabulary-sized count table, one full-outer vocabulary join, one
+    * broadcast totals row. Engine-exactness: p and q are doubles from
+    * exact counts, √(p·q) is IEEE-exact, and the BC sum accumulates in
+    * DECIMAL so addend order can't flip bits. */
+  def hellingerDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias(side))
+    val j = counts(a, "__ca").join(counts(b, "__cb"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val totals = j.agg(sum("__ca").alias("__ta"), sum("__cb").alias("__tb"))
+    j.crossJoin(broadcast(totals))
+      .withColumn("__term", sqrt(
+        (col("__ca").cast("double") / col("__ta").cast("double")) *
+        (col("__cb").cast("double") / col("__tb").cast("double"))))
+      .agg(count(lit(1)).alias("vocab"),
+        sum(col("__term").cast("decimal(28,14)")).alias("__bc"))
+      .select(col("vocab"),
+        round(col("__bc").cast("double"), 6).alias("bhattacharyya"),
+        round(sqrt(greatest(lit(1.0) - col("__bc").cast("double"), lit(0.0))),
+          6).alias("hellinger"))
+  }
+
   /** RAKE stopword list — deliberately small and FROZEN: it is part of
     * the operator definition (the oracle embeds the same list), not a
     * tunable. */

@@ -2223,4 +2223,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
     assert(got.toSeq === Seq((0, 0, 5L), (1, 1, 5L)))
   }
+
+  test("hellingerDrift: hand-computed BC and H, identical slices at 0") {
+    import spark.implicits._
+    // A = (a,a,b), B = (a,b,b,b): BC = √(2/3·1/4) + √(1/3·3/4)
+    val a = Seq("a a b").toDF("text")
+    val b = Seq("a b b b").toDF("text")
+    val r = TextAnalysis.hellingerDrift(a, b, "text").collect().head
+    val bc = math.sqrt(2.0 / 3 * 0.25) + math.sqrt(1.0 / 3 * 0.75)
+    assert(r.getLong(0) == 2)
+    assert(math.abs(r.getDouble(1) - bc) < 1e-6)
+    assert(math.abs(r.getDouble(2) - math.sqrt(1 - bc)) < 1e-6)
+    // identical slices: BC = 1, H = 0 (greatest-guard keeps sqrt real)
+    val same = TextAnalysis.hellingerDrift(a, a, "text").collect().head
+    assert(same.getDouble(1) == 1.0 && same.getDouble(2) == 0.0)
+  }
+
+  test("dispersionReport: resultant identity equals the exact pairwise mean") {
+    import spark.implicits._
+    // label 0: unit vectors (1,0),(0,1),(1,0) → S = (2,1), ‖S‖² = 5,
+    // mean pairwise cos = (5−3)/(3·2) = 1/3 (pairs: two 1.0, four 0.0)
+    // label 1: singleton (3,4) → norm 5, pairwise NULL, resultant 1
+    // label 2: only a zero vector → excluded entirely
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(1.0f, 0.0f), 0), (4L, Array(3.0f, 4.0f), 1),
+      (5L, Array(0.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.dispersionReport(df, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Set(0, 1))
+    val l0 = rows(0)
+    assert(l0.getLong(1) == 3 && l0.getDouble(2) == 1.0)
+    assert(math.abs(l0.getDouble(3) - 1.0 / 3) < 1e-6)
+    assert(math.abs(l0.getDouble(4) - math.sqrt(5.0) / 3) < 1e-6)
+    val l1 = rows(1)
+    assert(l1.getLong(1) == 1 && l1.getDouble(2) == 5.0)
+    assert(l1.isNullAt(3))
+    assert(math.abs(l1.getDouble(4) - 1.0) < 1e-9)
+  }
 }

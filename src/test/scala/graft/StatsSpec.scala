@@ -777,4 +777,56 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val mean = out.map(_.getDouble(2)).sum / 4
     assert(math.abs(mean) < 1e-5)
   }
+
+  test("runsTest counts sign runs and drops zero deltas") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i))
+    // counts 1,2,1,2,1 → deltas +,−,+,− → 4 runs of n_up=2/n_down=2:
+    // μ = 2·2·2/4+1 = 3, σ² = 2/3, z = 1/√(2/3)
+    val alt = (0 until 5).flatMap(i =>
+      Seq.fill(if (i % 2 == 0) 1 else 2)(day(i)))
+    val r = Stats.runsTest(alt.toDF("d"), col("d")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 4)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 1.0 / math.sqrt(2.0 / 3.0)) < 1e-6)
+    // counts 1,2,2,3,1 → deltas +,0,+,− → the zero delta is DROPPED:
+    // signs +,+,− → n_up=2, n_down=1, runs=2
+    val withZero = Seq(1, 2, 2, 3, 1).zipWithIndex.flatMap {
+      case (c, i) => Seq.fill(c)(day(i)) }
+    val z = Stats.runsTest(withZero.toDF("d"), col("d")).collect().head
+    assert(z.getLong(0) == 2 && z.getLong(1) == 1 && z.getLong(2) == 2)
+    // expected_runs is 6-dp-rounded output: 7/3 → 2.333333
+    assert(math.abs(z.getDouble(3) - 7.0 / 3.0) < 1e-6)
+  }
+
+  test("brownForsythe matches the hand-computed Levene W on medians") {
+    import spark.implicits._
+    // g1 = (0,2,4): med 2, z = (2,0,2), z̄₁ = 4/3; g2 = (0,10): med 5,
+    // z = (5,5), z̄₂ = 5. z̄ = 2.8, SSB = 16.13̄, SSW = 8/3
+    // → W = (3/1)·(16.13̄ / 2.6̄) = 18.15
+    val df = Seq(("a", 0.0), ("a", 2.0), ("a", 4.0), ("b", 0.0), ("b", 10.0))
+      .toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 5)
+    assert(math.abs(r.getDouble(2) - 18.15) < 1e-6)
+  }
+
+  test("mcnemarTest reads only the discordant cells") {
+    import spark.implicits._
+    // u1: A only, u2/u5/u6: B only, u3: both, u4: neither
+    // → n00=1, n01=3, n10=1, n11=1, χ² = (|3−1|−1)²/4 = 0.25
+    val df = Seq((1L, "c"), (2L, "p"), (3L, "c"), (3L, "p"), (4L, "v"),
+      (5L, "p"), (6L, "p")).toDF("u", "t")
+    val r = Stats.mcnemarTest(df, "u", col("t") === "c", col("t") === "p")
+      .collect().head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 3 &&
+      r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(math.abs(r.getDouble(4) - 0.25) < 1e-9)
+    // perfectly concordant table pins χ² to NULL, not an error
+    val conc = Seq((1L, "c"), (1L, "p"), (2L, "v")).toDF("u", "t")
+    val c = Stats.mcnemarTest(conc, "u", col("t") === "c", col("t") === "p")
+      .collect().head
+    assert(c.isNullAt(4))
+  }
 }
