@@ -3080,6 +3080,41 @@ object SparkEntry {
       graft.ops.Similarity.dispersionReport(Tables.embeddings(s, d),
         "embedding", "label")),
 
+    // Theil's uncertainty coefficient (Stats.theilsU): the asymmetric
+    // entropy-based association between return flag and line status —
+    // the directional complement of q_cramers_v on the same columns.
+    "q_theils_u" -> ((s, d) =>
+      graft.ops.Stats.theilsU(Tables.lineitem(s, d),
+        "l_returnflag", "l_linestatus")),
+
+    // Cohen's kappa (Stats.cohensKappa) between two rule raters of
+    // document length: char-length > 800 vs letter-word-count > 150 —
+    // chance-corrected agreement of correlated heuristics.
+    "q_cohens_kappa" -> ((s, d) => {
+      val t = col("text")
+      graft.ops.Stats.cohensKappa(Tables.documents(s, d),
+        when(length(t) > 800, "long").otherwise("short"),
+        when(regexp_count(t, lit("[A-Za-z]+")) > 150, "long")
+          .otherwise("short"))
+    }),
+
+    // Gumbel block-maxima fit (Stats.gumbelFit): monthly maxima of the
+    // daily order count, method-of-moments location/scale and the
+    // 10-block return level — the provisioning-peak readout.
+    "q_gumbel_fit" -> ((s, d) =>
+      graft.ops.Stats.gumbelFit(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
+    // Local clustering coefficient (Graph.clusteringCoefficient) of the
+    // near-dup candidate graph: dense template cores vs hub-and-spoke
+    // LSH accidents at equal degree.
+    "q_clustering_coeff" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.clusteringCoefficient(edges).orderBy("node")
+    }),
+
     // Mann-Whitney rank-sum test (Stats.mannWhitneyU): do odd users'
     // event values stochastically dominate even users'? Tie-corrected
     // normal approximation, ranks from the distributed per-value
@@ -5414,6 +5449,98 @@ object SparkEntry {
         "(CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0)), 6) END AS mean_pairwise_cos, " +
         "round(sqrt(ssq) / CAST(n_vecs AS DOUBLE), 6) AS mean_resultant_norm " +
         "FROM cnt JOIN sq ON cnt.grp = sq.grp ORDER BY cnt.grp"),
+
+    // Same observed-cells-only entropy sums in DECIMAL, same marginal
+    // H tables, same NULL pin on a constant column.
+    "q_theils_u" ->
+      ("WITH obs AS (SELECT l_returnflag AS a, l_linestatus AS b, " +
+        "count(*) AS o FROM lineitem GROUP BY 1, 2), " +
+        "rt AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1), " +
+        "ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1), " +
+        "nn AS (SELECT sum(o) AS n FROM obs), " +
+        "ha AS (SELECT -CAST(sum(CAST((CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS ha " +
+        "FROM rt CROSS JOIN nn), " +
+        "hb AS (SELECT -CAST(sum(CAST((CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hb " +
+        "FROM ct CROSS JOIN nn), " +
+        "cond AS (SELECT " +
+        "-CAST(sum(CAST((CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(o AS DOUBLE) / CAST(ct.ct AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hab, " +
+        "-CAST(sum(CAST((CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(o AS DOUBLE) / CAST(rt.rt AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hba, " +
+        "CAST(max(nn.n) AS BIGINT) AS n " +
+        "FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn) " +
+        "SELECT n, round(ha, 6) AS h_a, round(hb, 6) AS h_b, " +
+        "CASE WHEN ha = 0.0 THEN NULL ELSE round((ha - hab) / ha, 6) END AS u_a_given_b, " +
+        "CASE WHEN hb = 0.0 THEN NULL ELSE round((hb - hba) / hb, 6) END AS u_b_given_a " +
+        "FROM cond CROSS JOIN ha CROSS JOIN hb"),
+
+    // Same rule raters, same full-outer marginal join for the chance
+    // term, DECIMAL p_e sum, NULL pin at p_e = 1.
+    "q_cohens_kappa" ->
+      ("WITH r AS (SELECT " +
+        "CASE WHEN length(text) > 800 THEN 'long' ELSE 'short' END AS r1, " +
+        "CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) > 150 THEN 'long' ELSE 'short' END AS r2 " +
+        "FROM documents), " +
+        "obs AS (SELECT r1, r2, count(*) AS o FROM r GROUP BY 1, 2), " +
+        "tot AS (SELECT sum(o) AS n, " +
+        "sum(CASE WHEN r1 = r2 THEN o ELSE 0 END) AS diag FROM obs), " +
+        "rt AS (SELECT r1 AS k, sum(o) AS rt FROM obs GROUP BY 1), " +
+        "ct AS (SELECT r2 AS k, sum(o) AS ct FROM obs GROUP BY 1), " +
+        "pe AS (SELECT CAST(sum(CAST((CAST(coalesce(rt, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)) * " +
+        "(CAST(coalesce(ct, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS pe " +
+        "FROM rt FULL OUTER JOIN ct ON rt.k = ct.k CROSS JOIN tot) " +
+        "SELECT CAST(n AS BIGINT) AS n, " +
+        "round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed, " +
+        "round(pe, 6) AS p_chance, " +
+        "CASE WHEN pe = 1.0 THEN NULL ELSE " +
+        "round((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) - pe) / (1.0 - pe), 6) END AS kappa " +
+        "FROM tot CROSS JOIN pe"),
+
+    // Same monthly block maxima, DECIMAL moment sums, same pinned
+    // pi/Euler-gamma literals and fixed parenthesization.
+    "q_gumbel_fit" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+        "b AS (SELECT date_trunc('month', d) AS m, max(x) AS mx FROM s GROUP BY 1), " +
+        "mo AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "sum(CAST(mx AS DECIMAL(28,8))) AS s1, " +
+        "sum(CAST(mx * mx AS DECIMAL(28,8))) AS s2 FROM b) " +
+        "SELECT n_blocks, " +
+        "round(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE), 6) AS mean_max, " +
+        "round(sqrt((CAST(s2 AS DOUBLE) - CAST(n_blocks AS DOUBLE) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE))) / " +
+        "(CAST(n_blocks AS DOUBLE) - 1.0)) * sqrt(6.0) / 3.141592653589793, 6) AS beta, " +
+        "round(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE) - 0.5772156649015329 * " +
+        "(sqrt((CAST(s2 AS DOUBLE) - CAST(n_blocks AS DOUBLE) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE))) / " +
+        "(CAST(n_blocks AS DOUBLE) - 1.0)) * sqrt(6.0) / 3.141592653589793), 6) AS mu, " +
+        "round((CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE) - 0.5772156649015329 * " +
+        "(sqrt((CAST(s2 AS DOUBLE) - CAST(n_blocks AS DOUBLE) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE))) / " +
+        "(CAST(n_blocks AS DOUBLE) - 1.0)) * sqrt(6.0) / 3.141592653589793)) - " +
+        "(sqrt((CAST(s2 AS DOUBLE) - CAST(n_blocks AS DOUBLE) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE))) / " +
+        "(CAST(n_blocks AS DOUBLE) - 1.0)) * sqrt(6.0) / 3.141592653589793) * " +
+        "ln(-ln(0.9)), 6) AS return_level_10 FROM mo"),
+
+    // Same canonical edge set, same degree-oriented triangle count, same
+    // deg < 2 zero pin.
+    "q_clustering_coeff" ->
+      (s"WITH $mhPairsCtes, " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM pairs), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "u AS (SELECT unnest([x, y, z]) AS node FROM tri), " +
+        "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS nt FROM u GROUP BY 1), " +
+        "d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1) " +
+        "SELECT d.node, degree, coalesce(tc.nt, 0) AS n_triangles, " +
+        "CASE WHEN degree < 2 THEN 0.0 ELSE " +
+        "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
+        "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
+        "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
 
     "q_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +

@@ -102,6 +102,37 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).alias("n_nodes"))
   }
 
+  /** Local clustering coefficient per node:
+    * c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), with the deg < 2 convention
+    * pinned to 0 — the "are my neighbors also neighbors of each other"
+    * readout that separates a template FAMILY (dense core, c → 1) from
+    * a hub-and-spoke LSH accident (star center, c → 0) at equal degree,
+    * the distinction [[degreeHistogram]] can't make. Triangles come
+    * from [[triangleCountsDegreeOriented]] (the hub-skew-proof wedge
+    * orientation — this op exists precisely for graphs with suspicious
+    * hubs, so the skew-safe variant is the only sensible engine); the
+    * degree table is two tiny aggregations; the final join is
+    * node-count-sized on both sides. Exact integer inputs, one double
+    * division, 6 dp. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = norm.select(col("a").alias("node"))
+      .union(norm.select(col("b").alias("node")))
+      .groupBy("node").agg(count(lit(1)).alias("degree"))
+    val tri = triangleCountsDegreeOriented(edges)
+    val d = col("degree").cast("double")
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).alias("n_triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) *
+            coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (d * (d - lit(1.0))), 6)).alias("clustering_coeff"))
+  }
+
   /** Weighted PageRank, deterministic across engines and cluster sizes.
     *
     * Each round is the standard power-iteration step

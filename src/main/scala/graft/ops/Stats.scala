@@ -1858,6 +1858,120 @@ object Stats {
           .alias("w_stat"))
   }
 
+  /** Theil's uncertainty coefficient between two categorical columns:
+    *   U(a|b) = (H(a) − H(a|b)) / H(a)     (and symmetrically U(b|a))
+    * — the entropy-based association readout that, unlike
+    * [[cramersV]], is ASYMMETRIC: it answers "how much does knowing b
+    * reduce uncertainty about a", which is the direction a feature-
+    * leakage audit actually asks. Scale shape is [[cramersV]]'s: one
+    * contingency aggregation (cells), two marginal aggregations
+    * (broadcast), all sums over cell-count-sized tables in DECIMAL with
+    * the 0·ln 0 = 0 convention built in by construction (only observed
+    * cells contribute). A constant column (H = 0) pins its U to NULL
+    * identically on both engines. */
+  def theilsU(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = df.groupBy(col(a), col(b)).agg(count(lit(1)).alias("__o"))
+    val rowT = obs.groupBy(col(a)).agg(sum("__o").alias("__rt"))
+    val colT = obs.groupBy(col(b)).agg(sum("__o").alias("__ct"))
+    val n = obs.agg(sum("__o").alias("__n"))
+    def hMarg(t: DataFrame, cnt: String) = t.crossJoin(broadcast(n))
+      .agg((-sum(((col(cnt).cast("double") / col("__n").cast("double")) *
+        log(col(cnt).cast("double") / col("__n").cast("double")))
+        .cast("decimal(28,14)")).cast("double")).alias("__h"))
+    val ha = hMarg(rowT, "__rt"); val hb = hMarg(colT, "__ct")
+    val cond = obs.join(broadcast(rowT), Seq(a)).join(broadcast(colT), Seq(b))
+      .crossJoin(broadcast(n))
+      .agg(
+        (-sum(((col("__o").cast("double") / col("__n").cast("double")) *
+          log(col("__o").cast("double") / col("__ct").cast("double")))
+          .cast("decimal(28,14)")).cast("double")).alias("__hab"),
+        (-sum(((col("__o").cast("double") / col("__n").cast("double")) *
+          log(col("__o").cast("double") / col("__rt").cast("double")))
+          .cast("decimal(28,14)")).cast("double")).alias("__hba"),
+        max(col("__n")).alias("n"))
+    cond.crossJoin(broadcast(ha.select(col("__h").alias("__ha"))))
+      .crossJoin(broadcast(hb.select(col("__h").alias("__hb"))))
+      .select(col("n"),
+        round(col("__ha"), 6).alias("h_a"),
+        round(col("__hb"), 6).alias("h_b"),
+        when(col("__ha") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__ha") - col("__hab")) / col("__ha"), 6))
+          .alias("u_a_given_b"),
+        when(col("__hb") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("__hb") - col("__hba")) / col("__hb"), 6))
+          .alias("u_b_given_a"))
+  }
+
+  /** Cohen's kappa between two categorical raters on the same rows:
+    * observed agreement p_o corrected for the chance agreement
+    * p_e = Σ_k (row_k/n)·(col_k/n), κ = (p_o − p_e)/(1 − p_e). The
+    * inter-annotator (or rule-vs-rule) agreement readout that raw
+    * accuracy overstates whenever the marginals are skewed. Scale
+    * shape: one contingency aggregation; the chance term joins the two
+    * category-marginal tables full-outer on the label (a rater may
+    * never emit some category) — everything after the first pass is
+    * category-count-sized. p_e accumulates in DECIMAL. The degenerate
+    * p_e = 1 (both raters constant and equal) pins κ to NULL on both
+    * engines. */
+  def cohensKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val base = df.select(rater1.alias("__r1"), rater2.alias("__r2"))
+    val obs = base.groupBy("__r1", "__r2").agg(count(lit(1)).alias("__o"))
+    val tot = obs.agg(sum("__o").alias("__n"),
+      sum(when(col("__r1") === col("__r2"), col("__o")).otherwise(0L))
+        .alias("__diag"))
+    val rowT = obs.groupBy(col("__r1").alias("__k")).agg(sum("__o").alias("__rt"))
+    val colT = obs.groupBy(col("__r2").alias("__k")).agg(sum("__o").alias("__ct"))
+    val pe = rowT.join(colT, Seq("__k"), "full_outer")
+      .na.fill(0L, Seq("__rt", "__ct"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(((col("__rt").cast("double") / col("__n").cast("double")) *
+        (col("__ct").cast("double") / col("__n").cast("double")))
+        .cast("decimal(28,14)")).cast("double").alias("__pe"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("__n").alias("n"),
+        round(col("__diag").cast("double") / col("__n").cast("double"), 6)
+          .alias("p_observed"),
+        round(col("__pe"), 6).alias("p_chance"),
+        when(col("__pe") === 1.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("__diag").cast("double") / col("__n").cast("double") -
+              col("__pe")) / (lit(1.0) - col("__pe")), 6)).alias("kappa"))
+  }
+
+  /** Gumbel extreme-value fit of calendar-block maxima by the method of
+    * moments: block = month, maxima m_b = max daily count in the block,
+    *   β̂ = s·√6/π,  μ̂ = m̄ − γ·β̂  (γ = Euler–Mascheroni),
+    * plus the 10-block return level μ̂ − β̂·ln(−ln(1 − 1/10)) — "what
+    * daily peak should we provision for" as a one-row answer, the tail
+    * question a mean/quantile monitor cannot ask. Scale shape: stream →
+    * CALENDAR-BOUNDED daily table → month-count-sized maxima table in
+    * two aggregations; the moment sums (DECIMAL) are over blocks only.
+    * Sample (n−1) variance, fixed parenthesization, constants pinned as
+    * literals so both engines evaluate identical doubles. */
+  def gumbelFit(df: DataFrame, dateCol: Column): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"))
+    val blocks = daily.groupBy(trunc(col("__d"), "month").alias("__m"))
+      .agg(max("__x").alias("__mx"))
+    val m = blocks.agg(count(lit(1)).alias("n_blocks"),
+      sum(col("__mx").cast("decimal(28,8)")).alias("__s"),
+      sum((col("__mx") * col("__mx")).cast("decimal(28,8)")).alias("__s2"))
+    val nb = col("n_blocks").cast("double")
+    val mean = col("__s").cast("double") / nb
+    val sd = sqrt((col("__s2").cast("double") - nb * mean * mean) /
+      (nb - lit(1.0)))
+    val beta = sd * sqrt(lit(6.0)) / lit(3.141592653589793)
+    val mu = mean - lit(0.5772156649015329) * beta
+    def guarded(c: Column) = when(col("n_blocks") < 2,
+      raise_error(lit("gumbelFit: need at least 2 blocks"))).otherwise(c)
+    m.select(col("n_blocks"),
+      guarded(round(mean, 6)).alias("mean_max"),
+      guarded(round(beta, 6)).alias("beta"),
+      guarded(round(mu, 6)).alias("mu"),
+      guarded(round(mu - beta * log(-log(lit(0.9))), 6))
+        .alias("return_level_10"))
+  }
+
   /** McNemar's test for paired binary outcomes: per entity, did
     * condition A fire and did condition B fire; the statistic reads ONLY
     * the discordant cells, χ² = (|n₀₁ − n₁₀| − 1)² / (n₀₁ + n₁₀)

@@ -1664,6 +1664,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(Graph.kCore(edges, k = 3, rounds = 4).count() === 0L)
   }
 
+  test("clusteringCoefficient: triangle corners 1, hub fraction, pendant 0") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 3-4: c(1)=c(2)=1, c(3)=2·1/(3·2)=1/3,
+    // c(4)=0 by the deg<2 convention
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(edges).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, 0.0)))
+  }
+
   test("kCoreWeighted: strong triangle survives, weak pendant chain peels") {
     import spark.implicits._
     // triangle 1-2-3 at w=0.9 (wdeg 1.8 each) with a weak chain 3-4-5:

@@ -812,6 +812,55 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(2) - 18.15) < 1e-6)
   }
 
+  test("theilsU: determined column scores 1, independent columns 0") {
+    import spark.implicits._
+    // b determines a exactly (b=1 ↔ a=x, b=2 ↔ a=y) → U(a|b) = 1
+    val det = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("a", "b")
+    val r = Stats.theilsU(det, "a", "b").collect().head
+    assert(r.getLong(0) == 3)
+    val ha = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(r.getDouble(1) - ha) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    // independent uniform columns → both directions 0
+    val ind = Seq(("x", 1), ("x", 2), ("y", 1), ("y", 2)).toDF("a", "b")
+    val i = Stats.theilsU(ind, "a", "b").collect().head
+    assert(math.abs(i.getDouble(3)) < 1e-9 && math.abs(i.getDouble(4)) < 1e-9)
+  }
+
+  test("cohensKappa: hand-computed chance-corrected agreement") {
+    import spark.implicits._
+    // (A,A),(A,A),(B,B),(A,B): p_o = 3/4, p_e = 3/4·2/4 + 1/4·2/4 = 1/2
+    // → κ = (0.75 − 0.5)/0.5 = 0.5
+    val df = Seq(("A", "A"), ("A", "A"), ("B", "B"), ("A", "B")).toDF("r1", "r2")
+    val r = Stats.cohensKappa(df, col("r1"), col("r2")).collect().head
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 0.75 && r.getDouble(2) == 0.5)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-9)
+    // both raters constant and equal → p_e = 1 pins κ to NULL
+    val const = Seq(("A", "A"), ("A", "A")).toDF("r1", "r2")
+    assert(Stats.cohensKappa(const, col("r1"), col("r2"))
+      .collect().head.isNullAt(3))
+  }
+
+  test("gumbelFit: method-of-moments on two known block maxima") {
+    import spark.implicits._
+    def day(m: Int, i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, m, 1 + i))
+    // month 1 daily counts (1,2) → max 2; month 2 (4,1) → max 4
+    val rows = Seq.fill(1)(day(1, 0)) ++ Seq.fill(2)(day(1, 1)) ++
+      Seq.fill(4)(day(2, 0)) ++ Seq.fill(1)(day(2, 1))
+    val r = Stats.gumbelFit(rows.toDF("d"), col("d")).collect().head
+    val sd = math.sqrt(2.0)
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    val mu = 3.0 - 0.5772156649015329 * beta
+    assert(r.getLong(0) == 2)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - beta) < 1e-6)
+    assert(math.abs(r.getDouble(3) - mu) < 1e-6)
+    assert(math.abs(r.getDouble(4) -
+      (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
+  }
+
   test("mcnemarTest reads only the discordant cells") {
     import spark.implicits._
     // u1: A only, u2/u5/u6: B only, u3: both, u4: neither
