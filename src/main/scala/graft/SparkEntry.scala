@@ -3115,6 +3115,21 @@ object SparkEntry {
       Graph.clusteringCoefficient(edges).orderBy("node")
     }),
 
+    // Fellegi-Sunter m/u weight estimation (Linkage
+    // .fellegiSunterWeights) over the planted-twin customer pairs: each
+    // field's agreement odds learned from the labeled blocking output.
+    "q_linkage_weights" -> ((s, d) =>
+      Linkage.fellegiSunterWeights(linkagePairs(s, d),
+        abs(col("id1") - col("id2")) === 10000000L, linkageFields)),
+
+    // Fellegi-Sunter pair scoring (Linkage.fellegiSunterScore): summed
+    // log-likelihood-ratio weights rank the same candidate pairs; the
+    // planted twins should dominate the top of the list.
+    "q_linkage_score" -> ((s, d) =>
+      Linkage.fellegiSunterScore(linkagePairs(s, d),
+        abs(col("id1") - col("id2")) === 10000000L, linkageFields,
+        topN = 40)),
+
     // Mann-Whitney rank-sum test (Stats.mannWhitneyU): do odd users'
     // event values stochastically dominate even users'? Tie-corrected
     // normal approximation, ranks from the distributed per-value
@@ -3792,6 +3807,69 @@ object SparkEntry {
   // ------------------------------------------------------------ oracle SQL
 
   /** DuckDB-generated mirror of ScaleDedup.simhash (16 bits, seed "#0"). */
+  /** Candidate pairs for the Fellegi-Sunter queries: every customer gets
+    * a planted twin (id + 10⁷, balance + 1.5, segment string reversed
+    * for every third customer), blocking is sorted-neighbor on balance
+    * (window 3 — twins land adjacent because +1.5 is far below the
+    * typical balance gap), and the pair columns carry both sides'
+    * nation/segment/balance for the agreement predicates. */
+  private def linkagePairs(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val base = c.select(col("c_custkey").cast("long").alias("id"),
+      col("c_nationkey").alias("nat"), col("c_mktsegment").alias("seg"),
+      col("c_acctbal").alias("bal"))
+    val twins = c.select((col("c_custkey") + 10000000L).alias("id"),
+      col("c_nationkey").alias("nat"),
+      when(col("c_custkey") % 3 === 0, reverse(col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).alias("seg"),
+      (col("c_acctbal") + 1.5).alias("bal"))
+    val ent = base.unionByName(twins)
+    ScaleDedup.sortedNeighborPairs(ent, "id", col("bal"), window = 3)
+      .join(ent.select(col("id").alias("id1"), col("nat").alias("nat1"),
+        col("seg").alias("seg1"), col("bal").alias("bal1")), "id1")
+      .join(ent.select(col("id").alias("id2"), col("nat").alias("nat2"),
+        col("seg").alias("seg2"), col("bal").alias("bal2")), "id2")
+  }
+
+  /** Agreement predicates for the Fellegi-Sunter queries, alphabetical
+    * by field name (the weights table orders by field). */
+  private def linkageFields: Seq[(String, Column)] = Seq(
+    "bal_close" -> (abs(col("bal1") - col("bal2")) <= 2.0),
+    "nation" -> (col("nat1") === col("nat2")),
+    "segment" -> (col("seg1") === col("seg2")))
+
+  /** Oracle mirror of [[linkagePairs]]: entity union with planted twins,
+    * sorted-neighbor blocking on (bal, id), per-pair label + agreement
+    * flags, and the one-row m/u count cell table. */
+  private def fsPairsCtes: String =
+    "ent AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_nationkey AS nat, " +
+      "c_mktsegment AS seg, c_acctbal AS bal FROM customer " +
+      "UNION ALL SELECT c_custkey + 10000000, c_nationkey, " +
+      "CASE WHEN c_custkey % 3 = 0 THEN reverse(c_mktsegment) " +
+      "ELSE c_mktsegment END, c_acctbal + 1.5 FROM customer), " +
+      "r AS (SELECT id, nat, seg, bal, " +
+      "row_number() OVER (ORDER BY bal, id) AS rk FROM ent), " +
+      "pr AS (SELECT a.id AS id1, b.id AS id2, " +
+      "CASE WHEN abs(a.id - b.id) = 10000000 THEN 1 ELSE 0 END AS lab, " +
+      "CASE WHEN abs(a.bal - b.bal) <= 2.0 THEN 1 ELSE 0 END AS f_bal_close, " +
+      "CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS f_nation, " +
+      "CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS f_segment " +
+      "FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3), " +
+      "ag AS MATERIALIZED (SELECT sum(lab) AS nm, count(*) - sum(lab) AS nu, " +
+      Seq("bal_close", "nation", "segment").map(f =>
+        s"sum(CASE WHEN lab = 1 THEN f_$f ELSE 0 END) AS am_$f, " +
+        s"sum(CASE WHEN lab = 0 THEN f_$f ELSE 0 END) AS au_$f")
+        .mkString(", ") +
+      " FROM pr)"
+
+  /** Smoothed m estimate for field `f` as oracle SQL (the engine's
+    * (am + 0.5)/(nm + 1.0) spelled identically). */
+  private def fsM(f: String): String =
+    s"((CAST(am_$f AS DOUBLE) + 0.5) / (CAST(nm AS DOUBLE) + 1.0))"
+
+  private def fsU(f: String): String =
+    s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
   private def simhashOracle: String = {
     val votes = (0 until 16).map { j =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -5541,6 +5619,31 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same planted twins, same sorted-neighbor blocking on balance, same
+    // Laplace-smoothed m/u and log2 weights.
+    "q_linkage_weights" ->
+      (s"WITH $fsPairsCtes " +
+        "SELECT * FROM (" +
+        Seq("bal_close", "nation", "segment").map(f =>
+          s"SELECT '$f' AS field, round(${fsM(f)}, 6) AS m, " +
+          s"round(${fsU(f)}, 6) AS u, " +
+          s"round(log2(${fsM(f)} / ${fsU(f)}), 6) AS w_agree, " +
+          s"round(log2((1.0 - ${fsM(f)}) / (1.0 - ${fsU(f)})), 6) AS w_disagree " +
+          "FROM ag").mkString(" UNION ALL ") +
+        ") ORDER BY field"),
+
+    // Same smoothed weights broadcast back onto the pairs, same fixed
+    // left-assoc score sum and (score DESC, id1, id2) order.
+    "q_linkage_score" ->
+      (s"WITH $fsPairsCtes " +
+        "SELECT id1, id2, CAST(lab AS BIGINT) AS is_match, round(" +
+        Seq("bal_close", "nation", "segment").map(f =>
+          s"CASE WHEN f_$f = 1 THEN log2(${fsM(f)} / ${fsU(f)}) " +
+          s"ELSE log2((1.0 - ${fsM(f)}) / (1.0 - ${fsU(f)})) END")
+          .mkString(" + ") +
+        ", 6) AS score FROM pr CROSS JOIN ag " +
+        "ORDER BY score DESC, id1, id2 LIMIT 40"),
 
     "q_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +

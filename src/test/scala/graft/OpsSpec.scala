@@ -2235,6 +2235,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((0, 0, 5L), (1, 1, 5L)))
   }
 
+  test("fellegiSunter: smoothed m/u weights and pair scores by hand") {
+    import spark.implicits._
+    // 2 labeled matches (both agree), 2 non-matches (one agrees):
+    // m = (2+0.5)/(2+1) = 5/6, u = (1+0.5)/(2+1) = 1/2
+    val pairs = Seq((1L, 2L, 1, true), (3L, 4L, 1, true),
+      (5L, 6L, 0, true), (7L, 8L, 0, false)).toDF("id1", "id2", "lab", "f1")
+    val fields = Seq("f1" -> col("f1"))
+    val w = Linkage.fellegiSunterWeights(pairs, col("lab") === 1, fields)
+      .collect().head
+    assert(w.getString(0) == "f1")
+    assert(math.abs(w.getDouble(1) - 5.0 / 6) < 1e-6)
+    assert(math.abs(w.getDouble(2) - 0.5) < 1e-6)
+    assert(math.abs(w.getDouble(3) - math.log(5.0 / 3) / math.log(2)) < 1e-6)
+    assert(math.abs(w.getDouble(4) - math.log(1.0 / 3) / math.log(2)) < 1e-6)
+    // agreeing pairs share the top score; the disagreeing pair is last
+    val s = Linkage.fellegiSunterScore(pairs, col("lab") === 1, fields, 4)
+      .collect()
+    assert(s.length == 4)
+    assert(s.take(3).forall(r => math.abs(r.getDouble(3) - 0.736966) < 1e-6))
+    assert(s(0).getLong(0) == 1 && s(3).getLong(0) == 7)
+    assert(s(3).getLong(2) == 0 &&
+      math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
+  }
+
   test("hellingerDrift: hand-computed BC and H, identical slices at 0") {
     import spark.implicits._
     // A = (a,a,b), B = (a,b,b,b): BC = √(2/3·1/4) + √(1/3·3/4)
