@@ -3115,6 +3115,20 @@ object SparkEntry {
       Graph.clusteringCoefficient(edges).orderBy("node")
     }),
 
+    // Out-of-fold smoothed target encoding (Features.targetEncodeOOF):
+    // event-type encoded by the other folds' mean value with a prior of
+    // weight 10 — the leakage-safe category-mean lookup table.
+    "q_target_encode" -> ((s, d) =>
+      graft.ops.Features.targetEncodeOOF(Tables.events(s, d),
+        col("event_type"), col("value"), col("user_id") % 5)),
+
+    // Quantile normalization (Features.quantileNormalize): every event
+    // type's value distribution mapped onto the global 11-point
+    // reference grid — the cross-source batch-effect correction.
+    "q_quantile_normalize" -> ((s, d) =>
+      graft.ops.Features.quantileNormalize(Tables.events(s, d),
+        col("value"), col("event_type"))),
+
     // Fellegi-Sunter m/u weight estimation (Linkage
     // .fellegiSunterWeights) over the planted-twin customer pairs: each
     // field's agreement odds learned from the labeled blocking output.
@@ -5619,6 +5633,46 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same (category, fold) cells, DECIMAL label sums, same smoothed
+    // hold-out arithmetic with the prior-10 literal on both sides.
+    "q_target_encode" ->
+      ("WITH b AS (SELECT event_type AS category, user_id % 5 AS fold, " +
+        "value AS y FROM events WHERE value IS NOT NULL), " +
+        "cf AS (SELECT category, fold, count(*) AS ncf, " +
+        "sum(CAST(y AS DECIMAL(28,10))) AS scf FROM b GROUP BY 1, 2), " +
+        "c AS (SELECT category, sum(ncf) AS nc, sum(scf) AS sc FROM cf GROUP BY 1), " +
+        "g AS (SELECT sum(nc) AS n, sum(sc) AS s FROM c) " +
+        "SELECT category, fold, CAST(nc - ncf AS BIGINT) AS n_oof, " +
+        "round((CAST(sc - scf AS DOUBLE) + " +
+        "10.0 * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))) / " +
+        "(CAST(nc - ncf AS DOUBLE) + 10.0), 6) AS encoding " +
+        "FROM cf JOIN c USING (category) CROSS JOIN g " +
+        "ORDER BY category, fold"),
+
+    // Same per-(group, value) mid-rank positions, same 11-point exact
+    // global grid and linear interpolation arithmetic.
+    "q_quantile_normalize" ->
+      ("WITH b AS (SELECT event_type AS grp, value FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "pv AS (SELECT grp, value, count(*) AS t FROM b GROUP BY 1, 2), " +
+        "ng AS (SELECT grp, sum(t) AS ng FROM pv GROUP BY 1), " +
+        "r AS (SELECT grp, value, t, coalesce(sum(t) OVER " +
+        "(PARTITION BY grp ORDER BY value " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pv), " +
+        "rk AS (SELECT r.grp, value, " +
+        "(CAST(bef AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0 - 0.5) / " +
+        "CAST(ng.ng AS DOUBLE) AS p FROM r JOIN ng ON r.grp = ng.grp), " +
+        "gg AS (SELECT quantile_cont(value, " +
+        "[0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS g FROM b), " +
+        "gr AS MATERIALIZED (SELECT i - 1 AS j, g[i] AS gv FROM gg, " +
+        "unnest(generate_series(1, 11)) AS u(i)) " +
+        "SELECT grp, value, round(p, 6) AS p, " +
+        "round(glo.gv + (p * 10.0 - floor(p * 10.0)) * (ghi.gv - glo.gv), 6) " +
+        "AS normalized " +
+        "FROM rk JOIN gr glo ON CAST(floor(p * 10.0) AS INT) = glo.j " +
+        "JOIN gr ghi ON least(CAST(floor(p * 10.0) AS INT) + 1, 10) = ghi.j " +
+        "ORDER BY grp, value"),
 
     // Same planted twins, same sorted-neighbor blocking on balance, same
     // Laplace-smoothed m/u and log2 weights.

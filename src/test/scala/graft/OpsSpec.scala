@@ -2235,6 +2235,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((0, 0, 5L), (1, 1, 5L)))
   }
 
+  test("targetEncodeOOF: held-out folds only, prior pulls toward global mean") {
+    import spark.implicits._
+    // cat a: fold 0 has y=(1,1), fold 1 has y=(0,0); global mean = 0.5
+    // enc(a, 0) = (sum_a − sum_{a,0} + m·μ)/(n_a − n_{a,0} + m)
+    //           = (2 − 2 + 1·0.5)/(4 − 2 + 1) = 1/6  (sees only fold 1)
+    // enc(a, 1) = (2 − 0 + 0.5)/(2 + 1) = 5/6
+    val df = Seq(("a", 0L, 1.0), ("a", 0L, 1.0), ("a", 1L, 0.0),
+      ("a", 1L, 0.0)).toDF("c", "f", "y")
+    val got = Features.targetEncodeOOF(df, col("c"), col("y"), col("f"),
+        priorWeight = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", 0L, 2L, 0.166667), ("a", 1L, 2L, 0.833333)))
+  }
+
+  test("quantileNormalize maps each group onto the global grid") {
+    import spark.implicits._
+    // group A = (0, 10), group B = (100, 110): global sorted
+    // (0, 10, 100, 110). Each group's two values sit at p = 0.25/0.75,
+    // so both groups normalize to the SAME reference values — the
+    // global p25/p75 — erasing the between-group shift.
+    val df = Seq(("A", 0.0), ("A", 10.0), ("B", 100.0), ("B", 110.0))
+      .toDF("g", "v")
+    val got = Features.quantileNormalize(df, col("v"), col("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.length == 4)
+    assert(got.forall(t => t._3 == 0.25 || t._3 == 0.75))
+    val lowA = got.find(t => t._1 == "A" && t._3 == 0.25).get._4
+    val lowB = got.find(t => t._1 == "B" && t._3 == 0.25).get._4
+    val hiA = got.find(t => t._1 == "A" && t._3 == 0.75).get._4
+    val hiB = got.find(t => t._1 == "B" && t._3 == 0.75).get._4
+    assert(lowA == lowB && hiA == hiB)
+    // the reference values are the global quantile_cont at 0.25/0.75:
+    // grid deciles of (0,10,100,110) interpolated at p·10
+    assert(lowA > 0.0 && lowA < 100.0 && hiA > lowA)
+  }
+
   test("fellegiSunter: smoothed m/u weights and pair scores by hand") {
     import spark.implicits._
     // 2 labeled matches (both agree), 2 non-matches (one agrees):
