@@ -3115,6 +3115,32 @@ object SparkEntry {
       Graph.clusteringCoefficient(edges).orderBy("node")
     }),
 
+    // Exact-margin permutation test (Stats.permutationTest): 200
+    // md5-dealt re-labelings of the odd/even-user split — the
+    // distribution-free p-value beside q_ab_test's normal z.
+    "q_permutation_test" -> ((s, d) =>
+      graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
+        col("user_id") % 2 === 1, "value", reps = 200)),
+
+    // HBOS density outliers (Stats.hbosTopK): top-50 line items whose
+    // quantity/price/discount all sit in rare histogram bins — the
+    // independence-density gate beside Mahalanobis.
+    "q_hbos" -> ((s, d) =>
+      graft.ops.Stats.hbosTopK(Tables.lineitem(s, d),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        Seq(("qty", col("l_quantity")), ("price", col("l_extendedprice")),
+          ("disc", col("l_discount"))))),
+
+    // Weight-of-evidence / information value (Features.woeIv): purchase
+    // separation per hour-of-day and value band — infoGain's ranking in
+    // scorecard units, with the IV leakage readout.
+    "q_woe_iv" -> ((s, d) =>
+      graft.ops.Features.woeIv(Tables.events(s, d),
+        col("event_type") === "purchase",
+        Seq(("hour", hour(col("ts"))),
+          ("value_band",
+            least(floor(col("value") / 50.0), lit(9.0)).cast("long"))))),
+
     // Out-of-fold smoothed target encoding (Features.targetEncodeOOF):
     // event-type encoded by the other folds' mean value with a prior of
     // weight 10 — the leakage-safe category-mean lookup table.
@@ -5633,6 +5659,87 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same md5 deal, same per-replicate rank windows and 2-cell DECIMAL
+    // sums, same add-one p with the 201 literal.
+    "q_permutation_test" ->
+      ("WITH b AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
+        "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g, value AS x " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "t AS (SELECT sum(1 - g) AS na, sum(g) AS nb, " +
+        "sum(CAST(CASE WHEN g = 0 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sa, " +
+        "sum(CAST(CASE WHEN g = 1 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sb FROM b), " +
+        "r AS (SELECT id, x, unnest(range(200)) AS rep FROM b), " +
+        "h AS (SELECT rep, x, id, ('0x' || substr(md5(id || ':' || " +
+        "CAST(rep AS VARCHAR) || '#1'), 1, 8))::BIGINT AS hh FROM r), " +
+        "rk AS (SELECT rep, x, row_number() OVER " +
+        "(PARTITION BY rep ORDER BY hh, id) AS rk FROM h), " +
+        "pm AS (SELECT rep, x, rk <= t.nb AS isb FROM rk CROSS JOIN t), " +
+        "d AS (SELECT rep, " +
+        "CAST(sum(CAST(CASE WHEN isb THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) / " +
+        "CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS DOUBLE) - " +
+        "CAST(sum(CAST(CASE WHEN NOT isb THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE) / " +
+        "CAST(sum(CASE WHEN isb THEN 0 ELSE 1 END) AS DOUBLE) AS dd " +
+        "FROM pm GROUP BY 1) " +
+        "SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, " +
+        "round(max(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)), 6) AS diff_obs, " +
+        "CAST(max(200) AS BIGINT) AS reps, " +
+        "round((1.0 + CAST(sum(CASE WHEN abs(dd) >= " +
+        "abs(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) THEN 1 ELSE 0 END) AS DOUBLE)) / " +
+        "201.0, 6) AS p_perm FROM d CROSS JOIN t"),
+
+    // Same equi-width bins off the global span, same -log10 bin-share
+    // surprisal in DECIMAL, same (score DESC, id) top-50.
+    "q_hbos" ->
+      ("WITH b AS (SELECT l_orderkey * 10 + l_linenumber AS id, " +
+        "CAST(l_quantity AS DOUBLE) AS f_qty, " +
+        "CAST(l_extendedprice AS DOUBLE) AS f_price, " +
+        "CAST(l_discount AS DOUBLE) AS f_disc FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
+        "AND l_discount IS NOT NULL), " +
+        "bo AS (SELECT min(f_qty) AS lo_qty, max(f_qty) AS hi_qty, " +
+        "min(f_price) AS lo_price, max(f_price) AS hi_price, " +
+        "min(f_disc) AS lo_disc, max(f_disc) AS hi_disc FROM b), " +
+        "e AS (" +
+        Seq("qty", "price", "disc").map(f =>
+          s"SELECT id, '$f' AS fn, CASE WHEN hi_$f = lo_$f THEN 0 ELSE " +
+          s"least(greatest(CAST(floor((f_$f - lo_$f) / " +
+          s"((hi_$f - lo_$f) / 10.0)) AS BIGINT), 0), 9) END AS bin " +
+          "FROM b CROSS JOIN bo").mkString(" UNION ALL ") +
+        "), " +
+        "c AS (SELECT fn, bin, count(*) AS nb FROM e GROUP BY 1, 2), " +
+        "n AS (SELECT count(*) AS n FROM b), " +
+        "s AS (SELECT id, sum(CAST(-log10(CAST(nb AS DOUBLE) / " +
+        "CAST(n.n AS DOUBLE)) AS DECIMAL(28,14))) AS sc " +
+        "FROM e JOIN c USING (fn, bin) CROSS JOIN n GROUP BY 1) " +
+        "SELECT id, round(CAST(sc AS DOUBLE), 6) AS score FROM s " +
+        "ORDER BY score DESC, id LIMIT 50"),
+
+    // Same half-count continuity correction, DECIMAL IV term sums, same
+    // string-cast bins.
+    "q_woe_iv" ->
+      ("WITH base AS (SELECT " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, " +
+        "CAST(hour(ts) AS VARCHAR) AS f_hour, " +
+        "CAST(CAST(least(floor(value / 50.0), 9.0) AS BIGINT) AS VARCHAR) AS f_band " +
+        "FROM events), " +
+        "e AS (SELECT 'hour' AS feature, f_hour AS bin, y FROM base " +
+        "UNION ALL SELECT 'value_band', f_band, y FROM base), " +
+        "c AS (SELECT feature, bin, sum(y) AS g, sum(1 - y) AS bb " +
+        "FROM e GROUP BY 1, 2), " +
+        "t AS (SELECT feature, sum(g) AS gt, sum(bb) AS bt FROM c GROUP BY 1), " +
+        "w AS (SELECT c.feature, bin, g, bb, " +
+        "(CAST(g AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5) AS pg, " +
+        "(CAST(bb AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5) AS pb " +
+        "FROM c JOIN t ON c.feature = t.feature), " +
+        "iv AS (SELECT feature, sum(CAST((pg - pb) * ln(pg / pb) " +
+        "AS DECIMAL(28,14))) AS iv FROM w GROUP BY 1) " +
+        "SELECT w.feature AS feature, bin, CAST(g AS BIGINT) AS n_pos, " +
+        "CAST(bb AS BIGINT) AS n_neg, round(ln(pg / pb), 6) AS woe, " +
+        "round(CAST(iv.iv AS DOUBLE), 6) AS iv " +
+        "FROM w JOIN iv ON w.feature = iv.feature ORDER BY w.feature, bin"),
 
     // Same (category, fold) cells, DECIMAL label sums, same smoothed
     // hold-out arithmetic with the prior-10 literal on both sides.

@@ -50,6 +50,53 @@ object Features {
       .orderBy("category", "fold")
   }
 
+  /** Weight-of-evidence binning + information value — the credit-scoring
+    * readout of how a categorical (or pre-binned) feature separates a
+    * boolean label:
+    *   WoE(bin) = ln(p_good(bin) / p_bad(bin)),
+    *   IV(feature) = Σ_bins (p_good − p_bad)·WoE
+    * with a half-count continuity correction per cell (p = (c + 0.5) /
+    * (C + 0.5)) so empty-side bins stay finite — the same finiteness-by-
+    * construction stance as [[Linkage]]'s smoothed m/u. IV is the
+    * ranking [[Stats.infoGain]] gives in entropy units, in the units
+    * scorecard builders actually quote (< 0.02 useless, > 0.5 suspect —
+    * a leakage detector too). Scale shape: the stream explodes ×features
+    * into (feature, bin, y) triples, map-side combined to bin-count
+    * cells in ONE aggregation; totals and IV are feature-count-sized
+    * joins; WoE term sums in DECIMAL. Output: one row per (feature,
+    * bin) with counts, WoE, and the feature's IV alongside. */
+  def woeIv(df: DataFrame, label: Column,
+            features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty && features.size <= 16,
+      s"woeIv: need 1..16 features, got ${features.size}")
+    val e = df.select(when(label, 1L).otherwise(0L).alias("__y"),
+        explode(array(features.map { case (n, c) =>
+          struct(lit(n).alias("__fn"), c.cast("string").alias("__bin"))
+        }: _*)).alias("__e"))
+      .select(col("__y"), col("__e.__fn").alias("feature"),
+        col("__e.__bin").alias("bin"))
+    val c = e.groupBy("feature", "bin")
+      .agg(sum("__y").alias("__g"), sum(lit(1L) - col("__y")).alias("__b"))
+    val t = c.groupBy("feature")
+      .agg(sum("__g").alias("__gt"), sum("__b").alias("__bt"))
+    val pg = (col("__g").cast("double") + lit(0.5)) /
+      (col("__gt").cast("double") + lit(0.5))
+    val pb = (col("__b").cast("double") + lit(0.5)) /
+      (col("__bt").cast("double") + lit(0.5))
+    val w = c.join(broadcast(t), "feature")
+      .select(col("feature"), col("bin"), col("__g"), col("__b"),
+        pg.alias("__pg"), pb.alias("__pb"))
+    val iv = w.groupBy("feature")
+      .agg(sum(((col("__pg") - col("__pb")) * log(col("__pg") / col("__pb")))
+        .cast("decimal(28,14)")).alias("__iv"))
+    w.join(broadcast(iv), "feature")
+      .select(col("feature"), col("bin"),
+        col("__g").alias("n_pos"), col("__b").alias("n_neg"),
+        round(log(col("__pg") / col("__pb")), 6).alias("woe"),
+        round(col("__iv").cast("double"), 6).alias("iv"))
+      .orderBy("feature", "bin")
+  }
+
   /** Quantile normalization of a value column against the GLOBAL
     * distribution, per group — the batch-effect correction that maps
     * every source's values onto one reference scale (a p95 document

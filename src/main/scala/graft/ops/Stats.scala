@@ -1972,6 +1972,116 @@ object Stats {
         .alias("return_level_10"))
   }
 
+  /** Exact-margin PERMUTATION test for a difference in group means — the
+    * nonparametric inference companion to [[bootstrapCI]]: for each of
+    * `reps` replicates, re-deal the ORIGINAL group sizes over the rows
+    * by ranking a deterministic per-(row, rep) md5 draw (a true
+    * fixed-margin permutation, not a binomial relabeling), and report
+    *   p = (1 + #{|Δ_r| ≥ |Δ_obs|}) / (reps + 1)
+    * — the add-one convention that keeps p valid at any reps. No normal
+    * approximation, no variance formula: the null distribution is the
+    * data's own. Scale shape: the explode is a documented ×reps
+    * multiplier (the [[bootstrapCI]] stance); each replicate's rank
+    * window is PARTITIONED by replicate, so the 3M-row sort at sf0.01 is
+    * 200 parallel 15k-row sorts, and each replicate collapses to a
+    * 2-cell DECIMAL sum. Determinism: the md5 draws are engine-
+    * replayable, ranks tie-break on id, and every Δ is the identical
+    * fixed-form double on both engines. */
+  def permutationTest(df: DataFrame, idCol: String, groupB: Column,
+                      valueCol: String, reps: Int = 200): DataFrame = {
+    require(reps >= 20 && reps <= 1000,
+      s"permutationTest: need 20 <= reps <= 1000, got $reps")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").alias("__id"),
+        when(groupB, 1L).otherwise(0L).alias("__b"),
+        col(valueCol).cast("double").alias("__x"))
+    val tot = base.agg(
+      sum(lit(1L) - col("__b")).alias("__na"), sum("__b").alias("__nb"),
+      sum(when(col("__b") === 0, col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__sa"),
+      sum(when(col("__b") === 1, col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__sb"))
+    val rw = Window.partitionBy("__r").orderBy(col("__h"), col("__id"))
+    val permed = base
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(reps - 1))).alias("__r"))
+      .withColumn("__h", ScaleDedup.hash32(
+        concat_ws(":", col("__id"), col("__r").cast("string")), 1))
+      .withColumn("__rk", row_number().over(rw))
+      .crossJoin(broadcast(tot.select("__nb")))
+      .select(col("__r"), col("__x"), (col("__rk") <= col("__nb")).alias("__isb"))
+    val repDiffs = permed.groupBy("__r")
+      .agg(
+        sum(when(col("__isb"), col("__x")).otherwise(0.0)
+          .cast("decimal(38,10)")).alias("__rsb"),
+        sum(when(!col("__isb"), col("__x")).otherwise(0.0)
+          .cast("decimal(38,10)")).alias("__rsa"),
+        sum(when(col("__isb"), 1L).otherwise(0L)).alias("__rnb"),
+        sum(when(col("__isb"), 0L).otherwise(1L)).alias("__rna"))
+      .select(
+        (col("__rsb").cast("double") / col("__rnb").cast("double") -
+          col("__rsa").cast("double") / col("__rna").cast("double"))
+          .alias("__d"))
+    val obs = col("__sb").cast("double") / col("__nb").cast("double") -
+      col("__sa").cast("double") / col("__na").cast("double")
+    repDiffs.crossJoin(broadcast(tot))
+      .agg(max("__na").alias("n_a"), max("__nb").alias("n_b"),
+        round(max(obs), 6).alias("diff_obs"),
+        max(lit(reps.toLong)).alias("reps"),
+        round((lit(1.0) + sum(when(abs(col("__d")) >= abs(obs), 1L)
+            .otherwise(0L)).cast("double")) / lit((reps + 1).toDouble), 6)
+          .alias("p_perm"))
+  }
+
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012):
+    * per feature, an equi-width histogram of the global span; a row's
+    * score is Σ_f −log₁₀(share of its bin), i.e. joint surprisal under
+    * independent per-feature densities. The multi-feature density
+    * outlier gate beside the distance-based [[mahalanobisTopK]] and the
+    * per-column [[robustZscoreByGroup]] — HBOS flags "every coordinate
+    * individually rare", which correlation-aware Mahalanobis does not
+    * rank the same way. Scale shape: one bounds pass, then the stream
+    * explodes ×features into (feature, bin) cells (map-side combined to
+    * features × bins rows), the cell table broadcasts back, and the
+    * per-row score is one id-keyed DECIMAL re-aggregation + top-k. A
+    * row's own bin is never empty, so the log is always finite. */
+  def hbosTopK(df: DataFrame, idCol: Column,
+               features: Seq[(String, Column)], bins: Int = 10,
+               topK: Int = 50): DataFrame = {
+    require(features.nonEmpty && features.size <= 16,
+      s"hbosTopK: need 1..16 features, got ${features.size}")
+    require(bins >= 2 && bins <= 1000 && topK >= 1,
+      s"hbosTopK: bad bins=$bins topK=$topK")
+    val base = df
+      .filter(features.map(_._2.isNotNull).reduce(_ && _))
+      .select(idCol.alias("id") +:
+        features.map { case (n, c) => c.cast("double").alias(s"__f_$n") }: _*)
+    val bcols = features.flatMap { case (n, _) => Seq(
+      min(col(s"__f_$n")).alias(s"__lo_$n"), max(col(s"__f_$n")).alias(s"__hi_$n")) }
+    val bounds = base.agg(bcols.head, bcols.tail: _*)
+    def bin(n: String): Column = {
+      val lo = col(s"__lo_$n"); val hi = col(s"__hi_$n")
+      when(hi === lo, lit(0L)).otherwise(
+        least(greatest(floor((col(s"__f_$n") - lo) /
+          ((hi - lo) / lit(bins.toDouble))), lit(0L)), lit(bins - 1L)))
+    }
+    val cells = base.crossJoin(broadcast(bounds))
+      .select(col("id"), explode(array(features.map { case (n, _) =>
+        struct(lit(n).alias("__fn"), bin(n).alias("__bin")) }: _*)).alias("__e"))
+      .select(col("id"), col("__e.__fn").alias("__fn"),
+        col("__e.__bin").alias("__bin"))
+    val counts = cells.groupBy("__fn", "__bin").agg(count(lit(1)).alias("__nb"))
+    val n = base.agg(count(lit(1)).alias("__n"))
+    cells.join(broadcast(counts), Seq("__fn", "__bin"))
+      .crossJoin(broadcast(n))
+      .groupBy("id")
+      .agg(sum((-log10(col("__nb").cast("double") / col("__n").cast("double")))
+        .cast("decimal(28,14)")).alias("__s"))
+      .select(col("id"), round(col("__s").cast("double"), 6).alias("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(topK)
+  }
+
   /** McNemar's test for paired binary outcomes: per entity, did
     * condition A fire and did condition B fire; the statistic reads ONLY
     * the discordant cells, χ² = (|n₀₁ − n₁₀| − 1)² / (n₀₁ + n₁₀)

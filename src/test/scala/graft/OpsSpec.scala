@@ -2235,6 +2235,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((0, 0, 5L), (1, 1, 5L)))
   }
 
+  test("woeIv: separating bin gets positive WoE, IV sums the evidence") {
+    import spark.implicits._
+    // bin p: 3 pos / 1 neg; bin n: 1 pos / 3 neg (G = B = 4):
+    // pg(p) = 3.5/4.5, pb(p) = 1.5/4.5 → woe(p) = ln(7/3)
+    val df = (Seq.fill(3)(("p", true)) ++ Seq(("p", false)) ++
+      Seq(("n", true)) ++ Seq.fill(3)(("n", false))).toDF("bin", "y")
+    val got = Features.woeIv(df, col("y"), Seq("f" -> col("bin")))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val woeP = math.log(7.0 / 3.0)
+    val ivExp = 2 * ((3.5 / 4.5 - 1.5 / 4.5) * woeP)
+    assert(got.toSeq.map(t => (t._1, t._2, t._3)) ==
+      Seq(("n", 1L, 3L), ("p", 3L, 1L)))
+    assert(math.abs(got(1)._4 - woeP) < 1e-6)
+    assert(math.abs(got(0)._4 - (-woeP)) < 1e-6)
+    assert(got.forall(t => math.abs(t._5 - ivExp) < 1e-6))
+  }
+
   test("targetEncodeOOF: held-out folds only, prior pulls toward global mean") {
     import spark.implicits._
     // cat a: fold 0 has y=(1,1), fold 1 has y=(0,0); global mean = 0.5

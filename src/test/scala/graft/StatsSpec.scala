@@ -861,6 +861,38 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("permutationTest: planted separation is significant, noise is not") {
+    import spark.implicits._
+    // two clearly separated groups: no permutation should beat the
+    // observed gap except (rarely) by hash luck → p near 1/(reps+1)
+    val sep = ((1 to 10).map(i => (i.toLong, 0, 0.0)) ++
+      (11 to 20).map(i => (i.toLong, 1, 100.0 + i))).toDF("id", "g", "v")
+    val r = Stats.permutationTest(sep, "id", col("g") === 1, "v", reps = 99)
+      .collect().head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 10 && r.getLong(3) == 99)
+    assert(r.getDouble(2) > 100.0)
+    assert(r.getDouble(4) <= 0.05)
+    // identical constant groups: every permutation ties the observed 0
+    // diff → p = 1 exactly
+    val flat = (1 to 20).map(i => (i.toLong, i % 2, 5.0)).toDF("id", "g", "v")
+    val f = Stats.permutationTest(flat, "id", col("g") === 1, "v", reps = 99)
+      .collect().head
+    assert(f.getDouble(2) == 0.0 && f.getDouble(4) == 1.0)
+  }
+
+  test("hbosTopK ranks the jointly-rare row first") {
+    import spark.implicits._
+    // 40 inliers clustered at (1, 10) plus one far point (1000, -50):
+    // the outlier is alone in both of its bins
+    val rows = (1L to 40L).map(i => (i, 1.0 + (i % 4) * 0.1, 10.0 + (i % 5))) :+
+      (99L, 1000.0, -50.0)
+    val got = Stats.hbosTopK(rows.toDF("id", "a", "b"), col("id"),
+      Seq(("a", col("a")), ("b", col("b"))), bins = 10, topK = 3)
+      .collect()
+    assert(got.head.getLong(0) == 99L)
+    assert(got.head.getDouble(1) > got(1).getDouble(1))
+  }
+
   test("mcnemarTest reads only the discordant cells") {
     import spark.implicits._
     // u1: A only, u2/u5/u6: B only, u3: both, u4: neither
