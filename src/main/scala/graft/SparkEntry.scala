@@ -3115,12 +3115,14 @@ object SparkEntry {
       Graph.clusteringCoefficient(edges).orderBy("node")
     }),
 
-    // Exact-margin permutation test (Stats.permutationTest): 200
+    // Exact-margin permutation test (Stats.permutationTest): 100
     // md5-dealt re-labelings of the odd/even-user split — the
-    // distribution-free p-value beside q_ab_test's normal z.
+    // distribution-free p-value beside q_ab_test's normal z. Cost is
+    // linear in reps (the documented x-reps multiplier); 100 keeps the
+    // engine's heaviest deliberate op inside the sweep budget.
     "q_permutation_test" -> ((s, d) =>
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
-        col("user_id") % 2 === 1, "value", reps = 200)),
+        col("user_id") % 2 === 1, "value", reps = 100)),
 
     // HBOS density outliers (Stats.hbosTopK): top-50 line items whose
     // quantity/price/discount all sit in rare histogram bins — the
@@ -5669,7 +5671,7 @@ object SparkEntry {
         "t AS (SELECT sum(1 - g) AS na, sum(g) AS nb, " +
         "sum(CAST(CASE WHEN g = 0 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sa, " +
         "sum(CAST(CASE WHEN g = 1 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sb FROM b), " +
-        "r AS (SELECT id, x, unnest(range(200)) AS rep FROM b), " +
+        "r AS (SELECT id, x, unnest(range(100)) AS rep FROM b), " +
         "h AS (SELECT rep, x, id, ('0x' || substr(md5(id || ':' || " +
         "CAST(rep AS VARCHAR) || '#1'), 1, 8))::BIGINT AS hh FROM r), " +
         "rk AS (SELECT rep, x, row_number() OVER " +
@@ -5684,11 +5686,11 @@ object SparkEntry {
         "SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, " +
         "round(max(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
         "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)), 6) AS diff_obs, " +
-        "CAST(max(200) AS BIGINT) AS reps, " +
+        "CAST(max(100) AS BIGINT) AS reps, " +
         "round((1.0 + CAST(sum(CASE WHEN abs(dd) >= " +
         "abs(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
         "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) THEN 1 ELSE 0 END) AS DOUBLE)) / " +
-        "201.0, 6) AS p_perm FROM d CROSS JOIN t"),
+        "101.0, 6) AS p_perm FROM d CROSS JOIN t"),
 
     // Same equi-width bins off the global span, same -log10 bin-share
     // surprisal in DECIMAL, same (score DESC, id) top-50.
