@@ -298,4 +298,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertNoQuadraticJoin("q_item_cf")
     assertNoQuadraticJoin("q_dedup_keep_best")
   }
+
+  test("late-round wave: windows stay behind aggregation") {
+    // runs test lags the calendar-bounded daily series; quantile
+    // normalization ranks the per-(group, value) count table
+    assertWindowsBehindAggregation("q_runs_test")
+    assertWindowsBehindAggregation("q_quantile_normalize")
+  }
+
+  test("late-round wave: pair/score ops never plan an all-pairs join") {
+    // clustering coefficient = degree-oriented wedge equi-joins;
+    // linkage scoring joins the blocking output against one broadcast
+    // cell row; HBOS joins broadcast bin-count cells; dispersion's whole
+    // point is NO pairwise join (the resultant identity)
+    assertNoQuadraticJoin("q_clustering_coeff")
+    assertNoQuadraticJoin("q_linkage_score")
+    assertNoQuadraticJoin("q_hbos")
+    assertNoQuadraticJoin("q_embedding_dispersion")
+  }
+
+  test("q_permutation_test: every rank window is replicate-partitioned") {
+    // the 30M-row explode would be a disaster under ONE global sort;
+    // the exact-margin ranking must stay partitioned by replicate
+    val plan = run("q_permutation_test")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"q_permutation_test lost its rank window:\n$plan")
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty,
+      s"q_permutation_test plans a GLOBAL window:\n${global.headOption.getOrElse("")}")
+  }
 }
