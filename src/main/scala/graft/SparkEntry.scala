@@ -3124,6 +3124,19 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Kruskal-Wallis H (Stats.kruskalWallis): do the five event types'
+    // value distributions differ? — the k-group rank ANOVA beside
+    // q_anova, on the mann-whitney rank machinery.
+    "q_kruskal_wallis" -> ((s, d) =>
+      graft.ops.Stats.kruskalWallis(Tables.events(s, d),
+        col("event_type"), "value")),
+
+    // Stratified ATE (Stats.stratifiedATE): odd vs even users' value
+    // gap, hour-of-day strata — the naive-vs-adjusted causal contrast.
+    "q_stratified_ate" -> ((s, d) =>
+      graft.ops.Stats.stratifiedATE(Tables.events(s, d),
+        col("user_id") % 2 === 1, col("value"), hour(col("ts")))),
+
     // HBOS density outliers (Stats.hbosTopK): top-50 line items whose
     // quantity/price/discount all sit in rare histogram bins — the
     // independence-density gate beside Mahalanobis.
@@ -5662,8 +5675,63 @@ object SparkEntry {
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
 
+    // Same per-value mid-ranks off the cumulative, DECIMAL R_g and tie
+    // sums, same fixed H parenthesization with the C = 0 NULL pin.
+    "q_kruskal_wallis" ->
+      ("WITH b AS (SELECT event_type AS g, value FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "pv AS (SELECT g, value, count(*) AS c FROM b GROUP BY 1, 2), " +
+        "pt AS (SELECT value, sum(c) AS t FROM pv GROUP BY 1), " +
+        "r AS (SELECT value, t, coalesce(sum(t) OVER (ORDER BY value " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pt), " +
+        "rk AS (SELECT value, CAST(bef AS DOUBLE) + (t + 1) / 2.0 AS rnk FROM r), " +
+        "gg AS (SELECT pv.g, sum(c) AS ng, " +
+        "sum(CAST(CAST(c AS DOUBLE) * rnk AS DECIMAL(28,8))) AS rg " +
+        "FROM pv JOIN rk USING (value) GROUP BY 1), " +
+        "tt AS (SELECT sum(t) AS n, " +
+        "sum(CAST(t * t * t - t AS DECIMAL(28,8))) AS tc FROM pt), " +
+        "cc AS (SELECT CAST(count(*) AS BIGINT) AS k_groups, " +
+        "CAST(max(tt.n) AS BIGINT) AS n_total, " +
+        "sum(CAST(CAST(rg AS DOUBLE) * CAST(rg AS DOUBLE) / " +
+        "CAST(ng AS DOUBLE) AS DECIMAL(28,8))) AS s, max(tc) AS tc " +
+        "FROM gg CROSS JOIN tt) " +
+        "SELECT k_groups, n_total, " +
+        "CASE WHEN 1.0 - CAST(tc AS DOUBLE) / " +
+        "(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) = 0.0 " +
+        "THEN NULL ELSE round(12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * CAST(s AS DOUBLE) - " +
+        "3.0 * (CAST(n_total AS DOUBLE) + 1.0), 6) END AS h, " +
+        "CASE WHEN 1.0 - CAST(tc AS DOUBLE) / " +
+        "(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) = 0.0 " +
+        "THEN NULL ELSE round((12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * CAST(s AS DOUBLE) - " +
+        "3.0 * (CAST(n_total AS DOUBLE) + 1.0)) / " +
+        "(1.0 - CAST(tc AS DOUBLE) / " +
+        "(CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))), 6) " +
+        "END AS h_tie_corrected FROM cc"),
+
+    // Same positivity-filtered stratum cells, DECIMAL outcome sums, same
+    // share-weighted difference arithmetic.
+    "q_stratified_ate" ->
+      ("WITH b AS (SELECT hour(ts) AS s, " +
+        "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr, value AS y " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "c AS (SELECT s, sum(tr) AS nt, sum(1 - tr) AS nc, " +
+        "sum(CAST(CASE WHEN tr = 1 THEN y ELSE 0.0 END AS DECIMAL(28,10))) AS st, " +
+        "sum(CAST(CASE WHEN tr = 0 THEN y ELSE 0.0 END AS DECIMAL(28,10))) AS sc " +
+        "FROM b GROUP BY 1 HAVING sum(tr) > 0 AND sum(1 - tr) > 0), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "CAST(sum(nt + nc) AS BIGINT) AS n_used, " +
+        "sum(nt) AS tnt, sum(nc) AS tnc, sum(st) AS tst, sum(sc) AS tsc, " +
+        "sum(CAST(CAST(nt + nc AS DOUBLE) * " +
+        "(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) - " +
+        "CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) AS DECIMAL(28,10))) AS wsum FROM c) " +
+        "SELECT n_strata, n_used, " +
+        "round(CAST(tst AS DOUBLE) / CAST(tnt AS DOUBLE) - " +
+        "CAST(tsc AS DOUBLE) / CAST(tnc AS DOUBLE), 6) AS diff_naive, " +
+        "round(CAST(wsum AS DOUBLE) / CAST(n_used AS DOUBLE), 6) AS ate_stratified " +
+        "FROM a"),
+
     // Same md5 deal, same per-replicate rank windows and 2-cell DECIMAL
-    // sums, same add-one p with the 201 literal.
+    // sums, same add-one p with the reps+1 literal.
     "q_permutation_test" ->
       ("WITH b AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
         "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g, value AS x " +

@@ -2033,6 +2033,89 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Kruskal–Wallis H — the k-group rank ANOVA (the nonparametric
+    * [[anovaOneWay]], extending [[mannWhitneyU]] beyond two groups):
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+    * tie-corrected by C = 1 − Σ(t³−t)/(N³−N). Scale shape is the
+    * mann-whitney machinery verbatim: per-value totals feed ONE
+    * [[withCumBefore]] pass for mid-ranks (range partitions + broadcast
+    * offsets, no global window); the (value × group) cell table joins
+    * the rank table value-keyed; everything after is group-count-sized
+    * with DECIMAL term sums. The all-values-equal degenerate (C = 0)
+    * pins both statistics to NULL identically on both engines. */
+  def kruskalWallis(df: DataFrame, groupCol: Column, valueCol: String)
+      : DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(groupCol.alias("__g"), col(valueCol).alias("value"))
+    val pv = base.groupBy("__g", "value").agg(count(lit(1)).alias("__c"))
+    val pt = pv.groupBy("value").agg(sum("__c").alias("__t"))
+    val ranked = withCumBefore(pt, "value", "__t")
+      .withColumn("__rank",
+        col("__before").cast("double") + (col("__t") + 1) / lit(2.0))
+    val grp = pv.join(ranked.select("value", "__rank"), "value")
+      .groupBy("__g")
+      .agg(sum("__c").alias("__ng"),
+        sum((col("__c").cast("double") * col("__rank"))
+          .cast("decimal(28,8)")).alias("__rg"))
+    val ties = pt.agg(sum("__t").alias("__n"),
+      sum((col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast("decimal(28,8)")).alias("__tt"))
+    val c = grp.crossJoin(broadcast(ties))
+      .agg(count(lit(1)).alias("k_groups"), max("__n").alias("n_total"),
+        sum((col("__rg").cast("double") * col("__rg").cast("double") /
+          col("__ng").cast("double")).cast("decimal(28,8)")).alias("__s"),
+        max("__tt").alias("__tc"))
+    val n = col("n_total").cast("double")
+    val h = lit(12.0) / (n * (n + lit(1.0))) * col("__s").cast("double") -
+      lit(3.0) * (n + lit(1.0))
+    val corr = lit(1.0) - col("__tc").cast("double") / (n * n * n - n)
+    def guarded(x: Column) = when(corr === 0.0, lit(null).cast("double"))
+      .otherwise(x)
+    c.select(col("k_groups"), col("n_total"),
+      guarded(round(h, 6)).alias("h"),
+      guarded(round(h / corr, 6)).alias("h_tie_corrected"))
+  }
+
+  /** Stratified average treatment effect — the observational-causal
+    * readout beside [[diffInDiff]]/[[cuped]]: within each stratum of a
+    * confounder, compare treated vs control means, then weight the
+    * per-stratum differences by stratum share,
+    *   ATE = Σ_s (n_s/N)·(ȳ_t,s − ȳ_c,s),
+    * reported beside the naive pooled difference so the confounding gap
+    * is visible. Strata violating positivity (either arm empty) are
+    * DROPPED — the standard estimand restriction — and both estimates
+    * are computed over the same surviving rows so the comparison is
+    * apples-to-apples. One stratum×arm-celled aggregation over the
+    * stream; DECIMAL outcome sums; stratum-count-sized arithmetic. */
+  def stratifiedATE(df: DataFrame, treatment: Column, outcome: Column,
+                    stratum: Column): DataFrame = {
+    val base = df.filter(outcome.isNotNull)
+      .select(stratum.alias("__s"),
+        when(treatment, 1L).otherwise(0L).alias("__tr"),
+        outcome.cast("double").alias("__y"))
+    val cells = base.groupBy("__s")
+      .agg(sum("__tr").alias("__nt"), sum(lit(1L) - col("__tr")).alias("__nc"),
+        sum(when(col("__tr") === 1, col("__y")).otherwise(0.0)
+          .cast("decimal(28,10)")).alias("__st"),
+        sum(when(col("__tr") === 0, col("__y")).otherwise(0.0)
+          .cast("decimal(28,10)")).alias("__sc"))
+      .filter(col("__nt") > 0 && col("__nc") > 0)
+    val diff = col("__st").cast("double") / col("__nt").cast("double") -
+      col("__sc").cast("double") / col("__nc").cast("double")
+    val agg = cells.agg(count(lit(1)).alias("n_strata"),
+      sum(col("__nt") + col("__nc")).alias("n_used"),
+      sum("__nt").alias("__tnt"), sum("__nc").alias("__tnc"),
+      sum("__st").alias("__tst"), sum("__sc").alias("__tsc"),
+      sum((((col("__nt") + col("__nc")).cast("double")) * diff)
+        .cast("decimal(28,10)")).alias("__wsum"))
+    agg.select(col("n_strata"), col("n_used"),
+      round(col("__tst").cast("double") / col("__tnt").cast("double") -
+        col("__tsc").cast("double") / col("__tnc").cast("double"), 6)
+        .alias("diff_naive"),
+      round(col("__wsum").cast("double") / col("n_used").cast("double"), 6)
+        .alias("ate_stratified"))
+  }
+
   /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012):
     * per feature, an equi-width histogram of the global span; a row's
     * score is Σ_f −log₁₀(share of its bin), i.e. joint surprisal under

@@ -861,6 +861,42 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("kruskalWallis: textbook three-group ranks") {
+    import spark.implicits._
+    // groups (1,2), (3,4), (5,6): ranks 1..6, R = (3, 7, 11), no ties
+    // → H = 12/(6·7)·(9/2 + 49/2 + 121/2) − 3·7 = 179/7 − 21 ≈ 4.5714
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, col("g"), "v").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 6)
+    assert(math.abs(r.getDouble(2) - (179.0 / 7 - 21.0)) < 1e-6)
+    // no ties → the corrected statistic equals H
+    assert(r.getDouble(2) == r.getDouble(3))
+    // identical single value everywhere → C = 0 pins both to NULL
+    val const = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val k = Stats.kruskalWallis(const, col("g"), "v").collect().head
+    assert(k.isNullAt(2) && k.isNullAt(3))
+  }
+
+  test("stratifiedATE: confounded naive diff, zero adjusted effect") {
+    import spark.implicits._
+    // stratum A: treated 10/control 10 (no effect inside), stratum B:
+    // treated 20/control 20; treatment concentrated in B → naive diff
+    // > 0 purely from composition, stratified ATE = 0
+    val rows =
+      Seq.fill(1)((true, 10.0, "A")) ++ Seq.fill(9)((false, 10.0, "A")) ++
+      Seq.fill(9)((true, 20.0, "B")) ++ Seq.fill(1)((false, 20.0, "B"))
+    val r = Stats.stratifiedATE(rows.toDF("tr", "y", "s"),
+      col("tr"), col("y"), col("s")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 20)
+    assert(r.getDouble(2) == 8.0 && r.getDouble(3) == 0.0)
+    // a stratum with an empty arm is dropped (positivity)
+    val part = rows ++ Seq.fill(5)((true, 999.0, "C"))
+    val p = Stats.stratifiedATE(part.toDF("tr", "y", "s"),
+      col("tr"), col("y"), col("s")).collect().head
+    assert(p.getLong(0) == 2 && p.getLong(1) == 20)
+  }
+
   test("permutationTest: planted separation is significant, noise is not") {
     import spark.implicits._
     // two clearly separated groups: no permutation should beat the
