@@ -3124,6 +3124,22 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Minimum detectable effect (Stats.mdeReport): what lift could the
+    // odd/even-user split even see at alpha .05 / power .80 — the
+    // experiment-design readout beside q_ab_test.
+    "q_mde" -> ((s, d) =>
+      graft.ops.Stats.mdeReport(Tables.events(s, d),
+        col("user_id") % 2 === 1, "value")),
+
+    // Rich-club ladder (Graph.richClub): do the near-dup graph's hubs
+    // wire to each other — the hub-club readout assortativity blurs.
+    "q_rich_club" -> ((s, d) => {
+      val edges = ScaleDedup.minhashCandidatePairs(Tables.documents(s, d),
+          "doc_id", "text", numHashes = 4, bands = 2)
+        .select(col("id1").alias("src"), col("id2").alias("dst"))
+      Graph.richClub(edges, maxK = 10)
+    }),
+
     // Kruskal-Wallis H (Stats.kruskalWallis): do the five event types'
     // value distributions differ? — the k-group rank ANOVA beside
     // q_anova, on the mann-whitney rank machinery.
@@ -3924,6 +3940,31 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of Stats.mdeReport: conditional DECIMAL moments, pooled sd,
+    * z literals folded the same way on both engines. */
+  private def mdeOracle: String = {
+    val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"
+    val ma = s"(CAST(sa AS DOUBLE) / $na)"
+    val mb = s"(CAST(sb AS DOUBLE) / $nb)"
+    val sp = s"sqrt(((CAST(qa AS DOUBLE) - $na * $ma * $ma) + " +
+      s"(CAST(qb AS DOUBLE) - $nb * $mb * $mb)) / ($na + $nb - 2.0))"
+    val mde = s"(1.9599639845400545 + 0.8416212335729143) * $sp * " +
+      s"sqrt(1.0 / $na + 1.0 / $nb)"
+    "WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g, " +
+      "value AS x FROM events WHERE value IS NOT NULL), " +
+      "m AS (SELECT CAST(sum(1 - g) AS BIGINT) AS n_a, " +
+      "CAST(sum(g) AS BIGINT) AS n_b, " +
+      "sum(CAST(CASE WHEN g = 0 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sa, " +
+      "sum(CAST(CASE WHEN g = 1 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sb, " +
+      "sum(CAST(CASE WHEN g = 0 THEN x * x ELSE 0.0 END AS DECIMAL(38,10))) AS qa, " +
+      "sum(CAST(CASE WHEN g = 1 THEN x * x ELSE 0.0 END AS DECIMAL(38,10))) AS qb " +
+      "FROM b) " +
+      s"SELECT n_a, n_b, round($sp, 6) AS pooled_sd, " +
+      s"round($mde, 6) AS mde_abs, " +
+      s"CASE WHEN $ma = 0.0 THEN NULL ELSE round($mde / $ma, 6) END AS mde_rel " +
+      "FROM m"
+  }
 
   private def simhashOracle: String = {
     val votes = (0 until 16).map { j =>
@@ -5674,6 +5715,32 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same conditional DECIMAL moments, same pooled-sd and z-literal
+    // arithmetic with fixed parenthesization.
+    "q_mde" -> mdeOracle,
+
+    // Same degree/min-degree histograms, same bounded k-ladder and the
+    // N_k < 2 NULL pin.
+    "q_rich_club" ->
+      (s"WITH $mhPairsCtes, " +
+        "e AS (SELECT id1 AS a, id2 AS b FROM pairs), " +
+        "d AS (SELECT node, count(*) AS deg FROM " +
+        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), " +
+        "dh AS (SELECT deg, count(*) AS dn FROM d GROUP BY 1), " +
+        "em AS (SELECT least(da.deg, db.deg) AS m, count(*) AS en " +
+        "FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b GROUP BY 1), " +
+        "kk AS (SELECT unnest(generate_series(1, 10)) AS k), " +
+        "nk AS (SELECT k, sum(CASE WHEN deg > k THEN dn ELSE 0 END) AS n_nodes " +
+        "FROM kk CROSS JOIN dh GROUP BY 1), " +
+        "ek AS (SELECT k, sum(CASE WHEN m > k THEN en ELSE 0 END) AS n_edges " +
+        "FROM kk CROSS JOIN em GROUP BY 1) " +
+        "SELECT CAST(nk.k AS INTEGER) AS k, CAST(n_nodes AS BIGINT) AS n_nodes, " +
+        "CAST(n_edges AS BIGINT) AS n_edges, " +
+        "CASE WHEN n_nodes < 2 THEN NULL ELSE " +
+        "round(2.0 * CAST(n_edges AS DOUBLE) / " +
+        "(CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 6) END AS phi " +
+        "FROM nk JOIN ek ON nk.k = ek.k ORDER BY nk.k"),
 
     // Same per-value mid-ranks off the cumulative, DECIMAL R_g and tie
     // sums, same fixed H parenthesization with the C = 0 NULL pin.

@@ -133,6 +133,51 @@ object Graph {
             (d * (d - lit(1.0))), 6)).alias("clustering_coeff"))
   }
 
+  /** Rich-club coefficient ladder: for each degree threshold k,
+    *   φ(k) = 2·E_k / (N_k·(N_k − 1))
+    * where N_k counts nodes of degree > k and E_k the edges BETWEEN
+    * them — "do the hubs preferentially wire to each other", the
+    * structural question [[degreeAssortativity]]'s one global number
+    * blurs (a graph can be globally disassortative yet carry a tight
+    * hub club). Scale shape: the edge list reduces to a degree
+    * histogram and a min-endpoint-degree edge histogram (both
+    * degree-distribution-sized) in two aggregations; the k-ladder is a
+    * bounded crossJoin over those tiny tables. N_k < 2 pins φ to NULL
+    * identically on both engines. */
+  def richClub(edges: DataFrame, maxK: Int = 10): DataFrame = {
+    require(maxK >= 1 && maxK <= 1000, s"richClub: bad maxK $maxK")
+    val norm = edges
+      .select(least(col("src"), col("dst")).alias("a"),
+        greatest(col("src"), col("dst")).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = norm.select(col("a").alias("node"))
+      .union(norm.select(col("b").alias("node")))
+      .groupBy("node").agg(count(lit(1)).alias("__deg"))
+    val dh = deg.groupBy("__deg").agg(count(lit(1)).alias("__dn"))
+    val em = norm
+      .join(deg.select(col("node").alias("a"), col("__deg").alias("__da")), "a")
+      .join(deg.select(col("node").alias("b"), col("__deg").alias("__db")), "b")
+      .groupBy(least(col("__da"), col("__db")).alias("__m"))
+      .agg(count(lit(1)).alias("__en"))
+    val ladder = norm.sparkSession.range(1)
+      .select(explode(sequence(lit(1), lit(maxK))).alias("k"))
+    val nk = ladder.crossJoin(broadcast(dh))
+      .groupBy("k")
+      .agg(sum(when(col("__deg") > col("k"), col("__dn")).otherwise(0L))
+        .alias("n_nodes"))
+    val ek = ladder.crossJoin(broadcast(em))
+      .groupBy("k")
+      .agg(sum(when(col("__m") > col("k"), col("__en")).otherwise(0L))
+        .alias("n_edges"))
+    val n = col("n_nodes").cast("double")
+    nk.join(ek, "k")
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") < 2, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("n_edges").cast("double") /
+            (n * (n - lit(1.0))), 6)).alias("phi"))
+      .orderBy("k")
+  }
+
   /** Weighted PageRank, deterministic across engines and cluster sizes.
     *
     * Each round is the standard power-iteration step

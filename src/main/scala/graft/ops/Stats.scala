@@ -2033,6 +2033,48 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Minimum detectable effect at the CURRENT sample — the experiment-
+    * design readout that turns "we ran the test, p = 0.3" into "this
+    * test could only ever see an 8% lift": with the standard two-sided
+    * α = 0.05 / power = 0.80 normal approximation,
+    *   MDE = (z_{α/2} + z_β) · s_pooled · √(1/n_A + 1/n_B),
+    * z literals pinned (1.9599639845400545, 0.8416212335729143) so both
+    * engines evaluate identical doubles. One conditional-moment pass
+    * (DECIMAL sums) → a single row; pooled sd is the Welch-free
+    * equal-variance form ((n_A−1)s_A² + (n_B−1)s_B²)/(n_A+n_B−2).
+    * Relative MDE divides by the CONTROL mean (the lift denominator). */
+  def mdeReport(df: DataFrame, groupB: Column, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(when(groupB, 1L).otherwise(0L).alias("__b"),
+        col(valueCol).cast("double").alias("__x"))
+    val m = base.agg(
+      sum(lit(1L) - col("__b")).alias("n_a"), sum("__b").alias("n_b"),
+      sum(when(col("__b") === 0, col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__sa"),
+      sum(when(col("__b") === 1, col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__sb"),
+      sum(when(col("__b") === 0, col("__x") * col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__qa"),
+      sum(when(col("__b") === 1, col("__x") * col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__qb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("__sa").cast("double") / na
+    val mb = col("__sb").cast("double") / nb
+    val ssa = col("__qa").cast("double") - na * ma * ma
+    val ssb = col("__qb").cast("double") - nb * mb * mb
+    val sp = sqrt((ssa + ssb) / (na + nb - lit(2.0)))
+    val mde = lit(1.9599639845400545 + 0.8416212335729143) * sp *
+      sqrt(lit(1.0) / na + lit(1.0) / nb)
+    def guarded(c: Column) = when(col("n_a") < 2 || col("n_b") < 2,
+      raise_error(lit("mdeReport: need at least 2 rows per arm")))
+      .otherwise(c)
+    m.select(col("n_a"), col("n_b"),
+      guarded(round(sp, 6)).alias("pooled_sd"),
+      guarded(round(mde, 6)).alias("mde_abs"),
+      guarded(when(ma === 0.0, lit(null).cast("double"))
+        .otherwise(round(mde / ma, 6))).alias("mde_rel"))
+  }
+
   /** Kruskal–Wallis H — the k-group rank ANOVA (the nonparametric
     * [[anovaOneWay]], extending [[mannWhitneyU]] beyond two groups):
     *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),

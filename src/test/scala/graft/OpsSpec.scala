@@ -1675,6 +1675,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, 0.0)))
   }
 
+  test("richClub: triangle hubs form a perfect club, thin clubs pin NULL") {
+    import spark.implicits._
+    // triangle 1-2-3 (+ pendant 3-4): deg>1 club = {1,2,3}, fully wired
+    // → φ(1) = 1; deg>2 club = {3} alone → NULL
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val rows = Graph.richClub(edges, maxK = 3).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(1) == 3 && rows(0).getLong(2) == 3 &&
+      rows(0).getDouble(3) == 1.0)
+    assert(rows(1).getLong(1) == 1 && rows(1).isNullAt(3))
+    assert(rows(2).getLong(1) == 0 && rows(2).isNullAt(3))
+  }
+
   test("kCoreWeighted: strong triangle survives, weak pendant chain peels") {
     import spark.implicits._
     // triangle 1-2-3 at w=0.9 (wdeg 1.8 each) with a weak chain 3-4-5:

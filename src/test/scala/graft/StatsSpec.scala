@@ -861,6 +861,19 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("mdeReport: pooled sd and MDE from hand moments") {
+    import spark.implicits._
+    // arm a = (0,2): mean 1, SS 2; arm b = (10,14): mean 12, SS 8
+    // → s_p = √((2+8)/2) = √5, MDE = 2.80158...·√5·√(1/2+1/2)
+    val df = Seq((0, 0.0), (0, 2.0), (1, 10.0), (1, 14.0)).toDF("g", "v")
+    val r = Stats.mdeReport(df, col("g") === 1, "v").collect().head
+    val z = 1.9599639845400545 + 0.8416212335729143
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - math.sqrt(5.0)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - z * math.sqrt(5.0)) < 1e-6)
+    assert(math.abs(r.getDouble(4) - z * math.sqrt(5.0)) < 1e-6)
+  }
+
   test("kruskalWallis: textbook three-group ranks") {
     import spark.implicits._
     // groups (1,2), (3,4), (5,6): ranks 1..6, R = (3, 7, 11), no ties
