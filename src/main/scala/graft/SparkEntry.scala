@@ -3124,6 +3124,20 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Tokenizer fertility (TextAnalysis.bpeFertility): BPE tokens per
+    // whitespace word per source over the frozen merges artifact — the
+    // vocabulary-fit readout before a training run.
+    "q_bpe_fertility" -> ((s, d) =>
+      graft.ops.TextAnalysis.bpeFertility(Tables.documents(s, d),
+        "text", "source")),
+
+    // Dedup savings (TextAnalysis.dedupSavings): what exact keep-first
+    // dedup buys per source in docs AND tokens — the number that
+    // justifies the dedup stage in a token budget.
+    "q_dedup_savings" -> ((s, d) =>
+      graft.ops.TextAnalysis.dedupSavings(Tables.documents(s, d),
+        "doc_id", "text", "source")),
+
     // Minimum detectable effect (Stats.mdeReport): what lift could the
     // odd/even-user split even see at alpha .05 / power .80 — the
     // experiment-design readout beside q_ab_test.
@@ -5715,6 +5729,34 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Shared recursive-BPE chain; same word counts and DECIMAL ratio.
+    "q_bpe_fertility" ->
+      (s"WITH RECURSIVE $bpeTokCtes, " +
+        "f AS (SELECT a.doc_id, d.source, len(a.toks) AS nb, " +
+        "len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS nw " +
+        "FROM agg a JOIN documents d USING (doc_id)) " +
+        "SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(nb) AS BIGINT) AS n_bpe, " +
+        "round(CAST(sum(CAST(nb AS DECIMAL(28,8))) AS DOUBLE) / " +
+        "CAST(sum(CAST(nw AS DECIMAL(28,8))) AS DOUBLE), 6) AS fertility " +
+        "FROM f WHERE nw > 0 GROUP BY 1 ORDER BY 1"),
+
+    // Same normalized-text fingerprint, same min-id keeper and per-source
+    // token rollup.
+    "q_dedup_savings" ->
+      ("WITH b AS (SELECT source AS grp, doc_id, " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "k AS (SELECT fp, min(doc_id) AS keep FROM b GROUP BY 1) " +
+        "SELECT grp, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+        "CAST(sum(ntok) AS BIGINT) AS tokens_total, " +
+        "CAST(sum(CASE WHEN doc_id = keep THEN ntok ELSE 0 END) AS BIGINT) AS tokens_unique, " +
+        "round(1.0 - CAST(sum(CASE WHEN doc_id = keep THEN ntok ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(ntok) AS DOUBLE), 6) AS token_savings " +
+        "FROM b JOIN k USING (fp) GROUP BY 1 ORDER BY 1"),
 
     // Same conditional DECIMAL moments, same pooled-sd and z-literal
     // arithmetic with fixed parenthesization.

@@ -932,6 +932,61 @@ object TextAnalysis {
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
 
+  /** Tokenizer fertility per source: BPE tokens emitted per whitespace
+    * word — THE tokenizer-evaluation number (fertility ≈ 1 means the
+    * vocabulary fits the corpus; ≫ 1 means the domain pays a context-
+    * length tax, the readout that decides whether a tokenizer needs
+    * domain merges before a training run). Composes the real
+    * [[functions.Bpe]] kernel over the frozen [[DefaultBpeMerges]]
+    * artifact with the corpus's own word counts: both counts are
+    * row-local array expressions at the scan (text never shuffles), one
+    * per-source DECIMAL aggregation. */
+  def bpeFertility(df: DataFrame, textCol: String, groupCol: String)
+      : DataFrame = {
+    val words = size(filter(split(col(textCol), " "), x => x =!= ""))
+    val bpe = size(graft.functions.Bpe.bpe_tokens(col(textCol),
+      DefaultBpeMerges))
+    df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).alias("grp"),
+        words.cast("long").alias("__w"), bpe.cast("long").alias("__b"))
+      .filter(col("__w") > 0)
+      .groupBy("grp")
+      .agg(count(lit(1)).alias("n_docs"),
+        sum("__w").alias("n_words"), sum("__b").alias("n_bpe"),
+        round(sum(col("__b").cast("decimal(28,8)")).cast("double") /
+          sum(col("__w").cast("decimal(28,8)")).cast("double"), 6)
+          .alias("fertility"))
+      .orderBy("grp")
+  }
+
+  /** Deduplication savings report: what does exact keep-first dedup
+    * ([[fingerprint]] on the normalized text, minimum id wins) buy, per
+    * source, in DOCUMENTS and in TOKENS — the number that justifies (or
+    * kills) a dedup stage in a training-data budget: a 30% doc-dup rate
+    * that is only a 4% token saving is boilerplate short-docs, not
+    * corpus bloat. Scale shape: one scan computes (fingerprint, token
+    * count) per doc — text itself never shuffles; the keeper table is
+    * one fingerprint-keyed min aggregation joined back fingerprint-
+    * keyed; per-source rollup is group-count-sized. */
+  def dedupSavings(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).alias("grp"), col(idCol).alias("__id"),
+        fingerprint(col(textCol)).alias("__fp"),
+        size(filter(split(col(textCol), " "), x => x =!= ""))
+          .cast("long").alias("__ntok"))
+    val keepers = base.groupBy("__fp").agg(min("__id").alias("__keep"))
+    base.join(keepers, "__fp")
+      .withColumn("__kept", (col("__id") === col("__keep")).cast("long"))
+      .groupBy("grp")
+      .agg(count(lit(1)).alias("n_docs"), sum("__kept").alias("n_unique"),
+        sum("__ntok").alias("tokens_total"),
+        sum(col("__kept") * col("__ntok")).alias("tokens_unique"),
+        round(lit(1.0) - sum(col("__kept") * col("__ntok")).cast("double") /
+          sum("__ntok").cast("double"), 6).alias("token_savings"))
+      .orderBy("grp")
+  }
+
   /** Hellinger distance between two corpus slices' unigram token
     * distributions: BC = Σ √(p_i·q_i) (the Bhattacharyya coefficient)
     * and H = √(1 − BC) — the bounded, symmetric drift metric that

@@ -2328,6 +2328,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("dedupSavings: global keep-first attributed per source") {
+    import spark.implicits._
+    // A: two copies of "a b" + unique "c"; B: a third copy of "a b"
+    // whose keeper lives in A → B saves 100% of its tokens
+    val df = Seq((1L, "a b", "A"), (2L, "a b", "A"), (3L, "c", "A"),
+      (4L, "a b", "B")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dedupSavings(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("A", 3L, 2L, 5L, 3L, 0.4),
+      ("B", 1L, 0L, 2L, 0L, 1.0)))
+  }
+
+  test("bpeFertility: consistent with the kernel, word counts exact") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world", "A"), (2L, "hello world", "A"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.bpeFertility(df, "text", "source").collect().head
+    assert(r.getString(0) == "A" && r.getLong(1) == 2 && r.getLong(2) == 4)
+    // n_bpe is exactly twice one doc's kernel output; fertility matches
+    val one = df.limit(1).select(
+      size(graft.functions.Bpe.bpe_tokens(col("text"),
+        TextAnalysis.DefaultBpeMerges)).cast("long")).head.getLong(0)
+    assert(r.getLong(3) == 2 * one)
+    assert(math.abs(r.getDouble(4) - 2.0 * one / 4.0) < 1e-6)
+  }
+
   test("hellingerDrift: hand-computed BC and H, identical slices at 0") {
     import spark.implicits._
     // A = (a,a,b), B = (a,b,b,b): BC = √(2/3·1/4) + √(1/3·3/4)
