@@ -3124,6 +3124,19 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // GloVe-style windowed co-occurrence (TextAnalysis.cooccurrence):
+    // 1/d-weighted token pairs within a 4-token window — the matrix an
+    // embedding trainer consumes; row-local fan-out, no self-join.
+    "q_cooccurrence" -> ((s, d) =>
+      graft.ops.TextAnalysis.cooccurrence(Tables.documents(s, d), "text")),
+
+    // Int8 quantization distortion (Similarity.quantizationReport):
+    // absmax per-dim scales, quantize-dequantize, cosine + abs-error
+    // readout per label — the 4x-compression go/no-go.
+    "q_embedding_quantize" -> ((s, d) =>
+      graft.ops.Similarity.quantizationReport(Tables.embeddings(s, d),
+        "embedding", "label")),
+
     // Tokenizer fertility (TextAnalysis.bpeFertility): BPE tokens per
     // whitespace word per source over the frozen merges artifact — the
     // vocabulary-fit readout before a training run.
@@ -5729,6 +5742,46 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same 1/d weights (doc-local position join mirrors the row-local
+    // fan-out), DECIMAL weight sums, same total tie order.
+    "q_cooccurrence" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS toks FROM documents WHERE text IS NOT NULL), " +
+        "p AS (SELECT doc_id, toks[i] AS w, i FROM t, " +
+        "unnest(generate_series(1, len(toks))) AS u(i) WHERE len(toks) >= 2), " +
+        "pr AS (SELECT a.w AS w1, b.w AS w2, " +
+        "1.0 / CAST(b.i - a.i AS DOUBLE) AS wt FROM p a JOIN p b " +
+        "ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 4) " +
+        "SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(CAST(sum(CAST(wt AS DECIMAL(28,10))) AS DOUBLE), 6) AS weight " +
+        "FROM pr GROUP BY 1, 2 ORDER BY weight DESC, w1, w2 LIMIT 50"),
+
+    // Same absmax scales, same clamp(round(x/s)) dequantize, DECIMAL
+    // cosine/error means with the zero pins.
+    "q_embedding_quantize" ->
+      ("WITH v AS MATERIALIZED (SELECT label AS grp, embedding::DOUBLE[] AS v " +
+        "FROM embeddings WHERE len(embedding) = 64 AND " +
+        "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0), " +
+        "pe AS (SELECT i AS p, max(abs(v[i])) / 127.0 AS s FROM v, " +
+        "unnest(generate_series(1, 64)) AS u(i) GROUP BY 1), " +
+        "sc AS (SELECT list(s ORDER BY p) AS sv FROM pe), " +
+        "dq AS MATERIALIZED (SELECT grp, v, " +
+        "list_transform(generate_series(1, 64), i -> " +
+        "CASE WHEN sv[i] = 0.0 THEN 0.0 ELSE " +
+        "greatest(least(round(v[i] / sv[i], 0), 127.0), -127.0) * sv[i] END) AS q " +
+        "FROM v CROSS JOIN sc), " +
+        "cg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "round(CAST(sum(CAST(CASE WHEN list_dot_product(q, q) = 0 THEN 0.0 ELSE " +
+        "round(list_dot_product(v, q) / " +
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 6) END " +
+        "AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_cos_quant " +
+        "FROM dq GROUP BY 1), " +
+        "er AS (SELECT grp, round(CAST(sum(CAST(abs(v[i] - q[i]) " +
+        "AS DECIMAL(28,14))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_err " +
+        "FROM dq, unnest(generate_series(1, 64)) AS u(i) GROUP BY 1) " +
+        "SELECT cg.grp AS grp, n_vecs, mean_cos_quant, mean_abs_err " +
+        "FROM cg JOIN er ON cg.grp = er.grp ORDER BY cg.grp"),
 
     // Shared recursive-BPE chain; same word counts and DECIMAL ratio.
     "q_bpe_fertility" ->

@@ -619,6 +619,55 @@ object Similarity {
       .orderBy("grp")
   }
 
+  /** Symmetric int8 quantization distortion report — "can we store the
+    * embedding index at 4× compression": per-dimension absmax scales
+    * s_j = max|x_j|/127, quantize-dequantize q = clamp(round(x/s)), and
+    * per group report the mean original-vs-dequantized cosine plus the
+    * global per-element mean absolute error — the measured go/no-go for
+    * int8 ANN serving ([[pqTopK]]'s codebook path is the 8×/16×
+    * alternative when this number is too lossy). Scale shape: one
+    * posexplode aggregation for the 64-row scale table (broadcast back
+    * as an array via the [[embeddingProfile]] sort-collect idiom), the
+    * quantize-dequantize is a row-local zip (vectors never shuffle),
+    * and both readouts are group-count-sized DECIMAL means of
+    * per-row/per-element rounded values. Zero-scale dimensions (the
+    * whole corpus is 0 there) dequantize to an exact 0; a vector that
+    * quantizes to all-zero pins its cosine to 0 (the zero-norm stance). */
+  def quantizationReport(emb: DataFrame, vecCol: String, groupCol: String,
+                         dim: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 4096, s"quantizationReport: bad dim $dim")
+    val base = emb.select(col(groupCol).alias("grp"),
+        asDouble(col(vecCol)).alias("__v"))
+      .filter(size(col("__v")) === dim && dot(col("__v"), col("__v")) > 0)
+    val scales = base
+      .select(posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy("__p").agg((max(abs(col("__x"))) / lit(127.0)).alias("__s"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("__p"), col("__s"))))
+        .alias("__ss"))
+      .select(transform(col("__ss"), s => s.getField("__s")).alias("__sv"))
+    val q = zip_with(col("__v"), col("__sv"), (x, s) =>
+      when(s === 0.0, lit(0.0)).otherwise(
+        greatest(least(round(x / s, 0), lit(127.0)), lit(-127.0)) * s))
+    val withQ = base.crossJoin(broadcast(scales))
+      .select(col("grp"), col("__v"), q.alias("__q"))
+    val cosRow = when(dot(col("__q"), col("__q")) === 0, lit(0.0))
+      .otherwise(round(dot(col("__v"), col("__q")) /
+        (norm(col("__v")) * norm(col("__q"))), 6))
+    val perGrp = withQ.select(col("grp"), cosRow.alias("__c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).alias("n_vecs"),
+        round(sum(col("__c").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).alias("mean_cos_quant"))
+    val err = withQ
+      .select(col("grp"), explode(arrays_zip(col("__v"), col("__q"))).alias("__e"))
+      .groupBy("grp")
+      .agg(round(sum(abs(col("__e.__v") - col("__e.__q"))
+          .cast("decimal(28,14)")).cast("double") /
+        count(lit(1)).cast("double"), 6).alias("mean_abs_err"))
+    perGrp.join(err, "grp").orderBy("grp")
+  }
+
   /** Empirical covariance of an embedding column as a (i, j, c) matrix
     * table, computed in ONE corpus pass: C(i,j) = Σxᵢxⱼ/n − μᵢμⱼ, with
     * both the cross-product and the mean sums accumulated as

@@ -932,6 +932,39 @@ object TextAnalysis {
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
 
+  /** Windowed token co-occurrence with GloVe's 1/d distance weighting:
+    * for every ordered position pair within `window`, accumulate
+    * weight 1/d for the (left, right) token pair — the co-occurrence
+    * matrix an embedding trainer consumes, generalizing [[collocations]]
+    * beyond adjacency. Top-N pairs by weighted count. Scale shape: the
+    * pair expansion is a ROW-LOCAL array expression (×window fan-out at
+    * the scan — no self-join, no explode-then-join), so the only
+    * shuffle carries (w1, w2) pairs with map-side combine; weights are
+    * exact 1/d doubles DECIMAL-summed, ties broken (weight DESC, w1,
+    * w2). */
+  def cooccurrence(df: DataFrame, textCol: String, window: Int = 4,
+                   topN: Int = 50): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"cooccurrence: need 1 <= window <= 16, got $window")
+    val toks = filter(split(col(textCol), " "), x => x =!= "")
+    val pairs = flatten(transform(sequence(lit(1), size(toks) - 1), i =>
+      transform(sequence(lit(1), least(lit(window), size(toks) - i)), d =>
+        struct(element_at(toks, i).alias("w1"),
+          element_at(toks, i + d).alias("w2"),
+          d.alias("d")))))
+    df.filter(col(textCol).isNotNull)
+      .filter(size(toks) >= 2)
+      .select(explode(pairs).alias("p"))
+      .select(col("p.w1"), col("p.w2"),
+        (lit(1.0) / col("p.d").cast("double")).alias("__w"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).alias("n_pairs"),
+        round(sum(col("__w").cast("decimal(28,10)")).cast("double"), 6)
+          .alias("weight"))
+      .orderBy(desc("weight"), col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Tokenizer fertility per source: BPE tokens emitted per whitespace
     * word — THE tokenizer-evaluation number (fertility ≈ 1 means the
     * vocabulary fits the corpus; ≫ 1 means the domain pays a context-

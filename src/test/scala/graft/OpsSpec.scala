@@ -2328,6 +2328,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("cooccurrence: 1/d weights within the window, adjacency first") {
+    import spark.implicits._
+    val df = Seq("a b c").toDF("text")
+    val got = TextAnalysis.cooccurrence(df, "text", window = 4, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0),
+      ("a", "c", 1L, 0.5)))
+    // window = 1 keeps only adjacent pairs
+    val adj = TextAnalysis.cooccurrence(df, "text", window = 1, topN = 10)
+      .collect()
+    assert(adj.length == 2)
+  }
+
+  test("quantizationReport: exact grid points survive, off-grid errs") {
+    import spark.implicits._
+    // dim-1 scale = 1/127: 1.0 is exactly representable (q = 127),
+    // 0.5 rounds to 64/127; dim-2 is all-zero → scale 0, dequant 0
+    val df = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.5f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizationReport(df, "embedding", "label", dim = 2)
+      .collect().head
+    assert(r.getInt(0) == 0 && r.getLong(1) == 2)
+    // both rows stay colinear with their originals → mean cosine 1
+    assert(r.getDouble(2) == 1.0)
+    val err = (64.0 / 127 - 0.5) / 4
+    assert(math.abs(r.getDouble(3) - err) < 1e-6)
+  }
+
   test("dedupSavings: global keep-first attributed per source") {
     import spark.implicits._
     // A: two copies of "a b" + unique "c"; B: a third copy of "a b"
