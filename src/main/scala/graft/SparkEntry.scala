@@ -3124,6 +3124,28 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // word2vec negative sampling (Mix.negativeSamples): deterministic
+    // unigram^0.75 draws via the bucketed inverse-CDF equi-join — never
+    // a draws x vocab range nested-loop.
+    "q_neg_sampling" -> ((s, d) =>
+      graft.ops.Mix.negativeSamples(Tables.documents(s, d), "doc_id",
+        "text")),
+
+    // Wald IV estimator (Stats.ivWald): ITT / first stage on a synthetic
+    // odd-user instrument — the unobserved-confounder leg of the causal
+    // family.
+    "q_iv_wald" -> ((s, d) =>
+      graft.ops.Stats.ivWald(Tables.events(s, d),
+        col("user_id") % 2 === 1,
+        col("user_id") % 2 === 1 && col("value") > 50, col("value"))),
+
+    // Best-split changepoint (Stats.bestSplit): the single day that
+    // maximizes between-segment variance of daily order volume — binary
+    // segmentation's first step beside the fixed-hinge q_segmented_trend.
+    "q_best_split" -> ((s, d) =>
+      graft.ops.Stats.bestSplit(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
     // GloVe-style windowed co-occurrence (TextAnalysis.cooccurrence):
     // 1/d-weighted token pairs within a 4-token window — the matrix an
     // embedding trainer consumes; row-local fan-out, no self-join.
@@ -3967,6 +3989,29 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of Stats.bestSplit: DECIMAL prefix sums over the daily
+    * series, per-candidate between-variance gain, rounded-gain argmax. */
+  private def bestSplitOracle: String = {
+    val n1 = "CAST(i AS DOUBLE)"
+    val n = "CAST(t.n AS DOUBLE)"
+    val n2 = s"($n - $n1)"
+    val m1 = s"(CAST(cs AS DOUBLE) / $n1)"
+    val m2 = s"(CAST(ct - cs AS DOUBLE) / $n2)"
+    val m = s"(CAST(ct AS DOUBLE) / $n)"
+    "WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+      "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+      "p AS (SELECT d, row_number() OVER (ORDER BY d) AS i, " +
+      "sum(CAST(x AS DECIMAL(28,8))) OVER (ORDER BY d " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM s), " +
+      "t AS (SELECT max(i) AS n, max(cs) AS ct FROM p) " +
+      "SELECT d AS split_day, CAST(i AS BIGINT) AS n_before, " +
+      "CAST(t.n - i AS BIGINT) AS n_after, " +
+      s"round($m1, 6) AS mean_before, round($m2, 6) AS mean_after, " +
+      s"round($n1 * $m1 * $m1 + $n2 * $m2 * $m2 - $n * $m * $m, 6) AS gain " +
+      "FROM p CROSS JOIN t WHERE i < t.n " +
+      "ORDER BY gain DESC, split_day LIMIT 1"
+  }
 
   /** Mirror of Stats.mdeReport: conditional DECIMAL moments, pooled sd,
     * z literals folded the same way on both engines. */
@@ -5742,6 +5787,56 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same pinned-order cumulative, same md5 draws; the oracle may use
+    // the plain range join DuckDB is happy with — values are identical.
+    "q_neg_sampling" ->
+      ("WITH tk AS (SELECT token, count(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "WHERE token <> '' GROUP BY 1), " +
+        "cw AS (SELECT token, pow(CAST(c AS DOUBLE), 0.75) AS w, " +
+        "coalesce(sum(pow(CAST(c AS DOUBLE), 0.75)) OVER (ORDER BY token " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS lo FROM tk), " +
+        "ch AS (SELECT token, w, lo, lo + w AS hi FROM cw), " +
+        "z AS (SELECT max(hi) AS z FROM ch), " +
+        "dr AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+        "CAST(j AS VARCHAR) || '#2'), 1, 8))::BIGINT / 4294967296.0 AS u " +
+        "FROM documents, unnest(range(3)) AS t(j)), " +
+        "m AS (SELECT ch.token, ch.w FROM dr CROSS JOIN z JOIN ch " +
+        "ON ch.lo <= dr.u * z.z AND dr.u * z.z < ch.hi), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dr), " +
+        "g AS (SELECT token, CAST(count(*) AS BIGINT) AS n_sampled, " +
+        "max(w) AS tw FROM m GROUP BY 1) " +
+        "SELECT token, n_sampled, " +
+        "round(CAST(nd.nd AS DOUBLE) * (tw / z.z), 6) AS expected, " +
+        "round(CAST(n_sampled AS DOUBLE) / (CAST(nd.nd AS DOUBLE) * (tw / z.z)), 6) AS ratio " +
+        "FROM g CROSS JOIN nd CROSS JOIN z " +
+        "ORDER BY n_sampled DESC, token LIMIT 30"),
+
+    // Same conditional DECIMAL moments, same ITT / first-stage ratio.
+    "q_iv_wald" ->
+      ("WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS z, " +
+        "CASE WHEN user_id % 2 = 1 AND value > 50 THEN 1 ELSE 0 END AS t, " +
+        "value AS y FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT CAST(sum(z) AS BIGINT) AS n_z1, " +
+        "CAST(sum(1 - z) AS BIGINT) AS n_z0, " +
+        "sum(CAST(CASE WHEN z = 1 THEN y ELSE 0.0 END AS DECIMAL(38,10))) AS y1, " +
+        "sum(CAST(CASE WHEN z = 0 THEN y ELSE 0.0 END AS DECIMAL(38,10))) AS y0, " +
+        "sum(CASE WHEN z = 1 THEN t ELSE 0 END) AS t1, " +
+        "sum(CASE WHEN z = 0 THEN t ELSE 0 END) AS t0 FROM b) " +
+        "SELECT n_z1, n_z0, " +
+        "round(CAST(y1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) - " +
+        "CAST(y0 AS DOUBLE) / CAST(n_z0 AS DOUBLE), 6) AS itt, " +
+        "round(CAST(t1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) - " +
+        "CAST(t0 AS DOUBLE) / CAST(n_z0 AS DOUBLE), 6) AS first_stage, " +
+        "round((CAST(y1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) - " +
+        "CAST(y0 AS DOUBLE) / CAST(n_z0 AS DOUBLE)) / " +
+        "(CAST(t1 AS DOUBLE) / CAST(n_z1 AS DOUBLE) - " +
+        "CAST(t0 AS DOUBLE) / CAST(n_z0 AS DOUBLE)), 6) AS late FROM m"),
+
+    // Same DECIMAL prefix sums over the calendar-bounded series, same
+    // between-variance gain with fixed parenthesization.
+    "q_best_split" -> bestSplitOracle,
 
     // Same 1/d weights (doc-local position join mirrors the row-local
     // fan-out), DECIMAL weight sums, same total tie order.

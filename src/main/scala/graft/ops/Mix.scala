@@ -106,4 +106,69 @@ object Mix {
         col("rate"), coalesce(col("__kept"), lit(0L)).alias("n_kept"))
       .orderBy(keyCol)
   }
+
+  /** word2vec-style negative sampling from the unigram^0.75 distribution
+    * — deterministic draws, SCALE-CORRECT inverse-CDF lookup. The
+    * smoothed distribution (Mikolov et al. 2013: p ∝ count^0.75) is the
+    * one contrastive trainers actually sample; the engineering question
+    * at 100 TB is the lookup: a draw⋈vocab range join is the quadratic
+    * nested-loop this engine bans. Instead the cumulative [lo, hi) table
+    * is indexed into `buckets` equi-width cells (each token explodes to
+    * the ≤ span-width cells it overlaps — index size ≤ vocab + buckets),
+    * a draw's cell is floor(u·buckets) BY CONSTRUCTION (u ∈ [0,1)), and
+    * the lookup becomes one broadcast EQUI-join + containment filter.
+    * Draws are md5-uniform per (doc, j) ([[stratifiedSample]]'s
+    * no-RNG-state stance). Cumulative doubles accumulate in ONE pinned
+    * token order on both engines (ordered window over the vocab table),
+    * and Z is the last cumulative's hi — never a separately-ordered
+    * re-sum. Output: top-N tokens by sampled count vs expectation. */
+  def negativeSamples(df: DataFrame, idCol: String, textCol: String,
+                      drawsPerDoc: Int = 3, buckets: Int = 256,
+                      topN: Int = 30): DataFrame = {
+    require(drawsPerDoc >= 1 && drawsPerDoc <= 64 &&
+      buckets >= 16 && buckets <= 65536 && topN >= 1,
+      s"negativeSamples: bad drawsPerDoc=$drawsPerDoc buckets=$buckets")
+    val counts = df
+      .select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias("__c"))
+    val w = pow(col("__c").cast("double"), lit(0.75))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("token")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = counts
+      .withColumn("__w", w)
+      .withColumn("__lo", coalesce(sum("__w").over(cumW), lit(0.0)))
+      .withColumn("__hi", col("__lo") + col("__w"))
+    val z = cum.agg(max("__hi").alias("__z"))
+    val idx = cum.crossJoin(broadcast(z))
+      .select(col("token"), col("__w"), col("__lo"), col("__hi"), col("__z"),
+        explode(sequence(
+          floor(col("__lo") / col("__z") * lit(buckets.toDouble)).cast("int"),
+          least(floor(col("__hi") / col("__z") * lit(buckets.toDouble)),
+            lit((buckets - 1).toDouble)).cast("int"))).alias("__b"))
+    val draws = df
+      .select(col(idCol).cast("string").alias("__id"),
+        explode(sequence(lit(0), lit(drawsPerDoc - 1))).alias("__j"))
+      .select((graft.ops.ScaleDedup.hash32(
+          concat_ws(":", col("__id"), col("__j").cast("string")), 2)
+        .cast("double") / lit(4294967296.0)).alias("__u"))
+      .select(col("__u"), floor(col("__u") * lit(buckets.toDouble))
+        .cast("int").alias("__b"))
+    val nDraws = draws.agg(count(lit(1)).alias("__nd"))
+    draws.join(broadcast(idx), "__b")
+      .filter(col("__lo") <= col("__u") * col("__z") &&
+        col("__u") * col("__z") < col("__hi"))
+      .groupBy("token")
+      .agg(count(lit(1)).alias("n_sampled"), max("__w").alias("__tw"),
+        max("__z").alias("__tz"))
+      .crossJoin(broadcast(nDraws))
+      .select(col("token"), col("n_sampled"),
+        round(col("__nd").cast("double") * (col("__tw") / col("__tz")), 6)
+          .alias("expected"),
+        round(col("n_sampled").cast("double") /
+          (col("__nd").cast("double") * (col("__tw") / col("__tz"))), 6)
+          .alias("ratio"))
+      .orderBy(desc("n_sampled"), col("token"))
+      .limit(topN)
+  }
 }

@@ -2033,6 +2033,81 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Wald instrumental-variable estimator — the third leg of the causal
+    * family ([[diffInDiff]] for parallel trends, [[stratifiedATE]] for
+    * observed confounders, THIS for unobserved ones, given a binary
+    * instrument):
+    *   LATE = (E[y|z=1] − E[y|z=0]) / (E[t|z=1] − E[t|z=0]),
+    * the intent-to-treat effect rescaled by the first stage. One
+    * conditional-moment pass (DECIMAL outcome sums, exact counts); the
+    * ITT and first stage are reported beside the ratio so a weak
+    * instrument is visible, and a ZERO first stage fails fast rather
+    * than dividing engines differently. */
+  def ivWald(df: DataFrame, instrument: Column, treatment: Column,
+             outcome: Column): DataFrame = {
+    val base = df.filter(outcome.isNotNull)
+      .select(when(instrument, 1L).otherwise(0L).alias("__z"),
+        when(treatment, 1L).otherwise(0L).alias("__t"),
+        outcome.cast("double").alias("__y"))
+    val m = base.agg(
+      sum("__z").alias("n_z1"), sum(lit(1L) - col("__z")).alias("n_z0"),
+      sum(when(col("__z") === 1, col("__y")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__y1"),
+      sum(when(col("__z") === 0, col("__y")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__y0"),
+      sum(when(col("__z") === 1, col("__t")).otherwise(0L)).alias("__t1"),
+      sum(when(col("__z") === 0, col("__t")).otherwise(0L)).alias("__t0"))
+    val itt = col("__y1").cast("double") / col("n_z1").cast("double") -
+      col("__y0").cast("double") / col("n_z0").cast("double")
+    val first = col("__t1").cast("double") / col("n_z1").cast("double") -
+      col("__t0").cast("double") / col("n_z0").cast("double")
+    def guarded(c: Column) = when(first === 0.0,
+      raise_error(lit("ivWald: zero first stage — instrument is " +
+        "uncorrelated with treatment"))).otherwise(c)
+    m.select(col("n_z1"), col("n_z0"),
+      round(itt, 6).alias("itt"),
+      round(first, 6).alias("first_stage"),
+      guarded(round(itt / first, 6)).alias("late"))
+  }
+
+  /** Best-split changepoint localization of the daily-count series: the
+    * single split s maximizing the between-segment variance
+    *   gain(s) = n₁m₁² + n₂m₂² − n·m²
+    * — binary segmentation's first step, the SEARCH complement to
+    * [[segmentedTrend]]'s fixed hinge and [[cusumChangepoints]]'
+    * threshold alarm. Scale shape: stream → CALENDAR-BOUNDED daily
+    * table; prefix counts/sums come from one ordered window (DECIMAL
+    * accumulation) over that bounded series; every candidate split is
+    * then a row-local double expression and the argmax is a 1-row
+    * TakeOrdered. Ties break on the earlier day. */
+  def bestSplit(df: DataFrame, dateCol: Column): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"))
+    val w = Window.orderBy("__d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("__i", row_number().over(Window.orderBy("__d")))
+      .withColumn("__cs", sum(col("__x").cast("decimal(28,8)")).over(w))
+    val tot = pre.agg(max("__i").alias("__n"), max("__cs").alias("__ct"))
+    val n1 = col("__i").cast("double")
+    val n = col("__n").cast("double")
+    val n2 = n - n1
+    val m1 = col("__cs").cast("double") / n1
+    val m2 = (col("__ct") - col("__cs")).cast("double") / n2
+    val m = col("__ct").cast("double") / n
+    val gain = n1 * m1 * m1 + n2 * m2 * m2 - n * m * m
+    pre.crossJoin(broadcast(tot))
+      .filter(col("__i") < col("__n"))
+      .select(col("__d").alias("split_day"),
+        col("__i").cast("long").alias("n_before"),
+        (col("__n") - col("__i")).cast("long").alias("n_after"),
+        round(m1, 6).alias("mean_before"),
+        round(m2, 6).alias("mean_after"),
+        round(gain, 6).alias("gain"))
+      .orderBy(desc("gain"), col("split_day"))
+      .limit(1)
+  }
+
   /** Minimum detectable effect at the CURRENT sample — the experiment-
     * design readout that turns "we ran the test, p = 0.3" into "this
     * test could only ever see an 8% lift": with the standard two-sided

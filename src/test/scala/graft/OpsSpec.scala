@@ -2328,6 +2328,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("negativeSamples: every draw lands once, heavy token dominates") {
+    import spark.implicits._
+    // "a" appears 100x per doc-corpus vs one "b": p(a) = 100^.75/(100^.75+1)
+    val docs = (1L to 40L).map(i =>
+      (i, if (i == 1) "b" else Seq.fill(5)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Mix.negativeSamples(docs, "doc_id", "text", drawsPerDoc = 3,
+      buckets = 64, topN = 10).collect()
+    // partition of [0, Z): the 120 draws match exactly one token each
+    assert(got.map(_.getLong(1)).sum == 40L * 3)
+    val a = got.find(_.getString(0) == "a").get
+    assert(a.getLong(1) > 100)
+    assert(a.getDouble(3) > 0.8 && a.getDouble(3) < 1.2)
+  }
+
   test("cooccurrence: 1/d weights within the window, adjacency first") {
     import spark.implicits._
     val df = Seq("a b c").toDF("text")

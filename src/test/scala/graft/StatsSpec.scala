@@ -861,6 +861,32 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("ivWald: ITT rescaled by the first stage") {
+    import spark.implicits._
+    // z=1: mean y 10, t rate 1/2; z=0: mean y 8, t rate 0
+    // → itt = 2, first = 0.5, LATE = 4
+    val df = Seq((1, 1, 12.0), (1, 0, 8.0), (0, 0, 8.0), (0, 0, 8.0))
+      .toDF("z", "t", "y")
+    val r = Stats.ivWald(df, col("z") === 1, col("t") === 1, col("y"))
+      .collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 0.5 &&
+      r.getDouble(4) == 4.0)
+  }
+
+  test("bestSplit finds the level shift") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 6, 1).plusDays(i))
+    // daily counts 1,1,1,5,5 → split after day 3: gain = 3+50−33.8 = 19.2
+    val rows = (0 until 3).map(i => (day(i), 1)) ++ Seq((day(3), 5), (day(4), 5))
+    val df = rows.flatMap { case (d, c) => Seq.fill(c)(d) }.toDF("d")
+    val r = Stats.bestSplit(df, col("d")).collect().head
+    assert(r.getDate(0) == day(2) && r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0)
+    assert(math.abs(r.getDouble(5) - 19.2) < 1e-6)
+  }
+
   test("mdeReport: pooled sd and MDE from hand moments") {
     import spark.implicits._
     // arm a = (0,2): mean 1, SS 2; arm b = (10,14): mean 12, SS 8
