@@ -3124,6 +3124,25 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Clustering agreement (Stats.clusteringAgreement): NMI + adjusted
+    // Rand between the CC dedup clusters and the LPA communities over
+    // the SAME candidate graph — is LPA a refinement or a re-carve?
+    "q_cluster_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ScaleDedup.minhashCandidatePairs(docs, "doc_id", "text",
+        numHashes = 4, bands = 2)
+      val cc = ScaleDedup.connectedComponents(
+          docs.select(col("doc_id").alias("id")), pairs)
+      val lpa = Graph.labelPropagation(
+        pairs.select(col("id1").alias("src"), col("id2").alias("dst")),
+        rounds = 4)
+      val lpaAll = docs.select(col("doc_id").alias("id"))
+        .join(lpa.select(col("node").alias("id"), col("community")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("community"), col("id")).alias("label"))
+      graft.ops.Stats.clusteringAgreement(cc, lpaAll)
+    }),
+
     // word2vec negative sampling (Mix.negativeSamples): deterministic
     // unigram^0.75 draws via the bucketed inverse-CDF equi-join — never
     // a draws x vocab range nested-loop.
@@ -3989,6 +4008,64 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of q_cluster_agreement: the dedupClustersOracle recursive CC
+    * chain + the labelPropagationOracle 4-round chain over the SAME pair
+    * CTEs, then the contingency/NMI/ARI arithmetic with DECIMAL entropy
+    * and MI sums and exact integer pair counts. */
+  private def clusterAgreementOracle: String = {
+    val sb = new StringBuilder(
+      s"WITH RECURSIVE $mhPairsCtes, " +
+        "edges AS (SELECT id1 AS src, id2 AS dst FROM pairs " +
+        "UNION ALL SELECT id2, id1 FROM pairs), " +
+        "cc AS (SELECT doc_id AS id, doc_id AS label FROM documents " +
+        "UNION SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON cc.id = e.src), " +
+        "laba AS MATERIALIZED (SELECT id, min(label) AS la FROM cc GROUP BY id), " +
+        "n0 AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs " +
+        "UNION ALL SELECT id2, id1 FROM pairs), " +
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM n0)")
+    for (i <- 1 to 4) {
+      sb.append(s", c$i AS MATERIALIZED (SELECT n.u AS u, l.label AS label, " +
+        s"count(*) AS c FROM n0 n JOIN l${i - 1} l ON n.v = l.node " +
+        "GROUP BY 1, 2)")
+      sb.append(s", l$i AS MATERIALIZED (SELECT u AS node, label FROM c$i " +
+        "QUALIFY row_number() OVER " +
+        "(PARTITION BY u ORDER BY c DESC, label ASC) = 1)")
+    }
+    val ea = "(CAST(sa AS DOUBLE) / 2.0)"
+    val eb = "(CAST(sb AS DOUBLE) / 2.0)"
+    val nd = "CAST(n AS DOUBLE)"
+    val expd = s"$ea * $eb / ($nd * ($nd - 1.0) / 2.0)"
+    val maxi = s"($ea + $eb) / 2.0"
+    sb.append(
+      ", labb AS (SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS lb " +
+        "FROM documents d LEFT JOIN l4 l ON l.node = d.doc_id), " +
+        "ct AS MATERIALIZED (SELECT la, lb, count(*) AS n FROM laba a " +
+        "JOIN labb b ON a.id = b.id GROUP BY 1, 2), " +
+        "ma AS (SELECT la, sum(n) AS ai FROM ct GROUP BY 1), " +
+        "mb AS (SELECT lb, sum(n) AS bj FROM ct GROUP BY 1), " +
+        "nn AS (SELECT sum(n) AS t FROM ct), " +
+        "hha AS (SELECT CAST(count(*) AS BIGINT) AS clusters_a, " +
+        "-CAST(sum(CAST((CAST(ai AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
+        "ln(CAST(ai AS DOUBLE) / CAST(nn.t AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS ha, " +
+        "sum(ai * (ai - 1)) AS sa FROM ma CROSS JOIN nn), " +
+        "hhb AS (SELECT CAST(count(*) AS BIGINT) AS clusters_b, " +
+        "-CAST(sum(CAST((CAST(bj AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
+        "ln(CAST(bj AS DOUBLE) / CAST(nn.t AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hb, " +
+        "sum(bj * (bj - 1)) AS sb FROM mb CROSS JOIN nn), " +
+        "mim AS (SELECT CAST(sum(CAST((CAST(ct.n AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
+        "ln((CAST(nn.t AS DOUBLE) * CAST(ct.n AS DOUBLE)) / " +
+        "(CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE))) AS DECIMAL(28,14))) AS DOUBLE) AS mi, " +
+        "sum(ct.n * (ct.n - 1)) AS sij, CAST(max(nn.t) AS BIGINT) AS n " +
+        "FROM ct JOIN ma USING (la) JOIN mb USING (lb) CROSS JOIN nn) " +
+        "SELECT n, clusters_a, clusters_b, " +
+        "CASE WHEN ha = 0.0 OR hb = 0.0 THEN NULL " +
+        "ELSE round(mi / sqrt(ha * hb), 6) END AS nmi, " +
+        s"CASE WHEN $maxi - $expd = 0.0 THEN NULL " +
+        s"ELSE round((CAST(sij AS DOUBLE) / 2.0 - $expd) / ($maxi - $expd), 6) " +
+        "END AS ari FROM mim CROSS JOIN hha CROSS JOIN hhb")
+    sb.toString
+  }
 
   /** Mirror of Stats.bestSplit: DECIMAL prefix sums over the daily
     * series, per-candidate between-variance gain, rounded-gain argmax. */
@@ -5787,6 +5864,9 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // CC chain + LPA chain over the same pairs, contingency NMI/ARI.
+    "q_cluster_agreement" -> clusterAgreementOracle,
 
     // Same pinned-order cumulative, same md5 draws; the oracle may use
     // the plain range join DuckDB is happy with — values are identical.

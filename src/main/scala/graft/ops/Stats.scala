@@ -2033,6 +2033,61 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Agreement between two clusterings of the same ids — NMI and
+    * adjusted Rand in one row. The readout that tells a dedup pipeline
+    * whether label propagation is a REFINEMENT of connected components
+    * or a different carve-up entirely (NMI ≈ 1 with fewer CC clusters =
+    * clean nesting; low ARI = the communities cut across components).
+    *   NMI = I(A;B) / √(H(A)·H(B)),
+    *   ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (½(Σᵢ C(aᵢ,2) + Σⱼ C(bⱼ,2)) − E).
+    * Scale shape: one id-keyed join, one contingency aggregation; the
+    * marginal/entropy/pair arithmetic is cluster-count-sized with
+    * DECIMAL term sums; pair counts stay exact integers until the final
+    * double divisions. Degenerate single-cluster sides (H = 0) and the
+    * max = expected ARI denominator pin to NULL on both engines. */
+  def clusteringAgreement(a: DataFrame, b: DataFrame): DataFrame = {
+    val ct = a.select(col("id"), col("label").alias("__la"))
+      .join(b.select(col("id"), col("label").alias("__lb")), "id")
+      .groupBy("__la", "__lb").agg(count(lit(1)).alias("__n"))
+    val ma = ct.groupBy("__la").agg(sum("__n").alias("__ai"))
+    val mb = ct.groupBy("__lb").agg(sum("__n").alias("__bj"))
+    val nn = ct.agg(sum("__n").alias("__t"))
+    def hTerm(cnt: Column, t: Column) =
+      -(sum(((cnt.cast("double") / t.cast("double")) *
+        log(cnt.cast("double") / t.cast("double")))
+        .cast("decimal(28,14)")).cast("double"))
+    val ha = ma.crossJoin(broadcast(nn))
+      .agg(count(lit(1)).alias("clusters_a"),
+        hTerm(col("__ai"), col("__t")).alias("__ha"),
+        sum(col("__ai") * (col("__ai") - 1)).alias("__sa"))
+    val hb = mb.crossJoin(broadcast(nn))
+      .agg(count(lit(1)).alias("clusters_b"),
+        hTerm(col("__bj"), col("__t")).alias("__hb"),
+        sum(col("__bj") * (col("__bj") - 1)).alias("__sb"))
+    val mi = ct.join(broadcast(ma), "__la").join(broadcast(mb), "__lb")
+      .crossJoin(broadcast(nn))
+      .agg(sum(((col("__n").cast("double") / col("__t").cast("double")) *
+          log((col("__t").cast("double") * col("__n").cast("double")) /
+            (col("__ai").cast("double") * col("__bj").cast("double"))))
+          .cast("decimal(28,14)")).cast("double").alias("__mi"),
+        sum(col("__n") * (col("__n") - 1)).alias("__sij"),
+        max(col("__t")).alias("n"))
+    val out = mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+    val nd = col("n").cast("double")
+    val idx = col("__sij").cast("double") / lit(2.0)
+    val ea = col("__sa").cast("double") / lit(2.0)
+    val eb = col("__sb").cast("double") / lit(2.0)
+    val expd = ea * eb / (nd * (nd - lit(1.0)) / lit(2.0))
+    val maxi = (ea + eb) / lit(2.0)
+    out.select(col("n"), col("clusters_a"), col("clusters_b"),
+      when(col("__ha") === 0.0 || col("__hb") === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(col("__mi") / sqrt(col("__ha") * col("__hb")), 6))
+        .alias("nmi"),
+      when(maxi - expd === 0.0, lit(null).cast("double"))
+        .otherwise(round((idx - expd) / (maxi - expd), 6)).alias("ari"))
+  }
+
   /** Wald instrumental-variable estimator — the third leg of the causal
     * family ([[diffInDiff]] for parallel trends, [[stratifiedATE]] for
     * observed confounders, THIS for unobserved ones, given a binary

@@ -861,6 +861,22 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("clusteringAgreement: identical = 1/1, crossing pairs go negative") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 30L), (4L, 30L)).toDF("id", "label")
+    val same = Stats.clusteringAgreement(a, a).collect().head
+    assert(same.getLong(0) == 4 && same.getLong(1) == 2 && same.getLong(2) == 2)
+    assert(same.getDouble(3) == 1.0 && same.getDouble(4) == 1.0)
+    // b cuts across a: {1,3} / {2,4} → MI = 0 (NMI 0), ARI = −0.5
+    val b = Seq((1L, 10L), (3L, 10L), (2L, 30L), (4L, 30L)).toDF("id", "label")
+    val x = Stats.clusteringAgreement(a, b).collect().head
+    assert(math.abs(x.getDouble(3)) < 1e-9)
+    assert(math.abs(x.getDouble(4) - (-0.5)) < 1e-6)
+    // single-cluster side: H = 0 pins NMI to NULL
+    val one = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "label")
+    assert(Stats.clusteringAgreement(a, one).collect().head.isNullAt(3))
+  }
+
   test("ivWald: ITT rescaled by the first stage") {
     import spark.implicits._
     // z=1: mean y 10, t rate 1/2; z=0: mean y 8, t rate 0
