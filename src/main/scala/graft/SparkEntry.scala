@@ -3124,6 +3124,13 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Cluster quality (Similarity.clusterQualityReport): simplified
+    // silhouette, dispersion, and Davies-Bouldin component per k-means
+    // cell — the partition-quality gate in front of the IVF build.
+    "q_cluster_quality" -> ((s, d) =>
+      graft.ops.Similarity.clusterQualityReport(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells = 8, iters = 3, dim = 64)),
+
     // Clustering agreement (Stats.clusteringAgreement): NMI + adjusted
     // Rand between the CC dedup clusters and the LPA communities over
     // the SAME candidate graph — is LPA a refinement or a re-carve?
@@ -4008,6 +4015,31 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of q_cluster_quality: the kmeansCtes assignment (af) and
+    * final centroids (c3), then simplified silhouette / dispersion /
+    * Davies-Bouldin arithmetic with the engine's rounding points. */
+  private def clusterQualityOracle: String = {
+    def dist(v: String, cv: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+    kmeansCtes + ", " +
+      s"ow AS (SELECT af.vec_id, af.cell, sqrt(${dist("af.v", "c.cv")}) AS a " +
+      "FROM af JOIN c3 c ON c.cid = af.cell), " +
+      s"ot AS (SELECT af.vec_id, sqrt(min(${dist("af.v", "c.cv")})) AS b " +
+      "FROM af JOIN c3 c ON c.cid <> af.cell GROUP BY 1), " +
+      "sl AS (SELECT ow.cell, CASE WHEN greatest(a, b) = 0.0 THEN 0.0 " +
+      "ELSE round((b - a) / greatest(a, b), 6) END AS s, round(a, 9) AS a9 " +
+      "FROM ow JOIN ot ON ow.vec_id = ot.vec_id), " +
+      "per AS MATERIALIZED (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "round(CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_silhouette, " +
+      "round(CAST(sum(CAST(a9 AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9) AS si " +
+      "FROM sl GROUP BY 1), " +
+      "cj AS (SELECT per.cell, per.si, c.cv FROM per JOIN c3 c ON c.cid = per.cell), " +
+      s"db AS (SELECT p1.cell, round(max((p1.si + p2.si) / sqrt(${dist("p1.cv", "p2.cv")})), 6) " +
+      "AS db_component FROM cj p1 JOIN cj p2 ON p1.cell <> p2.cell GROUP BY 1) " +
+      "SELECT per.cell AS cell, n_vecs, mean_silhouette, round(si, 6) AS dispersion, " +
+      "db_component FROM per LEFT JOIN db ON per.cell = db.cell ORDER BY per.cell"
+  }
 
   /** Mirror of q_cluster_agreement: the dedupClustersOracle recursive CC
     * chain + the labelPropagationOracle 4-round chain over the SAME pair
@@ -5864,6 +5896,10 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Shared deterministic-kmeans CTEs; same row-local a/b distances,
+    // rounded-then-DECIMAL-mean readouts, k-squared DB cross join.
+    "q_cluster_quality" -> clusterQualityOracle,
 
     // CC chain + LPA chain over the same pairs, contingency NMI/ARI.
     "q_cluster_agreement" -> clusterAgreementOracle,

@@ -619,6 +619,60 @@ object Similarity {
       .orderBy("grp")
   }
 
+  /** Cluster-quality report over the deterministic [[kmeansCentroids]]
+    * partition: per cell, the simplified (centroid-based) silhouette
+    *   s = (b − a) / max(a, b)   (a = dist to own centroid, b = dist to
+    * nearest OTHER centroid — Vendramin et al.'s simplified variant,
+    * O(n·k) where the classic pairwise silhouette is O(n²)), the
+    * intra-cluster dispersion, and the Davies–Bouldin component
+    * max_{j≠i}(s_i + s_j)/d_ij. The partition-quality gate in front of
+    * the IVF index build: a cell with silhouette ≈ 0 and a fat DB
+    * component is a boundary-straddling cell that will leak recall at
+    * probe time. Scale shape: centroids broadcast (k rows); a and b are
+    * row-local argmins off the scan; per-cell rollups are k-sized; the
+    * DB cross join is k². Determinism: per-row readouts round before
+    * their DECIMAL means ([[embeddingProfile]] stance); centroid
+    * coordinates are already 9-dp-pinned. */
+  def clusterQualityReport(emb: DataFrame, idCol: String, vecCol: String,
+                           nCells: Int, iters: Int, dim: Int): DataFrame = {
+    val base = emb.select(col(idCol).alias("__id"),
+        asDouble(col(vecCol)).alias("v"))
+      .filter(size(col("v")) === dim)
+    val centroids = kmeansCentroids(base, "__id", "v", nCells, iters, dim)
+    val assigned = ivfAssign(base, "__id", "v", centroids)
+    val packed = centroids.agg(
+      collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
+    val ownCv = element_at(filter(col("__cents"),
+      c => c.getField("cid") === col("cell")), 1).getField("cv")
+    val a = sqrt(sqDist(col("v"), ownCv))
+    val b = sqrt(array_min(transform(filter(col("__cents"),
+      c => c.getField("cid") =!= col("cell")),
+      c => sqDist(col("v"), c.getField("cv")))))
+    val sil = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise(round((b - a) / greatest(a, b), 6))
+    val per = assigned.crossJoin(broadcast(packed))
+      .select(col("cell"), sil.alias("__s"), round(a, 9).alias("__a"))
+      .groupBy("cell")
+      .agg(count(lit(1)).alias("n_vecs"),
+        round(sum(col("__s").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).alias("mean_silhouette"),
+        round(sum(col("__a").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 9).alias("__si"))
+    val cj = per.select(col("cell"), col("__si"))
+      .join(centroids.select(col("cid").alias("cell"), col("cv")), "cell")
+    val db = cj.select(col("cell"), col("__si").alias("__s1"),
+        col("cv").alias("__c1"))
+      .join(cj.select(col("cell").alias("__o"), col("__si").alias("__s2"),
+        col("cv").alias("__c2")), col("cell") =!= col("__o"))
+      .groupBy("cell")
+      .agg(round(max((col("__s1") + col("__s2")) /
+        sqrt(sqDist(col("__c1"), col("__c2")))), 6).alias("db_component"))
+    per.join(db, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"), col("mean_silhouette"),
+        round(col("__si"), 6).alias("dispersion"), col("db_component"))
+      .orderBy("cell")
+  }
+
   /** Symmetric int8 quantization distortion report — "can we store the
     * embedding index at 4× compression": per-dimension absmax scales
     * s_j = max|x_j|/127, quantize-dequantize q = clamp(round(x/s)), and

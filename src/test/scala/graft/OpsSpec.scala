@@ -2328,6 +2328,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("clusterQualityReport: tight separated clusters score near 1") {
+    import spark.implicits._
+    // two tight clusters far apart in 4-dim space: silhouette ≈ 1,
+    // tiny dispersion, small DB component
+    val rows = (1 to 16).map { i =>
+      val eps = (i % 4) * 0.01f
+      if (i % 2 == 0) (i.toLong, Array(10.0f + eps, 0f, 0f, 0f))
+      else (i.toLong, Array(0f, 10.0f + eps, 0f, 0f))
+    }
+    val got = Similarity.clusterQualityReport(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCells = 2, iters = 3, dim = 4).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(1) == 8)
+      assert(r.getDouble(2) > 0.95)
+      assert(r.getDouble(3) < 0.1)
+      assert(r.getDouble(4) < 0.1)
+    }
+  }
+
   test("negativeSamples: every draw lands once, heavy token dominates") {
     import spark.implicits._
     // "a" appears 100x per doc-corpus vs one "b": p(a) = 100^.75/(100^.75+1)
