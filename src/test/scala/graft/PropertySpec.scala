@@ -265,4 +265,46 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
     assert(got == expected)
   }
+
+  test("property: dispersion resultant identity equals brute-force pairwise mean") {
+    import spark.implicits._
+    val vecGen = for {
+      x <- Gen.chooseNum(-5.0f, 5.0f)
+      y <- Gen.chooseNum(-5.0f, 5.0f)
+      z <- Gen.chooseNum(-5.0f, 5.0f)
+    } yield Array(x, y, z)
+    val vecs = samples(vecGen, 30).filter(v =>
+      v.map(x => x.toDouble * x).sum > 1e-6)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.dispersionReport(df, "embedding", "label")
+      .collect().head.getDouble(3)
+    // brute force over all ordered pairs of normalized vectors
+    val unit = vecs.map { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(_ / n)
+    }
+    val n = unit.size
+    val brute = (for {
+      a <- unit; b <- unit if !(a eq b)
+    } yield a.zip(b).map { case (x, y) => x * y }.sum).sum / (n.toDouble * (n - 1))
+    assert(math.abs(got - brute) < 1e-4, s"identity $got vs brute $brute")
+  }
+
+  test("property: clustering agreement is symmetric and maximal on itself") {
+    import spark.implicits._
+    val labGen = for {
+      a <- Gen.chooseNum(0, 4)
+      b <- Gen.chooseNum(0, 3)
+    } yield (a.toLong, b.toLong)
+    val rows = samples(labGen, 60).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val av = rows.map { case (i, a, _) => (i, a) }.toDF("id", "label")
+    val bv = rows.map { case (i, _, b) => (i, b) }.toDF("id", "label")
+    val ab = graft.ops.Stats.clusteringAgreement(av, bv).collect().head
+    val ba = graft.ops.Stats.clusteringAgreement(bv, av).collect().head
+    assert(ab.getDouble(3) == ba.getDouble(3) && ab.getDouble(4) == ba.getDouble(4))
+    val self = graft.ops.Stats.clusteringAgreement(av, av).collect().head
+    assert(self.getDouble(3) == 1.0 && self.getDouble(4) == 1.0)
+  }
 }
