@@ -3124,6 +3124,36 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Markov entropy rate (Sessionize.markovEntropyRate): how
+    // predictable is the next event given the current one — the
+    // signal-vs-noise gate over q_event_transitions.
+    "q_markov_entropy" -> ((s, d) =>
+      graft.ops.Sessionize.markovEntropyRate(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // Quality-first token-budget selection (Pack.tokenBudgetSelect):
+    // Flesch bands consumed best-first against a 100k-token budget; the
+    // straddling band keeps a fraction — the mix-selection artifact.
+    "q_token_budget" -> ((s, d) => {
+      val t = col("text")
+      val words = regexp_count(t, lit("[A-Za-z]+"))
+      val sents = greatest(regexp_count(t, lit("[.!?]+")), lit(1))
+      val syll = regexp_count(lower(t), lit("[aeiouy]+"))
+      val flesch = round(lit(206.835) -
+        lit(1.015) * words.cast("double") / sents.cast("double") -
+        lit(84.6) * syll.cast("double") / words.cast("double"), 6)
+      val band = least(greatest(floor(flesch / 10.0), lit(-5L)), lit(12L))
+      val ntok = size(filter(split(t, " "), x => x =!= "")).cast("long")
+      graft.ops.Pack.tokenBudgetSelect(
+        Tables.documents(s, d).filter(t.isNotNull && words > 0),
+        band, ntok, budget = 100000L)
+    }),
+
+    // Histogram-bin advisor (Stats.binAdvisor): Freedman-Diaconis width
+    // and count beside Sturges over the extended-price column.
+    "q_bin_advisor" -> ((s, d) =>
+      graft.ops.Stats.binAdvisor(Tables.lineitem(s, d), "l_extendedprice")),
+
     // Cluster quality (Similarity.clusterQualityReport): simplified
     // silhouette, dispersion, and Davies-Bouldin component per k-means
     // cell — the partition-quality gate in front of the IVF build.
@@ -5896,6 +5926,59 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same per-key lead, types-squared transition cells, DECIMAL entropy
+    // sum, perplexity off the unrounded rate.
+    "q_markov_entropy" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt " +
+        "FROM events), " +
+        "tr AS (SELECT event_type AS prev, nxt, count(*) AS n FROM e " +
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2), " +
+        "mg AS (SELECT prev, sum(n) AS np FROM tr GROUP BY 1), " +
+        "tt AS (SELECT sum(n) AS t FROM tr), " +
+        "h AS (SELECT CAST(max(tt.t) AS BIGINT) AS n_transitions, " +
+        "CAST(count(DISTINCT tr.prev) AS BIGINT) AS n_states, " +
+        "-CAST(sum(CAST((CAST(tr.n AS DOUBLE) / CAST(tt.t AS DOUBLE)) * " +
+        "ln(CAST(tr.n AS DOUBLE) / CAST(mg.np AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hh " +
+        "FROM tr JOIN mg USING (prev) CROSS JOIN tt) " +
+        "SELECT n_transitions, n_states, round(hh, 6) AS entropy_rate, " +
+        "round(exp(hh), 6) AS perplexity FROM h"),
+
+    // Same per-doc Flesch banding (readability's counts), band-sized
+    // cumulative, same clamped fractional-keep arithmetic.
+    "q_token_budget" ->
+      ("WITH d AS (SELECT doc_id, text, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+')) AS w, " +
+        "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s, " +
+        "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "f AS (SELECT doc_id, text, round(206.835 - " +
+        "1.015 * CAST(w AS DOUBLE) / CAST(s AS DOUBLE) - " +
+        "84.6 * CAST(y AS DOUBLE) / CAST(w AS DOUBLE), 6) AS fl FROM d WHERE w > 0), " +
+        "b AS (SELECT least(greatest(CAST(floor(fl / 10.0) AS BIGINT), -5), 12) AS band, " +
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok FROM f), " +
+        "c AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(ntok) AS BIGINT) AS tokens FROM b GROUP BY 1), " +
+        "r AS (SELECT band, n_docs, tokens, coalesce(sum(tokens) OVER " +
+        "(ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM c) " +
+        "SELECT band, n_docs, tokens, CAST(prev + tokens AS BIGINT) AS cum_tokens, " +
+        "round(least(greatest((100000.0 - CAST(prev AS DOUBLE)) / CAST(tokens AS DOUBLE), 0.0), 1.0), 6) AS keep_fraction " +
+        "FROM r ORDER BY band DESC"),
+
+    // Same exact quartiles, pinned -1/3 exponent, ln-ratio Sturges.
+    "q_bin_advisor" ->
+      ("WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, min(v) AS lo, max(v) AS hi, " +
+        "quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3 FROM b) " +
+        "SELECT n, round(lo, 6) AS lo, round(hi, 6) AS hi, " +
+        "round(q3 - q1, 6) AS iqr, " +
+        "CASE WHEN q3 - q1 = 0.0 THEN NULL ELSE " +
+        "round(2.0 * (q3 - q1) * pow(CAST(n AS DOUBLE), -1.0 / 3.0), 6) END AS fd_width, " +
+        "CASE WHEN q3 - q1 = 0.0 THEN NULL ELSE " +
+        "CAST(ceil((hi - lo) / (2.0 * (q3 - q1) * pow(CAST(n AS DOUBLE), -1.0 / 3.0))) AS BIGINT) END AS fd_bins, " +
+        "CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS BIGINT) + 1 AS sturges_bins FROM m"),
 
     // Shared deterministic-kmeans CTEs; same row-local a/b distances,
     // rounded-then-DECIMAL-mean readouts, k-squared DB cross join.

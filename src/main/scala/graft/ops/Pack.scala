@@ -128,4 +128,33 @@ object Pack {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)
   }
+
+  /** Quality-first token-budget selection — "which slices of the corpus
+    * make the training mix when we can only afford `budget` tokens":
+    * docs roll up into quality bands, bands are consumed best-first, and
+    * the band straddling the budget line is taken FRACTIONALLY — the
+    * selection artifact (band → keep fraction) a sampling stage then
+    * applies with a deterministic per-doc hash. Scale shape: one
+    * band-celled aggregation over the stream; the cumulative runs over
+    * the BAND-COUNT-sized table (bounded by the banding, not the data);
+    * keep fractions are fixed-form doubles, 6 dp. */
+  def tokenBudgetSelect(df: DataFrame, bandCol: Column, tokensCol: Column,
+                        budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudgetSelect: bad budget $budget")
+    val cells = df.filter(tokensCol.isNotNull)
+      .groupBy(bandCol.alias("band"))
+      .agg(count(lit(1)).alias("n_docs"), sum(tokensCol).alias("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val keep = (lit(budget.toDouble) - col("__prev").cast("double")) /
+      col("tokens").cast("double")
+    cells
+      .withColumn("__prev", coalesce(sum("tokens").over(w), lit(0L)))
+      .select(col("band"), col("n_docs"), col("tokens"),
+        (col("__prev") + col("tokens")).alias("cum_tokens"),
+        round(least(greatest(keep, lit(0.0)), lit(1.0)), 6)
+          .alias("keep_fraction"))
+      .orderBy(col("band").desc)
+  }
 }

@@ -636,4 +636,37 @@ object Sessionize {
       .select(col(keyCol), col(tieCol), col(tsCol),
         col("__first").alias("first_touch"), col("__last").alias("last_touch"))
   }
+
+  /** Markov entropy rate of the behavior stream: with transition counts
+    * n(prev → next) pooled across keys,
+    *   H = −Σ_prev π(prev) Σ_next p(next|prev)·ln p(next|prev)
+    * (π = empirical prev marginal) plus perplexity e^H — how predictable
+    * the NEXT action is given the current one, the single number that
+    * says whether [[pathTrigrams]]' sequences are signal or noise
+    * (H near ln(alphabet) = a memoryless stream). Scale shape: one
+    * per-key lead over the per-key sort (the [[attribution]] window
+    * stance), one types²-bounded transition count, then scalar DECIMAL
+    * entropy sums. */
+  def markovEntropyRate(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val trans = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).alias("__prev"), col("__next"))
+      .agg(count(lit(1)).alias("__n"))
+    val marg = trans.groupBy("__prev").agg(sum("__n").alias("__np"))
+    val tot = trans.agg(sum("__n").alias("__t"))
+    val term = (col("__n").cast("double") / col("__t").cast("double")) *
+      log(col("__n").cast("double") / col("__np").cast("double"))
+    trans.join(broadcast(marg), "__prev")
+      .crossJoin(broadcast(tot))
+      .agg(max("__t").alias("n_transitions"),
+        countDistinct("__prev").alias("n_states"),
+        (-sum(term.cast("decimal(28,14)")).cast("double")).alias("__h"))
+      .select(col("n_transitions"), col("n_states"),
+        round(col("__h"), 6).alias("entropy_rate"),
+        round(exp(col("__h")), 6).alias("perplexity"))
+  }
 }

@@ -2033,6 +2033,38 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Histogram-bin advisor: the Freedman–Diaconis width
+    * 2·IQR·n^(−1/3) (robust to tails) and bin count beside Sturges'
+    * ⌈log₂ n⌉ + 1 — the parameter recommendation in front of
+    * [[Aggregates.histogram]], so the bin choice is data-derived
+    * instead of folklore. One exact-percentile aggregation (the
+    * [[brownForsythe]] median stance extended to the quartiles), scalar
+    * arithmetic after; a zero IQR (half the mass on one value) pins the
+    * FD outputs to NULL identically on both engines. */
+  def binAdvisor(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").alias("__v"))
+    val m = base.agg(count(lit(1)).alias("n"),
+      min("__v").alias("__lo"), max("__v").alias("__hi"),
+      expr("percentile(__v, 0.25)").alias("__q1"),
+      expr("percentile(__v, 0.75)").alias("__q3"))
+    val iqr = col("__q3") - col("__q1")
+    val width = lit(2.0) * iqr * pow(col("n").cast("double"), lit(-1.0 / 3.0))
+    m.select(col("n"),
+      round(col("__lo"), 6).alias("lo"), round(col("__hi"), 6).alias("hi"),
+      round(iqr, 6).alias("iqr"),
+      when(iqr === 0.0, lit(null).cast("double"))
+        .otherwise(round(width, 6)).alias("fd_width"),
+      when(iqr === 0.0, lit(null).cast("long"))
+        .otherwise(ceil((col("__hi") - col("__lo")) / width).cast("long"))
+        .alias("fd_bins"),
+      // spelled ln(n)/ln(2), NOT the native log2: a ceil over log2 is
+      // boundary-sensitive and the engines' log2 need not agree at exact
+      // powers of two — the explicit ratio is the same double on both
+      (ceil(log(col("n").cast("double")) / log(lit(2.0))) + 1).cast("long")
+        .alias("sturges_bins"))
+  }
+
   /** Agreement between two clusterings of the same ids — NMI and
     * adjusted Rand in one row. The readout that tells a dedup pipeline
     * whether label propagation is a REFINEMENT of connected components

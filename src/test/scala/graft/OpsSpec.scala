@@ -2328,6 +2328,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("markovEntropyRate: deterministic chain 0, fair branch ln 2") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    // a,b,a,b → every transition is forced → H = 0, perplexity 1
+    val det = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "b"),
+      (1L, ts(3), 3L, "a"), (1L, ts(4), 4L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val d = Sessionize.markovEntropyRate(det, "user_id", "ts",
+      "event_id", "event_type").collect().head
+    assert(d.getLong(0) == 3 && d.getDouble(2) == 0.0 && d.getDouble(3) == 1.0)
+    // a,a,b → a goes to a or b evenly → H = ln 2, perplexity 2
+    val fair = Seq((1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "a"),
+      (1L, ts(3), 3L, "b")).toDF("user_id", "ts", "event_id", "event_type")
+    val f = Sessionize.markovEntropyRate(fair, "user_id", "ts",
+      "event_id", "event_type").collect().head
+    assert(math.abs(f.getDouble(2) - math.log(2.0)) < 1e-6)
+    assert(math.abs(f.getDouble(3) - 2.0) < 1e-6)
+  }
+
+  test("tokenBudgetSelect: best band whole, straddler fractional, rest zero") {
+    import spark.implicits._
+    // bands 3/2/1 hold 50/30/40 tokens; budget 70 → 1.0, 2/3, 0
+    val df = Seq((3L, 50L), (2L, 30L), (1L, 40L)).toDF("band", "ntok")
+    val got = Pack.tokenBudgetSelect(df, col("band"), col("ntok"), 70L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((3L, 50L, 1.0), (2L, 80L, 0.666667),
+      (1L, 120L, 0.0)))
+  }
+
   test("clusterQualityReport: tight separated clusters score near 1") {
     import spark.implicits._
     // two tight clusters far apart in 4-dim space: silhouette ≈ 1,

@@ -861,6 +861,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("binAdvisor: FD width 3.5 and Sturges 4 on 1..8") {
+    import spark.implicits._
+    // q1 = 2.75, q3 = 6.25, IQR = 3.5; 8^(-1/3) = 1/2 → width 3.5,
+    // fd_bins = ceil(7/3.5) = 2; sturges = ceil(3) + 1 = 4
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val r = Stats.binAdvisor(df, "v").collect().head
+    assert(r.getLong(0) == 8 && r.getDouble(1) == 1.0 && r.getDouble(2) == 8.0)
+    assert(r.getDouble(3) == 3.5 && r.getDouble(4) == 3.5)
+    assert(r.getLong(5) == 2 && r.getLong(6) == 4)
+    // constant column: zero IQR pins the FD outputs to NULL
+    val const = Seq.fill(5)(7.0).toDF("v")
+    val c = Stats.binAdvisor(const, "v").collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("clusteringAgreement: identical = 1/1, crossing pairs go negative") {
     import spark.implicits._
     val a = Seq((1L, 10L), (2L, 10L), (3L, 30L), (4L, 30L)).toDF("id", "label")
