@@ -3124,6 +3124,26 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Distribution overlap (Stats.overlapCoefficient): do odd and even
+    // users' value distributions share support — the positivity
+    // diagnostic in front of the causal estimators.
+    "q_overlap_coefficient" -> ((s, d) =>
+      graft.ops.Stats.overlapCoefficient(Tables.events(s, d),
+        col("user_id") % 2 === 1, "value")),
+
+    // STL strength (Stats.stlStrength): Hyndman's F_trend/F_seasonal
+    // over the decomposition — does the weekly shape mean anything?
+    "q_stl_strength" -> ((s, d) =>
+      graft.ops.Stats.stlStrength(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
+    // Heaps'-law fit (TextAnalysis.heapsLaw): vocabulary growth V = K*N^b
+    // over 10 id-order prefixes via the first-seen table — the zipf
+    // curve's growth companion.
+    "q_heaps_law" -> ((s, d) =>
+      graft.ops.TextAnalysis.heapsLaw(Tables.documents(s, d),
+        "doc_id", "text")),
+
     // Markov entropy rate (Sessionize.markovEntropyRate): how
     // predictable is the next event given the current one — the
     // signal-vs-noise gate over q_event_transitions.
@@ -4045,6 +4065,87 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of q_stl_strength: the q_stl_decompose chain, then
+    * population variances of (T+R), (S+R), R from DECIMAL moments with
+    * the engine's fixed arithmetic. */
+  private def stlStrengthOracle: String = {
+    def v(q: String, s: String) =
+      s"(CAST($q AS DOUBLE) / CAST(n_days AS DOUBLE) - " +
+        s"(CAST($s AS DOUBLE) / CAST(n_days AS DOUBLE)) * " +
+        s"(CAST($s AS DOUBLE) / CAST(n_days AS DOUBLE)))"
+    "WITH s AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS d, " +
+      "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+      "t AS MATERIALIZED (SELECT d, y, count(*) OVER w AS n, " +
+      "round(CAST(SUM(CAST(y AS DECIMAL(28,8))) OVER w AS DOUBLE) / " +
+      "CAST(count(*) OVER w AS DOUBLE), 6) AS trend FROM s " +
+      "WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+      "f AS MATERIALIZED (SELECT d, y, trend, y - trend AS detr, " +
+      "CAST(isodow(d) AS BIGINT) AS dow FROM t WHERE n = 7), " +
+      "dm AS (SELECT dow, CAST(SUM(CAST(detr AS DECIMAL(28,8))) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE) AS sm FROM f GROUP BY 1), " +
+      "cc AS (SELECT CAST(SUM(CAST(sm AS DECIMAL(28,8))) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE) AS c FROM dm), " +
+      "se AS (SELECT dow, round(sm - c, 6) AS seasonal FROM dm CROSS JOIN cc), " +
+      "r AS (SELECT f.y, f.trend, se.seasonal, " +
+      "round(f.y - f.trend - se.seasonal, 6) AS rem FROM f JOIN se USING (dow)), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+      "sum(CAST(y - seasonal AS DECIMAL(28,8))) AS st, " +
+      "sum(CAST((y - seasonal) * (y - seasonal) AS DECIMAL(28,8))) AS qt, " +
+      "sum(CAST(y - trend AS DECIMAL(28,8))) AS ss, " +
+      "sum(CAST((y - trend) * (y - trend) AS DECIMAL(28,8))) AS qs, " +
+      "sum(CAST(rem AS DECIMAL(28,8))) AS sr, " +
+      "sum(CAST(rem * rem AS DECIMAL(28,8))) AS qr FROM r) " +
+      "SELECT n_days, " +
+      s"CASE WHEN ${v("qt", "st")} = 0.0 THEN NULL ELSE " +
+      s"round(greatest(0.0, 1.0 - ${v("qr", "sr")} / ${v("qt", "st")}), 6) END AS trend_strength, " +
+      s"CASE WHEN ${v("qs", "ss")} = 0.0 THEN NULL ELSE " +
+      s"round(greatest(0.0, 1.0 - ${v("qr", "sr")} / ${v("qs", "ss")}), 6) END AS seasonal_strength " +
+      "FROM m"
+  }
+
+  /** Mirror of q_heaps_law: first-seen vocabulary table + per-doc token
+    * counts, 10 conditional-sum checkpoints, DECIMAL log-log OLS. */
+  private def heapsLawOracle: String = {
+    val ks = 1 to 10
+    "WITH tk AS (SELECT id, token FROM (SELECT doc_id AS id, " +
+      "unnest(string_split(text, ' ')) AS token FROM documents " +
+      "WHERE text IS NOT NULL) WHERE token <> ''), " +
+      "fs AS (SELECT token, min(id) AS fd FROM tk GROUP BY 1), " +
+      "pd AS (SELECT id, count(*) AS nt FROM tk GROUP BY 1), " +
+      "mx AS (SELECT max(id) AS mx FROM pd), " +
+      "nr AS (SELECT " +
+      ks.map(k => "sum(CASE WHEN CAST(id AS DOUBLE) <= " +
+        s"CAST(mx.mx AS DOUBLE) * ($k / 10.0) THEN nt ELSE 0 END) AS n_$k")
+        .mkString(", ") +
+      " FROM pd CROSS JOIN mx), " +
+      "vr AS (SELECT " +
+      ks.map(k => "sum(CASE WHEN CAST(fd AS DOUBLE) <= " +
+        s"CAST(mx.mx AS DOUBLE) * ($k / 10.0) THEN 1 ELSE 0 END) AS v_$k")
+        .mkString(", ") +
+      " FROM fs CROSS JOIN mx), " +
+      "p AS (" +
+      ks.map(k => s"SELECT n_$k AS nt, v_$k AS vt FROM nr CROSS JOIN vr")
+        .mkString(" UNION ALL ") +
+      "), " +
+      "pp AS (SELECT ln(CAST(nt AS DOUBLE)) AS x, ln(CAST(vt AS DOUBLE)) AS y " +
+      "FROM p WHERE nt > 0 AND vt > 0), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS nc, " +
+      "sum(CAST(x AS DECIMAL(28,10))) AS sx, sum(CAST(y AS DECIMAL(28,10))) AS sy, " +
+      "sum(CAST(x * x AS DECIMAL(28,10))) AS sxx, " +
+      "sum(CAST(y * y AS DECIMAL(28,10))) AS syy, " +
+      "sum(CAST(x * y AS DECIMAL(28,10))) AS sxy FROM pp) " +
+      "SELECT nc AS n_checkpoints, " +
+      "round((CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta, " +
+      "round(exp((CAST(sy AS DOUBLE) - (CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(nc AS DOUBLE)), 6) AS k_coef, " +
+      "round((CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
+      "(CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "((CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(nc AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2 " +
+      "FROM m"
+  }
 
   /** Mirror of q_cluster_quality: the kmeansCtes assignment (af) and
     * final centroids (c3), then simplified silhouette / dispersion /
@@ -5926,6 +6027,28 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same pooled-span bins, DECIMAL min-mass sum.
+    "q_overlap_coefficient" ->
+      ("WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g, " +
+        "CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL), " +
+        "bo AS (SELECT min(v) AS lo, max(v) AS hi FROM b), " +
+        "c AS (SELECT CASE WHEN hi = lo THEN 0 ELSE " +
+        "least(greatest(CAST(floor((v - lo) / ((hi - lo) / 20.0)) AS BIGINT), 0), 19) END AS bin, " +
+        "sum(1 - g) AS ca, sum(g) AS cb FROM b CROSS JOIN bo GROUP BY 1), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c) " +
+        "SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, " +
+        "CAST(count(*) AS BIGINT) AS n_bins_used, " +
+        "round(CAST(sum(CAST(least(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), " +
+        "CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE), 6) AS overlap " +
+        "FROM c CROSS JOIN t"),
+
+    // Same decomposition CTEs as q_stl_decompose, then the component
+    // variances off DECIMAL moments of the 6-dp-pinned columns.
+    "q_stl_strength" -> stlStrengthOracle,
+
+    // Same first-seen/conditional-sum checkpoints, DECIMAL log-log OLS.
+    "q_heaps_law" -> heapsLawOracle,
 
     // Same per-key lead, types-squared transition cells, DECIMAL entropy
     // sum, perplexity off the unrounded rate.

@@ -2033,6 +2033,71 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Distribution overlap coefficient between two slices: equi-width
+    * bins over the POOLED span, OVL = Σ_bins min(p_i, q_i) ∈ [0, 1] —
+    * the positivity diagnostic that tells [[stratifiedATE]]/[[ivWald]]
+    * users whether treated and control even share support (OVL near 0 =
+    * no stratum can rescue the comparison), and a drift readout that,
+    * unlike KL/PSI, is a probability mass with a direct reading. One
+    * bounds pass, one bin-celled aggregation, DECIMAL min-mass sum. */
+  def overlapCoefficient(df: DataFrame, groupB: Column, valueCol: String,
+                         bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"overlapCoefficient: bad bins $bins")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(when(groupB, 1L).otherwise(0L).alias("__b"),
+        col(valueCol).cast("double").alias("__v"))
+    val bounds = base.agg(min("__v").alias("__lo"), max("__v").alias("__hi"))
+    val bin = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+      least(greatest(floor((col("__v") - col("__lo")) /
+        ((col("__hi") - col("__lo")) / lit(bins.toDouble))), lit(0L)),
+        lit(bins - 1L)))
+    val cells = base.crossJoin(broadcast(bounds))
+      .groupBy(bin.alias("__bin"))
+      .agg(sum(lit(1L) - col("__b")).alias("__ca"), sum("__b").alias("__cb"))
+    val tot = cells.agg(sum("__ca").alias("__na"), sum("__cb").alias("__nb"))
+    cells.crossJoin(broadcast(tot))
+      .agg(max("__na").alias("n_a"), max("__nb").alias("n_b"),
+        count(lit(1)).alias("n_bins_used"),
+        round(sum(least(col("__ca").cast("double") / col("__na").cast("double"),
+          col("__cb").cast("double") / col("__nb").cast("double"))
+          .cast("decimal(28,14)")).cast("double"), 6).alias("overlap"))
+  }
+
+  /** STL strength statistics (Hyndman & Athanasopoulos):
+    *   F_trend    = max(0, 1 − Var(R)/Var(T+R))
+    *   F_seasonal = max(0, 1 − Var(R)/Var(S+R))
+    * over [[stlDecompose]]'s components — the two numbers that say
+    * whether the decomposition MEANS anything before anyone acts on its
+    * trend or weekly shape. One aggregation over the calendar-bounded
+    * decomposition table; population variances from DECIMAL moments of
+    * the 6-dp-pinned components; zero denominators pin to NULL. */
+  def stlStrength(df: DataFrame, dateCol: Column,
+                  halfWindow: Int = 3): DataFrame = {
+    val dec = stlDecompose(df, dateCol, halfWindow)
+    val tr = col("y") - col("seasonal")
+    val sr = col("y") - col("trend")
+    val re = col("remainder")
+    val m = dec.agg(count(lit(1)).alias("n_days"),
+      sum(tr.cast("decimal(28,8)")).alias("__st"),
+      sum((tr * tr).cast("decimal(28,8)")).alias("__qt"),
+      sum(sr.cast("decimal(28,8)")).alias("__ss"),
+      sum((sr * sr).cast("decimal(28,8)")).alias("__qs"),
+      sum(re.cast("decimal(28,8)")).alias("__sr"),
+      sum((re * re).cast("decimal(28,8)")).alias("__qr"))
+    val n = col("n_days").cast("double")
+    def v(q: String, s: String) = col(q).cast("double") / n -
+      (col(s).cast("double") / n) * (col(s).cast("double") / n)
+    val vt = v("__qt", "__st"); val vs = v("__qs", "__ss")
+    val vr = v("__qr", "__sr")
+    m.select(col("n_days"),
+      when(vt === 0.0, lit(null).cast("double"))
+        .otherwise(round(greatest(lit(0.0), lit(1.0) - vr / vt), 6))
+        .alias("trend_strength"),
+      when(vs === 0.0, lit(null).cast("double"))
+        .otherwise(round(greatest(lit(0.0), lit(1.0) - vr / vs), 6))
+        .alias("seasonal_strength"))
+  }
+
   /** Histogram-bin advisor: the Freedman–Diaconis width
     * 2·IQR·n^(−1/3) (robust to tails) and bin count beside Sturges'
     * ⌈log₂ n⌉ + 1 — the parameter recommendation in front of

@@ -932,6 +932,67 @@ object TextAnalysis {
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β estimated by
+    * log-log OLS over `checkpoints` corpus prefixes — the companion to
+    * [[Stats.zipfFit]]'s rank curve, and the capacity-planning answer to
+    * "how much NEW vocabulary will the next 10× of corpus bring"
+    * (natural language sits near β ≈ 0.5; β drifting toward 0 means the
+    * crawl is exhausting its domain, toward 1 means id-like token
+    * pollution). Prefixes are id-order cutoffs; the trick that avoids
+    * any per-prefix rescan is the FIRST-SEEN table: V(cutoff) = #tokens
+    * whose min doc id is within the cutoff, so one token aggregation
+    * and one per-doc count aggregation answer every checkpoint via
+    * conditional sums in a single pass each. The OLS runs over ≤
+    * `checkpoints` scalar points with DECIMAL moments. */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+               checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 3 && checkpoints <= 100,
+      s"heapsLaw: need 3 <= checkpoints <= 100, got $checkpoints")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).alias("__id"),
+        explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+    val firstSeen = toks.groupBy("token").agg(min("__id").alias("__fd"))
+    val perDoc = toks.groupBy("__id").agg(count(lit(1)).alias("__nt"))
+    val maxId = perDoc.agg(max("__id").alias("__mx"))
+    def cut(k: Int) =
+      col("__mx").cast("double") * lit(k.toDouble / checkpoints)
+    val nExprs = (1 to checkpoints).map(k =>
+      sum(when(col("__id").cast("double") <= cut(k), col("__nt"))
+        .otherwise(0L)).alias(s"__n_$k"))
+    val vExprs = (1 to checkpoints).map(k =>
+      sum(when(col("__fd").cast("double") <= cut(k), 1L)
+        .otherwise(0L)).alias(s"__v_$k"))
+    val nRow = perDoc.crossJoin(broadcast(maxId))
+      .agg(nExprs.head, nExprs.tail: _*)
+    val vRow = firstSeen.crossJoin(broadcast(maxId))
+      .agg(vExprs.head, vExprs.tail: _*)
+    val pts = nRow.crossJoin(vRow)
+      .select(explode(array((1 to checkpoints).map(k =>
+        struct(col(s"__n_$k").alias("nt"), col(s"__v_$k").alias("vt"))): _*))
+        .alias("__p"))
+      .select(col("__p.nt").alias("__nt"), col("__p.vt").alias("__vt"))
+      .filter(col("__nt") > 0 && col("__vt") > 0)
+      .select(log(col("__nt").cast("double")).alias("__x"),
+        log(col("__vt").cast("double")).alias("__y"))
+    val m = pts.agg(count(lit(1)).alias("n_checkpoints"),
+      sum(col("__x").cast("decimal(28,10)")).alias("__sx"),
+      sum(col("__y").cast("decimal(28,10)")).alias("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(28,10)")).alias("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(28,10)")).alias("__syy"),
+      sum((col("__x") * col("__y")).cast("decimal(28,10)")).alias("__sxy"))
+    val n = col("n_checkpoints").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covn = n * d("__sxy") - d("__sx") * d("__sy")
+    val varxn = n * d("__sxx") - d("__sx") * d("__sx")
+    val varyn = n * d("__syy") - d("__sy") * d("__sy")
+    val beta = covn / varxn
+    m.select(col("n_checkpoints"),
+      round(beta, 6).alias("beta"),
+      round(exp((d("__sy") - beta * d("__sx")) / n), 6).alias("k_coef"),
+      round(covn * covn / (varxn * varyn), 6).alias("r2"))
+  }
+
   /** Windowed token co-occurrence with GloVe's 1/d distance weighting:
     * for every ordered position pair within `window`, accumulate
     * weight 1/d for the (left, right) token pair — the co-occurrence

@@ -2328,6 +2328,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("heapsLaw: all-new vocabulary per doc fits beta = 1 exactly") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"t${i}a t${i}b")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLaw(docs, "doc_id", "text").collect().head
+    assert(r.getLong(0) == 10)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-3)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)
+    // V = N exactly → K = 1
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-3)
+  }
+
   test("markovEntropyRate: deterministic chain 0, fair branch ln 2") {
     import spark.implicits._
     import java.sql.Timestamp

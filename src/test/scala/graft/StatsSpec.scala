@@ -861,6 +861,32 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("overlapCoefficient: identical slices 1, disjoint slices 0") {
+    import spark.implicits._
+    val same = ((1 to 10).map(v => (0, v.toDouble)) ++
+      (1 to 10).map(v => (1, v.toDouble))).toDF("g", "v")
+    val s = Stats.overlapCoefficient(same, col("g") === 1, "v").collect().head
+    assert(s.getLong(0) == 10 && s.getLong(1) == 10)
+    assert(s.getDouble(3) == 1.0)
+    val disj = ((0 to 9).map(v => (0, v.toDouble)) ++
+      (100 to 109).map(v => (1, v.toDouble))).toDF("g", "v")
+    val d = Stats.overlapCoefficient(disj, col("g") === 1, "v").collect().head
+    assert(d.getDouble(3) == 0.0)
+  }
+
+  test("stlStrength: pure weekly pattern maxes seasonal, flat trend pins NULL") {
+    import spark.implicits._
+    // counts = isodow: perfectly weekly, trend exactly constant after
+    // trimming → Var(T+R) = 0 (trend NULL), seasonal strength = 1
+    val rows = (0 until 35).flatMap { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      Seq.fill(d.getDayOfWeek.getValue)(java.sql.Date.valueOf(d))
+    }
+    val r = Stats.stlStrength(rows.toDF("d"), col("d")).collect().head
+    assert(r.isNullAt(1))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+  }
+
   test("binAdvisor: FD width 3.5 and Sturges 4 on 1..8") {
     import spark.implicits._
     // q1 = 2.75, q3 = 6.25, IQR = 3.5; 8^(-1/3) = 1/2 → width 3.5,
