@@ -3124,6 +3124,21 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Capture-recapture (TextAnalysis.captureRecapture): Chapman
+    // estimate of the true document population from two overlapping
+    // crawl slices matched on content fingerprint.
+    "q_capture_recapture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis.captureRecapture(
+        docs.filter(col("doc_id") % 3 < 2),
+        docs.filter(col("doc_id") % 3 > 0), "text")
+    }),
+
+    // Vocabulary richness (TextAnalysis.vocabRichness): Chao1 true-size
+    // estimate + Good-Turing unseen mass off the count-of-counts table.
+    "q_vocab_richness" -> ((s, d) =>
+      graft.ops.TextAnalysis.vocabRichness(Tables.documents(s, d), "text")),
+
     // Distribution overlap (Stats.overlapCoefficient): do odd and even
     // users' value distributions share support — the positivity
     // diagnostic in front of the causal estimators.
@@ -6027,6 +6042,46 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same per-crawl distinct fingerprints, same Chapman arithmetic.
+    "q_capture_recapture" ->
+      ("WITH a AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), " +
+        "'\\s+', ' ', 'g')) AS fp FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 3 < 2), " +
+        "b AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), " +
+        "'\\s+', ' ', 'g')) AS fp FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 3 > 0), " +
+        "j AS (SELECT CASE WHEN a.fp IS NULL THEN 0 ELSE 1 END AS ca, " +
+        "CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END AS cb " +
+        "FROM a FULL OUTER JOIN b ON a.fp = b.fp), " +
+        "m AS (SELECT CAST(sum(ca) AS BIGINT) AS n1, " +
+        "CAST(sum(cb) AS BIGINT) AS n2, " +
+        "CAST(sum(ca * cb) AS BIGINT) AS n_overlap FROM j) " +
+        "SELECT n1, n2, n_overlap, " +
+        "round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0) / " +
+        "(CAST(n_overlap AS DOUBLE) + 1.0) - 1.0, 6) AS n_estimated, " +
+        "round(sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0) * " +
+        "(CAST(n1 AS DOUBLE) - CAST(n_overlap AS DOUBLE)) * " +
+        "(CAST(n2 AS DOUBLE) - CAST(n_overlap AS DOUBLE)) / " +
+        "((CAST(n_overlap AS DOUBLE) + 1.0) * (CAST(n_overlap AS DOUBLE) + 1.0) * " +
+        "(CAST(n_overlap AS DOUBLE) + 2.0))), 6) AS se FROM m"),
+
+    // Same count-of-counts compression, same Chao1/Good-Turing scalars.
+    "q_vocab_richness" ->
+      ("WITH c AS (SELECT token, count(*) AS c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "WHERE token <> '' GROUP BY 1), " +
+        "cc AS (SELECT c, count(*) AS m FROM c GROUP BY 1), " +
+        "a AS (SELECT CAST(sum(m) AS BIGINT) AS v_obs, " +
+        "CAST(sum(c * m) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT) AS singletons, " +
+        "CAST(sum(CASE WHEN c = 2 THEN m ELSE 0 END) AS BIGINT) AS doubletons FROM cc) " +
+        "SELECT v_obs, n_tokens, singletons, doubletons, " +
+        "CASE WHEN doubletons = 0 THEN NULL ELSE " +
+        "round(CAST(v_obs AS DOUBLE) + CAST(singletons AS DOUBLE) * " +
+        "CAST(singletons AS DOUBLE) / (2.0 * CAST(doubletons AS DOUBLE)), 6) END AS chao1, " +
+        "round(CAST(singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass " +
+        "FROM a"),
 
     // Same pooled-span bins, DECIMAL min-mass sum.
     "q_overlap_coefficient" ->

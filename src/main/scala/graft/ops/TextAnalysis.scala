@@ -932,6 +932,71 @@ object TextAnalysis {
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
 
+  /** Capture–recapture corpus-size estimate (Chapman's bias-corrected
+    * Lincoln–Petersen): treat two crawls as captures of the same
+    * underlying document population, match on the content
+    * [[fingerprint]], and estimate
+    *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1,  SE = √((n₁+1)(n₂+1)(n₁−m)(n₂−m) /
+    *                                       ((m+1)²(m+2)))
+    * — "how many documents exist that NEITHER crawl has seen", the
+    * coverage question a crawl planner actually asks and no per-corpus
+    * profile can answer. Fingerprints deduplicate within each crawl
+    * first (a capture is a distinct document). One scan to fingerprints
+    * (text never shuffles), two distinct counts and one intersection
+    * count via a full-outer fingerprint join. Zero overlap still yields
+    * a finite Chapman estimate (the +1s are the point). */
+  def captureRecapture(crawl1: DataFrame, crawl2: DataFrame,
+                       textCol: String): DataFrame = {
+    def fps(df: DataFrame, side: String) = df
+      .filter(col(textCol).isNotNull)
+      .select(fingerprint(col(textCol)).alias("__fp")).distinct()
+      .withColumn(side, lit(1L))
+    val j = fps(crawl1, "__a").join(fps(crawl2, "__b"), Seq("__fp"),
+        "full_outer")
+      .na.fill(0L, Seq("__a", "__b"))
+    val m = j.agg(sum("__a").alias("n1"), sum("__b").alias("n2"),
+      sum(col("__a") * col("__b")).alias("n_overlap"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val mm = col("n_overlap").cast("double")
+    val est = (n1 + lit(1.0)) * (n2 + lit(1.0)) / (mm + lit(1.0)) - lit(1.0)
+    val se = sqrt((n1 + lit(1.0)) * (n2 + lit(1.0)) * (n1 - mm) * (n2 - mm) /
+      ((mm + lit(1.0)) * (mm + lit(1.0)) * (mm + lit(2.0))))
+    m.select(col("n1"), col("n2"), col("n_overlap"),
+      round(est, 6).alias("n_estimated"),
+      round(se, 6).alias("se"))
+  }
+
+  /** Vocabulary richness estimators off ONE count-of-counts pass:
+    * observed types V, singletons N₁, doubletons N₂,
+    *   Chao1 = V + N₁²/(2·N₂)      (estimated TRUE vocabulary size)
+    *   Good–Turing unseen mass = N₁/N  (probability the next token is
+    *                                    a new type)
+    * — the pair that prices a tokenizer's OOV future: high unseen mass
+    * says the corpus has not shown you its vocabulary yet ([[heapsLaw]]
+    * says how fast it will). Token counts collapse to the
+    * count-of-counts table (hundreds of rows, the [[Stats.zipfFit]]
+    * compression); everything after is scalar. A zero-doubleton corpus
+    * pins Chao1 to NULL rather than dividing engines apart. */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias("__c"))
+    val coc = counts.groupBy("__c").agg(count(lit(1)).alias("__m"))
+    val m = coc.agg(sum("__m").alias("v_obs"),
+      sum(col("__c") * col("__m")).alias("n_tokens"),
+      sum(when(col("__c") === 1, col("__m")).otherwise(0L)).alias("singletons"),
+      sum(when(col("__c") === 2, col("__m")).otherwise(0L)).alias("doubletons"))
+    val n1 = col("singletons").cast("double")
+    val n2 = col("doubletons").cast("double")
+    m.select(col("v_obs"), col("n_tokens"), col("singletons"),
+      col("doubletons"),
+      when(col("doubletons") === 0, lit(null).cast("double"))
+        .otherwise(round(col("v_obs").cast("double") +
+          n1 * n1 / (lit(2.0) * n2), 6)).alias("chao1"),
+      round(n1 / col("n_tokens").cast("double"), 6)
+        .alias("unseen_mass"))
+  }
+
   /** Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β estimated by
     * log-log OLS over `checkpoints` corpus prefixes — the companion to
     * [[Stats.zipfFit]]'s rank curve, and the capacity-planning answer to

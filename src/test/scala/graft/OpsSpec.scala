@@ -2328,6 +2328,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("captureRecapture: textbook Chapman estimate") {
+    import spark.implicits._
+    // crawl1 sees docs 1-6, crawl2 sees 4-9: n1 = 6, n2 = 6, m = 3
+    // → N̂ = 7·7/4 − 1 = 11.25 (true population 9)
+    val all = (1 to 9).map(i => (i.toLong, s"doc number $i"))
+    val c1 = all.filter(_._1 <= 6).toDF("doc_id", "text")
+    val c2 = all.filter(_._1 >= 4).toDF("doc_id", "text")
+    val r = TextAnalysis.captureRecapture(c1, c2, "text").collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 6 && r.getLong(2) == 3)
+    assert(math.abs(r.getDouble(3) - 11.25) < 1e-9)
+    assert(r.getDouble(4) > 0.0)
+  }
+
+  test("vocabRichness: hand-computed Chao1 and unseen mass") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1, d=2 → V=4, N=7, N1=2, N2=1
+    // → Chao1 = 4 + 4/2 = 6, unseen = 2/7
+    val df = Seq("a a a b", "c d d").toDF("text")
+    val r = TextAnalysis.vocabRichness(df, "text").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 7 &&
+      r.getLong(2) == 2 && r.getLong(3) == 1)
+    assert(r.getDouble(4) == 6.0)
+    assert(math.abs(r.getDouble(5) - 2.0 / 7) < 1e-6)
+  }
+
   test("heapsLaw: all-new vocabulary per doc fits beta = 1 exactly") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"t${i}a t${i}b")).toDF("doc_id", "text")
