@@ -3124,6 +3124,26 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Mantel-Haenszel pooled OR (Stats.mantelHaenszel): purchase odds by
+    // user parity pooled across hour strata, beside the crude OR — the
+    // Simpson-reversal detector for binary outcomes.
+    "q_mantel_haenszel" -> ((s, d) =>
+      graft.ops.Stats.mantelHaenszel(Tables.events(s, d),
+        col("user_id") % 2 === 1, col("event_type") === "purchase",
+        hour(col("ts")))),
+
+    // Theil T decomposition (Stats.theilIndex): per-customer revenue
+    // inequality split into between-nation and within-nation components
+    // — the decomposable concentration readout beside q_gini.
+    "q_theil_index" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .alias("rev"))
+      graft.ops.Stats.theilIndex(perCust, col("c_nationkey"), col("rev"))
+    }),
+
     // Capture-recapture (TextAnalysis.captureRecapture): Chapman
     // estimate of the true document population from two overlapping
     // crawl slices matched on content fingerprint.
@@ -6042,6 +6062,54 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same stratum 2x2 cells, DECIMAL MH sums, same crude-OR contrast.
+    "q_mantel_haenszel" ->
+      ("WITH b AS (SELECT hour(ts) AS s, " +
+        "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS e, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events), " +
+        "c AS (SELECT s, " +
+        "sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS aa, " +
+        "sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS bb, " +
+        "sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS cc, " +
+        "sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS dd FROM b GROUP BY 1), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "sum(aa) AS ta, sum(bb) AS tb, sum(cc) AS tc, sum(dd) AS td, " +
+        "sum(CAST(CAST(aa AS DOUBLE) * CAST(dd AS DOUBLE) / " +
+        "CAST(aa + bb + cc + dd AS DOUBLE) AS DECIMAL(28,10))) AS num, " +
+        "sum(CAST(CAST(bb AS DOUBLE) * CAST(cc AS DOUBLE) / " +
+        "CAST(aa + bb + cc + dd AS DOUBLE) AS DECIMAL(28,10))) AS den FROM c) " +
+        "SELECT n_strata, " +
+        "CASE WHEN tb * tc = 0 THEN NULL ELSE " +
+        "round(CAST(ta AS DOUBLE) * CAST(td AS DOUBLE) / " +
+        "(CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)), 6) END AS or_crude, " +
+        "CASE WHEN CAST(den AS DOUBLE) = 0.0 THEN NULL ELSE " +
+        "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS or_mh FROM g"),
+
+    // Same per-customer DECIMAL revenue, same entity/between DECIMAL
+    // term sums, within = total - between on both sides.
+    "q_theil_index" ->
+      ("WITH j AS (SELECT c_custkey, c_nationkey, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey), " +
+        "pc AS (SELECT c_custkey, c_nationkey AS g, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x " +
+        "FROM j GROUP BY 1, 2), " +
+        "b AS (SELECT g, x FROM pc WHERE x IS NOT NULL AND x > 0), " +
+        "gr AS (SELECT g, count(*) AS ng, sum(CAST(x AS DECIMAL(38,10))) AS sg " +
+        "FROM b GROUP BY 1), " +
+        "t AS (SELECT sum(ng) AS n, sum(sg) AS st FROM gr), " +
+        "tm AS (SELECT g, sum(CAST((x / CAST(t.st AS DOUBLE)) * " +
+        "ln(x / (CAST(t.st AS DOUBLE) / CAST(t.n AS DOUBLE))) AS DECIMAL(28,14))) AS tt " +
+        "FROM b CROSS JOIN t GROUP BY 1), " +
+        "o AS (SELECT CAST(max(t.n) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_groups, sum(tt) AS total, " +
+        "sum(CAST((CAST(sg AS DOUBLE) / CAST(t.st AS DOUBLE)) * " +
+        "ln((CAST(sg AS DOUBLE) / CAST(gr.ng AS DOUBLE)) / " +
+        "(CAST(t.st AS DOUBLE) / CAST(t.n AS DOUBLE))) AS DECIMAL(28,14))) AS betw " +
+        "FROM gr JOIN tm USING (g) CROSS JOIN t) " +
+        "SELECT n, n_groups, round(CAST(total AS DOUBLE), 6) AS theil_total, " +
+        "round(CAST(betw AS DOUBLE), 6) AS theil_between, " +
+        "round(CAST(total AS DOUBLE) - CAST(betw AS DOUBLE), 6) AS theil_within FROM o"),
 
     // Same per-crawl distinct fingerprints, same Chapman arithmetic.
     "q_capture_recapture" ->

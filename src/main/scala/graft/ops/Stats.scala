@@ -2033,6 +2033,85 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio — the binary-outcome member of
+    * the stratified-causal family ([[stratifiedATE]] pools mean
+    * differences; this pools 2×2 odds):
+    *   OR_MH = Σ_s (a_s·d_s/n_s) / Σ_s (b_s·c_s/n_s),
+    * reported beside the crude (unstratified) OR so Simpson reversals
+    * are visible in one row. One stratum-celled aggregation of four
+    * exact counters; the MH sums are DECIMAL over stratum-count rows;
+    * a zero denominator (no discordant cells anywhere) pins to NULL. */
+  def mantelHaenszel(df: DataFrame, exposure: Column, outcome: Column,
+                     stratum: Column): DataFrame = {
+    val base = df.select(stratum.alias("__s"),
+      when(exposure, 1L).otherwise(0L).alias("__e"),
+      when(outcome, 1L).otherwise(0L).alias("__y"))
+    val cells = base.groupBy("__s").agg(
+      sum(when(col("__e") === 1 && col("__y") === 1, 1L).otherwise(0L)).alias("__a"),
+      sum(when(col("__e") === 1 && col("__y") === 0, 1L).otherwise(0L)).alias("__b"),
+      sum(when(col("__e") === 0 && col("__y") === 1, 1L).otherwise(0L)).alias("__c"),
+      sum(when(col("__e") === 0 && col("__y") === 0, 1L).otherwise(0L)).alias("__d"))
+    val n = (col("__a") + col("__b") + col("__c") + col("__d")).cast("double")
+    val agg = cells.agg(count(lit(1)).alias("n_strata"),
+      sum("__a").alias("__ta"), sum("__b").alias("__tb"),
+      sum("__c").alias("__tc"), sum("__d").alias("__td"),
+      sum((col("__a").cast("double") * col("__d").cast("double") / n)
+        .cast("decimal(28,10)")).alias("__num"),
+      sum((col("__b").cast("double") * col("__c").cast("double") / n)
+        .cast("decimal(28,10)")).alias("__den"))
+    agg.select(col("n_strata"),
+      when(col("__tb") * col("__tc") === 0, lit(null).cast("double"))
+        .otherwise(round(col("__ta").cast("double") * col("__td").cast("double") /
+          (col("__tb").cast("double") * col("__tc").cast("double")), 6))
+        .alias("or_crude"),
+      when(col("__den").cast("double") === 0.0, lit(null).cast("double"))
+        .otherwise(round(col("__num").cast("double") /
+          col("__den").cast("double"), 6)).alias("or_mh"))
+  }
+
+  /** Theil T inequality index with its exact between/within-group
+    * decomposition — the concentration readout [[giniCoefficient]]
+    * cannot give, because Theil is the ADDITIVELY DECOMPOSABLE one:
+    *   T = Σᵢ (xᵢ/X)·ln(xᵢ/μ) = T_between + Σ_g (X_g/X)·T_g
+    * answering "is revenue inequality a between-nations story or a
+    * within-nation story" in one row. Scale shape: entities reduce to
+    * (group, x) in one aggregation; group and global scalars broadcast
+    * back for the per-entity log terms, which DECIMAL-sum per group;
+    * everything after the entity pass is group-count-sized. Zero/null
+    * entities are excluded (ln); the identity total = between + within
+    * holds to float precision and is spec-pinned. */
+  def theilIndex(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val base = df.filter(valueCol.isNotNull && valueCol > 0)
+      .select(groupCol.alias("__g"), valueCol.cast("double").alias("__x"))
+    val grp = base.groupBy("__g")
+      .agg(count(lit(1)).alias("__ng"),
+        sum(col("__x").cast("decimal(38,10)")).alias("__sg"))
+    val tot = grp.agg(sum("__ng").alias("__n"), sum("__sg").alias("__st"))
+    val mu = col("__st").cast("double") / col("__n").cast("double")
+    val mug = col("__sg").cast("double") / col("__ng").cast("double")
+    val xg = col("__sg").cast("double")
+    val xt = col("__st").cast("double")
+    // per-entity total terms, pre-reduced per group (map-side combine);
+    // the within component falls out as total − between, so no second
+    // per-entity pass is needed
+    val terms = base.crossJoin(broadcast(tot))
+      .groupBy("__g")
+      .agg(sum(((col("__x") / xt) * log(col("__x") / mu))
+        .cast("decimal(28,14)")).alias("__tt"))
+    val out = grp.join(terms, "__g").crossJoin(broadcast(tot))
+      .agg(max("__n").alias("n"),
+        count(lit(1)).alias("n_groups"),
+        sum("__tt").alias("__total"),
+        sum(((xg / xt) * log(mug / mu)).cast("decimal(28,14)"))
+          .alias("__between"))
+    out.select(col("n"), col("n_groups"),
+      round(col("__total").cast("double"), 6).alias("theil_total"),
+      round(col("__between").cast("double"), 6).alias("theil_between"),
+      round(col("__total").cast("double") -
+        col("__between").cast("double"), 6).alias("theil_within"))
+  }
+
   /** Distribution overlap coefficient between two slices: equi-width
     * bins over the POOLED span, OVL = Σ_bins min(p_i, q_i) ∈ [0, 1] —
     * the positivity diagnostic that tells [[stratifiedATE]]/[[ivWald]]

@@ -861,6 +861,31 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("mantelHaenszel: homogeneous strata pool to the common OR") {
+    import spark.implicits._
+    // s1 cells (2,1,1,2) and s2 cells (4,2,2,4): both OR 4 → MH 4, crude 4
+    def cell(s: Int, e: Int, y: Int, n: Int) = Seq.fill(n)((s, e, y))
+    val rows = cell(1, 1, 1, 2) ++ cell(1, 1, 0, 1) ++ cell(1, 0, 1, 1) ++
+      cell(1, 0, 0, 2) ++ cell(2, 1, 1, 4) ++ cell(2, 1, 0, 2) ++
+      cell(2, 0, 1, 2) ++ cell(2, 0, 0, 4)
+    val r = Stats.mantelHaenszel(rows.toDF("s", "e", "y"),
+      col("e") === 1, col("y") === 1, col("s")).collect().head
+    assert(r.getLong(0) == 2)
+    assert(r.getDouble(1) == 4.0 && r.getDouble(2) == 4.0)
+  }
+
+  test("theilIndex: equal values within groups put all inequality between") {
+    import spark.implicits._
+    val df = Seq((1, 1.0), (1, 1.0), (2, 2.0), (2, 2.0)).toDF("g", "x")
+    val r = Stats.theilIndex(df, col("g"), col("x")).collect().head
+    val total = 2 * (1.0 / 6) * math.log(1.0 / 1.5) +
+      2 * (2.0 / 6) * math.log(2.0 / 1.5)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - total) < 1e-6)
+    assert(math.abs(r.getDouble(3) - total) < 1e-6)
+    assert(r.getDouble(4) == 0.0)
+  }
+
   test("overlapCoefficient: identical slices 1, disjoint slices 0") {
     import spark.implicits._
     val same = ((1 to 10).map(v => (0, v.toDouble)) ++
