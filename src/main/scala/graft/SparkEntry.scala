@@ -3124,6 +3124,12 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Hurst exponent (Stats.hurstExponent): R/S long-memory of daily
+    // order volume over block sizes 8..64 — persistent vs mean-reverting.
+    "q_hurst" -> ((s, d) =>
+      graft.ops.Stats.hurstExponent(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
     // Mantel-Haenszel pooled OR (Stats.mantelHaenszel): purchase odds by
     // user parity pooled across hour strata, beside the crude OR — the
     // Simpson-reversal detector for binary outcomes.
@@ -4100,6 +4106,46 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of Stats.hurstExponent: full-block rescaled ranges per
+    * (size, block), 9-dp block values, DECIMAL log-log OLS slope. */
+  private def hurstOracle: String = {
+    val mean = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val sd = s"sqrt(CAST(qx AS DOUBLE) / CAST(n AS DOUBLE) - $mean * $mean)"
+    "WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+      "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+      "r AS (SELECT x, row_number() OVER (ORDER BY d) AS i FROM s), " +
+      "e AS (SELECT i, x, sz, CAST(floor((i - 1) / sz) AS BIGINT) AS blk " +
+      "FROM r, unnest([8, 16, 32, 64]) AS u(sz)), " +
+      "bs AS (SELECT sz, blk, count(*) AS n, " +
+      "sum(CAST(x AS DECIMAL(28,8))) AS sx, " +
+      "sum(CAST(x * x AS DECIMAL(28,8))) AS qx FROM e GROUP BY 1, 2), " +
+      "f AS (SELECT e.sz, e.blk, e.i, e.x, bs.n, bs.sx, bs.qx FROM e " +
+      "JOIN bs ON e.sz = bs.sz AND e.blk = bs.blk WHERE bs.n = e.sz), " +
+      s"c AS (SELECT sz, blk, n, sx, qx, CAST(sum(CAST(x - $mean " +
+      "AS DECIMAL(28,8))) OVER (PARTITION BY sz, blk ORDER BY i " +
+      "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum FROM f), " +
+      "g AS (SELECT sz, blk, max(cum) AS mx, min(cum) AS mn, " +
+      s"max($sd) AS sd FROM c GROUP BY 1, 2), " +
+      "rs AS (SELECT sz, round((mx - mn) / sd, 9) AS rsv FROM g WHERE sd > 0.0), " +
+      "ps AS (SELECT ln(CAST(sz AS DOUBLE)) AS lx, " +
+      "ln(CAST(sum(CAST(rsv AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS ly " +
+      "FROM rs GROUP BY sz " +
+      "HAVING CAST(sum(CAST(rsv AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) > 0.0), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS ns, " +
+      "sum(CAST(lx AS DECIMAL(28,10))) AS sx, sum(CAST(ly AS DECIMAL(28,10))) AS sy, " +
+      "sum(CAST(lx * lx AS DECIMAL(28,10))) AS sxx, " +
+      "sum(CAST(ly * ly AS DECIMAL(28,10))) AS syy, " +
+      "sum(CAST(lx * ly AS DECIMAL(28,10))) AS sxy FROM ps) " +
+      "SELECT ns AS n_sizes, " +
+      "round((CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(ns AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hurst, " +
+      "round((CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
+      "(CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "((CAST(ns AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(ns AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2 " +
+      "FROM m"
+  }
 
   /** Mirror of q_stl_strength: the q_stl_decompose chain, then
     * population variances of (T+R), (S+R), R from DECIMAL moments with
@@ -6062,6 +6108,10 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same full-block R/S per (size, block) with DECIMAL cumulative
+    // deviations, 9-dp block values, DECIMAL log-log OLS.
+    "q_hurst" -> hurstOracle,
 
     // Same stratum 2x2 cells, DECIMAL MH sums, same crude-OR contrast.
     "q_mantel_haenszel" ->

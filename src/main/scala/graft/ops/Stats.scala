@@ -2033,6 +2033,73 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Hurst exponent by rescaled-range (R/S) analysis of the daily-count
+    * series: for each block size s, split the series into full blocks,
+    * compute each block's range-of-cumulative-deviations over its
+    * population sd, average, and fit ln(R/S) ~ H·ln(s) — the
+    * long-memory readout (H ≈ 0.5 random walk, > 0.5 trending/persistent,
+    * < 0.5 mean-reverting) that [[autocorrelation]]'s fixed lags can't
+    * summarize. Scale shape: stream → CALENDAR-BOUNDED daily table; the
+    * block machinery explodes that bounded series ×|sizes| and windows
+    * PER (size, block) — never a global data-scale window; the OLS runs
+    * over |sizes| scalar points. Determinism: per-block R/S rounds to
+    * 9 dp before its DECIMAL mean; block sums in DECIMAL; sd = 0 blocks
+    * (constant inside the block) are dropped on both engines. */
+  def hurstExponent(df: DataFrame, dateCol: Column,
+                    sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 2 && sizes.forall(s => s >= 2 && s <= 4096),
+      s"hurstExponent: bad sizes $sizes")
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"))
+      .withColumn("__i", row_number().over(Window.orderBy("__d")))
+    val expl = daily.select(col("__i"), col("__x"),
+      explode(array(sizes.map(s => lit(s)): _*)).alias("__s"))
+      .withColumn("__blk", floor((col("__i") - 1) / col("__s")).cast("long"))
+    val blockStats = expl.groupBy("__s", "__blk")
+      .agg(count(lit(1)).alias("__n"),
+        sum(col("__x").cast("decimal(28,8)")).alias("__sx"),
+        sum((col("__x") * col("__x")).cast("decimal(28,8)")).alias("__qx"))
+      .filter(col("__n") === col("__s"))
+    val withStats = expl.join(blockStats, Seq("__s", "__blk"))
+    val mean = col("__sx").cast("double") / col("__n").cast("double")
+    val cumW = Window.partitionBy("__s", "__blk").orderBy("__i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rs = withStats
+      .withColumn("__cum",
+        sum((col("__x") - mean).cast("decimal(28,8)")).over(cumW)
+          .cast("double"))
+      .groupBy("__s", "__blk")
+      .agg(max("__cum").alias("__mx"), min("__cum").alias("__mn"),
+        max(sqrt(col("__qx").cast("double") / col("__n").cast("double") -
+          (col("__sx").cast("double") / col("__n").cast("double")) *
+          (col("__sx").cast("double") / col("__n").cast("double"))))
+          .alias("__sd"))
+      .filter(col("__sd") > 0.0)
+      .select(col("__s"),
+        round((col("__mx") - col("__mn")) / col("__sd"), 9).alias("__rs"))
+    val perSize = rs.groupBy("__s")
+      .agg(count(lit(1)).alias("__nb"),
+        (sum(col("__rs").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double")).alias("__avg"))
+      .filter(col("__avg") > 0.0)
+      .select(log(col("__s").cast("double")).alias("__lx"),
+        log(col("__avg")).alias("__ly"))
+    val m = perSize.agg(count(lit(1)).alias("n_sizes"),
+      sum(col("__lx").cast("decimal(28,10)")).alias("__sx"),
+      sum(col("__ly").cast("decimal(28,10)")).alias("__sy"),
+      sum((col("__lx") * col("__lx")).cast("decimal(28,10)")).alias("__sxx"),
+      sum((col("__ly") * col("__ly")).cast("decimal(28,10)")).alias("__syy"),
+      sum((col("__lx") * col("__ly")).cast("decimal(28,10)")).alias("__sxy"))
+    val n = col("n_sizes").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covn = n * d("__sxy") - d("__sx") * d("__sy")
+    val varxn = n * d("__sxx") - d("__sx") * d("__sx")
+    val varyn = n * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n_sizes"),
+      round(covn / varxn, 6).alias("hurst"),
+      round(covn * covn / (varxn * varyn), 6).alias("r2"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio — the binary-outcome member of
     * the stratified-causal family ([[stratifiedATE]] pools mean
     * differences; this pools 2×2 odds):

@@ -861,6 +861,22 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("hurstExponent: trend reads persistent, alternation reads anti") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2023, 1, 1).plusDays(i))
+    // strictly increasing counts → cumulative deviations grow with the
+    // block → H near 1
+    val trend = (0 until 70).flatMap(i => Seq.fill(i + 1)(day(i)))
+    val t = Stats.hurstExponent(trend.toDF("d"), col("d")).collect().head
+    assert(t.getLong(0) == 4)
+    assert(t.getDouble(1) > 0.85)
+    // alternating 1,2,1,2 → bounded range at every scale → H near 0
+    val alt = (0 until 70).flatMap(i => Seq.fill(1 + i % 2)(day(i)))
+    val a = Stats.hurstExponent(alt.toDF("d"), col("d")).collect().head
+    assert(a.getDouble(1) < 0.2)
+  }
+
   test("mantelHaenszel: homogeneous strata pool to the common OR") {
     import spark.implicits._
     // s1 cells (2,1,1,2) and s2 cells (4,2,2,4): both OR 4 → MH 4, crude 4
