@@ -3124,6 +3124,20 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Ratio-metric delta CI (Stats.ratioMetricCI): revenue per event
+    // with per-user correlated numerator/denominator — the inference a
+    // naive mean-of-ratios gets wrong.
+    "q_ratio_ci" -> ((s, d) =>
+      graft.ops.Stats.ratioMetricCI(Tables.events(s, d), col("user_id"),
+        coalesce(col("value"), lit(0.0)), lit(1))),
+
+    // Empirical-Bayes rate shrinkage (Stats.ebShrinkage): per-user
+    // purchase rates under a moment-fitted beta prior — the "3/3 beats
+    // 950/1000" fix by learned prior rather than Wilson pessimism.
+    "q_eb_shrinkage" -> ((s, d) =>
+      graft.ops.Stats.ebShrinkage(Tables.events(s, d), col("user_id"),
+        col("event_type") === "purchase")),
+
     // Hurst exponent (Stats.hurstExponent): R/S long-memory of daily
     // order volume over block sizes 8..64 — persistent vs mean-reverting.
     "q_hurst" -> ((s, d) =>
@@ -4106,6 +4120,52 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of Stats.ratioMetricCI: per-unit DECIMAL totals, sample
+    * variance/covariance moments, delta-method se with the pinned z. */
+  private def ratioCiOracle: String = {
+    val n = "CAST(n_units AS DOUBLE)"
+    val my = s"(CAST(sy AS DOUBLE) / $n)"
+    val mx = s"(CAST(sx AS DOUBLE) / $n)"
+    val vy = s"((CAST(syy AS DOUBLE) - $n * $my * $my) / ($n - 1.0))"
+    val vx = s"((CAST(sxx AS DOUBLE) - $n * $mx * $mx) / ($n - 1.0))"
+    val cxy = s"((CAST(sxy AS DOUBLE) - $n * $mx * $my) / ($n - 1.0))"
+    val r = s"($my / $mx)"
+    val se = s"sqrt(($vy - 2.0 * $r * $cxy + $r * $r * $vx) / ($n * ($mx * $mx)))"
+    "WITH p AS (SELECT user_id, " +
+      "CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(38,10))) AS DOUBLE) AS y, " +
+      "CAST(sum(CAST(CAST(1 AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS x " +
+      "FROM events GROUP BY 1), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n_units, " +
+      "sum(CAST(y AS DECIMAL(38,10))) AS sy, sum(CAST(x AS DECIMAL(38,10))) AS sx, " +
+      "sum(CAST(y * y AS DECIMAL(38,10))) AS syy, " +
+      "sum(CAST(x * x AS DECIMAL(38,10))) AS sxx, " +
+      "sum(CAST(x * y AS DECIMAL(38,10))) AS sxy FROM p) " +
+      s"SELECT n_units, round($r, 6) AS ratio, round($se, 6) AS se, " +
+      s"round($r - 1.9599639845400545 * $se, 6) AS ci_lo, " +
+      s"round($r + 1.9599639845400545 * $se, 6) AS ci_hi FROM m"
+  }
+
+  /** Mirror of Stats.ebShrinkage: beta prior by moments over the
+    * qualifying keys, shrunken rates with identical arithmetic. */
+  private def ebShrinkageOracle: String = {
+    val k = "CAST(k AS DOUBLE)"
+    val mu = s"(CAST(sp AS DOUBLE) / $k)"
+    val v = s"((CAST(spp AS DOUBLE) - $k * $mu * $mu) / ($k - 1.0))"
+    val mm = s"($mu * (1.0 - $mu) / $v - 1.0)"
+    val alpha = s"($mu * $mm)"
+    val beta = s"((1.0 - $mu) * $mm)"
+    "WITH per AS (SELECT user_id AS key, count(*) AS n, " +
+      "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s " +
+      "FROM events GROUP BY 1), " +
+      "pp AS (SELECT key, n, s, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM per), " +
+      "pr AS (SELECT count(*) AS k, sum(CAST(p AS DECIMAL(28,10))) AS sp, " +
+      "sum(CAST(p * p AS DECIMAL(28,10))) AS spp FROM pp WHERE n >= 5) " +
+      "SELECT key, CAST(n AS BIGINT) AS n, round(p, 6) AS raw_rate, " +
+      s"round((CAST(s AS DOUBLE) + $alpha) / (CAST(n AS DOUBLE) + $alpha + $beta), 6) AS shrunk_rate, " +
+      s"round($alpha, 6) AS prior_alpha, round($beta, 6) AS prior_beta " +
+      "FROM pp CROSS JOIN pr ORDER BY shrunk_rate DESC, key LIMIT 30"
+  }
 
   /** Mirror of Stats.hurstExponent: full-block rescaled ranges per
     * (size, block), 9-dp block values, DECIMAL log-log OLS slope. */
@@ -6108,6 +6168,13 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same per-unit DECIMAL totals, sample moments, pinned z literal.
+    "q_ratio_ci" -> ratioCiOracle,
+
+    // Same moment-fitted beta prior over >= 5-trial keys, same shrunken
+    // rate arithmetic and (rate DESC, key) order.
+    "q_eb_shrinkage" -> ebShrinkageOracle,
 
     // Same full-block R/S per (size, block) with DECIMAL cumulative
     // deviations, 9-dp block values, DECIMAL log-log OLS.

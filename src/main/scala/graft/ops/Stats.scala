@@ -2033,6 +2033,89 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Delta-method confidence interval for a RATIO of means — the
+    * correct inference for per-unit ratio metrics (revenue per session,
+    * tokens per document), where naively treating the ratio as a mean
+    * ignores that both numerator and denominator vary per unit:
+    *   R = ȳ/x̄,  se² = (s_y² − 2R·s_xy + R²·s_x²) / (n·x̄²),
+    * CI = R ± 1.959964·se. One unit-keyed aggregation collapses the
+    * stream, one DECIMAL moment pass over units (sample covariances),
+    * pinned z literal. Degenerate x̄ = 0 fails fast. */
+  def ratioMetricCI(df: DataFrame, unitCol: Column, numCol: Column,
+                    denCol: Column): DataFrame = {
+    val per = df.groupBy(unitCol.alias("__u"))
+      .agg(sum(numCol.cast("double").cast("decimal(38,10)")).cast("double")
+        .alias("__y"),
+        sum(denCol.cast("double").cast("decimal(38,10)")).cast("double")
+          .alias("__x"))
+    val m = per.agg(count(lit(1)).alias("n_units"),
+      sum(col("__y").cast("decimal(38,10)")).alias("__sy"),
+      sum(col("__x").cast("decimal(38,10)")).alias("__sx"),
+      sum((col("__y") * col("__y")).cast("decimal(38,10)")).alias("__syy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,10)")).alias("__sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(38,10)")).alias("__sxy"))
+    val n = col("n_units").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val my = d("__sy") / n; val mx = d("__sx") / n
+    val vy = (d("__syy") - n * my * my) / (n - lit(1.0))
+    val vx = (d("__sxx") - n * mx * mx) / (n - lit(1.0))
+    val cxy = (d("__sxy") - n * mx * my) / (n - lit(1.0))
+    val r = my / mx
+    val se = sqrt((vy - lit(2.0) * r * cxy + r * r * vx) / (n * (mx * mx)))
+    def guarded(c: Column) = when(col("__sx").cast("double") === 0.0,
+      raise_error(lit("ratioMetricCI: zero denominator total")))
+      .otherwise(c)
+    m.select(col("n_units"),
+      guarded(round(r, 6)).alias("ratio"),
+      guarded(round(se, 6)).alias("se"),
+      guarded(round(r - lit(1.9599639845400545) * se, 6)).alias("ci_lo"),
+      guarded(round(r + lit(1.9599639845400545) * se, 6)).alias("ci_hi"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-key success rates under a
+    * beta-binomial prior fitted by moments (Robbins' idea in its
+    * practical form): from the keys' raw rates, m = μ(1−μ)/v − 1,
+    * α = μ·m, β = (1−μ)·m, and each key reads
+    *   shrunk = (s + α) / (n + α + β)
+    * — the ranking fix for "3/3 beats 950/1000" that [[wilsonRank]]
+    * solves pessimistically and THIS solves by learning how much rates
+    * actually vary across keys. Prior moments use only keys with
+    * ≥ `minN` trials (tiny keys are the noise being fixed, not
+    * evidence); the prior is a broadcast scalar row; one key-keyed
+    * aggregation each side. Degenerate priors (zero variance, or
+    * variance ≥ μ(1−μ) where no beta fits) fail fast. */
+  def ebShrinkage(df: DataFrame, keyCol: Column, success: Column,
+                  minN: Long = 5L, topN: Int = 30): DataFrame = {
+    require(minN >= 2 && topN >= 1, s"ebShrinkage: bad minN=$minN topN=$topN")
+    val per = df.groupBy(keyCol.alias("key"))
+      .agg(count(lit(1)).alias("n"),
+        sum(when(success, 1L).otherwise(0L)).alias("__s"))
+      .withColumn("__p", col("__s").cast("double") / col("n").cast("double"))
+    val prior = per.filter(col("n") >= minN)
+      .agg(count(lit(1)).alias("__k"),
+        sum(col("__p").cast("decimal(28,10)")).alias("__sp"),
+        sum((col("__p") * col("__p")).cast("decimal(28,10)")).alias("__spp"))
+    val k = col("__k").cast("double")
+    val mu = col("__sp").cast("double") / k
+    val v = (col("__spp").cast("double") - k * mu * mu) / (k - lit(1.0))
+    val mm = mu * (lit(1.0) - mu) / v - lit(1.0)
+    val withPrior = per.crossJoin(broadcast(prior))
+      .withColumn("__mu", mu).withColumn("__m",
+        when(v <= 0.0 || mm <= 0.0,
+          raise_error(lit("ebShrinkage: no beta prior fits these rates")))
+          .otherwise(mm))
+    val alpha = col("__mu") * col("__m")
+    val beta = (lit(1.0) - col("__mu")) * col("__m")
+    withPrior.select(col("key"), col("n"),
+        round(col("__p"), 6).alias("raw_rate"),
+        round((col("__s").cast("double") + alpha) /
+          (col("n").cast("double") + alpha + beta), 6).alias("shrunk_rate"),
+        round(alpha, 6).alias("prior_alpha"),
+        round(beta, 6).alias("prior_beta"))
+      .orderBy(desc("shrunk_rate"), col("key"))
+      .limit(topN)
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis of the daily-count
     * series: for each block size s, split the series into full blocks,
     * compute each block's range-of-cumulative-deviations over its

@@ -861,6 +861,34 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("ratioMetricCI: constant per-unit ratio collapses the interval") {
+    import spark.implicits._
+    // every unit has y = 2x exactly → ratio 2, zero variance → se 0
+    val df = (1 to 10).flatMap(u => (1 to u).map(_ => (u.toLong, 2.0, 1.0)))
+      .toDF("u", "y", "x")
+    val r = Stats.ratioMetricCI(df, col("u"), col("y"), col("x"))
+      .collect().head
+    assert(r.getLong(0) == 10)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 2.0)
+  }
+
+  test("ebShrinkage pulls small samples toward the prior") {
+    import spark.implicits._
+    // big keys with stable ~50% rates fit the prior; a tiny 2/2 key
+    // must NOT outrank a big 90/100 key after shrinkage
+    val rows =
+      (1 to 10).flatMap(k => (1 to 100).map(i => (k.toLong, i <= 40 + k))) ++
+      (1 to 2).map(i => (99L, true)) ++
+      (1 to 100).map(i => (50L, i <= 90))
+    val got = Stats.ebShrinkage(rows.toDF("k", "s"), col("k"), col("s"),
+      minN = 5, topN = 5).collect()
+    assert(got.head.getLong(0) == 50L)
+    val tiny = got.find(_.getLong(0) == 99L)
+    // the 2/2 key's shrunk rate sits far below its raw 1.0
+    tiny.foreach(t => assert(t.getDouble(3) < 0.8))
+  }
+
   test("hurstExponent: trend reads persistent, alternation reads anti") {
     import spark.implicits._
     def day(i: Int) = java.sql.Date.valueOf(
