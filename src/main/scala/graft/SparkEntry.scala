@@ -3124,6 +3124,32 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Log-rank test (Stats.logRankTest): odd vs even users'
+    // time-to-purchase curves compared at every event time — the
+    // two-curve companion to q_survival_km, same censoring.
+    "q_logrank" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy("user_id").agg(
+        min(col("ts")).alias("__first"),
+        min(when(col("event_type") === "purchase", col("ts"))).alias("__conv"),
+        max(col("ts")).alias("__last"))
+        .select(col("user_id"),
+          datediff(to_date(coalesce(col("__conv"), col("__last"))),
+            to_date(col("__first"))).cast("long").alias("dur"),
+          col("__conv").isNotNull.alias("observed"))
+      graft.ops.Stats.logRankTest(subj, "dur", "observed",
+        col("user_id") % 2 === 1)
+    }),
+
+    // Dunning keyness (TextAnalysis.keyness): which tokens carry the
+    // even/odd slice difference — the per-token drill-down under the
+    // KL/Hellinger aggregate monitors.
+    "q_keyness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextAnalysis.keyness(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
     // Ratio-metric delta CI (Stats.ratioMetricCI): revenue per event
     // with per-user correlated numerator/denominator — the inference a
     // naive mean-of-ratios gets wrong.
@@ -6168,6 +6194,67 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same duration-grain per-group cells, reverse-cumulative risk sets,
+    // DECIMAL expectation/variance sums.
+    "q_logrank" ->
+      ("WITH subj AS (SELECT user_id, " +
+        "datediff('day', CAST(min(ts) AS DATE), " +
+        "CAST(coalesce(min(CASE WHEN event_type = 'purchase' THEN ts END), " +
+        "max(ts)) AS DATE)) AS t, " +
+        "CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END) " +
+        "IS NOT NULL THEN 1 ELSE 0 END AS o, " +
+        "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g " +
+        "FROM events GROUP BY 1), " +
+        "pt AS (SELECT t, " +
+        "sum(CASE WHEN g = 0 THEN o ELSE 0 END) AS d1, " +
+        "sum(CASE WHEN g = 1 THEN o ELSE 0 END) AS d2, " +
+        "sum(1 - g) AS l1, sum(g) AS l2 FROM subj GROUP BY 1), " +
+        "rk AS (SELECT t, d1, d2, " +
+        "sum(l1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
+        "UNBOUNDED FOLLOWING) AS n1, " +
+        "sum(l2) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
+        "UNBOUNDED FOLLOWING) AS n2 FROM pt), " +
+        "f AS (SELECT t, d1, d2, n1, n2, d1 + d2 AS d, n1 + n2 AS n FROM rk " +
+        "WHERE d1 + d2 > 0 AND n1 + n2 > 1), " +
+        "ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1, " +
+        "sum(CAST(CAST(n1 AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE) " +
+        "AS DECIMAL(28,10))) AS e1, " +
+        "sum(CAST(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) " +
+        "AS DECIMAL(28,10))) AS v FROM f) " +
+        "SELECT o1 AS observed_a, round(CAST(e1 AS DOUBLE), 6) AS expected_a, " +
+        "CASE WHEN CAST(v AS DOUBLE) = 0.0 THEN NULL ELSE " +
+        "round((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) * " +
+        "(CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) / CAST(v AS DOUBLE), 6) " +
+        "END AS chi2 FROM ag"),
+
+    // Same vocab join and margin expectations, same 0*ln0 guards, same
+    // (g2 DESC, token) order.
+    "q_keyness" ->
+      ("WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 0), " +
+        "tb AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE doc_id % 2 = 1), " +
+        "ca AS (SELECT token, count(*) AS ca FROM ta WHERE token <> '' GROUP BY 1), " +
+        "cb AS (SELECT token, count(*) AS cb FROM tb WHERE token <> '' GROUP BY 1), " +
+        "j AS (SELECT coalesce(ca.token, cb.token) AS token, " +
+        "coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb " +
+        "FROM ca FULL OUTER JOIN cb ON ca.token = cb.token), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j) " +
+        "SELECT token, CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b, " +
+        "round(2.0 * (CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE) * " +
+        "ln(CAST(ca AS DOUBLE) / (CAST(t.na AS DOUBLE) * " +
+        "(CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / " +
+        "(CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE)))) ELSE 0.0 END + " +
+        "CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE) * " +
+        "ln(CAST(cb AS DOUBLE) / (CAST(t.nb AS DOUBLE) * " +
+        "(CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE)) / " +
+        "(CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE)))) ELSE 0.0 END), 6) AS g2, " +
+        "CASE WHEN CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE) >= " +
+        "CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE) THEN 'a' ELSE 'b' END AS enriched_in " +
+        "FROM j CROSS JOIN t ORDER BY g2 DESC, token LIMIT 40"),
 
     // Same per-unit DECIMAL totals, sample moments, pinned z literal.
     "q_ratio_ci" -> ratioCiOracle,

@@ -2033,6 +2033,51 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Two-group log-rank test — the comparison companion to
+    * [[kaplanMeier]]'s single curve: at each event time, the observed
+    * group-1 events against the hypergeometric expectation under
+    * "curves are equal",
+    *   χ² = (Σ(d₁ − n₁d/n))² / Σ d·(n₁/n)·(n₂/n)·(n−d)/(n−1),
+    * censoring handled exactly as KM handles it (censored subjects
+    * leave the risk set, contribute no event). Scale shape: subjects
+    * collapse to the duration-grain table (calendar-bounded) with
+    * per-group event/leave cells; the risk sets are reverse cumulatives
+    * over that bounded table; the readout is one row of DECIMAL-summed
+    * terms. A degenerate zero variance pins to NULL. */
+  def logRankTest(subjects: DataFrame, durCol: String, observedCol: String,
+                  groupB: Column): DataFrame = {
+    val base = subjects.select(col(durCol).alias("__t"),
+      when(col(observedCol), 1L).otherwise(0L).alias("__o"),
+      when(groupB, 1L).otherwise(0L).alias("__g"))
+    val perT = base.groupBy("__t").agg(
+      sum(when(col("__g") === 0, col("__o")).otherwise(0L)).alias("__d1"),
+      sum(when(col("__g") === 1, col("__o")).otherwise(0L)).alias("__d2"),
+      sum(lit(1L) - col("__g")).alias("__l1"), sum("__g").alias("__l2"))
+    val w = Window.orderBy("__t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risks = perT
+      .withColumn("__n1", sum("__l1").over(w))
+      .withColumn("__n2", sum("__l2").over(w))
+      .withColumn("__d", col("__d1") + col("__d2"))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .filter(col("__d") > 0 && col("__n") > 1)
+    val nd = col("__n").cast("double")
+    val e1 = col("__n1").cast("double") * col("__d").cast("double") / nd
+    val v = col("__d").cast("double") *
+      (col("__n1").cast("double") / nd) * (col("__n2").cast("double") / nd) *
+      (col("__n") - col("__d")).cast("double") / (nd - lit(1.0))
+    val agg = risks.agg(
+      sum("__d1").alias("__o1"),
+      sum(e1.cast("decimal(28,10)")).alias("__e1"),
+      sum(v.cast("decimal(28,10)")).alias("__v"))
+    val diff = col("__o1").cast("double") - col("__e1").cast("double")
+    agg.select(col("__o1").alias("observed_a"),
+      round(col("__e1").cast("double"), 6).alias("expected_a"),
+      when(col("__v").cast("double") === 0.0, lit(null).cast("double"))
+        .otherwise(round(diff * diff / col("__v").cast("double"), 6))
+        .alias("chi2"))
+  }
+
   /** Delta-method confidence interval for a RATIO of means — the
     * correct inference for per-unit ratio metrics (revenue per session,
     * tokens per document), where naively treating the ratio as a mean

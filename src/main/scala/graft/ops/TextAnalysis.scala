@@ -932,6 +932,41 @@ object TextAnalysis {
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
 
+  /** Dunning log-likelihood keyness (G²): per token, how surprisingly
+    * its frequency differs between two corpus slices,
+    *   G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)),  E = margin-proportional
+    * expectation — the PER-TOKEN drill-down under the aggregate drift
+    * monitors ([[klDrift]]/[[hellingerDrift]] say THAT the slices
+    * differ; keyness says WHICH words carry it), signed toward the
+    * enriched slice. The corpus-linguistics keyword standard (Dunning
+    * 1993), robust at low counts where χ² is not. Same vocab-join shape
+    * as the drift ops: two count tables, one full-outer join, broadcast
+    * totals, 0·ln 0 = 0 by guard on both engines. Top-N by G². */
+  def keyness(a: DataFrame, b: DataFrame, textCol: String,
+              topN: Int = 40): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias(side))
+    val j = counts(a, "__ca").join(counts(b, "__cb"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    val totals = j.agg(sum("__ca").alias("__ta"), sum("__cb").alias("__tb"))
+    val na = col("__ta").cast("double"); val nb = col("__tb").cast("double")
+    val ca = col("__ca").cast("double"); val cb = col("__cb").cast("double")
+    val ea = na * (ca + cb) / (na + nb)
+    val eb = nb * (ca + cb) / (na + nb)
+    val g2 = lit(2.0) * (when(col("__ca") > 0, ca * log(ca / ea))
+      .otherwise(lit(0.0)) +
+      when(col("__cb") > 0, cb * log(cb / eb)).otherwise(lit(0.0)))
+    j.crossJoin(broadcast(totals))
+      .select(col("token"), col("__ca").alias("n_a"), col("__cb").alias("n_b"),
+        round(g2, 6).alias("g2"),
+        when(ca / na >= cb / nb, lit("a")).otherwise(lit("b"))
+          .alias("enriched_in"))
+      .orderBy(desc("g2"), col("token"))
+      .limit(topN)
+  }
+
   /** Capture–recapture corpus-size estimate (Chapman's bias-corrected
     * Lincoln–Petersen): treat two crawls as captures of the same
     * underlying document population, match on the content

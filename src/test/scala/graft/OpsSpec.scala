@@ -2328,6 +2328,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.abs(s(3).getDouble(3) - (-1.584963)) < 1e-6)
   }
 
+  test("keyness: hand-computed G2, enrichment direction") {
+    import spark.implicits._
+    // A = (x,x,x,y), B = (y,y,y): x exclusive to A, y enriched in B
+    val a = Seq("x x x y").toDF("text")
+    val b = Seq("y y y").toDF("text")
+    val got = TextAnalysis.keyness(a, b, "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    val gx = 2.0 * 3 * math.log(3.0 / (4.0 * 3 / 7))
+    val gy = 2.0 * (1 * math.log(1.0 / (4.0 * 4 / 7)) +
+      3 * math.log(3.0 / (3.0 * 4 / 7)))
+    assert(math.abs(got("x")._3 - gx) < 1e-6 && got("x")._4 == "a")
+    assert(math.abs(got("y")._3 - gy) < 1e-6 && got("y")._4 == "b")
+  }
+
   test("captureRecapture: textbook Chapman estimate") {
     import spark.implicits._
     // crawl1 sees docs 1-6, crawl2 sees 4-9: n1 = 6, n2 = 6, m = 3

@@ -861,6 +861,22 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("logRankTest: identical curves chi2 0, separated curves chi2 3") {
+    import spark.implicits._
+    val same = Seq((1L, true, 0), (2L, true, 0), (1L, true, 1), (2L, true, 1))
+      .toDF("dur", "observed", "g")
+    val s = Stats.logRankTest(same, "dur", "observed", col("g") === 1)
+      .collect().head
+    assert(s.getLong(0) == 2 && s.getDouble(1) == 2.0 && s.getDouble(2) == 0.0)
+    // group a converts at t=1, group b at t=10: O_a = 2, E_a = 1, V = 1/3
+    val sep = Seq((1L, true, 0), (1L, true, 0), (10L, true, 1), (10L, true, 1))
+      .toDF("dur", "observed", "g")
+    val r = Stats.logRankTest(sep, "dur", "observed", col("g") === 1)
+      .collect().head
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 1.0)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-6)
+  }
+
   test("ratioMetricCI: constant per-unit ratio collapses the interval") {
     import spark.implicits._
     // every unit has y = 2x exactly → ratio 2, zero variance → se 0
