@@ -3124,6 +3124,19 @@ object SparkEntry {
       graft.ops.Stats.permutationTest(Tables.events(s, d), "event_id",
         col("user_id") % 2 === 1, "value", reps = 100)),
 
+    // Method agreement (Stats.methodAgreement): Lin's CCC + Bland-Altman
+    // limits between daily order count and daily shipped-line count —
+    // the two-channels-same-metric migration readout.
+    "q_method_agreement" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).alias("d"))
+        .agg(count(lit(1)).alias("x"))
+      val b = Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).alias("d"))
+        .agg(count(lit(1)).alias("y"))
+      graft.ops.Stats.methodAgreement(a.join(b, "d"), col("x"), col("y"))
+    }),
+
     // Log-rank test (Stats.logRankTest): odd vs even users'
     // time-to-purchase curves compared at every event time — the
     // two-curve companion to q_survival_km, same censoring.
@@ -4146,6 +4159,36 @@ object SparkEntry {
 
   private def fsU(f: String): String =
     s"((CAST(au_$f AS DOUBLE) + 0.5) / (CAST(nu AS DOUBLE) + 1.0))"
+
+  /** Mirror of Stats.methodAgreement: paired-series DECIMAL moments,
+    * Lin's CCC and Bland-Altman limits with the pinned z literal. */
+  private def methodAgreementOracle: String = {
+    val n = "CAST(n AS DOUBLE)"
+    val mx = s"(CAST(sx AS DOUBLE) / $n)"
+    val my = s"(CAST(sy AS DOUBLE) / $n)"
+    val vx = s"((CAST(sxx AS DOUBLE) - $n * $mx * $mx) / ($n - 1.0))"
+    val vy = s"((CAST(syy AS DOUBLE) - $n * $my * $my) / ($n - 1.0))"
+    val cxy = s"((CAST(sxy AS DOUBLE) - $n * $mx * $my) / ($n - 1.0))"
+    val den = s"($vx + $vy + ($mx - $my) * ($mx - $my))"
+    val bias = s"($mx - $my)"
+    val sd = s"sqrt($vx + $vy - 2.0 * $cxy)"
+    "WITH a AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x " +
+      "FROM orders GROUP BY 1), " +
+      "b AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS y " +
+      "FROM lineitem GROUP BY 1), " +
+      "p AS (SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y " +
+      "FROM a JOIN b USING (d)), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "sum(CAST(x AS DECIMAL(38,10))) AS sx, sum(CAST(y AS DECIMAL(38,10))) AS sy, " +
+      "sum(CAST(x * x AS DECIMAL(38,10))) AS sxx, " +
+      "sum(CAST(y * y AS DECIMAL(38,10))) AS syy, " +
+      "sum(CAST(x * y AS DECIMAL(38,10))) AS sxy FROM p) " +
+      "SELECT n, " +
+      s"CASE WHEN $den = 0.0 THEN NULL ELSE round(2.0 * $cxy / $den, 6) END AS ccc, " +
+      s"round($bias, 6) AS bias, " +
+      s"round($bias - 1.9599639845400545 * $sd, 6) AS loa_lo, " +
+      s"round($bias + 1.9599639845400545 * $sd, 6) AS loa_hi FROM m"
+  }
 
   /** Mirror of Stats.ratioMetricCI: per-unit DECIMAL totals, sample
     * variance/covariance moments, delta-method se with the pinned z. */
@@ -6194,6 +6237,9 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.nt, 0) AS DOUBLE) / " +
         "(CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)), 6) END AS clustering_coeff " +
         "FROM d LEFT JOIN tc ON d.node = tc.node ORDER BY d.node"),
+
+    // Same paired daily series, DECIMAL moments, pinned z literal.
+    "q_method_agreement" -> methodAgreementOracle,
 
     // Same duration-grain per-group cells, reverse-cumulative risk sets,
     // DECIMAL expectation/variance sums.

@@ -2033,6 +2033,42 @@ object Stats {
           .alias("p_perm"))
   }
 
+  /** Method-agreement report for paired continuous measurements — Lin's
+    * concordance correlation coefficient
+    *   CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+    * (how far the pairs sit from the y = x line — Pearson r rewards a
+    * tight line ANYWHERE; CCC demands the identity line) plus the
+    * Bland–Altman bias and 95% limits of agreement (d̄ ± 1.96·s_d).
+    * The "do two measurement channels agree" readout for migrations:
+    * old pipeline vs new pipeline emitting the same metric. One paired
+    * pass of DECIMAL moments (sample variances), pinned z literal; a
+    * degenerate zero denominator pins CCC to NULL. */
+  def methodAgreement(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.cast("double").alias("__x"), yCol.cast("double").alias("__y"))
+    val m = base.agg(count(lit(1)).alias("n"),
+      sum(col("__x").cast("decimal(38,10)")).alias("__sx"),
+      sum(col("__y").cast("decimal(38,10)")).alias("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,10)")).alias("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(38,10)")).alias("__syy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,10)")).alias("__sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mx = d("__sx") / n; val my = d("__sy") / n
+    val vx = (d("__sxx") - n * mx * mx) / (n - lit(1.0))
+    val vy = (d("__syy") - n * my * my) / (n - lit(1.0))
+    val cxy = (d("__sxy") - n * mx * my) / (n - lit(1.0))
+    val den = vx + vy + (mx - my) * (mx - my)
+    val bias = mx - my
+    val sd = sqrt(vx + vy - lit(2.0) * cxy)
+    m.select(col("n"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(2.0) * cxy / den, 6)).alias("ccc"),
+      round(bias, 6).alias("bias"),
+      round(bias - lit(1.9599639845400545) * sd, 6).alias("loa_lo"),
+      round(bias + lit(1.9599639845400545) * sd, 6).alias("loa_hi"))
+  }
+
   /** Two-group log-rank test — the comparison companion to
     * [[kaplanMeier]]'s single curve: at each event time, the observed
     * group-1 events against the hypergeometric expectation under

@@ -861,6 +861,22 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       (mu - beta * math.log(-math.log(0.9)))) < 1e-6)
   }
 
+  test("methodAgreement: identity = CCC 1, constant offset penalized") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0)
+    val same = xs.map(v => (v, v)).toDF("x", "y")
+    val s = Stats.methodAgreement(same, col("x"), col("y")).collect().head
+    assert(s.getLong(0) == 4 && s.getDouble(1) == 1.0 && s.getDouble(2) == 0.0)
+    assert(s.getDouble(3) == 0.0 && s.getDouble(4) == 0.0)
+    // y = x + 5: Pearson would say 1; CCC = 2v/(2v+25), bias −5, LoA ±0
+    val shift = xs.map(v => (v, v + 5.0)).toDF("x", "y")
+    val r = Stats.methodAgreement(shift, col("x"), col("y")).collect().head
+    val v = xs.map(a => (a - 2.5) * (a - 2.5)).sum / 3
+    assert(math.abs(r.getDouble(1) - 2 * v / (2 * v + 25)) < 1e-6)
+    assert(r.getDouble(2) == -5.0 && r.getDouble(3) == -5.0 &&
+      r.getDouble(4) == -5.0)
+  }
+
   test("logRankTest: identical curves chi2 0, separated curves chi2 3") {
     import spark.implicits._
     val same = Seq((1L, true, 0), (2L, true, 0), (1L, true, 1), (2L, true, 1))
