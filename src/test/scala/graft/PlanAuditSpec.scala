@@ -317,6 +317,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertNoQuadraticJoin("q_embedding_dispersion")
   }
 
+  test("final wave: windows stay behind aggregation") {
+    // kruskal ranks the per-value table; hurst windows per (size, block)
+    // over the calendar-bounded series; token budget cumulates the
+    // band-count table; log-rank risk sets cumulate the duration table
+    assertWindowsBehindAggregation("q_kruskal_wallis")
+    assertWindowsBehindAggregation("q_hurst")
+    assertWindowsBehindAggregation("q_token_budget")
+    assertWindowsBehindAggregation("q_logrank")
+  }
+
+  test("final wave: fan-out/join ops never plan an all-pairs join") {
+    // negative sampling is the bucketed equi-join (the op exists to
+    // avoid the range nested-loop); keyness/capture are vocab joins;
+    // agreement/quality joins are id- or cluster-keyed
+    assertNoQuadraticJoin("q_neg_sampling")
+    assertNoQuadraticJoin("q_keyness")
+    assertNoQuadraticJoin("q_capture_recapture")
+    assertNoQuadraticJoin("q_cluster_agreement")
+  }
+
   test("q_permutation_test: every rank window is replicate-partitioned") {
     // the 30M-row explode would be a disaster under ONE global sort;
     // the exact-margin ranking must stay partitioned by replicate
