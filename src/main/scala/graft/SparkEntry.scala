@@ -3234,9 +3234,19 @@ object SparkEntry {
     // Heaps'-law fit (TextAnalysis.heapsLaw): vocabulary growth V = K*N^b
     // over 10 id-order prefixes via the first-seen table — the zipf
     // curve's growth companion.
-    "q_heaps_law" -> ((s, d) =>
-      graft.ops.TextAnalysis.heapsLaw(Tables.documents(s, d),
-        "doc_id", "text")),
+    // Bound to word BIGRAMS, not unigrams: the sf0.01 fixture's unigram
+    // vocabulary saturates at the first checkpoint (vt constant → β = ±0,
+    // verifying only the rounding path); the bigram type inventory keeps
+    // growing at the gate SF, so the OLS fits a real Heaps curve (β > 0).
+    "q_heaps_law" -> ((s, d) => {
+      val t = split(col("text"), " ")
+      val big = Tables.documents(s, d).filter(size(t) >= 2)
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit("_"), element_at(t, i + 1))),
+            " ").alias("text"))
+      graft.ops.TextAnalysis.heapsLaw(big, "doc_id", "text")
+    }),
 
     // Markov entropy rate (Sessionize.markovEntropyRate): how
     // predictable is the next event given the current one — the
@@ -4166,12 +4176,12 @@ object SparkEntry {
     val n = "CAST(n AS DOUBLE)"
     val mx = s"(CAST(sx AS DOUBLE) / $n)"
     val my = s"(CAST(sy AS DOUBLE) / $n)"
-    val vx = s"((CAST(sxx AS DOUBLE) - $n * $mx * $mx) / ($n - 1.0))"
-    val vy = s"((CAST(syy AS DOUBLE) - $n * $my * $my) / ($n - 1.0))"
-    val cxy = s"((CAST(sxy AS DOUBLE) - $n * $mx * $my) / ($n - 1.0))"
+    val vx = s"(CAST(sxx AS DOUBLE) / $n - $mx * $mx)"
+    val vy = s"(CAST(syy AS DOUBLE) / $n - $my * $my)"
+    val cxy = s"(CAST(sxy AS DOUBLE) / $n - $mx * $my)"
     val den = s"($vx + $vy + ($mx - $my) * ($mx - $my))"
     val bias = s"($mx - $my)"
-    val sd = s"sqrt($vx + $vy - 2.0 * $cxy)"
+    val sd = s"sqrt(($vx + $vy - 2.0 * $cxy) * $n / ($n - 1.0))"
     "WITH a AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS x " +
       "FROM orders GROUP BY 1), " +
       "b AS (SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS y " +
@@ -4184,10 +4194,10 @@ object SparkEntry {
       "sum(CAST(y * y AS DECIMAL(38,10))) AS syy, " +
       "sum(CAST(x * y AS DECIMAL(38,10))) AS sxy FROM p) " +
       "SELECT n, " +
-      s"CASE WHEN $den = 0.0 THEN NULL ELSE round(2.0 * $cxy / $den, 6) END AS ccc, " +
-      s"round($bias, 6) AS bias, " +
-      s"round($bias - 1.9599639845400545 * $sd, 6) AS loa_lo, " +
-      s"round($bias + 1.9599639845400545 * $sd, 6) AS loa_hi FROM m"
+      s"CASE WHEN $den = 0.0 THEN NULL ELSE round(2.0 * $cxy / $den, 6) + 0.0 END AS ccc, " +
+      s"round($bias, 6) + 0.0 AS bias, " +
+      s"round($bias - 1.9599639845400545 * $sd, 6) + 0.0 AS loa_lo, " +
+      s"round($bias + 1.9599639845400545 * $sd, 6) + 0.0 AS loa_hi FROM m"
   }
 
   /** Mirror of Stats.ratioMetricCI: per-unit DECIMAL totals, sample
@@ -4268,11 +4278,11 @@ object SparkEntry {
       "sum(CAST(lx * ly AS DECIMAL(28,10))) AS sxy FROM ps) " +
       "SELECT ns AS n_sizes, " +
       "round((CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-      "(CAST(ns AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hurst, " +
+      "(CAST(ns AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS hurst, " +
       "round((CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
       "(CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
       "((CAST(ns AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-      "(CAST(ns AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2 " +
+      "(CAST(ns AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS r2 " +
       "FROM m"
   }
 
@@ -4308,19 +4318,24 @@ object SparkEntry {
       "sum(CAST(rem * rem AS DECIMAL(28,8))) AS qr FROM r) " +
       "SELECT n_days, " +
       s"CASE WHEN ${v("qt", "st")} = 0.0 THEN NULL ELSE " +
-      s"round(greatest(0.0, 1.0 - ${v("qr", "sr")} / ${v("qt", "st")}), 6) END AS trend_strength, " +
+      s"round(greatest(0.0, 1.0 - ${v("qr", "sr")} / ${v("qt", "st")}), 6) + 0.0 END AS trend_strength, " +
       s"CASE WHEN ${v("qs", "ss")} = 0.0 THEN NULL ELSE " +
-      s"round(greatest(0.0, 1.0 - ${v("qr", "sr")} / ${v("qs", "ss")}), 6) END AS seasonal_strength " +
+      s"round(greatest(0.0, 1.0 - ${v("qr", "sr")} / ${v("qs", "ss")}), 6) + 0.0 END AS seasonal_strength " +
       "FROM m"
   }
 
-  /** Mirror of q_heaps_law: first-seen vocabulary table + per-doc token
-    * counts, 10 conditional-sum checkpoints, DECIMAL log-log OLS. */
+  /** Mirror of q_heaps_law: word-BIGRAM tokens (the engine's saturation-
+    * free binding), first-seen vocabulary table + per-doc token counts,
+    * 10 conditional-sum checkpoints, DECIMAL log-log OLS. */
   private def heapsLawOracle: String = {
     val ks = 1 to 10
-    "WITH tk AS (SELECT id, token FROM (SELECT doc_id AS id, " +
-      "unnest(string_split(text, ' ')) AS token FROM documents " +
-      "WHERE text IS NOT NULL) WHERE token <> ''), " +
+    "WITH pr AS (SELECT doc_id, string_split(text, ' ') AS parts " +
+      "FROM documents WHERE text IS NOT NULL AND " +
+      "len(string_split(text, ' ')) >= 2), " +
+      "tk AS (SELECT id, token FROM (SELECT doc_id AS id, " +
+      "unnest(list_transform(range(1, len(parts)), " +
+      "i -> parts[i] || '_' || parts[i + 1])) AS token FROM pr) " +
+      "WHERE token <> ''), " +
       "fs AS (SELECT token, min(id) AS fd FROM tk GROUP BY 1), " +
       "pd AS (SELECT id, count(*) AS nt FROM tk GROUP BY 1), " +
       "mx AS (SELECT max(id) AS mx FROM pd), " +
@@ -4347,13 +4362,13 @@ object SparkEntry {
       "sum(CAST(x * y AS DECIMAL(28,10))) AS sxy FROM pp) " +
       "SELECT nc AS n_checkpoints, " +
       "round((CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-      "(CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta, " +
+      "(CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0 AS beta, " +
       "round(exp((CAST(sy AS DOUBLE) - (CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
-      "(CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(nc AS DOUBLE)), 6) AS k_coef, " +
+      "(CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(nc AS DOUBLE)), 6) + 0.0 AS k_coef, " +
       "round((CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
       "(CAST(nc AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
       "((CAST(nc AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
-      "(CAST(nc AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2 " +
+      "(CAST(nc AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0 AS r2 " +
       "FROM m"
   }
 
@@ -4458,7 +4473,7 @@ object SparkEntry {
       "SELECT d AS split_day, CAST(i AS BIGINT) AS n_before, " +
       "CAST(t.n - i AS BIGINT) AS n_after, " +
       s"round($m1, 6) AS mean_before, round($m2, 6) AS mean_after, " +
-      s"round($n1 * $m1 * $m1 + $n2 * $m2 * $m2 - $n * $m * $m, 6) AS gain " +
+      s"round($n1 * $m1 * $m1 + $n2 * $m2 * $m2 - $n * $m * $m, 6) + 0.0 AS gain " +
       "FROM p CROSS JOIN t WHERE i < t.n " +
       "ORDER BY gain DESC, split_day LIMIT 1"
   }
@@ -6705,7 +6720,7 @@ object SparkEntry {
         "FROM pm GROUP BY 1) " +
         "SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, " +
         "round(max(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
-        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)), 6) AS diff_obs, " +
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)), 6) + 0.0 AS diff_obs, " +
         "CAST(max(100) AS BIGINT) AS reps, " +
         "round((1.0 + CAST(sum(CASE WHEN abs(dd) >= " +
         "abs(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
@@ -9339,7 +9354,7 @@ object SparkEntry {
       "CAST(COALESCE(dc.dc, 0) AS BIGINT) AS degree_sum, " +
       "round(CAST(COALESCE(mc.mc, 0) AS DOUBLE) / CAST(m.m AS DOUBLE) - " +
       "(CAST(COALESCE(dc.dc, 0) AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))) * " +
-      "(CAST(COALESCE(dc.dc, 0) AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 6) " +
+      "(CAST(COALESCE(dc.dc, 0) AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 6) + 0.0 " +
       "AS contribution FROM nn LEFT JOIN dc USING (community) " +
       "LEFT JOIN mc USING (community) CROSS JOIN m ORDER BY nn.community")
     sb.toString

@@ -601,7 +601,7 @@ object Graph {
       .crossJoin(broadcast(m))
       .select(col("community"), col("n_nodes"),
         col("__mc").alias("intra_edges"), col("__dc").alias("degree_sum"),
-        round(col("__mc").cast("double") / col("__m").cast("double") -
+        round0(col("__mc").cast("double") / col("__m").cast("double") -
           (col("__dc").cast("double") /
             (lit(2.0) * col("__m").cast("double"))) *
           (col("__dc").cast("double") /

@@ -1988,21 +1988,32 @@ object Stats {
     * replayable, ranks tie-break on id, and every Δ is the identical
     * fixed-form double on both engines. */
   def permutationTest(df: DataFrame, idCol: String, groupB: Column,
-                      valueCol: String, reps: Int = 200): DataFrame = {
+                      valueCol: String, reps: Int = 200,
+                      maxReplicated: Long = 100000000L): DataFrame = {
     require(reps >= 20 && reps <= 1000,
       s"permutationTest: need 20 <= reps <= 1000, got $reps")
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(idCol).cast("string").alias("__id"),
         when(groupB, 1L).otherwise(0L).alias("__b"),
         col(valueCol).cast("double").alias("__x"))
-    val tot = base.agg(
+    val tot = base.agg(count(lit(1)).alias("__n"),
       sum(lit(1L) - col("__b")).alias("__na"), sum("__b").alias("__nb"),
       sum(when(col("__b") === 0, col("__x")).otherwise(0.0)
         .cast("decimal(38,10)")).alias("__sa"),
       sum(when(col("__b") === 1, col("__x")).otherwise(0.0)
         .cast("decimal(38,10)")).alias("__sb"))
+    // maxBucket/maxCell stance for the ×reps explode: the replicated row
+    // volume (reps × |slice|) is data-dependent, so the static reps bound
+    // alone can't stop a 100 TB caller from fanning a stage into the
+    // hundreds of billions. The guard sits BEFORE the explode+sort.
+    val guarded = base.crossJoin(broadcast(tot.select("__n")))
+      .select(when(col("__n") * lit(reps.toLong) > maxReplicated,
+        raise_error(lit(s"permutationTest: reps * rows exceeds " +
+          s"$maxReplicated replicated rows — lower reps, pre-aggregate " +
+          "the slice, or raise maxReplicated")))
+        .otherwise(col("__id")).alias("__id"), col("__x"))
     val rw = Window.partitionBy("__r").orderBy(col("__h"), col("__id"))
-    val permed = base
+    val permed = guarded
       .select(col("__id"), col("__x"),
         explode(sequence(lit(0), lit(reps - 1))).alias("__r"))
       .withColumn("__h", ScaleDedup.hash32(
@@ -2026,7 +2037,7 @@ object Stats {
       col("__sa").cast("double") / col("__na").cast("double")
     repDiffs.crossJoin(broadcast(tot))
       .agg(max("__na").alias("n_a"), max("__nb").alias("n_b"),
-        round(max(obs), 6).alias("diff_obs"),
+        round0(max(obs), 6).alias("diff_obs"),
         max(lit(reps.toLong)).alias("reps"),
         round((lit(1.0) + sum(when(abs(col("__d")) >= abs(obs), 1L)
             .otherwise(0L)).cast("double")) / lit((reps + 1).toDouble), 6)
@@ -2041,7 +2052,11 @@ object Stats {
     * Bland–Altman bias and 95% limits of agreement (d̄ ± 1.96·s_d).
     * The "do two measurement channels agree" readout for migrations:
     * old pipeline vs new pipeline emitting the same metric. One paired
-    * pass of DECIMAL moments (sample variances), pinned z literal; a
+    * pass of DECIMAL moments; CCC uses POPULATION (1/n) moments per
+    * Lin (1989) — the squared-bias term in the denominator is unscaled,
+    * so the ratio is NOT invariant to the 1/n vs 1/(n−1) choice and the
+    * population form is the definition; the Bland–Altman limits keep
+    * the conventional SAMPLE sd of the differences. Pinned z literal; a
     * degenerate zero denominator pins CCC to NULL. */
   def methodAgreement(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val base = df.filter(xCol.isNotNull && yCol.isNotNull)
@@ -2055,18 +2070,18 @@ object Stats {
     val n = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val mx = d("__sx") / n; val my = d("__sy") / n
-    val vx = (d("__sxx") - n * mx * mx) / (n - lit(1.0))
-    val vy = (d("__syy") - n * my * my) / (n - lit(1.0))
-    val cxy = (d("__sxy") - n * mx * my) / (n - lit(1.0))
-    val den = vx + vy + (mx - my) * (mx - my)
+    val vxp = d("__sxx") / n - mx * mx
+    val vyp = d("__syy") / n - my * my
+    val cxyp = d("__sxy") / n - mx * my
+    val den = vxp + vyp + (mx - my) * (mx - my)
     val bias = mx - my
-    val sd = sqrt(vx + vy - lit(2.0) * cxy)
+    val sd = sqrt((vxp + vyp - lit(2.0) * cxyp) * n / (n - lit(1.0)))
     m.select(col("n"),
       when(den === 0.0, lit(null).cast("double"))
-        .otherwise(round(lit(2.0) * cxy / den, 6)).alias("ccc"),
-      round(bias, 6).alias("bias"),
-      round(bias - lit(1.9599639845400545) * sd, 6).alias("loa_lo"),
-      round(bias + lit(1.9599639845400545) * sd, 6).alias("loa_hi"))
+        .otherwise(round0(lit(2.0) * cxyp / den, 6)).alias("ccc"),
+      round0(bias, 6).alias("bias"),
+      round0(bias - lit(1.9599639845400545) * sd, 6).alias("loa_lo"),
+      round0(bias + lit(1.9599639845400545) * sd, 6).alias("loa_hi"))
   }
 
   /** Two-group log-rank test — the comparison companion to
@@ -2260,8 +2275,8 @@ object Stats {
     val varxn = n * d("__sxx") - d("__sx") * d("__sx")
     val varyn = n * d("__syy") - d("__sy") * d("__sy")
     m.select(col("n_sizes"),
-      round(covn / varxn, 6).alias("hurst"),
-      round(covn * covn / (varxn * varyn), 6).alias("r2"))
+      round0(covn / varxn, 6).alias("hurst"),
+      round0(covn * covn / (varxn * varyn), 6).alias("r2"))
   }
 
   /** Mantel–Haenszel pooled odds ratio — the binary-outcome member of
@@ -2401,10 +2416,10 @@ object Stats {
     val vr = v("__qr", "__sr")
     m.select(col("n_days"),
       when(vt === 0.0, lit(null).cast("double"))
-        .otherwise(round(greatest(lit(0.0), lit(1.0) - vr / vt), 6))
+        .otherwise(round0(greatest(lit(0.0), lit(1.0) - vr / vt), 6))
         .alias("trend_strength"),
       when(vs === 0.0, lit(null).cast("double"))
-        .otherwise(round(greatest(lit(0.0), lit(1.0) - vr / vs), 6))
+        .otherwise(round0(greatest(lit(0.0), lit(1.0) - vr / vs), 6))
         .alias("seasonal_strength"))
   }
 
@@ -2565,7 +2580,7 @@ object Stats {
         (col("__n") - col("__i")).cast("long").alias("n_after"),
         round(m1, 6).alias("mean_before"),
         round(m2, 6).alias("mean_after"),
-        round(gain, 6).alias("gain"))
+        round0(gain, 6).alias("gain"))
       .orderBy(desc("gain"), col("split_day"))
       .limit(1)
   }

@@ -1088,9 +1088,9 @@ object TextAnalysis {
     val varyn = n * d("__syy") - d("__sy") * d("__sy")
     val beta = covn / varxn
     m.select(col("n_checkpoints"),
-      round(beta, 6).alias("beta"),
-      round(exp((d("__sy") - beta * d("__sx")) / n), 6).alias("k_coef"),
-      round(covn * covn / (varxn * varyn), 6).alias("r2"))
+      round0(beta, 6).alias("beta"),
+      round0(exp((d("__sy") - beta * d("__sx")) / n), 6).alias("k_coef"),
+      round0(covn * covn / (varxn * varyn), 6).alias("r2"))
   }
 
   /** Windowed token co-occurrence with GloVe's 1/d distance weighting:
@@ -1104,7 +1104,7 @@ object TextAnalysis {
     * exact 1/d doubles DECIMAL-summed, ties broken (weight DESC, w1,
     * w2). */
   def cooccurrence(df: DataFrame, textCol: String, window: Int = 4,
-                   topN: Int = 50): DataFrame = {
+                   topN: Int = 50, maxPairs: Long = 200000000L): DataFrame = {
     require(window >= 1 && window <= 16,
       s"cooccurrence: need 1 <= window <= 16, got $window")
     val toks = filter(split(col(textCol), " "), x => x =!= "")
@@ -1113,9 +1113,21 @@ object TextAnalysis {
         struct(element_at(toks, i).alias("w1"),
           element_at(toks, i + d).alias("w2"),
           d.alias("d")))))
+    // maxBucket/maxCell stance for the ×window fan-out: the pair volume
+    // (≤ window × Σ tokens) is data-dependent, so the static window cap
+    // alone can't stop a 100 TB caller from fanning the scan stage into
+    // the trillions. One row-local token-count pre-pass (text never
+    // shuffles; the aggregate is a single long) guards BEFORE the explode.
+    val nTok = df.filter(col(textCol).isNotNull)
+      .agg(sum(size(toks).cast("long")).alias("__ntok"))
     df.filter(col(textCol).isNotNull)
       .filter(size(toks) >= 2)
-      .select(explode(pairs).alias("p"))
+      .crossJoin(broadcast(nTok))
+      .select(explode(when(col("__ntok") * lit(window.toLong) > maxPairs,
+        raise_error(lit(s"cooccurrence: window * total tokens exceeds " +
+          s"$maxPairs pair rows — lower window, pre-filter the corpus, " +
+          "or raise maxPairs")))
+        .otherwise(pairs)).alias("p"))
       .select(col("p.w1"), col("p.w2"),
         (lit(1.0) / col("p.d").cast("double")).alias("__w"))
       .groupBy("w1", "w2")

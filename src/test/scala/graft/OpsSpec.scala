@@ -2456,6 +2456,13 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val adj = TextAnalysis.cooccurrence(df, "text", window = 1, topN = 10)
       .collect()
     assert(adj.length == 2)
+    // pair-budget guard fires loudly instead of fanning the scan stage:
+    // 3 tokens × window 2 = 6 > maxPairs 5
+    val boom = intercept[Exception] {
+      TextAnalysis.cooccurrence(df, "text", window = 2, topN = 10,
+        maxPairs = 5L).collect()
+    }
+    assert(boom.getMessage.contains("total tokens exceeds"))
   }
 
   test("quantizationReport: exact grid points survive, off-grid errs") {

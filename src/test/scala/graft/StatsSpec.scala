@@ -868,10 +868,11 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val s = Stats.methodAgreement(same, col("x"), col("y")).collect().head
     assert(s.getLong(0) == 4 && s.getDouble(1) == 1.0 && s.getDouble(2) == 0.0)
     assert(s.getDouble(3) == 0.0 && s.getDouble(4) == 0.0)
-    // y = x + 5: Pearson would say 1; CCC = 2v/(2v+25), bias −5, LoA ±0
+    // y = x + 5: Pearson would say 1; CCC = 2v/(2v+25) with POPULATION
+    // (1/n) variance per Lin (1989), bias −5, LoA ±0
     val shift = xs.map(v => (v, v + 5.0)).toDF("x", "y")
     val r = Stats.methodAgreement(shift, col("x"), col("y")).collect().head
-    val v = xs.map(a => (a - 2.5) * (a - 2.5)).sum / 3
+    val v = xs.map(a => (a - 2.5) * (a - 2.5)).sum / 4
     assert(math.abs(r.getDouble(1) - 2 * v / (2 * v + 25)) < 1e-6)
     assert(r.getDouble(2) == -5.0 && r.getDouble(3) == -5.0 &&
       r.getDouble(4) == -5.0)
@@ -1111,6 +1112,13 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val f = Stats.permutationTest(flat, "id", col("g") === 1, "v", reps = 99)
       .collect().head
     assert(f.getDouble(2) == 0.0 && f.getDouble(4) == 1.0)
+    // replicated-row budget guard fires loudly BEFORE the ×reps explode:
+    // 20 rows × 99 reps = 1980 > maxReplicated 1000
+    val boom = intercept[Exception] {
+      Stats.permutationTest(flat, "id", col("g") === 1, "v", reps = 99,
+        maxReplicated = 1000L).collect()
+    }
+    assert(boom.getMessage.contains("replicated rows"))
   }
 
   test("hbosTopK ranks the jointly-rare row first") {

@@ -23,6 +23,12 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # The driver's compare hashes VALUES AT BIT LEVEL, where +0.0 and
+        # -0.0 differ even though Python's == calls them equal. Surface
+        # signed zero as a distinct token so this replica catches the
+        # round(-tiny) class the same way the driver does.
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            return "-0.0"
         return v
     return v
 
