@@ -24,6 +24,12 @@ object Bench {
     "q8_quality" -> "q_text_quality",
     "q9_lsh_pairs" -> "q_minhash_pairs",
     "q10_clusters" -> "q_dedup_clusters",
+    // q11/q12 (round 9): the flagship composites — the full fuzzy-dedup
+    // pipeline (LSH → exact-Jaccard verify → CC → canonical) and the
+    // multi-table warehouse rollup. Tracked so a regression in the
+    // END-TO-END paths can't hide behind stable per-operator numbers.
+    "q11_prep_fuzzy" -> "q_llm_prep_fuzzy",
+    "q12_warehouse" -> "q_warehouse_flagship",
   )
 
   def main(args: Array[String]): Unit = {

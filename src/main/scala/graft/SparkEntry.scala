@@ -5020,6 +5020,18 @@ object SparkEntry {
   private val FrStop = "('le','la','les','et','est','dans')"
   private val EsStop = "('el','los','las','es','en','una')"
 
+  /** ORACLE CONTRACT for degenerate inputs: ops that `raise_error` on a
+    * degenerate slice (e.g. runsTest one-sided, gumbelFit < 2 blocks,
+    * rocAuc single-class, brownForsythe zero spread, ivWald weak
+    * instrument) fail LOUDLY engine-side, while their DuckDB mirrors
+    * carry no equivalent guard — on degenerate data the two engines
+    * intentionally diverge (Spark error vs oracle NaN/Inf/NULL row).
+    * Those error paths are OUTSIDE the dual-engine hash contract: the
+    * contract covers the non-degenerate domain, the fixtures bind each
+    * query inside it, and each guard has its own spec proving it trips.
+    * Ops whose degenerate answer is representable (mcnemarTest,
+    * kruskalWallis, stlStrength, methodAgreement…) instead pin NULL
+    * identically on BOTH engines and stay inside the contract. */
   def oracleSql: Map[String, String] =
     baseOracleSql ++ graft.ops.Tpch.oracleSql
 

@@ -879,14 +879,25 @@ object Stats {
     * percentile-method interval at ranks floor(α/2·(reps−1))+1 and
     * ceil((1−α/2)·(reps−1))+1 of the sorted replicate means. */
   def bootstrapCI(df: DataFrame, idCol: String, valueCol: String,
-                  reps: Int = 100, alpha: Double = 0.05): DataFrame = {
+                  reps: Int = 100, alpha: Double = 0.05,
+                  maxReplicated: Long = 100000000L): DataFrame = {
     require(reps >= 20 && reps <= 1000,
       s"bootstrapCI: need 20 <= reps <= 1000, got $reps")
     require(alpha > 0 && alpha < 0.5,
       s"bootstrapCI: need 0 < alpha < 0.5, got $alpha")
-    val base = df.filter(col(valueCol).isNotNull)
+    val base0 = df.filter(col(valueCol).isNotNull)
       .select(col(idCol).cast("string").alias("__id"),
         col(valueCol).cast("double").alias("__x"))
+    // permutationTest's maxReplicated stance: the ×reps explode volume is
+    // data-dependent; guard BEFORE the fan-out so a 100 TB slice can't
+    // balloon a stage past the budget by accident.
+    val nRows = base0.agg(count(lit(1)).alias("__nrows"))
+    val base = base0.crossJoin(broadcast(nRows))
+      .select(when(col("__nrows") * lit(reps.toLong) > maxReplicated,
+        raise_error(lit(s"bootstrapCI: reps * rows exceeds " +
+          s"$maxReplicated replicated rows — lower reps, pre-aggregate " +
+          "the slice, or raise maxReplicated")))
+        .otherwise(col("__id")).alias("__id"), col("__x"))
     val u = ScaleDedup.hash32(
       concat_ws(":", col("__id"), col("__r").cast("string")), 0)
       .cast("double") / lit(4294967296.0)

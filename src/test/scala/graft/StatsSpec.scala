@@ -598,6 +598,12 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       reps = 100, alpha = 0.05).head()
     assert(a.getDouble(2) === c.getDouble(2) &&
       a.getDouble(3) === c.getDouble(3))
+    // replicated-row budget guard: 200 rows × 100 reps = 20000 > 10000
+    val boom = intercept[Exception] {
+      Stats.bootstrapCI(df, "id", "v", reps = 100, alpha = 0.05,
+        maxReplicated = 10000L).head()
+    }
+    assert(boom.getMessage.contains("replicated rows"))
   }
 
   test("seasonalIndex: flat series indexes 1.0 on every weekday") {
