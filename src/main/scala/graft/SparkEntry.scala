@@ -8897,7 +8897,7 @@ object SparkEntry {
         "round(quantile_cont(late, 0.99), 3) AS p99_lateness_ms FROM f"),
 
     "q_interval_union" ->
-      ("WITH b AS (SELECT l_suppkey AS k, epoch_ms(l_shipdate) AS s, " +
+      ("WITH b AS (SELECT DISTINCT l_suppkey AS k, epoch_ms(l_shipdate) AS s, " +
         "epoch_ms(l_shipdate) + 604800000 AS e FROM lineitem " +
         "WHERE l_shipdate IS NOT NULL), " +
         "g AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e " +

@@ -360,7 +360,16 @@ object Sessionize {
     * sum, aggregate each chain to its span. Both windows are
     * key-partitioned over the INTERVAL table (aggregated or
     * dimension-sized upstream), never raw events. Inputs are epoch
-    * millis; `start > end` rows are rejected loudly. */
+    * millis; `start > end` rows are rejected loudly. Duplicate
+    * (key, start, end) rows are DEDUPLICATED before the sweep: a
+    * duplicate interval never changes the union, dedup shrinks the
+    * window input, and — decisive for the dual-engine contract — it
+    * removes every ORDER BY (s, e) tie, the round-9 sf0.1 sweep's
+    * finding: with ties, an engine that evaluates the max-end frame
+    * and the chain-id sum in SEPARATE window passes (DuckDB) can order
+    * the tied rows differently per pass and leak a tied row into the
+    * previous chain, flipping covered_ms run-to-run. Tie-free input
+    * makes the sweep order-unique on both engines. */
   def intervalUnion(df: DataFrame, keyCol: String, startMs: Column,
                     endMs: Column): DataFrame = {
     val base = df.select(col(keyCol).alias("__k"),
@@ -370,6 +379,7 @@ object Sessionize {
         when(col("__s") > col("__e"),
           raise_error(lit("intervalUnion: start > end")))
           .otherwise(col("__e")).alias("__e"))
+      .distinct()
     val ord = Window.partitionBy("__k").orderBy(col("__s"), col("__e"))
     val prevMax = ord.rowsBetween(Window.unboundedPreceding, -1)
     val grouped = base
