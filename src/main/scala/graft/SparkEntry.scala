@@ -897,6 +897,26 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.25))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // mix: DSIR importance weights (Xie et al. 2023) — hashed
+    // unigram+bigram log-likelihood ratio of each raw doc against the
+    // eval-style target slice (doc_id % 37, the decontamination
+    // convention). Bucket counts collapse to 64 rows, the log-ratio
+    // table broadcasts, text never shuffles.
+    "q_dsir_weights" -> ((s, d) =>
+      Mix.dsirImportance(Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 37 === 0, buckets = 64)
+        .orderBy("doc_id")),
+
+    // mix: DSIR top-slice selection — the resampling step as a
+    // deterministic top-k (weight desc, doc_id tie-break), which
+    // compiles to TakeOrderedAndProject (per-task heaps, no global
+    // sort at any corpus size).
+    "q_dsir_select" -> ((s, d) =>
+      Mix.dsirImportance(Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 37 === 0, buckets = 64)
+        .orderBy(desc("weight"), col("doc_id")).limit(500)
+        .select("doc_id", "weight").orderBy("doc_id")),
+
     // text: document token-length histogram — the sequence-length
     // distribution a dataset card publishes (and the input to choosing a
     // packing budget). Width-20 buckets, one narrow pass + one tiny agg.
@@ -4827,6 +4847,26 @@ object SparkEntry {
 
   private def mhPairsCtes: String = mhPairsCtesOver("documents")
 
+  /** Shared DuckDB CTE chain mirroring Mix.dsirImportance (64 buckets,
+    * target = doc_id % 37): yields `hb` (doc_id, is_t, b) — the hashed
+    * unigram+bigram feature multiset — and `lw` (b, lw) — the 9-dp
+    * add-one-smoothed log-likelihood-ratio table. range(0, len(w)-1) is
+    * empty for single-token docs, so no bigram guard is needed (the
+    * Spark side guards because sequence() descends for start > stop). */
+  private def dsirCtes: String =
+    "WITH tok AS (SELECT doc_id, (doc_id % 37 = 0) AS is_t, " +
+      "string_split(text, ' ') AS w FROM documents), " +
+      "feats AS (SELECT doc_id, is_t, unnest(list_concat(w, " +
+      "list_transform(range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2]))) AS f " +
+      "FROM tok), " +
+      "hb AS (SELECT doc_id, is_t, " +
+      "('0x' || substr(md5(f || '#0'), 1, 8))::BIGINT % 64 AS b FROM feats), " +
+      "bc AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc, " +
+      "sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS sc FROM hb GROUP BY b), " +
+      "tot AS (SELECT sum(tc) AS tt, sum(sc) AS st FROM bc), " +
+      "lw AS (SELECT b, round(ln((tc + 1.0) / (tt + 64.0)) - " +
+      "ln((sc + 1.0) / (st + 64.0)), 9) AS lw FROM bc, tot)"
+
   /** DuckDB mirror of q_dedup_clusters: the capped band join as the edge
     * set over the FULL corpus, then recursive min-label propagation. */
   private def dedupClustersOracle: String =
@@ -5657,6 +5697,18 @@ object SparkEntry {
         "WHERE ('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT " +
         "< (CASE WHEN source = 'src1' THEN 0.25 WHEN source = 'src0' THEN 0.5 ELSE 1.0 END) * 4294967296.0 " +
         "ORDER BY doc_id"),
+
+    "q_dsir_weights" ->
+      (dsirCtes + " SELECT doc_id, count(*) AS n_feats, " +
+        "round(CAST(sum(CAST(lw AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0 AS weight " +
+        "FROM hb JOIN lw USING (b) WHERE NOT is_t GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_dsir_select" ->
+      (dsirCtes + ", dw AS (SELECT doc_id, " +
+        "round(CAST(sum(CAST(lw AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0 AS weight " +
+        "FROM hb JOIN lw USING (b) WHERE NOT is_t GROUP BY doc_id) " +
+        "SELECT doc_id, weight FROM " +
+        "(SELECT * FROM dw ORDER BY weight DESC, doc_id LIMIT 500) ORDER BY doc_id"),
 
     "q_doclen_histogram" ->
       ("SELECT CAST(floor(len(string_split(text, ' ')) / 20) * 20 AS BIGINT) AS bucket, " +

@@ -171,4 +171,62 @@ object Mix {
       .orderBy(desc("n_sampled"), col("token"))
       .limit(topN)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more likely
+    * its hashed-n-gram features are under a small TARGET corpus's
+    * feature distribution than under the raw SOURCE distribution, then
+    * keep the top slice. The published recipe exactly: features are word
+    * unigrams + bigrams hashed into `buckets` cells, both distributions
+    * are add-one-smoothed bucket frequencies, and a document's importance
+    * weight is Σ_f [ln p̂_target(b(f)) − ln p̂_source(b(f))] over its
+    * feature MULTISET (counts matter — repetition is signal here).
+    *
+    * Scale shape (the whole point of the hashed approximation): the
+    * feature explode is row-local; bucket counting is ONE map-side-
+    * combined shuffle that collapses to ≤ `buckets` rows; the log-ratio
+    * table is ≤ `buckets` rows and broadcasts; per-doc scoring is one
+    * map-side-combined (id, partial-sum) shuffle. Document text NEVER
+    * crosses the wire, and nothing anywhere is proportional to
+    * |target|×|source|.
+    *
+    * Determinism: per-bucket log-ratios round to 9 dp, the per-doc sum
+    * runs in DECIMAL(28,9) (exact, order-independent — the repo's
+    * exactSum law), and the readout is signed-zero-safe ([[round0]]).
+    * Returns (id, n_feats, weight) for SOURCE docs only; top-slice
+    * selection is `orderBy(desc("weight"), id).limit(k)` at the call
+    * site, which compiles to TakeOrderedAndProject (per-task k-row
+    * heaps, no global sort). */
+  def dsirImportance(df: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"dsirImportance: bad buckets=$buckets")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // bigrams via the shingles slice idiom; sequence(0, n-2) is only
+    // valid for n >= 2 (Spark descends for start > stop)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(0), n - lit(2)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val ex = df.select(col(idCol), isTarget.alias("__t"),
+        explode(concat(toks, bigrams)).alias("__f"))
+      .select(col(idCol), col("__t"),
+        pmod(ScaleDedup.hash32(col("__f"), 0), lit(buckets.toLong)).alias("__b"))
+    val bc = ex.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).alias("__tc"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).alias("__sc"))
+    val tot = bc.agg(sum("__tc").alias("__tt"), sum("__sc").alias("__st"))
+    val lw = bc.crossJoin(broadcast(tot)).select(col("__b"),
+      round(log((col("__tc") + lit(1)).cast("double") /
+            (col("__tt") + lit(buckets)).cast("double")) -
+            log((col("__sc") + lit(1)).cast("double") /
+            (col("__st") + lit(buckets)).cast("double")), 9).alias("__lw"))
+    ex.filter(!col("__t"))
+      .join(broadcast(lw), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_feats"),
+        round0(sum(col("__lw").cast("decimal(28,9)")).cast("double"), 6)
+          .alias("weight"))
+  }
 }

@@ -2444,6 +2444,55 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(a.getDouble(3) > 0.8 && a.getDouble(3) < 1.2)
   }
 
+  test("dsirImportance matches brute-force LLR and ranks target-like docs first") {
+    import spark.implicits._
+    // target slice (ids 0, 37): "alpha"-heavy; source docs 1-6 split
+    // between alpha-like (target vocabulary) and zulu-like (disjoint)
+    val docs = Seq(
+      (0L, "alpha beta alpha beta"), (37L, "alpha beta gamma"),
+      (1L, "alpha beta alpha"), (2L, "alpha beta gamma beta"),
+      (3L, "zulu yankee xray"), (4L, "zulu yankee zulu yankee"),
+      (5L, "alpha"), (6L, "zulu")).toDF("doc_id", "text")
+    val got = Mix.dsirImportance(docs, "doc_id", "text",
+      col("doc_id") % 37 === 0, buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // target docs are scored out; every source doc is scored
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // feature multiset = unigrams + bigrams = 2n-1
+    assert(got(1L)._1 == 5L && got(5L)._1 == 1L)
+    // brute-force the published formula for doc 1: hashed buckets,
+    // add-one smoothing, 9-dp-rounded per-bucket LLR, summed
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest((s + "#0").getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString, 16)
+    def feats(t: String): Seq[Long] = {
+      val w = t.split(" ", -1).toSeq
+      (w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(f => h32(f) % 64)
+    }
+    val all = Seq(0L -> "alpha beta alpha beta", 37L -> "alpha beta gamma",
+      1L -> "alpha beta alpha", 2L -> "alpha beta gamma beta",
+      3L -> "zulu yankee xray", 4L -> "zulu yankee zulu yankee",
+      5L -> "alpha", 6L -> "zulu")
+    val tf = all.filter(_._1 % 37 == 0).flatMap(d => feats(d._2))
+    val sf = all.filterNot(_._1 % 37 == 0).flatMap(d => feats(d._2))
+    val (tt, st) = (tf.size.toDouble, sf.size.toDouble)
+    def lw(b: Long): BigDecimal = BigDecimal(
+      math.log((tf.count(_ == b) + 1.0) / (tt + 64.0)) -
+        math.log((sf.count(_ == b) + 1.0) / (st + 64.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want1 = feats("alpha beta alpha").map(lw).sum.toDouble
+    assert(math.abs(got(1L)._2 - BigDecimal(want1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // target-vocabulary docs outrank disjoint-vocabulary docs
+    assert(Seq(1L, 2L).map(got(_)._2).min > Seq(3L, 4L, 6L).map(got(_)._2).max)
+    val boom = intercept[IllegalArgumentException] {
+      Mix.dsirImportance(docs, "doc_id", "text", col("doc_id") === 0, buckets = 1)
+    }
+    assert(boom.getMessage.contains("bad buckets"))
+  }
+
   test("cooccurrence: 1/d weights within the window, adjacency first") {
     import spark.implicits._
     val df = Seq("a b c").toDF("text")
