@@ -3680,6 +3680,20 @@ object SparkEntry {
       graft.ops.Stats.classifierMetrics(Tables.events(s, d),
         col("event_type") === "purchase", "value")),
 
+    // Trained quality classifier (Stats.logisticFit2): 3 unrolled
+    // Newton steps of two-feature logistic regression — is-English vs
+    // (ln(1+tokens), chars-per-token) — the GPT-3-style "fit a
+    // classifier against a reference slice" training step beside the
+    // counting Naive Bayes. Each step is one 10-number moment shuffle;
+    // the corpus never moves.
+    "q_logistic_quality" -> ((s, d) => {
+      val nTok = size(split(col("text"), " ")).cast("double")
+      graft.ops.Stats.logisticFit2(Tables.documents(s, d),
+        (col("lang") === "en").cast("double"),
+        round(log(lit(1.0) + nTok), 9),
+        round(col("n_chars").cast("double") / nTok, 9))
+    }),
+
     // Information-gain feature ranking (Stats.infoGain): hour-of-day,
     // ISO weekday, and value band against purchase incidence.
     "q_info_gain" -> ((s, d) =>
@@ -4846,6 +4860,59 @@ object SparkEntry {
       "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
 
   private def mhPairsCtes: String = mhPairsCtesOver("documents")
+
+  /** DuckDB mirror of q_logistic_quality (Stats.logisticFit2, 3 Newton
+    * steps): each step is a p-projection CTE over the feature table ×
+    * the previous one-row β, a DECIMAL(38,12) moment CTE, and a Cramer
+    * 3×3 update CTE rounding the new β to 9 dp — textually the same
+    * fixed parenthesization as the Spark side. */
+  private def logisticQualityOracle: String = {
+    def newtonStep(i: Int): String = {
+      val prev = if (i == 1) "b0t" else s"bb${i - 1}"
+      val det = "(h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) + " +
+        "h02 * (h01 * h12 - h11 * h02))"
+      s"p$i AS (SELECT f.y, f.x1, f.x2, b.b0, b.b1, b.b2, " +
+        "1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS p " +
+        s"FROM f, $prev b), " +
+        s"m$i AS (SELECT max(b0) AS pb0, max(b1) AS pb1, max(b2) AS pb2, " +
+        "CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0, " +
+        "CAST(sum(CAST((y - p) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1, " +
+        "CAST(sum(CAST((y - p) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2, " +
+        "CAST(sum(CAST(p * (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE) AS h00, " +
+        "CAST(sum(CAST(p * (1.0 - p) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS h01, " +
+        "CAST(sum(CAST(p * (1.0 - p) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS h02, " +
+        "CAST(sum(CAST(p * (1.0 - p) * x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS h11, " +
+        "CAST(sum(CAST(p * (1.0 - p) * x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS h12, " +
+        "CAST(sum(CAST(p * (1.0 - p) * x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS h22 " +
+        s"FROM p$i), " +
+        s"bb$i AS (SELECT " +
+        "round(pb0 + (g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2) + " +
+        s"h02 * (g1 * h12 - h11 * g2)) / $det, 9) AS b0, " +
+        "round(pb1 + (h00 * (g1 * h22 - h12 * g2) - g0 * (h01 * h22 - h12 * h02) + " +
+        s"h02 * (h01 * g2 - g1 * h02)) / $det, 9) AS b1, " +
+        "round(pb2 + (h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02) + " +
+        s"g0 * (h01 * h12 - h11 * h02)) / $det, 9) AS b2 " +
+        s"FROM m$i)"
+    }
+    "WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS x1, " +
+      "round(CAST(n_chars AS DOUBLE) / " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM documents), " +
+      "b0t AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2), " +
+      newtonStep(1) + ", " + newtonStep(2) + ", " + newtonStep(3) + ", " +
+      "fin AS (SELECT f.y, b.b0, b.b1, b.b2, " +
+      "1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS p " +
+      "FROM f, bb3 b), " +
+      "cl AS (SELECT y, b0, b1, b2, p, least(greatest(p, 1e-6), 1.0 - 1e-6) AS q " +
+      "FROM fin) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "round(max(b0), 6) + 0.0 AS b0, round(max(b1), 6) + 0.0 AS b1, " +
+      "round(max(b2), 6) + 0.0 AS b2, " +
+      "round(CAST(sum(CAST(-(y * ln(q) + (1.0 - y) * ln(1.0 - q)) " +
+      "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
+      "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
+      "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM cl"
+  }
 
   /** Shared DuckDB CTE chain mirroring Mix.dsirImportance (64 buckets,
     * target = doc_id % 37): yields `hb` (doc_id, is_t, b) — the hashed
@@ -8542,6 +8609,8 @@ object SparkEntry {
         "round(CAST(sum(CASE WHEN (p >= 0.5 AND y = 1) OR (p < 0.5 AND y = 0) " +
         "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc_at_half " +
         "FROM pc"),
+
+    "q_logistic_quality" -> logisticQualityOracle,
 
     "q_info_gain" -> infoGainOracle,
 

@@ -2799,4 +2799,94 @@ object Stats {
         .otherwise(round(diff * diff /
           (col("n01") + col("n10")).cast("double"), 6)).alias("chi2"))
   }
+
+  /** Two-feature logistic regression fit by `iters` unrolled
+    * Newton-Raphson steps — the GPT-3/PaLM-style TRAINED quality
+    * classifier ("fit a simple classifier against a reference slice,
+    * score the corpus by it") beside the counting Naive Bayes. Each step
+    * is ONE map-side-combined moment aggregation over the corpus — 3
+    * gradient + 6 Hessian terms and a count, each accumulated in
+    * DECIMAL(38,12) so the sums are exact under any partitioning — and
+    * the 3×3 Newton system solves in closed form (Cramer, fixed double
+    * parenthesization, olsFit2's stance); the updated β rounds to 9 dp
+    * and broadcasts back for the next pass. "Train on 100 TB in `iters`
+    * passes: ten numbers shuffle per pass, the corpus never moves." A
+    * final pass reads out 1e-6-clamped log loss and accuracy@0.5
+    * (classifierMetrics' pinned-clamp stance). Callers pass 9-dp-rounded
+    * features derived from exact integers so the per-row inputs are
+    * bit-identical on every engine. Degenerate designs (constant
+    * feature ⇒ singular Hessian) propagate Inf/NaN identically on both
+    * engines rather than raising — documented, not guarded, as the
+    * NULL-pinning ops do. Returns one row:
+    * (n, b0, b1, b2, log_loss, accuracy). */
+  def logisticFit2(df: DataFrame, y: Column, x1: Column, x2: Column,
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"logisticFit2: bad iters=$iters")
+    val base = df.select(y.cast("double").alias("__y"),
+        x1.cast("double").alias("__x1"), x2.cast("double").alias("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+    def pOf(b0: Column, b1: Column, b2: Column): Column =
+      lit(1.0) / (lit(1.0) +
+        exp(-(b0 + b1 * col("__x1") + b2 * col("__x2"))))
+    def step(beta: DataFrame): DataFrame = {
+      val t = base.crossJoin(broadcast(beta))
+      val p = pOf(col("__b0"), col("__b1"), col("__b2"))
+      val w = p * (lit(1.0) - p)
+      val r = col("__y") - p
+      val xx1 = col("__x1"); val xx2 = col("__x2")
+      val m = t.agg(
+        max(col("__b0")).alias("__pb0"), max(col("__b1")).alias("__pb1"),
+        max(col("__b2")).alias("__pb2"),
+        sum(r.cast("decimal(38,12)")).alias("__g0"),
+        sum((r * xx1).cast("decimal(38,12)")).alias("__g1"),
+        sum((r * xx2).cast("decimal(38,12)")).alias("__g2"),
+        sum(w.cast("decimal(38,12)")).alias("__h00"),
+        sum((w * xx1).cast("decimal(38,12)")).alias("__h01"),
+        sum((w * xx2).cast("decimal(38,12)")).alias("__h02"),
+        sum((w * xx1 * xx1).cast("decimal(38,12)")).alias("__h11"),
+        sum((w * xx1 * xx2).cast("decimal(38,12)")).alias("__h12"),
+        sum((w * xx2 * xx2).cast("decimal(38,12)")).alias("__h22"))
+      val g0 = col("__g0").cast("double"); val g1 = col("__g1").cast("double")
+      val g2 = col("__g2").cast("double")
+      val h00 = col("__h00").cast("double"); val h01 = col("__h01").cast("double")
+      val h02 = col("__h02").cast("double"); val h11 = col("__h11").cast("double")
+      val h12 = col("__h12").cast("double"); val h22 = col("__h22").cast("double")
+      val det = h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) +
+        h02 * (h01 * h12 - h11 * h02)
+      val d0 = g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2) +
+        h02 * (g1 * h12 - h11 * g2)
+      val d1 = h00 * (g1 * h22 - h12 * g2) - g0 * (h01 * h22 - h12 * h02) +
+        h02 * (h01 * g2 - g1 * h02)
+      val d2 = h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02) +
+        g0 * (h01 * h12 - h11 * h02)
+      m.select(
+        round(col("__pb0").cast("double") + d0 / det, 9).alias("__b0"),
+        round(col("__pb1").cast("double") + d1 / det, 9).alias("__b1"),
+        round(col("__pb2").cast("double") + d2 / det, 9).alias("__b2"))
+    }
+    val beta0 = df.sparkSession.range(1).select(lit(0.0).alias("__b0"),
+      lit(0.0).alias("__b1"), lit(0.0).alias("__b2"))
+    val betaF = (1 to iters).foldLeft(beta0)((b, _) => step(b))
+    val t = base.crossJoin(broadcast(betaF))
+    val p = pOf(col("__b0"), col("__b1"), col("__b2"))
+    val eps = lit(1e-6)
+    val pc = least(greatest(p, eps), lit(1.0) - eps)
+    val lossTerm = -(col("__y") * log(pc) +
+      (lit(1.0) - col("__y")) * log(lit(1.0) - pc))
+    t.agg(count(lit(1)).alias("n"),
+        max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
+        max(col("__b2")).alias("__fb2"),
+        sum(lossTerm.cast("decimal(28,12)")).alias("__loss"),
+        sum(when((p >= 0.5) === (col("__y") >= 0.5), 1L).otherwise(0L))
+          .alias("__ok"))
+      .select(col("n"),
+        round0(col("__fb0"), 6).alias("b0"),
+        round0(col("__fb1"), 6).alias("b1"),
+        round0(col("__fb2"), 6).alias("b2"),
+        round(col("__loss").cast("double") / col("n").cast("double"), 6)
+          .alias("log_loss"),
+        round(col("__ok").cast("double") / col("n").cast("double"), 6)
+          .alias("accuracy"))
+  }
 }

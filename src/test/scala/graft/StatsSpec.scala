@@ -1157,4 +1157,56 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .collect().head
     assert(c.isNullAt(4))
   }
+
+  test("logisticFit2 matches an independent Newton replay and separates") {
+    import spark.implicits._
+    // y flips with x1: x1 > 0 → mostly 1, x1 < 0 → mostly 0; x2 is noise
+    val rows = (0 until 40).map { i =>
+      val x1 = if (i < 20) -1.0 + 0.02 * i else 0.6 + 0.02 * (i - 20)
+      val y = if (i < 20) (if (i % 7 == 0) 1.0 else 0.0)
+              else (if (i % 9 == 0) 0.0 else 1.0)
+      (y, x1, 0.1 * (i % 5))
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val got = Stats.logisticFit2(df, col("y"), col("x1"), col("x2"), iters = 3)
+      .collect().head
+    // independent replay of the exact pipeline: 9-dp β rounds, double
+    // moments (exact here — sums are small), Cramer updates
+    var (b0, b1, b2) = (0.0, 0.0, 0.0)
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to 3) {
+      var (g0, g1, g2) = (0.0, 0.0, 0.0)
+      var (h00, h01, h02, h11, h12, h22) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+      for ((y, x1, x2) <- rows) {
+        val p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2)))
+        val w = p * (1.0 - p); val rr = y - p
+        g0 += rr; g1 += rr * x1; g2 += rr * x2
+        h00 += w; h01 += w * x1; h02 += w * x2
+        h11 += w * x1 * x1; h12 += w * x1 * x2; h22 += w * x2 * x2
+      }
+      val det = h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) +
+        h02 * (h01 * h12 - h11 * h02)
+      val d0 = g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2) +
+        h02 * (g1 * h12 - h11 * g2)
+      val d1 = h00 * (g1 * h22 - h12 * g2) - g0 * (h01 * h22 - h12 * h02) +
+        h02 * (h01 * g2 - g1 * h02)
+      val d2 = h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02) +
+        g0 * (h01 * h12 - h11 * h02)
+      b0 = r9(b0 + d0 / det); b1 = r9(b1 + d1 / det); b2 = r9(b2 + d2 / det)
+    }
+    // the DECIMAL(38,12) sums truncate each term at 12 dp, so allow that
+    // accumulation slack (40 terms × 0.5e-12, amplified through Cramer)
+    assert(math.abs(got.getDouble(1) - b0) < 1e-6)
+    assert(math.abs(got.getDouble(2) - b1) < 1e-6)
+    assert(math.abs(got.getDouble(3) - b2) < 1e-6)
+    // the separating feature earns a strongly positive coefficient and
+    // the fit beats chance on its own training set
+    assert(got.getDouble(2) > 1.0 || b1 > 1.0)
+    assert(got.getDouble(5) > 0.7)
+    assert(got.getDouble(4) > 0.0 && got.getDouble(4) < 0.693)
+    val boom = intercept[IllegalArgumentException] {
+      Stats.logisticFit2(df, col("y"), col("x1"), col("x2"), iters = 0)
+    }
+    assert(boom.getMessage.contains("bad iters"))
+  }
 }
