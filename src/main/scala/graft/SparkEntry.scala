@@ -3694,6 +3694,19 @@ object SparkEntry {
         round(col("n_chars").cast("double") / nTok, 9))
     }),
 
+    // The classifier's FILTERING step (Stats.logisticScore): train the
+    // same 3-step β, broadcast the one-row model, score every doc as a
+    // narrow projection on the scan — zero corpus shuffles end-to-end.
+    "q_quality_scores" -> ((s, d) => {
+      val nTok = size(split(col("text"), " ")).cast("double")
+      graft.ops.Stats.logisticScore(Tables.documents(s, d), col("doc_id"),
+        (col("lang") === "en").cast("double"),
+        round(log(lit(1.0) + nTok), 9),
+        round(col("n_chars").cast("double") / nTok, 9))
+        .select(col("id").alias("doc_id"), col("score"))
+        .orderBy("doc_id")
+    }),
+
     // Information-gain feature ranking (Stats.infoGain): hour-of-day,
     // ISO weekday, and value band against purchase incidence.
     "q_info_gain" -> ((s, d) =>
@@ -4861,12 +4874,13 @@ object SparkEntry {
 
   private def mhPairsCtes: String = mhPairsCtesOver("documents")
 
-  /** DuckDB mirror of q_logistic_quality (Stats.logisticFit2, 3 Newton
-    * steps): each step is a p-projection CTE over the feature table ×
-    * the previous one-row β, a DECIMAL(38,12) moment CTE, and a Cramer
-    * 3×3 update CTE rounding the new β to 9 dp — textually the same
-    * fixed parenthesization as the Spark side. */
-  private def logisticQualityOracle: String = {
+  /** Shared DuckDB CTE chain mirroring Stats.logisticBeta (3 Newton
+    * steps over the documents feature table): yields `f` (doc_id, y,
+    * x1, x2) and `bb3` (the fitted one-row 9-dp β). Each step is a
+    * p-projection CTE over f × the previous one-row β, a DECIMAL(38,12)
+    * moment CTE, and a Cramer 3×3 update CTE — textually the same fixed
+    * parenthesization as the Spark side. */
+  private def logisticCtes: String = {
     def newtonStep(i: Int): String = {
       val prev = if (i == 1) "b0t" else s"bb${i - 1}"
       val det = "(h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) + " +
@@ -4894,12 +4908,17 @@ object SparkEntry {
         s"g0 * (h01 * h12 - h11 * h02)) / $det, 9) AS b2 " +
         s"FROM m$i)"
     }
-    "WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+    "WITH f AS (SELECT doc_id, " +
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
       "round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS x1, " +
       "round(CAST(n_chars AS DOUBLE) / " +
       "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM documents), " +
       "b0t AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2), " +
-      newtonStep(1) + ", " + newtonStep(2) + ", " + newtonStep(3) + ", " +
+      newtonStep(1) + ", " + newtonStep(2) + ", " + newtonStep(3)
+  }
+
+  private def logisticQualityOracle: String =
+    logisticCtes + ", " +
       "fin AS (SELECT f.y, b.b0, b.b1, b.b2, " +
       "1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS p " +
       "FROM f, bb3 b), " +
@@ -4912,7 +4931,12 @@ object SparkEntry {
       "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
       "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
       "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM cl"
-  }
+
+  private def qualityScoresOracle: String =
+    logisticCtes + " " +
+      "SELECT f.doc_id, round(1.0 / (1.0 + " +
+      "exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 6) AS score " +
+      "FROM f, bb3 b ORDER BY f.doc_id"
 
   /** Shared DuckDB CTE chain mirroring Mix.dsirImportance (64 buckets,
     * target = doc_id % 37): yields `hb` (doc_id, is_t, b) — the hashed
@@ -8611,6 +8635,8 @@ object SparkEntry {
         "FROM pc"),
 
     "q_logistic_quality" -> logisticQualityOracle,
+
+    "q_quality_scores" -> qualityScoresOracle,
 
     "q_info_gain" -> infoGainOracle,
 

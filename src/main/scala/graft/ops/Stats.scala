@@ -2826,12 +2826,43 @@ object Stats {
         x1.cast("double").alias("__x1"), x2.cast("double").alias("__x2"))
       .filter(col("__y").isNotNull && col("__x1").isNotNull &&
         col("__x2").isNotNull)
-    def pOf(b0: Column, b1: Column, b2: Column): Column =
-      lit(1.0) / (lit(1.0) +
-        exp(-(b0 + b1 * col("__x1") + b2 * col("__x2"))))
+    val betaF = logisticBeta(base, iters)
+    val t = base.crossJoin(broadcast(betaF))
+    val p = logisticP
+    val eps = lit(1e-6)
+    val pc = least(greatest(p, eps), lit(1.0) - eps)
+    val lossTerm = -(col("__y") * log(pc) +
+      (lit(1.0) - col("__y")) * log(lit(1.0) - pc))
+    t.agg(count(lit(1)).alias("n"),
+        max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
+        max(col("__b2")).alias("__fb2"),
+        sum(lossTerm.cast("decimal(28,12)")).alias("__loss"),
+        sum(when((p >= 0.5) === (col("__y") >= 0.5), 1L).otherwise(0L))
+          .alias("__ok"))
+      .select(col("n"),
+        round0(col("__fb0"), 6).alias("b0"),
+        round0(col("__fb1"), 6).alias("b1"),
+        round0(col("__fb2"), 6).alias("b2"),
+        round(col("__loss").cast("double") / col("n").cast("double"), 6)
+          .alias("log_loss"),
+        round(col("__ok").cast("double") / col("n").cast("double"), 6)
+          .alias("accuracy"))
+  }
+
+  /** σ(β·x) of the CURRENT row given the broadcast one-row β columns —
+    * the shared projection of [[logisticFit2]]/[[logisticScore]]. */
+  private def logisticP: Column =
+    lit(1.0) / (lit(1.0) +
+      exp(-(col("__b0") + col("__b1") * col("__x1") +
+        col("__b2") * col("__x2"))))
+
+  /** The fitted 9-dp β of [[logisticFit2]] as a one-row frame over a
+    * prepared (__y, __x1, __x2) base — the reusable model artifact both
+    * the fit readout and per-row scoring broadcast. */
+  private def logisticBeta(base: DataFrame, iters: Int): DataFrame = {
     def step(beta: DataFrame): DataFrame = {
       val t = base.crossJoin(broadcast(beta))
-      val p = pOf(col("__b0"), col("__b1"), col("__b2"))
+      val p = logisticP
       val w = p * (lit(1.0) - p)
       val r = col("__y") - p
       val xx1 = col("__x1"); val xx2 = col("__x2")
@@ -2865,28 +2896,25 @@ object Stats {
         round(col("__pb1").cast("double") + d1 / det, 9).alias("__b1"),
         round(col("__pb2").cast("double") + d2 / det, 9).alias("__b2"))
     }
-    val beta0 = df.sparkSession.range(1).select(lit(0.0).alias("__b0"),
+    val beta0 = base.sparkSession.range(1).select(lit(0.0).alias("__b0"),
       lit(0.0).alias("__b1"), lit(0.0).alias("__b2"))
-    val betaF = (1 to iters).foldLeft(beta0)((b, _) => step(b))
-    val t = base.crossJoin(broadcast(betaF))
-    val p = pOf(col("__b0"), col("__b1"), col("__b2"))
-    val eps = lit(1e-6)
-    val pc = least(greatest(p, eps), lit(1.0) - eps)
-    val lossTerm = -(col("__y") * log(pc) +
-      (lit(1.0) - col("__y")) * log(lit(1.0) - pc))
-    t.agg(count(lit(1)).alias("n"),
-        max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
-        max(col("__b2")).alias("__fb2"),
-        sum(lossTerm.cast("decimal(28,12)")).alias("__loss"),
-        sum(when((p >= 0.5) === (col("__y") >= 0.5), 1L).otherwise(0L))
-          .alias("__ok"))
-      .select(col("n"),
-        round0(col("__fb0"), 6).alias("b0"),
-        round0(col("__fb1"), 6).alias("b1"),
-        round0(col("__fb2"), 6).alias("b2"),
-        round(col("__loss").cast("double") / col("n").cast("double"), 6)
-          .alias("log_loss"),
-        round(col("__ok").cast("double") / col("n").cast("double"), 6)
-          .alias("accuracy"))
+    (1 to iters).foldLeft(beta0)((b, _) => step(b))
+  }
+
+  /** Score every row by the [[logisticFit2]] classifier — the FILTERING
+    * step of the classifier-based quality pipeline: train β on the same
+    * frame (`iters` moment passes), broadcast the one-row model, emit
+    * σ(β·x) per row as a narrow codegen'd projection on the scan. The
+    * corpus shuffles zero times end-to-end. Returns (id, score 6-dp);
+    * thresholding/top-slicing is the caller's knob. */
+  def logisticScore(df: DataFrame, id: Column, y: Column, x1: Column,
+                    x2: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"logisticScore: bad iters=$iters")
+    val base = df.select(id.alias("__id"), y.cast("double").alias("__y"),
+        x1.cast("double").alias("__x1"), x2.cast("double").alias("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+    base.crossJoin(broadcast(logisticBeta(base, iters)))
+      .select(col("__id").alias("id"), round(logisticP, 6).alias("score"))
   }
 }

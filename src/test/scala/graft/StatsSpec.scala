@@ -1208,5 +1208,18 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       Stats.logisticFit2(df, col("y"), col("x1"), col("x2"), iters = 0)
     }
     assert(boom.getMessage.contains("bad iters"))
+    // the filtering step: scores are per-row, in (0,1), and monotone in
+    // the separating feature (b1 > 0 ⇒ larger x1 ⇒ larger score at
+    // fixed x2 — compare rows 0 and 39, both with x2 = 0)
+    val ids = rows.zipWithIndex.map { case ((y, x1, x2), i) =>
+      (i.toLong, y, x1, x2) }.toDF("id", "y", "x1", "x2")
+    val sc = Stats.logisticScore(ids, col("id"), col("y"), col("x1"),
+        col("x2"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc.size == 40 && sc.values.forall(v => v > 0.0 && v < 1.0))
+    assert(sc(39L) > sc(0L))
+    // score equals σ(β·x) of the replayed fit at the shared rounding
+    val s0 = 1.0 / (1.0 + math.exp(-(b0 + b1 * -1.0 + b2 * 0.0)))
+    assert(math.abs(sc(0L) - s0) < 1e-5)
   }
 }
