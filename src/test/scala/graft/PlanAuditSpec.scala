@@ -349,4 +349,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assert(global.isEmpty,
       s"q_permutation_test plans a GLOBAL window:\n${global.headOption.getOrElse("")}")
   }
+
+  test("q_dsir_weights: DSIR shuffles hashed buckets and id partials, never text") {
+    assertTextNeverShuffles("q_dsir_weights")
+    assertNoQuadraticJoin("q_dsir_weights")
+    // the log-ratio table joins in as a BROADCAST build, not a shuffle
+    val plan = run("q_dsir_weights")
+    val bhj = collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"q_dsir_weights lost its broadcast LLR join:\n$plan")
+  }
+
+  test("q_quality_scores: classifier scoring never shuffles the corpus") {
+    // training aggregations reduce map-side; scoring is a projection on
+    // the scan joined to a broadcast one-row model — the only exchanges
+    // in the plan must be single-row aggregate or result-sort exchanges,
+    // never a hash repartition of corpus rows carrying text
+    assertTextNeverShuffles("q_quality_scores")
+  }
 }
