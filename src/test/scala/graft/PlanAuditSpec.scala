@@ -359,6 +359,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assert(bhj.nonEmpty, s"q_dsir_weights lost its broadcast LLR join:\n$plan")
   }
 
+  test("q_dsir_select: top-slice selection plans TakeOrdered, never a global sort") {
+    val plan = run("q_dsir_select")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"q_dsir_select lost its TakeOrderedAndProject:\n$plan")
+  }
+
   test("q_quality_scores: classifier scoring never shuffles the corpus") {
     // training aggregations reduce map-side; scoring is a projection on
     // the scan joined to a broadcast one-row model — the only exchanges
