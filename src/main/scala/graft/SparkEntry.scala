@@ -3262,9 +3262,8 @@ object SparkEntry {
       val t = split(col("text"), " ")
       val big = Tables.documents(s, d).filter(size(t) >= 2)
         .select(col("doc_id"),
-          array_join(transform(sequence(lit(1), size(t) - 1),
-            i => concat(element_at(t, i), lit("_"), element_at(t, i + 1))),
-            " ").alias("text"))
+          array_join(graft.ops.ScaleDedup.wordBigrams(t, "_"), " ")
+            .alias("text"))
       graft.ops.TextAnalysis.heapsLaw(big, "doc_id", "text")
     }),
 
@@ -4912,7 +4911,12 @@ object SparkEntry {
       "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
       "round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS x1, " +
       "round(CAST(n_chars AS DOUBLE) / " +
-      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM documents), " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM documents " +
+      // mirror the engine's null-feature drop (logisticFit2 filters rows
+      // where y/x1/x2 is NULL): NULL lang nulls y, NULL text nulls x1,
+      // NULL n_chars (or text) nulls x2 — without this the oracle would
+      // keep NULL-lang docs as y=0 training rows
+      "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL), " +
       "b0t AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2), " +
       newtonStep(1) + ", " + newtonStep(2) + ", " + newtonStep(3)
   }

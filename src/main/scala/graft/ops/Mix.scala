@@ -202,15 +202,8 @@ object Mix {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"dsirImportance: bad buckets=$buckets")
     val toks = split(col(textCol), " ")
-    val n = size(toks)
-    // bigrams via the shingles slice idiom; sequence(0, n-2) is only
-    // valid for n >= 2 (Spark descends for start > stop)
-    val bigrams = when(n >= 2,
-      transform(sequence(lit(0), n - lit(2)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
     val ex = df.select(col(idCol), isTarget.alias("__t"),
-        explode(concat(toks, bigrams)).alias("__f"))
+        explode(concat(toks, ScaleDedup.wordBigrams(toks, " "))).alias("__f"))
       .select(col(idCol), col("__t"),
         pmod(ScaleDedup.hash32(col("__f"), 0), lit(buckets.toLong)).alias("__b"))
     val bc = ex.groupBy("__b").agg(

@@ -33,6 +33,21 @@ object ScaleDedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Word bigrams of a token array as an array expression — one
+    * `sep`-joined string per adjacent pair, EMPTY for single-token
+    * inputs (the `n >= 2` guard is load-bearing: Spark's `sequence()`
+    * DESCENDS when start > stop, so an unguarded `sequence(1, n-1)`
+    * would fabricate a reversed pair). Shared by heapsLaw's bigram
+    * binding ('_') and dsirImportance's feature set (' ') so the
+    * idiom — and its guard — lives once. */
+  def wordBigrams(toks: Column, sep: String): Column = {
+    val n = size(toks)
+    when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat_ws(sep, element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** One MinHash value: min over the token set of hash32(token, seed). */
   def minhash(tokens: Column, seed: Int): Column =
     array_min(transform(tokens, t => hash32(t, seed)))

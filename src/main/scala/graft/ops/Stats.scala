@@ -890,9 +890,14 @@ object Stats {
         col(valueCol).cast("double").alias("__x"))
     // permutationTest's maxReplicated stance: the ×reps explode volume is
     // data-dependent; guard BEFORE the fan-out so a 100 TB slice can't
-    // balloon a stage past the budget by accident.
-    val nRows = base0.agg(count(lit(1)).alias("__nrows"))
-    val base = base0.crossJoin(broadcast(nRows))
+    // balloon a stage past the budget by accident. ONE count+sum
+    // aggregate serves both the guard predicate and the final n/mean
+    // readout, and both consumers broadcast the SAME projection so
+    // exchange reuse evaluates it once — the slice is scanned twice
+    // total (this aggregate + the replicate fan-out), never three times.
+    val tot = base0.agg(count(lit(1)).alias("__nrows"),
+      sum(col("__x").cast("decimal(38,10)")).alias("__sx"))
+    val base = base0.crossJoin(broadcast(tot))
       .select(when(col("__nrows") * lit(reps.toLong) > maxReplicated,
         raise_error(lit(s"bootstrapCI: reps * rows exceeds " +
           s"$maxReplicated replicated rows — lower reps, pre-aggregate " +
@@ -928,10 +933,11 @@ object Stats {
     val ci = ranked.agg(
       round(min(when(col("__rk") === loIdx, col("__m"))), 6).alias("ci_lo"),
       round(min(when(col("__rk") === hiIdx, col("__m"))), 6).alias("ci_hi"))
-    val overall = base.agg(count(lit(1)).alias("n"),
-      round(sum(col("__x").cast("decimal(38,10)")).cast("double") /
-        count(lit(1)).cast("double"), 6).alias("mean"))
-    overall.crossJoin(ci)
+    ci.crossJoin(broadcast(tot))
+      .select(col("__nrows").alias("n"),
+        round(col("__sx").cast("double") /
+          col("__nrows").cast("double"), 6).alias("mean"),
+        col("ci_lo"), col("ci_hi"))
   }
 
   /** First-order partial correlation r_xy·z — the association between x

@@ -64,11 +64,21 @@ def read_dump(con, path):
 
 def spark_mode(dir_a, dir_b):
     con = duckdb.connect()
-    names = sorted(d for d in os.listdir(dir_a)
-                   if os.path.isdir(os.path.join(dir_a, d)))
+    # symmetric union of both runs' dump dirs: a query present in only
+    # one run (e.g. a partially-killed first dump) must FAIL, not be
+    # silently skipped — otherwise an incomplete run makes the gate
+    # vacuously pass for the missing queries
+    def dumps(d):
+        return {n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))}
+    names = sorted(dumps(dir_a) | dumps(dir_b))
     n_pass = n_fail = 0
     for name in names:
+        pa = os.path.join(dir_a, name)
         pb = os.path.join(dir_b, name)
+        if not os.path.isdir(pa):
+            print(f"FAIL {name}: missing in first run")
+            n_fail += 1
+            continue
         if not os.path.isdir(pb):
             print(f"FAIL {name}: missing in second run")
             n_fail += 1
