@@ -2194,6 +2194,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // similarity: grid-bucketed DBSCAN on the (dim0, dim1) projection —
+    // eps-grid candidate join (never all-pairs), cores at minPts=5,
+    // clusters = CC over core-core edges, borders adopt their min core
+    // neighbor, the rest is noise. The oracle brute-forces the eps graph.
+    "q_dbscan" -> ((s, d) =>
+      Similarity.dbscan2d(Tables.embeddings(s, d), "vec_id", "embedding",
+          eps = 0.02, minPts = 5)
+        .orderBy("vec_id")),
+
     // similarity: cluster-mix report — docs per k-means cell and each
     // cell's corpus share (the topic-balance dataset-card table; the
     // embedding-space analog of q_domain_mix's source shares). Training
@@ -4983,6 +4992,38 @@ object SparkEntry {
       "CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
       "FROM s GROUP BY cluster_size ORDER BY cluster_size"
 
+  /** DuckDB mirror of Similarity.dbscan2d (eps=0.02, minPts=5 on dims
+    * 0/1): the eps graph is brute-forced — the engine's grid-bucketed
+    * candidate join must reproduce it exactly — then cores, CC clusters
+    * (recursive CTE, min-id labels) and border adoption follow the same
+    * deterministic id-min rules. The eps² literal is the engine's own
+    * Scala double product, so the boundary predicate is bit-identical. */
+  private def dbscanOracle: String = {
+    val epsSq = 0.02 * 0.02
+    "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, " +
+      "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), " +
+      "nb AS (SELECT a.vec_id AS i, b.vec_id AS j FROM e a JOIN e b " +
+      "ON a.vec_id <> b.vec_id AND " +
+      s"(a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= $epsSq), " +
+      "deg AS (SELECT i, count(*) AS d FROM nb GROUP BY i), " +
+      "core AS (SELECT i AS id FROM deg WHERE d >= 4), " +
+      "ce AS (SELECT i AS id1, j AS id2 FROM nb WHERE i < j " +
+      "AND i IN (SELECT id FROM core) AND j IN (SELECT id FROM core)), " +
+      "edges AS (SELECT id1 AS src, id2 AS dst FROM ce " +
+      "UNION ALL SELECT id2, id1 FROM ce), " +
+      "cc AS (SELECT id, id AS label FROM core " +
+      "UNION SELECT e2.dst AS id, cc.label FROM cc JOIN edges e2 ON cc.id = e2.src), " +
+      "lab AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id), " +
+      "bord AS (SELECT nb.i AS id, min(lab.cluster) AS cluster FROM nb " +
+      "JOIN lab ON nb.j = lab.id WHERE nb.i NOT IN (SELECT id FROM core) " +
+      "GROUP BY nb.i) " +
+      "SELECT e.vec_id, CASE WHEN lab.id IS NOT NULL THEN 'core' " +
+      "WHEN bord.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role, " +
+      "CASE WHEN lab.id IS NOT NULL THEN lab.cluster ELSE bord.cluster END AS cluster " +
+      "FROM e LEFT JOIN lab ON e.vec_id = lab.id " +
+      "LEFT JOIN bord ON e.vec_id = bord.id ORDER BY e.vec_id"
+  }
+
   /** Planted-boilerplate text shared by the repetition-quality mirrors:
     * every third doc gets its first 40 chars appended twice as duplicate
     * "lines" (must match the Spark-side `dirty` construction exactly). */
@@ -7298,6 +7339,13 @@ object SparkEntry {
         "dr AS (SELECT DISTINCT id2 FROM pr) " +
         "SELECT af.vec_id, af.cell FROM af LEFT JOIN dr ON af.vec_id = dr.id2 " +
         "WHERE dr.id2 IS NULL ORDER BY af.vec_id"),
+
+    // Mirrors Similarity.dbscan2d: brute-force eps graph (the oracle may
+    // do all-pairs; the engine's grid join must produce the same graph),
+    // degree>=minPts-1 cores, recursive-CTE CC over core-core edges,
+    // borders adopt min core-neighbor label. eps^2 is interpolated from
+    // the SAME Scala double product the engine compares against.
+    "q_dbscan" -> dbscanOracle,
 
     // Mirrors TextAnalysis.naiveBayesScore: same Laplace llr shape and
     // DECIMAL(28,14) per-doc sums; pred is the 6-dp score's sign.

@@ -975,6 +975,83 @@ object Similarity {
     * break toward the smallest label. The self-evaluation here is the
     * resubstitution readout (how separable are the labels); scoring a
     * held-out set is the same plan with a different scan. */
+  /** Grid-bucketed DBSCAN over a 2-D projection of the embedding space
+    * (dims `dimX`/`dimY`) — the spatial fixed-radius density clustering a
+    * geo / sensor / page-layout pipeline runs (high-dimensional density
+    * pruning is served by [[semDedup]]'s within-cell pass). Classic
+    * ε-grid construction: each point lands in one ε-sized cell ("home")
+    * and is replicated to its 3×3 cell neighborhood ("probe");
+    * home ⋈ probe on the cell key yields every directed pair within ε
+    * exactly once (d ≤ ε forces |Δcell| ≤ 1 per axis, and a point's 9
+    * probe cells are distinct) — an equi-join shuffle on compact cell
+    * keys, never all-pairs. ε-degree ≥ minPts−1 (neighbors excluding
+    * self) marks cores; clusters are connected components over
+    * core–core edges ([[graft.ops.ScaleDedup.connectedComponents]],
+    * pointer-jumped with per-round checkpoints); a non-core point within
+    * ε of a core joins that core's cluster (min core-neighbor label —
+    * deterministic), everything else is noise with a NULL cluster. A
+    * dense cell would turn the candidate join quadratic, so per-cell
+    * counts are guarded by raise_error like [[semDedup]]'s maxCell — at
+    * 100 TB you shrink ε (finer cells) instead of silently running an
+    * n² stage. Determinism: the ε test compares the same IEEE
+    * expression ((Δx)²+(Δy)² vs the precomputed ε² literal) on both
+    * engines, and every readout is an id/label/count — no float leaves
+    * the operator. */
+  def dbscan2d(emb: DataFrame, idCol: String, vecCol: String,
+               eps: Double, minPts: Int,
+               dimX: Int = 0, dimY: Int = 1,
+               maxCell: Int = 4096): DataFrame = {
+    val epsSq = eps * eps
+    val pts = emb.select(col(idCol).alias("id"),
+        col(vecCol).getItem(dimX).cast("double").alias("x"),
+        col(vecCol).getItem(dimY).cast("double").alias("y"))
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+    // Lazy density guard (semDedup's maxCell idiom): fires on the
+    // executors only if some ε-cell would fan the candidate join out
+    // quadratically.
+    val counts = pts.groupBy("cx", "cy").agg(count(lit(1)).alias("__cn"))
+    val home = pts.join(broadcast(counts), Seq("cx", "cy"))
+      .select(col("id"), col("x"), col("y"), col("cy"),
+        when(col("__cn") > maxCell, raise_error(lit(
+          s"dbscan2d: an eps-cell exceeds maxCell=$maxCell points - shrink eps")))
+          .otherwise(col("cx")).alias("cx"))
+    val probe = pts
+      .select(col("id").alias("jid"), col("x").alias("jx"), col("y").alias("jy"),
+        explode(array((-1 to 1).map(d => col("cx") + d): _*)).alias("cx"),
+        col("cy"))
+      .select(col("jid"), col("jx"), col("jy"), col("cx"),
+        explode(array((-1 to 1).map(d => col("cy") + d): _*)).alias("cy"))
+    // Every directed ε-pair appears exactly once: the 9 probe cells of j
+    // are distinct and contain i's single home cell.
+    val nbrs = home.join(probe, Seq("cx", "cy"))
+      .filter(col("id") =!= col("jid"))
+      .filter((col("x") - col("jx")) * (col("x") - col("jx")) +
+        (col("y") - col("jy")) * (col("y") - col("jy")) <= lit(epsSq))
+      .select(col("id"), col("jid"))
+    val deg = nbrs.groupBy("id").agg(count(lit(1)).alias("__deg"))
+    val core = deg.filter(col("__deg") >= minPts - 1).select(col("id"))
+    val coreEdges = nbrs.filter(col("id") < col("jid"))
+      .join(core, Seq("id"), "left_semi")
+      .join(core.select(col("id").alias("jid")), Seq("jid"), "left_semi")
+      .select(col("id").alias("id1"), col("jid").alias("id2"))
+    val coreLab = ScaleDedup.connectedComponents(core, coreEdges)
+    val borderLab = nbrs
+      .join(core, Seq("id"), "left_anti")
+      .join(coreLab.select(col("id").alias("jid"), col("label")), Seq("jid"))
+      .groupBy("id").agg(min("label").alias("label"))
+    val labeled = coreLab.select(col("id"), lit("core").alias("role"),
+        col("label").alias("cluster"))
+      .unionByName(borderLab.select(col("id"), lit("border").alias("role"),
+        col("label").alias("cluster")))
+    val noise = pts.select(col("id"))
+      .join(labeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit("noise").alias("role"),
+        lit(null).cast("long").alias("cluster"))
+    labeled.unionByName(noise).select(col("id").alias(idCol),
+      col("role"), col("cluster"))
+  }
+
   def centroidClassify(emb: DataFrame, idCol: String, vecCol: String,
                        labelCol: String): DataFrame = {
     val e = emb.select(col(idCol).alias("__id"),

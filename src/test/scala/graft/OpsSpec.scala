@@ -500,6 +500,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     b.zip(meanB).foreach { case (x, m) => assert(math.abs(x - m) < 1e-6) }
   }
 
+  test("dbscan2d: known geometry yields core chain, border adoption, noise") {
+    // eps=1, minPts=3. Chain A (ids 1-4, spacing 0.5) is all core; id 5
+    // sits 0.9 from the chain's end with only one eps-neighbor → border
+    // adopting A's min-id cluster; triangle B (ids 6-8) is all core in its
+    // own cluster; id 9 is isolated noise. The chain spans several grid
+    // cells, so the 3x3 probe replication is exercised, not just same-cell
+    // pairs.
+    val pts = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.5, 0.0)), (3L, Array(1.0, 0.0)),
+      (4L, Array(1.5, 0.0)), (5L, Array(2.4, 0.0)),
+      (6L, Array(5.0, 5.0)), (7L, Array(5.5, 5.0)), (8L, Array(5.0, 5.5)),
+      (9L, Array(10.0, 10.0)))
+      .toDF("id", "v")
+    val got = Similarity.dbscan2d(pts, "id", "v", eps = 1.0, minPts = 3)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "core", 1L), (2L, "core", 1L), (3L, "core", 1L), (4L, "core", 1L),
+      (5L, "border", 1L),
+      (6L, "core", 6L), (7L, "core", 6L), (8L, "core", 6L),
+      (9L, "noise", -1L)))
+  }
+
+  test("dbscan2d: dense eps-cell trips the maxCell guard") {
+    val crowd = (1L to 10L).map(i => (i, Array(0.001 * i, 0.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Similarity.dbscan2d(crowd, "id", "v", eps = 1.0, minPts = 3,
+        maxCell = 4).collect()
+    }
+    assert(e.getMessage.contains("maxCell"))
+  }
+
   test("dimTradeoffRecall: informative prefixes recover the full ranking") {
     // all signal lives in dims 1-2; dims 3-4 are CONSTANT, so the 2-dim
     // prefix must reproduce the full-4 top-k exactly (recall 1), while a
