@@ -2194,6 +2194,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // similarity: Local Outlier Factor over the shared Lloyd cells —
+    // within-cell exact kNN (k=5, rounded-distance + id tie-break),
+    // reachability density, LOF readout. Surfaces OOD embeddings.
+    "q_lof" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).alias("v"))
+      val cents = Similarity.kmeansCentroids(base, "vec_id", "v",
+        nCells = 8, iters = 3, dim = 64).localCheckpoint()
+      Similarity.lof(base, "vec_id", "v", cents, k = 5)
+        .orderBy("vec_id")
+    }),
+
     // similarity: grid-bucketed DBSCAN on the (dim0, dim1) projection —
     // eps-grid candidate join (never all-pairs), cores at minPts=5,
     // clusters = CC over core-core edges, borders adopt their min core
@@ -4992,6 +5004,31 @@ object SparkEntry {
       "CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
       "FROM s GROUP BY cluster_size ORDER BY cluster_size"
 
+  /** DuckDB mirror of Similarity.lof (k=5 over the kmeansCtes cells):
+    * within-cell pair distances at 6 dp, kNN via row_number (d, j), k-dist
+    * per neighbor, DECIMAL(28,14) reach and lrd sums cast back to double,
+    * LOF = mean neighbor lrd / own lrd at 6 dp. Singleton cells surface
+    * nk=0 with NULL kdist/lrd/lof on both engines. */
+  private def lofOracle: String =
+    kmeansCtes + ", pr AS (SELECT a.vec_id AS i, b.vec_id AS j, " +
+      "round(sqrt(list_sum(list_transform(range(1, 65), " +
+      "ix -> (a.v[ix] - b.v[ix]) * (a.v[ix] - b.v[ix])))), 6) AS d " +
+      "FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id <> b.vec_id), " +
+      "knn AS (SELECT i, j, d FROM (SELECT pr.*, " +
+      "row_number() OVER (PARTITION BY i ORDER BY d, j) AS rn FROM pr) " +
+      "WHERE rn <= 5), " +
+      "kd AS (SELECT i AS ki, max(d) AS kd FROM knn GROUP BY i), " +
+      "lrd AS (SELECT knn.i, count(*) AS nk, round(CAST(count(*) AS DOUBLE) / " +
+      "CAST(sum(CAST(greatest(kd.kd, knn.d) AS DECIMAL(28,14))) AS DOUBLE), 9) AS lrd " +
+      "FROM knn JOIN kd ON knn.j = kd.ki GROUP BY knn.i), " +
+      "lo AS (SELECT knn.i, round(CAST(sum(CAST(l2.lrd AS DECIMAL(28,14))) AS DOUBLE) / " +
+      "(lrd.nk * lrd.lrd), 6) AS lof FROM knn JOIN lrd l2 ON knn.j = l2.i " +
+      "JOIN lrd ON knn.i = lrd.i GROUP BY knn.i, lrd.nk, lrd.lrd) " +
+      "SELECT af.vec_id, af.cell, coalesce(lrd.nk, 0) AS nk, kd.kd AS kdist, " +
+      "lrd.lrd, lo.lof FROM af LEFT JOIN lrd ON af.vec_id = lrd.i " +
+      "LEFT JOIN kd ON af.vec_id = kd.ki " +
+      "LEFT JOIN lo ON af.vec_id = lo.i ORDER BY af.vec_id"
+
   /** DuckDB mirror of Similarity.dbscan2d (eps=0.02, minPts=5 on dims
     * 0/1): the eps graph is brute-forced — the engine's grid-bucketed
     * candidate join must reproduce it exactly — then cores, CC clusters
@@ -7339,6 +7376,11 @@ object SparkEntry {
         "dr AS (SELECT DISTINCT id2 FROM pr) " +
         "SELECT af.vec_id, af.cell FROM af LEFT JOIN dr ON af.vec_id = dr.id2 " +
         "WHERE dr.id2 IS NULL ORDER BY af.vec_id"),
+
+    // Mirrors Similarity.lof over the shared 3-round Lloyd chain:
+    // within-cell pairs at 6-dp Euclidean distance, row_number kNN with
+    // (d, j) order, DECIMAL reach/lrd sums, 6-dp LOF readout.
+    "q_lof" -> lofOracle,
 
     // Mirrors Similarity.dbscan2d: brute-force eps graph (the oracle may
     // do all-pairs; the engine's grid join must produce the same graph),

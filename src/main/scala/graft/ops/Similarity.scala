@@ -975,6 +975,76 @@ object Similarity {
     * break toward the smallest label. The self-evaluation here is the
     * resubstitution readout (how separable are the labels); scoring a
     * held-out set is the same plan with a different scan. */
+  /** Local Outlier Factor with the kNN search confined to IVF cells —
+    * the embedding-space outlier score a data-quality pipeline runs to
+    * surface mis-embedded / out-of-distribution vectors before training.
+    * Same scale stance as [[semDedup]]: vectors are assigned to their
+    * nearest centroid ([[ivfAssign]], zero corpus exchanges), all pair
+    * math happens within a cell (equi-join on the cell key, maxCell
+    * raise_error guard on the quadratic degenerate), so 100 TB cost is
+    * Σ cell² bounded by maxCell·n, never n². Inside a cell: exact kNN
+    * by 6-dp-rounded Euclidean distance with id tie-break (deterministic
+    * across engines and shuffle orders), k-distance = the k-th rounded
+    * distance, reachability reach(i,j) = max(kdist(j), d(i,j)), local
+    * reachability density lrd(i) = |kNN(i)| / Σ reach (DECIMAL sum —
+    * exact, order-proof), and LOF(i) = mean lrd(neighbor) / lrd(i),
+    * rounded to 6 dp. Cells smaller than k+1 use every available
+    * neighbor (nk < k), and a singleton cell reports nk=0 with NULL
+    * kdist/lrd/lof — both conventions mirrored in the oracle. The
+    * cell-confined kNN is the standard practical approximation (exact
+    * global kNN would be the all-pairs this operator exists to avoid);
+    * raise nCells to tighten cells, not k. */
+  def lof(vectors: DataFrame, idCol: String, vecCol: String,
+          centroids: DataFrame, k: Int, maxCell: Int = 4096): DataFrame = {
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids)
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).alias("__cn"))
+    val guarded = assigned.join(broadcast(counts), Seq("cell"))
+      .select(col("cell"), col(idCol).alias("__id"),
+        when(col("__cn") > maxCell, raise_error(lit(
+          s"lof: a cell exceeds maxCell=$maxCell vectors - raise nCells")))
+          .otherwise(col("v")).alias("v"))
+    val a = guarded.select(col("cell"), col("__id").alias("i"),
+      col("v").alias("__vi"))
+    val b = guarded.select(col("cell"), col("__id").alias("j"),
+      col("v").alias("__vj"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(sqrt(sqDist(col("__vi"), col("__vj"))), 6).alias("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i").orderBy(col("d"), col("j"))
+    val knn = pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("i"), col("j"), col("d"))
+    val kd = knn.groupBy("i")
+      .agg(max("d").alias("kd"))
+      .select(col("i").alias("__kdi"), col("kd"))
+    val lrd = knn
+      .join(kd.select(col("__kdi").alias("j"), col("kd").alias("__kdj")), Seq("j"))
+      .select(col("i"), greatest(col("__kdj"), col("d")).alias("__reach"))
+      .groupBy("i")
+      .agg(count(lit(1)).alias("nk"),
+        sum(col("__reach").cast("decimal(28,14)")).cast("double").alias("__sr"))
+      .select(col("i"), col("nk"),
+        round(col("nk").cast("double") / col("__sr"), 9).alias("lrd"))
+    val lofScores = knn
+      .join(lrd.select(col("i").alias("j"), col("lrd").alias("__lrdj")), Seq("j"))
+      .groupBy("i")
+      .agg(sum(col("__lrdj").cast("decimal(28,14)")).cast("double").alias("__sl"))
+      .join(lrd, Seq("i"))
+      .select(col("i"),
+        round(col("__sl") / (col("nk") * col("lrd")), 6).alias("lof"))
+    assigned.select(col(idCol), col("cell"))
+      .join(lrd.select(col("i").alias(idCol), col("nk"), col("lrd")),
+        Seq(idCol), "left")
+      .join(kd.select(col("__kdi").alias(idCol), col("kd").alias("kdist")),
+        Seq(idCol), "left")
+      .join(lofScores.select(col("i").alias(idCol), col("lof")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cell"), coalesce(col("nk"), lit(0L)).alias("nk"),
+        col("kdist"), col("lrd"), col("lof"))
+  }
+
   /** Grid-bucketed DBSCAN over a 2-D projection of the embedding space
     * (dims `dimX`/`dimY`) — the spatial fixed-radius density clustering a
     * geo / sensor / page-layout pipeline runs (high-dimensional density

@@ -500,6 +500,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     b.zip(meanB).foreach { case (x, m) => assert(math.abs(x - m) < 1e-6) }
   }
 
+  test("lof: isolated point scores far above the dense cluster") {
+    // five points in a tight 0.1-side square + one at (2,2), one cell
+    // (single centroid), k=3: the outlier's reachability is ~20x the
+    // cluster's, so LOF(outlier) >> 1 while the cluster sits near 1.
+    val pts = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(0.1, 0.0)), (3L, Array(0.0, 0.1)),
+      (4L, Array(0.1, 0.1)), (5L, Array(0.05, 0.05)), (6L, Array(2.0, 2.0)))
+      .toDF("id", "v")
+    val cents = Seq((0L, Array(0.0, 0.0))).toDF("cid", "cv")
+    val got = Similarity.lof(pts, "id", "v", cents, k = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(5))).toSeq
+    assert(got.forall(_._2 == 3L))            // full kNN everywhere
+    val (inliers, outlier) = got.partition(_._1 != 6L)
+    assert(outlier.head._3 > 5.0, s"outlier LOF ${outlier.head._3}")
+    assert(inliers.forall(_._3 < 1.5), s"inlier LOFs $inliers")
+  }
+
   test("dbscan2d: known geometry yields core chain, border adoption, noise") {
     // eps=1, minPts=3. Chain A (ids 1-4, spacing 0.5) is all core; id 5
     // sits 0.9 from the chain's end with only one eps-neighbor → border

@@ -63,6 +63,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertNoQuadraticJoin("q_dbscan")
   }
 
+  test("q_lof: within-cell kNN is an equi-join, never all-pairs") {
+    assertNoQuadraticJoin("q_lof")
+  }
+
   test("q_llm_prep_fuzzy: full fuzzy-dedup flagship keeps text out of every shuffle") {
     assertTextNeverShuffles("q_llm_prep_fuzzy")
     assertNoQuadraticJoin("q_llm_prep_fuzzy")
