@@ -2711,6 +2711,21 @@ object SparkEntry {
         .select("user_id", "event_id", "ewma")
         .orderBy("user_id", "event_id")),
 
+    // time series: Bollinger bands — rolling mean ± 2sigma envelope with
+    // %B, exact-decimal rolling moments, tie-free (ts, event_id) frames.
+    "q_bollinger" -> ((s, d) =>
+      Sessionize.bollinger(Tables.events(s, d), "user_id", "ts", "value",
+          tieCol = "event_id")
+        .orderBy("user_id", "event_id")),
+
+    // time series: MACD momentum — fast/slow windowed EWMAs, signal line,
+    // histogram and bull/bear crossover flags on the ewmaTrailing
+    // convention (bounded frames, renormalized decay ladder).
+    "q_macd" -> ((s, d) =>
+      Sessionize.macd(Tables.events(s, d), "user_id", "ts", "value",
+          tieCol = "event_id")
+        .orderBy("user_id", "event_id")),
+
     // Linear-interpolation gap fill (Sessionize.interpolateLinear): the
     // hourly grid of q_gap_fill with interior points blended
     // time-proportionally between surrounding observations.
@@ -7738,6 +7753,10 @@ object SparkEntry {
 
     "q_ewma" -> ewmaOracle,
 
+    "q_bollinger" -> bollingerOracle,
+
+    "q_macd" -> macdOracle,
+
     "q_interpolate" ->
       ("WITH spans AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, " +
         "date_trunc('hour', max(ts)) AS t1 FROM events GROUP BY 1), " +
@@ -9734,6 +9753,68 @@ object SparkEntry {
       "FROM events WHERE value IS NOT NULL) " +
       s"SELECT user_id, event_id, round(($num) / ($den), 6) AS ewma " +
       "FROM f ORDER BY user_id, event_id"
+  }
+
+  /** Mirrors Sessionize.bollinger (n=20, k=2): same DECIMAL(18,6) rolling
+    * sums, population sigma clamped at 0, mean ± 2sigma bands and %B off
+    * the UNROUNDED mean/sigma, every readout round(x,6)+0.0. */
+  private def bollingerOracle: String =
+    "WITH x AS (SELECT user_id, event_id, value, count(*) OVER w AS c, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sm, " +
+      "CAST(sum(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2 " +
+      "FROM events WHERE value IS NOT NULL " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+      "y AS (SELECT user_id, event_id, value, c, sm / c AS mean, " +
+      "sqrt(greatest(s2 / c - (sm / c) * (sm / c), 0.0)) AS sd FROM x) " +
+      "SELECT user_id, event_id, value, CAST(c AS BIGINT) AS n_win, " +
+      "round(mean, 6) + 0.0 AS sma, round(sd, 6) + 0.0 AS sd, " +
+      "round(mean + 2.0 * sd, 6) + 0.0 AS upper, " +
+      "round(mean - 2.0 * sd, 6) + 0.0 AS lower, " +
+      "CASE WHEN sd > 0 THEN round((value - (mean - 2.0 * sd)) / " +
+      "((mean + 2.0 * sd) - (mean - 2.0 * sd)), 6) + 0.0 END AS pctb " +
+      "FROM y ORDER BY user_id, event_id"
+
+  /** Mirrors Sessionize.macd (spans 6/13/5, lookback 20): the engine's own
+    * ewmaWeights ladders interpolated as literals (identical IEEE doubles
+    * on both sides), two EWMA readouts off the reversed value frame, the
+    * signal EWMA off the reversed macd frame, +0.0 after every round
+    * (differences go negative → signed-zero class), crossovers via lag. */
+  private def macdOracle: String = {
+    def chain(r: String, weights: Array[Double]): (String, String) = {
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        s"(CASE WHEN len($r) > $j THEN $r[${j + 1}] * $wj ELSE 0.0 END)"
+      }.mkString(" + ")
+      val den = weights.zipWithIndex.map { case (wj, j) =>
+        s"(CASE WHEN len($r) > $j THEN $wj ELSE 0.0 END)"
+      }.mkString(" + ")
+      (num, den)
+    }
+    def decay(span: Int) = 1.0 - 2.0 / (span + 1.0)
+    val (nf, df) = chain("r", Sessionize.ewmaWeights(decay(6), 20))
+    val (ns, ds) = chain("r", Sessionize.ewmaWeights(decay(13), 20))
+    val (ng, dg) = chain("rm", Sessionize.ewmaWeights(decay(5), 20))
+    "WITH f AS (SELECT user_id, event_id, ts, value, " +
+      "list_reverse(list(value) OVER w) AS r FROM events " +
+      "WHERE value IS NOT NULL " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+      s"m AS (SELECT user_id, event_id, ts, value, " +
+      s"round(($nf) / ($df), 6) + 0.0 AS ema_fast, " +
+      s"round(($ns) / ($ds), 6) + 0.0 AS ema_slow FROM f), " +
+      "m2 AS (SELECT *, round(ema_fast - ema_slow, 6) + 0.0 AS macd FROM m), " +
+      "g AS (SELECT *, list_reverse(list(macd) OVER w2) AS rm FROM m2 " +
+      "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+      s"h AS (SELECT user_id, event_id, ts, value, ema_fast, ema_slow, macd, " +
+      s"round(($ng) / ($dg), 6) + 0.0 AS signal FROM g), " +
+      "h2 AS (SELECT *, round(macd - signal, 6) + 0.0 AS hist FROM h), " +
+      "h3 AS (SELECT *, lag(hist) OVER (PARTITION BY user_id " +
+      "ORDER BY ts, event_id) AS ph FROM h2) " +
+      "SELECT user_id, event_id, value, ema_fast, ema_slow, macd, signal, hist, " +
+      "CASE WHEN ph IS NOT NULL AND ph <= 0 AND hist > 0 THEN 'bull' " +
+      "WHEN ph IS NOT NULL AND ph >= 0 AND hist < 0 THEN 'bear' END AS cross_flag " +
+      "FROM h3 ORDER BY user_id, event_id"
   }
 
   /** Mirror of q_graph_bfs: 3 unrolled min-distance relaxation rounds

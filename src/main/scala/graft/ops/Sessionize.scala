@@ -157,6 +157,100 @@ object Sessionize {
       .drop("__ewma_r")
   }
 
+  /** Bollinger bands — the rolling mean ± k·σ envelope plus %B, the
+    * classic "how stretched is the latest observation" indicator (and
+    * the same machinery as a rolling z-score alert, read as a band).
+    * One key-partitioned window over the last `n` observations
+    * ((ts, tie) order — tie-free, so any shuffle order reproduces the
+    * same frames): count, an exact DECIMAL(18,6) sum and sum of
+    * squares, then mean = Σx/c, population σ² = Σx²/c − mean²
+    * (clamped at 0 against float cancellation), bands mean ± k·σ and
+    * %B = (x − lower)/(upper − lower) (NULL while σ = 0 — the
+    * flat-window warmup). All readouts are 6-dp round0 (values may be
+    * negative → signed-zero normalization). Single exchange on the
+    * key; per-row state is two decimals and a count, not the frame. */
+  def bollinger(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieCol: String,
+                n: Int = 20, k: Double = 2.0): DataFrame = {
+    require(n >= 2, s"bollinger: need n >= 2, got $n")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val cnt = count(lit(1)).over(w)
+    val sm = sum(col(valCol).cast("decimal(18,6)")).over(w).cast("double")
+    val s2 = sum((col(valCol) * col(valCol)).cast("decimal(18,6)"))
+      .over(w).cast("double")
+    val mean = sm / cnt
+    val sd = sqrt(greatest(s2 / cnt - mean * mean, lit(0.0)))
+    val upper = mean + lit(k) * sd
+    val lower = mean - lit(k) * sd
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(tieCol), col(valCol).alias("value"),
+        cnt.alias("n_win"),
+        round0(mean, 6).alias("sma"),
+        round0(sd, 6).alias("sd"),
+        round0(upper, 6).alias("upper"),
+        round0(lower, 6).alias("lower"),
+        when(sd > 0,
+          round0((col(valCol) - lower) / (upper - lower), 6)).alias("pctb"))
+  }
+
+  /** MACD — the fast-minus-slow EWMA momentum indicator with its signal
+    * line and crossover flags, on the [[ewmaTrailing]] windowed-EWMA
+    * convention (a `lookback`-deep ROWS frame with the decay ladder
+    * renormalized over the observations actually present — bounded
+    * per-row state, unlike the recursive textbook form, and exactly
+    * mirrorable in SQL). Spans convert to decays by the standard
+    * 1 − 2/(span+1). Three windows over the same tie-free (ts, tie)
+    * order (two on the value, one on the macd column), one key
+    * exchange. macd/signal/hist readouts are 6-dp round0 — macd is a
+    * difference, so negative-tiny rounding would otherwise emit
+    * engine-dependent signed zeros. `cross` flags a histogram sign
+    * change against the previous row: 'bull' (≤0 → >0), 'bear'
+    * (≥0 → <0), NULL otherwise or on each key's first row. */
+  def macd(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieCol: String, fastSpan: Int = 6, slowSpan: Int = 13,
+           signalSpan: Int = 5, lookback: Int = 20): DataFrame = {
+    require(fastSpan >= 1 && slowSpan > fastSpan,
+      s"macd: need 1 <= fastSpan < slowSpan, got $fastSpan/$slowSpan")
+    def decay(span: Int) = 1.0 - 2.0 / (span + 1.0)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    def ewmaOf(listCol: Column, dec: Double): Column = {
+      val weights = ewmaWeights(dec, lookback)
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        when(size(listCol) > j, element_at(listCol, j + 1) * lit(wj))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val den = weights.zipWithIndex.map { case (wj, j) =>
+        when(size(listCol) > j, lit(wj)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      round0(num / den, 6)
+    }
+    val withMacd = df.filter(col(valCol).isNotNull)
+      .withColumn("__r", reverse(collect_list(col(valCol).cast("double")).over(w)))
+      .withColumn("ema_fast", ewmaOf(col("__r"), decay(fastSpan)))
+      .withColumn("ema_slow", ewmaOf(col("__r"), decay(slowSpan)))
+      .withColumn("macd", round0(col("ema_fast") - col("ema_slow"), 6))
+      .drop("__r")
+    val ordW = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val out = withMacd
+      .withColumn("__rm", reverse(collect_list(col("macd"))
+        .over(ordW.rowsBetween(-(lookback - 1), Window.currentRow))))
+      .withColumn("signal", ewmaOf(col("__rm"), decay(signalSpan)))
+      .withColumn("hist", round0(col("macd") - col("signal"), 6))
+      .drop("__rm")
+    val prevHist = lag(col("hist"), 1).over(ordW)
+    out.select(col(keyCol), col(tieCol), col(valCol).alias("value"),
+      col("ema_fast"), col("ema_slow"), col("macd"), col("signal"),
+      col("hist"),
+      when(prevHist.isNotNull && prevHist <= 0 && col("hist") > 0, lit("bull"))
+        .when(prevHist.isNotNull && prevHist >= 0 && col("hist") < 0, lit("bear"))
+        .alias("cross_flag"))
+  }
+
   /** OHLC downsampling — the bar/candle resample every metrics and
     * market-data pipeline runs: per key and fixed time bucket, the
     * first/max/min/last observation plus count and an exact-decimal

@@ -1485,6 +1485,47 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       math.rint((30.0 + 0.5 * 20.0 + 0.25 * 10.0) / 1.75 * 1e6) / 1e6))
   }
 
+  test("bollinger: flat series pins sd=0 and NULL %B; a jump re-opens the band") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (1L, f"2024-01-01 00:0${i}:00", 10.0, i))
+      .toDF("k", "ts", "v", "id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Sessionize.bollinger(df, "k", "ts", "v", "id", n = 3, k = 2.0)
+      .orderBy("id").collect()
+    // constant window: sma=10, sd=0, bands collapse onto the mean, %B NULL
+    got.foreach { r =>
+      assert(r.getAs[Double]("sma") == 10.0 && r.getAs[Double]("sd") == 0.0)
+      assert(r.getAs[Double]("upper") == 10.0 && r.isNullAt(r.fieldIndex("pctb")))
+    }
+    val jump = (df.as[(Long, java.sql.Timestamp, Double, Long)].collect().toSeq :+
+      ((1L, java.sql.Timestamp.valueOf("2024-01-01 00:06:00"), 16.0, 6L)))
+      .toDF("k", "ts", "v", "id")
+    val last = Sessionize.bollinger(jump, "k", "ts", "v", "id", n = 3, k = 2.0)
+      .orderBy("id").collect().last
+    // window {10,10,16}: mean=12, sigma=sqrt(8); the jump row sits at the
+    // upper band → %B = (16-lower)/(4sigma)
+    val sd = math.sqrt(8.0)
+    assert(math.abs(last.getAs[Double]("sd") - math.rint(sd * 1e6) / 1e6) < 1e-9)
+    val pctb = (16.0 - (12.0 - 2 * sd)) / (4 * sd)
+    assert(math.abs(last.getAs[Double]("pctb") - math.rint(pctb * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("macd: ramp onset flips histogram positive and flags one bull cross") {
+    import spark.implicits._
+    // flat 10s then a steep ramp: fast EWMA overtakes slow → hist > 0,
+    // exactly one bull crossover at the onset, no bear cross anywhere
+    val vals = Seq.fill(6)(10.0) ++ (1 to 6).map(i => 10.0 + 5.0 * i)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, f"2024-01-01 00:${i}%02d:00", v, i.toLong)
+    }.toDF("k", "ts", "v", "id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Sessionize.macd(df, "k", "ts", "v", "id").orderBy("id").collect()
+    val crosses = got.flatMap(r => Option(r.getAs[String]("cross_flag"))).toSeq
+    assert(crosses == Seq("bull"), s"crosses $crosses")
+    assert(got.last.getAs[Double]("hist") > 0)
+    assert(got.take(6).forall(_.getAs[Double]("macd") == 0.0))
+  }
+
   test("interpolateLinear blends interior grid points, carries the tail flat") {
     import spark.implicits._
     // observations at 00:30 (v=0) and 02:30 (v=4): hourly grid 00:00-02:00
