@@ -3955,6 +3955,13 @@ object SparkEntry {
       TextAnalysis.interpolatedLogProb(Tables.documents(s, d), "doc_id",
         "text", lambda = 0.7).orderBy("doc_id")),
 
+    // text LM: Kneser-Ney interpolated bigram score (D=0.75) — absolute
+    // discount plus continuation-probability back-off, the smoothing
+    // shipped n-gram LMs use; top rung of the perplexity-filter ladder.
+    "q_kneser_ney" -> ((s, d) =>
+      TextAnalysis.kneserNeyLogProb(Tables.documents(s, d), "doc_id",
+        "text").orderBy("doc_id")),
+
     // Nearest-centroid (Rocchio) classifier confusion matrix
     // (Similarity.centroidClassify) over the labeled embeddings.
     "q_centroid_classify" -> ((s, d) =>
@@ -9022,6 +9029,29 @@ object SparkEntry {
         "AS logprob FROM bp JOIN cb USING (big) " +
         "JOIN cu cp ON cp.t = bp.prev JOIN cu cw ON cw.t = bp.w " +
         "CROSS JOIN nn GROUP BY 1 ORDER BY 1"),
+
+    // Mirrors TextAnalysis.kneserNeyLogProb (D=0.75): bigram-prefix
+    // denominators, distinct-type continuation counts, DECIMAL sums.
+    "q_kneser_ney" ->
+      ("WITH a AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS big FROM a WHERE len(toks) >= 2), " +
+        "bp AS (SELECT doc_id, string_split(big, ' ')[1] AS prev, " +
+        "string_split(big, ' ')[2] AS w, big FROM bg), " +
+        "cb AS (SELECT big, count(*) AS cb FROM bp GROUP BY 1), " +
+        "cp AS (SELECT prev, count(*) AS cp FROM bp GROUP BY 1), " +
+        "ty AS (SELECT DISTINCT big, prev, w FROM bp), " +
+        "np AS (SELECT prev, count(*) AS n1p_prev FROM ty GROUP BY 1), " +
+        "nw AS (SELECT w, count(*) AS n1p_w FROM ty GROUP BY 1), " +
+        "nt AS (SELECT count(*) AS n1p_tot FROM ty) " +
+        "SELECT bp.doc_id, round(CAST(sum(CAST(ln(" +
+        "(CAST(cb.cb AS DOUBLE) - 0.75) / CAST(cp.cp AS DOUBLE) + " +
+        "(0.75 * CAST(np.n1p_prev AS DOUBLE) / CAST(cp.cp AS DOUBLE)) * " +
+        "(CAST(nw.n1p_w AS DOUBLE) / CAST(nt.n1p_tot AS DOUBLE))" +
+        ") AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) " +
+        "AS logprob FROM bp JOIN cb USING (big) JOIN cp USING (prev) " +
+        "JOIN np USING (prev) JOIN nw USING (w) " +
+        "CROSS JOIN nt GROUP BY 1 ORDER BY 1"),
 
     "q_pr_curve" ->
       ("WITH b AS (SELECT round(value, 1) AS thr, " +

@@ -556,6 +556,54 @@ object TextAnalysis {
         count(lit(1)), 6).alias("logprob"))
   }
 
+  /** Kneser-Ney interpolated bigram scorer — the top rung of the
+    * perplexity-filter ladder ([[unigramLogProb]] → [[bigramLogProb]] →
+    * [[interpolatedLogProb]] → here), and the smoothing n-gram LMs
+    * actually ship: per position,
+    * ln( (c(prev,w) − D)/c(prev·) + D·N1+(prev,·)/c(prev·) · P_cont(w) )
+    * with absolute discount D and the CONTINUATION probability
+    * P_cont(w) = N1+(·,w)/N1+(·,·) — "how many contexts does w follow"
+    * rather than "how often does w occur", which is what stops
+    * high-frequency-but-context-bound tokens from soaking up back-off
+    * mass. Denominators are bigram-PREFIX instance counts (tokens that
+    * start no bigram don't dilute the conditional). Scoring the training
+    * corpus itself, every bigram is seen, so c−D ≥ 1−D > 0 and the log
+    * is total.
+    *
+    * Scale: identical exchange classes to [[bigramLogProb]] — row-local
+    * bigram arrays, one bigram-keyed count shuffle plus vocabulary-sized
+    * type/prefix tables that AQE broadcasts; text never shuffles.
+    * DECIMAL(28,14) contribution sums; 6-dp readout. */
+  def kneserNeyLogProb(df: DataFrame, idCol: String, textCol: String,
+                       discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"kneserNeyLogProb: need 0 < discount < 1, got $discount")
+    val base = df.select(col(idCol), tokens(col(textCol)).alias("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bp = base.select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1)))).alias("big"))
+      .withColumn("prev", element_at(split(col("big"), " "), 1))
+      .withColumn("w", element_at(split(col("big"), " "), 2))
+    val cb = bp.groupBy("big").agg(count(lit(1)).alias("cb"))
+    val cp = bp.groupBy("prev").agg(count(lit(1)).alias("cp"))
+    val types = bp.select("big", "prev", "w").distinct()
+    val np = types.groupBy("prev").agg(count(lit(1)).alias("n1p_prev"))
+    val nw = types.groupBy("w").agg(count(lit(1)).alias("n1p_w"))
+    val nt = types.agg(count(lit(1)).alias("n1p_tot"))
+    val contrib = log(
+      (col("cb").cast("double") - lit(discount)) / col("cp").cast("double") +
+        (lit(discount) * col("n1p_prev").cast("double") /
+          col("cp").cast("double")) *
+        (col("n1p_w").cast("double") / col("n1p_tot").cast("double")))
+    bp.join(cb, "big").join(cp, "prev").join(np, "prev").join(nw, "w")
+      .crossJoin(broadcast(nt))
+      .groupBy(col(idCol))
+      .agg(round(sum(contrib.cast("decimal(28,14)")).cast("double") /
+        count(lit(1)), 6).alias("logprob"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-budget readout: what
     * fraction of all token OCCURRENCES does a top-k vocabulary cover,
     * for each checkpoint k. The curve that decides vocab size before

@@ -1991,6 +1991,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) === -0.330242)
   }
 
+  test("kneserNeyLogProb matches the hand-computed discount + continuation mix") {
+    import spark.implicits._
+    // corpus: doc1 "a b", doc2 "a b a c". Bigram instances: (a b)x2,
+    // (b a), (a c); prefix counts a=3, b=1; types {ab, ba, ac} -> nt=3;
+    // N1+(a,.)=2, N1+(b,.)=1; N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1. D=.75:
+    //   P(b|a) = 1.25/3 + (.75*2/3)(1/3) = 0.583333...
+    //   P(a|b) = .25/1  + (.75*1/1)(1/3) = 0.5
+    //   P(c|a) = .25/3  + (.75*2/3)(1/3) = 0.25
+    // doc1 = ln .58333 = -0.538997; doc2 = mean of all three = -0.872813
+    val df = Seq((1L, "a b"), (2L, "a b a c")).toDF("id", "text")
+    val got = TextAnalysis.kneserNeyLogProb(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p_ba = 1.25 / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    assert(math.abs(got(1L) - math.log(p_ba)) < 1e-6)
+    assert(math.abs(got(2L) -
+      (math.log(p_ba) + math.log(0.5) + math.log(0.25)) / 3) < 1e-6)
+  }
+
   test("keepBestPerCluster keeps the highest-quality member") {
     import spark.implicits._
     val docs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (4L, 50L))
