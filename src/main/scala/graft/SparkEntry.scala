@@ -3431,6 +3431,17 @@ object SparkEntry {
       graft.ops.Stats.kruskalWallis(Tables.events(s, d),
         col("event_type"), "value")),
 
+    // Friedman repeated-measures test: 40 order-key blocks x return-flag
+    // treatments over per-cell mean extended price, with Kendall's W.
+    "q_friedman" -> ((s, d) =>
+      graft.ops.Stats.friedmanTest(Tables.lineitem(s, d),
+        col("l_orderkey") % 40, col("l_returnflag"), "l_extendedprice")),
+
+    // Grubbs single-outlier statistic per market segment on acctbal.
+    "q_grubbs" -> ((s, d) =>
+      graft.ops.Stats.grubbsTest(Tables.customer(s, d),
+        col("c_mktsegment"), "c_acctbal").orderBy("grp")),
+
     // Stratified ATE (Stats.stratifiedATE): odd vs even users' value
     // gap, hour-of-day strata — the naive-vs-adjusted causal contrast.
     "q_stratified_ate" -> ((s, d) =>
@@ -6903,6 +6914,57 @@ object SparkEntry {
 
     // Same per-value mid-ranks off the cumulative, DECIMAL R_g and tie
     // sums, same fixed H parenthesization with the C = 0 NULL pin.
+    // Mirrors Stats.friedmanTest: 6-dp DECIMAL cell means, complete-block
+    // restriction, within-block average-tie pairwise ranks, Q and W.
+    "q_friedman" ->
+      ("WITH cells AS (SELECT l_orderkey % 40 AS b, l_returnflag AS t, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) " +
+        "/ count(*), 6) AS v FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2), " +
+        "kk AS (SELECT count(DISTINCT t) AS k FROM cells), " +
+        "comp AS (SELECT b FROM cells GROUP BY b " +
+        "HAVING count(*) = (SELECT k FROM kk)), " +
+        "cc AS (SELECT cells.* FROM cells JOIN comp USING (b)), " +
+        "rk AS (SELECT a.b, a.t, " +
+        "sum(CASE WHEN o.v < a.v THEN 1 ELSE 0 END) + " +
+        "(sum(CASE WHEN o.v = a.v THEN 1 ELSE 0 END) + 1) / 2.0 AS r " +
+        "FROM cc a JOIN cc o ON a.b = o.b GROUP BY a.b, a.t), " +
+        "mr AS (SELECT t, count(*) AS n, " +
+        "CAST(sum(CAST(r AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS rbar " +
+        "FROM rk GROUP BY t), " +
+        "s AS (SELECT max(n) AS n_blocks, max(kk.k) AS k, " +
+        "CAST(sum(CAST((rbar - (CAST(kk.k AS DOUBLE) + 1.0) / 2.0) * " +
+        "(rbar - (CAST(kk.k AS DOUBLE) + 1.0) / 2.0) AS DECIMAL(28,8))) " +
+        "AS DOUBLE) AS ss FROM mr CROSS JOIN kk) " +
+        "SELECT n_blocks, k AS k_treatments, " +
+        "round(12.0 * CAST(n_blocks AS DOUBLE) / (CAST(k AS DOUBLE) * " +
+        "(CAST(k AS DOUBLE) + 1.0)) * ss, 6) + 0.0 AS q, " +
+        "round(12.0 * CAST(n_blocks AS DOUBLE) / (CAST(k AS DOUBLE) * " +
+        "(CAST(k AS DOUBLE) + 1.0)) * ss / (CAST(n_blocks AS DOUBLE) * " +
+        "(CAST(k AS DOUBLE) - 1.0)), 6) + 0.0 AS kendalls_w FROM s"),
+
+    // Mirrors Stats.grubbsTest: DECIMAL moments, 6-dp |dev| argmax with
+    // (dev, x) tie order, sample sd, G guarded on n>=3 and sd>0.
+    "q_grubbs" ->
+      ("WITH m AS (SELECT c_mktsegment AS grp, count(*) AS n, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS s, " +
+        "CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(28,8))) AS DOUBLE) AS s2 " +
+        "FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1), " +
+        "v AS (SELECT grp, n, s / CAST(n AS DOUBLE) AS mean, " +
+        "sqrt(greatest((s2 - s * s / CAST(n AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd FROM m), " +
+        "d AS (SELECT v.grp, round(abs(c.c_acctbal - v.mean), 6) AS dev, " +
+        "c.c_acctbal AS x FROM customer c JOIN v ON c.c_mktsegment = v.grp " +
+        "WHERE c.c_acctbal IS NOT NULL), " +
+        "su AS (SELECT grp, x AS suspect FROM (SELECT grp, x, " +
+        "row_number() OVER (PARTITION BY grp ORDER BY dev DESC, x DESC) AS rn " +
+        "FROM d) WHERE rn = 1) " +
+        "SELECT v.grp, v.n, round(v.mean, 6) + 0.0 AS mean, " +
+        "round(v.sd, 6) + 0.0 AS sd, " +
+        "CASE WHEN v.n >= 3 AND v.sd > 0 THEN " +
+        "round(abs(su.suspect - v.mean) / v.sd, 6) + 0.0 END AS g, " +
+        "su.suspect FROM v JOIN su USING (grp) ORDER BY grp"),
+
     "q_kruskal_wallis" ->
       ("WITH b AS (SELECT event_type AS g, value FROM events " +
         "WHERE value IS NOT NULL), " +

@@ -2907,6 +2907,86 @@ object Stats {
     (1 to iters).foldLeft(beta0)((b, _) => step(b))
   }
 
+  /** Friedman test — the repeated-measures member of the nonparametric
+    * family ([[kruskalWallis]] is its independent-groups sibling): n
+    * complete blocks × k treatments, one cell value per pair, ranks
+    * computed WITHIN each block, Q = 12n/(k(k+1)) · Σ_j (R̄_j − (k+1)/2)²
+    * (χ² with k−1 df under H0), plus Kendall's W = Q/(n(k−1)) as the
+    * agreement effect size. Cells are 6-dp exact-DECIMAL means of the
+    * raw stream (so both engines rank identical doubles); incomplete
+    * blocks (a missing treatment) are dropped — the standard complete-
+    * block restriction. Ranks use the average-tie convention via a
+    * within-block pairwise compare: the cell table is blocks×k rows
+    * (metadata-sized after the one grouped shuffle over the stream), so
+    * the k² fan-out is k·|cells|, never data-sized. Readouts: n_blocks,
+    * k_treatments, per-treatment mean rank rows are folded into the one
+    * summary row (q, kendalls_w, both 6-dp round0). */
+  def friedmanTest(df: DataFrame, blockCol: Column, treatCol: Column,
+                   valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(blockCol.alias("__b"), treatCol.alias("__t"))
+      .agg(round(sum(col(valueCol).cast("decimal(28,8)")).cast("double") /
+        count(lit(1)), 6).alias("__v"))
+    val k = cells.select("__t").distinct().count()
+    val complete = cells.groupBy("__b").agg(count(lit(1)).alias("__kc"))
+      .filter(col("__kc") === k).select("__b")
+    val cc = cells.join(complete, "__b")
+    val other = cc.select(col("__b"), col("__v").alias("__vo"))
+    val ranked = cc.join(other, "__b")
+      .groupBy("__b", "__t")
+      .agg((sum(when(col("__vo") < col("__v"), 1L).otherwise(0L)) +
+        (sum(when(col("__vo") === col("__v"), 1L).otherwise(0L)) + 1L)
+          .cast("double") / lit(2.0)).alias("__rank"))
+    val meanRanks = ranked.groupBy("__t")
+      .agg(count(lit(1)).alias("__n"),
+        (sum(col("__rank").cast("decimal(28,8)")).cast("double") /
+          count(lit(1))).alias("__rbar"))
+    val kd = lit(k.toDouble)
+    val summary = meanRanks.agg(max("__n").alias("n_blocks"),
+      sum(((col("__rbar") - (kd + lit(1.0)) / lit(2.0)) *
+        (col("__rbar") - (kd + lit(1.0)) / lit(2.0)))
+        .cast("decimal(28,8)")).alias("__ss"))
+    val n = col("n_blocks").cast("double")
+    val q = lit(12.0) * n / (kd * (kd + lit(1.0))) * col("__ss").cast("double")
+    summary.select(col("n_blocks"), lit(k).alias("k_treatments"),
+      round0(q, 6).alias("q"),
+      round0(q / (n * (kd - lit(1.0))), 6).alias("kendalls_w"))
+  }
+
+  /** Grubbs' outlier statistic per group — "is the single most extreme
+    * point too extreme": G = max|x − x̄| / s (sample s), reported with
+    * the suspect value itself. One grouped DECIMAL-moment pass plus an
+    * argmax struct (|dev| 6-dp, value, then value again as tie-break —
+    * deterministic on any shuffle order); groups with s = 0 or n < 3
+    * report NULL G (the test is undefined). The classical single-outlier
+    * complement to the rolling/robust z-score family. */
+  def grubbsTest(df: DataFrame, groupCol: Column, valueCol: String)
+      : DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(groupCol.alias("grp"), col(valueCol).cast("double").alias("__x"))
+    val moments = base.groupBy("grp")
+      .agg(count(lit(1)).alias("n"),
+        sum(col("__x").cast("decimal(28,8)")).cast("double").alias("__s"),
+        sum((col("__x") * col("__x")).cast("decimal(28,8)")).cast("double")
+          .alias("__s2"))
+    val withDev = base.join(moments, "grp")
+      .withColumn("__mean", col("__s") / col("n"))
+      .withColumn("__dev", round(abs(col("__x") - col("__mean")), 6))
+    val suspect = withDev.groupBy("grp")
+      .agg(max(struct(col("__dev"), col("__x"))).alias("__m"))
+      .select(col("grp"), col("__m.__x").alias("suspect"))
+    val nD = col("n").cast("double")
+    val varS = (col("__s2") - col("__s") * col("__s") / nD) / (nD - lit(1.0))
+    val sd = sqrt(greatest(varS, lit(0.0)))
+    val mean = col("__s") / nD
+    moments.join(suspect, "grp")
+      .select(col("grp"), col("n"), round0(mean, 6).alias("mean"),
+        round0(sd, 6).alias("sd"),
+        when(col("n") >= 3 && sd > 0,
+          round0(abs(col("suspect") - mean) / sd, 6)).alias("g"),
+        col("suspect"))
+  }
+
   /** Score every row by the [[logisticFit2]] classifier — the FILTERING
     * step of the classifier-based quality pipeline: train β on the same
     * frame (`iters` moment passes), broadcast the one-row model, emit

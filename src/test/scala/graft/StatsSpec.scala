@@ -1082,6 +1082,46 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(k.isNullAt(2) && k.isNullAt(3))
   }
 
+  test("friedmanTest: hand-ranked blocks, incomplete block dropped") {
+    import spark.implicits._
+    // 4 complete blocks over treatments a<b<c except block 4 swaps b/c;
+    // mean ranks (1, 2.25, 2.75) → Q = 4·[1+.0625+.5625] = 6.5,
+    // W = 6.5/(4·2) = .8125. Block 5 misses treatment c → dropped.
+    val rows = (1 to 4).flatMap { bl =>
+      val (rb, rc) = if (bl == 4) (3.0, 2.0) else (2.0, 3.0)
+      Seq((bl, "a", 1.0), (bl, "b", rb), (bl, "c", rc))
+    } ++ Seq((5, "a", 9.0), (5, "b", 9.0))
+    val df = rows.toDF("blk", "t", "v")
+    val r = Stats.friedmanTest(df, col("blk"), col("t"), "v").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(2) - 6.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.8125) < 1e-9)
+  }
+
+  test("friedmanTest: within-block ties get average ranks") {
+    import spark.implicits._
+    // b1 (5,5,9) → ranks (1.5, 1.5, 3); b2 (1,2,3) → (1,2,3);
+    // mean ranks (1.25, 1.75, 3) → Q = 2·[.5625+.0625+1] = 3.25
+    val df = Seq((1, "a", 5.0), (1, "b", 5.0), (1, "c", 9.0),
+      (2, "a", 1.0), (2, "b", 2.0), (2, "c", 3.0)).toDF("blk", "t", "v")
+    val r = Stats.friedmanTest(df, col("blk"), col("t"), "v").collect().head
+    assert(math.abs(r.getDouble(2) - 3.25) < 1e-9)
+  }
+
+  test("grubbsTest: planted outlier scores G = |x-mean|/s; degenerates NULL") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 1.0), ("b", 2.0),
+      ("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val got = Stats.grubbsTest(df, col("g"), "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getDouble(5) == 100.0)                       // suspect value
+    assert(math.abs(a.getDouble(4) - 78.0 / math.sqrt(1902.5)) < 1e-6)
+    assert(got("b").isNullAt(4))                          // n < 3
+    assert(got("c").isNullAt(4))                          // sd = 0
+  }
+
   test("stratifiedATE: confounded naive diff, zero adjusted effect") {
     import spark.implicits._
     // stratum A: treated 10/control 10 (no effect inside), stratum B:
