@@ -4042,6 +4042,13 @@ object SparkEntry {
         Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000).cast("long")),
         Seq("nation", "bal_band"), col("c_mktsegment"), k = 5, l = 2)),
 
+    // privacy: entropy l-diversity — the skew-aware upgrade of the
+    // distinct-count check (2000-wide balance bands to keep groups fat).
+    "q_l_diversity" -> ((s, d) =>
+      Constraints.entropyLDiversityReport(Tables.customer(s, d),
+        Seq(col("c_nationkey"), floor(col("c_acctbal") / 2000).cast("long")),
+        Seq("nation", "bal_band"), col("c_mktsegment"), l = 3)),
+
     // Newman modularity (Graph.modularity) of the LPA communities over
     // the near-dup graph — the quality gate on q_communities' output.
     "q_modularity" -> ((s, d) => {
@@ -9466,6 +9473,25 @@ object SparkEntry {
         "count(*) >= 5 AS k_anonymous, " +
         "count(DISTINCT c_mktsegment) >= 2 AS l_diverse " +
         "FROM customer GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Mirrors Constraints.entropyLDiversityReport (l=3): exact cell
+    // counts, DECIMAL p*ln(p) sums, e^H effective-l, and the verdict
+    // against the ENGINE's ln(3) literal (same IEEE constant both sides).
+    "q_l_diversity" ->
+      ("WITH cells AS (SELECT c_nationkey AS nation, " +
+        "CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band, " +
+        "c_mktsegment AS sv, count(*) AS c FROM customer GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT nation, bal_band, sum(c) AS n FROM cells GROUP BY 1, 2), " +
+        "h AS (SELECT cells.nation, cells.bal_band, max(tot.n) AS n, " +
+        "count(*) AS l_distinct, " +
+        "-CAST(sum(CAST((CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)) * " +
+        "ln(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS DECIMAL(28,14))) " +
+        "AS DOUBLE) AS hh FROM cells " +
+        "JOIN tot USING (nation, bal_band) GROUP BY 1, 2) " +
+        "SELECT nation, bal_band, CAST(n AS BIGINT) AS n, l_distinct, " +
+        "round(hh, 6) + 0.0 AS entropy, round(exp(hh), 6) + 0.0 AS effective_l, " +
+        s"hh >= ${math.log(3.0)} AS entropy_l_diverse " +
+        "FROM h ORDER BY nation, bal_band"),
 
     "q_centroid_classify" ->
       ("WITH e AS MATERIALIZED (SELECT vec_id, label, " +

@@ -109,4 +109,42 @@ object Constraints {
       .withColumn("l_diverse", col("l_distinct") >= l)
       .orderBy(names.map(col): _*)
   }
+
+  /** Entropy l-diversity — the stronger privacy audit above
+    * [[kAnonymityReport]]'s distinct-count check: a QI group passes only
+    * if the ENTROPY of its sensitive-value distribution is ≥ ln(l), so a
+    * group carrying l distinct values but 99% one of them (skew the
+    * distinct count can't see — the attacker still learns the value with
+    * high confidence) fails. Per group: n, distinct sensitive count, the
+    * entropy H = −Σ p·ln p over exact per-(QI, sensitive) cell counts
+    * (term sum through DECIMAL(28,14) — order-proof), the effective
+    * l = e^H ("this group is as diverse as eff_l uniform values"), and
+    * the ≥ ln(l) verdict. Two aggregations — cells keyed by (QI,
+    * sensitive), then groups keyed by QI — both map-side-combining;
+    * output is QI-domain-sized. H and eff_l are 6-dp round0 readouts;
+    * the verdict compares the UNROUNDED H on both engines. */
+  def entropyLDiversityReport(df: DataFrame, quasiIds: Seq[Column],
+                              names: Seq[String], sensitive: Column,
+                              l: Int): DataFrame = {
+    require(quasiIds.nonEmpty && quasiIds.size == names.size,
+      "entropyLDiversityReport: quasiIds and names must align")
+    require(l >= 1, s"entropyLDiversityReport: bad l=$l")
+    val cells = df
+      .groupBy(quasiIds.zip(names).map { case (c, n) => c.alias(n) } :+
+        sensitive.alias("__s"): _*)
+      .agg(count(lit(1)).alias("__c"))
+    val tot = cells.groupBy(names.map(col): _*)
+      .agg(sum("__c").alias("__n"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val h = cells.join(tot, names)
+      .groupBy(names.map(col): _*)
+      .agg(max("__n").alias("n"), count(lit(1)).alias("l_distinct"),
+        (-sum((p * log(p)).cast("decimal(28,14)")).cast("double"))
+          .alias("__h"))
+    h.select(names.map(col) ++ Seq(col("n"), col("l_distinct"),
+        round0(col("__h"), 6).alias("entropy"),
+        round0(exp(col("__h")), 6).alias("effective_l"),
+        (col("__h") >= math.log(l.toDouble)).alias("entropy_l_diverse")): _*)
+      .orderBy(names.map(col): _*)
+  }
 }

@@ -1991,6 +1991,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) === -0.330242)
   }
 
+  test("entropyLDiversity fails the skewed group the distinct count passes") {
+    import spark.implicits._
+    // group 1: 98/1/1 split over 3 values — l_distinct = 3 but H << ln 3;
+    // group 2: uniform over 4 values — H = ln 4 > ln 3 passes
+    val rows = Seq.fill(98)((1, "x")) ++ Seq((1, "y"), (1, "z")) ++
+      Seq("w", "x", "y", "z").flatMap(v => Seq((2, v), (2, v)))
+    val got = graft.ops.Constraints.entropyLDiversityReport(
+        rows.toDF("qid", "s"), Seq(col("qid")), Seq("qid"), col("s"), l = 3)
+      .collect().map(r => r.getAs[Int]("qid") ->
+        (r.getAs[Long]("l_distinct"), r.getAs[Boolean]("entropy_l_diverse"),
+          r.getAs[Double]("effective_l"))).toMap
+    assert(got(1)._1 == 3L && !got(1)._2)     // diverse by count, not entropy
+    assert(got(2)._2 && math.abs(got(2)._3 - 4.0) < 1e-6)
+  }
+
   test("kneserNeyLogProb matches the hand-computed discount + continuation mix") {
     import spark.implicits._
     // corpus: doc1 "a b", doc2 "a b a c". Bigram instances: (a b)x2,
