@@ -3448,6 +3448,22 @@ object SparkEntry {
       graft.ops.Stats.stratifiedATE(Tables.events(s, d),
         col("user_id") % 2 === 1, col("value"), hour(col("ts")))),
 
+    // Propensity-score matching ATT (Stats.psmAtt): per-user activity
+    // features, shared Newton propensity fit, caliper-bucketed 1-NN
+    // match, ATT beside the naive conversion gap.
+    "q_psm_att" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+            .alias("tv"),
+          count(lit(1)).alias("ne"),
+          max(when(col("event_type") === "purchase", 1.0).otherwise(0.0))
+            .alias("conv"))
+      graft.ops.Stats.psmAtt(perUser, col("user_id"),
+        col("user_id") % 10 < 3, col("conv"),
+        round(log(lit(1.0) + col("tv")), 9),
+        round(log(lit(1.0) + col("ne").cast("double")), 9))
+    }),
+
     // HBOS density outliers (Stats.hbosTopK): top-50 line items whose
     // quantity/price/discount all sit in rare histogram bins — the
     // independence-density gate beside Mahalanobis.
@@ -4940,7 +4956,23 @@ object SparkEntry {
     * p-projection CTE over f × the previous one-row β, a DECIMAL(38,12)
     * moment CTE, and a Cramer 3×3 update CTE — textually the same fixed
     * parenthesization as the Spark side. */
-  private def logisticCtes: String = {
+  private def logisticCtes: String = logisticCtesFor(
+    "f AS (SELECT doc_id, " +
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS x1, " +
+      "round(CAST(n_chars AS DOUBLE) / " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM documents " +
+      // mirror the engine's null-feature drop (logisticFit2 filters rows
+      // where y/x1/x2 is NULL): NULL lang nulls y, NULL text nulls x1,
+      // NULL n_chars (or text) nulls x2 — without this the oracle would
+      // keep NULL-lang docs as y=0 training rows
+      "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)")
+
+  /** The 3-step Newton chain over a caller-supplied `f` CTE (must expose
+    * y, x1, x2; extra columns ride along untouched) — ends at bb3, the
+    * fitted one-row 9-dp β. Shared by the quality-classifier mirrors
+    * (documents features) and the PSM mirror (per-user features). */
+  private def logisticCtesFor(fCte: String): String = {
     def newtonStep(i: Int): String = {
       val prev = if (i == 1) "b0t" else s"bb${i - 1}"
       val det = "(h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) + " +
@@ -4968,19 +5000,46 @@ object SparkEntry {
         s"g0 * (h01 * h12 - h11 * h02)) / $det, 9) AS b2 " +
         s"FROM m$i)"
     }
-    "WITH f AS (SELECT doc_id, " +
-      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-      "round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS x1, " +
-      "round(CAST(n_chars AS DOUBLE) / " +
-      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM documents " +
-      // mirror the engine's null-feature drop (logisticFit2 filters rows
-      // where y/x1/x2 is NULL): NULL lang nulls y, NULL text nulls x1,
-      // NULL n_chars (or text) nulls x2 — without this the oracle would
-      // keep NULL-lang docs as y=0 training rows
-      "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL), " +
+    "WITH " + fCte + ", " +
       "b0t AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2), " +
       newtonStep(1) + ", " + newtonStep(2) + ", " + newtonStep(3)
   }
+
+  /** Mirror of Stats.psmAtt over per-user event features: the shared
+    * Newton chain on (treat, x1, x2), 6-dp propensities off bb3, the
+    * brute-force caliper pair set (the engine's bucketed join must equal
+    * it), (|Δp|, control-id) 1-NN, DECIMAL ATT / naive sums. */
+  private def psmAttOracle: String =
+    logisticCtesFor(
+      "f AS (SELECT user_id AS uid, " +
+        "CASE WHEN user_id % 10 < 3 THEN 1.0 ELSE 0.0 END AS y, conv, " +
+        "round(ln(1.0 + tv), 9) AS x1, " +
+        "round(ln(1.0 + CAST(ne AS DOUBLE)), 9) AS x2 FROM " +
+        "(SELECT user_id, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv, " +
+        "count(*) AS ne, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS conv " +
+        "FROM events GROUP BY 1) WHERE tv IS NOT NULL)") +
+      ", sc AS (SELECT f.uid, f.y AS t, f.conv AS yy, " +
+      "round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 6) AS p " +
+      "FROM f, bb3 b), " +
+      "pr AS (SELECT a.uid AS tid, a.yy AS yt, c.uid AS cid, c.yy AS yc, " +
+      "abs(a.p - c.p) AS dd FROM sc a JOIN sc c " +
+      "ON a.t = 1.0 AND c.t = 0.0 AND abs(a.p - c.p) <= 0.05), " +
+      "bm AS (SELECT tid, yt, yc FROM (SELECT pr.*, row_number() OVER " +
+      "(PARTITION BY tid ORDER BY dd, cid) AS rn FROM pr) WHERE rn = 1), " +
+      "cnt AS (SELECT " +
+      "CAST(sum(CASE WHEN t = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_treated, " +
+      "CAST(sum(CASE WHEN t = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control, " +
+      "CAST(sum(CASE WHEN t = 1.0 THEN CAST(yy AS DECIMAL(28,8)) END) AS DOUBLE) AS st, " +
+      "CAST(sum(CASE WHEN t = 0.0 THEN CAST(yy AS DECIMAL(28,8)) END) AS DOUBLE) AS s_c " +
+      "FROM sc), " +
+      "at2 AS (SELECT count(*) AS n_matched, " +
+      "CAST(sum(CAST(yt - yc AS DECIMAL(28,8))) AS DOUBLE) AS sd FROM bm) " +
+      "SELECT n_treated, n_control, n_matched, " +
+      "round(sd / n_matched, 6) + 0.0 AS att, " +
+      "round(st / n_treated - s_c / n_control, 6) + 0.0 AS naive_diff " +
+      "FROM cnt, at2"
 
   private def logisticQualityOracle: String =
     logisticCtes + ", " +
@@ -7005,6 +7064,8 @@ object SparkEntry {
 
     // Same positivity-filtered stratum cells, DECIMAL outcome sums, same
     // share-weighted difference arithmetic.
+    "q_psm_att" -> psmAttOracle,
+
     "q_stratified_ate" ->
       ("WITH b AS (SELECT hour(ts) AS s, " +
         "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr, value AS y " +

@@ -2987,6 +2987,70 @@ object Stats {
         col("suspect"))
   }
 
+  /** Propensity-score matching ATT — the workhorse observational-causal
+    * estimator beside [[stratifiedATE]]/[[diffInDiff]]: fit the
+    * propensity e(x) = P(treated | x₁, x₂) with the shared
+    * [[logisticFit2]] Newton chain, then match every treated unit to its
+    * nearest control in propensity (1-NN WITH replacement — the greedy
+    * without-replacement variant is inherently sequential) within a
+    * `caliper`, and report ATT = mean(y_t − y_matched) beside the naive
+    * treated-vs-control difference. The match is NOT an all-pairs scan:
+    * propensities land in caliper-sized buckets and controls are
+    * replicated to the 3-bucket neighborhood ([[graft.ops.Similarity
+    * .dbscan2d]]'s 1-D grid construction — |Δp| ≤ caliper forces
+    * |Δbucket| ≤ 1, and the 3 probe buckets are distinct, so each
+    * (t, c) candidate appears exactly once in an equi-join on the
+    * bucket key). Nearest = min (|Δp|, control-id) struct — 6-dp
+    * propensities are engine-identical, the id tie-break makes the
+    * argmin shuffle-order-proof. Unmatched treated units (no control
+    * within the caliper) drop out of ATT and are visible as
+    * n_treated − n_matched. DECIMAL outcome sums; 6-dp round0
+    * readouts. */
+  def psmAtt(df: DataFrame, unitId: Column, treated: Column,
+             outcome: Column, x1: Column, x2: Column,
+             caliper: Double = 0.05, iters: Int = 3): DataFrame = {
+    require(caliper > 0 && caliper < 1, s"psmAtt: bad caliper=$caliper")
+    val units = df.select(unitId.alias("__id"),
+        when(treated, 1.0).otherwise(0.0).alias("__y"),
+        outcome.cast("double").alias("__out"),
+        x1.cast("double").alias("__x1"), x2.cast("double").alias("__x2"))
+      .filter(col("__out").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+    val beta = logisticBeta(units, iters)
+    val scored = units.crossJoin(broadcast(beta))
+      .select(col("__id"), col("__y").alias("__t"), col("__out"),
+        round(logisticP, 6).alias("__p"))
+    val bucket = floor(col("__p") / lit(caliper)).cast("long")
+    val t = scored.filter(col("__t") === 1.0)
+      .select(col("__id").alias("__tid"), col("__out").alias("__yt"),
+        col("__p").alias("__pt"), bucket.alias("__bk"))
+    val cProbe = scored.filter(col("__t") === 0.0)
+      .select(col("__id").alias("__cid"), col("__out").alias("__yc"),
+        col("__p").alias("__pc"),
+        explode(array(Seq(-1, 0, 1).map(o => bucket + o): _*)).alias("__bk"))
+    val matched = t.join(cProbe, Seq("__bk"))
+      .filter(abs(col("__pt") - col("__pc")) <= lit(caliper))
+      .groupBy("__tid", "__yt")
+      .agg(min(struct(abs(col("__pt") - col("__pc")).alias("d"),
+        col("__cid").alias("c"), col("__yc").alias("y"))).alias("__m"))
+      .select(col("__tid"), col("__yt"), col("__m").getField("y").alias("__ycm"))
+    val counts = scored.agg(
+      sum(when(col("__t") === 1.0, 1L).otherwise(0L)).alias("n_treated"),
+      sum(when(col("__t") === 0.0, 1L).otherwise(0L)).alias("n_control"),
+      sum(when(col("__t") === 1.0, col("__out").cast("decimal(28,8)")))
+        .alias("__st"),
+      sum(when(col("__t") === 0.0, col("__out").cast("decimal(28,8)")))
+        .alias("__sc"))
+    val att = matched.agg(count(lit(1)).alias("n_matched"),
+      sum((col("__yt") - col("__ycm")).cast("decimal(28,8)")).alias("__sd"))
+    counts.crossJoin(att)
+      .select(col("n_treated"), col("n_control"), col("n_matched"),
+        round0(col("__sd").cast("double") / col("n_matched"), 6).alias("att"),
+        round0(col("__st").cast("double") / col("n_treated") -
+          col("__sc").cast("double") / col("n_control"), 6)
+          .alias("naive_diff"))
+  }
+
   /** Score every row by the [[logisticFit2]] classifier — the FILTERING
     * step of the classifier-based quality pipeline: train β on the same
     * frame (`iters` moment passes), broadcast the one-row model, emit

@@ -67,6 +67,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertNoQuadraticJoin("q_lof")
   }
 
+  test("q_psm_att: caliper match is a bucket equi-join, never all-pairs") {
+    assertNoQuadraticJoin("q_psm_att")
+  }
+
   test("q_llm_prep_fuzzy: full fuzzy-dedup flagship keeps text out of every shuffle") {
     assertTextNeverShuffles("q_llm_prep_fuzzy")
     assertNoQuadraticJoin("q_llm_prep_fuzzy")

@@ -1122,6 +1122,31 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(got("c").isNullAt(4))                          // sd = 0
   }
 
+  test("psmAtt: caliper matching removes the composition bias the naive diff keeps") {
+    import spark.implicits._
+    // three covariate levels with rising treatment share (.25/.5/.75) →
+    // three well-separated propensity values; outcome = level + 2 for
+    // treated, level for control, so any within-level match yields diff
+    // exactly 2 while the naive contrast is inflated to 16/6 by the
+    // treated mass sitting at high levels. x2 = x² is level-constant
+    // (within-level Δp stays 0) yet linearly independent of (1, x), so
+    // the Hessian is non-singular.
+    val rows = Seq(
+      (1L, true, 2.0, 0.0), (2L, false, 0.0, 0.0), (3L, false, 0.0, 0.0),
+      (4L, false, 0.0, 0.0),
+      (5L, true, 3.0, 1.0), (6L, true, 3.0, 1.0), (7L, false, 1.0, 1.0),
+      (8L, false, 1.0, 1.0),
+      (9L, true, 4.0, 2.0), (10L, true, 4.0, 2.0), (11L, true, 4.0, 2.0),
+      (12L, false, 2.0, 2.0))
+    val df = rows.toDF("id", "tr", "y", "x")
+      .withColumn("x2", col("x") * col("x"))
+    val r = Stats.psmAtt(df, col("id"), col("tr"), col("y"),
+      col("x"), col("x2"), caliper = 0.05).collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 6 && r.getLong(2) == 6)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-9)           // matched ATT
+    assert(math.abs(r.getDouble(4) - 16.0 / 6) < 1e-6)      // naive diff
+  }
+
   test("stratifiedATE: confounded naive diff, zero adjusted effect") {
     import spark.implicits._
     // stratum A: treated 10/control 10 (no effect inside), stratum B:
