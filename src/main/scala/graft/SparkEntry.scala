@@ -3448,6 +3448,14 @@ object SparkEntry {
       graft.ops.Stats.stratifiedATE(Tables.events(s, d),
         col("user_id") % 2 === 1, col("value"), hour(col("ts")))),
 
+    // Sequential probability ratio test (Stats.sprt): per-arm purchase
+    // Bernoulli stream in (ts, event_id) order, Wald boundaries, first
+    // crossing + end-of-stream state — the always-valid A/B readout.
+    "q_sprt" -> ((s, d) =>
+      graft.ops.Stats.sprt(Tables.events(s, d), col("user_id") % 2,
+        "ts", "event_id", col("event_type") === "purchase",
+        p0 = 0.15, p1 = 0.22)),
+
     // Propensity-score matching ATT (Stats.psmAtt): per-user activity
     // features, shared Newton propensity fit, caliper-bucketed 1-NN
     // match, ATT beside the naive conversion gap.
@@ -7065,6 +7073,33 @@ object SparkEntry {
     // Same positivity-filtered stratum cells, DECIMAL outcome sums, same
     // share-weighted difference arithmetic.
     "q_psm_att" -> psmAttOracle,
+
+    // Mirrors Stats.sprt (p0=.15, p1=.22, alpha=beta=.05): integer k/n
+    // cumulative windows, per-row LLR from the same literal ratios,
+    // first boundary crossing via row_number, end state via max-n row.
+    "q_sprt" ->
+      ("WITH b AS (SELECT user_id % 2 AS arm, ts, event_id, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s FROM events), " +
+        "c AS (SELECT arm, count(*) OVER w AS n, " +
+        "CAST(sum(s) OVER w AS BIGINT) AS k FROM b " +
+        "WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "r AS (SELECT arm, n, k, CAST(k AS DOUBLE) * ln(0.22 / 0.15) + " +
+        "CAST(n - k AS DOUBLE) * ln((1.0 - 0.22) / (1.0 - 0.15)) AS llr FROM c), " +
+        "f AS (SELECT arm, n AS n_total, k AS k_total, llr AS llrf FROM " +
+        "(SELECT r.*, row_number() OVER (PARTITION BY arm ORDER BY n DESC) AS rn " +
+        "FROM r) WHERE rn = 1), " +
+        "st AS (SELECT arm, n AS stop_n, llr AS llrs FROM " +
+        "(SELECT r.*, row_number() OVER (PARTITION BY arm ORDER BY n) AS rn " +
+        "FROM r WHERE llr >= ln((1.0 - 0.05) / 0.05) " +
+        "OR llr <= ln(0.05 / (1.0 - 0.05))) WHERE rn = 1) " +
+        "SELECT f.arm, f.n_total, f.k_total, " +
+        "round(f.llrf, 6) + 0.0 AS llr_final, st.stop_n, " +
+        "round(st.llrs, 6) + 0.0 AS stop_llr, " +
+        "CASE WHEN st.stop_n IS NULL THEN 'continue' " +
+        "WHEN st.llrs >= ln((1.0 - 0.05) / 0.05) THEN 'reject_h0' " +
+        "ELSE 'accept_h0' END AS decision " +
+        "FROM f LEFT JOIN st USING (arm) ORDER BY arm"),
 
     "q_stratified_ate" ->
       ("WITH b AS (SELECT hour(ts) AS s, " +

@@ -2987,6 +2987,63 @@ object Stats {
         col("suspect"))
   }
 
+  /** Wald SPRT over an ordered Bernoulli stream — the sequential
+    * ("always-valid") complement to the fixed-horizon [[twoProportionZ]]
+    * family: per arm, walk the (ts, tie) order accumulating successes k
+    * of n and the log-likelihood ratio
+    * LLR = k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)), and report the FIRST
+    * crossing of the Wald boundaries ln((1−β)/α) / ln(β/(1−α)) — the
+    * moment the experiment could have stopped — beside the end-of-stream
+    * state. Decision: 'reject_h0' (upper crossing), 'accept_h0' (lower),
+    * 'continue' (never crossed — stop_n NULL). Exactness for free: k and
+    * n are INTEGER window counts, so each row's LLR is two
+    * integer-scaled IEEE terms — no float accumulates across rows, and
+    * both engines compute identical doubles from the same p₀/p₁
+    * literals. One key-partitioned window (tie-free order), then an
+    * arm-keyed min-struct argmin over crossing rows — row_number makes n
+    * unique per arm, so the argmin is total. */
+  def sprt(df: DataFrame, armCol: Column, tsCol: String, tieCol: String,
+           success: Column, p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"sprt: bad p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"sprt: bad alpha=$alpha beta=$beta")
+    val up = log((lit(1.0) - lit(beta)) / lit(alpha))
+    val lo = log(lit(beta) / (lit(1.0) - lit(alpha)))
+    val w = Window.partitionBy("__arm")
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(armCol.alias("__arm"), col(tsCol), col(tieCol),
+        when(success, 1L).otherwise(0L).alias("__s"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__k", sum("__s").over(w))
+    val llr = col("__k").cast("double") * log(lit(p1) / lit(p0)) +
+      (col("__n") - col("__k")).cast("double") *
+        log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
+    val rows = base.select(col("__arm"), col("__n"), col("__k"),
+      llr.alias("__llr"))
+    val fin = rows.groupBy("__arm")
+      .agg(max(struct(col("__n"), col("__k"), col("__llr"))).alias("__f"))
+      .select(col("__arm"), col("__f").getField("__n").alias("n_total"),
+        col("__f").getField("__k").alias("k_total"),
+        col("__f").getField("__llr").alias("__llrf"))
+    val stops = rows.filter(col("__llr") >= up || col("__llr") <= lo)
+      .groupBy("__arm")
+      .agg(min(struct(col("__n"), col("__llr"))).alias("__m"))
+      .select(col("__arm"), col("__m").getField("__n").alias("stop_n"),
+        col("__m").getField("__llr").alias("__llrs"))
+    fin.join(stops, Seq("__arm"), "left")
+      .select(col("__arm").alias("arm"), col("n_total"), col("k_total"),
+        round0(col("__llrf"), 6).alias("llr_final"),
+        col("stop_n"),
+        round0(col("__llrs"), 6).alias("stop_llr"),
+        when(col("stop_n").isNull, lit("continue"))
+          .when(col("__llrs") >= up, lit("reject_h0"))
+          .otherwise(lit("accept_h0")).alias("decision"))
+      .orderBy("arm")
+  }
+
   /** Propensity-score matching ATT — the workhorse observational-causal
     * estimator beside [[stratifiedATE]]/[[diffInDiff]]: fit the
     * propensity e(x) = P(treated | x₁, x₂) with the shared

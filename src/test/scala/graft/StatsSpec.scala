@@ -1122,6 +1122,27 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(got("c").isNullAt(4))                          // sd = 0
   }
 
+  test("sprt: crossings land at the hand-computed step, continue stays open") {
+    import spark.implicits._
+    // p0=.2 vs p1=.8: each success adds ln 4, each failure ln .25;
+    // boundaries +/- ln 19 ~ 2.944. SSS crosses up at n=3 (2.77 at n=2),
+    // FFF crosses down at n=3, SF-alternation never crosses.
+    def ev(arm: String, bits: Seq[Int]) = bits.zipWithIndex.map { case (b, i) =>
+      (arm, f"2024-01-01 00:${i}%02d:00", i.toLong, b == 1)
+    }
+    val df = (ev("a", Seq(1, 1, 1, 0, 0)) ++ ev("b", Seq(0, 0, 0)) ++
+      ev("c", Seq(1, 0, 1, 0)))
+      .toDF("arm", "ts", "tie", "succ")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Stats.sprt(df, col("arm"), "ts", "tie", col("succ"),
+        p0 = 0.2, p1 = 0.8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(4) == 3L && got("a").getString(6) == "reject_h0")
+    assert(math.abs(got("a").getDouble(3) - math.log(4.0)) < 1e-6)
+    assert(got("b").getLong(4) == 3L && got("b").getString(6) == "accept_h0")
+    assert(got("c").isNullAt(4) && got("c").getString(6) == "continue")
+  }
+
   test("psmAtt: caliper matching removes the composition bias the naive diff keeps") {
     import spark.implicits._
     // three covariate levels with rising treatment share (.25/.5/.75) →
