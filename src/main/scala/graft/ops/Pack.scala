@@ -88,6 +88,32 @@ object Pack {
         .otherwise(lit("train")))
   }
 
+  /** Leakage-safe group k-fold assignment with its balance audit — the
+    * cross-validation counterpart of [[trainValSplit]]: the fold is a
+    * pure hash of the GROUP key (md5 bucket, no RNG state), so every row
+    * of a group lands in the same fold by construction — the structural
+    * guarantee that no user/document straddles train and eval — and
+    * assignment is stable under corpus growth (new groups join folds,
+    * old ones never move). Returns the per-fold audit a pipeline gates
+    * on before running CV: group count, row count, and the mean of a
+    * caller-supplied metric column (class balance / conversion rate) —
+    * skewed folds surface here, not as mystery CV variance. One grouped
+    * aggregation; exact distinct via the fold×group two-phase. */
+  def groupKFoldReport(df: DataFrame, groupCol: Column, k: Int,
+                       metric: Column): DataFrame = {
+    require(k >= 2, s"groupKFoldReport: need k >= 2, got $k")
+    val fold = pmod(ScaleDedup.hash32(
+      concat_ws("|", lit("fold"), groupCol.cast("string")), 0), lit(k.toLong))
+    df.select(fold.alias("fold"), groupCol.alias("__g"),
+        metric.cast("double").alias("__m"))
+      .groupBy("fold")
+      .agg(countDistinct(col("__g")).alias("n_groups"),
+        count(lit(1)).alias("n_rows"),
+        round0(sum(col("__m").cast("decimal(28,8)")).cast("double") /
+          count(lit(1)), 6).alias("metric_mean"))
+      .orderBy("fold")
+  }
+
   /** Deterministic training-shard manifest: every row gets a shard (md5
     * bucket of its key — balanced in expectation, stable under corpus
     * growth) and a position within the shard drawn from an INDEPENDENT
