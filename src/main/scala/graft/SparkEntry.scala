@@ -6989,7 +6989,8 @@ object SparkEntry {
     // Same per-value mid-ranks off the cumulative, DECIMAL R_g and tie
     // sums, same fixed H parenthesization with the C = 0 NULL pin.
     // Mirrors Stats.friedmanTest: 6-dp DECIMAL cell means, complete-block
-    // restriction, within-block average-tie pairwise ranks, Q and W.
+    // restriction, within-block average-tie pairwise ranks, Q and W with
+    // the same tie divisor 1 - sum(t^3-t)/(n*k*(k^2-1)) (NULL at 0).
     "q_friedman" ->
       ("WITH cells AS (SELECT l_orderkey % 40 AS b, l_returnflag AS t, " +
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) " +
@@ -6999,6 +7000,8 @@ object SparkEntry {
         "comp AS (SELECT b FROM cells GROUP BY b " +
         "HAVING count(*) = (SELECT k FROM kk)), " +
         "cc AS (SELECT cells.* FROM cells JOIN comp USING (b)), " +
+        "tg AS (SELECT b, v, count(*) AS t FROM cc GROUP BY b, v), " +
+        "tts AS (SELECT coalesce(sum(t * t * t - t), 0) AS tt FROM tg), " +
         "rk AS (SELECT a.b, a.t, " +
         "sum(CASE WHEN o.v < a.v THEN 1 ELSE 0 END) + " +
         "(sum(CASE WHEN o.v = a.v THEN 1 ELSE 0 END) + 1) / 2.0 AS r " +
@@ -7009,13 +7012,19 @@ object SparkEntry {
         "s AS (SELECT max(n) AS n_blocks, max(kk.k) AS k, " +
         "CAST(sum(CAST((rbar - (CAST(kk.k AS DOUBLE) + 1.0) / 2.0) * " +
         "(rbar - (CAST(kk.k AS DOUBLE) + 1.0) / 2.0) AS DECIMAL(28,8))) " +
-        "AS DOUBLE) AS ss FROM mr CROSS JOIN kk) " +
+        "AS DOUBLE) AS ss FROM mr CROSS JOIN kk), " +
+        "f AS (SELECT n_blocks, k, " +
+        "12.0 * CAST(n_blocks AS DOUBLE) / (CAST(k AS DOUBLE) * " +
+        "(CAST(k AS DOUBLE) + 1.0)) * ss AS qraw, " +
+        "1.0 - CAST(tt AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * " +
+        "CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)) " +
+        "AS corr FROM s CROSS JOIN tts) " +
         "SELECT n_blocks, k AS k_treatments, " +
-        "round(12.0 * CAST(n_blocks AS DOUBLE) / (CAST(k AS DOUBLE) * " +
-        "(CAST(k AS DOUBLE) + 1.0)) * ss, 6) + 0.0 AS q, " +
-        "round(12.0 * CAST(n_blocks AS DOUBLE) / (CAST(k AS DOUBLE) * " +
-        "(CAST(k AS DOUBLE) + 1.0)) * ss / (CAST(n_blocks AS DOUBLE) * " +
-        "(CAST(k AS DOUBLE) - 1.0)), 6) + 0.0 AS kendalls_w FROM s"),
+        "round(CASE WHEN corr = 0.0 THEN NULL ELSE qraw / corr END, 6) " +
+        "+ 0.0 AS q, " +
+        "round(CASE WHEN corr = 0.0 THEN NULL ELSE qraw / corr END / " +
+        "(CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)), 6) " +
+        "+ 0.0 AS kendalls_w FROM f"),
 
     // Mirrors Stats.grubbsTest: DECIMAL moments, 6-dp |dev| argmax with
     // (dev, x) tie order, sample sd, G guarded on n>=3 and sd>0.

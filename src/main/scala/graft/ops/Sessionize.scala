@@ -213,6 +213,11 @@ object Sessionize {
            signalSpan: Int = 5, lookback: Int = 20): DataFrame = {
     require(fastSpan >= 1 && slowSpan > fastSpan,
       s"macd: need 1 <= fastSpan < slowSpan, got $fastSpan/$slowSpan")
+    // signalSpan <= 0 would give decay <= -1 (sign-oscillating weights
+    // and a possibly-zero renormalization denominator); lookback <= 0 an
+    // empty/inverted frame — same stance as bollinger's n >= 2.
+    require(signalSpan >= 1 && lookback >= 1,
+      s"macd: need signalSpan >= 1 and lookback >= 1, got $signalSpan/$lookback")
     def decay(span: Int) = 1.0 - 2.0 / (span + 1.0)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col(tieCol).asc)

@@ -1066,7 +1066,13 @@ object Similarity {
     * n² stage. Determinism: the ε test compares the same IEEE
     * expression ((Δx)²+(Δy)² vs the precomputed ε² literal) on both
     * engines, and every readout is an id/label/count — no float leaves
-    * the operator. */
+    * the operator. FP-boundary caveat: cell assignment is
+    * floor(coord/ε) in floating point, so a pair at distance
+    * ESSENTIALLY EXACTLY ε with a coordinate within one ulp of a cell
+    * boundary can round into cells 2 apart and miss the 3×3 probe —
+    * measure-zero in practice and identical on any engine that shares
+    * the floor(x/ε) doubles, but "every ε-pair exactly once" is exact
+    * only for pairs strictly inside the ε ball. */
   def dbscan2d(emb: DataFrame, idCol: String, vecCol: String,
                eps: Double, minPts: Int,
                dimX: Int = 0, dimY: Int = 1,

@@ -2821,9 +2821,11 @@ object Stats {
     * (classifierMetrics' pinned-clamp stance). Callers pass 9-dp-rounded
     * features derived from exact integers so the per-row inputs are
     * bit-identical on every engine. Degenerate designs (constant
-    * feature ⇒ singular Hessian) propagate Inf/NaN identically on both
-    * engines rather than raising — documented, not guarded, as the
-    * NULL-pinning ops do. Returns one row:
+    * feature ⇒ singular Hessian) are OUTSIDE the dual-engine contract,
+    * like the raise_error ops: on an exact-zero determinant Spark's
+    * non-ANSI Divide yields NULL β while an IEEE engine (DuckDB) yields
+    * ±Inf, so the degenerate readouts differ cross-engine by design —
+    * callers must not bind a constant feature. Returns one row:
     * (n, b0, b1, b2, log_loss, accuracy). */
   def logisticFit2(df: DataFrame, y: Column, x1: Column, x2: Column,
                    iters: Int = 3): DataFrame = {
@@ -2916,11 +2918,19 @@ object Stats {
     * raw stream (so both engines rank identical doubles); incomplete
     * blocks (a missing treatment) are dropped — the standard complete-
     * block restriction. Ranks use the average-tie convention via a
-    * within-block pairwise compare: the cell table is blocks×k rows
-    * (metadata-sized after the one grouped shuffle over the stream), so
-    * the k² fan-out is k·|cells|, never data-sized. Readouts: n_blocks,
-    * k_treatments, per-treatment mean rank rows are folded into the one
-    * summary row (q, kendalls_w, both 6-dp round0). */
+    * within-block pairwise compare, and Q carries the standard tie
+    * divisor 1 − Σ(t³−t)/(n·k·(k²−1)) (scipy's friedmanchisquare
+    * convention; an all-tied table drives the divisor to 0 → NULL Q/W).
+    * The cell table is blocks×k rows (metadata-sized after the one
+    * grouped shuffle over the stream), so the k² fan-out is k·|cells|,
+    * never data-sized. NOTE: k is resolved by an EAGER
+    * `distinct().count()` at construction time — building the DataFrame
+    * triggers one grouped job over the stream and bakes k into the plan
+    * (the same eager-scalar stance as the iterative fitters); an input
+    * with zero complete blocks reports k_treatments = 0 rather than
+    * NULL. Readouts: n_blocks, k_treatments, per-treatment mean rank
+    * rows are folded into the one summary row (q, kendalls_w, both 6-dp
+    * round0). */
   def friedmanTest(df: DataFrame, blockCol: Column, treatCol: Column,
                    valueCol: String): DataFrame = {
     val cells = df.filter(col(valueCol).isNotNull)
@@ -2942,12 +2952,25 @@ object Stats {
         (sum(col("__rank").cast("decimal(28,8)")).cast("double") /
           count(lit(1))).alias("__rbar"))
     val kd = lit(k.toDouble)
+    // Tie-correction mass: per complete block, each group of t equal cell
+    // values contributes t³ − t (scipy's friedmanchisquare convention).
+    // Integer arithmetic over the metadata-sized cell table.
+    val ties = cc.groupBy("__b", "__v").agg(count(lit(1)).alias("__t"))
+      .agg(coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
+        lit(0L)).alias("__tt"))
     val summary = meanRanks.agg(max("__n").alias("n_blocks"),
       sum(((col("__rbar") - (kd + lit(1.0)) / lit(2.0)) *
         (col("__rbar") - (kd + lit(1.0)) / lit(2.0)))
         .cast("decimal(28,8)")).alias("__ss"))
+      .crossJoin(broadcast(ties))
     val n = col("n_blocks").cast("double")
-    val q = lit(12.0) * n / (kd * (kd + lit(1.0))) * col("__ss").cast("double")
+    val qRaw = lit(12.0) * n / (kd * (kd + lit(1.0))) * col("__ss").cast("double")
+    // Standard tie divisor 1 − ΣT/(n·k·(k²−1)); all-tied blocks drive it
+    // to 0, where Q (and W) are undefined → NULL, the C = 0 pin stance.
+    val corr = lit(1.0) - col("__tt").cast("double") /
+      (n * kd * (kd * kd - lit(1.0)))
+    val q = when(corr === 0.0, lit(null).cast("double"))
+      .otherwise(qRaw / corr)
     summary.select(col("n_blocks"), lit(k).alias("k_treatments"),
       round0(q, 6).alias("q"),
       round0(q / (n * (kd - lit(1.0))), 6).alias("kendalls_w"))
@@ -2999,25 +3022,50 @@ object Stats {
     * n are INTEGER window counts, so each row's LLR is two
     * integer-scaled IEEE terms — no float accumulates across rows, and
     * both engines compute identical doubles from the same p₀/p₁
-    * literals. One key-partitioned window (tie-free order), then an
-    * arm-keyed min-struct argmin over crossing rows — row_number makes n
-    * unique per arm, so the argmin is total. */
+    * literals. The running (n, k) is NOT a per-arm unbounded window —
+    * that would sort each arm's entire history through one task at
+    * scale. Instead it uses the [[withCumBefore]] construction: rows
+    * range-bucket on ts ([[orderBucket]] is monotone, and equal
+    * timestamps share a bucket, so (ts, tie) order is preserved across
+    * buckets), a (arm, bucket)-partitioned window computes local
+    * running counts in parallel, and per-(arm, bucket) totals — an
+    * arms×numParts-row table — cumulate into broadcast offsets. Then an
+    * arm-keyed min-struct argmin over crossing rows — the running count
+    * makes n unique per arm, so the argmin is total. */
   def sprt(df: DataFrame, armCol: Column, tsCol: String, tieCol: String,
            success: Column, p0: Double, p1: Double,
-           alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+           alpha: Double = 0.05, beta: Double = 0.05,
+           numParts: Int = 32): DataFrame = {
     require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
       s"sprt: bad p0=$p0 p1=$p1")
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
       s"sprt: bad alpha=$alpha beta=$beta")
     val up = log((lit(1.0) - lit(beta)) / lit(alpha))
     val lo = log(lit(beta) / (lit(1.0) - lit(alpha)))
-    val w = Window.partitionBy("__arm")
+    val base0 = df.select(armCol.alias("__arm"), col(tsCol), col(tieCol),
+      when(success, 1L).otherwise(0L).alias("__s"))
+    val bounds = base0.agg(min(col(tsCol)).cast("double").alias("__lo"),
+      max(col(tsCol)).cast("double").alias("__hi"))
+    val parts = base0.crossJoin(broadcast(bounds))
+      .withColumn("__pid",
+        orderBucket(col(tsCol), col("__lo"), col("__hi"), numParts))
+      .drop("__lo", "__hi")
+    val w = Window.partitionBy("__arm", "__pid")
       .orderBy(col(tsCol).asc, col(tieCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = df.select(armCol.alias("__arm"), col(tsCol), col(tieCol),
-        when(success, 1L).otherwise(0L).alias("__s"))
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__k", sum("__s").over(w))
+    val local = parts
+      .withColumn("__ln", count(lit(1)).over(w))
+      .withColumn("__lk", sum("__s").over(w))
+    val offW = Window.partitionBy("__arm").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy("__arm", "__pid")
+      .agg(count(lit(1)).alias("__pn"), sum("__s").alias("__pk"))
+      .withColumn("__offn", coalesce(sum("__pn").over(offW), lit(0L)))
+      .withColumn("__offk", coalesce(sum("__pk").over(offW), lit(0L)))
+      .select("__arm", "__pid", "__offn", "__offk")
+    val base = local.join(broadcast(offsets), Seq("__arm", "__pid"))
+      .withColumn("__n", col("__offn") + col("__ln"))
+      .withColumn("__k", col("__offk") + col("__lk"))
     val llr = col("__k").cast("double") * log(lit(p1) / lit(p0)) +
       (col("__n") - col("__k")).cast("double") *
         log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
@@ -3057,7 +3105,8 @@ object Stats {
     * .dbscan2d]]'s 1-D grid construction — |Δp| ≤ caliper forces
     * |Δbucket| ≤ 1, and the 3 probe buckets are distinct, so each
     * (t, c) candidate appears exactly once in an equi-join on the
-    * bucket key). Nearest = min (|Δp|, control-id) struct — 6-dp
+    * bucket key; dbscan2d's FP-boundary caveat applies at |Δp|
+    * essentially exactly = caliper). Nearest = min (|Δp|, control-id) struct — 6-dp
     * propensities are engine-identical, the id tie-break makes the
     * argmin shuffle-order-proof. Unmatched treated units (no control
     * within the caliper) drop out of ATT and are visible as

@@ -71,6 +71,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     assertNoQuadraticJoin("q_psm_att")
   }
 
+  test("q_sprt: running (n,k) is bucket-distributed — no arm-only full-stream window") {
+    val plan = run("q_sprt")
+    val wins = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"q_sprt lost its windows entirely:\n$plan")
+    // A window partitioned by the arm alone that still carries the
+    // per-event success column would be the scale-killer shape: every
+    // event of an arm sorting through ONE task. The distributed
+    // cumulative's data window partitions by (arm, ts-bucket); the only
+    // single-column window allowed is the offset cumsum over the
+    // arms-by-buckets metadata table (which has no per-event columns).
+    val armOnly = wins.filter(w => w.partitionSpec.size == 1 &&
+      w.child.output.exists(_.name == "__s"))
+    assert(armOnly.isEmpty,
+      s"q_sprt plans an arm-only window over the raw event stream:\n${armOnly.headOption.getOrElse("")}")
+  }
+
   test("q_llm_prep_fuzzy: full fuzzy-dedup flagship keeps text out of every shuffle") {
     assertTextNeverShuffles("q_llm_prep_fuzzy")
     assertNoQuadraticJoin("q_llm_prep_fuzzy")

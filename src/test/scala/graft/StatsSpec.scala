@@ -1098,14 +1098,22 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 0.8125) < 1e-9)
   }
 
-  test("friedmanTest: within-block ties get average ranks") {
+  test("friedmanTest: within-block ties get average ranks + scipy tie divisor") {
     import spark.implicits._
     // b1 (5,5,9) → ranks (1.5, 1.5, 3); b2 (1,2,3) → (1,2,3);
-    // mean ranks (1.25, 1.75, 3) → Q = 2·[.5625+.0625+1] = 3.25
+    // mean ranks (1.25, 1.75, 3) → Q_raw = 2·[.5625+.0625+1] = 3.25;
+    // tie mass T = 2³−2 = 6, divisor 1 − 6/(2·3·8) = 0.875 →
+    // Q = 3.25/0.875 (= scipy.stats.friedmanchisquare's 3.7142857…)
     val df = Seq((1, "a", 5.0), (1, "b", 5.0), (1, "c", 9.0),
       (2, "a", 1.0), (2, "b", 2.0), (2, "c", 3.0)).toDF("blk", "t", "v")
     val r = Stats.friedmanTest(df, col("blk"), col("t"), "v").collect().head
-    assert(math.abs(r.getDouble(2) - 3.25) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 3.25 / 0.875) < 1e-6)
+    // every cell tied in every block → divisor 0 → NULL Q and W
+    val allTied = Seq((1, "a", 2.0), (1, "b", 2.0), (1, "c", 2.0),
+      (2, "a", 7.0), (2, "b", 7.0), (2, "c", 7.0)).toDF("blk", "t", "v")
+    val r2 = Stats.friedmanTest(allTied, col("blk"), col("t"), "v")
+      .collect().head
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
   }
 
   test("grubbsTest: planted outlier scores G = |x-mean|/s; degenerates NULL") {
