@@ -3472,6 +3472,56 @@ object SparkEntry {
         round(log(lit(1.0) + col("ne").cast("double")), 9))
     }),
 
+    // Mann-Kendall trend test (Stats.mannKendall): monotone-trend
+    // hypothesis readout over the daily order series — the significance
+    // companion to q_theil_sen's slope.
+    "q_mann_kendall" -> ((s, d) =>
+      graft.ops.Stats.mannKendall(Tables.orders(s, d),
+        to_date(col("o_orderdate")))),
+
+    // Jarque-Bera normality statistic per market segment on acctbal
+    // (Stats.jarqueBera): skewness/kurtosis/JB from one DECIMAL
+    // power-sum pass — the is-it-even-Gaussian pre-flight.
+    "q_jarque_bera" -> ((s, d) =>
+      graft.ops.Stats.jarqueBera(Tables.customer(s, d),
+        col("c_mktsegment"), "c_acctbal").orderBy("grp")),
+
+    // Cochran's Q (Stats.cochranQ): user-bucket blocks x event-type
+    // treatments, success = saw a value>50 event of that type — the
+    // k-treatment binary repeated-measures test beside q_friedman.
+    "q_cochran_q" -> ((s, d) =>
+      graft.ops.Stats.cochranQ(Tables.events(s, d),
+        col("user_id") % 60, col("event_type"), col("value") > 50)),
+
+    // TOST equivalence (Stats.tost): odd vs even users' event value,
+    // +/-5.0 margin — evidence of NO effect, with Cohen's d beside.
+    "q_tost" -> ((s, d) =>
+      graft.ops.Stats.tost(Tables.events(s, d),
+        col("user_id") % 2 === 1, "value", margin = 5.0)),
+
+    // Per-segment two-proportion tests with REAL normal-tail p-values
+    // (Stats.proportionPValues via the A&S phiCdf) pushed through the
+    // existing BH step-up (Stats.bhAdjust) at alpha = 0.1 — the
+    // full-fidelity sibling of q_bh_fdr's surrogate-p sweep.
+    "q_prop_ztest_fdr" -> ((s, d) =>
+      graft.ops.Stats.bhAdjust(
+        graft.ops.Stats.proportionPValues(Tables.customer(s, d),
+          col("c_mktsegment"), col("c_nationkey") % 2 === 1,
+          col("c_acctbal") > 5000).filter(col("p").isNotNull),
+        "grp", "p", alpha = 0.1).orderBy("grp")),
+
+    // Page-Hinkley drift alarm (Stats.pageHinkley): running-mean
+    // deviation monitor over the daily order series, lambda = 25.
+    "q_page_hinkley" -> ((s, d) =>
+      graft.ops.Stats.pageHinkley(Tables.orders(s, d),
+        to_date(col("o_orderdate")), lambda = 25.0)),
+
+    // Zipf rank-frequency slope (TextAnalysis.zipfSlope): log-log OLS
+    // over the top-64 token head of the documents corpus.
+    "q_zipf_slope" -> ((s, d) =>
+      graft.ops.TextAnalysis.zipfSlope(Tables.documents(s, d),
+        "text", topN = 64)),
+
     // HBOS density outliers (Stats.hbosTopK): top-50 line items whose
     // quantity/price/discount all sit in rare histogram bins — the
     // independence-density gate beside Mahalanobis.
@@ -7109,6 +7159,220 @@ object SparkEntry {
         "WHEN st.llrs >= ln((1.0 - 0.05) / 0.05) THEN 'reject_h0' " +
         "ELSE 'accept_h0' END AS decision " +
         "FROM f LEFT JOIN st USING (arm) ORDER BY arm"),
+
+    // Mirrors Stats.mannKendall: same pairwise sign sum over the daily
+    // table, tie-corrected variance, continuity-corrected z.
+    "q_mann_kendall" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "nd AS (SELECT count(*) AS n FROM daily), " +
+        "sa AS (SELECT CAST(coalesce(sum(CASE WHEN b.y > a.y THEN 1 " +
+        "WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS BIGINT) AS s " +
+        "FROM daily a JOIN daily b ON a.d < b.d), " +
+        "tm AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) " +
+        "AS BIGINT) AS tm FROM " +
+        "(SELECT count(*) AS t FROM daily GROUP BY y)), " +
+        "f AS (SELECT nd.n AS n_days, sa.s AS s, " +
+        "(CAST(nd.n AS DOUBLE) * (CAST(nd.n AS DOUBLE) - 1.0) * " +
+        "(2.0 * CAST(nd.n AS DOUBLE) + 5.0) - CAST(tm.tm AS DOUBLE)) / 18.0 " +
+        "AS vs FROM nd CROSS JOIN sa CROSS JOIN tm) " +
+        "SELECT n_days, s, round(vs, 6) + 0.0 AS var_s, " +
+        "CASE WHEN vs > 0 THEN round(CASE WHEN s > 0 THEN " +
+        "(CAST(s AS DOUBLE) - 1.0) / sqrt(vs) WHEN s < 0 THEN " +
+        "(CAST(s AS DOUBLE) + 1.0) / sqrt(vs) ELSE 0.0 END, 6) + 0.0 END " +
+        "AS z FROM f"),
+
+    // Mirrors Stats.jarqueBera: DECIMAL(38,8) raw power sums, the same
+    // fixed-parenthesization central-moment expansion, n>=4 / m2>0 pins.
+    "q_jarque_bera" ->
+      ("WITH m AS (SELECT c_mktsegment AS grp, count(*) AS n, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS s2, " +
+        "CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal AS DECIMAL(38,8))) " +
+        "AS DOUBLE) AS s3, " +
+        "CAST(sum(CAST(c_acctbal * c_acctbal * c_acctbal * c_acctbal " +
+        "AS DECIMAL(38,8))) AS DOUBLE) AS s4 " +
+        "FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1), " +
+        "v AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd, " +
+        "s1 / CAST(n AS DOUBLE) AS mean, s2, s3, s4 FROM m), " +
+        "c AS (SELECT grp, n, nd, " +
+        "s2 / nd - mean * mean AS m2, " +
+        "s3 / nd - 3.0 * mean * (s2 / nd) + 2.0 * mean * mean * mean AS m3, " +
+        "s4 / nd - 4.0 * mean * (s3 / nd) + 6.0 * mean * mean * (s2 / nd) " +
+        "- 3.0 * mean * mean * mean * mean AS m4 FROM v), " +
+        "r AS (SELECT grp, n, nd, m2, m3 / (m2 * sqrt(m2)) AS skew, " +
+        "m4 / (m2 * m2) AS kurt FROM c) " +
+        "SELECT grp, n, " +
+        "CASE WHEN n >= 4 AND m2 > 0 THEN round(skew, 6) + 0.0 END AS skewness, " +
+        "CASE WHEN n >= 4 AND m2 > 0 THEN round(kurt, 6) + 0.0 END AS kurtosis, " +
+        "CASE WHEN n >= 4 AND m2 > 0 THEN round(nd / 6.0 * (skew * skew + " +
+        "(kurt - 3.0) * (kurt - 3.0) / 4.0), 6) + 0.0 END AS jb " +
+        "FROM r ORDER BY grp"),
+
+    // Mirrors Stats.cochranQ: same max-per-cell binaries, complete-block
+    // restriction, exact integer row/column sums, zero-denominator pin.
+    "q_cochran_q" ->
+      ("WITH cells AS (SELECT user_id % 60 AS b, event_type AS t, " +
+        "max(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "kk AS (SELECT count(DISTINCT t) AS k FROM cells), " +
+        "comp AS (SELECT b FROM cells GROUP BY b " +
+        "HAVING count(*) = (SELECT k FROM kk)), " +
+        "cc AS (SELECT cells.* FROM cells JOIN comp USING (b)), " +
+        "cs AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nn, " +
+        "CAST(coalesce(sum(c * c), 0) AS BIGINT) AS sc2 FROM " +
+        "(SELECT sum(x) AS c FROM cc GROUP BY t)), " +
+        "rs AS (SELECT count(*) AS n_blocks, " +
+        "CAST(coalesce(sum(r * r), 0) AS BIGINT) AS sr2 FROM " +
+        "(SELECT sum(x) AS r FROM cc GROUP BY b)) " +
+        "SELECT rs.n_blocks, kk.k AS k_treatments, cs.nn AS n_success, " +
+        "CASE WHEN CAST(kk.k AS DOUBLE) * CAST(cs.nn AS DOUBLE) - " +
+        "CAST(rs.sr2 AS DOUBLE) > 0 THEN " +
+        "round((CAST(kk.k AS DOUBLE) - 1.0) * (CAST(kk.k AS DOUBLE) * " +
+        "CAST(cs.sc2 AS DOUBLE) - CAST(cs.nn AS DOUBLE) * CAST(cs.nn AS DOUBLE)) " +
+        "/ (CAST(kk.k AS DOUBLE) * CAST(cs.nn AS DOUBLE) - " +
+        "CAST(rs.sr2 AS DOUBLE)), 6) + 0.0 END AS q " +
+        "FROM rs CROSS JOIN cs CROSS JOIN kk"),
+
+    // Mirrors Stats.tost (margin 5.0, alpha 0.05): Welch se on DECIMAL
+    // conditional moments, 6-dp z first, then the A&S 26.2.17 polynomial
+    // (phiCdf's pinned literals) on the ROUNDED z, 9-dp p each side.
+    "q_tost" ->
+      ("WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g, " +
+        "value AS x FROM events WHERE value IS NOT NULL), " +
+        "m AS (SELECT CAST(sum(1 - g) AS BIGINT) AS n_a, " +
+        "CAST(sum(g) AS BIGINT) AS n_b, " +
+        "sum(CAST(CASE WHEN g = 0 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sa, " +
+        "sum(CAST(CASE WHEN g = 1 THEN x ELSE 0.0 END AS DECIMAL(38,10))) AS sb, " +
+        "sum(CAST(CASE WHEN g = 0 THEN x * x ELSE 0.0 END AS DECIMAL(38,10))) AS qa, " +
+        "sum(CAST(CASE WHEN g = 1 THEN x * x ELSE 0.0 END AS DECIMAL(38,10))) AS qb " +
+        "FROM b), " +
+        "c AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na, " +
+        "CAST(n_b AS DOUBLE) AS nb, " +
+        "CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma, " +
+        "CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb, qa, qb FROM m), " +
+        "v AS (SELECT n_a, n_b, na, nb, ma, mb, " +
+        "(CAST(qa AS DOUBLE) - na * ma * ma) / (na - 1.0) AS va, " +
+        "(CAST(qb AS DOUBLE) - nb * mb * mb) / (nb - 1.0) AS vb FROM c), " +
+        "s AS (SELECT n_a, n_b, na, nb, mb - ma AS diff, " +
+        "sqrt(va / na + vb / nb) AS se, " +
+        "sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0)) AS sp " +
+        "FROM v), " +
+        "z AS (SELECT n_a, n_b, diff, se, sp, " +
+        "round((diff + 5.0) / se, 6) + 0.0 AS zlo, " +
+        "round((5.0 - diff) / se, 6) + 0.0 AS zhi FROM s), " +
+        "t AS (SELECT z.*, 1.0 / (1.0 + 0.2316419 * abs(zlo)) AS tlo, " +
+        "1.0 / (1.0 + 0.2316419 * abs(zhi)) AS thi FROM z), " +
+        "u AS (SELECT t.*, " +
+        "1.0 - exp(abs(zlo) * abs(zlo) * (-0.5)) * 0.3989422804014327 * " +
+        "(tlo * (0.319381530 + tlo * (-0.356563782 + tlo * (1.781477937 + " +
+        "tlo * (-1.821255978 + tlo * 1.330274429))))) AS uplo, " +
+        "1.0 - exp(abs(zhi) * abs(zhi) * (-0.5)) * 0.3989422804014327 * " +
+        "(thi * (0.319381530 + thi * (-0.356563782 + thi * (1.781477937 + " +
+        "thi * (-1.821255978 + thi * 1.330274429))))) AS uphi FROM t), " +
+        "p AS (SELECT u.*, " +
+        "round(1.0 - CASE WHEN zlo >= 0 THEN uplo ELSE 1.0 - uplo END, 9) AS plo, " +
+        "round(1.0 - CASE WHEN zhi >= 0 THEN uphi ELSE 1.0 - uphi END, 9) AS phi " +
+        "FROM u) " +
+        "SELECT n_a, n_b, round(diff, 6) + 0.0 AS diff, " +
+        "CASE WHEN se > 0 THEN round(diff / sp, 6) + 0.0 END AS cohens_d, " +
+        "CASE WHEN se > 0 THEN zlo END AS z_lower, " +
+        "CASE WHEN se > 0 THEN zhi END AS z_upper, " +
+        "CASE WHEN se > 0 THEN greatest(plo, phi) END AS p_tost, " +
+        "CASE WHEN se > 0 THEN greatest(plo, phi) < 0.05 END AS equivalent " +
+        "FROM p"),
+
+    // Mirrors Stats.bhAdjust over Stats.proportionPValues: grouped
+    // conditional counters, 6-dp z, A&S p, rank + reverse running min.
+    "q_prop_ztest_fdr" ->
+      ("WITH c AS (SELECT c_mktsegment AS grp, " +
+        "CAST(sum(CASE WHEN c_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN c_nationkey % 2 = 0 AND c_acctbal > 5000 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS x_a, " +
+        "CAST(sum(CASE WHEN c_nationkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN c_nationkey % 2 = 1 AND c_acctbal > 5000 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS x_b FROM customer GROUP BY 1), " +
+        "e AS (SELECT c.*, " +
+        "(CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE)) / " +
+        "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled FROM c), " +
+        "se AS (SELECT e.*, sqrt(pooled * (1.0 - pooled) * " +
+        "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS sev FROM e), " +
+        "zz AS (SELECT se.*, round((CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) - " +
+        "CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / sev, 6) + 0.0 AS z FROM se), " +
+        "pv AS (SELECT grp, n_a, x_a, n_b, x_b, " +
+        "CASE WHEN sev > 0 THEN z END AS z, " +
+        "CASE WHEN sev > 0 THEN round(2.0 * (1.0 - (1.0 - " +
+        "exp(abs(z) * abs(z) * (-0.5)) * 0.3989422804014327 * " +
+        "((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 + " +
+        "(1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 + " +
+        "(1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 + " +
+        "(1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 + " +
+        "(1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))))), 9) END AS p " +
+        "FROM zz), " +
+        "ok AS (SELECT * FROM pv WHERE p IS NOT NULL), " +
+        "mm AS (SELECT count(*) AS m FROM ok), " +
+        "rk AS (SELECT ok.*, CAST(row_number() OVER (ORDER BY p, grp) " +
+        "AS BIGINT) AS rank FROM ok), " +
+        "rw AS (SELECT rk.*, CAST(mm.m AS DOUBLE) * p / " +
+        "CAST(rank AS DOUBLE) AS raw FROM rk CROSS JOIN mm), " +
+        "ad AS (SELECT grp, n_a, x_a, n_b, x_b, z, p, rank, " +
+        "round(least(1.0, min(raw) OVER (ORDER BY rank ROWS BETWEEN " +
+        "CURRENT ROW AND UNBOUNDED FOLLOWING)), 6) AS p_adj FROM rw) " +
+        "SELECT grp, n_a, x_a, n_b, x_b, z, p, rank, p_adj, " +
+        "p_adj <= 0.1 AS signif FROM ad ORDER BY grp"),
+
+    // Mirrors Stats.pageHinkley (lambda 25, delta 0): calendar-bounded
+    // daily windows, 9-dp terms into DECIMAL(38,9) cumulatives.
+    "q_page_hinkley" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+        "t AS (SELECT d, x, count(*) OVER w AS i, " +
+        "sum(CAST(x AS DECIMAL(38,9))) OVER w AS cum FROM daily " +
+        "WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW)), " +
+        "tt AS (SELECT d, round(x - CAST(cum AS DOUBLE) / " +
+        "CAST(i AS DOUBLE) - 0.0, 9) + 0.0 AS term FROM t), " +
+        "ph AS (SELECT d, sum(CAST(term AS DECIMAL(38,9))) OVER w AS v " +
+        "FROM tt WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW)), " +
+        "g AS (SELECT d, CAST(v - min(v) OVER w AS DOUBLE) AS gap FROM ph " +
+        "WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW)), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_alarms, " +
+        "min(d) AS first_alarm FROM g WHERE gap > 25.0), " +
+        "s AS (SELECT count(*) AS n_days, round(max(gap), 6) + 0.0 " +
+        "AS max_gap FROM g) " +
+        "SELECT s.n_days, s.max_gap, coalesce(a.n_alarms, 0) AS n_alarms, " +
+        "a.first_alarm FROM s CROSS JOIN a"),
+
+    // Mirrors TextAnalysis.zipfSlope (topN 64): same split/unnest
+    // tokens, (count DESC, token) head, heapsLaw's exact OLS.
+    "q_zipf_slope" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "cnt AS (SELECT token, count(*) AS c FROM tok " +
+        "WHERE token <> '' GROUP BY 1), " +
+        "head AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 64), " +
+        "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r " +
+        "FROM head), " +
+        "pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, " +
+        "ln(CAST(c AS DOUBLE)) AS y FROM rk), " +
+        "m AS (SELECT count(*) AS n_head, " +
+        "sum(CAST(x AS DECIMAL(28,10))) AS sx, " +
+        "sum(CAST(y AS DECIMAL(28,10))) AS sy, " +
+        "sum(CAST(x * x AS DECIMAL(28,10))) AS sxx, " +
+        "sum(CAST(y * y AS DECIMAL(28,10))) AS syy, " +
+        "sum(CAST(x * y AS DECIMAL(28,10))) AS sxy FROM pts), " +
+        "f AS (SELECT n_head, CAST(n_head AS DOUBLE) AS n, " +
+        "CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy, " +
+        "CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy, " +
+        "CAST(sxy AS DOUBLE) AS sxy FROM m), " +
+        "g AS (SELECT n_head, n, sx, sy, n * sxy - sx * sy AS covn, " +
+        "n * sxx - sx * sx AS varxn, n * syy - sy * sy AS varyn FROM f) " +
+        "SELECT n_head, round(covn / varxn, 6) + 0.0 AS slope, " +
+        "round((sy - covn / varxn * sx) / n, 6) + 0.0 AS intercept, " +
+        "CASE WHEN varyn > 0 THEN round(covn * covn / (varxn * varyn), 6) " +
+        "+ 0.0 END AS r2 FROM g"),
 
     "q_stratified_ate" ->
       ("WITH b AS (SELECT hour(ts) AS s, " +

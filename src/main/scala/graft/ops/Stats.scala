@@ -3173,4 +3173,256 @@ object Stats {
     base.crossJoin(broadcast(logisticBeta(base, iters)))
       .select(col("__id").alias("id"), round(logisticP, 6).alias("score"))
   }
+
+  /** Mann-Kendall trend test of the daily-count series — the HYPOTHESIS
+    * companion to [[theilSenTrend]]'s slope estimate (same pairwise
+    * machinery, same calendar-bounded² stance with the same explicit
+    * `maxDays` raise_error guard before the join):
+    *   S = Σ_{i<j} sgn(x_j − x_i),
+    *   var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 (tie-corrected),
+    * z with the ±1 continuity correction ((S−1)/σ for S>0, (S+1)/σ for
+    * S<0, 0 at S=0). S and the tie mass are exact integers, so z is one
+    * IEEE expression from integer inputs — engine-identical; an
+    * all-tied series (var 0) pins z NULL. */
+  def mannKendall(df: DataFrame, dateCol: Column,
+                  maxDays: Int = 20000): DataFrame = {
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__y"))
+    val nd = daily.agg(count(lit(1)).alias("__nd"))
+    val series = daily.crossJoin(broadcast(nd))
+      .select(when(col("__nd") > maxDays,
+        raise_error(lit(s"mannKendall: series exceeds $maxDays days — " +
+          "coarsen the date grain or raise maxDays")))
+        .otherwise(col("__d")).alias("__d"), col("__y"))
+    val s2 = series.select(col("__d").alias("__d2"), col("__y").alias("__y2"))
+    val sAgg = series.join(s2, col("__d") < col("__d2"))
+      .agg(coalesce(sum(when(col("__y2") > col("__y"), 1L)
+        .when(col("__y2") < col("__y"), -1L).otherwise(0L)), lit(0L))
+        .alias("s"))
+    val ties = series.groupBy("__y").agg(count(lit(1)).alias("__t"))
+      .agg(count(lit(1)).alias("__nv"),
+        coalesce(sum(col("__t") * (col("__t") - 1) *
+          (lit(2L) * col("__t") + 5)), lit(0L)).alias("__tm"))
+    val n = series.agg(count(lit(1)).alias("n_days"))
+    val out = n.crossJoin(broadcast(sAgg)).crossJoin(broadcast(ties))
+    val ndD = col("n_days").cast("double")
+    val varS = (ndD * (ndD - lit(1.0)) * (lit(2.0) * ndD + lit(5.0)) -
+      col("__tm").cast("double")) / lit(18.0)
+    val sD = col("s").cast("double")
+    val z = when(col("s") > 0, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s") < 0, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    out.select(col("n_days"), col("s"),
+      round0(varS, 6).alias("var_s"),
+      when(varS > 0, round0(z, 6)).alias("z"))
+  }
+
+  /** Jarque-Bera normality statistic per group — "does this slice even
+    * look Gaussian" as a pre-flight for the z-score/CI family: sample
+    * skewness g₁ = m₃/m₂^1.5 and kurtosis g₂ = m₄/m₂², JB = n/6·(g₁² +
+    * (g₂−3)²/4). One grouped pass accumulates the four raw power sums in
+    * DECIMAL(38,8) (exact under any partitioning); central moments come
+    * from the fixed-parenthesization binomial expansion, so both engines
+    * assemble identical doubles. n < 4 or zero variance pins the
+    * readouts NULL (the test is undefined). */
+  def jarqueBera(df: DataFrame, groupCol: Column, valueCol: String)
+      : DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(groupCol.alias("grp"), col(valueCol).cast("double").alias("__x"))
+    val m = base.groupBy("grp").agg(count(lit(1)).alias("n"),
+      sum(col("__x").cast("decimal(38,8)")).alias("__s1"),
+      sum((col("__x") * col("__x")).cast("decimal(38,8)")).alias("__s2"),
+      sum((col("__x") * col("__x") * col("__x")).cast("decimal(38,8)"))
+        .alias("__s3"),
+      sum((col("__x") * col("__x") * col("__x") * col("__x"))
+        .cast("decimal(38,8)")).alias("__s4"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mean = d("__s1") / nD
+    val m2 = d("__s2") / nD - mean * mean
+    val m3 = d("__s3") / nD - lit(3.0) * mean * (d("__s2") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = d("__s4") / nD - lit(4.0) * mean * (d("__s3") / nD) +
+      lit(6.0) * mean * mean * (d("__s2") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / lit(6.0) *
+      (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    val ok = col("n") >= 4 && m2 > 0
+    m.select(col("grp"), col("n"),
+      when(ok, round0(skew, 6)).alias("skewness"),
+      when(ok, round0(kurt, 6)).alias("kurtosis"),
+      when(ok, round0(jb, 6)).alias("jb"))
+  }
+
+  /** Cochran's Q — the k-treatment BINARY repeated-measures test closing
+    * the nonparametric square ([[friedmanTest]] is its ordinal sibling,
+    * [[mcnemarTest]] its k = 2 special case): n complete blocks × k
+    * treatments of 0/1 outcomes (a block that saw a treatment at least
+    * once scores 1 — mcnemarTest's max convention),
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    * with C_j the treatment totals, R_i the block totals, N the grand
+    * total. Same eager-k + complete-block machinery as friedmanTest;
+    * every term is an exact integer so Q is one IEEE division. A
+    * degenerate table (all blocks all-0 or all-1 ⇒ zero denominator)
+    * pins Q NULL. */
+  def cochranQ(df: DataFrame, blockCol: Column, treatCol: Column,
+               success: Column): DataFrame = {
+    val cells = df.groupBy(blockCol.alias("__b"), treatCol.alias("__t"))
+      .agg(max(when(success, 1L).otherwise(0L)).alias("__x"))
+    val k = cells.select("__t").distinct().count()
+    val complete = cells.groupBy("__b").agg(count(lit(1)).alias("__kc"))
+      .filter(col("__kc") === k).select("__b")
+    val cc = cells.join(complete, "__b")
+    val colSums = cc.groupBy("__t").agg(sum("__x").alias("__c"))
+      .agg(coalesce(sum("__c"), lit(0L)).alias("__nn"),
+        coalesce(sum(col("__c") * col("__c")), lit(0L)).alias("__sc2"))
+    val rowSums = cc.groupBy("__b").agg(sum("__x").alias("__r"))
+      .agg(count(lit(1)).alias("n_blocks"),
+        coalesce(sum(col("__r") * col("__r")), lit(0L)).alias("__sr2"))
+    val kd = lit(k.toDouble)
+    val num = (kd - lit(1.0)) * (kd * col("__sc2").cast("double") -
+      col("__nn").cast("double") * col("__nn").cast("double"))
+    val den = kd * col("__nn").cast("double") - col("__sr2").cast("double")
+    rowSums.crossJoin(broadcast(colSums))
+      .select(col("n_blocks"), lit(k).alias("k_treatments"), col("__nn").alias("n_success"),
+        when(den > 0, round0(num / den, 6)).alias("q"))
+  }
+
+  /** Standard normal CDF via the Abramowitz-Stegun 26.2.17 rational
+    * polynomial (|error| < 7.5e-8) — every coefficient a pinned literal
+    * and the Horner chain a fixed parenthesization, so both engines
+    * evaluate the identical IEEE expression; the symmetric branch keeps
+    * negative z exact. p-value readouts built on this round to 9 dp,
+    * absorbing the sub-1e-7 approximation slack the same way the EWMA
+    * weight ladder does. */
+  private[graft] def phiCdf(z: Column): Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * abs(z))
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val pdf = exp(abs(z) * abs(z) * lit(-0.5)) * lit(0.3989422804014327)
+    val upper = lit(1.0) - pdf * poly
+    when(z >= 0, upper).otherwise(lit(1.0) - upper)
+  }
+
+  /** Per-group two-proportion z AND two-sided p — the metric-per-segment
+    * fan-out feeding [[bhAdjust]] with REAL normal-tail p-values (the
+    * q_bh_fdr sweep uses the exp(−z²/2) surrogate where no CDF was
+    * available; [[phiCdf]] closes that gap): within each group, treated-vs-control
+    * success counts from ONE conditional-counter aggregation
+    * ([[graft.ops.Aggregates.twoProportionZ]]'s pooled-variance
+    * statistic, grouped), z 6-dp round0 first, then p = 2·(1−Φ(|z|))
+    * from the ROUNDED z via [[phiCdf]], 9-dp — so the p the FDR step
+    * ranks on is engine-identical by construction. Degenerate groups
+    * (empty side, pooled rate 0 or 1) pin z and p NULL. */
+  def proportionPValues(df: DataFrame, groupCol: Column, treated: Column,
+                        success: Column): DataFrame = {
+    val counts = df.groupBy(groupCol.alias("grp")).agg(
+      sum(when(!treated, 1L).otherwise(0L)).alias("n_a"),
+      sum(when(!treated && success, 1L).otherwise(0L)).alias("x_a"),
+      sum(when(treated, 1L).otherwise(0L)).alias("n_b"),
+      sum(when(treated && success, 1L).otherwise(0L)).alias("x_b"))
+    val na = col("n_a").cast("double"); val xa = col("x_a").cast("double")
+    val nb = col("n_b").cast("double"); val xb = col("x_b").cast("double")
+    val pooled = (xa + xb) / (na + nb)
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / na + lit(1.0) / nb))
+    val z = round0((xb / nb - xa / na) / se, 6)
+    counts.select(col("grp"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(se > 0, z).alias("z"),
+      when(se > 0, round(lit(2.0) * (lit(1.0) - phiCdf(abs(z))), 9))
+        .alias("p"))
+  }
+
+  /** TOST equivalence test — the readout the A/B family cannot give:
+    * EVIDENCE OF NO EFFECT (|μ_b − μ_a| < margin), not merely absence of
+    * evidence. Two one-sided z-tests against ±margin on the Welch
+    * standard error, p = 1 − Φ(z) each side via [[phiCdf]] (9-dp from
+    * 6-dp z, [[proportionPValues]]' rounding ladder), p_tost = max —
+    * equivalent at α when p_tost < α. Cohen's d on the pooled sd rides
+    * along as the effect-size readout. One conditional-moment pass
+    * (DECIMAL sums); arms with n < 2 fail fast (mdeReport's guard);
+    * zero spread pins the z/p readouts NULL. */
+  def tost(df: DataFrame, groupB: Column, valueCol: String,
+           margin: Double, alpha: Double = 0.05): DataFrame = {
+    require(margin > 0, s"tost: bad margin=$margin")
+    require(alpha > 0 && alpha < 1, s"tost: bad alpha=$alpha")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(when(groupB, 1L).otherwise(0L).alias("__b"),
+        col(valueCol).cast("double").alias("__x"))
+    val m = base.agg(
+      sum(lit(1L) - col("__b")).alias("n_a"), sum("__b").alias("n_b"),
+      sum(when(col("__b") === 0, col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__sa"),
+      sum(when(col("__b") === 1, col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__sb"),
+      sum(when(col("__b") === 0, col("__x") * col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__qa"),
+      sum(when(col("__b") === 1, col("__x") * col("__x")).otherwise(0.0)
+        .cast("decimal(38,10)")).alias("__qb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("__sa").cast("double") / na
+    val mb = col("__sb").cast("double") / nb
+    val va = (col("__qa").cast("double") - na * ma * ma) / (na - lit(1.0))
+    val vb = (col("__qb").cast("double") - nb * mb * mb) / (nb - lit(1.0))
+    val se = sqrt(va / na + vb / nb)
+    val sp = sqrt(((na - lit(1.0)) * va + (nb - lit(1.0)) * vb) /
+      (na + nb - lit(2.0)))
+    val diff = mb - ma
+    val zLo = round0((diff + lit(margin)) / se, 6)
+    val zHi = round0((lit(margin) - diff) / se, 6)
+    def guarded(c: Column) = when(col("n_a") < 2 || col("n_b") < 2,
+      raise_error(lit("tost: need at least 2 rows per arm"))).otherwise(c)
+    val pLo = round(lit(1.0) - phiCdf(zLo), 9)
+    val pHi = round(lit(1.0) - phiCdf(zHi), 9)
+    val pTost = greatest(pLo, pHi)
+    m.select(col("n_a"), col("n_b"),
+      guarded(round0(diff, 6)).alias("diff"),
+      guarded(when(se > 0, round0(diff / sp, 6))).alias("cohens_d"),
+      guarded(when(se > 0, zLo)).alias("z_lower"),
+      guarded(when(se > 0, zHi)).alias("z_upper"),
+      guarded(when(se > 0, pTost)).alias("p_tost"),
+      guarded(when(se > 0, pTost < alpha)).alias("equivalent"))
+  }
+
+  /** Page-Hinkley drift alarm over the daily-count series — the
+    * SEQUENTIAL mean-shift monitor beside [[cusumChangepoints]]' known-κ
+    * form (PH needs no reference mean: it tracks deviation from the
+    * RUNNING mean): per day t, PH_t = Σ_{i≤t}(x_i − x̄_i − δ) with x̄_i
+    * the running mean, alarm when PH_t − min_{s≤t} PH_s > λ. Scale
+    * shape: stream → CALENDAR-BOUNDED daily table; the ordered windows
+    * run over that bounded series (autocorrelation's stance). Running
+    * means are doubles from exact DECIMAL prefix sums; each deviation
+    * term rounds to 9 dp before the DECIMAL(38,9) cumulative, so PH and
+    * the alarm boundary are engine-exact. Readout: one row — n_days,
+    * max PH gap (6-dp), first alarm date (NULL if never), alarm count. */
+  def pageHinkley(df: DataFrame, dateCol: Column, lambda: Double,
+                  delta: Double = 0.0): DataFrame = {
+    require(lambda > 0, s"pageHinkley: bad lambda=$lambda")
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"))
+    val w = Window.orderBy("__d") // calendar-bounded: one row per date
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = daily
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__cum", sum(col("__x").cast("decimal(38,9)")).over(w))
+      .withColumn("__term", round0(col("__x") -
+        col("__cum").cast("double") / col("__i").cast("double") -
+        lit(delta), 9))
+    val ph = terms
+      .withColumn("__ph", sum(col("__term").cast("decimal(38,9)")).over(w))
+      .withColumn("__phmin", min("__ph").over(w))
+      .withColumn("__gap", (col("__ph") - col("__phmin")).cast("double"))
+    val alarms = ph.filter(col("__gap") > lambda)
+      .agg(count(lit(1)).alias("n_alarms"),
+        min("__d").alias("first_alarm"))
+    val summary = ph.agg(count(lit(1)).alias("n_days"),
+      round0(max("__gap"), 6).alias("max_gap"))
+    summary.crossJoin(broadcast(alarms))
+      .select(col("n_days"), col("max_gap"),
+        coalesce(col("n_alarms"), lit(0L)).alias("n_alarms"),
+        col("first_alarm"))
+  }
 }

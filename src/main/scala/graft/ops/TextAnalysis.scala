@@ -1467,4 +1467,44 @@ object TextAnalysis {
           lit(1.0) / col("__firsthit").cast("double"))
           .otherwise(lit(0.0)), 6).alias("rr"))
   }
+
+  /** Zipf rank-frequency slope over the corpus head — the
+    * frequency-side companion to [[heapsLaw]]'s vocabulary-growth fit
+    * (the two exponents are duals): token counts from one map-side-
+    * combined shuffle, the TOP `topN` tokens by (count DESC, token) —
+    * orderBy+limit compiles to TakeOrderedAndProject, so every task
+    * keeps a topN-row heap and no vocab-sized table is ever sorted
+    * globally — then ln(freq) on ln(rank) through heapsLaw's exact OLS
+    * (DECIMAL(28,10) moment sums over the topN-row table). A natural
+    * corpus reads slope ≈ −1; machine-generated or templated text bends
+    * it. Readout: head size, slope, ln-intercept, r². */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 256)
+      : DataFrame = {
+    require(topN >= 8 && topN <= 65536, s"zipfSlope: bad topN=$topN")
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias("__c"))
+    val head = counts.orderBy(desc("__c"), col("token")).limit(topN)
+    val ranked = head.withColumn("__r",
+      row_number().over(Window.orderBy(desc("__c"), col("token"))))
+    val pts = ranked.select(log(col("__r").cast("double")).alias("__x"),
+      log(col("__c").cast("double")).alias("__y"))
+    val m = pts.agg(count(lit(1)).alias("n_head"),
+      sum(col("__x").cast("decimal(28,10)")).alias("__sx"),
+      sum(col("__y").cast("decimal(28,10)")).alias("__sy"),
+      sum((col("__x") * col("__x")).cast("decimal(28,10)")).alias("__sxx"),
+      sum((col("__y") * col("__y")).cast("decimal(28,10)")).alias("__syy"),
+      sum((col("__x") * col("__y")).cast("decimal(28,10)")).alias("__sxy"))
+    val n = col("n_head").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covn = n * d("__sxy") - d("__sx") * d("__sy")
+    val varxn = n * d("__sxx") - d("__sx") * d("__sx")
+    val varyn = n * d("__syy") - d("__sy") * d("__sy")
+    val beta = covn / varxn
+    m.select(col("n_head"),
+      round0(beta, 6).alias("slope"),
+      round0((d("__sy") - beta * d("__sx")) / n, 6).alias("intercept"),
+      when(varyn > 0, round0(covn * covn / (varxn * varyn), 6)).alias("r2"))
+  }
 }

@@ -2720,4 +2720,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(l1.isNullAt(3))
     assert(math.abs(l1.getDouble(4) - 1.0) < 1e-9)
   }
+
+  test("zipfSlope: an exact 1/rank head fits slope -1 with r2 = 1") {
+    import spark.implicits._
+    // counts 12, 6, 4, 3 = 12/rank for ranks 1..4: ln-ln points are
+    // exactly collinear, so the OLS reads slope -1, intercept ln 12
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(docs, "text", topN = 8).collect().head
+    assert(r.getLong(0) == 4)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-6)
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)
+  }
 }

@@ -1316,4 +1316,109 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val s0 = 1.0 / (1.0 + math.exp(-(b0 + b1 * -1.0 + b2 * 0.0)))
     assert(math.abs(sc(0L) - s0) < 1e-5)
   }
+
+  test("mannKendall: strictly rising series, tie-corrected variance") {
+    import spark.implicits._
+    // day i has i rows -> counts 1,2,3,4: all 6 pairs concordant, S = 6;
+    // no count ties -> var = 4*3*13/18 = 26/3; z = 5/sqrt(26/3)
+    val rows = for { d <- 1 to 4; _ <- 1 to d } yield s"2024-01-0$d"
+    val df = rows.toDF("ds").select(to_date(col("ds")).alias("d"))
+    val r = Stats.mannKendall(df, col("d")).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6)
+    assert(math.abs(r.getDouble(2) - 26.0 / 3) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 5.0 / math.sqrt(26.0 / 3)) < 1e-6)
+    // two equal-count days: all pairs tied -> var 0 -> z NULL
+    val flat = Seq("2024-02-01", "2024-02-02").toDF("ds")
+      .select(to_date(col("ds")).alias("d"))
+    val f = Stats.mannKendall(flat, col("d")).collect().head
+    assert(f.getLong(1) == 0 && f.isNullAt(3))
+  }
+
+  test("jarqueBera: symmetric 1..5 has zero skew, hand-computed kurtosis") {
+    import spark.implicits._
+    // mean 3, m2 = 2, m3 = 0, m4 = 6.8 -> skew 0, kurt 1.7,
+    // JB = 5/6 * (0 + 1.69/4) = 0.3520833...
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("g", _)) ++
+      Seq(("h", 1.0), ("h", 2.0), ("h", 3.0))).toDF("grp", "v")
+    val got = Stats.jarqueBera(df, col("grp"), "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = got("g")
+    assert(g.getLong(1) == 5 && g.getDouble(2) == 0.0)
+    assert(math.abs(g.getDouble(3) - 1.7) < 1e-9)
+    assert(math.abs(g.getDouble(4) - 5.0 / 6 * (1.69 / 4)) < 1e-6)
+    assert(got("h").isNullAt(4)) // n < 4 -> undefined
+  }
+
+  test("cochranQ: textbook 4x3 table gives Q = 14/3") {
+    import spark.implicits._
+    // C = (3,4,1), N = 8, sumC2 = 26; R = (2,2,1,3), sumR2 = 18;
+    // Q = 2*(3*26 - 64)/(3*8 - 18) = 28/6
+    val df = Seq(
+      (1, "a", 1), (1, "b", 1), (1, "c", 0),
+      (2, "a", 1), (2, "b", 1), (2, "c", 0),
+      (3, "a", 0), (3, "b", 1), (3, "c", 0),
+      (4, "a", 1), (4, "b", 1), (4, "c", 1)).toDF("blk", "t", "s")
+    val r = Stats.cochranQ(df, col("blk"), col("t"), col("s") === 1)
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3 && r.getLong(2) == 8)
+    assert(math.abs(r.getDouble(3) - 28.0 / 6) < 1e-6)
+    // degenerate: every block all-success -> zero denominator -> NULL Q
+    val allOne = Seq((1, "a", 1), (1, "b", 1), (2, "a", 1), (2, "b", 1))
+      .toDF("blk", "t", "s")
+    val d = Stats.cochranQ(allOne, col("blk"), col("t"), col("s") === 1)
+      .collect().head
+    assert(d.isNullAt(3))
+  }
+
+  test("phiCdf matches the normal CDF within the A&S error bound") {
+    import spark.implicits._
+    val zs = Seq(0.0, 1.0, 1.96, -1.96, 2.5758, -0.5)
+    val got = zs.toDF("z").select(Stats.phiCdf(col("z")).alias("p"))
+      .collect().map(_.getDouble(0))
+    val want = Seq(0.5, 0.8413447461, 0.9750021049, 0.0249978951,
+      0.9950001154, 0.3085375387)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-6) }
+  }
+
+  test("tost: near-identical arms are equivalent at a wide margin") {
+    import spark.implicits._
+    val df = (Seq(10.0, 11.0, 12.0, 13.0).map((0, _)) ++
+      Seq(10.5, 11.5, 12.4, 13.1).map((1, _))).toDF("g", "v")
+    val r = Stats.tost(df, col("g") === 1, "v", margin = 5.0).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(math.abs(r.getDouble(2) - 0.375) < 1e-9) // mb - ma
+    assert(r.getDouble(6) < 0.05 && r.getBoolean(7)) // p_tost, equivalent
+    // an arm with one row fails fast (mdeReport's stance)
+    val tiny = Seq((0, 1.0), (0, 2.0), (1, 9.0)).toDF("g", "v")
+    val boom = intercept[Exception] {
+      Stats.tost(tiny, col("g") === 1, "v", margin = 1.0).collect()
+    }
+    assert(boom.getMessage.contains("tost: need at least 2 rows per arm"))
+  }
+
+  test("proportionPValues: flat groups give |z| small and p near 1") {
+    import spark.implicits._
+    // group g: identical 50% success in both arms -> z = 0, p = 1
+    val rows = for (i <- 0 until 40) yield ("g", i % 2 == 1, i % 4 < 2)
+    val df = rows.toDF("grp", "tr", "succ")
+    val r = Stats.proportionPValues(df, col("grp"), col("tr"), col("succ"))
+      .collect().head
+    assert(r.getDouble(5) == 0.0 && math.abs(r.getDouble(6) - 1.0) < 1e-9)
+  }
+
+  test("pageHinkley: planted level shift alarms, flat series does not") {
+    import spark.implicits._
+    // 10 days at 1 row/day then 10 days at 5 rows/day
+    val rows = (1 to 10).map(d => (f"2024-01-$d%02d", 1)) ++
+      (11 to 20).map(d => (f"2024-01-$d%02d", 5))
+    val df = rows.flatMap { case (ds, n) => Seq.fill(n)(ds) }.toDF("ds")
+      .select(to_date(col("ds")).alias("d"))
+    val r = Stats.pageHinkley(df, col("d"), lambda = 5.0).collect().head
+    assert(r.getLong(0) == 20 && r.getLong(2) > 0)
+    assert(r.getDate(3).toString >= "2024-01-11")
+    val flat = (1 to 20).map(d => f"2024-01-$d%02d").toDF("ds")
+      .select(to_date(col("ds")).alias("d"))
+    val f = Stats.pageHinkley(flat, col("d"), lambda = 5.0).collect().head
+    assert(f.getLong(2) == 0 && f.isNullAt(3))
+  }
 }
