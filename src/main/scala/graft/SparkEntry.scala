@@ -2007,8 +2007,10 @@ object SparkEntry {
           col("value"))
         .orderBy("user_id", "bucket")),
 
-    // ops tooling: key-skew pre-flight report on a prospective join key
-    "q_skew_report" -> ((s, d) =>
+    // ops tooling: key-skew pre-flight report on a prospective join key.
+    // (Was registered as q_skew_report, silently shadowed by the later
+    // Inspect.skewReport entry — revived under its own name in round 10.)
+    "q_skew_preflight" -> ((s, d) =>
       Skew.skewReport(Tables.lineitem(s, d), Seq("l_suppkey"))),
 
     // composite: clean-ingest — the ingest-side prep chain the round-6
@@ -3521,6 +3523,19 @@ object SparkEntry {
     "q_zipf_slope" -> ((s, d) =>
       graft.ops.TextAnalysis.zipfSlope(Tables.documents(s, d),
         "text", topN = 64)),
+
+    // Character-class mix per source (TextAnalysis.scriptMix): the
+    // corpus-QA dashboard row — letter/digit/space/other fractions.
+    "q_script_mix" -> ((s, d) =>
+      graft.ops.TextAnalysis.scriptMix(Tables.documents(s, d),
+        col("source"), "text")),
+
+    // PII exposure audit per source (TextAnalysis.piiAudit): email/URL
+    // hit counts with scrubPii's exact patterns — governance before
+    // the scrub runs.
+    "q_pii_audit" -> ((s, d) =>
+      graft.ops.TextAnalysis.piiAudit(Tables.documents(s, d),
+        col("source"), "text")),
 
     // HBOS density outliers (Stats.hbosTopK): top-50 line items whose
     // quantity/price/discount all sit in rare histogram bins — the
@@ -7374,6 +7389,52 @@ object SparkEntry {
         "CASE WHEN varyn > 0 THEN round(covn * covn / (varxn * varyn), 6) " +
         "+ 0.0 END AS r2 FROM g"),
 
+    // Mirrors TextAnalysis.scriptMix: same 9-dp per-doc class fractions
+    // (global-flag regexp_replace deletions), DECIMAL(28,9) group means.
+    "q_script_mix" ->
+      ("WITH b AS (SELECT source AS grp, " +
+        "round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+        "AS DOUBLE) / CAST(length(text) AS DOUBLE), 9) AS l, " +
+        "round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) " +
+        "AS DOUBLE) / CAST(length(text) AS DOUBLE), 9) AS d, " +
+        "round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) " +
+        "AS DOUBLE) / CAST(length(text) AS DOUBLE), 9) AS s, " +
+        "round(1.0 - CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+        "AS DOUBLE) / CAST(length(text) AS DOUBLE) - " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) " +
+        "AS DOUBLE) / CAST(length(text) AS DOUBLE) - " +
+        "CAST(length(regexp_replace(text, '[^ ]', '', 'g')) " +
+        "AS DOUBLE) / CAST(length(text) AS DOUBLE), 9) AS o " +
+        "FROM documents WHERE text IS NOT NULL AND length(text) > 0) " +
+        "SELECT grp, count(*) AS n_docs, " +
+        "round(CAST(sum(CAST(l AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) " +
+        "+ 0.0 AS letter_frac, " +
+        "round(CAST(sum(CAST(d AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) " +
+        "+ 0.0 AS digit_frac, " +
+        "round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) " +
+        "+ 0.0 AS space_frac, " +
+        "round(CAST(sum(CAST(o AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) " +
+        "+ 0.0 AS other_frac " +
+        "FROM b GROUP BY grp ORDER BY grp"),
+
+    // Mirrors TextAnalysis.piiAudit: scrubPii's exact RE2-safe email/URL
+    // patterns counted with regexp_extract_all, integer rollups.
+    "q_pii_audit" ->
+      ("WITH b AS (SELECT source AS grp, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS e, " +
+        "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS u " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT grp, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email, " +
+        "CAST(sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url, " +
+        "CAST(sum(e) AS BIGINT) AS email_hits, CAST(sum(u) AS BIGINT) AS url_hits, " +
+        "round(CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) + " +
+        "sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS affected_rate " +
+        "FROM b GROUP BY grp ORDER BY grp"),
+
+
     "q_stratified_ate" ->
       ("WITH b AS (SELECT hour(ts) AS s, " +
         "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr, value AS y " +
@@ -7721,7 +7782,7 @@ object SparkEntry {
 
     // Mirrors Skew.skewReport on l_suppkey (exact interpolated
     // percentiles == quantile_cont; DuckDB sum(BIGINT) cast back).
-    "q_skew_report" ->
+    "q_skew_preflight" ->
       ("WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1) " +
         "SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
         "max(cnt) AS max_cnt, " +

@@ -1468,6 +1468,68 @@ object TextAnalysis {
           .otherwise(lit(0.0)), 6).alias("rr"))
   }
 
+  /** Per-source character-class (script) mix report — the corpus-QA
+    * dashboard row that catches an ingest gone wrong (a "code" source
+    * suddenly 40% punctuation, an "en" source full of digits): per doc,
+    * the fraction of letter / digit / space / other characters (9-dp,
+    * empty docs dropped), then per-group DECIMAL means. Entirely
+    * row-local regex counting on the scan — text never shuffles, one
+    * group-sized aggregation. Regexes are RE2-safe single classes;
+    * lengths are exact integers so the per-doc ratios are
+    * engine-identical doubles. */
+  def scriptMix(df: DataFrame, groupCol: Column, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    def frac(cls: String) =
+      round(length(regexp_replace(t, cls, "")).cast("double") /
+        length(t).cast("double"), 9)
+    val base = df.filter(t.isNotNull && length(t) > 0)
+      .select(groupCol.alias("grp"),
+        frac("[^A-Za-z]").alias("__l"), frac("[^0-9]").alias("__d"),
+        frac("[^ ]").alias("__s"),
+        round(lit(1.0) -
+          length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+            length(t).cast("double") -
+          length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+            length(t).cast("double") -
+          length(regexp_replace(t, "[^ ]", "")).cast("double") /
+            length(t).cast("double"), 9).alias("__o"))
+    def m(c: String) = round0(
+      sum(col(c).cast("decimal(28,9)")).cast("double") / count(lit(1)), 6)
+    base.groupBy("grp").agg(count(lit(1)).alias("n_docs"),
+        m("__l").alias("letter_frac"), m("__d").alias("digit_frac"),
+        m("__s").alias("space_frac"), m("__o").alias("other_frac"))
+      .orderBy("grp")
+  }
+
+  /** PII exposure audit per source — the governance readout BEFORE
+    * [[scrubPii]] runs (how much is there to scrub, and where): per
+    * group, docs scanned, docs containing at least one email / URL, and
+    * total match counts, using scrubPii's exact RE2-safe patterns so the
+    * audit counts precisely what the scrub would redact. Row-local
+    * regexp_extract_all counting on the scan; one group-sized
+    * aggregation; all-integer readouts plus a 6-dp affected-doc rate. */
+  def piiAudit(df: DataFrame, groupCol: Column, textCol: String)
+      : DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val url = """https?://[^\s]+"""
+    val t = col(textCol)
+    val base = df.filter(t.isNotNull)
+      .select(groupCol.alias("grp"),
+        size(regexp_extract_all(t, lit(email), lit(0)))
+          .cast("long").alias("__e"),
+        size(regexp_extract_all(t, lit(url), lit(0)))
+          .cast("long").alias("__u"))
+    base.groupBy("grp").agg(count(lit(1)).alias("n_docs"),
+        sum(when(col("__e") > 0, 1L).otherwise(0L)).alias("docs_with_email"),
+        sum(when(col("__u") > 0, 1L).otherwise(0L)).alias("docs_with_url"),
+        sum("__e").alias("email_hits"), sum("__u").alias("url_hits"))
+      .withColumn("affected_rate", round(
+        (col("docs_with_email") + col("docs_with_url")).cast("double") /
+          col("n_docs").cast("double"), 6))
+      .orderBy("grp")
+  }
+
   /** Zipf rank-frequency slope over the corpus head — the
     * frequency-side companion to [[heapsLaw]]'s vocabulary-growth fit
     * (the two exponents are duals): token counts from one map-side-

@@ -2734,4 +2734,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-6)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-6)
   }
+
+  test("scriptMix: hand-counted class fractions on a 6-char doc") {
+    import spark.implicits._
+    // "ab 12!" -> 6 chars: 2 letters, 2 digits, 1 space, 1 other
+    val docs = Seq(("s1", "ab 12!"), ("s1", "ab 12!"), ("s2", ""))
+      .toDF("source", "text")
+    val r = TextAnalysis.scriptMix(docs, col("source"), "text").collect()
+    assert(r.length == 1) // empty doc (and its source) dropped
+    val g = r.head
+    assert(g.getString(0) == "s1" && g.getLong(1) == 2)
+    assert(math.abs(g.getDouble(2) - 2.0 / 6) < 1e-6)
+    assert(math.abs(g.getDouble(3) - 2.0 / 6) < 1e-6)
+    assert(math.abs(g.getDouble(4) - 1.0 / 6) < 1e-6)
+    assert(math.abs(g.getDouble(5) - 1.0 / 6) < 1e-6)
+  }
+
+  test("piiAudit counts exactly what scrubPii would redact") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "mail me at bob@example.com or alice@test.org thanks"),
+      ("a", "see https://example.com/x and http://y.io"),
+      ("a", "clean text"),
+      ("b", "also clean")).toDF("source", "text")
+    val got = TextAnalysis.piiAudit(docs, col("source"), "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 1 && a.getLong(3) == 1)
+    assert(a.getLong(4) == 2 && a.getLong(5) == 2)
+    assert(math.abs(a.getDouble(6) - 2.0 / 3) < 1e-6)
+    val b = got("b")
+    assert(b.getLong(4) == 0 && b.getLong(5) == 0 && b.getDouble(6) == 0.0)
+  }
+
 }
