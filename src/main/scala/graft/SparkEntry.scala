@@ -3598,6 +3598,13 @@ object SparkEntry {
     "q_benford" -> ((s, d) =>
       graft.ops.Stats.benfordDigits(Tables.lineitem(s, d), "l_extendedprice")),
 
+    // Exact 10% trimmed mean of acctbal per market segment
+    // (Stats.trimmedMean): the robust location readout between mean and
+    // median, scipy's floor(alpha*n)-each-end convention.
+    "q_trimmed_mean" -> ((s, d) =>
+      graft.ops.Stats.trimmedMean(Tables.customer(s, d),
+        "c_mktsegment", "c_acctbal", alpha = 0.1)),
+
     // Gini coefficient of per-customer revenue concentration via the
     // rank-sum identity over the fractional-ranks count table.
     "q_gini" -> ((s, d) => {
@@ -8630,6 +8637,24 @@ object SparkEntry {
         "(n::DOUBLE / tot::DOUBLE - log10(1.0 + 1.0 / digit::DOUBLE)) / " +
         "log10(1.0 + 1.0 / digit::DOUBLE) * tot::DOUBLE, 6) AS chi2_term " +
         "FROM c CROSS JOIN t ORDER BY digit"),
+
+    // Mirrors Stats.trimmedMean (alpha 0.1): distinct-value cumulative,
+    // integer rank-range overlap weights, DECIMAL kept-value sum.
+    "q_trimmed_mean" ->
+      ("WITH per AS (SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS v, " +
+        "count(*) AS c FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT g, v, c, coalesce(sum(c) OVER (PARTITION BY g ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef, " +
+        "sum(c) OVER (PARTITION BY g) AS n FROM per), " +
+        "k AS (SELECT g, v, c, bef, n, " +
+        "CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS k FROM r), " +
+        "wgt AS (SELECT g, n, k, v, greatest(0, least(bef + c, n - k) - " +
+        "greatest(bef + 1, k + 1) + 1) AS w FROM k) " +
+        "SELECT g AS c_mktsegment, CAST(max(n) AS BIGINT) AS n, " +
+        "max(k) AS n_trimmed_each, " +
+        "CASE WHEN sum(w) > 0 THEN round(CAST(sum(CAST(v * CAST(w AS DOUBLE) " +
+        "AS DECIMAL(38,9))) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) + 0.0 END " +
+        "AS trimmed_mean FROM wgt GROUP BY g ORDER BY g"),
 
     // Same rank-sum identity over the per-value count table, same
     // DECIMAL(38,8) term sums.

@@ -3387,6 +3387,50 @@ object Stats {
       guarded(when(se > 0, pTost < alpha)).alias("equivalent"))
   }
 
+  /** Exact per-group trimmed mean — the robust location estimate between
+    * the mean (0% trim) and the median (50% trim), scipy's `trim_mean`
+    * convention: drop k = floor(α·n) observations from EACH end, average
+    * the rest. Scale shape follows the house rule (windows behind
+    * aggregation): base rows collapse to a (group, value, count) table
+    * first, the cumulative rank range of each distinct value comes from
+    * one group-parallel window over that table, and each value
+    * contributes weight = |[before+1, before+cnt] ∩ [k+1, n−k]| — all
+    * integer arithmetic, so the kept multiset is engine-exact; kept
+    * values sum in DECIMAL. Groups with n − 2k ≤ 0 pin NULL. Honest
+    * bound: for a continuous column the distinct-value table is
+    * row-scale within each group (weightedMedian's documented stance —
+    * at 100 TB swap the rank source to the bucketed two-pass shape). */
+  def trimmedMean(df: DataFrame, group: String, valueCol: String,
+                  alpha: Double = 0.1): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, s"trimmedMean: bad alpha=$alpha")
+    val per = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(group), col(valueCol).cast("double").alias("__v"))
+      .agg(count(lit(1)).alias("__c"))
+    val w = Window.partitionBy(group).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(group)
+    val ranked = per
+      .withColumn("__before", coalesce(sum("__c").over(w), lit(0L)))
+      .withColumn("__n", sum("__c").over(tot))
+      .withColumn("__k", floor(col("__n").cast("double") * lit(alpha))
+        .cast("long"))
+    val lo = col("__k") + 1
+    val hi = col("__n") - col("__k")
+    val kept = greatest(lit(0L),
+      least(col("__before") + col("__c"), hi) -
+        greatest(col("__before") + lit(1L), lo) + lit(1L))
+    ranked
+      .withColumn("__w", kept)
+      .groupBy(group)
+      .agg(max("__n").alias("n"), max("__k").alias("n_trimmed_each"),
+        sum((col("__v") * col("__w").cast("double")).cast("decimal(38,9)"))
+          .alias("__s"), sum("__w").alias("__kn"))
+      .select(col(group), col("n"), col("n_trimmed_each"),
+        when(col("__kn") > 0, round0(col("__s").cast("double") /
+          col("__kn").cast("double"), 6)).alias("trimmed_mean"))
+      .orderBy(group)
+  }
+
   /** Page-Hinkley drift alarm over the daily-count series — the
     * SEQUENTIAL mean-shift monitor beside [[cusumChangepoints]]' known-κ
     * form (PH needs no reference mean: it tracks deviation from the

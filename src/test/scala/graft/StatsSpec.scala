@@ -1421,4 +1421,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val f = Stats.pageHinkley(flat, col("d"), lambda = 5.0).collect().head
     assert(f.getLong(2) == 0 && f.isNullAt(3))
   }
+
+  test("trimmedMean: scipy trim_mean convention with duplicate values") {
+    import spark.implicits._
+    // g: sorted (1,2,2,3,100), n=5, k=floor(0.2*5)=1 -> keep (2,2,3) -> 7/3
+    // h: n=3, k=0 -> plain mean 2
+    val df = (Seq(1.0, 2.0, 2.0, 3.0, 100.0).map(("g", _)) ++
+      Seq(1.0, 2.0, 3.0).map(("h", _))).toDF("grp", "v")
+    val got = Stats.trimmedMean(df, "grp", "v", alpha = 0.2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("g").getLong(1) == 5 && got("g").getLong(2) == 1)
+    assert(math.abs(got("g").getDouble(3) - 7.0 / 3) < 1e-6)
+    assert(got("h").getLong(2) == 0)
+    assert(math.abs(got("h").getDouble(3) - 2.0) < 1e-9)
+    // 49% trim of a 2-row group keeps both (k = 0); a 1-row group at
+    // alpha .49 keeps its single row
+    val tiny = Seq(("t", 5.0)).toDF("grp", "v")
+    val t = Stats.trimmedMean(tiny, "grp", "v", alpha = 0.49).collect().head
+    assert(t.getLong(2) == 0 && t.getDouble(3) == 5.0)
+  }
 }
