@@ -2728,6 +2728,14 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("user_id", "event_id")),
 
+    // time series: Brown double-exponential smoothing
+    // (Sessionize.holtForecast): level/trend split and the 7-step-ahead
+    // linear forecast on the q_macd windowed-EWMA convention.
+    "q_holt_forecast" -> ((s, d) =>
+      Sessionize.holtForecast(Tables.events(s, d), "user_id", "ts", "value",
+          tieCol = "event_id")
+        .orderBy("user_id", "event_id")),
+
     // Linear-interpolation gap fill (Sessionize.interpolateLinear): the
     // hourly grid of q_gap_fill with interior points blended
     // time-proportionally between surrounding observations.
@@ -3668,6 +3676,13 @@ object SparkEntry {
       graft.ops.Stats.cramersV(Tables.lineitem(s, d),
         "l_returnflag", "l_linestatus")),
 
+    // Symmetric mutual information (Stats.mutualInfo) over the
+    // q_cramers_v contingency shape: MI, marginal entropies, and the
+    // min-entropy-normalized NMI.
+    "q_mutual_info" -> ((s, d) =>
+      graft.ops.Stats.mutualInfo(Tables.lineitem(s, d),
+        col("l_returnflag"), col("l_linestatus"))),
+
     // Symmetric bounded drift between the two corpus halves — the JSD
     // twin of q_kl_drift on the same slices.
     "q_js_divergence" -> ((s, d) => {
@@ -3808,6 +3823,14 @@ object SparkEntry {
       graft.ops.Stats.ksTest(Tables.events(s, d),
         col("event_type") === "error", "value")),
 
+    // Exact 1-D Wasserstein-1 drift (Stats.wasserstein1): returned
+    // lineitems vs the rest on quantity — the ECDF-area drift metric
+    // WITH UNITS beside q_ks_test's sup-norm, same range-bucketed
+    // cumulative machinery.
+    "q_wasserstein" -> ((s, d) =>
+      graft.ops.Stats.wasserstein1(Tables.lineitem(s, d),
+        col("l_returnflag") === "R", "l_quantity")),
+
     // Calibration / reliability table (Stats.calibrationReport):
     // min-max-normalized value vs purchase incidence, 10 bins, per-bin
     // Brier contribution.
@@ -3821,6 +3844,13 @@ object SparkEntry {
     "q_classifier_metrics" -> ((s, d) =>
       graft.ops.Stats.classifierMetrics(Tables.events(s, d),
         col("event_type") === "purchase", "value")),
+
+    // Murphy decomposition + ECE (Stats.calibrationDecomp): the one-row
+    // reliability/resolution/uncertainty/ECE split of q_calibration's
+    // table — same min-max projection, same 10 bins.
+    "q_calibration_decomp" -> ((s, d) =>
+      graft.ops.Stats.calibrationDecomp(Tables.events(s, d),
+        col("event_type") === "purchase", "value", bins = 10)),
 
     // Trained quality classifier (Stats.logisticFit2): 3 unrolled
     // Newton steps of two-feature logistic regression — is-English vs
@@ -4231,6 +4261,12 @@ object SparkEntry {
     "q_lexical_richness" -> ((s, d) =>
       TextAnalysis.lexicalRichness(Tables.documents(s, d), "text",
         "source")),
+
+    // Token repeat rate (TextAnalysis.repeatRate): Yule's K and
+    // Simpson's D per source — the length-robust template detector
+    // beside q_lexical_richness's TTR/hapax view.
+    "q_repeat_rate" -> ((s, d) =>
+      TextAnalysis.repeatRate(Tables.documents(s, d), "source", "text")),
 
     // Graph health summary (Graph.graphSummary) of the near-dup
     // candidate graph: components, largest share, isolation.
@@ -8270,6 +8306,8 @@ object SparkEntry {
 
     "q_macd" -> macdOracle,
 
+    "q_holt_forecast" -> holtOracle,
+
     "q_interpolate" ->
       ("WITH spans AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, " +
         "date_trunc('hour', max(ts)) AS t1 FROM events GROUP BY 1), " +
@@ -8791,6 +8829,29 @@ object SparkEntry {
         "round(sqrt(chi2d / CAST(n AS DOUBLE) / " +
         "CAST(LEAST(r - 1, c - 1) AS DOUBLE)), 6) AS cramers_v FROM agg"),
 
+    // Same joint-count collapse as q_cramers_v; marginals/total as
+    // window sums of exact longs over the cell table, per-cell MI and
+    // entropy terms round to 9 dp into DECIMAL(38,9) sums, NMI pinned
+    // NULL when min(H) = 0.
+    "q_mutual_info" ->
+      ("WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS c " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "g AS (SELECT c, SUM(c) OVER (PARTITION BY x) AS cx, " +
+        "SUM(c) OVER (PARTITION BY y) AS cy, SUM(c) OVER () AS n FROM j), " +
+        "k AS (SELECT n, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pxy, " +
+        "CAST(cx AS DOUBLE) / CAST(n AS DOUBLE) AS px, " +
+        "CAST(cy AS DOUBLE) / CAST(n AS DOUBLE) AS py FROM g), " +
+        "a AS (SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS n_cells, " +
+        "SUM(CAST(round(pxy * log2(pxy / (px * py)), 9) AS DECIMAL(38,9))) AS mi, " +
+        "SUM(CAST(round(pxy * log2(px), 9) AS DECIMAL(38,9))) AS hx, " +
+        "SUM(CAST(round(pxy * log2(py), 9) AS DECIMAL(38,9))) AS hy FROM k) " +
+        "SELECT n, n_cells, round(CAST(mi AS DOUBLE), 6) + 0.0 AS mi, " +
+        "round(-CAST(hx AS DOUBLE), 6) + 0.0 AS h_x, " +
+        "round(-CAST(hy AS DOUBLE), 6) + 0.0 AS h_y, " +
+        "CASE WHEN least(-CAST(hx AS DOUBLE), -CAST(hy AS DOUBLE)) > 0 THEN " +
+        "round(CAST(mi AS DOUBLE) / least(-CAST(hx AS DOUBLE), " +
+        "-CAST(hy AS DOUBLE)), 6) + 0.0 END AS nmi FROM a"),
+
     // Same smoothed vocab join as q_kl_drift, JSD terms.
     "q_js_divergence" ->
       ("WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token " +
@@ -9241,6 +9302,30 @@ object SparkEntry {
         "CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))), 6) " +
         "AS p_approx FROM d CROSS JOIN t"),
 
+    // Same per-value count collapse as q_ks_test, inclusive-cumulative
+    // ECDFs, strip terms round(|Fa-Fb|*dx, 9) into a DECIMAL(38,9) sum;
+    // empty-arm CASE pin and the coalesce-to-0 single-value degenerate
+    // mirror the engine exactly.
+    "q_wasserstein" ->
+      ("WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS v, CASE WHEN " +
+        "l_returnflag = 'R' THEN 1 ELSE 0 END AS a FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL), " +
+        "pv AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM v GROUP BY 1), " +
+        "c AS (SELECT v, SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cuma, SUM(cb) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, " +
+        "lead(v) OVER (ORDER BY v) AS nxt FROM pv), " +
+        "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM pv), " +
+        "s AS (SELECT SUM(CAST(CASE WHEN na > 0 AND nb > 0 THEN " +
+        "round(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) - " +
+        "CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) * (nxt - v), 9) " +
+        "ELSE 0.0 END AS DECIMAL(38,9))) AS w1 " +
+        "FROM c CROSS JOIN t WHERE nxt IS NOT NULL) " +
+        "SELECT na AS n_a, nb AS n_b, CASE WHEN na > 0 AND nb > 0 THEN " +
+        "round(CAST(coalesce(w1, 0) AS DOUBLE), 6) + 0.0 END AS w1 " +
+        "FROM s CROSS JOIN t"),
+
     // Min-max scalar CTE, equal-width bins, per-bin reliability + Brier.
     "q_calibration" ->
       ("WITH b AS (SELECT CAST(value AS DOUBLE) AS s, CASE WHEN " +
@@ -9277,6 +9362,44 @@ object SparkEntry {
         "round(CAST(sum(CASE WHEN (p >= 0.5 AND y = 1) OR (p < 0.5 AND y = 0) " +
         "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc_at_half " +
         "FROM pc"),
+
+    // Same min-max projection and 10 bins as q_calibration; bin moments
+    // in DECIMAL(28,10), per-bin decomposition terms round to 9 dp
+    // before DECIMAL(38,9) sums, readouts /n at 6 dp signed-zero-safe.
+    "q_calibration_decomp" ->
+      ("WITH b AS (SELECT CAST(value AS DOUBLE) AS s, CASE WHEN " +
+        "event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b), " +
+        "sc AS (SELECT CASE WHEN hi = lo THEN 0.5 ELSE (s - lo) / (hi - lo) " +
+        "END AS p, y FROM b CROSS JOIN mm), " +
+        "bn AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y FROM sc), " +
+        "g AS (SELECT bin, count(*) AS nb, " +
+        "SUM(CAST(p AS DECIMAL(28,10))) AS sp, " +
+        "SUM(CAST(p * p AS DECIMAL(28,10))) AS spp, " +
+        "SUM(y) AS ny, " +
+        "SUM(CAST((p - y) * (p - y) AS DECIMAL(28,10))) AS sbr FROM bn GROUP BY 1), " +
+        "w AS (SELECT *, SUM(nb) OVER () AS n, SUM(ny) OVER () AS npos FROM g), " +
+        "k AS (SELECT n, npos, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(sp AS DOUBLE) / CAST(nb AS DOUBLE) AS conf, " +
+        "CAST(ny AS DOUBLE) / CAST(nb AS DOUBLE) AS acc, " +
+        "CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS ybar, " +
+        "CAST(spp AS DOUBLE) AS sppd, sbr FROM w), " +
+        "t AS (SELECT CAST(max(n) AS BIGINT) AS n, " +
+        "CAST(max(npos) AS BIGINT) AS n_pos, " +
+        "SUM(CAST(round(nbd * (conf - acc) * (conf - acc), 9) AS DECIMAL(38,9))) AS rel, " +
+        "SUM(CAST(round(nbd * (acc - ybar) * (acc - ybar), 9) AS DECIMAL(38,9))) AS res, " +
+        "SUM(CAST(round(sppd - nbd * conf * conf, 9) AS DECIMAL(38,9))) AS wbv, " +
+        "SUM(CAST(round(nbd * abs(conf - acc), 9) AS DECIMAL(38,9))) AS ece, " +
+        "SUM(sbr) AS br FROM k) " +
+        "SELECT n, n_pos, " +
+        "round(CAST(br AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS brier, " +
+        "round(CAST(rel AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS reliability, " +
+        "round(CAST(res AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS resolution, " +
+        "round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0 AS uncertainty, " +
+        "round(CAST(wbv AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS within_bin_var, " +
+        "round(CAST(ece AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS ece FROM t"),
 
     "q_logistic_quality" -> logisticQualityOracle,
 
@@ -9804,6 +9927,25 @@ object SparkEntry {
         "AS type_token_ratio, " +
         "round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) " +
         "AS hapax_share FROM g ORDER BY 1"),
+
+    // Same (source, token) count collapse as q_lexical_richness; f^2
+    // pre-widened through DECIMAL(19,0) so the product sums exactly in
+    // DECIMAL(38,0); yule_k readout signed-zero-safe.
+    "q_repeat_rate" ->
+      ("WITH c AS (SELECT source, t, count(*) AS c FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) " +
+        "WHERE t <> '' GROUP BY 1, 2), " +
+        "g AS (SELECT source, count(*) AS n_types, " +
+        "CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2 " +
+        "FROM c GROUP BY 1) " +
+        "SELECT source, n_tokens, n_types, " +
+        "round(1.0e4 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / " +
+        "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) + 0.0 AS yule_k, " +
+        "CASE WHEN n_tokens > 1 THEN " +
+        "round((CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / " +
+        "(CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 6) " +
+        "END AS simpson_d FROM g ORDER BY source"),
 
     "q_graph_summary" -> graphSummaryOracle,
 
@@ -10388,6 +10530,43 @@ object SparkEntry {
       "CASE WHEN ph IS NOT NULL AND ph <= 0 AND hist > 0 THEN 'bull' " +
       "WHEN ph IS NOT NULL AND ph >= 0 AND hist < 0 THEN 'bear' END AS cross_flag " +
       "FROM h3 ORDER BY user_id, event_id"
+  }
+
+  /** Mirrors Sessionize.holtForecast (alpha 0.3, lookback 20, horizon
+    * 7): the engine's own ewmaWeights ladder interpolated as literals,
+    * s1 rounded to 6 dp before the second smoothing window (both
+    * engines smooth the identical series), and the alpha/(1-alpha)
+    * slope factor interpolated from the SAME Scala double. */
+  private def holtOracle: String = {
+    def chain(r: String, weights: Array[Double]): (String, String) = {
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        s"(CASE WHEN len($r) > $j THEN $r[${j + 1}] * $wj ELSE 0.0 END)"
+      }.mkString(" + ")
+      val den = weights.zipWithIndex.map { case (wj, j) =>
+        s"(CASE WHEN len($r) > $j THEN $wj ELSE 0.0 END)"
+      }.mkString(" + ")
+      (num, den)
+    }
+    val (n1, d1) = chain("r", Sessionize.ewmaWeights(0.7, 20))
+    val (n2, d2) = chain("r2", Sessionize.ewmaWeights(0.7, 20))
+    val slope = 0.3 / 0.7
+    "WITH f AS (SELECT user_id, event_id, ts, value, " +
+      "list_reverse(list(value) OVER w) AS r FROM events " +
+      "WHERE value IS NOT NULL " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+      s"m AS (SELECT user_id, event_id, ts, value, " +
+      s"round(($n1) / ($d1), 6) + 0.0 AS s1 FROM f), " +
+      "g AS (SELECT *, list_reverse(list(s1) OVER w2) AS r2 FROM m " +
+      "WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)), " +
+      s"h AS (SELECT user_id, event_id, value, s1, " +
+      s"round(($n2) / ($d2), 6) + 0.0 AS s2 FROM g) " +
+      "SELECT user_id, event_id, value, s1, s2, " +
+      "round(2.0 * s1 - s2, 6) + 0.0 AS level, " +
+      s"round($slope * (s1 - s2), 6) + 0.0 AS trend, " +
+      s"round(2.0 * s1 - s2 + 7.0 * ($slope * (s1 - s2)), 6) + 0.0 " +
+      "AS forecast_7 FROM h ORDER BY user_id, event_id"
   }
 
   /** Mirror of q_graph_bfs: 3 unrolled min-distance relaxation rounds

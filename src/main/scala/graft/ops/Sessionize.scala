@@ -256,6 +256,61 @@ object Sessionize {
         .alias("cross_flag"))
   }
 
+  /** Brown's double exponential smoothing with the h-step-ahead linear
+    * forecast — the trend-aware extension of [[ewmaTrailing]] (which
+    * levels off on trending series) and the forecasting sibling of
+    * [[macd]]'s smooth-of-smooth machinery: s1 = EWMA(value),
+    * s2 = EWMA(s1), level = 2s1 − s2, trend = α/(1−α)·(s1 − s2),
+    * forecast(h) = level + h·trend. Same windowed-EWMA convention as
+    * the rest of the family: bounded `lookback` frames, newest-first
+    * weight ladder renormalized by the weights present, no unbounded
+    * a^(−i) rescaling. s1 rounds to 6 dp before feeding the second
+    * window so both engines smooth the identical series; the α/(1−α)
+    * slope factor is computed ONCE in Scala and interpolated into both
+    * engines as the same double literal. One key-partitioned exchange
+    * over a tie-free (ts, tie) order; per-row state is 2·lookback
+    * values. */
+  def holtForecast(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieCol: String, alpha: Double = 0.3,
+                   lookback: Int = 20, horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1,
+      s"holtForecast: need 0 < alpha < 1, got $alpha")
+    require(lookback >= 1 && lookback <= 64,
+      s"holtForecast: need 1 <= lookback <= 64, got $lookback")
+    require(horizon >= 1, s"holtForecast: need horizon >= 1, got $horizon")
+    val decay = 1.0 - alpha
+    val slope = alpha / (1.0 - alpha)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    def ewmaOf(listCol: Column): Column = {
+      val weights = ewmaWeights(decay, lookback)
+      val num = weights.zipWithIndex.map { case (wj, j) =>
+        when(size(listCol) > j, element_at(listCol, j + 1) * lit(wj))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val den = weights.zipWithIndex.map { case (wj, j) =>
+        when(size(listCol) > j, lit(wj)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      round0(num / den, 6)
+    }
+    val s1 = df.filter(col(valCol).isNotNull)
+      .withColumn("__r",
+        reverse(collect_list(col(valCol).cast("double")).over(w)))
+      .withColumn("s1", ewmaOf(col("__r")))
+      .drop("__r")
+    s1.withColumn("__r2", reverse(collect_list(col("s1")).over(w)))
+      .withColumn("s2", ewmaOf(col("__r2")))
+      .drop("__r2")
+      .select(col(keyCol), col(tieCol), col(valCol).alias("value"),
+        col("s1"), col("s2"),
+        round0(lit(2.0) * col("s1") - col("s2"), 6).alias("level"),
+        round0(lit(slope) * (col("s1") - col("s2")), 6).alias("trend"),
+        round0(lit(2.0) * col("s1") - col("s2") +
+          lit(horizon.toDouble) * (lit(slope) * (col("s1") - col("s2"))), 6)
+          .alias(s"forecast_$horizon"))
+  }
+
   /** OHLC downsampling — the bar/candle resample every metrics and
     * market-data pipeline runs: per key and fixed time bucket, the
     * first/max/min/last observation plus count and an exact-decimal

@@ -816,10 +816,28 @@ object Stats {
           .alias("tau_b"))
   }
 
+  /** Shared min-max probability projection for the calibration-family
+    * ops ([[classifierMetrics]], [[calibrationReport]],
+    * [[calibrationDecomp]]): p = (score − lo)/(hi − lo) over a broadcast
+    * scalar min/max, with the constant-score degenerate pinned to
+    * p = 0.5 (hi == lo would divide by zero — Spark yields NULL, DuckDB
+    * inf/NaN: the engines diverge), plus the 0/1 label as `__y`. */
+  private def minmaxProb(df: DataFrame, positive: Column,
+                         scoreCol: String): DataFrame = {
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").alias("__s"),
+        when(positive, 1L).otherwise(0L).alias("__y"))
+    val bounds = base.agg(min("__s").alias("__lo"), max("__s").alias("__hi"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("__p", when(col("__hi") === col("__lo"), lit(0.5))
+        .otherwise((col("__s") - col("__lo")) / (col("__hi") - col("__lo"))))
+  }
+
   /** Global probabilistic-classifier scorecard — one row of the metrics
     * [[calibrationReport]] bins: n, positives, Brier score, log loss,
     * and accuracy at the 0.5 cut, for a min-max-normalized score (same
-    * hi==lo → p=0.5 degenerate pin as the calibration table). Log loss
+    * hi==lo → p=0.5 degenerate pin as the calibration table, via the
+    * shared [[minmaxProb]] projection). Log loss
     * clamps p to [1e-6, 1−1e-6] with PINNED double literals so the ln
     * of an exact 0/1 can't produce ±inf on either engine; per-row terms
     * round through DECIMAL(28,12) before the sum ([[Graph.adamicAdar]]'s
@@ -827,13 +845,7 @@ object Stats {
     * no window, nothing wider than the scan. */
   def classifierMetrics(df: DataFrame, positive: Column,
                         scoreCol: String): DataFrame = {
-    val base = df.filter(col(scoreCol).isNotNull)
-      .select(col(scoreCol).cast("double").alias("__s"),
-        when(positive, 1L).otherwise(0L).alias("__y"))
-    val bounds = base.agg(min("__s").alias("__lo"), max("__s").alias("__hi"))
-    val scored = base.crossJoin(broadcast(bounds))
-      .withColumn("__p", when(col("__hi") === col("__lo"), lit(0.5))
-        .otherwise((col("__s") - col("__lo")) / (col("__hi") - col("__lo"))))
+    val scored = minmaxProb(df, positive, scoreCol)
       .withColumn("__pc",
         least(greatest(col("__p"), lit(1e-6)), lit(1.0 - 1e-6)))
     scored.agg(
@@ -1168,6 +1180,72 @@ object Stats {
         col("__dmax") * na * nb / (na + nb))), 6)).alias("p_approx"))
   }
 
+  /** Exact two-sample 1-D Wasserstein-1 (earth-mover) distance between
+    * the `armA` slice and its complement on `valueCol` — the drift
+    * metric WITH UNITS (∫|F̂_A − F̂_B| dx) beside [[ksTest]]'s sup-norm
+    * and the binned PSI/KL/JS monitors: it sees how far mass moved, not
+    * just that it moved. Scale shape is [[ksTest]]'s verbatim: the row
+    * stream collapses once to the per-distinct-value (cnt_a, cnt_b)
+    * table, inclusive cumulatives for both counts ride the range-bucket
+    * + broadcast-offset machinery (never a global window), and the gap
+    * to the next value comes from a per-bucket lead patched across
+    * bucket boundaries by the (numParts-row) offsets table. W1 =
+    * Σ strips |F̂_A − F̂_B|·Δx: ECDF ratios divide exact integers (one
+    * IEEE division, shared operands), each strip term rounds to 9 dp
+    * before the DECIMAL(38,9) sum, readout 6 dp signed-zero-safe. An
+    * empty arm pins w1 NULL (strip terms are guarded to 0.0 first so no
+    * Inf ever meets a DECIMAL cast — Spark would NULL it, DuckDB would
+    * error; the CASE is mirrored in the oracle). */
+  def wasserstein1(df: DataFrame, armA: Column, valueCol: String,
+                   numParts: Int = 32): DataFrame = {
+    val perValue = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").alias("__v"))
+      .agg(sum(when(armA, 1L).otherwise(0L)).alias("__ca"),
+        sum(when(armA, 0L).otherwise(1L)).alias("__cb"))
+    val kb = perValue.agg(min("__v").alias("__lo"), max("__v").alias("__hi"))
+    val parts = perValue.crossJoin(broadcast(kb))
+      .withColumn("__pid",
+        orderBucket(col("__v"), col("__lo"), col("__hi"), numParts))
+      .drop("__lo", "__hi")
+    val pidW = Window.partitionBy("__pid").orderBy("__v")
+    val local = parts
+      .withColumn("__cuma", sum("__ca").over(
+        pidW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cumb", sum("__cb").over(
+        pidW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nextLocal", lead("__v", 1).over(pidW))
+    val offsets = parts.groupBy("__pid")
+      .agg(sum("__ca").alias("__pa"), sum("__cb").alias("__pb"),
+        min("__v").alias("__minv"))
+      .withColumn("__offa", coalesce(sum("__pa").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__offb", coalesce(sum("__pb").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__nextv", lead("__minv", 1).over(Window.orderBy("__pid")))
+      .select("__pid", "__offa", "__offb", "__nextv")
+    val totals = perValue.agg(sum("__ca").alias("__na"),
+      sum("__cb").alias("__nb"))
+    val fa = (col("__offa") + col("__cuma")).cast("double") /
+      col("__na").cast("double")
+    val fb = (col("__offb") + col("__cumb")).cast("double") /
+      col("__nb").cast("double")
+    val strip = round(abs(fa - fb) * (col("__next") - col("__v")), 9)
+    val guarded = when(col("__na") > 0 && col("__nb") > 0, strip)
+      .otherwise(lit(0.0))
+    local.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .withColumn("__next", coalesce(col("__nextLocal"), col("__nextv")))
+      .filter(col("__next").isNotNull)
+      .agg(sum(guarded.cast("decimal(38,9)")).alias("__w1"))
+      .crossJoin(broadcast(totals))
+      .select(col("__na").alias("n_a"), col("__nb").alias("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          round0(coalesce(col("__w1").cast("double"), lit(0.0)), 6))
+          .alias("w1"))
+  }
+
   /** Calibration / reliability table: min-max-normalize the score to
     * [0,1], bucket into `bins` equal-width bins, and report per bin the
     * mean predicted probability against the empirical positive rate,
@@ -1177,15 +1255,7 @@ object Stats {
     * passes, no window. */
   def calibrationReport(df: DataFrame, positive: Column, scoreCol: String,
                         bins: Int): DataFrame = {
-    val base = df.filter(col(scoreCol).isNotNull)
-      .select(col(scoreCol).cast("double").alias("__s"),
-        when(positive, 1L).otherwise(0L).alias("__y"))
-    val bounds = base.agg(min("__s").alias("__lo"), max("__s").alias("__hi"))
-    // constant-score degenerate: hi == lo would divide by zero (Spark
-    // yields NULL, DuckDB inf/NaN — the engines diverge) → pin p = 0.5
-    val scored = base.crossJoin(broadcast(bounds))
-      .withColumn("__p", when(col("__hi") === col("__lo"), lit(0.5))
-        .otherwise((col("__s") - col("__lo")) / (col("__hi") - col("__lo"))))
+    val scored = minmaxProb(df, positive, scoreCol)
       .withColumn("bin",
         least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
     scored.groupBy("bin").agg(
@@ -1202,6 +1272,70 @@ object Stats {
         round(col("__brier").cast("double") / col("n").cast("double"), 6)
           .alias("brier"))
       .orderBy("bin")
+  }
+
+  /** Murphy decomposition + expected calibration error — the one-row
+    * "is this score a probability" scorecard over the SAME min-max
+    * normalized score and B equal-width bins as [[calibrationReport]]
+    * (shared [[minmaxProb]] projection, constant-score degenerate pins
+    * p = 0.5): reliability Σ n_b(conf_b−acc_b)²/n (miscalibration, what
+    * Platt scaling fixes), resolution Σ n_b(acc_b−ȳ)²/n
+    * (discrimination), uncertainty ȳ(1−ȳ) (the no-skill floor),
+    * within-bin variance Σ(p−conf_b)²/n (what binning hides: raw-score
+    * Brier = rel − res + unc + wbv up to the within-bin covariance),
+    * ECE Σ n_b|conf_b−acc_b|/n, and the raw Brier mean itself. Scale
+    * shape: one row-linear aggregation to B bin-moment rows (n, Σp,
+    * Σp², Σy, Σ(p−y)² — DECIMAL sums), global totals ride a full-frame
+    * window over those B rows (no second scan), per-bin readout terms
+    * round to 9 dp before the final DECIMAL sum — engine-exact at any
+    * partitioning. */
+  def calibrationDecomp(df: DataFrame, positive: Column, scoreCol: String,
+                        bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"calibrationDecomp: bad bins=$bins")
+    val scored = minmaxProb(df, positive, scoreCol)
+      .withColumn("bin",
+        least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
+    val b = scored.groupBy("bin").agg(
+      count(lit(1)).alias("__nb"),
+      sum(col("__p").cast("decimal(28,10)")).alias("__sp"),
+      sum((col("__p") * col("__p")).cast("decimal(28,10)")).alias("__spp"),
+      sum("__y").alias("__ny"),
+      sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .cast("decimal(28,10)")).alias("__sbr"))
+    val wAll = Window.partitionBy(lit(0)) // B rows, full frame
+    val g = b
+      .withColumn("__n", sum("__nb").over(wAll))
+      .withColumn("__npos", sum("__ny").over(wAll))
+    val nb = col("__nb").cast("double")
+    val n = col("__n").cast("double")
+    val conf = col("__sp").cast("double") / nb
+    val acc = col("__ny").cast("double") / nb
+    val ybar = col("__npos").cast("double") / n
+    val relT = round(nb * (conf - acc) * (conf - acc), 9)
+    val resT = round(nb * (acc - ybar) * (acc - ybar), 9)
+    val wbvT = round(col("__spp").cast("double") - nb * conf * conf, 9)
+    val eceT = round(nb * abs(conf - acc), 9)
+    g.agg(
+        max("__n").alias("n"), max("__npos").alias("n_pos"),
+        sum(relT.cast("decimal(38,9)")).alias("__rel"),
+        sum(resT.cast("decimal(38,9)")).alias("__res"),
+        sum(wbvT.cast("decimal(38,9)")).alias("__wbv"),
+        sum(eceT.cast("decimal(38,9)")).alias("__ece"),
+        sum(col("__sbr")).alias("__br"))
+      .select(col("n"), col("n_pos"),
+        round0(col("__br").cast("double") / col("n").cast("double"), 6)
+          .alias("brier"),
+        round0(col("__rel").cast("double") / col("n").cast("double"), 6)
+          .alias("reliability"),
+        round0(col("__res").cast("double") / col("n").cast("double"), 6)
+          .alias("resolution"),
+        round0((col("n_pos").cast("double") / col("n").cast("double")) *
+          (lit(1.0) - col("n_pos").cast("double") / col("n").cast("double")), 6)
+          .alias("uncertainty"),
+        round0(col("__wbv").cast("double") / col("n").cast("double"), 6)
+          .alias("within_bin_var"),
+        round0(col("__ece").cast("double") / col("n").cast("double"), 6)
+          .alias("ece"))
   }
 
   /** Information-gain feature ranking: per candidate feature column,
@@ -1917,6 +2051,53 @@ object Stats {
         when(col("__hb") === 0.0, lit(null).cast("double"))
           .otherwise(round((col("__hb") - col("__hba")) / col("__hb"), 6))
           .alias("u_b_given_a"))
+  }
+
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the min-entropy-normalized NMI — the
+    * symmetric association readout beside [[theilsU]]'s directional one
+    * and [[Aggregates.chiSquare]]'s test statistic: MI = Σ p(x,y)·
+    * log2(p(x,y)/(p(x)p(y))), and MI ≈ H(label) on a feature IS the
+    * leakage alarm ([[infoGain]]'s stance, symmetric form). Scale
+    * shape: ONE row-linear aggregation to the |X|·|Y| joint-count
+    * table; marginals and the total ride partitioned/full-frame windows
+    * over those bounded rows (no second scan, no joins), and the
+    * marginal entropies fold over the SAME rows via
+    * Σ_{x,y}(c_xy/n)·log2(c_x/n) = −H(X). All window sums are exact
+    * longs; each term is one fixed IEEE expression of exact integers,
+    * rounded to 9 dp before its DECIMAL(38,9) sum; readouts 6 dp
+    * signed-zero-safe (MI terms go negative cell-by-cell, and a
+    * constant column's entropy sum negates an exact zero). NMI pins
+    * NULL when min(H) = 0 (a constant column carries no signal to
+    * normalize by). */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val joint = df.groupBy(xCol.alias("__x"), yCol.alias("__y"))
+      .agg(count(lit(1)).alias("__c"))
+    val g = joint
+      .withColumn("__cx", sum("__c").over(Window.partitionBy("__x")))
+      .withColumn("__cy", sum("__c").over(Window.partitionBy("__y")))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(lit(0))))
+    val cD = col("__c").cast("double"); val nD = col("__n").cast("double")
+    val px = col("__cx").cast("double") / nD
+    val py = col("__cy").cast("double") / nD
+    val pxy = cD / nD
+    val miT = round(pxy * log2(pxy / (px * py)), 9)
+    val hxT = round(pxy * log2(px), 9)
+    val hyT = round(pxy * log2(py), 9)
+    val one = g.agg(
+      max("__n").alias("n"),
+      count(lit(1)).alias("n_cells"),
+      sum(miT.cast("decimal(38,9)")).alias("__mi"),
+      sum(hxT.cast("decimal(38,9)")).alias("__hx"),
+      sum(hyT.cast("decimal(38,9)")).alias("__hy"))
+    val mi = col("__mi").cast("double")
+    val hx = -col("__hx").cast("double")
+    val hy = -col("__hy").cast("double")
+    one.select(col("n"), col("n_cells"),
+      round0(mi, 6).alias("mi"),
+      round0(hx, 6).alias("h_x"),
+      round0(hy, 6).alias("h_y"),
+      when(least(hx, hy) > 0, round0(mi / least(hx, hy), 6)).alias("nmi"))
   }
 
   /** Cohen's kappa between two categorical raters on the same rows:

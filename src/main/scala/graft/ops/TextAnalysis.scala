@@ -660,6 +660,41 @@ object TextAnalysis {
       .orderBy(groupCol)
   }
 
+  /** Per-group token repeat-rate statistics — Yule's K =
+    * 10⁴·(Σf²−N)/N² and Simpson's D = Σf(f−1)/(N(N−1)), the two
+    * classic "probability a random token pair coincides" readouts (K is
+    * length-robust, D is the literal collision probability) — the
+    * template-spam detector that complements [[lexicalRichness]]'s
+    * TTR/hapax view: TTR collapses on long documents, K does not.
+    * Scale shape: the same one token-linear explode to the
+    * (group, token) count table (vocabulary-sized) as lexicalRichness,
+    * then one bounded group aggregation; Σf² accumulates in
+    * DECIMAL(38,0) via pre-widened f (long·long would overflow past
+    * f ≈ 3·10⁹ — integer-exact at any corpus size); every ratio divides
+    * exact integers once, 6-dp readouts (yule_k signed-zero-safe: the
+    * Σf²−N numerator is an exact 0 for all-hapax text and the division
+    * can sign it). Single-token groups pin simpson_d NULL (0/0). */
+  def repeatRate(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val tf = df
+      .select(col(groupCol), explode(tokens(col(textCol))).alias("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(groupCol), col("__t"))
+      .agg(count(lit(1)).alias("__c"))
+    val f = col("__c").cast("decimal(19,0)")
+    val per = tf.groupBy(groupCol).agg(
+      count(lit(1)).alias("n_types"),
+      sum("__c").alias("n_tokens"),
+      sum(f * f).alias("__s2"))
+    val nD = col("n_tokens").cast("double")
+    val s2 = col("__s2").cast("double")
+    per.select(col(groupCol), col("n_tokens"), col("n_types"),
+        round0(lit(1.0e4) * (s2 - nD) / (nD * nD), 6).alias("yule_k"),
+        when(col("n_tokens") > 1,
+          round((s2 - nD) / (nD * (nD - lit(1.0))), 6)).alias("simpson_d"))
+      .orderBy(groupCol)
+  }
+
   /** PMI collocation mining — multi-word-expression extraction for
     * tokenizer/vocabulary curation: adjacent token pairs ranked by
     * pointwise mutual information ln(p(ab) / (p(a)·p(b))), the classic

@@ -1526,6 +1526,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.take(6).forall(_.getAs[Double]("macd") == 0.0))
   }
 
+  test("holtForecast: constant series has zero trend; ramp trends up") {
+    import spark.implicits._
+    def mkTs(i: Int) = f"2024-01-01 00:$i%02d:00"
+    val const = (0 until 5).map(i => (1L, mkTs(i), 7.0, i.toLong))
+      .toDF("k", "ts", "v", "id").withColumn("ts", to_timestamp(col("ts")))
+    val c = Sessionize.holtForecast(const, "k", "ts", "v", "id")
+      .orderBy("id").collect()
+    assert(c.forall(r => r.getAs[Double]("s1") == 7.0 &&
+      r.getAs[Double]("level") == 7.0 && r.getAs[Double]("trend") == 0.0 &&
+      r.getAs[Double]("forecast_7") == 7.0))
+    // linear ramp: positive trend, and the forecast readout equals
+    // level + 7*trend up to the independent 6-dp roundings
+    val ramp = (0 until 10).map(i => (1L, mkTs(i), 1.0 * i, i.toLong))
+      .toDF("k", "ts", "v", "id").withColumn("ts", to_timestamp(col("ts")))
+    val g = Sessionize.holtForecast(ramp, "k", "ts", "v", "id")
+      .orderBy("id").collect().last
+    assert(g.getAs[Double]("trend") > 0)
+    assert(math.abs(g.getAs[Double]("forecast_7") -
+      (g.getAs[Double]("level") + 7.0 * g.getAs[Double]("trend"))) < 5e-6)
+  }
+
   test("interpolateLinear blends interior grid points, carries the tail flat") {
     import spark.implicits._
     // observations at 00:30 (v=0) and 02:30 (v=4): hourly grid 00:00-02:00
@@ -2119,6 +2140,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(1) === 3L && r.getLong(2) === 2L)
     assert(r.getDouble(3) === 0.666667)
     assert(r.getDouble(4) === 0.5)   // only "b" is hapax
+  }
+
+  test("repeatRate: Yule's K and Simpson's D, hand-computed") {
+    import spark.implicits._
+    // "a a b": N=3, V=2, sum f^2 = 5 -> K = 1e4*2/9, D = 2/6
+    val df = Seq(("s1", "a a b"), ("s2", "x")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.repeatRate(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r = got("s1")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(3) - 2222.222222) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.333333) < 1e-9)
+    // a single-token group pins simpson_d NULL (0/0)
+    assert(got("s2").isNullAt(4))
   }
 
   test("graphSummary: triangle plus isolated nodes") {

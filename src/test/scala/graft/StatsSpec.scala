@@ -1440,4 +1440,66 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val t = Stats.trimmedMean(tiny, "grp", "v", alpha = 0.49).collect().head
     assert(t.getLong(2) == 0 && t.getDouble(3) == 5.0)
   }
+
+  test("wasserstein1: hand-computed ECDF area, degenerates pinned") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,3,4}: |Fa-Fb| = 1/3 on each unit strip -> W1 = 1
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)))
+      .toDF("arm", "v")
+    val r = Stats.wasserstein1(df, col("arm") === "a", "v").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    // empty arm pins w1 NULL (ECDF of nothing is undefined)
+    val one = Seq(("a", 1), ("a", 2)).toDF("arm", "v")
+    val e = Stats.wasserstein1(one, col("arm") === "a", "v").collect().head
+    assert(e.isNullAt(2))
+    // both arms on one identical value -> zero strips -> exactly 0.0
+    val same = Seq(("a", 5), ("b", 5)).toDF("arm", "v")
+    val z = Stats.wasserstein1(same, col("arm") === "a", "v").collect().head
+    assert(z.getDouble(2) == 0.0)
+  }
+
+  test("calibrationDecomp: perfect and anti-calibrated hand cases") {
+    import spark.implicits._
+    // perfect classifier (score == label): brier/reliability/ece/wbv 0,
+    // resolution = uncertainty = ybar(1-ybar) = 0.25
+    val perfect = Seq((0.0, false), (0.0, false), (1.0, true), (1.0, true))
+      .toDF("s", "y")
+    val p = Stats.calibrationDecomp(perfect, col("y"), "s", bins = 2)
+      .collect().head
+    assert(p.getLong(0) == 4 && p.getLong(1) == 2)
+    assert(p.getDouble(2) == 0.0 && p.getDouble(3) == 0.0)
+    assert(math.abs(p.getDouble(4) - 0.25) < 1e-9)
+    assert(math.abs(p.getDouble(5) - 0.25) < 1e-9)
+    assert(p.getDouble(6) == 0.0 && p.getDouble(7) == 0.0)
+    // anti-calibrated (score = 1 - label): reliability 1, ece 1, brier 1
+    val anti = Seq((1.0, false), (0.0, true)).toDF("s", "y")
+    val a = Stats.calibrationDecomp(anti, col("y"), "s", bins = 2)
+      .collect().head
+    assert(a.getDouble(2) == 1.0 && a.getDouble(3) == 1.0)
+    assert(math.abs(a.getDouble(4) - 0.25) < 1e-9)
+    assert(a.getDouble(7) == 1.0)
+  }
+
+  test("mutualInfo: independence zeroes MI, identity saturates NMI") {
+    import spark.implicits._
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("x", "y")
+    val i = Stats.mutualInfo(ind, col("x"), col("y")).collect().head
+    assert(i.getLong(0) == 4 && i.getLong(1) == 4)
+    assert(i.getDouble(2) == 0.0)
+    assert(i.getDouble(3) == 1.0 && i.getDouble(4) == 1.0)
+    assert(i.getDouble(5) == 0.0)
+    val dep = Seq(("a", "c"), ("a", "c"), ("b", "d"), ("b", "d"))
+      .toDF("x", "y")
+    val d = Stats.mutualInfo(dep, col("x"), col("y")).collect().head
+    assert(d.getDouble(2) == 1.0 && d.getDouble(5) == 1.0)
+    // constant column: its entropy readout is +0.0 (not IEEE -0.0 from
+    // negating an exact zero sum) and NMI pins NULL
+    val const = Seq(("a", "c"), ("b", "c")).toDF("x", "y")
+    val c = Stats.mutualInfo(const, col("x"), col("y")).collect().head
+    assert(c.getDouble(4) == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(c.getDouble(4)) == 0L)
+    assert(c.isNullAt(5))
+  }
 }
