@@ -3831,6 +3831,20 @@ object SparkEntry {
       graft.ops.Stats.wasserstein1(Tables.lineitem(s, d),
         col("l_returnflag") === "R", "l_quantity")),
 
+    // Two-sample Cramér–von Mises (Stats.cramerVonMises): error-event
+    // values vs the rest — the integrated-squared ECDF gap on the same
+    // slices as q_ks_test's sup-norm.
+    "q_cramer_von_mises" -> ((s, d) =>
+      graft.ops.Stats.cramerVonMises(Tables.events(s, d),
+        col("event_type") === "error", "value")),
+
+    // Hill tail-index (Stats.hillTailIndex): mean log-excess of the top
+    // 100 extended prices over the 101st — the heavy-tail alpha readout
+    // beside q_gumbel_fit's block maxima.
+    "q_hill_tail" -> ((s, d) =>
+      graft.ops.Stats.hillTailIndex(Tables.lineitem(s, d),
+        "l_extendedprice", k = 100)),
+
     // Calibration / reliability table (Stats.calibrationReport):
     // min-max-normalized value vs purchase incidence, 10 bins, per-bin
     // Brier contribution.
@@ -4267,6 +4281,12 @@ object SparkEntry {
     // beside q_lexical_richness's TTR/hapax view.
     "q_repeat_rate" -> ((s, d) =>
       TextAnalysis.repeatRate(Tables.documents(s, d), "source", "text")),
+
+    // Distinct-n diversity (TextAnalysis.ngramDiversity): unique/total
+    // unigrams and adjacent bigrams per source — the transition-level
+    // template detector TTR misses.
+    "q_ngram_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, d), "source", "text")),
 
     // Graph health summary (Graph.graphSummary) of the near-dup
     // candidate graph: components, largest share, isolation.
@@ -9326,6 +9346,51 @@ object SparkEntry {
         "round(CAST(coalesce(w1, 0) AS DOUBLE), 6) + 0.0 END AS w1 " +
         "FROM s CROSS JOIN t"),
 
+    // Same per-value collapse and inclusive cumulatives as q_ks_test;
+    // per-value (ca+cb)*(Fa-Fb)^2 terms round to 9 dp into a
+    // DECIMAL(38,9) sum, the na*nb/(na+nb)^2 factor applied once at
+    // readout; empty-arm CASE pin mirrored.
+    "q_cramer_von_mises" ->
+      ("WITH v AS (SELECT CAST(value AS DOUBLE) AS v, CASE WHEN " +
+        "event_type = 'error' THEN 1 ELSE 0 END AS a FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM v GROUP BY 1), " +
+        "c AS (SELECT ca, cb, SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS cuma, SUM(cb) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb FROM pv), " +
+        "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, " +
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM pv), " +
+        "s AS (SELECT SUM(CAST(CASE WHEN na > 0 AND nb > 0 THEN " +
+        "round(CAST(ca + cb AS DOUBLE) * " +
+        "((CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) - " +
+        "CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) * " +
+        "(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) - " +
+        "CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 9) " +
+        "ELSE 0.0 END AS DECIMAL(38,9))) AS s FROM c CROSS JOIN t) " +
+        "SELECT na AS n_a, nb AS n_b, CASE WHEN na > 0 AND nb > 0 THEN " +
+        "round((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / " +
+        "((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) * " +
+        "(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))) * CAST(s AS DOUBLE), 6) " +
+        "+ 0.0 END AS t_stat FROM s CROSS JOIN t"),
+
+    // Same top-(k+1) value multiset (ties value-deterministic), same
+    // 9-dp ln terms into a DECIMAL(38,9) sum; short-input and flat-tail
+    // NULL pins mirrored.
+    "q_hill_tail" ->
+      ("WITH top AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0 " +
+        "ORDER BY v DESC LIMIT 101), " +
+        "x AS (SELECT min(v) AS xk, count(*) AS m FROM top), " +
+        "s AS (SELECT max(m) AS m, max(xk) AS xk, " +
+        "SUM(CAST(round(ln(v / xk), 9) AS DECIMAL(38,9))) AS s " +
+        "FROM top CROSS JOIN x) " +
+        "SELECT CAST(m - 1 AS BIGINT) AS n_top, " +
+        "round(xk, 6) + 0.0 AS x_threshold, " +
+        "CASE WHEN m = 101 THEN round(CAST(s AS DOUBLE) / 100.0, 6) + 0.0 " +
+        "END AS gamma, " +
+        "CASE WHEN m = 101 AND CAST(s AS DOUBLE) > 0 THEN " +
+        "round(100.0 / CAST(s AS DOUBLE), 6) + 0.0 END AS alpha FROM s"),
+
     // Min-max scalar CTE, equal-width bins, per-bin reliability + Brier.
     "q_calibration" ->
       ("WITH b AS (SELECT CAST(value AS DOUBLE) AS s, CASE WHEN " +
@@ -9946,6 +10011,28 @@ object SparkEntry {
         "round((CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / " +
         "(CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 6) " +
         "END AS simpson_d FROM g ORDER BY source"),
+
+    // Same row-local bigram construction as q_collocations (space join
+    // is unambiguous: tokens cannot contain the separator); LEFT JOIN
+    // mirrors the no-bigram-group NULL columns.
+    "q_ngram_diversity" ->
+      ("WITH toks AS (SELECT source, string_split(text, ' ') AS tk " +
+        "FROM documents), " +
+        "u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams, " +
+        "CAST(count(DISTINCT t) AS BIGINT) AS d_unigrams FROM " +
+        "(SELECT source, unnest(tk) AS t FROM toks) WHERE t <> '' " +
+        "GROUP BY source), " +
+        "b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(count(DISTINCT bg) AS BIGINT) AS d_bigrams FROM " +
+        "(SELECT source, tk[i] || ' ' || tk[i + 1] AS bg FROM toks, " +
+        "unnest(generate_series(1, len(tk) - 1)) AS u(i) " +
+        "WHERE len(tk) >= 2) GROUP BY source) " +
+        "SELECT u.source, n_unigrams, d_unigrams, " +
+        "round(CAST(d_unigrams AS DOUBLE) / CAST(n_unigrams AS DOUBLE), 6) " +
+        "+ 0.0 AS distinct_1, n_bigrams, d_bigrams, " +
+        "round(CAST(d_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) " +
+        "+ 0.0 AS distinct_2 FROM u LEFT JOIN b ON u.source = b.source " +
+        "ORDER BY u.source"),
 
     "q_graph_summary" -> graphSummaryOracle,
 

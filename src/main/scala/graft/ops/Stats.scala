@@ -1246,6 +1246,100 @@ object Stats {
           .alias("w1"))
   }
 
+  /** Two-sample Cramér–von Mises statistic: T = n_a·n_b/(n_a+n_b)² ·
+    * Σ_pooled (F̂_A(x) − F̂_B(x))² over every pooled observation
+    * (counting multiplicity) — the INTEGRATED-squared ECDF gap beside
+    * [[ksTest]]'s sup-norm and [[wasserstein1]]'s area: CvM sees a
+    * distribution that differs a little everywhere, which a single
+    * max point understates. Scale shape is [[ksTest]]'s verbatim: one
+    * per-distinct-value count collapse, range-bucket + broadcast-offset
+    * inclusive cumulatives (never a global window), then one reduce.
+    * ECDF ratios divide exact integers; each per-value term
+    * (c_a+c_b)·(F̂_A−F̂_B)² rounds to 9 dp before the DECIMAL(38,9)
+    * sum; the n_a·n_b/(n_a+n_b)² factor is one fixed IEEE expression of
+    * exact integers applied once at readout (6 dp, signed-zero-safe).
+    * An empty arm pins t_stat NULL (terms guarded to 0.0 first — same
+    * stance as wasserstein1, CASE mirrored in the oracle). */
+  def cramerVonMises(df: DataFrame, armA: Column, valueCol: String,
+                     numParts: Int = 32): DataFrame = {
+    val perValue = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").alias("__v"))
+      .agg(sum(when(armA, 1L).otherwise(0L)).alias("__ca"),
+        sum(when(armA, 0L).otherwise(1L)).alias("__cb"))
+    val kb = perValue.agg(min("__v").alias("__lo"), max("__v").alias("__hi"))
+    val parts = perValue.crossJoin(broadcast(kb))
+      .withColumn("__pid",
+        orderBucket(col("__v"), col("__lo"), col("__hi"), numParts))
+      .drop("__lo", "__hi")
+    val pidW = Window.partitionBy("__pid").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts
+      .withColumn("__cuma", sum("__ca").over(pidW))
+      .withColumn("__cumb", sum("__cb").over(pidW))
+    val offsets = parts.groupBy("__pid")
+      .agg(sum("__ca").alias("__pa"), sum("__cb").alias("__pb"))
+      .withColumn("__offa", coalesce(sum("__pa").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__offb", coalesce(sum("__pb").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__offa", "__offb")
+    val totals = perValue.agg(sum("__ca").alias("__na"),
+      sum("__cb").alias("__nb"))
+    val fa = (col("__offa") + col("__cuma")).cast("double") /
+      col("__na").cast("double")
+    val fb = (col("__offb") + col("__cumb")).cast("double") /
+      col("__nb").cast("double")
+    val term = round((col("__ca") + col("__cb")).cast("double") *
+      ((fa - fb) * (fa - fb)), 9)
+    val guarded = when(col("__na") > 0 && col("__nb") > 0, term)
+      .otherwise(lit(0.0))
+    val naD = col("__na").cast("double"); val nbD = col("__nb").cast("double")
+    local.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .agg(sum(guarded.cast("decimal(38,9)")).alias("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col("__na").alias("n_a"), col("__nb").alias("n_b"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          round0((naD * nbD / ((naD + nbD) * (naD + nbD))) *
+            col("__s").cast("double"), 6)).alias("t_stat"))
+  }
+
+  /** Hill tail-index estimator over the top-k order statistics of a
+    * positive value column: γ̂ = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)) (the
+    * mean log-excess over the (k+1)-th largest) and α̂ = 1/γ̂ — the
+    * standard "how heavy is this tail" readout (α ≤ 2 ⇒ infinite
+    * variance: sampling and mean-based monitors break) beside
+    * [[gumbelFit]]'s block-maxima view. Scale shape: ONE
+    * TakeOrderedAndProject of k+1 rows (ties at the boundary are
+    * value-deterministic — only the multiset of top values matters,
+    * and the threshold row contributes ln(1) = 0), then a k-row
+    * aggregation. Per-term ln rounds to 9 dp before the DECIMAL(38,9)
+    * sum ([[Graph.adamicAdar]]'s ln recipe). Fewer than k+1 positive
+    * rows pins γ̂/α̂ NULL (the estimator is undefined); an all-equal
+    * tail (Σ = 0) pins α̂ NULL. */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int = 100)
+      : DataFrame = {
+    require(k >= 2 && k <= 100000, s"hillTailIndex: bad k=$k")
+    val top = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("double").alias("__v"))
+      .orderBy(col("__v").desc).limit(k + 1)
+    val xk = top.agg(min("__v").alias("__xk"), count(lit(1)).alias("__m"))
+    val s = top.crossJoin(broadcast(xk))
+      .agg(max("__m").alias("__m2"), max("__xk").alias("__xk2"),
+        sum(round(log(col("__v") / col("__xk")), 9).cast("decimal(38,9)"))
+          .alias("__s"))
+    val sD = col("__s").cast("double")
+    s.select((col("__m2") - 1L).alias("n_top"),
+      round0(col("__xk2"), 6).alias("x_threshold"),
+      when(col("__m2") === (k + 1),
+        round0(sD / lit(k.toDouble), 6)).alias("gamma"),
+      when(col("__m2") === (k + 1) && sD > 0,
+        round0(lit(k.toDouble) / sD, 6)).alias("alpha"))
+  }
+
+
   /** Calibration / reliability table: min-max-normalize the score to
     * [0,1], bucket into `bins` equal-width bins, and report per bin the
     * mean predicted probability against the empirical positive rate,

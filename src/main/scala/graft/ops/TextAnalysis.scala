@@ -695,6 +695,45 @@ object TextAnalysis {
       .orderBy(groupCol)
   }
 
+  /** Distinct-n diversity per corpus slice — the text-generation
+    * diversity readout (Li et al.'s distinct-1/distinct-2): unique
+    * unigrams over total unigrams and unique ADJACENT bigrams over
+    * total bigrams. Bigram diversity is the signal [[repeatRate]] and
+    * TTR miss: template text that cycles a large vocabulary through the
+    * same transitions scores high distinct-1 but low distinct-2.
+    * Scale shape: bigrams are row-local array expressions (no window,
+    * no self-join — [[collocations]]' construction, space-joined since
+    * tokens cannot contain the separator); each arm is one
+    * (group, gram)-collapsed count (vocabulary-sized two-phase
+    * distinct), joined group-wise. Ratios divide exact longs once,
+    * 6-dp readouts. A group with no 2-token document carries NULL
+    * bigram columns (left join, mirrored). */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(groupCol), tokens(col(textCol)).alias("__toks"))
+    val uni = toks.select(col(groupCol), explode(col("__toks")).alias("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).alias("n_unigrams"),
+        countDistinct("__t").alias("d_unigrams"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(col(groupCol),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1)))).alias("__b"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).alias("n_bigrams"),
+        countDistinct("__b").alias("d_bigrams"))
+    uni.join(bi, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_unigrams"), col("d_unigrams"),
+        round0(col("d_unigrams").cast("double") /
+          col("n_unigrams").cast("double"), 6).alias("distinct_1"),
+        col("n_bigrams"), col("d_bigrams"),
+        round0(col("d_bigrams").cast("double") /
+          col("n_bigrams").cast("double"), 6).alias("distinct_2"))
+      .orderBy(groupCol)
+  }
+
   /** PMI collocation mining — multi-word-expression extraction for
     * tokenizer/vocabulary curation: adjacent token pairs ranked by
     * pointwise mutual information ln(p(ab) / (p(a)·p(b))), the classic

@@ -2156,6 +2156,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("s2").isNullAt(4))
   }
 
+  test("ngramDiversity: distinct-1/distinct-2 hand case, no-bigram NULLs") {
+    import spark.implicits._
+    // "a b a b": 4 unigrams / 2 distinct; bigrams (a b, b a, a b) -> 3/2
+    val df = Seq(("s1", "a b a b"), ("s2", "x")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.ngramDiversity(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r = got("s1")
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getLong(4) == 3 && r.getLong(5) == 2)
+    assert(math.abs(r.getDouble(6) - 0.666667) < 1e-9)
+    // a group with no 2-token document carries NULL bigram columns
+    assert(got("s2").isNullAt(4) && got("s2").isNullAt(6))
+  }
+
   test("graphSummary: triangle plus isolated nodes") {
     import spark.implicits._
     val nodes = (1L to 5L).toDF("id")

@@ -1481,6 +1481,41 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(a.getDouble(7) == 1.0)
   }
 
+  test("cramerVonMises: identical samples zero, disjoint hand case") {
+    import spark.implicits._
+    // identical arms -> Fa = Fb everywhere -> T = 0
+    val same = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("arm", "v")
+    val z = Stats.cramerVonMises(same, col("arm") === "a", "v").collect().head
+    assert(z.getLong(0) == 2 && z.getLong(1) == 2)
+    assert(z.getDouble(2) == 0.0)
+    // A = {1}, B = {2}: term 1 at v=1, 0 at v=2; factor 1/4 -> T = 0.25
+    val dis = Seq(("a", 1), ("b", 2)).toDF("arm", "v")
+    val d = Stats.cramerVonMises(dis, col("arm") === "a", "v").collect().head
+    assert(math.abs(d.getDouble(2) - 0.25) < 1e-9)
+    // empty arm pins NULL
+    val one = Seq(("a", 1), ("a", 2)).toDF("arm", "v")
+    val e = Stats.cramerVonMises(one, col("arm") === "a", "v").collect().head
+    assert(e.isNullAt(2))
+  }
+
+  test("hillTailIndex: exact log-excess hand case, short-input pin") {
+    import spark.implicits._
+    // top-3 of {8,4,2,1} at k=2: ln(8/2)+ln(4/2)+ln(2/2) = 2.079441542
+    val df = Seq(8.0, 4.0, 2.0, 1.0).toDF("v")
+    val r = Stats.hillTailIndex(df, "v", k = 2).collect().head
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 2.0)
+    assert(math.abs(r.getDouble(2) - 1.039721) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.961797) < 1e-9)
+    // fewer than k+1 positive rows: estimator undefined -> NULL
+    val short = Seq(3.0, -1.0, 2.0).toDF("v")
+    val s = Stats.hillTailIndex(short, "v", k = 2).collect().head
+    assert(s.getLong(0) == 1 && s.isNullAt(2) && s.isNullAt(3))
+    // flat tail (all equal): gamma 0, alpha pinned NULL (1/0)
+    val flat = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    val f = Stats.hillTailIndex(flat, "v", k = 2).collect().head
+    assert(f.getDouble(2) == 0.0 && f.isNullAt(3))
+  }
+
   test("mutualInfo: independence zeroes MI, identity saturates NMI") {
     import spark.implicits._
     val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
