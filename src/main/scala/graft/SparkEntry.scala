@@ -3103,6 +3103,12 @@ object SparkEntry {
     "q_pacf" -> ((s, d) =>
       graft.ops.Stats.pacf(Tables.orders(s, d), to_date(col("o_orderdate")))),
 
+    // Ljung-Box portmanteau Q over q_acf's first 7 autocorrelations
+    // (Stats.ljungBox): the one-number white-noise check.
+    "q_ljung_box" -> ((s, d) =>
+      graft.ops.Stats.ljungBox(Tables.orders(s, d),
+        to_date(col("o_orderdate")), maxLag = 7)),
+
     // Daily session-quality report (Sessionize.sessionReport): sessions,
     // bounce rate, events/session, mean duration over the same 30-min
     // gap sessionization as q_sessionize_batch.
@@ -8624,6 +8630,33 @@ object SparkEntry {
           s"SELECT $l AS lag, round(CAST(n$l AS DOUBLE) / CAST(den AS DOUBLE), 6) " +
           s"AS acf FROM a").mkString(" UNION ALL ") +
         ") ORDER BY lag"),
+
+    // Same calendar-bounded ACF as q_acf; rho^2/(n-k) terms round to
+    // 9 dp into a DECIMAL(38,9) sum, n(n+2) factor applied once.
+    "q_ljung_box" ->
+      ("WITH s AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+        "m AS (SELECT sum(x) / count(*) AS m FROM s), " +
+        "c AS (SELECT x - m.m AS c0, " +
+        (1 to 7).map(l =>
+          s"lead(x, $l) OVER (ORDER BY d) - m.m AS c$l").mkString(", ") +
+        " FROM s CROSS JOIN m), " +
+        "a AS (SELECT sum(CAST(c0 * c0 AS DECIMAL(28,8))) AS den, " +
+        (1 to 7).map(l =>
+          s"sum(CAST(c0 * c$l AS DECIMAL(28,8))) AS n$l").mkString(", ") +
+        " FROM c), " +
+        "acf AS (SELECT lag, acf FROM (" +
+        (1 to 7).map(l =>
+          s"SELECT $l AS lag, round(CAST(n$l AS DOUBLE) / CAST(den AS DOUBLE), 6) " +
+          s"AS acf FROM a").mkString(" UNION ALL ") +
+        ")), nn AS (SELECT count(*) AS n FROM s), " +
+        "q AS (SELECT max(n) AS n, SUM(CAST(CASE WHEN n > 7 THEN " +
+        "round(acf * acf / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)), 9) " +
+        "ELSE 0.0 END AS DECIMAL(38,9))) AS s FROM acf CROSS JOIN nn) " +
+        "SELECT CAST(n AS BIGINT) AS n_buckets, 7 AS df, " +
+        "CASE WHEN n > 7 THEN round(CAST(n AS DOUBLE) * " +
+        "(CAST(n AS DOUBLE) + 2.0) * CAST(s AS DOUBLE), 6) + 0.0 " +
+        "END AS q_stat FROM q"),
 
     // The q_acf chain truncated to 3 lags, then the same unrolled
     // Durbin-Levinson scalar arithmetic on the 6-dp ρ values.

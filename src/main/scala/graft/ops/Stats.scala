@@ -134,6 +134,39 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Ljung-Box portmanteau white-noise statistic over the first m
+    * sample autocorrelations of the [[autocorrelation]] date-grain
+    * series: Q = n(n+2)·Σ_{k≤m} ρ̂_k²/(n−k), χ²_m under the
+    * no-autocorrelation null — the ONE-number "is there any serial
+    * structure left" readout beside the per-lag ACF (the residual
+    * check every forecasting pipeline runs; raw statistic reported,
+    * the raw-stat convention of kruskalWallis/friedmanTest). Scale
+    * shape: everything downstream of the calendar-bounded ACF is
+    * arithmetic over m rows — the ρ̂ values are already 6-dp-pinned
+    * engine-exact, each ρ²/(n−k) term re-rounds to 9 dp into a
+    * DECIMAL(38,9) sum, and the n(n+2) factor multiplies exact
+    * integers once at readout. Pins Q NULL when n ≤ m (a lag term
+    * would divide by zero or a negative gap). */
+  def ljungBox(df: DataFrame, dateCol: Column, maxLag: Int = 7)
+      : DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"ljungBox: bad maxLag $maxLag")
+    val acf = autocorrelation(df, dateCol, maxLag)
+    val n = df.groupBy(dateCol.alias("__d")).agg(count(lit(1)).alias("__c"))
+      .agg(count(lit(1)).alias("__n"))
+    val nD = col("__n").cast("double")
+    val term = round(col("acf") * col("acf") /
+      (nD - col("lag").cast("double")), 9)
+    acf.crossJoin(broadcast(n))
+      .agg(max("__n").alias("n_buckets"),
+        sum(when(col("__n") > maxLag, term).otherwise(lit(0.0))
+          .cast("decimal(38,9)")).alias("__s"))
+      .select(col("n_buckets"), lit(maxLag).alias("df"),
+        when(col("n_buckets") > maxLag,
+          round0(col("n_buckets").cast("double") *
+            (col("n_buckets").cast("double") + lit(2.0)) *
+            col("__s").cast("double"), 6)).alias("q_stat"))
+  }
+
   /** Cross-correlation function between two date-grain series derived
     * from the same table (does metric y echo metric x a few days
     * later?): ccf(l) = Σ(x_t−x̄)(y_{t+l}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²) for

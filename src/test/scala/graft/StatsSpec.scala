@@ -1481,6 +1481,23 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(a.getDouble(7) == 1.0)
   }
 
+  test("ljungBox: ramped series Q matches the pinned-ACF replica") {
+    import spark.implicits._
+    // day i of January has i rows: strong positive autocorrelation.
+    // Expected Q replayed offline with the exact dual-engine convention
+    // (6-dp ACF, 9-dp terms, n(n+2) factor): 101.041416
+    val rows = (1 to 30).flatMap(i => Seq.fill(i)(f"2024-01-$i%02d"))
+    val df = rows.toDF("ds").select(to_date(col("ds")).alias("d"))
+    val r = Stats.ljungBox(df, col("d"), maxLag = 7).collect().head
+    assert(r.getLong(0) == 30 && r.getInt(1) == 7)
+    assert(math.abs(r.getDouble(2) - 101.041416) < 1e-9)
+    // n <= maxLag pins Q NULL (a term would divide by zero)
+    val short = (1 to 5).map(i => f"2024-01-$i%02d").toDF("ds")
+      .select(to_date(col("ds")).alias("d"))
+    val s = Stats.ljungBox(short, col("d"), maxLag = 7).collect().head
+    assert(s.getLong(0) == 5 && s.isNullAt(2))
+  }
+
   test("cramerVonMises: identical samples zero, disjoint hand case") {
     import spark.implicits._
     // identical arms -> Fa = Fb everywhere -> T = 0
