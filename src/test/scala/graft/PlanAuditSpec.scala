@@ -89,6 +89,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
       s"q_sprt plans an arm-only window over the raw event stream:\n${armOnly.headOption.getOrElse("")}")
   }
 
+  test("q_wasserstein / q_cramer_von_mises: windows run over the collapsed value table, never raw rows") {
+    // The scale contract of the ksTest-machinery family: the row stream
+    // collapses to per-distinct-value counts BEFORE anything ordered
+    // happens, so no window's child may still carry the raw value
+    // column; the only unpartitioned window is the numParts-row offsets
+    // cumsum over the bucket metadata table (no per-value counts).
+    for ((name, raw) <- Seq("q_wasserstein" -> "l_quantity",
+      "q_cramer_von_mises" -> "value")) {
+      val plan = run(name)
+      val wins = collectWithSubqueries(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$name lost its windows entirely:\n$plan")
+      val overRaw = wins.filter(_.child.output.exists(_.name == raw))
+      assert(overRaw.isEmpty,
+        s"$name plans a window over raw rows:\n${overRaw.headOption.getOrElse("")}")
+      val globalOverCounts = wins.filter(w => w.partitionSpec.isEmpty &&
+        w.child.output.exists(_.name == "__ca"))
+      assert(globalOverCounts.isEmpty,
+        s"$name plans an unpartitioned window over the per-value count " +
+          s"table:\n${globalOverCounts.headOption.getOrElse("")}")
+    }
+  }
+
+  test("q_hill_tail: top-(k+1) selection is a TakeOrderedAndProject, not a sort") {
+    val plan = run("q_hill_tail")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"q_hill_tail lost its TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q_ngram_diversity: gram counts shuffle tokens, never text") {
+    assertTextNeverShuffles("q_ngram_diversity")
+  }
+
   test("q_llm_prep_fuzzy: full fuzzy-dedup flagship keeps text out of every shuffle") {
     assertTextNeverShuffles("q_llm_prep_fuzzy")
     assertNoQuadraticJoin("q_llm_prep_fuzzy")
