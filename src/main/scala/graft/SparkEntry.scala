@@ -3532,6 +3532,26 @@ object SparkEntry {
       graft.ops.Stats.pageHinkley(Tables.orders(s, d),
         to_date(col("o_orderdate")), lambda = 25.0)),
 
+    // Isotonic calibration (Stats.isotonicCalibration): PAV via the
+    // minimax identity over the same 10 min-max score bins as
+    // q_calibration — the monotone-fitted reliability curve.
+    "q_isotonic" -> ((s, d) =>
+      graft.ops.Stats.isotonicCalibration(Tables.events(s, d),
+        col("event_type") === "purchase", "value", bins = 10)),
+
+    // Count overdispersion (Stats.overdispersion): per event type, are
+    // per-user event counts Poisson-like or clumped? D = s²/x̄ + χ².
+    "q_overdispersion" -> ((s, d) =>
+      graft.ops.Stats.overdispersion(Tables.events(s, d),
+        col("event_type"), col("user_id"))),
+
+    // Schuster periodogram (Stats.periodogram): which period dominates
+    // the daily order series — the frequency-domain view beside
+    // q_autocorr's lag view (weekly structure spikes at period 7).
+    "q_periodogram" -> ((s, d) =>
+      graft.ops.Stats.periodogram(Tables.orders(s, d),
+        to_date(col("o_orderdate")), maxPeriod = 14)),
+
     // Zipf rank-frequency slope (TextAnalysis.zipfSlope): log-log OLS
     // over the top-64 token head of the documents corpus.
     "q_zipf_slope" -> ((s, d) =>
@@ -7428,6 +7448,89 @@ object SparkEntry {
         "AS max_gap FROM g) " +
         "SELECT s.n_days, s.max_gap, coalesce(a.n_alarms, 0) AS n_alarms, " +
         "a.first_alarm FROM s CROSS JOIN a"),
+
+    // Mirrors Stats.isotonicCalibration: same min-max 10-bin table as
+    // q_calibration_decomp, then the PAV minimax identity
+    // fit_i = max_{j<=i} min_{k>=i} mean(y over bins j..k) — every
+    // interval mean is an exact long/long ratio, so min/max are
+    // engine-exact.
+    "q_isotonic" ->
+      ("WITH b AS (SELECT CAST(value AS DOUBLE) AS s, CASE WHEN " +
+        "event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b), " +
+        "sc AS (SELECT CASE WHEN hi = lo THEN 0.5 ELSE (s - lo) / (hi - lo) " +
+        "END AS p, y FROM b CROSS JOIN mm), " +
+        "g AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, " +
+        "count(*) AS nb, SUM(y) AS ny FROM sc GROUP BY 1), " +
+        "c AS (SELECT bin, nb, ny, SUM(nb) OVER w AS cn, SUM(ny) OVER w AS cy " +
+        "FROM g WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)), " +
+        "iv AS (SELECT j.bin AS j, k.bin AS k, " +
+        "CAST(k.cy - (j.cy - j.ny) AS DOUBLE) / " +
+        "CAST(k.cn - (j.cn - j.nb) AS DOUBLE) AS avg " +
+        "FROM c j JOIN c k ON j.bin <= k.bin), " +
+        "mn AS (SELECT i.bin AS bin, i.nb, i.ny, iv.j, min(iv.avg) AS m " +
+        "FROM c i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "f AS (SELECT bin, nb, ny, max(m) AS fit FROM mn GROUP BY 1, 2, 3) " +
+        "SELECT bin, nb AS n, " +
+        "round(CAST(ny AS DOUBLE) / CAST(nb AS DOUBLE), 6) + 0.0 AS rate_raw, " +
+        "round(fit, 6) + 0.0 AS rate_isotonic FROM f ORDER BY bin"),
+
+    // Mirrors Stats.overdispersion: exact long moments, the same
+    // ((n * mean) * mean) parenthesization, NULL pin on n <= 1.
+    "q_overdispersion" ->
+      ("WITH per AS (SELECT event_type AS g, user_id AS e, count(*) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT g, count(*) AS n_entities, " +
+        "SUM(CAST(c AS DECIMAL(38,0))) AS s, " +
+        "SUM(CAST(c * c AS DECIMAL(38,0))) AS ss FROM per GROUP BY 1), " +
+        "k AS (SELECT g, n_entities, CAST(n_entities AS DOUBLE) AS nd, " +
+        "CAST(s AS DOUBLE) / CAST(n_entities AS DOUBLE) AS mean, " +
+        "CAST(ss AS DOUBLE) AS ssd, s FROM m), " +
+        "v AS (SELECT g, n_entities, nd, mean, s, " +
+        "(ssd - nd * mean * mean) / (nd - 1.0) AS var FROM k) " +
+        "SELECT g AS \"group\", n_entities, round(mean, 6) + 0.0 AS mean_count, " +
+        "CASE WHEN n_entities > 1 AND s > 0 THEN round(var, 6) + 0.0 END " +
+        "AS var_count, " +
+        "CASE WHEN n_entities > 1 AND s > 0 THEN round(var / mean, 6) + 0.0 " +
+        "END AS dispersion, " +
+        "CASE WHEN n_entities > 1 AND s > 0 THEN " +
+        "round((nd - 1.0) * (var / mean), 6) + 0.0 END AS chi2 " +
+        "FROM v ORDER BY g"),
+
+    // Mirrors Stats.periodogram (maxPeriod 14 over the daily order
+    // series): 9-dp-rounded centered counts and cos/sin of
+    // (2pi * (t mod p)) / p — at most sum(p) < 120 distinct angle
+    // constants — with DECIMAL(38,12) product sums.
+    "q_periodogram" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM orders GROUP BY 1), " +
+        "m AS (SELECT CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) AS mraw, min(d) AS d0 FROM daily), " +
+        "c AS (SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS t, " +
+        "round(x - round(mraw, 9), 9) + 0.0 AS cc FROM daily CROSS JOIN m), " +
+        "tm AS (SELECT t, cc, period FROM c CROSS JOIN " +
+        "(SELECT unnest(range(2, 15)) AS period)), " +
+        "th AS (SELECT period, cc, (6.283185307179586 * " +
+        "CAST(t % period AS DOUBLE)) / CAST(period AS DOUBLE) AS theta FROM tm), " +
+        "tr AS (SELECT period, cc, round(cos(theta), 9) + 0.0 AS co, " +
+        "round(sin(theta), 9) + 0.0 AS si FROM th), " +
+        "tot AS (SELECT count(*) AS n, " +
+        "SUM(CAST(cc * cc AS DECIMAL(38,12))) AS css FROM c), " +
+        "ag AS (SELECT period, " +
+        "SUM(CAST(cc * co AS DECIMAL(38,12))) AS sc, " +
+        "SUM(CAST(cc * si AS DECIMAL(38,12))) AS ss FROM tr GROUP BY 1) " +
+        "SELECT CAST(period AS BIGINT) AS period, " +
+        "round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) + " +
+        "CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / CAST(n AS DOUBLE), 6) " +
+        "+ 0.0 AS power, " +
+        "CASE WHEN CAST(css AS DOUBLE) > 0 THEN " +
+        "round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) + " +
+        "CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(css AS DOUBLE)), 6) + 0.0 END " +
+        "AS var_share FROM ag CROSS JOIN tot ORDER BY period"),
 
     // Mirrors TextAnalysis.zipfSlope (topN 64): same split/unnest
     // tokens, (count DESC, token) head, heapsLaw's exact OLS.

@@ -3777,4 +3777,145 @@ object Stats {
         coalesce(col("n_alarms"), lit(0L)).alias("n_alarms"),
         col("first_alarm"))
   }
+
+  /** Isotonic (monotone non-decreasing) calibration over score bins —
+    * the pool-adjacent-violators fit beside [[calibrationReport]]'s raw
+    * reliability table, computed by PAV's closed minimax identity
+    * instead of the sequential pooling loop:
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} mean(y over bins j..k),
+    * which needs no iteration and no driver-side state. Scale shape:
+    * the corpus collapses ONCE to a ≤`bins`-row (bin, n, Σy) table via
+    * the shared [[minmaxProb]] projection (one map-side-combined
+    * aggregation); the minimax then runs entirely on that bounded
+    * metadata — prefix sums over ≤B rows, a B² interval-average table,
+    * and a B³-pair range join, all on ≤32³ = 32,768 metadata rows
+    * regardless of corpus size. Every interval mean is an exact-integer
+    * ratio (Σy and n are longs), so min/max and the 6-dp readout are
+    * engine-exact with no float-accumulation caveat at all. Empty bins
+    * simply don't appear; the fit is over the ordered non-empty bins. */
+  def isotonicCalibration(df: DataFrame, positive: Column, scoreCol: String,
+                          bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 32, s"isotonicCalibration: bad bins=$bins")
+    val binned = minmaxProb(df, positive, scoreCol)
+      .withColumn("bin",
+        least(floor(col("__p") * bins), lit(bins - 1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).alias("__nb"), sum("__y").alias("__ny"))
+    val w = Window.orderBy("bin") // ≤ bins rows: bounded by construction
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("__cn", sum("__nb").over(w))
+      .withColumn("__cy", sum("__ny").over(w))
+    val jSide = cum.select(col("bin").alias("__j"),
+      (col("__cn") - col("__nb")).alias("__cnj"),
+      (col("__cy") - col("__ny")).alias("__cyj"))
+    val kSide = cum.select(col("bin").alias("__k"),
+      col("__cn").alias("__cnk"), col("__cy").alias("__cyk"))
+    val intervals = jSide.join(kSide, col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        ((col("__cyk") - col("__cyj")).cast("double") /
+          (col("__cnk") - col("__cnj")).cast("double")).alias("__avg"))
+    val iSide = cum.select(col("bin").alias("__i"), col("__nb"), col("__ny"))
+    val fit = iSide
+      .join(intervals, col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy("__i", "__nb", "__ny", "__j").agg(min("__avg").alias("__m"))
+      .groupBy("__i", "__nb", "__ny").agg(max("__m").alias("__fit"))
+    fit.select(col("__i").alias("bin"), col("__nb").alias("n"),
+        round0(col("__ny").cast("double") / col("__nb").cast("double"), 6)
+          .alias("rate_raw"),
+        round0(col("__fit"), 6).alias("rate_isotonic"))
+      .orderBy("bin")
+  }
+
+  /** Count-data overdispersion check — per group, are per-entity event
+    * counts Poisson-like (variance ≈ mean) or clumped? Reports the
+    * index of dispersion D = s²/x̄ over per-entity counts and the
+    * χ² = (n−1)·D readout against the Poisson null (D ≈ 1), the
+    * before-you-fit sanity gate for any count model and the burstiness
+    * companion at the population grain ([[Sessionize.burstiness]] is
+    * per-entity-sequence). Scale shape: one (group, entity) count
+    * aggregation collapses the stream, one group-keyed moment
+    * aggregation (DECIMAL sums of exact longs) collapses that —
+    * windows nowhere. Entities appear only where they have events; the
+    * zero-count cells of a fixed entity universe are a different
+    * estimand, documented here. Degenerates pin NULL: one entity
+    * (no sample variance) or x̄ = 0. */
+  def overdispersion(df: DataFrame, groupCol: Column, entityCol: Column)
+      : DataFrame = {
+    val per = df.groupBy(groupCol.alias("__g"), entityCol.alias("__e"))
+      .agg(count(lit(1)).alias("__c"))
+    val m = per.groupBy("__g")
+      .agg(count(lit(1)).alias("n_entities"),
+        sum(col("__c").cast("decimal(38,0)")).alias("__s"),
+        sum((col("__c") * col("__c")).cast("decimal(38,0)")).alias("__ss"))
+    val n = col("n_entities").cast("double")
+    val mean = col("__s").cast("double") / n
+    val varS = (col("__ss").cast("double") - n * mean * mean) / (n - lit(1.0))
+    val d = varS / mean
+    val ok = col("n_entities") > 1 && col("__s") > 0
+    m.select(col("__g").alias("group"), col("n_entities"),
+        round0(mean, 6).alias("mean_count"),
+        when(ok, round0(varS, 6)).alias("var_count"),
+        when(ok, round0(d, 6)).alias("dispersion"),
+        when(ok, round0((n - lit(1.0)) * d, 6)).alias("chi2"))
+      .orderBy("group")
+  }
+
+  /** Schuster periodogram over the daily-count series — WHICH period
+    * dominates, the frequency-domain companion to [[autocorrelation]]'s
+    * lag view (a weekly rhythm shows as a spike at lag 7 there and at
+    * period 7 here, but the periodogram separates nearby periods that
+    * smear together in the ACF). For each candidate period p in
+    * 2..maxPeriod, with c_t = x_t − x̄ over the day-indexed series:
+    *   I_p = [(Σ c_t cos θ_tp)² + (Σ c_t sin θ_tp)²] / n,
+    *   share_p = I_p / Σ c_t²  (fraction of series variance at p),
+    * θ_tp = 2π·(t mod p)/p. Scale shape: the stream collapses to the
+    * CALENDAR-BOUNDED daily table first (autocorrelation's stance);
+    * the per-(day, period) trig table is that bounded series × ≤30
+    * periods, collapsed by one map-side-combined aggregation. Trig
+    * determinism: θ is built from integers and a pinned 2π literal,
+    * t mod p keeps the argument in [0, 2π) so cos/sin stay in libm's
+    * well-tested range, and both factors round to 9 dp before the
+    * DECIMAL(38,12) product sums — at most Σ(p) < 500 DISTINCT
+    * (t mod p, p) angle pairs exist, so engine agreement is over a few
+    * hundred rounded constants, not per-row float flow. x̄ and c_t are
+    * 9-dp-rounded from exact DECIMAL sums. */
+  def periodogram(df: DataFrame, dateCol: Column, maxPeriod: Int = 30)
+      : DataFrame = {
+    require(maxPeriod >= 2 && maxPeriod <= 60,
+      s"periodogram: bad maxPeriod=$maxPeriod")
+    val twoPi = lit(6.283185307179586)
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__x"))
+    val mean = daily.agg(
+      (sum(col("__x").cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double")).alias("__mraw"),
+      min("__d").alias("__d0"))
+    val centered = daily.crossJoin(broadcast(mean))
+      .withColumn("__t", datediff(col("__d"), col("__d0")).cast("long"))
+      .withColumn("__c", round0(col("__x") - round(col("__mraw"), 9), 9))
+    val terms = centered.select(col("__t"), col("__c"),
+        explode(sequence(lit(2), lit(maxPeriod))).alias("period"))
+      .withColumn("__theta",
+        twoPi * pmod(col("__t"), col("period")).cast("double") /
+          col("period").cast("double"))
+      .withColumn("__cos", round0(cos(col("__theta")), 9))
+      .withColumn("__sin", round0(sin(col("__theta")), 9))
+    val tot = centered.agg(count(lit(1)).alias("__n"),
+      sum((col("__c") * col("__c")).cast("decimal(38,12)")).alias("__css"))
+    terms.groupBy("period")
+      .agg(sum((col("__c") * col("__cos")).cast("decimal(38,12)")).alias("__sc"),
+        sum((col("__c") * col("__sin")).cast("decimal(38,12)")).alias("__ss"))
+      .crossJoin(broadcast(tot))
+      .select(col("period").cast("long").alias("period"),
+        round0((col("__sc").cast("double") * col("__sc").cast("double") +
+          col("__ss").cast("double") * col("__ss").cast("double")) /
+          col("__n").cast("double"), 6).alias("power"),
+        when(col("__css").cast("double") > 0,
+          round0((col("__sc").cast("double") * col("__sc").cast("double") +
+            col("__ss").cast("double") * col("__ss").cast("double")) /
+            (col("__n").cast("double") * col("__css").cast("double")), 6))
+          .alias("var_share"))
+      .orderBy("period")
+  }
 }

@@ -1554,4 +1554,59 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       java.lang.Double.doubleToRawLongBits(c.getDouble(4)) == 0L)
     assert(c.isNullAt(5))
   }
+
+  test("isotonicCalibration: adjacent violators pool to their mean") {
+    import spark.implicits._
+    // Scores span [0, 1] exactly so min-max is the identity; 4 bins with
+    // raw rates (0.2, 0.6, 0.4, 0.8) — the middle pair violates
+    // monotonicity and PAV pools it to (3+2)/10 = 0.5.
+    def rows(score: Double, pos: Int, tot: Int) =
+      (0 until tot).map(i => (score, i < pos))
+    val df = (rows(0.0, 1, 1) ++ rows(0.1, 0, 4) ++ // bin 0: 1/5
+      rows(0.3, 3, 5) ++                            // bin 1: 3/5
+      rows(0.6, 2, 5) ++                            // bin 2: 2/5
+      rows(0.9, 3, 4) ++ rows(1.0, 1, 1))           // bin 3: 4/5
+      .toDF("s", "y")
+    val got = Stats.isotonicCalibration(df, col("y"), "s", bins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.toSeq === Seq((0L, 5L, 0.2, 0.2), (1L, 5L, 0.6, 0.5),
+      (2L, 5L, 0.4, 0.5), (3L, 5L, 0.8, 0.8)))
+  }
+
+  test("overdispersion: hand moments per group, single-entity pins NULL") {
+    import spark.implicits._
+    // Group a: per-entity counts {1, 2, 3} → mean 2, s² 1, D 0.5, χ² 1.
+    val df = (Seq(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++
+      Seq.fill(3)(("a", 3)) ++ Seq.fill(4)(("b", 9))).toDF("g", "e")
+    val got = Stats.overdispersion(df, col("g"), col("e")).collect()
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 3)
+    assert(a.getDouble(2) == 2.0 && a.getDouble(3) == 1.0)
+    assert(a.getDouble(4) == 0.5 && a.getDouble(5) == 1.0)
+    val b = got(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1)
+    assert(b.getDouble(2) == 4.0 && b.isNullAt(3) && b.isNullAt(4) &&
+      b.isNullAt(5))
+  }
+
+  test("periodogram: planted weekly rhythm peaks at period 7") {
+    import spark.implicits._
+    // 56 days, 2 events on day ≡ 0 (mod 7), 1 otherwise: the variance
+    // concentrates at period 7 (and its alias 14 at lower power).
+    val rows = (0 until 56).flatMap { i =>
+      val d = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      Seq.fill(if (i % 7 == 0) 2 else 1)(d)
+    }
+    val got = Stats.periodogram(rows.toDF("d"), col("d"), maxPeriod = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 9)
+    assert((2 to 10).filter(_ != 7).forall(p => got(7) > got(p.toLong)))
+    // flat series: zero centered mass → zero power, NULL variance share
+    val flat = (0 until 14).map(i => java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))).toDF("d")
+    val f = Stats.periodogram(flat, col("d"), maxPeriod = 5).collect()
+    assert(f.forall(r => r.getDouble(1) == 0.0 && r.isNullAt(2)))
+  }
 }
