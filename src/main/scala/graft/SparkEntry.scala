@@ -3532,6 +3532,13 @@ object SparkEntry {
       graft.ops.Stats.pageHinkley(Tables.orders(s, d),
         to_date(col("o_orderdate")), lambda = 25.0)),
 
+    // 1-D Gaussian mixture (Stats.gmmEm1d): 3 unrolled EM passes over
+    // the log document-length distribution — one population or two?
+    // Nine DECIMAL moments shuffle per pass; the corpus never moves.
+    "q_gmm_doclen" -> ((s, d) =>
+      graft.ops.Stats.gmmEm1d(Tables.documents(s, d),
+        round(log(lit(1.0) + col("n_chars")), 9), iters = 3)),
+
     // Isotonic calibration (Stats.isotonicCalibration): PAV via the
     // minimax identity over the same 10 min-max score bins as
     // q_calibration — the monotone-fitted reliability curve.
@@ -5217,6 +5224,67 @@ object SparkEntry {
       "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
       "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
       "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM cl"
+
+  /** DuckDB mirror of Stats.gmmEm1d over round(ln(1+n_chars),9), 3 EM
+    * steps: each pK CTE replays the nine DECIMAL(38,12) moment sums
+    * from p(K−1)'s 9-dp params with the op's pinned parenthesization
+    * (normalization-free w's, midpoint rule on both-underflow). */
+  private def gmmOracle: String = {
+    def wExpr(prev: String): String =
+      "(SELECT x, ((1.0 - p2) / s1) * exp(-(0.5 * (((x - mu1) / s1) * " +
+        "((x - mu1) / s1)))) AS w1, (p2 / s2) * exp(-(0.5 * " +
+        "(((x - mu2) / s2) * ((x - mu2) / s2)))) AS w2, mu1, mu2 " +
+        s"FROM b CROSS JOIN $prev)"
+    val iters = (1 to 3).map { k =>
+      s"t$k AS (SELECT x, CASE WHEN w1 + w2 = 0.0 THEN " +
+        "(CASE WHEN x > (mu1 + mu2) / 2.0 THEN 1.0 ELSE 0.0 END) " +
+        s"ELSE w2 / (w1 + w2) END AS r FROM ${wExpr(s"p${k - 1}")}), " +
+        s"a$k AS (SELECT count(*) AS n, " +
+        "SUM(CAST(r AS DECIMAL(38,12))) AS r2, " +
+        "SUM(CAST(r * x AS DECIMAL(38,12))) AS r2x, " +
+        "SUM(CAST(r * x * x AS DECIMAL(38,12))) AS r2xx, " +
+        "SUM(CAST(1.0 - r AS DECIMAL(38,12))) AS r1, " +
+        "SUM(CAST((1.0 - r) * x AS DECIMAL(38,12))) AS r1x, " +
+        "SUM(CAST((1.0 - r) * x * x AS DECIMAL(38,12))) AS r1xx " +
+        s"FROM t$k), " +
+        s"p$k AS (SELECT " +
+        "round(CAST(r2 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p2, " +
+        "round(CAST(r1x AS DOUBLE) / CAST(r1 AS DOUBLE), 9) AS mu1, " +
+        "round(sqrt(greatest(CAST(r1xx AS DOUBLE) / CAST(r1 AS DOUBLE) - " +
+        "(CAST(r1x AS DOUBLE) / CAST(r1 AS DOUBLE)) * " +
+        "(CAST(r1x AS DOUBLE) / CAST(r1 AS DOUBLE)), 1e-12)), 9) AS s1, " +
+        "round(CAST(r2x AS DOUBLE) / CAST(r2 AS DOUBLE), 9) AS mu2, " +
+        "round(sqrt(greatest(CAST(r2xx AS DOUBLE) / CAST(r2 AS DOUBLE) - " +
+        "(CAST(r2x AS DOUBLE) / CAST(r2 AS DOUBLE)) * " +
+        "(CAST(r2x AS DOUBLE) / CAST(r2 AS DOUBLE)), 1e-12)), 9) AS s2 " +
+        s"FROM a$k)"
+    }.mkString(", ")
+    "WITH b AS (SELECT round(ln(1.0 + n_chars), 9) AS x FROM documents " +
+      "WHERE n_chars IS NOT NULL), " +
+      "m0 AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd, " +
+      "CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sd, " +
+      "CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS ssd FROM b), " +
+      "i0 AS (SELECT nd, ssd, round(sd / nd, 9) AS m FROM m0), " +
+      "p0 AS (SELECT 0.5 AS p2, " +
+      "round(m - sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS mu1, " +
+      "round(sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS s1, " +
+      "round(m + sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS mu2, " +
+      "round(sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS s2 FROM i0), " +
+      iters + ", " +
+      s"tf AS ${wExpr("p3")}, " +
+      "f AS (SELECT count(*) AS n, " +
+      "SUM(CAST(ln(w1 + w2) - 0.9189385332046727 AS DECIMAL(38,12))) AS ll " +
+      "FROM tf) " +
+      "SELECT CAST(n AS BIGINT) AS n, " +
+      "round(CASE WHEN mu1 > mu2 THEN p2 ELSE 1.0 - p2 END, 6) + 0.0 AS pi_lo, " +
+      "round(CASE WHEN mu1 > mu2 THEN mu2 ELSE mu1 END, 6) + 0.0 AS mu_lo, " +
+      "round(CASE WHEN mu1 > mu2 THEN s2 ELSE s1 END, 6) + 0.0 AS sigma_lo, " +
+      "round(CASE WHEN mu1 > mu2 THEN 1.0 - p2 ELSE p2 END, 6) + 0.0 AS pi_hi, " +
+      "round(CASE WHEN mu1 > mu2 THEN mu1 ELSE mu2 END, 6) + 0.0 AS mu_hi, " +
+      "round(CASE WHEN mu1 > mu2 THEN s1 ELSE s2 END, 6) + 0.0 AS sigma_hi, " +
+      "round(CAST(ll AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS avg_loglik " +
+      "FROM f CROSS JOIN p3"
+  }
 
   private def qualityScoresOracle: String =
     logisticCtes + " " +
@@ -9601,6 +9669,8 @@ object SparkEntry {
         "(1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0 AS uncertainty, " +
         "round(CAST(wbv AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS within_bin_var, " +
         "round(CAST(ece AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS ece FROM t"),
+
+    "q_gmm_doclen" -> gmmOracle,
 
     "q_logistic_quality" -> logisticQualityOracle,
 

@@ -3778,6 +3778,120 @@ object Stats {
         col("first_alarm"))
   }
 
+  /** Two-component 1-D Gaussian mixture fit by `iters` unrolled EM
+    * steps — soft clustering of a numeric column ("is this length
+    * distribution one population or two?"), the density-model companion
+    * to the hard assignments of [[graft.ops.Similarity.kmeansCentroids]]
+    * and the trained-classifier shape of [[logisticFit2]]. Same scale
+    * stance as the logistic Newton chain: each EM step is ONE
+    * map-side-combined moment aggregation over the stream — nine
+    * DECIMAL sums (count/Σx/Σx² plus the r- and (1−r)-weighted
+    * twins) — the updated (π, μ₁, σ₁, μ₂, σ₂) round to 9 dp and
+    * broadcast back for the next pass; "fit on 100 TB in `iters`
+    * passes: nine numbers shuffle per pass, the stream never moves."
+    * Init is deterministic method-of-moments: μ = x̄ ∓ s, σ = s,
+    * π = ½. Responsibilities use the normalization-free densities
+    * w_c = π_c/σ_c · exp(−((x−μ_c)/σ_c)²/2) with pinned
+    * parenthesization (the shared 1/√2π cancels in r = w₂/(w₁+w₂));
+    * both-underflow rows (possible only for |x−μ| ≫ 38σ) pin r by the
+    * midpoint rule identically on both engines. Variances clamp at
+    * 1e-12 so a collapsing component can't take √(negative); a
+    * component whose weight reaches EXACT zero is a degenerate design
+    * outside the dual-engine contract ([[logisticFit2]]'s stance —
+    * Spark's non-ANSI divide yields NULL where IEEE engines give
+    * ±Inf). Readout orders components by final mean (lo/hi), plus the
+    * per-row average log-likelihood under the final fit. */
+  def gmmEm1d(df: DataFrame, valueCol: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"gmmEm1d: bad iters=$iters")
+    val base = df.select(valueCol.cast("double").alias("__x"))
+      .filter(col("__x").isNotNull)
+    val m0 = base.agg(count(lit(1)).alias("__n"),
+        sum(col("__x").cast("decimal(38,9)")).alias("__s"),
+        sum((col("__x") * col("__x")).cast("decimal(38,9)")).alias("__ss"))
+      .select(col("__n"),
+        round(col("__s").cast("double") / col("__n").cast("double"), 9)
+          .alias("__m"),
+        col("__ss"))
+    val init = m0.select(
+      lit(0.5).alias("__p2"),
+      round(col("__m") - sqrt(greatest(
+        col("__ss").cast("double") / col("__n").cast("double") -
+          col("__m") * col("__m"), lit(1e-12))), 9).alias("__mu1"),
+      round(sqrt(greatest(
+        col("__ss").cast("double") / col("__n").cast("double") -
+          col("__m") * col("__m"), lit(1e-12))), 9).alias("__s1"),
+      round(col("__m") + sqrt(greatest(
+        col("__ss").cast("double") / col("__n").cast("double") -
+          col("__m") * col("__m"), lit(1e-12))), 9).alias("__mu2"),
+      round(sqrt(greatest(
+        col("__ss").cast("double") / col("__n").cast("double") -
+          col("__m") * col("__m"), lit(1e-12))), 9).alias("__s2"))
+    // normalization-free component densities of the CURRENT row given
+    // the broadcast one-row params (the 1/√2π factor cancels in r).
+    def w1: Column = ((lit(1.0) - col("__p2")) / col("__s1")) *
+      exp(-(lit(0.5) * (((col("__x") - col("__mu1")) / col("__s1")) *
+        ((col("__x") - col("__mu1")) / col("__s1")))))
+    def w2: Column = (col("__p2") / col("__s2")) *
+      exp(-(lit(0.5) * (((col("__x") - col("__mu2")) / col("__s2")) *
+        ((col("__x") - col("__mu2")) / col("__s2")))))
+    def resp: Column = when(w1 + w2 === 0.0,
+      when(col("__x") > (col("__mu1") + col("__mu2")) / lit(2.0), lit(1.0))
+        .otherwise(lit(0.0)))
+      .otherwise(w2 / (w1 + w2))
+    def step(params: DataFrame): DataFrame = {
+      val t = base.crossJoin(broadcast(params))
+        .withColumn("__r", resp)
+      val a = t.agg(
+        sum(col("__r").cast("decimal(38,12)")).alias("__r2"),
+        sum((col("__r") * col("__x")).cast("decimal(38,12)")).alias("__r2x"),
+        sum((col("__r") * col("__x") * col("__x")).cast("decimal(38,12)"))
+          .alias("__r2xx"),
+        sum((lit(1.0) - col("__r")).cast("decimal(38,12)")).alias("__r1"),
+        sum(((lit(1.0) - col("__r")) * col("__x")).cast("decimal(38,12)"))
+          .alias("__r1x"),
+        sum(((lit(1.0) - col("__r")) * col("__x") * col("__x"))
+          .cast("decimal(38,12)")).alias("__r1xx"),
+        count(lit(1)).alias("__n"))
+      val mu1u = col("__r1x").cast("double") / col("__r1").cast("double")
+      val mu2u = col("__r2x").cast("double") / col("__r2").cast("double")
+      a.select(
+        round(col("__r2").cast("double") / col("__n").cast("double"), 9)
+          .alias("__p2"),
+        round(mu1u, 9).alias("__mu1"),
+        round(sqrt(greatest(col("__r1xx").cast("double") /
+          col("__r1").cast("double") - mu1u * mu1u, lit(1e-12))), 9)
+          .alias("__s1"),
+        round(mu2u, 9).alias("__mu2"),
+        round(sqrt(greatest(col("__r2xx").cast("double") /
+          col("__r2").cast("double") - mu2u * mu2u, lit(1e-12))), 9)
+          .alias("__s2"))
+    }
+    val fin = (1 to iters).foldLeft(init)((p, _) => step(p))
+    val lnNorm = lit(0.9189385332046727) // ln √(2π), pinned
+    val t = base.crossJoin(broadcast(fin))
+    val out = t.agg(count(lit(1)).alias("n"),
+        max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
+        max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
+        max(col("__s2")).alias("__fs2"),
+        sum((log(w1 + w2) - lnNorm).cast("decimal(38,12)")).alias("__ll"))
+    val swap = col("__fmu1") > col("__fmu2")
+    out.select(col("n"),
+      round0(when(swap, col("__fp2")).otherwise(lit(1.0) - col("__fp2")), 6)
+        .alias("pi_lo"),
+      round0(when(swap, col("__fmu2")).otherwise(col("__fmu1")), 6)
+        .alias("mu_lo"),
+      round0(when(swap, col("__fs2")).otherwise(col("__fs1")), 6)
+        .alias("sigma_lo"),
+      round0(when(swap, lit(1.0) - col("__fp2")).otherwise(col("__fp2")), 6)
+        .alias("pi_hi"),
+      round0(when(swap, col("__fmu1")).otherwise(col("__fmu2")), 6)
+        .alias("mu_hi"),
+      round0(when(swap, col("__fs1")).otherwise(col("__fs2")), 6)
+        .alias("sigma_hi"),
+      round0(col("__ll").cast("double") / col("n").cast("double"), 6)
+        .alias("avg_loglik"))
+  }
+
   /** Isotonic (monotone non-decreasing) calibration over score bins —
     * the pool-adjacent-violators fit beside [[calibrationReport]]'s raw
     * reliability table, computed by PAV's closed minimax identity

@@ -1555,6 +1555,22 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(c.isNullAt(5))
   }
 
+  test("gmmEm1d: separates two planted clusters from moment init") {
+    import spark.implicits._
+    // Two tight clusters at ±2; EM from the x̄ ∓ s init must localize
+    // both means and split the weight evenly.
+    val xs = Seq(-2.1, -2.0, -1.9).flatMap(v => Seq.fill(10)(v)) ++
+      Seq(1.9, 2.0, 2.1).flatMap(v => Seq.fill(10)(v))
+    val r = Stats.gmmEm1d(xs.toDF("x"), col("x"), iters = 3).collect().head
+    assert(r.getLong(0) == 60)
+    assert(math.abs(r.getDouble(1) - 0.5) < 0.02)  // pi_lo
+    assert(math.abs(r.getDouble(2) + 2.0) < 0.05)  // mu_lo
+    assert(r.getDouble(3) < 0.3)                   // sigma_lo tight
+    assert(math.abs(r.getDouble(5) - 2.0) < 0.05)  // mu_hi
+    assert(math.abs(r.getDouble(1) + r.getDouble(4) - 1.0) < 1e-9)
+    assert(!r.isNullAt(7))                         // finite avg loglik
+  }
+
   test("isotonicCalibration: adjacent violators pool to their mean") {
     import spark.implicits._
     // Scores span [0, 1] exactly so min-max is the identity; 4 bins with
