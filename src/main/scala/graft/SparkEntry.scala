@@ -3532,6 +3532,25 @@ object SparkEntry {
       graft.ops.Stats.pageHinkley(Tables.orders(s, d),
         to_date(col("o_orderdate")), lambda = 25.0)),
 
+    // Cox proportional hazards (Stats.coxPh): does per-user activity
+    // scale the time-to-purchase hazard? Same subjects construction as
+    // q_survival_km plus the ln(events) covariate; 3 Newton steps on
+    // the Breslow partial likelihood, risk sets from duration-grain
+    // suffix sums.
+    "q_cox_ph" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy("user_id").agg(
+        min(col("ts")).alias("__first"),
+        min(when(col("event_type") === "purchase", col("ts"))).alias("__conv"),
+        max(col("ts")).alias("__last"),
+        count(lit(1)).alias("__na"))
+        .select(
+          datediff(to_date(coalesce(col("__conv"), col("__last"))),
+            to_date(col("__first"))).cast("long").alias("dur"),
+          col("__conv").isNotNull.alias("observed"),
+          round(log(col("__na").cast("double")), 9).alias("activity"))
+      graft.ops.Stats.coxPh(subj, "dur", "observed", "activity", iters = 3)
+    }),
+
     // 1-D Gaussian mixture (Stats.gmmEm1d): 3 unrolled EM passes over
     // the log document-length distribution — one population or two?
     // Nine DECIMAL moments shuffle per pass; the corpus never moves.
@@ -5224,6 +5243,65 @@ object SparkEntry {
       "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
       "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
       "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM cl"
+
+  /** DuckDB mirror of Stats.coxPh over the q_survival_km subjects plus
+    * the ln(events) covariate: each Newton step is one duration-keyed
+    * moment aggregation, suffix-window risk sums, and a (U, I) collapse
+    * with the op's pinned parenthesization; 9-dp β between steps. */
+  private def coxOracle: String = {
+    def iter(k: Int): String = {
+      val prev = s"b${k - 1}"
+      s"g$k AS (SELECT t, " +
+        "SUM(CAST(exp(b * x) AS DECIMAL(38,12))) AS a0, " +
+        "SUM(CAST(x * exp(b * x) AS DECIMAL(38,12))) AS a1, " +
+        "SUM(CAST(x * x * exp(b * x) AS DECIMAL(38,12))) AS a2, " +
+        "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
+        s"AS DECIMAL(38,9))) AS sx FROM subj CROSS JOIN $prev GROUP BY 1), " +
+        s"s$k AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
+        "SUM(a1) OVER w AS s1, SUM(a2) OVER w AS s2 " +
+        s"FROM g$k WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
+        "UNBOUNDED FOLLOWING)), " +
+        s"u$k AS (SELECT SUM(CAST(CAST(sx AS DOUBLE) - CAST(ne AS DOUBLE) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) AS DECIMAL(38,12))) AS uu, " +
+        "SUM(CAST(CAST(ne AS DOUBLE) * (CAST(s2 AS DOUBLE) / " +
+        "CAST(s0 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) AS DECIMAL(38,12))) AS ii " +
+        s"FROM s$k WHERE ne > 0), " +
+        s"b$k AS (SELECT round(b + CAST(uu AS DOUBLE) / CAST(ii AS DOUBLE), " +
+        s"9) AS b FROM u$k CROSS JOIN $prev)"
+    }
+    "WITH s AS (SELECT user_id, min(ts) AS f, " +
+      "min(CASE WHEN event_type = 'purchase' THEN ts END) AS c, " +
+      "max(ts) AS l, count(*) AS na FROM events GROUP BY 1), " +
+      "subj AS (SELECT CAST(date_diff('day', CAST(f AS DATE), " +
+      "CAST(coalesce(c, l) AS DATE)) AS BIGINT) AS t, " +
+      "CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS e, " +
+      "round(ln(CAST(na AS DOUBLE)), 9) AS x FROM s), " +
+      "b0 AS (SELECT 0.0 AS b), " +
+      (1 to 3).map(iter).mkString(", ") + ", " +
+      "gf AS (SELECT t, SUM(CAST(exp(b * x) AS DECIMAL(38,12))) AS a0, " +
+      "SUM(CAST(x * exp(b * x) AS DECIMAL(38,12))) AS a1, " +
+      "SUM(CAST(x * x * exp(b * x) AS DECIMAL(38,12))) AS a2, " +
+      "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
+      "AS DECIMAL(38,9))) AS sx FROM subj CROSS JOIN b3 GROUP BY 1), " +
+      "sf AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
+      "SUM(a1) OVER w AS s1, SUM(a2) OVER w AS s2 " +
+      "FROM gf WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
+      "UNBOUNDED FOLLOWING)), " +
+      "lf AS (SELECT SUM(CAST(CAST(ne AS DOUBLE) * (CAST(s2 AS DOUBLE) / " +
+      "CAST(s0 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) * " +
+      "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) AS DECIMAL(38,12))) AS ii, " +
+      "SUM(ne) AS n_events, SUM(sx) AS sxtot, " +
+      "SUM(CAST(CAST(ne AS DOUBLE) * ln(CAST(s0 AS DOUBLE)) " +
+      "AS DECIMAL(38,12))) AS lns FROM sf WHERE ne > 0), " +
+      "nn AS (SELECT count(*) AS n FROM subj) " +
+      "SELECT n, n_events, round(b, 6) + 0.0 AS beta, " +
+      "round(1.0 / sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS se, " +
+      "round(b * sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS z, " +
+      "round(exp(b), 6) + 0.0 AS hazard_ratio, " +
+      "round(b * CAST(sxtot AS DOUBLE) - CAST(lns AS DOUBLE), 6) + 0.0 " +
+      "AS partial_loglik FROM nn CROSS JOIN lf CROSS JOIN b3"
+  }
 
   /** DuckDB mirror of Stats.gmmEm1d over round(ln(1+n_chars),9), 3 EM
     * steps: each pK CTE replays the nine DECIMAL(38,12) moment sums
@@ -9669,6 +9747,8 @@ object SparkEntry {
         "(1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0 AS uncertainty, " +
         "round(CAST(wbv AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS within_bin_var, " +
         "round(CAST(ece AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS ece FROM t"),
+
+    "q_cox_ph" -> coxOracle,
 
     "q_gmm_doclen" -> gmmOracle,
 

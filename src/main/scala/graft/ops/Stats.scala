@@ -3778,6 +3778,86 @@ object Stats {
         col("first_alarm"))
   }
 
+  /** Single-covariate Cox proportional-hazards fit (Breslow ties) by
+    * `iters` unrolled Newton steps on the partial likelihood — the
+    * survival REGRESSION beside [[kaplanMeier]]'s curve and
+    * [[logRankTest]]'s two-group compare: "how does the hazard scale
+    * with a covariate", read out as β and the hazard ratio e^β. Per
+    * step, with w_j = exp(β·x_j) and risk-set sums
+    * S_k(t) = Σ_{d_j ≥ t} x_j^k·w_j:
+    *   U = Σ_events [x_i − S₁/S₀],  I = Σ_events [S₂/S₀ − (S₁/S₀)²],
+    *   β ← β + U/I  (9-dp rounded, broadcast back).
+    * Scale shape: each step is ONE duration-keyed aggregation of the
+    * subjects table (3 DECIMAL(38,12) moment sums + event count/Σx per
+    * distinct duration) and the S_k come from a suffix window over the
+    * DURATION-GRAIN table — calendar-bounded, [[kaplanMeier]]'s stance,
+    * never the raw stream. Two numbers (U, I) collapse per step; the
+    * subjects shuffle once per step on the duration key. Determinism:
+    * per-duration U/I terms cast DECIMAL(38,12) before summing,
+    * exp/ln on 9-dp inputs ([[logisticFit2]]'s proven stance). A
+    * constant covariate (I = 0) is a degenerate design outside the
+    * dual-engine contract, as for the logistic twin. Readout: n,
+    * n_events, beta, se = 1/√I, z, hazard_ratio, partial log-lik. */
+  def coxPh(subjects: DataFrame, durCol: String, observedCol: String,
+            xCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"coxPh: bad iters=$iters")
+    val base = subjects.select(col(durCol).cast("long").alias("__t"),
+        when(col(observedCol), 1L).otherwise(0L).alias("__e"),
+        col(xCol).cast("double").alias("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+    val beta0 = base.agg(count(lit(1)).alias("__zz"))
+      .select(lit(0.0).alias("__b"))
+    val sfx = Window.orderBy("__t") // duration-grain: calendar-bounded
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def riskSums(beta: DataFrame): DataFrame = {
+      val ex = exp(col("__b") * col("__x"))
+      base.crossJoin(broadcast(beta))
+        .groupBy("__t")
+        .agg(sum(ex.cast("decimal(38,12)")).alias("__a0"),
+          sum((col("__x") * ex).cast("decimal(38,12)")).alias("__a1"),
+          sum((col("__x") * col("__x") * ex).cast("decimal(38,12)"))
+            .alias("__a2"),
+          sum("__e").alias("__ne"),
+          sum(when(col("__e") === 1, col("__x")).otherwise(lit(0.0))
+            .cast("decimal(38,9)")).alias("__sx"))
+        .withColumn("__S0", sum("__a0").over(sfx))
+        .withColumn("__S1", sum("__a1").over(sfx))
+        .withColumn("__S2", sum("__a2").over(sfx))
+    }
+    def ratio1: Column = col("__S1").cast("double") / col("__S0").cast("double")
+    def uTerm: Column = col("__sx").cast("double") -
+      col("__ne").cast("double") * ratio1
+    def iTerm: Column = col("__ne").cast("double") *
+      (col("__S2").cast("double") / col("__S0").cast("double") -
+        ratio1 * ratio1)
+    def step(beta: DataFrame): DataFrame = {
+      val u = riskSums(beta).filter(col("__ne") > 0)
+        .agg(sum(uTerm.cast("decimal(38,12)")).alias("__u"),
+          sum(iTerm.cast("decimal(38,12)")).alias("__i"))
+      u.crossJoin(broadcast(beta))
+        .select(round(col("__b") +
+          col("__u").cast("double") / col("__i").cast("double"), 9)
+          .alias("__b"))
+    }
+    val fin = (1 to iters).foldLeft(beta0)((b, _) => step(b))
+    val last = riskSums(fin).filter(col("__ne") > 0)
+      .agg(sum(iTerm.cast("decimal(38,12)")).alias("__i"),
+        sum("__ne").alias("n_events"),
+        sum(col("__sx")).alias("__sxtot"),
+        sum((col("__ne").cast("double") * log(col("__S0").cast("double")))
+          .cast("decimal(38,12)")).alias("__lns"))
+    val nRow = base.agg(count(lit(1)).alias("n"))
+    val iD = col("__i").cast("double")
+    nRow.crossJoin(broadcast(last)).crossJoin(broadcast(fin))
+      .select(col("n"), col("n_events"),
+        round0(col("__b"), 6).alias("beta"),
+        round0(lit(1.0) / sqrt(iD), 6).alias("se"),
+        round0(col("__b") * sqrt(iD), 6).alias("z"),
+        round0(exp(col("__b")), 6).alias("hazard_ratio"),
+        round0(col("__b") * col("__sxtot").cast("double") -
+          col("__lns").cast("double"), 6).alias("partial_loglik"))
+  }
+
   /** Two-component 1-D Gaussian mixture fit by `iters` unrolled EM
     * steps — soft clustering of a numeric column ("is this length
     * distribution one population or two?"), the density-model companion

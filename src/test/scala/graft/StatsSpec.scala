@@ -1555,6 +1555,27 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(c.isNullAt(5))
   }
 
+  test("coxPh: one Newton step matches the hand-computed score/info") {
+    import spark.implicits._
+    // Subjects (t=1, event, x=1) and (t=2, event, x=0), β₀ = 0:
+    // at t=1 risk set {both}: S0=2, S1=1 → U = 1 − 1/2 = 0.5,
+    // I = 1/2 − 1/4 = 0.25; at t=2 the lone subject has x=0 → U += 0,
+    // I += 0. β₁ = 0 + 0.5/0.25 = 2 exactly; HR = e².
+    val df = Seq((1L, true, 1.0), (2L, true, 0.0)).toDF("dur", "obs", "x")
+    val r = Stats.coxPh(df, "dur", "obs", "x", iters = 1).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 2.0)
+    assert(math.abs(r.getDouble(5) - 7.389056) < 1e-6) // e² at 6 dp
+    // se reads I at the FINAL β: p = e²/(e²+1), I = p(1−p)
+    val p = math.exp(2.0) / (math.exp(2.0) + 1.0)
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(p * (1 - p))) < 1e-5)
+    // planted positive effect keeps β positive under more iterations
+    val many = ((1 to 10).map(i => (i.toLong, true, 1.0)) ++
+      (11 to 20).map(i => (i.toLong, true, 0.0))).toDF("dur", "obs", "x")
+    val m = Stats.coxPh(many, "dur", "obs", "x", iters = 3).collect().head
+    assert(m.getDouble(2) > 0.5)
+  }
+
   test("gmmEm1d: separates two planted clusters from moment init") {
     import spark.implicits._
     // Two tight clusters at ±2; EM from the x̄ ∓ s init must localize
