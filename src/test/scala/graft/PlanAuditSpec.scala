@@ -436,4 +436,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec
     // never a hash repartition of corpus rows carrying text
     assertTextNeverShuffles("q_quality_scores")
   }
+
+  /** Per-row values must never be a hash-shuffle payload in an
+    * iterated-moment op: every EM/Newton pass reduces map-side, so the
+    * only hash exchanges carry aggregation partials, never the raw
+    * column. */
+  private def assertColumnNeverShuffles(name: String, colName: String): Unit = {
+    val plan = run(name)
+    val leaky = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+      .filter(s => s.outputPartitioning.toString.contains("hashpartitioning") &&
+        s.output.exists(_.name == colName))
+    assert(leaky.isEmpty,
+      s"$name hash-shuffles the per-row column $colName:\n" +
+        leaky.headOption.getOrElse(""))
+  }
+
+  test("q_gmm_doclen: EM passes reduce map-side — x never shuffles") {
+    assertColumnNeverShuffles("q_gmm_doclen", "__x")
+    assertNoQuadraticJoin("q_gmm_doclen")
+  }
+
+  test("q_cox_ph: per-step risk moments combine map-side — x never shuffles") {
+    // the duration-keyed exchange carries (t, partial DECIMAL sums);
+    // the covariate itself stays in the map task
+    assertColumnNeverShuffles("q_cox_ph", "__x")
+    assertNoQuadraticJoin("q_cox_ph")
+  }
+
+  test("q_isotonic: corpus collapses to the bin table before the B^3 metadata join") {
+    // the only hash exchanges carry (bin, partial counts) — the scored
+    // per-row projection (__p/__y) never crosses the wire, and the
+    // minimax never plans a CartesianProduct (bounded BNL broadcasts)
+    assertColumnNeverShuffles("q_isotonic", "__p")
+    assertNoQuadraticJoin("q_isotonic")
+  }
 }
