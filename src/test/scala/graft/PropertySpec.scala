@@ -308,6 +308,41 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(self.getDouble(3) == 1.0 && self.getDouble(4) == 1.0)
   }
 
+  test("property: periodogram == plain-Scala DFT reference on random series") {
+    import spark.implicits._
+    def r(d: Double, s: Int): Double =
+      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dsum(ts: Seq[Double], s: Int): Double =
+      ts.map(BigDecimal(_).setScale(s, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def ref(counts: Seq[Int], maxP: Int): Map[Long, Double] = {
+      val n = counts.size.toDouble
+      val mraw = dsum(counts.map(_.toDouble), 6) / n
+      val cc = counts.map(c => r(c - r(mraw, 9), 9))
+      (2 to maxP).map { p =>
+        val cos = cc.indices.map(t =>
+          cc(t) * r(math.cos(6.283185307179586 * (t % p) / p), 9))
+        val sin = cc.indices.map(t =>
+          cc(t) * r(math.sin(6.283185307179586 * (t % p) / p), 9))
+        val sc = dsum(cos, 12); val ss = dsum(sin, 12)
+        p.toLong -> r((sc * sc + ss * ss) / n, 6)
+      }.toMap
+    }
+    val serGen = Gen.listOfN(50, Gen.chooseNum(1, 9))
+    samples(serGen, 6).foreach { counts =>
+      val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+        val d = java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+        Seq.fill(c)(d)
+      }
+      val got = graft.ops.Stats.periodogram(rows.toDF("d"), col("d"),
+          maxPeriod = 8)
+        .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+      val expect = ref(counts, 8)
+      assert(got === expect, s"counts=$counts")
+    }
+  }
+
   test("property: isotonic minimax identity == sequential PAV on random bins") {
     import spark.implicits._
     // Independent reference: the textbook pool-adjacent-violators stack.
