@@ -3214,7 +3214,12 @@ object Stats {
     }
     val beta0 = base.sparkSession.range(1).select(lit(0.0).alias("__b0"),
       lit(0.0).alias("__b1"), lit(0.0).alias("__b2"))
-    (1 to iters).foldLeft(beta0)((b, _) => step(b))
+    // Materialize each step's ONE-ROW β (Iterate's lineage contract):
+    // without this, step k's params re-derive from step k−1's whole
+    // chain, so the corpus is re-scanned O(iters²) times; with it,
+    // every Newton pass reads the corpus exactly once.
+    val ckpt = Iterate.checkpointer(base.sparkSession.sparkContext)
+    (1 to iters).foldLeft(beta0)((b, _) => ckpt(step(b)))
   }
 
   /** Friedman test — the repeated-measures member of the nonparametric
@@ -3805,8 +3810,7 @@ object Stats {
         when(col(observedCol), 1L).otherwise(0L).alias("__e"),
         col(xCol).cast("double").alias("__x"))
       .filter(col("__t").isNotNull && col("__x").isNotNull)
-    val beta0 = base.agg(count(lit(1)).alias("__zz"))
-      .select(lit(0.0).alias("__b"))
+    val beta0 = subjects.sparkSession.range(1).select(lit(0.0).alias("__b"))
     val sfx = Window.orderBy("__t") // duration-grain: calendar-bounded
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def riskSums(beta: DataFrame): DataFrame = {
@@ -3839,7 +3843,9 @@ object Stats {
           col("__u").cast("double") / col("__i").cast("double"), 9)
           .alias("__b"))
     }
-    val fin = (1 to iters).foldLeft(beta0)((b, _) => step(b))
+    // one-row β checkpoint per pass ([[logisticBeta]]'s lineage stance)
+    val ckpt = Iterate.checkpointer(subjects.sparkSession.sparkContext)
+    val fin = (1 to iters).foldLeft(beta0)((b, _) => ckpt(step(b)))
     val last = riskSums(fin).filter(col("__ne") > 0)
       .agg(sum(iTerm.cast("decimal(38,12)")).alias("__i"),
         sum("__ne").alias("n_events"),
@@ -3946,7 +3952,10 @@ object Stats {
           col("__r2").cast("double") - mu2u * mu2u, lit(1e-12))), 9)
           .alias("__s2"))
     }
-    val fin = (1 to iters).foldLeft(init)((p, _) => step(p))
+    // one-row param checkpoint per pass ([[logisticBeta]]'s lineage
+    // stance): each EM step reads the stream exactly once
+    val ckpt = Iterate.checkpointer(df.sparkSession.sparkContext)
+    val fin = (1 to iters).foldLeft(ckpt(init))((p, _) => ckpt(step(p)))
     val lnNorm = lit(0.9189385332046727) // ln √(2π), pinned
     val t = base.crossJoin(broadcast(fin))
     val out = t.agg(count(lit(1)).alias("n"),

@@ -307,4 +307,188 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val self = graft.ops.Stats.clusteringAgreement(av, av).collect().head
     assert(self.getDouble(3) == 1.0 && self.getDouble(4) == 1.0)
   }
+
+  test("property: periodogram == plain-Scala DFT reference on random series") {
+    import spark.implicits._
+    def r(d: Double, s: Int): Double =
+      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dsum(ts: Seq[Double], s: Int): Double =
+      ts.map(BigDecimal(_).setScale(s, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def ref(counts: Seq[Int], maxP: Int): Map[Long, Double] = {
+      val n = counts.size.toDouble
+      val mraw = dsum(counts.map(_.toDouble), 6) / n
+      val cc = counts.map(c => r(c - r(mraw, 9), 9))
+      (2 to maxP).map { p =>
+        val cos = cc.indices.map(t =>
+          cc(t) * r(math.cos(6.283185307179586 * (t % p) / p), 9))
+        val sin = cc.indices.map(t =>
+          cc(t) * r(math.sin(6.283185307179586 * (t % p) / p), 9))
+        val sc = dsum(cos, 12); val ss = dsum(sin, 12)
+        p.toLong -> r((sc * sc + ss * ss) / n, 6)
+      }.toMap
+    }
+    val serGen = Gen.listOfN(50, Gen.chooseNum(1, 9))
+    samples(serGen, 6).foreach { counts =>
+      val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+        val d = java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+        Seq.fill(c)(d)
+      }
+      val got = graft.ops.Stats.periodogram(rows.toDF("d"), col("d"),
+          maxPeriod = 8)
+        .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+      val expect = ref(counts, 8)
+      assert(got === expect, s"counts=$counts")
+    }
+  }
+
+  test("property: isotonic minimax identity == sequential PAV on random bins") {
+    import spark.implicits._
+    // Independent reference: the textbook pool-adjacent-violators stack.
+    // Pools accumulate exact longs, so the pooled mean is the identical
+    // long/long double the minimax form computes — 6-dp equality exact.
+    def pavRef(nb: Seq[Long], ny: Seq[Long]): Seq[Double] = {
+      val pools = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      for (i <- nb.indices) {
+        var (n, y, w) = (nb(i), ny(i), 1)
+        while (pools.nonEmpty &&
+          pools.last._2.toDouble / pools.last._1.toDouble >
+            y.toDouble / n.toDouble) {
+          val (pn, py, pw) = pools.remove(pools.size - 1)
+          n += pn; y += py; w += pw
+        }
+        pools += ((n, y, w))
+      }
+      pools.flatMap { case (n, y, w) =>
+        Seq.fill(w)(y.toDouble / n.toDouble) }.toSeq
+    }
+    val caseGen = for {
+      bins <- Gen.chooseNum(2, 8)
+      cells <- Gen.listOfN(bins, for {
+        n <- Gen.chooseNum(1, 5)
+        y <- Gen.chooseNum(0, 5)
+      } yield (n.toLong, math.min(y, n).toLong))
+    } yield (bins, cells)
+    samples(caseGen, 25).foreach { case (bins, cells) =>
+      // score (b + 0.5)/bins sits mid-bin (anchors at 0 and 1 pin the
+      // min-max identity); every bin is non-empty by construction
+      val rows = cells.zipWithIndex.flatMap { case ((n, y), b) =>
+        val s = if (b == 0) 0.0 else if (b == bins - 1) 1.0
+          else (b + 0.5) / bins
+        (0L until n).map(i => (s, i < y))
+      } ++ Seq((0.0, false), (1.0, false)) // anchor lo/hi
+      val withAnchors = cells.zipWithIndex.map { case ((n, y), b) =>
+        if (b == 0 || b == bins - 1) (n + 1, y) else (n, y)
+      }
+      val expect = pavRef(withAnchors.map(_._1), withAnchors.map(_._2))
+        .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      val got = graft.ops.Stats.isotonicCalibration(
+          rows.toDF("s", "y"), col("y"), "s", bins)
+        .collect().map(_.getDouble(3)).toSeq
+      assert(got === expect, s"bins=$bins cells=$cells")
+    }
+  }
+
+  test("property: gmmEm1d == plain-Scala EM reference on random samples") {
+    import spark.implicits._
+    def r(d: Double, s: Int): Double =
+      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Independent reference replaying the op's contract: DECIMAL-cast
+    // per-row terms summed exactly, 9-dp params between steps.
+    def emRef(xs: Seq[Double], iters: Int): (Double, Double, Double, Double, Double) = {
+      def dsum(ts: Seq[Double], s: Int): Double =
+        ts.map(BigDecimal(_).setScale(s, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+      val n = xs.size.toDouble
+      val m = r(dsum(xs, 9) / n, 9)
+      val v = math.max(dsum(xs.map(x => x * x), 9) / n - m * m, 1e-12)
+      var (p2, mu1, s1, mu2, s2) =
+        (0.5, r(m - math.sqrt(v), 9), r(math.sqrt(v), 9),
+          r(m + math.sqrt(v), 9), r(math.sqrt(v), 9))
+      for (_ <- 1 to iters) {
+        val rs = xs.map { x =>
+          val d1 = (x - mu1) / s1; val d2 = (x - mu2) / s2
+          val w1 = ((1.0 - p2) / s1) * math.exp(-(0.5 * (d1 * d1)))
+          val w2 = (p2 / s2) * math.exp(-(0.5 * (d2 * d2)))
+          if (w1 + w2 == 0.0) { if (x > (mu1 + mu2) / 2.0) 1.0 else 0.0 }
+          else w2 / (w1 + w2)
+        }
+        val r2 = dsum(rs, 12); val r1 = dsum(rs.map(1.0 - _), 12)
+        val r2x = dsum(rs.zip(xs).map { case (rr, x) => rr * x }, 12)
+        val r1x = dsum(rs.zip(xs).map { case (rr, x) => (1.0 - rr) * x }, 12)
+        val r2xx = dsum(rs.zip(xs).map { case (rr, x) => rr * x * x }, 12)
+        val r1xx = dsum(rs.zip(xs).map { case (rr, x) => (1.0 - rr) * x * x }, 12)
+        val m1u = r1x / r1; val m2u = r2x / r2
+        p2 = r(r2 / n, 9)
+        s1 = r(math.sqrt(math.max(r1xx / r1 - m1u * m1u, 1e-12)), 9)
+        s2 = r(math.sqrt(math.max(r2xx / r2 - m2u * m2u, 1e-12)), 9)
+        mu1 = r(m1u, 9); mu2 = r(m2u, 9)
+      }
+      if (mu1 > mu2) (p2, mu2, s2, mu1, s1) else (1.0 - p2, mu1, s1, mu2, s2)
+    }
+    val xsGen = Gen.listOfN(40, Gen.chooseNum(-300, 300).map(_ / 50.0))
+    samples(xsGen, 8).foreach { xs =>
+      val (piLo, muLo, sLo, muHi, sHi) = emRef(xs, 3)
+      val row = graft.ops.Stats.gmmEm1d(xs.toDF("x"), col("x"), iters = 3)
+        .collect().head
+      assert(row.getDouble(1) == r(piLo, 6), s"pi_lo xs=$xs")
+      assert(row.getDouble(2) == r(muLo, 6), s"mu_lo xs=$xs")
+      assert(row.getDouble(3) == r(sLo, 6), s"sigma_lo xs=$xs")
+      assert(row.getDouble(5) == r(muHi, 6), s"mu_hi xs=$xs")
+      assert(row.getDouble(6) == r(sHi, 6), s"sigma_hi xs=$xs")
+    }
+  }
+
+  test("property: coxPh == plain-Scala Newton reference on random subjects") {
+    import spark.implicits._
+    def r(d: Double, s: Int): Double =
+      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def coxRef(subj: Seq[(Long, Boolean, Double)], iters: Int): Double = {
+      def dec(ts: Seq[Double], s: Int): BigDecimal =
+        ts.map(BigDecimal(_).setScale(s, BigDecimal.RoundingMode.HALF_UP)).sum
+      def dsum(ts: Seq[Double], s: Int): Double = dec(ts, s).toDouble
+      var b = 0.0
+      for (_ <- 1 to iters) {
+        val byT = subj.groupBy(_._1).toSeq.sortBy(_._1)
+        // per-duration DECIMAL moments, suffix-summed AS decimals (the
+        // op's window sums DECIMAL exactly, casting to double once)
+        val perT = byT.map { case (t, rows) =>
+          val a0 = dec(rows.map(rr => math.exp(b * rr._3)), 12)
+          val a1 = dec(rows.map(rr => rr._3 * math.exp(b * rr._3)), 12)
+          val a2 = dec(rows.map(rr => rr._3 * rr._3 * math.exp(b * rr._3)), 12)
+          val ne = rows.count(_._2).toLong
+          val sx = dec(rows.filter(_._2).map(_._3), 9)
+          (t, a0, a1, a2, ne, sx)
+        }
+        val (u, i) = perT.indices.foldLeft((List.empty[Double], List.empty[Double])) {
+          case ((us, is), idx) =>
+            val tail = perT.drop(idx)
+            val s0 = tail.map(_._2).sum.toDouble
+            val s1 = tail.map(_._3).sum.toDouble
+            val s2 = tail.map(_._4).sum.toDouble
+            val (_, _, _, _, ne, sx) = perT(idx)
+            if (ne > 0) {
+              val ratio = s1 / s0
+              (us :+ (sx.toDouble - ne.toDouble * ratio),
+                is :+ (ne.toDouble * (s2 / s0 - ratio * ratio)))
+            } else (us, is)
+        }
+        b = r(b + dsum(u, 12) / dsum(i, 12), 9)
+      }
+      b
+    }
+    val subjGen = Gen.listOfN(30, for {
+      t <- Gen.chooseNum(0, 12)
+      e <- Gen.oneOf(true, false)
+      x <- Gen.chooseNum(-20, 20).map(_ / 10.0)
+    } yield (t.toLong, e, x))
+    samples(subjGen, 8).filter(s => s.count(_._2) >= 3).foreach { subj =>
+      val beta = coxRef(subj, 3)
+      val row = graft.ops.Stats.coxPh(subj.toDF("dur", "obs", "x"),
+        "dur", "obs", "x", iters = 3).collect().head
+      assert(row.getDouble(2) == r(beta, 6), s"beta subj=$subj")
+    }
+  }
 }
