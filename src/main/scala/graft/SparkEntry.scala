@@ -3532,6 +3532,37 @@ object SparkEntry {
       graft.ops.Stats.pageHinkley(Tables.orders(s, d),
         to_date(col("o_orderdate")), lambda = 25.0)),
 
+    // Cronbach's alpha (Stats.cronbachAlpha): do per-user view/click/
+    // purchase counts cohere as one engagement scale? One moment pass
+    // over the per-user item table.
+    "q_cronbach_alpha" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id").agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .alias("views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .alias("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .alias("purchases"))
+      graft.ops.Stats.cronbachAlpha(per, Seq(
+        "views" -> col("views"), "clicks" -> col("clicks"),
+        "purchases" -> col("purchases")))
+    }),
+
+    // Tukey HSD (Stats.tukeyHsd): which order priorities differ in
+    // mean total price, pairwise, after the omnibus ANOVA — k-row
+    // summary self-join, q = 3.86 (k=5, df=inf, alpha=.05).
+    "q_tukey_hsd" -> ((s, d) =>
+      graft.ops.Stats.tukeyHsd(Tables.orders(s, d),
+        col("o_orderpriority"), "o_totalprice", qCrit = 3.86)),
+
+    // Holdout forecast scorecard (Stats.holdoutForecast): last-28-day
+    // holdout of the daily order series, naive-last vs seasonal-naive
+    // with MAE/RMSE/sMAPE/MASE — the evaluation protocol beside the
+    // in-sample q_forecast_baseline.
+    "q_holdout_forecast" -> ((s, d) =>
+      graft.ops.Stats.holdoutForecast(Tables.orders(s, d),
+        to_date(col("o_orderdate")), horizon = 28, season = 7)),
+
     // Cox proportional hazards (Stats.coxPh): does per-user activity
     // scale the time-to-purchase hazard? Same subjects construction as
     // q_survival_km plus the ln(events) covariate; 3 Newton steps on
@@ -9749,6 +9780,110 @@ object SparkEntry {
         "round(CAST(ece AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS ece FROM t"),
 
     "q_cox_ph" -> coxOracle,
+
+    // Mirrors Stats.cronbachAlpha over the per-user 3-item engagement
+    // table: one DECIMAL moment pass, (ss - (s*s)/n)/(n-1) variances.
+    "q_cronbach_alpha" ->
+      ("WITH per AS (SELECT user_id, " +
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views, " +
+        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks, " +
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases " +
+        "FROM events GROUP BY 1), " +
+        "b AS (SELECT CAST(views AS DOUBLE) AS iv, CAST(clicks AS DOUBLE) AS ic, " +
+        "CAST(purchases AS DOUBLE) AS ip, " +
+        "CAST(views AS DOUBLE) + CAST(clicks AS DOUBLE) + " +
+        "CAST(purchases AS DOUBLE) AS tot FROM per), " +
+        "m AS (SELECT count(*) AS n, " +
+        "SUM(CAST(iv AS DECIMAL(38,9))) AS sv, " +
+        "SUM(CAST(iv * iv AS DECIMAL(38,9))) AS ssv, " +
+        "SUM(CAST(ic AS DECIMAL(38,9))) AS sc, " +
+        "SUM(CAST(ic * ic AS DECIMAL(38,9))) AS ssc, " +
+        "SUM(CAST(ip AS DECIMAL(38,9))) AS sp, " +
+        "SUM(CAST(ip * ip AS DECIMAL(38,9))) AS ssp, " +
+        "SUM(CAST(tot AS DECIMAL(38,9))) AS st, " +
+        "SUM(CAST(tot * tot AS DECIMAL(38,9))) AS sst FROM b), " +
+        "k AS (SELECT n, " +
+        "(CAST(ssv AS DOUBLE) - (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vv, " +
+        "(CAST(ssc AS DOUBLE) - (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vc, " +
+        "(CAST(ssp AS DOUBLE) - (CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vp, " +
+        "(CAST(sst AS DOUBLE) - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vt FROM m) " +
+        "SELECT n, CAST(3 AS BIGINT) AS k_items, " +
+        "CASE WHEN n > 1 AND vt > 0.0 THEN " +
+        "round((3.0 / 2.0) * (1.0 - (vv + vc + vp) / vt), 6) + 0.0 END AS alpha, " +
+        "CASE WHEN n > 1 THEN round(vv + vc + vp, 6) + 0.0 END AS item_var_sum, " +
+        "CASE WHEN n > 1 THEN round(vt, 6) + 0.0 END AS total_var FROM k"),
+
+    // Mirrors Stats.tukeyHsd (q crit 3.86): k-row group moments,
+    // DECIMAL within-SS sum, Tukey-Kramer q over the pair self-join.
+    "q_tukey_hsd" ->
+      ("WITH g AS (SELECT o_orderpriority AS g, count(*) AS ng, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS sg, " +
+        "SUM(CAST(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) " +
+        "AS DECIMAL(38,9))) AS ssg FROM orders " +
+        "WHERE o_totalprice IS NOT NULL GROUP BY 1), " +
+        "t AS (SELECT SUM(ng) AS nn, count(*) AS k, " +
+        "SUM(CAST(CAST(ssg AS DOUBLE) - (CAST(sg AS DOUBLE) * " +
+        "CAST(sg AS DOUBLE)) / CAST(ng AS DOUBLE) AS DECIMAL(38,9))) AS wss " +
+        "FROM g), " +
+        "s AS (SELECT g, ng, CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS m " +
+        "FROM g) " +
+        "SELECT a.g AS g1, b.g AS g2, round(a.m - b.m, 6) + 0.0 AS mean_diff, " +
+        "CASE WHEN nn > k AND CAST(wss AS DOUBLE) > 0.0 THEN " +
+        "round(abs(a.m - b.m) / sqrt(((CAST(wss AS DOUBLE) / " +
+        "CAST(nn - k AS DOUBLE)) / 2.0) * (1.0 / CAST(a.ng AS DOUBLE) + " +
+        "1.0 / CAST(b.ng AS DOUBLE))), 6) + 0.0 END AS q_stat, " +
+        "CASE WHEN nn > k AND CAST(wss AS DOUBLE) > 0.0 THEN " +
+        "abs(a.m - b.m) / sqrt(((CAST(wss AS DOUBLE) / " +
+        "CAST(nn - k AS DOUBLE)) / 2.0) * (1.0 / CAST(a.ng AS DOUBLE) + " +
+        "1.0 / CAST(b.ng AS DOUBLE))) > 3.86 END AS significant " +
+        "FROM s a JOIN s b ON a.g < b.g CROSS JOIN t ORDER BY g1, g2"),
+
+    // Mirrors Stats.holdoutForecast (horizon 28, season 7): weekday is
+    // the engine's own consistent key (isodow here, dayofweek in
+    // Spark) — only the test-to-train-week MATCHING must agree.
+    "q_holdout_forecast" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS y FROM orders GROUP BY 1), " +
+        "c AS (SELECT max(d) - 28 AS cut FROM daily), " +
+        "tr AS (SELECT d, y FROM daily CROSS JOIN c WHERE d <= cut), " +
+        "te AS (SELECT d, y FROM daily CROSS JOIN c WHERE d > cut), " +
+        "ts AS (SELECT max_by(y, d) AS lasty, " +
+        "CAST(SUM(CAST(abs(y - l1) AS DECIMAL(38,9))) AS DOUBLE) / " +
+        "CAST(count(l1) AS DOUBLE) AS maen FROM " +
+        "(SELECT d, y, lag(y) OVER (ORDER BY d) AS l1 FROM tr)), " +
+        "lw AS (SELECT isodow(d) AS dow, y AS ysn FROM tr CROSS JOIN c " +
+        "WHERE d > cut - 7), " +
+        "sc AS (SELECT te.y AS y, ts.lasty, lw.ysn, ts.maen FROM te " +
+        "LEFT JOIN lw ON isodow(te.d) = lw.dow CROSS JOIN ts) " +
+        "SELECT count(*) AS n_test, " +
+        "round(CAST(SUM(CAST(round(abs(y - lasty), 9) + 0.0 AS DECIMAL(38,9))) " +
+        "AS DOUBLE) / CAST(count(lasty) AS DOUBLE), 6) + 0.0 AS mae_naive, " +
+        "round(sqrt(CAST(SUM(CAST(round((y - lasty) * (y - lasty), 9) + 0.0 " +
+        "AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(lasty) AS DOUBLE)), 6) " +
+        "+ 0.0 AS rmse_naive, " +
+        "round(CAST(SUM(CAST(round(2.0 * abs(y - lasty) / " +
+        "(abs(y) + abs(lasty)), 9) + 0.0 AS DECIMAL(38,9))) AS DOUBLE) / " +
+        "CAST(count(lasty) AS DOUBLE), 6) + 0.0 AS smape_naive, " +
+        "CASE WHEN max(maen) > 0.0 THEN " +
+        "round((CAST(SUM(CAST(round(abs(y - lasty), 9) + 0.0 " +
+        "AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(lasty) AS DOUBLE)) / " +
+        "max(maen), 6) + 0.0 END AS mase_naive, " +
+        "round(CAST(SUM(CAST(round(abs(y - ysn), 9) + 0.0 AS DECIMAL(38,9))) " +
+        "AS DOUBLE) / CAST(count(ysn) AS DOUBLE), 6) + 0.0 AS mae_snaive, " +
+        "round(sqrt(CAST(SUM(CAST(round((y - ysn) * (y - ysn), 9) + 0.0 " +
+        "AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(ysn) AS DOUBLE)), 6) " +
+        "+ 0.0 AS rmse_snaive, " +
+        "round(CAST(SUM(CAST(round(2.0 * abs(y - ysn) / " +
+        "(abs(y) + abs(ysn)), 9) + 0.0 AS DECIMAL(38,9))) AS DOUBLE) / " +
+        "CAST(count(ysn) AS DOUBLE), 6) + 0.0 AS smape_snaive, " +
+        "CASE WHEN max(maen) > 0.0 THEN " +
+        "round((CAST(SUM(CAST(round(abs(y - ysn), 9) + 0.0 " +
+        "AS DECIMAL(38,9))) AS DOUBLE) / CAST(count(ysn) AS DOUBLE)) / " +
+        "max(maen), 6) + 0.0 END AS mase_snaive FROM sc"),
 
     "q_gmm_doclen" -> gmmOracle,
 

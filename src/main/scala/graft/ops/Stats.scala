@@ -3783,6 +3783,165 @@ object Stats {
         col("first_alarm"))
   }
 
+  /** Cronbach's α — internal-consistency of k parallel per-entity
+    * metrics ("do views/clicks/purchases move together as one
+    * engagement scale?"), the reliability readout beside
+    * [[cohensKappa]]'s two-rater agreement:
+    *   α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(Σᵢ itemᵢ)).
+    * Scale shape: ONE map-side-combined aggregation over the entity
+    * table — per item Σx and Σx² plus the row-total moments, all
+    * DECIMAL(38,9) — then scalar arithmetic over 2k+3 numbers. Sample
+    * variances (n−1 denominator) with pinned parenthesization
+    * (Σx² − (Σx)²/n)/(n−1). n ≤ 1 or zero total variance pins NULL. */
+  def cronbachAlpha(df: DataFrame, items: Seq[(String, Column)])
+      : DataFrame = {
+    require(items.size >= 2 && items.size <= 16,
+      s"cronbachAlpha: need 2..16 items, got ${items.size}")
+    val k = items.size
+    val base = df.select(items.map { case (n, c) =>
+        c.cast("double").alias(s"__i_$n") }: _*)
+      .filter(items.map { case (n, _) => col(s"__i_$n").isNotNull }
+        .reduce(_ && _))
+      .withColumn("__tot", items.map { case (n, _) => col(s"__i_$n") }
+        .reduce(_ + _))
+    val aggs = count(lit(1)).alias("__n") +:
+      (items.flatMap { case (n, _) => Seq(
+        sum(col(s"__i_$n").cast("decimal(38,9)")).alias(s"__s_$n"),
+        sum((col(s"__i_$n") * col(s"__i_$n")).cast("decimal(38,9)"))
+          .alias(s"__ss_$n")) } ++ Seq(
+        sum(col("__tot").cast("decimal(38,9)")).alias("__st"),
+        sum((col("__tot") * col("__tot")).cast("decimal(38,9)"))
+          .alias("__sst")))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val nd = col("__n").cast("double")
+    def varOf(s: Column, ss: Column): Column =
+      (ss.cast("double") - (s.cast("double") * s.cast("double")) / nd) /
+        (nd - lit(1.0))
+    val itemVarSum = items.map { case (n, _) =>
+      varOf(col(s"__s_$n"), col(s"__ss_$n")) }.reduce(_ + _)
+    val totVar = varOf(col("__st"), col("__sst"))
+    val ok = col("__n") > 1 && totVar > 0.0
+    m.select(col("__n").alias("n"), lit(k.toLong).alias("k_items"),
+      when(ok, round0(lit(k.toDouble) / lit((k - 1).toDouble) *
+        (lit(1.0) - itemVarSum / totVar), 6)).alias("alpha"),
+      when(col("__n") > 1, round0(itemVarSum, 6)).alias("item_var_sum"),
+      when(col("__n") > 1, round0(totVar, 6)).alias("total_var"))
+  }
+
+  /** Tukey HSD post-hoc pairwise comparison after [[anovaOneWay]]: for
+    * every group pair, the studentized-range statistic
+    *   q = |x̄ᵢ − x̄ⱼ| / √( (MSE/2)·(1/nᵢ + 1/nⱼ) )
+    * (Tukey-Kramer unequal-n form) with MSE the pooled within-group
+    * mean square — WHICH groups differ once the omnibus F says "some
+    * do". Scale shape: the stream collapses to one k-row group-moment
+    * table (DECIMAL Σx/Σx²); MSE sums the per-group within-SS over
+    * that bounded table (terms re-cast DECIMAL so k-row order can't
+    * flip bits), and the k² pair fan-out is a self-join of the k-row
+    * summary — metadata-sized. `qCrit` is the caller's studentized
+    * range critical value (df-dependent; tables are public). MSE = 0
+    * or N ≤ k pins q NULL. */
+  def tukeyHsd(df: DataFrame, groupCol: Column, valueCol: String,
+               qCrit: Double = 3.86): DataFrame = {
+    require(qCrit > 0, s"tukeyHsd: bad qCrit=$qCrit")
+    val g = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol.alias("__g"))
+      .agg(count(lit(1)).alias("__ng"),
+        sum(col(valueCol).cast("decimal(38,9)")).alias("__sg"),
+        sum((col(valueCol).cast("double") * col(valueCol).cast("double"))
+          .cast("decimal(38,9)")).alias("__ssg"))
+    val ngd = col("__ng").cast("double")
+    val withinSs = col("__ssg").cast("double") -
+      (col("__sg").cast("double") * col("__sg").cast("double")) / ngd
+    val tot = g.agg(sum("__ng").alias("__nn"), count(lit(1)).alias("__k"),
+      sum(withinSs.cast("decimal(38,9)")).alias("__wss"))
+    val mse = col("__wss").cast("double") /
+      (col("__nn") - col("__k")).cast("double")
+    val sides = g.select(col("__g"), col("__ng"),
+      (col("__sg").cast("double") / ngd).alias("__m"))
+    val a = sides.select(col("__g").alias("g1"), col("__ng").alias("__n1"),
+      col("__m").alias("__m1"))
+    val b = sides.select(col("__g").alias("g2"), col("__ng").alias("__n2"),
+      col("__m").alias("__m2"))
+    val q = abs(col("__m1") - col("__m2")) /
+      sqrt((mse / lit(2.0)) *
+        (lit(1.0) / col("__n1").cast("double") +
+          lit(1.0) / col("__n2").cast("double")))
+    val ok = col("__nn") > col("__k") && col("__wss").cast("double") > 0.0
+    a.join(b, col("g1") < col("g2"))
+      .crossJoin(broadcast(tot))
+      .select(col("g1"), col("g2"),
+        round0(col("__m1") - col("__m2"), 6).alias("mean_diff"),
+        when(ok, round0(q, 6)).alias("q_stat"),
+        when(ok, q > lit(qCrit)).alias("significant"))
+      .orderBy("g1", "g2")
+  }
+
+  /** Holdout forecast scorecard — the PRACTICE evaluation protocol
+    * beside [[forecastBaseline]]'s in-sample errors: hold out the last
+    * `horizon` days, forecast them with the two standing baselines
+    * (naive-last = the value on the last train day; seasonal-naive =
+    * the value on the matching weekday of the LAST TRAIN WEEK, the
+    * correct multi-step form when horizon > season), and report
+    * per-method MAE, RMSE, sMAPE (2|e|/(|y|+|ŷ|)), and MASE (MAE over
+    * the train-set one-step naive MAE — the standard scale-free
+    * denominator). Scale shape: the stream collapses once to the
+    * calendar-bounded daily table; the split, the 7-row last-train-week
+    * key table, and every error aggregation live on that bounded
+    * series. Error terms round 9 dp into DECIMAL(38,9) sums. An empty
+    * train/test side or zero train MAE pins the affected readouts
+    * NULL. */
+  def holdoutForecast(df: DataFrame, dateCol: Column, horizon: Int = 28,
+                      season: Int = 7): DataFrame = {
+    // season caps at 7: the seasonal level keys by weekday, which is
+    // only unique within one trailing week
+    require(horizon >= 1 && horizon <= 366 && season >= 1 && season <= 7,
+      s"holdoutForecast: bad horizon=$horizon season=$season")
+    val daily = df.groupBy(dateCol.alias("__d"))
+      .agg(count(lit(1)).cast("double").alias("__y"))
+    val cut = daily.agg(date_sub(max("__d"), horizon).alias("__cut"))
+    val marked = daily.crossJoin(broadcast(cut))
+    val train = marked.filter(col("__d") <= col("__cut"))
+    val test = marked.filter(col("__d") > col("__cut"))
+    // naive-last level + the in-sample one-step naive MAE (MASE denom)
+    val w = Window.orderBy("__d") // calendar-bounded series
+    val trainStats = train
+      .withColumn("__l1", lag("__y", 1).over(w))
+      .agg(max(struct(col("__d"), col("__y"))).alias("__lastrow"),
+        (sum(abs(col("__y") - col("__l1")).cast("decimal(38,9)"))
+          .cast("double") / count(col("__l1")).cast("double"))
+          .alias("__maeN"))
+      .select(col("__lastrow").getField("__y").alias("__lastY"),
+        col("__maeN"))
+    // matching-weekday level from the last train week (≤ season rows)
+    val lastWeek = train
+      .filter(col("__d") > date_sub(col("__cut"), season))
+      .select(dayofweek(col("__d")).alias("__dow"),
+        col("__y").alias("__ySn"))
+    val scored = test
+      .join(broadcast(lastWeek), dayofweek(col("__d")) === col("__dow"),
+        "left")
+      .crossJoin(broadcast(trainStats))
+    def metrics(pred: Column, tag: String): Seq[Column] = {
+      val e = col("__y") - pred
+      Seq(
+        round0(sum(round0(abs(e), 9).cast("decimal(38,9)")).cast("double") /
+          count(pred).cast("double"), 6).alias(s"mae_$tag"),
+        round0(sqrt(sum(round0(e * e, 9).cast("decimal(38,9)"))
+          .cast("double") / count(pred).cast("double")), 6)
+          .alias(s"rmse_$tag"),
+        round0(sum(round0(lit(2.0) * abs(e) / (abs(col("__y")) + abs(pred)),
+          9).cast("decimal(38,9)")).cast("double") /
+          count(pred).cast("double"), 6).alias(s"smape_$tag"),
+        when(max(col("__maeN")) > 0.0,
+          round0((sum(round0(abs(e), 9).cast("decimal(38,9)"))
+            .cast("double") / count(pred).cast("double")) /
+            max(col("__maeN")), 6)).alias(s"mase_$tag"))
+    }
+    val cols = Seq(count(lit(1)).alias("n_test")) ++
+      metrics(col("__lastY"), "naive") ++ metrics(col("__ySn"), "snaive")
+    scored.agg(cols.head, cols.tail: _*)
+  }
+
   /** Single-covariate Cox proportional-hazards fit (Breslow ties) by
     * `iters` unrolled Newton steps on the partial likelihood — the
     * survival REGRESSION beside [[kaplanMeier]]'s curve and

@@ -1646,4 +1646,56 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val f = Stats.periodogram(flat, col("d"), maxPeriod = 5).collect()
     assert(f.forall(r => r.getDouble(1) == 0.0 && r.isNullAt(2)))
   }
+
+  test("cronbachAlpha: duplicated item is perfectly reliable; constant total pins NULL") {
+    import spark.implicits._
+    // item2 == item1: var_total = 4v, item vars sum 2v -> alpha = 1
+    val dup = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+      .toDF("a", "b")
+    val r = Stats.cronbachAlpha(dup, Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0)
+    // perfectly anti-correlated items: total constant -> vt = 0 -> NULL
+    val anti = Seq((1.0, 0.0), (0.0, 1.0), (1.0, 0.0), (0.0, 1.0))
+      .toDF("a", "b")
+    val p = Stats.cronbachAlpha(anti, Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().head
+    assert(p.isNullAt(2) && p.getDouble(4) == 0.0)
+  }
+
+  test("tukeyHsd: hand-computed Tukey-Kramer q over three groups") {
+    import spark.implicits._
+    // a={1,2,3} b={4,5,6} c={1,2,3}: means 2/5/2, within-SS 2 each,
+    // MSE = 6/6 = 1; q_ab = 3/sqrt((1/2)(2/3)) = 3*sqrt(3) = 5.196152
+    val df = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 4.0,
+      "b" -> 5.0, "b" -> 6.0, "c" -> 1.0, "c" -> 2.0, "c" -> 3.0)
+      .toDF("g", "v")
+    val rows = Stats.tukeyHsd(df, col("g"), "v").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = rows(0); val ac = rows(1); val bc = rows(2)
+    assert(ab.getDouble(2) == -3.0 && ab.getDouble(3) == 5.196152)
+    assert(ab.getBoolean(4) && bc.getBoolean(4))
+    assert(ac.getDouble(3) == 0.0 && !ac.getBoolean(4))
+  }
+
+  test("holdoutForecast: seasonal-naive nails a pure weekly pattern") {
+    import spark.implicits._
+    // 14 days with a weekly spike (2 on day ≡ 0 mod 7, else 1);
+    // horizon 7: the last train week predicts the test week exactly
+    // (snaive errors 0), naive-last stays at the day-6 value 1.
+    val rows = (0 until 14).flatMap { i =>
+      val d = java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      Seq.fill(if (i % 7 == 0) 2 else 1)(d)
+    }
+    val r = Stats.holdoutForecast(rows.toDF("d"), col("d"),
+      horizon = 7, season = 7).collect().head
+    assert(r.getLong(0) == 7)
+    assert(math.abs(r.getDouble(1) - 0.142857) < 1e-9)  // mae_naive 1/7
+    assert(math.abs(r.getDouble(3) - 0.095238) < 1e-9)  // smape_naive
+    assert(math.abs(r.getDouble(4) - 0.857143) < 1e-9)  // mase = (1/7)/(1/6)
+    assert(r.getDouble(5) == 0.0 && r.getDouble(8) == 0.0) // snaive exact
+  }
 }
