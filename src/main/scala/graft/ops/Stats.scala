@@ -3788,6 +3788,8 @@ object Stats {
     * engagement scale?"), the reliability readout beside
     * [[cohensKappa]]'s two-rater agreement:
     *   α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(Σᵢ itemᵢ)).
+    * Entities with ANY null item are dropped listwise (the classical
+    * convention; per-entity counts are never null in practice).
     * Scale shape: ONE map-side-combined aggregation over the entity
     * table — per item Σx and Σx² plus the row-total moments, all
     * DECIMAL(38,9) — then scalar arithmetic over 2k+3 numbers. Sample
@@ -3884,7 +3886,11 @@ object Stats {
     * correct multi-step form when horizon > season), and report
     * per-method MAE, RMSE, sMAPE (2|e|/(|y|+|ŷ|)), and MASE (MAE over
     * the train-set one-step naive MAE — the standard scale-free
-    * denominator). Scale shape: the stream collapses once to the
+    * denominator). Metrics average over the test days a method can
+    * predict (count of non-null forecasts): a weekday absent from the
+    * last train week — possible only in a gapped series — drops out of
+    * the seasonal-naive metrics rather than polluting them with NULL
+    * arithmetic. Scale shape: the stream collapses once to the
     * calendar-bounded daily table; the split, the 7-row last-train-week
     * key table, and every error aggregation live on that bounded
     * series. Error terms round 9 dp into DECIMAL(38,9) sums. An empty
@@ -3956,7 +3962,10 @@ object Stats {
     * distinct duration) and the S_k come from a suffix window over the
     * DURATION-GRAIN table — calendar-bounded, [[kaplanMeier]]'s stance,
     * never the raw stream. Two numbers (U, I) collapse per step; the
-    * subjects shuffle once per step on the duration key. Determinism:
+    * subjects shuffle once per step on the duration key, and each
+    * step's one-row β materializes eagerly through
+    * [[graft.ops.Iterate.checkpointer]] (construction runs `iters`
+    * jobs; every pass reads the subjects exactly once). Determinism:
     * per-duration U/I terms cast DECIMAL(38,12) before summing,
     * exp/ln on 9-dp inputs ([[logisticFit2]]'s proven stance). A
     * constant covariate (I = 0) is a degenerate design outside the
@@ -4034,6 +4043,11 @@ object Stats {
     * twins) — the updated (π, μ₁, σ₁, μ₂, σ₂) round to 9 dp and
     * broadcast back for the next pass; "fit on 100 TB in `iters`
     * passes: nine numbers shuffle per pass, the stream never moves."
+    * Like [[logisticFit2]]/[[coxPh]], each pass materializes its
+    * one-row params through [[graft.ops.Iterate.checkpointer]], so
+    * CONSTRUCTING the DataFrame runs `iters`+1 eager jobs (the
+    * friedmanTest eager-scalar stance) and each pass reads the corpus
+    * exactly once instead of replaying its predecessors.
     * Init is deterministic method-of-moments: μ = x̄ ∓ s, σ = s,
     * π = ½. Responsibilities use the normalization-free densities
     * w_c = π_c/σ_c · exp(−((x−μ_c)/σ_c)²/2) with pinned
