@@ -5197,7 +5197,9 @@ object SparkEntry {
       val det = "(h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) + " +
         "h02 * (h01 * h12 - h11 * h02))"
       s"p$i AS (SELECT f.y, f.x1, f.x2, b.b0, b.b1, b.b2, " +
-        "1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS p " +
+        // 9-dp-pinned sigmoid OUTPUT (Stats.logisticP's cross-libm
+        // stance): raw exp ulps must not reach the DECIMAL moment sums
+        "round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9) AS p " +
         s"FROM f, $prev b), " +
         s"m$i AS (SELECT max(b0) AS pb0, max(b1) AS pb1, max(b2) AS pb2, " +
         "CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0, " +
@@ -5240,7 +5242,8 @@ object SparkEntry {
         "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS conv " +
         "FROM events GROUP BY 1) WHERE tv IS NOT NULL)") +
       ", sc AS (SELECT f.uid, f.y AS t, f.conv AS yy, " +
-      "round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 6) AS p " +
+      "round(round(1.0 / (1.0 + " +
+      "exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9), 6) AS p " +
       "FROM f, bb3 b), " +
       "pr AS (SELECT a.uid AS tid, a.yy AS yt, c.uid AS cid, c.yy AS yc, " +
       "abs(a.p - c.p) AS dd FROM sc a JOIN sc c " +
@@ -5263,14 +5266,14 @@ object SparkEntry {
   private def logisticQualityOracle: String =
     logisticCtes + ", " +
       "fin AS (SELECT f.y, b.b0, b.b1, b.b2, " +
-      "1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))) AS p " +
+      "round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9) AS p " +
       "FROM f, bb3 b), " +
       "cl AS (SELECT y, b0, b1, b2, p, least(greatest(p, 1e-6), 1.0 - 1e-6) AS q " +
       "FROM fin) " +
       "SELECT CAST(count(*) AS BIGINT) AS n, " +
       "round(max(b0), 6) + 0.0 AS b0, round(max(b1), 6) + 0.0 AS b1, " +
       "round(max(b2), 6) + 0.0 AS b2, " +
-      "round(CAST(sum(CAST(-(y * ln(q) + (1.0 - y) * ln(1.0 - q)) " +
+      "round(CAST(sum(CAST(round(-(y * ln(q) + (1.0 - y) * ln(1.0 - q)), 9) " +
       "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
       "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
       "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM cl"
@@ -5278,14 +5281,18 @@ object SparkEntry {
   /** DuckDB mirror of Stats.coxPh over the q_survival_km subjects plus
     * the ln(events) covariate: each Newton step is one duration-keyed
     * moment aggregation, suffix-window risk sums, and a (U, I) collapse
-    * with the op's pinned parenthesization; 9-dp β between steps. */
+    * with the op's pinned parenthesization; 9-dp β between steps and
+    * 9-dp-pinned transcendental OUTPUTS (round(exp(b*x),9),
+    * round(ln(s0),9), round(exp(b),9)) — libm exp/ln of identical
+    * inputs differ by an ulp across hosts, which flipped the round-10
+    * driver hash. */
   private def coxOracle: String = {
     def iter(k: Int): String = {
       val prev = s"b${k - 1}"
       s"g$k AS (SELECT t, " +
-        "SUM(CAST(exp(b * x) AS DECIMAL(38,12))) AS a0, " +
-        "SUM(CAST(x * exp(b * x) AS DECIMAL(38,12))) AS a1, " +
-        "SUM(CAST(x * x * exp(b * x) AS DECIMAL(38,12))) AS a2, " +
+        "SUM(CAST(round(exp(b * x), 9) AS DECIMAL(38,12))) AS a0, " +
+        "SUM(CAST(x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a1, " +
+        "SUM(CAST(x * x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a2, " +
         "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
         s"AS DECIMAL(38,9))) AS sx FROM subj CROSS JOIN $prev GROUP BY 1), " +
         s"s$k AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
@@ -5310,9 +5317,9 @@ object SparkEntry {
       "round(ln(CAST(na AS DOUBLE)), 9) AS x FROM s), " +
       "b0 AS (SELECT 0.0 AS b), " +
       (1 to 3).map(iter).mkString(", ") + ", " +
-      "gf AS (SELECT t, SUM(CAST(exp(b * x) AS DECIMAL(38,12))) AS a0, " +
-      "SUM(CAST(x * exp(b * x) AS DECIMAL(38,12))) AS a1, " +
-      "SUM(CAST(x * x * exp(b * x) AS DECIMAL(38,12))) AS a2, " +
+      "gf AS (SELECT t, SUM(CAST(round(exp(b * x), 9) AS DECIMAL(38,12))) AS a0, " +
+      "SUM(CAST(x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a1, " +
+      "SUM(CAST(x * x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a2, " +
       "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
       "AS DECIMAL(38,9))) AS sx FROM subj CROSS JOIN b3 GROUP BY 1), " +
       "sf AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
@@ -5323,13 +5330,13 @@ object SparkEntry {
       "CAST(s0 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) * " +
       "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) AS DECIMAL(38,12))) AS ii, " +
       "SUM(ne) AS n_events, SUM(sx) AS sxtot, " +
-      "SUM(CAST(CAST(ne AS DOUBLE) * ln(CAST(s0 AS DOUBLE)) " +
+      "SUM(CAST(CAST(ne AS DOUBLE) * round(ln(CAST(s0 AS DOUBLE)), 9) " +
       "AS DECIMAL(38,12))) AS lns FROM sf WHERE ne > 0), " +
       "nn AS (SELECT count(*) AS n FROM subj) " +
       "SELECT n, n_events, round(b, 6) + 0.0 AS beta, " +
       "round(1.0 / sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS se, " +
       "round(b * sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS z, " +
-      "round(exp(b), 6) + 0.0 AS hazard_ratio, " +
+      "round(round(exp(b), 9), 6) + 0.0 AS hazard_ratio, " +
       "round(b * CAST(sxtot AS DOUBLE) - CAST(lns AS DOUBLE), 6) + 0.0 " +
       "AS partial_loglik FROM nn CROSS JOIN lf CROSS JOIN b3"
   }
@@ -5337,7 +5344,9 @@ object SparkEntry {
   /** DuckDB mirror of Stats.gmmEm1d over round(ln(1+n_chars),9), 3 EM
     * steps: each pK CTE replays the nine DECIMAL(38,12) moment sums
     * from p(K−1)'s 9-dp params with the op's pinned parenthesization
-    * (normalization-free w's, midpoint rule on both-underflow). */
+    * (normalization-free w's, 9-dp-pinned responsibilities, larger-
+    * mean-keyed midpoint rule on both-underflow, ln clamped at 1e-308
+    * and 9-dp-pinned in the loglik sum). */
   private def gmmOracle: String = {
     def wExpr(prev: String): String =
       "(SELECT x, ((1.0 - p2) / s1) * exp(-(0.5 * (((x - mu1) / s1) * " +
@@ -5346,8 +5355,9 @@ object SparkEntry {
         s"FROM b CROSS JOIN $prev)"
     val iters = (1 to 3).map { k =>
       s"t$k AS (SELECT x, CASE WHEN w1 + w2 = 0.0 THEN " +
-        "(CASE WHEN x > (mu1 + mu2) / 2.0 THEN 1.0 ELSE 0.0 END) " +
-        s"ELSE w2 / (w1 + w2) END AS r FROM ${wExpr(s"p${k - 1}")}), " +
+        "(CASE WHEN (x > (mu1 + mu2) / 2.0) = (mu2 >= mu1) " +
+        "THEN 1.0 ELSE 0.0 END) " +
+        s"ELSE round(w2 / (w1 + w2), 9) END AS r FROM ${wExpr(s"p${k - 1}")}), " +
         s"a$k AS (SELECT count(*) AS n, " +
         "SUM(CAST(r AS DECIMAL(38,12))) AS r2, " +
         "SUM(CAST(r * x AS DECIMAL(38,12))) AS r2x, " +
@@ -5382,7 +5392,8 @@ object SparkEntry {
       iters + ", " +
       s"tf AS ${wExpr("p3")}, " +
       "f AS (SELECT count(*) AS n, " +
-      "SUM(CAST(ln(w1 + w2) - 0.9189385332046727 AS DECIMAL(38,12))) AS ll " +
+      "SUM(CAST(round(ln(greatest(w1 + w2, 1e-308)), 9) " +
+      "- 0.9189385332046727 AS DECIMAL(38,12))) AS ll " +
       "FROM tf) " +
       "SELECT CAST(n AS BIGINT) AS n, " +
       "round(CASE WHEN mu1 > mu2 THEN p2 ELSE 1.0 - p2 END, 6) + 0.0 AS pi_lo, " +
@@ -5397,8 +5408,8 @@ object SparkEntry {
 
   private def qualityScoresOracle: String =
     logisticCtes + " " +
-      "SELECT f.doc_id, round(1.0 / (1.0 + " +
-      "exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 6) AS score " +
+      "SELECT f.doc_id, round(round(1.0 / (1.0 + " +
+      "exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9), 6) AS score " +
       "FROM f, bb3 b ORDER BY f.doc_id"
 
   /** Shared DuckDB CTE chain mirroring Mix.dsirImportance (64 buckets,

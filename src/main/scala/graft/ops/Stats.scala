@@ -3147,8 +3147,11 @@ object Stats {
     val p = logisticP
     val eps = lit(1e-6)
     val pc = least(greatest(p, eps), lit(1.0) - eps)
-    val lossTerm = -(col("__y") * log(pc) +
-      (lit(1.0) - col("__y")) * log(lit(1.0) - pc))
+    // ln OUTPUT pinned to 9 dp before the exact DECIMAL sum (the
+    // cross-libm transcendental-output stance; pc is 9-dp-pinned p
+    // clamped to [1e-6, 1−1e-6], so the ln inputs are engine-exact)
+    val lossTerm = round(-(col("__y") * log(pc) +
+      (lit(1.0) - col("__y")) * log(lit(1.0) - pc)), 9)
     t.agg(count(lit(1)).alias("n"),
         max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
         max(col("__b2")).alias("__fb2"),
@@ -3166,11 +3169,17 @@ object Stats {
   }
 
   /** σ(β·x) of the CURRENT row given the broadcast one-row β columns —
-    * the shared projection of [[logisticFit2]]/[[logisticScore]]. */
+    * the shared projection of [[logisticFit2]]/[[logisticScore]]/
+    * [[psmAtt]]. The sigmoid OUTPUT pins to 9 dp: libm exp of
+    * identical inputs can differ by an ulp across hosts, and raw p
+    * feeding the DECIMAL(38,12) gradient/Hessian sums lets thousands
+    * of summed ulps flip a 9-dp β boundary (the q_cox_ph round-10
+    * driver red was exactly this class); pinned p makes every
+    * downstream sum bit-identical on both engines. */
   private def logisticP: Column =
-    lit(1.0) / (lit(1.0) +
+    round(lit(1.0) / (lit(1.0) +
       exp(-(col("__b0") + col("__b1") * col("__x1") +
-        col("__b2") * col("__x2"))))
+        col("__b2") * col("__x2")))), 9)
 
   /** The fitted 9-dp β of [[logisticFit2]] as a one-row frame over a
     * prepared (__y, __x1, __x2) base — the reusable model artifact both
@@ -3799,6 +3808,10 @@ object Stats {
       : DataFrame = {
     require(items.size >= 2 && items.size <= 16,
       s"cronbachAlpha: need 2..16 items, got ${items.size}")
+    // duplicate names would alias two __i_<name> columns identically,
+    // making the null-filter/total-sum references ambiguous
+    require(items.map(_._1).distinct.size == items.size,
+      s"cronbachAlpha: duplicate item names in ${items.map(_._1)}")
     val k = items.size
     val base = df.select(items.map { case (n, c) =>
         c.cast("double").alias(s"__i_$n") }: _*)
@@ -3966,8 +3979,13 @@ object Stats {
     * step's one-row β materializes eagerly through
     * [[graft.ops.Iterate.checkpointer]] (construction runs `iters`
     * jobs; every pass reads the subjects exactly once). Determinism:
-    * per-duration U/I terms cast DECIMAL(38,12) before summing,
-    * exp/ln on 9-dp inputs ([[logisticFit2]]'s proven stance). A
+    * per-duration U/I terms cast DECIMAL(38,12) before summing, and
+    * every transcendental OUTPUT (exp(β·x), ln S₀, the e^β readout)
+    * pins to 9 dp before feeding a DECIMAL sum or rounding boundary —
+    * exp/ln of identical 9-dp inputs can still differ by an ulp
+    * between libms, and thousands of summed ulps flipped a β boundary
+    * on one host (round-10 driver red); the output pin caps the
+    * divergence at P(value within an ulp of a 9-dp boundary). A
     * constant covariate (I = 0) is a degenerate design outside the
     * dual-engine contract, as for the logistic twin. Readout: n,
     * n_events, beta, se = 1/√I, z, hazard_ratio, partial log-lik. */
@@ -3982,7 +4000,7 @@ object Stats {
     val sfx = Window.orderBy("__t") // duration-grain: calendar-bounded
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def riskSums(beta: DataFrame): DataFrame = {
-      val ex = exp(col("__b") * col("__x"))
+      val ex = round(exp(col("__b") * col("__x")), 9)
       base.crossJoin(broadcast(beta))
         .groupBy("__t")
         .agg(sum(ex.cast("decimal(38,12)")).alias("__a0"),
@@ -4018,7 +4036,8 @@ object Stats {
       .agg(sum(iTerm.cast("decimal(38,12)")).alias("__i"),
         sum("__ne").alias("n_events"),
         sum(col("__sx")).alias("__sxtot"),
-        sum((col("__ne").cast("double") * log(col("__S0").cast("double")))
+        sum((col("__ne").cast("double") *
+          round(log(col("__S0").cast("double")), 9))
           .cast("decimal(38,12)")).alias("__lns"))
     val nRow = base.agg(count(lit(1)).alias("n"))
     val iD = col("__i").cast("double")
@@ -4027,7 +4046,7 @@ object Stats {
         round0(col("__b"), 6).alias("beta"),
         round0(lit(1.0) / sqrt(iD), 6).alias("se"),
         round0(col("__b") * sqrt(iD), 6).alias("z"),
-        round0(exp(col("__b")), 6).alias("hazard_ratio"),
+        round0(round(exp(col("__b")), 9), 6).alias("hazard_ratio"),
         round0(col("__b") * col("__sxtot").cast("double") -
           col("__lns").cast("double"), 6).alias("partial_loglik"))
   }
@@ -4052,8 +4071,11 @@ object Stats {
     * π = ½. Responsibilities use the normalization-free densities
     * w_c = π_c/σ_c · exp(−((x−μ_c)/σ_c)²/2) with pinned
     * parenthesization (the shared 1/√2π cancels in r = w₂/(w₁+w₂));
-    * both-underflow rows (possible only for |x−μ| ≫ 38σ) pin r by the
-    * midpoint rule identically on both engines. Variances clamp at
+    * r itself pins to 9 dp before the DECIMAL moment casts (the
+    * transcendental-OUTPUT stance — libm exp ulps must not reach the
+    * exact sums), and both-underflow rows (possible only for
+    * |x−μ| ≫ 38σ) pin r by the midpoint rule keyed on the larger
+    * mean, identically on both engines. Variances clamp at
     * 1e-12 so a collapsing component can't take √(negative); a
     * component whose weight reaches EXACT zero is a degenerate design
     * outside the dual-engine contract ([[logisticFit2]]'s stance —
@@ -4093,10 +4115,15 @@ object Stats {
     def w2: Column = (col("__p2") / col("__s2")) *
       exp(-(lit(0.5) * (((col("__x") - col("__mu2")) / col("__s2")) *
         ((col("__x") - col("__mu2")) / col("__s2")))))
+    // Responsibility pins to 9 dp (transcendental-OUTPUT stance: libm
+    // exp can differ by an ulp across hosts; the pin keeps the DECIMAL
+    // moment sums bit-identical on both engines). The both-underflow
+    // tiebreak keys on the LARGER mean so a high-side x lands on the
+    // high component even if EM swaps the component order (mu1 > mu2).
     def resp: Column = when(w1 + w2 === 0.0,
-      when(col("__x") > (col("__mu1") + col("__mu2")) / lit(2.0), lit(1.0))
-        .otherwise(lit(0.0)))
-      .otherwise(w2 / (w1 + w2))
+      when((col("__x") > (col("__mu1") + col("__mu2")) / lit(2.0)) ===
+        (col("__mu2") >= col("__mu1")), lit(1.0)).otherwise(lit(0.0)))
+      .otherwise(round(w2 / (w1 + w2), 9))
     def step(params: DataFrame): DataFrame = {
       val t = base.crossJoin(broadcast(params))
         .withColumn("__r", resp)
@@ -4135,7 +4162,12 @@ object Stats {
         max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
         max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
         max(col("__s2")).alias("__fs2"),
-        sum((log(w1 + w2) - lnNorm).cast("decimal(38,12)")).alias("__ll"))
+        // clamp before ln (Spark log(0)→NULL silently drops the row
+        // from the sum while DuckDB ln(0) ERRORS — the clamp pins the
+        // both-underflow degenerate identically on both engines) and
+        // pin the ln OUTPUT to 9 dp before the exact DECIMAL sum
+        sum((round(log(greatest(w1 + w2, lit(1e-308))), 9) - lnNorm)
+          .cast("decimal(38,12)")).alias("__ll"))
     val swap = col("__fmu1") > col("__fmu2")
     out.select(col("n"),
       round0(when(swap, col("__fp2")).otherwise(lit(1.0) - col("__fp2")), 6)

@@ -4,17 +4,31 @@
 # threads) — the round-end checklist's compute half, scripted so a round
 # can't ship with the recorded gates lagging the tree (round-9 VERDICT
 # "What's wrong" #2).
+#
+# Exit status: nonzero if ANY gate is red (a hurried consumer must not be
+# able to read a red sweep as green — round-10 ADVICE). The local sweep is
+# PRE-FLIGHT only: the driver's CORRECTNESS_r*.json is the gate of record
+# (its DuckDB/libm can differ from this box — the q_cox_ph round-10 red
+# was green locally), so the sweep ends by diffing the newest driver
+# artifact against the local result and failing on any query that is
+# green-locally-but-red-in-driver.
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-target/gates}
 mkdir -p "$OUT"
+fail=0
 log() { echo "[gates $(date +%H:%M:%S)] $*"; }
+check() { # exit-code gate-name
+  if [ "$1" -ne 0 ]; then fail=1; log "GATE RED: $2 (exit $1)"; fi
+}
 
 run_verify() { # sfdir outdir cpus
   log "Verify $1 cpus=$3 -> $2"
   SPARK_GRAFT_CPUS=$3 sbt -batch "runMain graft.Verify $1 $2" \
     > "$OUT/verify_$(basename $2).log" 2>&1
-  log "Verify $1 cpus=$3 done (exit $?)"
+  local rc=$?
+  log "Verify $1 cpus=$3 done (exit $rc)"
+  check $rc "verify $(basename $2)"
 }
 
 run_verify /root/testdata/sf0.001 "$OUT/v001"  32
@@ -25,24 +39,41 @@ run_verify /root/testdata/sf0.1   "$OUT/v1b"   17
 
 log "selfcheck sf0.001"
 python3 tools/selfcheck.py /root/testdata/sf0.001 "$OUT/v001" > "$OUT/sc_001.log" 2>&1
-log "selfcheck sf0.001 exit $? : $(tail -1 "$OUT/sc_001.log")"
+rc=$?; log "selfcheck sf0.001 exit $rc : $(tail -1 "$OUT/sc_001.log")"
+check $rc "selfcheck sf0.001"
 log "selfcheck sf0.01"
 python3 tools/selfcheck.py /root/testdata/sf0.01 "$OUT/v01a" > "$OUT/sc_01.log" 2>&1
-log "selfcheck sf0.01 exit $? : $(tail -1 "$OUT/sc_01.log")"
+rc=$?; log "selfcheck sf0.01 exit $rc : $(tail -1 "$OUT/sc_01.log")"
+check $rc "selfcheck sf0.01"
 log "selfcheck sf0.1"
 python3 tools/selfcheck.py /root/testdata/sf0.1 "$OUT/v1a" > "$OUT/sc_1.log" 2>&1
-log "selfcheck sf0.1 exit $? : $(tail -1 "$OUT/sc_1.log")"
+rc=$?; log "selfcheck sf0.1 exit $rc : $(tail -1 "$OUT/sc_1.log")"
+check $rc "selfcheck sf0.1"
 
 log "determinism spark sf0.01 (32 vs 17)"
 python3 tools/determinism.py spark "$OUT/v01a" "$OUT/v01b" > "$OUT/det_spark_01.log" 2>&1
-log "det spark sf0.01 exit $? : $(tail -1 "$OUT/det_spark_01.log")"
+rc=$?; log "det spark sf0.01 exit $rc : $(tail -1 "$OUT/det_spark_01.log")"
+check $rc "determinism spark sf0.01"
 log "determinism spark sf0.1 (32 vs 17)"
 python3 tools/determinism.py spark "$OUT/v1a" "$OUT/v1b" > "$OUT/det_spark_1.log" 2>&1
-log "det spark sf0.1 exit $? : $(tail -1 "$OUT/det_spark_1.log")"
+rc=$?; log "det spark sf0.1 exit $rc : $(tail -1 "$OUT/det_spark_1.log")"
+check $rc "determinism spark sf0.1"
 log "determinism oracle sf0.01 (duckdb 8 vs 2)"
 python3 tools/determinism.py oracle /root/testdata/sf0.01 "$OUT/v01a/oracle_sql.json" > "$OUT/det_oracle_01.log" 2>&1
-log "det oracle sf0.01 exit $? : $(tail -1 "$OUT/det_oracle_01.log")"
+rc=$?; log "det oracle sf0.01 exit $rc : $(tail -1 "$OUT/det_oracle_01.log")"
+check $rc "determinism oracle sf0.01"
 log "determinism oracle sf0.1 (duckdb 8 vs 2)"
 python3 tools/determinism.py oracle /root/testdata/sf0.1 "$OUT/v1a/oracle_sql.json" > "$OUT/det_oracle_1.log" 2>&1
-log "det oracle sf0.1 exit $? : $(tail -1 "$OUT/det_oracle_1.log")"
+rc=$?; log "det oracle sf0.1 exit $rc : $(tail -1 "$OUT/det_oracle_1.log")"
+check $rc "determinism oracle sf0.1"
+
+log "driver-artifact diff (gate of record)"
+python3 tools/driver_diff.py > "$OUT/driver_diff.log" 2>&1
+rc=$?; log "driver diff exit $rc : $(tail -1 "$OUT/driver_diff.log")"
+check $rc "driver-artifact diff"
+
+if [ "$fail" -ne 0 ]; then
+  log "GATES FAILED — see GATE RED lines above"
+  exit 1
+fi
 log "ALL GATES DONE"
