@@ -647,7 +647,9 @@ object SparkEntry {
         .crossJoin(broadcast(n))
         .orderBy(desc("__tf"), asc("token")).limit(20)
         .select(col("token"),
-          log(col("__tf").cast("double") / col("__n")).alias("logp"))
+          // 9-dp-pinned ln output (cross-libm transcendental stance)
+          round(log(col("__tf").cast("double") / col("__n")), 9)
+            .alias("logp"))
       TextAnalysis.unigramScoreFrozen(docs, "doc_id", "text", vocab,
         oovLogProb = -15.0)
         .orderBy("doc_id")
@@ -4609,8 +4611,8 @@ object SparkEntry {
       "g AS (SELECT sz, blk, max(cum) AS mx, min(cum) AS mn, " +
       s"max($sd) AS sd FROM c GROUP BY 1, 2), " +
       "rs AS (SELECT sz, round((mx - mn) / sd, 9) AS rsv FROM g WHERE sd > 0.0), " +
-      "ps AS (SELECT ln(CAST(sz AS DOUBLE)) AS lx, " +
-      "ln(CAST(sum(CAST(rsv AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS ly " +
+      "ps AS (SELECT round(ln(CAST(sz AS DOUBLE)), 9) AS lx, " +
+      "round(ln(CAST(sum(CAST(rsv AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 9) AS ly " +
       "FROM rs GROUP BY sz " +
       "HAVING CAST(sum(CAST(rsv AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) > 0.0), " +
       "m AS (SELECT CAST(count(*) AS BIGINT) AS ns, " +
@@ -4695,7 +4697,7 @@ object SparkEntry {
       ks.map(k => s"SELECT n_$k AS nt, v_$k AS vt FROM nr CROSS JOIN vr")
         .mkString(" UNION ALL ") +
       "), " +
-      "pp AS (SELECT ln(CAST(nt AS DOUBLE)) AS x, ln(CAST(vt AS DOUBLE)) AS y " +
+      "pp AS (SELECT round(ln(CAST(nt AS DOUBLE)), 9) AS x, round(ln(CAST(vt AS DOUBLE)), 9) AS y " +
       "FROM p WHERE nt > 0 AND vt > 0), " +
       "m AS (SELECT CAST(count(*) AS BIGINT) AS nc, " +
       "sum(CAST(x AS DECIMAL(28,10))) AS sx, sum(CAST(y AS DECIMAL(28,10))) AS sy, " +
@@ -4776,16 +4778,16 @@ object SparkEntry {
         "mb AS (SELECT lb, sum(n) AS bj FROM ct GROUP BY 1), " +
         "nn AS (SELECT sum(n) AS t FROM ct), " +
         "hha AS (SELECT CAST(count(*) AS BIGINT) AS clusters_a, " +
-        "-CAST(sum(CAST((CAST(ai AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
-        "ln(CAST(ai AS DOUBLE) / CAST(nn.t AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS ha, " +
+        "-CAST(sum(CAST(round((CAST(ai AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
+        "ln(CAST(ai AS DOUBLE) / CAST(nn.t AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) AS ha, " +
         "sum(ai * (ai - 1)) AS sa FROM ma CROSS JOIN nn), " +
         "hhb AS (SELECT CAST(count(*) AS BIGINT) AS clusters_b, " +
-        "-CAST(sum(CAST((CAST(bj AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
-        "ln(CAST(bj AS DOUBLE) / CAST(nn.t AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hb, " +
+        "-CAST(sum(CAST(round((CAST(bj AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
+        "ln(CAST(bj AS DOUBLE) / CAST(nn.t AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) AS hb, " +
         "sum(bj * (bj - 1)) AS sb FROM mb CROSS JOIN nn), " +
-        "mim AS (SELECT CAST(sum(CAST((CAST(ct.n AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
+        "mim AS (SELECT CAST(sum(CAST(round((CAST(ct.n AS DOUBLE) / CAST(nn.t AS DOUBLE)) * " +
         "ln((CAST(nn.t AS DOUBLE) * CAST(ct.n AS DOUBLE)) / " +
-        "(CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE))) AS DECIMAL(28,14))) AS DOUBLE) AS mi, " +
+        "(CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE))), 9) AS DECIMAL(28,14))) AS DOUBLE) AS mi, " +
         "sum(ct.n * (ct.n - 1)) AS sij, CAST(max(nn.t) AS BIGINT) AS n " +
         "FROM ct JOIN ma USING (la) JOIN mb USING (lb) CROSS JOIN nn) " +
         "SELECT n, clusters_a, clusters_b, " +
@@ -6101,7 +6103,11 @@ object SparkEntry {
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
         "freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1), " +
         "n AS (SELECT count(*) AS nn FROM tok) " +
-        "SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
+        // 9-dp-pinned ln terms through an exact DECIMAL sum (the op's
+        // cross-libm transcendental-output stance), round0 readout
+        "SELECT tok.doc_id, round(CAST(sum(CAST(round(ln(CAST(freq.tf AS DOUBLE) " +
+        "/ n.nn), 9) AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "+ 0.0 AS logprob " +
         "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id ORDER BY tok.doc_id"),
 
     "q_chunk_overlap" ->
@@ -6131,7 +6137,7 @@ object SparkEntry {
     "q_unigram_score_frozen" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
         "n AS (SELECT count(*) AS nn FROM tok), " +
-        "v AS (SELECT t, ln(CAST(count(*) AS DOUBLE) / (SELECT nn FROM n)) AS logp " +
+        "v AS (SELECT t, round(ln(CAST(count(*) AS DOUBLE) / (SELECT nn FROM n)), 9) AS logp " +
         "FROM tok GROUP BY t ORDER BY count(*) DESC, t LIMIT 20) " +
         "SELECT tok.doc_id, round(sum(coalesce(v.logp, -15.0)) / count(*), 6) AS score " +
         "FROM tok LEFT JOIN v ON tok.t = v.t GROUP BY tok.doc_id ORDER BY tok.doc_id"),
@@ -6213,7 +6219,9 @@ object SparkEntry {
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
         "freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1), " +
         "n AS (SELECT count(*) AS nn FROM tok), " +
-        "sc AS (SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
+        "sc AS (SELECT tok.doc_id, round(CAST(sum(CAST(round(ln(CAST(freq.tf AS DOUBLE) " +
+        "/ n.nn), 9) AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "+ 0.0 AS logprob " +
         "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id), " +
         "tt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
         "j AS (SELECT sc.doc_id, sc.logprob, tt.n_tok, " +
@@ -6228,7 +6236,9 @@ object SparkEntry {
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
         "freq AS (SELECT t, count(*) AS tf FROM tok GROUP BY 1), " +
         "n AS (SELECT count(*) AS nn FROM tok), " +
-        "sc AS (SELECT tok.doc_id, round(avg(ln(CAST(freq.tf AS DOUBLE) / n.nn)), 6) AS logprob " +
+        "sc AS (SELECT tok.doc_id, round(CAST(sum(CAST(round(ln(CAST(freq.tf AS DOUBLE) " +
+        "/ n.nn), 9) AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "+ 0.0 AS logprob " +
         "FROM tok JOIN freq USING (t) CROSS JOIN n GROUP BY tok.doc_id), " +
         "thr AS (SELECT round(quantile_cont(logprob, 0.1), 6) AS th FROM sc) " +
         "SELECT sc.doc_id, sc.logprob FROM sc, thr WHERE sc.logprob >= thr.th " +
@@ -6855,17 +6865,17 @@ object SparkEntry {
         "rt AS (SELECT a, sum(o) AS rt FROM obs GROUP BY 1), " +
         "ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1), " +
         "nn AS (SELECT sum(o) AS n FROM obs), " +
-        "ha AS (SELECT -CAST(sum(CAST((CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
-        "ln(CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS ha " +
+        "ha AS (SELECT -CAST(sum(CAST(round((CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(rt AS DOUBLE) / CAST(nn.n AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) AS ha " +
         "FROM rt CROSS JOIN nn), " +
-        "hb AS (SELECT -CAST(sum(CAST((CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
-        "ln(CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hb " +
+        "hb AS (SELECT -CAST(sum(CAST(round((CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(ct AS DOUBLE) / CAST(nn.n AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) AS hb " +
         "FROM ct CROSS JOIN nn), " +
         "cond AS (SELECT " +
-        "-CAST(sum(CAST((CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
-        "ln(CAST(o AS DOUBLE) / CAST(ct.ct AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hab, " +
-        "-CAST(sum(CAST((CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
-        "ln(CAST(o AS DOUBLE) / CAST(rt.rt AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hba, " +
+        "-CAST(sum(CAST(round((CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(o AS DOUBLE) / CAST(ct.ct AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) AS hab, " +
+        "-CAST(sum(CAST(round((CAST(o AS DOUBLE) / CAST(nn.n AS DOUBLE)) * " +
+        "ln(CAST(o AS DOUBLE) / CAST(rt.rt AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) AS hba, " +
         "CAST(max(nn.n) AS BIGINT) AS n " +
         "FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn) " +
         "SELECT n, round(ha, 6) AS h_a, round(hb, 6) AS h_b, " +
@@ -7049,14 +7059,14 @@ object SparkEntry {
         "gr AS (SELECT g, count(*) AS ng, sum(CAST(x AS DECIMAL(38,10))) AS sg " +
         "FROM b GROUP BY 1), " +
         "t AS (SELECT sum(ng) AS n, sum(sg) AS st FROM gr), " +
-        "tm AS (SELECT g, sum(CAST((x / CAST(t.st AS DOUBLE)) * " +
-        "ln(x / (CAST(t.st AS DOUBLE) / CAST(t.n AS DOUBLE))) AS DECIMAL(28,14))) AS tt " +
+        "tm AS (SELECT g, sum(CAST(round((x / CAST(t.st AS DOUBLE)) * " +
+        "ln(x / (CAST(t.st AS DOUBLE) / CAST(t.n AS DOUBLE))), 9) AS DECIMAL(28,14))) AS tt " +
         "FROM b CROSS JOIN t GROUP BY 1), " +
         "o AS (SELECT CAST(max(t.n) AS BIGINT) AS n, " +
         "CAST(count(*) AS BIGINT) AS n_groups, sum(tt) AS total, " +
-        "sum(CAST((CAST(sg AS DOUBLE) / CAST(t.st AS DOUBLE)) * " +
+        "sum(CAST(round((CAST(sg AS DOUBLE) / CAST(t.st AS DOUBLE)) * " +
         "ln((CAST(sg AS DOUBLE) / CAST(gr.ng AS DOUBLE)) / " +
-        "(CAST(t.st AS DOUBLE) / CAST(t.n AS DOUBLE))) AS DECIMAL(28,14))) AS betw " +
+        "(CAST(t.st AS DOUBLE) / CAST(t.n AS DOUBLE))), 9) AS DECIMAL(28,14))) AS betw " +
         "FROM gr JOIN tm USING (g) CROSS JOIN t) " +
         "SELECT n, n_groups, round(CAST(total AS DOUBLE), 6) AS theil_total, " +
         "round(CAST(betw AS DOUBLE), 6) AS theil_between, " +
@@ -7136,8 +7146,8 @@ object SparkEntry {
         "tt AS (SELECT sum(n) AS t FROM tr), " +
         "h AS (SELECT CAST(max(tt.t) AS BIGINT) AS n_transitions, " +
         "CAST(count(DISTINCT tr.prev) AS BIGINT) AS n_states, " +
-        "-CAST(sum(CAST((CAST(tr.n AS DOUBLE) / CAST(tt.t AS DOUBLE)) * " +
-        "ln(CAST(tr.n AS DOUBLE) / CAST(mg.np AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS hh " +
+        "-CAST(sum(CAST(round((CAST(tr.n AS DOUBLE) / CAST(tt.t AS DOUBLE)) * " +
+        "ln(CAST(tr.n AS DOUBLE) / CAST(mg.np AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) AS hh " +
         "FROM tr JOIN mg USING (prev) CROSS JOIN tt) " +
         "SELECT n_transitions, n_states, round(hh, 6) AS entropy_rate, " +
         "round(exp(hh), 6) AS perplexity FROM h"),
@@ -7174,8 +7184,8 @@ object SparkEntry {
         "CASE WHEN q3 - q1 = 0.0 THEN NULL ELSE " +
         "round(2.0 * (q3 - q1) * pow(CAST(n AS DOUBLE), -1.0 / 3.0), 6) END AS fd_width, " +
         "CASE WHEN q3 - q1 = 0.0 THEN NULL ELSE " +
-        "CAST(ceil((hi - lo) / (2.0 * (q3 - q1) * pow(CAST(n AS DOUBLE), -1.0 / 3.0))) AS BIGINT) END AS fd_bins, " +
-        "CAST(ceil(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS BIGINT) + 1 AS sturges_bins FROM m"),
+        "CAST(ceil(round((hi - lo) / (2.0 * (q3 - q1) * pow(CAST(n AS DOUBLE), -1.0 / 3.0)), 9)) AS BIGINT) END AS fd_bins, " +
+        "CAST(ceil(round(ln(CAST(n AS DOUBLE)) / ln(2.0), 9)) AS BIGINT) + 1 AS sturges_bins FROM m"),
 
     // Shared deterministic-kmeans CTEs; same row-local a/b distances,
     // rounded-then-DECIMAL-mean readouts, k-squared DB cross join.
@@ -7190,8 +7200,8 @@ object SparkEntry {
       ("WITH tk AS (SELECT token, count(*) AS c FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
         "WHERE token <> '' GROUP BY 1), " +
-        "cw AS (SELECT token, pow(CAST(c AS DOUBLE), 0.75) AS w, " +
-        "coalesce(sum(pow(CAST(c AS DOUBLE), 0.75)) OVER (ORDER BY token " +
+        "cw AS (SELECT token, round(pow(CAST(c AS DOUBLE), 0.75), 9) AS w, " +
+        "coalesce(sum(round(pow(CAST(c AS DOUBLE), 0.75), 9)) OVER (ORDER BY token " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS lo FROM tk), " +
         "ch AS (SELECT token, w, lo, lo + w AS hi FROM cw), " +
         "z AS (SELECT max(hi) AS z FROM ch), " +
@@ -7730,8 +7740,8 @@ object SparkEntry {
         "head AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 64), " +
         "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r " +
         "FROM head), " +
-        "pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, " +
-        "ln(CAST(c AS DOUBLE)) AS y FROM rk), " +
+        "pts AS (SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x, " +
+        "round(ln(CAST(c AS DOUBLE)), 9) AS y FROM rk), " +
         "m AS (SELECT count(*) AS n_head, " +
         "sum(CAST(x AS DECIMAL(28,10))) AS sx, " +
         "sum(CAST(y AS DECIMAL(28,10))) AS sy, " +
@@ -7866,8 +7876,8 @@ object SparkEntry {
         "), " +
         "c AS (SELECT fn, bin, count(*) AS nb FROM e GROUP BY 1, 2), " +
         "n AS (SELECT count(*) AS n FROM b), " +
-        "s AS (SELECT id, sum(CAST(-log10(CAST(nb AS DOUBLE) / " +
-        "CAST(n.n AS DOUBLE)) AS DECIMAL(28,14))) AS sc " +
+        "s AS (SELECT id, sum(CAST(round(-log10(CAST(nb AS DOUBLE) / " +
+        "CAST(n.n AS DOUBLE)), 9) AS DECIMAL(28,14))) AS sc " +
         "FROM e JOIN c USING (fn, bin) CROSS JOIN n GROUP BY 1) " +
         "SELECT id, round(CAST(sc AS DOUBLE), 6) AS score FROM s " +
         "ORDER BY score DESC, id LIMIT 50"),
@@ -7889,7 +7899,7 @@ object SparkEntry {
         "(CAST(g AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5) AS pg, " +
         "(CAST(bb AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5) AS pb " +
         "FROM c JOIN t ON c.feature = t.feature), " +
-        "iv AS (SELECT feature, sum(CAST((pg - pb) * ln(pg / pb) " +
+        "iv AS (SELECT feature, sum(CAST(round((pg - pb) * ln(pg / pb), 9) " +
         "AS DECIMAL(28,14))) AS iv FROM w GROUP BY 1) " +
         "SELECT w.feature AS feature, bin, CAST(g AS BIGINT) AS n_pos, " +
         "CAST(bb AS BIGINT) AS n_neg, round(ln(pg / pb), 6) AS woe, " +
@@ -8213,7 +8223,7 @@ object SparkEntry {
         "cu AS (SELECT t, count(*) AS cu FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1), " +
         "vv AS (SELECT count(*) AS v FROM cu) " +
-        "SELECT bp.doc_id, round(CAST(sum(CAST(ln((cb.cb + 1.0) / (cu.cu + vv.v)) " +
+        "SELECT bp.doc_id, round(CAST(sum(CAST(round(ln((cb.cb + 1.0) / (cu.cu + vv.v)), 9) " +
         "AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) AS logprob " +
         "FROM bp JOIN cb USING (big) JOIN cu ON cu.t = bp.prev CROSS JOIN vv " +
         "GROUP BY 1 ORDER BY 1"),
@@ -8280,7 +8290,7 @@ object SparkEntry {
         "tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM pt), " +
         "pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS n1, " +
         "sum(CASE WHEN y THEN 0 ELSE 1 END) AS n0 FROM lab), " +
-        "model AS (SELECT token, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS llr " +
+        "model AS (SELECT token, round(ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)), 9) AS llr " +
         "FROM pt CROSS JOIN tot), " +
         "sc AS (SELECT doc_id, sum(CAST(llr AS DECIMAL(28,14))) AS sllr " +
         "FROM tok JOIN model USING (token) GROUP BY 1), " +
@@ -8682,7 +8692,7 @@ object SparkEntry {
         "t AS (SELECT CAST(sum(no) AS BIGINT) AS t_o, CAST(sum(nn) AS BIGINT) AS t_n FROM j), " +
         "s AS (SELECT (no + 1.0) / (t.t_o + 10) AS po, (nn + 1.0) / (t.t_n + 10) AS pn " +
         "FROM j CROSS JOIN t) " +
-        "SELECT round(CAST(sum(CAST((pn - po) * ln(pn / po) AS DECIMAL(28,14))) " +
+        "SELECT round(CAST(sum(CAST(round((pn - po) * ln(pn / po), 9) AS DECIMAL(28,14))) " +
         "AS DOUBLE), 6) AS psi, count(*) AS n_bins FROM s"),
 
     "q_sorted_neighbors" ->
@@ -8847,7 +8857,7 @@ object SparkEntry {
         "t AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM j), " +
         "p AS (SELECT (ca + 1.0) / (t.ta + t.v) AS pa, " +
         "(cb + 1.0) / (t.tb + t.v) AS pb FROM j CROSS JOIN t) " +
-        "SELECT round(CAST(sum(CAST(pa * ln(pa / pb) AS DECIMAL(28,14))) " +
+        "SELECT round(CAST(sum(CAST(round(pa * ln(pa / pb), 9) AS DECIMAL(28,14))) " +
         "AS DOUBLE), 6) AS kl_ab, CAST(count(*) AS BIGINT) AS vocab FROM p"),
 
     // Same strictly-preceding frame with IGNORE NULLS on both engines.
@@ -9209,8 +9219,8 @@ object SparkEntry {
         "t AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM j), " +
         "p AS (SELECT (ca + 1.0) / (t.ta + t.v) AS pa, " +
         "(cb + 1.0) / (t.tb + t.v) AS pb FROM j CROSS JOIN t) " +
-        "SELECT round(CAST(sum(CAST(pa * ln(pa / ((pa + pb) / 2.0)) / 2.0 + " +
-        "pb * ln(pb / ((pa + pb) / 2.0)) / 2.0 AS DECIMAL(28,14))) " +
+        "SELECT round(CAST(sum(CAST(round(pa * ln(pa / ((pa + pb) / 2.0)) / 2.0 + " +
+        "pb * ln(pb / ((pa + pb) / 2.0)) / 2.0, 9) AS DECIMAL(28,14))) " +
         "AS DOUBLE), 6) AS jsd, CAST(count(*) AS BIGINT) AS vocab FROM p"),
 
     // Same nine DECIMAL moments, same Cramer determinants with pinned
@@ -9551,8 +9561,8 @@ object SparkEntry {
         "pc AS (SELECT cnt, count(*) AS m FROM c GROUP BY 1), " +
         "r AS (SELECT cnt, m, COALESCE(SUM(m) OVER (ORDER BY cnt DESC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM pc), " +
-        "p AS (SELECT m, ln(CAST(bef AS DOUBLE) + 1.0) AS x, " +
-        "ln(CAST(cnt AS DOUBLE)) AS y FROM r), " +
+        "p AS (SELECT m, round(ln(CAST(bef AS DOUBLE) + 1.0), 9) AS x, " +
+        "round(ln(CAST(cnt AS DOUBLE)), 9) AS y FROM r), " +
         "mm AS (SELECT CAST(SUM(m) AS BIGINT) AS n, " +
         "CAST(SUM(CAST(m * x AS DECIMAL(28,10))) AS DOUBLE) AS sx, " +
         "CAST(SUM(CAST(m * y AS DECIMAL(28,10))) AS DOUBLE) AS sy, " +
@@ -9746,7 +9756,7 @@ object SparkEntry {
         "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos, " +
         "round(CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE), 6) AS brier, " +
-        "round(CAST(sum(CAST(-(y * ln(q) + (1 - y) * ln(1 - q)) AS DECIMAL(28,12))) AS DOUBLE) / " +
+        "round(CAST(sum(CAST(round(-(y * ln(q) + (1 - y) * ln(1 - q)), 9) AS DECIMAL(28,12))) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
         "round(CAST(sum(CASE WHEN (p >= 0.5 AND y = 1) OR (p < 0.5 AND y = 0) " +
         "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc_at_half " +
@@ -10166,10 +10176,10 @@ object SparkEntry {
         "cu AS (SELECT t, count(*) AS cu FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY 1), " +
         "nn AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM cu) " +
-        "SELECT bp.doc_id, round(CAST(sum(CAST(ln(" +
+        "SELECT bp.doc_id, round(CAST(sum(CAST(round(ln(" +
         "CAST(0.7 AS DOUBLE) * CAST(cb.cb AS DOUBLE) / CAST(cp.cu AS DOUBLE) + " +
         "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * CAST(cw.cu AS DOUBLE) / " +
-        "CAST(nn.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) " +
+        "CAST(nn.n AS DOUBLE)), 9) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) " +
         "AS logprob FROM bp JOIN cb USING (big) " +
         "JOIN cu cp ON cp.t = bp.prev JOIN cu cw ON cw.t = bp.w " +
         "CROSS JOIN nn GROUP BY 1 ORDER BY 1"),
@@ -10188,11 +10198,11 @@ object SparkEntry {
         "np AS (SELECT prev, count(*) AS n1p_prev FROM ty GROUP BY 1), " +
         "nw AS (SELECT w, count(*) AS n1p_w FROM ty GROUP BY 1), " +
         "nt AS (SELECT count(*) AS n1p_tot FROM ty) " +
-        "SELECT bp.doc_id, round(CAST(sum(CAST(ln(" +
+        "SELECT bp.doc_id, round(CAST(sum(CAST(round(ln(" +
         "(CAST(cb.cb AS DOUBLE) - 0.75) / CAST(cp.cp AS DOUBLE) + " +
         "(0.75 * CAST(np.n1p_prev AS DOUBLE) / CAST(cp.cp AS DOUBLE)) * " +
         "(CAST(nw.n1p_w AS DOUBLE) / CAST(nt.n1p_tot AS DOUBLE))" +
-        ") AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) " +
+        "), 9) AS DECIMAL(28,14))) AS DOUBLE) / count(*), 6) " +
         "AS logprob FROM bp JOIN cb USING (big) JOIN cp USING (prev) " +
         "JOIN np USING (prev) JOIN nw USING (w) " +
         "CROSS JOIN nt GROUP BY 1 ORDER BY 1"),
@@ -10600,8 +10610,8 @@ object SparkEntry {
         "tot AS (SELECT nation, bal_band, sum(c) AS n FROM cells GROUP BY 1, 2), " +
         "h AS (SELECT cells.nation, cells.bal_band, max(tot.n) AS n, " +
         "count(*) AS l_distinct, " +
-        "-CAST(sum(CAST((CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)) * " +
-        "ln(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS DECIMAL(28,14))) " +
+        "-CAST(sum(CAST(round((CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)) * " +
+        "ln(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9) AS DECIMAL(28,14))) " +
         "AS DOUBLE) AS hh FROM cells " +
         "JOIN tot USING (nation, bal_band) GROUP BY 1, 2) " +
         "SELECT nation, bal_band, CAST(n AS BIGINT) AS n, l_distinct, " +
@@ -10719,7 +10729,8 @@ object SparkEntry {
         "FROM (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(SUM(ny) AS BIGINT) AS toty, " +
         "count(*) AS n_values, SUM(CAST(n * hv AS DECIMAL(28,10))) AS ch " +
         "FROM (SELECT n, ny, " +
-        h("CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)") + " AS hv " +
+        // per-value entropy pinned to 9 dp (the op's cross-libm stance)
+        "round(" + h("CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)") + ", 9) AS hv " +
         s"FROM (SELECT $expr AS v, count(*) AS n, " +
         "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ny " +
         "FROM events GROUP BY 1)))"
@@ -11304,7 +11315,7 @@ object SparkEntry {
       "cand AS (SELECT wd.a, wd.b, wd.c FROM wd WHERE NOT EXISTS " +
       "(SELECT 1 FROM e WHERE e.a = wd.a AND e.b = wd.b)), " +
       "sc AS (SELECT a, b, count(*) AS common, " +
-      "round(CAST(SUM(CAST(1.0 / ln(CAST(deg.deg AS DOUBLE)) " +
+      "round(CAST(SUM(CAST(round(1.0 / ln(CAST(deg.deg AS DOUBLE)), 9) " +
       "AS DECIMAL(28,14))) AS DOUBLE), 6) AS aa_score " +
       "FROM cand JOIN deg ON deg.node = cand.c GROUP BY 1, 2) " +
       "SELECT a, b, common, aa_score FROM sc " +
@@ -11537,12 +11548,14 @@ object SparkEntry {
       "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
       "stats AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents), " +
       "sc AS (SELECT qt.query_id, tf.doc_id, round(CAST(sum(CAST(" +
-      "ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
+      // per-term contribution pinned to 9 dp (the op's cross-libm
+      // transcendental-output stance; idf carries a libm ln)
+      "round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * " +
       // CAST keeps the multiply in double domain: BIGINT×DECIMAL would be
       // exact decimal then one conversion — off Spark's double×double by
       // an ulp on some tf values
       s"(tf.tf * CAST($k1p1 AS DOUBLE)) / " +
-      "(tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)) " +
+      "(tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl)), 9) " +
       "AS DECIMAL(28,14))) AS DOUBLE), 6) AS score " +
       "FROM tf JOIN qt USING (token) JOIN dfreq USING (token) " +
       "JOIN dlen ON dlen.doc_id = tf.doc_id CROSS JOIN stats GROUP BY 1, 2), " +
@@ -11610,7 +11623,7 @@ object SparkEntry {
       "tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl " +
       "FROM hits GROUP BY 1, 2), " +
       "sq AS (SELECT qt.query_id, tf.doc_id, CAST(sum(CAST(" +
-      s"ln(1.0 + tf.tf::DOUBLE / ($mu * (cf.cf::DOUBLE / ctot.c_len::DOUBLE))) " +
+      s"round(ln(1.0 + tf.tf::DOUBLE / ($mu * (cf.cf::DOUBLE / ctot.c_len::DOUBLE))), 9) " +
       "AS DECIMAL(28,14))) AS DOUBLE) AS s, max(tf.dl) AS dl " +
       "FROM tf JOIN qt USING (token) JOIN cf USING (token) " +
       "CROSS JOIN ctot GROUP BY 1, 2), " +
@@ -11643,7 +11656,7 @@ object SparkEntry {
       "l_tf AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl " +
       "FROM l_hits GROUP BY 1, 2), " +
       "l_sq AS (SELECT qt.query_id, l_tf.doc_id, CAST(sum(CAST(" +
-      s"ln(1.0 + l_tf.tf::DOUBLE / ($mu * (l_cf.cf::DOUBLE / l_ctot.c_len::DOUBLE))) " +
+      s"round(ln(1.0 + l_tf.tf::DOUBLE / ($mu * (l_cf.cf::DOUBLE / l_ctot.c_len::DOUBLE))), 9) " +
       "AS DECIMAL(28,14))) AS DOUBLE) AS s, max(l_tf.dl) AS dl " +
       "FROM l_tf JOIN qt USING (token) JOIN l_cf USING (token) " +
       "CROSS JOIN l_ctot GROUP BY 1, 2), " +
@@ -11684,13 +11697,13 @@ object SparkEntry {
       "coalesce(v.rel, 0) AS rel FROM run r LEFT JOIN relv v " +
       "ON v.query_id = r.query_id AND v.doc_id = r.doc_id), " +
       "dcg AS (SELECT query_id, CAST(sum(CAST(" +
-      "(pow(2.0, rel::DOUBLE) - 1.0) / log2(rank::DOUBLE + 1.0) " +
+      "round((pow(2.0, rel::DOUBLE) - 1.0) / log2(rank::DOUBLE + 1.0), 9) " +
       "AS DECIMAL(28,14))) AS DOUBLE) AS dcg FROM topk GROUP BY 1), " +
       "ideal AS (SELECT query_id, rel, row_number() OVER " +
       "(PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank " +
       "FROM relv WHERE rel > 0), " +
       "idcg AS (SELECT query_id, CAST(sum(CAST(" +
-      "(pow(2.0, rel::DOUBLE) - 1.0) / log2(irank::DOUBLE + 1.0) " +
+      "round((pow(2.0, rel::DOUBLE) - 1.0) / log2(irank::DOUBLE + 1.0), 9) " +
       "AS DECIMAL(28,14))) AS DOUBLE) AS idcg " +
       "FROM ideal WHERE irank <= 5 GROUP BY 1), " +
       "bin AS (SELECT query_id, rank, " +

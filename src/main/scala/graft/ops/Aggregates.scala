@@ -360,7 +360,10 @@ object Aggregates {
     j.crossJoin(broadcast(totals))
       .withColumn("__po", (col("__no") + lit(1.0)) / (col("__to") + lit(nBins)))
       .withColumn("__pn", (col("__nn") + lit(1.0)) / (col("__tn") + lit(nBins)))
-      .withColumn("__term", (col("__pn") - col("__po")) * log(col("__pn") / col("__po")))
+      // Δp·ln-ratio pins to 9 dp before the 14-dp DECIMAL cast (the
+      // cross-libm transcendental-output stance)
+      .withColumn("__term",
+        round((col("__pn") - col("__po")) * log(col("__pn") / col("__po")), 9))
       .agg(round(sum(col("__term").cast("decimal(28,14)")).cast("double"), 6)
         .alias("psi"), count(lit(1)).alias("n_bins"))
   }

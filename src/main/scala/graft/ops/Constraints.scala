@@ -139,7 +139,9 @@ object Constraints {
     val h = cells.join(tot, names)
       .groupBy(names.map(col): _*)
       .agg(max("__n").alias("n"), count(lit(1)).alias("l_distinct"),
-        (-sum((p * log(p)).cast("decimal(28,14)")).cast("double"))
+        // p·ln(p) pins to 9 dp before the 14-dp DECIMAL cast (the
+        // cross-libm transcendental-output stance)
+        (-sum(round(p * log(p), 9).cast("decimal(28,14)")).cast("double"))
           .alias("__h"))
     h.select(names.map(col) ++ Seq(col("n"), col("l_distinct"),
         round0(col("__h"), 6).alias("entropy"),

@@ -86,8 +86,11 @@ object Features {
     val w = c.join(broadcast(t), "feature")
       .select(col("feature"), col("bin"), col("__g"), col("__b"),
         pg.alias("__pg"), pb.alias("__pb"))
+    // WoE·Δp terms pin to 9 dp before the 14-dp DECIMAL cast (the
+    // cross-libm transcendental-output stance)
     val iv = w.groupBy("feature")
-      .agg(sum(((col("__pg") - col("__pb")) * log(col("__pg") / col("__pb")))
+      .agg(sum(round((col("__pg") - col("__pb")) *
+          log(col("__pg") / col("__pb")), 9)
         .cast("decimal(28,14)")).alias("__iv"))
     w.join(broadcast(iv), "feature")
       .select(col("feature"), col("bin"),

@@ -708,7 +708,10 @@ object Graph {
       .join(deg, col("c") === col("node"))
       .groupBy("a", "b")
       .agg(count(lit(1)).alias("common"),
-        round(sum((lit(1.0) / log(col("deg").cast("double")))
+        // 1/ln(deg) pins to 9 dp before the 14-dp DECIMAL cast (the
+        // cross-libm transcendental-output stance); the 9-dp-exact
+        // score keeps the (aa_score DESC, a, b) top-N engine-identical
+        round(sum(round(lit(1.0) / log(col("deg").cast("double")), 9)
           .cast("decimal(28,14)")).cast("double"), 6).alias("aa_score"))
       .orderBy(desc("aa_score"), col("a"), col("b"))
       .limit(topN)

@@ -132,7 +132,11 @@ object Mix {
       .select(explode(split(col(textCol), " ")).alias("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).alias("__c"))
-    val w = pow(col("__c").cast("double"), lit(0.75))
+    // pow OUTPUT pins to 9 dp: the cumulative interval bounds and Z are
+    // IEEE sums of these weights in one pinned order, so pinned inputs
+    // make every bucket-boundary compare engine-identical (a raw libm
+    // pow ulp could reassign a draw sitting exactly on a token edge)
+    val w = round(pow(col("__c").cast("double"), lit(0.75)), 9)
     val cumW = org.apache.spark.sql.expressions.Window.orderBy("token")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = counts

@@ -822,8 +822,10 @@ object Sessionize {
       .agg(count(lit(1)).alias("__n"))
     val marg = trans.groupBy("__prev").agg(sum("__n").alias("__np"))
     val tot = trans.agg(sum("__n").alias("__t"))
-    val term = (col("__n").cast("double") / col("__t").cast("double")) *
-      log(col("__n").cast("double") / col("__np").cast("double"))
+    // p·ln(p|prev) pins to 9 dp before the 14-dp DECIMAL cast (the
+    // cross-libm transcendental-output stance)
+    val term = round((col("__n").cast("double") / col("__t").cast("double")) *
+      log(col("__n").cast("double") / col("__np").cast("double")), 9)
     trans.join(broadcast(marg), "__prev")
       .crossJoin(broadcast(tot))
       .agg(max("__t").alias("n_transitions"),

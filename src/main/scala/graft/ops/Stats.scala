@@ -885,8 +885,10 @@ object Stats {
         count(lit(1)).alias("n"), sum("__y").alias("n_pos"),
         sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
           .cast("decimal(28,12)")).alias("__b"),
-        sum((-(col("__y") * log(col("__pc")) +
-            (lit(1L) - col("__y")) * log(lit(1.0) - col("__pc"))))
+        // ln OUTPUT pinned to 9 dp before the exact DECIMAL sum (the
+        // cross-libm transcendental-output stance, logisticFit2's twin)
+        sum(round(-(col("__y") * log(col("__pc")) +
+            (lit(1L) - col("__y")) * log(lit(1.0) - col("__pc"))), 9)
           .cast("decimal(28,12)")).alias("__ll"),
         sum(when((col("__p") >= 0.5 && col("__y") === 1L) ||
             (col("__p") < 0.5 && col("__y") === 0L), 1L).otherwise(0L))
@@ -1037,9 +1039,11 @@ object Stats {
       .groupBy("token").agg(count(lit(1)).alias("__cnt"))
     val perCnt = counts.groupBy(col("__cnt")).agg(count(lit(1)).alias("__m"))
       .withColumn("__neg", -col("__cnt"))
+    // ln outputs pin to 9 dp: raw logs of integer ranks/counts feed the
+    // DECIMAL(28,10) OLS moments, where a libm ulp could flip the cast
     val ranked = withCumBefore(perCnt, "__neg", "__m")
-      .withColumn("__x", log(col("__before").cast("double") + lit(1.0)))
-      .withColumn("__y", log(col("__cnt").cast("double")))
+      .withColumn("__x", round(log(col("__before").cast("double") + lit(1.0)), 9))
+      .withColumn("__y", round(log(col("__cnt").cast("double")), 9))
     val m = ranked.agg(
       sum("__m").alias("n_tokens_distinct"),
       sum((col("__m") * col("__x")).cast("decimal(28,10)")).alias("__sx"),
@@ -1485,8 +1489,10 @@ object Stats {
     features.map { case (name, _) =>
       val perV = base.groupBy(col(s"__f_$name").alias("__v"))
         .agg(count(lit(1)).alias("__n"), sum("__y").alias("__ny"))
+      // entropy pinned to 9 dp before the per-value count product and
+      // DECIMAL(28,10) sum (cross-libm transcendental-output stance)
       val withH = perV.withColumn("__hv",
-        h(col("__ny").cast("double") / col("__n").cast("double")))
+        round(h(col("__ny").cast("double") / col("__n").cast("double")), 9))
       withH.agg(
           sum("__n").alias("__tot"), sum("__ny").alias("__toty"),
           count(lit(1)).alias("n_values"),
@@ -2152,19 +2158,22 @@ object Stats {
     val rowT = obs.groupBy(col(a)).agg(sum("__o").alias("__rt"))
     val colT = obs.groupBy(col(b)).agg(sum("__o").alias("__ct"))
     val n = obs.agg(sum("__o").alias("__n"))
+    // every p·ln(p) term pins to 9 dp before its DECIMAL(28,14) sum —
+    // at 14-dp quantum a raw libm ulp WOULD flip the cast (the
+    // transcendental-output stance; same convention as mutualInfo)
     def hMarg(t: DataFrame, cnt: String) = t.crossJoin(broadcast(n))
-      .agg((-sum(((col(cnt).cast("double") / col("__n").cast("double")) *
-        log(col(cnt).cast("double") / col("__n").cast("double")))
+      .agg((-sum(round((col(cnt).cast("double") / col("__n").cast("double")) *
+        log(col(cnt).cast("double") / col("__n").cast("double")), 9)
         .cast("decimal(28,14)")).cast("double")).alias("__h"))
     val ha = hMarg(rowT, "__rt"); val hb = hMarg(colT, "__ct")
     val cond = obs.join(broadcast(rowT), Seq(a)).join(broadcast(colT), Seq(b))
       .crossJoin(broadcast(n))
       .agg(
-        (-sum(((col("__o").cast("double") / col("__n").cast("double")) *
-          log(col("__o").cast("double") / col("__ct").cast("double")))
+        (-sum(round((col("__o").cast("double") / col("__n").cast("double")) *
+          log(col("__o").cast("double") / col("__ct").cast("double")), 9)
           .cast("decimal(28,14)")).cast("double")).alias("__hab"),
-        (-sum(((col("__o").cast("double") / col("__n").cast("double")) *
-          log(col("__o").cast("double") / col("__rt").cast("double")))
+        (-sum(round((col("__o").cast("double") / col("__n").cast("double")) *
+          log(col("__o").cast("double") / col("__rt").cast("double")), 9)
           .cast("decimal(28,14)")).cast("double")).alias("__hba"),
         max(col("__n")).alias("n"))
     cond.crossJoin(broadcast(ha.select(col("__h").alias("__ha"))))
@@ -2586,8 +2595,9 @@ object Stats {
         (sum(col("__rs").cast("decimal(28,9)")).cast("double") /
           count(lit(1)).cast("double")).alias("__avg"))
       .filter(col("__avg") > 0.0)
-      .select(log(col("__s").cast("double")).alias("__lx"),
-        log(col("__avg")).alias("__ly"))
+      // 9-dp-pinned ln outputs ahead of the DECIMAL(28,10) OLS moments
+      .select(round(log(col("__s").cast("double")), 9).alias("__lx"),
+        round(log(col("__avg")), 9).alias("__ly"))
     val m = perSize.agg(count(lit(1)).alias("n_sizes"),
       sum(col("__lx").cast("decimal(28,10)")).alias("__sx"),
       sum(col("__ly").cast("decimal(28,10)")).alias("__sy"),
@@ -2668,13 +2678,13 @@ object Stats {
     // per-entity pass is needed
     val terms = base.crossJoin(broadcast(tot))
       .groupBy("__g")
-      .agg(sum(((col("__x") / xt) * log(col("__x") / mu))
+      .agg(sum(round((col("__x") / xt) * log(col("__x") / mu), 9)
         .cast("decimal(28,14)")).alias("__tt"))
     val out = grp.join(terms, "__g").crossJoin(broadcast(tot))
       .agg(max("__n").alias("n"),
         count(lit(1)).alias("n_groups"),
         sum("__tt").alias("__total"),
-        sum(((xg / xt) * log(mug / mu)).cast("decimal(28,14)"))
+        sum(round((xg / xt) * log(mug / mu), 9).cast("decimal(28,14)"))
           .alias("__between"))
     out.select(col("n"), col("n_groups"),
       round(col("__total").cast("double"), 6).alias("theil_total"),
@@ -2771,13 +2781,17 @@ object Stats {
       when(iqr === 0.0, lit(null).cast("double"))
         .otherwise(round(width, 6)).alias("fd_width"),
       when(iqr === 0.0, lit(null).cast("long"))
-        .otherwise(ceil((col("__hi") - col("__lo")) / width).cast("long"))
+        // 9-dp pin before the ceil: width carries a libm pow(n, -1/3)
+        .otherwise(ceil(round((col("__hi") - col("__lo")) / width, 9))
+          .cast("long"))
         .alias("fd_bins"),
-      // spelled ln(n)/ln(2), NOT the native log2: a ceil over log2 is
-      // boundary-sensitive and the engines' log2 need not agree at exact
-      // powers of two — the explicit ratio is the same double on both
-      (ceil(log(col("n").cast("double")) / log(lit(2.0))) + 1).cast("long")
-        .alias("sturges_bins"))
+      // spelled ln(n)/ln(2) AND 9-dp-pinned before the ceil: the ratio
+      // is boundary-sensitive at exact powers of two (true value is an
+      // integer; a one-ulp libm skew on either ln flips the ceil), and
+      // the pin snaps both engines to the same 9-dp value — integer n
+      // can't land within 5e-10 of a power of two otherwise
+      (ceil(round(log(col("n").cast("double")) / log(lit(2.0)), 9)) + 1)
+        .cast("long").alias("sturges_bins"))
   }
 
   /** Agreement between two clusterings of the same ids — NMI and
@@ -2799,9 +2813,11 @@ object Stats {
     val ma = ct.groupBy("__la").agg(sum("__n").alias("__ai"))
     val mb = ct.groupBy("__lb").agg(sum("__n").alias("__bj"))
     val nn = ct.agg(sum("__n").alias("__t"))
+    // p·ln(p) terms pin to 9 dp before the 14-dp DECIMAL casts (the
+    // cross-libm transcendental-output stance, theilsU's convention)
     def hTerm(cnt: Column, t: Column) =
-      -(sum(((cnt.cast("double") / t.cast("double")) *
-        log(cnt.cast("double") / t.cast("double")))
+      -(sum(round((cnt.cast("double") / t.cast("double")) *
+        log(cnt.cast("double") / t.cast("double")), 9)
         .cast("decimal(28,14)")).cast("double"))
     val ha = ma.crossJoin(broadcast(nn))
       .agg(count(lit(1)).alias("clusters_a"),
@@ -2813,9 +2829,9 @@ object Stats {
         sum(col("__bj") * (col("__bj") - 1)).alias("__sb"))
     val mi = ct.join(broadcast(ma), "__la").join(broadcast(mb), "__lb")
       .crossJoin(broadcast(nn))
-      .agg(sum(((col("__n").cast("double") / col("__t").cast("double")) *
+      .agg(sum(round((col("__n").cast("double") / col("__t").cast("double")) *
           log((col("__t").cast("double") * col("__n").cast("double")) /
-            (col("__ai").cast("double") * col("__bj").cast("double"))))
+            (col("__ai").cast("double") * col("__bj").cast("double"))), 9)
           .cast("decimal(28,14)")).cast("double").alias("__mi"),
         sum(col("__n") * (col("__n") - 1)).alias("__sij"),
         max(col("__t")).alias("n"))
@@ -3077,7 +3093,11 @@ object Stats {
     cells.join(broadcast(counts), Seq("__fn", "__bin"))
       .crossJoin(broadcast(n))
       .groupBy("id")
-      .agg(sum((-log10(col("__nb").cast("double") / col("__n").cast("double")))
+      // per-feature surprisal pins to 9 dp before the 14-dp DECIMAL sum
+      // (cross-libm transcendental-output stance); the 9-dp-exact score
+      // also makes the (score DESC, id) top-k ranking engine-identical
+      .agg(sum(round(-log10(col("__nb").cast("double") /
+          col("__n").cast("double")), 9)
         .cast("decimal(28,14)")).alias("__s"))
       .select(col("id"), round(col("__s").cast("double"), 6).alias("score"))
       .orderBy(desc("score"), col("id"))

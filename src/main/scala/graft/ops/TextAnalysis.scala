@@ -341,7 +341,9 @@ object TextAnalysis {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-    val contrib = idf * (col("tf") * lit(k1 + 1.0)) / denom
+    // per-term contribution pins to 9 dp before the 14-dp DECIMAL sum
+    // (idf carries a libm ln; cross-libm transcendental-output stance)
+    val contrib = round(idf * (col("tf") * lit(k1 + 1.0)) / denom, 9)
     val scored = tf.join(broadcast(qtok), "token")
       .join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
@@ -387,9 +389,11 @@ object TextAnalysis {
     val pri = lab.agg(
       sum(when(col("y"), 1L).otherwise(0L)).alias("n1"),
       sum(when(col("y"), 0L).otherwise(1L)).alias("n0"))
+    // per-token LLR pins to 9 dp before the 14-dp DECIMAL doc sums (the
+    // cross-libm transcendental-output stance)
     val model = perTok.crossJoin(broadcast(tot)).select(col("token"),
-      (log((col("c1") + lit(1.0)) / (col("t1") + col("v"))) -
-        log((col("c0") + lit(1.0)) / (col("t0") + col("v")))).alias("llr"))
+      round(log((col("c1") + lit(1.0)) / (col("t1") + col("v"))) -
+        log((col("c0") + lit(1.0)) / (col("t0") + col("v"))), 9).alias("llr"))
     tok.join(model, "token")
       .groupBy("doc_id")
       .agg(sum(col("llr").cast("decimal(28,14)")).alias("__s"))
@@ -472,10 +476,14 @@ object TextAnalysis {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).alias("__tok"))
     val freq = toks.groupBy("__tok").agg(count(lit(1)).alias("__tf"))
     val n = toks.agg(count(lit(1)).alias("__n"))
+    // per-token ln pins to 9 dp and the per-doc mean runs through an
+    // exact DECIMAL sum (a raw double avg would be combine-order-
+    // dependent AND carry libm ulps into the readout)
     toks.join(freq, "__tok").crossJoin(broadcast(n))
       .groupBy(col(idCol))
-      .agg(round(avg(log(col("__tf").cast("double") / col("__n"))), 6)
-        .alias("logprob"))
+      .agg(round0(sum(round(log(col("__tf").cast("double") / col("__n")), 9)
+          .cast("decimal(28,9)")).cast("double") /
+        count(lit(1)).cast("double"), 6).alias("logprob"))
   }
 
   /** Bigram LM quality score — the next rung of the perplexity-filter
@@ -504,7 +512,8 @@ object TextAnalysis {
     val cu = df.select(explode(tokens(col(textCol))).alias("t"))
       .groupBy("t").agg(count(lit(1)).alias("cu"))
     val vv = cu.agg(count(lit(1)).alias("v"))
-    val contrib = log((col("cb") + lit(1.0)) / (col("cu") + col("v")))
+    // 9-dp-pinned ln output ahead of the 14-dp DECIMAL doc sums
+    val contrib = round(log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 9)
     bp.join(cb, "big").join(cu, col("prev") === col("t"))
       .crossJoin(broadcast(vv))
       .groupBy(col(idCol))
@@ -543,10 +552,11 @@ object TextAnalysis {
     val nn = cu.agg(sum(col("cu")).alias("__n"))
     val cup = cu.select(col("t").alias("__pt"), col("cu").alias("__cuprev"))
     val cuw = cu.select(col("t").alias("__wt"), col("cu").alias("__cuw"))
-    val contrib = log(
+    // 9-dp-pinned ln output ahead of the 14-dp DECIMAL doc sums
+    val contrib = round(log(
       lit(lambda) * col("cb").cast("double") / col("__cuprev").cast("double") +
         (lit(1.0) - lit(lambda)) * col("__cuw").cast("double") /
-          col("__n").cast("double"))
+          col("__n").cast("double")), 9)
     bp.join(cb, "big")
       .join(cup, col("prev") === col("__pt"))
       .join(cuw, col("w") === col("__wt"))
@@ -592,11 +602,12 @@ object TextAnalysis {
     val np = types.groupBy("prev").agg(count(lit(1)).alias("n1p_prev"))
     val nw = types.groupBy("w").agg(count(lit(1)).alias("n1p_w"))
     val nt = types.agg(count(lit(1)).alias("n1p_tot"))
-    val contrib = log(
+    // 9-dp-pinned ln output ahead of the 14-dp DECIMAL doc sums
+    val contrib = round(log(
       (col("cb").cast("double") - lit(discount)) / col("cp").cast("double") +
         (lit(discount) * col("n1p_prev").cast("double") /
           col("cp").cast("double")) *
-        (col("n1p_w").cast("double") / col("n1p_tot").cast("double")))
+        (col("n1p_w").cast("double") / col("n1p_tot").cast("double"))), 9)
     bp.join(cb, "big").join(cp, "prev").join(np, "prev").join(nw, "w")
       .crossJoin(broadcast(nt))
       .groupBy(col(idCol))
@@ -1030,9 +1041,10 @@ object TextAnalysis {
       .withColumn("__pa", (col("__ca") + lit(1.0)) / (col("__ta") + col("__v")))
       .withColumn("__pb", (col("__cb") + lit(1.0)) / (col("__tb") + col("__v")))
       .withColumn("__m", (col("__pa") + col("__pb")) / lit(2.0))
-      .withColumn("__term",
+      // p·ln-ratio pins to 9 dp before the 14-dp DECIMAL cast
+      .withColumn("__term", round(
         col("__pa") * log(col("__pa") / col("__m")) / lit(2.0) +
-        col("__pb") * log(col("__pb") / col("__m")) / lit(2.0))
+        col("__pb") * log(col("__pb") / col("__m")) / lit(2.0), 9))
       .agg(round(sum(col("__term").cast("decimal(28,14)")).cast("double"), 6)
         .alias("jsd"), count(lit(1)).alias("vocab"))
   }
@@ -1049,7 +1061,9 @@ object TextAnalysis {
     j.crossJoin(broadcast(totals))
       .withColumn("__pa", (col("__ca") + lit(1.0)) / (col("__ta") + col("__v")))
       .withColumn("__pb", (col("__cb") + lit(1.0)) / (col("__tb") + col("__v")))
-      .withColumn("__term", col("__pa") * log(col("__pa") / col("__pb")))
+      // p·ln-ratio pins to 9 dp before the 14-dp DECIMAL cast
+      .withColumn("__term",
+        round(col("__pa") * log(col("__pa") / col("__pb")), 9))
       .agg(round(sum(col("__term").cast("decimal(28,14)")).cast("double"), 6)
         .alias("kl_ab"), count(lit(1)).alias("vocab"))
   }
@@ -1195,8 +1209,9 @@ object TextAnalysis {
         .alias("__p"))
       .select(col("__p.nt").alias("__nt"), col("__p.vt").alias("__vt"))
       .filter(col("__nt") > 0 && col("__vt") > 0)
-      .select(log(col("__nt").cast("double")).alias("__x"),
-        log(col("__vt").cast("double")).alias("__y"))
+      // 9-dp-pinned ln outputs ahead of the DECIMAL(28,10) OLS moments
+      .select(round(log(col("__nt").cast("double")), 9).alias("__x"),
+        round(log(col("__vt").cast("double")), 9).alias("__y"))
     val m = pts.agg(count(lit(1)).alias("n_checkpoints"),
       sum(col("__x").cast("decimal(28,10)")).alias("__sx"),
       sum(col("__y").cast("decimal(28,10)")).alias("__sy"),
@@ -1451,8 +1466,9 @@ object TextAnalysis {
       .groupBy("query_id").agg(count(lit(1)).alias("nq"))
     val tf = hits.groupBy("doc_id", "token")
       .agg(count(lit(1)).alias("tf"), max("dl").alias("dl"))
-    val term = log(lit(1.0) + col("tf").cast("double") /
-      (lit(mu) * (col("cf").cast("double") / col("c_len").cast("double"))))
+    // 9-dp-pinned ln output ahead of the 14-dp DECIMAL query-doc sums
+    val term = round(log(lit(1.0) + col("tf").cast("double") /
+      (lit(mu) * (col("cf").cast("double") / col("c_len").cast("double")))), 9)
     val scored = tf.join(broadcast(qtok), "token")
       .join(broadcast(cf), "token")
       .crossJoin(broadcast(ctot))
@@ -1498,15 +1514,17 @@ object TextAnalysis {
       .join(rel.select(col("query_id"), col("doc_id"), col("rel")),
         Seq("query_id", "doc_id"), "left")
       .na.fill(0L, Seq("rel"))
+    // gain/discount pins to 9 dp before the 14-dp DECIMAL cast — the
+    // discount carries a libm log2 (cross-libm transcendental stance)
     val dcg = topk.groupBy("query_id")
-      .agg(sum((gain(col("rel")) / discount(col("rank")))
+      .agg(sum(round(gain(col("rel")) / discount(col("rank")), 9)
         .cast("decimal(28,14)")).cast("double").alias("__dcg"))
     val idealW = W.partitionBy("query_id").orderBy(desc("rel"), col("doc_id"))
     val idcg = rel.filter(col("rel") > 0)
       .withColumn("__irank", row_number().over(idealW))
       .filter(col("__irank") <= k)
       .groupBy("query_id")
-      .agg(sum((gain(col("rel")) / discount(col("__irank")))
+      .agg(sum(round(gain(col("rel")) / discount(col("__irank")), 9)
         .cast("decimal(28,14)")).cast("double").alias("__idcg"))
     // binary metrics over the ≤k run rows: cumulative precision at each
     // relevant hit (per-query window over ≤k rows), recall base R from
@@ -1624,8 +1642,10 @@ object TextAnalysis {
     val head = counts.orderBy(desc("__c"), col("token")).limit(topN)
     val ranked = head.withColumn("__r",
       row_number().over(Window.orderBy(desc("__c"), col("token"))))
-    val pts = ranked.select(log(col("__r").cast("double")).alias("__x"),
-      log(col("__c").cast("double")).alias("__y"))
+    // 9-dp-pinned ln outputs ahead of the DECIMAL(28,10) OLS moments
+    val pts = ranked.select(
+      round(log(col("__r").cast("double")), 9).alias("__x"),
+      round(log(col("__c").cast("double")), 9).alias("__y"))
     val m = pts.agg(count(lit(1)).alias("n_head"),
       sum(col("__x").cast("decimal(28,10)")).alias("__sx"),
       sum(col("__y").cast("decimal(28,10)")).alias("__sy"),
