@@ -3584,6 +3584,58 @@ object SparkEntry {
       graft.ops.Stats.coxPh(subj, "dur", "observed", "activity", iters = 3)
     }),
 
+    // Portable-exp bit-parity probe (functions/PortableMath.scala): a
+    // deterministic integer-derived grid of ~|events| arguments across
+    // [-20, 20] whose outputs are decomposed EXACTLY into integer bit
+    // chunks (floor + power-of-two scaling, every step IEEE-exact) and
+    // BIGINT-summed — one flipped mantissa bit in ANY row flips a sum —
+    // plus raw min/max doubles across [-80, 80] (big-stage ladder,
+    // bit-level compare; raw doubles ride parquet/arrow untouched).
+    // Raw-double→DECIMAL casts are deliberately absent: Spark casts via
+    // shortest-repr (BigDecimal.valueOf) while DuckDB scales by 10^s in
+    // double, so sub-repr digits differ by ALGORITHM, not libm. The
+    // DRIVER runs the mirrored SQL arithmetic on its own host, so a
+    // green here proves the kernel is bit-identical cross-engine — the
+    // guarantee the Cox/GMM/logistic replay chains stand on.
+    "q_portable_exp" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val x = (col("event_id") * 37 % 40001).cast("double") / 1000.0 - 20.0
+      val x8 = (col("event_id") * 41 % 160001).cast("double") / 1000.0 - 80.0
+      val base = bitChunks(ev.select(col("event_id"),
+        graft.functions.PortableMath.pexp(x).alias("__v"),
+        graft.functions.PortableMath.pexp(x8).alias("__v8")), "__v", "e_")
+      base.groupBy((col("event_id") % 20).alias("grp"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("e_hi")).alias("e_hi"), sum(col("e_c1")).alias("e_c1"),
+          sum(col("e_c2")).alias("e_c2"), sum(col("e_c3")).alias("e_c3"),
+          min(col("__v8")).alias("mn"), max(col("__v8")).alias("mx"))
+    }),
+
+    // Portable-ln bit-parity probe: ln over three integer-derived
+    // ranges (mid [0.06, 6250], cubed up to 2.4e11, reciprocal down to
+    // 4e-12 — every normalize stage incl. the below-1 up-shift), each
+    // output exactly bit-chunked and BIGINT-summed as above.
+    "q_portable_ln" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      var base = ev.select(col("event_id"),
+        ((col("event_id") * 53 % 100003 + 1).cast("double") / 16.0).alias("__y"))
+        .select(col("event_id"), col("__y"),
+          (col("__y") * col("__y") * col("__y")).alias("__y2"))
+        .select(col("event_id"), col("__y"), col("__y2"),
+          (lit(1.0) / col("__y2")).alias("__y3"))
+        .select(col("event_id"),
+          graft.functions.PortableMath.pln(col("__y")).alias("__l1"),
+          graft.functions.PortableMath.pln(col("__y2")).alias("__l2"),
+          graft.functions.PortableMath.pln(col("__y3")).alias("__l3"))
+      base = bitChunks(base, "__l1", "a_")
+      base = bitChunks(base, "__l2", "b_")
+      base = bitChunks(base, "__l3", "c_")
+      val sums = Seq("a_", "b_", "c_").flatMap(p =>
+        Seq("hi", "c1", "c2", "c3").map(c => sum(col(s"$p$c")).alias(s"$p$c")))
+      base.groupBy((col("event_id") % 20).alias("grp"))
+        .agg(count(lit(1)).alias("n"), sums: _*)
+    }),
+
     // 1-D Gaussian mixture (Stats.gmmEm1d): 3 unrolled EM passes over
     // the log document-length distribution — one population or two?
     // Nine DECIMAL moments shuffle per pass; the corpus never moves.
@@ -5288,6 +5340,25 @@ object SparkEntry {
     * round(ln(s0),9), round(exp(b),9)) — libm exp/ln of identical
     * inputs differ by an ulp across hosts, which flipped the round-10
     * driver hash. */
+  /** Exact bit-decomposition of a bounded double column into integer
+    * chunks for the q_portable_* parity probes: hi = floor(v), then
+    * three 27-bit fraction chunks via exact power-of-two scaling —
+    * every step is IEEE-exact (floor, subtract-within-ulp, ×2^27), so
+    * identical input doubles give identical BIGINT chunks on any
+    * engine, and a single flipped mantissa bit anywhere flips a chunk
+    * sum by an integer. Covers mantissa bits ≥ 2^-81 — exhaustive for
+    * |v| down to ~2e-9. Mirrored by PortableMathSql.chunkFrom. */
+  private def bitChunks(df: DataFrame, v: String, p: String): DataFrame = {
+    val two27 = lit(134217728.0)
+    df.withColumn(s"${p}hi", floor(col(v)))
+      .withColumn(s"${p}f0", col(v) - col(s"${p}hi"))
+      .withColumn(s"${p}c1", floor(col(s"${p}f0") * two27))
+      .withColumn(s"${p}f1", col(s"${p}f0") * two27 - col(s"${p}c1"))
+      .withColumn(s"${p}c2", floor(col(s"${p}f1") * two27))
+      .withColumn(s"${p}f2", col(s"${p}f1") * two27 - col(s"${p}c2"))
+      .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
+  }
+
   private def coxOracle: String = {
     def iter(k: Int): String = {
       val prev = s"b${k - 1}"
@@ -9801,6 +9872,41 @@ object SparkEntry {
         "round(CAST(ece AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS ece FROM t"),
 
     "q_cox_ph" -> coxOracle,
+
+    // Bit-parity probes for the portable exp/ln kernel: the SQL is the
+    // generated arithmetic mirror (PortableMathSql) of the Scala kernel
+    // — no libm call on either engine; see q_portable_* in queries.
+    "q_portable_exp" -> {
+      val pm = graft.functions.PortableMathSql
+      val inner1 = pm.expFrom("events",
+        "((event_id * 37) % 40001) / 1000.0e0 - 20.0e0", "__v", "pm")
+      val inner2 = pm.expFrom(inner1,
+        "((event_id * 41) % 160001) / 1000.0e0 - 80.0e0", "__v8", "ph")
+      val chunked = pm.chunkFrom(inner2, "__v", "e_")
+      def s(c: String) = s"CAST(SUM(CAST(e_$c AS BIGINT)) AS BIGINT) AS e_$c"
+      "SELECT event_id % 20 AS grp, count(*) AS n, " +
+        s"${s("hi")}, ${s("c1")}, ${s("c2")}, ${s("c3")}, " +
+        "MIN(__v8) AS mn, MAX(__v8) AS mx " +
+        s"FROM $chunked GROUP BY 1"
+    },
+
+    "q_portable_ln" -> {
+      val pm = graft.functions.PortableMathSql
+      val base = "(SELECT event_id, __y, __y2, 1.0e0 / __y2 AS __y3 FROM " +
+        "(SELECT event_id, __y, (__y * __y) * __y AS __y2 FROM " +
+        "(SELECT event_id, ((event_id * 53) % 100003 + 1) / 16.0e0 AS __y " +
+        "FROM events) pba) pbb)"
+      var rel = pm.lnFrom(base, "__y", "__l1", "pa")
+      rel = pm.lnFrom(rel, "__y2", "__l2", "pb")
+      rel = pm.lnFrom(rel, "__y3", "__l3", "pc")
+      rel = pm.chunkFrom(rel, "__l1", "a_")
+      rel = pm.chunkFrom(rel, "__l2", "b_")
+      rel = pm.chunkFrom(rel, "__l3", "c_")
+      val sums = Seq("a_", "b_", "c_").flatMap(p =>
+        Seq("hi", "c1", "c2", "c3").map(c =>
+          s"CAST(SUM(CAST($p$c AS BIGINT)) AS BIGINT) AS $p$c")).mkString(", ")
+      s"SELECT event_id % 20 AS grp, count(*) AS n, $sums FROM $rel GROUP BY 1"
+    },
 
     // Mirrors Stats.cronbachAlpha over the per-user 3-item engagement
     // table: one DECIMAL moment pass, (ss - (s*s)/n)/(n-1) variances.

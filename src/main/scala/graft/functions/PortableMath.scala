@@ -1,0 +1,282 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Portable software exp/ln — the cross-engine determinism kernel.
+  *
+  * Why this exists: libm `exp`/`ln` of IDENTICAL double inputs may
+  * differ by 1 ulp between the JVM's `Math` and another host's DuckDB
+  * build, and even a 9-dp OUTPUT pin is probabilistic — when the true
+  * value lies within an ulp of a 9-dp rounding midpoint the two libms
+  * round to different 9-dp values, deterministically per host
+  * (`q_cox_ph` was hash-red in the round-10 AND round-11 driver runs
+  * this way while every local gate was green). The guaranteed fix is
+  * to remove libm from the value path entirely: this kernel evaluates
+  * exp/ln using ONLY IEEE-754 double `+ − × ÷`, `floor`, comparisons,
+  * and exact power-of-two scaling — operations that are correctly
+  * rounded / exact by the IEEE standard and therefore bit-identical on
+  * every conforming engine. [[PortableMathSql]] emits the SAME
+  * arithmetic, operation for operation and constant for constant, as
+  * DuckDB SQL, so a Spark plan and its oracle replay compute
+  * bit-identical doubles on any pair of hosts.
+  *
+  * Algorithms (classic fdlibm-style range reduction, rebuilt on exact
+  * steps only):
+  *
+  *   pexp(x), |x| ≤ 80 (clamped):
+  *     k = floor(x·log2e + 0.5)           — exact `floor`
+  *     r = (x − k·ln2_hi) − k·ln2_lo      — pinned hi/lo split, |r| ≤ 0.347
+  *     p = Σ_{i=0..13} r^i/i!             — fixed Horner, truncation < 5e−18
+  *     result = p · 2^k                   — 14 conditional EXACT
+  *       power-of-two multiplies (stages 64,32,…,1 up then down), never
+  *       a libm `pow`
+  *
+  *   pln(y), y ∈ [1e−18, 1e38] (clamped):
+  *     normalize m·2^e, m ∈ [0.75, 1.5) — conditional exact
+  *       power-of-two multiplies (one up-shift stage for y < 1, seven
+  *       down-shift stages, one half-stage), every step exact
+  *     t = (m−1)/(m+1), |t| ≤ 0.2
+  *     atanh series q = Σ_{j=0..12} t^{2j}/(2j+1) — truncation < 2e−19
+  *     result = e·ln2_hi + (2·(t·q) + e·ln2_lo)
+  *
+  * Accuracy: within ~2 ulp of the correctly-rounded result across the
+  * domain (property-tested against `Math.exp`/`Math.log` in
+  * PortableMathSpec); the contract is bit-REPRODUCIBILITY across
+  * engines, which the construction guarantees, not correctly-rounded
+  * last digits. Out-of-domain inputs clamp (the callers' arguments —
+  * Cox/logistic linear predictors, positive DECIMAL-sum magnitudes —
+  * are orders of magnitude inside the domain); NaN propagates on the
+  * JVM but clamps in SQL's CASE, so callers must not feed NaN (none
+  * can: inputs are counts, 9-dp-pinned params, and positive sums).
+  */
+object PortableMathKernel {
+  /** log2(e), ln2 hi/lo split — fdlibm's pinned bit patterns, fixed by
+    * bits (not by decimal parse) so the kernel's constants are
+    * unambiguous; the SQL mirror emits shortest round-trip decimal
+    * reprs of these exact doubles. */
+  val InvLn2: Double = java.lang.Double.longBitsToDouble(0x3FF71547652B82FEL)
+  val Ln2Hi: Double  = java.lang.Double.longBitsToDouble(0x3FE62E42FEE00000L)
+  val Ln2Lo: Double  = java.lang.Double.longBitsToDouble(0x3DEA39EF35793C76L)
+
+  val ExpClamp: Double = 80.0
+  val LnClampLo: Double = 1e-18
+  val LnClampHi: Double = 1e38
+
+  /** 1/i! for i = 0..13 — each an exact-literal division (correctly
+    * rounded, identical on both engines; 13! < 2^53 so every factorial
+    * literal is exact). */
+  val ExpC: Array[Double] = {
+    val c = new Array[Double](14)
+    var f = 1.0
+    var i = 0
+    while (i < 14) { if (i > 0) f = f * i; c(i) = 1.0 / f; i += 1 }
+    c
+  }
+
+  /** 1/(2j+1) for j = 0..12 — the atanh(t) series in u = t². */
+  val LnC: Array[Double] = Array.tabulate(13)(j => 1.0 / (2 * j + 1).toDouble)
+
+  /** Binary scaling stages: 2^64 … 2^1 and their exact reciprocals.
+    * Power-of-two multiplies never round (until overflow/subnormal,
+    * excluded by the clamps), so the ladder is exact on both engines. */
+  val Stage: Array[Int] = Array(64, 32, 16, 8, 4, 2, 1)
+  val Pos: Array[Double] = Stage.map(s => java.lang.Math.scalb(1.0, s))
+  val Neg: Array[Double] = Stage.map(s => java.lang.Math.scalb(1.0, -s))
+
+  /** Portable exp. Every step mirrored verbatim by
+    * [[PortableMathSql.expFrom]] — edit BOTH or neither. */
+  def pexp(x: Double): Double = {
+    var v = x
+    if (v > ExpClamp) v = ExpClamp
+    if (v < -ExpClamp) v = -ExpClamp
+    val k = java.lang.Math.floor(v * InvLn2 + 0.5)
+    val r = (v - k * Ln2Hi) - k * Ln2Lo
+    var p = ExpC(13)
+    var i = 12
+    while (i >= 0) { p = p * r + ExpC(i); i -= 1 }
+    var m = p
+    var kk = k
+    var j = 0
+    while (j < 7) { if (kk >= Stage(j)) { m = m * Pos(j); kk = kk - Stage(j) }; j += 1 }
+    j = 0
+    while (j < 7) { if (kk <= -Stage(j)) { m = m * Neg(j); kk = kk + Stage(j) }; j += 1 }
+    m
+  }
+
+  /** Portable ln. Every step mirrored verbatim by
+    * [[PortableMathSql.lnFrom]] — edit BOTH or neither. */
+  def pln(x: Double): Double = {
+    var v = x
+    if (v < LnClampLo) v = LnClampLo
+    if (v > LnClampHi) v = LnClampHi
+    var m = v
+    var e = 0.0
+    if (m < 1.0) { m = m * Pos(0); e = e - 64.0 }
+    var j = 0
+    while (j < 7) { if (m >= Pos(j)) { m = m * Neg(j); e = e + Stage(j) }; j += 1 }
+    if (m >= 1.5) { m = m * 0.5; e = e + 1.0 }
+    val t = (m - 1.0) / (m + 1.0)
+    val u = t * t
+    var q = LnC(12)
+    var i = 11
+    while (i >= 0) { q = q * u + LnC(i); i -= 1 }
+    e * Ln2Hi + (2.0 * (t * q) + e * Ln2Lo)
+  }
+}
+
+/** Catalyst expression for [[PortableMathKernel.pexp]] — stays inside
+  * whole-stage codegen (the generated Java calls the static forwarder,
+  * no boxing, no UDF). */
+case class PortableExpExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "portable_exp"
+  override def nullSafeEval(input: Any): Any =
+    PortableMathKernel.pexp(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableMathKernel.pexp($c)")
+  override protected def withNewChildInternal(newChild: Expression): PortableExpExpr =
+    copy(child = newChild)
+}
+
+/** Catalyst expression for [[PortableMathKernel.pln]]. */
+case class PortableLnExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "portable_ln"
+  override def nullSafeEval(input: Any): Any =
+    PortableMathKernel.pln(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableMathKernel.pln($c)")
+  override protected def withNewChildInternal(newChild: Expression): PortableLnExpr =
+    copy(child = newChild)
+}
+
+/** Column API for the portable kernel. */
+object PortableMath {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def pexp(c: Column): Column = column(PortableExpExpr(expression(c)))
+  def pln(c: Column): Column = column(PortableLnExpr(expression(c)))
+}
+
+/** DuckDB-SQL mirror of [[PortableMathKernel]]: emits a nested
+  * derived-table chain that computes `out = pexp(arg)` / `pln(arg)` for
+  * every row of an inner relation, using the SAME operations in the
+  * SAME order with the SAME double constants (shortest round-trip
+  * decimal reprs, `e`-notation so DuckDB types them DOUBLE, correctly-
+  * rounded parse on any engine = the exact bits). Nested subqueries —
+  * not lateral column aliases — so the SQL runs on any DuckDB version.
+  *
+  * The chain carries `SELECT *` plus tag-prefixed temp columns; give
+  * each application a distinct `tag` when composing several kernels in
+  * one scope, and project the temps away in the consuming SELECT. */
+object PortableMathSql {
+  import PortableMathKernel._
+
+  /** Shortest round-trip literal, forced to DOUBLE via e-notation (a
+    * bare decimal literal would be DECIMAL in DuckDB and take a
+    * different arithmetic path). */
+  def lit(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains('E')) s.replace("E", "e") else s + "e0"
+  }
+
+  /** Horner chain matching the kernel's `p = p*x + c(i)` loop. */
+  private def horner(x: String, c: Array[Double]): String = {
+    var e = lit(c(c.length - 1))
+    var i = c.length - 2
+    while (i >= 0) { e = s"($e) * $x + ${lit(c(i))}"; i -= 1 }
+    e
+  }
+
+  private def wrap(q: String, extra: String, alias: String): String =
+    s"SELECT *, $extra FROM ($q) $alias"
+
+  /** `(SELECT *, … , <pexp(arg)> AS out FROM inner)` — `inner` is any
+    * FROM-able relation (table, CTE name, join, derived table). */
+  def expFrom(inner: String, arg: String, out: String, tag: String): String = {
+    val t = tag
+    var q = s"SELECT *, CASE WHEN ($arg) > ${lit(ExpClamp)} THEN ${lit(ExpClamp)} " +
+      s"WHEN ($arg) < ${lit(-ExpClamp)} THEN ${lit(-ExpClamp)} ELSE ($arg) END AS ${t}v " +
+      s"FROM $inner"
+    q = wrap(q, s"floor(${t}v * ${lit(InvLn2)} + ${lit(0.5)}) AS ${t}k0", s"${t}qa")
+    q = wrap(q, s"(${t}v - ${t}k0 * ${lit(Ln2Hi)}) - ${t}k0 * ${lit(Ln2Lo)} AS ${t}r", s"${t}qb")
+    q = wrap(q, s"${horner(s"${t}r", ExpC)} AS ${t}m0", s"${t}qc")
+    var n = 0
+    var j = 0
+    while (j < 7) { // up-scale stages: if (kk >= s) { m *= 2^s; kk -= s }
+      val s = Stage(j)
+      q = wrap(q,
+        s"CASE WHEN ${t}k$n >= ${lit(s.toDouble)} THEN ${t}m$n * ${lit(Pos(j))} ELSE ${t}m$n END AS ${t}m${n + 1}, " +
+          s"CASE WHEN ${t}k$n >= ${lit(s.toDouble)} THEN ${t}k$n - ${lit(s.toDouble)} ELSE ${t}k$n END AS ${t}k${n + 1}",
+        s"${t}qp$j")
+      n += 1; j += 1
+    }
+    j = 0
+    while (j < 7) { // down-scale stages: if (kk <= -s) { m *= 2^-s; kk += s }
+      val s = Stage(j)
+      q = wrap(q,
+        s"CASE WHEN ${t}k$n <= ${lit(-s.toDouble)} THEN ${t}m$n * ${lit(Neg(j))} ELSE ${t}m$n END AS ${t}m${n + 1}, " +
+          s"CASE WHEN ${t}k$n <= ${lit(-s.toDouble)} THEN ${t}k$n + ${lit(s.toDouble)} ELSE ${t}k$n END AS ${t}k${n + 1}",
+        s"${t}qn$j")
+      n += 1; j += 1
+    }
+    "(" + wrap(q, s"${t}m$n AS $out", s"${t}qz") + ")"
+  }
+
+  /** Exact integer bit-chunking of a bounded double column — the SQL
+    * mirror of SparkEntry.bitChunks (hi = floor(v) plus three 27-bit
+    * fraction chunks, every step IEEE-exact): emits `{p}hi`, `{p}c1`,
+    * `{p}c2`, `{p}c3` (DOUBLE-typed integers; CAST to BIGINT at the
+    * consuming aggregate). */
+  def chunkFrom(inner: String, v: String, p: String): String = {
+    val two27 = "134217728e0"
+    var q = s"SELECT *, floor($v) AS ${p}hi FROM $inner"
+    q = wrap(q, s"$v - ${p}hi AS ${p}f0", s"${p}qa")
+    q = wrap(q, s"floor(${p}f0 * $two27) AS ${p}c1", s"${p}qb")
+    q = wrap(q, s"${p}f0 * $two27 - ${p}c1 AS ${p}f1", s"${p}qc")
+    q = wrap(q, s"floor(${p}f1 * $two27) AS ${p}c2", s"${p}qd")
+    q = wrap(q, s"${p}f1 * $two27 - ${p}c2 AS ${p}f2", s"${p}qe")
+    "(" + wrap(q, s"floor(${p}f2 * $two27) AS ${p}c3", s"${p}qf") + ")"
+  }
+
+  /** `(SELECT *, … , <pln(arg)> AS out FROM inner)`. */
+  def lnFrom(inner: String, arg: String, out: String, tag: String): String = {
+    val t = tag
+    var q = s"SELECT *, CASE WHEN ($arg) < ${lit(LnClampLo)} THEN ${lit(LnClampLo)} " +
+      s"WHEN ($arg) > ${lit(LnClampHi)} THEN ${lit(LnClampHi)} ELSE ($arg) END AS ${t}v " +
+      s"FROM $inner"
+    // up-shift: if (m < 1) { m *= 2^64; e -= 64 }
+    q = wrap(q,
+      s"CASE WHEN ${t}v < ${lit(1.0)} THEN ${t}v * ${lit(Pos(0))} ELSE ${t}v END AS ${t}m0, " +
+        s"CASE WHEN ${t}v < ${lit(1.0)} THEN ${lit(-64.0)} ELSE ${lit(0.0)} END AS ${t}e0",
+      s"${t}qa")
+    var n = 0
+    var j = 0
+    while (j < 7) { // normalize stages: if (m >= 2^s) { m *= 2^-s; e += s }
+      val s = Stage(j)
+      q = wrap(q,
+        s"CASE WHEN ${t}m$n >= ${lit(Pos(j))} THEN ${t}m$n * ${lit(Neg(j))} ELSE ${t}m$n END AS ${t}m${n + 1}, " +
+          s"CASE WHEN ${t}m$n >= ${lit(Pos(j))} THEN ${t}e$n + ${lit(s.toDouble)} ELSE ${t}e$n END AS ${t}e${n + 1}",
+        s"${t}qd$j")
+      n += 1; j += 1
+    }
+    // half-stage: if (m >= 1.5) { m *= 0.5; e += 1 } → m ∈ [0.75, 1.5)
+    q = wrap(q,
+      s"CASE WHEN ${t}m$n >= ${lit(1.5)} THEN ${t}m$n * ${lit(0.5)} ELSE ${t}m$n END AS ${t}m${n + 1}, " +
+        s"CASE WHEN ${t}m$n >= ${lit(1.5)} THEN ${t}e$n + ${lit(1.0)} ELSE ${t}e$n END AS ${t}e${n + 1}",
+      s"${t}qh")
+    n += 1
+    q = wrap(q, s"(${t}m$n - ${lit(1.0)}) / (${t}m$n + ${lit(1.0)}) AS ${t}t", s"${t}qt")
+    q = wrap(q, s"${t}t * ${t}t AS ${t}u", s"${t}qu")
+    q = wrap(q, s"${horner(s"${t}u", LnC)} AS ${t}q", s"${t}qq")
+    "(" + wrap(q,
+      s"${t}e$n * ${lit(Ln2Hi)} + (${lit(2.0)} * (${t}t * ${t}q) + ${t}e$n * ${lit(Ln2Lo)}) AS $out",
+      s"${t}qz") + ")"
+  }
+}
