@@ -3580,7 +3580,8 @@ object SparkEntry {
           datediff(to_date(coalesce(col("__conv"), col("__last"))),
             to_date(col("__first"))).cast("long").alias("dur"),
           col("__conv").isNotNull.alias("observed"),
-          round(log(col("__na").cast("double")), 9).alias("activity"))
+          round(graft.functions.PortableMath.pln(col("__na").cast("double")), 9)
+            .alias("activity"))
       graft.ops.Stats.coxPh(subj, "dur", "observed", "activity", iters = 3)
     }),
 
@@ -5332,14 +5333,6 @@ object SparkEntry {
       "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
       "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM cl"
 
-  /** DuckDB mirror of Stats.coxPh over the q_survival_km subjects plus
-    * the ln(events) covariate: each Newton step is one duration-keyed
-    * moment aggregation, suffix-window risk sums, and a (U, I) collapse
-    * with the op's pinned parenthesization; 9-dp β between steps and
-    * 9-dp-pinned transcendental OUTPUTS (round(exp(b*x),9),
-    * round(ln(s0),9), round(exp(b),9)) — libm exp/ln of identical
-    * inputs differ by an ulp across hosts, which flipped the round-10
-    * driver hash. */
   /** Exact bit-decomposition of a bounded double column into integer
     * chunks for the q_portable_* parity probes: hi = floor(v), then
     * three 27-bit fraction chunks via exact power-of-two scaling —
@@ -5359,15 +5352,35 @@ object SparkEntry {
       .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
   }
 
+  /** DuckDB mirror of Stats.coxPh over the q_survival_km subjects plus
+    * the ln(events) covariate: each Newton step is one duration-keyed
+    * moment aggregation, suffix-window risk sums, and a (U, I) collapse
+    * with the op's pinned parenthesization; 9-dp β between steps.
+    * Every transcendental — exp(b·x) per step, ln(na), ln(s0), the
+    * e^b readout — is the PORTABLE kernel's generated SQL arithmetic
+    * (PortableMathSql), bit-identical to the Spark side's
+    * PortableMathKernel by construction: libm exp/ln differ by an ulp
+    * across hosts and flipped the round-10 AND round-11 driver hashes
+    * even through 9-dp output pins. */
   private def coxOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    // per-step risk-set moments with ex = round(pexp(b*x), 9) computed
+    // once per row in a chunked derived table
+    def g(name: String, prev: String, tag: String): String = {
+      val inner = pm.expFrom(s"(SELECT * FROM subj CROSS JOIN $prev)",
+        "b * x", "__pex", tag)
+      s"$name AS (SELECT t, " +
+        "SUM(CAST(ex AS DECIMAL(38,12))) AS a0, " +
+        "SUM(CAST(x * ex AS DECIMAL(38,12))) AS a1, " +
+        "SUM(CAST(x * x * ex AS DECIMAL(38,12))) AS a2, " +
+        "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
+        s"AS DECIMAL(38,9))) AS sx FROM " +
+        s"(SELECT t, e, x, round(__pex, 9) AS ex FROM $inner ${tag}w) " +
+        "GROUP BY 1)"
+    }
     def iter(k: Int): String = {
       val prev = s"b${k - 1}"
-      s"g$k AS (SELECT t, " +
-        "SUM(CAST(round(exp(b * x), 9) AS DECIMAL(38,12))) AS a0, " +
-        "SUM(CAST(x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a1, " +
-        "SUM(CAST(x * x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a2, " +
-        "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
-        s"AS DECIMAL(38,9))) AS sx FROM subj CROSS JOIN $prev GROUP BY 1), " +
+      g(s"g$k", prev, s"pe$k") + ", " +
         s"s$k AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
         "SUM(a1) OVER w AS s1, SUM(a2) OVER w AS s2 " +
         s"FROM g$k WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
@@ -5381,20 +5394,20 @@ object SparkEntry {
         s"b$k AS (SELECT round(b + CAST(uu AS DOUBLE) / CAST(ii AS DOUBLE), " +
         s"9) AS b FROM u$k CROSS JOIN $prev)"
     }
+    val subjInner = pm.lnFrom("s", "CAST(na AS DOUBLE)", "__plnna", "pl")
+    val lnS0 = pm.lnFrom("sf", "CAST(s0 AS DOUBLE)", "__plns", "pf")
+    val hazInner = pm.expFrom("(SELECT * FROM nn CROSS JOIN lf CROSS JOIN b3)",
+      "b", "__peb", "pz")
     "WITH s AS (SELECT user_id, min(ts) AS f, " +
       "min(CASE WHEN event_type = 'purchase' THEN ts END) AS c, " +
       "max(ts) AS l, count(*) AS na FROM events GROUP BY 1), " +
       "subj AS (SELECT CAST(date_diff('day', CAST(f AS DATE), " +
       "CAST(coalesce(c, l) AS DATE)) AS BIGINT) AS t, " +
       "CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS e, " +
-      "round(ln(CAST(na AS DOUBLE)), 9) AS x FROM s), " +
+      s"round(__plnna, 9) AS x FROM $subjInner plw), " +
       "b0 AS (SELECT 0.0 AS b), " +
       (1 to 3).map(iter).mkString(", ") + ", " +
-      "gf AS (SELECT t, SUM(CAST(round(exp(b * x), 9) AS DECIMAL(38,12))) AS a0, " +
-      "SUM(CAST(x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a1, " +
-      "SUM(CAST(x * x * round(exp(b * x), 9) AS DECIMAL(38,12))) AS a2, " +
-      "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
-      "AS DECIMAL(38,9))) AS sx FROM subj CROSS JOIN b3 GROUP BY 1), " +
+      g("gf", "b3", "pg") + ", " +
       "sf AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
       "SUM(a1) OVER w AS s1, SUM(a2) OVER w AS s2 " +
       "FROM gf WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
@@ -5403,15 +5416,15 @@ object SparkEntry {
       "CAST(s0 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) * " +
       "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) AS DECIMAL(38,12))) AS ii, " +
       "SUM(ne) AS n_events, SUM(sx) AS sxtot, " +
-      "SUM(CAST(CAST(ne AS DOUBLE) * round(ln(CAST(s0 AS DOUBLE)), 9) " +
-      "AS DECIMAL(38,12))) AS lns FROM sf WHERE ne > 0), " +
+      "SUM(CAST(CAST(ne AS DOUBLE) * round(__plns, 9) " +
+      s"AS DECIMAL(38,12))) AS lns FROM $lnS0 pfw WHERE ne > 0), " +
       "nn AS (SELECT count(*) AS n FROM subj) " +
       "SELECT n, n_events, round(b, 6) + 0.0 AS beta, " +
       "round(1.0 / sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS se, " +
       "round(b * sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS z, " +
-      "round(round(exp(b), 9), 6) + 0.0 AS hazard_ratio, " +
+      "round(round(__peb, 9), 6) + 0.0 AS hazard_ratio, " +
       "round(b * CAST(sxtot AS DOUBLE) - CAST(lns AS DOUBLE), 6) + 0.0 " +
-      "AS partial_loglik FROM nn CROSS JOIN lf CROSS JOIN b3"
+      s"AS partial_loglik FROM $hazInner pzw"
   }
 
   /** DuckDB mirror of Stats.gmmEm1d over round(ln(1+n_chars),9), 3 EM

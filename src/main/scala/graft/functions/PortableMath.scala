@@ -53,7 +53,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * can: inputs are counts, 9-dp-pinned params, and positive sums).
   */
 object PortableMathKernel {
-  /** log2(e), ln2 hi/lo split — fdlibm's pinned bit patterns, fixed by
+  /** reciprocal-ln2, ln2 hi/lo split — fdlibm's pinned bit patterns, fixed by
     * bits (not by decimal parse) so the kernel's constants are
     * unambiguous; the SQL mirror emits shortest round-trip decimal
     * reprs of these exact doubles. */

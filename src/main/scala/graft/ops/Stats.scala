@@ -4000,12 +4000,14 @@ object Stats {
     * [[graft.ops.Iterate.checkpointer]] (construction runs `iters`
     * jobs; every pass reads the subjects exactly once). Determinism:
     * per-duration U/I terms cast DECIMAL(38,12) before summing, and
-    * every transcendental OUTPUT (exp(β·x), ln S₀, the e^β readout)
-    * pins to 9 dp before feeding a DECIMAL sum or rounding boundary —
-    * exp/ln of identical 9-dp inputs can still differ by an ulp
-    * between libms, and thousands of summed ulps flipped a β boundary
-    * on one host (round-10 driver red); the output pin caps the
-    * divergence at P(value within an ulp of a 9-dp boundary). A
+    * every transcendental (exp(β·x), ln S₀, the e^β readout) is the
+    * PORTABLE kernel [[graft.functions.PortableMathKernel]] — pure
+    * IEEE arithmetic, bit-identical on both engines by construction —
+    * not libm: a libm evaluation differs by an ulp across hosts, which
+    * flipped a β boundary in the round-10/11 DRIVER runs even after
+    * 9-dp output pinning (the pin only shrinks the divergence window;
+    * the portable kernel closes it). Outputs keep the 9-dp pin so the
+    * distinct-value sets stay tidy. A
     * constant covariate (I = 0) is a degenerate design outside the
     * dual-engine contract, as for the logistic twin. Readout: n,
     * n_events, beta, se = 1/√I, z, hazard_ratio, partial log-lik. */
@@ -4020,7 +4022,7 @@ object Stats {
     val sfx = Window.orderBy("__t") // duration-grain: calendar-bounded
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def riskSums(beta: DataFrame): DataFrame = {
-      val ex = round(exp(col("__b") * col("__x")), 9)
+      val ex = round(graft.functions.PortableMath.pexp(col("__b") * col("__x")), 9)
       base.crossJoin(broadcast(beta))
         .groupBy("__t")
         .agg(sum(ex.cast("decimal(38,12)")).alias("__a0"),
@@ -4057,7 +4059,7 @@ object Stats {
         sum("__ne").alias("n_events"),
         sum(col("__sx")).alias("__sxtot"),
         sum((col("__ne").cast("double") *
-          round(log(col("__S0").cast("double")), 9))
+          round(graft.functions.PortableMath.pln(col("__S0").cast("double")), 9))
           .cast("decimal(38,12)")).alias("__lns"))
     val nRow = base.agg(count(lit(1)).alias("n"))
     val iD = col("__i").cast("double")
@@ -4066,7 +4068,8 @@ object Stats {
         round0(col("__b"), 6).alias("beta"),
         round0(lit(1.0) / sqrt(iD), 6).alias("se"),
         round0(col("__b") * sqrt(iD), 6).alias("z"),
-        round0(round(exp(col("__b")), 9), 6).alias("hazard_ratio"),
+        round0(round(graft.functions.PortableMath.pexp(col("__b")), 9), 6)
+          .alias("hazard_ratio"),
         round0(col("__b") * col("__sxtot").cast("double") -
           col("__lns").cast("double"), 6).alias("partial_loglik"))
   }

@@ -81,16 +81,28 @@ def main():
     if new:
         print("NEW transcendental call sites (pin the OUTPUT to 9 dp "
               "before any DECIMAL cast / exact sum / rounding boundary, "
-              "mirror in the oracle, or re-baseline with --write after "
-              "auditing — see BASELINE.md 'Cross-engine transcendental "
-              "outputs'):")
+              "use the portable kernel (graft.functions.PortableMath) for "
+              "iterated-fit value paths, mirror in the oracle, or "
+              "re-baseline with --write after auditing — see BASELINE.md "
+              "'Cross-engine transcendental outputs'):")
         for (rel, text), n in sorted(new.items()):
             extra = n - allowed.get((rel, text), 0)
             print(f"  {rel} (+{extra}): {text}")
         return 1
-    stale = sum(1 for k in allowed if k not in found)
-    print(f"transcendental lint: OK ({sum(found.values())} audited sites"
-          + (f", {stale} stale allowlist lines" if stale else "") + ")")
+    # Below-baseline is ALSO a failure: removed sites would otherwise
+    # leave allowlist slack a later re-added raw libm call could hide
+    # in, and stale lines make the frozen set lie about the tree
+    # (round-11 ADVICE). The allowlist must match the tree exactly.
+    stale = {k: (allowed[k], found.get(k, 0))
+             for k in allowed if found.get(k, 0) < allowed[k]}
+    if stale:
+        print("STALE allowlist lines (site count below baseline — "
+              "re-baseline with --write so the frozen set matches the "
+              "tree exactly):")
+        for (rel, text), (a, f) in sorted(stale.items()):
+            print(f"  {rel} ({f} < {a}): {text}")
+        return 1
+    print(f"transcendental lint: OK ({sum(found.values())} audited sites)")
     return 0
 
 
