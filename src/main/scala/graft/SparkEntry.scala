@@ -3486,8 +3486,8 @@ object SparkEntry {
             .alias("conv"))
       graft.ops.Stats.psmAtt(perUser, col("user_id"),
         col("user_id") % 10 < 3, col("conv"),
-        round(log(lit(1.0) + col("tv")), 9),
-        round(log(lit(1.0) + col("ne").cast("double")), 9))
+        round(graft.functions.PortableMath.pln(lit(1.0) + col("tv")), 9),
+        round(graft.functions.PortableMath.pln(lit(1.0) + col("ne").cast("double")), 9))
     }),
 
     // Mann-Kendall trend test (Stats.mannKendall): monotone-trend
@@ -3642,7 +3642,8 @@ object SparkEntry {
     // Nine DECIMAL moments shuffle per pass; the corpus never moves.
     "q_gmm_doclen" -> ((s, d) =>
       graft.ops.Stats.gmmEm1d(Tables.documents(s, d),
-        round(log(lit(1.0) + col("n_chars")), 9), iters = 3)),
+        round(graft.functions.PortableMath.pln(lit(1.0) + col("n_chars")), 9),
+        iters = 3)),
 
     // Isotonic calibration (Stats.isotonicCalibration): PAV via the
     // minimax identity over the same 10 min-max score bins as
@@ -4014,7 +4015,7 @@ object SparkEntry {
       val nTok = size(split(col("text"), " ")).cast("double")
       graft.ops.Stats.logisticFit2(Tables.documents(s, d),
         (col("lang") === "en").cast("double"),
-        round(log(lit(1.0) + nTok), 9),
+        round(graft.functions.PortableMath.pln(lit(1.0) + nTok), 9),
         round(col("n_chars").cast("double") / nTok, 9))
     }),
 
@@ -4025,7 +4026,7 @@ object SparkEntry {
       val nTok = size(split(col("text"), " ")).cast("double")
       graft.ops.Stats.logisticScore(Tables.documents(s, d), col("doc_id"),
         (col("lang") === "en").cast("double"),
-        round(log(lit(1.0) + nTok), 9),
+        round(graft.functions.PortableMath.pln(lit(1.0) + nTok), 9),
         round(col("n_chars").cast("double") / nTok, 9))
         .select(col("id").alias("doc_id"), col("score"))
         .orderBy("doc_id")
@@ -5231,16 +5232,20 @@ object SparkEntry {
     * moment CTE, and a Cramer 3×3 update CTE — textually the same fixed
     * parenthesization as the Spark side. */
   private def logisticCtes: String = logisticCtesFor(
+    // mirror the engine's null-feature drop (logisticFit2 filters rows
+    // where y/x1/x2 is NULL): NULL lang nulls y, NULL text nulls x1,
+    // NULL n_chars (or text) nulls x2 — without this the oracle would
+    // keep NULL-lang docs as y=0 training rows
     "f AS (SELECT doc_id, " +
       "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-      "round(ln(1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)), 9) AS x1, " +
+      "round(__plx1, 9) AS x1, " +
       "round(CAST(n_chars AS DOUBLE) / " +
-      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM documents " +
-      // mirror the engine's null-feature drop (logisticFit2 filters rows
-      // where y/x1/x2 is NULL): NULL lang nulls y, NULL text nulls x1,
-      // NULL n_chars (or text) nulls x2 — without this the oracle would
-      // keep NULL-lang docs as y=0 training rows
-      "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)")
+      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM " +
+      graft.functions.PortableMathSql.lnFrom(
+        "(SELECT doc_id, lang, text, n_chars FROM documents " +
+          "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)",
+        "1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)", "__plx1", "lc") +
+      " lcw)")
 
   /** The 3-step Newton chain over a caller-supplied `f` CTE (must expose
     * y, x1, x2; extra columns ride along untouched) — ends at bb3, the
@@ -5251,11 +5256,14 @@ object SparkEntry {
       val prev = if (i == 1) "b0t" else s"bb${i - 1}"
       val det = "(h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) + " +
         "h02 * (h01 * h12 - h11 * h02))"
-      s"p$i AS (SELECT f.y, f.x1, f.x2, b.b0, b.b1, b.b2, " +
-        // 9-dp-pinned sigmoid OUTPUT (Stats.logisticP's cross-libm
-        // stance): raw exp ulps must not reach the DECIMAL moment sums
-        "round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9) AS p " +
-        s"FROM f, $prev b), " +
+      // portable-kernel sigmoid, 9-dp-pinned OUTPUT (Stats.logisticP's
+      // stance): the exp is bit-identical cross-engine by construction
+      s"p$i AS (SELECT y, x1, x2, b0, b1, b2, " +
+        "round(1.0 / (1.0 + __ps), 9) AS p FROM " +
+        graft.functions.PortableMathSql.expFrom(
+          s"(SELECT f.y, f.x1, f.x2, b.b0, b.b1, b.b2 FROM f, $prev b)",
+          "-(b0 + b1 * x1 + b2 * x2)", "__ps", s"ls$i") +
+        s" ls${i}w), " +
         s"m$i AS (SELECT max(b0) AS pb0, max(b1) AS pb1, max(b2) AS pb2, " +
         "CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0, " +
         "CAST(sum(CAST((y - p) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1, " +
@@ -5285,21 +5293,27 @@ object SparkEntry {
     * Newton chain on (treat, x1, x2), 6-dp propensities off bb3, the
     * brute-force caliper pair set (the engine's bucketed join must equal
     * it), (|Δp|, control-id) 1-NN, DECIMAL ATT / naive sums. */
-  private def psmAttOracle: String =
-    logisticCtesFor(
-      "f AS (SELECT user_id AS uid, " +
-        "CASE WHEN user_id % 10 < 3 THEN 1.0 ELSE 0.0 END AS y, conv, " +
-        "round(ln(1.0 + tv), 9) AS x1, " +
-        "round(ln(1.0 + CAST(ne AS DOUBLE)), 9) AS x2 FROM " +
-        "(SELECT user_id, " +
+  private def psmAttOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val fInner = pm.lnFrom(pm.lnFrom(
+      "(SELECT user_id, tv, ne, conv FROM (SELECT user_id, " +
         "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv, " +
         "count(*) AS ne, " +
         "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS conv " +
-        "FROM events GROUP BY 1) WHERE tv IS NOT NULL)") +
-      ", sc AS (SELECT f.uid, f.y AS t, f.conv AS yy, " +
-      "round(round(1.0 / (1.0 + " +
-      "exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9), 6) AS p " +
-      "FROM f, bb3 b), " +
+        "FROM events GROUP BY 1) pvi WHERE tv IS NOT NULL)",
+      "1.0 + tv", "__plv", "pv"),
+      "1.0 + CAST(ne AS DOUBLE)", "__plw", "pw")
+    val scInner = pm.expFrom(
+      "(SELECT f.uid, f.y, f.conv, f.x1, f.x2, b.b0, b.b1, b.b2 FROM f, bb3 b)",
+      "-(b0 + b1 * x1 + b2 * x2)", "__ps", "pss")
+    logisticCtesFor(
+      "f AS (SELECT user_id AS uid, " +
+        "CASE WHEN user_id % 10 < 3 THEN 1.0 ELSE 0.0 END AS y, conv, " +
+        "round(__plv, 9) AS x1, " +
+        s"round(__plw, 9) AS x2 FROM $fInner pww)") +
+      ", sc AS (SELECT uid, y AS t, conv AS yy, " +
+      "round(round(1.0 / (1.0 + __ps), 9), 6) AS p " +
+      s"FROM $scInner pssw), " +
       "pr AS (SELECT a.uid AS tid, a.yy AS yt, c.uid AS cid, c.yy AS yc, " +
       "abs(a.p - c.p) AS dd FROM sc a JOIN sc c " +
       "ON a.t = 1.0 AND c.t = 0.0 AND abs(a.p - c.p) <= 0.05), " +
@@ -5317,21 +5331,28 @@ object SparkEntry {
       "round(sd / n_matched, 6) + 0.0 AS att, " +
       "round(st / n_treated - s_c / n_control, 6) + 0.0 AS naive_diff " +
       "FROM cnt, at2"
+  }
 
-  private def logisticQualityOracle: String =
+  private def logisticQualityOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val finInner = pm.expFrom(
+      "(SELECT f.y, f.x1, f.x2, b.b0, b.b1, b.b2 FROM f, bb3 b)",
+      "-(b0 + b1 * x1 + b2 * x2)", "__ps", "lq")
+    val clInner = pm.lnFrom(pm.lnFrom("cl", "q", "__plq", "la"),
+      "1.0 - q", "__plr", "lb")
     logisticCtes + ", " +
-      "fin AS (SELECT f.y, b.b0, b.b1, b.b2, " +
-      "round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9) AS p " +
-      "FROM f, bb3 b), " +
+      "fin AS (SELECT y, b0, b1, b2, " +
+      s"round(1.0 / (1.0 + __ps), 9) AS p FROM $finInner lqw), " +
       "cl AS (SELECT y, b0, b1, b2, p, least(greatest(p, 1e-6), 1.0 - 1e-6) AS q " +
       "FROM fin) " +
       "SELECT CAST(count(*) AS BIGINT) AS n, " +
       "round(max(b0), 6) + 0.0 AS b0, round(max(b1), 6) + 0.0 AS b1, " +
       "round(max(b2), 6) + 0.0 AS b2, " +
-      "round(CAST(sum(CAST(round(-(y * ln(q) + (1.0 - y) * ln(1.0 - q)), 9) " +
+      "round(CAST(sum(CAST(round(-(y * __plq + (1.0 - y) * __plr), 9) " +
       "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
       "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
-      "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM cl"
+      s"AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM $clInner lbw"
+  }
 
   /** Exact bit-decomposition of a bounded double column into integer
     * chunks for the q_portable_* parity probes: hi = floor(v), then
@@ -5427,23 +5448,36 @@ object SparkEntry {
       s"AS partial_loglik FROM $hazInner pzw"
   }
 
-  /** DuckDB mirror of Stats.gmmEm1d over round(ln(1+n_chars),9), 3 EM
+  /** DuckDB mirror of Stats.gmmEm1d over round(pln(1+n_chars),9), 3 EM
     * steps: each pK CTE replays the nine DECIMAL(38,12) moment sums
     * from p(K−1)'s 9-dp params with the op's pinned parenthesization
     * (normalization-free w's, 9-dp-pinned responsibilities, larger-
-    * mean-keyed midpoint rule on both-underflow, ln clamped at 1e-308
-    * and 9-dp-pinned in the loglik sum). */
+    * mean-keyed midpoint rule on both-underflow, ln clamped at the
+    * portable kernel's 1e-18 domain floor and 9-dp-pinned in the
+    * loglik sum). Every exp/ln — the densities, the covariate, the
+    * loglik — is the PORTABLE kernel's generated SQL arithmetic
+    * (PortableMathSql), bit-identical to the Spark side by
+    * construction; libm is out of the value path entirely. */
   private def gmmOracle: String = {
-    def wExpr(prev: String): String =
-      "(SELECT x, ((1.0 - p2) / s1) * exp(-(0.5 * (((x - mu1) / s1) * " +
-        "((x - mu1) / s1)))) AS w1, (p2 / s2) * exp(-(0.5 * " +
-        "(((x - mu2) / s2) * ((x - mu2) / s2)))) AS w2, mu1, mu2 " +
-        s"FROM b CROSS JOIN $prev)"
+    val pm = graft.functions.PortableMathSql
+    // normalization-free densities from the broadcast one-row params:
+    // w = (weight / sigma) * pexp(-(0.5 * z * z)), both pexp's the
+    // portable kernel chain
+    def wRel(prev: String, tag: String): String = {
+      val inner = s"(SELECT x, p2, mu1, mu2, s1, s2 FROM b CROSS JOIN $prev)"
+      val e1 = pm.expFrom(inner,
+        "-(0.5 * (((x - mu1) / s1) * ((x - mu1) / s1)))", "__pw1", tag + "a")
+      val e2 = pm.expFrom(e1,
+        "-(0.5 * (((x - mu2) / s2) * ((x - mu2) / s2)))", "__pw2", tag + "b")
+      s"(SELECT x, ((1.0 - p2) / s1) * __pw1 AS w1, " +
+        s"(p2 / s2) * __pw2 AS w2, mu1, mu2 FROM $e2 ${tag}w)"
+    }
     val iters = (1 to 3).map { k =>
       s"t$k AS (SELECT x, CASE WHEN w1 + w2 = 0.0 THEN " +
         "(CASE WHEN (x > (mu1 + mu2) / 2.0) = (mu2 >= mu1) " +
         "THEN 1.0 ELSE 0.0 END) " +
-        s"ELSE round(w2 / (w1 + w2), 9) END AS r FROM ${wExpr(s"p${k - 1}")}), " +
+        s"ELSE round(w2 / (w1 + w2), 9) END AS r " +
+        s"FROM ${wRel(s"p${k - 1}", s"pw$k")} pw${k}z), " +
         s"a$k AS (SELECT count(*) AS n, " +
         "SUM(CAST(r AS DECIMAL(38,12))) AS r2, " +
         "SUM(CAST(r * x AS DECIMAL(38,12))) AS r2x, " +
@@ -5464,8 +5498,12 @@ object SparkEntry {
         "(CAST(r2x AS DOUBLE) / CAST(r2 AS DOUBLE)), 1e-12)), 9) AS s2 " +
         s"FROM a$k)"
     }.mkString(", ")
-    "WITH b AS (SELECT round(ln(1.0 + n_chars), 9) AS x FROM documents " +
-      "WHERE n_chars IS NOT NULL), " +
+    val cov = pm.lnFrom(
+      "(SELECT n_chars FROM documents WHERE n_chars IS NOT NULL)",
+      "1.0 + n_chars", "__plnc", "pc")
+    val llInner = pm.lnFrom(s"${wRel("p3", "pwf")} pwfz",
+      "greatest(w1 + w2, 1e-18)", "__pll", "pll")
+    s"WITH b AS (SELECT round(__plnc, 9) AS x FROM $cov pcw), " +
       "m0 AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd, " +
       "CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sd, " +
       "CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS ssd FROM b), " +
@@ -5476,11 +5514,9 @@ object SparkEntry {
       "round(m + sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS mu2, " +
       "round(sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS s2 FROM i0), " +
       iters + ", " +
-      s"tf AS ${wExpr("p3")}, " +
       "f AS (SELECT count(*) AS n, " +
-      "SUM(CAST(round(ln(greatest(w1 + w2, 1e-308)), 9) " +
-      "- 0.9189385332046727 AS DECIMAL(38,12))) AS ll " +
-      "FROM tf) " +
+      "SUM(CAST(round(__pll, 9) " +
+      s"- 0.9189385332046727 AS DECIMAL(38,12))) AS ll FROM $llInner pllw) " +
       "SELECT CAST(n AS BIGINT) AS n, " +
       "round(CASE WHEN mu1 > mu2 THEN p2 ELSE 1.0 - p2 END, 6) + 0.0 AS pi_lo, " +
       "round(CASE WHEN mu1 > mu2 THEN mu2 ELSE mu1 END, 6) + 0.0 AS mu_lo, " +
@@ -5492,11 +5528,14 @@ object SparkEntry {
       "FROM f CROSS JOIN p3"
   }
 
-  private def qualityScoresOracle: String =
+  private def qualityScoresOracle: String = {
+    val inner = graft.functions.PortableMathSql.expFrom(
+      "(SELECT f.doc_id, f.x1, f.x2, b.b0, b.b1, b.b2 FROM f, bb3 b)",
+      "-(b0 + b1 * x1 + b2 * x2)", "__ps", "qs")
     logisticCtes + " " +
-      "SELECT f.doc_id, round(round(1.0 / (1.0 + " +
-      "exp(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 9), 6) AS score " +
-      "FROM f, bb3 b ORDER BY f.doc_id"
+      "SELECT doc_id, round(round(1.0 / (1.0 + __ps), 9), 6) AS score " +
+      s"FROM $inner qsw ORDER BY doc_id"
+  }
 
   /** Shared DuckDB CTE chain mirroring Mix.dsirImportance (64 buckets,
     * target = doc_id % 37): yields `hb` (doc_id, is_t, b) — the hashed

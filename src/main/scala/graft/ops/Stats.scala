@@ -3170,8 +3170,9 @@ object Stats {
     // ln OUTPUT pinned to 9 dp before the exact DECIMAL sum (the
     // cross-libm transcendental-output stance; pc is 9-dp-pinned p
     // clamped to [1e-6, 1−1e-6], so the ln inputs are engine-exact)
-    val lossTerm = round(-(col("__y") * log(pc) +
-      (lit(1.0) - col("__y")) * log(lit(1.0) - pc)), 9)
+    val lossTerm = round(-(col("__y") * graft.functions.PortableMath.pln(pc) +
+      (lit(1.0) - col("__y")) *
+        graft.functions.PortableMath.pln(lit(1.0) - pc)), 9)
     t.agg(count(lit(1)).alias("n"),
         max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
         max(col("__b2")).alias("__fb2"),
@@ -3190,16 +3191,17 @@ object Stats {
 
   /** σ(β·x) of the CURRENT row given the broadcast one-row β columns —
     * the shared projection of [[logisticFit2]]/[[logisticScore]]/
-    * [[psmAtt]]. The sigmoid OUTPUT pins to 9 dp: libm exp of
-    * identical inputs can differ by an ulp across hosts, and raw p
-    * feeding the DECIMAL(38,12) gradient/Hessian sums lets thousands
-    * of summed ulps flip a 9-dp β boundary (the q_cox_ph round-10
-    * driver red was exactly this class); pinned p makes every
-    * downstream sum bit-identical on both engines. */
+    * [[psmAtt]]. The exp is the PORTABLE kernel
+    * ([[graft.functions.PortableMathKernel]]) — bit-identical on both
+    * engines by construction, closing the cross-libm window that made
+    * q_cox_ph driver-red in rounds 10/11 — and the sigmoid OUTPUT
+    * still pins to 9 dp so the DECIMAL(38,12) gradient/Hessian sums
+    * see a tidy distinct-value set. */
   private def logisticP: Column =
     round(lit(1.0) / (lit(1.0) +
-      exp(-(col("__b0") + col("__b1") * col("__x1") +
-        col("__b2") * col("__x2")))), 9)
+      graft.functions.PortableMath.pexp(
+        -(col("__b0") + col("__b1") * col("__x1") +
+          col("__b2") * col("__x2")))), 9)
 
   /** The fitted 9-dp β of [[logisticFit2]] as a one-row frame over a
     * prepared (__y, __x1, __x2) base — the reusable model artifact both
@@ -4133,14 +4135,17 @@ object Stats {
     // normalization-free component densities of the CURRENT row given
     // the broadcast one-row params (the 1/√2π factor cancels in r).
     def w1: Column = ((lit(1.0) - col("__p2")) / col("__s1")) *
-      exp(-(lit(0.5) * (((col("__x") - col("__mu1")) / col("__s1")) *
-        ((col("__x") - col("__mu1")) / col("__s1")))))
+      graft.functions.PortableMath.pexp(
+        -(lit(0.5) * (((col("__x") - col("__mu1")) / col("__s1")) *
+          ((col("__x") - col("__mu1")) / col("__s1")))))
     def w2: Column = (col("__p2") / col("__s2")) *
-      exp(-(lit(0.5) * (((col("__x") - col("__mu2")) / col("__s2")) *
-        ((col("__x") - col("__mu2")) / col("__s2")))))
-    // Responsibility pins to 9 dp (transcendental-OUTPUT stance: libm
-    // exp can differ by an ulp across hosts; the pin keeps the DECIMAL
-    // moment sums bit-identical on both engines). The both-underflow
+      graft.functions.PortableMath.pexp(
+        -(lit(0.5) * (((col("__x") - col("__mu2")) / col("__s2")) *
+          ((col("__x") - col("__mu2")) / col("__s2")))))
+    // Densities use the PORTABLE exp kernel (bit-identical on both
+    // engines by construction — libm exp differs by an ulp across
+    // hosts); the responsibility still pins to 9 dp so the DECIMAL
+    // moment sums stay tidy. The both-underflow
     // tiebreak keys on the LARGER mean so a high-side x lands on the
     // high component even if EM swaps the component order (mu1 > mu2).
     def resp: Column = when(w1 + w2 === 0.0,
@@ -4185,11 +4190,12 @@ object Stats {
         max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
         max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
         max(col("__s2")).alias("__fs2"),
-        // clamp before ln (Spark log(0)→NULL silently drops the row
-        // from the sum while DuckDB ln(0) ERRORS — the clamp pins the
-        // both-underflow degenerate identically on both engines) and
-        // pin the ln OUTPUT to 9 dp before the exact DECIMAL sum
-        sum((round(log(greatest(w1 + w2, lit(1e-308))), 9) - lnNorm)
+        // clamp the both-underflow degenerate at the portable kernel's
+        // ln domain floor (pln clamps below 1e-18 anyway; the explicit
+        // greatest keeps the floor visible and mirrored in the oracle)
+        // and pin the ln OUTPUT to 9 dp before the exact DECIMAL sum
+        sum((round(graft.functions.PortableMath.pln(
+          greatest(w1 + w2, lit(1e-18))), 9) - lnNorm)
           .cast("decimal(38,12)")).alias("__ll"))
     val swap = col("__fmu1") > col("__fmu2")
     out.select(col("n"),

@@ -38,10 +38,19 @@ STR_RE = re.compile(r'"(?:\\.|[^"\\])*"')
 # Scala-side libm surfaces: o.a.s.sql.functions and java.lang.Math.
 # sqrt/cbrt are IEEE-correctly-rounded (excluded); pow is libm (included).
 CALL_RE = re.compile(r"\b(exp|expm1|log|log1p|log2|log10|pow)\(")
+# The PORTABLE class: graft.functions.PortableMath sites evaluate
+# exp/ln from pure IEEE arithmetic — bit-DETERMINISTIC cross-engine by
+# construction, no pin needed. Counted separately so the report shows
+# which class each family is in (the allowlist freezes only the
+# pinned-output probabilistic class).
+PORTABLE_RE = re.compile(
+    r"\b(?:PortableMath(?:Kernel)?\.(?:pexp|pln)|"
+    r"(?:pm|PortableMathSql)\.(?:expFrom|lnFrom))\(")
 
 
 def sites():
     found = collections.Counter()
+    portable = 0
     for dirpath, _, names in os.walk(SRC):
         for name in sorted(names):
             if not name.endswith(".scala"):
@@ -50,16 +59,18 @@ def sites():
             rel = os.path.relpath(path, ROOT)
             with open(path) as f:
                 for line in f:
+                    raw = line.strip()
                     stripped = STR_RE.sub('""', line).strip()
                     if stripped.startswith("*") or stripped.startswith("//"):
                         continue  # docs discuss the convention freely
+                    portable += len(PORTABLE_RE.findall(raw))
                     if CALL_RE.search(stripped):
                         found[(rel, stripped)] += 1
-    return found
+    return found, portable
 
 
 def main():
-    found = sites()
+    found, portable = sites()
     if "--write" in sys.argv[1:]:
         with open(ALLOW, "w") as f:
             f.write("# transcendental lint baseline — see "
@@ -102,7 +113,10 @@ def main():
         for (rel, text), (a, f) in sorted(stale.items()):
             print(f"  {rel} ({f} < {a}): {text}")
         return 1
-    print(f"transcendental lint: OK ({sum(found.values())} audited sites)")
+    print(f"transcendental lint: OK — "
+          f"{sum(found.values())} pinned-output (probabilistic) libm "
+          f"sites audited, {portable} portable-kernel (deterministic) "
+          f"sites (iterated fits: Cox/GMM/logistic are portable-class)")
     return 0
 
 
