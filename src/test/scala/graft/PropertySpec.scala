@@ -410,10 +410,13 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       for (_ <- 1 to iters) {
         val rs = xs.map { x =>
           val d1 = (x - mu1) / s1; val d2 = (x - mu2) / s2
-          val w1 = ((1.0 - p2) / s1) * math.exp(-(0.5 * (d1 * d1)))
-          val w2 = (p2 / s2) * math.exp(-(0.5 * (d2 * d2)))
+          // the op's PORTABLE exp kernel (not libm) — the reference
+          // must be exp-exact, not merely 9-dp-close, or a boundary
+          // input flips the pinned ratio
+          val pexp = graft.functions.PortableMathKernel.pexp _
+          val w1 = ((1.0 - p2) / s1) * pexp(-(0.5 * (d1 * d1)))
+          val w2 = (p2 / s2) * pexp(-(0.5 * (d2 * d2)))
           // larger-mean-keyed midpoint tiebreak + 9-dp pinned ratio
-          // (the op's cross-libm transcendental-output stance)
           if (w1 + w2 == 0.0) {
             if ((x > (mu1 + mu2) / 2.0) == (mu2 >= mu1)) 1.0 else 0.0
           } else r(w2 / (w1 + w2), 9)
@@ -459,10 +462,11 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         // op's window sums DECIMAL exactly, casting to double once)
         val perT = byT.map { case (t, rows) =>
           // 9-dp-pinned exp OUTPUT (the op's cross-libm stance)
-          val a0 = dec(rows.map(rr => r(math.exp(b * rr._3), 9)), 12)
-          val a1 = dec(rows.map(rr => rr._3 * r(math.exp(b * rr._3), 9)), 12)
+          val pexp = graft.functions.PortableMathKernel.pexp _
+          val a0 = dec(rows.map(rr => r(pexp(b * rr._3), 9)), 12)
+          val a1 = dec(rows.map(rr => rr._3 * r(pexp(b * rr._3), 9)), 12)
           val a2 = dec(rows.map(rr =>
-            rr._3 * rr._3 * r(math.exp(b * rr._3), 9)), 12)
+            rr._3 * rr._3 * r(pexp(b * rr._3), 9)), 12)
           val ne = rows.count(_._2).toLong
           val sx = dec(rows.filter(_._2).map(_._3), 9)
           (t, a0, a1, a2, ne, sx)

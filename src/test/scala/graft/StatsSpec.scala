@@ -1273,7 +1273,8 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       var (h00, h01, h02, h11, h12, h22) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
       for ((y, x1, x2) <- rows) {
         // 9-dp-pinned sigmoid output (logisticP's cross-libm stance)
-        val p = r9(1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2))))
+        val p = r9(1.0 / (1.0 +
+          graft.functions.PortableMathKernel.pexp(-(b0 + b1 * x1 + b2 * x2))))
         val w = p * (1.0 - p); val rr = y - p
         g0 += rr; g1 += rr * x1; g2 += rr * x2
         h00 += w; h01 += w * x1; h02 += w * x2
@@ -1314,7 +1315,8 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(sc.size == 40 && sc.values.forall(v => v > 0.0 && v < 1.0))
     assert(sc(39L) > sc(0L))
     // score equals σ(β·x) of the replayed fit at the shared rounding
-    val s0 = r9(1.0 / (1.0 + math.exp(-(b0 + b1 * -1.0 + b2 * 0.0))))
+    val s0 = r9(1.0 / (1.0 +
+      graft.functions.PortableMathKernel.pexp(-(b0 + b1 * -1.0 + b2 * 0.0))))
     assert(math.abs(sc(0L) - s0) < 1e-5)
   }
 
