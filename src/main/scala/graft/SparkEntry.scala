@@ -1128,12 +1128,21 @@ object SparkEntry {
     }),
 
     // dedup MEASUREMENT: precision/recall of the LSH candidate generator
-    // against exact-Jaccard (≥ 0.5) ground truth on a 1-in-10 id sample —
-    // "measured, not claimed", the dedup twin of q_ann_recall. The
-    // all-pairs ground truth is confined to the sample (a measurement
-    // query runs on a slice; the operator itself never does all-pairs).
+    // against exact-Jaccard (≥ 0.5) ground truth on a FIXED-SIZE
+    // (~500-doc) id sample — "measured, not claimed", the dedup twin of
+    // q_ann_recall. The all-pairs ground truth is confined to the
+    // sample (a measurement query runs on a slice; the operator itself
+    // never does all-pairs), and the sample modulus scales with the
+    // corpus (max(1, ceil(n/500))) so the measurement stays O(1) at ANY
+    // corpus size — a proportional 1-in-10 sample made the truth join
+    // grow quadratically (61x wall on the 10x salted stress fixture;
+    // BASELINE.md round-12 stress table). At sf0.01 (5000 docs) the
+    // modulus is exactly the old 10, so the driver artifact is
+    // unchanged.
     "q_dedup_recall" -> ((s, d) => {
-      val samp = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val docs = Tables.documents(s, d)
+      val m = math.max(1L, math.ceil(docs.count() / 500.0).toLong)
+      val samp = docs.filter(col("doc_id") % m === 0)
       val cands = ScaleDedup.minhashCandidatePairs(samp, "doc_id", "text",
         numHashes = 4, bands = 2)
       val toks = samp.select(col("doc_id"),
@@ -6524,7 +6533,9 @@ object SparkEntry {
     "q_dup_cluster_sizes" -> dupClusterSizesOracle,
 
     "q_dedup_recall" ->
-      ("WITH samp AS (SELECT * FROM documents WHERE doc_id % 10 = 0), " +
+      ("WITH samp AS (SELECT * FROM documents WHERE doc_id % " +
+        "(SELECT greatest(1, CAST(ceil(count(*) / 500.0) AS BIGINT)) " +
+        "FROM documents) = 0), " +
         mhPairsCtesOver("samp") + ", " +
         "wj AS (SELECT round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac " +

@@ -4145,7 +4145,12 @@ object Stats {
     // Densities use the PORTABLE exp kernel (bit-identical on both
     // engines by construction — libm exp differs by an ulp across
     // hosts); the responsibility still pins to 9 dp so the DECIMAL
-    // moment sums stay tidy. The both-underflow
+    // moment sums stay tidy. NOTE: with pexp the densities can no
+    // longer underflow to exactly 0 (the kernel clamps its argument at
+    // -80, so w ≥ weight/σ · e⁻⁸⁰ > 0 whenever weight > 0), so the
+    // both-underflow branch below is defensive dead code kept for the
+    // oracle mirror and for robustness if the clamp ever widens. The
+    // both-underflow
     // tiebreak keys on the LARGER mean so a high-side x lands on the
     // high component even if EM swaps the component order (mu1 > mu2).
     def resp: Column = when(w1 + w2 === 0.0,

@@ -1665,6 +1665,12 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val p = Stats.cronbachAlpha(anti, Seq("a" -> col("a"), "b" -> col("b")))
       .collect().head
     assert(p.isNullAt(2) && p.getDouble(4) == 0.0)
+    // duplicate item NAMES would alias two __i_<name> columns and make
+    // the null-filter/total references ambiguous — guarded at entry
+    val boom = intercept[IllegalArgumentException] {
+      Stats.cronbachAlpha(dup, Seq("a" -> col("a"), "a" -> col("b")))
+    }
+    assert(boom.getMessage.contains("duplicate item names"))
   }
 
   test("tukeyHsd: hand-computed Tukey-Kramer q over three groups") {

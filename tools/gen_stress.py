@@ -15,7 +15,18 @@ becomes a 10-clone near-dup cluster — an adversarial but legitimate
 dedup input (clone clusters are what dedup exists for); candidate pairs
 grow ~45 per doc, still linear in corpus size.
 
-Usage: python3 tools/gen_stress.py [sfDir] [outDir] [repl]
+Usage: python3 tools/gen_stress.py [sfDir] [outDir] [repl] [--salted]
+
+--salted builds the SCAN-SCALING CONTROL fixture instead: every
+document token gets a per-replica suffix (so replicas are mutually
+NON-duplicate and the dup-cluster structure is exactly repl x the
+original's — real 10x corpora grow cluster COUNT, not cluster SIZE),
+and embeddings replicate with per-replica perturbed vectors (so ANN
+actually sees 10x the points instead of the copied 1x table). The
+default clone fixture measures the adversarial clone-cluster shape
+(output pairs grow ~C(repl,2) per doc — superlinear BY CONSTRUCTION);
+the salted fixture measures wall-time vs corpus size at constant dup
+rate. See BASELINE.md "Stress scaling".
 """
 import os
 import shutil
@@ -27,6 +38,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "target", "stress")
 REPL = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+SALTED = "--salted" in sys.argv[1:]
 
 SCALED = {
     "orders": ("o_orderkey + i*100000000 AS o_orderkey, "
@@ -37,7 +49,23 @@ SCALED = {
                "user_id + i*1000000 AS user_id"),
     "documents": "doc_id + i*100000000 AS doc_id",
 }
-COPIED = ["region", "nation", "supplier", "part", "embeddings"]
+if SALTED:
+    # every token suffixed with the replica index: all shingles become
+    # replica-distinct, so no cross-replica near-dup pairs exist and the
+    # dup structure is exactly repl x the original corpus's
+    SCALED["documents"] += (", CASE WHEN i = 0 THEN text ELSE "
+        "regexp_replace(text, '(\\S+)', '\\1_' || i, 'g') END AS text")
+    # embeddings replicate with a per-replica deterministic perturbation
+    # (vec_id-seeded, ~1e-3 per dim) so ANN sees repl x distinct points
+    SCALED["embeddings"] = (
+        "vec_id + i*10000000 AS vec_id, "
+        "CASE WHEN i = 0 THEN embedding ELSE "
+        "CAST(list_transform(embedding, x -> x + "
+        "CAST(((vec_id + i * 7919) % 2001 - 1000) AS FLOAT) * 1e-6) "
+        "AS FLOAT[]) END AS embedding")
+    COPIED = ["region", "nation", "supplier", "part"]
+else:
+    COPIED = ["region", "nation", "supplier", "part", "embeddings"]
 
 
 def main():
@@ -52,7 +80,8 @@ def main():
         print(f"{table}: {n} rows")
     for table in COPIED:
         shutil.copy(f"{SF}/{table}.parquet", f"{OUT}/{table}.parquet")
-    print(f"stress fixture at {OUT} (x{REPL})")
+    print(f"stress fixture at {OUT} (x{REPL}"
+          + (", salted scan-scaling control)" if SALTED else ", clone)"))
 
 
 if __name__ == "__main__":
