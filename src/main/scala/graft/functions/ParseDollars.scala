@@ -155,7 +155,14 @@ object GraftFunctions {
     (FunctionIdentifier("misra_gries"),
       info(classOf[MisraGries], "misra_gries"),
       (c: Seq[Expression]) =>
-        MisraGries(c.head, intLit(c(1), "misra_gries", "k"))))
+        MisraGries(c.head, intLit(c(1), "misra_gries", "k"))),
+    // portable cross-engine exp/ln (pure-IEEE kernel; PortableMath.scala)
+    (FunctionIdentifier("portable_exp"),
+      info(classOf[PortableExpExpr], "portable_exp"),
+      (c: Seq[Expression]) => PortableExpExpr(c.head)),
+    (FunctionIdentifier("portable_ln"),
+      info(classOf[PortableLnExpr], "portable_ln"),
+      (c: Seq[Expression]) => PortableLnExpr(c.head)))
 }
 
 /** SparkSessionExtensions entry point: pass

@@ -76,6 +76,19 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("SQL registration: portable_exp / portable_ln in spark.sql") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(0.25, 1.0, -3.5).toDF("x").createOrReplaceTempView("pm_probe")
+    val rows = spark.sql(
+      "SELECT portable_exp(x) AS e, portable_ln(abs(x) + 1.0) AS l " +
+        "FROM pm_probe ORDER BY x").collect()
+    assert(rows.map(_.getDouble(0)).sameElements(
+      Array(K.pexp(-3.5), K.pexp(0.25), K.pexp(1.0))))
+    assert(rows.map(_.getDouble(1)).sameElements(
+      Array(K.pln(4.5), K.pln(1.25), K.pln(2.0))))
+  }
+
   test("SQL literal emitter: every kernel constant round-trips exactly") {
     import graft.functions.PortableMathSql.lit
     val consts = Seq(K.InvLn2, K.Ln2Hi, K.Ln2Lo, K.ExpClamp, -K.ExpClamp,
