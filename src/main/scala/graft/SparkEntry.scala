@@ -3579,20 +3579,24 @@ object SparkEntry {
     // q_survival_km plus the ln(events) covariate; 3 Newton steps on
     // the Breslow partial likelihood, risk sets from duration-grain
     // suffix sums.
-    "q_cox_ph" -> ((s, d) => {
-      val subj = Tables.events(s, d).groupBy("user_id").agg(
-        min(col("ts")).alias("__first"),
-        min(when(col("event_type") === "purchase", col("ts"))).alias("__conv"),
-        max(col("ts")).alias("__last"),
-        count(lit(1)).alias("__na"))
-        .select(
-          datediff(to_date(coalesce(col("__conv"), col("__last"))),
-            to_date(col("__first"))).cast("long").alias("dur"),
-          col("__conv").isNotNull.alias("observed"),
-          round(graft.functions.PortableMath.pln(col("__na").cast("double")), 9)
-            .alias("activity"))
-      graft.ops.Stats.coxPh(subj, "dur", "observed", "activity", iters = 3)
-    }),
+    "q_cox_ph" -> ((s, d) =>
+      graft.ops.Stats.coxPh(coxSubjects(s, d), "dur", "observed",
+        "activity", iters = 3)),
+
+    // Cox stage probes (Stats.coxDiagX/G1/Betas): all-integer digests
+    // of the three cox pipeline stages — subjects multiset, pass-1
+    // risk-sum pairs, per-pass β ladder — so a driver-side q_cox_ph
+    // red localizes to a stage instead of a hash (the r11 brief's
+    // prescribed contingency, shipped in round 13).
+    "q_cox_diag_x" -> ((s, d) =>
+      graft.ops.Stats.coxDiagX(coxSubjects(s, d), "dur", "observed",
+        "activity")),
+    "q_cox_diag_g1" -> ((s, d) =>
+      graft.ops.Stats.coxDiagG1(coxSubjects(s, d), "dur", "observed",
+        "activity")),
+    "q_cox_diag_b" -> ((s, d) =>
+      graft.ops.Stats.coxDiagBetas(coxSubjects(s, d), "dur", "observed",
+        "activity", iters = 3)),
 
     // Portable-exp bit-parity probe (functions/PortableMath.scala): a
     // deterministic integer-derived grid of ~|events| arguments across
@@ -5382,79 +5386,184 @@ object SparkEntry {
       .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
   }
 
-  /** DuckDB mirror of Stats.coxPh over the q_survival_km subjects plus
-    * the ln(events) covariate: each Newton step is one duration-keyed
-    * moment aggregation, suffix-window risk sums, and a (U, I) collapse
-    * with the op's pinned parenthesization; 9-dp β between steps.
-    * Every transcendental — exp(b·x) per step, ln(na), ln(s0), the
-    * e^b readout — is the PORTABLE kernel's generated SQL arithmetic
-    * (PortableMathSql), bit-identical to the Spark side's
-    * PortableMathKernel by construction: libm exp/ln differ by an ulp
-    * across hosts and flipped the round-10 AND round-11 driver hashes
-    * even through 9-dp output pins. */
-  private def coxOracle: String = {
+  /** Shared q_cox_* subjects: q_survival_km's construction plus the
+    * ln(events) covariate, 9-dp-pinned via the PORTABLE floor-ladder
+    * (graft.functions.PortableMath.pin9) — no engine round() anywhere
+    * in the cox value path (see Stats.coxPh's determinism note). */
+  private def coxSubjects(s: org.apache.spark.sql.SparkSession,
+                          d: String): DataFrame =
+    Tables.events(s, d).groupBy("user_id").agg(
+      min(col("ts")).alias("__first"),
+      min(when(col("event_type") === "purchase", col("ts"))).alias("__conv"),
+      max(col("ts")).alias("__last"),
+      count(lit(1)).alias("__na"))
+      .select(
+        datediff(to_date(coalesce(col("__conv"), col("__last"))),
+          to_date(col("__first"))).cast("long").alias("dur"),
+        col("__conv").isNotNull.alias("observed"),
+        graft.functions.PortableMath.pin9(
+          graft.functions.PortableMath.pln(col("__na").cast("double")))
+          .alias("activity"))
+
+  /** Shared CTE chain for q_cox_ph and the q_cox_diag_* probes: the
+    * subjects (portable-pinned ln(events) covariate), b0, and `upTo`
+    * Newton iterations. Round-13 determinism rewrite, the exact mirror
+    * of Stats.coxPh's: NO engine round() (portable floor-ladder pins
+    * only) and NO DECIMAL↔DOUBLE cast of a non-integer value — every
+    * order-sensitive sum is a PAIR of exact DECIMAL(38,0) integer sums
+    * (PortableMathSql.pairSumSql) rebuilt H + L/1e9 in pure IEEE
+    * (pairValSql). The old DECIMAL(38,12) suffix sums crossed 2^53
+    * unscaled at S ≈ 9007, where DuckDB double-rounds the
+    * decimal→double cast against Spark's single conversion, build-
+    * dependently — the systematic rounds-10..12 driver red. */
+  private def coxCtes(upTo: Int): String = {
     val pm = graft.functions.PortableMathSql
-    // per-step risk-set moments with ex = round(pexp(b*x), 9) computed
-    // once per row in a chunked derived table
+    // per-step risk-set moment pairs with ex = pin9(pexp(b*x)) and the
+    // x·ex / x²·ex / event-x products NAMED before decomposition
     def g(name: String, prev: String, tag: String): String = {
       val inner = pm.expFrom(s"(SELECT * FROM subj CROSS JOIN $prev)",
         "b * x", "__pex", tag)
       s"$name AS (SELECT t, " +
-        "SUM(CAST(ex AS DECIMAL(38,12))) AS a0, " +
-        "SUM(CAST(x * ex AS DECIMAL(38,12))) AS a1, " +
-        "SUM(CAST(x * x * ex AS DECIMAL(38,12))) AS a2, " +
-        "SUM(e) AS ne, SUM(CAST(CASE WHEN e = 1 THEN x ELSE 0.0 END " +
-        s"AS DECIMAL(38,9))) AS sx FROM " +
-        s"(SELECT t, e, x, round(__pex, 9) AS ex FROM $inner ${tag}w) " +
-        "GROUP BY 1)"
+        pm.pairSumSql("ex", "a0") + ", " +
+        pm.pairSumSql("xe", "a1") + ", " +
+        pm.pairSumSql("xxe", "a2") + ", " +
+        "SUM(e) AS ne, " + pm.pairSumSql("sxv", "sx") + " FROM " +
+        "(SELECT t, e, ex, x * ex AS xe, x * x * ex AS xxe, " +
+        "CASE WHEN e = 1 THEN x ELSE 0e0 END AS sxv FROM " +
+        s"(SELECT t, e, x, ${pm.pin9Sql("__pex")} AS ex FROM $inner " +
+        s"${tag}w) ${tag}p) ${tag}q GROUP BY 1)"
     }
+    def sWin(name: String, from: String): String =
+      s"$name AS (SELECT t, ne, sxh, sxl, " +
+        "SUM(a0h) OVER w AS s0h, SUM(a0l) OVER w AS s0l, " +
+        "SUM(a1h) OVER w AS s1h, SUM(a1l) OVER w AS s1l, " +
+        "SUM(a2h) OVER w AS s2h, SUM(a2l) OVER w AS s2l " +
+        s"FROM $from WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW " +
+        "AND UNBOUNDED FOLLOWING))"
     def iter(k: Int): String = {
       val prev = s"b${k - 1}"
-      g(s"g$k", prev, s"pe$k") + ", " +
-        s"s$k AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
-        "SUM(a1) OVER w AS s1, SUM(a2) OVER w AS s2 " +
-        s"FROM g$k WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
-        "UNBOUNDED FOLLOWING)), " +
-        s"u$k AS (SELECT SUM(CAST(CAST(sx AS DOUBLE) - CAST(ne AS DOUBLE) * " +
-        "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) AS DECIMAL(38,12))) AS uu, " +
-        "SUM(CAST(CAST(ne AS DOUBLE) * (CAST(s2 AS DOUBLE) / " +
-        "CAST(s0 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) * " +
-        "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) AS DECIMAL(38,12))) AS ii " +
-        s"FROM s$k WHERE ne > 0), " +
-        s"b$k AS (SELECT round(b + CAST(uu AS DOUBLE) / CAST(ii AS DOUBLE), " +
-        s"9) AS b FROM u$k CROSS JOIN $prev)"
+      g(s"g$k", prev, s"pe$k") + ", " + sWin(s"s$k", s"g$k") + ", " +
+        s"u$k AS (SELECT ${pm.pairSumSql("ut", "u")}, " +
+        s"${pm.pairSumSql("it", "i")} FROM " +
+        s"(SELECT ${coxUTermSql} AS ut, ${coxITermSql} AS it " +
+        s"FROM s$k WHERE ne > 0) uq$k), " +
+        s"b$k AS (SELECT ${pm.pin9Sql("bn")} AS b FROM " +
+        s"(SELECT b + ${pm.pairValSql("u")} / ${pm.pairValSql("i")} AS bn " +
+        s"FROM u$k CROSS JOIN $prev) bq$k)"
     }
     val subjInner = pm.lnFrom("s", "CAST(na AS DOUBLE)", "__plnna", "pl")
-    val lnS0 = pm.lnFrom("sf", "CAST(s0 AS DOUBLE)", "__plns", "pf")
-    val hazInner = pm.expFrom("(SELECT * FROM nn CROSS JOIN lf CROSS JOIN b3)",
-      "b", "__peb", "pz")
     "WITH s AS (SELECT user_id, min(ts) AS f, " +
       "min(CASE WHEN event_type = 'purchase' THEN ts END) AS c, " +
       "max(ts) AS l, count(*) AS na FROM events GROUP BY 1), " +
       "subj AS (SELECT CAST(date_diff('day', CAST(f AS DATE), " +
       "CAST(coalesce(c, l) AS DATE)) AS BIGINT) AS t, " +
       "CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS e, " +
-      s"round(__plnna, 9) AS x FROM $subjInner plw), " +
-      "b0 AS (SELECT 0.0 AS b), " +
-      (1 to 3).map(iter).mkString(", ") + ", " +
-      g("gf", "b3", "pg") + ", " +
-      "sf AS (SELECT t, ne, sx, SUM(a0) OVER w AS s0, " +
-      "SUM(a1) OVER w AS s1, SUM(a2) OVER w AS s2 " +
-      "FROM gf WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND " +
-      "UNBOUNDED FOLLOWING)), " +
-      "lf AS (SELECT SUM(CAST(CAST(ne AS DOUBLE) * (CAST(s2 AS DOUBLE) / " +
-      "CAST(s0 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)) * " +
-      "(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))) AS DECIMAL(38,12))) AS ii, " +
-      "SUM(ne) AS n_events, SUM(sx) AS sxtot, " +
-      "SUM(CAST(CAST(ne AS DOUBLE) * round(__plns, 9) " +
-      s"AS DECIMAL(38,12))) AS lns FROM $lnS0 pfw WHERE ne > 0), " +
+      s"${pm.pin9Sql("__plnna")} AS x FROM $subjInner plw), " +
+      "b0 AS (SELECT 0e0 AS b)" +
+      (if (upTo >= 1) (1 to upTo).map(iter).mkString(", ", ", ", "")
+       else "")
+  }
+  /** Mirrors of Stats.coxUTerm / coxITerm over an s$k window CTE —
+    * parenthesization pinned to the Spark trees. */
+  private def coxUTermSql: String = {
+    val pm = graft.functions.PortableMathSql
+    s"${pm.pairValSql("sx")} - CAST(ne AS DOUBLE) * " +
+      s"(${pm.pairValSql("s1")} / ${pm.pairValSql("s0")})"
+  }
+  private def coxITermSql: String = {
+    val pm = graft.functions.PortableMathSql
+    val r1 = s"${pm.pairValSql("s1")} / ${pm.pairValSql("s0")}"
+    s"CAST(ne AS DOUBLE) * (${pm.pairValSql("s2")} / " +
+      s"${pm.pairValSql("s0")} - ($r1) * ($r1))"
+  }
+
+  /** DuckDB mirror of Stats.coxPh over the q_survival_km subjects plus
+    * the ln(events) covariate: coxCtes(3) then the final risk pass and
+    * the pin6 readouts — the whole value path engine-function-free
+    * (portable exp/ln kernel, portable floor-ladder pins, exact
+    * integer pair sums; see coxCtes). */
+  private def coxOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val s0v = "(CAST(s0h AS DOUBLE) + CAST(s0l AS DOUBLE) / 1.0e9)"
+    val lnS0 = pm.lnFrom("sf", s0v, "__plns", "pf")
+    val hazInner = pm.expFrom("(SELECT * FROM nn CROSS JOIN lf CROSS JOIN b3)",
+      "b", "__peb", "pz")
+    coxCtes(3) + ", " +
+      // final-β risk pass (gf/sf name the g/sWin shapes from coxCtes —
+      // rebuilt inline to keep the builder's iter() single-purpose)
+      coxFinalRiskCtes + ", " +
+      s"lf AS (SELECT ${pm.pairSumSql("it", "i")}, " +
+      "SUM(ne) AS n_events, SUM(sxh) AS sxth, SUM(sxl) AS sxtl, " +
+      s"${pm.pairSumSql("lnt", "lns")} FROM " +
+      s"(SELECT ne, sxh, sxl, it, CAST(ne AS DOUBLE) * " +
+      s"${pm.pin9Sql("__plns")} AS lnt FROM " +
+      s"(SELECT *, ${coxITermSql} AS it FROM $lnS0 pfw) pfq " +
+      "WHERE ne > 0) lfq), " +
       "nn AS (SELECT count(*) AS n FROM subj) " +
-      "SELECT n, n_events, round(b, 6) + 0.0 AS beta, " +
-      "round(1.0 / sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS se, " +
-      "round(b * sqrt(CAST(ii AS DOUBLE)), 6) + 0.0 AS z, " +
-      "round(round(__peb, 9), 6) + 0.0 AS hazard_ratio, " +
-      "round(b * CAST(sxtot AS DOUBLE) - CAST(lns AS DOUBLE), 6) + 0.0 " +
+      s"SELECT n, n_events, ${pm.pin6Sql("b")} AS beta, " +
+      s"${pm.pin6Sql(s"(1.0e0 / sqrt(${pm.pairValSql("i")}))")} AS se, " +
+      s"${pm.pin6Sql(s"(b * sqrt(${pm.pairValSql("i")}))")} AS z, " +
+      s"${pm.pin6Sql("__peb")} AS hazard_ratio, " +
+      s"${pm.pin6Sql(s"(b * ${pm.pairValSql("sxt")} - ${pm.pairValSql("lns")})")} " +
       s"AS partial_loglik FROM $hazInner pzw"
+  }
+  /** gf/sf: the final-β (b3) risk pass reused by coxOracle. */
+  private def coxFinalRiskCtes: String = {
+    val pm = graft.functions.PortableMathSql
+    val inner = pm.expFrom("(SELECT * FROM subj CROSS JOIN b3)",
+      "b * x", "__pex", "pg")
+    s"gf AS (SELECT t, ${pm.pairSumSql("ex", "a0")}, " +
+      pm.pairSumSql("xe", "a1") + ", " +
+      pm.pairSumSql("xxe", "a2") + ", " +
+      "SUM(e) AS ne, " + pm.pairSumSql("sxv", "sx") + " FROM " +
+      "(SELECT t, e, ex, x * ex AS xe, x * x * ex AS xxe, " +
+      "CASE WHEN e = 1 THEN x ELSE 0e0 END AS sxv FROM " +
+      s"(SELECT t, e, x, ${pm.pin9Sql("__pex")} AS ex FROM $inner " +
+      "pgw) pgp) pgq GROUP BY 1), " +
+      "sf AS (SELECT t, ne, sxh, sxl, " +
+      "SUM(a0h) OVER w AS s0h, SUM(a0l) OVER w AS s0l, " +
+      "SUM(a1h) OVER w AS s1h, SUM(a1l) OVER w AS s1l, " +
+      "SUM(a2h) OVER w AS s2h, SUM(a2l) OVER w AS s2l " +
+      "FROM gf WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW " +
+      "AND UNBOUNDED FOLLOWING))"
+  }
+
+  /** q_cox_diag_x oracle: all-integer digest of the subjects table —
+    * counts plus the (Σhi, Σlo, Σlo²) multiset digest of the pinned
+    * covariate. BIGINT products (the lo quanta are < 1e9 so lo² < 2^63;
+    * computing lo² in DOUBLE would round above 2^53). */
+  private def coxDiagXOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val lo = pm.loSql("x", 1e9)
+    coxCtes(0) +
+      " SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(e) AS BIGINT) AS n_events, " +
+      "CAST(SUM(t) AS BIGINT) AS t_sum, " +
+      s"SUM(CAST(${pm.hiSql("x")} AS DECIMAL(38,0))) AS xh, " +
+      s"SUM(CAST($lo AS DECIMAL(38,0))) AS xl, " +
+      s"SUM(CAST(CAST($lo AS BIGINT) * CAST($lo AS BIGINT) " +
+      "AS DECIMAL(38,0))) AS xll FROM subj"
+  }
+
+  /** q_cox_diag_g1 oracle: pass-1 suffix risk-sum pairs, digested as
+    * exact DECIMAL(38,0) totals over the duration-grain table. */
+  private def coxDiagG1Oracle: String =
+    coxCtes(1) +
+      " SELECT CAST(count(*) AS BIGINT) AS nt, " +
+      "CAST(SUM(ne) AS BIGINT) AS ne_tot, " +
+      "SUM(s0h) AS s0h_sum, SUM(s0l) AS s0l_sum, " +
+      "SUM(s1h) AS s1h_sum, SUM(s1l) AS s1l_sum, " +
+      "SUM(s2h) AS s2h_sum, SUM(s2l) AS s2l_sum FROM s1"
+
+  /** q_cox_diag_b oracle: the β ladder as exact integer (hi, lo)
+    * pairs, one column pair per Newton pass. */
+  private def coxDiagBOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    coxCtes(3) +
+      " SELECT " + (1 to 3).map { k =>
+        s"CAST(${pm.hiSql(s"r$k.b")} AS BIGINT) AS b${k}h, " +
+          s"CAST(${pm.loSql(s"r$k.b", 1e9)} AS BIGINT) AS b${k}l"
+      }.mkString(", ") + " FROM b1 AS r1, b2 AS r2, b3 AS r3"
   }
 
   /** DuckDB mirror of Stats.gmmEm1d over round(pln(1+n_chars),9), 3 EM
@@ -9935,6 +10044,9 @@ object SparkEntry {
         "round(CAST(ece AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS ece FROM t"),
 
     "q_cox_ph" -> coxOracle,
+    "q_cox_diag_x" -> coxDiagXOracle,
+    "q_cox_diag_g1" -> coxDiagG1Oracle,
+    "q_cox_diag_b" -> coxDiagBOracle,
 
     // Bit-parity probes for the portable exp/ln kernel: the SQL is the
     // generated arithmetic mirror (PortableMathSql) of the Scala kernel

@@ -48,9 +48,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * engines, which the construction guarantees, not correctly-rounded
   * last digits. Out-of-domain inputs clamp (the callers' arguments —
   * Cox/logistic linear predictors, positive DECIMAL-sum magnitudes —
-  * are orders of magnitude inside the domain); NaN propagates on the
-  * JVM but clamps in SQL's CASE, so callers must not feed NaN (none
-  * can: inputs are counts, 9-dp-pinned params, and positive sums).
+  * are orders of magnitude inside the domain). NaN propagates on BOTH
+  * sides: the JVM loops propagate it naturally, and the SQL mirror's
+  * clamp CASE leads with an `isnan` branch (without it DuckDB orders
+  * NaN above every value, so NaN would silently clamp to the upper
+  * bound and the engines would diverge instead of failing loudly on a
+  * degenerate fit — round-12 ADVICE).
   */
 object PortableMathKernel {
   /** reciprocal-ln2, ln2 hi/lo split — fdlibm's pinned bit patterns, fixed by
@@ -157,11 +160,79 @@ case class PortableLnExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** Column API for the portable kernel. */
+/** Column API for the portable kernel, plus the portable fixed-point
+  * pin/decomposition family — the round-13 replacement for every
+  * engine-evaluated `round(double, n)` and DECIMAL↔DOUBLE cast in a
+  * dual-engine value path.
+  *
+  * Why engine round/casts had to go (the q_cox_ph rounds-10..12 class):
+  *   - `round(x, 9)`: Spark rounds HALF_UP on the shortest decimal
+  *     repr (BigDecimal); DuckDB rounds in 10^s-scaled double
+  *     arithmetic — sub-repr digits differ BY ALGORITHM and by DuckDB
+  *     build, so agreement is probabilistic per value.
+  *   - `CAST(raw double AS DECIMAL(38,s))`: Spark shortest-repr then
+  *     scale; DuckDB multiplies by 10^s in double — the s-th decimal
+  *     of an unpinned double differs between engines ~4e-4 per value.
+  *   - `CAST(DECIMAL AS DOUBLE)` with unscaled value ≥ 2^53: Spark is
+  *     one correctly-rounded BigDecimal conversion; DuckDB converts
+  *     int128→double (rounds) THEN divides by 10^s (rounds again) —
+  *     classic double rounding, disagreeing with the single-step
+  *     conversion for ~25% of values, and build-dependent. A windowed
+  *     DECIMAL(38,12) cumulative sum crosses 2^53 unscaled at a value
+  *     of just ~9007, which is exactly what the cox suffix risk sums
+  *     did — systematic driver-red that local DuckDB happened to mask.
+  *
+  * The portable replacements below use ONLY IEEE-exact/correctly-
+  * rounded single ops (floor, ×, +, ÷) so identical input bits give
+  * identical output bits on any engine:
+  *   - [[pin]]: floor-ladder rounding hi + ⌊frac·q + ½⌋/q — the
+  *     deterministic stand-in for `round(x, dp)` (q = 10^dp).
+  *   - [[hiPart]]/[[loPart]]: the same decomposition as two exact
+  *     integer-valued columns. Summing THOSE as DECIMAL(38,0) —
+  *     [[graft.ops]] call sites pair `sum(hiPart)`/`sum(loPart)` —
+  *     keeps every decimal unscaled value equal to its value, so the
+  *     DECIMAL→DOUBLE rebuild `H + L/q` is exact-per-component
+  *     (< 2^53) on any build: no cast ever rounds.
+  * Domain: |c| < 2^52 (so `c - floor(c)` is exact) and NaN-free —
+  * Spark's floor(double) returns LONG, collapsing NaN to 0, while
+  * DuckDB keeps NaN; callers feed pinned params, kernel outputs and
+  * their bounded products, never NaN. The pin is round-half-toward-
+  * +inf at the q-th quantum (for the values both engines compute it
+  * identically, which is the whole contract; it matches HALF_UP
+  * everywhere except exact negative midpoints, measure-zero here).
+  * SQL mirrors: [[PortableMathSql.pinSql]]/[[PortableMathSql.pairSumSql]]/
+  * [[PortableMathSql.pairValSql]] — edit BOTH or neither. */
 object PortableMath {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  import org.apache.spark.sql.functions.{floor, lit, sum}
   def pexp(c: Column): Column = column(PortableExpExpr(expression(c)))
   def pln(c: Column): Column = column(PortableLnExpr(expression(c)))
+
+  /** ⌊c⌋ as an exact integer column (Spark: LONG). */
+  def hiPart(c: Column): Column = floor(c)
+  /** ⌊(c − ⌊c⌋)·q + ½⌋ — the rounded fractional quanta, an exact
+    * integer in [0, q] (q on a carry, which the rebuild absorbs). */
+  def loPart(c: Column, quanta: Double): Column =
+    floor((c - floor(c)) * lit(quanta) + lit(0.5))
+  /** Portable `round(c, log10 q)`: hi + lo/q, pure IEEE. */
+  def pin(c: Column, quanta: Double): Column =
+    hiPart(c) + loPart(c, quanta) / lit(quanta)
+  def pin9(c: Column): Column = pin(c, 1e9)
+  def pin6(c: Column): Column = pin(c, 1e6)
+
+  /** Aggregate a deterministic double column exactly: two DECIMAL(38,0)
+    * integer sums (hi-units, 9-dp quanta). Order-independent (decimal
+    * addition is exact) and rebuildable without any rounding cast while
+    * |Σhi| and |Σlo| stay < 2^53 — ~9e6 rows at cox-fit magnitudes,
+    * with graceful (still decimal-exact, conversion-rounded) behavior
+    * beyond. */
+  def pairSum(v: Column, name: String): Seq[Column] = Seq(
+    sum(hiPart(v).cast("decimal(38,0)")).alias(s"${name}h"),
+    sum(loPart(v, 1e9).cast("decimal(38,0)")).alias(s"${name}l"))
+  /** Rebuild the double from a (H, L) pair: H + L/1e9 — each cast is
+    * an exact integer conversion, the arithmetic is IEEE. */
+  def pairVal(h: Column, l: Column): Column =
+    h.cast("double") + l.cast("double") / lit(1e9)
 }
 
 /** DuckDB-SQL mirror of [[PortableMathKernel]]: emits a nested
@@ -201,7 +272,12 @@ object PortableMathSql {
     * FROM-able relation (table, CTE name, join, derived table). */
   def expFrom(inner: String, arg: String, out: String, tag: String): String = {
     val t = tag
-    var q = s"SELECT *, CASE WHEN ($arg) > ${lit(ExpClamp)} THEN ${lit(ExpClamp)} " +
+    // isnan FIRST: DuckDB orders NaN above every double, so without
+    // this branch NaN would clamp to +ExpClamp while the JVM kernel
+    // propagates it — a degenerate fit must diverge loudly and
+    // IDENTICALLY on both engines (round-12 ADVICE).
+    var q = s"SELECT *, CASE WHEN isnan(($arg)) THEN ($arg) " +
+      s"WHEN ($arg) > ${lit(ExpClamp)} THEN ${lit(ExpClamp)} " +
       s"WHEN ($arg) < ${lit(-ExpClamp)} THEN ${lit(-ExpClamp)} ELSE ($arg) END AS ${t}v " +
       s"FROM $inner"
     q = wrap(q, s"floor(${t}v * ${lit(InvLn2)} + ${lit(0.5)}) AS ${t}k0", s"${t}qa")
@@ -229,6 +305,29 @@ object PortableMathSql {
     "(" + wrap(q, s"${t}m$n AS $out", s"${t}qz") + ")"
   }
 
+  /** SQL mirror of [[PortableMath.hiPart]]: `floor(v)` (DuckDB keeps
+    * DOUBLE where Spark returns LONG — same VALUES, which is the
+    * contract; consumers cast to DECIMAL(38,0)/BIGINT). */
+  def hiSql(v: String): String = s"floor($v)"
+  /** SQL mirror of [[PortableMath.loPart]]. */
+  def loSql(v: String, quanta: Double): String =
+    s"floor(($v - floor($v)) * ${lit(quanta)} + ${lit(0.5)})"
+  /** SQL mirror of [[PortableMath.pin]] — the portable `round(v, dp)`
+    * (q = 10^dp). `v` is substituted textually three times: pass a
+    * NAMED column, not a subexpression, when composing heavy chains. */
+  def pinSql(v: String, quanta: Double): String =
+    s"(floor($v) + ${loSql(v, quanta)} / ${lit(quanta)})"
+  def pin9Sql(v: String): String = pinSql(v, 1e9)
+  def pin6Sql(v: String): String = pinSql(v, 1e6)
+  /** SQL mirror of [[PortableMath.pairSum]]: two exact DECIMAL(38,0)
+    * integer sums of the 9-dp decomposition of `v`. */
+  def pairSumSql(v: String, name: String): String =
+    s"SUM(CAST(${hiSql(v)} AS DECIMAL(38,0))) AS ${name}h, " +
+      s"SUM(CAST(${loSql(v, 1e9)} AS DECIMAL(38,0))) AS ${name}l"
+  /** SQL mirror of [[PortableMath.pairVal]]. */
+  def pairValSql(name: String): String =
+    s"(CAST(${name}h AS DOUBLE) + CAST(${name}l AS DOUBLE) / ${lit(1e9)})"
+
   /** Exact integer bit-chunking of a bounded double column — the SQL
     * mirror of SparkEntry.bitChunks (hi = floor(v) plus three 27-bit
     * fraction chunks, every step IEEE-exact): emits `{p}hi`, `{p}c1`,
@@ -248,7 +347,9 @@ object PortableMathSql {
   /** `(SELECT *, … , <pln(arg)> AS out FROM inner)`. */
   def lnFrom(inner: String, arg: String, out: String, tag: String): String = {
     val t = tag
-    var q = s"SELECT *, CASE WHEN ($arg) < ${lit(LnClampLo)} THEN ${lit(LnClampLo)} " +
+    // isnan first, as in expFrom: NaN must propagate, not clamp.
+    var q = s"SELECT *, CASE WHEN isnan(($arg)) THEN ($arg) " +
+      s"WHEN ($arg) < ${lit(LnClampLo)} THEN ${lit(LnClampLo)} " +
       s"WHEN ($arg) > ${lit(LnClampHi)} THEN ${lit(LnClampHi)} ELSE ($arg) END AS ${t}v " +
       s"FROM $inner"
     // up-shift: if (m < 1) { m *= 2^64; e -= 64 }

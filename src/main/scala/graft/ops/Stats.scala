@@ -4000,80 +4000,173 @@ object Stats {
     * subjects shuffle once per step on the duration key, and each
     * step's one-row β materializes eagerly through
     * [[graft.ops.Iterate.checkpointer]] (construction runs `iters`
-    * jobs; every pass reads the subjects exactly once). Determinism:
-    * per-duration U/I terms cast DECIMAL(38,12) before summing, and
-    * every transcendental (exp(β·x), ln S₀, the e^β readout) is the
-    * PORTABLE kernel [[graft.functions.PortableMathKernel]] — pure
-    * IEEE arithmetic, bit-identical on both engines by construction —
-    * not libm: a libm evaluation differs by an ulp across hosts, which
-    * flipped a β boundary in the round-10/11 DRIVER runs even after
-    * 9-dp output pinning (the pin only shrinks the divergence window;
-    * the portable kernel closes it). Outputs keep the 9-dp pin so the
-    * distinct-value sets stay tidy. A
-    * constant covariate (I = 0) is a degenerate design outside the
-    * dual-engine contract, as for the logistic twin. Readout: n,
-    * n_events, beta, se = 1/√I, z, hazard_ratio, partial log-lik. */
+    * jobs; every pass reads the subjects exactly once). Determinism
+    * (round 13 — the q_cox_ph rounds-10..12 closure): the value path
+    * contains NO engine `round()` and NO DECIMAL↔DOUBLE cast of a
+    * non-integer value. Every transcendental is the PORTABLE kernel
+    * [[graft.functions.PortableMathKernel]]; every 9-dp pin is the
+    * portable floor-ladder [[graft.functions.PortableMath.pin9]]; and
+    * every order-sensitive sum is the exact integer PAIR sum
+    * [[graft.functions.PortableMath.pairSum]] — per-row values are
+    * decomposed into (⌊v⌋, 9-dp-quanta) integers, summed as
+    * DECIMAL(38,0) (exact, order-free), and rebuilt H + L/1e9 in pure
+    * IEEE. The old DECIMAL(38,12) suffix sums crossed 2^53 unscaled at
+    * S ≈ 9007, where DuckDB's int128→double→÷10¹² DOUBLE-ROUNDS
+    * against Spark's single correctly-rounded conversion, build-
+    * dependently — the systematic driver-red that three rounds of
+    * output pinning could not touch. Pair components stay < 2^53 up to
+    * ~9e6 subjects at these magnitudes. 6-dp readouts use the portable
+    * [[graft.functions.PortableMath.pin6]] (never −0.0: hi+lo/q of a
+    * negative-tiny value lands on +0.0). A constant covariate (I = 0)
+    * is a degenerate design outside the dual-engine contract, as for
+    * the logistic twin; NaN then propagates identically on both
+    * engines (the kernel's isnan stance). Readout: n, n_events, beta,
+    * se = 1/√I, z, hazard_ratio, partial log-lik. Stage-localizing
+    * probes for the driver artifact: [[coxDiagX]], [[coxDiagG1]],
+    * [[coxDiagBetas]]. */
   def coxPh(subjects: DataFrame, durCol: String, observedCol: String,
             xCol: String, iters: Int = 3): DataFrame = {
-    require(iters >= 1 && iters <= 6, s"coxPh: bad iters=$iters")
-    val base = subjects.select(col(durCol).cast("long").alias("__t"),
+    val P = graft.functions.PortableMath
+    val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    val lastCols = P.pairSum(coxITerm, "__i") ++ Seq(
+      sum("__ne").alias("n_events"),
+      sum("__sxh").alias("__sxth"), sum("__sxl").alias("__sxtl")) ++
+      P.pairSum(col("__ne").cast("double") *
+        P.pin9(P.pln(P.pairVal(col("__S0h"), col("__S0l")))), "__lns")
+    val last = coxRiskSums(base, fin).filter(col("__ne") > 0)
+      .agg(lastCols.head, lastCols.tail: _*)
+    val nRow = base.agg(count(lit(1)).alias("n"))
+    val iD = P.pairVal(col("__ih"), col("__il"))
+    nRow.crossJoin(broadcast(last)).crossJoin(broadcast(fin))
+      .select(col("n"), col("n_events"),
+        P.pin6(col("__b")).alias("beta"),
+        P.pin6(lit(1.0) / sqrt(iD)).alias("se"),
+        P.pin6(col("__b") * sqrt(iD)).alias("z"),
+        P.pin6(P.pexp(col("__b"))).alias("hazard_ratio"),
+        P.pin6(col("__b") * P.pairVal(col("__sxth"), col("__sxtl")) -
+          P.pairVal(col("__lnsh"), col("__lnsl"))).alias("partial_loglik"))
+  }
+
+  /** Cox internals shared by [[coxPh]] and the q_cox_diag_* probes:
+    * normalized subjects table. */
+  private def coxBase(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String): DataFrame =
+    subjects.select(col(durCol).cast("long").alias("__t"),
         when(col(observedCol), 1L).otherwise(0L).alias("__e"),
         col(xCol).cast("double").alias("__x"))
       .filter(col("__t").isNotNull && col("__x").isNotNull)
-    val beta0 = subjects.sparkSession.range(1).select(lit(0.0).alias("__b"))
+
+  /** Per-duration moment pairs + suffix-window risk-sum pairs for one
+    * β (broadcast one-row frame). Every summed value is 9-dp-pinned or
+    * an exact product of pinned values, decomposed to integer pairs
+    * before the DECIMAL(38,0) sums — see [[coxPh]]'s determinism note. */
+  private def coxRiskSums(base: DataFrame, beta: DataFrame): DataFrame = {
+    val P = graft.functions.PortableMath
     val sfx = Window.orderBy("__t") // duration-grain: calendar-bounded
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def riskSums(beta: DataFrame): DataFrame = {
-      val ex = round(graft.functions.PortableMath.pexp(col("__b") * col("__x")), 9)
-      base.crossJoin(broadcast(beta))
-        .groupBy("__t")
-        .agg(sum(ex.cast("decimal(38,12)")).alias("__a0"),
-          sum((col("__x") * ex).cast("decimal(38,12)")).alias("__a1"),
-          sum((col("__x") * col("__x") * ex).cast("decimal(38,12)"))
-            .alias("__a2"),
-          sum("__e").alias("__ne"),
-          sum(when(col("__e") === 1, col("__x")).otherwise(lit(0.0))
-            .cast("decimal(38,9)")).alias("__sx"))
-        .withColumn("__S0", sum("__a0").over(sfx))
-        .withColumn("__S1", sum("__a1").over(sfx))
-        .withColumn("__S2", sum("__a2").over(sfx))
-    }
-    def ratio1: Column = col("__S1").cast("double") / col("__S0").cast("double")
-    def uTerm: Column = col("__sx").cast("double") -
-      col("__ne").cast("double") * ratio1
-    def iTerm: Column = col("__ne").cast("double") *
-      (col("__S2").cast("double") / col("__S0").cast("double") -
-        ratio1 * ratio1)
-    def step(beta: DataFrame): DataFrame = {
-      val u = riskSums(beta).filter(col("__ne") > 0)
-        .agg(sum(uTerm.cast("decimal(38,12)")).alias("__u"),
-          sum(iTerm.cast("decimal(38,12)")).alias("__i"))
-      u.crossJoin(broadcast(beta))
-        .select(round(col("__b") +
-          col("__u").cast("double") / col("__i").cast("double"), 9)
-          .alias("__b"))
-    }
+    val ex = P.pin9(P.pexp(col("__b") * col("__x")))
+    val momentCols = P.pairSum(ex, "__a0") ++
+      P.pairSum(col("__x") * ex, "__a1") ++
+      P.pairSum(col("__x") * col("__x") * ex, "__a2") ++
+      Seq(sum("__e").alias("__ne")) ++
+      P.pairSum(when(col("__e") === 1, col("__x")).otherwise(lit(0.0)),
+        "__sx")
+    val withPairs = base.crossJoin(broadcast(beta))
+      .groupBy("__t")
+      .agg(momentCols.head, momentCols.tail: _*)
+    Seq("0", "1", "2").foldLeft(withPairs)((df, k) =>
+      df.withColumn(s"__S${k}h", sum(s"__a${k}h").over(sfx))
+        .withColumn(s"__S${k}l", sum(s"__a${k}l").over(sfx)))
+  }
+
+  private def coxRatio1: Column = {
+    val P = graft.functions.PortableMath
+    P.pairVal(col("__S1h"), col("__S1l")) /
+      P.pairVal(col("__S0h"), col("__S0l"))
+  }
+  private def coxUTerm: Column = {
+    val P = graft.functions.PortableMath
+    P.pairVal(col("__sxh"), col("__sxl")) -
+      col("__ne").cast("double") * coxRatio1
+  }
+  private def coxITerm: Column = {
+    val P = graft.functions.PortableMath
+    col("__ne").cast("double") *
+      (P.pairVal(col("__S2h"), col("__S2l")) /
+        P.pairVal(col("__S0h"), col("__S0l")) - coxRatio1 * coxRatio1)
+  }
+
+  /** One Newton step: (U, I) pair-sum collapse → β' = pin9(β + U/I). */
+  private def coxStep(base: DataFrame)(beta: DataFrame): DataFrame = {
+    val P = graft.functions.PortableMath
+    val uiCols = P.pairSum(coxUTerm, "__u") ++ P.pairSum(coxITerm, "__i")
+    val u = coxRiskSums(base, beta).filter(col("__ne") > 0)
+      .agg(uiCols.head, uiCols.tail: _*)
+    u.crossJoin(broadcast(beta))
+      .select(P.pin9(col("__b") +
+        P.pairVal(col("__uh"), col("__ul")) /
+          P.pairVal(col("__ih"), col("__il"))).alias("__b"))
+  }
+
+  /** Run the Newton chain; returns (base, final one-row β frame). */
+  private def coxFit(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1 && iters <= 6, s"coxPh: bad iters=$iters")
+    val base = coxBase(subjects, durCol, observedCol, xCol)
+    val beta0 = subjects.sparkSession.range(1).select(lit(0.0).alias("__b"))
     // one-row β checkpoint per pass ([[logisticBeta]]'s lineage stance)
     val ckpt = Iterate.checkpointer(subjects.sparkSession.sparkContext)
-    val fin = (1 to iters).foldLeft(beta0)((b, _) => ckpt(step(b)))
-    val last = riskSums(fin).filter(col("__ne") > 0)
-      .agg(sum(iTerm.cast("decimal(38,12)")).alias("__i"),
-        sum("__ne").alias("n_events"),
-        sum(col("__sx")).alias("__sxtot"),
-        sum((col("__ne").cast("double") *
-          round(graft.functions.PortableMath.pln(col("__S0").cast("double")), 9))
-          .cast("decimal(38,12)")).alias("__lns"))
-    val nRow = base.agg(count(lit(1)).alias("n"))
-    val iD = col("__i").cast("double")
-    nRow.crossJoin(broadcast(last)).crossJoin(broadcast(fin))
-      .select(col("n"), col("n_events"),
-        round0(col("__b"), 6).alias("beta"),
-        round0(lit(1.0) / sqrt(iD), 6).alias("se"),
-        round0(col("__b") * sqrt(iD), 6).alias("z"),
-        round0(round(graft.functions.PortableMath.pexp(col("__b")), 9), 6)
-          .alias("hazard_ratio"),
-        round0(col("__b") * col("__sxtot").cast("double") -
-          col("__lns").cast("double"), 6).alias("partial_loglik"))
+    (base, (1 to iters).foldLeft(beta0)((b, _) => ckpt(coxStep(base)(b))))
+  }
+
+  /** q_cox_diag_x — stage-1 probe: integer digest of the SUBJECTS table
+    * ([[coxPh]]'s inputs) so a driver red names the diverging stage.
+    * All-integer output (counts plus the (hi, lo, Σlo²) multiset digest
+    * of the pinned covariate): bit-trivial on any engine iff the
+    * (t, e, x) multiset matches. */
+  def coxDiagX(subjects: DataFrame, durCol: String, observedCol: String,
+               xCol: String): DataFrame = {
+    val P = graft.functions.PortableMath
+    val lo = P.loPart(col("__x"), 1e9)
+    coxBase(subjects, durCol, observedCol, xCol).agg(
+      count(lit(1)).alias("n"), sum("__e").alias("n_events"),
+      sum("__t").alias("t_sum"),
+      sum(P.hiPart(col("__x")).cast("decimal(38,0)")).alias("xh"),
+      sum(lo.cast("decimal(38,0)")).alias("xl"),
+      sum((lo * lo).cast("decimal(38,0)")).alias("xll"))
+  }
+
+  /** q_cox_diag_g1 — stage-2 probe: pass-1 (β = 0) per-duration risk
+    * sums and their suffix windows, digested as exact DECIMAL(38,0)
+    * integer totals. Red here = the groupBy/window pair-sum machinery;
+    * green here + red β = the Newton collapse. */
+  def coxDiagG1(subjects: DataFrame, durCol: String, observedCol: String,
+                xCol: String): DataFrame = {
+    val base = coxBase(subjects, durCol, observedCol, xCol)
+    val beta0 = subjects.sparkSession.range(1).select(lit(0.0).alias("__b"))
+    coxRiskSums(base, beta0).agg(
+      count(lit(1)).alias("nt"), sum("__ne").alias("ne_tot"),
+      sum("__S0h").alias("s0h_sum"), sum("__S0l").alias("s0l_sum"),
+      sum("__S1h").alias("s1h_sum"), sum("__S1l").alias("s1l_sum"),
+      sum("__S2h").alias("s2h_sum"), sum("__S2l").alias("s2l_sum"))
+  }
+
+  /** q_cox_diag_b — stage-3 probe: the per-pass β ladder as exact
+    * integer (hi, lo) pairs. The first red pass number localizes a
+    * divergence to that pass's risk-sum/collapse arithmetic. */
+  def coxDiagBetas(subjects: DataFrame, durCol: String, observedCol: String,
+                   xCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 6, s"coxDiagBetas: bad iters=$iters")
+    val P = graft.functions.PortableMath
+    val base = coxBase(subjects, durCol, observedCol, xCol)
+    val beta0 = subjects.sparkSession.range(1).select(lit(0.0).alias("__b"))
+    val ckpt = Iterate.checkpointer(subjects.sparkSession.sparkContext)
+    val ladder = (1 to iters).scanLeft(beta0)((b, _) =>
+      ckpt(coxStep(base)(b))).drop(1)
+    ladder.zipWithIndex.map { case (b, i) =>
+      b.select(P.hiPart(col("__b")).alias(s"b${i + 1}h"),
+        P.loPart(col("__b"), 1e9).alias(s"b${i + 1}l"))
+    }.reduce((a, b) => a.crossJoin(broadcast(b)))
   }
 
   /** Two-component 1-D Gaussian mixture fit by `iters` unrolled EM

@@ -48,6 +48,14 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
     assert(K.pexp(-1e6) === K.pexp(-80.0))
     assert(K.pln(0.0) === K.pln(1e-18))
     assert(K.pln(1e40) === K.pln(1e38))
+    // NaN must PROPAGATE, not clamp — a degenerate fit (0/0 β) has to
+    // fail loudly and identically on both engines (the SQL mirror leads
+    // its clamp CASE with isnan for the same reason; round-12 ADVICE)
+    assert(K.pexp(Double.NaN).isNaN)
+    assert(K.pln(Double.NaN).isNaN)
+    val nanSql = graft.functions.PortableMathSql.expFrom(
+      "t", "x", "o", "p")
+    assert(nanSql.contains("isnan"), "SQL mirror must lead with isnan")
   }
 
   test("round-trip: pln(pexp(x)) ≈ x, pexp(pln(y)) ≈ y") {
@@ -99,5 +107,65 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
       assert(s.contains("e"), s"$s must force DOUBLE typing")
       assert(java.lang.Double.parseDouble(s) === c, s"literal $s drifted")
     }
+  }
+
+  test("pin: floor-ladder tracks HALF_UP rounding and never emits -0.0") {
+    import spark.implicits._
+    val xs = samples(Gen.chooseNum(-5000.0, 5000.0), 2000) ++
+      Seq(0.0, -0.0, 1e-10, -1e-10, 0.1234567895, -0.1234567895,
+        2.5e-7, -2.5e-7, 4094.9999999994, -4094.9999999994)
+    val got = xs.toDF("x")
+      .select(PortableMath.pin9(col("x")).alias("p9"),
+        PortableMath.pin6(col("x")).alias("p6")).collect()
+    xs.zip(got).foreach { case (x, row) =>
+      val p9 = row.getDouble(0)
+      val p6 = row.getDouble(1)
+      // a 9-dp pin sits within half a quantum (+ repr slack) of x
+      assert(math.abs(p9 - x) <= 5.01e-10, s"pin9($x) = $p9")
+      assert(math.abs(p6 - x) <= 5.01e-7, s"pin6($x) = $p6")
+      // HALF_UP agreement within one quantum (exact midpoints aside)
+      val hu9 = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert((BigDecimal(p9) - hu9).abs <= BigDecimal("1.1e-9"),
+        s"pin9($x) = $p9 vs HALF_UP $hu9")
+      // no negative zero can leave the ladder
+      assert(!(p9 == 0.0 &&
+        java.lang.Double.doubleToRawLongBits(p9) < 0), s"-0.0 from pin9($x)")
+      assert(!(p6 == 0.0 &&
+        java.lang.Double.doubleToRawLongBits(p6) < 0), s"-0.0 from pin6($x)")
+    }
+  }
+
+  test("pairSum/pairVal: exact, order-independent, within 2 ulp of truth") {
+    import spark.implicits._
+    // 9-dp-pinned values (the only class the cox path ever pair-sums)
+    val vs = samples(Gen.chooseNum(-2000L * 1000000000L, 2000L * 1000000000L)
+      .map(_.toDouble), 3000).map(n => math.rint(n) / 1e9)
+    def run(parts: Int): (java.math.BigDecimal, java.math.BigDecimal, Double) = {
+      val df = vs.toDF("v").repartition(parts)
+      val cols = PortableMath.pairSum(col("v"), "s")
+      val r = df.agg(cols.head, cols.tail: _*)
+        .select(col("sh"), col("sl"),
+          PortableMath.pairVal(col("sh"), col("sl")).alias("sv"))
+        .collect().head
+      (r.getDecimal(0), r.getDecimal(1), r.getDouble(2))
+    }
+    val (h1, l1, v1) = run(1)
+    val (h7, l7, v7) = run(7)
+    // shuffle-order independence is BIT-level: the pair sums are exact
+    // integers, the rebuild a fixed IEEE expression of them
+    assert(h1 == h7 && l1 == l7)
+    assert(java.lang.Double.doubleToLongBits(v1) ===
+      java.lang.Double.doubleToLongBits(v7))
+    // against exact decimal ground truth: hi/lo decomposition loses
+    // nothing on 9-dp inputs, so the rebuild is the exact sum up to the
+    // two IEEE roundings in H + L/1e9
+    // absolute bound, not ulps: mixed signs may cancel the total near
+    // zero where relative error is meaningless; the rebuild's only
+    // inexactness is the two IEEE roundings in H + L/1e9 (≤ ~1e-12
+    // here), far under one 9-dp quantum
+    val exact = vs.map(v => BigDecimal(v).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP)).sum
+    assert((BigDecimal(v1) - exact).abs <= BigDecimal("1e-9"),
+      s"pair rebuild $v1 vs exact $exact")
   }
 }

@@ -449,42 +449,55 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
 
   test("property: coxPh == plain-Scala Newton reference on random subjects") {
     import spark.implicits._
-    def r(d: Double, s: Int): Double =
-      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Plain-Scala replay of the round-13 PORTABLE value path: floor-
+    // ladder pins, exact integer (hi, lo) pair sums (BigInt stands in
+    // for the op's DECIMAL(38,0)), IEEE rebuilds — NO engine round(),
+    // NO decimal<->double cast anywhere, mirroring Stats.coxPh op for
+    // op. The assert is BIT equality on the pin6 readout.
+    def pin(d: Double, q: Double): Double = {
+      val hi = math.floor(d)
+      hi + math.floor((d - hi) * q + 0.5) / q
+    }
     def coxRef(subj: Seq[(Long, Boolean, Double)], iters: Int): Double = {
-      def dec(ts: Seq[Double], s: Int): BigDecimal =
-        ts.map(BigDecimal(_).setScale(s, BigDecimal.RoundingMode.HALF_UP)).sum
-      def dsum(ts: Seq[Double], s: Int): Double = dec(ts, s).toDouble
+      val pexp = graft.functions.PortableMathKernel.pexp _
+      def pair(vs: Seq[Double]): (BigInt, BigInt) =
+        vs.foldLeft((BigInt(0), BigInt(0))) { case ((h, l), v) =>
+          val hi = math.floor(v)
+          (h + BigInt(hi.toLong),
+            l + BigInt(math.floor((v - hi) * 1e9 + 0.5).toLong))
+        }
+      def rebuild(p: (BigInt, BigInt)): Double =
+        p._1.toDouble + p._2.toDouble / 1e9
       var b = 0.0
       for (_ <- 1 to iters) {
         val byT = subj.groupBy(_._1).toSeq.sortBy(_._1)
-        // per-duration DECIMAL moments, suffix-summed AS decimals (the
-        // op's window sums DECIMAL exactly, casting to double once)
         val perT = byT.map { case (t, rows) =>
-          // 9-dp-pinned exp OUTPUT (the op's cross-libm stance)
-          val pexp = graft.functions.PortableMathKernel.pexp _
-          val a0 = dec(rows.map(rr => r(pexp(b * rr._3), 9)), 12)
-          val a1 = dec(rows.map(rr => rr._3 * r(pexp(b * rr._3), 9)), 12)
-          val a2 = dec(rows.map(rr =>
-            rr._3 * rr._3 * r(pexp(b * rr._3), 9)), 12)
+          val exs = rows.map(rr => pin(pexp(b * rr._3), 1e9))
+          val a0 = pair(exs)
+          val a1 = pair(rows.zip(exs).map { case (rr, ex) => rr._3 * ex })
+          val a2 = pair(rows.zip(exs).map { case (rr, ex) =>
+            rr._3 * rr._3 * ex })
           val ne = rows.count(_._2).toLong
-          val sx = dec(rows.filter(_._2).map(_._3), 9)
+          val sx = pair(rows.map(rr => if (rr._2) rr._3 else 0.0))
           (t, a0, a1, a2, ne, sx)
         }
-        val (u, i) = perT.indices.foldLeft((List.empty[Double], List.empty[Double])) {
+        def padd(a: (BigInt, BigInt), b2: (BigInt, BigInt)) =
+          (a._1 + b2._1, a._2 + b2._2)
+        val (u, i) = perT.indices.foldLeft(
+          (List.empty[Double], List.empty[Double])) {
           case ((us, is), idx) =>
             val tail = perT.drop(idx)
-            val s0 = tail.map(_._2).sum.toDouble
-            val s1 = tail.map(_._3).sum.toDouble
-            val s2 = tail.map(_._4).sum.toDouble
+            val s0 = rebuild(tail.map(_._2).reduce(padd))
+            val s1 = rebuild(tail.map(_._3).reduce(padd))
+            val s2 = rebuild(tail.map(_._4).reduce(padd))
             val (_, _, _, _, ne, sx) = perT(idx)
             if (ne > 0) {
               val ratio = s1 / s0
-              (us :+ (sx.toDouble - ne.toDouble * ratio),
+              (us :+ (rebuild(sx) - ne.toDouble * ratio),
                 is :+ (ne.toDouble * (s2 / s0 - ratio * ratio)))
             } else (us, is)
         }
-        b = r(b + dsum(u, 12) / dsum(i, 12), 9)
+        b = pin(b + rebuild(pair(u)) / rebuild(pair(i)), 1e9)
       }
       b
     }
@@ -497,7 +510,9 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       val beta = coxRef(subj, 3)
       val row = graft.ops.Stats.coxPh(subj.toDF("dur", "obs", "x"),
         "dur", "obs", "x", iters = 3).collect().head
-      assert(row.getDouble(2) == r(beta, 6), s"beta subj=$subj")
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(pin(beta, 1e6)),
+        s"beta ${row.getDouble(2)} vs ref ${pin(beta, 1e6)} subj=$subj")
     }
   }
 }

@@ -1579,6 +1579,38 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(m.getDouble(2) > 0.5)
   }
 
+  test("cox diag probes: stage digests consistent with the fit") {
+    import spark.implicits._
+    val many = ((1 to 10).map(i => (i.toLong, true, 1.25)) ++
+      (11 to 20).map(i => (i.toLong, i % 2 == 0, 0.5))).toDF("dur", "obs", "x")
+    val fit = Stats.coxPh(many, "dur", "obs", "x", iters = 3).collect().head
+    val dx = Stats.coxDiagX(many, "dur", "obs", "x").collect().head
+    // subjects digest matches the fit's n / n_events
+    assert(dx.getLong(0) == fit.getLong(0))
+    assert(dx.getLong(1) == fit.getLong(1))
+    assert(dx.getLong(2) == (1 to 20).sum) // t_sum
+    // covariate multiset digest: 10×1.25 + 10×0.5: hi = 10×1 + 10×0,
+    // lo = 10×0.25e9 + 10×0.5e9
+    assert(dx.getDecimal(3).longValueExact == 10L)
+    assert(dx.getDecimal(4).longValueExact == 10L * 250000000L +
+      10L * 500000000L)
+    val g1 = Stats.coxDiagG1(many, "dur", "obs", "x").collect().head
+    assert(g1.getLong(0) == 20) // 20 distinct durations
+    assert(g1.getLong(1) == 15) // 10 + 5 events
+    // pass-1 (β=0, ex=1) S0 suffix counts: Σ_t |risk set at t| = Σ 1..20
+    assert(g1.getDecimal(2).longValueExact * 1000000000L +
+      g1.getDecimal(3).longValueExact == (1 to 20).map(i => i.toLong).sum *
+      1000000000L)
+    // β ladder: the last pass's (hi, lo) pair rebuilds to the fit's
+    // 6-dp beta under the same portable pin
+    val lad = Stats.coxDiagBetas(many, "dur", "obs", "x", iters = 3)
+      .collect().head
+    val b3 = lad.getLong(4) + lad.getLong(5) / 1e9
+    val pin6 = math.floor(b3) +
+      math.floor((b3 - math.floor(b3)) * 1e6 + 0.5) / 1e6
+    assert(pin6 == fit.getDouble(2), s"ladder b3 $b3 vs beta ${fit.getDouble(2)}")
+  }
+
   test("gmmEm1d: separates two planted clusters from moment init") {
     import spark.implicits._
     // Two tight clusters at ±2; EM from the x̄ ∓ s init must localize

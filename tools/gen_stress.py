@@ -35,9 +35,14 @@ import sys
 import duckdb
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-OUT = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "target", "stress")
-REPL = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# flags are not positional: filter '--'-prefixed tokens out before
+# indexing, as driver_diff.py does — `gen_stress.py sf out --salted`
+# must not crash on int('--salted'), and a bare `--salted` must not
+# become the sfDir (round-12 ADVICE).
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.1"
+OUT = _pos[1] if len(_pos) > 1 else os.path.join(ROOT, "target", "stress")
+REPL = int(_pos[2]) if len(_pos) > 2 else 10
 SALTED = "--salted" in sys.argv[1:]
 
 SCALED = {

@@ -59,11 +59,14 @@ def sites():
             rel = os.path.relpath(path, ROOT)
             with open(path) as f:
                 for line in f:
-                    raw = line.strip()
                     stripped = STR_RE.sub('""', line).strip()
                     if stripped.startswith("*") or stripped.startswith("//"):
                         continue  # docs discuss the convention freely
-                    portable += len(PORTABLE_RE.findall(raw))
+                    # count portable sites on the SAME string-stripped,
+                    # comment-filtered line as CALL_RE — doc/scaladoc
+                    # mentions must not inflate the deterministic-site
+                    # count (round-12 ADVICE).
+                    portable += len(PORTABLE_RE.findall(stripped))
                     if CALL_RE.search(stripped):
                         found[(rel, stripped)] += 1
     return found, portable

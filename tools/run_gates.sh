@@ -22,6 +22,18 @@ check() { # exit-code gate-name
   if [ "$1" -ne 0 ]; then fail=1; log "GATE RED: $2 (exit $1)"; fi
 }
 
+# Static determinism lints first (cheap, fail fast): frozen inventories
+# of bare-round readouts, libm call sites, and the engine-round /
+# DECIMAL<->DOUBLE cast class that burned rounds 10-12 (round-12 VERDICT
+# next-round #5). A new site must be ported to the portable machinery
+# or consciously re-baselined before the sweep is worth running.
+for lint in lint_round0 lint_transcendental lint_round_casts lint_dupkeys; do
+  log "$lint"
+  python3 "tools/$lint.py" > "$OUT/$lint.log" 2>&1
+  rc=$?; log "$lint exit $rc : $(tail -1 "$OUT/$lint.log")"
+  check $rc "$lint"
+done
+
 run_verify() { # sfdir outdir cpus
   log "Verify $1 cpus=$3 -> $2"
   SPARK_GRAFT_CPUS=$3 sbt -batch "runMain graft.Verify $1 $2" \
