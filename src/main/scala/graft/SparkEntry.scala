@@ -3495,8 +3495,10 @@ object SparkEntry {
             .alias("conv"))
       graft.ops.Stats.psmAtt(perUser, col("user_id"),
         col("user_id") % 10 < 3, col("conv"),
-        round(graft.functions.PortableMath.pln(lit(1.0) + col("tv")), 9),
-        round(graft.functions.PortableMath.pln(lit(1.0) + col("ne").cast("double")), 9))
+        graft.functions.PortableMath.pin9(
+          graft.functions.PortableMath.pln(lit(1.0) + col("tv"))),
+        graft.functions.PortableMath.pin9(
+          graft.functions.PortableMath.pln(lit(1.0) + col("ne").cast("double"))))
     }),
 
     // Mann-Kendall trend test (Stats.mannKendall): monotone-trend
@@ -3652,10 +3654,11 @@ object SparkEntry {
 
     // 1-D Gaussian mixture (Stats.gmmEm1d): 3 unrolled EM passes over
     // the log document-length distribution — one population or two?
-    // Nine DECIMAL moments shuffle per pass; the corpus never moves.
+    // Nine integer-pair moments shuffle per pass; the corpus never moves.
     "q_gmm_doclen" -> ((s, d) =>
       graft.ops.Stats.gmmEm1d(Tables.documents(s, d),
-        round(graft.functions.PortableMath.pln(lit(1.0) + col("n_chars")), 9),
+        graft.functions.PortableMath.pin9(
+          graft.functions.PortableMath.pln(lit(1.0) + col("n_chars"))),
         iters = 3)),
 
     // Isotonic calibration (Stats.isotonicCalibration): PAV via the
@@ -4025,22 +4028,24 @@ object SparkEntry {
     // counting Naive Bayes. Each step is one 10-number moment shuffle;
     // the corpus never moves.
     "q_logistic_quality" -> ((s, d) => {
+      val P = graft.functions.PortableMath
       val nTok = size(split(col("text"), " ")).cast("double")
       graft.ops.Stats.logisticFit2(Tables.documents(s, d),
         (col("lang") === "en").cast("double"),
-        round(graft.functions.PortableMath.pln(lit(1.0) + nTok), 9),
-        round(col("n_chars").cast("double") / nTok, 9))
+        P.pin9(P.pln(lit(1.0) + nTok)),
+        P.pin9(col("n_chars").cast("double") / nTok))
     }),
 
     // The classifier's FILTERING step (Stats.logisticScore): train the
     // same 3-step β, broadcast the one-row model, score every doc as a
     // narrow projection on the scan — zero corpus shuffles end-to-end.
     "q_quality_scores" -> ((s, d) => {
+      val P = graft.functions.PortableMath
       val nTok = size(split(col("text"), " ")).cast("double")
       graft.ops.Stats.logisticScore(Tables.documents(s, d), col("doc_id"),
         (col("lang") === "en").cast("double"),
-        round(graft.functions.PortableMath.pln(lit(1.0) + nTok), 9),
-        round(col("n_chars").cast("double") / nTok, 9))
+        P.pin9(P.pln(lit(1.0) + nTok)),
+        P.pin9(col("n_chars").cast("double") / nTok))
         .select(col("id").alias("doc_id"), col("score"))
         .orderBy("doc_id")
     }),
@@ -5241,9 +5246,9 @@ object SparkEntry {
   /** Shared DuckDB CTE chain mirroring Stats.logisticBeta (3 Newton
     * steps over the documents feature table): yields `f` (doc_id, y,
     * x1, x2) and `bb3` (the fitted one-row 9-dp β). Each step is a
-    * p-projection CTE over f × the previous one-row β, a DECIMAL(38,12)
-    * moment CTE, and a Cramer 3×3 update CTE — textually the same fixed
-    * parenthesization as the Spark side. */
+    * p-projection CTE over f × the previous one-row β, an integer-pair
+    * moment CTE + rebuild, and a Cramer 3×3 update CTE — textually the
+    * same fixed parenthesization as the Spark side. */
   private def logisticCtes: String = logisticCtesFor(
     // mirror the engine's null-feature drop (logisticFit2 filters rows
     // where y/x1/x2 is NULL): NULL lang nulls y, NULL text nulls x1,
@@ -5251,9 +5256,9 @@ object SparkEntry {
     // keep NULL-lang docs as y=0 training rows
     "f AS (SELECT doc_id, " +
       "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-      "round(__plx1, 9) AS x1, " +
-      "round(CAST(n_chars AS DOUBLE) / " +
-      "CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS x2 FROM " +
+      s"${graft.functions.PortableMathSql.pin9Sql("__plx1")} AS x1, " +
+      s"${graft.functions.PortableMathSql.pin9Sql(
+        "(CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))")} AS x2 FROM " +
       graft.functions.PortableMathSql.lnFrom(
         "(SELECT doc_id, lang, text, n_chars FROM documents " +
           "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)",
@@ -5265,37 +5270,47 @@ object SparkEntry {
     * fitted one-row 9-dp β. Shared by the quality-classifier mirrors
     * (documents features) and the PSM mirror (per-user features). */
   private def logisticCtesFor(fCte: String): String = {
+    val pm = graft.functions.PortableMathSql
     def newtonStep(i: Int): String = {
       val prev = if (i == 1) "b0t" else s"bb${i - 1}"
       val det = "(h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) + " +
         "h02 * (h01 * h12 - h11 * h02))"
-      // portable-kernel sigmoid, 9-dp-pinned OUTPUT (Stats.logisticP's
-      // stance): the exp is bit-identical cross-engine by construction
+      // portable-kernel sigmoid, OUTPUT pinned via the portable
+      // floor-ladder (Stats.logisticP's round-13 stance); the
+      // gradient/Hessian moments are exact DECIMAL(38,0) integer PAIR
+      // sums rebuilt H + L/1e9 — no engine round(), no DECIMAL↔DOUBLE
+      // cast of a non-integer value anywhere in the chain
       s"p$i AS (SELECT y, x1, x2, b0, b1, b2, " +
-        "round(1.0 / (1.0 + __ps), 9) AS p FROM " +
-        graft.functions.PortableMathSql.expFrom(
+        s"${pm.pin9Sql("(1.0 / (1.0 + __ps))")} AS p FROM " +
+        pm.expFrom(
           s"(SELECT f.y, f.x1, f.x2, b.b0, b.b1, b.b2 FROM f, $prev b)",
           "-(b0 + b1 * x1 + b2 * x2)", "__ps", s"ls$i") +
         s" ls${i}w), " +
         s"m$i AS (SELECT max(b0) AS pb0, max(b1) AS pb1, max(b2) AS pb2, " +
-        "CAST(sum(CAST(y - p AS DECIMAL(38,12))) AS DOUBLE) AS g0, " +
-        "CAST(sum(CAST((y - p) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1, " +
-        "CAST(sum(CAST((y - p) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2, " +
-        "CAST(sum(CAST(p * (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE) AS h00, " +
-        "CAST(sum(CAST(p * (1.0 - p) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS h01, " +
-        "CAST(sum(CAST(p * (1.0 - p) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS h02, " +
-        "CAST(sum(CAST(p * (1.0 - p) * x1 * x1 AS DECIMAL(38,12))) AS DOUBLE) AS h11, " +
-        "CAST(sum(CAST(p * (1.0 - p) * x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS h12, " +
-        "CAST(sum(CAST(p * (1.0 - p) * x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS h22 " +
-        s"FROM p$i), " +
-        s"bb$i AS (SELECT " +
-        "round(pb0 + (g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2) + " +
-        s"h02 * (g1 * h12 - h11 * g2)) / $det, 9) AS b0, " +
-        "round(pb1 + (h00 * (g1 * h22 - h12 * g2) - g0 * (h01 * h22 - h12 * h02) + " +
-        s"h02 * (h01 * g2 - g1 * h02)) / $det, 9) AS b1, " +
-        "round(pb2 + (h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02) + " +
-        s"g0 * (h01 * h12 - h11 * h02)) / $det, 9) AS b2 " +
-        s"FROM m$i)"
+        pm.pairSumSql("(y - p)", "g0") + ", " +
+        pm.pairSumSql("((y - p) * x1)", "g1") + ", " +
+        pm.pairSumSql("((y - p) * x2)", "g2") + ", " +
+        pm.pairSumSql("(p * (1.0 - p))", "h00") + ", " +
+        pm.pairSumSql("(p * (1.0 - p) * x1)", "h01") + ", " +
+        pm.pairSumSql("(p * (1.0 - p) * x2)", "h02") + ", " +
+        pm.pairSumSql("(p * (1.0 - p) * x1 * x1)", "h11") + ", " +
+        pm.pairSumSql("(p * (1.0 - p) * x1 * x2)", "h12") + ", " +
+        pm.pairSumSql("(p * (1.0 - p) * x2 * x2)", "h22") +
+        s" FROM p$i), " +
+        s"r$i AS (SELECT pb0, pb1, pb2, " +
+        Seq("g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22")
+          .map(n => s"${pm.pairValSql(n)} AS $n").mkString(", ") +
+        s" FROM m$i), " +
+        s"u$i AS (SELECT " +
+        "pb0 + (g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2) + " +
+        s"h02 * (g1 * h12 - h11 * g2)) / $det AS u0, " +
+        "pb1 + (h00 * (g1 * h22 - h12 * g2) - g0 * (h01 * h22 - h12 * h02) + " +
+        s"h02 * (h01 * g2 - g1 * h02)) / $det AS u1, " +
+        "pb2 + (h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02) + " +
+        s"g0 * (h01 * h12 - h11 * h02)) / $det AS u2 " +
+        s"FROM r$i), " +
+        s"bb$i AS (SELECT ${pm.pin9Sql("u0")} AS b0, " +
+        s"${pm.pin9Sql("u1")} AS b1, ${pm.pin9Sql("u2")} AS b2 FROM u$i)"
     }
     "WITH " + fCte + ", " +
       "b0t AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2), " +
@@ -5322,11 +5337,15 @@ object SparkEntry {
     logisticCtesFor(
       "f AS (SELECT user_id AS uid, " +
         "CASE WHEN user_id % 10 < 3 THEN 1.0 ELSE 0.0 END AS y, conv, " +
-        "round(__plv, 9) AS x1, " +
-        s"round(__plw, 9) AS x2 FROM $fInner pww)") +
-      ", sc AS (SELECT uid, y AS t, conv AS yy, " +
-      "round(round(1.0 / (1.0 + __ps), 9), 6) AS p " +
+        s"${pm.pin9Sql("__plv")} AS x1, " +
+        s"${pm.pin9Sql("__plw")} AS x2 FROM $fInner pww)") +
+      // portable pin9 sigmoid then pin6 propensity (Stats.psmAtt's
+      // round-13 stance)
+      ", sc0 AS (SELECT uid, y, conv, " +
+      s"${pm.pin9Sql("(1.0 / (1.0 + __ps))")} AS p9 " +
       s"FROM $scInner pssw), " +
+      "sc AS (SELECT uid, y AS t, conv AS yy, " +
+      s"${pm.pin6Sql("p9")} AS p FROM sc0), " +
       "pr AS (SELECT a.uid AS tid, a.yy AS yt, c.uid AS cid, c.yy AS yc, " +
       "abs(a.p - c.p) AS dd FROM sc a JOIN sc c " +
       "ON a.t = 1.0 AND c.t = 0.0 AND abs(a.p - c.p) <= 0.05), " +
@@ -5355,16 +5374,26 @@ object SparkEntry {
       "1.0 - q", "__plr", "lb")
     logisticCtes + ", " +
       "fin AS (SELECT y, b0, b1, b2, " +
-      s"round(1.0 / (1.0 + __ps), 9) AS p FROM $finInner lqw), " +
+      s"${pm.pin9Sql("(1.0 / (1.0 + __ps))")} AS p FROM $finInner lqw), " +
       "cl AS (SELECT y, b0, b1, b2, p, least(greatest(p, 1e-6), 1.0 - 1e-6) AS q " +
-      "FROM fin) " +
-      "SELECT CAST(count(*) AS BIGINT) AS n, " +
-      "round(max(b0), 6) + 0.0 AS b0, round(max(b1), 6) + 0.0 AS b1, " +
-      "round(max(b2), 6) + 0.0 AS b2, " +
-      "round(CAST(sum(CAST(round(-(y * __plq + (1.0 - y) * __plr), 9) " +
-      "AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS log_loss, " +
-      "round(CAST(sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) " +
-      s"AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy FROM $clInner lbw"
+      "FROM fin), " +
+      // loss term: portable 9-dp pin of the per-row ln mix, then exact
+      // integer pair sums (Stats.logisticFit2's round-13 stance); the
+      // 6-dp readouts are the portable floor-ladder (never −0.0, so no
+      // `+ 0.0` normalization needed)
+      "cl2 AS (SELECT y, b0, b1, b2, p, " +
+      s"${pm.pin9Sql("(-(y * __plq + (1.0 - y) * __plr))")} AS lt " +
+      s"FROM $clInner lbw), " +
+      "fagg AS (SELECT count(*) AS n, max(b0) AS fb0, max(b1) AS fb1, " +
+      s"max(b2) AS fb2, ${pm.pairSumSql("lt", "ls")}, " +
+      "sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1 ELSE 0 END) AS ok " +
+      "FROM cl2) " +
+      "SELECT CAST(n AS BIGINT) AS n, " +
+      s"${pm.pin6Sql("fb0")} AS b0, ${pm.pin6Sql("fb1")} AS b1, " +
+      s"${pm.pin6Sql("fb2")} AS b2, " +
+      s"${pm.pin6Sql(s"(${pm.pairValSql("ls")} / CAST(n AS DOUBLE))")} AS log_loss, " +
+      s"${pm.pin6Sql("(CAST(ok AS DOUBLE) / CAST(n AS DOUBLE))")} AS accuracy " +
+      "FROM fagg"
   }
 
   /** Exact bit-decomposition of a bounded double column into integer
@@ -5566,8 +5595,8 @@ object SparkEntry {
       }.mkString(", ") + " FROM b1 AS r1, b2 AS r2, b3 AS r3"
   }
 
-  /** DuckDB mirror of Stats.gmmEm1d over round(pln(1+n_chars),9), 3 EM
-    * steps: each pK CTE replays the nine DECIMAL(38,12) moment sums
+  /** DuckDB mirror of Stats.gmmEm1d over pin9(pln(1+n_chars)), 3 EM
+    * steps: each pK CTE replays the nine integer-pair moment sums
     * from p(K−1)'s 9-dp params with the op's pinned parenthesization
     * (normalization-free w's, 9-dp-pinned responsibilities, larger-
     * mean-keyed midpoint rule on both-underflow, ln clamped at the
@@ -5590,59 +5619,66 @@ object SparkEntry {
       s"(SELECT x, ((1.0 - p2) / s1) * __pw1 AS w1, " +
         s"(p2 / s2) * __pw2 AS w2, mu1, mu2 FROM $e2 ${tag}w)"
     }
+    // round-13 determinism rewrite (Stats.gmmEm1d's mirror, op for op):
+    // NO engine round() (portable floor-ladder pins only) and NO
+    // DECIMAL↔DOUBLE cast of a non-integer value — every moment sum is
+    // a PAIR of exact DECIMAL(38,0) integer sums rebuilt H + L/1e9
     val iters = (1 to 3).map { k =>
       s"t$k AS (SELECT x, CASE WHEN w1 + w2 = 0.0 THEN " +
         "(CASE WHEN (x > (mu1 + mu2) / 2.0) = (mu2 >= mu1) " +
         "THEN 1.0 ELSE 0.0 END) " +
-        s"ELSE round(w2 / (w1 + w2), 9) END AS r " +
+        s"ELSE ${pm.pin9Sql("(w2 / (w1 + w2))")} END AS r " +
         s"FROM ${wRel(s"p${k - 1}", s"pw$k")} pw${k}z), " +
         s"a$k AS (SELECT count(*) AS n, " +
-        "SUM(CAST(r AS DECIMAL(38,12))) AS r2, " +
-        "SUM(CAST(r * x AS DECIMAL(38,12))) AS r2x, " +
-        "SUM(CAST(r * x * x AS DECIMAL(38,12))) AS r2xx, " +
-        "SUM(CAST(1.0 - r AS DECIMAL(38,12))) AS r1, " +
-        "SUM(CAST((1.0 - r) * x AS DECIMAL(38,12))) AS r1x, " +
-        "SUM(CAST((1.0 - r) * x * x AS DECIMAL(38,12))) AS r1xx " +
-        s"FROM t$k), " +
-        s"p$k AS (SELECT " +
-        "round(CAST(r2 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p2, " +
-        "round(CAST(r1x AS DOUBLE) / CAST(r1 AS DOUBLE), 9) AS mu1, " +
-        "round(sqrt(greatest(CAST(r1xx AS DOUBLE) / CAST(r1 AS DOUBLE) - " +
-        "(CAST(r1x AS DOUBLE) / CAST(r1 AS DOUBLE)) * " +
-        "(CAST(r1x AS DOUBLE) / CAST(r1 AS DOUBLE)), 1e-12)), 9) AS s1, " +
-        "round(CAST(r2x AS DOUBLE) / CAST(r2 AS DOUBLE), 9) AS mu2, " +
-        "round(sqrt(greatest(CAST(r2xx AS DOUBLE) / CAST(r2 AS DOUBLE) - " +
-        "(CAST(r2x AS DOUBLE) / CAST(r2 AS DOUBLE)) * " +
-        "(CAST(r2x AS DOUBLE) / CAST(r2 AS DOUBLE)), 1e-12)), 9) AS s2 " +
-        s"FROM a$k)"
+        pm.pairSumSql("r", "r2") + ", " +
+        pm.pairSumSql("(r * x)", "r2x") + ", " +
+        pm.pairSumSql("(r * x * x)", "r2xx") + ", " +
+        pm.pairSumSql("(1.0 - r)", "r1") + ", " +
+        pm.pairSumSql("((1.0 - r) * x)", "r1x") + ", " +
+        pm.pairSumSql("((1.0 - r) * x * x)", "r1xx") +
+        s" FROM t$k), " +
+        s"rb$k AS (SELECT CAST(n AS DOUBLE) AS nd, " +
+        Seq("r2", "r2x", "r2xx", "r1", "r1x", "r1xx")
+          .map(n => s"${pm.pairValSql(n)} AS $n").mkString(", ") +
+        s" FROM a$k), " +
+        s"u$k AS (SELECT r2 / nd AS up2, r1x / r1 AS umu1, " +
+        "sqrt(greatest(r1xx / r1 - (r1x / r1) * (r1x / r1), 1e-12)) AS us1, " +
+        "r2x / r2 AS umu2, " +
+        "sqrt(greatest(r2xx / r2 - (r2x / r2) * (r2x / r2), 1e-12)) AS us2 " +
+        s"FROM rb$k), " +
+        s"p$k AS (SELECT ${pm.pin9Sql("up2")} AS p2, " +
+        s"${pm.pin9Sql("umu1")} AS mu1, ${pm.pin9Sql("us1")} AS s1, " +
+        s"${pm.pin9Sql("umu2")} AS mu2, ${pm.pin9Sql("us2")} AS s2 " +
+        s"FROM u$k)"
     }.mkString(", ")
     val cov = pm.lnFrom(
       "(SELECT n_chars FROM documents WHERE n_chars IS NOT NULL)",
       "1.0 + n_chars", "__plnc", "pc")
     val llInner = pm.lnFrom(s"${wRel("p3", "pwf")} pwfz",
       "greatest(w1 + w2, 1e-18)", "__pll", "pll")
-    s"WITH b AS (SELECT round(__plnc, 9) AS x FROM $cov pcw), " +
+    s"WITH b AS (SELECT ${pm.pin9Sql("__plnc")} AS x FROM $cov pcw), " +
       "m0 AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd, " +
-      "CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sd, " +
-      "CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS ssd FROM b), " +
-      "i0 AS (SELECT nd, ssd, round(sd / nd, 9) AS m FROM m0), " +
-      "p0 AS (SELECT 0.5 AS p2, " +
-      "round(m - sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS mu1, " +
-      "round(sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS s1, " +
-      "round(m + sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS mu2, " +
-      "round(sqrt(greatest(ssd / nd - m * m, 1e-12)), 9) AS s2 FROM i0), " +
+      pm.pairSumSql("x", "sx") + ", " + pm.pairSumSql("(x * x)", "sxx") +
+      " FROM b), " +
+      s"i0 AS (SELECT nd, ${pm.pin9Sql(s"(${pm.pairValSql("sx")} / nd)")} AS m, " +
+      s"${pm.pairValSql("sxx")} / nd AS exx FROM m0), " +
+      "i1 AS (SELECT m, sqrt(greatest(exx - m * m, 1e-12)) AS sd0 FROM i0), " +
+      s"p0 AS (SELECT 0.5 AS p2, ${pm.pin9Sql("(m - sd0)")} AS mu1, " +
+      s"${pm.pin9Sql("sd0")} AS s1, ${pm.pin9Sql("(m + sd0)")} AS mu2, " +
+      s"${pm.pin9Sql("sd0")} AS s2 FROM i1), " +
       iters + ", " +
+      s"f0 AS (SELECT ${pm.pin9Sql("__pll")} AS pll FROM $llInner pllw), " +
       "f AS (SELECT count(*) AS n, " +
-      "SUM(CAST(round(__pll, 9) " +
-      s"- 0.9189385332046727 AS DECIMAL(38,12))) AS ll FROM $llInner pllw) " +
+      pm.pairSumSql(s"(pll - ${pm.lit(0.9189385332046727)})", "ll") +
+      " FROM f0) " +
       "SELECT CAST(n AS BIGINT) AS n, " +
-      "round(CASE WHEN mu1 > mu2 THEN p2 ELSE 1.0 - p2 END, 6) + 0.0 AS pi_lo, " +
-      "round(CASE WHEN mu1 > mu2 THEN mu2 ELSE mu1 END, 6) + 0.0 AS mu_lo, " +
-      "round(CASE WHEN mu1 > mu2 THEN s2 ELSE s1 END, 6) + 0.0 AS sigma_lo, " +
-      "round(CASE WHEN mu1 > mu2 THEN 1.0 - p2 ELSE p2 END, 6) + 0.0 AS pi_hi, " +
-      "round(CASE WHEN mu1 > mu2 THEN mu1 ELSE mu2 END, 6) + 0.0 AS mu_hi, " +
-      "round(CASE WHEN mu1 > mu2 THEN s1 ELSE s2 END, 6) + 0.0 AS sigma_hi, " +
-      "round(CAST(ll AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS avg_loglik " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN p2 ELSE 1.0 - p2 END)")} AS pi_lo, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN mu2 ELSE mu1 END)")} AS mu_lo, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN s2 ELSE s1 END)")} AS sigma_lo, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN 1.0 - p2 ELSE p2 END)")} AS pi_hi, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN mu1 ELSE mu2 END)")} AS mu_hi, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN s1 ELSE s2 END)")} AS sigma_hi, " +
+      s"${pm.pin6Sql(s"(${pm.pairValSql("ll")} / CAST(n AS DOUBLE))")} AS avg_loglik " +
       "FROM f CROSS JOIN p3"
   }
 
@@ -5650,9 +5686,13 @@ object SparkEntry {
     val inner = graft.functions.PortableMathSql.expFrom(
       "(SELECT f.doc_id, f.x1, f.x2, b.b0, b.b1, b.b2 FROM f, bb3 b)",
       "-(b0 + b1 * x1 + b2 * x2)", "__ps", "qs")
-    logisticCtes + " " +
-      "SELECT doc_id, round(round(1.0 / (1.0 + __ps), 9), 6) AS score " +
-      s"FROM $inner qsw ORDER BY doc_id"
+    val pm = graft.functions.PortableMathSql
+    logisticCtes + ", " +
+      // portable pin9 sigmoid then pin6 readout (Stats.logisticScore's
+      // round-13 stance) — p9 named so the pin ladders stay shallow
+      s"sc0 AS (SELECT doc_id, ${pm.pin9Sql("(1.0 / (1.0 + __ps))")} AS p9 " +
+      s"FROM $inner qsw) " +
+      s"SELECT doc_id, ${pm.pin6Sql("p9")} AS score FROM sc0 ORDER BY doc_id"
   }
 
   /** Shared DuckDB CTE chain mirroring Mix.dsirImportance (64 buckets,

@@ -3139,11 +3139,14 @@ object Stats {
     * classifier ("fit a simple classifier against a reference slice,
     * score the corpus by it") beside the counting Naive Bayes. Each step
     * is ONE map-side-combined moment aggregation over the corpus — 3
-    * gradient + 6 Hessian terms and a count, each accumulated in
-    * DECIMAL(38,12) so the sums are exact under any partitioning — and
-    * the 3×3 Newton system solves in closed form (Cramer, fixed double
-    * parenthesization, olsFit2's stance); the updated β rounds to 9 dp
-    * and broadcasts back for the next pass. "Train on 100 TB in `iters`
+    * gradient + 6 Hessian terms and a count, each an exact integer
+    * PAIR sum ([[graft.functions.PortableMath.pairSum]], [[coxPh]]'s
+    * round-13 stance) so the sums are exact under any partitioning AND
+    * convert to double without engine-dependent rounding — and the 3×3
+    * Newton system solves in closed form (Cramer, fixed double
+    * parenthesization, olsFit2's stance); the updated β pins to 9 dp
+    * via the portable floor-ladder and broadcasts back for the next
+    * pass. "Train on 100 TB in `iters`
     * passes: ten numbers shuffle per pass, the corpus never moves." A
     * final pass reads out 1e-6-clamped log loss and accuracy@0.5
     * (classifierMetrics' pinned-clamp stance). Callers pass 9-dp-rounded
@@ -3162,30 +3165,31 @@ object Stats {
         x1.cast("double").alias("__x1"), x2.cast("double").alias("__x2"))
       .filter(col("__y").isNotNull && col("__x1").isNotNull &&
         col("__x2").isNotNull)
+    val P = graft.functions.PortableMath
     val betaF = logisticBeta(base, iters)
     val t = base.crossJoin(broadcast(betaF))
     val p = logisticP
     val eps = lit(1e-6)
     val pc = least(greatest(p, eps), lit(1.0) - eps)
-    // ln OUTPUT pinned to 9 dp before the exact DECIMAL sum (the
-    // cross-libm transcendental-output stance; pc is 9-dp-pinned p
-    // clamped to [1e-6, 1−1e-6], so the ln inputs are engine-exact)
-    val lossTerm = round(-(col("__y") * graft.functions.PortableMath.pln(pc) +
-      (lit(1.0) - col("__y")) *
-        graft.functions.PortableMath.pln(lit(1.0) - pc)), 9)
-    t.agg(count(lit(1)).alias("n"),
-        max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
-        max(col("__b2")).alias("__fb2"),
-        sum(lossTerm.cast("decimal(28,12)")).alias("__loss"),
-        sum(when((p >= 0.5) === (col("__y") >= 0.5), 1L).otherwise(0L))
-          .alias("__ok"))
+    // ln OUTPUT portable-pinned to 9 dp, then summed as an exact
+    // integer PAIR ([[coxPh]]'s round-13 stance — the old
+    // DECIMAL(28,12) loss sum crossed 2^53 unscaled at Σ ≈ 9007)
+    val lossTerm = P.pin9(-(col("__y") * P.pln(pc) +
+      (lit(1.0) - col("__y")) * P.pln(lit(1.0) - pc)))
+    val aggCols = Seq(count(lit(1)).alias("n"),
+      max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
+      max(col("__b2")).alias("__fb2")) ++
+      P.pairSum(lossTerm, "__loss") ++
+      Seq(sum(when((p >= 0.5) === (col("__y") >= 0.5), 1L).otherwise(0L))
+        .alias("__ok"))
+    t.agg(aggCols.head, aggCols.tail: _*)
       .select(col("n"),
-        round0(col("__fb0"), 6).alias("b0"),
-        round0(col("__fb1"), 6).alias("b1"),
-        round0(col("__fb2"), 6).alias("b2"),
-        round(col("__loss").cast("double") / col("n").cast("double"), 6)
-          .alias("log_loss"),
-        round(col("__ok").cast("double") / col("n").cast("double"), 6)
+        P.pin6(col("__fb0")).alias("b0"),
+        P.pin6(col("__fb1")).alias("b1"),
+        P.pin6(col("__fb2")).alias("b2"),
+        P.pin6(P.pairVal(col("__lossh"), col("__lossl")) /
+          col("n").cast("double")).alias("log_loss"),
+        P.pin6(col("__ok").cast("double") / col("n").cast("double"))
           .alias("accuracy"))
   }
 
@@ -3195,41 +3199,45 @@ object Stats {
     * ([[graft.functions.PortableMathKernel]]) — bit-identical on both
     * engines by construction, closing the cross-libm window that made
     * q_cox_ph driver-red in rounds 10/11 — and the sigmoid OUTPUT
-    * still pins to 9 dp so the DECIMAL(38,12) gradient/Hessian sums
-    * see a tidy distinct-value set. */
+    * pins to 9 dp via the portable floor-ladder
+    * ([[graft.functions.PortableMath.pin9]], [[coxPh]]'s round-13
+    * stance: engine round(double, 9) is build-dependent) so the pair
+    * sums see a tidy distinct-value set. */
   private def logisticP: Column =
-    round(lit(1.0) / (lit(1.0) +
+    graft.functions.PortableMath.pin9(lit(1.0) / (lit(1.0) +
       graft.functions.PortableMath.pexp(
         -(col("__b0") + col("__b1") * col("__x1") +
-          col("__b2") * col("__x2")))), 9)
+          col("__b2") * col("__x2")))))
 
   /** The fitted 9-dp β of [[logisticFit2]] as a one-row frame over a
     * prepared (__y, __x1, __x2) base — the reusable model artifact both
     * the fit readout and per-row scoring broadcast. */
   private def logisticBeta(base: DataFrame, iters: Int): DataFrame = {
     def step(beta: DataFrame): DataFrame = {
+      val P = graft.functions.PortableMath
       val t = base.crossJoin(broadcast(beta))
       val p = logisticP
       val w = p * (lit(1.0) - p)
       val r = col("__y") - p
       val xx1 = col("__x1"); val xx2 = col("__x2")
-      val m = t.agg(
+      // gradient/Hessian moments as exact integer PAIR sums ([[coxPh]]'s
+      // round-13 stance): the old DECIMAL(38,12) sums crossed 2^53
+      // unscaled at Σ ≈ 9007 (the Hessian x² terms do at corpus scale),
+      // where DuckDB's decimal→double DOUBLE-ROUNDS against Spark's
+      // single conversion, build-dependently
+      val mCols = Seq(
         max(col("__b0")).alias("__pb0"), max(col("__b1")).alias("__pb1"),
-        max(col("__b2")).alias("__pb2"),
-        sum(r.cast("decimal(38,12)")).alias("__g0"),
-        sum((r * xx1).cast("decimal(38,12)")).alias("__g1"),
-        sum((r * xx2).cast("decimal(38,12)")).alias("__g2"),
-        sum(w.cast("decimal(38,12)")).alias("__h00"),
-        sum((w * xx1).cast("decimal(38,12)")).alias("__h01"),
-        sum((w * xx2).cast("decimal(38,12)")).alias("__h02"),
-        sum((w * xx1 * xx1).cast("decimal(38,12)")).alias("__h11"),
-        sum((w * xx1 * xx2).cast("decimal(38,12)")).alias("__h12"),
-        sum((w * xx2 * xx2).cast("decimal(38,12)")).alias("__h22"))
-      val g0 = col("__g0").cast("double"); val g1 = col("__g1").cast("double")
-      val g2 = col("__g2").cast("double")
-      val h00 = col("__h00").cast("double"); val h01 = col("__h01").cast("double")
-      val h02 = col("__h02").cast("double"); val h11 = col("__h11").cast("double")
-      val h12 = col("__h12").cast("double"); val h22 = col("__h22").cast("double")
+        max(col("__b2")).alias("__pb2")) ++
+        P.pairSum(r, "__g0") ++ P.pairSum(r * xx1, "__g1") ++
+        P.pairSum(r * xx2, "__g2") ++
+        P.pairSum(w, "__h00") ++ P.pairSum(w * xx1, "__h01") ++
+        P.pairSum(w * xx2, "__h02") ++ P.pairSum(w * xx1 * xx1, "__h11") ++
+        P.pairSum(w * xx1 * xx2, "__h12") ++ P.pairSum(w * xx2 * xx2, "__h22")
+      val m = t.agg(mCols.head, mCols.tail: _*)
+      def pv(n: String): Column = P.pairVal(col(s"${n}h"), col(s"${n}l"))
+      val g0 = pv("__g0"); val g1 = pv("__g1"); val g2 = pv("__g2")
+      val h00 = pv("__h00"); val h01 = pv("__h01"); val h02 = pv("__h02")
+      val h11 = pv("__h11"); val h12 = pv("__h12"); val h22 = pv("__h22")
       val det = h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) +
         h02 * (h01 * h12 - h11 * h02)
       val d0 = g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2) +
@@ -3239,9 +3247,9 @@ object Stats {
       val d2 = h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02) +
         g0 * (h01 * h12 - h11 * h02)
       m.select(
-        round(col("__pb0").cast("double") + d0 / det, 9).alias("__b0"),
-        round(col("__pb1").cast("double") + d1 / det, 9).alias("__b1"),
-        round(col("__pb2").cast("double") + d2 / det, 9).alias("__b2"))
+        P.pin9(col("__pb0") + d0 / det).alias("__b0"),
+        P.pin9(col("__pb1") + d1 / det).alias("__b1"),
+        P.pin9(col("__pb2") + d2 / det).alias("__b2"))
     }
     val beta0 = base.sparkSession.range(1).select(lit(0.0).alias("__b0"),
       lit(0.0).alias("__b1"), lit(0.0).alias("__b2"))
@@ -3469,7 +3477,7 @@ object Stats {
     val beta = logisticBeta(units, iters)
     val scored = units.crossJoin(broadcast(beta))
       .select(col("__id"), col("__y").alias("__t"), col("__out"),
-        round(logisticP, 6).alias("__p"))
+        graft.functions.PortableMath.pin6(logisticP).alias("__p"))
     val bucket = floor(col("__p") / lit(caliper)).cast("long")
     val t = scored.filter(col("__t") === 1.0)
       .select(col("__id").alias("__tid"), col("__out").alias("__yt"),
@@ -3515,7 +3523,8 @@ object Stats {
       .filter(col("__y").isNotNull && col("__x1").isNotNull &&
         col("__x2").isNotNull)
     base.crossJoin(broadcast(logisticBeta(base, iters)))
-      .select(col("__id").alias("id"), round(logisticP, 6).alias("score"))
+      .select(col("__id").alias("id"),
+        graft.functions.PortableMath.pin6(logisticP).alias("score"))
   }
 
   /** Mann-Kendall trend test of the daily-count series — the HYPOTHESIS
@@ -3993,7 +4002,7 @@ object Stats {
     *   U = Σ_events [x_i − S₁/S₀],  I = Σ_events [S₂/S₀ − (S₁/S₀)²],
     *   β ← β + U/I  (9-dp rounded, broadcast back).
     * Scale shape: each step is ONE duration-keyed aggregation of the
-    * subjects table (3 DECIMAL(38,12) moment sums + event count/Σx per
+    * subjects table (3 integer-pair moment sums + event count/Σx per
     * distinct duration) and the S_k come from a suffix window over the
     * DURATION-GRAIN table — calendar-bounded, [[kaplanMeier]]'s stance,
     * never the raw stream. Two numbers (U, I) collapse per step; the
@@ -4176,10 +4185,13 @@ object Stats {
     * and the trained-classifier shape of [[logisticFit2]]. Same scale
     * stance as the logistic Newton chain: each EM step is ONE
     * map-side-combined moment aggregation over the stream — nine
-    * DECIMAL sums (count/Σx/Σx² plus the r- and (1−r)-weighted
-    * twins) — the updated (π, μ₁, σ₁, μ₂, σ₂) round to 9 dp and
-    * broadcast back for the next pass; "fit on 100 TB in `iters`
-    * passes: nine numbers shuffle per pass, the stream never moves."
+    * exact integer-pair sums ([[graft.functions.PortableMath.pairSum]],
+    * [[coxPh]]'s round-13 stance: count/Σx/Σx² plus the r- and
+    * (1−r)-weighted twins) — the updated (π, μ₁, σ₁, μ₂, σ₂) pin to
+    * 9 dp via the portable floor-ladder and broadcast back for the
+    * next pass; "fit on 100 TB in `iters` passes: the pair components
+    * stay < 2^53 to ~9e6 rows per sum at these magnitudes — shard the
+    * moment pass beyond that — and the stream never moves."
     * Like [[logisticFit2]]/[[coxPh]], each pass materializes its
     * one-row params through [[graft.ops.Iterate.checkpointer]], so
     * CONSTRUCTING the DataFrame runs `iters`+1 eager jobs (the
@@ -4202,29 +4214,31 @@ object Stats {
     * per-row average log-likelihood under the final fit. */
   def gmmEm1d(df: DataFrame, valueCol: Column, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 6, s"gmmEm1d: bad iters=$iters")
+    val P = graft.functions.PortableMath
     val base = df.select(valueCol.cast("double").alias("__x"))
       .filter(col("__x").isNotNull)
-    val m0 = base.agg(count(lit(1)).alias("__n"),
-        sum(col("__x").cast("decimal(38,9)")).alias("__s"),
-        sum((col("__x") * col("__x")).cast("decimal(38,9)")).alias("__ss"))
+    // moment/EM sums are exact integer PAIR sums and every 9-dp pin is
+    // the portable floor-ladder ([[coxPh]]'s round-13 stance): the old
+    // DECIMAL(38,9|12) Σx² sums crossed 2^53 unscaled at corpus scale,
+    // where DuckDB's decimal→double DOUBLE-ROUNDS against Spark's
+    // single conversion, build-dependently
+    val m0Cols = Seq(count(lit(1)).alias("__n")) ++
+      P.pairSum(col("__x"), "__s") ++ P.pairSum(col("__x") * col("__x"), "__ss")
+    val m0 = base.agg(m0Cols.head, m0Cols.tail: _*)
       .select(col("__n"),
-        round(col("__s").cast("double") / col("__n").cast("double"), 9)
-          .alias("__m"),
-        col("__ss"))
-    val init = m0.select(
-      lit(0.5).alias("__p2"),
-      round(col("__m") - sqrt(greatest(
-        col("__ss").cast("double") / col("__n").cast("double") -
-          col("__m") * col("__m"), lit(1e-12))), 9).alias("__mu1"),
-      round(sqrt(greatest(
-        col("__ss").cast("double") / col("__n").cast("double") -
-          col("__m") * col("__m"), lit(1e-12))), 9).alias("__s1"),
-      round(col("__m") + sqrt(greatest(
-        col("__ss").cast("double") / col("__n").cast("double") -
-          col("__m") * col("__m"), lit(1e-12))), 9).alias("__mu2"),
-      round(sqrt(greatest(
-        col("__ss").cast("double") / col("__n").cast("double") -
-          col("__m") * col("__m"), lit(1e-12))), 9).alias("__s2"))
+        P.pin9(P.pairVal(col("__sh"), col("__sl")) /
+          col("__n").cast("double")).alias("__m"),
+        (P.pairVal(col("__ssh"), col("__ssl")) /
+          col("__n").cast("double")).alias("__exx"))
+    val init = m0
+      .select(col("__m"), sqrt(greatest(
+        col("__exx") - col("__m") * col("__m"), lit(1e-12))).alias("__sd0"))
+      .select(
+        lit(0.5).alias("__p2"),
+        P.pin9(col("__m") - col("__sd0")).alias("__mu1"),
+        P.pin9(col("__sd0")).alias("__s1"),
+        P.pin9(col("__m") + col("__sd0")).alias("__mu2"),
+        P.pin9(col("__sd0")).alias("__s2"))
     // normalization-free component densities of the CURRENT row given
     // the broadcast one-row params (the 1/√2π factor cancels in r).
     def w1: Column = ((lit(1.0) - col("__p2")) / col("__s1")) *
@@ -4249,34 +4263,29 @@ object Stats {
     def resp: Column = when(w1 + w2 === 0.0,
       when((col("__x") > (col("__mu1") + col("__mu2")) / lit(2.0)) ===
         (col("__mu2") >= col("__mu1")), lit(1.0)).otherwise(lit(0.0)))
-      .otherwise(round(w2 / (w1 + w2), 9))
+      .otherwise(P.pin9(w2 / (w1 + w2)))
     def step(params: DataFrame): DataFrame = {
       val t = base.crossJoin(broadcast(params))
         .withColumn("__r", resp)
-      val a = t.agg(
-        sum(col("__r").cast("decimal(38,12)")).alias("__r2"),
-        sum((col("__r") * col("__x")).cast("decimal(38,12)")).alias("__r2x"),
-        sum((col("__r") * col("__x") * col("__x")).cast("decimal(38,12)"))
-          .alias("__r2xx"),
-        sum((lit(1.0) - col("__r")).cast("decimal(38,12)")).alias("__r1"),
-        sum(((lit(1.0) - col("__r")) * col("__x")).cast("decimal(38,12)"))
-          .alias("__r1x"),
-        sum(((lit(1.0) - col("__r")) * col("__x") * col("__x"))
-          .cast("decimal(38,12)")).alias("__r1xx"),
-        count(lit(1)).alias("__n"))
-      val mu1u = col("__r1x").cast("double") / col("__r1").cast("double")
-      val mu2u = col("__r2x").cast("double") / col("__r2").cast("double")
+      val aCols = Seq(count(lit(1)).alias("__n")) ++
+        P.pairSum(col("__r"), "__r2") ++
+        P.pairSum(col("__r") * col("__x"), "__r2x") ++
+        P.pairSum(col("__r") * col("__x") * col("__x"), "__r2xx") ++
+        P.pairSum(lit(1.0) - col("__r"), "__r1") ++
+        P.pairSum((lit(1.0) - col("__r")) * col("__x"), "__r1x") ++
+        P.pairSum((lit(1.0) - col("__r")) * col("__x") * col("__x"), "__r1xx")
+      def pv(n: String): Column = P.pairVal(col(s"${n}h"), col(s"${n}l"))
+      val a = t.agg(aCols.head, aCols.tail: _*)
+      val mu1u = pv("__r1x") / pv("__r1")
+      val mu2u = pv("__r2x") / pv("__r2")
       a.select(
-        round(col("__r2").cast("double") / col("__n").cast("double"), 9)
-          .alias("__p2"),
-        round(mu1u, 9).alias("__mu1"),
-        round(sqrt(greatest(col("__r1xx").cast("double") /
-          col("__r1").cast("double") - mu1u * mu1u, lit(1e-12))), 9)
-          .alias("__s1"),
-        round(mu2u, 9).alias("__mu2"),
-        round(sqrt(greatest(col("__r2xx").cast("double") /
-          col("__r2").cast("double") - mu2u * mu2u, lit(1e-12))), 9)
-          .alias("__s2"))
+        P.pin9(pv("__r2") / col("__n").cast("double")).alias("__p2"),
+        P.pin9(mu1u).alias("__mu1"),
+        P.pin9(sqrt(greatest(pv("__r1xx") / pv("__r1") - mu1u * mu1u,
+          lit(1e-12)))).alias("__s1"),
+        P.pin9(mu2u).alias("__mu2"),
+        P.pin9(sqrt(greatest(pv("__r2xx") / pv("__r2") - mu2u * mu2u,
+          lit(1e-12)))).alias("__s2"))
     }
     // one-row param checkpoint per pass ([[logisticBeta]]'s lineage
     // stance): each EM step reads the stream exactly once
@@ -4284,33 +4293,33 @@ object Stats {
     val fin = (1 to iters).foldLeft(ckpt(init))((p, _) => ckpt(step(p)))
     val lnNorm = lit(0.9189385332046727) // ln √(2π), pinned
     val t = base.crossJoin(broadcast(fin))
-    val out = t.agg(count(lit(1)).alias("n"),
-        max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
-        max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
-        max(col("__s2")).alias("__fs2"),
-        // clamp the both-underflow degenerate at the portable kernel's
-        // ln domain floor (pln clamps below 1e-18 anyway; the explicit
-        // greatest keeps the floor visible and mirrored in the oracle)
-        // and pin the ln OUTPUT to 9 dp before the exact DECIMAL sum
-        sum((round(graft.functions.PortableMath.pln(
-          greatest(w1 + w2, lit(1e-18))), 9) - lnNorm)
-          .cast("decimal(38,12)")).alias("__ll"))
+    val outCols = Seq(count(lit(1)).alias("n"),
+      max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
+      max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
+      max(col("__s2")).alias("__fs2")) ++
+      // clamp the both-underflow degenerate at the portable kernel's
+      // ln domain floor (pln clamps below 1e-18 anyway; the explicit
+      // greatest keeps the floor visible and mirrored in the oracle)
+      // and pin the ln OUTPUT to 9 dp before the exact integer pair sum
+      P.pairSum(P.pin9(P.pln(greatest(w1 + w2, lit(1e-18)))) - lnNorm,
+        "__ll")
+    val out = t.agg(outCols.head, outCols.tail: _*)
     val swap = col("__fmu1") > col("__fmu2")
     out.select(col("n"),
-      round0(when(swap, col("__fp2")).otherwise(lit(1.0) - col("__fp2")), 6)
+      P.pin6(when(swap, col("__fp2")).otherwise(lit(1.0) - col("__fp2")))
         .alias("pi_lo"),
-      round0(when(swap, col("__fmu2")).otherwise(col("__fmu1")), 6)
+      P.pin6(when(swap, col("__fmu2")).otherwise(col("__fmu1")))
         .alias("mu_lo"),
-      round0(when(swap, col("__fs2")).otherwise(col("__fs1")), 6)
+      P.pin6(when(swap, col("__fs2")).otherwise(col("__fs1")))
         .alias("sigma_lo"),
-      round0(when(swap, lit(1.0) - col("__fp2")).otherwise(col("__fp2")), 6)
+      P.pin6(when(swap, lit(1.0) - col("__fp2")).otherwise(col("__fp2")))
         .alias("pi_hi"),
-      round0(when(swap, col("__fmu1")).otherwise(col("__fmu2")), 6)
+      P.pin6(when(swap, col("__fmu1")).otherwise(col("__fmu2")))
         .alias("mu_hi"),
-      round0(when(swap, col("__fs1")).otherwise(col("__fs2")), 6)
+      P.pin6(when(swap, col("__fs1")).otherwise(col("__fs2")))
         .alias("sigma_hi"),
-      round0(col("__ll").cast("double") / col("n").cast("double"), 6)
-        .alias("avg_loglik"))
+      P.pin6(P.pairVal(col("__llh"), col("__lll")) /
+        col("n").cast("double")).alias("avg_loglik"))
   }
 
   /** Isotonic (monotone non-decreasing) calibration over score bins —

@@ -393,20 +393,31 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
 
   test("property: gmmEm1d == plain-Scala EM reference on random samples") {
     import spark.implicits._
-    def r(d: Double, s: Int): Double =
-      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // Independent reference replaying the op's contract: DECIMAL-cast
-    // per-row terms summed exactly, 9-dp params between steps.
+    // Plain-Scala replay of the round-13 PORTABLE value path (the cox
+    // replay's construction): floor-ladder pins, exact integer (hi, lo)
+    // pair sums (BigInt stands in for the op's DECIMAL(38,0)), IEEE
+    // rebuilds — NO engine round(), NO decimal<->double cast anywhere.
+    // The asserts are BIT equality on the pin6 readouts.
+    def pin(d: Double, q: Double): Double = {
+      val hi = math.floor(d)
+      hi + math.floor((d - hi) * q + 0.5) / q
+    }
+    def pairSum(vs: Seq[Double]): Double = {
+      val (h, l) = vs.foldLeft((BigInt(0), BigInt(0))) { case ((h, l), v) =>
+        val hi = math.floor(v)
+        (h + BigInt(hi.toLong),
+          l + BigInt(math.floor((v - hi) * 1e9 + 0.5).toLong))
+      }
+      h.toDouble + l.toDouble / 1e9
+    }
     def emRef(xs: Seq[Double], iters: Int): (Double, Double, Double, Double, Double) = {
-      def dsum(ts: Seq[Double], s: Int): Double =
-        ts.map(BigDecimal(_).setScale(s, BigDecimal.RoundingMode.HALF_UP))
-          .sum.toDouble
       val n = xs.size.toDouble
-      val m = r(dsum(xs, 9) / n, 9)
-      val v = math.max(dsum(xs.map(x => x * x), 9) / n - m * m, 1e-12)
+      val m = pin(pairSum(xs) / n, 1e9)
+      val exx = pairSum(xs.map(x => x * x)) / n
+      val sd0 = math.sqrt(math.max(exx - m * m, 1e-12))
       var (p2, mu1, s1, mu2, s2) =
-        (0.5, r(m - math.sqrt(v), 9), r(math.sqrt(v), 9),
-          r(m + math.sqrt(v), 9), r(math.sqrt(v), 9))
+        (0.5, pin(m - sd0, 1e9), pin(sd0, 1e9), pin(m + sd0, 1e9),
+          pin(sd0, 1e9))
       for (_ <- 1 to iters) {
         val rs = xs.map { x =>
           val d1 = (x - mu1) / s1; val d2 = (x - mu2) / s2
@@ -416,21 +427,21 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
           val pexp = graft.functions.PortableMathKernel.pexp _
           val w1 = ((1.0 - p2) / s1) * pexp(-(0.5 * (d1 * d1)))
           val w2 = (p2 / s2) * pexp(-(0.5 * (d2 * d2)))
-          // larger-mean-keyed midpoint tiebreak + 9-dp pinned ratio
+          // larger-mean-keyed midpoint tiebreak + pinned ratio
           if (w1 + w2 == 0.0) {
             if ((x > (mu1 + mu2) / 2.0) == (mu2 >= mu1)) 1.0 else 0.0
-          } else r(w2 / (w1 + w2), 9)
+          } else pin(w2 / (w1 + w2), 1e9)
         }
-        val r2 = dsum(rs, 12); val r1 = dsum(rs.map(1.0 - _), 12)
-        val r2x = dsum(rs.zip(xs).map { case (rr, x) => rr * x }, 12)
-        val r1x = dsum(rs.zip(xs).map { case (rr, x) => (1.0 - rr) * x }, 12)
-        val r2xx = dsum(rs.zip(xs).map { case (rr, x) => rr * x * x }, 12)
-        val r1xx = dsum(rs.zip(xs).map { case (rr, x) => (1.0 - rr) * x * x }, 12)
+        val r2 = pairSum(rs); val r1 = pairSum(rs.map(1.0 - _))
+        val r2x = pairSum(rs.zip(xs).map { case (rr, x) => rr * x })
+        val r1x = pairSum(rs.zip(xs).map { case (rr, x) => (1.0 - rr) * x })
+        val r2xx = pairSum(rs.zip(xs).map { case (rr, x) => rr * x * x })
+        val r1xx = pairSum(rs.zip(xs).map { case (rr, x) => (1.0 - rr) * x * x })
         val m1u = r1x / r1; val m2u = r2x / r2
-        p2 = r(r2 / n, 9)
-        s1 = r(math.sqrt(math.max(r1xx / r1 - m1u * m1u, 1e-12)), 9)
-        s2 = r(math.sqrt(math.max(r2xx / r2 - m2u * m2u, 1e-12)), 9)
-        mu1 = r(m1u, 9); mu2 = r(m2u, 9)
+        p2 = pin(r2 / n, 1e9)
+        s1 = pin(math.sqrt(math.max(r1xx / r1 - m1u * m1u, 1e-12)), 1e9)
+        s2 = pin(math.sqrt(math.max(r2xx / r2 - m2u * m2u, 1e-12)), 1e9)
+        mu1 = pin(m1u, 1e9); mu2 = pin(m2u, 1e9)
       }
       if (mu1 > mu2) (p2, mu2, s2, mu1, s1) else (1.0 - p2, mu1, s1, mu2, s2)
     }
@@ -439,11 +450,11 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       val (piLo, muLo, sLo, muHi, sHi) = emRef(xs, 3)
       val row = graft.ops.Stats.gmmEm1d(xs.toDF("x"), col("x"), iters = 3)
         .collect().head
-      assert(row.getDouble(1) == r(piLo, 6), s"pi_lo xs=$xs")
-      assert(row.getDouble(2) == r(muLo, 6), s"mu_lo xs=$xs")
-      assert(row.getDouble(3) == r(sLo, 6), s"sigma_lo xs=$xs")
-      assert(row.getDouble(5) == r(muHi, 6), s"mu_hi xs=$xs")
-      assert(row.getDouble(6) == r(sHi, 6), s"sigma_hi xs=$xs")
+      assert(row.getDouble(1) == pin(piLo, 1e6), s"pi_lo xs=$xs")
+      assert(row.getDouble(2) == pin(muLo, 1e6), s"mu_lo xs=$xs")
+      assert(row.getDouble(3) == pin(sLo, 1e6), s"sigma_lo xs=$xs")
+      assert(row.getDouble(5) == pin(muHi, 1e6), s"mu_hi xs=$xs")
+      assert(row.getDouble(6) == pin(sHi, 1e6), s"sigma_hi xs=$xs")
     }
   }
 

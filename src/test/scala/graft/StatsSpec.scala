@@ -1264,22 +1264,36 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val df = rows.toDF("y", "x1", "x2")
     val got = Stats.logisticFit2(df, col("y"), col("x1"), col("x2"), iters = 3)
       .collect().head
-    // independent replay of the exact pipeline: 9-dp β rounds, double
-    // moments (exact here — sums are small), Cramer updates
+    // independent replay of the exact round-13 pipeline: portable
+    // floor-ladder pins and exact integer (hi, lo) pair sums (BigInt
+    // stands in for the op's DECIMAL(38,0)), Cramer updates
     var (b0, b1, b2) = (0.0, 0.0, 0.0)
-    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(v: Double) = { // PortableMath.pin9's floor-ladder
+      val hi = math.floor(v)
+      hi + math.floor((v - hi) * 1e9 + 0.5) / 1e9
+    }
+    def pairSum(vs: Seq[Double]): Double = {
+      val (h, l) = vs.foldLeft((BigInt(0), BigInt(0))) { case ((h, l), v) =>
+        val hi = math.floor(v)
+        (h + BigInt(hi.toLong),
+          l + BigInt(math.floor((v - hi) * 1e9 + 0.5).toLong))
+      }
+      h.toDouble + l.toDouble / 1e9
+    }
     for (_ <- 1 to 3) {
-      var (g0, g1, g2) = (0.0, 0.0, 0.0)
-      var (h00, h01, h02, h11, h12, h22) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
-      for ((y, x1, x2) <- rows) {
-        // 9-dp-pinned sigmoid output (logisticP's cross-libm stance)
+      val terms = rows.map { case (y, x1, x2) =>
+        // pin9'd sigmoid output (logisticP's cross-libm stance)
         val p = r9(1.0 / (1.0 +
           graft.functions.PortableMathKernel.pexp(-(b0 + b1 * x1 + b2 * x2))))
         val w = p * (1.0 - p); val rr = y - p
-        g0 += rr; g1 += rr * x1; g2 += rr * x2
-        h00 += w; h01 += w * x1; h02 += w * x2
-        h11 += w * x1 * x1; h12 += w * x1 * x2; h22 += w * x2 * x2
+        (rr, rr * x1, rr * x2, w, w * x1, w * x2, w * x1 * x1,
+          w * x1 * x2, w * x2 * x2)
       }
+      val g0 = pairSum(terms.map(_._1)); val g1 = pairSum(terms.map(_._2))
+      val g2 = pairSum(terms.map(_._3))
+      val h00 = pairSum(terms.map(_._4)); val h01 = pairSum(terms.map(_._5))
+      val h02 = pairSum(terms.map(_._6)); val h11 = pairSum(terms.map(_._7))
+      val h12 = pairSum(terms.map(_._8)); val h22 = pairSum(terms.map(_._9))
       val det = h00 * (h11 * h22 - h12 * h12) - h01 * (h01 * h22 - h12 * h02) +
         h02 * (h01 * h12 - h11 * h02)
       val d0 = g0 * (h11 * h22 - h12 * h12) - h01 * (g1 * h22 - h12 * g2) +
@@ -1290,8 +1304,9 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
         g0 * (h01 * h12 - h11 * h02)
       b0 = r9(b0 + d0 / det); b1 = r9(b1 + d1 / det); b2 = r9(b2 + d2 / det)
     }
-    // the DECIMAL(38,12) sums truncate each term at 12 dp, so allow that
-    // accumulation slack (40 terms × 0.5e-12, amplified through Cramer)
+    // the replay IS the op's arithmetic (pin9 + pair sums), so β
+    // matches to the pin6 readout exactly; keep a hair of slack for
+    // the getDouble(.)-vs-b comparison being pin6(β) vs raw β
     assert(math.abs(got.getDouble(1) - b0) < 1e-6)
     assert(math.abs(got.getDouble(2) - b1) < 1e-6)
     assert(math.abs(got.getDouble(3) - b2) < 1e-6)
