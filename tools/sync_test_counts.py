@@ -15,6 +15,17 @@ def main():
     reports = sorted(glob.glob(os.path.join(ROOT, "target/test-reports/*.xml")))
     if not reports:
         sys.exit("no test reports found — run `sbt test` first")
+    # staleness guard (round 13: a sync from reports predating the last
+    # test-source edit wrote a wrong count): every report must be newer
+    # than the newest file under src/.
+    newest_src = max(
+        os.path.getmtime(os.path.join(d, f))
+        for d, _, fs in os.walk(os.path.join(ROOT, "src")) for f in fs)
+    stale = [p for p in reports if os.path.getmtime(p) < newest_src]
+    if stale:
+        sys.exit(f"refusing to sync: {len(stale)} report(s) older than the "
+                 "newest src/ file — re-run `sbt test` first "
+                 f"(e.g. {os.path.basename(stale[0])})")
     suites, tests, failures = 0, 0, 0
     for path in reports:
         s = ET.parse(path).getroot()
