@@ -3600,6 +3600,31 @@ object SparkEntry {
       graft.ops.Stats.coxDiagBetas(coxSubjects(s, d), "dur", "observed",
         "activity", iters = 3)),
 
+    // r13 x-digest SPLIT (round-13 VERDICT next-round #2): integers
+    // only vs covariate digest, so a red names the diverging column
+    // class even if the grid injection is incomplete.
+    "q_cox_diag_xint" -> ((s, d) =>
+      graft.ops.Stats.coxDiagXInt(coxSubjects(s, d), "dur", "observed",
+        "activity")),
+    "q_cox_diag_xcov" -> ((s, d) =>
+      graft.ops.Stats.coxDiagXCov(coxSubjects(s, d), "dur", "observed",
+        "activity")),
+
+    // Per-value covariate grid probe: one row per distinct per-user
+    // event count with its (hi, lo) decomposition on both engines —
+    // verifies the round-14 injected grid TRANSPORT value by value
+    // (a red here names the exact diverging argument k).
+    "q_cox_diag_grid" -> ((s, d) => {
+      val P = graft.functions.PortableMath
+      val x = coxGridX(col("na"))
+      Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).alias("na"))
+        .groupBy("na").agg(count(lit(1)).alias("n_users"))
+        .select(col("na"), col("n_users"),
+          P.hiPart(x).cast("long").alias("xh"),
+          P.loPart(x, 1e9).cast("long").alias("xl"))
+    }),
+
     // Portable-exp bit-parity probe (functions/PortableMath.scala): a
     // deterministic integer-derived grid of ~|events| arguments across
     // [-20, 20] whose outputs are decomposed EXACTLY into integer bit
@@ -5415,10 +5440,49 @@ object SparkEntry {
       .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
   }
 
+  /** Round-14 closure of the rounds-10..13 q_cox_ph driver red: the cox
+    * covariate pin9(pln(k)) over the small integer domain k = per-user
+    * event count is computed ONCE here on the JVM kernel and injected
+    * into BOTH engines as the SAME IEEE doubles (the ewmaWeights
+    * literal-injection stance) — Spark reads `element_at` of this array
+    * literal, the oracle inlines shortest-round-trip literals in a
+    * VALUES grid ([[coxGridCte]]). The covariate is never COMPUTED on
+    * an engine again, so the r13 q_cox_diag_x divergence (a ±1e-9-
+    * quantum covariate perturbation on the driver's DuckDB build, β
+    * ladder green, input digest red) becomes impossible by
+    * construction rather than merely unlikely. */
+  private val CoxGridMax = 256
+  private lazy val coxGridXs: Array[Double] = {
+    val K = graft.functions.PortableMathKernel
+    Array.tabulate(CoxGridMax)(i => K.pin9(K.pln((i + 1).toDouble)))
+  }
+  /** Grid lookup with a LOUD overflow guard (na beyond the grid must
+    * fail, never silently drop or fall back to an engine kernel). */
+  private def coxGridX(na: Column): Column =
+    when(na <= lit(CoxGridMax.toLong),
+      element_at(lit(coxGridXs), na.cast("int")))
+      .otherwise(raise_error(concat(
+        lit(s"cox covariate grid overflow (max $CoxGridMax): na="),
+        na.cast("string"))))
+  /** DuckDB twin: `cxg(k, x)` VALUES grid of the same doubles. */
+  private def coxGridCte: String = {
+    val rows = coxGridXs.zipWithIndex.map { case (x, i) =>
+      s"(${i + 1}, ${graft.functions.PortableMathSql.lit(x)})"
+    }.mkString(", ")
+    s"cxg(k, x) AS (VALUES $rows)"
+  }
+  /** DuckDB-side guarded covariate: LEFT JOIN miss (na > grid) errors
+    * loudly via a data-dependent string→DOUBLE cast (CASE branches are
+    * lazily evaluated, so in-grid rows never touch it). */
+  private def coxGridXSql: String =
+    "(CASE WHEN g.k IS NULL THEN " +
+      "CAST('cox covariate grid overflow' AS DOUBLE) ELSE g.x END)"
+
   /** Shared q_cox_* subjects: q_survival_km's construction plus the
-    * ln(events) covariate, 9-dp-pinned via the PORTABLE floor-ladder
-    * (graft.functions.PortableMath.pin9) — no engine round() anywhere
-    * in the cox value path (see Stats.coxPh's determinism note). */
+    * ln(events) covariate — since round 14 a [[coxGridXs]] literal
+    * lookup (injected grid), NOT an engine-evaluated kernel chain; no
+    * engine round() and no engine transcendental anywhere in the cox
+    * value path (see Stats.coxPh's determinism note). */
   private def coxSubjects(s: org.apache.spark.sql.SparkSession,
                           d: String): DataFrame =
     Tables.events(s, d).groupBy("user_id").agg(
@@ -5430,12 +5494,11 @@ object SparkEntry {
         datediff(to_date(coalesce(col("__conv"), col("__last"))),
           to_date(col("__first"))).cast("long").alias("dur"),
         col("__conv").isNotNull.alias("observed"),
-        graft.functions.PortableMath.pin9(
-          graft.functions.PortableMath.pln(col("__na").cast("double")))
-          .alias("activity"))
+        coxGridX(col("__na")).alias("activity"))
 
   /** Shared CTE chain for q_cox_ph and the q_cox_diag_* probes: the
-    * subjects (portable-pinned ln(events) covariate), b0, and `upTo`
+    * subjects (round-14: covariate from the INJECTED literal grid
+    * [[coxGridCte]], not an engine-evaluated kernel), b0, and `upTo`
     * Newton iterations. Round-13 determinism rewrite, the exact mirror
     * of Stats.coxPh's: NO engine round() (portable floor-ladder pins
     * only) and NO DECIMAL↔DOUBLE cast of a non-integer value — every
@@ -5480,14 +5543,16 @@ object SparkEntry {
         s"(SELECT b + ${pm.pairValSql("u")} / ${pm.pairValSql("i")} AS bn " +
         s"FROM u$k CROSS JOIN $prev) bq$k)"
     }
-    val subjInner = pm.lnFrom("s", "CAST(na AS DOUBLE)", "__plnna", "pl")
     "WITH s AS (SELECT user_id, min(ts) AS f, " +
       "min(CASE WHEN event_type = 'purchase' THEN ts END) AS c, " +
       "max(ts) AS l, count(*) AS na FROM events GROUP BY 1), " +
+      // round 14: covariate from the injected literal grid (coxGridCte)
+      // — identical IEEE doubles to the Spark side by construction
+      s"$coxGridCte, " +
       "subj AS (SELECT CAST(date_diff('day', CAST(f AS DATE), " +
       "CAST(coalesce(c, l) AS DATE)) AS BIGINT) AS t, " +
       "CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS e, " +
-      s"${pm.pin9Sql("__plnna")} AS x FROM $subjInner plw), " +
+      s"$coxGridXSql AS x FROM s LEFT JOIN cxg g ON s.na = g.k), " +
       "b0 AS (SELECT 0e0 AS b)" +
       (if (upTo >= 1) (1 to upTo).map(iter).mkString(", ", ", ", "")
        else "")
@@ -5572,6 +5637,39 @@ object SparkEntry {
       s"SUM(CAST($lo AS DECIMAL(38,0))) AS xl, " +
       s"SUM(CAST(CAST($lo AS BIGINT) * CAST($lo AS BIGINT) " +
       "AS DECIMAL(38,0))) AS xll FROM subj"
+  }
+
+  /** q_cox_diag_xint oracle: the integer half of the subjects digest —
+    * no covariate column touched. */
+  private def coxDiagXIntOracle: String =
+    coxCtes(0) +
+      " SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(SUM(e) AS BIGINT) AS n_events, " +
+      "CAST(SUM(t) AS BIGINT) AS t_sum FROM subj"
+
+  /** q_cox_diag_xcov oracle: the covariate half — (Σhi, Σlo, Σlo²) of
+    * the grid-injected x. */
+  private def coxDiagXCovOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val lo = pm.loSql("x", 1e9)
+    coxCtes(0) +
+      s" SELECT SUM(CAST(${pm.hiSql("x")} AS DECIMAL(38,0))) AS xh, " +
+      s"SUM(CAST($lo AS DECIMAL(38,0))) AS xl, " +
+      s"SUM(CAST(CAST($lo AS BIGINT) * CAST($lo AS BIGINT) " +
+      "AS DECIMAL(38,0))) AS xll FROM subj"
+  }
+
+  /** q_cox_diag_grid oracle: one row per distinct per-user event count
+    * with the injected covariate's exact (hi, lo) integer pair. */
+  private def coxDiagGridOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    "WITH s AS (SELECT user_id, count(*) AS na FROM events GROUP BY 1), " +
+      s"$coxGridCte, " +
+      "sg AS (SELECT na, count(*) AS n_users FROM s GROUP BY 1), " +
+      s"sgx AS (SELECT na, n_users, $coxGridXSql AS x " +
+      "FROM sg LEFT JOIN cxg g ON sg.na = g.k) " +
+      s"SELECT na, n_users, CAST(${pm.hiSql("x")} AS BIGINT) AS xh, " +
+      s"CAST(${pm.loSql("x", 1e9)} AS BIGINT) AS xl FROM sgx"
   }
 
   /** q_cox_diag_g1 oracle: pass-1 suffix risk-sum pairs, digested as
@@ -10085,6 +10183,9 @@ object SparkEntry {
 
     "q_cox_ph" -> coxOracle,
     "q_cox_diag_x" -> coxDiagXOracle,
+    "q_cox_diag_xint" -> coxDiagXIntOracle,
+    "q_cox_diag_xcov" -> coxDiagXCovOracle,
+    "q_cox_diag_grid" -> coxDiagGridOracle,
     "q_cox_diag_g1" -> coxDiagG1Oracle,
     "q_cox_diag_b" -> coxDiagBOracle,
 

@@ -109,6 +109,19 @@ object PortableMathKernel {
     m
   }
 
+  /** JVM scalar twin of [[PortableMath.pin]]/[[PortableMathSql.pinSql]]
+    * — the same floor-ladder, for GRID values computed ONCE on the
+    * driver and injected into both engines as identical literals
+    * (round 14: the cox covariate grid, the ewmaWeights stance). Spark's
+    * column pin routes through floor→LONG, this one through
+    * floor→double; the values are bit-identical for the |v| < 2^52
+    * domain because a LONG→DOUBLE cast of an exact integer is exact. */
+  def pin(v: Double, quanta: Double): Double = {
+    val hi = java.lang.Math.floor(v)
+    hi + java.lang.Math.floor((v - hi) * quanta + 0.5) / quanta
+  }
+  def pin9(v: Double): Double = pin(v, 1e9)
+
   /** Portable ln. Every step mirrored verbatim by
     * [[PortableMathSql.lnFrom]] — edit BOTH or neither. */
   def pln(x: Double): Double = {
@@ -193,13 +206,23 @@ case class PortableLnExpr(child: Expression)
   *     keeps every decimal unscaled value equal to its value, so the
   *     DECIMAL→DOUBLE rebuild `H + L/q` is exact-per-component
   *     (< 2^53) on any build: no cast ever rounds.
-  * Domain: |c| < 2^52 (so `c - floor(c)` is exact) and NaN-free —
-  * Spark's floor(double) returns LONG, collapsing NaN to 0, while
-  * DuckDB keeps NaN; callers feed pinned params, kernel outputs and
-  * their bounded products, never NaN. The pin is round-half-toward-
-  * +inf at the q-th quantum (for the values both engines compute it
-  * identically, which is the whole contract; it matches HALF_UP
-  * everywhere except exact negative midpoints, measure-zero here).
+  * Domain: |c| < 2^52 and NaN/Inf-free. `c - floor(c)` is a single
+  * correctly-rounded IEEE op (exact for c ≥ 0 below 2^52; for
+  * negative non-integer c the exact difference can need one bit below
+  * the result binade's ulp and rounds — still ONE correctly-rounded
+  * op computed identically on both engines, which is the contract).
+  * NaN/Inf DIVERGE between engines here: Spark's floor(double)
+  * returns LONG, collapsing NaN to 0 and ±Inf to Long.Min/Max — so
+  * pin(NaN) quietly yields 0.0 — while DuckDB's floor keeps DOUBLE
+  * and propagates NaN into pinSql (and errors loudly on
+  * CAST(NaN AS DECIMAL) in pairSumSql). A degenerate fit (constant
+  * covariate → I = 0 → NaN/Inf) is therefore out of the dual-engine
+  * contract at the PIN layer too, not just the kernel: callers feed
+  * pinned params, kernel outputs and their bounded products, never
+  * NaN (round-13 ADVICE). The pin is round-half-toward-+inf at the
+  * q-th quantum (for the values both engines compute it identically,
+  * which is the whole contract; it matches HALF_UP everywhere except
+  * exact negative midpoints).
   * SQL mirrors: [[PortableMathSql.pinSql]]/[[PortableMathSql.pairSumSql]]/
   * [[PortableMathSql.pairValSql]] — edit BOTH or neither. */
 object PortableMath {

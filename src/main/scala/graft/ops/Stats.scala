@@ -4028,8 +4028,12 @@ object Stats {
     * [[graft.functions.PortableMath.pin6]] (never −0.0: hi+lo/q of a
     * negative-tiny value lands on +0.0). A constant covariate (I = 0)
     * is a degenerate design outside the dual-engine contract, as for
-    * the logistic twin; NaN then propagates identically on both
-    * engines (the kernel's isnan stance). Readout: n, n_events, beta,
+    * the logistic twin; the failure mode then DIVERGES by engine
+    * (round-13 ADVICE): the U/I NaN reaches the pin ladder, where
+    * Spark's floor(double)→LONG collapses NaN to 0 (quiet numbers)
+    * while the DuckDB mirror propagates NaN and errors loudly on
+    * CAST(NaN AS DECIMAL) in the pair sums — the kernel's isnan
+    * parity covers pexp/pln only, not the pin. Readout: n, n_events, beta,
     * se = 1/√I, z, hazard_ratio, partial log-lik. Stage-localizing
     * probes for the driver artifact: [[coxDiagX]], [[coxDiagG1]],
     * [[coxDiagBetas]]. */
@@ -4140,6 +4144,31 @@ object Stats {
     coxBase(subjects, durCol, observedCol, xCol).agg(
       count(lit(1)).alias("n"), sum("__e").alias("n_events"),
       sum("__t").alias("t_sum"),
+      sum(P.hiPart(col("__x")).cast("decimal(38,0)")).alias("xh"),
+      sum(lo.cast("decimal(38,0)")).alias("xl"),
+      sum((lo * lo).cast("decimal(38,0)")).alias("xll"))
+  }
+
+  /** q_cox_diag_xint — the r13 x-digest SPLIT, integer half (round-13
+    * VERDICT next-round #2): subjects count, event count, duration sum
+    * — pure BIGINTs, no covariate anywhere. Red here = the SUBJECTS
+    * aggregation (dates/counts) diverges; green here + red
+    * [[coxDiagXCov]] = the covariate values alone. */
+  def coxDiagXInt(subjects: DataFrame, durCol: String, observedCol: String,
+                  xCol: String): DataFrame =
+    coxBase(subjects, durCol, observedCol, xCol).agg(
+      count(lit(1)).alias("n"), sum("__e").alias("n_events"),
+      sum("__t").alias("t_sum"))
+
+  /** q_cox_diag_xcov — the r13 x-digest split, covariate half: the
+    * (Σhi, Σlo, Σlo²) multiset digest of the pinned covariate only.
+    * With the round-14 injected covariate grid this is green by
+    * construction whenever the integer half is. */
+  def coxDiagXCov(subjects: DataFrame, durCol: String, observedCol: String,
+                  xCol: String): DataFrame = {
+    val P = graft.functions.PortableMath
+    val lo = P.loPart(col("__x"), 1e9)
+    coxBase(subjects, durCol, observedCol, xCol).agg(
       sum(P.hiPart(col("__x")).cast("decimal(38,0)")).alias("xh"),
       sum(lo.cast("decimal(38,0)")).alias("xl"),
       sum((lo * lo).cast("decimal(38,0)")).alias("xll"))

@@ -135,6 +135,33 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("JVM pin twin: kernel pin9/pin6 bit-match the Column floor-ladder") {
+    import spark.implicits._
+    // the round-14 grid-injection contract: a grid value computed ONCE
+    // by PortableMathKernel.pin9 must be the EXACT double the Column
+    // pin9 would have produced (floor→double vs floor→LONG→double —
+    // exact either way below 2^52). Cover the cox grid's actual domain
+    // (pln of the first 256 integers) plus random doubles.
+    val xs = (1 to 256).map(k => K.pln(k.toDouble)) ++
+      samples(Gen.chooseNum(-5000.0, 5000.0), 1000)
+    val got = xs.toDF("x")
+      .select(PortableMath.pin9(col("x")).alias("p9"),
+        PortableMath.pin6(col("x")).alias("p6")).collect()
+    xs.zip(got).foreach { case (x, row) =>
+      assert(java.lang.Double.doubleToLongBits(K.pin9(x)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(0)),
+        s"pin9($x): JVM ${K.pin9(x)} vs Column ${row.getDouble(0)}")
+      assert(java.lang.Double.doubleToLongBits(K.pin(x, 1e6)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)),
+        s"pin6($x): JVM ${K.pin(x, 1e6)} vs Column ${row.getDouble(1)}")
+    }
+    // and the SQL literal emitter round-trips every grid value exactly
+    (1 to 256).map(k => K.pin9(K.pln(k.toDouble))).foreach { g =>
+      val s = graft.functions.PortableMathSql.lit(g)
+      assert(java.lang.Double.parseDouble(s) === g, s"grid literal $s drifted")
+    }
+  }
+
   test("pairSum/pairVal: exact, order-independent, within 2 ulp of truth") {
     import spark.implicits._
     // 9-dp-pinned values (the only class the cox path ever pair-sums)

@@ -33,6 +33,12 @@ for lint in lint_round0 lint_transcendental lint_round_casts lint_dupkeys; do
   rc=$?; log "$lint exit $rc : $(tail -1 "$OUT/$lint.log")"
   check $rc "$lint"
 done
+# actually fail fast: a red lint means the sweep's hours are wasted —
+# abort before the multi-SF verify runs (round-13 ADVICE)
+if [ "$fail" -ne 0 ]; then
+  log "lints red — aborting before the verify sweep"
+  exit 1
+fi
 
 run_verify() { # sfdir outdir cpus
   log "Verify $1 cpus=$3 -> $2"
