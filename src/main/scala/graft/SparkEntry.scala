@@ -3681,9 +3681,10 @@ object SparkEntry {
     // the log document-length distribution — one population or two?
     // Nine integer-pair moments shuffle per pass; the corpus never moves.
     "q_gmm_doclen" -> ((s, d) =>
+      // covariate pin9(pln(1+n_chars)) from the INJECTED literal grid
+      // (round 14) — never computed by an engine
       graft.ops.Stats.gmmEm1d(Tables.documents(s, d),
-        graft.functions.PortableMath.pin9(
-          graft.functions.PortableMath.pln(lit(1.0) + col("n_chars"))),
+        lnGridX((col("n_chars") + 1).cast("long"), "q_gmm_doclen"),
         iters = 3)),
 
     // Isotonic calibration (Stats.isotonicCalibration): PAV via the
@@ -4055,9 +4056,14 @@ object SparkEntry {
     "q_logistic_quality" -> ((s, d) => {
       val P = graft.functions.PortableMath
       val nTok = size(split(col("text"), " ")).cast("double")
+      // x1 = pin9(pln(1+tokens)) from the INJECTED literal grid
+      // (round 14) — the integer-domain covariate is computed once on
+      // the JVM, never by an engine; x2's division is a single
+      // correctly-rounded IEEE op, identical cross-engine by itself
       graft.ops.Stats.logisticFit2(Tables.documents(s, d),
         (col("lang") === "en").cast("double"),
-        P.pin9(P.pln(lit(1.0) + nTok)),
+        lnGridX((size(split(col("text"), " ")) + 1).cast("long"),
+          "q_logistic_quality"),
         P.pin9(col("n_chars").cast("double") / nTok))
     }),
 
@@ -4067,9 +4073,11 @@ object SparkEntry {
     "q_quality_scores" -> ((s, d) => {
       val P = graft.functions.PortableMath
       val nTok = size(split(col("text"), " ")).cast("double")
+      // same grid-injected x1 as q_logistic_quality (round 14)
       graft.ops.Stats.logisticScore(Tables.documents(s, d), col("doc_id"),
         (col("lang") === "en").cast("double"),
-        P.pin9(P.pln(lit(1.0) + nTok)),
+        lnGridX((size(split(col("text"), " ")) + 1).cast("long"),
+          "q_quality_scores"),
         P.pin9(col("n_chars").cast("double") / nTok))
         .select(col("id").alias("doc_id"), col("score"))
         .orderBy("doc_id")
@@ -5278,17 +5286,19 @@ object SparkEntry {
     // mirror the engine's null-feature drop (logisticFit2 filters rows
     // where y/x1/x2 is NULL): NULL lang nulls y, NULL text nulls x1,
     // NULL n_chars (or text) nulls x2 — without this the oracle would
-    // keep NULL-lang docs as y=0 training rows
-    "f AS (SELECT doc_id, " +
+    // keep NULL-lang docs as y=0 training rows. x1 = pin9(pln(1+tokens))
+    // comes from the INJECTED literal grid (round 14, lnGridCte) — the
+    // integer-domain covariate is never computed by an engine.
+    lnGridCte + ", " +
+      "f AS (SELECT doc_id, " +
       "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-      s"${graft.functions.PortableMathSql.pin9Sql("__plx1")} AS x1, " +
+      s"${lnGridXSql("d.nk")} AS x1, " +
       s"${graft.functions.PortableMathSql.pin9Sql(
         "(CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))")} AS x2 FROM " +
-      graft.functions.PortableMathSql.lnFrom(
-        "(SELECT doc_id, lang, text, n_chars FROM documents " +
-          "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL)",
-        "1.0 + CAST(len(string_split(text, ' ')) AS DOUBLE)", "__plx1", "lc") +
-      " lcw)")
+      "(SELECT doc_id, lang, text, n_chars, " +
+      "1 + len(string_split(text, ' ')) AS nk FROM documents " +
+      "WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL) d " +
+      "LEFT JOIN lng g ON d.nk = g.gk)")
 
   /** The 3-step Newton chain over a caller-supplied `f` CTE (must expose
     * y, x1, x2; extra columns ride along untouched) — ends at bb3, the
@@ -5477,6 +5487,43 @@ object SparkEntry {
   private def coxGridXSql: String =
     "(CASE WHEN g.k IS NULL THEN " +
       "CAST('cox covariate grid overflow' AS DOUBLE) ELSE g.x END)"
+
+  /** The cox grid's sibling for the OTHER integer-domain fit
+    * covariates (round-13 VERDICT next-round #1 tail): q_gmm_doclen's
+    * pin9(pln(1+n_chars)) and the quality classifier's
+    * pin9(pln(1+n_tokens)) — same hazard class, green on the driver by
+    * build-luck only. k = 1+n_chars tops out ~578 and 1+n_tokens ~101
+    * at sf0.1; 2048 gives ~3.5× headroom with the same loud overflow
+    * guard. q_psm_att's x1 = pin9(pln(1+Σvalue)) is NOT enumerable
+    * (non-integer sum) and stays kernel-computed on both engines — the
+    * one remaining computed-twice covariate, documented in BASELINE. */
+  private val LnGridMax = 2048
+  private lazy val lnGridXs: Array[Double] = {
+    val K = graft.functions.PortableMathKernel
+    Array.tabulate(LnGridMax)(i => K.pin9(K.pln((i + 1).toDouble)))
+  }
+  /** Null-safe grid lookup (a null k must stay null for the fits' own
+    * null-feature drop, never hit the overflow guard). */
+  private def lnGridX(k: Column, what: String): Column =
+    when(k.isNull, lit(null).cast("double"))
+      .when(k <= lit(LnGridMax.toLong),
+        element_at(lit(lnGridXs), k.cast("int")))
+      .otherwise(raise_error(concat(
+        lit(s"$what: pln covariate grid overflow (max $LnGridMax): k="),
+        k.cast("string"))))
+  /** DuckDB twin: `lng(gk, gx)` VALUES grid of the same doubles
+    * (column names collision-proof against the fits' own k/x). */
+  private def lnGridCte: String = {
+    val rows = lnGridXs.zipWithIndex.map { case (x, i) =>
+      s"(${i + 1}, ${graft.functions.PortableMathSql.lit(x)})"
+    }.mkString(", ")
+    s"lng(gk, gx) AS (VALUES $rows)"
+  }
+  /** DuckDB-side guarded covariate off a LEFT JOIN to lng g: null k
+    * passes through (null gk AND null k), miss errors loudly. */
+  private def lnGridXSql(k: String): String =
+    s"(CASE WHEN $k IS NULL THEN NULL WHEN g.gk IS NULL THEN " +
+      "CAST('pln covariate grid overflow' AS DOUBLE) ELSE g.gx END)"
 
   /** Shared q_cox_* subjects: q_survival_km's construction plus the
     * ln(events) covariate — since round 14 a [[coxGridXs]] literal
@@ -5699,10 +5746,12 @@ object SparkEntry {
     * (normalization-free w's, 9-dp-pinned responsibilities, larger-
     * mean-keyed midpoint rule on both-underflow, ln clamped at the
     * portable kernel's 1e-18 domain floor and 9-dp-pinned in the
-    * loglik sum). Every exp/ln — the densities, the covariate, the
-    * loglik — is the PORTABLE kernel's generated SQL arithmetic
-    * (PortableMathSql), bit-identical to the Spark side by
-    * construction; libm is out of the value path entirely. */
+    * loglik sum). The covariate is the INJECTED literal grid (round
+    * 14, lnGridCte — never computed by an engine); every remaining
+    * exp/ln — the densities, the loglik — is the PORTABLE kernel's
+    * generated SQL arithmetic (PortableMathSql), bit-identical to the
+    * Spark side by construction; libm is out of the value path
+    * entirely. */
   private def gmmOracle: String = {
     val pm = graft.functions.PortableMathSql
     // normalization-free densities from the broadcast one-row params:
@@ -5749,12 +5798,13 @@ object SparkEntry {
         s"${pm.pin9Sql("umu2")} AS mu2, ${pm.pin9Sql("us2")} AS s2 " +
         s"FROM u$k)"
     }.mkString(", ")
-    val cov = pm.lnFrom(
-      "(SELECT n_chars FROM documents WHERE n_chars IS NOT NULL)",
-      "1.0 + n_chars", "__plnc", "pc")
     val llInner = pm.lnFrom(s"${wRel("p3", "pwf")} pwfz",
       "greatest(w1 + w2, 1e-18)", "__pll", "pll")
-    s"WITH b AS (SELECT ${pm.pin9Sql("__plnc")} AS x FROM $cov pcw), " +
+    // covariate from the injected literal grid (round 14, lnGridCte)
+    s"WITH $lnGridCte, " +
+      s"b AS (SELECT ${lnGridXSql("d.nk")} AS x FROM " +
+      "(SELECT 1 + n_chars AS nk FROM documents " +
+      "WHERE n_chars IS NOT NULL) d LEFT JOIN lng g ON d.nk = g.gk), " +
       "m0 AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd, " +
       pm.pairSumSql("x", "sx") + ", " + pm.pairSumSql("(x * x)", "sxx") +
       " FROM b), " +
