@@ -227,7 +227,7 @@ case class PortableLnExpr(child: Expression)
   * [[PortableMathSql.pairValSql]] — edit BOTH or neither. */
 object PortableMath {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-  import org.apache.spark.sql.functions.{floor, lit, sum}
+  import org.apache.spark.sql.functions.{col, floor, lit, sum}
   def pexp(c: Column): Column = column(PortableExpExpr(expression(c)))
   def pln(c: Column): Column = column(PortableLnExpr(expression(c)))
 
@@ -252,6 +252,26 @@ object PortableMath {
   def pairSum(v: Column, name: String): Seq[Column] = Seq(
     sum(hiPart(v).cast("decimal(38,0)")).alias(s"${name}h"),
     sum(loPart(v, 1e9).cast("decimal(38,0)")).alias(s"${name}l"))
+  /** The projection half of [[pairSum]], for STAGED call sites: the
+    * per-row (⌊v⌋, quanta) integer decomposition as two DECIMAL(38,0)
+    * columns to emit from a `select()` BEFORE the aggregate. Staging
+    * matters when v shares an expensive subexpression (the sigmoid /
+    * responsibility kernel chain) across many moments: HashAggregate
+    * update expressions are generated per aggregate function, so an
+    * unstaged [[pairSum]] re-evaluates the chain once per (hi, lo)
+    * column — 18× per row for a 9-moment Newton pass — while a
+    * projection computes it once (ProjectExec subexpression
+    * elimination). Pair with [[pairSumCols]] over the same name. */
+  def pairParts(v: Column, name: String): Seq[Column] = Seq(
+    hiPart(v).cast("decimal(38,0)").alias(s"${name}h"),
+    loPart(v, 1e9).cast("decimal(38,0)").alias(s"${name}l"))
+  /** The aggregate half of the staged pair sum: exact DECIMAL(38,0)
+    * sums of the [[pairParts]] columns emitted under `name`. Same
+    * totals as an unstaged [[pairSum]] — decimal addition of the same
+    * integers — so oracles are unaffected. */
+  def pairSumCols(name: String): Seq[Column] = Seq(
+    sum(col(s"${name}h")).alias(s"${name}h"),
+    sum(col(s"${name}l")).alias(s"${name}l"))
   /** Rebuild the double from a (H, L) pair: H + L/1e9 — each cast is
     * an exact integer conversion, the arithmetic is IEEE. */
   def pairVal(h: Column, l: Column): Column =

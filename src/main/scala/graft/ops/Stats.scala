@@ -3167,8 +3167,11 @@ object Stats {
         col("__x2").isNotNull)
     val P = graft.functions.PortableMath
     val betaF = logisticBeta(base, iters)
-    val t = base.crossJoin(broadcast(betaF))
-    val p = logisticP
+    // Stage σ(β·x) ONCE per row (round-13 ADVICE perf note: unstaged,
+    // the kernel chain re-evaluates inside every pair-sum aggregate
+    // child), then decompose the loss term in the same projection.
+    val t = base.crossJoin(broadcast(betaF)).withColumn("__p", logisticP)
+    val p = col("__p")
     val eps = lit(1e-6)
     val pc = least(greatest(p, eps), lit(1.0) - eps)
     // ln OUTPUT portable-pinned to 9 dp, then summed as an exact
@@ -3176,13 +3179,16 @@ object Stats {
     // DECIMAL(28,12) loss sum crossed 2^53 unscaled at Σ ≈ 9007)
     val lossTerm = P.pin9(-(col("__y") * P.pln(pc) +
       (lit(1.0) - col("__y")) * P.pln(lit(1.0) - pc)))
+    val parts = t.select(Seq(col("__b0"), col("__b1"), col("__b2")) ++
+      P.pairParts(lossTerm, "__loss") ++
+      Seq(when((p >= 0.5) === (col("__y") >= 0.5), 1L).otherwise(0L)
+        .alias("__okf")): _*)
     val aggCols = Seq(count(lit(1)).alias("n"),
       max(col("__b0")).alias("__fb0"), max(col("__b1")).alias("__fb1"),
       max(col("__b2")).alias("__fb2")) ++
-      P.pairSum(lossTerm, "__loss") ++
-      Seq(sum(when((p >= 0.5) === (col("__y") >= 0.5), 1L).otherwise(0L))
-        .alias("__ok"))
-    t.agg(aggCols.head, aggCols.tail: _*)
+      P.pairSumCols("__loss") ++
+      Seq(sum(col("__okf")).alias("__ok"))
+    parts.agg(aggCols.head, aggCols.tail: _*)
       .select(col("n"),
         P.pin6(col("__fb0")).alias("b0"),
         P.pin6(col("__fb1")).alias("b1"),
@@ -3215,8 +3221,14 @@ object Stats {
   private def logisticBeta(base: DataFrame, iters: Int): DataFrame = {
     def step(beta: DataFrame): DataFrame = {
       val P = graft.functions.PortableMath
-      val t = base.crossJoin(broadcast(beta))
-      val p = logisticP
+      // Stage the sigmoid ONCE per row and decompose all nine moments
+      // into their integer (hi, lo) parts in the SAME narrow projection
+      // (round-13 ADVICE perf note: the unstaged form re-evaluated the
+      // pexp/pin9 chain inside each of the 18 pair-sum aggregate
+      // children — +0.5-0.7 s per fit at sf0.1). Same integers, same
+      // exact DECIMAL sums, same β — only where the work happens moves.
+      val t = base.crossJoin(broadcast(beta)).withColumn("__p", logisticP)
+      val p = col("__p")
       val w = p * (lit(1.0) - p)
       val r = col("__y") - p
       val xx1 = col("__x1"); val xx2 = col("__x2")
@@ -3225,16 +3237,30 @@ object Stats {
       // unscaled at Σ ≈ 9007 (the Hessian x² terms do at corpus scale),
       // where DuckDB's decimal→double DOUBLE-ROUNDS against Spark's
       // single conversion, build-dependently
+      val parts = t.select(Seq(col("__b0"), col("__b1"), col("__b2")) ++
+        P.pairParts(r, "__g0") ++ P.pairParts(r * xx1, "__g1") ++
+        P.pairParts(r * xx2, "__g2") ++
+        P.pairParts(w, "__h00") ++ P.pairParts(w * xx1, "__h01") ++
+        P.pairParts(w * xx2, "__h02") ++ P.pairParts(w * xx1 * xx1, "__h11") ++
+        P.pairParts(w * xx1 * xx2, "__h12") ++
+        P.pairParts(w * xx2 * xx2, "__h22"): _*)
       val mCols = Seq(
         max(col("__b0")).alias("__pb0"), max(col("__b1")).alias("__pb1"),
         max(col("__b2")).alias("__pb2")) ++
-        P.pairSum(r, "__g0") ++ P.pairSum(r * xx1, "__g1") ++
-        P.pairSum(r * xx2, "__g2") ++
-        P.pairSum(w, "__h00") ++ P.pairSum(w * xx1, "__h01") ++
-        P.pairSum(w * xx2, "__h02") ++ P.pairSum(w * xx1 * xx1, "__h11") ++
-        P.pairSum(w * xx1 * xx2, "__h12") ++ P.pairSum(w * xx2 * xx2, "__h22")
-      val m = t.agg(mCols.head, mCols.tail: _*)
-      def pv(n: String): Column = P.pairVal(col(s"${n}h"), col(s"${n}l"))
+        Seq("__g0", "__g1", "__g2", "__h00", "__h01", "__h02",
+          "__h11", "__h12", "__h22").flatMap(P.pairSumCols)
+      val m = parts.agg(mCols.head, mCols.tail: _*)
+      // Materialize the nine rebuilt doubles in ONE intermediate select
+      // before Cramer (BASELINE round-13 pair-sum cost note: inlining
+      // each cast+cast/1e9 rebuild dozens of times into det/d0/d1/d2 is
+      // a fixed per-pass planning/codegen cost). One row; same values —
+      // the rebuild is the same IEEE expression, evaluated once.
+      val names = Seq("__g0", "__g1", "__g2", "__h00", "__h01", "__h02",
+        "__h11", "__h12", "__h22")
+      val mv = m.select(Seq(col("__pb0"), col("__pb1"), col("__pb2")) ++
+        names.map(n =>
+          P.pairVal(col(s"${n}h"), col(s"${n}l")).alias(s"${n}v")): _*)
+      def pv(n: String): Column = col(s"${n}v")
       val g0 = pv("__g0"); val g1 = pv("__g1"); val g2 = pv("__g2")
       val h00 = pv("__h00"); val h01 = pv("__h01"); val h02 = pv("__h02")
       val h11 = pv("__h11"); val h12 = pv("__h12"); val h22 = pv("__h22")
@@ -3246,7 +3272,7 @@ object Stats {
         h02 * (h01 * g2 - g1 * h02)
       val d2 = h00 * (h11 * g2 - g1 * h12) - h01 * (h01 * g2 - g1 * h02) +
         g0 * (h01 * h12 - h11 * h02)
-      m.select(
+      mv.select(
         P.pin9(col("__pb0") + d0 / det).alias("__b0"),
         P.pin9(col("__pb1") + d1 / det).alias("__b1"),
         P.pin9(col("__pb2") + d2 / det).alias("__b2"))
@@ -4077,7 +4103,9 @@ object Stats {
     val P = graft.functions.PortableMath
     val sfx = Window.orderBy("__t") // duration-grain: calendar-bounded
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val ex = P.pin9(P.pexp(col("__b") * col("__x")))
+    // exp staged ONCE per row ([[logisticFit2]]'s round-14 stance: the
+    // kernel chain must not re-evaluate per pair-sum aggregate child)
+    val ex = col("__ex")
     val momentCols = P.pairSum(ex, "__a0") ++
       P.pairSum(col("__x") * ex, "__a1") ++
       P.pairSum(col("__x") * col("__x") * ex, "__a2") ++
@@ -4085,6 +4113,7 @@ object Stats {
       P.pairSum(when(col("__e") === 1, col("__x")).otherwise(lit(0.0)),
         "__sx")
     val withPairs = base.crossJoin(broadcast(beta))
+      .withColumn("__ex", P.pin9(P.pexp(col("__b") * col("__x"))))
       .groupBy("__t")
       .agg(momentCols.head, momentCols.tail: _*)
     Seq("0", "1", "2").foldLeft(withPairs)((df, k) =>
@@ -4321,17 +4350,20 @@ object Stats {
     val ckpt = Iterate.checkpointer(df.sparkSession.sparkContext)
     val fin = (1 to iters).foldLeft(ckpt(init))((p, _) => ckpt(step(p)))
     val lnNorm = lit(0.9189385332046727) // ln √(2π), pinned
-    val t = base.crossJoin(broadcast(fin))
+    // clamp the both-underflow degenerate at the portable kernel's
+    // ln domain floor (pln clamps below 1e-18 anyway; the explicit
+    // greatest keeps the floor visible and mirrored in the oracle)
+    // and pin the ln OUTPUT to 9 dp before the exact integer pair sum;
+    // the term is STAGED once per row ([[logisticFit2]]'s round-14
+    // stance) so the kernel chain doesn't re-evaluate per (hi, lo)
+    // aggregate child
+    val t = base.crossJoin(broadcast(fin)).withColumn("__llt",
+      P.pin9(P.pln(greatest(w1 + w2, lit(1e-18)))) - lnNorm)
     val outCols = Seq(count(lit(1)).alias("n"),
       max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
       max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
       max(col("__s2")).alias("__fs2")) ++
-      // clamp the both-underflow degenerate at the portable kernel's
-      // ln domain floor (pln clamps below 1e-18 anyway; the explicit
-      // greatest keeps the floor visible and mirrored in the oracle)
-      // and pin the ln OUTPUT to 9 dp before the exact integer pair sum
-      P.pairSum(P.pin9(P.pln(greatest(w1 + w2, lit(1e-18)))) - lnNorm,
-        "__ll")
+      P.pairSum(col("__llt"), "__ll")
     val out = t.agg(outCols.head, outCols.tail: _*)
     val swap = col("__fmu1") > col("__fmu2")
     out.select(col("n"),
