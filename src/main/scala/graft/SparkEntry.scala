@@ -3501,6 +3501,34 @@ object SparkEntry {
           graft.functions.PortableMath.pln(lit(1.0) + col("ne").cast("double"))))
     }),
 
+    // Kernel-at-fit-arguments probe for the PSM features (round-13
+    // VERDICT next-round #5): q_psm_att's x1 = pin9(pln(1+Σvalue)) is
+    // the ONE remaining covariate with a non-enumerable domain (the sum
+    // is non-integer), still kernel-computed on both engines — so digest
+    // the RAW pln outputs at those exact arguments, bit-chunked and
+    // BIGINT-summed per user-mod-20 group. A driver red here names the
+    // diverging feature class before any fit machinery runs.
+    "q_psm_diag_kln" -> ((s, d) => {
+      val P = graft.functions.PortableMath
+      val perUser = Tables.events(s, d).groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+            .alias("tv"),
+          count(lit(1)).alias("ne"))
+        .filter(col("tv").isNotNull)
+        .select(col("user_id"),
+          P.pln(lit(1.0) + col("tv")).alias("__plv"),
+          P.pln(lit(1.0) + col("ne").cast("double")).alias("__plw"))
+      val chunked = bitChunks(bitChunks(perUser, "__plv", "a_"),
+        "__plw", "b_")
+      val sums = Seq("a_", "b_").flatMap(p =>
+        Seq("hi", "c1", "c2", "c3").map(c =>
+          sum(org.apache.spark.sql.functions.col(s"$p$c").cast("long"))
+            .alias(s"$p$c")))
+      chunked.groupBy((col("user_id") % 20).alias("grp"))
+        .agg(count(lit(1)).alias("n"), sums: _*)
+        .orderBy("grp")
+    }),
+
     // Mann-Kendall trend test (Stats.mannKendall): monotone-trend
     // hypothesis readout over the daily order series — the significance
     // companion to q_theil_sen's slope.
@@ -3610,6 +3638,18 @@ object SparkEntry {
       graft.ops.Stats.coxDiagXCov(coxSubjects(s, d), "dur", "observed",
         "activity")),
 
+    // Kernel-at-fit-arguments probes (round-13 VERDICT next-round #5):
+    // bit-chunk digests of the RAW pexp/pln outputs at the EXACT
+    // arguments the final cox pass feeds the kernel — closes the
+    // q_portable_* synthetic-grid coverage gap (a red names the exact
+    // argument; green means "kernel parity" covers the used domain).
+    "q_cox_diag_kexp" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKernelExp(coxSubjects(s, d), "dur",
+        "observed", "activity", iters = 3)),
+    "q_cox_diag_kln" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKernelLn(coxSubjects(s, d), "dur",
+        "observed", "activity", iters = 3)),
+
     // Per-value covariate grid probe: one row per distinct per-user
     // event count with its (hi, lo) decomposition on both engines —
     // verifies the round-14 injected grid TRANSPORT value by value
@@ -3685,6 +3725,14 @@ object SparkEntry {
       // (round 14) — never computed by an engine
       graft.ops.Stats.gmmEm1d(Tables.documents(s, d),
         lnGridX((col("n_chars") + 1).cast("long"), "q_gmm_doclen"),
+        iters = 3)),
+
+    // Kernel-at-fit-arguments probe for the GMM (round-13 VERDICT
+    // next-round #5): bit-chunk digests of the RAW density pexps and
+    // the loglik pln at the exact final-params arguments.
+    "q_gmm_diag_kernel" -> ((s, d) =>
+      graft.ops.Stats.gmmDiagKernel(Tables.documents(s, d),
+        lnGridX((col("n_chars") + 1).cast("long"), "q_gmm_diag_kernel"),
         iters = 3)),
 
     // Isotonic calibration (Stats.isotonicCalibration): PAV via the
@@ -4066,6 +4114,18 @@ object SparkEntry {
           "q_logistic_quality"),
         P.pin9(col("n_chars").cast("double") / nTok))
     }),
+
+    // Kernel-at-fit-arguments probe for the logistic family (round-13
+    // VERDICT next-round #5, q_cox_diag_kexp's sibling): bit-chunk
+    // digests of the RAW sigmoid pexp and the two clamped loss plns at
+    // the exact final-β arguments over the documents corpus.
+    "q_logistic_diag_kernel" -> ((s, d) =>
+      graft.ops.Stats.logisticDiagKernel(Tables.documents(s, d),
+        col("doc_id"), (col("lang") === "en").cast("double"),
+        lnGridX((size(split(col("text"), " ")) + 1).cast("long"),
+          "q_logistic_diag_kernel"),
+        graft.functions.PortableMath.pin9(col("n_chars").cast("double") /
+          size(split(col("text"), " ")).cast("double")))),
 
     // The classifier's FILTERING step (Stats.logisticScore): train the
     // same 3-step β, broadcast the one-row model, score every doc as a
@@ -5740,6 +5800,40 @@ object SparkEntry {
       }.mkString(", ") + " FROM b1 AS r1, b2 AS r2, b3 AS r3"
   }
 
+  /** q_cox_diag_kexp oracle: the portable-exp chain (expFrom — the
+    * generated arithmetic mirror, no libm) at the exact final-pass
+    * arguments β₃·x, one row per distinct covariate value, outputs
+    * bit-chunked exactly (chunkFrom). */
+  private def coxDiagKExpOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val inner = pm.expFrom("(SELECT x, n, b FROM dx CROSS JOIN b3)",
+      "b * x", "__pex", "dk")
+    val chunked = pm.chunkFrom(inner, "__pex", "k_")
+    coxCtes(3) +
+      ", dx AS (SELECT x, count(*) AS n FROM subj GROUP BY 1) " +
+      s"SELECT CAST(${pm.hiSql("x")} AS BIGINT) AS xh, " +
+      s"CAST(${pm.loSql("x", 1e9)} AS BIGINT) AS xl, n, " +
+      "CAST(k_hi AS BIGINT) AS e_hi, CAST(k_c1 AS BIGINT) AS e_c1, " +
+      "CAST(k_c2 AS BIGINT) AS e_c2, CAST(k_c3 AS BIGINT) AS e_c3 " +
+      s"FROM $chunked"
+  }
+
+  /** q_cox_diag_kln oracle: the portable-ln chain at the exact
+    * final-pass arguments pln(S0) (suffix risk sum rebuilt from its
+    * integer pair), one row per duration, bit-chunked exactly. */
+  private def coxDiagKLnOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val s0v = "(CAST(s0h AS DOUBLE) + CAST(s0l AS DOUBLE) / 1.0e9)"
+    val inner = pm.lnFrom("(SELECT t, ne, s0h, s0l FROM sf WHERE ne > 0)",
+      s0v, "__pln", "dl")
+    val chunked = pm.chunkFrom(inner, "__pln", "k_")
+    coxCtes(3) + ", " + coxFinalRiskCtes + " " +
+      "SELECT t, ne, " +
+      "CAST(k_hi AS BIGINT) AS l_hi, CAST(k_c1 AS BIGINT) AS l_c1, " +
+      "CAST(k_c2 AS BIGINT) AS l_c2, CAST(k_c3 AS BIGINT) AS l_c3 " +
+      s"FROM $chunked"
+  }
+
   /** DuckDB mirror of Stats.gmmEm1d over pin9(pln(1+n_chars)), 3 EM
     * steps: each pK CTE replays the nine integer-pair moment sums
     * from p(K−1)'s 9-dp params with the op's pinned parenthesization
@@ -5754,18 +5848,44 @@ object SparkEntry {
     * entirely. */
   private def gmmOracle: String = {
     val pm = graft.functions.PortableMathSql
-    // normalization-free densities from the broadcast one-row params:
-    // w = (weight / sigma) * pexp(-(0.5 * z * z)), both pexp's the
-    // portable kernel chain
-    def wRel(prev: String, tag: String): String = {
-      val inner = s"(SELECT x, p2, mu1, mu2, s1, s2 FROM b CROSS JOIN $prev)"
-      val e1 = pm.expFrom(inner,
-        "-(0.5 * (((x - mu1) / s1) * ((x - mu1) / s1)))", "__pw1", tag + "a")
-      val e2 = pm.expFrom(e1,
-        "-(0.5 * (((x - mu2) / s2) * ((x - mu2) / s2)))", "__pw2", tag + "b")
-      s"(SELECT x, ((1.0 - p2) / s1) * __pw1 AS w1, " +
-        s"(p2 / s2) * __pw2 AS w2, mu1, mu2 FROM $e2 ${tag}w)"
-    }
+    val llInner = pm.lnFrom(s"${gmmWRel("p3", "pwf")} pwfz",
+      "greatest(w1 + w2, 1e-18)", "__pll", "pll")
+    gmmCtes + ", " +
+      s"f0 AS (SELECT ${pm.pin9Sql("__pll")} AS pll FROM $llInner pllw), " +
+      "f AS (SELECT count(*) AS n, " +
+      pm.pairSumSql(s"(pll - ${pm.lit(0.9189385332046727)})", "ll") +
+      " FROM f0) " +
+      "SELECT CAST(n AS BIGINT) AS n, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN p2 ELSE 1.0 - p2 END)")} AS pi_lo, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN mu2 ELSE mu1 END)")} AS mu_lo, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN s2 ELSE s1 END)")} AS sigma_lo, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN 1.0 - p2 ELSE p2 END)")} AS pi_hi, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN mu1 ELSE mu2 END)")} AS mu_hi, " +
+      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN s1 ELSE s2 END)")} AS sigma_hi, " +
+      s"${pm.pin6Sql(s"(${pm.pairValSql("ll")} / CAST(n AS DOUBLE))")} AS avg_loglik " +
+      "FROM f CROSS JOIN p3"
+  }
+
+  /** Normalization-free densities from the broadcast one-row params:
+    * w = (weight / sigma) * pexp(-(0.5 * z * z)), both pexp's the
+    * portable kernel chain — shared by [[gmmOracle]], [[gmmCtes]]'s
+    * EM steps, and the q_gmm_diag_kernel probe. */
+  private def gmmWRel(prev: String, tag: String): String = {
+    val pm = graft.functions.PortableMathSql
+    val inner = s"(SELECT x, p2, mu1, mu2, s1, s2 FROM b CROSS JOIN $prev)"
+    val e1 = pm.expFrom(inner,
+      "-(0.5 * (((x - mu1) / s1) * ((x - mu1) / s1)))", "__pw1", tag + "a")
+    val e2 = pm.expFrom(e1,
+      "-(0.5 * (((x - mu2) / s2) * ((x - mu2) / s2)))", "__pw2", tag + "b")
+    s"(SELECT x, __pw1, __pw2, ((1.0 - p2) / s1) * __pw1 AS w1, " +
+      s"(p2 / s2) * __pw2 AS w2, mu1, mu2 FROM $e2 ${tag}w)"
+  }
+
+  /** Shared GMM CTE chain — covariate table `b` off the injected
+    * literal grid, moment init p0, and the 3-step EM param ladder
+    * ending at `p3`. Mirrors Stats.gmmFit op for op. */
+  private def gmmCtes: String = {
+    val pm = graft.functions.PortableMathSql
     // round-13 determinism rewrite (Stats.gmmEm1d's mirror, op for op):
     // NO engine round() (portable floor-ladder pins only) and NO
     // DECIMAL↔DOUBLE cast of a non-integer value — every moment sum is
@@ -5775,7 +5895,7 @@ object SparkEntry {
         "(CASE WHEN (x > (mu1 + mu2) / 2.0) = (mu2 >= mu1) " +
         "THEN 1.0 ELSE 0.0 END) " +
         s"ELSE ${pm.pin9Sql("(w2 / (w1 + w2))")} END AS r " +
-        s"FROM ${wRel(s"p${k - 1}", s"pw$k")} pw${k}z), " +
+        s"FROM ${gmmWRel(s"p${k - 1}", s"pw$k")} pw${k}z), " +
         s"a$k AS (SELECT count(*) AS n, " +
         pm.pairSumSql("r", "r2") + ", " +
         pm.pairSumSql("(r * x)", "r2x") + ", " +
@@ -5798,8 +5918,6 @@ object SparkEntry {
         s"${pm.pin9Sql("umu2")} AS mu2, ${pm.pin9Sql("us2")} AS s2 " +
         s"FROM u$k)"
     }.mkString(", ")
-    val llInner = pm.lnFrom(s"${wRel("p3", "pwf")} pwfz",
-      "greatest(w1 + w2, 1e-18)", "__pll", "pll")
     // covariate from the injected literal grid (round 14, lnGridCte)
     s"WITH $lnGridCte, " +
       s"b AS (SELECT ${lnGridXSql("d.nk")} AS x FROM " +
@@ -5814,20 +5932,26 @@ object SparkEntry {
       s"p0 AS (SELECT 0.5 AS p2, ${pm.pin9Sql("(m - sd0)")} AS mu1, " +
       s"${pm.pin9Sql("sd0")} AS s1, ${pm.pin9Sql("(m + sd0)")} AS mu2, " +
       s"${pm.pin9Sql("sd0")} AS s2 FROM i1), " +
-      iters + ", " +
-      s"f0 AS (SELECT ${pm.pin9Sql("__pll")} AS pll FROM $llInner pllw), " +
-      "f AS (SELECT count(*) AS n, " +
-      pm.pairSumSql(s"(pll - ${pm.lit(0.9189385332046727)})", "ll") +
-      " FROM f0) " +
-      "SELECT CAST(n AS BIGINT) AS n, " +
-      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN p2 ELSE 1.0 - p2 END)")} AS pi_lo, " +
-      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN mu2 ELSE mu1 END)")} AS mu_lo, " +
-      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN s2 ELSE s1 END)")} AS sigma_lo, " +
-      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN 1.0 - p2 ELSE p2 END)")} AS pi_hi, " +
-      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN mu1 ELSE mu2 END)")} AS mu_hi, " +
-      s"${pm.pin6Sql("(CASE WHEN mu1 > mu2 THEN s1 ELSE s2 END)")} AS sigma_hi, " +
-      s"${pm.pin6Sql(s"(${pm.pairValSql("ll")} / CAST(n AS DOUBLE))")} AS avg_loglik " +
-      "FROM f CROSS JOIN p3"
+      iters
+  }
+
+  /** q_gmm_diag_kernel oracle: the portable exp/ln chains at the exact
+    * final-params arguments (the two densities and the loglik ln),
+    * bit-chunked exactly and BIGINT-summed per covariate-quanta-mod-20
+    * group — [[gmmCtes]] supplies the same p3 ladder as the fit. */
+  private def gmmDiagKernelOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val lnRel = pm.lnFrom(s"${gmmWRel("p3", "dgf")} dgfz",
+      "greatest(w1 + w2, 1e-18)", "__pl", "dgl")
+    var rel = pm.chunkFrom(lnRel, "__pw1", "e_")
+    rel = pm.chunkFrom(rel, "__pw2", "f_")
+    rel = pm.chunkFrom(rel, "__pl", "a_")
+    val sums = Seq("e_", "f_", "a_").flatMap(p =>
+      Seq("hi", "c1", "c2", "c3").map(c =>
+        s"CAST(SUM(CAST($p$c AS BIGINT)) AS BIGINT) AS $p$c")).mkString(", ")
+    gmmCtes +
+      s" SELECT CAST(${pm.loSql("x", 1e9)} AS BIGINT) % 20 AS grp, " +
+      s"count(*) AS n, $sums FROM $rel GROUP BY 1 ORDER BY 1"
   }
 
   private def qualityScoresOracle: String = {
@@ -5841,6 +5965,53 @@ object SparkEntry {
       s"sc0 AS (SELECT doc_id, ${pm.pin9Sql("(1.0 / (1.0 + __ps))")} AS p9 " +
       s"FROM $inner qsw) " +
       s"SELECT doc_id, ${pm.pin6Sql("p9")} AS score FROM sc0 ORDER BY doc_id"
+  }
+
+  /** q_logistic_diag_kernel oracle: the portable exp/ln chains at the
+    * exact final-β arguments (sigmoid pexp, two clamped loss plns),
+    * bit-chunked exactly and BIGINT-summed per doc-mod-20 group —
+    * Stats.logisticDiagKernel's mirror over [[logisticCtes]]' bb3. */
+  private def logisticDiagKernelOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val finInner = pm.expFrom(
+      "(SELECT f.doc_id, f.y, f.x1, f.x2, b.b0, b.b1, b.b2 FROM f, bb3 b)",
+      "-(b0 + b1 * x1 + b2 * x2)", "__pe", "dk")
+    val cl = "(SELECT doc_id, __pe, least(greatest(" +
+      s"${pm.pin9Sql("(1.0 / (1.0 + __pe))")}, 1e-6), 1.0 - 1e-6) AS q " +
+      s"FROM $finInner dkw)"
+    var rel = pm.lnFrom(cl, "q", "__lq", "da")
+    rel = pm.lnFrom(rel, "1.0 - q", "__lr", "db")
+    rel = pm.chunkFrom(rel, "__pe", "e_")
+    rel = pm.chunkFrom(rel, "__lq", "a_")
+    rel = pm.chunkFrom(rel, "__lr", "b_")
+    val sums = Seq("e_", "a_", "b_").flatMap(p =>
+      Seq("hi", "c1", "c2", "c3").map(c =>
+        s"CAST(SUM(CAST($p$c AS BIGINT)) AS BIGINT) AS $p$c")).mkString(", ")
+    logisticCtes +
+      s" SELECT doc_id % 20 AS grp, count(*) AS n, $sums " +
+      s"FROM $rel GROUP BY 1 ORDER BY 1"
+  }
+
+  /** q_psm_diag_kln oracle: the portable ln chain at the exact PSM
+    * feature arguments — pln(1+Σvalue) (the one non-enumerable-domain
+    * covariate still kernel-computed on both engines) and pln(1+count)
+    * — bit-chunked exactly and BIGINT-summed per user-mod-20 group. */
+  private def psmDiagKLnOracle: String = {
+    val pm = graft.functions.PortableMathSql
+    val inner = pm.lnFrom(pm.lnFrom(
+      "(SELECT user_id, tv, ne FROM (SELECT user_id, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS tv, " +
+        "count(*) AS ne FROM events GROUP BY 1) kvi " +
+        "WHERE tv IS NOT NULL)",
+      "1.0 + tv", "__plv", "ka"),
+      "1.0 + CAST(ne AS DOUBLE)", "__plw", "kb")
+    var rel = pm.chunkFrom(inner, "__plv", "a_")
+    rel = pm.chunkFrom(rel, "__plw", "b_")
+    val sums = Seq("a_", "b_").flatMap(p =>
+      Seq("hi", "c1", "c2", "c3").map(c =>
+        s"CAST(SUM(CAST($p$c AS BIGINT)) AS BIGINT) AS $p$c")).mkString(", ")
+    s"SELECT user_id % 20 AS grp, count(*) AS n, $sums " +
+      s"FROM $rel GROUP BY 1 ORDER BY 1"
   }
 
   /** Shared DuckDB CTE chain mirroring Mix.dsirImportance (64 buckets,
@@ -7865,6 +8036,8 @@ object SparkEntry {
     // Same positivity-filtered stratum cells, DECIMAL outcome sums, same
     // share-weighted difference arithmetic.
     "q_psm_att" -> psmAttOracle,
+
+    "q_psm_diag_kln" -> psmDiagKLnOracle,
 
     // Mirrors Stats.sprt (p0=.15, p1=.22, alpha=beta=.05): integer k/n
     // cumulative windows, per-row LLR from the same literal ratios,
@@ -10238,6 +10411,8 @@ object SparkEntry {
     "q_cox_diag_grid" -> coxDiagGridOracle,
     "q_cox_diag_g1" -> coxDiagG1Oracle,
     "q_cox_diag_b" -> coxDiagBOracle,
+    "q_cox_diag_kexp" -> coxDiagKExpOracle,
+    "q_cox_diag_kln" -> coxDiagKLnOracle,
 
     // Bit-parity probes for the portable exp/ln kernel: the SQL is the
     // generated arithmetic mirror (PortableMathSql) of the Scala kernel
@@ -10380,7 +10555,11 @@ object SparkEntry {
 
     "q_gmm_doclen" -> gmmOracle,
 
+    "q_gmm_diag_kernel" -> gmmDiagKernelOracle,
+
     "q_logistic_quality" -> logisticQualityOracle,
+
+    "q_logistic_diag_kernel" -> logisticDiagKernelOracle,
 
     "q_quality_scores" -> qualityScoresOracle,
 

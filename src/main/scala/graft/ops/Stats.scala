@@ -3553,6 +3553,40 @@ object Stats {
         graft.functions.PortableMath.pin6(logisticP).alias("score"))
   }
 
+  /** q_logistic_diag_kernel — kernel-at-fit-arguments probe for the
+    * logistic family ([[coxDiagKernelExp]]'s sibling, round-13 VERDICT
+    * next-round #5): per-row RAW kernel outputs at the EXACT final-β
+    * arguments — the sigmoid pexp (e_*) and the two clamped loss plns
+    * (a_* / b_*) — bit-chunked exactly and BIGINT-summed per id-mod-20
+    * group. One flipped mantissa bit in any row flips a sum, so a
+    * green row proves the kernel is bit-identical cross-engine over
+    * the argument multiset the fit actually evaluates. */
+  def logisticDiagKernel(df: DataFrame, id: Column, y: Column, x1: Column,
+      x2: Column, iters: Int = 3): DataFrame = {
+    val P = graft.functions.PortableMath
+    val base = df.select(id.alias("__id"), y.cast("double").alias("__y"),
+        x1.cast("double").alias("__x1"), x2.cast("double").alias("__x2"))
+      .filter(col("__y").isNotNull && col("__x1").isNotNull &&
+        col("__x2").isNotNull)
+    val betaF = logisticBeta(base, iters)
+    val eps = lit(1e-6)
+    val t = base.crossJoin(broadcast(betaF))
+      .withColumn("__pe", P.pexp(-(col("__b0") +
+        col("__b1") * col("__x1") + col("__b2") * col("__x2"))))
+      .withColumn("__q", least(greatest(
+        P.pin9(lit(1.0) / (lit(1.0) + col("__pe"))), eps), lit(1.0) - eps))
+      .withColumn("__lq", P.pln(col("__q")))
+      .withColumn("__lr", P.pln(lit(1.0) - col("__q")))
+    val chunked = Seq(("__pe", "e_"), ("__lq", "a_"), ("__lr", "b_"))
+      .foldLeft(t) { case (d, (v, p)) => bitChunked(d, v, p) }
+    val sums = Seq("e_", "a_", "b_").flatMap(p =>
+      Seq("hi", "c1", "c2", "c3").map(c =>
+        sum(col(s"$p$c").cast("long")).alias(s"$p$c")))
+    chunked.groupBy((col("__id") % 20).alias("grp"))
+      .agg(count(lit(1)).alias("n"), sums: _*)
+      .orderBy("grp")
+  }
+
   /** Mann-Kendall trend test of the daily-count series — the HYPOTHESIS
     * companion to [[theilSenTrend]]'s slope estimate (same pairwise
     * machinery, same calendar-bounded² stance with the same explicit
@@ -4236,6 +4270,69 @@ object Stats {
     }.reduce((a, b) => a.crossJoin(broadcast(b)))
   }
 
+  /** Exact integer bit-chunks of a bounded double column — hi = ⌊v⌋
+    * plus three 27-bit fraction chunks, every step an IEEE-exact
+    * floor/multiply/subtract, so ONE flipped mantissa bit anywhere in v
+    * flips a chunk. Covers mantissa bits ≥ 2^-81. SQL mirror:
+    * [[graft.functions.PortableMathSql.chunkFrom]]. */
+  private def bitChunked(df: DataFrame, v: String, p: String): DataFrame = {
+    val two27 = lit(134217728.0)
+    df.withColumn(s"${p}hi", floor(col(v)))
+      .withColumn(s"${p}f0", col(v) - col(s"${p}hi"))
+      .withColumn(s"${p}c1", floor(col(s"${p}f0") * two27))
+      .withColumn(s"${p}f1", col(s"${p}f0") * two27 - col(s"${p}c1"))
+      .withColumn(s"${p}c2", floor(col(s"${p}f1") * two27))
+      .withColumn(s"${p}f2", col(s"${p}f1") * two27 - col(s"${p}c2"))
+      .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
+  }
+
+  /** q_cox_diag_kexp — kernel-at-fit-arguments probe (round-13 VERDICT
+    * next-round #5, the probe-grid honesty item): one row per DISTINCT
+    * covariate value with exact integer bit-chunks of the RAW
+    * pexp(β_final·x) the last risk pass feeds its moment sums. The
+    * q_portable_exp parity probe samples a synthetic argument grid; a
+    * build-dependent divergence at an argument that grid misses would
+    * localize HERE, naming the exact (x, β·x) — so "kernel probes
+    * green" covers the domain the cox fit actually uses. */
+  def coxDiagKernelExp(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, iters: Int = 3): DataFrame = {
+    val P = graft.functions.PortableMath
+    val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    val dx = base.groupBy(col("__x")).agg(count(lit(1)).alias("n"))
+    val t = dx.crossJoin(broadcast(fin))
+      .select(col("__x"), col("n"),
+        P.pexp(col("__b") * col("__x")).alias("__v"))
+    bitChunked(t, "__v", "k_").select(
+      P.hiPart(col("__x")).cast("long").alias("xh"),
+      P.loPart(col("__x"), 1e9).cast("long").alias("xl"),
+      col("n"),
+      col("k_hi").cast("long").alias("e_hi"),
+      col("k_c1").cast("long").alias("e_c1"),
+      col("k_c2").cast("long").alias("e_c2"),
+      col("k_c3").cast("long").alias("e_c3"))
+  }
+
+  /** q_cox_diag_kln — [[coxDiagKernelExp]]'s ln twin: one row per
+    * duration (the calendar-bounded grain) with exact integer
+    * bit-chunks of the RAW pln(S0) the partial-loglik readout feeds,
+    * S0 rebuilt from its exact integer suffix pair. Together the two
+    * probes pin the kernel at every transcendental argument the cox
+    * value path evaluates on the final pass. */
+  def coxDiagKernelLn(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, iters: Int = 3): DataFrame = {
+    val P = graft.functions.PortableMath
+    val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    val rs = coxRiskSums(base, fin).filter(col("__ne") > 0)
+      .select(col("__t"), col("__ne"),
+        P.pln(P.pairVal(col("__S0h"), col("__S0l"))).alias("__v"))
+    bitChunked(rs, "__v", "k_").select(
+      col("__t").alias("t"), col("__ne").alias("ne"),
+      col("k_hi").cast("long").alias("l_hi"),
+      col("k_c1").cast("long").alias("l_c1"),
+      col("k_c2").cast("long").alias("l_c2"),
+      col("k_c3").cast("long").alias("l_c3"))
+  }
+
   /** Two-component 1-D Gaussian mixture fit by `iters` unrolled EM
     * steps — soft clustering of a numeric column ("is this length
     * distribution one population or two?"), the density-model companion
@@ -4271,6 +4368,66 @@ object Stats {
     * ±Inf). Readout orders components by final mean (lo/hi), plus the
     * per-row average log-likelihood under the final fit. */
   def gmmEm1d(df: DataFrame, valueCol: Column, iters: Int = 3): DataFrame = {
+    val P = graft.functions.PortableMath
+    val (base, fin) = gmmFit(df, valueCol, iters)
+    val lnNorm = lit(0.9189385332046727) // ln √(2π), pinned
+    // clamp the both-underflow degenerate at the portable kernel's
+    // ln domain floor (pln clamps below 1e-18 anyway; the explicit
+    // greatest keeps the floor visible and mirrored in the oracle)
+    // and pin the ln OUTPUT to 9 dp before the exact integer pair sum;
+    // the term is STAGED once per row ([[logisticFit2]]'s round-14
+    // stance) so the kernel chain doesn't re-evaluate per (hi, lo)
+    // aggregate child
+    val t = base.crossJoin(broadcast(fin)).withColumn("__llt",
+      P.pin9(P.pln(greatest(gmmW1 + gmmW2, lit(1e-18)))) - lnNorm)
+    val outCols = Seq(count(lit(1)).alias("n"),
+      max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
+      max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
+      max(col("__s2")).alias("__fs2")) ++
+      P.pairSum(col("__llt"), "__ll")
+    val out = t.agg(outCols.head, outCols.tail: _*)
+    val swap = col("__fmu1") > col("__fmu2")
+    out.select(col("n"),
+      P.pin6(when(swap, col("__fp2")).otherwise(lit(1.0) - col("__fp2")))
+        .alias("pi_lo"),
+      P.pin6(when(swap, col("__fmu2")).otherwise(col("__fmu1")))
+        .alias("mu_lo"),
+      P.pin6(when(swap, col("__fs2")).otherwise(col("__fs1")))
+        .alias("sigma_lo"),
+      P.pin6(when(swap, lit(1.0) - col("__fp2")).otherwise(col("__fp2")))
+        .alias("pi_hi"),
+      P.pin6(when(swap, col("__fmu1")).otherwise(col("__fmu2")))
+        .alias("mu_hi"),
+      P.pin6(when(swap, col("__fs1")).otherwise(col("__fs2")))
+        .alias("sigma_hi"),
+      P.pin6(P.pairVal(col("__llh"), col("__lll")) /
+        col("n").cast("double")).alias("avg_loglik"))
+  }
+
+  /** RAW pexp arguments of the two normalization-free component
+    * densities given the broadcast one-row params — shared by
+    * [[gmmFit]]'s densities and the [[gmmDiagKernel]] probe so the
+    * probe digests exactly what the fit evaluates. */
+  private def gmmArg1: Column =
+    -(lit(0.5) * (((col("__x") - col("__mu1")) / col("__s1")) *
+      ((col("__x") - col("__mu1")) / col("__s1"))))
+  private def gmmArg2: Column =
+    -(lit(0.5) * (((col("__x") - col("__mu2")) / col("__s2")) *
+      ((col("__x") - col("__mu2")) / col("__s2"))))
+  // normalization-free component densities of the CURRENT row given
+  // the broadcast one-row params (the 1/√2π factor cancels in r).
+  // Densities use the PORTABLE exp kernel (bit-identical on both
+  // engines by construction — libm exp differs by an ulp across
+  // hosts).
+  private def gmmW1: Column = ((lit(1.0) - col("__p2")) / col("__s1")) *
+    graft.functions.PortableMath.pexp(gmmArg1)
+  private def gmmW2: Column = (col("__p2") / col("__s2")) *
+    graft.functions.PortableMath.pexp(gmmArg2)
+
+  /** The EM chain shared by [[gmmEm1d]] and [[gmmDiagKernel]]: returns
+    * (base (__x), final one-row params frame). */
+  private def gmmFit(df: DataFrame, valueCol: Column,
+      iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 6, s"gmmEm1d: bad iters=$iters")
     val P = graft.functions.PortableMath
     val base = df.select(valueCol.cast("double").alias("__x"))
@@ -4297,31 +4454,20 @@ object Stats {
         P.pin9(col("__sd0")).alias("__s1"),
         P.pin9(col("__m") + col("__sd0")).alias("__mu2"),
         P.pin9(col("__sd0")).alias("__s2"))
-    // normalization-free component densities of the CURRENT row given
-    // the broadcast one-row params (the 1/√2π factor cancels in r).
-    def w1: Column = ((lit(1.0) - col("__p2")) / col("__s1")) *
-      graft.functions.PortableMath.pexp(
-        -(lit(0.5) * (((col("__x") - col("__mu1")) / col("__s1")) *
-          ((col("__x") - col("__mu1")) / col("__s1")))))
-    def w2: Column = (col("__p2") / col("__s2")) *
-      graft.functions.PortableMath.pexp(
-        -(lit(0.5) * (((col("__x") - col("__mu2")) / col("__s2")) *
-          ((col("__x") - col("__mu2")) / col("__s2")))))
-    // Densities use the PORTABLE exp kernel (bit-identical on both
-    // engines by construction — libm exp differs by an ulp across
-    // hosts); the responsibility still pins to 9 dp so the DECIMAL
-    // moment sums stay tidy. NOTE: with pexp the densities can no
-    // longer underflow to exactly 0 (the kernel clamps its argument at
-    // -80, so w ≥ weight/σ · e⁻⁸⁰ > 0 whenever weight > 0), so the
+    // Responsibility off the portable-kernel densities [[gmmW1]]/
+    // [[gmmW2]], OUTPUT pinned to 9 dp so the DECIMAL moment sums stay
+    // tidy. NOTE: with pexp the densities can no longer underflow to
+    // exactly 0 (the kernel clamps its argument at -80, so
+    // w ≥ weight/σ · e⁻⁸⁰ > 0 whenever weight > 0), so the
     // both-underflow branch below is defensive dead code kept for the
     // oracle mirror and for robustness if the clamp ever widens. The
     // both-underflow
     // tiebreak keys on the LARGER mean so a high-side x lands on the
     // high component even if EM swaps the component order (mu1 > mu2).
-    def resp: Column = when(w1 + w2 === 0.0,
+    def resp: Column = when(gmmW1 + gmmW2 === 0.0,
       when((col("__x") > (col("__mu1") + col("__mu2")) / lit(2.0)) ===
         (col("__mu2") >= col("__mu1")), lit(1.0)).otherwise(lit(0.0)))
-      .otherwise(P.pin9(w2 / (w1 + w2)))
+      .otherwise(P.pin9(gmmW2 / (gmmW1 + gmmW2)))
     def step(params: DataFrame): DataFrame = {
       val t = base.crossJoin(broadcast(params))
         .withColumn("__r", resp)
@@ -4348,39 +4494,31 @@ object Stats {
     // one-row param checkpoint per pass ([[logisticBeta]]'s lineage
     // stance): each EM step reads the stream exactly once
     val ckpt = Iterate.checkpointer(df.sparkSession.sparkContext)
-    val fin = (1 to iters).foldLeft(ckpt(init))((p, _) => ckpt(step(p)))
-    val lnNorm = lit(0.9189385332046727) // ln √(2π), pinned
-    // clamp the both-underflow degenerate at the portable kernel's
-    // ln domain floor (pln clamps below 1e-18 anyway; the explicit
-    // greatest keeps the floor visible and mirrored in the oracle)
-    // and pin the ln OUTPUT to 9 dp before the exact integer pair sum;
-    // the term is STAGED once per row ([[logisticFit2]]'s round-14
-    // stance) so the kernel chain doesn't re-evaluate per (hi, lo)
-    // aggregate child
-    val t = base.crossJoin(broadcast(fin)).withColumn("__llt",
-      P.pin9(P.pln(greatest(w1 + w2, lit(1e-18)))) - lnNorm)
-    val outCols = Seq(count(lit(1)).alias("n"),
-      max(col("__p2")).alias("__fp2"), max(col("__mu1")).alias("__fmu1"),
-      max(col("__s1")).alias("__fs1"), max(col("__mu2")).alias("__fmu2"),
-      max(col("__s2")).alias("__fs2")) ++
-      P.pairSum(col("__llt"), "__ll")
-    val out = t.agg(outCols.head, outCols.tail: _*)
-    val swap = col("__fmu1") > col("__fmu2")
-    out.select(col("n"),
-      P.pin6(when(swap, col("__fp2")).otherwise(lit(1.0) - col("__fp2")))
-        .alias("pi_lo"),
-      P.pin6(when(swap, col("__fmu2")).otherwise(col("__fmu1")))
-        .alias("mu_lo"),
-      P.pin6(when(swap, col("__fs2")).otherwise(col("__fs1")))
-        .alias("sigma_lo"),
-      P.pin6(when(swap, lit(1.0) - col("__fp2")).otherwise(col("__fp2")))
-        .alias("pi_hi"),
-      P.pin6(when(swap, col("__fmu1")).otherwise(col("__fmu2")))
-        .alias("mu_hi"),
-      P.pin6(when(swap, col("__fs1")).otherwise(col("__fs2")))
-        .alias("sigma_hi"),
-      P.pin6(P.pairVal(col("__llh"), col("__lll")) /
-        col("n").cast("double")).alias("avg_loglik"))
+    (base, (1 to iters).foldLeft(ckpt(init))((p, _) => ckpt(step(p))))
+  }
+
+  /** q_gmm_diag_kernel — kernel-at-fit-arguments probe for the GMM
+    * ([[logisticDiagKernel]]'s sibling): per-row RAW kernel outputs at
+    * the EXACT final-params arguments — the two density pexps (e_* /
+    * f_*) and the loglik pln (a_*) — bit-chunked exactly and
+    * BIGINT-summed per covariate-quanta-mod-20 group. */
+  def gmmDiagKernel(df: DataFrame, valueCol: Column,
+      iters: Int = 3): DataFrame = {
+    val P = graft.functions.PortableMath
+    val (base, fin) = gmmFit(df, valueCol, iters)
+    val t = base.crossJoin(broadcast(fin))
+      .withColumn("__pw1", P.pexp(gmmArg1))
+      .withColumn("__pw2", P.pexp(gmmArg2))
+      .withColumn("__pl", P.pln(greatest(gmmW1 + gmmW2, lit(1e-18))))
+    val chunked = Seq(("__pw1", "e_"), ("__pw2", "f_"), ("__pl", "a_"))
+      .foldLeft(t) { case (d, (v, p)) => bitChunked(d, v, p) }
+    val sums = Seq("e_", "f_", "a_").flatMap(p =>
+      Seq("hi", "c1", "c2", "c3").map(c =>
+        sum(col(s"$p$c").cast("long")).alias(s"$p$c")))
+    chunked.groupBy((P.loPart(col("__x"), 1e9).cast("long") % 20)
+        .alias("grp"))
+      .agg(count(lit(1)).alias("n"), sums: _*)
+      .orderBy("grp")
   }
 
   /** Isotonic (monotone non-decreasing) calibration over score bins —

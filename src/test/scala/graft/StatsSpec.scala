@@ -1626,6 +1626,69 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(pin6 == fit.getDouble(2), s"ladder b3 $b3 vs beta ${fit.getDouble(2)}")
   }
 
+  test("kernel-at-fit-arguments probes: chunks rebuild the raw outputs") {
+    import spark.implicits._
+    val many = ((1 to 10).map(i => (i.toLong, true, 1.25)) ++
+      (11 to 20).map(i => (i.toLong, i % 2 == 0, 0.5))).toDF("dur", "obs", "x")
+    // cox exp probe: one row per distinct covariate, chunks rebuild the
+    // exact kernel output at β₃·x (the ladder's b3 is the rebuilt pin)
+    val lad = Stats.coxDiagBetas(many, "dur", "obs", "x", iters = 3)
+      .collect().head
+    val b3 = lad.getLong(4) + lad.getLong(5) / 1e9
+    val ke = Stats.coxDiagKernelExp(many, "dur", "obs", "x", iters = 3)
+      .collect()
+    assert(ke.length == 2)
+    assert(ke.map(_.getLong(2)).sum == 20)
+    ke.foreach { r =>
+      val x = r.getLong(0) + r.getLong(1) / 1e9
+      val v = r.getLong(3) + r.getLong(4) / math.pow(2, 27) +
+        r.getLong(5) / math.pow(2, 54) + r.getLong(6) / math.pow(2, 81)
+      val want = graft.functions.PortableMathKernel.pexp(b3 * x)
+      assert(math.abs(v - want) < 1e-12, s"x=$x v=$v want=$want")
+    }
+    // cox ln probe: one row per duration with events (10 + 5 here),
+    // fraction chunks inside their 27-bit range
+    val kl = Stats.coxDiagKernelLn(many, "dur", "obs", "x", iters = 3)
+      .collect()
+    assert(kl.length == 15)
+    kl.foreach { r =>
+      Seq(3, 4, 5).foreach(i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= (1L << 27)))
+    }
+    // logistic probe with one row per id-mod-20 group: the sigmoid
+    // chunks rebuild a pexp that re-pins to the logisticScore score
+    val docs = (1 to 20).map(i => (i.toLong, if (i % 2 == 0) 1.0 else 0.0,
+      1.0 + (i % 5) * 0.25, 0.5 + (i % 3) * 0.125)).toDF("id", "y", "x1", "x2")
+    val scores = Stats.logisticScore(docs, col("id"), col("y"), col("x1"),
+      col("x2"), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lk = Stats.logisticDiagKernel(docs, col("id"), col("y"), col("x1"),
+      col("x2"), iters = 3).collect()
+    assert(lk.length == 20 && lk.forall(_.getLong(1) == 1))
+    def pinD(v: Double, q: Double): Double = {
+      val hi = math.floor(v)
+      hi + math.floor((v - hi) * q + 0.5) / q
+    }
+    lk.foreach { r =>
+      val id = if (r.getLong(0) == 0L) 20L else r.getLong(0)
+      val pe = r.getLong(2) + r.getLong(3) / math.pow(2, 27) +
+        r.getLong(4) / math.pow(2, 54) + r.getLong(5) / math.pow(2, 81)
+      assert(pinD(pinD(1.0 / (1.0 + pe), 1e9), 1e6) == scores(id),
+        s"id=$id")
+    }
+    // gmm probe: group counts cover every row, density chunks bounded
+    val xs = Seq(-2.1, -2.0, -1.9).flatMap(v => Seq.fill(10)(v)) ++
+      Seq(1.9, 2.0, 2.1).flatMap(v => Seq.fill(10)(v))
+    val gk = Stats.gmmDiagKernel(xs.toDF("x"), col("x"), iters = 3).collect()
+    assert(gk.map(_.getLong(1)).sum == 60)
+    gk.foreach { r =>
+      // densities are pexp(≤ 0) ∈ (0, 1]: per-row hi ∈ {0, 1} so the
+      // group hi sum is bounded by the group count
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= r.getLong(1))
+    }
+  }
+
   test("gmmEm1d: separates two planted clusters from moment init") {
     import spark.implicits._
     // Two tight clusters at ±2; EM from the x̄ ∓ s init must localize
