@@ -1056,10 +1056,17 @@ object SparkEntry {
       val uniqIds = clean.join(exact, Seq("doc_id"), "left_semi")
         .select("doc_id").localCheckpoint()
       val uniq = docs.join(uniqIds, Seq("doc_id"), "left_semi")
-      val pairs = ScaleDedup.minhashCandidatePairs(uniq, "doc_id", "text",
-        numHashes = 4, bands = 2)
+      // Tokenize the survivors ONCE (round-14, VERDICT #7): the same
+      // (id, token set) frame feeds the LSH signature stage AND the
+      // exact-Jaccard verify below — previously each branch re-read the
+      // text and re-split it. localCheckpoint materializes the sets to
+      // executor-local disk (shuffle-spill-class storage, partitioned
+      // with the corpus); like uniqIds above it is an optimization, not
+      // correctness — the sets recompute deterministically on loss.
       val toks = uniq.select(col("doc_id"),
-        ScaleDedup.tokenSet(col("text")).alias("toks"))
+        ScaleDedup.tokenSet(col("text")).alias("toks")).localCheckpoint()
+      val pairs = ScaleDedup.minhashCandidatePairsFromToks(toks, "doc_id",
+        "toks", numHashes = 4, bands = 2)
       val verified = pairs
         .join(toks.select(col("doc_id").alias("id1"), col("toks").alias("t1")), "id1")
         .join(toks.select(col("doc_id").alias("id2"), col("toks").alias("t2")), "id2")

@@ -120,9 +120,23 @@ object ScaleDedup {
     * (the exchange is reused across the window and both join inputs). */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 8, bands: Int = 4,
-                            maxBucket: Int = 64): DataFrame = {
+                            maxBucket: Int = 64): DataFrame =
+    minhashCandidatePairsFromToks(
+      df.select(col(idCol), tokenSet(col(textCol)).alias("__toks")),
+      idCol, "__toks", numHashes, bands, maxBucket)
+
+  /** [[minhashCandidatePairs]] from a PRECOMPUTED (id, token set) frame
+    * — the carry-through entry point (round-13 VERDICT next-round #7):
+    * a composite that also verifies candidates exactly
+    * (q_llm_prep_fuzzy's Jaccard gate) tokenizes the corpus ONCE and
+    * feeds both the signature stage and the verify join from the same
+    * frame, instead of paying the scan + split twice. */
+  def minhashCandidatePairsFromToks(toks: DataFrame, idCol: String,
+                                    toksCol: String, numHashes: Int = 8,
+                                    bands: Int = 4,
+                                    maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(col(idCol) +: minhashSignature(tokenSet(col(textCol)), numHashes): _*)
+    val sig = toks.select(col(idCol) +: minhashSignature(col(toksCol), numHashes): _*)
     val banded = (0 until bands).map { b =>
       sig.select(col(idCol), lit(b).alias("band"), bandKey(b, rows).alias("bkey"))
     }.reduce(_ unionAll _)
