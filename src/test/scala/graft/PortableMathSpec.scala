@@ -140,9 +140,10 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
     // the round-14 grid-injection contract: a grid value computed ONCE
     // by PortableMathKernel.pin9 must be the EXACT double the Column
     // pin9 would have produced (floor→double vs floor→LONG→double —
-    // exact either way below 2^52). Cover the cox grid's actual domain
-    // (pln of the first 256 integers) plus random doubles.
-    val xs = (1 to 256).map(k => K.pln(k.toDouble)) ++
+    // exact either way below 2^52). Cover BOTH injected grids' actual
+    // domains (pln of the first 2048 integers ⊇ the 256-entry cox grid
+    // and the 2048-entry GMM/logistic grid) plus random doubles.
+    val xs = (1 to 2048).map(k => K.pln(k.toDouble)) ++
       samples(Gen.chooseNum(-5000.0, 5000.0), 1000)
     val got = xs.toDF("x")
       .select(PortableMath.pin9(col("x")).alias("p9"),
@@ -156,9 +157,32 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
         s"pin6($x): JVM ${K.pin(x, 1e6)} vs Column ${row.getDouble(1)}")
     }
     // and the SQL literal emitter round-trips every grid value exactly
-    (1 to 256).map(k => K.pin9(K.pln(k.toDouble))).foreach { g =>
+    // (both injected grids: cox 1..256 ⊂ lnGrid 1..2048)
+    (1 to 2048).map(k => K.pin9(K.pln(k.toDouble))).foreach { g =>
       val s = graft.functions.PortableMathSql.lit(g)
       assert(java.lang.Double.parseDouble(s) === g, s"grid literal $s drifted")
+    }
+  }
+
+  test("pairParts/pairSumCols: the staged pair sum equals the unstaged one") {
+    import spark.implicits._
+    // the round-14 staging refactor's contract: moving the (hi, lo)
+    // decomposition into a projection changes WHERE the work happens,
+    // never the integers — staged totals and the rebuilt double must
+    // equal the unstaged pairSum's exactly, at any partitioning.
+    val vs = samples(Gen.chooseNum(-2000L * 1000000000L, 2000L * 1000000000L)
+      .map(_.toDouble), 2000).map(n => math.rint(n) / 1e9)
+    Seq(1, 7).foreach { parts =>
+      val df = vs.toDF("v").repartition(parts)
+      val un = df.agg(PortableMath.pairSum(col("v"), "s").head,
+          PortableMath.pairSum(col("v"), "s").tail: _*)
+        .select(col("sh"), col("sl")).collect().head
+      val st = df.select(PortableMath.pairParts(col("v"), "s"): _*)
+        .agg(PortableMath.pairSumCols("s").head,
+          PortableMath.pairSumCols("s").tail: _*)
+        .select(col("sh"), col("sl")).collect().head
+      assert(un.getDecimal(0) === st.getDecimal(0), s"hi sums differ @$parts")
+      assert(un.getDecimal(1) === st.getDecimal(1), s"lo sums differ @$parts")
     }
   }
 
