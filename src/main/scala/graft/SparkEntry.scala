@@ -1059,10 +1059,14 @@ object SparkEntry {
       // Tokenize the survivors ONCE (round-14, VERDICT #7): the same
       // (id, token set) frame feeds the LSH signature stage AND the
       // exact-Jaccard verify below — previously each branch re-read the
-      // text and re-split it. localCheckpoint materializes the sets to
-      // executor-local disk (shuffle-spill-class storage, partitioned
-      // with the corpus); like uniqIds above it is an optimization, not
-      // correctness — the sets recompute deterministically on loss.
+      // text and re-split it. localCheckpoint trades fault tolerance
+      // for speed (round-15 ADVICE): it truncates lineage, so blocks
+      // lost with an executor FAIL the job rather than recompute — the
+      // job is then rerun from its reliable inputs. The materialized
+      // per-doc token arrays are also this stage's main memory/disk
+      // pressure at scale, which is why only the SURVIVORS (post
+      // exact-dedup) are tokenized, and a deployment preferring
+      // recompute-on-loss would persist(DISK_ONLY) here instead.
       val toks = uniq.select(col("doc_id"),
         ScaleDedup.tokenSet(col("text")).alias("toks")).localCheckpoint()
       val pairs = ScaleDedup.minhashCandidatePairsFromToks(toks, "doc_id",
@@ -3645,6 +3649,14 @@ object SparkEntry {
       graft.ops.Stats.coxDiagXCov(coxSubjects(s, d), "dur", "observed",
         "activity")),
 
+    // Per-VALUE xcov twin through the SAME subj the digests aggregate
+    // (round-15 VERDICT #2): row-granular, all-BIGINT. Green here +
+    // red aggregate digest = the digest red is row-free (dump-side);
+    // a red row names the exact diverging covariate value.
+    "q_cox_diag_xrows" -> ((s, d) =>
+      graft.ops.Stats.coxDiagXRows(coxSubjects(s, d), "dur", "observed",
+        "activity")),
+
     // Kernel-at-fit-arguments probes (round-13 VERDICT next-round #5):
     // bit-chunk digests of the RAW pexp/pln outputs at the EXACT
     // arguments the final cox pass feeds the kernel — closes the
@@ -3722,6 +3734,29 @@ object SparkEntry {
         Seq("hi", "c1", "c2", "c3").map(c => sum(col(s"$p$c")).alias(s"$p$c")))
       base.groupBy((col("event_id") % 20).alias("grp"))
         .agg(count(lit(1)).alias("n"), sums: _*)
+    }),
+
+    // Portable-ln parity at the LIVE cox argument shape (round-15
+    // VERDICT #3b): the q_portable_ln grid above is 1/16-quantized, so
+    // its fraction bits are sparse — while the cox partial-loglik feeds
+    // pln(S0) with S0 = H + L/1e9, H ∈ [1, ~10⁴], L any 1e-9 quantum.
+    // This probe runs the kernel over ~|events| arguments of EXACTLY
+    // that pair-rebuild form (k ∈ [1, 10⁴] dense × full-range quanta),
+    // bit-chunked and BIGINT-summed per group: a driver red localizes a
+    // build-dependent pln divergence inside the live S0 domain that the
+    // synthetic grid misses; green retires "the grid missed it" as an
+    // explanation for a q_cox_diag_kln red.
+    "q_portable_ln_s0" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val k = (col("event_id") * 37 % 10000 + 1).cast("double")
+      val q = (col("event_id") * 1000003 % 1000000000).cast("double")
+      val base = bitChunks(ev.select(col("event_id"),
+        graft.functions.PortableMath.pln(k + q / lit(1e9)).alias("__v")),
+        "__v", "s_")
+      base.groupBy((col("event_id") % 20).alias("grp"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("s_hi")).alias("s_hi"), sum(col("s_c1")).alias("s_c1"),
+          sum(col("s_c2")).alias("s_c2"), sum(col("s_c3")).alias("s_c3"))
     }),
 
     // 1-D Gaussian mixture (Stats.gmmEm1d): 3 unrolled EM passes over
@@ -5498,24 +5533,12 @@ object SparkEntry {
       "FROM fagg"
   }
 
-  /** Exact bit-decomposition of a bounded double column into integer
-    * chunks for the q_portable_* parity probes: hi = floor(v), then
-    * three 27-bit fraction chunks via exact power-of-two scaling —
-    * every step is IEEE-exact (floor, subtract-within-ulp, ×2^27), so
-    * identical input doubles give identical BIGINT chunks on any
-    * engine, and a single flipped mantissa bit anywhere flips a chunk
-    * sum by an integer. Covers mantissa bits ≥ 2^-81 — exhaustive for
-    * |v| down to ~2e-9. Mirrored by PortableMathSql.chunkFrom. */
-  private def bitChunks(df: DataFrame, v: String, p: String): DataFrame = {
-    val two27 = lit(134217728.0)
-    df.withColumn(s"${p}hi", floor(col(v)))
-      .withColumn(s"${p}f0", col(v) - col(s"${p}hi"))
-      .withColumn(s"${p}c1", floor(col(s"${p}f0") * two27))
-      .withColumn(s"${p}f1", col(s"${p}f0") * two27 - col(s"${p}c1"))
-      .withColumn(s"${p}c2", floor(col(s"${p}f1") * two27))
-      .withColumn(s"${p}f2", col(s"${p}f1") * two27 - col(s"${p}c2"))
-      .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
-  }
+  /** Exact bit-decomposition for the q_portable_* parity probes —
+    * hoisted to [[graft.functions.PortableMath.bitChunks]] (round-15
+    * ADVICE: one DataFrame chunk ladder beside its SQL mirror
+    * PortableMathSql.chunkFrom, not three hand-maintained twins). */
+  private def bitChunks(df: DataFrame, v: String, p: String): DataFrame =
+    graft.functions.PortableMath.bitChunks(df, v, p)
 
   /** Round-14 closure of the rounds-10..13 q_cox_ph driver red: the cox
     * covariate pin9(pln(k)) over the small integer domain k = per-user
@@ -5736,22 +5759,41 @@ object SparkEntry {
       "AND UNBOUNDED FOLLOWING))"
   }
 
-  /** q_cox_diag_x oracle: all-integer digest of the subjects table —
-    * counts plus the (Σhi, Σlo, Σlo²) multiset digest of the pinned
-    * covariate. BIGINT products (the lo quanta are < 1e9 so lo² < 2^63;
-    * computing lo² in DOUBLE would round above 2^53). */
-  private def coxDiagXOracle: String = {
+  /** Shared CTE + select-list for the BIGINT-bounded covariate digest
+    * (round 15 — VERDICT r14 next-round #1, the decisive experiment for
+    * the wide-DECIMAL canonicalization suspect): the r14 digests
+    * emitted raw DECIMAL(38,0) SUM columns (xll ~ 2·10²¹ > int64)
+    * while every driver-GREEN probe emitted only BIGINT-cast outputs.
+    * Mirror of Stats.coxCovDigestCols, column for column: lo splits
+    * per row into q = ⌊lo/2^20⌋ and r = lo − q·2^20, Σlo² is carried
+    * as the three bounded sums (Σq², Σq·r, Σr²) =
+    * 2^40·Σq² + 2^21·Σqr + Σr², and EVERY output is CAST AS BIGINT
+    * with value < 2^63 the way the green coxDiagXIntOracle always
+    * did. */
+  private def coxCovDigestCtes: String = {
     val pm = graft.functions.PortableMathSql
-    val lo = pm.loSql("x", 1e9)
-    coxCtes(0) +
+    "xd0 AS (SELECT e, t, floor(x) AS chi, " +
+      s"${pm.loSql("x", 1e9)} AS clo FROM subj), " +
+      "xd AS (SELECT e, t, chi, clo, floor(clo / 1048576e0) AS cq, " +
+      "clo - floor(clo / 1048576e0) * 1048576e0 AS cr FROM xd0)"
+  }
+  private def coxCovDigestSelect: String = {
+    def s(v: String, n: String) =
+      s"CAST(SUM(CAST($v AS DECIMAL(38,0))) AS BIGINT) AS $n"
+    s("chi", "xh") + ", " + s("clo", "xl") + ", " +
+      s("cq * cq", "xll_q") + ", " + s("cq * cr", "xll_x") + ", " +
+      s("cr * cr", "xll_r")
+  }
+
+  /** q_cox_diag_x oracle: all-integer digest of the subjects table —
+    * counts plus the BIGINT-bounded covariate digest
+    * ([[coxCovDigestCtes]]). */
+  private def coxDiagXOracle: String =
+    coxCtes(0) + s", $coxCovDigestCtes" +
       " SELECT CAST(count(*) AS BIGINT) AS n, " +
       "CAST(SUM(e) AS BIGINT) AS n_events, " +
       "CAST(SUM(t) AS BIGINT) AS t_sum, " +
-      s"SUM(CAST(${pm.hiSql("x")} AS DECIMAL(38,0))) AS xh, " +
-      s"SUM(CAST($lo AS DECIMAL(38,0))) AS xl, " +
-      s"SUM(CAST(CAST($lo AS BIGINT) * CAST($lo AS BIGINT) " +
-      "AS DECIMAL(38,0))) AS xll FROM subj"
-  }
+      s"$coxCovDigestSelect FROM xd"
 
   /** q_cox_diag_xint oracle: the integer half of the subjects digest —
     * no covariate column touched. */
@@ -5761,16 +5803,27 @@ object SparkEntry {
       "CAST(SUM(e) AS BIGINT) AS n_events, " +
       "CAST(SUM(t) AS BIGINT) AS t_sum FROM subj"
 
-  /** q_cox_diag_xcov oracle: the covariate half — (Σhi, Σlo, Σlo²) of
-    * the grid-injected x. */
-  private def coxDiagXCovOracle: String = {
+  /** q_cox_diag_xcov oracle: the covariate half — the BIGINT-bounded
+    * (Σhi, Σlo, Σlo²-split) digest of the grid-injected x
+    * ([[coxCovDigestCtes]]). */
+  private def coxDiagXCovOracle: String =
+    coxCtes(0) + s", $coxCovDigestCtes" +
+      s" SELECT $coxCovDigestSelect FROM xd"
+
+  /** q_cox_diag_xrows oracle: one row per distinct covariate value with
+    * its exact (hi, lo) BIGINT pair and multiplicity — drawn from the
+    * SAME coxCtes(0) `subj` the aggregate digests read (NOT a rebuilt
+    * chain like the grid probe), so green here + red aggregate digest
+    * proves the digest red is row-free (dump/canonicalization), while a
+    * red row names the exact value and the subj-build divergence. */
+  private def coxDiagXRowsOracle: String = {
     val pm = graft.functions.PortableMathSql
-    val lo = pm.loSql("x", 1e9)
     coxCtes(0) +
-      s" SELECT SUM(CAST(${pm.hiSql("x")} AS DECIMAL(38,0))) AS xh, " +
-      s"SUM(CAST($lo AS DECIMAL(38,0))) AS xl, " +
-      s"SUM(CAST(CAST($lo AS BIGINT) * CAST($lo AS BIGINT) " +
-      "AS DECIMAL(38,0))) AS xll FROM subj"
+      ", xr AS (SELECT x, CAST(count(*) AS BIGINT) AS n " +
+      "FROM subj GROUP BY 1) " +
+      s"SELECT CAST(${pm.hiSql("x")} AS BIGINT) AS xh, " +
+      s"CAST(${pm.loSql("x", 1e9)} AS BIGINT) AS xl, n " +
+      "FROM xr ORDER BY xh, xl"
   }
 
   /** q_cox_diag_grid oracle: one row per distinct per-user event count
@@ -5787,14 +5840,20 @@ object SparkEntry {
   }
 
   /** q_cox_diag_g1 oracle: pass-1 suffix risk-sum pairs, digested as
-    * exact DECIMAL(38,0) totals over the duration-grain table. */
+    * exact DECIMAL(38,0) totals over the duration-grain table and
+    * emitted as BIGINTs (round 15 — every total < 2^63 at any tested
+    * SF; the r14 raw-DECIMAL outputs were the suspected
+    * canonicalization red, see coxCovDigestCtes). */
   private def coxDiagG1Oracle: String =
     coxCtes(1) +
       " SELECT CAST(count(*) AS BIGINT) AS nt, " +
       "CAST(SUM(ne) AS BIGINT) AS ne_tot, " +
-      "SUM(s0h) AS s0h_sum, SUM(s0l) AS s0l_sum, " +
-      "SUM(s1h) AS s1h_sum, SUM(s1l) AS s1l_sum, " +
-      "SUM(s2h) AS s2h_sum, SUM(s2l) AS s2l_sum FROM s1"
+      "CAST(SUM(s0h) AS BIGINT) AS s0h_sum, " +
+      "CAST(SUM(s0l) AS BIGINT) AS s0l_sum, " +
+      "CAST(SUM(s1h) AS BIGINT) AS s1h_sum, " +
+      "CAST(SUM(s1l) AS BIGINT) AS s1l_sum, " +
+      "CAST(SUM(s2h) AS BIGINT) AS s2h_sum, " +
+      "CAST(SUM(s2l) AS BIGINT) AS s2l_sum FROM s1"
 
   /** q_cox_diag_b oracle: the β ladder as exact integer (hi, lo)
     * pairs, one column pair per Newton pass. */
@@ -5822,12 +5881,15 @@ object SparkEntry {
       s"CAST(${pm.loSql("x", 1e9)} AS BIGINT) AS xl, n, " +
       "CAST(k_hi AS BIGINT) AS e_hi, CAST(k_c1 AS BIGINT) AS e_c1, " +
       "CAST(k_c2 AS BIGINT) AS e_c2, CAST(k_c3 AS BIGINT) AS e_c3 " +
-      s"FROM $chunked"
+      s"FROM $chunked ORDER BY xh, xl"
   }
 
   /** q_cox_diag_kln oracle: the portable-ln chain at the exact
     * final-pass arguments pln(S0) (suffix risk sum rebuilt from its
-    * integer pair), one row per duration, bit-chunked exactly. */
+    * integer pair), one row per duration, bit-chunked exactly. Round 15
+    * (VERDICT r14 #3a): the S0 argument's exact (s0h, s0l) integer pair
+    * rides along as BIGINTs so a red row distinguishes upstream
+    * risk-sum divergence from a same-argument pln kernel divergence. */
   private def coxDiagKLnOracle: String = {
     val pm = graft.functions.PortableMathSql
     val s0v = "(CAST(s0h AS DOUBLE) + CAST(s0l AS DOUBLE) / 1.0e9)"
@@ -5836,9 +5898,10 @@ object SparkEntry {
     val chunked = pm.chunkFrom(inner, "__pln", "k_")
     coxCtes(3) + ", " + coxFinalRiskCtes + " " +
       "SELECT t, ne, " +
+      "CAST(s0h AS BIGINT) AS s0h, CAST(s0l AS BIGINT) AS s0l, " +
       "CAST(k_hi AS BIGINT) AS l_hi, CAST(k_c1 AS BIGINT) AS l_c1, " +
       "CAST(k_c2 AS BIGINT) AS l_c2, CAST(k_c3 AS BIGINT) AS l_c3 " +
-      s"FROM $chunked"
+      s"FROM $chunked ORDER BY t"
   }
 
   /** DuckDB mirror of Stats.gmmEm1d over pin9(pln(1+n_chars)), 3 EM
@@ -10415,6 +10478,7 @@ object SparkEntry {
     "q_cox_diag_x" -> coxDiagXOracle,
     "q_cox_diag_xint" -> coxDiagXIntOracle,
     "q_cox_diag_xcov" -> coxDiagXCovOracle,
+    "q_cox_diag_xrows" -> coxDiagXRowsOracle,
     "q_cox_diag_grid" -> coxDiagGridOracle,
     "q_cox_diag_g1" -> coxDiagG1Oracle,
     "q_cox_diag_b" -> coxDiagBOracle,
@@ -10453,6 +10517,22 @@ object SparkEntry {
       val sums = Seq("a_", "b_", "c_").flatMap(p =>
         Seq("hi", "c1", "c2", "c3").map(c =>
           s"CAST(SUM(CAST($p$c AS BIGINT)) AS BIGINT) AS $p$c")).mkString(", ")
+      s"SELECT event_id % 20 AS grp, count(*) AS n, $sums FROM $rel GROUP BY 1"
+    },
+
+    // Live-S0-shape ln parity (round 15): arguments k + q/1e9 rebuilt
+    // exactly as the cox readout rebuilds its pair sums — see
+    // q_portable_ln_s0 in queries.
+    "q_portable_ln_s0" -> {
+      val pm = graft.functions.PortableMathSql
+      val base = "(SELECT event_id, " +
+        "CAST((event_id * 37) % 10000 + 1 AS DOUBLE) + " +
+        "CAST((event_id * 1000003) % 1000000000 AS DOUBLE) / 1.0e9 " +
+        "AS __arg FROM events)"
+      val rel = pm.chunkFrom(pm.lnFrom(base, "__arg", "__v", "ps"),
+        "__v", "s_")
+      val sums = Seq("hi", "c1", "c2", "c3").map(c =>
+        s"CAST(SUM(CAST(s_$c AS BIGINT)) AS BIGINT) AS s_$c").mkString(", ")
       s"SELECT event_id % 20 AS grp, count(*) AS n, $sums FROM $rel GROUP BY 1"
     },
 

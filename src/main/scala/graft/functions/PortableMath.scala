@@ -276,6 +276,27 @@ object PortableMath {
     * an exact integer conversion, the arithmetic is IEEE. */
   def pairVal(h: Column, l: Column): Column =
     h.cast("double") + l.cast("double") / lit(1e9)
+
+  /** Exact integer bit-chunks of a bounded double column — `{p}hi` =
+    * ⌊v⌋ plus three 27-bit fraction chunks `{p}c1..c3`, every step an
+    * IEEE-exact floor/multiply/subtract, so ONE flipped mantissa bit
+    * anywhere in v flips a chunk. Covers mantissa bits ≥ 2^-81 —
+    * exhaustive for |v| down to ~2e-9. The bit-parity workhorse of the
+    * q_portable_* and *_diag_kernel probes. SQL mirror:
+    * [[PortableMathSql.chunkFrom]] — edit BOTH or neither (the chunk
+    * ladders must stay operation-identical for cross-engine chunk
+    * equality to mean kernel equality). */
+  def bitChunks(df: org.apache.spark.sql.DataFrame, v: String,
+                p: String): org.apache.spark.sql.DataFrame = {
+    val two27 = lit(134217728.0)
+    df.withColumn(s"${p}hi", floor(col(v)))
+      .withColumn(s"${p}f0", col(v) - col(s"${p}hi"))
+      .withColumn(s"${p}c1", floor(col(s"${p}f0") * two27))
+      .withColumn(s"${p}f1", col(s"${p}f0") * two27 - col(s"${p}c1"))
+      .withColumn(s"${p}c2", floor(col(s"${p}f1") * two27))
+      .withColumn(s"${p}f2", col(s"${p}f1") * two27 - col(s"${p}c2"))
+      .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
+  }
 }
 
 /** DuckDB-SQL mirror of [[PortableMathKernel]]: emits a nested

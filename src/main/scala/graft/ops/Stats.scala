@@ -4195,21 +4195,46 @@ object Stats {
     (base, (1 to iters).foldLeft(beta0)((b, _) => ckpt(coxStep(base)(b))))
   }
 
-  /** q_cox_diag_x — stage-1 probe: integer digest of the SUBJECTS table
-    * ([[coxPh]]'s inputs) so a driver red names the diverging stage.
-    * All-integer output (counts plus the (hi, lo, Σlo²) multiset digest
-    * of the pinned covariate): bit-trivial on any engine iff the
-    * (t, e, x) multiset matches. */
-  def coxDiagX(subjects: DataFrame, durCol: String, observedCol: String,
-               xCol: String): DataFrame = {
+  /** The BIGINT-bounded covariate-digest columns shared by [[coxDiagX]]
+    * and [[coxDiagXCov]] (round-15 rewrite of the r13/r14 digests —
+    * VERDICT r14 next-round #1): the r14 probes emitted the Σlo² digest
+    * `xll` as a raw DECIMAL(38,0) SUM whose value (~2·10²¹ at sf0.01)
+    * exceeds int64, and the r14 green/red pattern (grid + kexp + b
+    * green, every un-cast wide-DECIMAL digest red) made a driver-side
+    * wide-decimal dump/canonicalization divergence the leading suspect
+    * rather than any value divergence. These digests keep the exact
+    * order-free DECIMAL(38,0) internal sums but bound EVERY output
+    * below 2^63 and cast it to BIGINT, the way the driver-GREEN
+    * q_cox_diag_xint always did: lo splits per row into
+    * q = ⌊lo/2^20⌋ (< 2^10) and r = lo − q·2^20 (< 2^20), and Σlo² is
+    * carried as the three bounded sums (Σq², Σq·r, Σr²) — together
+    * exactly Σlo² = 2^40·Σq² + 2^21·Σqr + Σr², so no sensitivity is
+    * lost (bounds: Σr² < n·2^40, fine to ~8e6 subjects — a diagnostic
+    * probe's domain, not a corpus op's). Every per-row part (lo < 2^30,
+    * the split, the products) is IEEE-exact in double on both engines.
+    * Oracle twin: SparkEntry.coxDiagXOracle / coxDiagXCovOracle —
+    * column-for-column. */
+  private def coxCovDigestCols: Seq[Column] = {
     val P = graft.functions.PortableMath
     val lo = P.loPart(col("__x"), 1e9)
-    coxBase(subjects, durCol, observedCol, xCol).agg(
-      count(lit(1)).alias("n"), sum("__e").alias("n_events"),
-      sum("__t").alias("t_sum"),
-      sum(P.hiPart(col("__x")).cast("decimal(38,0)")).alias("xh"),
-      sum(lo.cast("decimal(38,0)")).alias("xl"),
-      sum((lo * lo).cast("decimal(38,0)")).alias("xll"))
+    val q = floor(lo / lit(1048576.0))
+    val r = lo - q * lit(1048576.0)
+    def s(v: Column, n: String) =
+      sum(v.cast("decimal(38,0)")).cast("long").alias(n)
+    Seq(s(P.hiPart(col("__x")), "xh"), s(lo, "xl"),
+      s(q * q, "xll_q"), s(q * r, "xll_x"), s(r * r, "xll_r"))
+  }
+
+  /** q_cox_diag_x — stage-1 probe: integer digest of the SUBJECTS table
+    * ([[coxPh]]'s inputs) so a driver red names the diverging stage.
+    * All outputs BIGINT (< 2^63 by construction — [[coxCovDigestCols]]):
+    * bit-trivial on any engine iff the (t, e, x) multiset matches. */
+  def coxDiagX(subjects: DataFrame, durCol: String, observedCol: String,
+               xCol: String): DataFrame = {
+    val cols = Seq(count(lit(1)).alias("n"), sum("__e").alias("n_events"),
+      sum("__t").alias("t_sum")) ++ coxCovDigestCols
+    coxBase(subjects, durCol, observedCol, xCol)
+      .agg(cols.head, cols.tail: _*)
   }
 
   /** q_cox_diag_xint — the r13 x-digest SPLIT, integer half (round-13
@@ -4224,32 +4249,57 @@ object Stats {
       sum("__t").alias("t_sum"))
 
   /** q_cox_diag_xcov — the r13 x-digest split, covariate half: the
-    * (Σhi, Σlo, Σlo²) multiset digest of the pinned covariate only.
-    * With the round-14 injected covariate grid this is green by
-    * construction whenever the integer half is. */
+    * (Σhi, Σlo, Σlo²-split) multiset digest of the pinned covariate
+    * only, every output a BIGINT < 2^63 ([[coxCovDigestCols]] — the
+    * round-15 decisive experiment for the wide-DECIMAL canonicalization
+    * suspect). */
   def coxDiagXCov(subjects: DataFrame, durCol: String, observedCol: String,
                   xCol: String): DataFrame = {
+    val cols = coxCovDigestCols
+    coxBase(subjects, durCol, observedCol, xCol)
+      .agg(cols.head, cols.tail: _*)
+  }
+
+  /** q_cox_diag_xrows — the per-VALUE xcov twin (round-15, VERDICT r14
+    * next-round #2): one row per distinct covariate value with its
+    * exact (hi, lo) integer pair and multiplicity, drawn from the SAME
+    * normalized subjects frame the digests aggregate. All BIGINT,
+    * row-granular: a red row names the exact diverging value (and would
+    * contradict q_cox_diag_kexp's per-distinct-x counts, isolating a
+    * CTE-chain difference on the oracle build); green here + red
+    * aggregate digest proves the digest red is row-free — i.e. a
+    * dump/canonicalization artifact, not data. */
+  def coxDiagXRows(subjects: DataFrame, durCol: String, observedCol: String,
+                   xCol: String): DataFrame = {
     val P = graft.functions.PortableMath
-    val lo = P.loPart(col("__x"), 1e9)
-    coxBase(subjects, durCol, observedCol, xCol).agg(
-      sum(P.hiPart(col("__x")).cast("decimal(38,0)")).alias("xh"),
-      sum(lo.cast("decimal(38,0)")).alias("xl"),
-      sum((lo * lo).cast("decimal(38,0)")).alias("xll"))
+    coxBase(subjects, durCol, observedCol, xCol)
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).alias("n"))
+      .select(P.hiPart(col("__x")).cast("long").alias("xh"),
+        P.loPart(col("__x"), 1e9).cast("long").alias("xl"),
+        col("n"))
+      .orderBy("xh", "xl")
   }
 
   /** q_cox_diag_g1 — stage-2 probe: pass-1 (β = 0) per-duration risk
     * sums and their suffix windows, digested as exact DECIMAL(38,0)
-    * integer totals. Red here = the groupBy/window pair-sum machinery;
-    * green here + red β = the Newton collapse. */
+    * integer totals and emitted as BIGINTs (round 15: the r14 version
+    * dumped the raw DECIMAL sums — the same wide-decimal output class
+    * as the red x digests; every total here is < 2^63 at any tested SF
+    * — s2l_sum, the largest, is ≤ n·10⁹·n_durations ≈ 5e14 at sf0.1 —
+    * so the BIGINT cast is value-preserving and removes the
+    * canonicalization confound). Red here = the groupBy/window pair-sum
+    * machinery; green here + red β = the Newton collapse. */
   def coxDiagG1(subjects: DataFrame, durCol: String, observedCol: String,
                 xCol: String): DataFrame = {
     val base = coxBase(subjects, durCol, observedCol, xCol)
     val beta0 = subjects.sparkSession.range(1).select(lit(0.0).alias("__b"))
+    def s(c: String, n: String) = sum(c).cast("long").alias(n)
     coxRiskSums(base, beta0).agg(
       count(lit(1)).alias("nt"), sum("__ne").alias("ne_tot"),
-      sum("__S0h").alias("s0h_sum"), sum("__S0l").alias("s0l_sum"),
-      sum("__S1h").alias("s1h_sum"), sum("__S1l").alias("s1l_sum"),
-      sum("__S2h").alias("s2h_sum"), sum("__S2l").alias("s2l_sum"))
+      s("__S0h", "s0h_sum"), s("__S0l", "s0l_sum"),
+      s("__S1h", "s1h_sum"), s("__S1l", "s1l_sum"),
+      s("__S2h", "s2h_sum"), s("__S2l", "s2l_sum"))
   }
 
   /** q_cox_diag_b — stage-3 probe: the per-pass β ladder as exact
@@ -4270,21 +4320,12 @@ object Stats {
     }.reduce((a, b) => a.crossJoin(broadcast(b)))
   }
 
-  /** Exact integer bit-chunks of a bounded double column — hi = ⌊v⌋
-    * plus three 27-bit fraction chunks, every step an IEEE-exact
-    * floor/multiply/subtract, so ONE flipped mantissa bit anywhere in v
-    * flips a chunk. Covers mantissa bits ≥ 2^-81. SQL mirror:
-    * [[graft.functions.PortableMathSql.chunkFrom]]. */
-  private def bitChunked(df: DataFrame, v: String, p: String): DataFrame = {
-    val two27 = lit(134217728.0)
-    df.withColumn(s"${p}hi", floor(col(v)))
-      .withColumn(s"${p}f0", col(v) - col(s"${p}hi"))
-      .withColumn(s"${p}c1", floor(col(s"${p}f0") * two27))
-      .withColumn(s"${p}f1", col(s"${p}f0") * two27 - col(s"${p}c1"))
-      .withColumn(s"${p}c2", floor(col(s"${p}f1") * two27))
-      .withColumn(s"${p}f2", col(s"${p}f1") * two27 - col(s"${p}c2"))
-      .withColumn(s"${p}c3", floor(col(s"${p}f2") * two27))
-  }
+  /** The shared chunk ladder, hoisted to
+    * [[graft.functions.PortableMath.bitChunks]] (round-15 ADVICE: one
+    * DataFrame copy beside its SQL mirror, not three hand-maintained
+    * twins). */
+  private def bitChunked(df: DataFrame, v: String, p: String): DataFrame =
+    graft.functions.PortableMath.bitChunks(df, v, p)
 
   /** q_cox_diag_kexp — kernel-at-fit-arguments probe (round-13 VERDICT
     * next-round #5, the probe-grid honesty item): one row per DISTINCT
@@ -4310,6 +4351,10 @@ object Stats {
       col("k_c1").cast("long").alias("e_c1"),
       col("k_c2").cast("long").alias("e_c2"),
       col("k_c3").cast("long").alias("e_c3"))
+      // explicit deterministic order (round-15 ADVICE — the file's own
+      // convention; correctness no longer rests on the driver's sorted
+      // compare alone)
+      .orderBy("xh", "xl")
   }
 
   /** q_cox_diag_kln — [[coxDiagKernelExp]]'s ln twin: one row per
@@ -4317,20 +4362,28 @@ object Stats {
     * bit-chunks of the RAW pln(S0) the partial-loglik readout feeds,
     * S0 rebuilt from its exact integer suffix pair. Together the two
     * probes pin the kernel at every transcendental argument the cox
-    * value path evaluates on the final pass. */
+    * value path evaluates on the final pass. Round 15 (VERDICT r14
+    * next-round #3a): the S0 ARGUMENT itself rides along as its exact
+    * BIGINT (s0h, s0l) pair — the r14 red could not distinguish
+    * "argument differs" (upstream risk-sum divergence) from "same
+    * argument, different pln output" (kernel divergence on that build);
+    * a red row now names which, and at exactly which argument. */
   def coxDiagKernelLn(subjects: DataFrame, durCol: String,
       observedCol: String, xCol: String, iters: Int = 3): DataFrame = {
     val P = graft.functions.PortableMath
     val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
     val rs = coxRiskSums(base, fin).filter(col("__ne") > 0)
-      .select(col("__t"), col("__ne"),
+      .select(col("__t"), col("__ne"), col("__S0h"), col("__S0l"),
         P.pln(P.pairVal(col("__S0h"), col("__S0l"))).alias("__v"))
     bitChunked(rs, "__v", "k_").select(
       col("__t").alias("t"), col("__ne").alias("ne"),
+      col("__S0h").cast("long").alias("s0h"),
+      col("__S0l").cast("long").alias("s0l"),
       col("k_hi").cast("long").alias("l_hi"),
       col("k_c1").cast("long").alias("l_c1"),
       col("k_c2").cast("long").alias("l_c2"),
       col("k_c3").cast("long").alias("l_c3"))
+      .orderBy("t")
   }
 
   /** Two-component 1-D Gaussian mixture fit by `iters` unrolled EM

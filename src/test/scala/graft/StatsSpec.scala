@@ -1605,16 +1605,33 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(dx.getLong(1) == fit.getLong(1))
     assert(dx.getLong(2) == (1 to 20).sum) // t_sum
     // covariate multiset digest: 10×1.25 + 10×0.5: hi = 10×1 + 10×0,
-    // lo = 10×0.25e9 + 10×0.5e9
-    assert(dx.getDecimal(3).longValueExact == 10L)
-    assert(dx.getDecimal(4).longValueExact == 10L * 250000000L +
-      10L * 500000000L)
+    // lo = 10×0.25e9 + 10×0.5e9 — all BIGINT since round 15
+    assert(dx.getLong(3) == 10L)
+    assert(dx.getLong(4) == 10L * 250000000L + 10L * 500000000L)
+    // Σlo² carried as the bounded split (Σq², Σqr, Σr²) with
+    // lo = q·2^20 + r: rebuild and compare against the direct sum
+    val los = Seq.fill(10)(250000000L) ++ Seq.fill(10)(500000000L)
+    val expLl = los.map(l => BigInt(l) * BigInt(l)).sum
+    val gotLl = BigInt(dx.getLong(5)) * BigInt(2).pow(40) +
+      BigInt(dx.getLong(6)) * BigInt(2).pow(21) + BigInt(dx.getLong(7))
+    assert(gotLl == expLl, s"xll split $gotLl vs $expLl")
+    // per-value rows probe: multiplicities and (hi, lo) pairs, and its
+    // totals rebuild the aggregate digest's (xh, xl)
+    val xr = Stats.coxDiagXRows(many, "dur", "obs", "x").collect()
+    assert(xr.length == 2)
+    assert(xr.map(_.getLong(2)).sum == 20)
+    assert(xr.map(r => r.getLong(0) * r.getLong(2)).sum == dx.getLong(3))
+    assert(xr.map(r => r.getLong(1) * r.getLong(2)).sum == dx.getLong(4))
+    // sorted ascending by (xh, xl): 0.5 before 1.25
+    assert(xr(0).getLong(0) == 0L && xr(0).getLong(1) == 500000000L)
+    assert(xr(1).getLong(0) == 1L && xr(1).getLong(1) == 250000000L)
     val g1 = Stats.coxDiagG1(many, "dur", "obs", "x").collect().head
     assert(g1.getLong(0) == 20) // 20 distinct durations
     assert(g1.getLong(1) == 15) // 10 + 5 events
     // pass-1 (β=0, ex=1) S0 suffix counts: Σ_t |risk set at t| = Σ 1..20
-    assert(g1.getDecimal(2).longValueExact * 1000000000L +
-      g1.getDecimal(3).longValueExact == (1 to 20).map(i => i.toLong).sum *
+    // — BIGINT outputs since round 15
+    assert(g1.getLong(2) * 1000000000L +
+      g1.getLong(3) == (1 to 20).map(i => i.toLong).sum *
       1000000000L)
     // β ladder: the last pass's (hi, lo) pair rebuilds to the fit's
     // 6-dp beta under the same portable pin
@@ -1646,14 +1663,21 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       val want = graft.functions.PortableMathKernel.pexp(b3 * x)
       assert(math.abs(v - want) < 1e-12, s"x=$x v=$v want=$want")
     }
-    // cox ln probe: one row per duration with events (10 + 5 here),
-    // fraction chunks inside their 27-bit range
+    // cox ln probe: one row per duration with events (10 + 5 here);
+    // fraction chunks strictly below 2^27 (floor(f·2^27) with f ∈ [0,1)
+    // is at most 2^27 − 1 — round-15 ADVICE tightening), and the
+    // chunks rebuild pln at the emitted exact S0 argument
     val kl = Stats.coxDiagKernelLn(many, "dur", "obs", "x", iters = 3)
       .collect()
     assert(kl.length == 15)
     kl.foreach { r =>
-      Seq(3, 4, 5).foreach(i =>
-        assert(r.getLong(i) >= 0L && r.getLong(i) <= (1L << 27)))
+      Seq(5, 6, 7).foreach(i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) < (1L << 27)))
+      val s0 = r.getLong(2) + r.getLong(3) / 1e9
+      val v = r.getLong(4) + r.getLong(5) / math.pow(2, 27) +
+        r.getLong(6) / math.pow(2, 54) + r.getLong(7) / math.pow(2, 81)
+      val want = graft.functions.PortableMathKernel.pln(s0)
+      assert(math.abs(v - want) < 1e-12, s"s0=$s0 v=$v want=$want")
     }
     // logistic probe with one row per id-mod-20 group: the sigmoid
     // chunks rebuild a pexp that re-pins to the logisticScore score
