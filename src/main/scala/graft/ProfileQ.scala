@@ -23,13 +23,21 @@ object ProfileQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val times = (1 to reps).map { _ =>
+      // per-rep scheduled-job count alongside wall seconds: for iterative
+      // ops (CC fixpoints, Newton chains) the DRIVER ROUND-TRIP count is
+      // the genuine cluster-scale cost that local[32] wall time hides —
+      // local job scheduling is ~ms while a 1000-executor barrier is not.
+      val tracker = spark.sparkContext.statusTracker
+      val runs = (1 to reps).map { _ =>
+        val j0 = tracker.getJobIdsForGroup(null).length
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write
           .format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9,
+          tracker.getJobIdsForGroup(null).length - j0)
       }
-      println(f"PROFILE $name: ${times.map(t => f"$t%.3f").mkString(" ")}")
+      println(f"PROFILE $name: ${runs.map(r => f"${r._1}%.3f").mkString(" ")}" +
+        s" | jobs: ${runs.map(_._2).mkString(" ")}")
     }
     spark.stop()
   }

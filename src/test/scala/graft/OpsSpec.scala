@@ -617,7 +617,7 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .select(col("id").alias("id1"), (col("id") + 1).alias("id2"))
     val t0 = System.nanoTime()
     val labels = ScaleDedup.connectedComponents(verts, edges,
-      maxIter = 32, checkEvery = 4)
+      maxIter = 32)
     val roots = labels.select("label").distinct().as[Long].collect().toSeq
     assert(roots == Seq(0L))
     assert(labels.count() == n)
