@@ -219,4 +219,56 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
     assert((BigDecimal(v1) - exact).abs <= BigDecimal("1e-9"),
       s"pair rebuild $v1 vs exact $exact")
   }
+
+  test("bitChunks: exact rebuild and strict 27-bit chunk range") {
+    import spark.implicits._
+    // values spanning the probes' live shapes: ln outputs (±small),
+    // pair rebuilds k + q/1e9, and exp outputs near 0
+    val vs = samples(Gen.chooseNum(1.0, 9999.0), 400).map(_.toLong)
+      .flatMap { k =>
+        val q = (k * 1000003L) % 1000000000L
+        Seq(k + q / 1e9, K.pln(k + q / 1e9), K.pexp(-(k % 80).toDouble / 7.0))
+      }
+    val rows = PortableMath.bitChunks(vs.toDF("v"), "v", "t_")
+      .select(col("v"), col("t_hi"), col("t_c1"), col("t_c2"), col("t_c3"))
+      .collect()
+    rows.foreach { r =>
+      val (v, hi) = (r.getDouble(0), r.getLong(1))
+      val (c1, c2, c3) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // fraction chunks are floor(f·2^27) with f ∈ [0,1): strictly < 2^27
+      Seq(c1, c2, c3).foreach(c => assert(c >= 0L && c < (1L << 27)))
+      val rebuilt = hi + c1 / math.pow(2, 27) + c2 / math.pow(2, 54) +
+        c3 / math.pow(2, 81)
+      // chunks cover mantissa bits ≥ 2^-81: rebuild within that tail
+      assert(math.abs(rebuilt - v) < math.pow(2, -80), s"v=$v rebuilt=$rebuilt")
+    }
+  }
+
+  test("CountTrueExpr: tallies TRUE rows through codegen, passes value through") {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val acc = sc.longAccumulator("count-true-spec")
+    val df = spark.range(1000).toDF("id").repartition(7)
+      .select(col("id"),
+        column(graft.functions.CountTrueExpr(
+          expression(col("id") % 3 === 0), acc)).alias("flag"))
+    val got = df.collect()
+    // pass-through semantics: flag == the wrapped predicate, row for row
+    assert(got.count(_.getBoolean(1)) == (0 until 1000).count(_ % 3 == 0))
+    // tally: one materialization pass counted each TRUE exactly once
+    assert(acc.value == (0 until 1000).count(_ % 3 == 0))
+    // contract note exercised: a SECOND action over the same frame
+    // overcounts (callers may only branch on zero vs nonzero)
+    df.write.format("noop").mode("overwrite").save()
+    assert(acc.value >= 2L * (0 until 1000).count(_ % 3 == 0))
+    // and a changeless frame stays at zero across repeated evaluation
+    val acc0 = sc.longAccumulator("count-true-spec-0")
+    val none = spark.range(100).toDF("id")
+      .select(column(graft.functions.CountTrueExpr(
+        expression(col("id") < 0), acc0)).alias("flag"))
+    none.write.format("noop").mode("overwrite").save()
+    none.write.format("noop").mode("overwrite").save()
+    assert(acc0.value == 0L)
+  }
 }
