@@ -308,47 +308,77 @@ object ScaleDedup {
     * compute+write double pass; the loop branches only on `== 0` vs
     * `> 0`, which is retry-safe. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, ckptEvery: Int = 1): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    require(ckptEvery >= 1 && ckptEvery <= 4,
+      s"ckptEvery must be in [1, 4], got $ckptEvery")
     val sc = vertices.sparkSession.sparkContext
     val ckpt = Iterate.checkpointer(sc)
     val reliable = Iterate.isReliable(sc)
     val idType = vertices.schema("id").dataType
     val sym = ckpt(edges.select(col("id1").alias("src"), col("id2").alias("dst"))
       .union(edges.select(col("id2").alias("src"), col("id1").alias("dst"))))
-    var labels = ckpt(vertices.select(col("id"), col("id").alias("label")))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
+
+    // One min-label round: neighbor-propagation (join + min-agg) then a
+    // pointer jump label := label(label) — every label is itself a vertex
+    // id and label(x) ≤ x, so the hop strictly accelerates convergence
+    // (path halving). Double jumping (a second hop through the first
+    // hop's own output) was A/B'd in round 15 and REJECTED: at sf0.1 the
+    // LSH cluster graphs' rounds are driven by the neighbor-min
+    // propagation, not pointer-chain depth, so the extra hop cut zero
+    // rounds (6→6 on q_dedup_clusters) while its extra in-round exchange
+    // raised the scheduled-job count 51→57 — the exact metric this loop
+    // optimizes. Deep-chain inputs are already covered by single halving
+    // (65536-path: ≤2·log₂ rounds). The change flag, when requested,
+    // reads the POST-jump label vs the round's starting label: even a
+    // vertex whose neighbor-min stood still changes when its
+    // label-vertex's label dropped. __chg must ride in the materialized
+    // schema (a pruned column's side effect is pruned with it).
+    def round(labels: DataFrame,
+              flag: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
       val nbr = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").alias("id"), lit(null).cast(idType).alias("__old"),
           col("label"))
       val next = labels.select(col("id"), col("label").alias("__old"), col("label"))
         .unionByName(nbr)
         .groupBy("id").agg(min("label").alias("label"), max("__old").alias("__old"))
-      // pointer jump: label := label(label). Every label is itself a vertex
-      // id, and label(x) ≤ x, so following one hop strictly accelerates
-      // convergence (path halving). Double jumping (a second hop through
-      // the first hop's own output) was A/B'd in round 15 and REJECTED:
-      // at sf0.1 the LSH cluster graphs' rounds are driven by the
-      // neighbor-min propagation, not pointer-chain depth, so the extra
-      // hop cut zero rounds (6→6 on q_dedup_clusters) while its extra
-      // in-round exchange raised the scheduled-job count 51→57 — the
-      // exact metric this loop optimizes. Deep-chain inputs are already
-      // covered by single halving (65536-path: ≤2·log₂ rounds).
       val hop = next.select(col("id").alias("label"), col("label").alias("__l2"))
-      // POST-jump label vs the round's starting label: even a vertex whose
-      // neighbor-min stood still changes when its label-vertex's label
-      // dropped, so the change flag must read the coalesced hop result.
-      // __chg must ride in the materialized schema (a pruned column's
-      // side effect is pruned with it).
-      val acc = sc.longAccumulator(s"graft-cc-changed-$i")
       val newLab = coalesce(col("__l2"), col("label"))
-      val jumped = ckpt(next.join(hop, Seq("label"), "left")
-        .select(col("id"), newLab.alias("label"),
+      val joined = next.join(hop, Seq("label"), "left")
+      flag match {
+        case Some(acc) => joined.select(col("id"), newLab.alias("label"),
           column(graft.functions.CountTrueExpr(
-            expression(newLab =!= col("__old")), acc)).alias("__chg")))
-      i += 1
+            expression(newLab =!= col("__old")), acc)).alias("__chg"))
+        case None => joined.select(col("id"), newLab.alias("label"))
+      }
+    }
+
+    var labels = ckpt(vertices.select(col("id"), col("id").alias("label")))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // Superstep = `ckptEvery` rounds per reliable checkpoint. Round-15
+      // A/B at sf0.1 (back-to-back ProfileQ, q_dedup_clusters /
+      // q_llm_prep_fuzzy): ckptEvery=2 cuts scheduled jobs a further
+      // 51→42-46 / 87-88→71-72 and HALVES the O(V) replicated
+      // label-table checkpoint writes — the genuine 1000-executor term,
+      // where a checkpoint is a driver barrier plus a distributed-FS
+      // write — but costs ~+0.3 s q10 wall at this SF (the wider 4×
+      // plan per superstep is driver/optimizer overhead, constant in
+      // data size, visible only when rounds are sub-second). Default
+      // therefore stays 1 (bench-optimal locally); a long-round corpus
+      // deployment sets 2. Change detection tallies the LAST round of
+      // the superstep only, which is sufficient: labels are monotone
+      // non-increasing, so zero changes in the final round alone proves
+      // the fixpoint (the earlier rounds' activity is irrelevant to the
+      // stop decision — the same bounded surplus the old every-2-rounds
+      // count cadence allowed). Executor loss mid-superstep recomputes
+      // from the previous checkpoint — a ckptEvery-round window.
+      val steps = math.min(ckptEvery, maxIter - i)
+      val acc = sc.longAccumulator(s"graft-cc-changed-$i")
+      val stepped = (1 until steps).foldLeft(labels)((l, _) => round(l, None))
+      val jumped = ckpt(round(stepped, Some(acc)))
+      i += steps
       changed = acc.value // populated by the eager checkpoint's job(s)
       labels = jumped.select("id", "label")
     }
@@ -359,7 +389,8 @@ object ScaleDedup {
           "raise maxIter")
     System.err.println(
       s"[graft] connectedComponents: fixpoint within $i rounds " +
-        s"(fused change detection, reliable checkpoint = $reliable)")
+        s"(fused change detection, ckptEvery = $ckptEvery, " +
+        s"reliable checkpoint = $reliable)")
     labels
   }
 

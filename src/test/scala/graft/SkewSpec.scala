@@ -37,6 +37,23 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("connectedComponents: ckptEvery superstep batching ≡ per-round") {
+    import spark.implicits._
+    // a mix of chain (deep), star (wide), and singletons: supersteps
+    // (fewer checkpoints, change detection on the superstep's last round
+    // only) must be label-for-label identical to per-round checkpointing
+    val verts = (1L to 40L).toDF("id")
+    val chain = (1L until 15L).map(i => (i, i + 1))
+    val star = (17L to 25L).map(i => (16L, i))
+    val edges = (chain ++ star ++ Seq((30L, 31L))).toDF("id1", "id2")
+    def run(k: Int) = graft.ops.ScaleDedup
+      .connectedComponents(verts, edges, ckptEvery = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val per = run(1)
+    assert(run(2) === per)
+    assert(run(3) === per)
+  }
+
   test("twoPhaseDistinctCount ≡ countDistinct") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i % 3, i % 41)).toDF("g", "v")
