@@ -334,7 +334,7 @@ object ScaleDedup {
     // vertex whose neighbor-min stood still changes when its
     // label-vertex's label dropped. __chg must ride in the materialized
     // schema (a pruned column's side effect is pruned with it).
-    def round(labels: DataFrame,
+    def labelRound(labels: DataFrame,
               flag: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
       val nbr = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").alias("id"), lit(null).cast(idType).alias("__old"),
@@ -376,8 +376,8 @@ object ScaleDedup {
       // from the previous checkpoint — a ckptEvery-round window.
       val steps = math.min(ckptEvery, maxIter - i)
       val acc = sc.longAccumulator(s"graft-cc-changed-$i")
-      val stepped = (1 until steps).foldLeft(labels)((l, _) => round(l, None))
-      val jumped = ckpt(round(stepped, Some(acc)))
+      val stepped = (1 until steps).foldLeft(labels)((l, _) => labelRound(l, None))
+      val jumped = ckpt(labelRound(stepped, Some(acc)))
       i += steps
       changed = acc.value // populated by the eager checkpoint's job(s)
       labels = jumped.select("id", "label")
