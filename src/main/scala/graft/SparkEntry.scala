@@ -3669,6 +3669,15 @@ object SparkEntry {
       graft.ops.Stats.coxDiagKernelLn(coxSubjects(s, d), "dur",
         "observed", "activity", iters = 3)),
 
+    // kln's ARGUMENT-ONLY twin (round 16 — VERDICT r15 #1): the same
+    // (t, ne, s0h, s0l) rows with the pln chunks removed, pure integer
+    // transport. Green here + kln red = arguments bit-identical on the
+    // driver, the divergence is INSIDE pln at a named argument; red
+    // here = the upstream risk-sum build diverges on that build.
+    "q_cox_diag_kargs" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgs(coxSubjects(s, d), "dur",
+        "observed", "activity", iters = 3)),
+
     // Per-value covariate grid probe: one row per distinct per-user
     // event count with its (hi, lo) decomposition on both engines —
     // verifies the round-14 injected grid TRANSPORT value by value
@@ -3757,6 +3766,41 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"),
           sum(col("s_hi")).alias("s_hi"), sum(col("s_c1")).alias("s_c1"),
           sum(col("s_c2")).alias("s_c2"), sum(col("s_c3")).alias("s_c3"))
+    }),
+
+    // Live-shape ln parity, WIDE quanta (round 16 — VERDICT r15 #2,
+    // the honest-coverage fix): q_portable_ln_s0 probes k + q/1e9 only
+    // for q < 1e9, but the PRE-round-16 live argument rebuilt an
+    // UN-normalized suffix-sum L ~ n·1e9 (~4e12 at the gate SFs) whose
+    // L/1e9 rounds at a completely different ulp scale — a domain no
+    // green probe covered while kln stayed red. Two arms, both exact
+    // integer-derived so the arguments are bit-identical cross-engine
+    // by construction:
+    //  (w) wide-quanta: k + q/1e9 with q spanning [0, 4e12) — the real
+    //      un-normalized S0l range, so the r15 gap is probed directly;
+    //  (m) pin9-midpoint band: arg = pexp((m + 0.5)/1e9) nudged by
+    //      j ∈ {-2..2} ulp-scale factors — pln(arg) lands within ~1 ulp
+    //      of a pin9 midpoint, the only 1-ulp-sensitive region of the
+    //      loglik readout, in the exact mantissa neighborhoods where a
+    //      build-dependent kernel flip would cross a pin.
+    "q_portable_ln_s0_wide" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val P = graft.functions.PortableMath
+      val k = (col("event_id") * 37 % 10000 + 1).cast("double")
+      val qw = (col("event_id") * 73856093L % 4000000000000L).cast("double")
+      val wide = k + qw / lit(1e9)
+      val m = (col("event_id") * 2654435761L % 10000000000L).cast("double")
+      val mid = (m + lit(0.5)) / lit(1e9)
+      val j = (col("event_id") % 5 - lit(2)).cast("double")
+      val argm = P.pexp(mid) *
+        (lit(1.0) + j * lit(2.220446049250313e-16))
+      var base = bitChunks(ev.select(col("event_id"),
+        P.pln(wide).alias("__vw"), P.pln(argm).alias("__vm")), "__vw", "w_")
+      base = bitChunks(base, "__vm", "m_")
+      val sums = Seq("w_", "m_").flatMap(p =>
+        Seq("hi", "c1", "c2", "c3").map(c => sum(col(s"$p$c")).alias(s"$p$c")))
+      base.groupBy((col("event_id") % 20).alias("grp"))
+        .agg(count(lit(1)).alias("n"), sums: _*)
     }),
 
     // 1-D Gaussian mixture (Stats.gmmEm1d): 3 unrolled EM passes over
@@ -5715,7 +5759,10 @@ object SparkEntry {
     * integer pair sums; see coxCtes). */
   private def coxOracle: String = {
     val pm = graft.functions.PortableMathSql
-    val s0v = "(CAST(s0h AS DOUBLE) + CAST(s0l AS DOUBLE) / 1.0e9)"
+    // Round 16 (VERDICT r15 #3): carry-normalized rebuild, mirroring
+    // Stats.coxPh's pairValNorm — the pln argument is now in the
+    // k + q/1e9, q < 1e9 shape the parity probes cover.
+    val s0v = pm.pairValNormSql("s0")
     val lnS0 = pm.lnFrom("sf", s0v, "__plns", "pf")
     val hazInner = pm.expFrom("(SELECT * FROM nn CROSS JOIN lf CROSS JOIN b3)",
       "b", "__peb", "pz")
@@ -5808,7 +5855,10 @@ object SparkEntry {
     * ([[coxCovDigestCtes]]). */
   private def coxDiagXCovOracle: String =
     coxCtes(0) + s", $coxCovDigestCtes" +
-      s" SELECT $coxCovDigestSelect FROM xd"
+      // n rides along (round-16 ADVICE): overflow past the digest's
+      // ~2^23-subject BIGINT bound is self-diagnosing, not a fake red.
+      " SELECT CAST(count(*) AS BIGINT) AS n, " +
+      s"$coxCovDigestSelect FROM xd"
 
   /** q_cox_diag_xrows oracle: one row per distinct covariate value with
     * its exact (hi, lo) BIGINT pair and multiplicity — drawn from the
@@ -5823,7 +5873,10 @@ object SparkEntry {
       "FROM subj GROUP BY 1) " +
       s"SELECT CAST(${pm.hiSql("x")} AS BIGINT) AS xh, " +
       s"CAST(${pm.loSql("x", 1e9)} AS BIGINT) AS xl, n " +
-      "FROM xr ORDER BY xh, xl"
+      // ORDER BY the raw x (round-16 ADVICE): (xh, xl) quantizes at
+      // 1e-9 and could tie for distinct x; the raw doubles are
+      // bit-identical cross-engine (injected grid).
+      "FROM xr ORDER BY x"
   }
 
   /** q_cox_diag_grid oracle: one row per distinct per-user event count
@@ -5892,7 +5945,8 @@ object SparkEntry {
     * risk-sum divergence from a same-argument pln kernel divergence. */
   private def coxDiagKLnOracle: String = {
     val pm = graft.functions.PortableMathSql
-    val s0v = "(CAST(s0h AS DOUBLE) + CAST(s0l AS DOUBLE) / 1.0e9)"
+    // Round 16: carry-normalized, as in coxOracle/Stats.coxDiagKernelLn.
+    val s0v = pm.pairValNormSql("s0")
     val inner = pm.lnFrom("(SELECT t, ne, s0h, s0l FROM sf WHERE ne > 0)",
       s0v, "__pln", "dl")
     val chunked = pm.chunkFrom(inner, "__pln", "k_")
@@ -5903,6 +5957,15 @@ object SparkEntry {
       "CAST(k_c2 AS BIGINT) AS l_c2, CAST(k_c3 AS BIGINT) AS l_c3 " +
       s"FROM $chunked ORDER BY t"
   }
+
+  /** q_cox_diag_kargs oracle: kln's rows WITHOUT the pln chunks —
+    * exactly the (t, ne, s0h, s0l) integer transport (round 16,
+    * VERDICT r15 #1; see Stats.coxDiagKArgs for the split logic). */
+  private def coxDiagKArgsOracle: String =
+    coxCtes(3) + ", " + coxFinalRiskCtes + " " +
+      "SELECT t, ne, " +
+      "CAST(s0h AS BIGINT) AS s0h, CAST(s0l AS BIGINT) AS s0l " +
+      "FROM sf WHERE ne > 0 ORDER BY t"
 
   /** DuckDB mirror of Stats.gmmEm1d over pin9(pln(1+n_chars)), 3 EM
     * steps: each pK CTE replays the nine integer-pair moment sums
@@ -10484,6 +10547,7 @@ object SparkEntry {
     "q_cox_diag_b" -> coxDiagBOracle,
     "q_cox_diag_kexp" -> coxDiagKExpOracle,
     "q_cox_diag_kln" -> coxDiagKLnOracle,
+    "q_cox_diag_kargs" -> coxDiagKArgsOracle,
 
     // Bit-parity probes for the portable exp/ln kernel: the SQL is the
     // generated arithmetic mirror (PortableMathSql) of the Scala kernel
@@ -10533,6 +10597,31 @@ object SparkEntry {
         "__v", "s_")
       val sums = Seq("hi", "c1", "c2", "c3").map(c =>
         s"CAST(SUM(CAST(s_$c AS BIGINT)) AS BIGINT) AS s_$c").mkString(", ")
+      s"SELECT event_id % 20 AS grp, count(*) AS n, $sums FROM $rel GROUP BY 1"
+    },
+
+    // Wide-quanta + pin9-midpoint-band ln parity (round 16): the SQL is
+    // the generated arithmetic mirror of q_portable_ln_s0_wide's two
+    // arms — see that entry in queries for the arm construction.
+    "q_portable_ln_s0_wide" -> {
+      val pm = graft.functions.PortableMathSql
+      val base = "(SELECT event_id, " +
+        "CAST((event_id * 37) % 10000 + 1 AS DOUBLE) + " +
+        "CAST((event_id * 73856093) % 4000000000000 AS DOUBLE) / 1.0e9 " +
+        "AS __aw, " +
+        "(CAST((event_id * 2654435761) % 10000000000 AS DOUBLE) + 0.5e0) " +
+        "/ 1.0e9 AS __mid, " +
+        "CAST(event_id % 5 - 2 AS DOUBLE) AS __j FROM events)"
+      val withExp = pm.expFrom(base, "__mid", "__em", "pwe")
+      val withArg = "(SELECT *, __em * (1.0e0 + __j * " +
+        s"2.220446049250313e-16) AS __am FROM $withExp pwa)"
+      var rel = pm.lnFrom(withArg, "__aw", "__vw", "pww")
+      rel = pm.lnFrom(rel, "__am", "__vm", "pwm")
+      rel = pm.chunkFrom(rel, "__vw", "w_")
+      rel = pm.chunkFrom(rel, "__vm", "m_")
+      val sums = Seq("w_", "m_").flatMap(p =>
+        Seq("hi", "c1", "c2", "c3").map(c =>
+          s"CAST(SUM(CAST($p$c AS BIGINT)) AS BIGINT) AS $p$c")).mkString(", ")
       s"SELECT event_id % 20 AS grp, count(*) AS n, $sums FROM $rel GROUP BY 1"
     },
 

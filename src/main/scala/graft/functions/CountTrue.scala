@@ -30,6 +30,12 @@ import org.apache.spark.util.LongAccumulator
   * on the referenced accumulator, no boxing). */
 case class CountTrueExpr(child: Expression, acc: LongAccumulator)
     extends UnaryExpression {
+  // A foldable child would be constant-folded by Catalyst — the
+  // expression (and its side effect) silently disappears (round-16
+  // ADVICE: enforce the scaladoc contract where it can be enforced).
+  require(!child.foldable,
+    "CountTrueExpr over a foldable child would be constant-folded away " +
+      "with its side-effecting tally")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "count_true"
   override def nullSafeEval(input: Any): Any = {

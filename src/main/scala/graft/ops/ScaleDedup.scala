@@ -275,6 +275,17 @@ object ScaleDedup {
     round(size(array_intersect(aTokens, bTokens)).cast("double") /
       size(array_union(aTokens, bTokens)), 6)
 
+  /** Deployment default for [[connectedComponents]]'s `ckptEvery`
+    * superstep batching (round 16): the env knob `GRAFT_CC_CKPT_EVERY`
+    * lets a long-round corpus deployment (or a ProfileQ A/B) set 2
+    * WITHOUT a code edit — halving the O(V) replicated checkpoint
+    * writes, the true 1000-executor term — while the unset default
+    * stays 1 (bench-optimal at fixture scale; see the superstep note in
+    * the loop body). Values are ckptEvery-invariant (spec-pinned
+    * 1≡2≡3 in SkewSpec). */
+  def defaultCkptEvery: Int =
+    sys.env.get("GRAFT_CC_CKPT_EVERY").map(_.toInt).getOrElse(1)
+
   /** Connected components by min-label propagation WITH pointer jumping:
     * every vertex converges to the smallest id reachable through `edges` —
     * turning near-duplicate PAIRS into duplicate CLUSTERS (pick min id per
@@ -306,9 +317,21 @@ object ScaleDedup {
     * iterations the coarser cadence allowed. The accumulator value is
     * an overcount under retries / the reliable checkpoint's
     * compute+write double pass; the loop branches only on `== 0` vs
-    * `> 0`, which is retry-safe. */
+    * `> 0`, which is retry-safe.
+    *
+    * Orphan edge endpoints (round 16 — VERDICT r15 #5): an id appearing
+    * in `edges` but not in `vertices` is a CONNECTOR — it joins the
+    * label table in round 1 via neighbor propagation (so components
+    * that touch only through it still merge, and it appears in the
+    * output), but its own id never competes as a label: canonical
+    * labels are drawn from DECLARED vertices only. Its first
+    * appearance carries a NULL previous label, which the change flag
+    * counts as changed via coalesce(…, true) — without that, a round
+    * whose only change is an orphan's label could declare fixpoint one
+    * round early. Pinned in SkewSpec ("orphan edge endpoints"). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20, ckptEvery: Int = 1): DataFrame = {
+                          maxIter: Int = 20,
+                          ckptEvery: Int = defaultCkptEvery): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     require(ckptEvery >= 1 && ckptEvery <= 4,
       s"ckptEvery must be in [1, 4], got $ckptEvery")
@@ -345,10 +368,22 @@ object ScaleDedup {
       val hop = next.select(col("id").alias("label"), col("label").alias("__l2"))
       val newLab = coalesce(col("__l2"), col("label"))
       val joined = next.join(hop, Seq("label"), "left")
+      // Orphan endpoints (round 16 — VERDICT r15 #5): an id that appears
+      // as an edge endpoint but not in `vertices` reaches `next` only via
+      // nbr rows, whose __old is NULL — `newLab =!= __old` is then NULL
+      // (not TRUE), which CountTrueExpr does not tally, so a round whose
+      // ONLY change is an orphan's label could declare fixpoint one round
+      // early. coalesce(…, true) counts a first-appearance id as changed
+      // unconditionally (it IS a change: the id had no label before);
+      // from its next round the id is in `labels` and __old is non-null,
+      // so the flag semantics for complete vertex sets are untouched.
+      // Note the __chg column must survive into the materialized schema
+      // (ckpt) — re-select labels without it only AFTER the checkpoint.
       flag match {
         case Some(acc) => joined.select(col("id"), newLab.alias("label"),
           column(graft.functions.CountTrueExpr(
-            expression(newLab =!= col("__old")), acc)).alias("__chg"))
+            expression(coalesce(newLab =!= col("__old"), lit(true))),
+            acc)).alias("__chg"))
         case None => joined.select(col("id"), newLab.alias("label"))
       }
     }

