@@ -5934,7 +5934,9 @@ object SparkEntry {
       s"CAST(${pm.loSql("x", 1e9)} AS BIGINT) AS xl, n, " +
       "CAST(k_hi AS BIGINT) AS e_hi, CAST(k_c1 AS BIGINT) AS e_c1, " +
       "CAST(k_c2 AS BIGINT) AS e_c2, CAST(k_c3 AS BIGINT) AS e_c3 " +
-      s"FROM $chunked ORDER BY xh, xl"
+      // ORDER BY the raw x (round 16 — the coxDiagXRows tie-hazard
+      // class; raw doubles bit-identical cross-engine, injected grid)
+      s"FROM $chunked ORDER BY x"
   }
 
   /** q_cox_diag_kln oracle: the portable-ln chain at the exact

@@ -4361,7 +4361,12 @@ object Stats {
     val t = dx.crossJoin(broadcast(fin))
       .select(col("__x"), col("n"),
         P.pexp(col("__b") * col("__x")).alias("__v"))
-    bitChunked(t, "__v", "k_").select(
+    // explicit deterministic order (round-15 ADVICE; round 16 tightened
+    // from (xh, xl) to the RAW x, the same tie-hazard class fixed in
+    // coxDiagXRows: the quantized keys could tie for distinct x within
+    // half a 1e-9 quantum, while the raw doubles are bit-identical
+    // cross-engine — injected grid; projection preserves sort order)
+    bitChunked(t, "__v", "k_").orderBy("__x").select(
       P.hiPart(col("__x")).cast("long").alias("xh"),
       P.loPart(col("__x"), 1e9).cast("long").alias("xl"),
       col("n"),
@@ -4369,10 +4374,6 @@ object Stats {
       col("k_c1").cast("long").alias("e_c1"),
       col("k_c2").cast("long").alias("e_c2"),
       col("k_c3").cast("long").alias("e_c3"))
-      // explicit deterministic order (round-15 ADVICE — the file's own
-      // convention; correctness no longer rests on the driver's sorted
-      // compare alone)
-      .orderBy("xh", "xl")
   }
 
   /** q_cox_diag_kln — [[coxDiagKernelExp]]'s ln twin: one row per
