@@ -254,6 +254,30 @@ class PortableMathSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ln_s0_wide midpoint arm: pln outputs dwell at pin9 midpoints") {
+    // Construction guard for q_portable_ln_s0_wide's (m) arm: the probe
+    // claims its arguments pexp((m+0.5)/1e9) · (1 + j·2⁻⁵²) put the pln
+    // OUTPUT within a few ulp of a pin9 midpoint — the only region where
+    // a 1-ulp build-dependent kernel flip can cross the pin ladder. If a
+    // future edit broke that (wrong quantum, wrong nudge scale), the
+    // probe would silently stop exercising the knife edge while staying
+    // green. Replays the exact probe formulas through the Scala kernel
+    // and asserts the distance to the nearest (k+½)/1e9 midpoint stays
+    // ≤ 1e-12 — three orders under the 5e-10 half-quantum, yet loose
+    // enough for the kernel's few-ulp composition error.
+    val eps = 2.220446049250313e-16
+    (1L to 4000L).map(_ * 37L + 11L).foreach { id =>
+      val m = (id * 2654435761L % 10000000000L).toDouble
+      val mid = (m + 0.5) / 1e9
+      val j = (id % 5 - 2).toDouble
+      val arg = K.pexp(mid) * (1.0 + j * eps)
+      val v = K.pln(arg)
+      val dist = math.abs(v - (math.floor(v * 1e9) + 0.5) / 1e9)
+      assert(dist <= 1e-12,
+        s"midpoint-arm drift: id=$id mid=$mid v=$v dist=$dist")
+    }
+  }
+
   test("bitChunks: exact rebuild and strict 27-bit chunk range") {
     import spark.implicits._
     // values spanning the probes' live shapes: ln outputs (±small),
