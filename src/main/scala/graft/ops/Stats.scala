@@ -4094,9 +4094,21 @@ object Stats {
     * while the DuckDB mirror propagates NaN and errors loudly on
     * CAST(NaN AS DECIMAL) in the pair sums — the kernel's isnan
     * parity covers pexp/pln only, not the pin. Readout: n, n_events, beta,
-    * se = 1/√I, z, hazard_ratio, partial log-lik. Stage-localizing
-    * probes for the driver artifact: [[coxDiagX]], [[coxDiagG1]],
-    * [[coxDiagBetas]]. */
+    * se = 1/√I, z, hazard_ratio, partial log-lik. Driver-red POST-MORTEM
+    * (round 17): the rounds-10..16 q_cox_ph red was never a value
+    * divergence past the round-13 pair-sum rewrite — it was the
+    * round-15-PROVEN wide-integer dump class hiding in plain sight: the
+    * oracle's `n_events` (and kln/kargs' `ne`) was an uncast
+    * SUM-of-integers, which DuckDB types HUGEINT/int128 on the wire.
+    * Across all 448 r16 oracles, EXACTLY the three red queries — and
+    * zero green ones — emitted such a column; BIGINT-casting it is the
+    * whole fix (no Spark-side change; values identical). The registry
+    * splits the readout anyway per VERDICT r16 #4 (q_cox_ph = proven
+    * columns, q_cox_loglik = the loglik scalar), and the r17 probe
+    * family ([[coxDiagKArgsTn]]/[[coxDiagKArgsS0]]/
+    * [[coxDiagKArgsQuart]]/[[coxDiagKArgsA0]]/[[coxDiagKTerms]])
+    * confirms the no-value-divergence claim row-by-row, column-class by
+    * column-class. */
   def coxPh(subjects: DataFrame, durCol: String, observedCol: String,
             xCol: String, iters: Int = 3): DataFrame = {
     val P = graft.functions.PortableMath
@@ -4427,6 +4439,98 @@ object Stats {
         col("__S0h").cast("long").alias("s0h"),
         col("__S0l").cast("long").alias("s0l"))
       .orderBy("t")
+  }
+
+  /** q_cox_diag_kargs_tn — [[coxDiagKArgs]] split BY COLUMN, the
+    * duration/event half (round 17, VERDICT r16 #1): exactly kargs'
+    * rows with only (t, ne) — the all-integer duration grain whose
+    * per-ROW transport no prior probe pinned (g1's greens are
+    * aggregate digests). With the s0 half ([[coxDiagKArgsS0]]) the
+    * split names which column class diverges on the driver build. */
+  def coxDiagKArgsTn(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, iters: Int = 3): DataFrame =
+    coxDiagKArgs(subjects, durCol, observedCol, xCol, iters)
+      .select("t", "ne")
+
+  /** q_cox_diag_kargs_s0 — the risk-sum half of the kargs column
+    * split (round 17, VERDICT r16 #1): kargs' rows with only
+    * (t, s0h, s0l) — the exact integer suffix risk-sum pair at the
+    * final β. Red here with [[coxDiagKArgsTn]] green pins the
+    * divergence to the pair sums; both green with kargs red would name
+    * a whole-row dump artifact rather than any value. */
+  def coxDiagKArgsS0(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, iters: Int = 3): DataFrame =
+    coxDiagKArgs(subjects, durCol, observedCol, xCol, iters)
+      .select("t", "s0h", "s0l")
+
+  /** q_cox_diag_kargs_q1..q4 — [[coxDiagKArgs]] restricted to a
+    * rank-quartile of its duration rows (round 17, VERDICT r16 #2, the
+    * row bisect): rows ranked by t, quartile q = ⌊(rank−1)·4 / count⌋
+    * (exact small-integer arithmetic on both engines), so a red names
+    * the diverging row range to ±(n/4) rows in one driver round. */
+  def coxDiagKArgsQuart(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, quart: Int,
+      iters: Int = 3): DataFrame = {
+    require(quart >= 1 && quart <= 4, s"coxDiagKArgsQuart: bad quart=$quart")
+    coxDiagKArgs(subjects, durCol, observedCol, xCol, iters)
+      .withColumn("__rn", row_number().over(Window.orderBy("t")).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(Window
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(floor(((col("__rn") - 1) * 4).cast("double") /
+        col("__cnt").cast("double")).cast("long") === (quart - 1))
+      .drop("__rn", "__cnt")
+      .orderBy("t")
+  }
+
+  /** q_cox_diag_kargs_a0 — the PRE-WINDOW per-duration moment pairs
+    * (round 17): one row per distinct duration (no events filter) with
+    * the exact (a0h, a0l) integer pair the suffix window then
+    * accumulates into S0. Splits [[coxDiagKArgsS0]]'s chain at the
+    * window boundary: a0 green + s0 red isolates the suffix-window
+    * aggregation itself; a0 red pushes the divergence into the
+    * per-duration grouping or the per-term kernel/pin/decomposition
+    * ([[coxDiagKTerms]] splits those). */
+  def coxDiagKArgsA0(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, iters: Int = 3): DataFrame = {
+    val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    coxRiskSums(base, fin)
+      .select(col("__t").alias("t"), col("__ne").alias("ne"),
+        col("__a0h").cast("long").alias("a0h"),
+        col("__a0l").cast("long").alias("a0l"))
+      .orderBy("t")
+  }
+
+  /** q_cox_diag_kterms — per-TERM probe of the live final-risk chain
+    * (round 17, VERDICT r16 #3): one row per distinct covariate value
+    * with bit-chunk sums of the PINNED per-row term
+    * ex = pin9(pexp(β₃·x)) — evaluated per SUBJECT ROW in exactly the
+    * live pipeline shape (crossJoin the one-row β, then the kernel +
+    * pin chain), NOT on a pre-grouped distinct-x relation the way
+    * [[coxDiagKernelExp]] builds its argument path — plus the exact
+    * (Σ⌊ex⌋, Σlo(ex)) pair-decomposition sums the a0 moment pairs
+    * actually feed. kexp green + kterms red would localize to the pin
+    * ladder or the live-context expression evaluation (kexp chunks the
+    * RAW kernel output, pre-pin); kterms green + a0 red would pin the
+    * per-duration pair aggregation itself. */
+  def coxDiagKTerms(subjects: DataFrame, durCol: String,
+      observedCol: String, xCol: String, iters: Int = 3): DataFrame = {
+    val P = graft.functions.PortableMath
+    val (base, fin) = coxFit(subjects, durCol, observedCol, xCol, iters)
+    val live = base.crossJoin(broadcast(fin))
+      .withColumn("__ex", P.pin9(P.pexp(col("__b") * col("__x"))))
+    def s(c: Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("long").alias(n)
+    bitChunked(live, "__ex", "k_").groupBy(col("__x"))
+      .agg(count(lit(1)).alias("n"),
+        s(col("k_hi"), "e_hi"), s(col("k_c1"), "e_c1"),
+        s(col("k_c2"), "e_c2"), s(col("k_c3"), "e_c3"),
+        s(P.hiPart(col("__ex")), "p_hi"),
+        s(P.loPart(col("__ex"), 1e9), "p_lo"))
+      .orderBy(col("__x"))
+      .select(P.hiPart(col("__x")).cast("long").alias("xh"),
+        P.loPart(col("__x"), 1e9).cast("long").alias("xl"),
+        col("n"), col("e_hi"), col("e_c1"), col("e_c2"), col("e_c3"),
+        col("p_hi"), col("p_lo"))
   }
 
   /** Two-component 1-D Gaussian mixture fit by `iters` unrolled EM

@@ -7,6 +7,7 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 """
 import json, math, os, resource, sys
 import duckdb
+import pyarrow.types as pat
 
 # DuckDB opens one handle per parquet scan; an inlined CTE chain can fan a
 # single oracle query into thousands of scans. Raise the soft fd limit to
@@ -45,6 +46,23 @@ def main(sf_dir, out_dir, only=()):
             exp = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # WIDE-TYPE GATE (round 17): an oracle output column DuckDB types
+        # wider than 64 bits (HUGEINT / DECIMAL(38,x) — arrow decimal128/
+        # 256) rides the driver's dump differently from Spark's LONG even
+        # when every VALUE is identical: that class red-washed
+        # q_cox_diag_x/xcov/g1 in r14 (raw DECIMAL sums) and q_cox_ph/
+        # kln/kargs through r16 (uncast SUM-of-integers `ne`/`n_events`
+        # → HUGEINT). Values compare equal HERE (Python == is
+        # type-coercing), so without this gate the sweep is green-locally
+        # /red-on-driver by construction. CAST the offending output to
+        # BIGINT in the oracle.
+        wide = [f"{f.name}:{f.type}" for f in exp.schema
+                if pat.is_decimal(f.type)]
+        if wide:
+            print(f"FAIL {name}: wide-typed oracle output (driver dump "
+                  f"divergence class): {wide}")
             n_fail += 1
             continue
         got_path = os.path.join(out_dir, name)
