@@ -3781,9 +3781,16 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val P = graft.functions.PortableMath
       val k = (col("event_id") * 37 % 10000 + 1).cast("double")
-      val qw = (col("event_id") * 73856093L % 4000000000000L).cast("double")
+      // Round 17 (ADVICE r16): pre-mod event_id so both arm multiplies
+      // stay inside int64 for ANY event_id — the raw 2654435761·id
+      // overflowed past id ≈ 3.5e9, where Spark wraps silently while
+      // DuckDB raises (a cross-engine crash, not a parity signal).
+      // Below 1e8 the pre-mod is the identity, so every fixture SF
+      // produces bit-identical arguments to the round-16 probe.
+      val eid = col("event_id") % 100000007L
+      val qw = (eid * 73856093L % 4000000000000L).cast("double")
       val wide = k + qw / lit(1e9)
-      val m = (col("event_id") * 2654435761L % 10000000000L).cast("double")
+      val m = (eid * 2654435761L % 10000000000L).cast("double")
       val mid = (m + lit(0.5)) / lit(1e9)
       val j = (col("event_id") % 5 - lit(2)).cast("double")
       val argm = P.pexp(mid) *
@@ -10571,12 +10578,14 @@ object SparkEntry {
     // arms — see that entry in queries for the arm construction.
     "q_portable_ln_s0_wide" -> {
       val pm = graft.functions.PortableMathSql
+      // event_id pre-mod mirrors the Spark arm (round 17, ADVICE r16):
+      // int64-safe at any id, identity below 1e8 (all fixture SFs)
       val base = "(SELECT event_id, " +
         "CAST((event_id * 37) % 10000 + 1 AS DOUBLE) + " +
-        "CAST((event_id * 73856093) % 4000000000000 AS DOUBLE) / 1.0e9 " +
-        "AS __aw, " +
-        "(CAST((event_id * 2654435761) % 10000000000 AS DOUBLE) + 0.5e0) " +
-        "/ 1.0e9 AS __mid, " +
+        "CAST(((event_id % 100000007) * 73856093) % 4000000000000 " +
+        "AS DOUBLE) / 1.0e9 AS __aw, " +
+        "(CAST(((event_id % 100000007) * 2654435761) % 10000000000 " +
+        "AS DOUBLE) + 0.5e0) / 1.0e9 AS __mid, " +
         "CAST(event_id % 5 - 2 AS DOUBLE) AS __j FROM events)"
       val withExp = pm.expFrom(base, "__mid", "__em", "pwe")
       val withArg = "(SELECT *, __em * (1.0e0 + __j * " +

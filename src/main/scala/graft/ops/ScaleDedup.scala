@@ -284,7 +284,14 @@ object ScaleDedup {
     * the loop body). Values are ckptEvery-invariant (spec-pinned
     * 1≡2≡3 in SkewSpec). */
   def defaultCkptEvery: Int =
-    sys.env.get("GRAFT_CC_CKPT_EVERY").map(_.toInt).getOrElse(1)
+    sys.env.get("GRAFT_CC_CKPT_EVERY").map { raw =>
+      // Round 17 (ADVICE r16): name the knob in the failure — a bare
+      // _.toInt threw an uncontextualized NumberFormatException from
+      // deep inside query construction on a malformed value.
+      scala.util.Try(raw.trim.toInt).getOrElse(throw
+        new IllegalArgumentException(
+          s"GRAFT_CC_CKPT_EVERY must be an integer in [1, 4], got '$raw'"))
+    }.getOrElse(1)
 
   /** Connected components by min-label propagation WITH pointer jumping:
     * every vertex converges to the smallest id reachable through `edges` —

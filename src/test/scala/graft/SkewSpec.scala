@@ -80,6 +80,19 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
       9L -> 9L, 10L -> 9L, 11L -> 9L))
     assert(run(vertsMissing) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
       9L -> 9L, 10L -> 9L, 11L -> 9L))
+    // Round 17 (ADVICE r16): the ISOLATED bridge — the cases above pass
+    // even without the coalesce fix because some declared vertex also
+    // changes label in every round. With ONLY {9, 11} declared and the
+    // orphan 10 bridging them, round 1's sole change is the orphan's
+    // NULL-__old first appearance (9 and 11 both keep their labels):
+    // pre-fix the change tally was 0 and the loop declared fixpoint one
+    // round early with 11 -> 11. This assertion makes the NULL-__old
+    // coalesce load-bearing for the premature-fixpoint regression.
+    val vertsIso = Seq(9L, 11L).toDF("id")
+    val edgesIso = Seq((9L, 10L), (10L, 11L)).toDF("id1", "id2")
+    val gotIso = graft.ops.ScaleDedup.connectedComponents(vertsIso, edgesIso)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotIso === Map(9L -> 9L, 10L -> 9L, 11L -> 9L))
   }
 
   test("twoPhaseDistinctCount ≡ countDistinct") {
