@@ -103,7 +103,13 @@ object Tpch {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(revenueExpr).cast("double").alias("revenue"))
-      .select("l_orderkey", "revenue", "o_orderdate")
+      // DATE output, not raw timestamp (round 17): o_orderdate is
+      // midnight-valued, so the cast is bijective — and a raw
+      // TimestampType output rides parquet as timestamp[ns] against the
+      // oracle's timestamp[us], the wire-representation hazard class
+      // that red-washed the cox family through r16.
+      .select(col("l_orderkey"), col("revenue"),
+        to_date(col("o_orderdate")).alias("o_orderdate"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -393,7 +399,11 @@ object Tpch {
       .join(big, col("o_orderkey") === col("__ok"))
       .join(Tables.customer(s, d).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
-      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+      // DATE output (round 17) — see q3's note; the tiebreak sort then
+      // runs on the date, order-identical since the cast is bijective
+      // over midnight-valued timestamps
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).alias("o_orderdate"),
         col("o_totalprice"), col("sum_qty"))
       .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
       .limit(100)
@@ -526,12 +536,18 @@ object Tpch {
         "ORDER BY s_acctbal DESC, p_partkey LIMIT 100"),
 
     "q_tpch3" ->
-      ("SELECT l_orderkey, " + rev() + " AS revenue, o_orderdate " +
+      // o_orderdate emitted as DATE (round 17): mirrors the Spark side —
+      // a raw timestamp output is the timestamp[ns]-vs-[us] wire hazard
+      // class; the cast is bijective (midnight-valued) and sits OUTSIDE
+      // the group key, so values and grouping are unchanged.
+      ("SELECT l_orderkey, " + rev() + " AS revenue, " +
+        "CAST(o_orderdate AS DATE) AS o_orderdate " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' " +
         "AND l_shipdate > TIMESTAMP '1998-03-15' " +
-        "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+        "GROUP BY l_orderkey, orders.o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
 
     "q_tpch4" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
@@ -663,10 +679,14 @@ object Tpch {
     "q_tpch18" ->
       ("WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS sum_qty FROM lineitem GROUP BY 1 HAVING sum_qty > 250) " +
-        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty " +
+        // DATE output + date-typed tiebreak, mirroring the Spark side
+        // (round 17; bijective over midnight-valued timestamps)
+        "SELECT c_name, c_custkey, o_orderkey, " +
+        "CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty " +
         "FROM big JOIN orders ON o_orderkey = l_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
-        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"),
+        "ORDER BY o_totalprice DESC, CAST(o_orderdate AS DATE), o_orderkey " +
+        "LIMIT 100"),
 
     "q_tpch19" ->
       ("SELECT " + rev() + " AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey " +
