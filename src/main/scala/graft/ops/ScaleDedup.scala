@@ -283,14 +283,24 @@ object ScaleDedup {
     * stays 1 (bench-optimal at fixture scale; see the superstep note in
     * the loop body). Values are ckptEvery-invariant (spec-pinned
     * 1≡2≡3 in SkewSpec). */
-  def defaultCkptEvery: Int =
-    sys.env.get("GRAFT_CC_CKPT_EVERY").map { raw =>
-      // Round 17 (ADVICE r16): name the knob in the failure — a bare
-      // _.toInt threw an uncontextualized NumberFormatException from
-      // deep inside query construction on a malformed value.
-      scala.util.Try(raw.trim.toInt).getOrElse(throw
+  def defaultCkptEvery: Int = parseCkptEvery(sys.env.get("GRAFT_CC_CKPT_EVERY"))
+
+  /** Pure parse+validate half of [[defaultCkptEvery]], split out so the
+    * knob's failure contract is spec-testable without mutating the JVM
+    * environment. Round 17 (ADVICE r16): name the knob in the failure —
+    * a bare _.toInt threw an uncontextualized NumberFormatException from
+    * deep inside query construction. Round 18 (ADVICE r17): validate the
+    * [1, 4] range HERE too, so a parseable-but-out-of-range value ('0',
+    * '9') fails at the knob with this one message instead of surfacing
+    * later through connectedComponents' separate require with a
+    * different one. */
+  def parseCkptEvery(raw: Option[String]): Int =
+    raw.map { s =>
+      val parsed = scala.util.Try(s.trim.toInt).getOrElse(-1)
+      if (parsed < 1 || parsed > 4) throw
         new IllegalArgumentException(
-          s"GRAFT_CC_CKPT_EVERY must be an integer in [1, 4], got '$raw'"))
+          s"GRAFT_CC_CKPT_EVERY must be an integer in [1, 4], got '$s'")
+      parsed
     }.getOrElse(1)
 
   /** Connected components by min-label propagation WITH pointer jumping:

@@ -54,6 +54,22 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(run(3) === per)
   }
 
+  test("parseCkptEvery: knob failures report once, at the knob") {
+    import graft.ops.ScaleDedup.parseCkptEvery
+    // Round 18 (ADVICE r17): the env knob must validate the [1, 4]
+    // range itself — a parseable out-of-range value previously slipped
+    // through to connectedComponents' separate require with a
+    // different message.
+    assert(parseCkptEvery(None) === 1)
+    assert(parseCkptEvery(Some(" 2 ")) === 2)
+    assert(parseCkptEvery(Some("4")) === 4)
+    for (bad <- Seq("0", "5", "9", "-1", "abc", "2.5", "")) {
+      val e = intercept[IllegalArgumentException](parseCkptEvery(Some(bad)))
+      assert(e.getMessage.contains("GRAFT_CC_CKPT_EVERY"), bad)
+      assert(e.getMessage.contains("[1, 4]"), bad)
+    }
+  }
+
   test("connectedComponents: orphan edge endpoints converge correctly") {
     import spark.implicits._
     // Round 16 (VERDICT r15 #5): ids that appear as edge endpoints but

@@ -18,6 +18,34 @@ resource.setrlimit(resource.RLIMIT_NOFILE, (_hard, _hard))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def coarse(t):
+    """Coarsened arrow type for the column-by-column wire-type compare
+    (round 18, ADVICE r17). Width classes that are value-exact and
+    driver-stable (signed/unsigned ints <= 64 bits, string vs
+    large_string, date32 vs date64) collapse to one token; everything
+    that has bitten on the driver dump stays distinct — decimal
+    wideness, TIMESTAMP UNIT AND TZ, float width, nested value types."""
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_signed_integer(t) or pat.is_unsigned_integer(t):
+        return "int"
+    if pat.is_timestamp(t):
+        return f"timestamp[{t.unit},tz={t.tz}]"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_floating(t):
+        return f"float{t.bit_width}"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "bin"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return f"list<{coarse(t.value_type)}>"
+    if pat.is_struct(t):
+        inner = ",".join(f"{f.name}:{coarse(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
 def norm(v):
     if v is None:
         return None
@@ -76,6 +104,31 @@ def main(sf_dir, out_dir, only=()):
         ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
         if ecols != gcols:
             print(f"FAIL {name}: columns differ: oracle={ecols} spark={gcols}")
+            n_fail += 1
+            continue
+        # TYPED COMPARE (round 18, ADVICE r17): the r17 gate only checked
+        # the ORACLE schema for decimals and the schema compare above is
+        # name-only — a Spark-side decimal, or a timestamp whose UNIT
+        # differs between engines (the timestamp[ns]-vs-[us] parquet
+        # hazard noted in Tpch.scala), coerces equal in to_pylist and
+        # passes HERE while diverging on the driver's bit-level dump.
+        # Compare coarsened arrow types column by column, and gate
+        # Spark-side decimals exactly like oracle-side ones.
+        gwide = [f"{f.name}:{f.type}" for f in got.schema
+                 if pat.is_decimal(f.type)]
+        if gwide:
+            print(f"FAIL {name}: wide-typed spark output (driver dump "
+                  f"divergence class): {gwide}")
+            n_fail += 1
+            continue
+        mism = [f"{c}: oracle={exp.schema.field(c).type} "
+                f"spark={got.schema.field(c).type}"
+                for c in ecols
+                if coarse(exp.schema.field(c).type)
+                != coarse(got.schema.field(c).type)]
+        if mism:
+            print(f"FAIL {name}: wire-type mismatch (driver dump "
+                  f"divergence class): {mism}")
             n_fail += 1
             continue
         if exp.num_rows != got.num_rows:
