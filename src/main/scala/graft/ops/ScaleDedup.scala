@@ -345,7 +345,12 @@ object ScaleDedup {
     * appearance carries a NULL previous label, which the change flag
     * counts as changed via coalesce(…, true) — without that, a round
     * whose only change is an orphan's label could declare fixpoint one
-    * round early. Pinned in SkewSpec ("orphan edge endpoints"). */
+    * round early. Pinned in SkewSpec ("orphan edge endpoints").
+    *
+    * Input contract: `vertices.id` must be unique (every caller passes a
+    * key column). Since the round-18 active/isolated split, a duplicated
+    * ISOLATED id would pass through verbatim rather than being collapsed
+    * by the loop's first groupBy, as pre-split code happened to do. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           ckptEvery: Int = defaultCkptEvery): DataFrame = {
@@ -358,6 +363,25 @@ object ScaleDedup {
     val idType = vertices.schema("id").dataType
     val sym = ckpt(edges.select(col("id1").alias("src"), col("id2").alias("dst"))
       .union(edges.select(col("id2").alias("src"), col("id1").alias("dst"))))
+
+    // ACTIVE-VERTEX RESTRICTION (round 18): only vertices that touch an
+    // edge can ever change label — an isolated vertex is its own
+    // fixpoint from round 0. In a dedup corpus the isolated set is the
+    // overwhelming majority (most documents are in NO near-dup pair),
+    // yet it previously rode the label table through every
+    // propagation/jump shuffle AND every reliable checkpoint write —
+    // turning the per-round replicated-write term from O(corpus) into
+    // O(near-dup docs) is the difference between checkpointing 100 TB
+    // of ids 9 times and checkpointing the tiny candidate set 9 times.
+    // Cost: one id-only left_semi/left_anti split of `vertices` against
+    // the (checkpointed) symmetric edge list; the isolated side stays a
+    // lazy narrow branch unioned into the result, never iterated.
+    // Orphan endpoints are unaffected: they are not DECLARED vertices,
+    // enter the loop via `nbr` exactly as before, and the canonical
+    // labels the loop draws still come from declared (now: declared
+    // active) vertices only.
+    val srcs = sym.select(col("src").alias("id"))
+    val active = vertices.join(srcs, Seq("id"), "left_semi")
 
     // One min-label round: neighbor-propagation (join + min-agg) then a
     // pointer jump label := label(label) — every label is itself a vertex
@@ -405,7 +429,16 @@ object ScaleDedup {
       }
     }
 
-    var labels = ckpt(vertices.select(col("id"), col("id").alias("label")))
+    val init = ckpt(active.select(col("id"), col("id").alias("label")))
+    // The isolated complement probes the already-materialized initial
+    // label table (not `sym` again): one fewer exchange, and the probe
+    // side is exactly the id set the loop owns. Unhinted join: at corpus
+    // scale the active set is usually broadcastable but can't be
+    // ASSUMED so (one viral boilerplate doc can make it huge) — AQE
+    // decides per run.
+    val isolated = vertices.join(init.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").alias("label"))
+    var labels = init
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -443,7 +476,7 @@ object ScaleDedup {
       s"[graft] connectedComponents: fixpoint within $i rounds " +
         s"(fused change detection, ckptEvery = $ckptEvery, " +
         s"reliable checkpoint = $reliable)")
-    labels
+    labels.unionByName(isolated)
   }
 
   /** Benchmark decontamination — drop corpus documents that share any

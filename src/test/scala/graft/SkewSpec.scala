@@ -54,6 +54,25 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(run(3) === per)
   }
 
+  test("connectedComponents: isolated vertices bypass the fixpoint loop") {
+    import spark.implicits._
+    // Round 18: vertices that touch no edge are their own fixpoint from
+    // round 0 and are split off BEFORE the loop (the label table the
+    // loop shuffles and checkpoints per round is O(edge-touching
+    // vertices), not O(corpus)). The split must be invisible in the
+    // output: singletons labeled by their own id alongside the looped
+    // clusters, and an empty edge set → every vertex a singleton.
+    val verts = Seq(1L, 2L, 3L, 7L, 8L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = graft.ops.ScaleDedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 7L -> 7L, 8L -> 8L))
+    val noEdges = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val gotNone = graft.ops.ScaleDedup.connectedComponents(verts, noEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNone === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("parseCkptEvery: knob failures report once, at the knob") {
     import graft.ops.ScaleDedup.parseCkptEvery
     // Round 18 (ADVICE r17): the env knob must validate the [1, 4]
