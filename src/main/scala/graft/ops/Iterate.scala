@@ -50,6 +50,14 @@ object Iterate {
         true
       } else false
     }
+    // persist()-before-checkpoint (the classic fix for the reliable
+    // checkpoint's compute+write double pass) was A/B'd in round 18 and
+    // REJECTED: DataFrame persist materializes a columnar
+    // InMemoryRelation whose build cost dwarfs recomputing the round's
+    // joins at these row widths — q_dedup_clusters 2.4 s -> 9 s,
+    // q_llm_prep_fuzzy 5.4 s -> 13 s wall at sf0.1 (scheduled jobs DID
+    // drop ~10%, confirming the write job read cache; the wall went to
+    // cache construction). The double pass stays.
     df => if (reliable) df.checkpoint() else df.localCheckpoint()
   }
 

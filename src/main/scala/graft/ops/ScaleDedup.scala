@@ -393,7 +393,11 @@ object ScaleDedup {
     // rounds (6→6 on q_dedup_clusters) while its extra in-round exchange
     // raised the scheduled-job count 51→57 — the exact metric this loop
     // optimizes. Deep-chain inputs are already covered by single halving
-    // (65536-path: ≤2·log₂ rounds). The change flag, when requested,
+    // (65536-path: ≤2·log₂ rounds). Re-tested in round 18 on the 9-round
+    // q_llm_prep_fuzzy graph (the one CC input where extra hops COULD
+    // have paid): rounds stayed 9, jobs rose ~90→101, wall 5.4→8.0 s —
+    // the verified-pair graphs are propagation-bound at every fixture
+    // scale, so the rejection stands. The change flag, when requested,
     // reads the POST-jump label vs the round's starting label: even a
     // vertex whose neighbor-min stood still changes when its
     // label-vertex's label dropped. __chg must ride in the materialized
