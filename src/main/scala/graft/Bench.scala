@@ -57,18 +57,47 @@ object Bench {
     // a shared box inflate single samples — the round-3 driver run showed
     // 0.1–0.4 s/query drift on UNCHANGED plans with min-of-2, so one more
     // pass buys the noise floor down (min-of-3 = steady-state cost).
-    def timedPass(): Seq[(String, Double)] = Headline.map { case (label, name) =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write
-        .format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $label: $e") }
-      label -> (System.nanoTime() - t0) / 1e9
+    // Drift-immune metrics alongside wall time (round 18, VERDICT r17
+    // #3): wall clock on a shared host swings ±20% at constant plans,
+    // so the artifact also carries per-query SCHEDULED-JOB counts (the
+    // driver round-trip cost a 1000-executor cluster actually pays) and
+    // the CC fixpoint round count for the iterative composites — both
+    // bit-stable across hosts at a fixed plan. Job ids are globally
+    // monotonic; diffing the MAX observed id survives status-store
+    // eviction in a long session (a list-length diff undercounts).
+    val tracker = spark.sparkContext.statusTracker
+    def maxJobId(): Int = {
+      val ids = tracker.getJobIdsForGroup(null)
+      if (ids.isEmpty) -1 else ids.max
     }
-    val passes = Seq(timedPass(), timedPass(), timedPass())
+    val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val ccRounds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def timedPass(record: Boolean): Seq[(String, Double)] =
+      Headline.map { case (label, name) =>
+        val j0 = maxJobId()
+        graft.ops.ScaleDedup.lastFixpointRounds.set(-1)
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $label: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (record) {
+          jobCounts(label) = maxJobId() - j0
+          val r = graft.ops.ScaleDedup.lastFixpointRounds.get()
+          if (r >= 0) ccRounds(label) = r
+        }
+        label -> dt
+      }
+    // job/round counts are recorded on the LAST pass (steady AQE plans)
+    val passes = Seq(timedPass(false), timedPass(false), timedPass(true))
     val results = Headline.indices.map { i =>
       passes.head(i)._1 -> passes.map(_(i)._2).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val js = jobCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cc = ccRounds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Label the launch protocol: BASELINE.md records 1.4-1.8x uniform
@@ -77,7 +106,7 @@ object Bench {
     // build.sbt stamps -Dgraft.launcher=sbt-fork on forked runs; a bare
     // `java -cp` carries no stamp and reports raw-java.
     val protocol = sys.props.getOrElse("graft.launcher", "raw-java")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"$protocol"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"cc_rounds":$cc,"sf":"$sfDir","protocol":"$protocol"}""")
     spark.stop()
   }
 }

@@ -282,7 +282,22 @@ object ScaleDedup {
     * writes, the true 1000-executor term — while the unset default
     * stays 1 (bench-optimal at fixture scale; see the superstep note in
     * the loop body). Values are ckptEvery-invariant (spec-pinned
-    * 1≡2≡3 in SkewSpec). */
+    * 1≡2≡3 in SkewSpec).
+    *
+    * Decision rule (round 18, VERDICT r17 #5, derived from the
+    * BASELINE.md r15–r18 job-count tables): ckptEvery=2 removes
+    * ~20-25% of scheduled jobs (q10 54→41, q11 92→76, incr 136→107 on
+    * the r18 tree) and HALVES the replicated label-table checkpoint
+    * writes, at the cost of a wider per-superstep plan (~constant
+    * driver/optimizer overhead per round, visible only when rounds are
+    * sub-second) and a 2-round recompute window on executor loss. Set
+    * 2 when a round's wall time is dominated by the checkpoint
+    * barrier+write rather than the driver — in practice: real
+    * multi-executor clusters, or expected fixpoints ≳ 10 rounds.
+    * Keep 1 when rounds are sub-second (local/bench scale) or
+    * executor churn is high enough that the 2-round replay window
+    * matters. 3-4 exist for measurement; the write savings beyond 2
+    * are marginal against the widening replay window. */
   def defaultCkptEvery: Int = parseCkptEvery(sys.env.get("GRAFT_CC_CKPT_EVERY"))
 
   /** Pure parse+validate half of [[defaultCkptEvery]], split out so the
@@ -480,8 +495,16 @@ object ScaleDedup {
       s"[graft] connectedComponents: fixpoint within $i rounds " +
         s"(fused change detection, ckptEvery = $ckptEvery, " +
         s"reliable checkpoint = $reliable)")
+    lastFixpointRounds.set(i)
     labels.unionByName(isolated)
   }
+
+  /** Rounds of the most recent [[connectedComponents]] fixpoint in this
+    * JVM (−1 before any run) — the drift-immune iterative-cost metric
+    * (driver round-trips scale with it, wall clock does not transfer
+    * across hosts). Read by Bench to stamp `cc_rounds` into the
+    * artifact (round 18, VERDICT r17 #3). */
+  val lastFixpointRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Benchmark decontamination — drop corpus documents that share any
     * word n-gram with an evaluation set (the standard pretraining hygiene

@@ -1715,6 +1715,11 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
 
   test("round-17 cox probes: kargs splits cover kargs; kterms/a0 rebuild") {
     import spark.implicits._
+    // Round 18 (VERDICT r17 #1): the tn/s0/q1..q4/a0 one-shot bisect
+    // splits are REGISTRY-RETIRED (their question — which column/row
+    // range diverges — was answered: none; wire typing) and this test
+    // is their standing coverage; kln/kargs/kterms remain the
+    // registered wire+value sentinels.
     val many = ((1 to 10).map(i => (i.toLong, true, 1.25)) ++
       (11 to 20).map(i => (i.toLong, i % 2 == 0, 0.5))).toDF("dur", "obs", "x")
     val kargs = Stats.coxDiagKArgs(many, "dur", "obs", "x", iters = 3)

@@ -46,6 +46,32 @@ def coarse(t):
         return f"struct<{inner}>"
     return str(t)
 
+def allowed(t):
+    """Narrow-type allowlist (round 18, VERDICT r17 #2): every output
+    column on EITHER side must be one of the wire-proven-safe types.
+    Both discovered driver-red wire classes (decimal128 HUGEINT,
+    timestamp[ns]) are impossible by construction: anything outside
+    {int8..64, float64, utf8, bool, date32/64, timestamp[us],
+    list/struct thereof} fails the sweep, even when both engines agree
+    on it."""
+    if pat.is_signed_integer(t):
+        return True
+    if pat.is_floating(t):
+        return t.bit_width == 64
+    if pat.is_string(t) or pat.is_large_string(t):
+        return True
+    if pat.is_boolean(t):
+        return True
+    if pat.is_date(t):
+        return True
+    if pat.is_timestamp(t):
+        return t.unit == "us" and t.tz in (None, "UTC")
+    if pat.is_list(t) or pat.is_large_list(t):
+        return allowed(t.value_type)
+    if pat.is_struct(t):
+        return all(allowed(f.type) for f in t)
+    return False
+
 def norm(v):
     if v is None:
         return None
@@ -76,21 +102,21 @@ def main(sf_dir, out_dir, only=()):
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        # WIDE-TYPE GATE (round 17): an oracle output column DuckDB types
-        # wider than 64 bits (HUGEINT / DECIMAL(38,x) — arrow decimal128/
-        # 256) rides the driver's dump differently from Spark's LONG even
-        # when every VALUE is identical: that class red-washed
-        # q_cox_diag_x/xcov/g1 in r14 (raw DECIMAL sums) and q_cox_ph/
-        # kln/kargs through r16 (uncast SUM-of-integers `ne`/`n_events`
-        # → HUGEINT). Values compare equal HERE (Python == is
-        # type-coercing), so without this gate the sweep is green-locally
-        # /red-on-driver by construction. CAST the offending output to
-        # BIGINT in the oracle.
+        # WIRE-TYPE GATE (round 17, generalized to the `allowed`
+        # narrow-type allowlist in round 18 per VERDICT r17 #2): a column
+        # typed outside the proven-safe set rides the driver's bit-level
+        # dump differently even when every VALUE is identical — decimal128
+        # HUGEINT red-washed q_cox_diag_x/xcov/g1 in r14 and q_cox_ph/
+        # kln/kargs through r16 (uncast SUM-of-integers), and raw
+        # timestamp[ns] (the tpch3/18 class) was only caught by a manual
+        # audit. Values compare equal HERE (Python == is type-coercing),
+        # so without this gate the sweep is green-locally/red-on-driver
+        # by construction. CAST the offending output in the oracle/query.
         wide = [f"{f.name}:{f.type}" for f in exp.schema
-                if pat.is_decimal(f.type)]
+                if not allowed(f.type)]
         if wide:
-            print(f"FAIL {name}: wide-typed oracle output (driver dump "
-                  f"divergence class): {wide}")
+            print(f"FAIL {name}: disallowed oracle output type (driver "
+                  f"dump divergence class): {wide}")
             n_fail += 1
             continue
         got_path = os.path.join(out_dir, name)
@@ -115,10 +141,10 @@ def main(sf_dir, out_dir, only=()):
         # Compare coarsened arrow types column by column, and gate
         # Spark-side decimals exactly like oracle-side ones.
         gwide = [f"{f.name}:{f.type}" for f in got.schema
-                 if pat.is_decimal(f.type)]
+                 if not allowed(f.type)]
         if gwide:
-            print(f"FAIL {name}: wide-typed spark output (driver dump "
-                  f"divergence class): {gwide}")
+            print(f"FAIL {name}: disallowed spark output type (driver "
+                  f"dump divergence class): {gwide}")
             n_fail += 1
             continue
         mism = [f"{c}: oracle={exp.schema.field(c).type} "
