@@ -61,30 +61,34 @@ object Bench {
     // #3): wall clock on a shared host swings ±20% at constant plans,
     // so the artifact also carries per-query SCHEDULED-JOB counts (the
     // driver round-trip cost a 1000-executor cluster actually pays) and
-    // the CC fixpoint round count for the iterative composites — both
-    // bit-stable across hosts at a fixed plan. Job ids are globally
-    // monotonic; diffing the MAX observed id survives status-store
-    // eviction in a long session (a list-length diff undercounts).
-    val tracker = spark.sparkContext.statusTracker
-    def maxJobId(): Int = {
-      val ids = tracker.getJobIdsForGroup(null)
-      if (ids.isEmpty) -1 else ids.max
-    }
+    // the CC fixpoint round total for the iterative composites — both
+    // bit-stable across hosts at a fixed plan. Counting protocol shared
+    // with ProfileQ via graft.JobCount (settled reads outside the timed
+    // window, so the listener-bus race can't misattribute a job between
+    // adjacent queries and the sleep never pollutes wall time). A query
+    // that THROWS records jobs = -1 — a partially-failed run must not
+    // read as a genuine plan improvement in the diffed artifact.
+    val sc = spark.sparkContext
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val ccRounds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timedPass(record: Boolean): Seq[(String, Double)] =
       Headline.map { case (label, name) =>
-        val j0 = maxJobId()
-        graft.ops.ScaleDedup.lastFixpointRounds.set(-1)
+        val j0 = if (record) JobCount.settledMaxJobId(sc) else 0
+        graft.ops.ScaleDedup.fixpointRounds.set(0)
+        var failed = false
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).write
           .format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $label: $e") }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $label: $e")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         if (record) {
-          jobCounts(label) = maxJobId() - j0
-          val r = graft.ops.ScaleDedup.lastFixpointRounds.get()
-          if (r >= 0) ccRounds(label) = r
+          jobCounts(label) =
+            if (failed) -1 else JobCount.settledMaxJobId(sc) - j0
+          val r = graft.ops.ScaleDedup.fixpointRounds.get()
+          if (r > 0 && !failed) ccRounds(label) = r
         }
         label -> dt
       }

@@ -27,21 +27,17 @@ object ProfileQ {
       // ops (CC fixpoints, Newton chains) the DRIVER ROUND-TRIP count is
       // the genuine cluster-scale cost that local[32] wall time hides —
       // local job scheduling is ~ms while a 1000-executor barrier is not.
-      // Job ids are globally monotonic, so diffing the MAX observed id
-      // (round-16 ADVICE) stays correct when the status store evicts
-      // past spark.ui.retainedJobs in a long multi-query session — a
-      // list-length diff silently undercounts (or goes negative) there.
-      val tracker = spark.sparkContext.statusTracker
-      def maxJobId(): Int = {
-        val ids = tracker.getJobIdsForGroup(null)
-        if (ids.isEmpty) -1 else ids.max
-      }
+      // Counting protocol (settled max-job-id diff, reads outside the
+      // timed window) shared with Bench via graft.JobCount — round 18:
+      // the two tools' tables must stay comparable, and the settled
+      // read closes the listener-bus misattribution race.
+      val sc = spark.sparkContext
       val runs = (1 to reps).map { _ =>
-        val j0 = maxJobId()
+        val j0 = JobCount.settledMaxJobId(sc)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write
           .format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, maxJobId() - j0)
+        ((System.nanoTime() - t0) / 1e9, JobCount.settledMaxJobId(sc) - j0)
       }
       println(f"PROFILE $name: ${runs.map(r => f"${r._1}%.3f").mkString(" ")}" +
         s" | jobs: ${runs.map(_._2).mkString(" ")}")

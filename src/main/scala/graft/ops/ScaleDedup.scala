@@ -363,9 +363,14 @@ object ScaleDedup {
     * round early. Pinned in SkewSpec ("orphan edge endpoints").
     *
     * Input contract: `vertices.id` must be unique (every caller passes a
-    * key column). Since the round-18 active/isolated split, a duplicated
-    * ISOLATED id would pass through verbatim rather than being collapsed
-    * by the loop's first groupBy, as pre-split code happened to do. */
+    * key column) and its plan DETERMINISTIC. Since the round-18
+    * active/isolated split, `vertices` is evaluated twice (once frozen
+    * into the checkpointed active label table, once lazily for the
+    * isolated complement): a duplicated isolated id would pass through
+    * verbatim rather than being collapsed by the loop's first groupBy,
+    * and a nondeterministic source (sampled ids,
+    * monotonically_increasing_id) could land a vertex in both branches
+    * or neither. All callers pass deterministic key projections. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           ckptEvery: Int = defaultCkptEvery): DataFrame = {
@@ -495,16 +500,18 @@ object ScaleDedup {
       s"[graft] connectedComponents: fixpoint within $i rounds " +
         s"(fused change detection, ckptEvery = $ckptEvery, " +
         s"reliable checkpoint = $reliable)")
-    lastFixpointRounds.set(i)
+    fixpointRounds.addAndGet(i)
     labels.unionByName(isolated)
   }
 
-  /** Rounds of the most recent [[connectedComponents]] fixpoint in this
-    * JVM (−1 before any run) — the drift-immune iterative-cost metric
-    * (driver round-trips scale with it, wall clock does not transfer
-    * across hosts). Read by Bench to stamp `cc_rounds` into the
-    * artifact (round 18, VERDICT r17 #3). */
-  val lastFixpointRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+  /** ACCUMULATED [[connectedComponents]] fixpoint rounds in this JVM —
+    * the drift-immune iterative-cost metric (driver round-trips scale
+    * with it, wall clock does not transfer across hosts). Accumulating
+    * (not last-write) so a query that runs CC more than once (the
+    * incremental-dedup pattern) reports its TOTAL round-trip cost.
+    * Bench resets to 0 before each recorded query and stamps the total
+    * into `cc_rounds` (round 18, VERDICT r17 #3). */
+  val fixpointRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Benchmark decontamination — drop corpus documents that share any
     * word n-gram with an evaluation set (the standard pretraining hygiene
