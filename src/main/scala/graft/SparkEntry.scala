@@ -3657,11 +3657,30 @@ object SparkEntry {
     "q_cox_diag_kargs" -> ((s, d) =>
       graft.ops.Stats.coxDiagKArgs(coxSubjects(s, d), "dur",
         "observed", "activity", iters = 3)),
-    // The round-17 one-shot bisect splits (kargs_tn/s0/q1..q4/a0 —
-    // VERDICT r16 #1-#2) answered their question (no column or row
-    // range diverges; the red was wire typing) and retired to StatsSpec
-    // in round 18 (VERDICT r17 #1): the split functions stay in Stats
-    // and the spec pins their derivation against the full kargs digest.
+    // column split (VERDICT r16 #1): duration/event half vs risk-sum half
+    "q_cox_diag_kargs_tn" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgsTn(coxSubjects(s, d), "dur",
+        "observed", "activity", iters = 3)),
+    "q_cox_diag_kargs_s0" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgsS0(coxSubjects(s, d), "dur",
+        "observed", "activity", iters = 3)),
+    // row bisect (VERDICT r16 #2): rank-quartile restriction
+    "q_cox_diag_kargs_q1" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgsQuart(coxSubjects(s, d), "dur",
+        "observed", "activity", quart = 1, iters = 3)),
+    "q_cox_diag_kargs_q2" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgsQuart(coxSubjects(s, d), "dur",
+        "observed", "activity", quart = 2, iters = 3)),
+    "q_cox_diag_kargs_q3" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgsQuart(coxSubjects(s, d), "dur",
+        "observed", "activity", quart = 3, iters = 3)),
+    "q_cox_diag_kargs_q4" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgsQuart(coxSubjects(s, d), "dur",
+        "observed", "activity", quart = 4, iters = 3)),
+    // window-boundary split: per-duration pre-window (a0h, a0l) pairs
+    "q_cox_diag_kargs_a0" -> ((s, d) =>
+      graft.ops.Stats.coxDiagKArgsA0(coxSubjects(s, d), "dur",
+        "observed", "activity", iters = 3)),
     // per-term live-chain probe (VERDICT r16 #3): pinned ex terms +
     // their pair decomposition through the LIVE final-risk context
     "q_cox_diag_kterms" -> ((s, d) =>
@@ -5845,6 +5864,49 @@ object SparkEntry {
       "SELECT t, CAST(ne AS BIGINT) AS ne, " +
       "CAST(s0h AS BIGINT) AS s0h, CAST(s0l AS BIGINT) AS s0l " +
       "FROM sf WHERE ne > 0 ORDER BY t"
+
+  /** q_cox_diag_kargs_tn oracle — the duration/event column half
+    * (round 17, VERDICT r16 #1): per-row (t, ne) transport at duration
+    * grain, previously proven only in aggregate (the retired g1/xint
+    * digests). All-BIGINT outputs. */
+  private def coxDiagKArgsTnOracle: String =
+    coxCtes(3) + ", " + coxFinalRiskCtes + " " +
+      "SELECT t, CAST(ne AS BIGINT) AS ne " +
+      "FROM sf WHERE ne > 0 ORDER BY t"
+
+  /** q_cox_diag_kargs_s0 oracle — the risk-sum column half (round 17,
+    * VERDICT r16 #1): per-row exact integer suffix pair at the final
+    * β. All-BIGINT outputs. */
+  private def coxDiagKArgsS0Oracle: String =
+    coxCtes(3) + ", " + coxFinalRiskCtes + " " +
+      "SELECT t, CAST(s0h AS BIGINT) AS s0h, CAST(s0l AS BIGINT) AS s0l " +
+      "FROM sf WHERE ne > 0 ORDER BY t"
+
+  /** q_cox_diag_kargs_q1..q4 oracle — the rank-quartile row bisect
+    * (round 17, VERDICT r16 #2): quartile = ⌊(rank−1)·4 / count⌋, every
+    * step exact small-integer arithmetic mirrored in the Spark probe
+    * (Stats.coxDiagKArgsQuart). */
+  private def coxDiagKArgsQuartOracle(quart: Int): String =
+    coxCtes(3) + ", " + coxFinalRiskCtes + ", " +
+      "ka AS (SELECT t, CAST(ne AS BIGINT) AS ne, " +
+      "CAST(s0h AS BIGINT) AS s0h, CAST(s0l AS BIGINT) AS s0l, " +
+      "ROW_NUMBER() OVER (ORDER BY t) AS rn, " +
+      "CAST(COUNT(*) OVER () AS BIGINT) AS cnt " +
+      "FROM sf WHERE ne > 0) " +
+      "SELECT t, ne, s0h, s0l FROM ka " +
+      "WHERE CAST(floor(CAST((rn - 1) * 4 AS DOUBLE) / " +
+      s"CAST(cnt AS DOUBLE)) AS BIGINT) = ${quart - 1} ORDER BY t"
+
+  /** q_cox_diag_kargs_a0 oracle — the pre-window per-duration moment
+    * pairs (round 17): straight from the live gf CTE, BEFORE the
+    * suffix window builds S0 — splits the chain at the window
+    * boundary (see Stats.coxDiagKArgsA0). All durations, no events
+    * filter. */
+  private def coxDiagKArgsA0Oracle: String =
+    coxCtes(3) + ", " + coxFinalRiskCtes + " " +
+      "SELECT t, CAST(ne AS BIGINT) AS ne, " +
+      "CAST(a0h AS BIGINT) AS a0h, CAST(a0l AS BIGINT) AS a0l " +
+      "FROM gf ORDER BY t"
 
   /** q_cox_diag_kterms oracle — per-term probe through the LIVE
     * final-risk expression context (round 17, VERDICT r16 #3): the
@@ -10451,6 +10513,13 @@ object SparkEntry {
     "q_cox_loglik" -> coxLoglikOracle,
     "q_cox_diag_kln" -> coxDiagKLnOracle,
     "q_cox_diag_kargs" -> coxDiagKArgsOracle,
+    "q_cox_diag_kargs_tn" -> coxDiagKArgsTnOracle,
+    "q_cox_diag_kargs_s0" -> coxDiagKArgsS0Oracle,
+    "q_cox_diag_kargs_q1" -> coxDiagKArgsQuartOracle(1),
+    "q_cox_diag_kargs_q2" -> coxDiagKArgsQuartOracle(2),
+    "q_cox_diag_kargs_q3" -> coxDiagKArgsQuartOracle(3),
+    "q_cox_diag_kargs_q4" -> coxDiagKArgsQuartOracle(4),
+    "q_cox_diag_kargs_a0" -> coxDiagKArgsA0Oracle,
     "q_cox_diag_kterms" -> coxDiagKTermsOracle,
 
     // Bit-parity probes for the portable exp/ln kernel: the SQL is the
