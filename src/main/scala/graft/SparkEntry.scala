@@ -1036,11 +1036,21 @@ object SparkEntry {
     "q_llm_prep_fuzzy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val evalSet = docs.filter(col("doc_id") % 37 === 0)
-      val kept = docs
+      // Quality + langId kernels run ONCE (round 18): the gate-survivor
+      // ids are materialized first, and every later stage re-derives text
+      // by an id semi-join against the scan — a parquet re-read, not a
+      // kernel re-run. Previously `kept` (filter kernels inline) was
+      // evaluated ~3× inside the survivor-id job alone (decontamination
+      // references its corpus twice — shingle side + output side — and
+      // the exact-dedup group adds a third), so the most expensive per-doc
+      // expressions in the pipeline ran three times per run.
+      val keptIds = docs
         .filter(TextAnalysis.qualityKeep(col("text"), minTokens = 8,
           maxTokens = 100000, minStopRatio = 0.01,
           maxDupLineRatio = 0.2, maxTopNgramCharRatio = 0.2))
         .filter(TextAnalysis.langId(col("text")) === "en")
+        .select("doc_id").localCheckpoint()
+      val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
       val clean = ScaleDedup.decontaminate(kept, "doc_id", "text",
         evalSet, "text", n = 13)
       val exact = ScaleDedup.exactDedupGroups(clean, "doc_id", "text")
@@ -1067,8 +1077,16 @@ object SparkEntry {
       // pressure at scale, which is why only the SURVIVORS (post
       // exact-dedup) are tokenized, and a deployment preferring
       // recompute-on-loss would persist(DISK_ONLY) here instead.
+      // n_tokens rides the same checkpoint (round 18): the final readout
+      // previously re-scanned the corpus text a further time just to
+      // count tokens; size(split(..)) shares the tokenizing split with
+      // tokenSet via codegen subexpression elimination, so carrying the
+      // 8-byte count here makes the last stage a scan-free projection of
+      // this frame.
       val toks = uniq.select(col("doc_id"),
-        ScaleDedup.tokenSet(col("text")).alias("toks")).localCheckpoint()
+        ScaleDedup.tokenSet(col("text")).alias("toks"),
+        TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"))
+        .localCheckpoint()
       val pairs = ScaleDedup.minhashCandidatePairsFromToks(toks, "doc_id",
         "toks", numHashes = 4, bands = 2)
       val verified = pairs
@@ -1084,9 +1102,9 @@ object SparkEntry {
       // join shuffles (doc_id, n_tokens) — 16 bytes/row — rather than
       // the surviving text (canon grows with the corpus, so it can't be
       // assumed broadcastable; PlanAuditSpec pins text out of every
-      // hash exchange here).
-      uniq.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").alias("n_tokens"))
+      // hash exchange here). The counts come from the checkpointed toks
+      // frame (round 18) — no extra corpus scan for the readout.
+      toks.select(col("doc_id"), col("n_tokens"))
         .join(canon, Seq("doc_id"), "left_semi")
         .orderBy("doc_id")
     }),

