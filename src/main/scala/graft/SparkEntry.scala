@@ -2540,8 +2540,19 @@ object SparkEntry {
         col("o_orderdate"), col("o_orderpriority"),
         when(col("__m") === 0, "D").when(col("__m") === 1, "U")
           .otherwise("I").alias("op"))
+      // The applied snapshot feeds TWO consumers (the SCD2 dim build and
+      // the point-in-time fact side); differently-pruned projections make
+      // the two subtrees canonically distinct, so AQE exchange reuse
+      // cannot dedupe them and the orders scan + change-window +
+      // anti-join ran twice. Materialize it once (round 18), projected to
+      // the union of both consumers' columns. localCheckpoint is an
+      // optimization, not correctness: the snapshot recomputes
+      // deterministically on executor loss.
       val applied = graft.ops.Cdc.applyCdc(
-        gated, changes, "o_orderkey", "op", "o_orderdate", "o_custkey")
+          gated, changes, "o_orderkey", "op", "o_orderdate", "o_custkey")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_totalprice")
+        .localCheckpoint()
       // 3. SCD2 status history per customer over the applied snapshot
       val dim = graft.ops.Scd.scd2Build(
           applied.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
