@@ -733,10 +733,20 @@ object Graph {
     * values so shuffle order cannot flip a bit on any engine. Nodes with
     * no out-edges keep hub 0; no in-edges, authority 0 (scores live on
     * the full node set, so both engines emit identical row sets).
-    * Lineage grows linearly with `iters` — same checkpoint stance as
-    * [[pagerank]]. Returns (node, hub, authority) rounded to 6 dp. */
+    *
+    * Lineage is truncated per HALF-STEP ([[Iterate.checkpointer]]) —
+    * round 18. Unlike [[pagerank]] (one self-reference per round →
+    * linear plan growth, no checkpoint needed at small iters), the L1
+    * normalization references its input score table TWICE (the total
+    * aggregate and the per-row divide), and each round nests two
+    * normalizations — the exponential double-reference case
+    * Iterate.scala warns about: un-truncated, iters=3 builds ~4³ copies
+    * of the edge-join subtree (measured 27-36 s at sf0.01 in the
+    * optimizer/recompute, vs ~1 s truncated; values identical).
+    * Returns (node, hub, authority) rounded to 6 dp. */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 16, s"hits: need 1 <= iters <= 16, got $iters")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
     val spark = edges.sparkSession
     val nodes = edges.select(col("src").alias("node"))
       .union(edges.select(col("dst").alias("node")))
@@ -755,22 +765,22 @@ object Graph {
     var auth = nodes.select(col("node"), lit(0.0).alias("__s"))
     hub = l1(hub)
     for (_ <- 1 to iters) {
-      auth = l1(nodes.join(
+      auth = ckpt(l1(nodes.join(
         edges.join(hub.select(col("node").alias("src"), col("__s")), "src")
           .select(col("dst").alias("node"),
             (col("w") * col("__s")).cast("decimal(28,14)").alias("__c"))
           .groupBy("node")
           .agg(round(sum("__c").cast("double"), 9).alias("__r")),
         Seq("node"), "left")
-        .select(col("node"), coalesce(col("__r"), lit(0.0)).alias("__s")))
-      hub = l1(nodes.join(
+        .select(col("node"), coalesce(col("__r"), lit(0.0)).alias("__s"))))
+      hub = ckpt(l1(nodes.join(
         edges.join(auth.select(col("node").alias("dst"), col("__s")), "dst")
           .select(col("src").alias("node"),
             (col("w") * col("__s")).cast("decimal(28,14)").alias("__c"))
           .groupBy("node")
           .agg(round(sum("__c").cast("double"), 9).alias("__r")),
         Seq("node"), "left")
-        .select(col("node"), coalesce(col("__r"), lit(0.0)).alias("__s")))
+        .select(col("node"), coalesce(col("__r"), lit(0.0)).alias("__s"))))
     }
     hub.select(col("node"), col("__s").alias("hub"))
       .join(auth.select(col("node"), col("__s").alias("authority")),
