@@ -238,22 +238,51 @@ object Graph {
     * are truncated by `maxDepth` — pass a depth ≥ the hierarchy's height,
     * which the caller knows (and a real catalog bounds by design).
     * Quantities stay LONG: integer Π/Σ is exact on any engine.
-    * `edges`: (parent, child, qty); `roots`: (node). Frontiers shrink as
-    * leaves drain, so late rounds join near-empty sides; lineage grows
-    * linearly with depth (checkpoint stance as pagerank). */
+    * `edges`: (parent, child, qty); `roots`: (node).
+    *
+    * Lineage is truncated per level (round 18): each frontier is
+    * referenced TWICE (by the next level's join and by the running
+    * union), so un-truncated the accumulated plan re-derives the edge
+    * subtree a quadratic-in-depth number of times — the declared BOM
+    * query's plan held 544 `Scan parquet` nodes at maxDepth=16 (plan
+    * file plans/r18/q_bom_rollup_before.txt), a full-table re-read per
+    * copy at production scale. Edges are materialized ONCE
+    * ([[Iterate.checkpointer]]) and the frontier is checkpointed every
+    * 2nd level, so the final plan unions ≤ depth+1 frames that are each
+    * at most one lazy join above a materialized frame, and storage is
+    * scanned once. A drained frontier (all leaves) ends the loop early
+    * — every later level is an empty join, and the union result is
+    * unchanged by construction. */
   def explodeHierarchy(edges: DataFrame, roots: DataFrame,
                        maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 64,
       s"explodeHierarchy: need 1 <= maxDepth <= 64, got $maxDepth")
-    var frontier = roots.select(col("node").alias("root"),
-      col("node"), lit(1L).alias("qty"))
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
+    val e = ckpt(edges.select(col("parent"), col("child"),
+      col("qty").cast("long").alias("qty")))
+    var frontier = ckpt(roots.select(col("node").alias("root"),
+      col("node"), lit(1L).alias("qty")))
     var acc = frontier
-    for (_ <- 1 to maxDepth) {
+    var depth = 0
+    var sinceCkpt = 0
+    var drained = false
+    // Superstep batching (the connectedComponents ckptEvery stance):
+    // truncating every 2nd level keeps the between-checkpoint plan
+    // bounded (≤ 2 lazy levels ⇒ ≤ 3 copies of a one-join subtree over
+    // materialized frames) at half the eager-job barriers; the drain
+    // check rides the checkpoint, so an odd drain costs one empty level.
+    while (depth < maxDepth && !drained) {
       frontier = frontier.alias("f")
-        .join(edges.alias("e"), col("f.node") === col("e.parent"))
+        .join(e.alias("e"), col("f.node") === col("e.parent"))
         .select(col("f.root").alias("root"), col("e.child").alias("node"),
-          (col("f.qty") * col("e.qty").cast("long")).alias("qty"))
-      acc = acc.unionByName(frontier)
+          (col("f.qty") * col("e.qty")).alias("qty"))
+      depth += 1
+      sinceCkpt += 1
+      if (sinceCkpt == 2 || depth == maxDepth) {
+        frontier = ckpt(frontier)
+        sinceCkpt = 0
+        if (frontier.isEmpty) drained = true else acc = acc.unionByName(frontier)
+      } else acc = acc.unionByName(frontier)
     }
     acc.groupBy("root", "node").agg(sum("qty").alias("total_qty"))
   }
@@ -270,9 +299,9 @@ object Graph {
     * t for every node at distance ≤ t (standard BFS invariant), so a
     * fixed hop count is a complete answer for the k-hop question, not an
     * approximation. Directed as given — pass both orientations for an
-    * undirected graph. Lineage grows linearly with `hops` (same stance
-    * as pagerank; see ScaleDedup.connectedComponents for the checkpoint
-    * pattern when dozens of rounds are needed). */
+    * undirected graph. Lineage is truncated per hop (round 18 — the
+    * distance table is referenced twice per hop, union + relax join, so
+    * the un-truncated plan doubled per hop; see [[shortestPaths]]). */
   /** Weighted single-source shortest distances — Bellman-Ford with
     * `rounds` relaxation rounds unrolled:
     *   dist'(v) = min(dist(v), min over edges (u,v,w) of dist(u)+w).
@@ -282,33 +311,43 @@ object Graph {
     * integer weights the relaxation is monotone, so extra rounds only
     * tighten. Weights stay LONG end-to-end: integer min/plus is exact on
     * any engine and partitioning, no decimal chain needed. Directed as
-    * given; pass both orientations for an undirected graph. Lineage
-    * grows linearly with `rounds` (checkpoint stance as pagerank). */
+    * given; pass both orientations for an undirected graph.
+    *
+    * Lineage is truncated per round ([[Iterate.checkpointer]], round
+    * 18): the state table is referenced TWICE per round (the relax join
+    * and the union), the exponential double-reference case Iterate.scala
+    * warns about — un-truncated, the declared 3-round query's plan held
+    * 2^rounds copies of the source subtree (44 `Scan parquet` nodes,
+    * plans/r18/q_graph_sssp_before.txt), and the operator's documented
+    * 64-round bound would be unplannable. Same stance as
+    * [[harmonicCentrality]] (the identical union+join shape). */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
                     rounds: Int): DataFrame = {
     require(rounds >= 0 && rounds <= 64,
       s"shortestPaths: need 0 <= rounds <= 64, got $rounds")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
     var dist = sources.select(col("node"), lit(0L).alias("dist"))
     for (_ <- 1 to rounds) {
       val next = dist.alias("d")
         .join(edges.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").alias("node"),
           (col("d.dist") + col("e.w").cast("long")).alias("dist"))
-      dist = dist.unionByName(next)
-        .groupBy("node").agg(min("dist").alias("dist"))
+      dist = ckpt(dist.unionByName(next)
+        .groupBy("node").agg(min("dist").alias("dist")))
     }
     dist
   }
 
   def bfsDistances(edges: DataFrame, sources: DataFrame, hops: Int): DataFrame = {
     require(hops >= 0 && hops <= 64, s"bfsDistances: need 0 <= hops <= 64, got $hops")
+    val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
     var dist = sources.select(col("node"), lit(0L).alias("dist"))
     for (_ <- 1 to hops) {
       val next = dist.alias("d")
         .join(edges.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").alias("node"), (col("d.dist") + 1).alias("dist"))
-      dist = dist.unionByName(next)
-        .groupBy("node").agg(min("dist").alias("dist"))
+      dist = ckpt(dist.unionByName(next)
+        .groupBy("node").agg(min("dist").alias("dist")))
     }
     dist
   }
