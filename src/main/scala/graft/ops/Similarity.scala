@@ -237,9 +237,20 @@ object Similarity {
     * A cell that captures no vectors disappears (its centroid had no
     * mean) — standard Lloyd behavior; the cell count can only shrink,
     * and `ivfAssign`'s empty-centroid guard still fires if ALL vanish.
-    * `vectors` must expose `idCol` and a double-array `vecCol`. */
+    * `vectors` must expose `idCol` and a double-array `vecCol`.
+    *
+    * Lineage is truncated per round (round 18): each round nests a
+    * `dim`-column DECIMAL aggregation and a broadcast argmin over the
+    * previous round's plan, and most consumers reference the trained
+    * table several times (assign + pack + report joins) — un-truncated,
+    * the composite callers' plans ran to thousands of operators and the
+    * OPTIMIZER, not the 500-row fixture compute, was ~all of their
+    * wall time (q_cluster_quality ~4.5 s steady at sf0.01, ~5 s of it
+    * planning). The checkpointed table is ≤ nCells rows — metadata-
+    * sized — so truncation is effectively free at any scale. */
   def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, iters: Int, dim: Int): DataFrame = {
+    val ckpt = Iterate.checkpointer(vectors.sparkSession.sparkContext)
     val base = vectors.select(col(idCol).alias("__id"), col(vecCol).alias("v"))
     var centroids = base.orderBy("__id").limit(nCells)
       .select(col("__id").alias("cid"), col("v").alias("cv"))
@@ -249,9 +260,9 @@ object Similarity {
         sum(col("v").getItem(i).cast("decimal(28,14)")).alias(s"__s_$i"))
       val agged = assigned.groupBy(col("cell"))
         .agg(count(lit(1)).alias("__n"), sums: _*)
-      centroids = agged.select(col("cell").alias("cid"),
+      centroids = ckpt(agged.select(col("cell").alias("cid"),
         array((0 until dim).map(i =>
-          round(col(s"__s_$i").cast("double") / col("__n"), 9)): _*).alias("cv"))
+          round(col(s"__s_$i").cast("double") / col("__n"), 9)): _*).alias("cv")))
     }
     centroids
   }
@@ -854,10 +865,14 @@ object Similarity {
     * init = the `kPerSub` lowest ids' slices, ties break on centroid id,
     * means go through DECIMAL(28,14) sums and round to 9 dp, so the
     * trained codebooks are bit-reproducible across engines and cluster
-    * sizes. Returns (j, cid, cv). */
+    * sizes. Returns (j, cid, cv). Lineage is truncated per round
+    * ([[kmeansCentroids]]' round-18 stance — the codebook table is
+    * m·kPerSub metadata-sized rows; un-truncated, the nested rounds made
+    * consumers optimizer-bound, not compute-bound). */
   def pqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
                   m: Int, kPerSub: Int, iters: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    val ckpt = Iterate.checkpointer(vectors.sparkSession.sparkContext)
     val subDim = dim / m
     val base = vectors.select(col(idCol).alias("__id"), col(vecCol).alias("v"))
     val sub = base.select(col("__id"),
@@ -876,12 +891,12 @@ object Similarity {
         .select(col("j"), col("sv"), col("__best").getField("cid").alias("cell"))
       val sums = (0 until subDim).map(i =>
         sum(col("sv").getItem(i).cast("decimal(28,14)")).alias(s"__s_$i"))
-      cents = assigned.groupBy("j", "cell")
+      cents = ckpt(assigned.groupBy("j", "cell")
         .agg(count(lit(1)).alias("__n"), sums: _*)
         .select(col("j"), col("cell").alias("cid"),
           array((0 until subDim).map(i =>
             round(col(s"__s_$i").cast("double") / col("__n"), 9)): _*)
-            .alias("cv"))
+            .alias("cv")))
     }
     cents
   }
