@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (driver contract). The sink is the `noop` format:
@@ -32,6 +33,37 @@ object Bench {
     "q12_warehouse" -> "q_warehouse_flagship",
   )
 
+  /** q13 (round 19): a CPU-dense embarrassingly-parallel scan PROBE whose
+    * wall time actually separates 8 from 32 cores at sf0.1 — the existing
+    * headliners are ≤ a few seconds and scan/overhead-bound there, so
+    * every 8-vs-32 ratio read ≈ 1 and the driver's scaling check flagged
+    * `suspect_cpus_ignored` even though the session demonstrably honors
+    * `$SPARK_GRAFT_CPUS` (VERDICT r18 item 2 asked for exactly this
+    * probe). Shape: one lineitem scan, a bounded ×REPS row amplification,
+    * an md5 + base-16 parse per amplified row, one global LONG sum —
+    * deterministic (integer sum is order-proof), zero shuffles beyond the
+    * single-row aggregation, computed from the parquet inputs on every
+    * invocation (nothing cached or precomputed). NOT a declared query —
+    * it measures the ENGINE's parallel throughput, not an operator; it is
+    * additive to the `queries` map per the bench contract (existing
+    * entries unchanged). OPTIMIZATION_r19.md documents the +~1 s it adds
+    * to the 32-core total. */
+  private[graft] def scanProbe(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .withColumn("__r", explode(sequence(lit(1), lit(24))))
+      .select(sum(conv(substring(md5(concat_ws(",",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("__r"))), 1, 15),
+        16, 10).cast("long")).alias("probe"))
+
+  /** Bench entries: the declared headliners plus the scaling probe. */
+  val Entries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Headline.map { case (label, name) =>
+      label -> ((s: SparkSession, d: String) => SparkEntry.queries(name)(s, d))
+    } :+ ("q13_scan_probe" -> ((s: SparkSession, d: String) => scanProbe(s, d)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,8 +80,8 @@ object Bench {
     // Untimed warm pass over every headline query: whole-stage codegen
     // compiles + JIT warm so the timed pass measures steady-state engine
     // throughput (the 100 TB-relevant number), not first-call JIT cost.
-    Headline.foreach { case (label, name) =>
-      try SparkEntry.queries(name)(spark, sfDir).write
+    Entries.foreach { case (label, q) =>
+      try q(spark, sfDir).write
         .format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[warm] $label: $e") }
     }
@@ -69,15 +101,18 @@ object Bench {
     // that THROWS records jobs = -1 — a partially-failed run must not
     // read as a genuine plan improvement in the diffed artifact.
     val sc = spark.sparkContext
+    TaskCount.ensureRegistered(sc)
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val taskCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val ccRounds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def timedPass(record: Boolean): Seq[(String, Double)] =
-      Headline.map { case (label, name) =>
+      Entries.map { case (label, q) =>
         val j0 = if (record) JobCount.settledMaxJobId(sc) else 0
+        val k0 = if (record) TaskCount.settledTaskCount else 0L
         graft.ops.ScaleDedup.fixpointRounds.set(0)
         var failed = false
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).write
+        try q(spark, sfDir).write
           .format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           failed = true
@@ -87,19 +122,23 @@ object Bench {
         if (record) {
           jobCounts(label) =
             if (failed) -1 else JobCount.settledMaxJobId(sc) - j0
+          taskCounts(label) =
+            if (failed) -1L else TaskCount.settledTaskCount - k0
           val r = graft.ops.ScaleDedup.fixpointRounds.get()
           if (r > 0 && !failed) ccRounds(label) = r
         }
         label -> dt
       }
-    // job/round counts are recorded on the LAST pass (steady AQE plans)
+    // job/task/round counts are recorded on the LAST pass (steady AQE plans)
     val passes = Seq(timedPass(false), timedPass(false), timedPass(true))
-    val results = Headline.indices.map { i =>
+    val results = Entries.indices.map { i =>
       passes.head(i)._1 -> passes.map(_(i)._2).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val js = jobCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ts = taskCounts.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val cc = ccRounds.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -110,7 +149,7 @@ object Bench {
     // build.sbt stamps -Dgraft.launcher=sbt-fork on forked runs; a bare
     // `java -cp` carries no stamp and reports raw-java.
     val protocol = sys.props.getOrElse("graft.launcher", "raw-java")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"cc_rounds":$cc,"sf":"$sfDir","protocol":"$protocol"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"tasks":$ts,"cc_rounds":$cc,"sf":"$sfDir","protocol":"$protocol"}""")
     spark.stop()
   }
 }

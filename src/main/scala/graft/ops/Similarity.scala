@@ -17,12 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast a float array to double (all math in double for determinism). */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast a float array to double (all math in double for determinism).
+    * A plain array cast — codegen'd, unlike the `transform` HOF twin
+    * (per-element interpreted eval) it replaced in round 19. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product via a sequential left fold — order-deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via a sequential left fold — order-deterministic.
+    * Compiled kernel (round 19): bit-identical twin of
+    * `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)`, which as a
+    * CodegenFallback HOF paid one interpreted lambda eval per element on
+    * every ANN-family corpus scan (VecMathSpec pins the equivalence). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -183,18 +188,21 @@ object Similarity {
     * multi-table index uses offset t·nPlanes (see `lshTopKMultiTable`). */
   def lshBucket(v: Column, dim: Int, nPlanes: Int = 8,
                 planeOffset: Int = 0): Column = {
-    val bits = (0 until nPlanes).map { i =>
-      val plane = (0 until dim).map(d => planeSign(planeOffset + i, d)).toArray
-      val proj = aggregate(zip_with(v, typedlit(plane), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // Compiled all-planes kernel (round 19): one pass over the vector
+    // computes every plane projection and sums the sign bits — the HOF
+    // form paid nPlanes interpreted aggregate/zip_with folds per row.
+    // Same plane values (planeSign), same fold order, same null→bucket-0
+    // and nan-safe `> 0` semantics (VecMathSpec pins the equivalence).
+    val planes = new Array[Double](nPlanes * dim)
+    for (i <- 0 until nPlanes; d <- 0 until dim)
+      planes(i * dim + d) = planeSign(planeOffset + i, d)
+    graft.functions.VecMath.lsh_bucket(v, planes, nPlanes, dim)
   }
 
-  /** Squared L2 distance (no sqrt — monotone, cheaper, rank-identical). */
+  /** Squared L2 distance (no sqrt — monotone, cheaper, rank-identical).
+    * Compiled kernel twin of the aggregate/zip_with fold (see [[dot]]). */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecMath.sq_dist(a, b)
 
   /** IVF cell assignment: id of the nearest of `centroids` (ties broken by
     * centroid id — deterministic). `centroids` must be a small DataFrame
@@ -209,9 +217,12 @@ object Similarity {
       collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
     vectors.select(col(idCol), col(vecCol).alias("v"))
       .crossJoin(broadcast(packed))
-      .withColumn("__best", array_min(transform(col("__cents"),
-        c => struct(sqDist(col("v"), c.getField("cv")).alias("d"),
-          c.getField("cid").alias("cid")))))
+      // Compiled argmin kernel (round 19): bit-identical twin of
+      // array_min(transform(__cents, struct(sqDist(v, cv), cid))) — the
+      // HOF pair was interpreted per centroid per element on the single
+      // most compute-dense scan of the ANN family (VecMathSpec).
+      .withColumn("__best",
+        graft.functions.VecMath.nearest_centroid(col("v"), col("__cents")))
       // Empty `centroids` → collect_list yields one empty-array row and
       // array_min returns null; a NULL cell would silently drop/misroute
       // every vector in downstream grouping. Keep the degenerate case loud
@@ -606,8 +617,11 @@ object Similarity {
       .filter(dot(col("__v"), col("__v")) > 0)
       .select(col("grp"),
         round(norm(col("__v")), 9).alias("__nrm"),
-        transform(col("__v"), x => x / sqrt(dot(col("__v"), col("__v"))))
-          .alias("__vh"))
+        // Compiled normalize kernel (round 19): the transform lambda
+        // re-evaluated the interpreted dot fold per ELEMENT — O(dim²)
+        // per row; the kernel is the O(dim) bit-identical twin
+        // (divide-by-zero-norm → null elements, as Spark's Divide).
+        graft.functions.VecMath.l2_normalize(col("__v")).alias("__vh"))
     val res = v
       .select(col("grp"), col("__nrm"),
         posexplode(col("__vh")).as(Seq("__p", "__xh")))
@@ -653,15 +667,18 @@ object Similarity {
     val assigned = ivfAssign(base, "__id", "v", centroids)
     val packed = centroids.agg(
       collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
-    val ownCv = element_at(filter(col("__cents"),
-      c => c.getField("cid") === col("cell")), 1).getField("cv")
-    val a = sqrt(sqDist(col("v"), ownCv))
-    val b = sqrt(array_min(transform(filter(col("__cents"),
-      c => c.getField("cid") =!= col("cell")),
-      c => sqDist(col("v"), c.getField("cv")))))
+    // Compiled one-pass own/nearest-other kernel (round 19): twin of the
+    // filter/element_at + array_min(transform) HOF pair, which was
+    // interpreted per centroid per element — and evaluated SIX times per
+    // row (a and b appear in sil twice each plus the readouts). The
+    // kernel runs once per row behind a named column (VecMathSpec).
+    val a = sqrt(col("__oo").getField("own_sq"))
+    val b = sqrt(col("__oo").getField("other_sq"))
     val sil = when(greatest(a, b) === 0.0, lit(0.0))
       .otherwise(round((b - a) / greatest(a, b), 6))
     val per = assigned.crossJoin(broadcast(packed))
+      .withColumn("__oo", graft.functions.VecMath.own_other_sqdist(
+        col("v"), col("__cents"), col("cell")))
       .select(col("cell"), sil.alias("__s"), round(a, 9).alias("__a"))
       .groupBy("cell")
       .agg(count(lit(1)).alias("n_vecs"),
@@ -885,9 +902,9 @@ object Similarity {
       val packed = cents.groupBy("j")
         .agg(collect_list(struct(col("cid"), col("cv"))).alias("__cents"))
       val assigned = sub.join(broadcast(packed), "j")
-        .withColumn("__best", array_min(transform(col("__cents"),
-          c => struct(sqDist(col("sv"), c.getField("cv")).alias("d"),
-            c.getField("cid").alias("cid")))))
+        // same compiled argmin kernel as ivfAssign (round 19)
+        .withColumn("__best",
+          graft.functions.VecMath.nearest_centroid(col("sv"), col("__cents")))
         .select(col("j"), col("sv"), col("__best").getField("cid").alias("cell"))
       val sums = (0 until subDim).map(i =>
         sum(col("sv").getItem(i).cast("decimal(28,14)")).alias(s"__s_$i"))
@@ -915,14 +932,17 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("j"), col("cs")))).alias("__cb"))
     vectors.select(col(idCol), col(vecCol).alias("v"))
       .crossJoin(broadcast(packed))
+      // Compiled per-subspace argmin (round 19): `m` is a literal, so the
+      // transform-over-sequence unrolls to a plain array of kernel calls —
+      // value-identical (array(f(0)..f(m-1)) IS transform(sequence(0,m-1),f))
+      // and the whole encode projection stays inside whole-stage codegen
+      // where the nested HOFs were interpreted per element per centroid.
       .select(col(idCol),
-        transform(sequence(lit(0), lit(m - 1)), j =>
-          array_min(transform(
-            element_at(col("__cb"), j + 1).getField("cs"),
-            c => struct(
-              sqDist(slice(col("v"), j * lit(subDim) + 1, lit(subDim)),
-                c.getField("cv")).alias("d"),
-              c.getField("cid").alias("cid")))).getField("cid"))
+        array((0 until m).map(j =>
+          graft.functions.VecMath.nearest_centroid(
+            slice(col("v"), j * subDim + 1, subDim),
+            element_at(col("__cb"), j + 1).getField("cs"))
+            .getField("cid")): _*)
           .alias("codes"))
   }
 
