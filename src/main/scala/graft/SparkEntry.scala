@@ -1060,9 +1060,13 @@ object SparkEntry {
       // narrow id column, ~8 bytes/doc cluster-wide — and re-derive the
       // text by a cheap semi-join against the scan, instead of paying the
       // quality kernels + decontamination join once per consumer
-      // (measured 9.5 s -> ~5 s at sf0.1). localCheckpoint is an
-      // optimization, not correctness: ids recompute deterministically on
-      // executor loss.
+      // (measured 9.5 s -> ~5 s at sf0.1). localCheckpoint truncates
+      // lineage and stores blocks on executors, so an executor loss FAILS
+      // the job (no recompute — Iterate.scala documents this trade); the
+      // job then reruns from its reliable parquet inputs. The id
+      // semi-joins assume doc_id is unique (it is the documents PK): a
+      // duplicate doc_id whose sibling row passed the gate would be kept
+      // even if its own row failed.
       val uniqIds = clean.join(exact, Seq("doc_id"), "left_semi")
         .select("doc_id").localCheckpoint()
       val uniq = docs.join(uniqIds, Seq("doc_id"), "left_semi")
@@ -2545,9 +2549,10 @@ object SparkEntry {
       // the two subtrees canonically distinct, so AQE exchange reuse
       // cannot dedupe them and the orders scan + change-window +
       // anti-join ran twice. Materialize it once (round 18), projected to
-      // the union of both consumers' columns. localCheckpoint is an
-      // optimization, not correctness: the snapshot recomputes
-      // deterministically on executor loss.
+      // the union of both consumers' columns. localCheckpoint truncates
+      // lineage and stores blocks on executors, so an executor loss FAILS
+      // the job rather than recomputing (Iterate.scala's documented
+      // trade); the rerun recomputes from the reliable parquet inputs.
       val applied = graft.ops.Cdc.applyCdc(
           gated, changes, "o_orderkey", "op", "o_orderdate", "o_custkey")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",

@@ -202,6 +202,44 @@ object VecMathKernel {
     new GenericArrayData(out)
   }
 
+  /** quantDequant ≡ `zip_with(v, sv, (x, s) => when(s === 0.0, 0.0)
+    * .otherwise(greatest(least(round(x / s, 0), 127.0), -127.0) * s))` —
+    * the symmetric-int8 quantize/dequantize element map. Faithful to
+    * every HOF corner: zip_with pads the shorter array with null; a null
+    * scale nulls the element; s === 0.0 matches -0.0 too; a null x
+    * yields 127·s (least/greatest SKIP nulls); round(·, 0) is Spark's
+    * HALF_UP via BigDecimal with NaN/±Inf passed through; least treats
+    * NaN as greatest. */
+  def quantDequant(v: ArrayData, sv: ArrayData): ArrayData = {
+    val nv = v.numElements()
+    val ns = sv.numElements()
+    val n = math.max(nv, ns)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i >= ns || sv.isNullAt(i)) out(i) = null
+      else {
+        val s = sv.getDouble(i)
+        if (s == 0.0) out(i) = java.lang.Double.valueOf(0.0)
+        else {
+          val q = if (i >= nv || v.isNullAt(i)) 127.0 else {
+            val d = v.getDouble(i) / s
+            val r =
+              if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+              else java.math.BigDecimal.valueOf(d)
+                .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+            val lo = if (java.lang.Double.isNaN(r) ||
+              java.lang.Double.compare(r, 127.0) > 0) 127.0 else r
+            if (java.lang.Double.compare(lo, -127.0) < 0) -127.0 else lo
+          }
+          out(i) = java.lang.Double.valueOf(q * s)
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Null-first comparator matching Spark's struct-field ordering for
     * nullable doubles (Double.compare total order: NaN greatest). */
   private def cmpNullFirstD(a: java.lang.Double, b: java.lang.Double): Int =
@@ -412,6 +450,27 @@ case class OwnOtherSqDistExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Codegen'd int8 quantize/dequantize element map
+  * (see [[VecMathKernel.quantDequant]]). */
+case class QuantDequantExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "quant_dequant"
+
+  override def nullSafeEval(v: Any, sv: Any): Any =
+    VecMathKernel.quantDequant(
+      v.asInstanceOf[ArrayData], sv.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecMathKernel.quantDequant($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantDequantExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd L2 normalization (see [[VecMathKernel.l2Normalize]]). */
 case class L2NormalizeExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -458,4 +517,8 @@ object VecMath {
   /** Column API: v / ||v||₂ with HOF-twin null/zero semantics. */
   def l2_normalize(v: Column): Column =
     column(L2NormalizeExpr(expression(v)))
+
+  /** Column API: int8 quantize/dequantize with HOF-twin semantics. */
+  def quant_dequant(v: Column, sv: Column): Column =
+    column(QuantDequantExpr(expression(v), expression(sv)))
 }

@@ -728,11 +728,13 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__p"), col("__s"))))
         .alias("__ss"))
       .select(transform(col("__ss"), s => s.getField("__s")).alias("__sv"))
-    val q = zip_with(col("__v"), col("__sv"), (x, s) =>
-      when(s === 0.0, lit(0.0)).otherwise(
-        greatest(least(round(x / s, 0), lit(127.0)), lit(-127.0)) * s))
+    // Compiled quantize/dequantize kernel (round 19): twin of the
+    // zip_with when/round/least/greatest map, which was interpreted per
+    // element on the corpus scan (VecMathSpec pins the equivalence).
     val withQ = base.crossJoin(broadcast(scales))
-      .select(col("grp"), col("__v"), q.alias("__q"))
+      .select(col("grp"), col("__v"),
+        graft.functions.VecMath.quant_dequant(col("__v"), col("__sv"))
+          .alias("__q"))
     val cosRow = when(dot(col("__q"), col("__q")) === 0, lit(0.0))
       .otherwise(round(dot(col("__v"), col("__q")) /
         (norm(col("__v")) * norm(col("__q"))), 6))

@@ -202,6 +202,36 @@ class VecMathSpec extends AnyFunSuite with SparkSpec {
       hofNormalize(col("v"))).collect())
   }
 
+  test("quant_dequant kernel ≡ zip_with when/round/least/greatest map") {
+    def hofQuant(v: Column, sv: Column): Column =
+      zip_with(v, sv, (x, s) =>
+        when(s === 0.0, lit(0.0)).otherwise(
+          greatest(least(round(x / s, 0), lit(127.0)), lit(-127.0)) * s))
+    val rows = (0 until 20).map(i => Row(vec(i, 8),
+      vec(i + 200, 8).map(d => java.lang.Double.valueOf(math.abs(d) / 127.0)))) ++ Seq(
+      // zero / negative-zero scales; null scale; null x (→ 127·s);
+      // saturation both ways; exact .5 rounding boundary; NaN/Inf ratios;
+      // length mismatches (zip_with null padding)
+      Row(Seq[java.lang.Double](1.0, 2.0, 3.0),
+        Seq[java.lang.Double](0.0, -0.0, 0.5)),
+      Row(Seq[java.lang.Double](1.0, null, 3.0),
+        Seq[java.lang.Double](0.25, 0.25, null)),
+      Row(Seq[java.lang.Double](1000.0, -1000.0, 63.75, -63.75),
+        Seq[java.lang.Double](0.5, 0.5, 0.5, 0.5)),
+      Row(Seq[java.lang.Double](Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity), Seq[java.lang.Double](1.0, 1.0, 1.0)),
+      Row(Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](0.5)),
+      Row(Seq[java.lang.Double](1.0), Seq[java.lang.Double](0.5, 0.25)),
+      Row(null, Seq[java.lang.Double](1.0)),
+      Row(Seq[java.lang.Double](1.0), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("v", arrT), StructField("s", arrT))))
+    assertSame(df.select(
+      VecMath.quant_dequant(col("v"), col("s")),
+      hofQuant(col("v"), col("s"))).collect())
+  }
+
   test("asDouble cast ≡ per-element transform cast on float arrays") {
     val fT = ArrayType(FloatType, containsNull = true)
     val vs = Seq(
