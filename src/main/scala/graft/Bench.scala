@@ -46,13 +46,23 @@ object Bench {
     * invocation (nothing cached or precomputed). NOT a declared query —
     * it measures the ENGINE's parallel throughput, not an operator; it is
     * additive to the `queries` map per the bench contract (existing
-    * entries unchanged). OPTIMIZATION_r19.md documents the +~1 s it adds
-    * to the 32-core total. */
+    * entries unchanged). Sized at ×64 amplification: measured 3.6 s at 32
+    * cores vs 9.5 s at 8 — a 2.6× ratio, clearly above host noise —
+    * costing ~3.6 s on the 32-core bench total (documented in
+    * OPTIMIZATION_r19.md; subtract q13 for a like-for-like total against
+    * pre-round-19 artifacts). */
   private[graft] def scanProbe(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"))
-      .withColumn("__r", explode(sequence(lit(1), lit(24))))
+      // sf0.1's lineitem is ONE ~50 MB parquet file = one scan task under
+      // the default 128 MB split, which would serialize the whole probe
+      // (measured 17.9 s on one core) and hide the core count it exists
+      // to expose. One cheap round-robin shuffle of the narrow rows
+      // spreads the md5 work across exactly the session's cores —
+      // derived from the context, never a hard-coded constant.
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__r", explode(sequence(lit(1), lit(64))))
       .select(sum(conv(substring(md5(concat_ws(",",
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"), col("__r"))), 1, 15),
