@@ -299,11 +299,11 @@ object Graph {
     * t for every node at distance ≤ t (standard BFS invariant), so a
     * fixed hop count is a complete answer for the k-hop question, not an
     * approximation. Directed as given — pass both orientations for an
-    * undirected graph. Lineage is truncated every 2nd hop (round 19 —
-    * the distance table is referenced twice per hop, union + relax
-    * join, so the un-truncated plan doubles per hop; the batch bound
-    * keeps it ≤ 4 copies while halving the eager checkpoint barriers;
-    * see [[shortestPaths]]). */
+    * undirected graph. Lineage is truncated per hop (round 18 — the
+    * distance table is referenced twice per hop, union + relax join, so
+    * the un-truncated plan doubled per hop; every-2 superstep batching
+    * was tried and rejected with numbers in round 19, see
+    * [[shortestPaths]]). */
   /** Weighted single-source shortest distances — Bellman-Ford with
     * `rounds` relaxation rounds unrolled:
     *   dist'(v) = min(dist(v), min over edges (u,v,w) of dist(u)+w).
@@ -315,40 +315,40 @@ object Graph {
     * any engine and partitioning, no decimal chain needed. Directed as
     * given; pass both orientations for an undirected graph.
     *
-    * Lineage is truncated every 2nd round ([[Iterate.checkpointer]],
-    * rounds 18/19): the state table is referenced TWICE per round (the
-    * relax join and the union), the exponential double-reference case
-    * Iterate.scala warns about — un-truncated, the declared 3-round
-    * query's plan held 2^rounds copies of the source subtree (44 `Scan
-    * parquet` nodes, plans/r18/q_graph_sssp_before.txt), and the
-    * operator's documented 64-round bound would be unplannable. The
-    * every-2nd-round batching (round 19) halves the eager checkpoint
-    * barriers — each is a full extra pass plus a table write — while
-    * bounding the between-checkpoint plan at ≤ 4 state copies. Same
-    * stance as [[explodeHierarchy]]. */
+    * Lineage is truncated per round ([[Iterate.checkpointer]], round
+    * 18): the state table is referenced TWICE per round (the relax join
+    * and the union), the exponential double-reference case Iterate.scala
+    * warns about — un-truncated, the declared 3-round query's plan held
+    * 2^rounds copies of the source subtree (44 `Scan parquet` nodes,
+    * plans/r18/q_graph_sssp_before.txt), and the operator's documented
+    * 64-round bound would be unplannable. Every-2nd-round superstep
+    * batching was tried in round 19 and REJECTED with numbers (see the
+    * loop comment). Same stance as [[harmonicCentrality]] (the identical
+    * union+join shape). */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
                     rounds: Int): DataFrame = {
     require(rounds >= 0 && rounds <= 64,
       s"shortestPaths: need 0 <= rounds <= 64, got $rounds")
     val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
     var dist = sources.select(col("node"), lit(0L).alias("dist"))
-    // Checkpoint every 2nd round (round 19, the explodeHierarchy /
-    // connectedComponents superstep-batching stance): each eager
-    // checkpoint is a full extra pass plus a table write, while the
-    // between-checkpoint plan stays bounded at ≤ 4 copies of the last
-    // checkpointed state (the table is referenced twice per round).
-    // Halves the barrier jobs per query vs the round-18 per-round form.
-    var sinceCkpt = 0
-    for (r <- 1 to rounds) {
+    // Checkpoint EVERY round — the every-2nd-round superstep batching
+    // (round-18 ADVICE) was tried and REJECTED in round 19 with numbers:
+    // the state table is referenced twice per round, so each skipped
+    // checkpoint makes the next eager checkpoint re-execute the skipped
+    // round's join 2× inside its double pass — measured q_graph_sssp
+    // 1.2 → 1.9 s / q_graph_bfs 1.6 → 4.0 s steady at sf0.01 for a
+    // saving of ONE scheduled job (21 → 20). Unlike explodeHierarchy
+    // (whose checkpointed frontier is level-sized while the edges are
+    // materialized once), the recompute here is a corpus-scaled join —
+    // a full extra distributed pass costs more than the barrier it
+    // saves at any cluster size.
+    for (_ <- 1 to rounds) {
       val next = dist.alias("d")
         .join(edges.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").alias("node"),
           (col("d.dist") + col("e.w").cast("long")).alias("dist"))
-      val updated = dist.unionByName(next)
-        .groupBy("node").agg(min("dist").alias("dist"))
-      sinceCkpt += 1
-      dist = if (sinceCkpt == 2 || r == rounds) { sinceCkpt = 0; ckpt(updated) }
-        else updated
+      dist = ckpt(dist.unionByName(next)
+        .groupBy("node").agg(min("dist").alias("dist")))
     }
     dist
   }
@@ -357,17 +357,14 @@ object Graph {
     require(hops >= 0 && hops <= 64, s"bfsDistances: need 0 <= hops <= 64, got $hops")
     val ckpt = Iterate.checkpointer(edges.sparkSession.sparkContext)
     var dist = sources.select(col("node"), lit(0L).alias("dist"))
-    // every-2nd-round checkpoint batching — see shortestPaths (round 19)
-    var sinceCkpt = 0
-    for (r <- 1 to hops) {
+    // per-round checkpoint — every-2 batching rejected with numbers; see
+    // shortestPaths (round 19)
+    for (_ <- 1 to hops) {
       val next = dist.alias("d")
         .join(edges.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").alias("node"), (col("d.dist") + 1).alias("dist"))
-      val updated = dist.unionByName(next)
-        .groupBy("node").agg(min("dist").alias("dist"))
-      sinceCkpt += 1
-      dist = if (sinceCkpt == 2 || r == hops) { sinceCkpt = 0; ckpt(updated) }
-        else updated
+      dist = ckpt(dist.unionByName(next)
+        .groupBy("node").agg(min("dist").alias("dist")))
     }
     dist
   }
