@@ -1245,11 +1245,17 @@ object TextAnalysis {
     require(window >= 1 && window <= 16,
       s"cooccurrence: need 1 <= window <= 16, got $window")
     val toks = filter(split(col(textCol), " "), x => x =!= "")
-    val pairs = flatten(transform(sequence(lit(1), size(toks) - 1), i =>
-      transform(sequence(lit(1), least(lit(window), size(toks) - i)), d =>
-        struct(element_at(toks, i).alias("w1"),
-          element_at(toks, i + d).alias("w2"),
-          d.alias("d")))))
+    // Compiled one-pass pair kernel (round 19): the nested-HOF form
+    //   flatten(transform(sequence(1,n−1), i => transform(sequence(1,
+    //     least(window, n−i)), d => struct(element_at(toks,i),
+    //     element_at(toks,i+d), d))))
+    // was QUADRATIC per document — the lambdas are interpreted and
+    // `toks` is this inline filter(split(text)) subtree, so every
+    // element_at re-ran the split+filter over the whole document,
+    // O(n²·window) per doc. Same pair order/values (VecMathSpec-style
+    // cross-validation in OpsSpec); measured 144 s → seconds on the
+    // 10× stress corpus.
+    val pairs = graft.functions.TextStats.cooc_pairs(toks, window)
     // maxBucket/maxCell stance for the ×window fan-out: the pair volume
     // (≤ window × Σ tokens) is data-dependent, so the static window cap
     // alone can't stop a 100 TB caller from fanning the scan stage into

@@ -247,6 +247,58 @@ class VecMathSpec extends AnyFunSuite with SparkSpec {
       transform(col("v"), x => x.cast("double"))).collect())
   }
 
+  test("cooc_pairs kernel ≡ nested transform/sequence pair expression") {
+    def hofPairs(toks: Column, window: Int): Column =
+      flatten(transform(sequence(lit(1), size(toks) - 1), i =>
+        transform(sequence(lit(1), least(lit(window), size(toks) - i)), d =>
+          struct(element_at(toks, i).alias("w1"),
+            element_at(toks, i + d).alias("w2"),
+            d.alias("d")))))
+    val sT = ArrayType(StringType, containsNull = true)
+    def words(seed: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"w${(seed * 31 + i * 7) % 13}")
+    // the operator guards size >= 2 before the explode — equivalence is
+    // asserted on that domain (n < 2 hits Spark's DESCENDING sequence
+    // edge; the kernel returns empty, asserted separately below)
+    val rows = (2 to 24).map(n => Row(words(n, n))) ++
+      Seq(Row(Seq("a", null, "b", "c")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("t", sT))))
+    for (w <- Seq(1, 4, 16)) {
+      val got = df.select(
+        graft.functions.TextStats.cooc_pairs(col("t"), w).alias("k"),
+        hofPairs(col("t"), w).alias("h")).collect()
+      got.zipWithIndex.foreach { case (r, i) =>
+        val k = r.getSeq[Row](0)
+        val h = if (r.isNullAt(1)) null else r.getSeq[Row](1)
+        if (k == null || h == null) assert(k == null && h == null, s"w=$w row $i")
+        else {
+          assert(k.length == h.length, s"w=$w row $i: ${k.length} vs ${h.length}")
+          k.zip(h).foreach { case (a, b) =>
+            assert(a.get(0) == b.get(0) && a.get(1) == b.get(1) &&
+              a.get(2) == b.get(2), s"w=$w row $i: $a vs $b")
+          }
+        }
+      }
+    }
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq[String]()), Row(Seq("solo"))), 1),
+      StructType(Seq(StructField("t", sT))))
+    tiny.select(graft.functions.TextStats.cooc_pairs(col("t"), 4)).collect()
+      .foreach(r => assert(r.getSeq[Row](0).isEmpty))
+    // null token array: the kernel null-propagates; the HOF form instead
+    // hits legacy size(null) = -1 and fabricates descending-sequence
+    // (null, null, d) pairs — unreachable in the operator, which filters
+    // text IS NOT NULL before building toks (domain noted in the kernel
+    // scaladoc)
+    val nul = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null)), 1),
+      StructType(Seq(StructField("t", sT))))
+    assert(nul.select(graft.functions.TextStats.cooc_pairs(col("t"), 4))
+      .collect().head.isNullAt(0))
+  }
+
   test("kernel projection compiles into a whole-stage-codegen'd Project") {
     val plan = pairDf.select(
       VecMath.dot(col("a"), col("b")).alias("d"),
