@@ -4588,9 +4588,13 @@ object SparkEntry {
     // bigrams: the tokenizer-budget knee.
     "q_vocab_coverage" -> ((s, d) => {
       val t = split(col("text"), " ")
+      // round 19: the inline transform/sequence bigram lambda re-split
+      // the text per element_at (quadratic per doc — 22.6 s on the 10x
+      // stress corpus); the compiled wordBigrams kernel is the
+      // value-identical one-pass form (split elements are never null,
+      // so concat_ws ≡ the old concat here).
       val bigrams = Tables.documents(s, d).filter(size(t) >= 2)
-        .select(explode(transform(sequence(lit(1), size(t) - 1),
-          i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+        .select(explode(graft.ops.ScaleDedup.wordBigrams(t, " "))
           .alias("tok"))
       TextAnalysis.vocabCoverage(bigrams, "tok",
         Seq(50, 100, 250, 500, 750, 900))

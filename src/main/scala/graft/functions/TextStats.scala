@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
@@ -141,6 +142,79 @@ case class CoocPairsExpr(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** One-pass adjacent-bigram builder (round 19) — the compiled twin of
+  * `ScaleDedup.wordBigrams`'s
+  *   when(n >= 2, transform(sequence(1, n−1), i =>
+  *     concat_ws(sep, element_at(toks, i), element_at(toks, i+1))))
+  *   .otherwise(array())
+  * Same values and order; concat_ws semantics (null elements skipped,
+  * all-null → ""). NOT null-propagating: a null token array yields the
+  * EMPTY array exactly as the when-form does (legacy size(null) = -1
+  * fails the n ≥ 2 test). The HOF form was quadratic per document when
+  * callers passed the inline split(text) — interpreted lambdas re-ran
+  * the split per element_at (the cooc_pairs disease; q_dsir_weights
+  * 62.7 s / q_heaps_law 23.9 s on the 10× stress corpus). */
+object WordBigramsKernel {
+  def bigrams(toks: ArrayData, sep: UTF8String): ArrayData = {
+    if (toks == null) return new GenericArrayData(new Array[Any](0))
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val a = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val b = if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1)
+      out(i) =
+        if (a == null && b == null) UTF8String.EMPTY_UTF8
+        else if (a == null) b
+        else if (b == null) a
+        else UTF8String.concat(a, sep, b)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression for [[WordBigramsKernel.bigrams]]. */
+case class WordBigramsExpr(child: Expression, sep: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_bigrams"
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_bigrams needs array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val sepU: UTF8String = UTF8String.fromString(sep)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    WordBigramsKernel.bigrams(v.asInstanceOf[ArrayData], sepU)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val sepRef = ctx.addReferenceObj("sep", sepU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val call = s"graft.functions.WordBigramsKernel.bigrams(" +
+      s"${c.isNull} ? null : ${c.value}, $sepRef)"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call;
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+    copy(child = newChild)
+}
+
 object TextStats {
   /** Column API: max over distinct word n-grams of length × count. */
   def top_ngram_best(text: Column, n: Int): Column =
@@ -152,4 +226,11 @@ object TextStats {
     org.apache.spark.sql.GraftColumnBridge.column(
       CoocPairsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(toks), window))
+
+  /** Column API: adjacent sep-joined bigrams in one pass (empty for
+    * n < 2 or a null array — the wordBigrams when-form contract). */
+  def word_bigrams(toks: Column, sep: String): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WordBigramsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), sep))
 }

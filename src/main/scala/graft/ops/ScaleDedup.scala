@@ -40,13 +40,15 @@ object ScaleDedup {
     * would fabricate a reversed pair). Shared by heapsLaw's bigram
     * binding ('_') and dsirImportance's feature set (' ') so the
     * idiom — and its guard — lives once. */
-  def wordBigrams(toks: Column, sep: String): Column = {
-    val n = size(toks)
-    when(n >= 2,
-      transform(sequence(lit(1), n - 1),
-        i => concat_ws(sep, element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordBigrams(toks: Column, sep: String): Column =
+    // Compiled kernel (round 19): twin of the when/transform/sequence
+    // form, whose interpreted lambdas re-evaluated `toks` per element_at
+    // — QUADRATIC per document when callers pass the inline split(text)
+    // (q_dsir_weights 62.7 s / q_heaps_law 23.9 s on the 10x stress
+    // corpus). Same values, order, and n<2/null -> empty-array contract
+    // (VecMathSpec pins the equivalence incl. the legacy size(null)=-1
+    // branch).
+    graft.functions.TextStats.word_bigrams(toks, sep)
 
   /** One MinHash value: min over the token set of hash32(token, seed). */
   def minhash(tokens: Column, seed: Int): Column =

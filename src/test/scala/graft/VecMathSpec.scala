@@ -299,6 +299,27 @@ class VecMathSpec extends AnyFunSuite with SparkSpec {
       .collect().head.isNullAt(0))
   }
 
+  test("word_bigrams kernel ≡ when/transform/sequence concat_ws form") {
+    def hofBigrams(toks: Column, sep: String): Column =
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(sep, element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    val sT = ArrayType(StringType, containsNull = true)
+    val rows = (2 to 20).map(n => Row((0 until n).map(i => s"t${i % 7}"))) ++
+      Seq(Row(Seq("a", null, "b", null, null, "c")), // concat_ws null skips
+        Row(Seq[String]()), Row(Seq("solo")),
+        Row(null)) // null array → EMPTY (legacy size(null) = -1 branch)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("t", sT))))
+    for (sep <- Seq(" ", "_")) {
+      assertSame(df.select(
+        graft.ops.ScaleDedup.wordBigrams(col("t"), sep),
+        hofBigrams(col("t"), sep)).collect())
+    }
+  }
+
   test("kernel projection compiles into a whole-stage-codegen'd Project") {
     val plan = pairDf.select(
       VecMath.dot(col("a"), col("b")).alias("d"),
